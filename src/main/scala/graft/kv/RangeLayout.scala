@@ -1,0 +1,47 @@
+package graft.kv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** D1/O1: the reference's pre-split region layout and total-order write path.
+  *
+  * `CreateTable` pre-splits the table into N regions at keys
+  * `lpad(i * (32767 / N), 5, '0')` (CreateTable.java:61-74), and
+  * `PopulateTable` writes HFiles through `TotalOrderPartitioner` + a sorting
+  * reducer (PopulateTable.java:68) so each region's file is globally sorted.
+  *
+  * Spark restatement: explicit split points → `repartitionByRange` with the
+  * same boundaries' count + `sortWithinPartitions` (Spark's `RangePartitioner`
+  * samples boundaries like `TotalOrderPartitioner`'s partition file). Region
+  * membership itself is a deterministic expression over the key so it can be
+  * asserted (and oracle-checked) independently of Spark's sampled boundaries.
+  */
+object RangeLayout {
+
+  /** The reference's split keys: `leftPad(counter, 5, '0')` where counter
+    * steps by `Short.MaxValue / regionCount` (CreateTable.java:61-73). The
+    * first region is unbounded below, so N regions ⇒ N-1 split points.
+    */
+  def splitPoints(regionCount: Int): Seq[String] = {
+    val regionRange = Short.MaxValue / regionCount
+    (1 until regionCount).map(i => leftPad5(i.toLong * regionRange))
+  }
+
+  private def leftPad5(n: Long): String = f"$n%05d"
+
+  /** Deterministic region id of a key prefix under the reference's split
+    * scheme: number of split points ≤ key (byte-lexicographic, which for
+    * zero-padded numerics equals numeric order).
+    */
+  def regionOf(keyRoot: Column, regionCount: Int): Column = {
+    val regionRange = Short.MaxValue / regionCount
+    least(floor(keyRoot.cast("long") / regionRange), lit(regionCount - 1)).cast("int")
+  }
+
+  /** The physical write layout: one range partition per "region", sorted by
+    * (rowKey, qualifier) within — the HFile invariant (PopulateTable.java:68).
+    */
+  def layout(cells: DataFrame, regionCount: Int): DataFrame =
+    cells.repartitionByRange(regionCount, col("rowKey"))
+      .sortWithinPartitions(col("rowKey"), col("qualifier"))
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** A1 (KV→row pivot) + A2 (last-write-wins) + P1–P4 projection policies.
+  *
+  * The reference's core operator is a streaming group-by-adjacent-rowKey that
+  * accumulates `(qualifier → value)` and emits one record per row key
+  * (ExportHBaseTableToDelimiteredTxt.java:148-164 + cleanup 124-129; same in
+  * Seq/Avro/Parquet). It relies on HBase scan order and a one-row HashMap; we
+  * re-express it as a declarative aggregate so Catalyst/Tungsten pick the
+  * physical strategy (hash agg with partial/map-side combine → one shuffle on
+  * rowKey, spill-safe at any scale). The reference's `lastRowKey`/cleanup bugs
+  * (SURVEY §2.2) are structurally impossible here.
+  *
+  * Last-write-wins (A2): the reference's per-row `HashMap.put` lets the later
+  * cell in scan order overwrite (Txt:159-163). We make that explicit and
+  * deterministic with `max_by(value, ts)` per qualifier.
+  */
+object KvPivot {
+
+  /** Pivot a cell table to one row per rowKey with one column per schema
+    * column, in schema order (P1). Cells whose qualifier is not in the schema
+    * are pruned *before* the aggregate — the filter reaches the source scan,
+    * the Spark analog of the reference's column-family pushdown (S2, Txt:73).
+    *
+    * @param cells       DataFrame with (rowKey, family, qualifier, value, ts)
+    * @param columns     schema-file column order = output column order
+    * @param rowKeyCol   P4: schema column that, when no cell provides it, is
+    *                    filled with the row key (Txt:179-181, Parquet:180-181)
+    * @param family      S2: optional column-family predicate (scan pushdown)
+    */
+  def pivot(
+      cells: DataFrame,
+      columns: Seq[String],
+      rowKeyCol: Option[String] = None,
+      family: Option[String] = None): DataFrame = {
+    val scan = family.foldLeft(cells)((df, cf) => df.filter(col("family") === cf))
+      .filter(col("qualifier").isin(columns: _*))
+    // One declarative agg per schema column: value of the max-ts cell having
+    // that qualifier. Rows with a null ordering (other qualifiers) are ignored
+    // by max_by, so each agg only sees "its" cells.
+    val aggs = columns.map { c =>
+      max_by(col("value"), when(col("qualifier") === c, col("ts"))).as(c)
+    }
+    val pivoted = scan.groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
+    rowKeyCol match {
+      // P4: rowKey injection — only for the named column, only when absent.
+      case Some(k) if columns.contains(k) =>
+        val vt = cells.schema("value").dataType
+        pivoted.withColumn(k, coalesce(col(k), col("rowKey").cast(vt)))
+      case _ => pivoted
+    }
+  }
+
+  /** P1–P3 for the delimited dialect: select schema columns in order, decode
+    * bytes as UTF-8 (F1), render missing cells as empty string (P2,
+    * Txt:176-182). Keeps `rowKey` first like the exporters' rowKey column.
+    */
+  def projectDelimited(pivoted: DataFrame, columns: Seq[String]): DataFrame =
+    pivoted.select(col("rowKey") +: columns.map(c =>
+      coalesce(col(c).cast(StringType), lit("")).as(c)): _*)
+
+  /** F5: compose one delimited line per row. `concat_ws` drops null inputs
+    * *and their separator* — not the reference's semantics (an absent cell is
+    * an empty field *between* delimiters, Txt:176-182) — so inputs must be
+    * null-free; `lineOf` coalesces to "" first.
+    */
+  def lineOf(columns: Seq[String], delimiter: String): Column =
+    concat_ws(delimiter, columns.map(c => coalesce(col(c).cast(StringType), lit(""))): _*)
+
+  /** Full delimited-export projection: one `line` column, schema order. */
+  def projectLines(pivoted: DataFrame, columns: Seq[String], delimiter: String): DataFrame =
+    pivoted.select(lineOf(columns, delimiter).as("line"))
+}
