@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kv.{KvGenerator, KvTable, RangeLayout}
+import graft.ops.KvPivot
+
+/** The query catalog behind [[SparkEntry]]: one entry per implemented
+  * operator (SURVEY §2 ids cited per query), each with a DuckDB oracle twin.
+  *
+  * Oracle-stability rules used throughout:
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - binary cell values decoded to UTF-8 strings before returning;
+  *  - no `%f` formatting / double→string casts (engine-dependent) — doubles
+  *    are compared as `floor(x*100)` longs or rounded decimals;
+  *  - `floor()` not `CAST` for double→int (DuckDB CAST rounds, Spark truncates).
+  */
+object Queries {
+
+  /** The five event_type values in the `events` table = the pivot schema. */
+  private val EventCols = Seq("click", "error", "purchase", "signup", "view")
+
+  // ---------------------------------------------------------------- A1 / A2
+
+  /** A1 pivot + A2 last-write-wins over the events-as-KV table (S1 scan →
+    * S2 family filter → groupBy pivot), P3 nulls kept for missing cells.
+    */
+  def kvPivotEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
+  private val kvPivotEventsSql: String = {
+    val aggs = EventCols.map { c =>
+      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
+    }.mkString(", ")
+    s"SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs FROM events GROUP BY 1"
+  }
+
+  // ------------------------------------------------------------- P1–P4 / F5
+
+  /** P1–P2 + P4: schema-ordered delimited projection with rowKey injection —
+    * the schema has a KEY column no qualifier provides, so it is filled with
+    * the row key; missing cells render as empty strings.
+    */
+  def kvPivotInject(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val schemaCols = Seq("click", "view", "KEY")
+    val piv = KvPivot.pivot(cells, schemaCols, rowKeyCol = Some("KEY"))
+    KvPivot.projectDelimited(piv, schemaCols)
+  }
+
+  private val kvPivotInjectSql: String =
+    """SELECT rowKey,
+      |  coalesce(click, '') AS click, coalesce(view, '') AS view, rowKey AS KEY
+      |FROM (
+      |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |    max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id)
+      |      FILTER (WHERE event_type = 'click') AS click,
+      |    max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id)
+      |      FILTER (WHERE event_type = 'view') AS view
+      |  FROM events GROUP BY 1)""".stripMargin
+
+  /** F5: one delimited line per pivoted row (the delimited-text export body,
+    * Txt:166-186) — absent cells are empty fields *between* delimiters.
+    */
+  def kvDelimitedLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val piv = KvPivot.pivot(cells, EventCols)
+    val decoded = piv.select(
+      col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+    decoded.select(KvPivot.lineOf("rowKey" +: EventCols, "|").as("line"))
+  }
+
+  private val kvDelimitedLinesSql: String = {
+    val aggs = EventCols.map { c =>
+      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
+    }.mkString(", ")
+    val parts = ("rowKey" +: EventCols).map(c => s"coalesce($c, '')").mkString(", ")
+    s"""SELECT concat_ws('|', $parts) AS line FROM (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs
+       |  FROM events GROUP BY 1)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- G1 / G2
+
+  private val GenRecords = 1000L
+  private val GenTasks = 4
+
+  /** G1/G2: the deterministic KV generator (PopulateTable semantics), values
+    * decoded to strings for the oracle.
+    */
+  def kvGenCells(spark: SparkSession, sfDir: String): DataFrame =
+    KvGenerator.cells(spark, GenRecords, GenTasks, "run1").select(
+      col("rowKey"), col("family"), col("qualifier"),
+      decode(col("value"), "UTF-8").as("value"), col("ts"))
+
+  private val kvGenCellsSql: String =
+    s"""SELECT
+       |  concat(lpad(CAST(((t.id + 1) * ${KvGenerator.KeyMixer}) % ${KvGenerator.KeySpace} AS VARCHAR), 5, '0'),
+       |         '|run1|', CAST(t.id % $GenTasks AS VARCHAR)) AS rowKey,
+       |  'c' AS family,
+       |  concat('C', CAST(c.i AS VARCHAR)) AS qualifier,
+       |  concat('counter:', CAST(t.id * 10 + c.i AS VARCHAR)) AS value,
+       |  t.id * 10 + c.i AS ts
+       |FROM range(0, $GenRecords) t(id), range(0, 10) c(i)""".stripMargin
+
+  // ---------------------------------------------------------------- D1 / O1
+
+  private val RegionCount = 8
+
+  /** D1: the reference's pre-split region scheme as a deterministic region-id
+    * assignment over generated keys — count of cells per region.
+    */
+  def kvRegionHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+    cells
+      .select(RangeLayout.regionOf(substring(col("rowKey"), 1, 5), RegionCount).as("region"))
+      .groupBy(col("region")).agg(count(lit(1)).as("n_cells"))
+  }
+
+  private val kvRegionHistogramSql: String = {
+    val regionRange = Short.MaxValue / RegionCount
+    s"""SELECT CAST(LEAST(floor(CAST(keyRoot AS BIGINT) / $regionRange), ${RegionCount - 1}) AS INTEGER) AS region,
+       |       count(*) AS n_cells
+       |FROM (
+       |  SELECT lpad(CAST(((t.id + 1) * ${KvGenerator.KeyMixer}) % ${KvGenerator.KeySpace} AS VARCHAR), 5, '0') AS keyRoot
+       |  FROM range(0, $GenRecords) t(id), range(0, 10) c(i))
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------- catalog
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv_pivot_events" -> (kvPivotEvents _),
+    "kv_pivot_inject" -> (kvPivotInject _),
+    "kv_delimited_lines" -> (kvDelimitedLines _),
+    "kv_gen_cells" -> (kvGenCells _),
+    "kv_region_histogram" -> (kvRegionHistogram _))
+
+  def oracles: Map[String, String] = Map(
+    "kv_pivot_events" -> kvPivotEventsSql,
+    "kv_pivot_inject" -> kvPivotInjectSql,
+    "kv_delimited_lines" -> kvDelimitedLinesSql,
+    "kv_gen_cells" -> kvGenCellsSql,
+    "kv_region_histogram" -> kvRegionHistogramSql)
+}

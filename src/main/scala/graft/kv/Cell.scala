@@ -40,17 +40,39 @@ object Cell {
 object KvTable {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark 4 rejects
+    * during schema inference ([PARQUET_TYPE_ILLEGAL]). An explicit schema with
+    * `ts: long` (raw epoch nanos) skips footer inference; `tsNanos` keeps the
+    * name honest.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .parquet(s"$sfDir/events.parquet")
+      .withColumnRenamed("ts", "tsNanos")
 
   /** `events` viewed as a cell table. The rowKey is the zero-padded user id
     * (byte-lexicographic order == numeric order, like the reference's
     * `lpad(keyRoot, 5, '0')` keys, CreateTable.java:69).
+    *
+    * Value encoding is `floor(value*100)` rendered as a decimal string — NOT
+    * `%.2f` formatting, whose half-up/half-even rounding differs between
+    * engines; `floor` over IEEE doubles is bit-identical in Spark and DuckDB,
+    * keeping the oracle hash-stable.
     */
   def eventsAsCells(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events").select(
       lpad(col("user_id").cast(StringType), 8, "0").as("rowKey"),
       lit("f").as("family"),
       col("event_type").as("qualifier"),
-      encode(format_string("%.2f", col("value")), "UTF-8").as("value"),
+      encode(floor(col("value") * 100).cast(StringType), "UTF-8").as("value"),
       col("event_id").as("ts"))
 }
