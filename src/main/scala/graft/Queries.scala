@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kv.{KvGenerator, KvTable, RangeLayout}
-import graft.ops.KvPivot
+import graft.ops.{KvPivot, TypedProject}
+import graft.schema.SchemaFile
 
 /** The query catalog behind [[SparkEntry]]: one entry per implemented
   * operator (SURVEY §2 ids cited per query), each with a DuckDB oracle twin.
@@ -131,6 +132,47 @@ object Queries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- F2 / typed
+
+  /** F2 codec round-trip: encode lineitem columns to big-endian binary with
+    * the custom Catalyst expressions, decode back — must be the identity.
+    */
+  def kvTypedDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ByteCodecs._
+    KvTable.table(spark, sfDir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      binaryToLong(longToBinary(col("l_partkey"))).as("pk"),
+      binaryToInt(intToBinary(col("l_linenumber"))).as("ln"))
+  }
+
+  private val kvTypedDecodeSql: String =
+    "SELECT l_orderkey, l_linenumber, l_partkey AS pk, l_linenumber AS ln FROM lineitem"
+
+  /** The Avro/Parquet export end-to-end (§3.1 restatement): typed cell scan →
+    * A1 pivot → Avro-dialect schema projection with typed decode (F2) and
+    * rowKey injection (P4).
+    */
+  def kvTypedExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = SchemaFile.parseAvroJson(
+      """{"type":"record","name":"Line","fields":[
+        |  {"name":"qty","type":"long"},{"name":"ln","type":"int"},
+        |  {"name":"flag","type":"string"},{"name":"KEY","type":"string"}]}""".stripMargin)
+    val cells = KvTable.lineitemAsCells(spark, sfDir)
+    val piv = KvPivot.pivot(cells, schema.fieldNames.toSeq,
+      rowKeyCol = Some("KEY"), family = Some("c"))
+    TypedProject.project(piv, schema)
+  }
+
+  private val kvTypedExportSql: String =
+    """SELECT CAST(floor(l_quantity) AS BIGINT) AS qty, l_linenumber AS ln,
+      |  l_returnflag AS flag,
+      |  concat(lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '|',
+      |         lpad(CAST(l_linenumber AS VARCHAR), 2, '0'), '|',
+      |         lpad(CAST(l_partkey AS VARCHAR), 8, '0'), '|',
+      |         lpad(CAST(l_suppkey AS VARCHAR), 6, '0')) AS KEY
+      |FROM lineitem""".stripMargin
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -138,12 +180,16 @@ object Queries {
     "kv_pivot_inject" -> (kvPivotInject _),
     "kv_delimited_lines" -> (kvDelimitedLines _),
     "kv_gen_cells" -> (kvGenCells _),
-    "kv_region_histogram" -> (kvRegionHistogram _))
+    "kv_region_histogram" -> (kvRegionHistogram _),
+    "kv_typed_decode" -> (kvTypedDecode _),
+    "kv_typed_export" -> (kvTypedExport _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
     "kv_pivot_inject" -> kvPivotInjectSql,
     "kv_delimited_lines" -> kvDelimitedLinesSql,
     "kv_gen_cells" -> kvGenCellsSql,
-    "kv_region_histogram" -> kvRegionHistogramSql)
+    "kv_region_histogram" -> kvRegionHistogramSql,
+    "kv_typed_decode" -> kvTypedDecodeSql,
+    "kv_typed_export" -> kvTypedExportSql)
 }

@@ -48,6 +48,32 @@ object KvTable {
     * `ts: long` (raw epoch nanos) skips footer inference; `tsNanos` keeps the
     * name honest.
     */
+  /** `lineitem` viewed as a *typed* cell table: 3 cells per line item with
+    * binary-encoded values (big-endian long/int like HBase `Bytes`, plus
+    * UTF-8 strings) — exercises the Avro-dialect typed decode path
+    * (ExportHBaseTableToAvro.java:199-209).
+    */
+  def lineitemAsCells(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ByteCodecs._
+    val li = table(spark, sfDir, "lineitem")
+    li.select(
+        concat_ws("|",
+          lpad(col("l_orderkey").cast(StringType), 10, "0"),
+          lpad(col("l_linenumber").cast(StringType), 2, "0"),
+          lpad(col("l_partkey").cast(StringType), 8, "0"),
+          lpad(col("l_suppkey").cast(StringType), 6, "0")).as("rowKey"),
+        explode(array(
+          struct(lit("qty").as("qualifier"),
+            longToBinary(floor(col("l_quantity"))).as("value"), lit(0L).as("ts")),
+          struct(lit("ln").as("qualifier"),
+            intToBinary(col("l_linenumber")).as("value"), lit(1L).as("ts")),
+          struct(lit("flag").as("qualifier"),
+            encode(col("l_returnflag"), "UTF-8").as("value"), lit(2L).as("ts")))).as("cell"))
+      .select(col("rowKey"), lit("c").as("family"),
+        col("cell.qualifier").as("qualifier"), col("cell.value").as("value"),
+        col("cell.ts").as("ts"))
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.schema(StructType(Seq(
         StructField("event_id", LongType),
