@@ -173,6 +173,69 @@ object Queries {
       |         lpad(CAST(l_suppkey AS VARCHAR), 6, '0')) AS KEY
       |FROM lineitem""".stripMargin
 
+  // ------------------------------------------------------------- K1–K4 sinks
+
+  private def tmpOut(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_export/$name"
+
+  /** The CSV-dialect delimited schema used by the text/seq round-trips. */
+  private val DelimSchema = "click,view,KEY"
+
+  private def delimitedExportCfg(format: Export.Format, name: String, codec: Option[String]) =
+    Export.Config(format, DelimSchema, tmpOut(name), columnFamily = Some("f"),
+      delimiter = "|", rowKeyColumn = Some("KEY"), compression = codec)
+
+  private val delimitedRoundtripSql: String =
+    """SELECT concat_ws('|', coalesce(click, ''), coalesce(view, ''), rowKey) AS line
+      |FROM (
+      |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |    max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id)
+      |      FILTER (WHERE event_type = 'click') AS click,
+      |    max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id)
+      |      FILTER (WHERE event_type = 'view') AS view
+      |  FROM events GROUP BY 1)""".stripMargin
+
+  /** K1 e2e: delimited-text export with gzip, read back as lines. */
+  def exportTxtRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val cfg = delimitedExportCfg(Export.DelimitedTxt, "txt", Some("gzip"))
+    Export.run(cells, cfg)
+    spark.read.text(cfg.outputPath).withColumnRenamed("value", "line")
+  }
+
+  /** K2 e2e: SequenceFile export with gzip codec, read back keys as lines. */
+  def exportSeqRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val cfg = delimitedExportCfg(Export.DelimitedSeq, "seq", Some("gzip"))
+    graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
+    Export.run(cells, cfg)
+    graft.sinks.Sinks.readSequenceFile(spark, cfg.outputPath)
+  }
+
+  private val TypedAvroSchema =
+    """{"type":"record","name":"Line","fields":[
+      |  {"name":"qty","type":["long","null"]},{"name":"ln","type":["int","null"]},
+      |  {"name":"flag","type":["string","null"]},{"name":"KEY","type":["string","null"]}]}""".stripMargin
+
+  /** K3 e2e: Avro container export (snappy), distributed read-back. */
+  def exportAvroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.lineitemAsCells(spark, sfDir)
+    val cfg = Export.Config(Export.Avro, TypedAvroSchema, tmpOut("avro"),
+      columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
+    graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
+    Export.run(cells, cfg)
+    graft.sinks.AvroIO.read(spark, cfg.outputPath, SchemaFile.parseAvroJson(TypedAvroSchema))
+  }
+
+  /** K4 e2e: Parquet export (snappy), read-back. */
+  def exportParquetRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.lineitemAsCells(spark, sfDir)
+    val cfg = Export.Config(Export.Parquet, TypedAvroSchema, tmpOut("parquet"),
+      columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
+    Export.run(cells, cfg)
+    Export.readParquet(spark, cfg.outputPath)
+  }
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -182,7 +245,11 @@ object Queries {
     "kv_gen_cells" -> (kvGenCells _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
-    "kv_typed_export" -> (kvTypedExport _))
+    "kv_typed_export" -> (kvTypedExport _),
+    "export_txt_roundtrip" -> (exportTxtRoundtrip _),
+    "export_seq_roundtrip" -> (exportSeqRoundtrip _),
+    "export_avro_roundtrip" -> (exportAvroRoundtrip _),
+    "export_parquet_roundtrip" -> (exportParquetRoundtrip _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -191,5 +258,9 @@ object Queries {
     "kv_gen_cells" -> kvGenCellsSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
-    "kv_typed_export" -> kvTypedExportSql)
+    "kv_typed_export" -> kvTypedExportSql,
+    "export_txt_roundtrip" -> delimitedRoundtripSql,
+    "export_seq_roundtrip" -> delimitedRoundtripSql,
+    "export_avro_roundtrip" -> kvTypedExportSql,
+    "export_parquet_roundtrip" -> kvTypedExportSql)
 }
