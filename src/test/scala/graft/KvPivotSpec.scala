@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kv.Cell
+import graft.ops.KvPivot
+
+/** A1/A2/P1–P4 semantics (SURVEY §2.2–2.3) — the intended semantics the
+  * reference's streaming group-by implements (minus its lastRowKey/cleanup
+  * bugs, which a group-by makes impossible).
+  */
+class KvPivotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cells(rows: (String, String, String, String, Long)*): DataFrame =
+    spark.createDataset(rows.map { case (k, f, q, v, ts) =>
+      Cell(k, f, q, v.getBytes("UTF-8"), ts)
+    }).toDF()
+
+  private def str(df: DataFrame, cols: String*): DataFrame =
+    df.select(col("rowKey") +: cols.map(c => col(c).cast("string").as(c)): _*)
+
+  test("pivot emits one row per rowKey with schema-ordered columns (A1/P1)") {
+    val in = cells(
+      ("r1", "f", "a", "1", 0), ("r1", "f", "b", "2", 1),
+      ("r2", "f", "a", "3", 2))
+    val out = str(KvPivot.pivot(in, Seq("a", "b")), "a", "b")
+      .orderBy("rowKey").collect().map(_.toSeq)
+    out shouldBe Array(Seq("r1", "1", "2"), Seq("r2", "3", null))
+  }
+
+  test("duplicate qualifier within a row: last write (max ts) wins (A2)") {
+    val in = cells(
+      ("r1", "f", "a", "old", 10), ("r1", "f", "a", "new", 20),
+      ("r1", "f", "a", "older", 5))
+    val out = str(KvPivot.pivot(in, Seq("a")), "a").collect().map(_.toSeq)
+    out shouldBe Array(Seq("r1", "new"))
+  }
+
+  test("missing column stays null (P3); projectDelimited renders it empty (P2)") {
+    val in = cells(("r1", "f", "a", "1", 0))
+    val piv = KvPivot.pivot(in, Seq("a", "gone"))
+    str(piv, "gone").collect().head.getString(1) shouldBe null
+    val delim = KvPivot.projectDelimited(piv, Seq("a", "gone"))
+      .collect().head.toSeq
+    delim shouldBe Seq("r1", "1", "")
+  }
+
+  test("rowKey injection fills only the named column, only when absent (P4)") {
+    val in = cells(
+      ("r1", "f", "a", "1", 0),                       // KEY absent -> injected
+      ("r2", "f", "KEY", "explicit", 0))              // KEY present -> kept
+    val out = str(KvPivot.pivot(in, Seq("a", "KEY"), rowKeyCol = Some("KEY")), "a", "KEY")
+      .orderBy("rowKey").collect().map(_.toSeq)
+    out shouldBe Array(Seq("r1", "1", "r1"), Seq("r2", null, "explicit"))
+  }
+
+  test("rowKeyCol not in schema is a no-op") {
+    val in = cells(("r1", "f", "a", "1", 0))
+    KvPivot.pivot(in, Seq("a"), rowKeyCol = Some("KEY")).columns shouldBe
+      Array("rowKey", "a")
+  }
+
+  test("family filter scans only the requested family (S2)") {
+    val in = cells(
+      ("r1", "f", "a", "keep", 0), ("r1", "g", "a", "drop", 99))
+    val out = str(KvPivot.pivot(in, Seq("a"), family = Some("f")), "a")
+      .collect().map(_.toSeq)
+    out shouldBe Array(Seq("r1", "keep"))
+  }
+
+  test("qualifiers outside the schema are pruned before the aggregate") {
+    val in = cells(("r1", "f", "a", "1", 0), ("r1", "f", "junk", "x", 99))
+    val out = KvPivot.pivot(in, Seq("a"))
+    out.columns shouldBe Array("rowKey", "a")
+    str(out, "a").collect().map(_.toSeq) shouldBe Array(Seq("r1", "1"))
+  }
+
+  test("single-row and empty tables") {
+    val single = cells(("only", "f", "a", "v", 0))
+    KvPivot.pivot(single, Seq("a")).count() shouldBe 1
+    val empty = cells()
+    KvPivot.pivot(empty, Seq("a")).count() shouldBe 0
+  }
+
+  test("lineOf keeps empty fields between delimiters (F5, Txt:176-182)") {
+    val in = cells(("r1", "f", "c", "3", 0))
+    val line = KvPivot.pivot(in, Seq("a", "b", "c"))
+      .select(KvPivot.lineOf(Seq("rowKey", "a", "b", "c"), "|").as("line"))
+      .as[String].head()
+    line shouldBe "r1|||3"
+  }
+
+  test("pivot row count == distinct rowKey count (property)") {
+    val in = KvTableFixtures.randomCells(spark, 500, seed = 7)
+    val piv = KvPivot.pivot(in, Seq("c0", "c1", "c2"))
+    piv.count() shouldBe in.select("rowKey").distinct().count()
+  }
+}
+
+/** Deterministic pseudo-random cell fixture shared by property-ish tests. */
+object KvTableFixtures {
+  import org.apache.spark.sql.SparkSession
+
+  def randomCells(spark: SparkSession, n: Int, seed: Long): DataFrame = {
+    spark.range(n).selectExpr(
+      s"concat('k', cast(floor(rand($seed) * 50) as int)) as rowKey",
+      "'f' as family",
+      s"concat('c', cast(floor(rand(${seed + 1}) * 3) as int)) as qualifier",
+      "encode(cast(id as string), 'UTF-8') as value",
+      "id as ts")
+  }
+}
