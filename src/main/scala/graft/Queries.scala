@@ -164,14 +164,21 @@ object Queries {
     TypedProject.project(piv, schema)
   }
 
+  /** Duplicate key 4-tuples in the synthetic lineitem are duplicate *writes*
+    * to one KV row; cell ts is monotonic in cell value (KvTable), so LWW ==
+    * per-column max — hence the GROUP BY.
+    */
   private val kvTypedExportSql: String =
-    """SELECT CAST(floor(l_quantity) AS BIGINT) AS qty, l_linenumber AS ln,
-      |  l_returnflag AS flag,
-      |  concat(lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '|',
-      |         lpad(CAST(l_linenumber AS VARCHAR), 2, '0'), '|',
-      |         lpad(CAST(l_partkey AS VARCHAR), 8, '0'), '|',
-      |         lpad(CAST(l_suppkey AS VARCHAR), 6, '0')) AS KEY
-      |FROM lineitem""".stripMargin
+    """SELECT CAST(max(floor(l_quantity)) AS BIGINT) AS qty,
+      |  max(l_linenumber) AS ln, max(l_returnflag) AS flag, KEY
+      |FROM (
+      |  SELECT l_quantity, l_linenumber, l_returnflag,
+      |    concat(lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '|',
+      |           lpad(CAST(l_linenumber AS VARCHAR), 2, '0'), '|',
+      |           lpad(CAST(l_partkey AS VARCHAR), 8, '0'), '|',
+      |           lpad(CAST(l_suppkey AS VARCHAR), 6, '0')) AS KEY
+      |  FROM lineitem)
+      |GROUP BY KEY""".stripMargin
 
   // ------------------------------------------------------------- K1–K4 sinks
 
@@ -236,6 +243,87 @@ object Queries {
     Export.readParquet(spark, cfg.outputPath)
   }
 
+  // ------------------------------------------------- text analysis (§7.6)
+
+  import graft.ext.TextAnalysis
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.table(spark, sfDir, "documents")
+
+  /** Token counting: whitespace tokens + BPE-ish subword pieces + punct. */
+  def txtTokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokens(docs(spark, sfDir))
+
+  private val txtTokensSql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN length(trim(text)) = 0 THEN 0
+      |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\s]'))::BIGINT AS bpe_tokens,
+      |  len(regexp_extract_all(lower(text), '[^a-z0-9\s]'))::BIGINT AS punct_chars
+      |FROM documents""".stripMargin
+
+  /** Quality facets + scalar score, integer-scaled (see TextAnalysis). */
+  def txtQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.quality(docs(spark, sfDir))
+
+  private val txtQualitySql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_chars, n_tokens,
+      |    CASE WHEN n_chars = 0 THEN 0 ELSE (punct * 1000) // n_chars END AS punct_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (stop * 1000) // n_tokens END AS stop_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (nonspace * 100) // n_tokens END AS avg_tok_x100
+      |  FROM raw)
+      |SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+      |  punct_per_1000::BIGINT AS punct_per_1000,
+      |  stop_per_1000::BIGINT AS stop_per_1000,
+      |  avg_tok_x100::BIGINT AS avg_tok_x100,
+      |  (LEAST(n_tokens, 250) + LEAST(stop_per_1000, 250)
+      |   + GREATEST(0, 250 - punct_per_1000)
+      |   + GREATEST(0, 250 - abs(avg_tok_x100 - 450) // 2))::BIGINT AS quality
+      |FROM f""".stripMargin
+
+  /** Language-ID: marker-word heuristic, arg-max with fixed tie order. */
+  def txtLangId(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langId(docs(spark, sfDir))
+
+  private val txtLangIdSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b'))::BIGINT AS score_en,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|ist)\b'))::BIGINT AS score_de,
+      |    len(regexp_extract_all(lower(text), '\b(el|la|los|y|un|es)\b'))::BIGINT AS score_es,
+      |    len(regexp_extract_all(lower(text), '\b(le|les|et|une|est)\b'))::BIGINT AS score_fr
+      |  FROM documents)
+      |SELECT doc_id, score_en, score_de, score_es, score_fr,
+      |  CASE
+      |    WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'unknown'
+      |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+      |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+      |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+      |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
+      |    ELSE 'unknown' END AS lang_pred
+      |FROM s""".stripMargin
+
+  /** Rolling-hash document fingerprint (codegen'd PolyHashExpr). */
+  def txtFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(spark, sfDir))
+
+  private val txtFingerprintSql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN length(text) = 0 THEN 0
+      |        ELSE list_reduce(
+      |               list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),
+      |               (a, b) -> (a * 31 + b) % 2147483647) END)::BIGINT AS fp
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -249,7 +337,11 @@ object Queries {
     "export_txt_roundtrip" -> (exportTxtRoundtrip _),
     "export_seq_roundtrip" -> (exportSeqRoundtrip _),
     "export_avro_roundtrip" -> (exportAvroRoundtrip _),
-    "export_parquet_roundtrip" -> (exportParquetRoundtrip _))
+    "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
+    "txt_tokens" -> (txtTokens _),
+    "txt_quality" -> (txtQuality _),
+    "txt_langid" -> (txtLangId _),
+    "txt_fingerprint" -> (txtFingerprint _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -262,5 +354,9 @@ object Queries {
     "export_txt_roundtrip" -> delimitedRoundtripSql,
     "export_seq_roundtrip" -> delimitedRoundtripSql,
     "export_avro_roundtrip" -> kvTypedExportSql,
-    "export_parquet_roundtrip" -> kvTypedExportSql)
+    "export_parquet_roundtrip" -> kvTypedExportSql,
+    "txt_tokens" -> txtTokensSql,
+    "txt_quality" -> txtQualitySql,
+    "txt_langid" -> txtLangIdSql,
+    "txt_fingerprint" -> txtFingerprintSql)
 }

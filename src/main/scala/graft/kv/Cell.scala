@@ -52,6 +52,12 @@ object KvTable {
     * binary-encoded values (big-endian long/int like HBase `Bytes`, plus
     * UTF-8 strings) — exercises the Avro-dialect typed decode path
     * (ExportHBaseTableToAvro.java:199-209).
+    *
+    * The synthetic lineitem can contain fully-duplicated key 4-tuples (two
+    * physical rows, same rowKey, different quantities). Those are modeled as
+    * two *writes* to the same cell, and LWW needs a deterministic winner: each
+    * cell's ts is monotonic in its own value, so the max-ts cell is the
+    * max-value cell — reproducible in the oracle as `GROUP BY key` + `max`.
     */
   def lineitemAsCells(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.ByteCodecs._
@@ -64,11 +70,14 @@ object KvTable {
           lpad(col("l_suppkey").cast(StringType), 6, "0")).as("rowKey"),
         explode(array(
           struct(lit("qty").as("qualifier"),
-            longToBinary(floor(col("l_quantity"))).as("value"), lit(0L).as("ts")),
+            longToBinary(floor(col("l_quantity"))).as("value"),
+            floor(col("l_quantity")).cast("long").as("ts")),
           struct(lit("ln").as("qualifier"),
-            intToBinary(col("l_linenumber")).as("value"), lit(1L).as("ts")),
+            intToBinary(col("l_linenumber")).as("value"),
+            col("l_linenumber").cast("long").as("ts")),
           struct(lit("flag").as("qualifier"),
-            encode(col("l_returnflag"), "UTF-8").as("value"), lit(2L).as("ts")))).as("cell"))
+            encode(col("l_returnflag"), "UTF-8").as("value"),
+            ascii(col("l_returnflag")).cast("long").as("ts")))).as("cell"))
       .select(col("rowKey"), lit("c").as("family"),
         col("cell.qualifier").as("qualifier"), col("cell.value").as("value"),
         col("cell.ts").as("ts"))
