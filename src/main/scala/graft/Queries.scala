@@ -324,6 +324,127 @@ object Queries {
       |               (a, b) -> (a * 31 + b) % 2147483647) END)::BIGINT AS fp
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------- deduplication (§7.6)
+
+  import graft.ext.Dedup
+
+  private def embeds(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.table(spark, sfDir, "embeddings")
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(docs(spark, sfDir))
+
+  private val dedupExactSql: String =
+    """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+      |FROM documents""".stripMargin
+
+  def dedupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, sfDir))
+
+  /** Shared oracle CTEs: tokens → distinct 3-shingles (1-based list ops). */
+  private val shingleCtes: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |shd AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |        FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** PolyHash fold, oracle dialect (must mirror PolyHashExpr exactly). */
+  private def polyHashSql(arg: String): String =
+    s"list_reduce(list_transform(string_split($arg, ''), c -> unicode(c)::BIGINT), " +
+      "(x, y) -> (x * 31 + y) % 2147483647)"
+
+  private val dedupJaccardPairsSql: String =
+    s"""WITH $shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |          FROM shd x JOIN shd y USING (s)
+       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE (i * 1000) // (sa.n + sb.n - i) >= 800""".stripMargin
+
+  def dedupMinhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashSignatures(docs(spark, sfDir))
+
+  /** hs CTE: per-doc list of shingle polyhashes. */
+  private val minhashHsCte: String =
+    s"""hs AS (SELECT doc_id, list(${polyHashSql("s")}) AS hs FROM shd GROUP BY doc_id)"""
+
+  private def minhashTerm(j: Int): String =
+    s"list_min(list_transform(hs, h -> (h * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % ${Dedup.P}))"
+
+  private val dedupMinhashSigSql: String = {
+    val cols = (0 until Dedup.NumHashes).map(j => s"${minhashTerm(j)} AS s$j").mkString(",\n  ")
+    s"""WITH $shingleCtes,
+       |$minhashHsCte
+       |SELECT doc_id,
+       |  $cols
+       |FROM hs""".stripMargin
+  }
+
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, sfDir))
+
+  private val dedupMinhashPairsSql: String = {
+    val sigList = (0 until Dedup.NumHashes).map(minhashTerm).mkString("[", ", ", "]")
+    s"""WITH $shingleCtes,
+       |$minhashHsCte,
+       |sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+       |bands AS (SELECT doc_id, sig, b AS band,
+       |            concat_ws(',', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
+       |          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+       |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT * FROM (
+       |  SELECT a, b, len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::BIGINT AS match16
+       |  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
+       |WHERE match16 >= 12""".stripMargin
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhash(docs(spark, sfDir))
+
+  private val simhashCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS s FROM documents),
+       |th AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM tok),
+       |bits AS (SELECT doc_id, b,
+       |           CASE WHEN 2 * sum((h >> b) & 1) > count(*) THEN 1::BIGINT ELSE 0 END AS bit
+       |         FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id, sum(bit * (1::BIGINT << b))::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val dedupSimhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sh""".stripMargin
+
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, sfDir))
+
+  /** Oracle runs the quadratic scan; the engine runs 4×8-bit LSH banding —
+    * identical results for hamming ≤ 3 by pigeonhole.
+    */
+  private val dedupSimhashPairsSql: String =
+    s"""WITH $simhashCtes
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+
+  def dedupEmbedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingPairs(embeds(spark, sfDir))
+
+  private val dedupEmbedPairsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]),
+      |             (x, y) -> x + y)) AS nrm FROM e)
+      |SELECT * FROM (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    floor(list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]),
+      |          (x2, y2) -> x2 + y2) * 1000 / (x.nrm * y.nrm))::BIGINT AS cos_x1000
+      |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+      |WHERE cos_x1000 >= 400""".stripMargin
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -341,7 +462,14 @@ object Queries {
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
-    "txt_fingerprint" -> (txtFingerprint _))
+    "txt_fingerprint" -> (txtFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_minhash_sig" -> (dedupMinhashSig _),
+    "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_embed_pairs" -> (dedupEmbedPairs _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -358,5 +486,12 @@ object Queries {
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
-    "txt_fingerprint" -> txtFingerprintSql)
+    "txt_fingerprint" -> txtFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
+    "dedup_minhash_sig" -> dedupMinhashSigSql,
+    "dedup_minhash_pairs" -> dedupMinhashPairsSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
+    "dedup_embed_pairs" -> dedupEmbedPairsSql)
 }

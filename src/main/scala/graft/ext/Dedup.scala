@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, VectorOps}
+
+/** Deduplication operators for training-data pipelines (SURVEY §7.6): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the point — these must survive 100 TB):
+  *  - Exact: one hash-aggregate shuffle on the dedup key. No O(n²) anywhere.
+  *  - Jaccard: candidate pairs come from an *inverted index* join
+  *    (shingle → docs), never a cross join; the shingle join key is the
+  *    natural salt — hot shingles are the known skew risk, capped upstream by
+  *    a document-frequency filter at real scale.
+  *  - MinHash+LSH: fixed-width signatures (16 longs/doc regardless of doc
+  *    size), banding turns near-dup search into an equi-join on (band, key) —
+  *    the classic sub-quadratic path; verification touches only candidates.
+  *  - SimHash: 32-bit signature, 4×8-bit banding. Pigeonhole makes banding
+  *    EXACT for hamming ≤ 3 (3 flipped bits cannot dirty all 4 bands), so the
+  *    LSH plan returns byte-identical results to the quadratic scan the
+  *    oracle runs.
+  *  - Embedding cosine: brute-force pair scan here (the correctness baseline
+  *    the oracle can replay); the sub-quadratic ANN path is
+  *    [[Similarity.lshTopK]].
+  *
+  * Determinism contract: hashes are [[graft.functions.PolyHashExpr]] (oracle-
+  * reproducible), ratios integer-scaled, all pair outputs keyed a < b.
+  */
+object Dedup {
+
+  /** MinHash universe: same Mersenne prime as PolyHash. */
+  val P: Long = 2147483647L
+  val NumHashes = 16
+  val BandRows = 4 // 4 bands x 4 rows
+  def hashA(j: Int): Long = 2L * j + 1
+  def hashB(j: Int): Long = 7919L * j + 13
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word 3-shingles (1-based element_at mirrors the oracle's
+    * 1-based list indexing).
+    */
+  def shingles(t: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical id = min doc_id among identical texts. One
+    * shuffle on the text (at real scale: pre-hash to a 128-bit key so the
+    * shuffle ships 16 bytes, then verify within group).
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text"))
+    docs.select(
+      col("doc_id"),
+      min(col("doc_id")).over(w).as("canonical_id"),
+      (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+  }
+
+  // -------------------------------------------------------------- jaccard
+
+  /** Per-doc distinct shingle rows — the inverted-index relation. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.filter(size(t) >= 3)
+      .select(col("doc_id"), explode(shingles(t)).as("s"))
+  }
+
+  /** N-gram Jaccard near-dup pairs via inverted-index join: doc pairs that
+    * share ≥1 shingle, scored |A∩B| / |A∪B|, kept at ≥ `threshold`/1000.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Long = 800L): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        idiv(col("i") * 1000L, col("sa.n") + col("sb.n") - col("i")).as("jac_x1000"))
+      .filter(col("jac_x1000") >= threshold)
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Fixed-width MinHash signature: s_j = min over shingles of
+    * (a_j * polyHash(shingle) + b_j) mod P. Columns s0..s{15}.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val hs = transform(shingles(t), s => TextHash.polyHash(s))
+    val base = docs.filter(size(t) >= 3).select(col("doc_id"), hs.as("hs"))
+    val sigs = (0 until NumHashes).map { j =>
+      array_min(transform(col("hs"), h => (h * hashA(j) + hashB(j)) % P)).as(s"s$j")
+    }
+    base.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH banding over the signature: 4 bands × 4 rows; candidates share a
+    * (band, key); verification counts matching signature components and
+    * keeps pairs with ≥ `minMatches` of 16 (≈ Jaccard ≥ minMatches/16).
+    */
+  def minhashLshPairs(docs: DataFrame, minMatches: Long = 12L): DataFrame = {
+    val sig = minhashSignatures(docs)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"s$j")): _*).as("sig"))
+    val nBands = NumHashes / BandRows
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        concat_ws(",", (1 to BandRows).map(r =>
+          element_at(col("sig"), col("band") * BandRows + r)): _*).as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .select(col("a"), col("b"),
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          m => m)).cast("long").as("match16"))
+      .filter(col("match16") >= minMatches)
+      .select(col("a"), col("b"), col("match16"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over token occurrences (with multiplicity): bit b is set
+    * when more than half the token hashes have bit b set.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hs = transform(tokens(col("text")), tok => TextHash.polyHash(tok))
+    val base = docs.select(col("doc_id"), hs.as("hs"), size(hs).cast("long").as("n"))
+    val sh = (0 until 32).map { b =>
+      val setCnt = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+      when(setCnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** Near-dup pairs at hamming distance ≤ `maxHamming` (≤3 by default) via
+    * 4×8-bit banding — exact by pigeonhole, sub-quadratic by construction.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH is only exact for hamming <= 3")
+    val sh = simhash(docs)
+    // One struct per 8-bit band (literal shifts; simhash < 2^32 so signed
+    // shift is safe), exploded to (doc_id, simhash, band, key) rows.
+    val bandStructs = array((0 until 4).map(k =>
+      struct(lit(k).as("band"),
+        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("key"))): _*)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- embedding cosine
+
+  /** Embedding near-dup pairs: brute-force cosine ≥ threshold/1000. The
+    * oracle-checkable baseline; the sub-quadratic path is Similarity.
+    */
+  def embeddingPairs(embeddings: DataFrame, threshold: Long = 400L): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      VectorOps.toDoubleArray(col("embedding")).as("v"))
+    val n = e.select(col("vec_id"), col("v"),
+      VectorOps.norm(col("v")).as("nrm"))
+    n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        floor(VectorOps.dot(col("x.v"), col("y.v")) * 1000 /
+          (col("x.nrm") * col("y.nrm"))).cast("long").as("cos_x1000"))
+      .filter(col("cos_x1000") >= threshold)
+  }
+
+  private def idiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+import graft.functions.VectorOps
+
+/** Dedup extension operators (SURVEY §7.6): exact, Jaccard, MinHash+LSH,
+  * SimHash, embedding cosine.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsDf = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different words here nothing shared at all"),
+    (5L, "tiny doc")) // < 3 tokens -> no shingles
+    .toDF("doc_id", "text")
+
+  test("exact dedup: canonical = min doc_id, dups flagged") {
+    val out = Dedup.exact(docsDf).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    out shouldBe Array(
+      (1L, 1L, false), (2L, 2L, false), (3L, 1L, true),
+      (4L, 4L, false), (5L, 5L, false))
+  }
+
+  test("shingles: ordered distinct 3-grams; short docs excluded upstream") {
+    val sh = docsDf
+      .filter(org.apache.spark.sql.functions.size(Dedup.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text"))).as("sh"))
+      .filter(col("doc_id") === 1L)
+      .select(explode(col("sh"))).as[String].collect()
+    sh.head shouldBe "the quick brown"
+    sh.length shouldBe 7 // 9 tokens -> 7 shingles, all distinct here
+  }
+
+  test("jaccard pairs: exact dup scores 1000; near-dup high; disjoint absent") {
+    val pairs = Dedup.jaccardPairs(docsDf, threshold = 500L)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    pairs((1L, 3L)) shouldBe 1000L
+    pairs.keySet should contain((1L, 2L)) // 6 of 8 shingles shared -> 750
+    pairs((1L, 2L)) shouldBe (6L * 1000 / 8)
+    pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
+  }
+
+  test("minhash: identical docs -> identical signatures; LSH finds the pair") {
+    val sig = Dedup.minhashSignatures(docsDf)
+    val rows = sig.filter(col("doc_id").isin(1L, 3L)).drop("doc_id").collect()
+    rows(0).toSeq shouldBe rows(1).toSeq
+    val pairs = Dedup.minhashLshPairs(docsDf, minMatches = 16L)
+      .as[(Long, Long, Long)].collect()
+    pairs should contain((1L, 3L, 16L))
+  }
+
+  test("minhash signature components are in [0, P)") {
+    val sig = Dedup.minhashSignatures(docsDf)
+    val mins = sig.select(least((0 until Dedup.NumHashes).map(j => col(s"s$j")): _*))
+      .as[Long].collect()
+    all(mins) should be >= 0L
+    val maxs = sig.select(greatest((0 until Dedup.NumHashes).map(j => col(s"s$j")): _*))
+      .as[Long].collect()
+    all(maxs) should be < Dedup.P
+  }
+
+  test("simhash: identical docs equal; banding == quadratic scan (pigeonhole)") {
+    val sh = Dedup.simhash(docsDf)
+    val m = sh.as[(Long, Long)].collect().toMap
+    m(1L) shouldBe m(3L)
+    val viaLsh = Dedup.simhashPairs(docsDf, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 3).toSet
+    viaLsh shouldBe brute
+  }
+
+  test("dot product expression matches manual fold; norm exact on 3-4-5") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    df.select(VectorOps.dot(col("a"), col("b"))).as[Double].head() shouldBe 32.0
+    val n = Seq(Tuple1(Array(3.0, 4.0))).toDF("v")
+      .select(VectorOps.norm(col("v"))).as[Double].head()
+    n shouldBe 5.0
+  }
+
+  test("embedding pairs: identical vectors -> cos_x1000 = 1000 (exact sqrt)") {
+    val e = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(-4.0f, 3.0f))) // orthogonal to 1
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(e, threshold = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    pairs should contain((1L, 2L, 1000L))
+    pairs.filter(p => p._1 == 1L && p._2 == 3L).map(_._3).foreach(_ shouldBe 0L)
+  }
+}
