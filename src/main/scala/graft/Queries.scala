@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kv.{KvGenerator, KvTable, RangeLayout}
@@ -445,6 +445,63 @@ object Queries {
       |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
       |WHERE cos_x1000 >= 400""".stripMargin
 
+  // ------------------------------------------- similarity search (§7.6)
+
+  import graft.ext.Similarity
+
+  /** Query set: every 50th vector (10 queries at sf0.01). */
+  private val isQuery: Column => Column = v => v % 50 === 0
+
+  def annTopkBrute(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.bruteTopK(embeds(spark, sfDir), isQuery)
+
+  /** Oracle dialect for the sequential-fold dot product of two vec columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+  private val annNormCte: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
+
+  private val annTopkBruteSql: String =
+    s"""WITH $annNormCte,
+       |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+       |p AS (SELECT q.vec_id AS q, c.vec_id AS nb,
+       |        floor(${dotSql("q.v", "c.v")} * 1000 / (q.nrm * c.nrm))::BIGINT AS cos_x1000
+       |      FROM q JOIN n c ON c.vec_id <> q.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk FROM p)
+       |SELECT q, nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
+
+  def annTopkLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.lshTopK(embeds(spark, sfDir), isQuery)
+
+  /** The per-table sign-bit bucket, oracle dialect (mirrors
+    * Similarity.bucketOf — planes are exact rationals k/97 - 1/2 computed by
+    * each engine; `t` is the hash-table index column in scope).
+    */
+  private val annBucketExpr: String =
+    """list_reduce(list_transform(range(0, 6), i ->
+      |  CASE WHEN list_reduce(list_transform(range(0, 64),
+      |         d -> v[d+1] * ((((t*577 + i)*131 + d*31 + 7) % 97) / 97.0 - 0.5)),
+      |         (x, y) -> x + y) > 0
+      |  THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x, y) -> x + y)""".stripMargin
+
+  private val annTopkLshSql: String =
+    s"""WITH $annNormCte,
+       |tb AS (SELECT vec_id, v, nrm, t, $annBucketExpr AS bucket
+       |       FROM n CROSS JOIN (SELECT unnest(range(0, 3)) AS t)),
+       |qp AS (SELECT vec_id, t, xor(bucket, f::BIGINT) AS probe
+       |       FROM tb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)
+       |       WHERE vec_id % 50 = 0),
+       |cand AS (SELECT DISTINCT qp.vec_id AS q, c.vec_id AS nb2
+       |         FROM qp JOIN tb c ON c.t = qp.t AND c.bucket = qp.probe
+       |                          AND c.vec_id <> qp.vec_id),
+       |p AS (SELECT q, nb2,
+       |        floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm))::BIGINT AS cos_x1000
+       |      FROM cand JOIN n a ON a.vec_id = q JOIN n b ON b.vec_id = nb2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb2) AS rk FROM p)
+       |SELECT q, nb2 AS nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -469,7 +526,9 @@ object Queries {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
-    "dedup_embed_pairs" -> (dedupEmbedPairs _))
+    "dedup_embed_pairs" -> (dedupEmbedPairs _),
+    "ann_topk_brute" -> (annTopkBrute _),
+    "ann_topk_lsh" -> (annTopkLsh _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -493,5 +552,7 @@ object Queries {
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
-    "dedup_embed_pairs" -> dedupEmbedPairsSql)
+    "dedup_embed_pairs" -> dedupEmbedPairsSql,
+    "ann_topk_brute" -> annTopkBruteSql,
+    "ann_topk_lsh" -> annTopkLshSql)
 }

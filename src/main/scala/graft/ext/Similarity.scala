@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column (SURVEY
+  * §7.6): brute-force cosine top-k as the correctness baseline, and a
+  * multi-table random-hyperplane LSH variant as the 100-TB path.
+  *
+  * Scale design:
+  *  - Brute force is `broadcast(queries) × corpus` — a broadcast nested loop
+  *    (no corpus shuffle, one pass, codegen'd DotProduct inner loop), then a
+  *    per-query top-k window. Right answer for small query sets; O(|Q|·|C|)
+  *    compute is the documented cost.
+  *  - LSH: L=3 hash tables × 6 sign-bits from fixed pseudo-random
+  *    hyperplanes. The corpus is indexed once per table (equi-join key
+  *    (table, bucket)); queries probe their own bucket plus all hamming-1
+  *    neighbors in each table (multi-probe), candidates are deduped, then
+  *    exactly rescored. Compute drops to O(|Q| · candidates); at real corpus
+  *    sizes the bit-width grows with log(corpus) to keep buckets small while
+  *    tables × probes control recall.
+  *
+  * Determinism contract: hyperplanes are exact rationals `k/97 - 1/2`
+  * computed identically by Spark and the oracle; ranking orders by the
+  * integer-scaled cosine with neighbor id as tie-break.
+  */
+object Similarity {
+
+  val NumBits = 6
+  val NumTables = 3
+  val Dim = 64
+
+  /** Hyperplane component r(t, i, d): deterministic, identical in SQL. */
+  def plane(t: Int, i: Int, d: Int): Double =
+    (((t * 577 + i) * 131 + d * 31 + 7) % 97).toDouble / 97.0 - 0.5
+
+  private def planeArray(t: Int, i: Int): Column =
+    array((0 until Dim).map(d => lit(plane(t, i, d))): _*)
+
+  /** Sign-bit bucket of a (double-array) vector in table t. */
+  def bucketOf(v: Column, t: Int): Column =
+    (0 until NumBits).map { i =>
+      when(VectorOps.dot(v, planeArray(t, i)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** vec_id, v (double array), nrm. */
+  def index(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      VectorOps.toDoubleArray(col("embedding")).as("v"))
+    e.select(col("vec_id"), col("v"), VectorOps.norm(col("v")).as("nrm"))
+  }
+
+  /** One row per (vector, table): the LSH index relation. */
+  def bucketedIndex(idx: DataFrame): DataFrame =
+    idx.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("t"), bucketOf(col("v"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q")).orderBy(col("cos_x1000").desc, col("nb"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("nb"), col("rank").cast("long").as("rank"), col("cos_x1000"))
+  }
+
+  private def cosX1000: Column =
+    floor(VectorOps.dot(col("qr.v"), col("cand.v")) * 1000 /
+      (col("qr.nrm") * col("cand.nrm"))).cast("long")
+
+  /** Exact top-k: every query scored against the whole corpus. */
+  def bruteTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+    val idx = index(embeddings)
+    val qs = broadcast(idx.filter(isQuery(col("vec_id")))).as("qr")
+    val scored = qs.join(idx.as("cand"), col("cand.vec_id") =!= col("qr.vec_id"))
+      .select(col("qr.vec_id").as("q"), col("cand.vec_id").as("nb"),
+        cosX1000.as("cos_x1000"))
+    topK(scored, k)
+  }
+
+  /** ANN top-k: per table, queries probe their bucket + all hamming-1
+    * buckets; candidates deduped across tables, then exactly rescored.
+    */
+  def lshTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+    val idx = index(embeddings)
+    val corpus = bucketedIndex(idx).as("cand")
+    val flips = array((lit(0L) +: (0 until NumBits).map(i => lit(1L << i))): _*)
+    val qs = broadcast(
+      bucketedIndex(idx.filter(isQuery(col("vec_id"))))
+        .select(col("vec_id"), col("t"), col("bucket"), explode(flips).as("flip"))
+        .select(col("vec_id"), col("t"),
+          col("bucket").bitwiseXOR(col("flip")).as("probe")))
+    // Candidate pairs can repeat across tables/probes -> dedup BEFORE the
+    // expensive rescoring join (ships only ids through the shuffle).
+    val cand = qs.as("qp").join(corpus,
+        col("qp.t") === col("cand.t") && col("qp.probe") === col("cand.bucket") &&
+          col("cand.vec_id") =!= col("qp.vec_id"))
+      .select(col("qp.vec_id").as("q"), col("cand.vec_id").as("nb"))
+      .distinct()
+    val scored = cand
+      .join(idx.select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn")), "q")
+      .join(idx.select(col("vec_id").as("nb"), col("v").as("cv"), col("nrm").as("cn")), "nb")
+      .select(col("q"), col("nb"),
+        floor(VectorOps.dot(col("qv"), col("cv")) * 1000 /
+          (col("qn") * col("cn"))).cast("long").as("cos_x1000"))
+    topK(scored, k)
+  }
+}

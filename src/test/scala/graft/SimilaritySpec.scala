@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** ANN search extension (SURVEY §7.6). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // A tiny corpus with a planted structure: 1 and 2 parallel, 3 opposite,
+  // 4 orthogonal; queries = {1}.
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(2.0f, 0.001f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (5L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute top-k ranks by cosine with deterministic tie-break") {
+    val out = Similarity.bruteTopK(vecs, v => v === 1L, k = 4)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    out.map(_._2).toSeq shouldBe Seq(2L, 5L, 4L, 3L) // parallel, 45°, 90°, 180°
+    out.head._4 shouldBe 999L // cos(1,2) ~ 0.9999999 -> floor 999
+    out.last._4 shouldBe -1000L
+  }
+
+  test("buckets are stable, in [0, 2^6), and differ across tables") {
+    val idx = Similarity.bucketedIndex(Similarity.index(vecs))
+    val buckets = idx.select("bucket").as[Long].collect()
+    all(buckets) should be >= 0L
+    all(buckets) should be < 64L
+    idx.select("t").distinct().count() shouldBe Similarity.NumTables
+    // same vector indexed twice -> identical buckets (pure function)
+    val b1 = idx.filter(col("vec_id") === 1L).select("t", "bucket").collect().toSet
+    val b2 = Similarity.bucketedIndex(Similarity.index(vecs))
+      .filter(col("vec_id") === 1L).select("t", "bucket").collect().toSet
+    b1 shouldBe b2
+  }
+
+  test("LSH always finds a (near-)identical vector: same planes, same bucket") {
+    val out = Similarity.lshTopK(vecs, v => v === 1L, k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    // vector 2 is near-parallel to 1 -> identical sign pattern in every table
+    out.map(r => r._2 -> r._4).toMap.get(2L) shouldBe Some(999L)
+    out.find(_._2 == 2L).map(_._3) shouldBe Some(1L)
+  }
+
+  test("LSH candidates are a subset of the corpus; ranks are contiguous from 1") {
+    val out = Similarity.lshTopK(vecs, v => v === 1L, k = 4)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    out.map(_._3).toSeq shouldBe (1L to out.length)
+    out.map(_._2).foreach(nb => Seq(2L, 3L, 4L, 5L) should contain(nb))
+  }
+
+  test("planes are exact rationals reproducible from the formula") {
+    Similarity.plane(0, 0, 0) shouldBe (7.0 / 97.0 - 0.5)
+    Similarity.plane(2, 5, 63) shouldBe
+      ((((2 * 577 + 5) * 131 + 63 * 31 + 7) % 97).toDouble / 97.0 - 0.5)
+  }
+}
