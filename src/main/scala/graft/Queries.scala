@@ -502,6 +502,51 @@ object Queries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb2) AS rk FROM p)
        |SELECT q, nb2 AS nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
 
+  // ------------------------------------------------- multimodal (§7.6)
+
+  import graft.ext.Multimodal
+
+  /** Stubbed-codec feature extraction through the real mapPartitions
+    * pipeline, features flattened for the oracle.
+    */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id") +: col("kind") +:
+        (0 until Multimodal.FeatureDim).map(i =>
+          element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
+  private val mmKindSql =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  private val mmFeaturesSql: String = {
+    val fs = (0 until Multimodal.FeatureDim).map(i =>
+      s"((h * ${2 * i + 3}) % 997) / 997.0 AS f$i").mkString(",\n  ")
+    s"""WITH m AS (SELECT doc_id AS media_id, $mmKindSql AS kind,
+       |             ${polyHashSql("text")} AS h FROM documents)
+       |SELECT media_id, kind,
+       |  $fs
+       |FROM m""".stripMargin
+  }
+
+  /** Frame sampling fan-out (videos only, every 2nd frame). */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    Multimodal.sampleFrames(media).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_hash"))
+  }
+
+  private val mmFramesSql: String =
+    s"""WITH v AS (SELECT doc_id AS media_id, ${polyHashSql("text")} AS h,
+       |             1 + doc_id % 5 AS n_frames
+       |           FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (SELECT media_id, h, unnest(range(0, n_frames, 2)) AS i FROM v)
+       |SELECT media_id, i::BIGINT AS frame_idx,
+       |  ((h * 31 + i) % 2147483647)::BIGINT AS frame_hash
+       |FROM fr""".stripMargin
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -528,7 +573,9 @@ object Queries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embed_pairs" -> (dedupEmbedPairs _),
     "ann_topk_brute" -> (annTopkBrute _),
-    "ann_topk_lsh" -> (annTopkLsh _))
+    "ann_topk_lsh" -> (annTopkLsh _),
+    "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -554,5 +601,7 @@ object Queries {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_embed_pairs" -> dedupEmbedPairsSql,
     "ann_topk_brute" -> annTopkBruteSql,
-    "ann_topk_lsh" -> annTopkLshSql)
+    "ann_topk_lsh" -> annTopkLshSql,
+    "mm_features" -> mmFeaturesSql,
+    "mm_frames" -> mmFramesSql)
 }

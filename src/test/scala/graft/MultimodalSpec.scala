@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+import graft.functions.PolyHash
+
+/** Multimodal plumbing (SURVEY §7.6): real schema/encoders/batching around a
+  * stubbed codec.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.syntheticMedia(
+    Seq((0L, "aa bb"), (1L, "cc dd"), (2L, "ee ff"), (3L, "gg hh"),
+      (4L, "ii jj"), (5L, "kk ll"))
+      .toDF("doc_id", "text"))
+
+  test("media schema: binary payload + typed metadata, kind round-robin") {
+    val m = media
+    m.schema("payload").dataType.typeName shouldBe "binary"
+    val kinds = m.select("media_id", "kind").as[(Long, String)].collect().toMap
+    kinds(0L) shouldBe "image"
+    kinds(1L) shouldBe "audio"
+    kinds(2L) shouldBe "video"
+    kinds(3L) shouldBe "image"
+  }
+
+  test("feature extraction: deterministic stub, fixed dim, matches formula") {
+    val f = Multimodal.extractFeatures(media).collect().map(r => r.media_id -> r).toMap
+    f.values.foreach(_.features.length shouldBe Multimodal.FeatureDim)
+    val h = PolyHash.of("aa bb")
+    f(0L).features(0) shouldBe (h * 3 % 997).toDouble / 997.0
+    f(0L).features(7) shouldBe (h * 17 % 997).toDouble / 997.0
+    // deterministic across runs
+    Multimodal.extractFeatures(media).collect().map(_.features.toSeq).toSet shouldBe
+      f.values.map(_.features.toSeq).toSet
+  }
+
+  test("codec is initialized per partition, not per row (batch contract)") {
+    val m = media.repartition(3)
+    val before = Multimodal.StubCodec.initCount.get()
+    Multimodal.extractFeatures(m).collect()
+    val inits = Multimodal.StubCodec.initCount.get() - before
+    // one codec per non-empty partition; never one per row (6 rows)
+    inits should be <= 3L
+    inits should be >= 1L
+  }
+
+  test("frame sampling: videos only, stride-2 fan-out, hash per frame") {
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    // videos are doc_id 2 (n_frames=3 -> idx 0,2) and 5 (n_frames=1 -> idx 0)
+    frames.map(f => (f.media_id, f.frame_idx)).toSet shouldBe
+      Set((2L, 0), (2L, 2), (5L, 0))
+    val h2 = PolyHash.of("ee ff")
+    frames.find(f => f.media_id == 2L && f.frame_idx == 2).get.frame_hash shouldBe
+      (h2 * 31 + 2) % PolyHash.Mod
+  }
+
+  test("decode+resize: caps the long side, preserves stub byte accounting") {
+    val out = Multimodal.decodeAndResize(media, maxSide = 32).collect()
+      .map(d => d.media_id -> d).toMap
+    out.keySet shouldBe Set(0L, 3L) // the image rows
+    out.values.foreach { d =>
+      d.width should be <= 32
+      d.height should be <= 32
+      d.n_bytes shouldBe d.width.toLong * d.height * 3
+    }
+  }
+}
