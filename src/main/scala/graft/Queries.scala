@@ -547,6 +547,29 @@ object Queries {
        |  ((h * 31 + i) % 2147483647)::BIGINT AS frame_hash
        |FROM fr""".stripMargin
 
+  // ------------------------------------------------- streaming (§7.6)
+
+  import graft.streaming.StreamingPivot
+
+  /** The A1/A2 pivot as a Structured-Streaming job run to completion over
+    * the available files (Trigger.AvailableNow, complete mode) — the result
+    * must equal the batch GROUP BY the oracle runs.
+    */
+  def streamPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
+    val piv = StreamingPivot.windowedPivot(cells, EventCols)
+    StreamingPivot.runAvailableNow(piv, "stream_pivot_out")
+  }
+
+  private val streamPivotSql: String = {
+    val aggs = EventCols.map { c =>
+      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
+    }.mkString(", ")
+    s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
+       |  lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs
+       |FROM events GROUP BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -575,7 +598,8 @@ object Queries {
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "mm_features" -> (mmFeatures _),
-    "mm_frames" -> (mmFrames _))
+    "mm_frames" -> (mmFrames _),
+    "stream_pivot" -> (streamPivot _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -603,5 +627,6 @@ object Queries {
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "mm_features" -> mmFeaturesSql,
-    "mm_frames" -> mmFramesSql)
+    "mm_frames" -> mmFramesSql,
+    "stream_pivot" -> streamPivotSql)
 }

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming analog of the export pipeline (SURVEY §2.12, §7.6):
+  * the reference is batch MapReduce only — this gives its A1/A2 pivot an
+  * incremental mode it never had.
+  *
+  *  - [[windowedPivot]]: declarative watermark + windowed aggregation —
+  *    one pivoted KV row per (event-time window, rowKey), last-write-wins
+  *    per qualifier, incremental state managed by Spark (the scale path:
+  *    state store per key-window, late data bounded by the watermark).
+  *  - [[LatestCells]]: `mapGroupsWithState` — a continuously-maintained
+  *    latest-cell-per-qualifier map per rowKey, i.e. the HBase *memstore*
+  *    restated as typed streaming state (custom-state escape hatch for
+  *    semantics windows can't express).
+  *
+  * Batch/stream parity: `Trigger.AvailableNow` over the same files makes the
+  * streaming result comparable (and oracle-checked, `stream_pivot`) against
+  * the batch GROUP BY — same plan semantics, different execution mode.
+  */
+object StreamingPivot {
+
+  /** The file streaming source requires a *directory*; stage the single
+    * parquet file into a fresh temp dir via symlink (testdata is read-only).
+    */
+  private def asStreamDir(file: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_stream_")
+    dir.toFile.deleteOnExit()
+    Files.createSymbolicLink(dir.resolve(Paths.get(file).getFileName), Paths.get(file))
+    dir.toString
+  }
+
+  /** The events table as a *stream* of KV cells (file source; same mapping
+    * as KvTable.eventsAsCells plus an event-time column). `tsNanos DIV 1000`
+    * stays in integer arithmetic — epoch nanos exceed 2^52, double division
+    * would lose microseconds.
+    */
+  def eventCellsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .parquet(asStreamDir(s"$sfDir/events.parquet"))
+      .select(
+        lpad(col("user_id").cast(StringType), 8, "0").as("rowKey"),
+        col("event_type").as("qualifier"),
+        encode(floor(col("value") * 100).cast(StringType), "UTF-8").as("value"),
+        col("event_id").as("cellTs"),
+        expr("timestamp_micros(ts DIV 1000)").as("eventTime"))
+
+  /** Watermarked, windowed A1/A2: per (window, rowKey), the max-cellTs value
+    * of each schema qualifier. Emits `win_start_us` (epoch micros of the
+    * window start) so downstream schemas stay engine-neutral.
+    */
+  def windowedPivot(
+      cells: DataFrame,
+      columns: Seq[String],
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val aggs = columns.map { c =>
+      max_by(col("value"), when(col("qualifier") === c, col("cellTs"))).as(c)
+    }
+    cells
+      .filter(col("qualifier").isin(columns: _*))
+      .withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), windowDur), col("rowKey"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("win_start_us") +:
+        col("rowKey") +: columns.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
+  /** Run a streaming DataFrame to completion over the currently-available
+    * input (batch parity mode) and return the full result.
+    */
+  def runAvailableNow(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ------------------------------------------------- custom state (memstore)
+
+  case class CellEvent(rowKey: String, qualifier: String, value: String, cellTs: Long)
+
+  /** Latest cell per qualifier for one rowKey — the memstore row. */
+  case class RowSnapshot(rowKey: String, qualifiers: Map[String, String], lastTs: Long)
+
+  object LatestCells {
+
+    /** LWW merge of new cells into the per-key state. */
+    def update(
+        key: String,
+        events: Iterator[CellEvent],
+        state: GroupState[Map[String, (String, Long)]]): RowSnapshot = {
+      val prev = state.getOption.getOrElse(Map.empty)
+      val next = events.foldLeft(prev) { (m, e) =>
+        m.get(e.qualifier) match {
+          case Some((_, ts)) if ts >= e.cellTs => m // stale write loses
+          case _ => m.updated(e.qualifier, (e.value, e.cellTs))
+        }
+      }
+      state.update(next)
+      RowSnapshot(key, next.map { case (q, (v, _)) => q -> v },
+        if (next.isEmpty) 0L else next.values.map(_._2).max)
+    }
+
+    /** The streaming memstore: one snapshot row per rowKey per batch. */
+    def apply(cells: Dataset[CellEvent]): Dataset[RowSnapshot] = {
+      import cells.sparkSession.implicits._
+      cells.groupByKey(_.rowKey)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+          (k: String, it: Iterator[CellEvent], s: GroupState[Map[String, (String, Long)]]) =>
+            update(k, it, s))
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingPivot
+import graft.streaming.StreamingPivot.{CellEvent, LatestCells}
+
+/** Streaming A1/A2 (SURVEY §2.12 extension): windowed pivot + memstore state. */
+class StreamingPivotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class TimedCell(
+      rowKey: String, qualifier: String, value: Array[Byte],
+      cellTs: Long, eventTime: Timestamp)
+
+  private def cell(k: String, q: String, v: String, ts: Long, hour: Int) =
+    TimedCell(k, q, v.getBytes("UTF-8"), ts,
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:30:00"))
+
+  test("windowed pivot groups by (window, rowKey) with LWW, incrementally") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TimedCell]
+    val piv = StreamingPivot.windowedPivot(in.toDF(), Seq("a", "b"))
+    val q = piv.writeStream.format("memory").queryName("wp_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        cell("r1", "a", "old", 1, hour = 10),
+        cell("r1", "a", "new", 2, hour = 10), // same window: LWW
+        cell("r1", "b", "x", 3, hour = 10),
+        cell("r1", "a", "later", 4, hour = 11)) // next window: separate row
+      q.processAllAvailable()
+      val rows = spark.table("wp_test")
+        .as[(Long, String, Option[String], Option[String])].collect().toSet
+      val hour10 = Timestamp.valueOf("2026-01-01 10:00:00").getTime * 1000L
+      val hour11 = Timestamp.valueOf("2026-01-01 11:00:00").getTime * 1000L
+      rows shouldBe Set(
+        (hour10, "r1", Some("new"), Some("x")),
+        (hour11, "r1", Some("later"), None))
+
+      // a second batch updates the same window incrementally
+      in.addData(cell("r1", "b", "y", 5, hour = 11))
+      q.processAllAvailable()
+      spark.table("wp_test").as[(Long, String, Option[String], Option[String])]
+        .collect().toSet should contain((hour11, "r1", Some("later"), Some("y")))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState memstore: LWW across batches, stale writes lose") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[CellEvent]
+    val q = LatestCells(in.toDS()).writeStream.format("memory")
+      .queryName("ms_test").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(CellEvent("r1", "a", "v2", 2), CellEvent("r1", "b", "w1", 1))
+      q.processAllAvailable()
+      // batch 2: a stale write (ts 1 < 2) and a fresh one
+      in.addData(CellEvent("r1", "a", "stale", 1), CellEvent("r1", "b", "w3", 3))
+      q.processAllAvailable()
+      val last = spark.table("ms_test")
+        .as[StreamingPivot.RowSnapshot].collect().maxBy(_.lastTs)
+      last.qualifiers shouldBe Map("a" -> "v2", "b" -> "w3")
+      last.lastTs shouldBe 3L
+    } finally q.stop()
+  }
+
+  test("streaming availableNow result == batch pivot (parity on real data)") {
+    val streamed = Queries.all("stream_pivot")(spark, sfDir)
+    val cnt = streamed.count()
+    // one row per (hour window, user) with >=1 event — same as batch GROUP BY
+    import org.apache.spark.sql.functions._
+    val expected = graft.kv.KvTable.events(spark, sfDir)
+      .select(expr("tsNanos DIV 3600000000000").as("w"), col("user_id"))
+      .distinct().count()
+    cnt shouldBe expected
+  }
+}
