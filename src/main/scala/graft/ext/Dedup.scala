@@ -63,22 +63,40 @@ object Dedup {
 
   // -------------------------------------------------------------- jaccard
 
-  /** Per-doc distinct shingle rows — the inverted-index relation. */
-  private def shingleRows(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    docs.filter(size(t) >= 3)
-      .select(col("doc_id"), explode(shingles(t)).as("s"))
-  }
+  /** Per-doc distinct shingle rows — the inverted-index relation.
+    *
+    * The token array is MATERIALIZED via a projection before the shingle
+    * lambda touches it: `element_at` inside a higher-order function
+    * re-evaluates its child per element, so an inline `split()` would run
+    * 3×|shingles| times per row (measured ~15× slowdown at sf0.1).
+    */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
 
-  /** N-gram Jaccard near-dup pairs via inverted-index join: doc pairs that
+  /** N-gram Jaccard near-dup pairs via an inverted index: doc pairs that
     * share ≥1 shingle, scored |A∩B| / |A∪B|, kept at ≥ `threshold`/1000.
+    *
+    * Pair generation is one `groupBy(shingle)` + in-row pair fan-out rather
+    * than a two-sided self-join — the shingle relation is shuffled ONCE
+    * (a self-join ships it twice and re-partitions both sides). Posting
+    * lists are sorted so pairs come out (a < b) directly; Σ|posting|² is the
+    * inherent cost of exact Jaccard — the sub-quadratic escape is
+    * [[minhashLshPairs]].
     */
   def jaccardPairs(docs: DataFrame, threshold: Long = 800L): DataFrame = {
     val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val postings = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // all (ids[i], ids[j]) with i < j, as one nested-transform fan-out
+    val pairs = postings.select(explode(flatten(
+      transform(sequence(lit(1), size(col("ids")) - 1), i =>
+        transform(slice(col("ids"), i + 1, size(col("ids")) - i), x =>
+          struct(element_at(col("ids"), i).as("a"), x.as("b")))))).as("p"))
+    val inter = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
@@ -94,9 +112,13 @@ object Dedup {
     * (a_j * polyHash(shingle) + b_j) mod P. Columns s0..s{15}.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val hs = transform(shingles(t), s => TextHash.polyHash(s))
-    val base = docs.filter(size(t) >= 3).select(col("doc_id"), hs.as("hs"))
+    // Stage-by-stage projections: tokens, shingles, and hashes each
+    // materialize once per row (see shingleRows on HOF re-evaluation).
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s => TextHash.polyHash(s)).as("hs"))
     val sigs = (0 until NumHashes).map { j =>
       array_min(transform(col("hs"), h => (h * hashA(j) + hashB(j)) % P)).as(s"s$j")
     }
@@ -112,22 +134,21 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until NumHashes).map(j => col(s"s$j")): _*).as("sig"))
     val nBands = NumHashes / BandRows
+    // Signatures travel WITH the band rows (128 bytes each) so verification
+    // needs no re-join back to the signature relation — the expensive
+    // signature pipeline runs once per side instead of four times.
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
         concat_ws(",", (1 to BandRows).map(r =>
           element_at(col("sig"), col("band") * BandRows + r)): _*).as("key"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
-      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
-      .select(col("a"), col("b"),
-        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(filter(zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y),
           m => m)).cast("long").as("match16"))
+      .distinct() // same pair can collide in several bands; match16 is pure
       .filter(col("match16") >= minMatches)
       .select(col("a"), col("b"), col("match16"))
   }
