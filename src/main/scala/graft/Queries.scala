@@ -108,6 +108,25 @@ object Queries {
        |  t.id * 10 + c.i AS ts
        |FROM range(0, $GenRecords) t(id), range(0, 10) c(i)""".stripMargin
 
+  /** The shuffle-free pivot (map-only export, Txt:85): generated cells laid
+    * out in range partitions sorted by rowKey (the HBase region invariant),
+    * then pivoted per-partition with zero further exchanges.
+    */
+  def kvPivotPresorted(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+    val laid = RangeLayout.layout(cells, 8)
+    val piv = KvPivot.pivotPresorted(laid, Seq("C0", "C5", "C9"))
+    piv.select(col("rowKey") +:
+      Seq("C0", "C5", "C9").map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
+  private def kvPivotPresortedSql: String = {
+    val aggs = Seq("C0", "C5", "C9").map { c =>
+      s"max_by(value, ts) FILTER (WHERE qualifier = '$c') AS $c"
+    }.mkString(", ")
+    s"SELECT rowKey, $aggs FROM ($kvGenCellsSql) GROUP BY rowKey"
+  }
+
   // ---------------------------------------------------------------- D1 / O1
 
   private val RegionCount = 8
@@ -577,6 +596,7 @@ object Queries {
     "kv_pivot_inject" -> (kvPivotInject _),
     "kv_delimited_lines" -> (kvDelimitedLines _),
     "kv_gen_cells" -> (kvGenCells _),
+    "kv_pivot_presorted" -> (kvPivotPresorted _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -606,6 +626,7 @@ object Queries {
     "kv_pivot_inject" -> kvPivotInjectSql,
     "kv_delimited_lines" -> kvDelimitedLinesSql,
     "kv_gen_cells" -> kvGenCellsSql,
+    "kv_pivot_presorted" -> kvPivotPresortedSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,

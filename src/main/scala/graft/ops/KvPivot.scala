@@ -55,6 +55,65 @@ object KvPivot {
     }
   }
 
+  /** A1 WITHOUT a shuffle — the reference's map-only export restated
+    * (SURVEY §7.4 optional strategy; Txt:85 `setNumReduceTasks(0)`).
+    *
+    * The reference never shuffles on export because HBase hands it cells
+    * range-partitioned by region and sorted by rowKey; its streaming
+    * adjacent-key group (Txt:148-164) exploits that. When OUR input holds the
+    * same invariant — range-partitioned by rowKey, sorted within partitions
+    * (e.g. [[graft.kv.RangeLayout.layout]] output, or a bucketed/sorted
+    * table) — this operator pivots with a per-partition streaming group:
+    * zero exchanges, O(one row's cells) memory, any scale.
+    *
+    * PRECONDITION (unchecked, like the reference's reliance on scan order):
+    * all cells of a rowKey live in one partition, sorted by rowKey within it.
+    * Use [[pivot]] when the invariant is not known to hold.
+    */
+  def pivotPresorted(
+      cells: DataFrame,
+      columns: Seq[String],
+      rowKeyCol: Option[String] = None,
+      family: Option[String] = None): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val scan = family.foldLeft(cells)((df, cf) => df.filter(col("family") === cf))
+      .filter(col("qualifier").isin(columns: _*))
+      .select(col("rowKey"), col("qualifier"), col("value"), col("ts"))
+      .as[(String, String, Array[Byte], Long)]
+    val grouped = scan.mapPartitions { it =>
+      new Iterator[(String, Map[String, Array[Byte]])] {
+        private var pending: Option[(String, String, Array[Byte], Long)] = None
+        def hasNext: Boolean = pending.isDefined || it.hasNext
+        def next(): (String, Map[String, Array[Byte]]) = {
+          val first = pending.getOrElse(it.next())
+          pending = None
+          var key = first._1
+          // qualifier -> (value, ts); LWW by ts like the declarative pivot
+          var acc = Map(first._2 -> (first._3, first._4))
+          var done = false
+          while (!done && it.hasNext) {
+            val c = it.next()
+            if (c._1 == key) {
+              acc.get(c._2) match {
+                case Some((_, ts)) if ts >= c._4 => // stale write loses
+                case _ => acc = acc.updated(c._2, (c._3, c._4))
+              }
+            } else { pending = Some(c); done = true }
+          }
+          key -> acc.map { case (q, (v, _)) => q -> v }
+        }
+      }
+    }
+    val pivoted = grouped.toDF("rowKey", "kv")
+      .select(col("rowKey") +: columns.map(c => col("kv").getItem(c).as(c)): _*)
+    rowKeyCol match {
+      case Some(k) if columns.contains(k) =>
+        pivoted.withColumn(k, coalesce(col(k), encode(col("rowKey"), "UTF-8")))
+      case _ => pivoted
+    }
+  }
+
   /** P1–P3 for the delimited dialect: select schema columns in order, decode
     * bytes as UTF-8 (F1), render missing cells as empty string (P2,
     * Txt:176-182). Keeps `rowKey` first like the exporters' rowKey column.

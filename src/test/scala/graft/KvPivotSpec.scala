@@ -96,6 +96,26 @@ class KvPivotSpec extends SparkSpec {
     val piv = KvPivot.pivot(in, Seq("c0", "c1", "c2"))
     piv.count() shouldBe in.select("rowKey").distinct().count()
   }
+
+  test("presorted pivot == shuffled pivot on range-laid-out input") {
+    val in = KvTableFixtures.randomCells(spark, 500, seed = 11) // dup keys, unique ts
+    val cols = Seq("c0", "c1", "c2")
+    val laid = graft.kv.RangeLayout.layout(in, 4)
+    val a = str(KvPivot.pivotPresorted(laid, cols, rowKeyCol = Some("c2")), cols: _*)
+      .collect().map(_.toSeq).toSet
+    val b = str(KvPivot.pivot(in, cols, rowKeyCol = Some("c2")), cols: _*)
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
+  test("presorted pivot plan has no exchange beyond the layout's own") {
+    val in = KvTableFixtures.randomCells(spark, 200, seed = 13)
+    val laid = graft.kv.RangeLayout.layout(in, 4)
+    val plan = KvPivot.pivotPresorted(laid, Seq("c0")).queryExecution
+      .executedPlan.toString
+    // exactly the range-partitioning exchange from layout(), none for the pivot
+    plan.split("Exchange").length - 1 shouldBe 1
+  }
 }
 
 /** Deterministic pseudo-random cell fixture shared by property-ish tests. */
