@@ -262,6 +262,70 @@ object Queries {
     Export.readParquet(spark, cfg.outputPath)
   }
 
+  // --------------------------------------------- relational (SURVEY §2.4-2.6)
+
+  /** Enrich-by-key equi-join (the only reference-shaped join use case,
+    * SURVEY §2.4): orders enriched with the small customer dim — broadcast
+    * by hint, aggregates integer-exact.
+    */
+  def relEnrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = KvTable.table(spark, sfDir, "orders")
+    val customer = KvTable.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
+  }
+
+  private val relEnrichJoinSql: String =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Window top-k (SURVEY §2.5-2.6 absent in the reference): top-3 orders
+    * per customer by price, deterministic tie-break on orderkey.
+    */
+  def relTopkOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    KvTable.table(spark, sfDir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("rank").cast("long").as("rank"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_x100"))
+  }
+
+  private val relTopkOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, rk::BIGINT AS rank,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_x100
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3""".stripMargin
+
+  /** Salted two-phase aggregation over an extreme-skew key (5 event types):
+    * the reduce side runs on `buckets` tasks per key instead of one.
+    */
+  def relSkewAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.SkewTools
+    val events = KvTable.table(spark, sfDir, "events")
+    SkewTools.saltedSumCount(events,
+        key = col("event_type"),
+        value = floor(col("value") * 100).cast("long"),
+        salt = col("event_id"), buckets = 32)
+      .select(col("k").as("event_type"), col("n"), col("sum").as("sum_x100"))
+  }
+
+  private val relSkewAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(floor(value * 100)) AS BIGINT) AS sum_x100
+      |FROM events GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- text analysis (§7.6)
 
   import graft.ext.TextAnalysis
@@ -604,6 +668,9 @@ object Queries {
     "export_seq_roundtrip" -> (exportSeqRoundtrip _),
     "export_avro_roundtrip" -> (exportAvroRoundtrip _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
+    "rel_enrich_join" -> (relEnrichJoin _),
+    "rel_topk_orders" -> (relTopkOrders _),
+    "rel_skew_agg" -> (relSkewAgg _),
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
@@ -634,6 +701,9 @@ object Queries {
     "export_seq_roundtrip" -> delimitedRoundtripSql,
     "export_avro_roundtrip" -> kvTypedExportSql,
     "export_parquet_roundtrip" -> kvTypedExportSql,
+    "rel_enrich_join" -> relEnrichJoinSql,
+    "rel_topk_orders" -> relTopkOrdersSql,
+    "rel_skew_agg" -> relSkewAggSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
