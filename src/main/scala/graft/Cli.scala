@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kv.{KvGenerator, RangeLayout}
+import graft.schema.SchemaFile
+import graft.sinks.{AvroIO, Sinks}
+
+/** The reference's CLI surface (App.java:14-30 dispatch; README runbook),
+  * restated over a file-backed KV warehouse — a user of the reference can run
+  * the same eight subcommands with the same positional arguments.
+  *
+  * The "HBase table" is modeled (SURVEY §7.1: no cluster in either env's
+  * scope for us) as `<warehouse>/<table>/` holding
+  *  - `_spec.csv`  — `family,regionCount` (CreateTable's DDL),
+  *  - `cells/`     — parquet cells range-partitioned by rowKey and sorted
+  *                   within partitions (the pre-split region + HFile
+  *                   invariant, CreateTable.java:61-74, PopulateTable.java:68).
+  *
+  * Commands (positional args exactly as the reference reads them):
+  *  - `CreateTable <table> <family> <regionCount>`            (CreateTable.java:24-26)
+  *  - `PopulateTable <mappers> <records> <out> <table> <family> <runId>` (PopulateTable.java:40-45)
+  *  - `ExportHBaseTableToDelimiteredTxt <table> <cf> <out> <compress> <schema> <delim> [rowKeyCol]` (Txt:44-53)
+  *  - `ExportHBaseTableToDelimiteredSeq` — same as Txt                  (Seq:46-55)
+  *  - `ExportHBaseTableToAvro <table> <cf> <out> <codec> <schema> [rowKeyCol]` (Avro:57-65)
+  *  - `ExportHBaseTableToParquet` — same as Avro                        (Parquet:54-62)
+  *  - `AvroReader <file> <schemaFile> <n>`                              (AvroReader.java:21-23)
+  *  - `ParquetReader <file> <n>`                                        (ParquetReader.java:13-14)
+  */
+object Cli {
+
+  def warehouse: String =
+    sys.props.getOrElse("graft.warehouse",
+      sys.env.getOrElse("GRAFT_WAREHOUSE", "graft_warehouse"))
+
+  private def tableDir(name: String) = s"$warehouse/$name"
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .appName(s"graft-${args.head}")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.head, args.tail)
+    finally spark.stop()
+  }
+
+  /** Dispatch, separated from session lifecycle for tests. */
+  def run(spark: SparkSession, command: String, a: Array[String]): Unit = command match {
+    case "CreateTable" =>
+      val Array(table, family, regionCount) = a.take(3)
+      writeSpec(spark, table, family, regionCount.toInt)
+      println(s"created $table (family=$family, regions=$regionCount, " +
+        s"splits=${RangeLayout.splitPoints(regionCount.toInt).mkString(",")})")
+
+    case "PopulateTable" =>
+      val Array(mappers, records, _outputPath, table, family, runId) = a.take(6)
+      val (specFamily, regions) = readSpec(spark, table)
+      require(specFamily == family, s"table $table has family '$specFamily', not '$family'")
+      val cells = KvGenerator.cells(spark, records.toLong, mappers.toInt, runId, family)
+      RangeLayout.layout(cells, regions) // range partition + sort = the bulk-load invariant
+        .write.mode("overwrite").parquet(s"${tableDir(table)}/cells")
+      println(s"populated $table with ${records.toLong * 10} cells across $regions regions")
+
+    case "ExportHBaseTableToDelimiteredTxt" | "ExportHBaseTableToDelimiteredSeq" =>
+      val Array(table, cf, out, compress, schemaPath, delim) = a.take(6)
+      val rowKeyCol = a.lift(6)
+      val fmt = if (command.endsWith("Txt")) Export.DelimitedTxt else Export.DelimitedSeq
+      val codec =
+        if (compress == "true" || compress == "gzip") Some("gzip")
+        else if (compress == "snappy" || compress == "default") Some("default")
+        else None
+      Sinks.deleteRecursive(spark, out)
+      Export.run(cells(spark, table), Export.Config(fmt,
+        SchemaFile.readFile(spark, schemaPath), out, Some(cf), delim, rowKeyCol, codec))
+
+    case "ExportHBaseTableToAvro" | "ExportHBaseTableToParquet" =>
+      val Array(table, cf, out, codecArg, schemaPath) = a.take(5)
+      val rowKeyCol = a.lift(5)
+      val fmt = if (command.endsWith("Avro")) Export.Avro else Export.Parquet
+      val codec = Some(codecArg).filter(c => c != "none" && c != "false")
+      Sinks.deleteRecursive(spark, out)
+      Export.run(cells(spark, table), Export.Config(fmt,
+        SchemaFile.readFile(spark, schemaPath), out, Some(cf),
+        rowKeyColumn = rowKeyCol, compression = codec))
+
+    case "AvroReader" =>
+      val Array(file, schemaPath, n) = a.take(3)
+      val schema = SchemaFile.parseAvroJson(SchemaFile.readFile(spark, schemaPath))
+      Sinks.console(AvroIO.read(spark, file, schema).limit(n.toInt), n.toInt)
+
+    case "ParquetReader" =>
+      val Array(file, n) = a.take(2)
+      Sinks.console(spark.read.parquet(file).limit(n.toInt), n.toInt)
+
+    case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
+  }
+
+  /** The cell table of a warehouse table (schema: Cell.schema). */
+  def cells(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"${tableDir(table)}/cells")
+
+  private def writeSpec(spark: SparkSession, table: String, family: String, regions: Int): Unit = {
+    import spark.implicits._
+    Seq(s"$family,$regions").toDF("spec").coalesce(1)
+      .write.mode("overwrite").text(s"${tableDir(table)}/_spec")
+  }
+
+  private def readSpec(spark: SparkSession, table: String): (String, Int) = {
+    val Array(family, regions) =
+      spark.read.text(s"${tableDir(table)}/_spec").head().getString(0).split(",")
+    (family, regions.toInt)
+  }
+
+  private val usage: String =
+    """usage: graft.Cli <command> <args...>
+      |  CreateTable <table> <family> <regionCount>
+      |  PopulateTable <mappers> <records> <outputPath> <table> <family> <runId>
+      |  ExportHBaseTableToDelimiteredTxt <table> <cf> <out> <compress> <schemaFile> <delimiter> [rowKeyColumn]
+      |  ExportHBaseTableToDelimiteredSeq <table> <cf> <out> <compress> <schemaFile> <delimiter> [rowKeyColumn]
+      |  ExportHBaseTableToAvro <table> <cf> <out> <codec> <schemaFile> [rowKeyColumn]
+      |  ExportHBaseTableToParquet <table> <cf> <out> <codec> <schemaFile> [rowKeyColumn]
+      |  AvroReader <file> <schemaFile> <recordsToRead>
+      |  ParquetReader <file> <recordsToRead>""".stripMargin
+}

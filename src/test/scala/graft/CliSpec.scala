@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+/** The reference's README runbook (its de-facto e2e test, README.md:8-31),
+  * replayed against graft.Cli end-to-end.
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = Files.createTempDirectory("graft_wh").toString
+  sys.props("graft.warehouse") = wh
+
+  private def write(name: String, content: String): String = {
+    val p = java.nio.file.Paths.get(wh, name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("the full runbook: create -> populate -> export x4 -> read back") {
+    Cli.run(spark, "CreateTable", Array("exportTest", "c", "5"))
+    Cli.run(spark, "PopulateTable", Array("2", "300", "out", "exportTest", "c", "run1"))
+
+    val cells = Cli.cells(spark, "exportTest")
+    cells.count() shouldBe 3000 // 300 records x 10 qualifiers
+    // one file per pre-split region (read-back splits may be file-packed)
+    new java.io.File(s"$wh/exportTest/cells").listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 5
+
+    val txtSchema = write("txt.schema", "C0,C9,KEY")
+    Cli.run(spark, "ExportHBaseTableToDelimiteredTxt",
+      Array("exportTest", "c", s"$wh/export.text", "false", txtSchema, "|", "KEY"))
+    val lines = spark.read.text(s"$wh/export.text").as[String].collect()
+    lines.length shouldBe cells.select("rowKey").distinct().count()
+    all(lines.map(_.split("\\|", -1).length)) shouldBe 5 // C0|C9|keyRoot|run|task
+
+    Cli.run(spark, "ExportHBaseTableToDelimiteredSeq",
+      Array("exportTest", "c", s"$wh/export.seq", "gzip", txtSchema, "|"))
+    graft.sinks.Sinks.readSequenceFile(spark, s"$wh/export.seq").count() shouldBe lines.length
+
+    val avroSchema = write("avro.schema",
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"C1","type":["string","null"]},
+        |  {"name":"KEY","type":["string","null"]}]}""".stripMargin)
+    Cli.run(spark, "ExportHBaseTableToAvro",
+      Array("exportTest", "c", s"$wh/export.avro", "snappy", avroSchema, "KEY"))
+    Cli.run(spark, "ExportHBaseTableToParquet",
+      Array("exportTest", "c", s"$wh/export.parquet", "snappy", avroSchema, "KEY"))
+    spark.read.parquet(s"$wh/export.parquet").count() shouldBe lines.length
+
+    // the inspection readers (K6) complete without error on their own output
+    Cli.run(spark, "AvroReader", Array(s"$wh/export.avro", avroSchema, "5"))
+    Cli.run(spark, "ParquetReader", Array(s"$wh/export.parquet", "5"))
+  }
+
+  test("populate rejects a family mismatch against the table spec") {
+    Cli.run(spark, "CreateTable", Array("t2", "f", "2"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, "PopulateTable", Array("1", "10", "o", "t2", "WRONG", "r"))
+    }
+    e.getMessage should include("family")
+  }
+
+  test("unknown command fails with usage") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, "Bogus", Array())
+    }
+    e.getMessage should include("usage")
+  }
+}
