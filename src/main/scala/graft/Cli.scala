@@ -50,8 +50,22 @@ object Cli {
     finally spark.stop()
   }
 
+  private val arity = Map(
+    "CreateTable" -> 3, "PopulateTable" -> 6,
+    "ExportHBaseTableToDelimiteredTxt" -> 6, "ExportHBaseTableToDelimiteredSeq" -> 6,
+    "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
+    "AvroReader" -> 3, "ParquetReader" -> 2)
+
   /** Dispatch, separated from session lifecycle for tests. */
-  def run(spark: SparkSession, command: String, a: Array[String]): Unit = command match {
+  def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
+    arity.get(command).foreach { n =>
+      require(a.length >= n,
+        s"$command needs $n arguments, got ${a.length}\n$usage")
+    }
+    dispatch(spark, command, a)
+  }
+
+  private def dispatch(spark: SparkSession, command: String, a: Array[String]): Unit = command match {
     case "CreateTable" =>
       val Array(table, family, regionCount) = a.take(3)
       writeSpec(spark, table, family, regionCount.toInt)

@@ -98,22 +98,30 @@ object Queries {
       col("rowKey"), col("family"), col("qualifier"),
       decode(col("value"), "UTF-8").as("value"), col("ts"))
 
-  private val kvGenCellsSql: String =
+  /** Oracle regeneration of KvGenerator.cells (values decoded). */
+  private def genCellsSql(records: Long, tasks: Int, runId: String): String =
     s"""SELECT
        |  concat(lpad(CAST(((t.id + 1) * ${KvGenerator.KeyMixer}) % ${KvGenerator.KeySpace} AS VARCHAR), 5, '0'),
-       |         '|run1|', CAST(t.id % $GenTasks AS VARCHAR)) AS rowKey,
+       |         '|$runId|', CAST(t.id % $tasks AS VARCHAR)) AS rowKey,
        |  'c' AS family,
        |  concat('C', CAST(c.i AS VARCHAR)) AS qualifier,
        |  concat('counter:', CAST(t.id * 10 + c.i AS VARCHAR)) AS value,
        |  t.id * 10 + c.i AS ts
-       |FROM range(0, $GenRecords) t(id), range(0, 10) c(i)""".stripMargin
+       |FROM range(0, $records) t(id), range(0, 10) c(i)""".stripMargin
+
+  private val kvGenCellsSql: String = genCellsSql(GenRecords, GenTasks, "run1")
 
   /** The shuffle-free pivot (map-only export, Txt:85): generated cells laid
     * out in range partitions sorted by rowKey (the HBase region invariant),
-    * then pivoted per-partition with zero further exchanges.
+    * then pivoted per-partition with zero further exchanges. 40k records >
+    * KeySpace, so duplicate rowKeys exist and the LWW merge path is
+    * genuinely oracle-exercised (the key mixer is a bijection mod 2^15 —
+    * runs under 32768 records have NO collisions).
     */
+  private val PresortedRecords = 40000L
+
   def kvPivotPresorted(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+    val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
     val laid = RangeLayout.layout(cells, 8)
     val piv = KvPivot.pivotPresorted(laid, Seq("C0", "C5", "C9"))
     piv.select(col("rowKey") +:
@@ -124,7 +132,7 @@ object Queries {
     val aggs = Seq("C0", "C5", "C9").map { c =>
       s"max_by(value, ts) FILTER (WHERE qualifier = '$c') AS $c"
     }.mkString(", ")
-    s"SELECT rowKey, $aggs FROM ($kvGenCellsSql) GROUP BY rowKey"
+    s"SELECT rowKey, $aggs FROM (${genCellsSql(PresortedRecords, GenTasks, "run1")}) GROUP BY rowKey"
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -440,8 +448,10 @@ object Queries {
   private val dedupJaccardPairsSql: String =
     s"""WITH $shingleCtes,
        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |ok AS (SELECT s FROM shd GROUP BY s
+       |       HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPosting}),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-       |          FROM shd x JOIN shd y USING (s)
+       |          FROM shd x JOIN shd y USING (s) JOIN ok USING (s)
        |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
        |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b

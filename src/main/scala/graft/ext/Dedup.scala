@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextHash, VectorOps}
+import graft.functions.IntMath.idiv
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.6): exact,
   * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -85,12 +86,19 @@ object Dedup {
     * inherent cost of exact Jaccard — the sub-quadratic escape is
     * [[minhashLshPairs]].
     */
+  /** Posting lists longer than this are dropped from pair generation (not
+    * from set sizes): a boilerplate shingle shared by 100k docs would build
+    * |ids|²/2 pair structs in one row. The cap bounds that at maxPosting²/2
+    * and is mirrored verbatim in the oracle SQL.
+    */
+  val MaxPosting = 10000
+
   def jaccardPairs(docs: DataFrame, threshold: Long = 800L): DataFrame = {
     val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val postings = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxPosting)
     // all (ids[i], ids[j]) with i < j, as one nested-transform fan-out
     val pairs = postings.select(explode(flatten(
       transform(sequence(lit(1), size(col("ids")) - 1), i =>
@@ -212,7 +220,4 @@ object Dedup {
           (col("x.nrm") * col("y.nrm"))).cast("long").as("cos_x1000"))
       .filter(col("cos_x1000") >= threshold)
   }
-
-  private def idiv(a: Column, b: Column): Column =
-    ((a - a % b) / b).cast("long")
 }

@@ -37,13 +37,16 @@ object Similarity {
   def plane(t: Int, i: Int, d: Int): Double =
     (((t * 577 + i) * 131 + d * 31 + 7) % 97).toDouble / 97.0 - 0.5
 
-  private def planeArray(t: Int, i: Int): Column =
-    array((0 until Dim).map(d => lit(plane(t, i, d))): _*)
+  private def planeArray(t: Int, i: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(plane(t, i, d))): _*)
 
-  /** Sign-bit bucket of a (double-array) vector in table t. */
-  def bucketOf(v: Column, t: Int): Column =
+  /** Sign-bit bucket of a (double-array) vector of dimension `dim` in
+    * table t (the hyperplane must match the vector dimension — DotProduct
+    * rejects mismatches loudly).
+    */
+  def bucketOf(v: Column, t: Int, dim: Int = Dim): Column =
     (0 until NumBits).map { i =>
-      when(VectorOps.dot(v, planeArray(t, i)) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorOps.dot(v, planeArray(t, i, dim)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** vec_id, v (double array), nrm. */
@@ -54,10 +57,10 @@ object Similarity {
   }
 
   /** One row per (vector, table): the LSH index relation. */
-  def bucketedIndex(idx: DataFrame): DataFrame =
+  def bucketedIndex(idx: DataFrame, dim: Int = Dim): DataFrame =
     idx.select(col("vec_id"), col("v"), col("nrm"),
         explode(array((0 until NumTables).map(t =>
-          struct(lit(t).as("t"), bucketOf(col("v"), t).as("bucket"))): _*)).as("tb"))
+          struct(lit(t).as("t"), bucketOf(col("v"), t, dim).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
 
@@ -85,12 +88,13 @@ object Similarity {
   /** ANN top-k: per table, queries probe their bucket + all hamming-1
     * buckets; candidates deduped across tables, then exactly rescored.
     */
-  def lshTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+  def lshTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5,
+      dim: Int = Dim): DataFrame = {
     val idx = index(embeddings)
-    val corpus = bucketedIndex(idx).as("cand")
+    val corpus = bucketedIndex(idx, dim).as("cand")
     val flips = array((lit(0L) +: (0 until NumBits).map(i => lit(1L << i))): _*)
     val qs = broadcast(
-      bucketedIndex(idx.filter(isQuery(col("vec_id"))))
+      bucketedIndex(idx.filter(isQuery(col("vec_id"))), dim)
         .select(col("vec_id"), col("t"), col("bucket"), explode(flips).as("flip"))
         .select(col("vec_id"), col("t"),
           col("bucket").bitwiseXOR(col("flip")).as("probe")))

@@ -16,12 +16,7 @@ import graft.functions.TextHash
   */
 object TextAnalysis {
 
-  /** Exact integer floor-division for non-negative operands (DuckDB `//`,
-    * SQL `DIV`): `(a - a % b) / b` is exactly divisible, so the intermediate
-    * double is exact for any value < 2^52.
-    */
-  private def idiv(a: Column, b: Column): Column =
-    ((a - a % b) / b).cast("long")
+  import graft.functions.IntMath.idiv
 
   /** Whitespace token count: `split(trim(s), "\s+")`, 0 for blank text. */
   def wsTokenCount(text: Column): Column =

@@ -34,8 +34,16 @@ case class BinaryToInt(child: Expression) extends BinaryDecode {
   override protected def width: Int = 4
   override protected def nullSafeEval(input: Any): Any =
     java.nio.ByteBuffer.wrap(checked(input.asInstanceOf[Array[Byte]])).getInt
+  // The width check must exist in BOTH paths — codegen is the default, and
+  // skipping it there would silently mis-decode wrong-length cells.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"java.nio.ByteBuffer.wrap($c).getInt()")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.length != 4) {
+      |  throw new IllegalArgumentException(
+      |    "binary value has " + $c.length + " bytes, expected 4");
+      |}
+      |${ev.value} = java.nio.ByteBuffer.wrap($c).getInt();
+    """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): BinaryToInt =
     copy(child = newChild)
   override def prettyName: String = "binary_to_int"
@@ -47,7 +55,13 @@ case class BinaryToLong(child: Expression) extends BinaryDecode {
   override protected def nullSafeEval(input: Any): Any =
     java.nio.ByteBuffer.wrap(checked(input.asInstanceOf[Array[Byte]])).getLong
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"java.nio.ByteBuffer.wrap($c).getLong()")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.length != 8) {
+      |  throw new IllegalArgumentException(
+      |    "binary value has " + $c.length + " bytes, expected 8");
+      |}
+      |${ev.value} = java.nio.ByteBuffer.wrap($c).getLong();
+    """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): BinaryToLong =
     copy(child = newChild)
   override def prettyName: String = "binary_to_long"

@@ -36,7 +36,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Fail loudly on dimension mismatch — silently truncating would diverge
+    // from the oracle (whose zip pads with NULL and folds to NULL).
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product dimension mismatch: ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -52,7 +57,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product dimension mismatch: " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);

@@ -83,31 +83,40 @@ object KvTable {
         col("cell.ts").as("ts"))
   }
 
+  /** The raw events parquet schema (`ts` read as raw epoch nanos — Spark 4
+    * rejects TIMESTAMP(NANOS) inference). Shared with the streaming source.
+    */
+  val EventsParquetSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType))))
+    spark.read.schema(EventsParquetSchema)
       .parquet(s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "tsNanos")
 
-  /** `events` viewed as a cell table. The rowKey is the zero-padded user id
-    * (byte-lexicographic order == numeric order, like the reference's
-    * `lpad(keyRoot, 5, '0')` keys, CreateTable.java:69).
+  /** The events→cells column mapping, shared by the batch loader and the
+    * streaming source so batch/stream parity can't silently drift.
     *
-    * Value encoding is `floor(value*100)` rendered as a decimal string — NOT
-    * `%.2f` formatting, whose half-up/half-even rounding differs between
-    * engines; `floor` over IEEE doubles is bit-identical in Spark and DuckDB,
-    * keeping the oracle hash-stable.
+    * The rowKey is the zero-padded user id (byte-lexicographic order ==
+    * numeric order, like the reference's `lpad(keyRoot, 5, '0')` keys,
+    * CreateTable.java:69). Value encoding is `floor(value*100)` rendered as
+    * a decimal string — NOT `%.2f` formatting, whose half-up/half-even
+    * rounding differs between engines; `floor` over IEEE doubles is
+    * bit-identical in Spark and DuckDB, keeping the oracle hash-stable.
     */
+  def eventCellColumns: Seq[org.apache.spark.sql.Column] = Seq(
+    lpad(col("user_id").cast(StringType), 8, "0").as("rowKey"),
+    lit("f").as("family"),
+    col("event_type").as("qualifier"),
+    encode(floor(col("value") * 100).cast(StringType), "UTF-8").as("value"),
+    col("event_id").as("ts"))
+
+  /** `events` viewed as a cell table. */
   def eventsAsCells(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events").select(
-      lpad(col("user_id").cast(StringType), 8, "0").as("rowKey"),
-      lit("f").as("family"),
-      col("event_type").as("qualifier"),
-      encode(floor(col("value") * 100).cast(StringType), "UTF-8").as("value"),
-      col("event_id").as("ts"))
+    table(spark, sfDir, "events").select(eventCellColumns: _*)
 }

@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.StringType
   * Differences by design:
   *  - `new Random()` (line 114) → a deterministic multiplicative hash of the
   *    record id, so tests and the DuckDB oracle can regenerate byte-identical
-  *    data. Key-root collisions — and therefore duplicate rowKeys whose cells
-  *    merge last-write-wins (SURVEY §2.11 note) — still occur.
+  *    data. NOTE the hash is a bijection mod 2^15 (odd multiplier), so unlike
+  *    `rand()` key-roots repeat only with period `KeySpace` = 32768 ids:
+  *    duplicate rowKeys (whose cells merge last-write-wins, SURVEY §2.11)
+  *    occur deterministically once a run exceeds KeySpace records — the
+  *    `kv_pivot_presorted` query generates 40k records precisely to keep
+  *    that merge path oracle-exercised.
   *  - parallelism: `NMapInputFormat`'s N synthetic splits (G2) become the
   *    partition count of `spark.range` — one narrow, shuffle-free stage.
   *  - `ts` is the global cell counter, making A2's "later cell wins"

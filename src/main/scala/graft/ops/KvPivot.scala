@@ -22,9 +22,13 @@ import org.apache.spark.sql.types.StringType
 object KvPivot {
 
   /** Pivot a cell table to one row per rowKey with one column per schema
-    * column, in schema order (P1). Cells whose qualifier is not in the schema
-    * are pruned *before* the aggregate — the filter reaches the source scan,
-    * the Spark analog of the reference's column-family pushdown (S2, Txt:73).
+    * column, in schema order (P1). One output row per scanned rowKey — like
+    * the reference, a row whose cells all fall outside the schema still
+    * emits (all fields empty/null, rowKey injected if configured,
+    * Txt:148-164 emits per key change regardless of projection). Only the
+    * column-family predicate prunes the scan (S2, Txt:73); qualifier
+    * projection happens inside the aggregate, NOT as a row filter — a
+    * pre-filter would silently drop such rows.
     *
     * @param cells       DataFrame with (rowKey, family, qualifier, value, ts)
     * @param columns     schema-file column order = output column order
@@ -38,7 +42,6 @@ object KvPivot {
       rowKeyCol: Option[String] = None,
       family: Option[String] = None): DataFrame = {
     val scan = family.foldLeft(cells)((df, cf) => df.filter(col("family") === cf))
-      .filter(col("qualifier").isin(columns: _*))
     // One declarative agg per schema column: value of the max-ts cell having
     // that qualifier. Rows with a null ordering (other qualifiers) are ignored
     // by max_by, so each agg only sees "its" cells.
@@ -77,8 +80,8 @@ object KvPivot {
       family: Option[String] = None): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
+    val wanted = columns.toSet
     val scan = family.foldLeft(cells)((df, cf) => df.filter(col("family") === cf))
-      .filter(col("qualifier").isin(columns: _*))
       .select(col("rowKey"), col("qualifier"), col("value"), col("ts"))
       .as[(String, String, Array[Byte], Long)]
     val grouped = scan.mapPartitions { it =>
@@ -88,18 +91,22 @@ object KvPivot {
         def next(): (String, Map[String, Array[Byte]]) = {
           val first = pending.getOrElse(it.next())
           pending = None
-          var key = first._1
-          // qualifier -> (value, ts); LWW by ts like the declarative pivot
-          var acc = Map(first._2 -> (first._3, first._4))
+          val key = first._1
+          // qualifier -> (value, ts); LWW by ts like the declarative pivot.
+          // Out-of-schema qualifiers are skipped but still anchor the row —
+          // one emit per scanned rowKey, like the reference (Txt:148-164).
+          var acc = Map.empty[String, (Array[Byte], Long)]
+          def put(c: (String, String, Array[Byte], Long)): Unit =
+            if (wanted.contains(c._2)) acc.get(c._2) match {
+              case Some((_, ts)) if ts >= c._4 => // stale write loses
+              case _ => acc = acc.updated(c._2, (c._3, c._4))
+            }
+          put(first)
           var done = false
           while (!done && it.hasNext) {
             val c = it.next()
-            if (c._1 == key) {
-              acc.get(c._2) match {
-                case Some((_, ts)) if ts >= c._4 => // stale write loses
-                case _ => acc = acc.updated(c._2, (c._3, c._4))
-              }
-            } else { pending = Some(c); done = true }
+            if (c._1 == key) put(c)
+            else { pending = Some(c); done = true }
           }
           key -> acc.map { case (q, (v, _)) => q -> v }
         }

@@ -42,22 +42,12 @@ object StreamingPivot {
     */
   def eventCellsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType))))
+      .schema(graft.kv.KvTable.EventsParquetSchema)
       .parquet(asStreamDir(s"$sfDir/events.parquet"))
-      .select(
-        lpad(col("user_id").cast(StringType), 8, "0").as("rowKey"),
-        col("event_type").as("qualifier"),
-        encode(floor(col("value") * 100).cast(StringType), "UTF-8").as("value"),
-        col("event_id").as("cellTs"),
-        expr("timestamp_micros(ts DIV 1000)").as("eventTime"))
+      .select(graft.kv.KvTable.eventCellColumns :+
+        expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
 
-  /** Watermarked, windowed A1/A2: per (window, rowKey), the max-cellTs value
+  /** Watermarked, windowed A1/A2: per (window, rowKey), the max-ts value
     * of each schema qualifier. Emits `win_start_us` (epoch micros of the
     * window start) so downstream schemas stay engine-neutral.
     */
@@ -67,7 +57,7 @@ object StreamingPivot {
       windowDur: String = "1 hour",
       watermark: String = "1 hour"): DataFrame = {
     val aggs = columns.map { c =>
-      max_by(col("value"), when(col("qualifier") === c, col("cellTs"))).as(c)
+      max_by(col("value"), when(col("qualifier") === c, col("ts"))).as(c)
     }
     cells
       .filter(col("qualifier").isin(columns: _*))

@@ -69,11 +69,24 @@ class KvPivotSpec extends SparkSpec {
     out shouldBe Array(Seq("r1", "keep"))
   }
 
-  test("qualifiers outside the schema are pruned before the aggregate") {
+  test("out-of-schema qualifiers are ignored but still anchor their row") {
     val in = cells(("r1", "f", "a", "1", 0), ("r1", "f", "junk", "x", 99))
     val out = KvPivot.pivot(in, Seq("a"))
     out.columns shouldBe Array("rowKey", "a")
     str(out, "a").collect().map(_.toSeq) shouldBe Array(Seq("r1", "1"))
+  }
+
+  test("a rowKey whose cells are ALL out-of-schema still emits one row " +
+    "(reference emits per scanned key, Txt:148-164)") {
+    val in = cells(("r1", "f", "a", "1", 0), ("r2", "f", "other", "x", 0))
+    val out = str(KvPivot.pivot(in, Seq("a", "KEY"), rowKeyCol = Some("KEY")), "a", "KEY")
+      .orderBy("rowKey").collect().map(_.toSeq)
+    out shouldBe Array(Seq("r1", "1", "r1"), Seq("r2", null, "r2"))
+    // and identically in the presorted variant
+    val laid = graft.kv.RangeLayout.layout(in, 2)
+    val pre = str(KvPivot.pivotPresorted(laid, Seq("a", "KEY"), rowKeyCol = Some("KEY")), "a", "KEY")
+      .orderBy("rowKey").collect().map(_.toSeq)
+    pre shouldBe out
   }
 
   test("single-row and empty tables") {

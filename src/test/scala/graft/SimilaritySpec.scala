@@ -26,28 +26,35 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("buckets are stable, in [0, 2^6), and differ across tables") {
-    val idx = Similarity.bucketedIndex(Similarity.index(vecs))
+    val idx = Similarity.bucketedIndex(Similarity.index(vecs), dim = 4)
     val buckets = idx.select("bucket").as[Long].collect()
     all(buckets) should be >= 0L
     all(buckets) should be < 64L
     idx.select("t").distinct().count() shouldBe Similarity.NumTables
     // same vector indexed twice -> identical buckets (pure function)
     val b1 = idx.filter(col("vec_id") === 1L).select("t", "bucket").collect().toSet
-    val b2 = Similarity.bucketedIndex(Similarity.index(vecs))
+    val b2 = Similarity.bucketedIndex(Similarity.index(vecs), dim = 4)
       .filter(col("vec_id") === 1L).select("t", "bucket").collect().toSet
     b1 shouldBe b2
   }
 
   test("LSH always finds a (near-)identical vector: same planes, same bucket") {
-    val out = Similarity.lshTopK(vecs, v => v === 1L, k = 4)
+    val out = Similarity.lshTopK(vecs, v => v === 1L, k = 4, dim = 4)
       .as[(Long, Long, Long, Long)].collect()
     // vector 2 is near-parallel to 1 -> identical sign pattern in every table
     out.map(r => r._2 -> r._4).toMap.get(2L) shouldBe Some(999L)
     out.find(_._2 == 2L).map(_._3) shouldBe Some(1L)
   }
 
+  test("mismatched hyperplane dimension fails loudly (no silent truncation)") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.lshTopK(vecs, v => v === 1L, k = 4, dim = 64).collect()
+    }
+    e.getMessage should include("dimension mismatch")
+  }
+
   test("LSH candidates are a subset of the corpus; ranks are contiguous from 1") {
-    val out = Similarity.lshTopK(vecs, v => v === 1L, k = 4)
+    val out = Similarity.lshTopK(vecs, v => v === 1L, k = 4, dim = 4)
       .orderBy("rank").as[(Long, Long, Long, Long)].collect()
     out.map(_._3).toSeq shouldBe (1L to out.length)
     out.map(_._2).foreach(nb => Seq(2L, 3L, 4L, 5L) should contain(nb))

@@ -13,7 +13,7 @@ class StreamingPivotSpec extends SparkSpec {
 
   private case class TimedCell(
       rowKey: String, qualifier: String, value: Array[Byte],
-      cellTs: Long, eventTime: Timestamp)
+      ts: Long, eventTime: Timestamp)
 
   private def cell(k: String, q: String, v: String, ts: Long, hour: Int) =
     TimedCell(k, q, v.getBytes("UTF-8"), ts,
