@@ -20,7 +20,7 @@ import graft.schema.SchemaFile
 object Queries {
 
   /** The five event_type values in the `events` table = the pivot schema. */
-  private val EventCols = Seq("click", "error", "purchase", "signup", "view")
+  val EventCols = Seq("click", "error", "purchase", "signup", "view")
 
   // ---------------------------------------------------------------- A1 / A2
 

@@ -1,34 +1,89 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 // Throwaway experiments; not part of the library surface.
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
 
-    // max_by with null ordering: rows with null ordering must be ignored.
-    val df = Seq(
-      ("a", "click", "v1", 1L), ("a", "click", "v2", 5L),
-      ("a", "view", "x9", 9L), ("b", "view", "y1", 2L)
-    ).toDF("k", "q", "v", "ts")
-    val got = df.groupBy($"k").agg(
-      max_by($"v", when($"q" === "click", $"ts")).as("click"),
-      max_by($"v", when($"q" === "view", $"ts")).as("view"),
-      max_by($"v", when($"q" === "nope", $"ts")).as("nope"))
-    got.orderBy($"k").show()
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $name%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warmup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // pivot e2e on generated cells
-    val cells = graft.kv.KvGenerator.cells(spark, 100, 4, "run1")
-    cells.show(12, truncate = false)
-    val piv = graft.ops.KvPivot.pivot(cells, Seq("C1", "C3", "KEY"), rowKeyCol = Some("KEY"))
-    graft.ops.KvPivot.projectDelimited(piv, Seq("C1", "C3", "KEY")).orderBy($"rowKey").show(8, truncate = false)
-    println("dup rowKeys: " + cells.groupBy($"rowKey", $"qualifier").count().filter($"count" > 1).count())
+    for (n <- args) n match {
+      case "stream" =>
+        time("stream_pivot")(Queries.streamPivot(spark, sfDir).count())
+      case "stream_parts" =>
+        val cells = graft.streaming.StreamingPivot.eventCellsStream(spark, sfDir)
+        val piv = graft.streaming.StreamingPivot.windowedPivot(cells, Queries.EventCols)
+        time("stream run")(graft.streaming.StreamingPivot.runAvailableNow(piv, "s1").count())
+      case "avro" =>
+        time("pivot only")(Queries.kvTypedExport(spark, sfDir).count())
+        time("avro full")(Queries.exportAvroRoundtrip(spark, sfDir).count())
+        val df = time("avro plan+write") {
+          Queries.exportAvroRoundtrip(spark, sfDir)
+        }
+        time("avro read-back only")(df.count())
+      case "parquet" =>
+        time("parquet full")(Queries.exportParquetRoundtrip(spark, sfDir).count())
+      case "explain" =>
+        Queries.kvTypedExport(spark, sfDir).explain("formatted")
+      case "pairs" =>
+        time("dedup_simhash_pairs")(Queries.dedupSimhashPairs(spark, sfDir).count())
+        time("dedup_minhash_pairs")(Queries.dedupMinhashPairs(spark, sfDir).count())
+        time("dedup_jaccard_pairs")(Queries.dedupJaccardPairs(spark, sfDir).count())
+      case "decomp" =>
+        import org.apache.spark.sql.functions._
+        def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)
+        for (i <- 1 to 2) {
+          time(s"cells scan only #$i")(cells.count())
+          time(s"cells shuffle only #$i")(cells.repartition(col("rowKey")).count())
+          time(s"groupBy count-only #$i")(
+            cells.groupBy(col("rowKey")).agg(count(lit(1))).count())
+          time(s"groupBy max ts-only #$i")(
+            cells.groupBy(col("rowKey")).agg(
+              max(when(col("qualifier") === "qty", col("ts"))),
+              max(when(col("qualifier") === "ln", col("ts"))),
+              max(when(col("qualifier") === "flag", col("ts")))).count())
+        }
+      case "pivotvar" =>
+        import org.apache.spark.sql.functions.col
+        val schema = graft.schema.SchemaFile.parseAvroJson(
+          """{"type":"record","name":"L","fields":[
+            |  {"name":"qty","type":"long"},{"name":"ln","type":"int"},
+            |  {"name":"flag","type":"string"},{"name":"KEY","type":"string"}]}""".stripMargin)
+        def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)
+        time("A groupBy max_by") {
+          graft.ops.KvPivot.pivot(cells, schema.fieldNames.toSeq,
+            rowKeyCol = Some("KEY"), family = Some("c")).count()
+        }
+        time("B repartition+sort+stream") {
+          val re = cells.filter(col("family") === "c")
+            .repartition(col("rowKey")).sortWithinPartitions(col("rowKey"))
+          graft.ops.KvPivot.pivotPresorted(re, schema.fieldNames.toSeq,
+            rowKeyCol = Some("KEY")).count()
+        }
+        time("A again") {
+          graft.ops.KvPivot.pivot(cells, schema.fieldNames.toSeq,
+            rowKeyCol = Some("KEY"), family = Some("c")).count()
+        }
+        time("B again") {
+          val re = cells.filter(col("family") === "c")
+            .repartition(col("rowKey")).sortWithinPartitions(col("rowKey"))
+          graft.ops.KvPivot.pivotPresorted(re, schema.fieldNames.toSeq,
+            rowKeyCol = Some("KEY")).count()
+        }
+      case other => println(s"?? $other")
+    }
     spark.stop()
   }
 }

@@ -150,15 +150,24 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("band"),
         concat_ws(",", (1 to BandRows).map(r =>
           element_at(col("sig"), col("band") * BandRows + r)): _*).as("key"))
-    bands.as("x").join(bands.as("y"),
+    val joined = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        size(filter(zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y),
-          m => m)).cast("long").as("match16"))
-      .distinct() // same pair can collide in several bands; match16 is pure
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"),
+        zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y).as("m"))
+    // A pair colliding in several bands would duplicate; keep it only at its
+    // FIRST matching band — a pure filter on the join output, vs. the naive
+    // `.distinct()` that re-shuffles the entire candidate set (the largest
+    // relation in the whole pipeline). Band b matches iff its 4 signature
+    // components all match; the band key is a ","-join of digit strings, so
+    // key equality == component equality and the reconstruction is exact.
+    val bandMatches = array((0 until nBands).map(b =>
+      forall(slice(col("m"), b * BandRows + 1, BandRows), x => x)): _*)
+    joined
+      .filter(array_position(bandMatches, lit(true)) - 1 === col("band"))
+      .select(col("a"), col("b"),
+        size(filter(col("m"), x => x)).cast("long").as("match16"))
       .filter(col("match16") >= minMatches)
-      .select(col("a"), col("b"), col("match16"))
   }
 
   // -------------------------------------------------------------- simhash
@@ -192,15 +201,19 @@ object Dedup {
         explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("x").join(bands.as("y"),
+    val joined = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
-    cand
-      .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"),
+        col("x.simhash").bitwiseXOR(col("y.simhash")).as("hx"))
+    // De-dup pairs colliding in several bands by keeping only the FIRST
+    // matching band (byte k of the XOR is zero) — a filter on the join
+    // output instead of a `.distinct()` re-shuffle of the candidate set.
+    val bandMatches = array((0 until 4).map(k =>
+      shiftright(col("hx"), 8 * k).bitwiseAND(lit(255L)) === 0): _*)
+    joined
+      .filter(array_position(bandMatches, lit(true)) - 1 === col("band"))
+      .select(col("a"), col("b"), bit_count(col("hx")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
