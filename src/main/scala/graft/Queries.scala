@@ -334,6 +334,81 @@ object Queries {
       |  CAST(sum(floor(value * 100)) AS BIGINT) AS sum_x100
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Backward as-of join (time-series enrichment; SURVEY §2.4 — the
+    * reference has no joins at all): each click picks up the same user's
+    * most recent purchase at-or-before it. Sort-based single-shuffle
+    * implementation, [[graft.ops.AsofJoin]].
+    */
+  def relAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AsofJoin
+    val ev = KvTable.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tsNanos"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsNanos"), col("value"))
+    AsofJoin.asofBackward(clicks, purchases,
+        key = Seq("user_id"), timeCol = "tsNanos", tieCol = "event_id",
+        rightPayload = Seq("event_id", "tsNanos", "value"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("_asof.event_id").as("purchase_id"),
+        expr("(tsNanos - _asof.tsNanos) DIV 1000000000").as("gap_s"),
+        floor(col("_asof.value") * 100).cast("long").as("p_value_x100"))
+  }
+
+  private val relAsofJoinSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+      |  (epoch_ns(c.ts) - epoch_ns(p.ts)) // 1000000000 AS gap_s,
+      |  CAST(floor(p.value * 100) AS BIGINT) AS p_value_x100
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
+  /** Banded interval join ([[graft.ops.RangeJoin]]): clicks within the day
+    * before each error, aggregated per error.
+    */
+  def relRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.RangeJoin
+    val ev = KvTable.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("tsNanos").as("ets"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("tsNanos").as("cts"), col("value").as("cval"))
+    RangeJoin.backwardWindowJoin(errors, clicks, Seq("user_id"), "ets", "cts",
+        window = 24L * 3600 * 1000000000L)
+      .groupBy(col("err_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(floor(col("cval") * 100).cast("long")).as("sum_click_x100"))
+  }
+
+  private val relRangeJoinSql: String =
+    """SELECT e.event_id AS err_id, e.user_id, count(*) AS n_clicks,
+      |  CAST(sum(CAST(floor(c.value * 100) AS BIGINT)) AS BIGINT) AS sum_click_x100
+      |FROM events e JOIN events c
+      |  ON e.user_id = c.user_id AND c.event_type = 'click'
+      | AND epoch_ns(c.ts) <= epoch_ns(e.ts)
+      | AND epoch_ns(c.ts) >= epoch_ns(e.ts) - 86400000000000
+      |WHERE e.event_type = 'error'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Hierarchical aggregation (SURVEY §2.3 — grouping sets are free Spark
+    * built-ins the reference never had): rollup over (status, priority)
+    * with a grouping id disambiguating subtotal levels.
+    */
+  def relRollup(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.table(spark, sfDir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
+
+  private val relRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
+
   // ------------------------------------------------- text analysis (§7.6)
 
   import graft.ext.TextAnalysis
@@ -415,6 +490,20 @@ object Queries {
       |               (a, b) -> (a * 31 + b) % 2147483647) END)::BIGINT AS fp
       |FROM documents""".stripMargin
 
+  /** Per-language top-5 terms by document frequency (corpus statistics). */
+  def txtTopterms(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.topTerms(docs(spark, sfDir))
+
+  private val txtToptermsSql: String =
+    """WITH t AS (SELECT lang, doc_id,
+      |             unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |d AS (SELECT lang, term, count(*) AS df FROM t GROUP BY 1, 2),
+      |r AS (SELECT lang, term, df,
+      |        row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rk
+      |      FROM d)
+      |SELECT lang, term, df::BIGINT AS df, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin
+
   // ------------------------------------------------- deduplication (§7.6)
 
   import graft.ext.Dedup
@@ -479,21 +568,48 @@ object Queries {
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLshPairs(docs(spark, sfDir))
 
-  private val dedupMinhashPairsSql: String = {
+  /** CTE chain ending in `mp(a, b, match16)`: the verified MinHash-LSH
+    * near-dup pairs (shared by the pairs query and the clustering oracle).
+    */
+  private val minhashPairCtes: String = {
     val sigList = (0 until Dedup.NumHashes).map(minhashTerm).mkString("[", ", ", "]")
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
        |$minhashHsCte,
        |sig AS (SELECT doc_id, $sigList AS sig FROM hs),
        |bands AS (SELECT doc_id, sig, b AS band,
        |            concat_ws(',', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
        |          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
-       |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-       |SELECT * FROM (
+       |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |mp AS (SELECT * FROM (
        |  SELECT a, b, len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::BIGINT AS match16
        |  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
-       |WHERE match16 >= 12""".stripMargin
+       |  WHERE match16 >= 12)""".stripMargin
   }
+
+  private val dedupMinhashPairsSql: String =
+    s"""WITH $minhashPairCtes
+       |SELECT a, b, match16 FROM mp""".stripMargin
+
+  /** Near-dup cluster assignment: connected components over the MinHash-LSH
+    * pair graph ([[Dedup.clusters]] label propagation); the oracle walks the
+    * same graph with a recursive CTE.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    Dedup.clusters(d, Dedup.minhashLshPairs(d))
+  }
+
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |e AS (SELECT a AS src, b AS dst FROM mp
+       |      UNION ALL SELECT b AS src, a AS dst FROM mp),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)
+       |SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+       |FROM walk GROUP BY node""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(docs(spark, sfDir))
@@ -595,6 +711,35 @@ object Queries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb2) AS rk FROM p)
        |SELECT q, nb2 AS nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
 
+  def annTopkIvf(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopK(embeds(spark, sfDir), isQuery)
+
+  /** IVF oracle: centroid scores via the same floor-scaled cosine; cell
+    * assignment = rank-1 centroid, probes = rank ≤ NProbe (score DESC,
+    * centroid id ASC — mirroring the (score, -id) struct max in Scala).
+    */
+  private val annTopkIvfSql: String =
+    s"""WITH $annNormCte,
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |      WHERE vec_id < ${Similarity.NumCells}),
+       |sc AS (SELECT n.vec_id, c.c_id,
+       |         floor(${dotSql("n.v", "c.cv")} * 1000000 / (n.nrm * c.cn))::BIGINT AS s
+       |       FROM n CROSS JOIN c),
+       |rk AS (SELECT vec_id, c_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS r
+       |       FROM sc),
+       |asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE r = 1),
+       |probes AS (SELECT vec_id, c_id AS cell FROM rk
+       |           WHERE r <= ${Similarity.NProbe} AND vec_id % 50 = 0),
+       |cand AS (SELECT p.vec_id AS q, a.vec_id AS nb FROM probes p
+       |         JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
+       |p AS (SELECT q, nb,
+       |        floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm))::BIGINT AS cos_x1000
+       |      FROM cand JOIN n a ON a.vec_id = q JOIN n b ON b.vec_id = nb),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk2
+       |       FROM p)
+       |SELECT q, nb, rk2::BIGINT AS rank, cos_x1000 FROM r2 WHERE rk2 <= 5""".stripMargin
+
   // ------------------------------------------------- multimodal (§7.6)
 
   import graft.ext.Multimodal
@@ -681,10 +826,14 @@ object Queries {
     "rel_enrich_join" -> (relEnrichJoin _),
     "rel_topk_orders" -> (relTopkOrders _),
     "rel_skew_agg" -> (relSkewAgg _),
+    "rel_asof_join" -> (relAsofJoin _),
+    "rel_range_join" -> (relRangeJoin _),
+    "rel_rollup" -> (relRollup _),
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_topterms" -> (txtTopterms _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -692,8 +841,10 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embed_pairs" -> (dedupEmbedPairs _),
+    "dedup_clusters" -> (dedupClusters _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
+    "ann_topk_ivf" -> (annTopkIvf _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "stream_pivot" -> (streamPivot _))
@@ -714,10 +865,14 @@ object Queries {
     "rel_enrich_join" -> relEnrichJoinSql,
     "rel_topk_orders" -> relTopkOrdersSql,
     "rel_skew_agg" -> relSkewAggSql,
+    "rel_asof_join" -> relAsofJoinSql,
+    "rel_range_join" -> relRangeJoinSql,
+    "rel_rollup" -> relRollupSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
     "txt_fingerprint" -> txtFingerprintSql,
+    "txt_topterms" -> txtToptermsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
@@ -725,8 +880,10 @@ object Queries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_embed_pairs" -> dedupEmbedPairsSql,
+    "dedup_clusters" -> dedupClustersSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
+    "ann_topk_ivf" -> annTopkIvfSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "stream_pivot" -> streamPivotSql)

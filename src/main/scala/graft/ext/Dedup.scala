@@ -217,6 +217,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- cluster assignment
+
+  /** Connected-component clustering over a near-dup pair relation: every
+    * document is labeled with the minimum doc_id reachable through pair
+    * edges (its cluster's canonical id); documents in no pair keep their own
+    * id. This is the step that turns pairwise near-dup evidence into
+    * keep/drop decisions (keep the canonical doc per cluster).
+    *
+    * Algorithm: iterative neighbor-min label propagation — each round every
+    * node takes `min(own label, neighbors' labels)`, until a fixpoint. Each
+    * round is one equi-join + one aggregate (both shuffle-bounded on doc_id);
+    * `localCheckpoint` truncates lineage so round N doesn't replay rounds
+    * 1..N-1. Rounds needed = graph diameter; near-dup clusters are dense and
+    * shallow (docs similar to each other), so a handful of rounds converges.
+    * For adversarial long-chain graphs at 100 TB the production upgrade is
+    * alternating large-star/small-star contraction (O(log n) rounds,
+    * Kiveris et al., "Connected Components in MapReduce and Beyond") — same
+    * join-per-round shape, different edge rewrite.
+    *
+    * Convergence is CHECKED, not assumed: if `maxRounds` passes without a
+    * fixpoint the operator throws rather than return a silently-partial
+    * clustering.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // Edges both directions, materialized once — the pair pipeline (LSH,
+    // shingling, ...) must not replay every round.
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_min"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("lbl"))
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds")
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ----------------------------------------------------- embedding cosine
 
   /** Embedding near-dup pairs: brute-force cosine ≥ threshold/1000. The

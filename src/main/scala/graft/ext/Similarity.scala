@@ -85,6 +85,57 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ------------------------------------------------------------- IVF
+
+  val NumCells = 32
+  val NProbe = 4
+
+  /** IVF (inverted-file) ANN: the corpus is coarse-partitioned by nearest
+    * centroid; a query probes only its `NProbe` nearest cells and rescores
+    * those short-lists exactly. Compute per query drops from O(|corpus|) to
+    * O(|corpus| · NProbe / NumCells) — the standard large-corpus trade
+    * (recall < 1 when a true neighbor lives in an unprobed cell).
+    *
+    * Centroids are a deterministic sample (vec_id < NumCells) standing in
+    * for trained k-means centers — the *partitioning machinery* (assign /
+    * probe / rescore) is the scale path either way, and a fixed sample keeps
+    * the operator oracle-reproducible. The centroid set is a tiny model
+    * artifact: collected once (NumCells × Dim doubles) and inlined as
+    * literals, so assignment is a single codegen'd projection over the
+    * corpus — no join, no shuffle. At scale the cell id becomes the corpus
+    * table's partition column, so a probe prunes whole files.
+    */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+    val idx = index(embeddings)
+    val cents: Array[(Long, Array[Double], Double)] =
+      idx.filter(col("vec_id") < NumCells).orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(cents.nonEmpty, "IVF needs vec_id < NumCells centroid rows")
+    // (score, -centroid) structs: array_max / descending sort then give the
+    // arg-max with the SMALLEST centroid id on score ties, mirroring the
+    // oracle's ORDER BY score DESC, c_id ASC.
+    def cellScores(v: Column, nrm: Column): Column = array(cents.map { case (cid, cv, cn) =>
+      struct(
+        floor(VectorOps.dot(v, array(cv.map(lit).toSeq: _*)) * 1000000 / (nrm * lit(cn)))
+          .cast("long").as("s"),
+        lit(-cid).as("negid"))
+    }.toSeq: _*)
+    val assigned = idx.withColumn("cell",
+      -array_max(cellScores(col("v"), col("nrm"))).getField("negid"))
+    val qs = broadcast(
+      assigned.filter(isQuery(col("vec_id")))
+        .withColumn("probe",
+          explode(slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, NProbe)))
+        .select(col("vec_id"), col("v"), col("nrm"), (-col("probe.negid")).as("cell")))
+    // Each corpus vector lives in exactly one cell and probe cells are
+    // distinct, so candidates are already unique — no dedup pass needed.
+    val scored = qs.as("qr").join(assigned.as("cand"),
+        col("qr.cell") === col("cand.cell") && col("cand.vec_id") =!= col("qr.vec_id"))
+      .select(col("qr.vec_id").as("q"), col("cand.vec_id").as("nb"),
+        cosX1000.as("cos_x1000"))
+    topK(scored, k)
+  }
+
   /** ANN top-k: per table, queries probe their bucket + all hamming-1
     * buckets; candidates deduped across tables, then exactly rescored.
     */

@@ -124,4 +124,25 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Per-language top-k terms by document frequency — the corpus-statistics
+    * pass of a training-data pipeline (vocabulary building, boilerplate
+    * spotting). One distinct-terms explode, one (lang, term) count
+    * aggregate, then a per-language top-k window; the window's partition is
+    * the handful of languages, so the rank step is cheap — the heavy lifting
+    * stays in the partial-aggregated count. Ties rank lexicographically for
+    * determinism.
+    */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+    val dfreq = terms.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("term"))
+    dfreq.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

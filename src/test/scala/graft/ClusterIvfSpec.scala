@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.kv.KvTable
+
+/** Connected-component clustering, IVF ANN, and top-terms. */
+class ClusterIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustersOf(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val docs = spark.range(n).select($"id".as("doc_id"))
+    val p = pairs.toDF("a", "b")
+    Dedup.clusters(docs, p).as[(Long, Long)].collect().toMap
+  }
+
+  test("clusters: chain, triangle, and singletons all get the component min") {
+    // chain 0-1-2-3 (diameter 3), triangle 4-5-6, singletons 7..9
+    val got = clustersOf(10, Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)))
+    got shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L, 9L -> 9L)
+  }
+
+  test("clusters: long path needs several propagation rounds and still converges") {
+    // path 0-1-2-...-9: min label must travel 9 hops
+    val edges = (0L until 9L).map(i => (i, i + 1))
+    val got = clustersOf(10, edges)
+    got.values.toSet shouldBe Set(0L)
+  }
+
+  test("clusters: non-convergence within maxRounds throws loudly") {
+    val docs = spark.range(5).select($"id".as("doc_id"))
+    val p = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(docs, p, maxRounds = 2)
+    }
+    e.getMessage should include("converge")
+  }
+
+  test("ivf: every query returns k ranked neighbors with descending scores") {
+    val emb = KvTable.table(spark, sfDir, "embeddings")
+    val got = Similarity.ivfTopK(emb, v => v % 50 === 0, k = 5)
+      .orderBy($"q", $"rank").collect()
+    val qs = got.map(_.getLong(0)).distinct
+    qs.length should be > 5
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.map(_.getLong(2)).toSeq shouldBe (1L to rows.length)
+      val scores = rows.sortBy(_.getLong(2)).map(_.getLong(3))
+      scores.toSeq shouldBe scores.sorted(Ordering[Long].reverse)
+    }
+  }
+
+  test("ivf: recall against brute force is substantial (cells actually probe)") {
+    val emb = KvTable.table(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteTopK(emb, v => v % 50 === 0, k = 5)
+      .select($"q", $"nb").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, v => v % 50 === 0, k = 5)
+      .select($"q", $"nb").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    withClue(s"recall@5 = $recall") { recall should be >= 0.3 }
+  }
+
+  test("topterms: document frequency counts distinct docs, ties rank lexicographically") {
+    val docs = Seq(
+      (0L, "b a", "en"), (1L, "a b", "en"), (2L, "c c c", "en"), (3L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.topTerms(docs, k = 2)
+      .select($"lang", $"term", $"df", $"rk")
+      .orderBy($"lang", $"rk").collect().map(_.toSeq)
+    // en: a(df2) and b(df2) tie → lexicographic; c has df1 (multiplicity in
+    // one doc does not inflate document frequency)
+    got shouldBe Seq(
+      Seq("de", "x", 1L, 1L),
+      Seq("en", "a", 2L, 1L), Seq("en", "b", 2L, 2L))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsofJoin, RangeJoin}
+
+/** As-of and banded range joins (SURVEY §2.4 extensions). */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("event_id", "user_id", "tsNanos")
+    val r = right.toDF("event_id", "user_id", "tsNanos", "value")
+    AsofJoin.asofBackward(l, r, Seq("user_id"), "tsNanos", "event_id",
+        Seq("event_id", "value"))
+      .select($"event_id", $"user_id", $"_asof.event_id".as("m"), $"_asof.value".as("v"))
+  }
+
+  test("asof picks the latest right row at-or-before each left row, per key") {
+    val got = asof(
+      left = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 50L)),
+      right = Seq((1L, 1L, 5L, 1.0), (2L, 1L, 40L, 2.0), (3L, 1L, 60L, 3.0),
+        (4L, 2L, 50L, 4.0))) // equal timestamp: inclusive
+      .orderBy($"event_id").collect().map(_.toSeq)
+    got shouldBe Seq(
+      Seq(100L, 1L, 2L, 2.0), // ts 50 → right ts 40
+      Seq(101L, 1L, 1L, 1.0), // ts 10 → right ts 5
+      Seq(102L, 2L, 4L, 4.0)) // ts 50 → right ts 50 (>= is inclusive)
+  }
+
+  test("asof leaves no-match left rows with a null payload (left semantics)") {
+    val got = asof(
+      left = Seq((100L, 1L, 50L), (101L, 3L, 50L)),
+      right = Seq((1L, 1L, 99L, 1.0)))
+      .orderBy($"event_id").collect().map(_.toSeq)
+    got shouldBe Seq(Seq(100L, 1L, null, null), Seq(101L, 3L, null, null))
+  }
+
+  test("asof keeps every left row exactly once (no fan-out on dup right times)") {
+    // two right rows at the SAME time for the key: deterministic winner = the
+    // larger tie column (later in sort order)
+    val got = asof(
+      left = Seq((100L, 1L, 50L)),
+      right = Seq((1L, 1L, 40L, 1.0), (2L, 1L, 40L, 2.0)))
+      .collect().map(_.toSeq)
+    got shouldBe Seq(Seq(100L, 1L, 2L, 2.0))
+  }
+
+  private def range(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+      window: Long) = {
+    val l = left.toDF("l_id", "user_id", "lts")
+    val r = right.toDF("r_id", "user_id", "rts")
+    RangeJoin.backwardWindowJoin(l, r, Seq("user_id"), "lts", "rts", window)
+      .select($"l_id", $"r_id").orderBy($"l_id", $"r_id")
+  }
+
+  test("range join matches exactly [lts - window, lts], inclusive both ends") {
+    val got = range(
+      left = Seq((1L, 7L, 1000L)),
+      right = Seq(
+        (10L, 7L, 899L),  // just outside
+        (11L, 7L, 900L),  // lower bound: inclusive
+        (12L, 7L, 950L),  // inside, previous bucket or same — must match
+        (13L, 7L, 1000L), // upper bound: inclusive
+        (14L, 7L, 1001L), // after left: no
+        (15L, 8L, 950L)), // other key: no
+      window = 100L).collect().map(_.toSeq)
+    got shouldBe Seq(Seq(1L, 11L), Seq(1L, 12L), Seq(1L, 13L))
+  }
+
+  test("range join catches right rows in the previous time bucket") {
+    // window 100 → buckets [900,999], [1000,1099]; left at 1010 must reach a
+    // right row at 920 (previous bucket) and at 1005 (own bucket)
+    val got = range(
+      left = Seq((1L, 7L, 1010L)),
+      right = Seq((10L, 7L, 920L), (11L, 7L, 1005L), (12L, 7L, 909L)),
+      window = 100L).collect().map(_.toSeq)
+    got shouldBe Seq(Seq(1L, 10L), Seq(1L, 11L))
+  }
+
+  test("range join result never duplicates a match (two probes, one hit)") {
+    val got = range(
+      left = Seq((1L, 7L, 1000L)),
+      right = Seq((10L, 7L, 1000L)),
+      window = 100L).collect().map(_.toSeq)
+    got shouldBe Seq(Seq(1L, 10L))
+  }
+}
