@@ -8,6 +8,7 @@ object Scratch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -37,6 +38,33 @@ object Scratch {
         time("parquet full")(Queries.exportParquetRoundtrip(spark, sfDir).count())
       case "explain" =>
         Queries.kvTypedExport(spark, sfDir).explain("formatted")
+      case "ab" =>
+        import org.apache.spark.sql.functions._
+        def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)
+          .filter(col("family") === "c")
+        val cols = Seq("qty", "ln", "flag", "KEY")
+        def runOld() = cells.groupBy(col("rowKey")).agg(
+          max_by(col("value"), when(col("qualifier") === "qty", col("ts"))).as("qty"),
+          max_by(col("value"), when(col("qualifier") === "ln", col("ts"))).as("ln"),
+          max_by(col("value"), when(col("qualifier") === "flag", col("ts"))).as("flag"),
+          max_by(col("value"), when(col("qualifier") === "KEY", col("ts"))).as("KEY")).count()
+        def runNew() = cells.groupBy(col("rowKey")).agg(
+          graft.functions.MaxByTsAgg.maxByTs(col("value"), when(col("qualifier") === "qty", col("ts"))).as("qty"),
+          graft.functions.MaxByTsAgg.maxByTs(col("value"), when(col("qualifier") === "ln", col("ts"))).as("ln"),
+          graft.functions.MaxByTsAgg.maxByTs(col("value"), when(col("qualifier") === "flag", col("ts"))).as("flag"),
+          graft.functions.MaxByTsAgg.maxByTs(col("value"), when(col("qualifier") === "KEY", col("ts"))).as("KEY")).count()
+        for (i <- 1 to 3) {
+          time(s"sortagg max_by #$i")(runOld())
+          time(s"objhash maxByTs #$i")(runNew())
+        }
+      case "aqe" =>
+        val df = Queries.kvTypedExport(spark, sfDir)
+        time("typed export count")(df.count())
+        println(df.queryExecution.executedPlan.toString.take(3000))
+      case "ivf2" =>
+        time("ivf run1")(Queries.annTopkIvf(spark, sfDir).count())
+        time("ivf run2")(Queries.annTopkIvf(spark, sfDir).count())
+        time("clusters run1")(Queries.dedupClusters(spark, sfDir).count())
       case "pairs" =>
         time("dedup_simhash_pairs")(Queries.dedupSimhashPairs(spark, sfDir).count())
         time("dedup_minhash_pairs")(Queries.dedupMinhashPairs(spark, sfDir).count())

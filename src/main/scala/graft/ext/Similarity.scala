@@ -37,8 +37,11 @@ object Similarity {
   def plane(t: Int, i: Int, d: Int): Double =
     (((t * 577 + i) * 131 + d * 31 + 7) % 97).toDouble / 97.0 - 0.5
 
+  // typedlit, NOT array(lit...): a CreateArray of 64 literals unrolls to 64
+  // codegen assignments per use (measured seconds of Janino time per fresh
+  // JVM across tables×bits); a single array Literal is passed by reference.
   private def planeArray(t: Int, i: Int, dim: Int): Column =
-    array((0 until dim).map(d => lit(plane(t, i, d))): _*)
+    typedlit((0 until dim).map(d => plane(t, i, d)))
 
   /** Sign-bit bucket of a (double-array) vector of dimension `dim` in
     * table t (the hyperplane must match the vector dimension — DotProduct
@@ -116,7 +119,7 @@ object Similarity {
     // oracle's ORDER BY score DESC, c_id ASC.
     def cellScores(v: Column, nrm: Column): Column = array(cents.map { case (cid, cv, cn) =>
       struct(
-        floor(VectorOps.dot(v, array(cv.map(lit).toSeq: _*)) * 1000000 / (nrm * lit(cn)))
+        floor(VectorOps.dot(v, typedlit(cv.toSeq)) * 1000000 / (nrm * lit(cn)))
           .cast("long").as("s"),
         lit(-cid).as("negid"))
     }.toSeq: _*)

@@ -42,11 +42,15 @@ object KvPivot {
       rowKeyCol: Option[String] = None,
       family: Option[String] = None): DataFrame = {
     val scan = family.foldLeft(cells)((df, cf) => df.filter(col("family") === cf))
-    // One declarative agg per schema column: value of the max-ts cell having
-    // that qualifier. Rows with a null ordering (other qualifiers) are ignored
-    // by max_by, so each agg only sees "its" cells.
+    // One agg per schema column: value of the max-ts cell having that
+    // qualifier. Rows with a null ordering (other qualifiers) are ignored,
+    // so each agg only sees "its" cells. maxByTs (not built-in max_by): a
+    // binary-value max_by plans as SortAggregate — the custom
+    // TypedImperativeAggregate keeps the whole pivot hash-based
+    // (ObjectHashAggregateExec), no sort on either side of the exchange.
     val aggs = columns.map { c =>
-      max_by(col("value"), when(col("qualifier") === c, col("ts"))).as(c)
+      graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), when(col("qualifier") === c, col("ts"))).as(c)
     }
     val pivoted = scan.groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
     rowKeyCol match {
