@@ -785,6 +785,29 @@ object Queries {
        |  ((h * 31 + i) % 2147483647)::BIGINT AS frame_hash
        |FROM fr""".stripMargin
 
+  /** Image decode + resize (images only, longest side ≤ 64): dimensions from
+    * metadata, byte count through the stub codec.
+    */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    Multimodal.decodeAndResize(media, maxSide = 64).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
+  }
+
+  private val mmResizeSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |             32 + (doc_id % 8) * 16 AS w0, 32 + (doc_id % 4) * 16 AS h0
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |s AS (SELECT media_id, w0, h0,
+      |        least(1.0, 64.0 / greatest(w0, h0)) AS scale FROM m),
+      |r AS (SELECT media_id,
+      |        CAST(floor(w0 * scale) AS INTEGER) AS width,
+      |        CAST(floor(h0 * scale) AS INTEGER) AS height
+      |      FROM s)
+      |SELECT media_id, width, height,
+      |  (width::BIGINT * height::BIGINT * 3)::BIGINT AS n_bytes
+      |FROM r""".stripMargin
+
   // ------------------------------------------------- streaming (§7.6)
 
   import graft.streaming.StreamingPivot
@@ -847,6 +870,7 @@ object Queries {
     "ann_topk_ivf" -> (annTopkIvf _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _),
     "stream_pivot" -> (streamPivot _))
 
   def oracles: Map[String, String] = Map(
@@ -886,5 +910,6 @@ object Queries {
     "ann_topk_ivf" -> annTopkIvfSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
+    "mm_resize" -> mmResizeSql,
     "stream_pivot" -> streamPivotSql)
 }
