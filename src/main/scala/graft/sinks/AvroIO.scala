@@ -33,14 +33,27 @@ object AvroIO {
       job.getConfiguration.set("avro.output.codec", c)
     }
     val names = df.schema.fieldNames
-    df.rdd.mapPartitions { it =>
+    val dataTypes = df.schema.fields.map(_.dataType)
+    // queryExecution.toRdd, not df.rdd: record building reads the pipeline's
+    // UnsafeRows directly instead of paying a Catalyst→external Row
+    // conversion per row first. Values are copied out immediately
+    // (UTF8String.toString / primitive box), so row-buffer reuse is safe.
+    df.queryExecution.toRdd.mapPartitions { it =>
       // Schema is not serializable pre-1.9 style; re-parse per partition.
       val schema = new AvroSchema.Parser().parse(avroJson)
+      val get: Array[(org.apache.spark.sql.catalyst.InternalRow, Int) => AnyRef] =
+        dataTypes.map {
+          case StringType  => (r, i) => r.getUTF8String(i).toString
+          case IntegerType => (r, i) => Integer.valueOf(r.getInt(i))
+          case LongType    => (r, i) => java.lang.Long.valueOf(r.getLong(i))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported Avro sink type $other")
+        }
       it.map { row =>
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < names.length) {
-          if (!row.isNullAt(i)) rec.put(names(i), row.get(i))
+          if (!row.isNullAt(i)) rec.put(names(i), get(i)(row, i))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())

@@ -56,8 +56,12 @@ object StreamingPivot {
       columns: Seq[String],
       windowDur: String = "1 hour",
       watermark: String = "1 hour"): DataFrame = {
+    // Same hash-aggregable LWW as the batch pivot (KvPivot): the custom
+    // aggregate keeps the stateful agg ObjectHash-based instead of sorting
+    // every micro-batch.
     val aggs = columns.map { c =>
-      max_by(col("value"), when(col("qualifier") === c, col("ts"))).as(c)
+      graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), when(col("qualifier") === c, col("ts"))).as(c)
     }
     cells
       .filter(col("qualifier").isin(columns: _*))
