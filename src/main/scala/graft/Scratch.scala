@@ -38,6 +38,19 @@ object Scratch {
         time("parquet full")(Queries.exportParquetRoundtrip(spark, sfDir).count())
       case "explain" =>
         Queries.kvTypedExport(spark, sfDir).explain("formatted")
+      case "recall" =>
+        import org.apache.spark.sql.functions.col
+        val emb = graft.kv.KvTable.table(spark, sfDir, "embeddings")
+        val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 50 === 0
+        val brute = graft.ext.Similarity.bruteTopK(emb, isQ)
+          .select(col("q"), col("nb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        for ((name, df) <- Seq(
+            "lsh" -> graft.ext.Similarity.lshTopK(emb, isQ),
+            "ivf" -> graft.ext.Similarity.ivfTopK(emb, isQ))) {
+          val got = df.select(col("q"), col("nb")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          println(f"[recall] $name%-4s ${ (brute & got).size.toDouble / brute.size }%.3f  (pairs ${got.size})")
+        }
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)

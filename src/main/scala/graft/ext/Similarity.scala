@@ -91,7 +91,7 @@ object Similarity {
   // ------------------------------------------------------------- IVF
 
   val NumCells = 32
-  val NProbe = 4
+  val NProbe = 8
 
   /** IVF (inverted-file) ANN: the corpus is coarse-partitioned by nearest
     * centroid; a query probes only its `NProbe` nearest cells and rescores
