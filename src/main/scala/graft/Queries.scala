@@ -831,6 +831,22 @@ object Queries {
        |FROM events GROUP BY 1, 2""".stripMargin
   }
 
+  /** Streaming exact dedup: distinct (rowKey, qualifier) pairs maintained as
+    * streaming state, run to batch parity (append mode).
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
+    StreamingPivot.runAvailableNow(
+      StreamingPivot.distinctKeys(cells, Seq("rowKey", "qualifier")),
+      "stream_dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  private val streamDedupSql: String =
+    """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  event_type AS qualifier
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -871,7 +887,8 @@ object Queries {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
-    "stream_pivot" -> (streamPivot _))
+    "stream_pivot" -> (streamPivot _),
+    "stream_dedup" -> (streamDedup _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -911,5 +928,6 @@ object Queries {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
-    "stream_pivot" -> streamPivotSql)
+    "stream_pivot" -> streamPivotSql,
+    "stream_dedup" -> streamDedupSql)
 }

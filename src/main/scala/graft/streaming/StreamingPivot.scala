@@ -75,16 +75,28 @@ object StreamingPivot {
   /** Run a streaming DataFrame to completion over the currently-available
     * input (batch parity mode) and return the full result.
     */
-  def runAvailableNow(df: DataFrame, name: String): DataFrame = {
+  def runAvailableNow(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
       .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming exact dedup: the set of distinct key tuples seen so far —
+    * in-flight dedup for an ingest pipeline (state = one entry per distinct
+    * tuple; with a watermark column in `cols` the state would age out —
+    * unbounded here because batch-parity runs are finite). Projecting to
+    * exactly the dedup columns keeps the result a deterministic SET:
+    * `dropDuplicates` over wider rows would keep an arbitrary first arrival
+    * per key, which no oracle could replay.
+    */
+  def distinctKeys(cells: DataFrame, cols: Seq[String]): DataFrame =
+    cells.select(cols.map(col): _*).dropDuplicates(cols)
 
   // ------------------------------------------------- custom state (memstore)
 
