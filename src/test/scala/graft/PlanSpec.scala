@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.kv.{KvGenerator, KvTable, RangeLayout}
+import graft.ops.KvPivot
+
+/** Physical-plan regression tests: the scale claims in the scaladocs
+  * (shuffle counts, aggregate strategy, broadcast choice, scan pushdown)
+  * asserted against the actual executed plans, so a refactor that silently
+  * re-plans a pivot as a sort or un-broadcasts a dim join fails CI, not a
+  * 1000-executor run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("pivotPresorted adds ZERO exchanges over a range-laid source") {
+    val cells = KvGenerator.cells(spark, 1000, 4, "run1")
+    val laid = RangeLayout.layout(cells, 4).localCheckpoint()
+    val plan = executedPlan(KvPivot.pivotPresorted(laid, Seq("C0", "C1")))
+    plan should not include "Exchange"
+  }
+
+  test("pivot is hash-aggregated (ObjectHashAggregate), never SortAggregate") {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val plan = executedPlan(KvPivot.pivot(cells, Seq("click", "view")))
+    plan should include("ObjectHashAggregate")
+    plan should not include "SortAggregate"
+  }
+
+  test("pivot runs exactly one exchange (the groupBy on rowKey)") {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val plan = executedPlan(KvPivot.pivot(cells, Seq("click", "view")))
+    // The AQE plan string prints Final + Initial sections; materialized
+    // shuffles appear as ShuffleQueryStage nodes in the final plan only.
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+  }
+
+  test("enrich join broadcasts the dim side, no shuffle of the fact side") {
+    val plan = executedPlan(Queries.relEnrichJoin(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("family predicate reaches the parquet scan as a pushed filter") {
+    val li = KvTable.table(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val plan = li.queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+    // column pruning: the scan reads only the two needed columns
+    plan should include("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>")
+  }
+
+  test("asof join is one shuffle + one window, no join operator at all") {
+    val plan = executedPlan(Queries.relAsofJoin(spark, sfDir))
+    plan should include("Window")
+    plan should not include "Join"
+  }
+
+  test("range join plans as an equi-join (hash/merge-joinable), not nested loop") {
+    val plan = executedPlan(Queries.relRangeJoin(spark, sfDir))
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+}
