@@ -207,6 +207,35 @@ object Queries {
       |  FROM lineitem)
       |GROUP BY KEY""".stripMargin
 
+  /** The inverse of A1 — row→cells via Spark's native `unpivot` (melt): the
+    * load-path operator that turns a columnar table into a KV cell stream
+    * (what PopulateTable's 10-cell fan-out does, G1, restated on real data).
+    * Narrow (no shuffle): 3 cells per lineitem row.
+    */
+  def kvUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = KvTable.table(spark, sfDir, "lineitem")
+    li.select(
+        KvTable.lineitemKey.as("KEY"),
+        floor(col("l_quantity")).cast("long").cast("string").as("qty"),
+        col("l_linenumber").cast("string").as("ln"),
+        col("l_returnflag").as("flag"))
+      .unpivot(Array(col("KEY")), Array(col("qty"), col("ln"), col("flag")),
+        "qualifier", "value")
+  }
+
+  private val kvUnpivotSql: String =
+    """WITH r AS (
+      |  SELECT concat(lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '|',
+      |           lpad(CAST(l_linenumber AS VARCHAR), 2, '0'), '|',
+      |           lpad(CAST(l_partkey AS VARCHAR), 8, '0'), '|',
+      |           lpad(CAST(l_suppkey AS VARCHAR), 6, '0')) AS KEY,
+      |    CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS qty,
+      |    CAST(l_linenumber AS VARCHAR) AS ln, l_returnflag AS flag
+      |  FROM lineitem)
+      |SELECT KEY, 'qty' AS qualifier, qty AS value FROM r
+      |UNION ALL SELECT KEY, 'ln' AS qualifier, ln AS value FROM r
+      |UNION ALL SELECT KEY, 'flag' AS qualifier, flag AS value FROM r""".stripMargin
+
   // ------------------------------------------------------------- K1–K4 sinks
 
   private def tmpOut(name: String): String =
@@ -858,6 +887,7 @@ object Queries {
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
+    "kv_unpivot" -> (kvUnpivot _),
     "export_txt_roundtrip" -> (exportTxtRoundtrip _),
     "export_seq_roundtrip" -> (exportSeqRoundtrip _),
     "export_avro_roundtrip" -> (exportAvroRoundtrip _),
@@ -899,6 +929,7 @@ object Queries {
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,
+    "kv_unpivot" -> kvUnpivotSql,
     "export_txt_roundtrip" -> delimitedRoundtripSql,
     "export_seq_roundtrip" -> delimitedRoundtripSql,
     "export_avro_roundtrip" -> kvTypedExportSql,

@@ -59,15 +59,21 @@ object KvTable {
     * cell's ts is monotonic in its own value, so the max-ts cell is the
     * max-value cell — reproducible in the oracle as `GROUP BY key` + `max`.
     */
+  /** The lineitem composite row key (zero-padded so byte order == numeric
+    * order, shared by the cell loader and the unpivot query).
+    */
+  def lineitemKey: org.apache.spark.sql.Column =
+    concat_ws("|",
+      lpad(col("l_orderkey").cast(StringType), 10, "0"),
+      lpad(col("l_linenumber").cast(StringType), 2, "0"),
+      lpad(col("l_partkey").cast(StringType), 8, "0"),
+      lpad(col("l_suppkey").cast(StringType), 6, "0"))
+
   def lineitemAsCells(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.ByteCodecs._
     val li = table(spark, sfDir, "lineitem")
     li.select(
-        concat_ws("|",
-          lpad(col("l_orderkey").cast(StringType), 10, "0"),
-          lpad(col("l_linenumber").cast(StringType), 2, "0"),
-          lpad(col("l_partkey").cast(StringType), 8, "0"),
-          lpad(col("l_suppkey").cast(StringType), 6, "0")).as("rowKey"),
+        lineitemKey.as("rowKey"),
         explode(array(
           struct(lit("qty").as("qualifier"),
             longToBinary(floor(col("l_quantity"))).as("value"),
