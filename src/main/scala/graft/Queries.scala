@@ -438,6 +438,28 @@ object Queries {
       |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Exact distributed quantiles per group (Spark `percentile` == DuckDB
+    * `quantile_cont`: both sort and linearly interpolate; inputs are
+    * integer-floored first and outputs integer-scaled so the comparison is
+    * exact). Exact percentile is a per-group sort — the documented cost; the
+    * approximate path at scale is `approx_percentile` (t-digest), which no
+    * cross-engine oracle can replay.
+    */
+  def relQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        floor(expr("percentile(floor(o_totalprice), 0.5)") * 100).cast("long").as("p50_x100"),
+        floor(expr("percentile(floor(o_totalprice), 0.9)") * 100).cast("long").as("p90_x100"),
+        count(lit(1)).as("n"))
+
+  private val relQuantilesSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(floor(quantile_cont(floor(o_totalprice), 0.5) * 100) AS BIGINT) AS p50_x100,
+      |  CAST(floor(quantile_cont(floor(o_totalprice), 0.9) * 100) AS BIGINT) AS p90_x100,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- text analysis (§7.6)
 
   import graft.ext.TextAnalysis
@@ -898,6 +920,7 @@ object Queries {
     "rel_asof_join" -> (relAsofJoin _),
     "rel_range_join" -> (relRangeJoin _),
     "rel_rollup" -> (relRollup _),
+    "rel_quantiles" -> (relQuantiles _),
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
@@ -940,6 +963,7 @@ object Queries {
     "rel_asof_join" -> relAsofJoinSql,
     "rel_range_join" -> relRangeJoinSql,
     "rel_rollup" -> relRollupSql,
+    "rel_quantiles" -> relQuantilesSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
