@@ -240,12 +240,23 @@ object Dedup {
     * fixpoint the operator throws rather than return a silently-partial
     * clustering.
     */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  /** Edge-count ceiling for the driver-side union-find fast path. Same
+    * reasoning as a broadcast join's autoBroadcastJoinThreshold: when the
+    * *derived* relation (near-dup edges, a few % of the corpus) fits
+    * comfortably in driver memory, one collect + linear union-find beats
+    * O(diameter) distributed rounds; past the ceiling the distributed
+    * propagation path runs instead. 2^20 edges ≈ 16 MB collected.
+    */
+  val DriverCcMaxEdges: Long = 1L << 20
+
+  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     // Edges both directions, materialized once — the pair pipeline (LSH,
     // shingling, ...) must not replay every round.
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    if (edges.count() <= driverMaxEdges) return clustersDriver(docs, edges)
     // Only nodes with at least one edge can ever change label; iterate over
     // that (much smaller) subgraph and union the untouched singletons back
     // at the end. In a near-dup pipeline dup rates are a few percent, so
@@ -276,6 +287,35 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", col("doc_id"))
       .unionByName(labels.select(col("doc_id"), col("lbl").as("cluster_id")))
+  }
+
+  /** Small-graph fast path: collect the (bounded) edge set, run path-halving
+    * union-find with min-id roots on the driver, broadcast-join the labels
+    * back. Exactly the result the distributed rounds converge to.
+    */
+  private def clustersDriver(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id becomes the root → cluster id = component min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = es.map(_._1).distinct.map(n => n -> find(n)).toSeq
+      .toDF("doc_id", "cluster_id")
+    docs.select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   // ----------------------------------------------------- embedding cosine

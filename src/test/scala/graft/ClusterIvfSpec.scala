@@ -9,23 +9,34 @@ import graft.kv.KvTable
 class ClusterIvfSpec extends SparkSpec {
   import spark.implicits._
 
-  private def clustersOf(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** driverMaxEdges = -1 forces the distributed propagation path; the
+    * default exercises the driver union-find fast path.
+    */
+  private def clustersOf(n: Long, pairs: Seq[(Long, Long)],
+      driverMaxEdges: Long = Dedup.DriverCcMaxEdges): Map[Long, Long] = {
     val docs = spark.range(n).select($"id".as("doc_id"))
     val p = pairs.toDF("a", "b")
-    Dedup.clusters(docs, p).as[(Long, Long)].collect().toMap
+    Dedup.clusters(docs, p, driverMaxEdges = driverMaxEdges)
+      .as[(Long, Long)].collect().toMap
   }
+
+  private val Mixed = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+  private val MixedExpect = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+    4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L, 9L -> 9L)
 
   test("clusters: chain, triangle, and singletons all get the component min") {
     // chain 0-1-2-3 (diameter 3), triangle 4-5-6, singletons 7..9
-    val got = clustersOf(10, Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)))
-    got shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
-      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L, 9L -> 9L)
+    clustersOf(10, Mixed) shouldBe MixedExpect
+  }
+
+  test("clusters: distributed propagation path agrees with the driver fast path") {
+    clustersOf(10, Mixed, driverMaxEdges = -1) shouldBe MixedExpect
   }
 
   test("clusters: long path needs several propagation rounds and still converges") {
-    // path 0-1-2-...-9: min label must travel 9 hops
+    // path 0-1-2-...-9: min label must travel 9 hops (distributed path)
     val edges = (0L until 9L).map(i => (i, i + 1))
-    val got = clustersOf(10, edges)
+    val got = clustersOf(10, edges, driverMaxEdges = -1)
     got.values.toSet shouldBe Set(0L)
   }
 
@@ -33,7 +44,7 @@ class ClusterIvfSpec extends SparkSpec {
     val docs = spark.range(5).select($"id".as("doc_id"))
     val p = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Dedup.clusters(docs, p, maxRounds = 2)
+      Dedup.clusters(docs, p, maxRounds = 2, driverMaxEdges = -1)
     }
     e.getMessage should include("converge")
   }
