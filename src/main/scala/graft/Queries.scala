@@ -438,6 +438,56 @@ object Queries {
       |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Semi/anti joins (SURVEY §2.4 — absent in the reference, free in Spark):
+    * active users = customers with at least one event; for each, order count
+    * plus an anti-join flag against high-priority orders. Both sides plan as
+    * broadcast/hash joins with no row duplication — the point of semi/anti
+    * over `IN`-style inner joins at scale.
+    */
+  def relSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = KvTable.table(spark, sfDir, "orders")
+    val activeUsers = KvTable.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("u_custkey"))
+    orders
+      .join(activeUsers, col("o_custkey") === col("user_id"), "left_semi")
+      .join(urgent, col("o_custkey") === col("u_custkey"), "left_anti")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
+  }
+
+  private val relSemiAntiSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders u
+      |                  WHERE u.o_orderpriority = '1-URGENT'
+      |                    AND u.o_custkey = o.o_custkey)
+      |GROUP BY 1""".stripMargin
+
+  /** Set operations (SURVEY §2.7 — absent in the reference): customer keys
+    * that ordered but never appeared in events (EXCEPT), appeared in both
+    * (INTERSECT), tagged and unioned. Distinct set semantics on both sides.
+    */
+  def relSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orderKeys = KvTable.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"))
+    val eventKeys = KvTable.events(spark, sfDir)
+      .select(col("user_id").as("k"))
+    orderKeys.intersect(eventKeys).withColumn("src", lit("both"))
+      .unionByName(orderKeys.except(eventKeys).withColumn("src", lit("orders_only")))
+  }
+
+  private val relSetOpsSql: String =
+    """SELECT k, 'both' AS src FROM (
+      |  SELECT o_custkey AS k FROM orders INTERSECT SELECT user_id FROM events)
+      |UNION ALL
+      |SELECT k, 'orders_only' AS src FROM (
+      |  SELECT o_custkey AS k FROM orders EXCEPT SELECT user_id FROM events)""".stripMargin
+
   /** Exact distributed quantiles per group (Spark `percentile` == DuckDB
     * `quantile_cont`: both sort and linearly interpolate; inputs are
     * integer-floored first and outputs integer-scaled so the comparison is
@@ -921,6 +971,8 @@ object Queries {
     "rel_range_join" -> (relRangeJoin _),
     "rel_rollup" -> (relRollup _),
     "rel_quantiles" -> (relQuantiles _),
+    "rel_semi_anti" -> (relSemiAnti _),
+    "rel_set_ops" -> (relSetOps _),
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
@@ -964,6 +1016,8 @@ object Queries {
     "rel_range_join" -> relRangeJoinSql,
     "rel_rollup" -> relRollupSql,
     "rel_quantiles" -> relQuantilesSql,
+    "rel_semi_anti" -> relSemiAntiSql,
+    "rel_set_ops" -> relSetOpsSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
