@@ -841,6 +841,25 @@ object Queries {
        |       FROM p)
        |SELECT q, nb, rk2::BIGINT AS rank, cos_x1000 FROM r2 WHERE rk2 <= 5""".stripMargin
 
+  /** Sub-quadratic embedding near-dup pairs: LSH bucket-collision candidates
+    * + exact rescoring ([[Dedup.embeddingLshPairs]]); the oracle runs the
+    * quadratic scan restricted to "collides in ≥1 table" — same set.
+    */
+  def dedupEmbedLshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingLshPairs(embeds(spark, sfDir))
+
+  private val dedupEmbedLshPairsSql: String =
+    s"""WITH $annNormCte,
+       |bk AS (SELECT vec_id, v, nrm,
+       |         list_transform(range(0, ${Similarity.NumTables}), t -> $annBucketExpr) AS bks
+       |       FROM n),
+       |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |        floor(${dotSql("x.v", "y.v")} * 1000 / (x.nrm * y.nrm))::BIGINT AS cos_x1000
+       |      FROM bk x JOIN bk y ON x.vec_id < y.vec_id
+       |      WHERE len(list_filter(range(0, ${Similarity.NumTables}),
+       |                            t -> x.bks[t+1] = y.bks[t+1])) > 0)
+       |SELECT a, b, cos_x1000 FROM p WHERE cos_x1000 >= 400""".stripMargin
+
   // ------------------------------------------------- multimodal (§7.6)
 
   import graft.ext.Multimodal
@@ -986,6 +1005,7 @@ object Queries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embed_pairs" -> (dedupEmbedPairs _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_embed_lsh_pairs" -> (dedupEmbedLshPairs _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
@@ -1031,6 +1051,7 @@ object Queries {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_embed_pairs" -> dedupEmbedPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_embed_lsh_pairs" -> dedupEmbedLshPairsSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,

@@ -38,6 +38,12 @@ object Scratch {
         time("parquet full")(Queries.exportParquetRoundtrip(spark, sfDir).count())
       case "explain" =>
         Queries.kvTypedExport(spark, sfDir).explain("formatted")
+      case "jacplan" =>
+        val df = Queries.dedupJaccardPairs(spark, sfDir)
+        time("jaccard")(df.count())
+        val p = df.queryExecution.executedPlan.toString
+        println("joins: " + p.linesIterator.filter(_.contains("Join")).map(_.trim.take(60)).mkString(" | "))
+        println("shuffles: " + p.linesIterator.count(_.contains("ShuffleQueryStage")))
       case "recall" =>
         import org.apache.spark.sql.functions.col
         val emb = graft.kv.KvTable.table(spark, sfDir, "embeddings")

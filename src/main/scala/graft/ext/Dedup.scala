@@ -321,7 +321,8 @@ object Dedup {
   // ----------------------------------------------------- embedding cosine
 
   /** Embedding near-dup pairs: brute-force cosine ≥ threshold/1000. The
-    * oracle-checkable baseline; the sub-quadratic path is Similarity.
+    * oracle-checkable baseline; the sub-quadratic path is
+    * [[embeddingLshPairs]].
     */
   def embeddingPairs(embeddings: DataFrame, threshold: Long = 400L): DataFrame = {
     val e = embeddings.select(col("vec_id"),
@@ -333,5 +334,37 @@ object Dedup {
         floor(VectorOps.dot(col("x.v"), col("y.v")) * 1000 /
           (col("x.nrm") * col("y.nrm"))).cast("long").as("cos_x1000"))
       .filter(col("cos_x1000") >= threshold)
+  }
+
+  /** Embedding near-dup pairs at scale: candidates from random-hyperplane
+    * LSH bucket collisions instead of the O(n²) scan — vectors pair up only
+    * when some hash table puts them in the same sign-bit bucket; candidates
+    * are exactly rescored and thresholded. Same (table, bucket) equi-join +
+    * first-matching-table dedup shape as the MinHash/SimHash banding (a
+    * filter, never a `.distinct()` of the candidate set). Approximate by
+    * construction: a pair whose vectors collide in NO table is missed —
+    * recall rises with tables, bucket width sizes with log(corpus).
+    */
+  def embeddingLshPairs(embeddings: DataFrame, threshold: Long = 400L): DataFrame = {
+    import Similarity.{bucketOf, NumTables}
+    val idx = Similarity.index(embeddings)
+    // Every row carries ALL its table buckets so the first-matching-table
+    // filter needs no recomputation on the joined pairs.
+    val bk = idx.withColumn("bks",
+      array((0 until NumTables).map(t => bucketOf(col("v"), t)): _*))
+    val side = bk.select(col("vec_id"), col("v"), col("nrm"), col("bks"),
+        explode(sequence(lit(0), lit(NumTables - 1))).as("t"))
+      .withColumn("bucket", element_at(col("bks"), col("t") + 1))
+    val joined = side.as("x").join(side.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("x.t").as("t"),
+        zip_with(col("x.bks"), col("y.bks"), (xb, yb) => xb === yb).as("m"),
+        floor(VectorOps.dot(col("x.v"), col("y.v")) * 1000 /
+          (col("x.nrm") * col("y.nrm"))).cast("long").as("cos_x1000"))
+    joined
+      .filter(array_position(col("m"), lit(true)) - 1 === col("t"))
+      .filter(col("cos_x1000") >= threshold)
+      .select(col("a"), col("b"), col("cos_x1000"))
   }
 }
