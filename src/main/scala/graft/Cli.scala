@@ -40,6 +40,7 @@ object Cli {
     require(args.nonEmpty, usage)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .withExtensions(new GraftExtensions) // SQL surface for graft functions
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")

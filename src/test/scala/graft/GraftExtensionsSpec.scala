@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.PolyHash
+
+/** The SQL function surface registered by [[GraftExtensions]]. Uses its own
+  * session (extensions bind at session build), same JVM/context.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val sql: SparkSession = {
+    // getOrCreate() returns the suite-shared session and would skip the
+    // extensions; clear, build against the same SparkContext, restore.
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prev.foreach(SparkSession.setDefaultSession)
+    prev.foreach(SparkSession.setActiveSession)
+    s
+  }
+
+  test("scalar functions are callable from SQL and agree with the Scala API") {
+    val row = sql.sql(
+      """SELECT poly_hash('spark') AS h,
+        |  bin_to_long(long_to_bin(1234567890123)) AS l,
+        |  bin_to_int(int_to_bin(-42)) AS i,
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin)
+      .collect().head
+    row.getLong(0) shouldBe PolyHash.of("spark")
+    row.getLong(1) shouldBe 1234567890123L
+    row.getInt(2) shouldBe -42
+    row.getDouble(3) shouldBe 11.0
+  }
+
+  test("max_by_ts aggregates from SQL (LWW per key)") {
+    sql.sql(
+      """SELECT * FROM VALUES
+        |  ('a', CAST('old' AS BINARY), 1L), ('a', CAST('new' AS BINARY), 2L),
+        |  ('b', CAST('x' AS BINARY), 5L)
+        |AS cells(k, v, ts)""".stripMargin).createOrReplaceTempView("cells_v")
+    val got = sql.sql(
+      "SELECT k, CAST(max_by_ts(v, ts) AS STRING) AS win FROM cells_v GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    got shouldBe Seq("a" -> "new", "b" -> "x")
+  }
+}
