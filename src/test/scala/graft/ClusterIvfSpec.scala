@@ -72,6 +72,18 @@ class ClusterIvfSpec extends SparkSpec {
     withClue(s"recall@5 = $recall") { recall should be >= 0.3 }
   }
 
+  test("embedding LSH pairs are a subset of brute pairs with identical scores") {
+    val emb = KvTable.table(spark, sfDir, "embeddings")
+    val brute = Queries.dedupEmbedPairs(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Dedup.embeddingLshPairs(emb)
+      .as[(Long, Long, Long)].collect()
+    lsh.length should be > 0
+    lsh.foreach { case (a, b, cos) =>
+      withClue(s"pair ($a,$b)") { brute.get((a, b)) shouldBe Some(cos) }
+    }
+  }
+
   test("topterms: document frequency counts distinct docs, ties rank lexicographically") {
     val docs = Seq(
       (0L, "b a", "en"), (1L, "a b", "en"), (2L, "c c c", "en"), (3L, "x", "de"))
