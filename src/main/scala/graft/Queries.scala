@@ -967,6 +967,62 @@ object Queries {
       |  event_type AS qualifier
       |FROM events""".stripMargin
 
+  /** Gap-based sessionization (1-hour gap) via flatMapGroupsWithState, run
+    * to batch parity; oracle = the window-function formulation.
+    */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = StreamingPivot.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").as("tsNanos"))
+      .as[StreamingPivot.SessionEvent]
+    StreamingPivot.runAvailableNow(
+      StreamingPivot.Sessionize(raw, gapNanos = 3600L * 1000000000L).toDF(),
+      "stream_sessions_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  private val streamSessionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+      |x AS (SELECT user_id, t,
+      |        lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+      |      FROM e),
+      |s AS (SELECT user_id, t,
+      |        CASE WHEN prev IS NULL OR t - prev > 3600000000000 THEN 1 ELSE 0 END AS brk
+      |      FROM x),
+      |g AS (SELECT user_id, t,
+      |        (sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS sid
+      |      FROM s)
+      |SELECT user_id, sid AS session_idx, count(*) AS n_events,
+      |  min(t) // 1000 AS start_us, max(t) // 1000 AS end_us
+      |FROM g GROUP BY 1, 2""".stripMargin
+
+  /** The mapGroupsWithState memstore (latest cell per qualifier per rowKey)
+    * run to batch parity — equals the batch pivot plus the max cell ts.
+    */
+  def streamMemstore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts").as("cellTs"))
+      .as[StreamingPivot.CellEvent]
+    val snap = StreamingPivot.LatestCells(cells).toDF()
+    StreamingPivot.runAvailableNow(snap, "stream_memstore_out",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .select(col("rowKey") +:
+        EventCols.map(c => col("qualifiers").getItem(c).as(c)) :+
+        col("lastTs").as("last_ts"): _*)
+  }
+
+  private val streamMemstoreSql: String = {
+    val aggs = EventCols.map { c =>
+      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
+    }.mkString(", ")
+    s"""SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs,
+       |  max(event_id) AS last_ts
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------- catalog
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1013,7 +1069,9 @@ object Queries {
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "stream_pivot" -> (streamPivot _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_sessions" -> (streamSessions _),
+    "stream_memstore" -> (streamMemstore _))
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
@@ -1059,5 +1117,7 @@ object Queries {
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "stream_pivot" -> streamPivotSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_sessions" -> streamSessionsSql,
+    "stream_memstore" -> streamMemstoreSql)
 }

@@ -40,10 +40,14 @@ object StreamingPivot {
     * stays in integer arithmetic — epoch nanos exceed 2^52, double division
     * would lose microseconds.
     */
-  def eventCellsStream(spark: SparkSession, sfDir: String): DataFrame =
+  /** The raw events table as a stream (`ts` = epoch nanos, long). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(graft.kv.KvTable.EventsParquetSchema)
       .parquet(asStreamDir(s"$sfDir/events.parquet"))
+
+  def eventCellsStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
       .select(graft.kv.KvTable.eventCellColumns :+
         expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
 
@@ -97,6 +101,52 @@ object StreamingPivot {
     */
   def distinctKeys(cells: DataFrame, cols: Seq[String]): DataFrame =
     cells.select(cols.map(col): _*).dropDuplicates(cols)
+
+  // ------------------------------------------------- sessionization
+
+  case class SessionEvent(user_id: Long, event_id: Long, tsNanos: Long)
+  case class SessionRow(
+      user_id: Long, session_idx: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Gap-based sessionization: a user's events split into sessions wherever
+    * consecutive event times are more than `gapNanos` apart — the grouping
+    * pass a behavioral-training pipeline runs before sampling
+    * conversations/sessions. `flatMapGroupsWithState` is the custom-state
+    * escape hatch (sessions are not expressible as watermarked windows:
+    * boundaries depend on the data, not the clock).
+    *
+    * Batch-parity mode (Trigger.AvailableNow, one batch) delivers each key's
+    * full event iterator at once, so state never carries across batches and
+    * the result equals the batch window formulation the oracle runs. In a
+    * live stream the same state type holds the open session tail per key and
+    * an event-time timeout flushes it — same merge logic, documented here
+    * rather than exercised (the harness compares against batch SQL).
+    */
+  object Sessionize {
+    def apply(events: Dataset[SessionEvent], gapNanos: Long): Dataset[SessionRow] = {
+      import events.sparkSession.implicits._
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[SessionRow], SessionRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionRow]]) =>
+            // Sort once per key per batch: session boundaries need time order.
+            val ts = it.map(e => (e.tsNanos, e.event_id)).toArray.sorted
+            val out = List.newBuilder[SessionRow]
+            var idx = 0L; var n = 0L; var start = 0L; var last = Long.MinValue
+            ts.foreach { case (t, _) =>
+              if (n > 0 && t - last > gapNanos) {
+                out += SessionRow(user, idx, n, start / 1000, last / 1000)
+                idx += 1; n = 0
+              }
+              if (n == 0) start = t
+              n += 1; last = t
+            }
+            if (n > 0) out += SessionRow(user, idx, n, start / 1000, last / 1000)
+            out.result().iterator
+        }
+    }
+  }
 
   // ------------------------------------------------- custom state (memstore)
 
