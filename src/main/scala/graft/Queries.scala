@@ -384,13 +384,20 @@ object Queries {
         floor(col("_asof.value") * 100).cast("long").as("p_value_x100"))
   }
 
+  /** Equivalent to DuckDB's `c ASOF LEFT JOIN p ON user AND c.ts >= p.ts`,
+    * written as an explicit left join + rank-1 pick because ASOF JOIN leaves
+    * equal-timestamp ties arbitrary while the engine's tie-break (largest
+    * event id) must be replayable.
+    */
   private val relAsofJoinSql: String =
     """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
       |  (epoch_ns(c.ts) - epoch_ns(p.ts)) // 1000000000 AS gap_s,
       |  CAST(floor(p.value * 100) AS BIGINT) AS p_value_x100
       |FROM (SELECT * FROM events WHERE event_type = 'click') c
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC) = 1""".stripMargin
 
   /** Banded interval join ([[graft.ops.RangeJoin]]): clicks within the day
     * before each error, aggregated per error.
@@ -1007,11 +1014,16 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts").as("cellTs"))
       .as[StreamingPivot.CellEvent]
     val snap = StreamingPivot.LatestCells(cells).toDF()
+    // Update-mode memory sink appends one snapshot per key per batch; the
+    // per-key version counter picks the newest deterministically whatever
+    // the batching (single-batch here, but not assumed).
     StreamingPivot.runAvailableNow(snap, "stream_memstore_out",
         org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy(col("rowKey"))
+      .agg(max_by(struct(col("qualifiers"), col("lastTs")), col("version")).as("s"))
       .select(col("rowKey") +:
-        EventCols.map(c => col("qualifiers").getItem(c).as(c)) :+
-        col("lastTs").as("last_ts"): _*)
+        EventCols.map(c => col("s.qualifiers").getItem(c).as(c)) :+
+        col("s.lastTs").as("last_ts"): _*)
   }
 
   private val streamMemstoreSql: String = {

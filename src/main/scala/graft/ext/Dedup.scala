@@ -251,12 +251,13 @@ object Dedup {
 
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
       driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
-    // Edges both directions, materialized once — the pair pipeline (LSH,
-    // shingling, ...) must not replay every round.
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    if (edges.count() <= driverMaxEdges) return clustersDriver(docs, edges)
+    // Pairs materialized BEFORE the direction union — self-unioning the
+    // plan would run the expensive pair pipeline (LSH, shingling, ...)
+    // once per branch; the union of the checkpointed relation is narrow.
+    val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .union(p0.select(col("b").as("src"), col("a").as("dst")))
+    if (p0.count() * 2 <= driverMaxEdges) return clustersDriver(docs, edges)
     // Only nodes with at least one edge can ever change label; iterate over
     // that (much smaller) subgraph and union the untouched singletons back
     // at the end. In a near-dup pipeline dup rates are a few percent, so

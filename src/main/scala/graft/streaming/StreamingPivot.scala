@@ -130,6 +130,17 @@ object StreamingPivot {
         .flatMapGroupsWithState[List[SessionRow], SessionRow](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           (user: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionRow]]) =>
+            // Batch-parity guard: this formulation sessionizes each key's
+            // FULL event set in one call. If the source ever splits a key
+            // across micro-batches (maxFilesPerTrigger, restart from a
+            // checkpoint), per-batch sessionization would be silently wrong
+            // — fail loudly instead. (The live-stream variant would keep the
+            // open session tail in this state with an event-time timeout.)
+            if (state.exists)
+              throw new IllegalStateException(
+                s"Sessionize batch-parity run saw key $user in a second " +
+                  "micro-batch; single-batch input required")
+            state.update(Nil)
             // Sort once per key per batch: session boundaries need time order.
             val ts = it.map(e => (e.tsNanos, e.event_id)).toArray.sorted
             val out = List.newBuilder[SessionRow]
@@ -152,26 +163,35 @@ object StreamingPivot {
 
   case class CellEvent(rowKey: String, qualifier: String, value: String, cellTs: Long)
 
-  /** Latest cell per qualifier for one rowKey — the memstore row. */
-  case class RowSnapshot(rowKey: String, qualifiers: Map[String, String], lastTs: Long)
+  /** Latest cell per qualifier for one rowKey — the memstore row. `version`
+    * counts state updates for this key: strictly increasing per key across
+    * batches, so downstream consumers of an update-mode sink (which appends
+    * one snapshot per key per batch) can pick the newest snapshot
+    * deterministically — `lastTs` alone cannot (a late cell for another
+    * qualifier changes content without raising the max ts).
+    */
+  case class RowSnapshot(
+      rowKey: String, qualifiers: Map[String, String], lastTs: Long, version: Long)
 
   object LatestCells {
+
+    type State = (Long, Map[String, (String, Long)]) // (version, cells)
 
     /** LWW merge of new cells into the per-key state. */
     def update(
         key: String,
         events: Iterator[CellEvent],
-        state: GroupState[Map[String, (String, Long)]]): RowSnapshot = {
-      val prev = state.getOption.getOrElse(Map.empty)
+        state: GroupState[State]): RowSnapshot = {
+      val (version, prev) = state.getOption.getOrElse((0L, Map.empty[String, (String, Long)]))
       val next = events.foldLeft(prev) { (m, e) =>
         m.get(e.qualifier) match {
           case Some((_, ts)) if ts >= e.cellTs => m // stale write loses
           case _ => m.updated(e.qualifier, (e.value, e.cellTs))
         }
       }
-      state.update(next)
+      state.update((version + 1, next))
       RowSnapshot(key, next.map { case (q, (v, _)) => q -> v },
-        if (next.isEmpty) 0L else next.values.map(_._2).max)
+        if (next.isEmpty) 0L else next.values.map(_._2).max, version + 1)
     }
 
     /** The streaming memstore: one snapshot row per rowKey per batch. */
@@ -179,7 +199,7 @@ object StreamingPivot {
       import cells.sparkSession.implicits._
       cells.groupByKey(_.rowKey)
         .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
-          (k: String, it: Iterator[CellEvent], s: GroupState[Map[String, (String, Long)]]) =>
+          (k: String, it: Iterator[CellEvent], s: GroupState[State]) =>
             update(k, it, s))
     }
   }
