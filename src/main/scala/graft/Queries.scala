@@ -599,6 +599,34 @@ object Queries {
       |FROM documents""".stripMargin
 
   /** Per-language top-5 terms by document frequency (corpus statistics). */
+  /** The end-to-end training-corpus cleaning pass, composed from the
+    * individual operators: exact dedup (keep the canonical doc), predicted
+    * language filter, quality threshold, token accounting. One declarative
+    * chain — Catalyst fuses the text expressions into one scan+project and
+    * the dedup window is the only exchange.
+    */
+  def pipeCleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val deduped = graft.ext.Dedup.exact(d).filter(!col("is_dup")).select(col("doc_id"))
+    d.join(deduped, Seq("doc_id"))
+      .select(col("doc_id"),
+        TextAnalysis.langPredict(TextAnalysis.langScores(col("text"))).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 500)
+  }
+
+  private val pipeCleanCorpusSql: String =
+    s"""WITH keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+       |    FROM documents) WHERE NOT is_dup),
+       |q AS ($txtQualitySql),
+       |l AS ($txtLangIdSql)
+       |SELECT doc_id, l.lang_pred, q.quality, q.n_tokens AS ws_tokens
+       |FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |WHERE l.lang_pred = 'en' AND q.quality >= 500""".stripMargin
+
   def txtTopterms(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.topTerms(docs(spark, sfDir))
 
@@ -1065,6 +1093,7 @@ object Queries {
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_topterms" -> (txtTopterms _),
+    "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1113,6 +1142,7 @@ object Queries {
     "txt_langid" -> txtLangIdSql,
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_topterms" -> txtToptermsSql,
+    "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
