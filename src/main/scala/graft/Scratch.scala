@@ -38,6 +38,17 @@ object Scratch {
         time("parquet full")(Queries.exportParquetRoundtrip(spark, sfDir).count())
       case "explain" =>
         Queries.kvTypedExport(spark, sfDir).explain("formatted")
+      case "pqdecomp" =>
+        import org.apache.spark.sql.functions.col
+        val df = Queries.kvTypedExport(spark, sfDir)
+        time("pivot count")(df.count())
+        time("pivot write parquet")(df.write.mode("overwrite").option("compression", "snappy")
+          .parquet("/tmp/graft_export/pq_decomp"))
+        time("read back count")(spark.read.parquet("/tmp/graft_export/pq_decomp").count())
+        time("write coalesce(8)")(df.coalesce(8).write.mode("overwrite")
+          .option("compression", "snappy").parquet("/tmp/graft_export/pq_decomp8"))
+        time("write repartition(32)")(df.repartition(32).write.mode("overwrite")
+          .option("compression", "snappy").parquet("/tmp/graft_export/pq_decomp32"))
       case "jacplan" =>
         val df = Queries.dedupJaccardPairs(spark, sfDir)
         time("jaccard")(df.count())

@@ -85,4 +85,55 @@ class JoinOpsSpec extends SparkSpec {
       window = 100L).collect().map(_.toSeq)
     got shouldBe Seq(Seq(1L, 10L))
   }
+
+  // ---------------------------------------------------- property laws
+
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import org.scalacheck.rng.Seed
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(Seed(7L)), p)
+    withClue(s"$name: ${res.status}") { assert(res.passed) }
+  }
+
+  /** (id, key, ts) rows; ids unique, ts may collide across keys but the
+    * generator keeps (key, ts) unique per side — the operator's documented
+    * determinism precondition for the right side.
+    */
+  private def rowsGen(idBase: Long): Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(0, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 4L)
+      ts <- Gen.choose(0L, 60L)
+    } yield (k, ts))
+  } yield rows.distinct.zipWithIndex.map { case ((k, ts), i) => (idBase + i, k, ts) }
+
+  test("law: asof matches the latest right row at-or-before, per key (random inputs)") {
+    check("asof", Prop.forAll(rowsGen(100), rowsGen(1000)) { (ls, rsRaw) =>
+      val rs = rsRaw.map { case (id, k, ts) => (id, k, ts, id.toDouble) }
+        .groupBy(r => (r._2, r._3)).values.map(_.head).toList // unique (key, ts)
+      val expected = ls.map { case (lid, k, lts) =>
+        val cand = rs.filter(r => r._2 == k && r._3 <= lts)
+        lid -> (if (cand.isEmpty) None
+                else Some(cand.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      val got = asof(ls, rs).collect().map(r =>
+        r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+      got == expected
+    })
+  }
+
+  test("law: range join equals the naive theta-join filter (random inputs)") {
+    check("range", Prop.forAll(rowsGen(100), rowsGen(1000), Gen.choose(1L, 30L)) {
+      (ls, rs, w) =>
+        val expected = (for {
+          (lid, lk, lts) <- ls
+          (rid, rk, rts) <- rs
+          if lk == rk && rts <= lts && rts >= lts - w
+        } yield (lid, rid)).toSet
+        val got = range(ls, rs, w).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        got == expected
+    })
+  }
 }
