@@ -949,6 +949,20 @@ object Queries {
       .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
   }
 
+  /** Audio resample to 8 kHz (audio only): metadata sample count + stub
+    * waveform checksum.
+    */
+  def mmResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    Multimodal.resampleAudio(media, outRate = 8000).toDF()
+  }
+
+  private val mmResampleSql: String =
+    s"""SELECT doc_id AS media_id, 8000 AS rate,
+       |  (1000 + doc_id * 40) * 8000 // 1000 AS n_samples,
+       |  (${polyHashSql("text")}) * 8000 % 2147483647 AS checksum
+       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   private val mmResizeSql: String =
     """WITH m AS (SELECT doc_id AS media_id,
       |             32 + (doc_id % 8) * 16 AS w0, 32 + (doc_id % 4) * 16 AS h0
@@ -1109,6 +1123,7 @@ object Queries {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
+    "mm_resample" -> (mmResample _),
     "stream_pivot" -> (streamPivot _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
@@ -1158,6 +1173,7 @@ object Queries {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
+    "mm_resample" -> mmResampleSql,
     "stream_pivot" -> streamPivotSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,

@@ -73,6 +73,10 @@ object Multimodal {
 
     /** Fake decode: byte count a real RGB decode would produce. */
     def decodedBytes(width: Int, height: Int): Long = width.toLong * height * 3
+
+    /** Fake resampled-waveform checksum at the target rate. */
+    def sampleChecksum(payload: Array[Byte], rate: Int): Long =
+      h(payload) * rate % PolyHash.Mod
   }
 
   object StubCodec {
@@ -123,6 +127,23 @@ object Multimodal {
       it.flatMap { m =>
         (0 until m.n_frames by stride).iterator
           .map(i => FrameRow(m.media_id, i, codec.frameHash(m.payload, i)))
+      }
+    }
+  }
+
+  case class ResampledAudio(media_id: Long, rate: Int, n_samples: Long, checksum: Long)
+
+  /** Audio resample (audio only): sample count from metadata at the target
+    * rate, stubbed sample checksum. Completes the per-modality surface
+    * (image→resize, video→frames, audio→resample, all→features).
+    */
+  def resampleAudio(media: Dataset[MediaRow], outRate: Int): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").mapPartitions { it =>
+      val codec = new StubCodec
+      it.map { m =>
+        val n = m.duration_ms * outRate / 1000
+        ResampledAudio(m.media_id, outRate, n, codec.sampleChecksum(m.payload, outRate))
       }
     }
   }
