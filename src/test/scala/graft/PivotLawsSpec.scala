@@ -74,6 +74,22 @@ class PivotLawsSpec extends SparkSpec {
     })
   }
 
+  test("hot key: one rowKey with 500k cells pivots in O(1) buffer (no skew blowup)") {
+    // The aggregate buffer is one (ts, value) per column regardless of the
+    // cells-per-key count — the skew property that makes the pivot safe when
+    // a single row key holds millions of cells.
+    val hot = spark.range(500000).selectExpr(
+      "'hot' AS rowKey", "'f' AS family",
+      "CASE id % 3 WHEN 0 THEN 'C0' WHEN 1 THEN 'C1' ELSE 'C2' END AS qualifier",
+      "encode(CAST(id AS STRING), 'UTF-8') AS value", "id AS ts")
+    val got = KvPivot.pivot(hot, Schema)
+      .select(col("rowKey") +: Schema.map(c => decode(col(c), "UTF-8").as(c)): _*)
+      .collect()
+    got.length shouldBe 1
+    // winners: the max-ts cell per qualifier (id % 3 == 0/1/2)
+    got.head.toSeq shouldBe Seq("hot", "499998", "499999", "499997")
+  }
+
   test("law: MaxByTsAgg agrees with built-in max_by wherever ties cannot occur") {
     run("maxByTs", Prop.forAll(cellsGen) { cells =>
       val df = toCells(cells)
