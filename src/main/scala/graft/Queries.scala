@@ -598,17 +598,17 @@ object Queries {
       |               (a, b) -> (a * 31 + b) % 2147483647) END)::BIGINT AS fp
       |FROM documents""".stripMargin
 
-  /** Per-language top-5 terms by document frequency (corpus statistics). */
   /** The end-to-end training-corpus cleaning pass, composed from the
     * individual operators: exact dedup (keep the canonical doc), predicted
     * language filter, quality threshold, token accounting. One declarative
-    * chain — Catalyst fuses the text expressions into one scan+project and
-    * the dedup window is the only exchange.
+    * chain over a single documents scan — the dedup window is the only
+    * exchange; the text expressions fuse into the post-filter projection.
     */
   def pipeCleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, sfDir)
-    val deduped = graft.ext.Dedup.exact(d).filter(!col("is_dup")).select(col("doc_id"))
-    d.join(deduped, Seq("doc_id"))
+    d.withColumn("_canonical", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("_canonical")) // exact dedup, canonical kept
       .select(col("doc_id"),
         TextAnalysis.langPredict(TextAnalysis.langScores(col("text"))).as("lang_pred"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
@@ -627,6 +627,7 @@ object Queries {
        |FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id)
        |WHERE l.lang_pred = 'en' AND q.quality >= 500""".stripMargin
 
+  /** Per-language top-5 terms by document frequency (corpus statistics). */
   def txtTopterms(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.topTerms(docs(spark, sfDir))
 
@@ -1032,14 +1033,14 @@ object Queries {
 
   private val streamSessionsSql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
-      |x AS (SELECT user_id, t,
+      |x AS (SELECT user_id, t, event_id,
       |        lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
       |      FROM e),
-      |s AS (SELECT user_id, t,
+      |s AS (SELECT user_id, t, event_id,
       |        CASE WHEN prev IS NULL OR t - prev > 3600000000000 THEN 1 ELSE 0 END AS brk
       |      FROM x),
       |g AS (SELECT user_id, t,
-      |        (sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |        (sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
       |                        ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS sid
       |      FROM s)
       |SELECT user_id, sid AS session_idx, count(*) AS n_events,

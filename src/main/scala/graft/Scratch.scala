@@ -39,7 +39,6 @@ object Scratch {
       case "explain" =>
         Queries.kvTypedExport(spark, sfDir).explain("formatted")
       case "pqdecomp" =>
-        import org.apache.spark.sql.functions.col
         val df = Queries.kvTypedExport(spark, sfDir)
         time("pivot count")(df.count())
         time("pivot write parquet")(df.write.mode("overwrite").option("compression", "snappy")

@@ -35,17 +35,17 @@ object StreamingPivot {
     dir.toString
   }
 
-  /** The events table as a *stream* of KV cells (file source; same mapping
-    * as KvTable.eventsAsCells plus an event-time column). `tsNanos DIV 1000`
-    * stays in integer arithmetic — epoch nanos exceed 2^52, double division
-    * would lose microseconds.
-    */
   /** The raw events table as a stream (`ts` = epoch nanos, long). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(graft.kv.KvTable.EventsParquetSchema)
       .parquet(asStreamDir(s"$sfDir/events.parquet"))
 
+  /** The events table as a *stream* of KV cells (same mapping as
+    * KvTable.eventsAsCells plus an event-time column). `ts DIV 1000` stays
+    * in integer arithmetic — epoch nanos exceed 2^52, double division would
+    * lose microseconds.
+    */
   def eventCellsStream(spark: SparkSession, sfDir: String): DataFrame =
     eventsStream(spark, sfDir)
       .select(graft.kv.KvTable.eventCellColumns :+

@@ -88,14 +88,10 @@ class JoinOpsSpec extends SparkSpec {
 
   // ---------------------------------------------------- property laws
 
-  import org.scalacheck.{Gen, Prop, Test => SCTest}
-  import org.scalacheck.rng.Seed
+  import org.scalacheck.{Gen, Prop}
 
-  private def check(name: String, p: Prop): Unit = {
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(Seed(7L)), p)
-    withClue(s"$name: ${res.status}") { assert(res.passed) }
-  }
+  private def check(name: String, p: org.scalacheck.Prop): Unit =
+    checkProp(name, p, seed = 7L, samples = 10)
 
   /** (id, key, ts) rows; ids unique, ts may collide across keys but the
     * generator keeps (key, ts) unique per side — the operator's documented
@@ -112,7 +108,6 @@ class JoinOpsSpec extends SparkSpec {
   test("law: asof matches the latest right row at-or-before, per key (random inputs)") {
     check("asof", Prop.forAll(rowsGen(100), rowsGen(1000)) { (ls, rsRaw) =>
       val rs = rsRaw.map { case (id, k, ts) => (id, k, ts, id.toDouble) }
-        .groupBy(r => (r._2, r._3)).values.map(_.head).toList // unique (key, ts)
       val expected = ls.map { case (lid, k, lts) =>
         val cand = rs.filter(r => r._2 == k && r._3 <= lts)
         lid -> (if (cand.isEmpty) None

@@ -56,6 +56,16 @@ class MultimodalSpec extends SparkSpec {
       (h2 * 31 + 2) % PolyHash.Mod
   }
 
+  test("audio resample: audio only, metadata sample count, stub checksum") {
+    val out = Multimodal.resampleAudio(media, outRate = 8000).collect()
+    out.length should be > 0
+    out.foreach { r =>
+      r.media_id % 3 shouldBe 1 // audio kind
+      r.rate shouldBe 8000
+      r.n_samples shouldBe (1000L + r.media_id * 40L) * 8000L / 1000L
+    }
+  }
+
   test("decode+resize: caps the long side, preserves stub byte accounting") {
     val out = Multimodal.decodeAndResize(media, maxSide = 32).collect()
       .map(d => d.media_id -> d).toMap

@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
-import org.scalacheck.rng.Seed
+import org.scalacheck.{Gen, Prop}
 
 import graft.functions.MaxByTsAgg
 import graft.ops.KvPivot
@@ -36,12 +35,8 @@ class PivotLawsSpec extends SparkSpec {
       .select(col("rowKey"), col("family"), col("qualifier"),
         encode(col("v"), "UTF-8").as("value"), col("ts"))
 
-  private def run(name: String, p: Prop): Unit = {
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12)
-        .withInitialSeed(Seed(42L)), p)
-    withClue(s"$name: ${res.status}") { assert(res.passed) }
-  }
+  private def run(name: String, p: Prop): Unit =
+    checkProp(name, p, seed = 42L, samples = 12)
 
   test("law: pivot emits exactly one row per distinct scanned rowKey") {
     run("rowcount", Prop.forAll(cellsGen) { cells =>

@@ -30,4 +30,15 @@ trait SparkSpec extends AnyFunSuite with Matchers {
 
   def rowsOf(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
+
+  /** Seeded ScalaCheck runner for property-law tests (each sample runs
+    * Spark jobs, so sample counts stay small; the fixed seed reproduces).
+    */
+  def checkProp(name: String, p: org.scalacheck.Prop, seed: Long, samples: Int): Unit = {
+    import org.scalacheck.{Test => SCTest}
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(samples)
+        .withInitialSeed(org.scalacheck.rng.Seed(seed)), p)
+    withClue(s"$name: ${res.status}") { assert(res.passed) }
+  }
 }
