@@ -826,18 +826,18 @@ object Queries {
     * each engine; `t` is the hash-table index column in scope).
     */
   private val annBucketExpr: String =
-    """list_reduce(list_transform(range(0, 6), i ->
-      |  CASE WHEN list_reduce(list_transform(range(0, 64),
-      |         d -> v[d+1] * ((((t*577 + i)*131 + d*31 + 7) % 97) / 97.0 - 0.5)),
-      |         (x, y) -> x + y) > 0
-      |  THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x, y) -> x + y)""".stripMargin
+    s"""list_reduce(list_transform(range(0, ${Similarity.NumBits}), i ->
+       |  CASE WHEN list_reduce(list_transform(range(0, ${Similarity.Dim}),
+       |         d -> v[d+1] * ((((t*577 + i)*131 + d*31 + 7) % 97) / 97.0 - 0.5)),
+       |         (x, y) -> x + y) > 0
+       |  THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x, y) -> x + y)""".stripMargin
 
   private val annTopkLshSql: String =
     s"""WITH $annNormCte,
        |tb AS (SELECT vec_id, v, nrm, t, $annBucketExpr AS bucket
-       |       FROM n CROSS JOIN (SELECT unnest(range(0, 3)) AS t)),
+       |       FROM n CROSS JOIN (SELECT unnest(range(0, ${Similarity.NumTables})) AS t)),
        |qp AS (SELECT vec_id, t, xor(bucket, f::BIGINT) AS probe
-       |       FROM tb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)
+       |       FROM tb CROSS JOIN (SELECT unnest([${(0L +: (0 until Similarity.NumBits).map(1L << _)).mkString(", ")}]) AS f)
        |       WHERE vec_id % 50 = 0),
        |cand AS (SELECT DISTINCT qp.vec_id AS q, c.vec_id AS nb2
        |         FROM qp JOIN tb c ON c.t = qp.t AND c.bucket = qp.probe
