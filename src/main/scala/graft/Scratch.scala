@@ -38,6 +38,27 @@ object Scratch {
         time("parquet full")(Queries.exportParquetRoundtrip(spark, sfDir).count())
       case "explain" =>
         Queries.kvTypedExport(spark, sfDir).explain("formatted")
+      case "scale" =>
+        // 2M generated records x 10 cells = 20M cells (~33x the sf0.1 bench
+        // pivot input): linear-scaling evidence for the two pivot paths.
+        val cols = Seq("C0", "C3", "C7", "KEY")
+        def cells = graft.kv.KvGenerator.cells(spark, 2000000, 32, "scale")
+        time("20M cells scan")(cells.count())
+        time("20M pivot (shuffled)")(
+          graft.ops.KvPivot.pivot(cells, cols, rowKeyCol = Some("KEY")).count())
+        val laid = graft.kv.RangeLayout.layout(cells, 32)
+        time("20M pivot (presorted, incl layout)")(
+          graft.ops.KvPivot.pivotPresorted(laid, cols, rowKeyCol = Some("KEY")).count())
+      case "scalehi" =>
+        // High-cardinality regime: 21M cells over 7M DISTINCT keys (no
+        // map-side collapse) — the shape of the sf0.1 typed export at ~12x.
+        val hi = spark.range(21000000L).selectExpr(
+          "lpad(CAST(id DIV 3 AS STRING), 9, '0') AS rowKey",
+          "'f' AS family",
+          "CASE id % 3 WHEN 0 THEN 'C0' WHEN 1 THEN 'C1' ELSE 'C2' END AS qualifier",
+          "encode(CAST(id AS STRING), 'UTF-8') AS value", "id AS ts")
+        time("21M cells / 7M keys pivot")(
+          graft.ops.KvPivot.pivot(hi, Seq("C0", "C1", "C2")).count())
       case "pqdecomp" =>
         val df = Queries.kvTypedExport(spark, sfDir)
         time("pivot count")(df.count())
