@@ -59,6 +59,87 @@ object Scratch {
           "encode(CAST(id AS STRING), 'UTF-8') AS value", "id AS ts")
         time("21M cells / 7M keys pivot")(
           graft.ops.KvPivot.pivot(hi, Seq("C0", "C1", "C2")).count())
+      case "annassign" =>
+        import org.apache.spark.sql.functions.col
+        val emb = spark.range(1000000L).selectExpr(
+          "id AS vec_id",
+          "transform(sequence(1, 64), i -> CAST((xxhash64(id * 64 + i) % 1000) / 1000.0 AS FLOAT)) AS embedding")
+          .localCheckpoint()
+        val idx = graft.ext.Similarity.index(emb)
+        time("index only")(idx.count())
+        val cents = idx.filter(col("vec_id") < 32).orderBy(col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        import org.apache.spark.sql.functions._
+        val scores = cents.map { case (cid, cv, cn) =>
+          floor(graft.functions.VectorOps.dot(col("v"), typedlit(cv.toSeq)) * 1000000 /
+            (col("nrm") * lit(cn))).cast("long").as(s"s$cid")
+        }
+        time("32 dot columns (no structs)")(
+          idx.select(col("vec_id") +: scores.toSeq: _*).count())
+        val structs = array(cents.map { case (cid, cv, cn) =>
+          struct(floor(graft.functions.VectorOps.dot(col("v"), typedlit(cv.toSeq)) * 1000000 /
+            (col("nrm") * lit(cn))).cast("long").as("s"), lit(-cid).as("negid"))
+        }.toSeq: _*)
+        time("array(32 structs) + array_max")(
+          idx.select((-array_max(structs).getField("negid")).as("cell")).count())
+      case "annparts" =>
+        import org.apache.spark.sql.functions._
+        import graft.ext.Similarity
+        import graft.functions.VectorOps
+        val emb = spark.range(1000000L).selectExpr(
+          "id AS vec_id",
+          "transform(sequence(1, 64), i -> CAST((xxhash64(id * 64 + i) % 1000) / 1000.0 AS FLOAT)) AS embedding")
+          .localCheckpoint()
+        val idx = Similarity.index(emb)
+        val cents = idx.filter(col("vec_id") < 32).orderBy(col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        def cellScores(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column) =
+          array(cents.map { case (cid, cv, cn) =>
+            struct(floor(VectorOps.dot(v, typedlit(cv.toSeq)) * 1000000 / (nrm * lit(cn)))
+              .cast("long").as("s"), lit(-cid).as("negid"))
+          }.toSeq: _*)
+        val assigned = idx.withColumn("cell",
+          -array_max(cellScores(col("v"), col("nrm"))).getField("negid"))
+        time("assigned.count")(assigned.count())
+        val qs = broadcast(assigned.filter(col("vec_id") % 100000 === 0)
+          .withColumn("probe", explode(slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, 8)))
+          .select(col("vec_id"), col("v"), col("nrm"), (-col("probe.negid")).as("cell")))
+        time("qs.count")(qs.count())
+        val scored = qs.as("qr").join(assigned.as("cand"),
+            col("qr.cell") === col("cand.cell") && col("cand.vec_id") =!= col("qr.vec_id"))
+          .select(col("qr.vec_id").as("q"), col("cand.vec_id").as("nb"),
+            floor(VectorOps.dot(col("qr.v"), col("cand.v")) * 1000 /
+              (col("qr.nrm") * col("cand.nrm"))).cast("long").as("cos_x1000"))
+        locally {
+          val p = assigned.queryExecution.optimizedPlan.toString
+          println("optimized plan size chars = " + p.length)
+          println("transform occurrences = " + "transform\\(".r.findAllIn(p).size)
+          println("dot_product occurrences = " + "dot_product".r.findAllIn(p).size)
+        }
+        time("assigned FORCED (sum cell)")(assigned.agg(sum(col("cell"))).collect())
+        val oneDot = idx.select(floor(VectorOps.dot(col("v"), typedlit(cents(0)._2.toSeq)) * 1000000).as("d"))
+        time("1 dot FORCED (sum)")(oneDot.agg(sum(col("d"))).collect())
+        val joinedOnly = qs.as("qr").join(assigned.as("cand"),
+            col("qr.cell") === col("cand.cell") && col("cand.vec_id") =!= col("qr.vec_id"))
+          .select(col("cand.vec_id").as("nb"))
+        time("join only, no dot")(joinedOnly.count())
+        val joinedNrm = qs.as("qr").join(assigned.as("cand"),
+            col("qr.cell") === col("cand.cell") && col("cand.vec_id") =!= col("qr.vec_id"))
+          .select((col("qr.nrm") * col("cand.nrm")).as("x"))
+        time("join + nrm mult only")(joinedNrm.count())
+        println("scored rows = " + time("scored.count")(scored.count()))
+      case "scaleann" =>
+        // 1M synthetic 64-dim embeddings through the full IVF path (assign
+        // all 1M to cells, probe, rescore) — similarity-path throughput.
+        val emb = spark.range(1000000L).selectExpr(
+          "id AS vec_id",
+          "transform(sequence(1, 64), i -> CAST((xxhash64(id * 64 + i) % 1000) / 1000.0 AS FLOAT)) AS embedding")
+          .localCheckpoint()
+        time("1M vec IVF top-5 (10 queries)")(
+          graft.ext.Similarity.ivfTopK(emb, v => v % 100000 === 0).count())
+        time("1M vec LSH bucket index")(
+          graft.ext.Similarity.bucketedIndex(
+            graft.ext.Similarity.index(emb)).count())
       case "pqdecomp" =>
         val df = Queries.kvTypedExport(spark, sfDir)
         time("pivot count")(df.count())

@@ -37,20 +37,21 @@ object Similarity {
   def plane(t: Int, i: Int, d: Int): Double =
     (((t * 577 + i) * 131 + d * 31 + 7) % 97).toDouble / 97.0 - 0.5
 
-  // typedlit, NOT array(lit...): a CreateArray of 64 literals unrolls to 64
-  // codegen assignments per use (measured seconds of Janino time per fresh
-  // JVM across tables×bits); a single array Literal is passed by reference.
-  private def planeArray(t: Int, i: Int, dim: Int): Column =
-    typedlit((0 until dim).map(d => plane(t, i, d)))
-
   /** Sign-bit bucket of a (double-array) vector of dimension `dim` in
-    * table t (the hyperplane must match the vector dimension — DotProduct
-    * rejects mismatches loudly).
+    * table t. All NumBits hyperplane dots run in ONE [[DotMatrix]] pass —
+    * unrolled per-bit DotProducts push the generated method past the JVM's
+    * huge-method JIT limit and the stage silently runs interpreted (see
+    * DotMatrix). The bit fold over the 6-element dot array is a cheap HOF.
     */
-  def bucketOf(v: Column, t: Int, dim: Int = Dim): Column =
-    (0 until NumBits).map { i =>
-      when(VectorOps.dot(v, planeArray(t, i, dim)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def bucketOf(v: Column, t: Int, dim: Int = Dim): Column = {
+    val planes = typedlit((0 until NumBits).map(i =>
+      (0 until dim).map(d => plane(t, i, d))))
+    val weights = typedlit((0 until NumBits).map(i => 1L << i))
+    aggregate(
+      zip_with(VectorOps.dotAll(v, planes), weights,
+        (d, w) => when(d > 0, w).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
 
   /** vec_id, v (double array), nrm. */
   def index(embeddings: DataFrame): DataFrame = {
@@ -116,13 +117,19 @@ object Similarity {
     require(cents.nonEmpty, "IVF needs vec_id < NumCells centroid rows")
     // (score, -centroid) structs: array_max / descending sort then give the
     // arg-max with the SMALLEST centroid id on score ties, mirroring the
-    // oracle's ORDER BY score DESC, c_id ASC.
-    def cellScores(v: Column, nrm: Column): Column = array(cents.map { case (cid, cv, cn) =>
-      struct(
-        floor(VectorOps.dot(v, typedlit(cv.toSeq)) * 1000000 / (nrm * lit(cn)))
-          .cast("long").as("s"),
-        lit(-cid).as("negid"))
-    }.toSeq: _*)
+    // oracle's ORDER BY score DESC, c_id ASC. All centroid dots run in one
+    // DotMatrix pass (constant generated-code size — 32 unrolled DotProducts
+    // blow the JVM's huge-method JIT limit and fall to the interpreter);
+    // the scale/struct fold over the 32-element result is a cheap HOF.
+    val centMatrix = typedlit(cents.map(_._2.toSeq).toSeq)
+    val centNegIds = typedlit(cents.map(c => -c._1).toSeq)
+    val centNorms = typedlit(cents.map(_._3).toSeq)
+    def cellScores(v: Column, nrm: Column): Column =
+      zip_with(
+        zip_with(VectorOps.dotAll(v, centMatrix), centNorms,
+          (d, cn) => floor(d * 1000000 / (nrm * cn)).cast("long")),
+        centNegIds,
+        (s, negid) => struct(s.as("s"), negid.as("negid")))
     val assigned = idx.withColumn("cell",
       -array_max(cellScores(col("v"), col("nrm"))).getField("negid"))
     val qs = broadcast(
