@@ -62,6 +62,9 @@ object GraftExtensions {
       unary("long_to_bin", LongToBinary) _),
     ("vec_dot", "vec_dot(array<double>, array<double>) - strict-order inner product",
       binary("vec_dot", DotProduct) _),
+    ("vec_dot_matrix",
+      "vec_dot_matrix(array<double>, array<array<double>>) - one dot per matrix row",
+      binary("vec_dot_matrix", DotMatrix) _),
     ("max_by_ts", "max_by_ts(binary, bigint) - hash-aggregable last-write-wins",
       binary("max_by_ts",
         (v, o) => MaxByTsAgg(v, o).toAggregateExpression()) _))

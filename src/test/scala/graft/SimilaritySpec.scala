@@ -17,6 +17,28 @@ class SimilaritySpec extends SparkSpec {
     (5L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
     .toDF("vec_id", "embedding")
 
+  test("dot_matrix equals one DotProduct per matrix row (incl codegen path)") {
+    import graft.functions.VectorOps
+    val m = Seq(Seq(1.0, 2.0, 3.0), Seq(0.0, -1.0, 0.5), Seq(4.0, 4.0, 4.0))
+    val df = Seq(Seq(2.0, 0.5, 1.0)).toDF("v")
+    val all = df.select(VectorOps.dotAll(col("v"), typedlit(m)).as("d"))
+      .as[Seq[Double]].head()
+    val each = m.map(row =>
+      df.select(VectorOps.dot(col("v"), typedlit(row)).as("d")).as[Double].head())
+    all shouldBe each
+    all shouldBe Seq(6.0, 0.0, 14.0)
+  }
+
+  test("dot_matrix rejects a dimension-mismatched matrix row loudly") {
+    import graft.functions.VectorOps
+    val bad = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))
+    val e = intercept[Exception] {
+      Seq(Seq(1.0, 1.0)).toDF("v")
+        .select(VectorOps.dotAll(col("v"), typedlit(bad))).collect()
+    }
+    e.getMessage should include("mismatch")
+  }
+
   test("brute top-k ranks by cosine with deterministic tie-break") {
     val out = Similarity.bruteTopK(vecs, v => v === 1L, k = 4)
       .orderBy("rank").as[(Long, Long, Long, Long)].collect()
