@@ -128,6 +128,58 @@ object Scratch {
           .select((col("qr.nrm") * col("cand.nrm")).as("x"))
         time("join + nrm mult only")(joinedNrm.count())
         println("scored rows = " + time("scored.count")(scored.count()))
+      case "rjdebug" =>
+        import org.apache.spark.sql.functions._
+        val ev = spark.range(20000L).selectExpr(
+          "id AS event_id", "id DIV 2 % 100 AS user_id",
+          "abs(xxhash64(id)) % 1000000000000 AS tsNanos").localCheckpoint()
+        val le = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id").as("l_id"), col("user_id"), col("tsNanos").as("lts"))
+        val re2 = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id").as("r_id"), col("user_id"), col("tsNanos").as("rts"))
+        val w = 10000000000L
+        val naive = le.join(re2, Seq("user_id"))
+          .filter(col("rts") <= col("lts") && col("rts") >= col("lts") - w).count()
+        val banded = graft.ops.RangeJoin.backwardWindowJoin(le, re2,
+          Seq("user_id"), "lts", "rts", w).count()
+        println(s"naive = $naive, banded = $banded")
+        ev.selectExpr("min(tsNanos)", "max(tsNanos)", "count(distinct tsNanos)").show()
+        le.filter(col("user_id") === 5).orderBy(col("lts")).limit(5).show()
+      case "scalejoin" =>
+        import org.apache.spark.sql.functions._
+        // 20M-row as-of join (10M left / 10M right over 100k keys) and a
+        // banded range join at the same scale.
+        val ev = spark.range(20000000L).selectExpr(
+          "id AS event_id", "id DIV 2 % 100000 AS user_id",
+          "abs(xxhash64(id)) % 1000000000000 AS tsNanos",
+          "CAST(id % 7 AS DOUBLE) AS value").localCheckpoint()
+        val l = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("tsNanos"))
+        val r = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("tsNanos"), col("value"))
+        val asofOut = graft.ops.AsofJoin.asofBackward(l, r,
+          Seq("user_id"), "tsNanos", "event_id", Seq("event_id", "value"))
+        time("asof 10M x 10M (100k keys)")(
+          asofOut.agg(sum(col("_asof.event_id"))).collect())
+        val le = l.select(col("event_id").as("l_id"), col("user_id"), col("tsNanos").as("lts"))
+        val re2 = r.select(col("event_id").as("r_id"), col("user_id"), col("tsNanos").as("rts"))
+        val rj = graft.ops.RangeJoin.backwardWindowJoin(le, re2,
+          Seq("user_id"), "lts", "rts", window = 10000000000L)
+        time("range join 10M x 10M (100k keys)")(
+          println("  matches = " + rj.count()))
+      case "scaletxt" =>
+        import org.apache.spark.sql.functions._
+        // 500k synthetic docs through the single-pass text stack.
+        val words = (0 until 64).map(i => s"w$i")
+        val docs = spark.range(500000L).selectExpr(
+          "id AS doc_id",
+          s"array_join(transform(sequence(1, 40), i -> element_at(array(${words.map("'" + _ + "'").mkString(",")}), CAST(abs(xxhash64(id * 40 + i)) % 64 AS INT) + 1)), ' ') AS text",
+          "'en' AS lang").localCheckpoint()
+        time("500k docs quality+langid+fp")(
+          graft.ext.TextAnalysis.quality(docs)
+            .join(graft.ext.TextAnalysis.langId(docs), "doc_id")
+            .join(graft.ext.TextAnalysis.fingerprints(docs), "doc_id")
+            .agg(sum(col("quality")), sum(col("fp"))).collect())
       case "scaleann" =>
         // 1M synthetic 64-dim embeddings through the full IVF path (assign
         // all 1M to cells, probe, rescore) — similarity-path throughput.
