@@ -128,6 +128,42 @@ object Scratch {
           .select((col("qr.nrm") * col("cand.nrm")).as("x"))
         time("join + nrm mult only")(joinedNrm.count())
         println("scored rows = " + time("scored.count")(scored.count()))
+      case "scalededup" =>
+        import org.apache.spark.sql.functions._
+        // 100k docs over a 1024-word vocab (shingle space 2^30 — near-dups
+        // rare): the sub-quadratic claim of MinHash-LSH banding under test.
+        // 1% of docs are planted exact-prefix duplicates so some pairs exist.
+        val words = "transform(sequence(1, 30), i -> concat('w', CAST(abs(xxhash64(id DIV 100 * 30 + i)) % 1024 AS STRING)))"
+        val docs = spark.range(100000L).selectExpr(
+          "id AS doc_id",
+          s"array_join(CASE WHEN id % 100 < 2 THEN $words ELSE " +
+            "transform(sequence(1, 30), i -> concat('w', CAST(abs(xxhash64(id * 30 + i)) % 1024 AS STRING))) END, ' ') AS text")
+          .localCheckpoint()
+        time("100k docs minhash LSH pairs")(
+          println("  pairs = " + graft.ext.Dedup.minhashLshPairs(docs).count()))
+        time("100k docs simhash pairs")(
+          println("  pairs = " + graft.ext.Dedup.simhashPairs(docs).count()))
+      case "scalestream" =>
+        import org.apache.spark.sql.functions._
+        // 1M synthetic events written to /tmp, run through the streaming
+        // pivot (watermark + window + LWW state) at 10x the bench volume.
+        val dir = "/tmp/graft_scale_events"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        spark.range(1000000L).selectExpr(
+            "id AS event_id",
+            "CAST(1704067200000000000 + id * 2500000000 AS LONG) AS ts",
+            "id % 15000 AS user_id",
+            "element_at(array('click','error','purchase','signup','view'), CAST(id % 5 AS INT) + 1) AS event_type",
+            "CAST(id % 100 AS DOUBLE) / 7 AS value", "'{}' AS props")
+          .coalesce(4).write.mode("overwrite").parquet(dir)
+        val cells = spark.readStream
+          .schema(graft.kv.KvTable.EventsParquetSchema).parquet(dir)
+          .select(graft.kv.KvTable.eventCellColumns :+
+            expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
+        val piv = graft.streaming.StreamingPivot.windowedPivot(cells, Queries.EventCols)
+        time("1M events streaming pivot")(
+          println("  rows = " + graft.streaming.StreamingPivot
+            .runAvailableNow(piv, "scale_stream_out").count()))
       case "rjdebug" =>
         import org.apache.spark.sql.functions._
         val ev = spark.range(20000L).selectExpr(
