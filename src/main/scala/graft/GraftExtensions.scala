@@ -36,15 +36,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity mismatch as a real analysis-time error (same error class the
+    * built-in registry raises), not a raw require() IllegalArgumentException.
+    */
+  private def wrongArity(name: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"),
+      None)
+
   private def unary(name: String, f: Expression => Expression)(
       args: Seq[Expression]): Expression = {
-    require(args.length == 1, s"$name takes 1 argument, got ${args.length}")
+    if (args.length != 1) wrongArity(name, 1, args.length)
     f(args.head)
   }
 
   private def binary(name: String, f: (Expression, Expression) => Expression)(
       args: Seq[Expression]): Expression = {
-    require(args.length == 2, s"$name takes 2 arguments, got ${args.length}")
+    if (args.length != 2) wrongArity(name, 2, args.length)
     f(args.head, args(1))
   }
 
@@ -52,6 +65,8 @@ object GraftExtensions {
   val registrations: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("poly_hash", "poly_hash(str) - rolling polynomial hash over code points",
       unary("poly_hash", PolyHashExpr) _),
+    ("sim_hash64", "sim_hash64(array<string>) - 64-bit SimHash over tokens",
+      unary("sim_hash64", SimHash64Expr) _),
     ("bin_to_int", "bin_to_int(binary) - big-endian 4-byte decode (HBase Bytes.toInt)",
       unary("bin_to_int", BinaryToInt) _),
     ("bin_to_long", "bin_to_long(binary) - big-endian 8-byte decode (HBase Bytes.toLong)",

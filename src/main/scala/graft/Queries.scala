@@ -290,11 +290,15 @@ object Queries {
     graft.sinks.AvroIO.read(spark, cfg.outputPath, SchemaFile.parseAvroJson(TypedAvroSchema))
   }
 
-  /** K4 e2e: Parquet export (snappy), read-back. */
+  /** K4 e2e: Parquet export (snappy), read-back. Output dir is wiped first —
+    * `mode("overwrite")` alone leaves stale part-files from a previous schema
+    * visible to the read-back listing.
+    */
   def exportParquetRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = KvTable.lineitemAsCells(spark, sfDir)
     val cfg = Export.Config(Export.Parquet, TypedAvroSchema, tmpOut("parquet"),
       columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
+    graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
     Export.run(cells, cfg)
     Export.readParquet(spark, cfg.outputPath)
   }
@@ -600,20 +604,29 @@ object Queries {
 
   /** The end-to-end training-corpus cleaning pass, composed from the
     * individual operators: exact dedup (keep the canonical doc), predicted
-    * language filter, quality threshold, token accounting. One declarative
-    * chain over a single documents scan — the dedup window is the only
-    * exchange; the text expressions fuse into the post-filter projection.
+    * language filter, quality threshold, token accounting.
+    *
+    * One declarative chain over a single documents scan, with the scan-side
+    * projection computing the text features AND the 128-bit dedup key
+    * ([[Dedup.textKey128]]) so the only exchange ships (doc_id, hashes,
+    * features) — never the document text. The language/quality gate runs
+    * BEFORE the dedup window: identical texts have identical features, so
+    * twins pass or fail together and the canonical-min is unchanged, while
+    * the shuffle input shrinks by the rejection rate.
     */
   def pipeCleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.ext.Dedup
     val d = docs(spark, sfDir)
-    d.withColumn("_canonical", min(col("doc_id")).over(Window.partitionBy(col("text"))))
-      .filter(col("doc_id") === col("_canonical")) // exact dedup, canonical kept
-      .select(col("doc_id"),
-        TextAnalysis.langPredict(TextAnalysis.langScores(col("text"))).as("lang_pred"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"))
+    val w = Window.partitionBy(col("_h1"), col("_h2"))
+    d.select(col("doc_id") +: Dedup.textKey128(col("text")) :+
+        TextAnalysis.langPredict(TextAnalysis.langScores(col("text"))).as("lang_pred") :+
+        TextAnalysis.qualityScore(col("text")).as("quality") :+
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"): _*)
       .filter(col("lang_pred") === "en" && col("quality") >= 500)
+      .withColumn("_canonical", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_canonical")) // exact dedup, canonical kept
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("ws_tokens"))
   }
 
   private val pipeCleanCorpusSql: String =
@@ -666,10 +679,12 @@ object Queries {
       |          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
       |        FROM toks WHERE len(t) >= 3)""".stripMargin
 
-  /** PolyHash fold, oracle dialect (must mirror PolyHashExpr exactly). */
-  private def polyHashSql(arg: String): String =
+  /** PolyHash fold, oracle dialect (must mirror PolyHashExpr exactly);
+    * `mult = 131` replays the second independent hash inside SimHash64.
+    */
+  private def polyHashSql(arg: String, mult: Int = 31): String =
     s"list_reduce(list_transform(string_split($arg, ''), c -> unicode(c)::BIGINT), " +
-      "(x, y) -> (x * 31 + y) % 2147483647)"
+      s"(x, y) -> (x * $mult + y) % 2147483647)"
 
   private val dedupJaccardPairsSql: String =
     s"""WITH $shingleCtes,
@@ -751,12 +766,17 @@ object Queries {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(docs(spark, sfDir))
 
+  /** 64-bit SimHash oracle: bits 0..30 from the mult-31 poly hash, bits
+    * 31..61 from the mult-131 hash (mirrors graft.functions.SimHash64).
+    */
   private val simhashCtes: String =
     s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS s FROM documents),
-       |th AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM tok),
+       |th AS (SELECT doc_id, ${polyHashSql("s")} AS h1, ${polyHashSql("s", 131)} AS h2 FROM tok),
        |bits AS (SELECT doc_id, b,
-       |           CASE WHEN 2 * sum((h >> b) & 1) > count(*) THEN 1::BIGINT ELSE 0 END AS bit
-       |         FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b),
+       |           CASE WHEN 2 * sum(CASE WHEN b < 31 THEN (h1 >> b) & 1
+       |                                  ELSE (h2 >> (b - 31)) & 1 END) > count(*)
+       |                THEN 1::BIGINT ELSE 0 END AS bit
+       |         FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS b) GROUP BY doc_id, b),
        |sh AS (SELECT doc_id, sum(bit * (1::BIGINT << b))::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin
 
   private val dedupSimhashSql: String =
@@ -766,7 +786,7 @@ object Queries {
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, sfDir))
 
-  /** Oracle runs the quadratic scan; the engine runs 4×8-bit LSH banding —
+  /** Oracle runs the quadratic scan; the engine runs 4×16-bit LSH banding —
     * identical results for hamming ≤ 3 by pigeonhole.
     */
   private val dedupSimhashPairsSql: String =

@@ -164,6 +164,32 @@ object Scratch {
         time("1M events streaming pivot")(
           println("  rows = " + graft.streaming.StreamingPivot
             .runAvailableNow(piv, "scale_stream_out").count()))
+      case "scaleexact" =>
+        import org.apache.spark.sql.functions._
+        // 500k ~1KB docs, 10% exact dups: shuffle-byte evidence for the
+        // 128-bit pre-hash dedup key vs the full-text window key.
+        @volatile var shuffleBytes = 0L
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              shuffleBytes += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+        })
+        val d = spark.range(500000L).selectExpr(
+          "id AS doc_id",
+          "array_join(transform(sequence(1, 150), i -> concat('w', CAST(abs(xxhash64((CASE WHEN id % 10 = 0 THEN id + 1 ELSE id END) * 150 + i)) % 50000 AS STRING))), ' ') AS text")
+          .localCheckpoint()
+        def measure(name: String)(f: => Long): Unit = {
+          shuffleBytes = 0L
+          time(name)(println("  rows = " + f))
+          Thread.sleep(2000) // listener events drain async
+          println(f"  shuffle write = ${shuffleBytes / 1e6}%.1f MB")
+        }
+        val wTxt = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+        measure("full-text window dedup (old)")(
+          d.select(col("doc_id"), min(col("doc_id")).over(wTxt).as("c"))
+            .filter(col("doc_id") === col("c")).count())
+        measure("128-bit hash-key dedup (new)")(
+          graft.ext.Dedup.exact(d).filter(!col("is_dup")).count())
       case "rjdebug" =>
         import org.apache.spark.sql.functions._
         val ev = spark.range(20000L).selectExpr(

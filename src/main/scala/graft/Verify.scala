@@ -9,6 +9,12 @@ object Verify {
     // Optional extra args: run only the named queries (local iteration aid;
     // the driver always passes exactly two args → full run).
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // A misspelled name would silently shrink the run and read as success.
+      System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

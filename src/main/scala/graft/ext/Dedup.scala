@@ -19,10 +19,10 @@ import graft.functions.IntMath.idiv
   *  - MinHash+LSH: fixed-width signatures (16 longs/doc regardless of doc
   *    size), banding turns near-dup search into an equi-join on (band, key) —
   *    the classic sub-quadratic path; verification touches only candidates.
-  *  - SimHash: 32-bit signature, 4×8-bit banding. Pigeonhole makes banding
-  *    EXACT for hamming ≤ 3 (3 flipped bits cannot dirty all 4 bands), so the
-  *    LSH plan returns byte-identical results to the quadratic scan the
-  *    oracle runs.
+  *  - SimHash: 64-bit signature (62 informative bits), 4×16-bit banding.
+  *    Pigeonhole makes banding EXACT for hamming ≤ 3 (3 flipped bits cannot
+  *    dirty all 4 bands), so the LSH plan returns byte-identical results to
+  *    the quadratic scan the oracle runs.
   *  - Embedding cosine: brute-force pair scan here (the correctness baseline
   *    the oracle can replay); the sub-quadratic ANN path is
   *    [[Similarity.lshTopK]].
@@ -50,16 +50,41 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact dedup: canonical id = min doc_id among identical texts. One
-    * shuffle on the text (at real scale: pre-hash to a 128-bit key so the
-    * shuffle ships 16 bytes, then verify within group).
+  /** The 128-bit dedup key: two independent 64-bit xxhashes of the text
+    * (the second seeded through a salt prefix). Group identity by hash pair
+    * instead of by text: the exchange ships 16 bytes per row and the sort
+    * comparator touches 16 bytes, never a megabyte-wide document.
     */
-  def exact(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("text"))
-    docs.select(
+  def textKey128(text: Column): Seq[Column] =
+    Seq(xxhash64(text).as("_h1"), xxhash64(lit("graft.dedup.salt"), text).as("_h2"))
+
+  /** Exact dedup: canonical id = min doc_id among identical texts.
+    *
+    * One shuffle, keyed on [[textKey128]] — the document text never crosses
+    * the exchange. Two DISTINCT texts colliding on both independent 64-bit
+    * hashes would merge groups; at n documents the probability is
+    * ~n²/2^129 (< 10^-15 even at 10^12 docs), orders below any hardware
+    * fault rate. `verifyTexts = true` additionally carries the text through
+    * the shuffle and raises on a detected collision — the audited mode for
+    * runs that must not lean on that bound (costs the full-text shuffle this
+    * path exists to avoid).
+    */
+  def exact(docs: DataFrame, verifyTexts: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("_h1"), col("_h2"))
+    val keyed = docs.select(col("doc_id") +: textKey128(col("text")) :+
+      (if (verifyTexts) col("text") else lit(null).cast("string")).as("_t"): _*)
+    val canonical = min(col("doc_id")).over(w)
+    val checked =
+      if (!verifyTexts) canonical
+      // min != max over the hash group ⇒ two different texts share the key.
+      else when(min(col("_t")).over(w) =!= max(col("_t")).over(w),
+        raise_error(concat(lit("128-bit dedup key collision in group ("),
+          col("_h1"), lit(","), col("_h2"), lit(")"))))
+        .otherwise(canonical)
+    keyed.select(
       col("doc_id"),
-      min(col("doc_id")).over(w).as("canonical_id"),
-      (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+      checked.as("canonical_id"),
+      (col("doc_id") =!= canonical).as("is_dup"))
   }
 
   // -------------------------------------------------------------- jaccard
@@ -172,31 +197,30 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 32-bit SimHash over token occurrences (with multiplicity): bit b is set
-    * when more than half the token hashes have bit b set.
+  /** 64-bit SimHash over token occurrences (with multiplicity): one fused
+    * codegen pass per document ([[graft.functions.SimHash64]] — two
+    * independent 31-bit poly hashes per token feed fingerprint bits 0..30
+    * and 31..61; 62 informative bits). The 32-bit predecessor measurably
+    * concentrated unrelated short docs at hamming ≤ 3 (15% of all pairs at
+    * 100k docs, BASELINE.md) — fingerprint width, not banding, was the
+    * scale limit.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val hs = transform(tokens(col("text")), tok => TextHash.polyHash(tok))
-    val base = docs.select(col("doc_id"), hs.as("hs"), size(hs).cast("long").as("n"))
-    val sh = (0 until 32).map { b =>
-      val setCnt = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
-      when(setCnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    base.select(col("doc_id"), sh.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextHash.simHash64(tokens(col("text"))).as("simhash"))
 
   /** Near-dup pairs at hamming distance ≤ `maxHamming` (≤3 by default) via
-    * 4×8-bit banding — exact by pigeonhole, sub-quadratic by construction.
+    * 4×16-bit banding — exact by pigeonhole (3 flipped bits cannot dirty
+    * all 4 bands), sub-quadratic by construction.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band LSH is only exact for hamming <= 3")
     val sh = simhash(docs)
-    // One struct per 8-bit band (literal shifts; simhash < 2^32 so signed
+    // One struct per 16-bit band (literal shifts; simhash < 2^62 so signed
     // shift is safe), exploded to (doc_id, simhash, band, key) rows.
     val bandStructs = array((0 until 4).map(k =>
       struct(lit(k).as("band"),
-        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("key"))): _*)
+        shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L)).as("key"))): _*)
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("simhash"),
@@ -207,10 +231,10 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"),
         col("x.simhash").bitwiseXOR(col("y.simhash")).as("hx"))
     // De-dup pairs colliding in several bands by keeping only the FIRST
-    // matching band (byte k of the XOR is zero) — a filter on the join
-    // output instead of a `.distinct()` re-shuffle of the candidate set.
+    // matching band (16-bit slice k of the XOR is zero) — a filter on the
+    // join output instead of a `.distinct()` re-shuffle of the candidate set.
     val bandMatches = array((0 until 4).map(k =>
-      shiftright(col("hx"), 8 * k).bitwiseAND(lit(255L)) === 0): _*)
+      shiftright(col("hx"), 16 * k).bitwiseAND(lit(65535L)) === 0): _*)
     joined
       .filter(array_position(bandMatches, lit(true)) - 1 === col("band"))
       .select(col("a"), col("b"), bit_count(col("hx")).cast("long").as("hamming"))

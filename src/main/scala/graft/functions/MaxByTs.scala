@@ -24,11 +24,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * keys per partition — size shuffle partitions so the per-task group count
   * stays under it, exactly the spill discipline a 100-TB pivot needs.
   *
-  * Tie policy: strictly-greater comparison — the first-seen value wins an
-  * equal-ordering tie, matching `max_by`'s buffer-replace condition. The
-  * engine's LWW contract (cell ts strictly orders versions of one cell)
-  * makes ties unreachable in practice; this just keeps the fallback
-  * deterministic-shaped rather than order-sensitive.
+  * Tie policy: equal-ordering ties resolve to the lexicographically-largest
+  * value bytes (unsigned compare, null smallest) — fully deterministic
+  * whatever the partition-merge order. The engine's LWW contract (cell ts
+  * strictly orders versions of one cell) makes ties unreachable in practice;
+  * the tie-break guarantees run-to-run stability anyway.
   */
 case class MaxByTsAgg(
     valueExpr: Expression,
@@ -63,13 +63,18 @@ case class MaxByTsAgg(
         b.ts = ts
         // copy: the evaluated bytes may alias reused row memory
         b.value = if (v == null) null else v.asInstanceOf[Array[Byte]].clone()
+      } else if (ts == b.ts) {
+        val v = valueExpr.eval(input)
+        val vb = if (v == null) null else v.asInstanceOf[Array[Byte]]
+        if (MaxByTsAgg.lexGt(vb, b.value)) b.value = vb.clone()
       }
     }
     b
   }
 
   override def merge(b: MaxByTsAgg.Buf, o: MaxByTsAgg.Buf): MaxByTsAgg.Buf = {
-    if (o.set && (!b.set || o.ts > b.ts)) {
+    if (o.set && (!b.set || o.ts > b.ts ||
+        (o.ts == b.ts && MaxByTsAgg.lexGt(o.value, b.value)))) {
       b.set = true; b.ts = o.ts; b.value = o.value
     }
     b
@@ -113,6 +118,23 @@ object MaxByTsAgg {
     var set: Boolean = false
     var ts: Long = Long.MinValue
     var value: Array[Byte] = null
+  }
+
+  /** Unsigned lexicographic `a > b`; null sorts smallest. The equal-ts
+    * tie-break — an arbitrary but total and merge-order-independent order.
+    */
+  private[functions] def lexGt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    if (a == null) return false
+    if (b == null) return true
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x > y
+      i += 1
+    }
+    a.length > b.length
   }
 
   /** `max_by(value, ord)` for binary values, hash-aggregable. */

@@ -38,9 +38,10 @@ object RangeJoin {
     // Integer division: `/` on longs is DOUBLE division in Spark, and at
     // epoch-nanos magnitude (~2^60) doubles have >256ns ulps — a right row
     // near a bucket edge would land in the wrong bucket and silently miss.
-    // DIV truncates toward zero, so time values must be non-negative for
-    // bucket alignment (true for epoch times).
-    def bucketOf(t: String) = expr(s"$t DIV ${window}L")
+    // DIV truncates toward zero; the correction term makes it FLOOR division
+    // so pre-epoch (negative) times bucket correctly too.
+    def bucketOf(t: String) =
+      expr(s"$t DIV ${window}L - (CASE WHEN $t % ${window}L < 0 THEN 1 ELSE 0 END)")
     val probes = left.withColumn("_bucket",
       explode(array(bucketOf(lTime), bucketOf(lTime) - 1)))
     val indexed = right.withColumn("_bucket", bucketOf(rTime))

@@ -15,16 +15,19 @@ import org.apache.spark.sql.types._
   * ExportHBaseTableToAvro.java:90-105; `DataFileReader`, AvroReader.java:32-51
   * — here the split-aware `AvroKeyInputFormat` so reads stay distributed).
   *
-  * Only the reference's type surface is supported: flat records of
-  * string/int/long, nullable via union (SURVEY §1.3).
+  * Type surface: flat records of string/int/long (the reference's schema
+  * dialect, SURVEY §1.3) plus double/boolean/bytes, nullable via union.
   */
 object AvroIO {
 
-  /** K3: write a flat string/int/long DataFrame as an Avro container.
+  /** K3: write a flat typed DataFrame as an Avro container.
     * @param codec "snappy" | "deflate" | None (Avro's java snappy works
     *              without native Hadoop libs, unlike the sequence-file codec).
     */
   def write(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    // toAvroJson validates every column type on the DRIVER — an unsupported
+    // column must fail before the distributed write launches, not mid-job on
+    // an executor.
     val avroJson = toAvroJson(df.schema, "GraftRecord")
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new AvroSchema.Parser().parse(avroJson))
@@ -46,7 +49,10 @@ object AvroIO {
           case StringType  => (r, i) => r.getUTF8String(i).toString
           case IntegerType => (r, i) => Integer.valueOf(r.getInt(i))
           case LongType    => (r, i) => java.lang.Long.valueOf(r.getLong(i))
-          case other =>
+          case DoubleType  => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
+          case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
+          case BinaryType  => (r, i) => java.nio.ByteBuffer.wrap(r.getBinary(i).clone())
+          case other => // unreachable: toAvroJson validated on the driver
             throw new IllegalArgumentException(s"unsupported Avro sink type $other")
         }
       it.map { row =>
@@ -83,6 +89,8 @@ object AvroIO {
           (rec.get(names(i)), dataTypes(i)) match {
             case (null, _)           => null
             case (v, StringType)     => v.toString // Utf8 → String
+            case (v: java.nio.ByteBuffer, BinaryType) =>
+              val a = new Array[Byte](v.remaining()); v.duplicate().get(a); a
             case (v, _)              => v
           }
         })
@@ -90,8 +98,8 @@ object AvroIO {
     spark.createDataFrame(rows, schema)
   }
 
-  /** StructType (string/int/long, nullable) → Avro record schema JSON —
-    * the writer-side inverse of SchemaFile.parseAvroJson.
+  /** StructType → Avro record schema JSON — the writer-side inverse of
+    * SchemaFile.parseAvroJson, and the sink's driver-side type validation.
     */
   def toAvroJson(schema: StructType, name: String): String = {
     val fields = schema.fields.map { f =>
@@ -99,8 +107,13 @@ object AvroIO {
         case StringType  => "\"string\""
         case IntegerType => "\"int\""
         case LongType    => "\"long\""
+        case DoubleType  => "\"double\""
+        case BooleanType => "\"boolean\""
+        case BinaryType  => "\"bytes\""
         case other =>
-          throw new IllegalArgumentException(s"unsupported Avro sink type $other")
+          throw new IllegalArgumentException(
+            s"unsupported Avro sink type $other for column '${f.name}' " +
+              "(supported: string, int, long, double, boolean, binary)")
       }
       val tpe = if (f.nullable) s"""[$t,"null"]""" else t
       s"""{"name":"${f.name}","type":$tpe}"""
