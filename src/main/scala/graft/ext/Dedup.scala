@@ -249,69 +249,107 @@ object Dedup {
     * id. This is the step that turns pairwise near-dup evidence into
     * keep/drop decisions (keep the canonical doc per cluster).
     *
-    * Algorithm: iterative neighbor-min label propagation — each round every
-    * node takes `min(own label, neighbors' labels)`, until a fixpoint. Each
-    * round is one equi-join + one aggregate (both shuffle-bounded on doc_id);
-    * `localCheckpoint` truncates lineage so round N doesn't replay rounds
-    * 1..N-1. Rounds needed = graph diameter; near-dup clusters are dense and
-    * shallow (docs similar to each other), so a handful of rounds converges.
-    * For adversarial long-chain graphs at 100 TB the production upgrade is
-    * alternating large-star/small-star contraction (O(log n) rounds,
-    * Kiveris et al., "Connected Components in MapReduce and Beyond") — same
-    * join-per-round shape, different edge rewrite.
+    * Algorithm (distributed path): alternating large-star / small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — each round rewrites every edge toward its neighborhood
+    * minimum, so chain distances roughly halve per round and convergence is
+    * O(log n) rounds in the component diameter, NOT O(diameter) like naive
+    * label propagation (a 10^6-long chain converges in ~20 rounds instead
+    * of 10^6). Each round is two groupBy-min + two equi-joins + a distinct,
+    * all shuffle-bounded on node ids; `localCheckpoint` truncates lineage so
+    * round N doesn't replay rounds 1..N-1. At the fixpoint the edge set IS
+    * the answer: a star per component rooted at the component minimum.
     *
-    * Convergence is CHECKED, not assumed: if `maxRounds` passes without a
-    * fixpoint the operator throws rather than return a silently-partial
-    * clustering.
+    * Convergence is CHECKED, not assumed: the round loop tracks a
+    * (count, hash-sum) signature and confirms the candidate fixpoint with an
+    * exact set compare; if `maxRounds` passes without one the operator
+    * throws rather than return a silently-partial clustering.
     */
   /** Edge-count ceiling for the driver-side union-find fast path. Same
     * reasoning as a broadcast join's autoBroadcastJoinThreshold: when the
     * *derived* relation (near-dup edges, a few % of the corpus) fits
     * comfortably in driver memory, one collect + linear union-find beats
-    * O(diameter) distributed rounds; past the ceiling the distributed
-    * propagation path runs instead. 2^20 edges ≈ 16 MB collected.
+    * distributed rounds; past the ceiling the distributed large/small-star
+    * contraction runs instead. 2^20 edges ≈ 16 MB collected.
     */
   val DriverCcMaxEdges: Long = 1L << 20
 
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
       driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
-    // Pairs materialized BEFORE the direction union — self-unioning the
-    // plan would run the expensive pair pipeline (LSH, shingling, ...)
-    // once per branch; the union of the checkpointed relation is narrow.
+    // Pairs materialized BEFORE any reuse — self-unioning the plan would run
+    // the expensive pair pipeline (LSH, shingling, ...) once per branch.
     val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
-    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
-      .union(p0.select(col("b").as("src"), col("a").as("dst")))
-    if (p0.count() * 2 <= driverMaxEdges) return clustersDriver(docs, edges)
-    // Only nodes with at least one edge can ever change label; iterate over
-    // that (much smaller) subgraph and union the untouched singletons back
-    // at the end. In a near-dup pipeline dup rates are a few percent, so
-    // this shrinks every round's join by ~the corpus size.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    if (p0.count() * 2 <= driverMaxEdges) {
+      val both = p0.select(col("a").as("src"), col("b").as("dst"))
+        .union(p0.select(col("b").as("src"), col("a").as("dst")))
+      return clustersDriver(docs, both)
+    }
+    // Canonical undirected edge form (lo < hi) — the rewrite invariant every
+    // round preserves. Only nodes with edges participate; singletons join
+    // back at the end with their own id.
+    var edges = p0
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+    def signature(e: DataFrame): (Long, Long) = {
+      // xor-fold of row hashes: order-independent, overflow-free set digest
+      // (rows are distinct by construction, so xor cancellation is safe).
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("lo"), col("hi")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_min"))
-        .withColumnRenamed("dst", "doc_id")
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
-      labels = next.select(col("doc_id"), col("lbl"))
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nsig = signature(next)
+      if (nsig == sig) {
+        // Signature collision odds are ~2^-64, but confirm the fixpoint
+        // exactly before trusting it — two anti-joins, paid once.
+        converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      }
+      edges = next
+      sig = nsig
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"label propagation did not converge in $maxRounds rounds")
-    // Singletons (no edges) keep their own id; anti-join then union.
+        s"large/small-star contraction did not converge in $maxRounds rounds")
+    // Fixpoint edges form stars rooted at each component's min id.
+    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
     docs.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_anti")
-      .withColumn("cluster_id", col("doc_id"))
-      .unionByName(labels.select(col("doc_id"), col("lbl").as("cluster_id")))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Large-star rewrite: for each node u, every strictly-larger neighbor v
+    * re-attaches to m(u) = min(N(u) ∪ {u}). Output stays canonical
+    * (m ≤ u < v). No per-node neighbor list is ever materialized — the
+    * neighborhood minimum is a groupBy aggregate and the emit is an
+    * equi-join, so a hot hub node costs a wide group, not a wide row.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val both = edges.select(col("lo").as("u"), col("hi").as("v"))
+      .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+    val mins = both.groupBy(col("u")).agg(min(col("v")).as("nm"))
+      .select(col("u"), least(col("u"), col("nm")).as("m"))
+    both.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("lo"), col("v").as("hi"))
+      .distinct()
+  }
+
+  /** Small-star rewrite: each node c with smaller neighbors N≤(c) attaches
+    * them (and itself) to m = min(N≤(c)). Canonical in, canonical out.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    val moved = edges.join(mins, "hi")
+      .filter(col("lo") =!= col("m"))
+      .select(col("m").as("lo"), col("lo").as("hi"))
+    val kept = mins.select(col("m").as("lo"), col("hi"))
+    moved.union(kept).distinct()
   }
 
   /** Small-graph fast path: collect the (bounded) edge set, run path-halving

@@ -9,7 +9,7 @@ import graft.kv.KvTable
 class ClusterIvfSpec extends SparkSpec {
   import spark.implicits._
 
-  /** driverMaxEdges = -1 forces the distributed propagation path; the
+  /** driverMaxEdges = -1 forces the distributed large/small-star path; the
     * default exercises the driver union-find fast path.
     */
   private def clustersOf(n: Long, pairs: Seq[(Long, Long)],
@@ -29,14 +29,25 @@ class ClusterIvfSpec extends SparkSpec {
     clustersOf(10, Mixed) shouldBe MixedExpect
   }
 
-  test("clusters: distributed propagation path agrees with the driver fast path") {
+  test("clusters: distributed large/small-star path agrees with the driver fast path") {
     clustersOf(10, Mixed, driverMaxEdges = -1) shouldBe MixedExpect
   }
 
-  test("clusters: long path needs several propagation rounds and still converges") {
+  test("clusters: long path needs several contraction rounds and still converges") {
     // path 0-1-2-...-9: min label must travel 9 hops (distributed path)
     val edges = (0L until 9L).map(i => (i, i + 1))
     val got = clustersOf(10, edges, driverMaxEdges = -1)
+    got.values.toSet shouldBe Set(0L)
+  }
+
+  test("clusters: adversarial 200-node chain (diameter >> maxRounds) converges in O(log n)") {
+    // Diameter 199 with the default maxRounds = 20: naive neighbor-min
+    // label propagation needs one round per hop and would throw; the
+    // alternating large/small-star contraction roughly halves distances
+    // per round and lands well inside the budget.
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = clustersOf(200, edges, driverMaxEdges = -1)
+    got.size shouldBe 200
     got.values.toSet shouldBe Set(0L)
   }
 
