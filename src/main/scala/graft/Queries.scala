@@ -874,11 +874,19 @@ object Queries {
   /** IVF oracle: centroid scores via the same floor-scaled cosine; cell
     * assignment = rank-1 centroid, probes = rank ≤ NProbe (score DESC,
     * centroid id ASC — mirroring the (score, -id) struct max in Scala).
+    * Centroids are the SAME [[graft.ext.IvfCentroids]] literals the engine
+    * inlines (Double.toString round-trips, DuckDB parses correctly-rounded
+    * → bit-identical doubles), so no training is replayed oracle-side.
     */
+  private val ivfCentroidValues: String =
+    graft.ext.IvfCentroids.Cents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+
   private val annTopkIvfSql: String =
     s"""WITH $annNormCte,
-       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-       |      WHERE vec_id < ${Similarity.NumCells}),
+       |c AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn
+       |      FROM (VALUES $ivfCentroidValues) t(c_id, cv)),
        |sc AS (SELECT n.vec_id, c.c_id,
        |         floor(${dotSql("n.v", "c.cv")} * 1000000 / (n.nrm * c.cn))::BIGINT AS s
        |       FROM n CROSS JOIN c),

@@ -270,6 +270,44 @@ object Scratch {
         val p = df.queryExecution.executedPlan.toString
         println("joins: " + p.linesIterator.filter(_.contains("Join")).map(_.trim.take(60)).mkString(" | "))
         println("shuffles: " + p.linesIterator.count(_.contains("ShuffleQueryStage")))
+      case "ivftrain" =>
+        // Deterministic spherical k-means (Lloyd's) over the sf embeddings,
+        // driver-side; prints the IvfCentroids.scala source artifact.
+        // Determinism: vec_id-sorted input, first-k init, smallest-id
+        // tie-break, fixed iteration count, sequential accumulation.
+        import org.apache.spark.sql.functions.col
+        val emb = graft.kv.KvTable.table(spark, sfDir, "embeddings")
+        val data = graft.ext.Similarity.index(emb).orderBy(col("vec_id")).collect()
+          .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+        val k = graft.ext.Similarity.NumCells
+        val dim = data(0)._1.length
+        var cents = data.take(k).map(_._1.clone())
+        for (iter <- 1 to 15) {
+          val cn = cents.map(cv => math.sqrt(cv.map(x => x * x).sum))
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val cnts = new Array[Long](k)
+          data.foreach { case (v, nrm) =>
+            var best = 0; var bestS = Double.NegativeInfinity
+            for (c <- 0 until k) {
+              var s = 0.0; var d = 0
+              while (d < dim) { s += v(d) * cents(c)(d); d += 1 }
+              val score = s / (nrm * cn(c))
+              if (score > bestS) { bestS = score; best = c }
+            }
+            var d = 0
+            while (d < dim) { sums(best)(d) += v(d); d += 1 }
+            cnts(best) += 1
+          }
+          cents = (0 until k).map { c =>
+            if (cnts(c) == 0) cents(c)
+            else sums(c).map(_ / cnts(c))
+          }.toArray
+          println(s"iter $iter cell sizes: ${cnts.mkString(",")}")
+        }
+        println("// === paste into IvfCentroids.scala ===")
+        println(cents.zipWithIndex.map { case (cv, i) =>
+          s"    /* $i */ Array(${cv.mkString(", ")})"
+        }.mkString("  val Cents: Array[Array[Double]] = Array(\n", ",\n", ")"))
       case "recall" =>
         import org.apache.spark.sql.functions.col
         val emb = graft.kv.KvTable.table(spark, sfDir, "embeddings")

@@ -92,7 +92,7 @@ object Similarity {
   // ------------------------------------------------------------- IVF
 
   val NumCells = 32
-  val NProbe = 8
+  val NProbe = 12
 
   /** IVF (inverted-file) ANN: the corpus is coarse-partitioned by nearest
     * centroid; a query probes only its `NProbe` nearest cells and rescores
@@ -100,21 +100,21 @@ object Similarity {
     * O(|corpus| · NProbe / NumCells) — the standard large-corpus trade
     * (recall < 1 when a true neighbor lives in an unprobed cell).
     *
-    * Centroids are a deterministic sample (vec_id < NumCells) standing in
-    * for trained k-means centers — the *partitioning machinery* (assign /
-    * probe / rescore) is the scale path either way, and a fixed sample keeps
-    * the operator oracle-reproducible. The centroid set is a tiny model
-    * artifact: collected once (NumCells × Dim doubles) and inlined as
-    * literals, so assignment is a single codegen'd projection over the
-    * corpus — no join, no shuffle. At scale the cell id becomes the corpus
-    * table's partition column, so a probe prunes whole files.
+    * Centroids are TRAINED (deterministic driver-side spherical k-means,
+    * [[IvfCentroids]]) and ship as a literal model artifact — NumCells × Dim
+    * doubles inlined into the plan, exactly how a production IVF index
+    * carries its coarse quantizer. Assignment is a single codegen'd
+    * projection over the corpus — no join, no shuffle. At scale the cell id
+    * becomes the corpus table's partition column, so a probe prunes whole
+    * files.
     */
   def ivfTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
     val idx = index(embeddings)
     val cents: Array[(Long, Array[Double], Double)] =
-      idx.filter(col("vec_id") < NumCells).orderBy(col("vec_id")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    require(cents.nonEmpty, "IVF needs vec_id < NumCells centroid rows")
+      IvfCentroids.Cents.zipWithIndex.map { case (cv, i) =>
+        (i.toLong, cv, IvfCentroids.normOf(cv))
+      }
+    require(cents.length == NumCells, "IvfCentroids artifact out of sync with NumCells")
     // (score, -centroid) structs: array_max / descending sort then give the
     // arg-max with the SMALLEST centroid id on score ties, mirroring the
     // oracle's ORDER BY score DESC, c_id ASC. All centroid dots run in one
