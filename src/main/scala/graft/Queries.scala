@@ -1045,16 +1045,27 @@ object Queries {
       |  event_type AS qualifier
       |FROM events""".stripMargin
 
-  /** Gap-based sessionization (1-hour gap) via flatMapGroupsWithState, run
-    * to batch parity; oracle = the window-function formulation.
+  /** Gap-based sessionization (1-hour gap) via flatMapGroupsWithState in
+    * LIVE-STREAM mode: the events replay as multiple micro-batches
+    * (`maxFilesPerTrigger=1` over time-ordered chunk files), so session
+    * state genuinely carries across batches and event-time timeouts flush
+    * idle tails mid-stream; oracle = the batch window-function formulation.
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val raw = StreamingPivot.eventsStream(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts").as("tsNanos"))
+    val gap = 3600L * 1000000000L
+    val ev = KvTable.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("tsNanos"))
+    val dir = StreamingPivot.stageSessionFiles(ev, nChunks = 4, gapNanos = gap)
+    val raw = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, tsNanos BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
+      .withWatermark("eventTime", "0 seconds")
       .as[StreamingPivot.SessionEvent]
     StreamingPivot.runAvailableNow(
-      StreamingPivot.Sessionize(raw, gapNanos = 3600L * 1000000000L).toDF(),
+      StreamingPivot.Sessionize(raw, gapNanos = gap).toDF(),
       "stream_sessions_out",
       org.apache.spark.sql.streaming.OutputMode.Append())
   }

@@ -104,10 +104,23 @@ object StreamingPivot {
 
   // ------------------------------------------------- sessionization
 
-  case class SessionEvent(user_id: Long, event_id: Long, tsNanos: Long)
+  /** `eventTime` duplicates tsNanos as a timestamp: the watermark column
+    * must survive into the stateful operator's input for event-time
+    * timeouts to be allowed; the session logic itself reads only tsNanos.
+    */
+  case class SessionEvent(
+      user_id: Long, event_id: Long, tsNanos: Long, eventTime: java.sql.Timestamp)
   case class SessionRow(
       user_id: Long, session_idx: Long, n_events: Long,
       start_us: Long, end_us: Long)
+
+  /** The open session tail of one user: first/last event time and count. */
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Per-user sessionization state: the next session index to assign and
+    * the open tail (None right after a timeout flush).
+    */
+  case class SessState(nextIdx: Long, open: Option[OpenSession])
 
   /** Gap-based sessionization: a user's events split into sessions wherever
     * consecutive event times are more than `gapNanos` apart — the grouping
@@ -116,47 +129,105 @@ object StreamingPivot {
     * escape hatch (sessions are not expressible as watermarked windows:
     * boundaries depend on the data, not the clock).
     *
-    * Batch-parity mode (Trigger.AvailableNow, one batch) delivers each key's
-    * full event iterator at once, so state never carries across batches and
-    * the result equals the batch window formulation the oracle runs. In a
-    * live stream the same state type holds the open session tail per key and
-    * an event-time timeout flushes it — same merge logic, documented here
-    * rather than exercised (the harness compares against batch SQL).
+    * LIVE-STREAM semantics (state carries across micro-batches):
+    *  - each invocation merges the batch's (sorted) events into the open
+    *    tail, emits every session that an observed gap closes, and keeps the
+    *    final run open in state;
+    *  - an EVENT-TIME TIMEOUT is armed at `open.last + gap`: once the
+    *    watermark passes that horizon no event can extend the session
+    *    (later rows would be dropped as late), so the timeout invocation
+    *    flushes it as final. An idle user's tail therefore emits while the
+    *    stream keeps running — no end-of-stream needed.
+    *  - requires a watermark on the input's event-time column; gap splits
+    *    observed inside a batch are final because any future row is ≥ the
+    *    watermark the next batch enforces.
+    *
+    * A finite replay (Trigger.AvailableNow) terminates without the
+    * watermark ever passing the last session's horizon; appending one
+    * punctuation row per user past `max(ts) + gap` ([[stageSessionFiles]])
+    * closes every real tail through the ordinary gap path, and the
+    * punctuation rows' own open sessions are simply never emitted.
     */
   object Sessionize {
     def apply(events: Dataset[SessionEvent], gapNanos: Long): Dataset[SessionRow] = {
       import events.sparkSession.implicits._
+      val gapMs = gapNanos / 1000000L
       events.groupByKey(_.user_id)
-        .flatMapGroupsWithState[List[SessionRow], SessionRow](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          (user: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionRow]]) =>
-            // Batch-parity guard: this formulation sessionizes each key's
-            // FULL event set in one call. If the source ever splits a key
-            // across micro-batches (maxFilesPerTrigger, restart from a
-            // checkpoint), per-batch sessionization would be silently wrong
-            // — fail loudly instead. (The live-stream variant would keep the
-            // open session tail in this state with an event-time timeout.)
-            if (state.exists)
-              throw new IllegalStateException(
-                s"Sessionize batch-parity run saw key $user in a second " +
-                  "micro-batch; single-batch input required")
-            state.update(Nil)
-            // Sort once per key per batch: session boundaries need time order.
-            val ts = it.map(e => (e.tsNanos, e.event_id)).toArray.sorted
-            val out = List.newBuilder[SessionRow]
-            var idx = 0L; var n = 0L; var start = 0L; var last = Long.MinValue
-            ts.foreach { case (t, _) =>
-              if (n > 0 && t - last > gapNanos) {
-                out += SessionRow(user, idx, n, start / 1000, last / 1000)
-                idx += 1; n = 0
+        .flatMapGroupsWithState[SessState, SessionRow](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (user: Long, it: Iterator[SessionEvent], state: GroupState[SessState]) =>
+            val st = state.getOption.getOrElse(SessState(0L, None))
+            if (state.hasTimedOut) {
+              // Watermark passed open.last + gap: the tail is final. Keep
+              // nextIdx so a user who comes back continues numbering.
+              val out = st.open.map(o =>
+                SessionRow(user, st.nextIdx, o.n, o.start / 1000, o.last / 1000))
+              state.update(SessState(st.nextIdx + out.size, None))
+              out.iterator
+            } else {
+              // Sort once per key per batch: boundaries need time order.
+              val evs = it.map(e => (e.tsNanos, e.event_id)).toArray.sorted
+              val out = List.newBuilder[SessionRow]
+              var idx = st.nextIdx
+              var open = st.open
+              evs.foreach { case (t, _) =>
+                open match {
+                  case Some(o) if t - o.last > gapNanos =>
+                    out += SessionRow(user, idx, o.n, o.start / 1000, o.last / 1000)
+                    idx += 1
+                    open = Some(OpenSession(t, t, 1))
+                  case Some(o) =>
+                    open = Some(OpenSession(o.start, math.max(o.last, t), o.n + 1))
+                  case None =>
+                    open = Some(OpenSession(t, t, 1))
+                }
               }
-              if (n == 0) start = t
-              n += 1; last = t
+              state.update(SessState(idx, open))
+              // Arm the flush horizon (ms; +1 so `watermark == horizon`
+              // does not fire while an equal-ts event could still arrive).
+              open.foreach(o =>
+                state.setTimeoutTimestamp(o.last / 1000000L + gapMs + 1))
+              out.result().iterator
             }
-            if (n > 0) out += SessionRow(user, idx, n, start / 1000, last / 1000)
-            out.result().iterator
         }
     }
+  }
+
+  /** Stage a (user_id, event_id, tsNanos) relation as an event-time-ordered
+    * multi-file stream directory: `nChunks` disjoint time-range files with
+    * ascending modification times (so `maxFilesPerTrigger=1` replays them
+    * as separate micro-batches in event-time order), plus one punctuation
+    * file carrying a single `event_id = -1` row per user at
+    * `max(ts) + gap + 1` — the standard source-driven flush that closes
+    * every open session tail when a finite replay ends.
+    */
+  def stageSessionFiles(events: DataFrame, nChunks: Int, gapNanos: Long): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_sessions_")
+    dir.toFile.deleteOnExit()
+    val stats = events.agg(min(col("tsNanos")), max(col("tsNanos"))).collect()(0)
+    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+    val width = math.max(1L, (hi - lo) / nChunks + 1)
+    val punct = events.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        lit(hi + gapNanos + 1).as("tsNanos"))
+    val chunks = (0 until nChunks).map { i =>
+      events.filter(col("tsNanos") >= lo + i * width &&
+        col("tsNanos") < lo + (i + 1) * width)
+    } :+ punct
+    val t0 = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory("graft_sess_chunk_").toString
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val target = dir.resolve(f"chunk$i%03d.parquet")
+      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+      // FileStreamSource orders by modification time: force strict ascent.
+      target.toFile.setLastModified(t0 + i * 60000L)
+    }
+    dir.toString
   }
 
   // ------------------------------------------------- custom state (memstore)

@@ -66,6 +66,42 @@ class StreamingPivotSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live sessionization: state spans micro-batches, event-time timeout flushes idle tails") {
+    import org.apache.spark.sql.functions._
+    val H = 3600L * 1000000000L // 1h in nanos = the session gap
+    // u1: session {0, 0.5H} then an idle stretch — its tail must flush via
+    // TIMEOUT once other users' events push the watermark past 1.5H, well
+    // before u1's next event (5H) arrives in a later batch; numbering must
+    // continue at idx 1 after the flush. u2: one session whose events span
+    // two chunk files — the open tail must merge across micro-batches.
+    // base offset: an event AT epoch 0 would tie the initial watermark and
+    // be dropped as late — real event times are never at epoch zero.
+    val B = 1000 * H
+    val evs = Seq(
+      (1L, 10L, B), (1L, 11L, B + H / 2), (1L, 12L, B + 5 * H),
+      (2L, 20L, B + 9 * H / 10), (2L, 21L, B + 12 * H / 10),
+      (2L, 22L, B + 18 * H / 10), (2L, 23L, B + 21 * H / 10))
+      .toDF("user_id", "event_id", "tsNanos")
+    val dir = StreamingPivot.stageSessionFiles(evs, nChunks = 4, gapNanos = H)
+    // staging produced one file per micro-batch (4 chunks + punctuation)
+    new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 5
+    val raw = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, tsNanos BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
+      .withWatermark("eventTime", "0 seconds")
+      .as[StreamingPivot.SessionEvent]
+    val out = StreamingPivot.runAvailableNow(
+      StreamingPivot.Sessionize(raw, gapNanos = H).toDF(),
+      "sess_live_test", OutputMode.Append())
+    out.as[StreamingPivot.SessionRow].collect().toSet shouldBe Set(
+      StreamingPivot.SessionRow(1L, 0L, 2L, B / 1000, (B + H / 2) / 1000),
+      StreamingPivot.SessionRow(1L, 1L, 1L, (B + 5 * H) / 1000, (B + 5 * H) / 1000),
+      StreamingPivot.SessionRow(2L, 0L, 4L,
+        (B + 9 * H / 10) / 1000, (B + 21 * H / 10) / 1000))
+  }
+
   test("streaming availableNow result == batch pivot (parity on real data)") {
     val streamed = Queries.all("stream_pivot")(spark, sfDir)
     val cnt = streamed.count()
