@@ -135,6 +135,22 @@ object Queries {
     s"SELECT rowKey, $aggs FROM (${genCellsSql(PresortedRecords, GenTasks, "run1")}) GROUP BY rowKey"
   }
 
+  /** K5 completed as a CATALOG table: generated cells persisted as a
+    * bucketed+sorted table ([[RangeLayout.persistBucketed]]), read back
+    * bucket-per-partition, and pivoted with the shuffle-free streaming
+    * group — zero exchanges between the catalog read and the pivot output
+    * (PlanSpec asserts it). Same oracle as the in-memory presorted pivot.
+    */
+  def kvPivotBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
+    RangeLayout.persistBucketed(cells, "graft_cells_bucketed", buckets = 8,
+      path = tmpOut("bucketed_cells"))
+    val read = RangeLayout.readBucketed(spark, "graft_cells_bucketed")
+    val piv = KvPivot.pivotPresorted(read, Seq("C0", "C5", "C9"))
+    piv.select(col("rowKey") +:
+      Seq("C0", "C5", "C9").map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
   // ---------------------------------------------------------------- D1 / O1
 
   private val RegionCount = 8
@@ -1125,6 +1141,7 @@ object Queries {
     "kv_delimited_lines" -> (kvDelimitedLines _),
     "kv_gen_cells" -> (kvGenCells _),
     "kv_pivot_presorted" -> (kvPivotPresorted _),
+    "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -1175,6 +1192,7 @@ object Queries {
     "kv_delimited_lines" -> kvDelimitedLinesSql,
     "kv_gen_cells" -> kvGenCellsSql,
     "kv_pivot_presorted" -> kvPivotPresortedSql,
+    "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,

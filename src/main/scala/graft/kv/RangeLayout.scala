@@ -44,4 +44,40 @@ object RangeLayout {
   def layout(cells: DataFrame, regionCount: Int): DataFrame =
     cells.repartitionByRange(regionCount, col("rowKey"))
       .sortWithinPartitions(col("rowKey"), col("qualifier"))
+
+  /** The PERSISTED form of the write layout (completes the K5 bulk-load
+    * story): a bucketed catalog table, hash-bucketed on rowKey and sorted by
+    * (rowKey, qualifier) inside each bucket file — the HFile invariant as
+    * catalog metadata, so a later session can pivot it with ZERO exchanges
+    * ([[readBucketed]] → `KvPivot.pivotPresorted`).
+    *
+    * The `repartition(buckets, rowKey)` ahead of the write uses the same
+    * murmur3-pmod hash as the bucket spec, so every task holds exactly one
+    * bucket's rows and each bucket lands in ONE file — the condition under
+    * which Spark trusts the on-disk sort.
+    */
+  def persistBucketed(
+      cells: DataFrame, table: String, buckets: Int, path: String): Unit = {
+    val spark = cells.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.sinks.Sinks.deleteRecursive(spark, path)
+    cells.repartition(buckets, col("rowKey"))
+      .write.format("parquet")
+      .bucketBy(buckets, "rowKey")
+      .sortBy("rowKey", "qualifier")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Read a [[persistBucketed]] table with the bucket-per-partition layout
+    * GUARANTEED: `autoBucketedScan` would silently fall back to size-based
+    * file splits (packing several sorted bucket files into one partition)
+    * for plans that declare no partitioning requirement — `mapPartitions`
+    * consumers like `pivotPresorted` declare none, so pin the bucketed scan
+    * on for this session.
+    */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.table(table)
+  }
 }

@@ -26,6 +26,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("bucketed catalog table -> pivot runs ZERO exchanges (K5 bulk-load analog)") {
+    val cells = KvGenerator.cells(spark, 1000, 4, "run1")
+    RangeLayout.persistBucketed(cells, "plan_spec_bucketed", buckets = 4,
+      path = s"${sys.props("java.io.tmpdir")}/graft_test/plan_spec_bucketed")
+    val read = RangeLayout.readBucketed(spark, "plan_spec_bucketed")
+    // the scan itself is bucket-per-partition (one partition per bucket)
+    read.rdd.getNumPartitions shouldBe 4
+    val plan = executedPlan(KvPivot.pivotPresorted(read, Seq("C0", "C1")))
+    plan should include("Bucketed: true")
+    plan should not include "Exchange"
+  }
+
   test("pivot is hash-aggregated (ObjectHashAggregate), never SortAggregate") {
     val cells = KvTable.eventsAsCells(spark, sfDir)
     val plan = executedPlan(KvPivot.pivot(cells, Seq("click", "view")))
