@@ -164,6 +164,63 @@ object Scratch {
         time("1M events streaming pivot")(
           println("  rows = " + graft.streaming.StreamingPivot
             .runAvailableNow(piv, "scale_stream_out").count()))
+      case "scalesalt" =>
+        import org.apache.spark.sql.functions._
+        // 10M rows, ONE key: the adversarial skew case for the asof carry
+        // (unsalted = one task sorts everything) and the banded range join.
+        val ev = spark.range(10000000L).selectExpr(
+          "id AS event_id", "0L AS user_id",
+          "abs(xxhash64(id)) % 1000000000000 AS tsNanos",
+          "CAST(id % 7 AS DOUBLE) AS value").localCheckpoint()
+        val l = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("tsNanos"))
+        val r = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("tsNanos"), col("value"))
+        def forceAsof(df: org.apache.spark.sql.DataFrame) =
+          df.agg(sum(col("_asof.event_id"))).collect()(0).getLong(0)
+        var h0 = 0L; var h1 = 0L
+        time("asof 5Mx5M single key UNSALTED") {
+          h0 = forceAsof(graft.ops.AsofJoin.asofBackward(l, r,
+            Seq("user_id"), "tsNanos", "event_id", Seq("event_id", "value")))
+        }
+        time("asof 5Mx5M single key salted x32") {
+          h1 = forceAsof(graft.ops.AsofJoin.asofBackwardSalted(l, r,
+            Seq("user_id"), "tsNanos", "event_id", Seq("event_id", "value"), 32))
+        }
+        println(s"  checksums equal = ${h0 == h1} ($h0)")
+        // Range-join skew is per (key, BUCKET) cell — spread timestamps
+        // already act as a salt (measured: salting a spread case only adds
+        // replication). The hot case: ONE key, times inside TWO bucket
+        // widths, so the whole quadratic candidate set sits in 2 tasks
+        // unsalted vs 64 salted.
+        val ev2 = spark.range(40000L).selectExpr(
+          "id AS event_id", "0L AS user_id",
+          "abs(xxhash64(id)) % 200000 AS tsNanos").localCheckpoint()
+        val le = ev2.filter(col("event_id") % 2 === 0)
+          .select(col("event_id").as("l_id"), col("user_id"), col("tsNanos").as("lts"))
+        val re2 = ev2.filter(col("event_id") % 2 === 1)
+          .select(col("event_id").as("r_id"), col("user_id"), col("tsNanos").as("rts"))
+        // broadcast would sidestep (key,bucket) skew entirely at this size;
+        // force the shuffle join a 100-TB-scale large-large range join runs.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def partStats(name: String, salt: Int): Long = {
+          val df = graft.ops.RangeJoin.backwardWindowJoin(le, re2,
+            Seq("user_id"), "lts", "rts", 100000L, salt)
+          val sizes = df.rdd.mapPartitions(it => Iterator(it.size.toLong))
+            .collect().sorted.reverse
+          val total = sizes.sum
+          println(f"  $name: total=$total%d busy_tasks=${sizes.count(_ > 0)}%d " +
+            f"max_task_share=${sizes.head * 100.0 / math.max(total, 1)}%.1f%%")
+          total
+        }
+        var c0 = 0L; var c1 = 0L
+        time("range 20k x 20k in 2 hot cells UNSALTED") {
+          c0 = partStats("unsalted", 1)
+        }
+        time("range 20k x 20k in 2 hot cells salted x32") {
+          c1 = partStats("salted x32", 32)
+        }
+        println(s"  match counts equal = ${c0 == c1} ($c0)")
       case "scaleexact" =>
         import org.apache.spark.sql.functions._
         // 500k ~1KB docs, 10% exact dups: shuffle-byte evidence for the

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *
   * Cost is one shuffle + one sort of |L|+|R| rows — no pair fan-out, memory
   * O(1) per key in the window frame. Skew bound = rows per key (same bound a
-  * sort-merge join would have), salting applies if one key dominates.
+  * sort-merge join would have); [[asofBackwardSalted]] time-slices a
+  * dominant key across tasks when one key holds a large share of the data.
   */
 object AsofJoin {
 
@@ -55,5 +56,82 @@ object AsofJoin {
       .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .drop("_side")
+  }
+
+  /** [[asofBackward]] with the SKEW ESCAPE HATCH: the time axis is cut into
+    * `slices` equal ranges, the carry-forward window partitions by
+    * (key, slice), and each slice is seeded with a virtual right row holding
+    * the latest payload from all earlier slices — so a key owning most of
+    * the data sorts on `slices` tasks instead of one.
+    *
+    * Mechanics (two cheap extra passes over the RIGHT side only):
+    *  1. per (key, slice): the latest right payload inside the slice
+    *     (`max_by` over (time, tie));
+    *  2. per key over the tiny (key, slice) spine: carry that forward to
+    *     get each slice's carry-IN, injected as a `_side = -1` row at the
+    *     slice's start time (sorts before any real row of the slice).
+    *
+    * Same result as [[asofBackward]] for any input (law-tested); requires
+    * integral (long) time and tie columns. Prefer the unsalted form unless a
+    * dominant key is known — two extra shuffles of the right/spine relations
+    * buy the per-key parallelism.
+    */
+  def asofBackwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      timeCol: String,
+      tieCol: String,
+      rightPayload: Seq[String],
+      slices: Int): DataFrame = {
+    require(slices > 1, s"slices must be > 1, got $slices (use asofBackward)")
+    val keyCols = key.map(col)
+    val rStruct = struct(rightPayload.map(col): _*)
+    // Global time range: one bounded agg (two longs to the driver).
+    val range = left.select(col(timeCol)).unionByName(right.select(col(timeCol)))
+      .agg(min(col(timeCol)), max(col(timeCol))).collect()(0)
+    if (range.isNullAt(0)) // both sides empty of times → nothing to slice
+      return asofBackward(left, right, key, timeCol, tieCol, rightPayload)
+    val lo = range.getLong(0)
+    val width = math.max(1L, (range.getLong(1) - lo) / slices + 1)
+    // t >= lo, so truncating DIV == floor division here.
+    def sliceOf(df: DataFrame) =
+      df.withColumn("_slice", expr(s"($timeCol - ${lo}L) DIV ${width}L"))
+    val lS = sliceOf(left.withColumn("_side", lit(1)))
+    val rS = sliceOf(right.select(
+      (key :+ timeCol :+ tieCol).map(col) :+ lit(0).as("_side") :+ rStruct.as("_asof"): _*))
+    // 1. latest right payload per (key, slice) — the hot key spreads over
+    //    `slices` groups here, so no single task owns it.
+    val lastPerSlice = rS.groupBy(keyCols :+ col("_slice"): _*)
+      .agg(max_by(col("_asof"), struct(col(timeCol), col(tieCol))).as("_last"))
+    // 2. carry-in per slice over the (key, slice) spine — slices that only
+    //    have left rows still need their carry-in row.
+    val spine = lS.select(keyCols :+ col("_slice"): _*)
+      .union(rS.select(keyCols :+ col("_slice"): _*)).distinct()
+    val wSpine = Window.partitionBy(keyCols: _*).orderBy(col("_slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = spine
+      .join(lastPerSlice, key :+ "_slice", "left")
+      .withColumn("_asof", last(col("_last"), ignoreNulls = true).over(wSpine))
+      .filter(col("_asof").isNotNull)
+      .select(keyCols ++ Seq(
+        (col("_slice") * width + lo).as(timeCol),
+        lit(Long.MinValue).as(tieCol),
+        lit(-1).as("_side"),
+        col("_asof"),
+        col("_slice")): _*)
+    val unioned = lS
+      .unionByName(rS, allowMissingColumns = true)
+      .unionByName(carryIn, allowMissingColumns = true)
+    // The window now partitions by (key, slice): the virtual -1 row sorts
+    // first in its slice (slice-start time, smallest side), seeding the
+    // carry exactly where the previous slice left off.
+    val w = Window.partitionBy(keyCols :+ col("_slice"): _*)
+      .orderBy(col(timeCol), col("_side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_slice")
   }
 }

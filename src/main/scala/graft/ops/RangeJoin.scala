@@ -24,6 +24,14 @@ object RangeJoin {
     * @param rTime    right event-time column name (same unit as lTime)
     * @param window   interval length in the time columns' unit; matches are
     *                 `lTime - window <= rTime <= lTime` (both ends inclusive)
+    * @param salt     skew escape hatch: when > 1, right rows additionally key
+    *                 on `hash(rTime) pmod salt` and every left probe
+    *                 replicates across all salt values — a hot (key, bucket)
+    *                 cell spreads over `salt` tasks at the cost of `salt`×
+    *                 left-side replication. Result is identical (law-tested);
+    *                 leave at 1 unless a dominant key is known. (Right rows
+    *                 sharing one exact timestamp share a salt — the residual
+    *                 worst case needs a finer hash, e.g. over a unique id.)
     *
     * Column names of `left` and `right` must be disjoint apart from `key`.
     */
@@ -33,8 +41,10 @@ object RangeJoin {
       key: Seq[String],
       lTime: String,
       rTime: String,
-      window: Long): DataFrame = {
+      window: Long,
+      salt: Int = 1): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     // Integer division: `/` on longs is DOUBLE division in Spark, and at
     // epoch-nanos magnitude (~2^60) doubles have >256ns ulps — a right row
     // near a bucket edge would land in the wrong bucket and silently miss.
@@ -42,11 +52,18 @@ object RangeJoin {
     // so pre-epoch (negative) times bucket correctly too.
     def bucketOf(t: String) =
       expr(s"$t DIV ${window}L - (CASE WHEN $t % ${window}L < 0 THEN 1 ELSE 0 END)")
-    val probes = left.withColumn("_bucket",
+    val probes0 = left.withColumn("_bucket",
       explode(array(bucketOf(lTime), bucketOf(lTime) - 1)))
-    val indexed = right.withColumn("_bucket", bucketOf(rTime))
-    probes.join(indexed, key :+ "_bucket")
+    val indexed0 = right.withColumn("_bucket", bucketOf(rTime))
+    val (probes, indexed, joinCols) =
+      if (salt == 1) (probes0, indexed0, key :+ "_bucket")
+      else (
+        probes0.withColumn("_salt",
+          explode(array((0 until salt).map(lit): _*))),
+        indexed0.withColumn("_salt", pmod(hash(col(rTime)), lit(salt))),
+        key :+ "_bucket" :+ "_salt")
+    probes.join(indexed, joinCols)
       .filter(col(rTime) <= col(lTime) && col(rTime) >= col(lTime) - window)
-      .drop("_bucket")
+      .drop("_bucket", "_salt")
   }
 }

@@ -119,6 +119,37 @@ class JoinOpsSpec extends SparkSpec {
     })
   }
 
+  test("law: salted asof (time-sliced hot keys) equals the unsalted result") {
+    check("asofSalted", Prop.forAll(rowsGen(100), rowsGen(1000), Gen.choose(2, 7)) {
+      (ls, rsRaw, slices) =>
+        val rs = rsRaw.map { case (id, k, ts) => (id, k, ts, id.toDouble) }
+        val l = ls.toDF("event_id", "user_id", "tsNanos")
+        val r = rs.toDF("event_id", "user_id", "tsNanos", "value")
+        def norm(df: org.apache.spark.sql.DataFrame) =
+          df.select($"event_id", $"user_id",
+              $"_asof.event_id".as("m"), $"_asof.value".as("v"))
+            .collect().map(_.toSeq).toSet
+        val plain = norm(AsofJoin.asofBackward(l, r,
+          Seq("user_id"), "tsNanos", "event_id", Seq("event_id", "value")))
+        val salted = norm(AsofJoin.asofBackwardSalted(l, r,
+          Seq("user_id"), "tsNanos", "event_id", Seq("event_id", "value"), slices))
+        plain == salted
+    })
+  }
+
+  test("law: salted range join equals the unsalted result") {
+    check("rangeSalted", Prop.forAll(rowsGen(100), rowsGen(1000), Gen.choose(1L, 30L)) {
+      (ls, rs, w) =>
+        val l = ls.toDF("l_id", "user_id", "lts")
+        val r = rs.toDF("r_id", "user_id", "rts")
+        def pairs(salt: Int) =
+          RangeJoin.backwardWindowJoin(l, r, Seq("user_id"), "lts", "rts", w, salt)
+            .select($"l_id", $"r_id").collect()
+            .map(row => (row.getLong(0), row.getLong(1)))
+        pairs(1).toSet == pairs(3).toSet && pairs(3).length == pairs(3).distinct.length
+    })
+  }
+
   test("law: range join equals the naive theta-join filter (random inputs)") {
     check("range", Prop.forAll(rowsGen(100), rowsGen(1000), Gen.choose(1L, 30L)) {
       (ls, rs, w) =>
