@@ -205,23 +205,26 @@ object StreamingPivot {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("graft_sessions_")
     dir.toFile.deleteOnExit()
-    val stats = events.agg(min(col("tsNanos")), max(col("tsNanos"))).collect()(0)
-    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
-    val width = math.max(1L, (hi - lo) / nChunks + 1)
-    val punct = events.select(col("user_id")).distinct()
+    val hi = events.agg(max(col("tsNanos"))).collect()(0).getLong(0)
+    // ONE job writes all chunks: repartitionByRange gives disjoint,
+    // ascending time ranges with part-file index == range index, which is
+    // the only invariant the replay needs (no later file may hold an event
+    // below an earlier file's max — it would drop at the watermark).
+    val tmp = Files.createTempDirectory("graft_sess_chunks_").toString
+    events.repartitionByRange(nChunks, col("tsNanos"))
+      .write.mode("overwrite").parquet(tmp)
+    val punctTmp = Files.createTempDirectory("graft_sess_punct_").toString
+    events.select(col("user_id")).distinct()
       .select(col("user_id"), lit(-1L).as("event_id"),
         lit(hi + gapNanos + 1).as("tsNanos"))
-    val chunks = (0 until nChunks).map { i =>
-      events.filter(col("tsNanos") >= lo + i * width &&
-        col("tsNanos") < lo + (i + 1) * width)
-    } :+ punct
+      .coalesce(1).write.mode("overwrite").parquet(punctTmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName) ++
+      new java.io.File(punctTmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     val t0 = System.currentTimeMillis()
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory("graft_sess_chunk_").toString
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    parts.zipWithIndex.foreach { case (part, i) =>
       val target = dir.resolve(f"chunk$i%03d.parquet")
       Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
       // FileStreamSource orders by modification time: force strict ascent.
