@@ -64,6 +64,24 @@ class DedupSpec extends SparkSpec {
     all(maxs) should be < Dedup.P
   }
 
+  test("exact dedup: hash-key result matches; verifyTexts audited mode agrees") {
+    val plain = Dedup.exact(docsDf).collect().map(_.toSeq).toSet
+    val audited = Dedup.exact(docsDf, verifyTexts = true).collect().map(_.toSeq).toSet
+    audited shouldBe plain
+  }
+
+  test("simhash64: codegen expression == reference impl; bits 62-63 always zero") {
+    import graft.functions.SimHash64
+    val got = Dedup.simhash(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docsDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      withClue(s"doc $id") { got(id) shouldBe SimHash64.of(toks) }
+    }
+    got.values.foreach(h => (h >>> SimHash64.Bits) shouldBe 0L)
+  }
+
   test("simhash: identical docs equal; banding == quadratic scan (pigeonhole)") {
     val sh = Dedup.simhash(docsDf)
     val m = sh.as[(Long, Long)].collect().toMap

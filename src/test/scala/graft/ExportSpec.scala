@@ -66,6 +66,28 @@ class ExportSpec extends SparkSpec {
     back.filter(col("KEY").isNull).count() shouldBe 0 // P4 injected everywhere
   }
 
+  test("avro sink: double/boolean/binary round-trip; bad types fail on the driver") {
+    import org.apache.spark.sql.types._
+    val path = tmp("avro_wide")
+    val df = Seq(
+      (1L, 1.5, true, Array[Byte](1, 2, 3)),
+      (2L, -0.25, false, Array[Byte]())).toDF("id", "d", "b", "bin")
+    Sinks.deleteRecursive(spark, path)
+    AvroIO.write(df, path, Some("snappy"))
+    val back = AvroIO.read(spark, path, df.schema)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    back shouldBe Seq(
+      (1L, 1.5, true, Seq[Byte](1, 2, 3)),
+      (2L, -0.25, false, Seq.empty[Byte]))
+    // unsupported column type: rejected before any job launches
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.toAvroJson(
+        StructType(Seq(StructField("xs", ArrayType(IntegerType)))), "Bad")
+    }
+    e.getMessage should include("xs")
+  }
+
   test("K4 parquet: typed export round-trip with int/long decode (F2)") {
     val path = tmp("parquet")
     val typedCells = KvTableHelpers.typedCells(spark)

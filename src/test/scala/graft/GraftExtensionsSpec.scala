@@ -27,6 +27,20 @@ class GraftExtensionsSpec extends SparkSpec {
     s
   }
 
+  test("wrong arity raises an analysis-time WRONG_NUM_ARGS error, not a raw require") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      sql.sql("SELECT poly_hash('a', 'b')").collect()
+    }
+    e.getCondition shouldBe "WRONG_NUM_ARGS.WITHOUT_SUGGESTION"
+    e.getMessage should include("poly_hash")
+  }
+
+  test("sim_hash64 from SQL agrees with the reference implementation") {
+    val row = sql.sql("SELECT sim_hash64(split('a b a c', ' ')) AS h")
+      .collect().head
+    row.getLong(0) shouldBe graft.functions.SimHash64.of(Seq("a", "b", "a", "c"))
+  }
+
   test("scalar functions are callable from SQL and agree with the Scala API") {
     val row = sql.sql(
       """SELECT poly_hash('spark') AS h,

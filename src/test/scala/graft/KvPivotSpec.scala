@@ -104,6 +104,21 @@ class KvPivotSpec extends SparkSpec {
     line shouldBe "r1|||3"
   }
 
+  test("maxByTs equal-ts tie resolves to the lex-largest value, input-order independent") {
+    import graft.functions.MaxByTsAgg.maxByTs
+    val rows = Seq(
+      ("k", "aa".getBytes("UTF-8"), 5L),
+      ("k", "ab".getBytes("UTF-8"), 5L), // same ts, lex-larger value
+      ("k", "zz".getBytes("UTF-8"), 1L)) // older ts: loses regardless
+    for (perm <- rows.permutations) {
+      val df = perm.toDF("rowKey", "value", "ts").repartition(3)
+      val got = df.groupBy(col("rowKey"))
+        .agg(maxByTs(col("value"), col("ts")).as("v"))
+        .collect()(0).getAs[Array[Byte]]("v")
+      new String(got, "UTF-8") shouldBe "ab"
+    }
+  }
+
   test("pivot row count == distinct rowKey count (property)") {
     val in = KvTableFixtures.randomCells(spark, 500, seed = 7)
     val piv = KvPivot.pivot(in, Seq("c0", "c1", "c2"))
