@@ -636,9 +636,11 @@ object Queries {
     val d = docs(spark, sfDir)
     val w = Window.partitionBy(col("_h1"), col("_h2"))
     d.select(col("doc_id") +: Dedup.textKey128(col("text")) :+
-        TextAnalysis.langPredict(TextAnalysis.langScores(col("text"))).as("lang_pred") :+
-        TextAnalysis.qualityScore(col("text")).as("quality") :+
-        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"): _*)
+        TextAnalysis.stats(col("text")).as("_st"): _*)
+      .select(col("doc_id"), col("_h1"), col("_h2"),
+        TextAnalysis.langPredict(TextAnalysis.langScoresFrom(col("_st"))).as("lang_pred"),
+        TextAnalysis.qualityScoreFrom(col("_st")).as("quality"),
+        col("_st.ws_tokens").as("ws_tokens"))
       .filter(col("lang_pred") === "en" && col("quality") >= 500)
       .withColumn("_canonical", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("_canonical")) // exact dedup, canonical kept

@@ -164,6 +164,19 @@ object Scratch {
         time("1M events streaming pivot")(
           println("  rows = " + graft.streaming.StreamingPivot
             .runAvailableNow(piv, "scale_stream_out").count()))
+
+      case "txtcost" =>
+        import org.apache.spark.sql.functions._
+        val d = graft.kv.KvTable.table(spark, sfDir, "documents").localCheckpoint()
+        println("  docs = " + d.count())
+        time("quality FORCED")(graft.ext.TextAnalysis.quality(d)
+          .agg(sum(col("quality"))).collect())
+        time("langid FORCED")(graft.ext.TextAnalysis.langId(d)
+          .agg(sum(col("score_en"))).collect())
+        time("tokens FORCED")(graft.ext.TextAnalysis.tokens(d)
+          .agg(sum(col("bpe_tokens"))).collect())
+        time("pipe_clean full")(Queries.pipeCleanCorpus(spark, sfDir).count())
+        time("pipe_clean full #2")(Queries.pipeCleanCorpus(spark, sfDir).count())
       case "scalesalt" =>
         import org.apache.spark.sql.functions._
         // 10M rows, ONE key: the adversarial skew case for the asof carry

@@ -17,54 +17,64 @@ import graft.functions.TextHash
 object TextAnalysis {
 
   import graft.functions.IntMath.idiv
+  import graft.functions.{TextStats, TextStatsExpr}
+  import org.apache.spark.sql.graft.bridge
 
-  /** Whitespace token count: `split(trim(s), "\s+")`, 0 for blank text. */
-  def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** Every per-document counter in one fused scan ([[TextStats]]): a struct
+    * of 10 longs. All column functions below derive from this; identical
+    * `stats(text)` instances in one projection are deduplicated by Catalyst
+    * subexpression elimination, so the scan runs once per row however many
+    * facets a query reads.
+    */
+  def stats(text: Column): Column =
+    bridge.toColumn(TextStatsExpr(bridge.toExpression(text)))
+
+  /** Whitespace token count (== `size(split(trim(s), "\s+"))`, blank → 0). */
+  def wsTokenCount(text: Column): Column = stats(text).getField("ws_tokens")
 
   /** BPE-ish subword count: greedy ≤4-char letter chunks, single digits,
-    * and one token per non-alphanumeric mark — a regex stand-in for a real
+    * and one token per non-alphanumeric mark — a stand-in for a real
     * byte-pair vocabulary (same token-growth shape: ~len/4 per long word).
+    * Replayed by the oracle as the regex `[a-z]{1,4}|[0-9]|[^a-z0-9\s]`.
     */
-  val BpeishPattern = "[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"
-  def bpeishTokenCount(text: Column): Column =
-    regexp_count(lower(text), lit(BpeishPattern))
+  def bpeishTokenCount(text: Column): Column = stats(text).getField("bpe")
 
-  /** Punctuation/symbol character count. */
-  def punctCount(text: Column): Column =
-    regexp_count(lower(text), lit("[^a-z0-9\\s]"))
+  /** Punctuation/symbol character count (`[^a-z0-9\s]` on lowered text). */
+  def punctCount(text: Column): Column = stats(text).getField("punct")
 
   /** English stop-word occurrences (word-boundary matched). */
-  val StopPattern = "\\b(the|a|of|and|to|in|is)\\b"
-  def stopCount(text: Column): Column =
-    regexp_count(lower(text), lit(StopPattern))
+  def stopCount(text: Column): Column = stats(text).getField("stop")
 
   /** Quality facets, integer-scaled (‰ and ×100) for oracle stability:
     * punct per 1000 chars, stop words per 1000 tokens, average token length
     * ×100. `DIV` (integer division) keeps every value exact.
     */
-  def qualityFacets(text: Column): Seq[(String, Column)] = {
-    val nChars = length(text)
-    val nTokens = wsTokenCount(text)
-    val nonSpace = length(regexp_replace(text, "\\s", ""))
+  def qualityFacets(text: Column): Seq[(String, Column)] =
+    qualityFacetsFrom(stats(text))
+
+  def qualityFacetsFrom(st: Column): Seq[(String, Column)] = {
+    val nChars = st.getField("chars")
+    val nTokens = st.getField("ws_tokens")
+    val nonSpace = st.getField("nonspace")
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
       "punct_per_1000" ->
-        when(nChars === 0, lit(0L)).otherwise(idiv(punctCount(text).cast("long") * 1000L, nChars)),
+        when(nChars === 0, lit(0L)).otherwise(idiv(st.getField("punct") * 1000L, nChars)),
       "stop_per_1000" ->
-        when(nTokens === 0, lit(0L)).otherwise(idiv(stopCount(text).cast("long") * 1000L, nTokens)),
+        when(nTokens === 0, lit(0L)).otherwise(idiv(st.getField("stop") * 1000L, nTokens)),
       "avg_tok_x100" ->
-        when(nTokens === 0, lit(0L)).otherwise(idiv(nonSpace.cast("long") * 100L, nTokens)))
+        when(nTokens === 0, lit(0L)).otherwise(idiv(nonSpace * 100L, nTokens)))
   }
 
   /** Scalar quality score in [0, 1000]: full marks need enough tokens,
     * mid-range word lengths, some stop-word mass, little punctuation. A
     * deterministic, cheap analog of fastText-style quality filters.
     */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFacets(text).toMap
+  def qualityScore(text: Column): Column = qualityScoreFrom(stats(text))
+
+  def qualityScoreFrom(st: Column): Column = {
+    val f = qualityFacetsFrom(st).toMap
     val lengthPts = least(f("n_tokens").cast("long"), lit(250L)) // up to 250
     val stopPts = least(f("stop_per_1000"), lit(250L)) // up to 250
     val punctPts = greatest(lit(0L), lit(250L) - f("punct_per_1000")) // up to 250
@@ -78,16 +88,12 @@ object TextAnalysis {
     * `unknown` when nothing matches. Real pipelines use fastText; the scoring
     * *shape* (per-language evidence, arg-max, abstain on zero) is the same.
     */
-  val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|a|of|and|is|to)\\b",
-    "de" -> "\\b(der|die|das|und|ein|ist)\\b",
-    "es" -> "\\b(el|la|los|y|un|es)\\b",
-    "fr" -> "\\b(le|les|et|une|est)\\b")
+  val LangMarkers: Seq[String] = Seq("en", "de", "es", "fr")
 
-  def langScores(text: Column): Seq[(String, Column)] =
-    LangMarkers.map { case (lang, pat) =>
-      s"score_$lang" -> regexp_count(lower(text), lit(pat)).cast("long")
-    }
+  def langScores(text: Column): Seq[(String, Column)] = langScoresFrom(stats(text))
+
+  def langScoresFrom(st: Column): Seq[(String, Column)] =
+    LangMarkers.map(lang => s"score_$lang" -> st.getField(lang))
 
   def langPredict(scores: Seq[(String, Column)]): Column = {
     val top = greatest(scores.map(_._2): _*)
@@ -104,22 +110,25 @@ object TextAnalysis {
   // ------------------------------------------------------------- queries
 
   def tokens(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      wsTokenCount(col("text")).cast("long").as("ws_tokens"),
-      bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"),
-      punctCount(col("text")).cast("long").as("punct_chars"))
+    docs.select(col("doc_id"), stats(col("text")).as("_st"))
+      .select(
+        col("doc_id"),
+        col("_st.ws_tokens").as("ws_tokens"),
+        col("_st.bpe").as("bpe_tokens"),
+        col("_st.punct").as("punct_chars"))
 
-  def quality(docs: DataFrame): DataFrame = {
-    val facets = qualityFacets(col("text")).map { case (n, c) => c.cast("long").as(n) }
-    docs.select((col("doc_id") +: facets :+ qualityScore(col("text")).as("quality")): _*)
-  }
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), stats(col("text")).as("_st"))
+      .select((col("doc_id") +:
+        qualityFacetsFrom(col("_st")).map { case (n, c) => c.cast("long").as(n) } :+
+        qualityScoreFrom(col("_st")).as("quality")): _*)
 
   def langId(docs: DataFrame): DataFrame = {
-    val scores = langScores(col("text"))
-    docs.select(
-      (col("doc_id") +: scores.map { case (n, c) => c.as(n) }
-        :+ langPredict(scores).as("lang_pred")): _*)
+    val scores = langScoresFrom(col("_st"))
+    docs.select(col("doc_id"), stats(col("text")).as("_st"))
+      .select(
+        (col("doc_id") +: scores.map { case (n, c) => c.as(n) }
+          :+ langPredict(scores).as("lang_pred")): _*)
   }
 
   def fingerprints(docs: DataFrame): DataFrame =

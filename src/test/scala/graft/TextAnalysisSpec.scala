@@ -13,15 +13,47 @@ class TextAnalysisSpec extends SparkSpec {
   test("whitespace token count handles blanks, runs of spaces, and trim") {
     val df = Seq("a b  c", "", "   ", " x ").toDF("text")
       .select(TextAnalysis.wsTokenCount(col("text")).as("n"))
-    df.as[Int].collect().toSeq shouldBe Seq(3, 0, 0, 1)
+    df.as[Long].collect().toSeq shouldBe Seq(3L, 0L, 0L, 1L)
   }
 
   test("BPE-ish count: long words split into <=4-char pieces; digits/punct separate") {
     val df = Seq(("aggregation b 42!",
       3 + 1 + 2 + 1)) // agg|rega|tion, b, 4|2, !
       .toDF("text", "expected")
-    val got = df.select(TextAnalysis.bpeishTokenCount(col("text"))).as[Int].head()
-    got shouldBe df.select(col("expected")).as[Int].head()
+    val got = df.select(TextAnalysis.bpeishTokenCount(col("text"))).as[Long].head()
+    got shouldBe df.select(col("expected").cast("long")).as[Long].head()
+  }
+
+  test("fused scanner == the regex formulation it replaced (adversarial + real docs)") {
+    // The TextStats scanner exists for speed only — these regexes DEFINE the
+    // semantics (and the DuckDB oracles replay them). Pin equality on edge
+    // cases (leading tabs → split()'s empty token, marker words glued to
+    // word chars, unicode, blanks) and on the real corpus.
+    val adversarial = Seq(
+      "", " ", "\t", "\ta b", " \t ", "x  y\tz\n",
+      "the-a the1 _the the a_b the_", "of,and.to;in!is?",
+      "AGGREGATION The 42!", "aaaaaaaaaaa 0123 ...",
+      "der und ein ist el la los y un es le les et une est",
+      "café über naïve €42").toDF("text")
+    val real = spark.read.parquet(s"$sfDir/documents.parquet").select(col("text"))
+    for (df <- Seq(adversarial, real)) {
+      val scanner = df.select(TextAnalysis.stats(col("text")).as("st"))
+        .select(graft.functions.TextStats.Fields.map(f => col(s"st.$f")): _*)
+      import org.apache.spark.sql.{functions => F}
+      val regex = df.select(
+        F.length(col("text")).cast("long"),
+        F.length(regexp_replace(col("text"), "\\s", "")).cast("long"),
+        when(F.length(F.trim(col("text"))) === 0, 0L)
+          .otherwise(F.size(F.split(F.trim(col("text")), "\\s+")).cast("long")),
+        regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).cast("long"),
+        regexp_count(lower(col("text")), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("long"),
+        regexp_count(lower(col("text")), lit("[a-z]{1,4}|[0-9]|[^a-z0-9\\s]")).cast("long"),
+        regexp_count(lower(col("text")), lit("\\b(the|a|of|and|is|to)\\b")).cast("long"),
+        regexp_count(lower(col("text")), lit("\\b(der|die|das|und|ein|ist)\\b")).cast("long"),
+        regexp_count(lower(col("text")), lit("\\b(el|la|los|y|un|es)\\b")).cast("long"),
+        regexp_count(lower(col("text")), lit("\\b(le|les|et|une|est)\\b")).cast("long"))
+      scanner.collect().map(_.toSeq) shouldBe regex.collect().map(_.toSeq)
+    }
   }
 
   test("quality facets are integer-exact and guard zero denominators") {
