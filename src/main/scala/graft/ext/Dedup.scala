@@ -143,29 +143,31 @@ object Dedup {
 
   /** Fixed-width MinHash signature: s_j = min over shingles of
     * (a_j * polyHash(shingle) + b_j) mod P. Columns s0..s{15}.
+    *
+    * One fused pass per document ([[graft.functions.MinHashSig]]): the
+    * declarative shingle-array + 16×(transform + array_min) formulation is
+    * what the ORACLE replays; the expression folds the shingle hash across
+    * the three tokens directly and updates all 16 minima per window —
+    * identical values, zero intermediate arrays (`array_distinct` provably
+    * cannot change a minimum and is skipped).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    // Stage-by-stage projections: tokens, shingles, and hashes each
-    // materialize once per row (see shingleRows on HOF re-evaluation).
-    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    sigArray(docs).select(col("doc_id") +:
+      (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"s$j")): _*)
+
+  /** (doc_id, sig: array<long>[16]) — the fused signature relation. */
+  private def sigArray(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), shingles(col("t")).as("sh"))
       .select(col("doc_id"),
-        transform(col("sh"), s => TextHash.polyHash(s)).as("hs"))
-    val sigs = (0 until NumHashes).map { j =>
-      array_min(transform(col("hs"), h => (h * hashA(j) + hashB(j)) % P)).as(s"s$j")
-    }
-    base.select(col("doc_id") +: sigs: _*)
-  }
+        graft.functions.MinHash.minhashSig(col("t")).as("sig"))
 
   /** LSH banding over the signature: 4 bands × 4 rows; candidates share a
     * (band, key); verification counts matching signature components and
     * keeps pairs with ≥ `minMatches` of 16 (≈ Jaccard ≥ minMatches/16).
     */
   def minhashLshPairs(docs: DataFrame, minMatches: Long = 12L): DataFrame = {
-    val sig = minhashSignatures(docs)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(j => col(s"s$j")): _*).as("sig"))
+    val sig = sigArray(docs)
     val nBands = NumHashes / BandRows
     // Signatures travel WITH the band rows (128 bytes each) so verification
     // needs no re-join back to the signature relation — the expensive

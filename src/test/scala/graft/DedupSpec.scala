@@ -54,6 +54,31 @@ class DedupSpec extends SparkSpec {
     pairs should contain((1L, 3L, 16L))
   }
 
+  test("fused minhash == the declarative shingle+transform formulation (real docs)") {
+    // The declarative form (distinct shingles -> polyhash -> 16 transformed
+    // array_mins) DEFINES the semantics and is what the oracle replays.
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fused = Dedup.minhashSignatures(real).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val declarative = {
+      val base = real.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+        .filter(org.apache.spark.sql.functions.size(col("t")) >= 3)
+        .select(col("doc_id"), Dedup.shingles(col("t")).as("sh"))
+        .select(col("doc_id"),
+          transform(col("sh"), s => graft.functions.TextHash.polyHash(s)).as("hs"))
+      val sigs = (0 until Dedup.NumHashes).map { j =>
+        array_min(transform(col("hs"),
+          h => (h * Dedup.hashA(j) + Dedup.hashB(j)) % Dedup.P)).as(s"s$j")
+      }
+      base.select(col("doc_id") +: sigs: _*).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    }
+    fused.size shouldBe declarative.size
+    fused.foreach { case (id, sig) =>
+      withClue(s"doc $id") { sig shouldBe declarative(id) }
+    }
+  }
+
   test("minhash signature components are in [0, P)") {
     val sig = Dedup.minhashSignatures(docsDf)
     val mins = sig.select(least((0 until Dedup.NumHashes).map(j => col(s"s$j")): _*))
