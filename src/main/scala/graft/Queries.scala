@@ -119,17 +119,24 @@ object Queries {
     * runs under 32768 records have NO collisions).
     */
   private val PresortedRecords = 40000L
+  private val PresortedCols = Seq("C0", "C5", "C9")
+
+  /** Shared tail of the two presorted-pivot queries (one oracle serves
+    * both, keyed to these columns — keep the projection in ONE place).
+    */
+  private def decodedPresortedPivot(laid: DataFrame): DataFrame = {
+    val piv = KvPivot.pivotPresorted(laid, PresortedCols)
+    piv.select(col("rowKey") +:
+      PresortedCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
 
   def kvPivotPresorted(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
-    val laid = RangeLayout.layout(cells, 8)
-    val piv = KvPivot.pivotPresorted(laid, Seq("C0", "C5", "C9"))
-    piv.select(col("rowKey") +:
-      Seq("C0", "C5", "C9").map(c => decode(col(c), "UTF-8").as(c)): _*)
+    decodedPresortedPivot(RangeLayout.layout(cells, 8))
   }
 
   private def kvPivotPresortedSql: String = {
-    val aggs = Seq("C0", "C5", "C9").map { c =>
+    val aggs = PresortedCols.map { c =>
       s"max_by(value, ts) FILTER (WHERE qualifier = '$c') AS $c"
     }.mkString(", ")
     s"SELECT rowKey, $aggs FROM (${genCellsSql(PresortedRecords, GenTasks, "run1")}) GROUP BY rowKey"
@@ -145,10 +152,7 @@ object Queries {
     val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
     RangeLayout.persistBucketed(cells, "graft_cells_bucketed", buckets = 8,
       path = tmpOut("bucketed_cells"))
-    val read = RangeLayout.readBucketed(spark, "graft_cells_bucketed")
-    val piv = KvPivot.pivotPresorted(read, Seq("C0", "C5", "C9"))
-    piv.select(col("rowKey") +:
-      Seq("C0", "C5", "C9").map(c => decode(col(c), "UTF-8").as(c)): _*)
+    decodedPresortedPivot(RangeLayout.readBucketed(spark, "graft_cells_bucketed"))
   }
 
   // ---------------------------------------------------------------- D1 / O1

@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * P = 2^31-1 (also PolyHash's modulus, so products never overflow a long).
   *
   * Returns null when fewer than 3 tokens (no shingles — upstream filters
-  * these out, matching the declarative pipeline's `size(t) >= 3`).
+  * these out, matching the declarative pipeline's `size(t) >= 3`). Null
+  * elements are SKIPPED along with their joining separator, exactly like
+  * the `concat_ws` the declarative shingle builder uses (unreachable from
+  * `split()` output, but the function is SQL-registered for any caller).
   */
 object MinHashSig {
 
@@ -39,22 +42,26 @@ object MinHashSig {
     val toks = new Array[String](n)
     var i = 0
     while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
       i += 1
     }
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var w = 0
     while (w + 2 < n) {
       var h = 0L
+      var emitted = 0 // non-null parts hashed so far (concat_ws null-skip)
       var part = 0
       while (part < 3) {
-        if (part > 0) h = (h * PolyHash.Mult + ' ') % P
         val s = toks(w + part)
-        var k = 0
-        while (k < s.length) {
-          val cp = s.codePointAt(k)
-          h = (h * PolyHash.Mult + cp) % P
-          k += Character.charCount(cp)
+        if (s != null) {
+          if (emitted > 0) h = (h * PolyHash.Mult + ' ') % P
+          var k = 0
+          while (k < s.length) {
+            val cp = s.codePointAt(k)
+            h = (h * PolyHash.Mult + cp) % P
+            k += Character.charCount(cp)
+          }
+          emitted += 1
         }
         part += 1
       }

@@ -75,6 +75,13 @@ object RangeLayout {
     * for plans that declare no partitioning requirement — `mapPartitions`
     * consumers like `pivotPresorted` declare none, so pin the bucketed scan
     * on for this session.
+    *
+    * SESSION-WIDE side effect, deliberately not restored: the conf is read
+    * at PLAN time of the (lazy) query consuming this DataFrame, so a
+    * set/restore around `spark.table` would undo itself before execution.
+    * The flip only affects how other bucketed-table reads split files
+    * (bucket-per-partition instead of size-packed) — plans stay correct,
+    * at worst less parallel for very large buckets.
     */
   def readBucketed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")

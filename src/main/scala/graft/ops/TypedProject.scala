@@ -11,8 +11,10 @@ import graft.functions.ByteCodecs
   *
   * Mirrors the exporters' `putValue` switch (ExportHBaseTableToAvro.java:199-209,
   * ExportHBaseTableToParquet.java:189-199): STRING → UTF-8 decode, INT →
-  * `Bytes.toInt`, LONG → `Bytes.toLong`, anything else is an error — the
-  * schema parser already rejects other types, so the match here is total.
+  * `Bytes.toInt`, LONG → `Bytes.toLong` — the reference's KV cells only ever
+  * carry these. BOOLEAN ("true"/"false" text) and DOUBLE (decimal text) ride
+  * the UTF-8 representation; BINARY cells pass through raw. The error branch
+  * stays for types the schema parser would reject anyway.
   */
 object TypedProject {
 
@@ -20,6 +22,9 @@ object TypedProject {
     case StringType  => decode(c, "UTF-8")
     case IntegerType => ByteCodecs.binaryToInt(c)
     case LongType    => ByteCodecs.binaryToLong(c)
+    case DoubleType  => decode(c, "UTF-8").cast(DoubleType)
+    case BooleanType => decode(c, "UTF-8").cast(BooleanType)
+    case BinaryType  => c
     case other       => throw new IllegalArgumentException(s"unsupported type $other")
   }
 

@@ -21,11 +21,12 @@ object SchemaFile {
   def parseCsv(firstLine: String): StructType =
     StructType(firstLine.trim.split(",").map(n => StructField(n.trim, StringType)))
 
-  /** Avro-JSON dialect → (StructType, avro schema). Only STRING/INT/LONG are
-    * legal field types, mirroring the exporters' decode switch; anything else
-    * throws, like the reference's `"unsupported type"` error (Avro:207).
-    * A nullable union `[T, "null"]` maps to a nullable field (the
-    * SampleAvroWriter demo shape, SampleAvroWriter.java:25-26).
+  /** Avro-JSON dialect → StructType. STRING/INT/LONG are the reference's
+    * surface (mirroring the exporters' decode switch, Avro:207);
+    * DOUBLE/BOOLEAN/BYTES extend it symmetrically with the AvroIO sink so a
+    * schema file can describe anything the sink can round-trip. A nullable
+    * union `[T, "null"]` maps to a nullable field (the SampleAvroWriter demo
+    * shape, SampleAvroWriter.java:25-26).
     */
   def parseAvroJson(json: String): StructType = {
     val avro = new AvroSchema.Parser().parse(json)
@@ -33,12 +34,16 @@ object SchemaFile {
     StructType(avro.getFields.asScala.map { f =>
       val (t, nullable) = unwrap(f.schema())
       val dt = t.getType match {
-        case AvroSchema.Type.STRING => StringType
-        case AvroSchema.Type.INT    => IntegerType
-        case AvroSchema.Type.LONG   => LongType
+        case AvroSchema.Type.STRING  => StringType
+        case AvroSchema.Type.INT     => IntegerType
+        case AvroSchema.Type.LONG    => LongType
+        case AvroSchema.Type.DOUBLE  => DoubleType
+        case AvroSchema.Type.BOOLEAN => BooleanType
+        case AvroSchema.Type.BYTES   => BinaryType
         case other =>
           throw new IllegalArgumentException(
-            s"field '${f.name}': unsupported Avro type $other (only string/int/long)")
+            s"field '${f.name}': unsupported Avro type $other " +
+              "(supported: string/int/long/double/boolean/bytes)")
       }
       StructField(f.name, dt, nullable)
     }.toSeq)

@@ -138,9 +138,18 @@ object StreamingPivot {
     *    (later rows would be dropped as late), so the timeout invocation
     *    flushes it as final. An idle user's tail therefore emits while the
     *    stream keeps running — no end-of-stream needed.
-    *  - requires a watermark on the input's event-time column; gap splits
-    *    observed inside a batch are final because any future row is ≥ the
-    *    watermark the next batch enforces.
+    *  - requires a ZERO-DELAY watermark on the input's event-time column
+    *    (enforced: a cross-batch regression `t < open.last` throws rather
+    *    than silently mis-merging — correct handling of allowed lateness
+    *    needs event buffering until the watermark, a different operator);
+    *    gap splits observed inside a batch are final because any future row
+    *    is ≥ the watermark the next batch enforces.
+    *  - state retention: a flushed user keeps a tombstone `SessState(idx,
+    *    None)` so session numbering stays GLOBAL per user (the batch
+    *    oracle's semantics — and a user returning later genuinely continues
+    *    at idx). An unbounded-churn production stream would cap this with a
+    *    TTL and accept per-user renumbering after expiry; parity replays
+    *    need the tombstone.
     *
     * A finite replay (Trigger.AvailableNow) terminates without the
     * watermark ever passing the last session's horizon; appending one
@@ -172,12 +181,20 @@ object StreamingPivot {
               var open = st.open
               evs.foreach { case (t, _) =>
                 open match {
+                  case Some(o) if t < o.last =>
+                    // A not-late event BEHIND the open tail means the input
+                    // watermark allows lateness — merging it would corrupt
+                    // start/n and skip gap re-checks. Fail loudly; this
+                    // operator's contract is a zero-delay watermark.
+                    throw new IllegalStateException(
+                      s"Sessionize: out-of-order event for user $user " +
+                        s"($t < open tail ${o.last}); a zero-delay watermark is required")
                   case Some(o) if t - o.last > gapNanos =>
                     out += SessionRow(user, idx, o.n, o.start / 1000, o.last / 1000)
                     idx += 1
                     open = Some(OpenSession(t, t, 1))
                   case Some(o) =>
-                    open = Some(OpenSession(o.start, math.max(o.last, t), o.n + 1))
+                    open = Some(OpenSession(o.start, t, o.n + 1))
                   case None =>
                     open = Some(OpenSession(t, t, 1))
                 }
@@ -205,7 +222,9 @@ object StreamingPivot {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("graft_sessions_")
     dir.toFile.deleteOnExit()
-    val hi = events.agg(max(col("tsNanos"))).collect()(0).getLong(0)
+    val hiRow = events.agg(max(col("tsNanos"))).collect()(0)
+    require(!hiRow.isNullAt(0), "stageSessionFiles: events relation is empty")
+    val hi = hiRow.getLong(0)
     // ONE job writes all chunks: repartitionByRange gives disjoint,
     // ascending time ranges with part-file index == range index, which is
     // the only invariant the replay needs (no later file may hold an event
@@ -228,7 +247,10 @@ object StreamingPivot {
       val target = dir.resolve(f"chunk$i%03d.parquet")
       Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
       // FileStreamSource orders by modification time: force strict ascent.
-      target.toFile.setLastModified(t0 + i * 60000L)
+      // A filesystem that rejects/coarsens mtimes would silently reorder the
+      // replay and drop events at the watermark — fail loudly instead.
+      require(target.toFile.setLastModified(t0 + i * 60000L),
+        s"stageSessionFiles: cannot set modification time on $target")
     }
     dir.toString
   }

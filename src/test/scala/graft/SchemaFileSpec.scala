@@ -30,11 +30,18 @@ class SchemaFileSpec extends SparkSpec {
     st("i").dataType shouldBe IntegerType
   }
 
-  test("Avro dialect: unsupported type throws like the reference (Avro:207)") {
+  test("Avro dialect: extended sink types parse; unsupported still throws (Avro:207)") {
+    val wide = SchemaFile.parseAvroJson(
+      """{"type":"record","name":"R","fields":[
+        |  {"name":"d","type":"double"}, {"name":"b","type":"boolean"},
+        |  {"name":"raw","type":"bytes"}]}""".stripMargin)
+    wide("d").dataType shouldBe DoubleType
+    wide("b").dataType shouldBe BooleanType
+    wide("raw").dataType shouldBe BinaryType
     val e = intercept[IllegalArgumentException] {
       SchemaFile.parseAvroJson(
         """{"type":"record","name":"R","fields":[
-          |  {"name":"d","type":"double"}]}""".stripMargin)
+          |  {"name":"xs","type":{"type":"array","items":"int"}}]}""".stripMargin)
     }
     e.getMessage should include("unsupported")
   }
