@@ -165,6 +165,9 @@ object Scratch {
           println("  rows = " + graft.streaming.StreamingPivot
             .runAvailableNow(piv, "scale_stream_out").count()))
 
+      case "jacab" =>
+        time("jaccard #1")(Queries.dedupJaccardPairs(spark, sfDir).count())
+        time("jaccard #2")(Queries.dedupJaccardPairs(spark, sfDir).count())
       case "txtcost" =>
         import org.apache.spark.sql.functions._
         val d = graft.kv.KvTable.table(spark, sfDir, "documents").localCheckpoint()

@@ -119,6 +119,10 @@ object Dedup {
   val MaxPosting = 10000
 
   def jaccardPairs(docs: DataFrame, threshold: Long = 800L): DataFrame = {
+    // `sh` feeds two consumers (per-doc sizes, posting lists), so the scan +
+    // tokenize + shingle pipeline runs twice. Measured A/B: checkpointing it
+    // costs as much as the recompute at bench scale (the pair fan-out
+    // dominates); at 100 TB persist the shingle relation once instead.
     val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val postings = sh.groupBy(col("s"))

@@ -15,7 +15,7 @@ import graft.functions.VectorOps
   *    (no corpus shuffle, one pass, codegen'd DotProduct inner loop), then a
   *    per-query top-k window. Right answer for small query sets; O(|Q|·|C|)
   *    compute is the documented cost.
-  *  - LSH: L=3 hash tables × 6 sign-bits from fixed pseudo-random
+  *  - LSH: L=5 hash tables × 6 sign-bits from fixed pseudo-random
   *    hyperplanes. The corpus is indexed once per table (equi-join key
   *    (table, bucket)); queries probe their own bucket plus all hamming-1
   *    neighbors in each table (multi-probe), candidates are deduped, then
@@ -30,7 +30,7 @@ import graft.functions.VectorOps
 object Similarity {
 
   val NumBits = 6
-  val NumTables = 3
+  val NumTables = 5
   val Dim = 64
 
   /** Hyperplane component r(t, i, d): deterministic, identical in SQL. */
