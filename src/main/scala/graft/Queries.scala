@@ -893,6 +893,17 @@ object Queries {
   def annTopkIvf(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfTopK(embeds(spark, sfDir), isQuery)
 
+  /** The IVF path against its PERSISTED layout: corpus partitioned by cell
+    * on disk, probe cells pushed as a static partition filter (PlanSpec
+    * asserts the pruning). Same oracle as the in-memory IVF — identical
+    * result by construction.
+    */
+  def annTopkIvfPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = tmpOut("ivf_index")
+    Similarity.persistIvfIndex(embeds(spark, sfDir), path)
+    Similarity.ivfTopKIndexed(spark, path, isQuery)
+  }
+
   /** IVF oracle: centroid scores via the same floor-scaled cosine; cell
     * assignment = rank-1 centroid, probes = rank ≤ NProbe (score DESC,
     * centroid id ASC — mirroring the (score, -id) struct max in Scala).
@@ -1183,6 +1194,7 @@ object Queries {
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
+    "ann_topk_ivf_pruned" -> (annTopkIvfPruned _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
@@ -1234,6 +1246,7 @@ object Queries {
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
+    "ann_topk_ivf_pruned" -> annTopkIvfSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,

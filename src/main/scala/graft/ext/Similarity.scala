@@ -108,38 +108,81 @@ object Similarity {
     * becomes the corpus table's partition column, so a probe prunes whole
     * files.
     */
-  def ivfTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
-    val idx = index(embeddings)
+  /** (score, -centroid) structs per cell: array_max / descending sort then
+    * give the arg-max with the SMALLEST centroid id on score ties, mirroring
+    * the oracle's ORDER BY score DESC, c_id ASC. All centroid dots run in
+    * one DotMatrix pass (constant generated-code size — 32 unrolled
+    * DotProducts blow the JVM's huge-method JIT limit and fall to the
+    * interpreter); the scale/struct fold over the 32-element result is a
+    * cheap HOF.
+    */
+  private def cellScores(v: Column, nrm: Column): Column = {
     val cents: Array[(Long, Array[Double], Double)] =
       IvfCentroids.Cents.zipWithIndex.map { case (cv, i) =>
         (i.toLong, cv, IvfCentroids.normOf(cv))
       }
     require(cents.length == NumCells, "IvfCentroids artifact out of sync with NumCells")
-    // (score, -centroid) structs: array_max / descending sort then give the
-    // arg-max with the SMALLEST centroid id on score ties, mirroring the
-    // oracle's ORDER BY score DESC, c_id ASC. All centroid dots run in one
-    // DotMatrix pass (constant generated-code size — 32 unrolled DotProducts
-    // blow the JVM's huge-method JIT limit and fall to the interpreter);
-    // the scale/struct fold over the 32-element result is a cheap HOF.
     val centMatrix = typedlit(cents.map(_._2.toSeq).toSeq)
     val centNegIds = typedlit(cents.map(c => -c._1).toSeq)
     val centNorms = typedlit(cents.map(_._3).toSeq)
-    def cellScores(v: Column, nrm: Column): Column =
-      zip_with(
-        zip_with(VectorOps.dotAll(v, centMatrix), centNorms,
-          (d, cn) => floor(d * 1000000 / (nrm * cn)).cast("long")),
-        centNegIds,
-        (s, negid) => struct(s.as("s"), negid.as("negid")))
-    val assigned = idx.withColumn("cell",
+    zip_with(
+      zip_with(VectorOps.dotAll(v, centMatrix), centNorms,
+        (d, cn) => floor(d * 1000000 / (nrm * cn)).cast("long")),
+      centNegIds,
+      (s, negid) => struct(s.as("s"), negid.as("negid")))
+  }
+
+  /** The corpus with its coarse-cell assignment — one codegen'd projection,
+    * no join, no shuffle.
+    */
+  def assignCells(idx: DataFrame): DataFrame =
+    idx.withColumn("cell",
       -array_max(cellScores(col("v"), col("nrm"))).getField("negid"))
-    val qs = broadcast(
-      assigned.filter(isQuery(col("vec_id")))
-        .withColumn("probe",
-          explode(slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, NProbe)))
-        .select(col("vec_id"), col("v"), col("nrm"), (-col("probe.negid")).as("cell")))
+
+  /** A query set with one row per (query, probe cell): the NProbe
+    * highest-scoring cells per query vector.
+    */
+  private def probeRows(assigned: DataFrame, isQuery: Column => Column): DataFrame =
+    assigned.filter(isQuery(col("vec_id")))
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, NProbe)))
+      .select(col("vec_id"), col("v"), col("nrm"), (-col("probe.negid")).as("cell"))
+
+  def ivfTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+    val assigned = assignCells(index(embeddings))
+    val qs = broadcast(probeRows(assigned, isQuery))
     // Each corpus vector lives in exactly one cell and probe cells are
     // distinct, so candidates are already unique — no dedup pass needed.
     val scored = qs.as("qr").join(assigned.as("cand"),
+        col("qr.cell") === col("cand.cell") && col("cand.vec_id") =!= col("qr.vec_id"))
+      .select(col("qr.vec_id").as("q"), col("cand.vec_id").as("nb"),
+        cosX1000.as("cos_x1000"))
+    topK(scored, k)
+  }
+
+  /** Persist the corpus as an on-disk IVF index: parquet PARTITIONED BY the
+    * coarse cell — the physical layout where "probe NProbe of NumCells
+    * cells" becomes file-level pruning (a probe reads NProbe directories,
+    * the other NumCells - NProbe are never listed into the scan).
+    */
+  def persistIvfIndex(embeddings: DataFrame, path: String): Unit =
+    assignCells(index(embeddings))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ANN top-k over a [[persistIvfIndex]] layout with STATIC partition
+    * pruning: the query set's probe cells are collected (bounded:
+    * ≤ |queries| × NProbe ints — the queries already broadcast) and pushed
+    * as a literal `cell IN (...)` partition filter, so the candidate scan
+    * touches only the probed directories. Same result as [[ivfTopK]].
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      isQuery: Column => Column, k: Int = 5): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    val qs = broadcast(probeRows(corpus, isQuery))
+    val probeCells = qs.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = corpus.filter(col("cell").isin(probeCells: _*))
+    val scored = qs.as("qr").join(pruned.as("cand"),
         col("qr.cell") === col("cand.cell") && col("cand.vec_id") =!= col("qr.vec_id"))
       .select(col("qr.vec_id").as("q"), col("cand.vec_id").as("nb"),
         cosX1000.as("cos_x1000"))

@@ -53,6 +53,18 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
   }
 
+  test("IVF indexed scan prunes to the probed cell partitions") {
+    import graft.ext.Similarity
+    val emb = KvTable.table(spark, sfDir, "embeddings")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test/ivf_index"
+    Similarity.persistIvfIndex(emb, path)
+    val df = Similarity.ivfTopKIndexed(spark, path, v => v % 50 === 0)
+    val plan = executedPlan(df)
+    // the candidate scan carries a static partition filter on cell
+    plan should include("PartitionFilters: [cell")
+    df.count() should be > 0L
+  }
+
   test("enrich join broadcasts the dim side, no shuffle of the fact side") {
     val plan = executedPlan(Queries.relEnrichJoin(spark, sfDir))
     plan should include("BroadcastHashJoin")
