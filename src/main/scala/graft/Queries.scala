@@ -993,13 +993,29 @@ object Queries {
         col("frame_hash"))
   }
 
+  /** Shared CTE chain ending in `fr(media_id, t, i)`: sampled frame rows of
+    * the video-kind media (tokens carried for the chunk hash).
+    */
+  private val mmFrameCtes: String =
+    """v AS (SELECT doc_id AS media_id, regexp_split_to_array(trim(text), '\s+') AS t,
+      |             1 + doc_id % 5 AS n_frames
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT media_id, t, unnest(range(0, n_frames, 2)) AS i FROM v)""".stripMargin
+
+  /** Frame hash = position-salted hash of the frame's 8-token chunk
+    * (mirrors StubCodec.frameHash). Empty chunk → hash 0 (list_reduce over
+    * an empty split is NULL in DuckDB; PolyHash.of("") is 0).
+    */
+  private def frameHashSql(tArr: String, i: String): String = {
+    // coalesce: DuckDB's array_to_string of an EMPTY slice is NULL, not ''
+    val chunk = s"coalesce(array_to_string($tArr[4*$i+1:4*$i+8], ' '), '')"
+    s"((CASE WHEN $chunk = '' THEN 0 ELSE ${polyHashSql(chunk)} END) * 131 + $i) % 2147483647"
+  }
+
   private val mmFramesSql: String =
-    s"""WITH v AS (SELECT doc_id AS media_id, ${polyHashSql("text")} AS h,
-       |             1 + doc_id % 5 AS n_frames
-       |           FROM documents WHERE doc_id % 3 = 2),
-       |fr AS (SELECT media_id, h, unnest(range(0, n_frames, 2)) AS i FROM v)
+    s"""WITH $mmFrameCtes
        |SELECT media_id, i::BIGINT AS frame_idx,
-       |  ((h * 31 + i) % 2147483647)::BIGINT AS frame_hash
+       |  (${frameHashSql("t", "i")})::BIGINT AS frame_hash
        |FROM fr""".stripMargin
 
   /** Image decode + resize (images only, longest side ≤ 64): dimensions from
@@ -1018,6 +1034,33 @@ object Queries {
     val media = Multimodal.syntheticMedia(docs(spark, sfDir))
     Multimodal.resampleAudio(media, outRate = 8000).toDF()
   }
+
+  /** Video near-dup pairs: Jaccard over each video's sampled FRAME-HASH set
+    * — the multimodal analog of shingle Jaccard (near-identical videos
+    * share most frame signatures), via the same generic inverted-index pair
+    * generator ([[graft.ext.Dedup.jaccardOverKeys]]). Threshold 300‰: the
+    * smallest sampled-frame set is 1 of up to 3, so a short video whose
+    * frames are a subset of a longer near-copy (jac 1/3 = 333) still pairs.
+    */
+  def mmNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val frames = Multimodal.sampleFrames(media).toDF()
+    graft.ext.Dedup.jaccardOverKeys(frames, "media_id", "frame_hash",
+      threshold = 300L)
+  }
+
+  private val mmNearDupSql: String =
+    s"""WITH $mmFrameCtes,
+       |fh AS (SELECT DISTINCT media_id, (${frameHashSql("t", "i")}) AS k FROM fr),
+       |sizes AS (SELECT media_id, count(*) AS n FROM fh GROUP BY 1),
+       |ok AS (SELECT k FROM fh GROUP BY k
+       |       HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPosting}),
+       |inter AS (SELECT x.media_id AS a, y.media_id AS b, count(*) AS i
+       |          FROM fh x JOIN fh y USING (k) JOIN ok USING (k)
+       |          WHERE x.media_id < y.media_id GROUP BY 1, 2)
+       |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
+       |FROM inter JOIN sizes sa ON sa.media_id = a JOIN sizes sb ON sb.media_id = b
+       |WHERE (i * 1000) // (sa.n + sb.n - i) >= 300""".stripMargin
 
   private val mmResampleSql: String =
     s"""SELECT doc_id AS media_id, 8000 AS rate,
@@ -1199,6 +1242,7 @@ object Queries {
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_resample" -> (mmResample _),
+    "mm_near_dup" -> (mmNearDup _),
     "stream_pivot" -> (streamPivot _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
@@ -1251,6 +1295,7 @@ object Queries {
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "mm_resample" -> mmResampleSql,
+    "mm_near_dup" -> mmNearDupSql,
     "stream_pivot" -> streamPivotSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,

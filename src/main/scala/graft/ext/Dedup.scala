@@ -123,11 +123,30 @@ object Dedup {
     // tokenize + shingle pipeline runs twice. Measured A/B: checkpointing it
     // costs as much as the recompute at bench scale (the pair fan-out
     // dominates); at 100 TB persist the shingle relation once instead.
-    val sh = shingleRows(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val postings = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxPosting)
+    // distinctKeys = false: shingleRows is already distinct per doc
+    // (array_distinct upstream) — skip the redundant exchange.
+    jaccardOverKeys(shingleRows(docs), "doc_id", "s", threshold,
+      distinctKeys = false)
+  }
+
+  /** GENERIC inverted-index Jaccard over any (id, key) relation — ids that
+    * share ≥1 key, scored |A∩B| / |A∪B| over DISTINCT keys, kept at ≥
+    * `threshold`/1000. The engine's one pair-similarity shape, reused by
+    * text shingles ([[jaccardPairs]]) and multimodal frame signatures
+    * ([[Multimodal]]): one groupBy(key) + in-row pair fan-out, never a
+    * two-sided self-join; posting lists above `maxPosting` are dropped from
+    * pair generation (a key shared by 100k ids would build |ids|²/2 pair
+    * structs in one row), mirrored verbatim in the oracles.
+    */
+  def jaccardOverKeys(rel: DataFrame, idCol: String, keyCol: String,
+      threshold: Long, maxPosting: Int = MaxPosting,
+      distinctKeys: Boolean = true): DataFrame = {
+    val raw = rel.select(col(idCol).as("_id"), col(keyCol).as("_k"))
+    val kv = if (distinctKeys) raw.distinct() else raw
+    val sizes = kv.groupBy(col("_id")).agg(count(lit(1)).as("n"))
+    val postings = kv.groupBy(col("_k"))
+      .agg(sort_array(collect_list(col("_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxPosting)
     // all (ids[i], ids[j]) with i < j, as one nested-transform fan-out
     val pairs = postings.select(explode(flatten(
       transform(sequence(lit(1), size(col("ids")) - 1), i =>
@@ -136,8 +155,8 @@ object Dedup {
     val inter = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("a") === col("sa._id"))
+      .join(sizes.as("sb"), col("b") === col("sb._id"))
       .select(col("a"), col("b"),
         idiv(col("i") * 1000L, col("sa.n") + col("sb.n") - col("i")).as("jac_x1000"))
       .filter(col("jac_x1000") >= threshold)

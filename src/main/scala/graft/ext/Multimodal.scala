@@ -67,9 +67,18 @@ object Multimodal {
       Array.tabulate(FeatureDim)(i => (hp * (2 * i + 3) % 997).toDouble / 997.0)
     }
 
-    /** Fake frame content hash for frame `idx`. */
-    def frameHash(payload: Array[Byte], idx: Int): Long =
-      (h(payload) * 31 + idx) % PolyHash.Mod
+    /** Fake frame content hash for frame `idx`: hash of the frame's LOCAL
+      * content slice (8 tokens starting at 4·idx), position-salted. Local
+      * slices are the point — like real video frames, near-identical media
+      * share the signatures of their unchanged regions, which is what makes
+      * frame-signature near-dup detection ([[graft.ext.Dedup.jaccardOverKeys]]
+      * over frames) meaningful.
+      */
+    def frameHash(payload: Array[Byte], idx: Int): Long = {
+      val toks = new String(payload, StandardCharsets.UTF_8).trim.split("\\s+")
+      val chunk = toks.slice(4 * idx, 4 * idx + 8).mkString(" ")
+      (PolyHash.of(chunk) * 131 + idx) % PolyHash.Mod
+    }
 
     /** Fake decode: byte count a real RGB decode would produce. */
     def decodedBytes(width: Int, height: Int): Long = width.toLong * height * 3

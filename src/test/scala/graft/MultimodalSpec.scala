@@ -51,9 +51,27 @@ class MultimodalSpec extends SparkSpec {
     // videos are doc_id 2 (n_frames=3 -> idx 0,2) and 5 (n_frames=1 -> idx 0)
     frames.map(f => (f.media_id, f.frame_idx)).toSet shouldBe
       Set((2L, 0), (2L, 2), (5L, 0))
-    val h2 = PolyHash.of("ee ff")
+    // frame hash = position-salted hash of the frame's 8-token chunk:
+    // frame 0 covers tokens [0, 8) = "ee ff"; frame 2 covers [8, 16) = empty
+    frames.find(f => f.media_id == 2L && f.frame_idx == 0).get.frame_hash shouldBe
+      (PolyHash.of("ee ff") * 131 + 0) % PolyHash.Mod
     frames.find(f => f.media_id == 2L && f.frame_idx == 2).get.frame_hash shouldBe
-      (h2 * 31 + 2) % PolyHash.Mod
+      (PolyHash.of("") * 131 + 2) % PolyHash.Mod
+  }
+
+  test("frame near-dup: videos sharing local content pair up; disjoint do not") {
+    // Video-kind ids (≡ 2 mod 3): docs 2 and 5 share ALL tokens (one's
+    // sampled frames a subset of the other's), doc 8 shares nothing.
+    val longText = (0 until 40).map(i => s"w$i").mkString(" ")
+    val other = (0 until 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((2L, longText), (5L, longText), (8L, other))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticMedia(docs)).toDF()
+    val pairs = graft.ext.Dedup.jaccardOverKeys(
+        frames, "media_id", "frame_hash", threshold = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.map(p => (p._1, p._2)) shouldBe Array((2L, 5L))
+    pairs.head._3 should be >= 300L
   }
 
   test("audio resample: audio only, metadata sample count, stub checksum") {
