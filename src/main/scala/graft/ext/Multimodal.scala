@@ -75,7 +75,16 @@ object Multimodal {
       * over frames) meaningful.
       */
     def frameHash(payload: Array[Byte], idx: Int): Long = {
-      val toks = new String(payload, StandardCharsets.UTF_8).trim.split("\\s+")
+      val text = new String(payload, StandardCharsets.UTF_8)
+      // SQL-trim (0x20 only) + limit=-1 split: Java's String.trim strips all
+      // control whitespace and split() drops trailing empties — either would
+      // shift chunks against the DuckDB oracle on texts with tabs/newlines
+      // at the edges.
+      var b = 0
+      var e = text.length
+      while (b < e && text.charAt(b) == ' ') b += 1
+      while (e > b && text.charAt(e - 1) == ' ') e -= 1
+      val toks = text.substring(b, e).split("\\s+", -1)
       val chunk = toks.slice(4 * idx, 4 * idx + 8).mkString(" ")
       (PolyHash.of(chunk) * 131 + idx) % PolyHash.Mod
     }

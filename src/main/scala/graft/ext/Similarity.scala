@@ -94,20 +94,6 @@ object Similarity {
   val NumCells = 32
   val NProbe = 12
 
-  /** IVF (inverted-file) ANN: the corpus is coarse-partitioned by nearest
-    * centroid; a query probes only its `NProbe` nearest cells and rescores
-    * those short-lists exactly. Compute per query drops from O(|corpus|) to
-    * O(|corpus| · NProbe / NumCells) — the standard large-corpus trade
-    * (recall < 1 when a true neighbor lives in an unprobed cell).
-    *
-    * Centroids are TRAINED (deterministic driver-side spherical k-means,
-    * [[IvfCentroids]]) and ship as a literal model artifact — NumCells × Dim
-    * doubles inlined into the plan, exactly how a production IVF index
-    * carries its coarse quantizer. Assignment is a single codegen'd
-    * projection over the corpus — no join, no shuffle. At scale the cell id
-    * becomes the corpus table's partition column, so a probe prunes whole
-    * files.
-    */
   /** (score, -centroid) structs per cell: array_max / descending sort then
     * give the arg-max with the SMALLEST centroid id on score ties, mirroring
     * the oracle's ORDER BY score DESC, c_id ASC. All centroid dots run in
@@ -148,6 +134,20 @@ object Similarity {
         explode(slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, NProbe)))
       .select(col("vec_id"), col("v"), col("nrm"), (-col("probe.negid")).as("cell"))
 
+  /** IVF (inverted-file) ANN: the corpus is coarse-partitioned by nearest
+    * centroid; a query probes only its `NProbe` nearest cells and rescores
+    * those short-lists exactly. Compute per query drops from O(|corpus|) to
+    * O(|corpus| · NProbe / NumCells) — the standard large-corpus trade
+    * (recall < 1 when a true neighbor lives in an unprobed cell).
+    *
+    * Centroids are TRAINED (deterministic driver-side spherical k-means,
+    * [[IvfCentroids]]) and ship as a literal model artifact — NumCells × Dim
+    * doubles inlined into the plan, exactly how a production IVF index
+    * carries its coarse quantizer. Assignment is a single codegen'd
+    * projection over the corpus — no join, no shuffle. The persisted form
+    * ([[persistIvfIndex]] / [[ivfTopKIndexed]]) makes the cell id a
+    * partition column, so a probe prunes whole files.
+    */
   def ivfTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
     val assigned = assignCells(index(embeddings))
     val qs = broadcast(probeRows(assigned, isQuery))
@@ -177,10 +177,18 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       isQuery: Column => Column, k: Int = 5): DataFrame = {
+    import spark.implicits._
     val corpus = spark.read.parquet(path)
-    val qs = broadcast(probeRows(corpus, isQuery))
-    val probeCells = qs.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // The probe relation is tiny (≤ |queries| × NProbe rows) and has TWO
+    // consumers (broadcast side, partition-filter cell list) — collect it
+    // ONCE and rebuild locally, instead of running the query-side index
+    // scan + centroid scoring twice.
+    val probes = probeRows(corpus, isQuery)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell").cast("long"))
+      .as[(Long, Seq[Double], Double, Long)].collect()
+    val probeCells = probes.map(_._4).distinct.sorted
+    val qs = broadcast(
+      probes.toSeq.toDF("vec_id", "v", "nrm", "cell"))
     val pruned = corpus.filter(col("cell").isin(probeCells: _*))
     val scored = qs.as("qr").join(pruned.as("cand"),
         col("qr.cell") === col("cand.cell") && col("cand.vec_id") =!= col("qr.vec_id"))
