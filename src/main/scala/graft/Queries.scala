@@ -662,6 +662,32 @@ object Queries {
        |FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id)
        |WHERE l.lang_pred = 'en' AND q.quality >= 500""".stripMargin
 
+  /** Corpus composition report: docs and whitespace tokens per (predicted
+    * language × quality decile) — the "how much training data do I have,
+    * and of what quality" accounting every pipeline runs before sampling
+    * a mix. One scan (fused TextStats projection), one partial-aggregated
+    * shuffle on a tiny key domain (≤ 5 langs × 11 buckets).
+    */
+  def pipeCorpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    docs(spark, sfDir)
+      .select(TextAnalysis.stats(col("text")).as("_st"))
+      .select(
+        TextAnalysis.langPredict(TextAnalysis.langScoresFrom(col("_st"))).as("lang_pred"),
+        idiv(TextAnalysis.qualityScoreFrom(col("_st")), lit(100L)).as("q_bucket"),
+        col("_st.ws_tokens").as("ws_tokens"))
+      .groupBy(col("lang_pred"), col("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_tokens"))
+  }
+
+  private val pipeCorpusStatsSql: String =
+    s"""WITH q AS ($txtQualitySql),
+       |l AS ($txtLangIdSql)
+       |SELECT l.lang_pred, q.quality // 100 AS q_bucket,
+       |  count(*) AS n_docs, CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM q JOIN l USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Per-language top-5 terms by document frequency (corpus statistics). */
   def txtTopterms(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.topTerms(docs(spark, sfDir))
@@ -1225,6 +1251,7 @@ object Queries {
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_topterms" -> (txtTopterms _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
+    "pipe_corpus_stats" -> (pipeCorpusStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1278,6 +1305,7 @@ object Queries {
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_topterms" -> txtToptermsSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
+    "pipe_corpus_stats" -> pipeCorpusStatsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
