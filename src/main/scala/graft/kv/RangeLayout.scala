@@ -73,18 +73,19 @@ object RangeLayout {
     * GUARANTEED: `autoBucketedScan` would silently fall back to size-based
     * file splits (packing several sorted bucket files into one partition)
     * for plans that declare no partitioning requirement — `mapPartitions`
-    * consumers like `pivotPresorted` declare none, so pin the bucketed scan
-    * on for this session.
+    * consumers like `pivotPresorted` declare none, so the bucketed scan must
+    * be pinned on for the plan consuming this DataFrame.
     *
-    * SESSION-WIDE side effect, deliberately not restored: the conf is read
-    * at PLAN time of the (lazy) query consuming this DataFrame, so a
+    * The conf is read at PLAN time of the (lazy) downstream query, so a
     * set/restore around `spark.table` would undo itself before execution.
-    * The flip only affects how other bucketed-table reads split files
-    * (bucket-per-partition instead of size-packed) — plans stay correct,
-    * at worst less parallel for very large buckets.
+    * Isolate it in a CLONED session instead: `newSession()` shares the
+    * SparkContext and catalog (the bucketed table stays visible) but owns
+    * its SQLConf, so the flip lives exactly as long as plans built on the
+    * returned DataFrame and the caller's session is never mutated.
     */
   def readBucketed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    spark.table(table)
+    val reader = spark.newSession()
+    reader.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    reader.table(table)
   }
 }
