@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ext.Similarity
 import graft.kv.{KvGenerator, KvTable, RangeLayout}
 import graft.ops.{KvPivot, TypedProject}
 import graft.schema.SchemaFile
@@ -179,7 +180,11 @@ object Queries {
     */
   private def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"ivf_index|$sfDir", _ => {
-      val path = tmpOut("ivf_index_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
+      // The readable-slug + raw-hash suffix makes the on-disk path injective
+      // per sfDir: two dirs that sanitize to the same slug still get
+      // distinct paths, so one never overwrites the other's index.
+      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = tmpOut(s"ivf_index_${slug}_${Integer.toHexString(sfDir.hashCode)}")
       Similarity.persistIvfIndex(embeds(spark, sfDir), path)
       path
     })
@@ -900,8 +905,6 @@ object Queries {
 
   // ------------------------------------------- similarity search (§7.6)
 
-  import graft.ext.Similarity
-
   /** Query set: every 50th vector (10 queries at sf0.01). */
   private val isQuery: Column => Column = v => v % 50 === 0
 
@@ -963,11 +966,8 @@ object Queries {
     * asserts the pruning). Same oracle as the in-memory IVF — identical
     * result by construction.
     */
-  def annTopkIvfPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = tmpOut("ivf_index")
-    Similarity.persistIvfIndex(embeds(spark, sfDir), path)
-    Similarity.ivfTopKIndexed(spark, path, isQuery)
-  }
+  def annTopkIvfPruned(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopKIndexed(spark, ensureIvfIndex(spark, sfDir), isQuery)
 
   /** IVF oracle: centroid scores via the same floor-scaled cosine; cell
     * assignment = rank-1 centroid, probes = rank ≤ NProbe (score DESC,

@@ -85,6 +85,15 @@ object RangeLayout {
     */
   def readBucketed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val reader = spark.newSession()
+    // newSession() starts from builder-time confs only; replay the caller's
+    // effective runtime confs so tuning done via spark.conf.set (e.g. a
+    // broadcast threshold) still governs plans over the returned DataFrame.
+    // Static/non-modifiable entries are skipped — they are identical anyway
+    // because both sessions share one SparkContext.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try reader.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     reader.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     reader.table(table)
   }

@@ -38,6 +38,28 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("readBucketed never mutates the caller's session conf, and keeps its tuning") {
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.get(confKey)
+    // a runtime tweak on the caller that must survive into the cloned reader
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "12345678")
+    try {
+      val cells = KvGenerator.cells(spark, 1000, 4, "run1")
+      RangeLayout.persistBucketed(cells, "plan_spec_conf_iso", buckets = 4,
+        path = s"${sys.props("java.io.tmpdir")}/graft_test/plan_spec_conf_iso")
+      val read = RangeLayout.readBucketed(spark, "plan_spec_conf_iso")
+      read.count() // execute a plan through the cloned session
+      // parent session's conf is untouched — before, during, and after
+      spark.conf.get(confKey) shouldBe before
+      // the cloned session disabled auto-bucketed scan for its own plans...
+      read.sparkSession.conf.get(confKey) shouldBe "false"
+      // ...while inheriting the caller's runtime tuning
+      read.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold") shouldBe "12345678"
+      // and the bucketed layout is actually in effect (bucket-per-partition)
+      read.rdd.getNumPartitions shouldBe 4
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("pivot is hash-aggregated (ObjectHashAggregate), never SortAggregate") {
     val cells = KvTable.eventsAsCells(spark, sfDir)
     val plan = executedPlan(KvPivot.pivot(cells, Seq("click", "view")))
