@@ -1083,11 +1083,16 @@ object Queries {
        |  (${frameHashSql("t", "i")})::BIGINT AS frame_hash
        |FROM fr""".stripMargin
 
-  /** Image decode + resize (images only, longest side ≤ 64): dimensions from
-    * metadata, byte count through the stub codec.
+  /** Image decode + resize (images only, longest side ≤ 64) through the
+    * REAL codec path: image rows carry genuine BMP bytes
+    * ([[Multimodal.withRealImagePayloads]]) which `javax.imageio` decodes
+    * and `Graphics2D` resizes — width/height/n_bytes are measured off the
+    * resized raster. The oracle stays arithmetic because the BMPs are
+    * encoded at the metadata dimensions, so measured == computed.
     */
   def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val media = Multimodal.withRealImagePayloads(
+      Multimodal.syntheticMedia(docs(spark, sfDir)))
     Multimodal.decodeAndResize(media, maxSide = 64).toDF()
       .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
   }

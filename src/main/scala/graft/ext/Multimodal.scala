@@ -12,10 +12,12 @@ import graft.functions.PolyHash
   * metadata, with decode / feature-extraction / resize / frame-sampling as
   * partition-batched typed transforms.
   *
-  * The actual codecs are STUBBED — this container has no image/audio
-  * libraries — behind [[StubCodec]], a deterministic fake whose outputs are
-  * pure arithmetic over the payload hash (and therefore oracle-checkable).
-  * Everything around the stub is real and load-bearing:
+  * The IMAGE path is real: [[ImageCodec]] encodes deterministic 24-bit BMPs
+  * and genuinely decodes/resizes them through `javax.imageio` (JDK-builtin,
+  * no external library) — [[decodeAndResize]] reads actual pixels. Audio and
+  * video codecs remain STUBBED behind [[StubCodec]], a deterministic fake
+  * whose outputs are pure arithmetic over the payload hash (and therefore
+  * oracle-checkable). Everything around the codecs is real and load-bearing:
   *  - the media schema (binary payload + typed metadata columns),
   *  - `Dataset[T]` encoders for each stage's row type,
   *  - `mapPartitions` batching: the codec is initialized ONCE per partition
@@ -102,6 +104,68 @@ object Multimodal {
     val initCount = new java.util.concurrent.atomic.AtomicLong(0)
   }
 
+  /** REAL image codec over `javax.imageio` (the JDK ships BMP and PNG
+    * readers/writers — zero external dependencies). Per-partition like
+    * [[StubCodec]]. Encode exists so the synthetic corpus can carry genuine
+    * image bytes ([[withRealImagePayloads]]); decode+resize is the
+    * production path a user hits with their own BMP/PNG payloads.
+    */
+  final class ImageCodec {
+    ImageCodec.initCount.incrementAndGet()
+
+    /** Deterministic 24-bit BMP of `width`×`height`: pixel (x,y) RGB is
+      * arithmetic over (seed, x, y), so the same (dims, seed) always byte-
+      * identical — the corpus stays reproducible run-to-run.
+      */
+    def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, java.lang.Math.floorMod(seed * 31 + x * 131 + y * 52501, 0x1000000L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+
+    /** Magic-byte sniff: BMP ("BM") or PNG (0x89 "PNG"). */
+    def isImagePayload(p: Array[Byte]): Boolean =
+      (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) ||
+        (p.length >= 4 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
+          p(2) == 'N'.toByte && p(3) == 'G'.toByte)
+
+    /** Genuine decode + resize: `ImageIO.read` the payload, scale the long
+      * side to ≤ `maxSide` (never upscale) through a `Graphics2D` draw into
+      * a 3-byte-BGR raster. Returns (width, height, rasterBytes) of the
+      * RESIZED image — rasterBytes is the actual backing-buffer size
+      * (= w·h·3 for 3-byte BGR), measured, not computed.
+      */
+    def decodeResize(payload: Array[Byte], maxSide: Int): (Int, Int, Long) = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(src != null, "payload is not a decodable image")
+      val scale = math.min(1.0, maxSide.toDouble / math.max(src.getWidth, src.getHeight))
+      val w = (src.getWidth * scale).toInt
+      val h = (src.getHeight * scale).toInt
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = dst.createGraphics()
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      (w, h, dst.getRaster.getDataBuffer.getSize.toLong)
+    }
+  }
+
+  object ImageCodec {
+    /** Test hook: number of codec instantiations in this JVM. */
+    val initCount = new java.util.concurrent.atomic.AtomicLong(0)
+  }
+
   /** Model the documents table as a media table (deterministic): payload =
     * UTF-8 text bytes, kind round-robins by doc_id, metadata derived
     * arithmetically (all reproducible in the oracle).
@@ -119,6 +183,26 @@ object Multimodal {
         (lit(1000L) + col("doc_id") * 40L).as("duration_ms"),
         (lit(1) + col("doc_id") % 5).cast("int").as("n_frames"))
       .as[MediaRow]
+  }
+
+  /** Swap image-kind payloads for REAL encoded BMP bytes at the metadata
+    * dimensions (pixel content seeded from the original payload's hash, so
+    * the corpus stays deterministic). Non-image rows pass through. This is
+    * the bridge from the text-backed synthetic corpus to the genuine decode
+    * path: downstream [[decodeAndResize]] then exercises real
+    * `javax.imageio` decode, exactly as it would on user-supplied files.
+    */
+  def withRealImagePayloads(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new ImageCodec // once per partition
+      it.map { m =>
+        if (m.kind == "image")
+          m.copy(payload = codec.encodeBmp(m.width, m.height,
+            PolyHash.of(new String(m.payload, StandardCharsets.UTF_8))))
+        else m
+      }
+    }
   }
 
   /** Feature extraction, partition-batched. `numPartitions` balances the
@@ -166,15 +250,27 @@ object Multimodal {
     }
   }
 
-  /** Image decode + resize: metadata-driven dimensions, stubbed pixels. */
+  /** Image decode + resize. Payloads that sniff as real images (BMP/PNG
+    * magic) go through the GENUINE `javax.imageio` decode + `Graphics2D`
+    * resize — reported dims and byte count are measured off the resized
+    * raster. Payloads that are not image bytes (the text-backed synthetic
+    * rows) fall back to the metadata-driven stub so the operator stays
+    * total over mixed corpora.
+    */
   def decodeAndResize(media: Dataset[MediaRow], maxSide: Int): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "image").mapPartitions { it =>
-      val codec = new StubCodec
+      val img = new ImageCodec // once per partition
+      val stub = new StubCodec
       it.map { m =>
-        val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
-        val (w, h) = ((m.width * scale).toInt, (m.height * scale).toInt)
-        DecodedImage(m.media_id, w, h, codec.decodedBytes(w, h))
+        if (img.isImagePayload(m.payload)) {
+          val (w, h, n) = img.decodeResize(m.payload, maxSide)
+          DecodedImage(m.media_id, w, h, n)
+        } else {
+          val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+          val (w, h) = ((m.width * scale).toInt, (m.height * scale).toInt)
+          DecodedImage(m.media_id, w, h, stub.decodedBytes(w, h))
+        }
       }
     }
   }

@@ -84,6 +84,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image codec: real BMP bytes round-trip through javax.imageio") {
+    val codec = new Multimodal.ImageCodec
+    val bmp = codec.encodeBmp(48, 32, seed = 12345L)
+    // genuine BMP container: magic bytes + decodable at the encoded dims
+    bmp(0).toChar shouldBe 'B'
+    bmp(1).toChar shouldBe 'M'
+    codec.isImagePayload(bmp) shouldBe true
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    (src.getWidth, src.getHeight) shouldBe ((48, 32))
+    // pixel content is the deterministic fill, not zeros
+    src.getRGB(5, 7) should not be src.getRGB(6, 7)
+    // real resize: long side capped, aspect kept, bytes measured off raster
+    codec.decodeResize(bmp, maxSide = 24) shouldBe ((24, 16, 24L * 16 * 3))
+    // never upscale
+    codec.decodeResize(bmp, maxSide = 100) shouldBe ((48, 32, 48L * 32 * 3))
+  }
+
+  test("decode+resize takes the REAL decode path on real image payloads") {
+    val real = Multimodal.withRealImagePayloads(media)
+    // image rows now carry genuine BMPs; others untouched
+    val byId = real.collect().map(m => m.media_id -> m).toMap
+    byId(0L).payload(0).toChar shouldBe 'B'
+    byId(1L).payload shouldBe "cc dd".getBytes("UTF-8")
+    val out = Multimodal.decodeAndResize(real, maxSide = 32).collect()
+      .map(d => d.media_id -> d).toMap
+    out.keySet shouldBe Set(0L, 3L)
+    // measured dims/bytes off the decoded+resized raster equal the
+    // metadata arithmetic (BMPs were encoded at metadata dims)
+    byId(0L).width shouldBe 32 // doc 0: 32x32 -> no resize at maxSide 32
+    out(0L).width shouldBe 32
+    out(0L).n_bytes shouldBe 32L * 32 * 3
+    val m3 = byId(3L) // doc 3: 80x80 -> scaled to 32x32
+    math.max(m3.width, m3.height) should be > 32
+    out(3L).width shouldBe (m3.width * math.min(1.0, 32.0 / math.max(m3.width, m3.height))).toInt
+    out(3L).n_bytes shouldBe out(3L).width.toLong * out(3L).height * 3
+  }
+
   test("decode+resize: caps the long side, preserves stub byte accounting") {
     val out = Multimodal.decodeAndResize(media, maxSide = 32).collect()
       .map(d => d.media_id -> d).toMap
