@@ -1216,6 +1216,33 @@ object Queries {
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Sessionization under ALLOWED LATENESS: the same events replayed with
+    * adjacent time-range chunks swapped (every batch after the first is
+    * out of event-time order), watermark delay = the staged disorder bound,
+    * through [[StreamingPivot.SessionizeLate]]'s buffering state machine.
+    * Same batch oracle as `stream_sessions` — lateness handling must not
+    * change the sessions, only survive the disorder.
+    */
+  def streamSessionsLate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gap = 3600L * 1000000000L
+    val ev = KvTable.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("tsNanos"))
+    val (dir, lateNs) =
+      StreamingPivot.stageSessionFilesShuffled(ev, nChunks = 4, gapNanos = gap)
+    val raw = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, tsNanos BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
+      .withWatermark("eventTime", s"${lateNs / 1000000L + 2} milliseconds")
+      .as[StreamingPivot.SessionEvent]
+    StreamingPivot.runAvailableNow(
+      StreamingPivot.SessionizeLate(raw, gapNanos = gap).toDF(),
+      "stream_sessions_late_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   private val streamSessionsSql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
       |x AS (SELECT user_id, t, event_id,
@@ -1317,6 +1344,7 @@ object Queries {
     "stream_pivot" -> (streamPivot _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
+    "stream_sessions_late" -> (streamSessionsLate _),
     "stream_memstore" -> (streamMemstore _))
 
   def oracles: Map[String, String] = Map(
@@ -1371,5 +1399,6 @@ object Queries {
     "stream_pivot" -> streamPivotSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,
+    "stream_sessions_late" -> streamSessionsSql,
     "stream_memstore" -> streamMemstoreSql)
 }

@@ -210,6 +210,79 @@ object StreamingPivot {
     }
   }
 
+  /** Per-user state of the allowed-lateness sessionizer: next session index
+    * and the time-sorted buffer of not-yet-final event times.
+    */
+  case class LateState(nextIdx: Long, buf: Array[Long])
+
+  /** Gap-based sessionization that tolerates OUT-OF-ORDER input up to the
+    * input watermark's allowed lateness — the production counterpart of
+    * [[Sessionize]] (which demands a zero-delay watermark and fails loudly
+    * on regressions). Real streams are out of order; this operator buffers.
+    *
+    * Mechanics per user:
+    *  - every arriving event's time goes into a sorted BUFFER held in state
+    *    (nothing is emitted on arrival — a later-but-earlier event within
+    *    the lateness bound could still merge or split runs);
+    *  - a session (maximal gap-delimited run of the buffer) becomes FINAL
+    *    exactly when `last + gap < watermark`: the stateful operator drops
+    *    pre-watermark rows (event-time timeout mode), so no future arrival
+    *    can fall within `gap` of that run's end. Final sessions are a
+    *    PREFIX of the time-sorted runs (runs are disjoint and ordered), so
+    *    they emit in index order and their events leave the buffer;
+    *  - an event-time timeout is armed at `bufLast + gap` past the
+    *    watermark, so an idle user's tail flushes while the stream runs —
+    *    same liveness contract as [[Sessionize]];
+    *  - state keeps the `nextIdx` tombstone after a full flush: numbering
+    *    stays global per user, matching the batch oracle.
+    *
+    * State is O(events inside the lateness horizon + one open tail) per
+    * user — the price of lateness is exactly the buffer the bound implies.
+    */
+  object SessionizeLate {
+    def apply(events: Dataset[SessionEvent], gapNanos: Long): Dataset[SessionRow] = {
+      import events.sparkSession.implicits._
+      val gapMs = gapNanos / 1000000L
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[LateState, SessionRow](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (user: Long, it: Iterator[SessionEvent], state: GroupState[LateState]) =>
+            val st = state.getOption.getOrElse(LateState(0L, Array.empty[Long]))
+            val buf =
+              if (state.hasTimedOut) st.buf
+              else {
+                val m = st.buf ++ it.map(_.tsNanos)
+                java.util.Arrays.sort(m)
+                m
+              }
+            // Watermark floor in nanos: every future arrival is >= this (the
+            // operator filters older rows), which is what makes a session
+            // ending more than `gap` below it immutable.
+            val wmNanos = state.getCurrentWatermarkMs() * 1000000L
+            val out = List.newBuilder[SessionRow]
+            var idx = st.nextIdx
+            var i = 0
+            var open = true
+            while (i < buf.length && open) {
+              var j = i + 1
+              while (j < buf.length && buf(j) - buf(j - 1) <= gapNanos) j += 1
+              if (buf(j - 1) + gapNanos < wmNanos) {
+                out += SessionRow(user, idx, (j - i).toLong, buf(i) / 1000, buf(j - 1) / 1000)
+                idx += 1
+                i = j
+              } else open = false
+            }
+            val rest = if (i == 0) buf else java.util.Arrays.copyOfRange(buf, i, buf.length)
+            state.update(LateState(idx, rest))
+            if (rest.nonEmpty) {
+              val horizon = rest.last / 1000000L + gapMs + 1
+              state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+        }
+    }
+  }
+
   /** Stage a (user_id, event_id, tsNanos) relation as an event-time-ordered
     * multi-file stream directory: `nChunks` disjoint time-range files with
     * ascending modification times (so `maxFilesPerTrigger=1` replays them
@@ -253,6 +326,61 @@ object StreamingPivot {
         s"stageSessionFiles: cannot set modification time on $target")
     }
     dir.toString
+  }
+
+  /** Stage the same relation as an OUT-OF-EVENT-TIME-ORDER multi-file
+    * stream: adjacent time-range chunks are swapped in replay order
+    * (1,0,3,2,…), so every micro-batch after the first delivers events
+    * EARLIER than ones already seen — the disorder [[SessionizeLate]]
+    * exists to absorb. Returns `(dir, lateNanos)` where `lateNanos` (the
+    * full event-time span) is the allowed-lateness bound the reader's
+    * watermark must carry so no staged event is dropped as late.
+    *
+    * Replay-end flush is source-driven and needs TWO punctuation waves
+    * (each one `event_id = -1` row per user) past `max(ts) + gap + late`:
+    * the first advances the watermark beyond every real session's flush
+    * horizon, the second triggers a per-user invocation under that
+    * watermark so the finals emit in the data path — deterministic, no
+    * reliance on a trailing no-data micro-batch. The punctuation rows' own
+    * buffered tails are never emitted.
+    */
+  def stageSessionFilesShuffled(
+      events: DataFrame, nChunks: Int, gapNanos: Long): (String, Long) = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_sessions_late_")
+    dir.toFile.deleteOnExit()
+    val mm = events.agg(min(col("tsNanos")), max(col("tsNanos"))).collect()(0)
+    require(!mm.isNullAt(1), "stageSessionFilesShuffled: events relation is empty")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val lateNanos = hi - lo + 1
+    val tmp = Files.createTempDirectory("graft_sess_late_chunks_").toString
+    events.repartitionByRange(nChunks, col("tsNanos"))
+      .write.mode("overwrite").parquet(tmp)
+    val punct = Files.createTempDirectory("graft_sess_late_punct_").toString
+    val p1 = hi + gapNanos + lateNanos + 10000000L // 10 ms past every horizon
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"), lit(p1).as("tsNanos"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$punct/w1")
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"), lit(p1 + 1000000L).as("tsNanos"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$punct/w2")
+    def partsOf(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    // swap adjacent range files: 1,0,3,2,... (an odd tail keeps its place)
+    val ranges = partsOf(tmp)
+    val swapped = ranges.indices.map { i =>
+      if (i % 2 == 0) ranges(math.min(i + 1, ranges.length - 1)) else ranges(i - 1)
+    }.distinct
+    val parts = swapped ++ partsOf(s"$punct/w1") ++ partsOf(s"$punct/w2")
+    val t0 = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val target = dir.resolve(f"chunk$i%03d.parquet")
+      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+      require(target.toFile.setLastModified(t0 + i * 60000L),
+        s"stageSessionFilesShuffled: cannot set modification time on $target")
+    }
+    (dir.toString, lateNanos)
   }
 
   // ------------------------------------------------- custom state (memstore)

@@ -102,6 +102,41 @@ class StreamingPivotSpec extends SparkSpec {
         (B + 9 * H / 10) / 1000, (B + 21 * H / 10) / 1000))
   }
 
+  test("late sessionization: out-of-order micro-batches yield the in-order sessions") {
+    import org.apache.spark.sql.functions._
+    val H = 3600L * 1000000000L
+    val B = 1000 * H
+    // Same shape as the live test: u1 has two sessions, u2 one session
+    // spanning chunks — but the replay order is time-SHUFFLED (adjacent
+    // range chunks swapped), so merges arrive before the events they merge
+    // with and session 0 data shows up after session 1 data.
+    val evs = Seq(
+      (1L, 10L, B), (1L, 11L, B + H / 2), (1L, 12L, B + 5 * H),
+      (2L, 20L, B + 9 * H / 10), (2L, 21L, B + 12 * H / 10),
+      (2L, 22L, B + 18 * H / 10), (2L, 23L, B + 21 * H / 10))
+      .toDF("user_id", "event_id", "tsNanos")
+    val (dir, lateNs) =
+      StreamingPivot.stageSessionFilesShuffled(evs, nChunks = 4, gapNanos = H)
+    // 4 range chunks + 2 punctuation waves
+    new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 6
+    lateNs shouldBe 5 * H + 1
+    val raw = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, tsNanos BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
+      .withWatermark("eventTime", s"${lateNs / 1000000L + 2} milliseconds")
+      .as[StreamingPivot.SessionEvent]
+    val out = StreamingPivot.runAvailableNow(
+      StreamingPivot.SessionizeLate(raw, gapNanos = H).toDF(),
+      "sess_late_test", OutputMode.Append())
+    out.as[StreamingPivot.SessionRow].collect().toSet shouldBe Set(
+      StreamingPivot.SessionRow(1L, 0L, 2L, B / 1000, (B + H / 2) / 1000),
+      StreamingPivot.SessionRow(1L, 1L, 1L, (B + 5 * H) / 1000, (B + 5 * H) / 1000),
+      StreamingPivot.SessionRow(2L, 0L, 4L,
+        (B + 9 * H / 10) / 1000, (B + 21 * H / 10) / 1000))
+  }
+
   test("streaming availableNow result == batch pivot (parity on real data)") {
     val streamed = Queries.all("stream_pivot")(spark, sfDir)
     val cnt = streamed.count()
