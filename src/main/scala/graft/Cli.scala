@@ -89,7 +89,8 @@ object Cli {
       val fmt = if (command.endsWith("Txt")) Export.DelimitedTxt else Export.DelimitedSeq
       val codec =
         if (compress == "true" || compress == "gzip") Some("gzip")
-        else if (compress == "snappy" || compress == "default") Some("default")
+        else if (compress == "snappy") Some("snappy")
+        else if (compress == "default") Some("default")
         else None
       Sinks.deleteRecursive(spark, out)
       Export.run(cells(spark, table), Export.Config(fmt,

@@ -29,9 +29,10 @@ object Sinks {
     * route. `Text` is created inside the final pipelined map, never shuffled
     * (Writables are not serializable).
     *
-    * @param codec "gzip" | "default" | None — the reference also offers
-    *              snappy, but Hadoop's SnappyCodec needs the native lib this
-    *              environment lacks; "default" (DEFLATE) is the stand-in.
+    * @param codec "gzip" | "snappy" | "default" | None — the reference's
+    *              codec menu (ExportHBaseTableToDelimiteredSeq.java:88-94).
+    *              Snappy works without native libhadoop: Hadoop ≥ 3.3.1's
+    *              SnappyCodec runs on the bundled snappy-java.
     */
   def sequenceFile(lines: DataFrame, path: String, codec: Option[String]): Unit = {
     val job = Job.getInstance(lines.sparkSession.sparkContext.hadoopConfiguration)
@@ -40,8 +41,9 @@ object Sinks {
     codec.foreach { c =>
       org.apache.hadoop.mapreduce.lib.output.FileOutputFormat.setCompressOutput(job, true)
       org.apache.hadoop.mapreduce.lib.output.FileOutputFormat.setOutputCompressorClass(job, c match {
-        case "gzip" => classOf[GzipCodec]
-        case _      => classOf[DefaultCodec]
+        case "gzip"   => classOf[GzipCodec]
+        case "snappy" => classOf[org.apache.hadoop.io.compress.SnappyCodec]
+        case _        => classOf[DefaultCodec]
       })
     }
     lines.rdd

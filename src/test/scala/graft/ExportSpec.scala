@@ -49,6 +49,21 @@ class ExportSpec extends SparkSpec {
     all(back.as[String].collect().map(_.split("\\|", -1).length)) shouldBe 2
   }
 
+  test("K2 sequence file: snappy round-trip (Hadoop SnappyCodec on snappy-java)") {
+    val path = tmp("seq_snappy")
+    val cfg = Export.Config(Export.DelimitedSeq, "C1,C2", path,
+      compression = Some("snappy"))
+    Export.run(cells, cfg)
+    // the written container really is snappy-compressed, not a fallback
+    val part = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val header = java.nio.file.Files.readAllBytes(part.toPath).take(200)
+    new String(header, "ISO-8859-1") should include("SnappyCodec")
+    val back = Sinks.readSequenceFile(spark, path)
+    back.count() shouldBe cells.select("rowKey").distinct().count()
+    all(back.as[String].collect().map(_.split("\\|", -1).length)) shouldBe 2
+  }
+
   private val avroSchema =
     """{"type":"record","name":"T","fields":[
       |  {"name":"C0","type":["string","null"]},
