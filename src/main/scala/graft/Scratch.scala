@@ -394,6 +394,57 @@ object Scratch {
             .map(r => (r.getLong(0), r.getLong(1))).toSet
           println(f"[recall] $name%-4s ${ (brute & got).size.toDouble / brute.size }%.3f  (pairs ${got.size})")
         }
+      case "sweep" =>
+        // Recall/cost operating-point sweep for the two ANN paths: pair
+        // overlap vs the exact brute-force top-5 (rank-insensitive), time =
+        // median of 3 warm runs. Backs the BASELINE.md table that justifies
+        // the NProbe / tables / bits defaults.
+        import org.apache.spark.sql.functions.col
+        val emb = graft.kv.KvTable.table(spark, sfDir, "embeddings")
+        val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 50 === 0
+        val brute = graft.ext.Similarity.bruteTopK(emb, isQ)
+          .select(col("q"), col("nb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def sweepOne(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+          val got = df.select(col("q"), col("nb")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"[sweep] $name%-22s recall@5 ${(brute & got).size.toDouble / brute.size}%.3f  ${ts(1)}%6.2f s  (cand pairs ${got.size})")
+        }
+        for (np <- Seq(4, 8, 12, 16, 24))
+          sweepOne(s"ivf nprobe=$np",
+            graft.ext.Similarity.ivfTopK(emb, isQ, nProbe = np))
+        for (tables <- Seq(3, 5, 8); bits <- Seq(4, 6, 8))
+          sweepOne(s"lsh L=$tables bits=$bits",
+            graft.ext.Similarity.lshTopK(emb, isQ, tables = tables, bits = bits))
+      case "sweep1m" =>
+        // The same sweep at 1M synthetic vectors, where the scan/candidate
+        // fraction dominates runtime — the axis the sf0.1 sweep can't see.
+        import org.apache.spark.sql.functions.col
+        val emb = spark.range(0, 1000000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> CAST((xxhash64(id * 64 + i) % 1000) / 1000.0 AS FLOAT)) AS embedding")
+          .localCheckpoint() // materialize: generation cost must not be timed
+        val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 100000 === 0
+        val bruteDf = graft.ext.Similarity.bruteTopK(emb, isQ)
+        val tb0 = System.nanoTime(); bruteDf.count()
+        println(f"[sweep1m] brute                  recall@5 1.000  ${(System.nanoTime() - tb0) / 1e9}%6.2f s")
+        val brute = bruteDf
+          .select(col("q"), col("nb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def sweep1(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+          val got = df.select(col("q"), col("nb")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"[sweep1m] $name%-22s recall@5 ${(brute & got).size.toDouble / brute.size}%.3f  ${ts.head}%6.2f s")
+        }
+        for (np <- Seq(8, 12, 16, 24))
+          sweep1(s"ivf nprobe=$np",
+            graft.ext.Similarity.ivfTopK(emb, isQ, nProbe = np))
+        for ((tables, bits) <- Seq((5, 6), (3, 8), (5, 8), (8, 8), (8, 10)))
+          sweep1(s"lsh L=$tables bits=$bits",
+            graft.ext.Similarity.lshTopK(emb, isQ, tables = tables, bits = bits))
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)

@@ -15,7 +15,8 @@ import graft.functions.VectorOps
   *    (no corpus shuffle, one pass, codegen'd DotProduct inner loop), then a
   *    per-query top-k window. Right answer for small query sets; O(|Q|·|C|)
   *    compute is the documented cost.
-  *  - LSH: L=5 hash tables × 6 sign-bits from fixed pseudo-random
+  *  - LSH: L=5 hash tables × 6 sign-bits (defaults; both per-call tunable —
+  *    see the recall/cost sweep in BASELINE.md) from fixed pseudo-random
   *    hyperplanes. The corpus is indexed once per table (equi-join key
   *    (table, bucket)); queries probe their own bucket plus all hamming-1
   *    neighbors in each table (multi-probe), candidates are deduped, then
@@ -43,10 +44,10 @@ object Similarity {
     * huge-method JIT limit and the stage silently runs interpreted (see
     * DotMatrix). The bit fold over the 6-element dot array is a cheap HOF.
     */
-  def bucketOf(v: Column, t: Int, dim: Int = Dim): Column = {
-    val planes = typedlit((0 until NumBits).map(i =>
+  def bucketOf(v: Column, t: Int, dim: Int = Dim, bits: Int = NumBits): Column = {
+    val planes = typedlit((0 until bits).map(i =>
       (0 until dim).map(d => plane(t, i, d))))
-    val weights = typedlit((0 until NumBits).map(i => 1L << i))
+    val weights = typedlit((0 until bits).map(i => 1L << i))
     aggregate(
       zip_with(VectorOps.dotAll(v, planes), weights,
         (d, w) => when(d > 0, w).otherwise(lit(0L))),
@@ -61,10 +62,11 @@ object Similarity {
   }
 
   /** One row per (vector, table): the LSH index relation. */
-  def bucketedIndex(idx: DataFrame, dim: Int = Dim): DataFrame =
+  def bucketedIndex(idx: DataFrame, dim: Int = Dim,
+      tables: Int = NumTables, bits: Int = NumBits): DataFrame =
     idx.select(col("vec_id"), col("v"), col("nrm"),
-        explode(array((0 until NumTables).map(t =>
-          struct(lit(t).as("t"), bucketOf(col("v"), t, dim).as("bucket"))): _*)).as("tb"))
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), bucketOf(col("v"), t, dim, bits).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
 
@@ -92,7 +94,12 @@ object Similarity {
   // ------------------------------------------------------------- IVF
 
   val NumCells = 32
-  val NProbe = 12
+  /** Default probe count — the knee of the recall/cost curve in the
+    * BASELINE.md sweep (recall@5 0.87 at sf0.1 / 0.92 at 1M vectors, vs
+    * 0.76/0.84 at 12 and a 75%-of-corpus scan for ~0.98 at 24). Per-call
+    * overridable on [[ivfTopK]].
+    */
+  val NProbe = 16
 
   /** (score, -centroid) structs per cell: array_max / descending sort then
     * give the arg-max with the SMALLEST centroid id on score ties, mirroring
@@ -128,10 +135,11 @@ object Similarity {
   /** A query set with one row per (query, probe cell): the NProbe
     * highest-scoring cells per query vector.
     */
-  private def probeRows(assigned: DataFrame, isQuery: Column => Column): DataFrame =
+  private def probeRows(assigned: DataFrame, isQuery: Column => Column,
+      nProbe: Int = NProbe): DataFrame =
     assigned.filter(isQuery(col("vec_id")))
       .withColumn("probe",
-        explode(slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, NProbe)))
+        explode(slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, nProbe)))
       .select(col("vec_id"), col("v"), col("nrm"), (-col("probe.negid")).as("cell"))
 
   /** IVF (inverted-file) ANN: the corpus is coarse-partitioned by nearest
@@ -148,9 +156,10 @@ object Similarity {
     * ([[persistIvfIndex]] / [[ivfTopKIndexed]]) makes the cell id a
     * partition column, so a probe prunes whole files.
     */
-  def ivfTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5,
+      nProbe: Int = NProbe): DataFrame = {
     val assigned = assignCells(index(embeddings))
-    val qs = broadcast(probeRows(assigned, isQuery))
+    val qs = broadcast(probeRows(assigned, isQuery, nProbe))
     // Each corpus vector lives in exactly one cell and probe cells are
     // distinct, so candidates are already unique — no dedup pass needed.
     val scored = qs.as("qr").join(assigned.as("cand"),
@@ -201,12 +210,12 @@ object Similarity {
     * buckets; candidates deduped across tables, then exactly rescored.
     */
   def lshTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5,
-      dim: Int = Dim): DataFrame = {
+      dim: Int = Dim, tables: Int = NumTables, bits: Int = NumBits): DataFrame = {
     val idx = index(embeddings)
-    val corpus = bucketedIndex(idx, dim).as("cand")
-    val flips = array((lit(0L) +: (0 until NumBits).map(i => lit(1L << i))): _*)
+    val corpus = bucketedIndex(idx, dim, tables, bits).as("cand")
+    val flips = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
     val qs = broadcast(
-      bucketedIndex(idx.filter(isQuery(col("vec_id"))), dim)
+      bucketedIndex(idx.filter(isQuery(col("vec_id"))), dim, tables, bits)
         .select(col("vec_id"), col("t"), col("bucket"), explode(flips).as("flip"))
         .select(col("vec_id"), col("t"),
           col("bucket").bitwiseXOR(col("flip")).as("probe")))
