@@ -1097,11 +1097,17 @@ object Queries {
       .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
   }
 
-  /** Audio resample to 8 kHz (audio only): metadata sample count + stub
-    * waveform checksum.
+  /** Audio resample to 8 kHz (audio only) through the REAL codec path:
+    * audio rows carry genuine 16-bit PCM WAV bytes
+    * ([[Multimodal.withRealAudioPayloads]]) which `javax.sound` decodes and
+    * nearest-neighbor-resamples — sample count and checksum are measured
+    * off the decoded frames. The oracle stays arithmetic because the
+    * encoded samples are `((seed·(i+1)) mod 2^16)` and resampling 16→8 kHz
+    * picks every 2nd frame, so measured == computed.
     */
   def mmResample(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val media = Multimodal.withRealAudioPayloads(
+      Multimodal.syntheticMedia(docs(spark, sfDir)))
     Multimodal.resampleAudio(media, outRate = 8000).toDF()
   }
 
@@ -1132,11 +1138,21 @@ object Queries {
        |FROM inter JOIN sizes sa ON sa.media_id = a JOIN sizes sb ON sb.media_id = b
        |WHERE (i * 1000) // (sa.n + sb.n - i) >= 300""".stripMargin
 
+  /** Real-WAV resample oracle: sample i of the encoded track is
+    * `(seed·(i+1)) mod 2^16` unsigned (AudioCodec.encodeWav), the encoded
+    * window is `(duration_ms mod 4096) + 512` samples
+    * (Multimodal.encSamplesOf), and 16→8 kHz nearest-neighbor keeps every
+    * 2nd frame — so n_samples and the unsigned-sum checksum replay as pure
+    * arithmetic, no WAV decode oracle-side.
+    */
   private val mmResampleSql: String =
-    s"""SELECT doc_id AS media_id, 8000 AS rate,
-       |  (1000 + doc_id * 40) * 8000 // 1000 AS n_samples,
-       |  (${polyHashSql("text")}) * 8000 % 2147483647 AS checksum
-       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+    s"""WITH m AS (SELECT doc_id AS media_id, (${polyHashSql("text")}) AS seed,
+       |             ((1000 + doc_id * 40) % 4096 + 512) // 2 AS n_out
+       |           FROM documents WHERE doc_id % 3 = 1),
+       |e AS (SELECT media_id, seed, n_out, unnest(range(0, n_out)) AS j FROM m)
+       |SELECT media_id, 8000 AS rate, n_out::BIGINT AS n_samples,
+       |  (sum((seed * (2 * j + 1)) % 65536) % 2147483647)::BIGINT AS checksum
+       |FROM e GROUP BY media_id, n_out""".stripMargin
 
   private val mmResizeSql: String =
     """WITH m AS (SELECT doc_id AS media_id,

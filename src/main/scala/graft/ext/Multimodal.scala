@@ -12,12 +12,15 @@ import graft.functions.PolyHash
   * metadata, with decode / feature-extraction / resize / frame-sampling as
   * partition-batched typed transforms.
   *
-  * The IMAGE path is real: [[ImageCodec]] encodes deterministic 24-bit BMPs
-  * and genuinely decodes/resizes them through `javax.imageio` (JDK-builtin,
-  * no external library) — [[decodeAndResize]] reads actual pixels. Audio and
-  * video codecs remain STUBBED behind [[StubCodec]], a deterministic fake
-  * whose outputs are pure arithmetic over the payload hash (and therefore
-  * oracle-checkable). Everything around the codecs is real and load-bearing:
+  * The IMAGE and AUDIO paths are real: [[ImageCodec]] encodes deterministic
+  * 24-bit BMPs and genuinely decodes/resizes them through `javax.imageio`;
+  * [[AudioCodec]] encodes 16-bit PCM WAV and genuinely decodes/resamples
+  * through `javax.sound.sampled` (both JDK-builtin, no external libraries) —
+  * [[decodeAndResize]] reads actual pixels, [[resampleAudio]] actual frames.
+  * The video codec remains STUBBED behind [[StubCodec]], a deterministic
+  * fake whose outputs are pure arithmetic over the payload hash (and
+  * therefore oracle-checkable). Everything around the codecs is real and
+  * load-bearing:
   *  - the media schema (binary payload + typed metadata columns),
   *  - `Dataset[T]` encoders for each stage's row type,
   *  - `mapPartitions` batching: the codec is initialized ONCE per partition
@@ -166,6 +169,80 @@ object Multimodal {
     val initCount = new java.util.concurrent.atomic.AtomicLong(0)
   }
 
+  /** REAL audio codec over `javax.sound.sampled` (the JDK ships the WAV
+    * container reader/writer — zero external dependencies). Per-partition
+    * like the other codecs. Encode exists so the synthetic corpus can carry
+    * genuine 16-bit PCM WAV bytes ([[withRealAudioPayloads]]); decode +
+    * resample is the production path for user-supplied WAV payloads.
+    */
+  final class AudioCodec {
+    AudioCodec.initCount.incrementAndGet()
+
+    /** Deterministic mono 16-bit little-endian PCM WAV: sample i is
+      * `((seed·(i+1)) mod 2^16) − 2^15` — pure arithmetic over (seed, i),
+      * so the same (seed, n, rate) is always byte-identical and an oracle
+      * can replay any derived statistic without decoding.
+      */
+    def encodeWav(seed: Long, nSamples: Int, rate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val u = java.lang.Math.floorMod(seed * (i + 1), 65536L).toInt
+        val s = u - 32768
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Magic-byte sniff: RIFF....WAVE container. */
+    def isWavPayload(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+        p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+    /** Genuine decode + nearest-neighbor resample: `AudioSystem` parses the
+      * WAV container, the 16-bit LE frames are resampled by index mapping
+      * `in[j·inRate/outRate]`, and the returned
+      * `(nIn, nOut, checksum)` carries the MEASURED frame counts plus
+      * `Σ (sample+2^15) mod 2147483647` over the resampled signal — a
+      * content checksum an oracle can replay arithmetically.
+      */
+    def decodeResample(payload: Array[Byte], outRate: Int): (Long, Long, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+        s"unsupported WAV layout: $fmt")
+      val inRate = fmt.getSampleRate.toLong
+      val bytes = ais.readAllBytes()
+      val nIn = bytes.length / 2
+      val nOut = nIn * outRate / inRate
+      var checksum = 0L
+      var j = 0L
+      while (j < nOut) {
+        val i = (j * inRate / outRate).toInt
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+        checksum = (checksum + s + 32768) % 2147483647L
+        j += 1
+      }
+      (nIn.toLong, nOut, checksum)
+    }
+  }
+
+  object AudioCodec {
+    /** Test hook: number of codec instantiations in this JVM. */
+    val initCount = new java.util.concurrent.atomic.AtomicLong(0)
+  }
+
   /** Model the documents table as a media table (deterministic): payload =
     * UTF-8 text bytes, kind round-robins by doc_id, metadata derived
     * arithmetically (all reproducible in the oracle).
@@ -205,6 +282,32 @@ object Multimodal {
     }
   }
 
+  /** Samples encoded into a synthetic audio payload: a bounded deterministic
+    * window varying per track (512..4607), so payload size is
+    * corpus-independent while resample outputs still differ per row.
+    */
+  def encSamplesOf(durationMs: Long): Int = ((durationMs % 4096) + 512).toInt
+
+  /** Swap audio-kind payloads for REAL 16-bit PCM WAV bytes at the metadata
+    * sample rate (samples seeded from the original payload's hash — the
+    * audio twin of [[withRealImagePayloads]]). Non-audio rows pass through;
+    * downstream [[resampleAudio]] then exercises genuine `javax.sound`
+    * container decode, exactly as it would on user-supplied files.
+    */
+  def withRealAudioPayloads(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new AudioCodec // once per partition
+      it.map { m =>
+        if (m.kind == "audio")
+          m.copy(payload = codec.encodeWav(
+            PolyHash.of(new String(m.payload, StandardCharsets.UTF_8)),
+            encSamplesOf(m.duration_ms), m.sample_rate))
+        else m
+      }
+    }
+  }
+
   /** Feature extraction, partition-batched. `numPartitions` balances the
     * decode stage (payload sizes are skewed in real corpora).
     */
@@ -235,17 +338,27 @@ object Multimodal {
 
   case class ResampledAudio(media_id: Long, rate: Int, n_samples: Long, checksum: Long)
 
-  /** Audio resample (audio only): sample count from metadata at the target
-    * rate, stubbed sample checksum. Completes the per-modality surface
-    * (image→resize, video→frames, audio→resample, all→features).
+  /** Audio resample (audio only). Payloads that sniff as real WAV go
+    * through the GENUINE `javax.sound` container decode + nearest-neighbor
+    * resample — sample count and checksum are measured off the decoded
+    * frames. Non-WAV payloads (text-backed synthetic rows) fall back to the
+    * metadata-driven stub so the operator stays total over mixed corpora.
+    * Completes the per-modality surface (image→resize, video→frames,
+    * audio→resample, all→features).
     */
   def resampleAudio(media: Dataset[MediaRow], outRate: Int): Dataset[ResampledAudio] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "audio").mapPartitions { it =>
-      val codec = new StubCodec
+      val audio = new AudioCodec // once per partition
+      val stub = new StubCodec
       it.map { m =>
-        val n = m.duration_ms * outRate / 1000
-        ResampledAudio(m.media_id, outRate, n, codec.sampleChecksum(m.payload, outRate))
+        if (audio.isWavPayload(m.payload)) {
+          val (_, nOut, checksum) = audio.decodeResample(m.payload, outRate)
+          ResampledAudio(m.media_id, outRate, nOut, checksum)
+        } else {
+          val n = m.duration_ms * outRate / 1000
+          ResampledAudio(m.media_id, outRate, n, stub.sampleChecksum(m.payload, outRate))
+        }
       }
     }
   }

@@ -74,6 +74,43 @@ class MultimodalSpec extends SparkSpec {
     pairs.head._3 should be >= 300L
   }
 
+  test("audio codec: real WAV bytes round-trip through javax.sound") {
+    val codec = new Multimodal.AudioCodec
+    val wav = codec.encodeWav(seed = 7L, nSamples = 8, rate = 16000)
+    // genuine RIFF/WAVE container, decodable by the platform reader
+    codec.isWavPayload(wav) shouldBe true
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    ais.getFormat.getSampleRate shouldBe 16000f
+    ais.getFrameLength shouldBe 8L
+    // nearest-neighbor 16k->8k keeps frames 0,2,4,6; sample i unsigned is
+    // (7*(i+1)) mod 2^16 -> checksum 7*(1+3+5+7) = 112
+    codec.decodeResample(wav, outRate = 8000) shouldBe ((8L, 4L, 112L))
+    // identity rate keeps all frames: 7*(1+..+8) = 252
+    codec.decodeResample(wav, outRate = 16000) shouldBe ((8L, 8L, 252L))
+  }
+
+  test("resample takes the REAL decode path on real WAV payloads") {
+    val real = Multimodal.withRealAudioPayloads(media)
+    val byId = real.collect().map(m => m.media_id -> m).toMap
+    new String(byId(1L).payload.take(4), "ISO-8859-1") shouldBe "RIFF"
+    byId(0L).payload shouldBe "aa bb".getBytes("UTF-8") // image row untouched
+    val out = Multimodal.resampleAudio(real, outRate = 8000).collect()
+      .map(r => r.media_id -> r).toMap
+    out.keySet shouldBe Set(1L, 4L)
+    out.values.foreach { r =>
+      // measured output count == arithmetic expectation (encode window / 2)
+      val durationMs = 1000L + r.media_id * 40L
+      r.n_samples shouldBe Multimodal.encSamplesOf(durationMs) / 2
+      r.rate shouldBe 8000
+    }
+    // checksum replays arithmetically from the seed (doc 1 text "cc dd")
+    val seed = PolyHash.of("cc dd")
+    val nOut = Multimodal.encSamplesOf(1040L) / 2
+    val expect = (0L until nOut).map(j => (seed * (2 * j + 1)) % 65536L).sum % 2147483647L
+    out(1L).checksum shouldBe expect
+  }
+
   test("audio resample: audio only, metadata sample count, stub checksum") {
     val out = Multimodal.resampleAudio(media, outRate = 8000).collect()
     out.length should be > 0
