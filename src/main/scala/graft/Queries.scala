@@ -746,6 +746,79 @@ object Queries {
       |      FROM d)
       |SELECT lang, term, df::BIGINT AS df, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin
 
+  // ------------------------------------------------- sampling / mixing (§7.6)
+
+  import graft.ext.Sampling
+
+  /** Deterministic 20% Bernoulli sample of the documents table — hash-draw
+    * per doc_id, map-only (no shuffle), reproducible under retries.
+    */
+  def sampleBernoulli(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.bernoulli(docs(spark, sfDir), "doc_id", rateX1000 = 200)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Sampling.drawOf's quadratic scrambler over a hash column `ph`. */
+  private def scrambleSql(ph: String): String =
+    s"($ph) * ($ph) % 2147483647 * 48271 + ($ph)"
+
+  private val sampleBernoulliSql: String =
+    s"""WITH p AS (SELECT doc_id, source, lang,
+       |             (${polyHashSql("'bern|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents)
+       |SELECT doc_id, source, lang FROM p
+       |WHERE (${scrambleSql("ph")}) % 2147483647 * 1000 < 200::BIGINT * 2147483647""".stripMargin
+
+  /** Stratified cap: at most 10 docs per source, hash-ranked — the
+    * per-stratum uniform-without-replacement cut a corpus builder applies
+    * to bound any one source's contribution.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.stratifiedCap(docs(spark, sfDir), "source", "doc_id", cap = 10)
+      .select(col("source"), col("doc_id"), col("rk"))
+
+  private val sampleStratifiedSql: String =
+    s"""WITH p AS (SELECT source, doc_id,
+       |             (${polyHashSql("'strat|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents)
+       |SELECT source, doc_id,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY (${scrambleSql("ph")}) % 2147483647, doc_id)::BIGINT AS rk
+       |FROM p
+       |QUALIFY rk <= 10""".stripMargin
+
+  /** Weighted corpus mix to a 50k-char budget: source weights assigned by
+    * name rank (sorted source list is tiny and collected once — bounded by
+    * the source catalog, not the corpus), per-source keep-thresholds are
+    * exact integer arithmetic over the source cost totals.
+    */
+  def pipeCorpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val sources = d.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val weights = sources.zipWithIndex
+      .map { case (s, i) => s -> (50L + 25L * i) }.toMap
+    Sampling.weightedMix(d, "source", "n_chars", "doc_id", weights,
+        budget = 50000L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val pipeCorpusMixSql: String =
+    s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+       |             FROM documents GROUP BY 1),
+       |w AS (SELECT source, tok,
+       |        50 + 25 * (dense_rank() OVER (ORDER BY source) - 1) AS w
+       |      FROM tot),
+       |t AS (SELECT source,
+       |        least(2147483647, (2147483647::HUGEINT * 50000 * w)
+       |          // ((SELECT sum(w) FROM w) * tok)) AS t
+       |      FROM w),
+       |p AS (SELECT doc_id, source, n_chars,
+       |        (${polyHashSql("'mix|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |      FROM documents)
+       |SELECT p.doc_id, p.source, p.n_chars
+       |FROM p JOIN t USING (source)
+       |WHERE (${scrambleSql("ph")}) % 2147483647 < t.t""".stripMargin
+
   // ------------------------------------------------- deduplication (§7.6)
 
   import graft.ext.Dedup
@@ -1339,6 +1412,9 @@ object Queries {
     "txt_topterms" -> (txtTopterms _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "pipe_corpus_stats" -> (pipeCorpusStats _),
+    "sample_bernoulli" -> (sampleBernoulli _),
+    "sample_stratified" -> (sampleStratified _),
+    "pipe_corpus_mix" -> (pipeCorpusMix _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1394,6 +1470,9 @@ object Queries {
     "txt_topterms" -> txtToptermsSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "pipe_corpus_stats" -> pipeCorpusStatsSql,
+    "sample_bernoulli" -> sampleBernoulliSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "pipe_corpus_mix" -> pipeCorpusMixSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
