@@ -928,6 +928,48 @@ object Queries {
        |SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
        |FROM walk GROUP BY node""".stripMargin
 
+  /** Canonical-corpus selection: the standard post-dedup pass — group docs
+    * by near-dup cluster and keep the HIGHEST-QUALITY member (tie-break:
+    * smallest doc_id), reporting cluster size for audit. One extra shuffle
+    * over (doc_id, cluster_id, quality) triples on top of the cluster
+    * assignment; text never moves. The max_by over a (quality, -doc_id)
+    * struct keeps the pick deterministic AND partial-aggregable (no
+    * per-cluster sort).
+    */
+  def pipeCanonicalCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val cl = Dedup.clusters(d, Dedup.minhashLshPairs(d))
+    val q = TextAnalysis.quality(d).select(col("doc_id"), col("quality"))
+    cl.join(q, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), -col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+        col("best.quality").as("quality"), col("n_members"))
+  }
+
+  private val pipeCanonicalCorpusSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |e AS (SELECT a AS src, b AS dst FROM mp
+       |      UNION ALL SELECT b AS src, a AS dst FROM mp),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+       |cl AS (SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+       |       FROM walk GROUP BY node),
+       |q AS (SELECT doc_id, quality FROM ($txtQualitySql) tq),
+       |r AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+       |        row_number() OVER (PARTITION BY cl.cluster_id
+       |          ORDER BY q.quality DESC, cl.doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY cl.cluster_id) AS n
+       |      FROM cl JOIN q USING (doc_id))
+       |SELECT cluster_id, doc_id AS keep_id, quality,
+       |  n::BIGINT AS n_members
+       |FROM r WHERE rk = 1""".stripMargin
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(docs(spark, sfDir))
 
@@ -1415,6 +1457,7 @@ object Queries {
     "sample_bernoulli" -> (sampleBernoulli _),
     "sample_stratified" -> (sampleStratified _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
+    "pipe_canonical_corpus" -> (pipeCanonicalCorpus _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1473,6 +1516,7 @@ object Queries {
     "sample_bernoulli" -> sampleBernoulliSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
+    "pipe_canonical_corpus" -> pipeCanonicalCorpusSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,

@@ -128,6 +128,28 @@ class DedupSpec extends SparkSpec {
     n shouldBe 5.0
   }
 
+  test("canonical corpus: one keeper per cluster, best quality, member of cluster") {
+    val out = Queries.all("pipe_canonical_corpus")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cl = Dedup.clusters(d, Dedup.minhashLshPairs(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_id)
+    val members = cl.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val quality = graft.ext.TextAnalysis.quality(d)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly one keeper per cluster, covering every cluster
+    out.map(_._1).toSet shouldBe members.keySet
+    out.foreach { case (cid, keep, q, n) =>
+      members(cid) should contain(keep) // keeper is a member
+      n shouldBe members(cid).size.toLong
+      q shouldBe quality(keep)
+      q shouldBe members(cid).map(quality).max // the best member
+    }
+    // the pass actually deduplicates: keepers < docs when clusters merge
+    out.length.toLong should be <= d.count()
+  }
+
   test("embedding pairs: identical vectors -> cos_x1000 = 1000 (exact sqrt)") {
     val e = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(3.0f, 4.0f)),
       (3L, Array(-4.0f, 3.0f))) // orthogonal to 1
