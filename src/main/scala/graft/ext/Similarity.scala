@@ -185,14 +185,14 @@ object Similarity {
     * touches only the probed directories. Same result as [[ivfTopK]].
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      isQuery: Column => Column, k: Int = 5): DataFrame = {
+      isQuery: Column => Column, k: Int = 5, nProbe: Int = NProbe): DataFrame = {
     import spark.implicits._
     val corpus = spark.read.parquet(path)
-    // The probe relation is tiny (≤ |queries| × NProbe rows) and has TWO
+    // The probe relation is tiny (≤ |queries| × nProbe rows) and has TWO
     // consumers (broadcast side, partition-filter cell list) — collect it
     // ONCE and rebuild locally, instead of running the query-side index
     // scan + centroid scoring twice.
-    val probes = probeRows(corpus, isQuery)
+    val probes = probeRows(corpus, isQuery, nProbe)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell").cast("long"))
       .as[(Long, Seq[Double], Double, Long)].collect()
     val probeCells = probes.map(_._4).distinct.sorted
