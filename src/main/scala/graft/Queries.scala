@@ -819,6 +819,27 @@ object Queries {
        |FROM p JOIN t USING (source)
        |WHERE (${scrambleSql("ph")}) % 2147483647 < t.t""".stripMargin
 
+  /** Sequence packing: documents to 2000-char context windows, bucketed in
+    * contiguous 100-id ranges (the parallelism unit), packed in doc_id
+    * order. Returns the per-doc assignment — the training-example layout.
+    */
+  def pipePackWindows(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packWindows(docs(spark, sfDir),
+        bucket = expr("doc_id div 100"), order = col("doc_id"),
+        cost = col("n_chars"), budget = 2000L)
+      .select(col("doc_id"), col("pack_bucket"), col("window_idx"),
+        col("n_chars"))
+
+  private val pipePackWindowsSql: String =
+    """WITH c AS (SELECT doc_id, doc_id // 100 AS pack_bucket, n_chars,
+      |             coalesce(sum(n_chars) OVER (PARTITION BY doc_id // 100
+      |               ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |           FROM documents)
+      |SELECT doc_id, pack_bucket::BIGINT AS pack_bucket,
+      |  (cum // 2000)::BIGINT AS window_idx, n_chars
+      |FROM c""".stripMargin
+
   // ------------------------------------------------- deduplication (§7.6)
 
   import graft.ext.Dedup
@@ -1458,6 +1479,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_canonical_corpus" -> (pipeCanonicalCorpus _),
+    "pipe_pack_windows" -> (pipePackWindows _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1517,6 +1539,7 @@ object Queries {
     "sample_stratified" -> sampleStratifiedSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_canonical_corpus" -> pipeCanonicalCorpusSql,
+    "pipe_pack_windows" -> pipePackWindowsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
