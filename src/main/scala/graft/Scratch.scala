@@ -418,6 +418,27 @@ object Scratch {
         for (tables <- Seq(3, 5, 8); bits <- Seq(4, 6, 8))
           sweepOne(s"lsh L=$tables bits=$bits",
             graft.ext.Similarity.lshTopK(emb, isQ, tables = tables, bits = bits))
+      case "scalepipe" =>
+        // Sampling / mixing / packing at 5M docs (1000x the sf0.01 corpus):
+        // the ops are prefix-sums and map-side filters, so this is the
+        // linear-scaling evidence for the corpus-construction stage.
+        import org.apache.spark.sql.functions.{col, expr}
+        val d = spark.range(0, 5000000).selectExpr("id AS doc_id",
+          "concat('src', CAST(id % 20 AS STRING)) AS source",
+          "CAST(200 + (id * 37) % 800 AS BIGINT) AS n_chars")
+          .localCheckpoint()
+        val srcs = (0 until 20).map(i => s"src$i")
+        val w = srcs.zipWithIndex.map { case (s, i) => s -> (50L + 25L * i) }.toMap
+        time("bernoulli 20% of 5M")(
+          graft.ext.Sampling.bernoulli(d, "doc_id", 200).count())
+        time("stratifiedCap 50k/source x20")(
+          graft.ext.Sampling.stratifiedCap(d, "source", "doc_id", 50000).count())
+        time("weightedMix to 600M chars")(
+          graft.ext.Sampling.weightedMix(d, "source", "n_chars", "doc_id", w,
+            budget = 600000000L).count())
+        time("packWindows 4k-char, 10k-id buckets")(
+          graft.ext.Packing.packWindows(d, expr("doc_id div 10000"),
+            col("doc_id"), col("n_chars"), 4000L).count())
       case "sweep1m" =>
         // The same sweep at 1M synthetic vectors, where the scan/candidate
         // fraction dominates runtime — the axis the sf0.1 sweep can't see.
