@@ -1327,6 +1327,34 @@ object Queries {
        |FROM events GROUP BY 1, 2""".stripMargin
   }
 
+  /** The windowed pivot under ALLOWED LATENESS in APPEND mode: the same
+    * events replayed with adjacent time-range chunks swapped (micro-batches
+    * out of event-time order), watermark delay = the staged disorder bound.
+    * Append emission is the strict test — a window row emits exactly once,
+    * when the watermark proves it complete, so late rows must land in
+    * not-yet-emitted window state. Punctuation waves finalize every real
+    * window at end of replay; they carry a real qualifier (a sentinel type
+    * would be filter-pushed below the watermark node and never counted)
+    * but never emit — their own window lies beyond the final watermark.
+    * Same batch oracle as `stream_pivot`.
+    */
+  def streamPivotLate(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.schema(KvTable.EventsParquetSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val (dir, lateNs) = StreamingPivot.stageEventsShuffled(
+      raw, nChunks = 4, horizonNanos = 3600L * 1000000000L)
+    val cells = spark.readStream
+      .schema(KvTable.EventsParquetSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(KvTable.eventCellColumns :+
+        expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
+    val piv = StreamingPivot.windowedPivot(cells, EventCols,
+      watermark = s"${lateNs / 1000000L + 2} milliseconds")
+    StreamingPivot.runAvailableNow(piv, "stream_pivot_late_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Streaming exact dedup: distinct (rowKey, qualifier) pairs maintained as
     * streaming state, run to batch parity (append mode).
     */
@@ -1502,6 +1530,7 @@ object Queries {
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
     "stream_sessions_late" -> (streamSessionsLate _),
+    "stream_pivot_late" -> (streamPivotLate _),
     "stream_memstore" -> (streamMemstore _))
 
   def oracles: Map[String, String] = Map(
@@ -1562,5 +1591,6 @@ object Queries {
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,
     "stream_sessions_late" -> streamSessionsSql,
+    "stream_pivot_late" -> streamPivotSql,
     "stream_memstore" -> streamMemstoreSql)
 }

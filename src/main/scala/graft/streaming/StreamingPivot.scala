@@ -67,6 +67,10 @@ object StreamingPivot {
       graft.functions.MaxByTsAgg.maxByTs(
         col("value"), when(col("qualifier") === c, col("ts"))).as(c)
     }
+    // NB a pre-watermark filter would not shield late-replay punctuation
+    // anyway: Catalyst pushes qualifier predicates below EventTimeWatermark
+    // to the scan, so punctuation rows must survive the schema filter on
+    // their own (stageEventsShuffled gives them a real qualifier).
     cells
       .filter(col("qualifier").isin(columns: _*))
       .withWatermark("eventTime", watermark)
@@ -379,6 +383,57 @@ object StreamingPivot {
       Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
       require(target.toFile.setLastModified(t0 + i * 60000L),
         s"stageSessionFilesShuffled: cannot set modification time on $target")
+    }
+    (dir.toString, lateNanos)
+  }
+
+  /** Stage the RAW events relation (EventsParquetSchema) as an
+    * out-of-event-time-order stream for the windowed pivot: adjacent
+    * time-range chunks swapped, plus two single-row punctuation waves at
+    * `max(ts) + horizon + late` whose only job is to advance the watermark
+    * past every real window's emission horizon. Punctuation carries a REAL
+    * qualifier (`punctType`) — a sentinel type would be pushed below the
+    * EventTimeWatermark node into the scan and never counted — and stays
+    * invisible in the output because its own window lies beyond the final
+    * watermark, so Append mode never finalizes it. Returns
+    * `(dir, lateNanos)`; the reader's watermark must cover `lateNanos`.
+    */
+  def stageEventsShuffled(events: DataFrame, nChunks: Int,
+      horizonNanos: Long, punctType: String = "click"): (String, Long) = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_pivot_late_")
+    dir.toFile.deleteOnExit()
+    val mm = events.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    require(!mm.isNullAt(1), "stageEventsShuffled: events relation is empty")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val lateNanos = hi - lo + 1
+    val tmp = Files.createTempDirectory("graft_pivot_late_chunks_").toString
+    events.repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    val punct = Files.createTempDirectory("graft_pivot_late_punct_").toString
+    val p1 = hi + horizonNanos + lateNanos + 10000000L
+    def punctRow(ts: Long, out: String): Unit =
+      events.sparkSession.range(1).selectExpr(
+        "CAST(-1 AS BIGINT) AS event_id", s"CAST($ts AS BIGINT) AS ts",
+        "CAST(-1 AS BIGINT) AS user_id", s"'$punctType' AS event_type",
+        "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    punctRow(p1, s"$punct/w1")
+    punctRow(p1 + 1000000L, s"$punct/w2")
+    def partsOf(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val ranges = partsOf(tmp)
+    val swapped = ranges.indices.map { i =>
+      if (i % 2 == 0) ranges(math.min(i + 1, ranges.length - 1)) else ranges(i - 1)
+    }.distinct
+    val parts = swapped ++ partsOf(s"$punct/w1") ++ partsOf(s"$punct/w2")
+    val t0 = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val target = dir.resolve(f"chunk$i%03d.parquet")
+      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+      require(target.toFile.setLastModified(t0 + i * 60000L),
+        s"stageEventsShuffled: cannot set modification time on $target")
     }
     (dir.toString, lateNanos)
   }

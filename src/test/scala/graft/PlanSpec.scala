@@ -87,6 +87,16 @@ class PlanSpec extends SparkSpec {
     df.count() should be > 0L
   }
 
+  test("bernoulli sample is map-only: zero exchanges, filter reaches the scan stage") {
+    val plan = executedPlan(Queries.all("sample_bernoulli")(spark, sfDir))
+    plan should not include "Exchange"
+  }
+
+  test("pack windows runs exactly one exchange (the bucket shuffle)") {
+    val plan = executedPlan(Queries.all("pipe_pack_windows")(spark, sfDir))
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+  }
+
   test("enrich join broadcasts the dim side, no shuffle of the fact side") {
     val plan = executedPlan(Queries.relEnrichJoin(spark, sfDir))
     plan should include("BroadcastHashJoin")
