@@ -67,6 +67,8 @@ object GraftExtensions {
       unary("poly_hash", PolyHashExpr) _),
     ("sim_hash64", "sim_hash64(array<string>) - 64-bit SimHash over tokens",
       unary("sim_hash64", SimHash64Expr) _),
+    ("sample_draw", "sample_draw(str) - deterministic scrambled sampling draw in [0, 2^31-1)",
+      unary("sample_draw", SampleDrawExpr) _),
     ("text_stats", "text_stats(str) - fused per-document counters (struct of 10 longs)",
       unary("text_stats", TextStatsExpr) _),
     ("bin_to_int", "bin_to_int(binary) - big-endian 4-byte decode (HBase Bytes.toInt)",

@@ -35,10 +35,8 @@ object Sampling {
     * a SQL oracle replays verbatim. Distinct salts give independent
     * samples off the same keys.
     */
-  def drawOf(key: Column, salt: String): Column = {
-    val h = TextHash.polyHash(concat(lit(salt + "|"), key.cast("string")))
-    (h * h % PolyHash.Mod * 48271L + h) % PolyHash.Mod
-  }
+  def drawOf(key: Column, salt: String): Column =
+    TextHash.sampleDraw(concat(lit(salt + "|"), key.cast("string")))
 
   /** Keep each row with probability `rateX1000`/1000, deterministically:
     * `draw < rate·Mod` in exact integer arithmetic. Map-only, no shuffle.

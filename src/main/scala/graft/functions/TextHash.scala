@@ -185,11 +185,59 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sim_hash64"
 }
 
+/** `sample_draw(str) -> long`: the deterministic sampling draw — the poly
+  * hash of a (pre-salted) key pushed through the quadratic scrambler
+  * `(h² mod M)·48271 + h mod M`. One fused pass: hash loop and scramble in
+  * a single codegen'd expression, so [[graft.ext.Sampling]]'s draw costs
+  * one string traversal per row. The scrambler exists because the raw poly
+  * hash is affine in the last code point — consecutive keys would pass or
+  * fail a rate threshold in blocks.
+  */
+case class SampleDrawExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h = PolyHash.of(input.asInstanceOf[UTF8String].toString)
+    (h * h % PolyHash.Mod * 48271L + h) % PolyHash.Mod
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val h = ctx.freshName("h")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * ${PolyHash.Mult}L + $cp) % ${PolyHash.Mod}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = ($h * $h % ${PolyHash.Mod}L * 48271L + $h) % ${PolyHash.Mod}L;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SampleDrawExpr =
+    copy(child = newChild)
+  override def prettyName: String = "sample_draw"
+}
+
 object TextHash {
   import bridge.{toColumn, toExpression}
 
   /** Column API: `poly_hash(string) -> long` in `[0, 2^31-1)`. */
   def polyHash(c: Column): Column = toColumn(PolyHashExpr(toExpression(c)))
+
+  /** Column API: `sample_draw(string) -> long` — fused hash + scramble. */
+  def sampleDraw(c: Column): Column = toColumn(SampleDrawExpr(toExpression(c)))
 
   /** Column API: `sim_hash64(array<string>) -> long` (62 informative bits). */
   def simHash64(c: Column): Column = toColumn(SimHash64Expr(toExpression(c)))

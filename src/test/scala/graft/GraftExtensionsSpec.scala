@@ -46,12 +46,15 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT poly_hash('spark') AS h,
         |  bin_to_long(long_to_bin(1234567890123)) AS l,
         |  bin_to_int(int_to_bin(-42)) AS i,
-        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin)
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  sample_draw('bern|7') AS dr""".stripMargin)
       .collect().head
     row.getLong(0) shouldBe PolyHash.of("spark")
     row.getLong(1) shouldBe 1234567890123L
     row.getInt(2) shouldBe -42
     row.getDouble(3) shouldBe 11.0
+    val h = PolyHash.of("bern|7")
+    row.getLong(4) shouldBe (h * h % PolyHash.Mod * 48271L + h) % PolyHash.Mod
   }
 
   test("max_by_ts aggregates from SQL (LWW per key)") {
