@@ -1281,6 +1281,35 @@ object Queries {
     * 2nd frame — so n_samples and the unsigned-sum checksum replay as pure
     * arithmetic, no WAV decode oracle-side.
     */
+  /** Video decode through the REAL container path: video rows carry
+    * genuine RIFF/AVI bytes with uncompressed DIB frames
+    * ([[Multimodal.withRealVideoPayloads]]); the operator walks the chunk
+    * tree to 'movi' and hashes the DECODED frame bytes. Oracle stays
+    * arithmetic: frame pixels are `(seed·(j+1)) mod 256` with seed = the
+    * local-content chunk hash, so the byte fold replays in SQL.
+    */
+  def mmVideoDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.withRealVideoPayloads(
+      Multimodal.syntheticMedia(docs(spark, sfDir)))
+    Multimodal.decodeVideoFrames(media).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_bytes"), col("frame_hash"))
+  }
+
+  private val mmVideoDecodeSql: String = {
+    val frameSize = Multimodal.VideoFrameSide * Multimodal.VideoFrameSide * 3
+    s"""WITH v AS (SELECT doc_id AS media_id,
+       |             regexp_split_to_array(trim(text), '\\s+') AS t,
+       |             1 + doc_id % 5 AS n_frames
+       |           FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (SELECT media_id, t, unnest(range(0, n_frames)) AS i FROM v),
+       |sd AS (SELECT media_id, i, (${frameHashSql("t", "i")}) AS seed FROM fr)
+       |SELECT media_id, i::BIGINT AS frame_idx, $frameSize::BIGINT AS n_bytes,
+       |  list_reduce(list_transform(range(1, ${frameSize + 1}), j -> (seed * j) % 256),
+       |              (a, b) -> (a * 31 + b) % 2147483647)::BIGINT AS frame_hash
+       |FROM sd""".stripMargin
+  }
+
   private val mmResampleSql: String =
     s"""WITH m AS (SELECT doc_id AS media_id, (${polyHashSql("text")}) AS seed,
        |             ((1000 + doc_id * 40) % 4096 + 512) // 2 AS n_out
@@ -1526,6 +1555,7 @@ object Queries {
     "mm_resize" -> (mmResize _),
     "mm_resample" -> (mmResample _),
     "mm_near_dup" -> (mmNearDup _),
+    "mm_video_decode" -> (mmVideoDecode _),
     "stream_pivot" -> (streamPivot _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
@@ -1587,6 +1617,7 @@ object Queries {
     "mm_resize" -> mmResizeSql,
     "mm_resample" -> mmResampleSql,
     "mm_near_dup" -> mmNearDupSql,
+    "mm_video_decode" -> mmVideoDecodeSql,
     "stream_pivot" -> streamPivotSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,

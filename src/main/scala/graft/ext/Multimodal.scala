@@ -12,15 +12,18 @@ import graft.functions.PolyHash
   * metadata, with decode / feature-extraction / resize / frame-sampling as
   * partition-batched typed transforms.
   *
-  * The IMAGE and AUDIO paths are real: [[ImageCodec]] encodes deterministic
-  * 24-bit BMPs and genuinely decodes/resizes them through `javax.imageio`;
-  * [[AudioCodec]] encodes 16-bit PCM WAV and genuinely decodes/resamples
-  * through `javax.sound.sampled` (both JDK-builtin, no external libraries) —
-  * [[decodeAndResize]] reads actual pixels, [[resampleAudio]] actual frames.
-  * The video codec remains STUBBED behind [[StubCodec]], a deterministic
-  * fake whose outputs are pure arithmetic over the payload hash (and
-  * therefore oracle-checkable). Everything around the codecs is real and
-  * load-bearing:
+  * ALL THREE modality paths are real, with zero external libraries:
+  * [[ImageCodec]] encodes deterministic 24-bit BMPs and genuinely
+  * decodes/resizes through `javax.imageio`; [[AudioCodec]] encodes 16-bit
+  * PCM WAV and genuinely decodes/resamples through `javax.sound.sampled`;
+  * [[VideoCodec]] encodes RIFF/AVI with uncompressed DIB frames and
+  * genuinely demuxes the container ([[decodeVideoFrames]] hashes decoded
+  * pixel bytes — compressed codecs stay out of scope, the JDK ships none).
+  * [[StubCodec]] remains only for the arithmetic fallbacks (feature
+  * embedding, signature-level frame hashes on un-decoded media) — a
+  * deterministic fake whose outputs are pure arithmetic over the payload
+  * hash (and therefore oracle-checkable). Everything around the codecs is
+  * real and load-bearing:
   *  - the media schema (binary payload + typed metadata columns),
   *  - `Dataset[T]` encoders for each stage's row type,
   *  - `mapPartitions` batching: the codec is initialized ONCE per partition
@@ -243,6 +246,119 @@ object Multimodal {
     val initCount = new java.util.concurrent.atomic.AtomicLong(0)
   }
 
+  /** REAL video container codec: RIFF/AVI with uncompressed 24-bit DIB
+    * frames ('00db' chunks) — the one video format decodable with zero
+    * external libraries, because frames are raw BGR bytes once the
+    * container is parsed. Encode exists so the synthetic corpus can carry
+    * genuine AVI bytes; [[decodeFrames]] does the real work a pipeline
+    * needs: walk the RIFF chunk tree, locate the 'movi' LIST, and return
+    * each frame's pixel bytes. Compressed codecs (H.264 & co) are out of
+    * scope — the JDK ships no video decoder.
+    */
+  final class VideoCodec {
+    VideoCodec.initCount.incrementAndGet()
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+    /** Deterministic frame pixels: byte j of frame with `seed` is
+      * `(seed·(j+1)) mod 256` — pure arithmetic, so an oracle can replay
+      * any statistic of the DECODED bytes without a decoder.
+      */
+    def frameBytes(seed: Long, width: Int, height: Int): Array[Byte] =
+      Array.tabulate(width * height * 3)(j =>
+        java.lang.Math.floorMod(seed * (j + 1), 256L).toByte)
+
+    /** Minimal but genuine AVI: RIFF('AVI ' LIST('hdrl' avih LIST('strl'
+      * strh strf)) LIST('movi' '00db'×n)). One frame chunk per seed.
+      */
+    def encodeAvi(frameSeeds: Seq[Long], width: Int, height: Int): Array[Byte] = {
+      val frameSize = width * height * 3
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+          (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+      val avih = le32(40000) ++ le32(frameSize * 25) ++ le32(0) ++ le32(0x10) ++
+        le32(frameSeeds.length) ++ le32(0) ++ le32(1) ++ le32(frameSize) ++
+        le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+        le32(0) ++ le32(frameSeeds.length) ++ le32(frameSize) ++ le32(-1) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+      val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(frameSize) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frameSeeds.toArray.flatMap(s =>
+        chunk("00db", frameBytes(s, width, height))))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
+    /** Magic-byte sniff: RIFF....AVI container. */
+    def isAviPayload(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+        p(8) == 'A'.toByte && p(9) == 'V'.toByte && p(10) == 'I'.toByte
+
+    private def rdLe32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+        ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+    private def fourcc(p: Array[Byte], off: Int): String =
+      new String(p, off, 4, "US-ASCII")
+
+    /** GENUINE container parse: walk the top-level RIFF chunks to the
+      * 'movi' LIST, then collect every video frame chunk's raw bytes in
+      * stream order. Tolerates other chunks/lists (idx1, padding) like a
+      * real demuxer.
+      */
+    def decodeFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+      require(isAviPayload(payload), "payload is not a RIFF/AVI container")
+      val end = math.min(payload.length, 8 + rdLe32(payload, 4))
+      val frames = Seq.newBuilder[Array[Byte]]
+      var off = 12 // past RIFF size 'AVI '
+      while (off + 8 <= end) {
+        val id = fourcc(payload, off)
+        val sz = rdLe32(payload, off + 4)
+        if (id == "LIST" && fourcc(payload, off + 8) == "movi") {
+          var p = off + 12
+          val listEnd = off + 8 + sz
+          while (p + 8 <= listEnd) {
+            val cid = fourcc(payload, p)
+            val csz = rdLe32(payload, p + 4)
+            if (cid == "00db" || cid == "00dc")
+              frames += java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz)
+            p += 8 + csz + (csz % 2)
+          }
+        }
+        off += 8 + sz + (sz % 2)
+      }
+      frames.result()
+    }
+
+    /** Content hash of decoded frame bytes: the PolyHash fold
+      * `h = (h·31 + byte) mod (2^31-1)` over unsigned byte values.
+      */
+    def frameContentHash(bytes: Array[Byte]): Long = {
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * 31 + (bytes(i) & 0xFF)) % PolyHash.Mod
+        i += 1
+      }
+      h
+    }
+  }
+
+  object VideoCodec {
+    /** Test hook: number of codec instantiations in this JVM. */
+    val initCount = new java.util.concurrent.atomic.AtomicLong(0)
+  }
+
   /** Model the documents table as a media table (deterministic): payload =
     * UTF-8 text bytes, kind round-robins by doc_id, metadata derived
     * arithmetically (all reproducible in the oracle).
@@ -304,6 +420,55 @@ object Multimodal {
             PolyHash.of(new String(m.payload, StandardCharsets.UTF_8)),
             encSamplesOf(m.duration_ms), m.sample_rate))
         else m
+      }
+    }
+  }
+
+  /** Side length of synthetic video frames (16×16×3 = 768 bytes/frame). */
+  val VideoFrameSide = 16
+
+  case class VideoFrameRow(
+      media_id: Long, frame_idx: Int, n_bytes: Long, frame_hash: Long)
+
+  /** Swap video-kind payloads for REAL RIFF/AVI bytes: one uncompressed
+    * DIB frame per metadata frame, each frame's pixel seed = the same
+    * position-salted local-content hash the signature path uses (so
+    * near-identical media still share frame CONTENT, not just signatures).
+    * Non-video rows pass through.
+    */
+  def withRealVideoPayloads(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val stub = new StubCodec
+      val codec = new VideoCodec // once per partition
+      it.map { m =>
+        if (m.kind == "video")
+          m.copy(payload = codec.encodeAvi(
+            (0 until m.n_frames).map(i => stub.frameHash(m.payload, i)),
+            VideoFrameSide, VideoFrameSide))
+        else m
+      }
+    }
+  }
+
+  /** GENUINE video decode: parse the AVI container, return one row per
+    * frame with the decoded byte count and a content hash of the actual
+    * pixel bytes. Rows whose payload is not a RIFF/AVI container produce
+    * nothing — signature-level work on un-decoded media belongs to
+    * [[sampleFrames]].
+    */
+  def decodeVideoFrames(media: Dataset[MediaRow]): Dataset[VideoFrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").mapPartitions { it =>
+      val codec = new VideoCodec // once per partition
+      it.flatMap { m =>
+        if (codec.isAviPayload(m.payload))
+          codec.decodeFrames(m.payload).iterator.zipWithIndex.map {
+            case (bytes, i) =>
+              VideoFrameRow(m.media_id, i, bytes.length.toLong,
+                codec.frameContentHash(bytes))
+          }
+        else Iterator.empty
       }
     }
   }

@@ -74,6 +74,41 @@ class MultimodalSpec extends SparkSpec {
     pairs.head._3 should be >= 300L
   }
 
+  test("video codec: RIFF/AVI container round-trips uncompressed DIB frames") {
+    val codec = new Multimodal.VideoCodec
+    val avi = codec.encodeAvi(Seq(7L, 9999L), width = 16, height = 16)
+    // genuine RIFF/AVI magic; parser finds exactly the encoded frames
+    new String(avi.take(4), "US-ASCII") shouldBe "RIFF"
+    new String(avi.slice(8, 12), "US-ASCII") shouldBe "AVI "
+    codec.isAviPayload(avi) shouldBe true
+    val frames = codec.decodeFrames(avi)
+    frames.length shouldBe 2
+    frames.foreach(_.length shouldBe 16 * 16 * 3)
+    frames(0) shouldBe codec.frameBytes(7L, 16, 16)
+    frames(1) shouldBe codec.frameBytes(9999L, 16, 16)
+    // content hash folds the UNSIGNED decoded bytes
+    val expect = codec.frameBytes(7L, 16, 16)
+      .foldLeft(0L)((h, b) => (h * 31 + (b & 0xFF)) % PolyHash.Mod)
+    codec.frameContentHash(frames(0)) shouldBe expect
+  }
+
+  test("decodeVideoFrames takes the REAL container path on AVI payloads") {
+    val real = Multimodal.withRealVideoPayloads(media)
+    val byId = real.collect().map(m => m.media_id -> m).toMap
+    new String(byId(2L).payload.take(4), "US-ASCII") shouldBe "RIFF"
+    byId(0L).payload shouldBe "aa bb".getBytes("UTF-8") // image row untouched
+    val out = Multimodal.decodeVideoFrames(real).collect()
+    // one row per (video, frame): docs 2 (n_frames=3) and 5 (n_frames=1)
+    out.map(f => (f.media_id, f.frame_idx)).toSet shouldBe
+      Set((2L, 0), (2L, 1), (2L, 2), (5L, 0))
+    out.foreach(_.n_bytes shouldBe 16L * 16 * 3)
+    // frame content ties back to the local-chunk seed the signature path uses
+    val codec = new Multimodal.VideoCodec
+    val seed = (PolyHash.of("ee ff") * 131 + 0) % PolyHash.Mod
+    out.find(f => f.media_id == 2L && f.frame_idx == 0).get.frame_hash shouldBe
+      codec.frameContentHash(codec.frameBytes(seed, 16, 16))
+  }
+
   test("audio codec: real WAV bytes round-trip through javax.sound") {
     val codec = new Multimodal.AudioCodec
     val wav = codec.encodeWav(seed = 7L, nSamples = 8, rate = 16000)
