@@ -38,7 +38,13 @@ object Bench {
       }
       val med =
         if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.size / 2)
+        else {
+          // true median: average the two middles for even rep counts
+          // (upper-middle alone would bias a 2-rep run toward the max)
+          val s = times.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
       name -> med
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -156,8 +156,10 @@ object Multimodal {
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(src != null, "payload is not a decodable image")
       val scale = math.min(1.0, maxSide.toDouble / math.max(src.getWidth, src.getHeight))
-      val w = (src.getWidth * scale).toInt
-      val h = (src.getHeight * scale).toInt
+      // clamp to >= 1: an extreme aspect ratio (1x200 banner at maxSide 64)
+      // would truncate the short side to 0 and BufferedImage would throw
+      val w = math.max(1, (src.getWidth * scale).toInt)
+      val h = math.max(1, (src.getHeight * scale).toInt)
       val dst = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val g = dst.createGraphics()
@@ -318,20 +320,31 @@ object Multimodal {
       */
     def decodeFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
       require(isAviPayload(payload), "payload is not a RIFF/AVI container")
-      val end = math.min(payload.length, 8 + rdLe32(payload, 4))
+      // Chunk sizes are UNSIGNED 32-bit and untrusted: validate every size
+      // against the remaining bytes or a corrupt payload could drive the
+      // scan pointer backwards (infinite loop) or a frame copy past the
+      // buffer. Corruption fails loudly, like a real demuxer.
+      def sizeAt(off: Int, limit: Long): Long = {
+        val sz = rdLe32(payload, off) & 0xFFFFFFFFL
+        require(off + 4 + sz <= limit,
+          s"corrupt AVI: chunk size $sz at offset $off exceeds container")
+        sz
+      }
+      val end = math.min(payload.length.toLong, 8L + (rdLe32(payload, 4) & 0xFFFFFFFFL))
       val frames = Seq.newBuilder[Array[Byte]]
-      var off = 12 // past RIFF size 'AVI '
+      var off = 12L // past RIFF size 'AVI '
       while (off + 8 <= end) {
-        val id = fourcc(payload, off)
-        val sz = rdLe32(payload, off + 4)
-        if (id == "LIST" && fourcc(payload, off + 8) == "movi") {
+        val id = fourcc(payload, off.toInt)
+        val sz = sizeAt(off.toInt + 4, end)
+        if (id == "LIST" && sz >= 4 && fourcc(payload, off.toInt + 8) == "movi") {
           var p = off + 12
           val listEnd = off + 8 + sz
           while (p + 8 <= listEnd) {
-            val cid = fourcc(payload, p)
-            val csz = rdLe32(payload, p + 4)
+            val cid = fourcc(payload, p.toInt)
+            val csz = sizeAt(p.toInt + 4, listEnd)
             if (cid == "00db" || cid == "00dc")
-              frames += java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz)
+              frames += java.util.Arrays.copyOfRange(
+                payload, p.toInt + 8, p.toInt + 8 + csz.toInt)
             p += 8 + csz + (csz % 2)
           }
         }

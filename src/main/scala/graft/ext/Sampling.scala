@@ -81,12 +81,18 @@ object Sampling {
     val sumW = weights.values.sum
     require(sumW > 0, "weights must sum positive")
     val wDf = weights.toSeq.toDF(sourceCol, "_w")
+    // LEFT join + raise_error: a source present in the data but absent
+    // from the weights map must fail loudly — an inner join would silently
+    // drop that whole source from the mix, the exact un-auditable outcome
+    // this operator exists to prevent.
     val thresholds = df.groupBy(col(sourceCol))
       .agg(sum(col(costCol)).cast("long").as("_tok"))
-      .join(wDf, sourceCol)
-      .select(col(sourceCol), least(lit(PolyHash.Mod),
-        expr(s"CAST(${PolyHash.Mod} AS DECIMAL(38,0)) * ${budget}L * _w" +
-          s" div (CAST($sumW AS DECIMAL(38,0)) * _tok)")).as("_t"))
+      .join(wDf, Seq(sourceCol), "left")
+      .select(col(sourceCol), when(col("_w").isNull,
+          raise_error(concat(lit("weightedMix: no weight for source "), col(sourceCol))))
+        .otherwise(least(lit(PolyHash.Mod),
+          expr(s"CAST(${PolyHash.Mod} AS DECIMAL(38,0)) * ${budget}L * _w" +
+            s" div (CAST($sumW AS DECIMAL(38,0)) * _tok)"))).as("_t"))
     df.join(broadcast(thresholds), sourceCol)
       .filter(drawOf(col(keyCol), salt) < col("_t"))
       .drop("_t")

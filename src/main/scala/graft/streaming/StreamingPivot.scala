@@ -287,50 +287,88 @@ object StreamingPivot {
     }
   }
 
+  /** Shared staging machinery for the multi-file replay sources: one job
+    * writes disjoint time-range chunks (part-file index == range index),
+    * the chunk files (optionally with adjacent ranges SWAPPED into
+    * 1,0,3,2,… order to stage an out-of-order replay) plus punctuation
+    * files are moved into the stream directory with strictly ascending
+    * modification times (FileStreamSource replays in mtime order — a
+    * filesystem that rejects mtimes would silently reorder the replay, so
+    * that fails loudly), and every temp directory is cleaned up: the
+    * intermediate write dirs immediately, the staged dir itself on JVM
+    * exit (recursively — `deleteOnExit` alone cannot remove a non-empty
+    * directory, which used to leak a corpus copy per bench rep).
+    */
+  private object Staging {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+
+    private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach(d => deleteRecursive(d.toFile))))
+
+    private def deleteRecursive(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursive)
+      f.delete(): Unit
+    }
+
+    private def partsOf(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+
+    /** Write `chunks` range-partitioned on `tsCol`, then assemble the
+      * stream dir from (optionally swapped) chunk files + `punct` waves.
+      */
+    def assemble(prefix: String, events: DataFrame, tsCol: String, nChunks: Int,
+        swap: Boolean, punct: Seq[DataFrame]): String = {
+      val dir = Files.createTempDirectory(prefix)
+      exitDirs.add(dir)
+      val tmp = Files.createTempDirectory(prefix + "chunks_")
+      events.repartitionByRange(nChunks, col(tsCol))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val punctDirs = punct.zipWithIndex.map { case (df, i) =>
+        val d = Files.createTempDirectory(prefix + s"punct${i}_")
+        df.coalesce(1).write.mode("overwrite").parquet(d.toString)
+        d
+      }
+      val ranges = partsOf(tmp.toString)
+      // swap adjacent range files: 1,0,3,2,... (an odd tail keeps its place)
+      val ordered =
+        if (swap) ranges.indices.map { i =>
+          if (i % 2 == 0) ranges(math.min(i + 1, ranges.length - 1)) else ranges(i - 1)
+        }.distinct
+        else ranges.toSeq
+      val parts = ordered ++ punctDirs.flatMap(d => partsOf(d.toString))
+      val t0 = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val target = dir.resolve(f"chunk$i%03d.parquet")
+        Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+        require(target.toFile.setLastModified(t0 + i * 60000L),
+          s"staging: cannot set modification time on $target")
+      }
+      (tmp +: punctDirs).foreach(d => deleteRecursive(d.toFile))
+      dir.toString
+    }
+  }
+
   /** Stage a (user_id, event_id, tsNanos) relation as an event-time-ordered
-    * multi-file stream directory: `nChunks` disjoint time-range files with
-    * ascending modification times (so `maxFilesPerTrigger=1` replays them
-    * as separate micro-batches in event-time order), plus one punctuation
-    * file carrying a single `event_id = -1` row per user at
+    * multi-file stream directory: `nChunks` disjoint time-range files
+    * replayed as separate micro-batches in event-time order, plus one
+    * punctuation file carrying a single `event_id = -1` row per user at
     * `max(ts) + gap + 1` — the standard source-driven flush that closes
     * every open session tail when a finite replay ends.
     */
   def stageSessionFiles(events: DataFrame, nChunks: Int, gapNanos: Long): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Files.createTempDirectory("graft_sessions_")
-    dir.toFile.deleteOnExit()
     val hiRow = events.agg(max(col("tsNanos"))).collect()(0)
     require(!hiRow.isNullAt(0), "stageSessionFiles: events relation is empty")
     val hi = hiRow.getLong(0)
-    // ONE job writes all chunks: repartitionByRange gives disjoint,
-    // ascending time ranges with part-file index == range index, which is
-    // the only invariant the replay needs (no later file may hold an event
-    // below an earlier file's max — it would drop at the watermark).
-    val tmp = Files.createTempDirectory("graft_sess_chunks_").toString
-    events.repartitionByRange(nChunks, col("tsNanos"))
-      .write.mode("overwrite").parquet(tmp)
-    val punctTmp = Files.createTempDirectory("graft_sess_punct_").toString
-    events.select(col("user_id")).distinct()
-      .select(col("user_id"), lit(-1L).as("event_id"),
-        lit(hi + gapNanos + 1).as("tsNanos"))
-      .coalesce(1).write.mode("overwrite").parquet(punctTmp)
-    val parts = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName) ++
-      new java.io.File(punctTmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    val t0 = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (part, i) =>
-      val target = dir.resolve(f"chunk$i%03d.parquet")
-      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
-      // FileStreamSource orders by modification time: force strict ascent.
-      // A filesystem that rejects/coarsens mtimes would silently reorder the
-      // replay and drop events at the watermark — fail loudly instead.
-      require(target.toFile.setLastModified(t0 + i * 60000L),
-        s"stageSessionFiles: cannot set modification time on $target")
-    }
-    dir.toString
+    Staging.assemble("graft_sessions_", events, "tsNanos", nChunks, swap = false,
+      Seq(sessionPunct(events, hi + gapNanos + 1)))
   }
+
+  private def sessionPunct(events: DataFrame, ts: Long): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"), lit(ts).as("tsNanos"))
 
   /** Stage the same relation as an OUT-OF-EVENT-TIME-ORDER multi-file
     * stream: adjacent time-range chunks are swapped in replay order
@@ -350,41 +388,15 @@ object StreamingPivot {
     */
   def stageSessionFilesShuffled(
       events: DataFrame, nChunks: Int, gapNanos: Long): (String, Long) = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val dir = Files.createTempDirectory("graft_sessions_late_")
-    dir.toFile.deleteOnExit()
     val mm = events.agg(min(col("tsNanos")), max(col("tsNanos"))).collect()(0)
     require(!mm.isNullAt(1), "stageSessionFilesShuffled: events relation is empty")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val lateNanos = hi - lo + 1
-    val tmp = Files.createTempDirectory("graft_sess_late_chunks_").toString
-    events.repartitionByRange(nChunks, col("tsNanos"))
-      .write.mode("overwrite").parquet(tmp)
-    val punct = Files.createTempDirectory("graft_sess_late_punct_").toString
     val p1 = hi + gapNanos + lateNanos + 10000000L // 10 ms past every horizon
-    events.select(col("user_id")).distinct()
-      .select(col("user_id"), lit(-1L).as("event_id"), lit(p1).as("tsNanos"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$punct/w1")
-    events.select(col("user_id")).distinct()
-      .select(col("user_id"), lit(-1L).as("event_id"), lit(p1 + 1000000L).as("tsNanos"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$punct/w2")
-    def partsOf(d: String) = new java.io.File(d).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    // swap adjacent range files: 1,0,3,2,... (an odd tail keeps its place)
-    val ranges = partsOf(tmp)
-    val swapped = ranges.indices.map { i =>
-      if (i % 2 == 0) ranges(math.min(i + 1, ranges.length - 1)) else ranges(i - 1)
-    }.distinct
-    val parts = swapped ++ partsOf(s"$punct/w1") ++ partsOf(s"$punct/w2")
-    val t0 = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (part, i) =>
-      val target = dir.resolve(f"chunk$i%03d.parquet")
-      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
-      require(target.toFile.setLastModified(t0 + i * 60000L),
-        s"stageSessionFilesShuffled: cannot set modification time on $target")
-    }
-    (dir.toString, lateNanos)
+    val dir = Staging.assemble("graft_sessions_late_", events, "tsNanos", nChunks,
+      swap = true,
+      Seq(sessionPunct(events, p1), sessionPunct(events, p1 + 1000000L)))
+    (dir, lateNanos)
   }
 
   /** Stage the RAW events relation (EventsParquetSchema) as an
@@ -400,42 +412,19 @@ object StreamingPivot {
     */
   def stageEventsShuffled(events: DataFrame, nChunks: Int,
       horizonNanos: Long, punctType: String = "click"): (String, Long) = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val dir = Files.createTempDirectory("graft_pivot_late_")
-    dir.toFile.deleteOnExit()
     val mm = events.agg(min(col("ts")), max(col("ts"))).collect()(0)
     require(!mm.isNullAt(1), "stageEventsShuffled: events relation is empty")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val lateNanos = hi - lo + 1
-    val tmp = Files.createTempDirectory("graft_pivot_late_chunks_").toString
-    events.repartitionByRange(nChunks, col("ts"))
-      .write.mode("overwrite").parquet(tmp)
-    val punct = Files.createTempDirectory("graft_pivot_late_punct_").toString
     val p1 = hi + horizonNanos + lateNanos + 10000000L
-    def punctRow(ts: Long, out: String): Unit =
+    def punctRow(ts: Long): DataFrame =
       events.sparkSession.range(1).selectExpr(
         "CAST(-1 AS BIGINT) AS event_id", s"CAST($ts AS BIGINT) AS ts",
         "CAST(-1 AS BIGINT) AS user_id", s"'$punctType' AS event_type",
         "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
-        .coalesce(1).write.mode("overwrite").parquet(out)
-    punctRow(p1, s"$punct/w1")
-    punctRow(p1 + 1000000L, s"$punct/w2")
-    def partsOf(d: String) = new java.io.File(d).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val ranges = partsOf(tmp)
-    val swapped = ranges.indices.map { i =>
-      if (i % 2 == 0) ranges(math.min(i + 1, ranges.length - 1)) else ranges(i - 1)
-    }.distinct
-    val parts = swapped ++ partsOf(s"$punct/w1") ++ partsOf(s"$punct/w2")
-    val t0 = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (part, i) =>
-      val target = dir.resolve(f"chunk$i%03d.parquet")
-      Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
-      require(target.toFile.setLastModified(t0 + i * 60000L),
-        s"stageEventsShuffled: cannot set modification time on $target")
-    }
-    (dir.toString, lateNanos)
+    val dir = Staging.assemble("graft_pivot_late_", events, "ts", nChunks,
+      swap = true, Seq(punctRow(p1), punctRow(p1 + 1000000L)))
+    (dir, lateNanos)
   }
 
   // ------------------------------------------------- custom state (memstore)

@@ -92,6 +92,31 @@ class MultimodalSpec extends SparkSpec {
     codec.frameContentHash(frames(0)) shouldBe expect
   }
 
+  test("video codec: corrupt chunk sizes fail loudly instead of hanging or overrunning") {
+    val codec = new Multimodal.VideoCodec
+    val avi = codec.encodeAvi(Seq(7L), width = 16, height = 16)
+    // corrupt the top-level hdrl LIST size to 0xFFFFFFF8 (signed -8):
+    // unvalidated, the scan pointer would advance by zero and spin forever
+    val bad = avi.clone()
+    val listOff = 12 // first LIST directly after RIFF size 'AVI '
+    bad(listOff + 4) = 0xF8.toByte; bad(listOff + 5) = 0xFF.toByte
+    bad(listOff + 6) = 0xFF.toByte; bad(listOff + 7) = 0xFF.toByte
+    val ex = intercept[IllegalArgumentException](codec.decodeFrames(bad))
+    ex.getMessage should include("corrupt AVI")
+    // truncation mid-frame also fails loudly, never copies past the buffer
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 100)
+    // restore the RIFF size so the sniff+outer bound still admit the blob
+    intercept[IllegalArgumentException](codec.decodeFrames(cut))
+  }
+
+  test("image codec: extreme aspect ratios clamp the short side to 1, never 0") {
+    val codec = new Multimodal.ImageCodec
+    val banner = codec.encodeBmp(200, 1, seed = 5L)
+    val (w, h, n) = codec.decodeResize(banner, maxSide = 64)
+    (w, h) shouldBe ((64, 1))
+    n shouldBe 64L * 1 * 3
+  }
+
   test("decodeVideoFrames takes the REAL container path on AVI payloads") {
     val real = Multimodal.withRealVideoPayloads(media)
     val byId = real.collect().map(m => m.media_id -> m).toMap

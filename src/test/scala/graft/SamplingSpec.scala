@@ -80,6 +80,16 @@ class SamplingSpec extends SparkSpec {
     mixOf(w2) should be >= mixOf(w)
   }
 
+  test("weightedMix fails loudly on a source missing from the weights map") {
+    val sources = docs.select("source").distinct().as[String].collect().sorted
+    val missingOne = sources.tail.map(_ -> 100L).toMap // drop the first source
+    val ex = intercept[Exception] {
+      Sampling.weightedMix(docs, "source", "n_chars", "doc_id", missingOne,
+        budget = 10000L).count()
+    }
+    ex.getMessage should include("no weight for source")
+  }
+
   test("weightedMix plan: corpus side is never shuffled (broadcast thresholds)") {
     val sources = docs.select("source").distinct().as[String].collect().sorted
     val mix = Sampling.weightedMix(docs, "source", "n_chars", "doc_id",
