@@ -136,6 +136,28 @@ object Queries {
     decodedPresortedPivot(RangeLayout.layout(cells, 8))
   }
 
+  /** HBase version retention (DEFAULT_VERSIONS) over the colliding-key
+    * generator run: keep the 2 newest versions per (rowKey, C0) cell —
+    * 40k records over a 32768-key space, so 7232 coordinates genuinely
+    * carry two versions and retention has history to rank.
+    */
+  def kvVersionsRetain(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
+      .filter(col("qualifier") === "C0")
+    KvPivot.retainVersions(cells, k = 2)
+      .select(col("rowKey"), col("qualifier"), col("version"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  private val kvVersionsRetainSql: String =
+    s"""SELECT rowKey, qualifier,
+       |  row_number() OVER (PARTITION BY rowKey, qualifier
+       |    ORDER BY ts DESC, value)::BIGINT AS version,
+       |  value, ts
+       |FROM (${genCellsSql(PresortedRecords, GenTasks, "run1")}) g
+       |WHERE qualifier = 'C0'
+       |QUALIFY version <= 2""".stripMargin
+
   private def kvPivotPresortedSql: String = {
     val aggs = PresortedCols.map { c =>
       s"max_by(value, ts) FILTER (WHERE qualifier = '$c') AS $c"
@@ -1508,6 +1530,7 @@ object Queries {
     "kv_gen_cells" -> (kvGenCells _),
     "kv_pivot_presorted" -> (kvPivotPresorted _),
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
+    "kv_versions_retain" -> (kvVersionsRetain _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -1570,6 +1593,7 @@ object Queries {
     "kv_gen_cells" -> kvGenCellsSql,
     "kv_pivot_presorted" -> kvPivotPresortedSql,
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
+    "kv_versions_retain" -> kvVersionsRetainSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,

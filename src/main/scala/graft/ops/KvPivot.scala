@@ -144,4 +144,26 @@ object KvPivot {
   /** Full delimited-export projection: one `line` column, schema order. */
   def projectLines(pivoted: DataFrame, columns: Seq[String], delimiter: String): DataFrame =
     pivoted.select(lineOf(columns, delimiter).as("line"))
+
+  /** HBase VERSION RETENTION as an explicit operator: the reference's
+    * column family silently keeps `DEFAULT_VERSIONS = 3` newest cells per
+    * (rowKey, qualifier) (HBase 0.94 `HColumnDescriptor` default, accepted
+    * implicitly by CreateTable.java:48-52) and its exporters read only the
+    * newest — this is the retention/compaction step between those two
+    * facts: rank a cell coordinate's versions newest-first and keep
+    * `rank <= k`. `k = 1` is exactly the A2 last-write-wins the pivot
+    * applies; larger k preserves history the way the store does.
+    *
+    * One shuffle on (rowKey, qualifier); rank ties on equal ts break by
+    * value bytes so retention is deterministic (HBase itself breaks equal-ts
+    * ties by memstore sequence id, which no replay can reproduce).
+    */
+  def retainVersions(cells: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "retention must keep at least one version")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rowKey"), col("qualifier"))
+      .orderBy(col("ts").desc, col("value"))
+    cells.withColumn("version", row_number().over(w).cast("long"))
+      .filter(col("version") <= k)
+  }
 }

@@ -144,6 +144,31 @@ class KvPivotSpec extends SparkSpec {
     // exactly the range-partitioning exchange from layout(), none for the pivot
     plan.split("Exchange").length - 1 shouldBe 1
   }
+
+  test("retainVersions: newest k per cell coordinate, deterministic ranks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cells = Seq(
+      ("k1", "c", "C0", "v1", 10L), ("k1", "c", "C0", "v2", 30L),
+      ("k1", "c", "C0", "v3", 20L), // 3 versions of one coordinate
+      ("k1", "c", "C1", "w1", 5L), // different qualifier: own history
+      ("k2", "c", "C0", "x1", 99L))
+      .toDF("rowKey", "family", "qualifier", "value", "ts")
+      .withColumn("value", encode(col("value"), "UTF-8"))
+    val kept = KvPivot.retainVersions(cells, k = 2)
+      .select(col("rowKey"), col("qualifier"), col("version"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    kept shouldBe Set(
+      ("k1", "C0", 1L, "v2", 30L), ("k1", "C0", 2L, "v3", 20L), // v1 evicted
+      ("k1", "C1", 1L, "w1", 5L),
+      ("k2", "C0", 1L, "x1", 99L))
+    // k = 1 is exactly the LWW the pivot applies
+    KvPivot.retainVersions(cells, k = 1)
+      .filter(col("rowKey") === "k1" && col("qualifier") === "C0")
+      .select(decode(col("value"), "UTF-8")).as[String].collect() shouldBe Array("v2")
+  }
 }
 
 /** Deterministic pseudo-random cell fixture shared by property-ish tests. */
