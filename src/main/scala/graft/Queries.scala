@@ -862,6 +862,35 @@ object Queries {
       |  (cum // 2000)::BIGINT AS window_idx, n_chars
       |FROM c""".stripMargin
 
+  /** EXACT first-fit packing (no window over budget): the sequential
+    * greedy recurrence per bucket, replayed oracle-side as a linear
+    * recursive CTE walking each bucket's docs in order.
+    */
+  def pipePackFirstfit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packFirstFit(docs(spark, sfDir),
+        bucket = expr("doc_id div 100"), order = col("doc_id"),
+        cost = col("n_chars"), budget = 2000L)
+      .select(col("order").as("doc_id"), col("pack_bucket"),
+        col("window_idx"), col("cost").as("n_chars"))
+
+  private val pipePackFirstfitSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, doc_id // 100 AS pack_bucket, n_chars,
+      |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |walk(pack_bucket, rn, doc_id, n_chars, widx, wcost) AS (
+      |  SELECT pack_bucket, rn, doc_id, n_chars, 0::BIGINT, n_chars
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.pack_bucket, d.rn, d.doc_id, d.n_chars,
+      |    CASE WHEN w.wcost + d.n_chars > 2000 THEN w.widx + 1 ELSE w.widx END,
+      |    CASE WHEN w.wcost + d.n_chars > 2000 THEN d.n_chars
+      |         ELSE w.wcost + d.n_chars END
+      |  FROM walk w JOIN d ON d.pack_bucket = w.pack_bucket AND d.rn = w.rn + 1)
+      |SELECT doc_id, pack_bucket::BIGINT AS pack_bucket,
+      |  widx::BIGINT AS window_idx, n_chars
+      |FROM walk""".stripMargin
+
   // ------------------------------------------------- deduplication (§7.6)
 
   import graft.ext.Dedup
@@ -1560,6 +1589,7 @@ object Queries {
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_canonical_corpus" -> (pipeCanonicalCorpus _),
     "pipe_pack_windows" -> (pipePackWindows _),
+    "pipe_pack_firstfit" -> (pipePackFirstfit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1623,6 +1653,7 @@ object Queries {
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_canonical_corpus" -> pipeCanonicalCorpusSql,
     "pipe_pack_windows" -> pipePackWindowsSql,
+    "pipe_pack_firstfit" -> pipePackFirstfitSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,

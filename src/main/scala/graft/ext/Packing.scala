@@ -45,4 +45,44 @@ object Packing {
     packed.groupBy(col("pack_bucket"), col("window_idx"))
       .agg(count(lit(1)).as("n_docs"), sum(cost).cast("long").as("window_cost"))
       .withColumn("fill_pct", expr(s"window_cost * 100 div ${budget}L"))
+
+  /** Row type of the first-fit pass (public: Dataset encoders generate
+    * accessor code that cannot touch a private class).
+    */
+  case class PackDoc(bucket: Long, order: Long, cost: Long)
+
+  /** EXACT first-fit-in-order packing: a window NEVER exceeds the budget —
+    * the document that would overflow STARTS the next window instead of
+    * closing the current one (an oversized single document still gets its
+    * own window). This is a running recurrence (window cost resets on
+    * overflow), not a prefix sum, so no window function expresses it: the
+    * operator shuffles once on the bucket and runs the greedy pass
+    * sequentially per bucket via `flatMapGroups` — the bucket is both the
+    * parallelism unit and the memory bound (one bucket's docs are
+    * materialized for the in-order pass). Prefer [[packWindows]] when
+    * bounded overflow is acceptable; this variant is for consumers that
+    * truncate nothing.
+    */
+  def packFirstFit(df: DataFrame, bucket: Column, order: Column,
+      cost: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(bucket.cast("long").as("bucket"), order.cast("long").as("order"),
+        cost.cast("long").as("cost")).as[PackDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (b: Long, it: Iterator[PackDoc]) =>
+        val docs = it.toArray.sortBy(_.order)
+        var widx = 0L
+        var wcost = 0L
+        var first = true
+        docs.iterator.map { d =>
+          if (first) { wcost = d.cost; first = false }
+          else if (wcost + d.cost > budget) { widx += 1; wcost = d.cost }
+          else wcost += d.cost
+          (b, d.order, d.cost, widx)
+        }
+      }
+      .toDF("pack_bucket", "order", "cost", "window_idx")
+  }
 }

@@ -49,6 +49,34 @@ class PackingSpec extends SparkSpec {
     again.sortBy(_._1) shouldBe rows.sortBy(_._1)
   }
 
+  test("first-fit packing: no window over budget, matches sequential reference") {
+    val budget = 1500L
+    val packed = Packing.packFirstFit(docs, expr("doc_id div 50"),
+      col("doc_id"), col("n_chars"), budget)
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.length.toLong shouldBe docs.count()
+    // the exactness guarantee: multi-doc windows never exceed the budget
+    rows.groupBy(r => (r._1, r._4)).foreach { case (_, w) =>
+      if (w.length > 1) w.map(_._3).sum should be <= budget
+    }
+    // exact semantics replayed by the sequential reference implementation
+    rows.groupBy(_._1).foreach { case (_, b) =>
+      var widx = 0L; var wcost = 0L; var first = true
+      b.sortBy(_._2).foreach { case (_, _, cost, got) =>
+        if (first) { wcost = cost; first = false }
+        else if (wcost + cost > budget) { widx += 1; wcost = cost }
+        else wcost += cost
+        got shouldBe widx
+      }
+    }
+    // deterministic under repartitioning
+    val again = Packing.packFirstFit(docs.repartition(7), expr("doc_id div 50"),
+        col("doc_id"), col("n_chars"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    again.sortBy(_._2) shouldBe rows.sortBy(_._2)
+  }
+
   test("windowStats: per-window audit sums match the assignment") {
     val budget = 1500L
     val packed = Packing.packWindows(docs, expr("doc_id div 50"),
