@@ -439,6 +439,13 @@ object Scratch {
         time("packWindows 4k-char, 10k-id buckets")(
           graft.ext.Packing.packWindows(d, expr("doc_id div 10000"),
             col("doc_id"), col("n_chars"), 4000L).count())
+        time("packFirstFit 4k-char, 10k-id buckets")(
+          graft.ext.Packing.packFirstFit(d, expr("doc_id div 10000"),
+            col("doc_id"), col("n_chars"), 4000L).count())
+        val cells = graft.kv.KvGenerator.cells(spark, 2000000, 32, "run1")
+          .localCheckpoint() // 20M cells, 32k-key space: ~610 versions/cell
+        time("retainVersions k=3 over 20M cells")(
+          graft.ops.KvPivot.retainVersions(cells, 3).count())
       case "sweep1m" =>
         // The same sweep at 1M synthetic vectors, where the scan/candidate
         // fraction dominates runtime — the axis the sf0.1 sweep can't see.

@@ -97,6 +97,16 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
   }
 
+  test("first-fit packing runs exactly one exchange (the bucket shuffle)") {
+    val plan = executedPlan(Queries.all("pipe_pack_firstfit")(spark, sfDir))
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+  }
+
+  test("version retention runs exactly one exchange (the cell-coordinate shuffle)") {
+    val plan = executedPlan(Queries.all("kv_versions_retain")(spark, sfDir))
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+  }
+
   test("enrich join broadcasts the dim side, no shuffle of the fact side") {
     val plan = executedPlan(Queries.relEnrichJoin(spark, sfDir))
     plan should include("BroadcastHashJoin")
