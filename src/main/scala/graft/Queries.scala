@@ -137,13 +137,21 @@ object Queries {
     decodedPresortedPivot(RangeLayout.layout(cells, 8))
   }
 
+  /** 100k records over the 32768-key space ⇒ version depth up to 4 per
+    * (rowKey, C0) coordinate — deeper than the retention k, so the oracle
+    * gate genuinely exercises EVICTION (at 40k records depth maxes at
+    * exactly k=2 and the filter would keep everything, hiding a broken
+    * retention bound).
+    */
+  private val VersionRecords = 100000L
+
   /** HBase version retention (DEFAULT_VERSIONS) over the colliding-key
     * generator run: keep the 2 newest versions per (rowKey, C0) cell —
-    * 40k records over a 32768-key space, so 7232 coordinates genuinely
-    * carry two versions and retention has history to rank.
+    * coordinates carry up to 4 versions, so older ones are provably
+    * evicted.
     */
   def kvVersionsRetain(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
+    val cells = KvGenerator.cells(spark, VersionRecords, GenTasks, "run1")
       .filter(col("qualifier") === "C0")
     KvPivot.retainVersions(cells, k = 2)
       .select(col("rowKey"), col("qualifier"), col("version"),
@@ -155,7 +163,7 @@ object Queries {
        |  row_number() OVER (PARTITION BY rowKey, qualifier
        |    ORDER BY ts DESC, value)::BIGINT AS version,
        |  value, ts
-       |FROM (${genCellsSql(PresortedRecords, GenTasks, "run1")}) g
+       |FROM (${genCellsSql(VersionRecords, GenTasks, "run1")}) g
        |WHERE qualifier = 'C0'
        |QUALIFY version <= 2""".stripMargin
 
@@ -215,6 +223,14 @@ object Queries {
   /** Session gap shared by the sessionization queries and their staging. */
   private val SessionGapNanos = 3600L * 1000000000L
 
+  /** The windowed pivot's window duration — MUST match windowedPivot's
+    * "1 hour" default: the late-pivot staging horizon derives from it (the
+    * punctuation waves must land past every window's emission horizon).
+    * Deliberately its own constant: retuning the session gap must not move
+    * the pivot staging.
+    */
+  private val PivotWindowNanos = 3600L * 1000000000L
+
   private def sessionEventsOf(spark: SparkSession, sfDir: String): DataFrame =
     KvTable.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("tsNanos"))
@@ -229,27 +245,31 @@ object Queries {
       StreamingPivot.stageSessionFiles(
         sessionEventsOf(spark, sfDir), nChunks = 4, gapNanos = SessionGapNanos))
 
-  private def ensureSessionLateDir(spark: SparkSession, sfDir: String): (String, Long) = {
-    val v = artifacts.computeIfAbsent(s"sess_late_dir|$sfDir", _ => {
-      val (d, late) = StreamingPivot.stageSessionFilesShuffled(
-        sessionEventsOf(spark, sfDir), nChunks = 4, gapNanos = SessionGapNanos)
-      s"$d::$late"
+  /** Memoize a (path, long) artifact through the String-valued map: NUL
+    * joins the pair (it cannot occur in a filesystem path).
+    */
+  private def pairArtifact(key: String)(build: => (String, Long)): (String, Long) = {
+    val v = artifacts.computeIfAbsent(key, _ => {
+      val (d, l) = build
+      d + "\u0000" + l
     })
-    val i = v.lastIndexOf("::")
-    (v.substring(0, i), v.substring(i + 2).toLong)
+    val i = v.lastIndexOf('\u0000')
+    (v.substring(0, i), v.substring(i + 1).toLong)
   }
 
-  private def ensurePivotLateDir(spark: SparkSession, sfDir: String): (String, Long) = {
-    val v = artifacts.computeIfAbsent(s"pivot_late_dir|$sfDir", _ => {
+  private def ensureSessionLateDir(spark: SparkSession, sfDir: String): (String, Long) =
+    pairArtifact(s"sess_late_dir|$sfDir") {
+      StreamingPivot.stageSessionFilesShuffled(
+        sessionEventsOf(spark, sfDir), nChunks = 4, gapNanos = SessionGapNanos)
+    }
+
+  private def ensurePivotLateDir(spark: SparkSession, sfDir: String): (String, Long) =
+    pairArtifact(s"pivot_late_dir|$sfDir") {
       val raw = spark.read.schema(KvTable.EventsParquetSchema)
         .parquet(s"$sfDir/events.parquet")
-      val (d, late) = StreamingPivot.stageEventsShuffled(
-        raw, nChunks = 4, horizonNanos = SessionGapNanos)
-      s"$d::$late"
-    })
-    val i = v.lastIndexOf("::")
-    (v.substring(0, i), v.substring(i + 2).toLong)
-  }
+      StreamingPivot.stageEventsShuffled(
+        raw, nChunks = 4, horizonNanos = PivotWindowNanos)
+    }
 
   /** Build every persisted artifact the query suite reads (idempotent).
     * Bench calls this in its untimed setup so artifact construction never

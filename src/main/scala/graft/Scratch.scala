@@ -443,7 +443,7 @@ object Scratch {
           graft.ext.Packing.packFirstFit(d, expr("doc_id div 10000"),
             col("doc_id"), col("n_chars"), 4000L).count())
         val cells = graft.kv.KvGenerator.cells(spark, 2000000, 32, "run1")
-          .localCheckpoint() // 20M cells, 32k-key space: ~610 versions/cell
+          .localCheckpoint() // 20M cells, 32k keys x 10 qualifiers: ~61 versions/coordinate
         time("retainVersions k=3 over 20M cells")(
           graft.ops.KvPivot.retainVersions(cells, 3).count())
       case "sweep1m" =>
