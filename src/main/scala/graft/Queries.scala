@@ -1043,6 +1043,39 @@ object Queries {
     s"""WITH $minhashPairCtes
        |SELECT a, b, match16 FROM mp""".stripMargin
 
+  /** INCREMENTAL ingest admission — the dedup gate of a continuously-fed
+    * corpus: 4/5 of the documents table plays the EXISTING store, every
+    * `doc_id % 5 == 0` doc the incoming batch, and a batch doc is rejected
+    * when MinHash-LSH confirms a near-dup relationship with any existing
+    * doc. Reuses the sub-quadratic pair machinery of dedup_minhash_pairs
+    * unchanged; admission itself is one tiny distinct + left join over the
+    * pair relation, so the incremental gate costs what the pair scan costs.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val isBatch = (c: Column) => c % 5 === 0
+    val cross = Dedup.minhashLshPairs(d)
+      .filter(isBatch(col("a")) =!= isBatch(col("b")))
+      .select(when(isBatch(col("a")), col("a")).otherwise(col("b")).as("doc_id"))
+      .distinct()
+      .withColumn("_hit", lit(true))
+    d.filter(isBatch(col("doc_id"))).select(col("doc_id"))
+      .join(cross, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_hit").isNotNull, lit("near_dup_of_corpus"))
+          .otherwise(lit("admitted")).as("status"))
+  }
+
+  private val dedupIncrementalSql: String =
+    s"""WITH $minhashPairCtes,
+       |hits AS (SELECT DISTINCT CASE WHEN a % 5 = 0 THEN a ELSE b END AS doc_id
+       |         FROM mp WHERE (a % 5 = 0) <> (b % 5 = 0))
+       |SELECT d.doc_id,
+       |  CASE WHEN h.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+       |       ELSE 'admitted' END AS status
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % 5 = 0""".stripMargin
+
   /** Near-dup cluster assignment: connected components over the MinHash-LSH
     * pair graph ([[Dedup.clusters]] label propagation); the oracle walks the
     * same graph with a recursive CTE.
@@ -1642,6 +1675,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_canonical_corpus" -> (pipeCanonicalCorpus _),
+    "dedup_incremental" -> (dedupIncremental _),
     "pipe_pack_windows" -> (pipePackWindows _),
     "pipe_pack_firstfit" -> (pipePackFirstfit _),
     "dedup_exact" -> (dedupExact _),
@@ -1706,6 +1740,7 @@ object Queries {
     "sample_stratified" -> sampleStratifiedSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_canonical_corpus" -> pipeCanonicalCorpusSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "pipe_pack_windows" -> pipePackWindowsSql,
     "pipe_pack_firstfit" -> pipePackFirstfitSql,
     "dedup_exact" -> dedupExactSql,
