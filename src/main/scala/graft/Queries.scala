@@ -1628,6 +1628,42 @@ object Queries {
         col("s.lastTs").as("last_ts"): _*)
   }
 
+  /** The VERSIONED memstore run to batch parity: newest 2 versions per
+    * (rowKey, qualifier) retained in streaming state — the streaming twin
+    * of `kv_versions_retain` and the general form of `stream_memstore`
+    * (which is k=1). The newest snapshot per key explodes to one row per
+    * retained version.
+    */
+  def streamMemstoreVersions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts").as("cellTs"))
+      .as[StreamingPivot.CellEvent]
+    val snap = StreamingPivot.VersionedCells(cells, k = 2).toDF()
+    StreamingPivot.runAvailableNow(snap, "stream_memstore_versions_out",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy(col("rowKey"))
+      .agg(max_by(col("cells"), col("version")).as("cells"))
+      .select(col("rowKey"), explode(col("cells")).as(Seq("qualifier", "vs")))
+      .select(col("rowKey"), col("qualifier"),
+        posexplode(col("vs")).as(Seq("pos", "v")))
+      .select(col("rowKey"), col("qualifier"),
+        (col("pos") + 1).cast("long").as("version"),
+        col("v.value").as("value"), col("v.ts").as("ts"))
+  }
+
+  private val streamMemstoreVersionsSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  event_type AS qualifier,
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY event_id DESC,
+      |             CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR))::BIGINT AS version,
+      |  CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+      |  event_id AS ts
+      |FROM events
+      |QUALIFY version <= 2""".stripMargin
+
   private val streamMemstoreSql: String = {
     val aggs = EventCols.map { c =>
       s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
@@ -1702,6 +1738,7 @@ object Queries {
     "stream_sessions" -> (streamSessions _),
     "stream_sessions_late" -> (streamSessionsLate _),
     "stream_pivot_late" -> (streamPivotLate _),
+    "stream_memstore_versions" -> (streamMemstoreVersions _),
     "stream_memstore" -> (streamMemstore _))
 
   def oracles: Map[String, String] = Map(
@@ -1767,5 +1804,6 @@ object Queries {
     "stream_sessions" -> streamSessionsSql,
     "stream_sessions_late" -> streamSessionsSql,
     "stream_pivot_late" -> streamPivotSql,
+    "stream_memstore_versions" -> streamMemstoreVersionsSql,
     "stream_memstore" -> streamMemstoreSql)
 }

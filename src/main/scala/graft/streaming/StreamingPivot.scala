@@ -441,6 +441,45 @@ object StreamingPivot {
   case class RowSnapshot(
       rowKey: String, qualifiers: Map[String, String], lastTs: Long, version: Long)
 
+  /** One retained version of a cell: decoded value + its timestamp. */
+  case class CellVersion(value: String, ts: Long)
+
+  /** One rowKey's retained history: per qualifier the newest k versions
+    * (newest first). `version` counts state updates, like [[RowSnapshot]].
+    */
+  case class VersionedSnapshot(
+      rowKey: String, cells: Map[String, Seq[CellVersion]], version: Long)
+
+  /** The HBase memstore WITH version retention — the store really holds
+    * multiple versions per cell until compaction, not just the newest:
+    * each arriving cell insert-sorts into its qualifier's history, which
+    * is trimmed to the newest `k` ([[graft.ops.KvPivot.retainVersions]] is
+    * the batch/compaction counterpart of the same retention rule, and
+    * [[LatestCells]] is the k=1 special case). Ties on equal ts break by
+    * value, matching the batch oracle's deterministic rank.
+    */
+  object VersionedCells {
+
+    type State = (Long, Map[String, List[CellVersion]])
+
+    def apply(cells: Dataset[CellEvent], k: Int): Dataset[VersionedSnapshot] = {
+      import cells.sparkSession.implicits._
+      cells.groupByKey(_.rowKey)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+          (key: String, it: Iterator[CellEvent], state: GroupState[State]) =>
+            val (ver, prev) =
+              state.getOption.getOrElse((0L, Map.empty[String, List[CellVersion]]))
+            val next = it.foldLeft(prev) { (m, e) =>
+              val merged = (CellVersion(e.value, e.cellTs) :: m.getOrElse(e.qualifier, Nil))
+                .sortBy(v => (-v.ts, v.value)).take(k)
+              m.updated(e.qualifier, merged)
+            }
+            state.update((ver + 1, next))
+            VersionedSnapshot(key, next.view.mapValues(_.toSeq).toMap, ver + 1)
+        }
+    }
+  }
+
   object LatestCells {
 
     type State = (Long, Map[String, (String, Long)]) // (version, cells)

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingPivot
-import graft.streaming.StreamingPivot.{CellEvent, LatestCells}
+import graft.streaming.StreamingPivot.{CellEvent, LatestCells, VersionedCells}
 
 /** Streaming A1/A2 (SURVEY §2.12 extension): windowed pivot + memstore state. */
 class StreamingPivotSpec extends SparkSpec {
@@ -63,6 +63,25 @@ class StreamingPivotSpec extends SparkSpec {
         .as[StreamingPivot.RowSnapshot].collect().maxBy(_.lastTs)
       last.qualifiers shouldBe Map("a" -> "v2", "b" -> "w3")
       last.lastTs shouldBe 3L
+    } finally q.stop()
+  }
+
+  test("versioned memstore: newest k per qualifier across batches, old versions evicted") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[CellEvent]
+    val q = VersionedCells(in.toDS(), k = 2).writeStream.format("memory")
+      .queryName("msv_test").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(CellEvent("r1", "a", "v1", 1), CellEvent("r1", "a", "v3", 3))
+      q.processAllAvailable()
+      // batch 2: v2 slots BETWEEN the retained versions (evicts v1), and a
+      // late-but-newest v4 lands first in the history
+      in.addData(CellEvent("r1", "a", "v2", 2), CellEvent("r1", "a", "v4", 4))
+      q.processAllAvailable()
+      val last = spark.table("msv_test")
+        .as[StreamingPivot.VersionedSnapshot].collect().maxBy(_.version)
+      last.cells("a") shouldBe Seq(
+        StreamingPivot.CellVersion("v4", 4), StreamingPivot.CellVersion("v3", 3))
     } finally q.stop()
   }
 
