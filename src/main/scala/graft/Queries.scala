@@ -158,6 +158,25 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
+  /** TTL expiry over the generated cells: "now" = the newest cell ts, TTL
+    * = half the ts range — the older half of every coordinate's history
+    * expires, the survivor set is oracle-checked per cell.
+    */
+  def kvTtlExpire(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+    val now = GenRecords * 10 - 1 // max ts: id*10+c over records×10 cells
+    KvPivot.expireCells(cells, now, ttl = now / 2)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  private val kvTtlExpireSql: String = {
+    val now = GenRecords * 10 - 1
+    s"""SELECT rowKey, qualifier, value, ts
+       |FROM (${genCellsSql(GenRecords, GenTasks, "run1")}) g
+       |WHERE ts > $now - ${now / 2}""".stripMargin
+  }
+
   private val kvVersionsRetainSql: String =
     s"""SELECT rowKey, qualifier,
        |  row_number() OVER (PARTITION BY rowKey, qualifier
@@ -1683,6 +1702,7 @@ object Queries {
     "kv_pivot_presorted" -> (kvPivotPresorted _),
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_versions_retain" -> (kvVersionsRetain _),
+    "kv_ttl_expire" -> (kvTtlExpire _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -1749,6 +1769,7 @@ object Queries {
     "kv_pivot_presorted" -> kvPivotPresortedSql,
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_versions_retain" -> kvVersionsRetainSql,
+    "kv_ttl_expire" -> kvTtlExpireSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,

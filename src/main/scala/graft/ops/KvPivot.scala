@@ -166,4 +166,15 @@ object KvPivot {
     cells.withColumn("version", row_number().over(w).cast("long"))
       .filter(col("version") <= k)
   }
+
+  /** HBase TTL expiry, the other half of the retention pair (HBase 0.94
+    * `HColumnDescriptor` TTL; the reference's family leaves it at FOREVER,
+    * CreateTable.java:48-52 — real deployments set it): drop cells whose
+    * age at `nowTs` exceeds `ttl`, in the ts unit the table uses. Pure
+    * map-side filter — no shuffle, pushes to the scan.
+    */
+  def expireCells(cells: DataFrame, nowTs: Long, ttl: Long): DataFrame = {
+    require(ttl > 0, "ttl must be positive")
+    cells.filter(col("ts") > nowTs - ttl)
+  }
 }
