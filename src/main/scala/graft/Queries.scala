@@ -1017,6 +1017,33 @@ object Queries {
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE (i * 1000) // (sa.n + sb.n - i) >= 800""".stripMargin
 
+  /** Jaccard pairs behind the document-frequency stopword filter — the
+    * designed hot-shingle control at scale: shingles shared by more than
+    * `JaccardMaxDf` docs (boilerplate) are removed from the similarity
+    * space BEFORE pair generation, so a viral shingle never reaches the
+    * posting fan-out at all ([[Dedup.MaxPosting]] stays as the backstop).
+    * Scores are true Jaccard over the filtered shingle universe — at sf0.01
+    * this shifts 10 of the 25 near-dup pair scores vs the unfiltered query.
+    */
+  val JaccardMaxDf = 5
+
+  def dedupJaccardDf(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, sfDir), maxDf = JaccardMaxDf)
+
+  private val dedupJaccardDfSql: String =
+    s"""WITH $shingleCtes,
+       |kept AS (SELECT shd.* FROM shd JOIN (
+       |           SELECT s FROM shd GROUP BY s HAVING count(*) <= $JaccardMaxDf) USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+       |ok AS (SELECT s FROM kept GROUP BY s
+       |       HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPosting}),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |          FROM kept x JOIN kept y USING (s) JOIN ok USING (s)
+       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE (i * 1000) // (sa.n + sb.n - i) >= 800""".stripMargin
+
   def dedupMinhashSig(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashSignatures(docs(spark, sfDir))
 
@@ -1736,6 +1763,7 @@ object Queries {
     "pipe_pack_firstfit" -> (pipePackFirstfit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_jaccard_df" -> (dedupJaccardDf _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1803,6 +1831,7 @@ object Queries {
     "pipe_pack_firstfit" -> pipePackFirstfitSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
+    "dedup_jaccard_df" -> dedupJaccardDfSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash" -> dedupSimhashSql,

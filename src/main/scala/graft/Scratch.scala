@@ -168,6 +168,26 @@ object Scratch {
       case "jacab" =>
         time("jaccard #1")(Queries.dedupJaccardPairs(spark, sfDir).count())
         time("jaccard #2")(Queries.dedupJaccardPairs(spark, sfDir).count())
+
+      case "hotposting" =>
+        import org.apache.spark.sql.functions._
+        // One key shared by exactly MaxPosting (10k) ids — the adversarial
+        // boilerplate-shingle case. The single-row nested fan-out this
+        // replaced would buffer |ids|²/2 ≈ 50M structs (~800 MB) in ONE row
+        // before exploding; the two-stage posexplode streams them with
+        // per-row memory O(maxPosting). Then the same corpus behind the
+        // designed df filter: the hot key never reaches pair generation.
+        val n = 10000L
+        val rel = spark.range(n).select(col("id").as("doc_id"), lit("hot").as("k"))
+          .unionAll(spark.range(n).select(col("id").as("doc_id"),
+            concat(lit("u"), col("id")).as("k")))
+          .localCheckpoint()
+        time("10k-id hot posting, 50M pairs")(
+          println("  pairs = " + graft.ext.Dedup.jaccardOverKeys(
+            rel, "doc_id", "k", threshold = 300L).count()))
+        time("same corpus, maxDf=5000 filter")(
+          println("  pairs = " + graft.ext.Dedup.jaccardOverKeys(
+            rel, "doc_id", "k", threshold = 300L, maxDf = 5000).count()))
       case "txtcost" =>
         import org.apache.spark.sql.functions._
         val d = graft.kv.KvTable.table(spark, sfDir, "documents").localCheckpoint()

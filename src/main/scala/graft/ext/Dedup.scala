@@ -112,13 +112,18 @@ object Dedup {
     * [[minhashLshPairs]].
     */
   /** Posting lists longer than this are dropped from pair generation (not
-    * from set sizes): a boilerplate shingle shared by 100k docs would build
-    * |ids|²/2 pair structs in one row. The cap bounds that at maxPosting²/2
-    * and is mirrored verbatim in the oracle SQL.
+    * from set sizes): a boilerplate shingle shared by 100k docs would emit
+    * |ids|²/2 pairs — quadratic WORK no fan-out shape can hide. The cap
+    * bounds total pair generation at maxPosting²/2 per key and is mirrored
+    * verbatim in the oracle SQL; per-row MEMORY is bounded separately at
+    * O(maxPosting) by the two-stage fan-out in [[jaccardOverKeys]]. The
+    * designed upstream control at real scale is the `maxDf` document-
+    * frequency filter — this cap is the backstop behind it.
     */
   val MaxPosting = 10000
 
-  def jaccardPairs(docs: DataFrame, threshold: Long = 800L): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Long = 800L,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // `sh` feeds two consumers (per-doc sizes, posting lists), so the scan +
     // tokenize + shingle pipeline runs twice. Measured A/B: checkpointing it
     // costs as much as the recompute at bench scale (the pair fan-out
@@ -126,33 +131,56 @@ object Dedup {
     // distinctKeys = false: shingleRows is already distinct per doc
     // (array_distinct upstream) — skip the redundant exchange.
     jaccardOverKeys(shingleRows(docs), "doc_id", "s", threshold,
-      distinctKeys = false)
+      distinctKeys = false, maxDf = maxDf)
   }
 
   /** GENERIC inverted-index Jaccard over any (id, key) relation — ids that
     * share ≥1 key, scored |A∩B| / |A∪B| over DISTINCT keys, kept at ≥
     * `threshold`/1000. The engine's one pair-similarity shape, reused by
     * text shingles ([[jaccardPairs]]) and multimodal frame signatures
-    * ([[Multimodal]]): one groupBy(key) + in-row pair fan-out, never a
-    * two-sided self-join; posting lists above `maxPosting` are dropped from
-    * pair generation (a key shared by 100k ids would build |ids|²/2 pair
-    * structs in one row), mirrored verbatim in the oracles.
+    * ([[Multimodal]]): one groupBy(key) + two-stage pair fan-out, never a
+    * two-sided self-join; keys with document frequency above `maxDf` are
+    * removed from the similarity space entirely, and posting lists above
+    * `maxPosting` are dropped from pair generation (the quadratic-work
+    * backstop), both mirrored verbatim in the oracles.
     */
   def jaccardOverKeys(rel: DataFrame, idCol: String, keyCol: String,
       threshold: Long, maxPosting: Int = MaxPosting,
-      distinctKeys: Boolean = true): DataFrame = {
+      distinctKeys: Boolean = true, maxDf: Int = Int.MaxValue): DataFrame = {
     val raw = rel.select(col(idCol).as("_id"), col(keyCol).as("_k"))
-    val kv = if (distinctKeys) raw.distinct() else raw
+    val kvAll = if (distinctKeys) raw.distinct() else raw
+    // Document-frequency stopword filter (the designed upstream hot-key
+    // control): keys shared by more than `maxDf` ids carry near-zero
+    // similarity signal (boilerplate shingles, constant frame signatures)
+    // and dominate pair-generation cost. They are dropped from the ENTIRE
+    // similarity space — set sizes and pair generation alike — so the score
+    // stays a true Jaccard over the filtered key universe. The join keeps
+    // kv hash-partitioned on _k, which the postings groupBy below reuses.
+    // Default Int.MaxValue = off (the base queries keep their semantics);
+    // `maxPosting` stays as the memory/work backstop behind the filter.
+    val kv =
+      if (maxDf == Int.MaxValue) kvAll
+      else kvAll.join(
+        kvAll.groupBy(col("_k")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select(col("_k")),
+        "_k")
     val sizes = kv.groupBy(col("_id")).agg(count(lit(1)).as("n"))
     val postings = kv.groupBy(col("_k"))
       .agg(sort_array(collect_list(col("_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxPosting)
-    // all (ids[i], ids[j]) with i < j, as one nested-transform fan-out
-    val pairs = postings.select(explode(flatten(
-      transform(sequence(lit(1), size(col("ids")) - 1), i =>
-        transform(slice(col("ids"), i + 1, size(col("ids")) - i), x =>
-          struct(element_at(col("ids"), i).as("a"), x.as("b")))))).as("p"))
-    val inter = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    // Two-stage pair fan-out, O(maxPosting) memory per row: posexplode the
+    // anchor element first (one row per (posting, anchor)), THEN explode the
+    // anchor's strict suffix. A one-shot nested-transform build would
+    // materialize all |ids|²/2 (a,b) structs as a SINGLE array value before
+    // its explode — ~800 MB in one row buffer at the posting cap, an
+    // executor OOM waiting for a hot key. Same pair multiset (every (i, j)
+    // with i < j exactly once), streamed row-at-a-time through codegen.
+    val anchors = postings.select(col("ids"),
+      posexplode(col("ids")).as(Seq("_pos", "a")))
+    val pairs = anchors.select(col("a"),
+      explode(slice(col("ids"), col("_pos") + 2,
+        size(col("ids")) - col("_pos") - 1)).as("b"))
+    val inter = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("sa"), col("a") === col("sa._id"))
