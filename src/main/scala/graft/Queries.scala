@@ -1355,11 +1355,21 @@ object Queries {
 
   import graft.ext.Multimodal
 
-  /** Stubbed-codec feature extraction through the real mapPartitions
-    * pipeline, features flattened for the oracle.
+  /** Feature extraction through the REAL codec paths: every row carries a
+    * genuine container (BMP / WAV / AVI via the withReal*Payloads bridges)
+    * and the 8-dim vector is mean-energy block pooling over the GENUINELY
+    * decoded content — image bands pool Σ(R+G+B) per pixel row-band, audio
+    * octiles pool unsigned amplitude, video blocks pool demuxed frame
+    * bytes. The oracle replays the pooling arithmetically because the
+    * payloads are ENCODED from the metadata it sees: pixel, sample and
+    * frame-byte values are closed-form in (seed, position), so
+    * measured == computed by construction.
     */
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val media = Multimodal.withRealVideoPayloads(
+      Multimodal.withRealAudioPayloads(
+        Multimodal.withRealImagePayloads(
+          Multimodal.syntheticMedia(docs(spark, sfDir)))))
     Multimodal.extractFeatures(media).toDF()
       .select(col("media_id") +: col("kind") +:
         (0 until Multimodal.FeatureDim).map(i =>
@@ -1370,13 +1380,49 @@ object Queries {
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   private val mmFeaturesSql: String = {
+    val frameLen = 3 * Multimodal.VideoFrameSide * Multimodal.VideoFrameSide
     val fs = (0 until Multimodal.FeatureDim).map(i =>
-      s"((h * ${2 * i + 3}) % 997) / 997.0 AS f$i").mkString(",\n  ")
+      s"max(CASE WHEN blk = $i THEN f END) AS f$i").mkString(",\n  ")
     s"""WITH m AS (SELECT doc_id AS media_id, $mmKindSql AS kind,
-       |             ${polyHashSql("text")} AS h FROM documents)
-       |SELECT media_id, kind,
+       |             ${polyHashSql("text")} AS h,
+       |             32 + (doc_id % 8) * 16 AS w, 32 + (doc_id % 4) * 16 AS ht,
+       |             ((1000 + doc_id * 40) % 4096) + 512 AS nsamp,
+       |             1 + doc_id % 5 AS nf,
+       |             regexp_split_to_array(trim(text), '\\s+') AS t
+       |           FROM documents),
+       |ipx AS (SELECT media_id, h, w, ht, unnest(range(0, w * ht)) AS p
+       |        FROM m WHERE kind = 'image'),
+       |ifeat AS (SELECT media_id, blk,
+       |            CAST(sum((v // 65536) + ((v // 256) % 256) + (v % 256)) AS BIGINT)
+       |              / (count(*) * 765.0) AS f
+       |          FROM (SELECT media_id, ((p // w) * 8) // ht AS blk,
+       |                  (h * 31 + (p % w) * 131 + (p // w) * 52501) % 16777216 AS v
+       |                FROM ipx)
+       |          GROUP BY 1, 2),
+       |asm AS (SELECT media_id, h, nsamp, unnest(range(0, nsamp)) AS j
+       |        FROM m WHERE kind = 'audio'),
+       |afeat AS (SELECT media_id, (j * 8) // nsamp AS blk,
+       |            CAST(sum((h * (j + 1)) % 65536) AS BIGINT)
+       |              / (count(*) * 65536.0) AS f
+       |          FROM asm GROUP BY 1, 2),
+       |vfr AS (SELECT media_id, nf, fi, (${frameHashSql("t", "fi")}) AS fseed
+       |        FROM (SELECT media_id, nf, t, unnest(range(0, nf)) AS fi
+       |              FROM m WHERE kind = 'video')),
+       |vby AS (SELECT media_id, nf, fi, fseed, unnest(range(0, $frameLen)) AS j
+       |        FROM vfr),
+       |vfeat AS (SELECT media_id, blk,
+       |            CAST(sum(b) AS BIGINT) / (count(*) * 255.0) AS f
+       |          FROM (SELECT media_id,
+       |                  ((fi * $frameLen + j) * 8) // (nf * $frameLen) AS blk,
+       |                  (fseed * (j + 1)) % 256 AS b
+       |                FROM vby)
+       |          GROUP BY 1, 2),
+       |feats AS (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat
+       |          UNION ALL SELECT * FROM vfeat)
+       |SELECT m.media_id, m.kind,
        |  $fs
-       |FROM m""".stripMargin
+       |FROM feats JOIN m USING (media_id)
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** Frame sampling fan-out (videos only, every 2nd frame). */

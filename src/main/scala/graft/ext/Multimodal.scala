@@ -19,11 +19,13 @@ import graft.functions.PolyHash
   * [[VideoCodec]] encodes RIFF/AVI with uncompressed DIB frames and
   * genuinely demuxes the container ([[decodeVideoFrames]] hashes decoded
   * pixel bytes — compressed codecs stay out of scope, the JDK ships none).
-  * [[StubCodec]] remains only for the arithmetic fallbacks (feature
-  * embedding, signature-level frame hashes on un-decoded media) — a
-  * deterministic fake whose outputs are pure arithmetic over the payload
-  * hash (and therefore oracle-checkable). Everything around the codecs is
-  * real and load-bearing:
+  * Feature embeddings are pooled off the DECODED content for all three
+  * modalities ([[extractFeatures]]). [[StubCodec]] remains only as the
+  * mixed-corpus fallback (features / signature-level frame hashes on
+  * payloads that are not decodable containers) — a deterministic fake whose
+  * outputs are pure arithmetic over the payload hash (and therefore
+  * oracle-checkable). Everything around the codecs is real and
+  * load-bearing:
   *  - the media schema (binary payload + typed metadata columns),
   *  - `Dataset[T]` encoders for each stage's row type,
   *  - `mapPartitions` batching: the codec is initialized ONCE per partition
@@ -167,6 +169,33 @@ object Multimodal {
       g.dispose()
       (w, h, dst.getRaster.getDataBuffer.getSize.toLong)
     }
+
+    /** 8-band pooled features off the GENUINELY decoded image: horizontal
+      * band `i = y·8/h` pools the mean channel byte,
+      * f_i = Σ(R+G+B) / (pixels·765) ∈ [0, 1). The decode is real
+      * `ImageIO`; the fold runs over decoded pixel values, not metadata.
+      */
+    def bandFeatures(payload: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](FeatureDim)
+      val cnts = new Array[Long](FeatureDim)
+      var y = 0
+      while (y < h) {
+        val b = y * FeatureDim / h
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y)
+          sums(b) += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+          cnts(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(FeatureDim)(i =>
+        if (cnts(i) == 0) 0.0 else sums(i).toDouble / (cnts(i) * 765.0))
+    }
   }
 
   object ImageCodec {
@@ -240,6 +269,33 @@ object Multimodal {
         j += 1
       }
       (nIn.toLong, nOut, checksum)
+    }
+
+    /** 8-octile pooled features off the GENUINELY decoded samples: octile
+      * `i = j·8/n` pools the mean unsigned 16-bit amplitude,
+      * f_i = Σ(s + 2^15) / (count·65536) ∈ [0, 1). The container parse is
+      * real `javax.sound`; the fold runs over decoded sample values.
+      */
+    def octileFeatures(payload: Array[Byte]): Array[Double] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+        s"unsupported WAV layout: $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val sums = new Array[Long](FeatureDim)
+      val cnts = new Array[Long](FeatureDim)
+      var j = 0
+      while (j < n) {
+        val s = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF)).toShort
+        val b = (j.toLong * FeatureDim / n).toInt
+        sums(b) += s + 32768
+        cnts(b) += 1
+        j += 1
+      }
+      Array.tabulate(FeatureDim)(i =>
+        if (cnts(i) == 0) 0.0 else sums(i).toDouble / (cnts(i) * 65536.0))
     }
   }
 
@@ -351,6 +407,31 @@ object Multimodal {
         off += 8 + sz + (sz % 2)
       }
       frames.result()
+    }
+
+    /** 8-block pooled features off the GENUINELY demuxed frame stream:
+      * block `i = g·8/total` over the concatenated decoded frames pools the
+      * mean byte value, f_i = Σ byte / (count·255) ∈ [0, 1). The container
+      * walk is the real RIFF demux; the fold runs over decoded frame bytes.
+      */
+    def blockFeatures(payload: Array[Byte]): Array[Double] = {
+      val frames = decodeFrames(payload)
+      val total = frames.iterator.map(_.length.toLong).sum
+      val sums = new Array[Long](FeatureDim)
+      val cnts = new Array[Long](FeatureDim)
+      var g = 0L
+      frames.foreach { f =>
+        var j = 0
+        while (j < f.length) {
+          val b = (g * FeatureDim / total).toInt
+          sums(b) += f(j) & 0xFF
+          cnts(b) += 1
+          g += 1
+          j += 1
+        }
+      }
+      Array.tabulate(FeatureDim)(i =>
+        if (cnts(i) == 0) 0.0 else sums(i).toDouble / (cnts(i) * 255.0))
     }
 
     /** Content hash of decoded frame bytes: the PolyHash fold
@@ -486,7 +567,15 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction, partition-batched. `numPartitions` balances the
+  /** Feature extraction, partition-batched. Payloads that sniff as a real
+    * container go through the GENUINE decoders — the 8-dim vector is
+    * mean-energy block pooling over decoded content: images pool Σ(R+G+B)
+    * per horizontal band ([[ImageCodec.bandFeatures]]), audio pools the
+    * unsigned amplitude per sample octile ([[AudioCodec.octileFeatures]]),
+    * video pools byte values per block of the concatenated demuxed frame
+    * stream ([[VideoCodec.blockFeatures]]). Non-container payloads
+    * (text-backed synthetic rows) fall back to the arithmetic stub so the
+    * operator stays total over mixed corpora. `numPartitions` balances the
     * decode stage (payload sizes are skewed in real corpora).
     */
   def extractFeatures(media: Dataset[MediaRow], numPartitions: Int = 0): Dataset[FeatureRow] = {
@@ -495,8 +584,19 @@ object Multimodal {
       if (numPartitions > 0) media.repartition(numPartitions, col("media_id"))
       else media
     balanced.mapPartitions { it =>
-      val codec = new StubCodec // once per partition
-      it.map(m => FeatureRow(m.media_id, m.kind, codec.features(m.payload)))
+      // all four codecs initialized once per partition, never per row
+      val img = new ImageCodec
+      val aud = new AudioCodec
+      val vid = new VideoCodec
+      val stub = new StubCodec
+      it.map { m =>
+        val f =
+          if (img.isImagePayload(m.payload)) img.bandFeatures(m.payload)
+          else if (aud.isWavPayload(m.payload)) aud.octileFeatures(m.payload)
+          else if (vid.isAviPayload(m.payload)) vid.blockFeatures(m.payload)
+          else stub.features(m.payload)
+        FeatureRow(m.media_id, m.kind, f)
+      }
     }
   }
 

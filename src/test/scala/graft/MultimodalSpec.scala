@@ -36,6 +36,45 @@ class MultimodalSpec extends SparkSpec {
       f.values.map(_.features.toSeq).toSet
   }
 
+  test("features pool REAL decoded content; match the closed form per modality") {
+    val real = Multimodal.withRealVideoPayloads(
+      Multimodal.withRealAudioPayloads(Multimodal.withRealImagePayloads(media)))
+    val f = Multimodal.extractFeatures(real).collect()
+      .map(r => r.media_id -> r.features).toMap
+    // image doc 0: 32x32 BMP seeded from PolyHash("aa bb"); band i pools
+    // Σ(R+G+B) of pixel value (seed*31 + x*131 + y*52501) mod 2^24
+    val hi = PolyHash.of("aa bb")
+    val expectImg = Array.tabulate(8) { i =>
+      val ys = (0 until 32).filter(y => y * 8 / 32 == i)
+      val s = (for { y <- ys; x <- 0 until 32 } yield {
+        val v = java.lang.Math.floorMod(hi * 31 + x * 131 + y * 52501, 0x1000000L)
+        ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+      }).sum
+      s.toDouble / (ys.size.toLong * 32 * 765.0)
+    }
+    f(0L).toSeq shouldBe expectImg.toSeq
+    // audio doc 1: WAV seeded from PolyHash("cc dd"), encSamplesOf(1040)
+    // samples; octile i pools unsigned amplitude (seed*(j+1)) mod 2^16
+    val ha = PolyHash.of("cc dd")
+    val n = Multimodal.encSamplesOf(1040L)
+    val expectAud = Array.tabulate(8) { i =>
+      val js = (0 until n).filter(j => j.toLong * 8 / n == i)
+      js.map(j => (ha * (j + 1)) % 65536L).sum.toDouble / (js.size * 65536.0)
+    }
+    f(1L).toSeq shouldBe expectAud.toSeq
+    // video doc 2 ("ee ff", 3 frames): block i pools demuxed frame bytes
+    // (fseed*(j+1)) mod 256 over the concatenated 3*768-byte stream
+    val seeds = (0 until 3).map(fi =>
+      (PolyHash.of(if (fi == 0) "ee ff" else "") * 131 + fi) % PolyHash.Mod)
+    val stream = seeds.flatMap(s => (0 until 768).map(j =>
+      java.lang.Math.floorMod(s * (j + 1), 256L)))
+    val expectVid = Array.tabulate(8) { i =>
+      val gs = stream.indices.filter(g => g.toLong * 8 / stream.size == i)
+      gs.map(stream).sum.toDouble / (gs.size * 255.0)
+    }
+    f(2L).toSeq shouldBe expectVid.toSeq
+  }
+
   test("codec is initialized per partition, not per row (batch contract)") {
     val m = media.repartition(3)
     val before = Multimodal.StubCodec.initCount.get()
