@@ -667,20 +667,55 @@ object Queries {
       |SELECT k, 'orders_only' AS src FROM (
       |  SELECT o_custkey AS k FROM orders EXCEPT SELECT user_id FROM events)""".stripMargin
 
-  /** Exact distributed quantiles per group (Spark `percentile` == DuckDB
-    * `quantile_cont`: both sort and linearly interpolate; inputs are
-    * integer-floored first and outputs integer-scaled so the comparison is
-    * exact). Exact percentile is a per-group sort — the documented cost; the
-    * approximate path at scale is `approx_percentile` (t-digest), which no
-    * cross-engine oracle can replay.
+  /** Exact distributed quantiles per group WITHOUT a per-group sort of the
+    * raw rows (Spark's `percentile` buffers and sorts every value per
+    * group — a scale killer on a hot group). The inputs are integer-floored,
+    * so the value domain is bounded: groupBy(group, value) + count
+    * compresses the data to one row per DISTINCT value (one hash shuffle),
+    * a cumulative count over that compact relation locates each
+    * percentile's bracketing values, and the final interpolation replays
+    * `percentile`'s exact formula `(hi−pos)·loVal + (pos−lo)·hiVal` —
+    * bit-identical output (DuckDB `quantile_cont` oracle unchanged). Every
+    * exchange and sort after the first touches only distinct values, never
+    * raw rows; no sort-based `percentile` aggregate appears in the plan
+    * (PlanSpec pins this). The approximate path at true scale remains
+    * `approx_percentile` (t-digest), which no cross-engine oracle replays.
     */
-  def relQuantiles(spark: SparkSession, sfDir: String): DataFrame =
-    KvTable.table(spark, sfDir, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        floor(expr("percentile(floor(o_totalprice), 0.5)") * 100).cast("long").as("p50_x100"),
-        floor(expr("percentile(floor(o_totalprice), 0.9)") * 100).cast("long").as("p90_x100"),
-        count(lit(1)).as("n"))
+  def relQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = KvTable.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"), floor(col("o_totalprice")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
+    val cum = vc.select(col("o_orderstatus"), col("v"), col("c"),
+      sum(col("c")).over(w).as("cum"))
+    val tot = cum.groupBy(col("o_orderstatus")).agg(max(col("cum")).as("n"))
+    // Exactly one distinct-value row covers sorted index i (cum−c ≤ i < cum),
+    // so a conditional max picks the value at that rank.
+    def valAt(i: Column): Column =
+      max(when(col("cum") - col("c") <= i && i < col("cum"), col("v")))
+    def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+    val brackets = Seq("p50" -> 0.5, "p90" -> 0.9).flatMap { case (nm, p) =>
+      Seq(valAt(floor(pos(p))).as(s"_lo_$nm"), valAt(ceil(pos(p))).as(s"_hi_$nm"))
+    }
+    // percentile's interpolation, replayed exactly: position = p·(n−1),
+    // result = (ceil(pos)−pos)·v[floor(pos)] + (pos−floor(pos))·v[ceil(pos)]
+    def interp(nm: String, p: Double): Column = {
+      val (lo, hi) = (floor(pos(p)), ceil(pos(p)))
+      val loV = col(s"_lo_$nm").cast("double")
+      val hiV = col(s"_hi_$nm").cast("double")
+      val r = when(lo === hi, loV)
+        .otherwise((hi - pos(p)) * loV + (pos(p) - lo) * hiV)
+      floor(r * 100).cast("long")
+    }
+    cum.join(tot, "o_orderstatus")
+      .groupBy(col("o_orderstatus"), col("n"))
+      .agg(brackets.head, brackets.tail: _*)
+      .select(col("o_orderstatus"),
+        interp("p50", 0.5).as("p50_x100"),
+        interp("p90", 0.9).as("p90_x100"),
+        col("n"))
+  }
 
   private val relQuantilesSql: String =
     """SELECT o_orderstatus,

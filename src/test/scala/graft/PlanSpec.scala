@@ -133,4 +133,12 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("quantiles use the bounded-domain plan: no sort-based percentile aggregate") {
+    val plan = executedPlan(Queries.relQuantiles(spark, sfDir))
+    // the raw rows are compressed by a HASH aggregate on (group, value);
+    // no percentile() buffer-and-sort aggregate anywhere in the plan
+    plan.toLowerCase should not include "percentile"
+    plan should include("HashAggregate")
+  }
 }
