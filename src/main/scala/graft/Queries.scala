@@ -239,6 +239,23 @@ object Queries {
       path
     })
 
+  /** The INCREMENTALLY-built IVF index of `sfDir`'s embeddings: 9/10 of the
+    * corpus persisted as the base index, the `vec_id % 10 == 9` tail
+    * appended as an incoming batch through [[Similarity.appendIvfIndex]]
+    * (frozen quantizer, drift-gated, no rebuild). Queries over this layout
+    * must be indistinguishable from a full rebuild — ann_topk_ivf_incremental
+    * pins that against the full-corpus IVF oracle.
+    */
+  private def ensureIvfIncrIndex(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"ivf_incr|$sfDir", _ => {
+      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = tmpOut(s"ivf_incr_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      val e = embeds(spark, sfDir)
+      Similarity.persistIvfIndex(e.filter(col("vec_id") % 10 =!= 9), path)
+      Similarity.appendIvfIndex(spark, path, e.filter(col("vec_id") % 10 === 9))
+      path
+    })
+
   /** Session gap shared by the sessionization queries and their staging. */
   private val SessionGapNanos = 3600L * 1000000000L
 
@@ -298,6 +315,7 @@ object Queries {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     ensureBucketedCells(spark)
     ensureIvfIndex(spark, sfDir)
+    ensureIvfIncrIndex(spark, sfDir)
     ensureSessionDir(spark, sfDir)
     ensureSessionLateDir(spark, sfDir)
     ensurePivotLateDir(spark, sfDir)
@@ -1333,6 +1351,14 @@ object Queries {
   def annTopkIvfPruned(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfTopKIndexed(spark, ensureIvfIndex(spark, sfDir), isQuery)
 
+  /** The IVF path against the INCREMENTALLY-maintained layout (base persist
+    * + drift-gated batch append, [[ensureIvfIncrIndex]]) — the oracle is
+    * the FULL-corpus IVF: an append under a frozen quantizer must be
+    * indistinguishable from a rebuild, and this query proves it.
+    */
+  def annTopkIvfIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopKIndexed(spark, ensureIvfIncrIndex(spark, sfDir), isQuery)
+
   /** IVF oracle: centroid scores via the same floor-scaled cosine; cell
     * assignment = rank-1 centroid, probes = rank ≤ NProbe (score DESC,
     * centroid id ASC — mirroring the (score, -id) struct max in Scala).
@@ -1856,6 +1882,7 @@ object Queries {
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_pruned" -> (annTopkIvfPruned _),
+    "ann_topk_ivf_incremental" -> (annTopkIvfIncremental _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
@@ -1924,6 +1951,7 @@ object Queries {
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_ivf_pruned" -> annTopkIvfSql,
+    "ann_topk_ivf_incremental" -> annTopkIvfSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,

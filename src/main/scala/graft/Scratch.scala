@@ -493,6 +493,33 @@ object Scratch {
         for ((tables, bits) <- Seq((5, 6), (3, 8), (5, 8), (8, 8), (8, 10)))
           sweep1(s"lsh L=$tables bits=$bits",
             graft.ext.Similarity.lshTopK(emb, isQ, tables = tables, bits = bits))
+
+      case "autobits" =>
+        // Candidate-set growth vs corpus size: fixed 6-bit buckets grow
+        // linearly with the corpus (the scan fraction the small-SF sweep
+        // can't see); autoBits holds expected occupancy ~TargetBucket so
+        // the candidate set stays flat. Candidates counted as the deduped
+        // (q, nb) relation the rescoring join actually processes.
+        import org.apache.spark.sql.functions.col
+        for (n <- Seq(100000L, 400000L, 1000000L)) {
+          val emb = spark.range(0, n).selectExpr("id AS vec_id",
+            "transform(sequence(1, 64), i -> CAST((xxhash64(id * 64 + i) % 1000) / 1000.0 AS FLOAT)) AS embedding")
+            .localCheckpoint()
+          val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+            v => v % (n / 10) === 0
+          val auto = graft.ext.Similarity.autoBits(n)
+          for ((nm, bits) <- Seq(("fixed6", 6), (s"auto$auto", auto))) {
+            val idx = graft.ext.Similarity.index(emb)
+            val corpus = graft.ext.Similarity.bucketedIndex(idx, tables = 5, bits = bits)
+            val qs = corpus.filter(isQ(col("vec_id")))
+              .select(col("vec_id").as("q"), col("t"), col("bucket"))
+            val cands = corpus.as("c").join(qs.as("x"),
+                col("x.t") === col("c.t") && col("x.bucket") === col("c.bucket") &&
+                  col("c.vec_id") =!= col("x.q"))
+              .select(col("x.q"), col("c.vec_id")).distinct().count()
+            println(f"[autobits] n=$n%8d $nm%-7s candidates/query ${cands / 10}%8d")
+          }
+        }
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)

@@ -34,6 +34,24 @@ object Similarity {
   val NumTables = 5
   val Dim = 64
 
+  /** Auto-scaled sign-bit width: expected bucket occupancy is
+    * n / 2^bits, so holding candidate-set size flat as the corpus grows
+    * means bits ~ log2(n / TargetBucket). Clamped below by [[NumBits]]
+    * (the swept small-corpus default — unchanged behavior through sf0.1)
+    * and above by [[MaxAutoBits]] (beyond ~16 bits the hamming-1
+    * multiprobe no longer recovers recall). Per-call `bits` override
+    * everywhere.
+    */
+  val TargetBucket = 1000L
+  val MaxAutoBits = 16
+
+  def autoBits(corpusCount: Long): Int = {
+    val target = math.max(1L, corpusCount / TargetBucket)
+    // ceil(log2(target))
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, target - 1))
+    math.min(MaxAutoBits, math.max(NumBits, b))
+  }
+
   /** Hyperplane component r(t, i, d): deterministic, identical in SQL. */
   def plane(t: Int, i: Int, d: Int): Double =
     (((t * 577 + i) * 131 + d * 31 + 7) % 97).toDouble / 97.0 - 0.5
@@ -178,6 +196,46 @@ object Similarity {
     assignCells(index(embeddings))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Mean best-centroid cosine of an already-assigned relation (columns
+    * v, nrm): the quantizer-fit statistic. A corpus the coarse quantizer
+    * represents well scores high; a drifted distribution scores low.
+    */
+  def quantizerFit(assigned: DataFrame): Double =
+    assigned
+      .select((array_max(cellScores(col("v"), col("nrm"))).getField("s") / 1e6).as("s"))
+      .agg(avg(col("s"))).head().getDouble(0)
+
+  /** INCREMENTAL index maintenance: extend a [[persistIvfIndex]] layout
+    * with a new batch WITHOUT rebuilding. The batch is assigned with the
+    * same frozen coarse quantizer (the [[IvfCentroids]] literal artifact)
+    * and appended file-wise into its cell directories — existing files are
+    * never touched, so the append costs O(|batch|) regardless of index
+    * size. Because cell assignment is a pure function of the vector under
+    * a frozen quantizer, the appended layout is relation-equivalent to a
+    * full rebuild over (existing ∪ batch) — pinned by the
+    * ann_topk_ivf_incremental oracle and a spec.
+    *
+    * Drift gate: appending is only sound while the frozen quantizer still
+    * represents the data. The batch's [[quantizerFit]] is compared to the
+    * existing corpus's; a drop beyond `maxFitDrop` means the distribution
+    * moved (new domain, new modality) and blind appends would pile the
+    * batch into ill-fitting cells — the method REFUSES and the caller must
+    * retrain ([[persistIvfIndex]] over the union with fresh centroids).
+    * Returns (existingFit, batchFit) for observability.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, maxFitDrop: Double = 0.10): (Double, Double) = {
+    val existingFit = quantizerFit(spark.read.parquet(path))
+    val assigned = assignCells(index(batch)).localCheckpoint()
+    val batchFit = quantizerFit(assigned)
+    require(batchFit >= existingFit - maxFitDrop,
+      f"centroid drift: batch quantizer fit $batchFit%.4f is more than " +
+        f"$maxFitDrop%.2f below the corpus fit $existingFit%.4f — retrain " +
+        "the coarse quantizer instead of appending")
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    (existingFit, batchFit)
+  }
+
   /** ANN top-k over a [[persistIvfIndex]] layout with STATIC partition
     * pruning: the query set's probe cells are collected (bounded:
     * ≤ |queries| × NProbe ints — the queries already broadcast) and pushed
@@ -208,14 +266,20 @@ object Similarity {
 
   /** ANN top-k: per table, queries probe their bucket + all hamming-1
     * buckets; candidates deduped across tables, then exactly rescored.
+    *
+    * `bits <= 0` (the default) derives the width from the corpus count via
+    * [[autoBits]] — one cheap count() buys bucket occupancy that stays
+    * ~[[TargetBucket]] as the corpus scales, instead of buckets (and the
+    * candidate join) growing linearly past the fixed-width design point.
     */
   def lshTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5,
-      dim: Int = Dim, tables: Int = NumTables, bits: Int = NumBits): DataFrame = {
+      dim: Int = Dim, tables: Int = NumTables, bits: Int = -1): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(embeddings.count())
     val idx = index(embeddings)
-    val corpus = bucketedIndex(idx, dim, tables, bits).as("cand")
-    val flips = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
+    val corpus = bucketedIndex(idx, dim, tables, b).as("cand")
+    val flips = array((lit(0L) +: (0 until b).map(i => lit(1L << i))): _*)
     val qs = broadcast(
-      bucketedIndex(idx.filter(isQuery(col("vec_id"))), dim, tables, bits)
+      bucketedIndex(idx.filter(isQuery(col("vec_id"))), dim, tables, b)
         .select(col("vec_id"), col("t"), col("bucket"), explode(flips).as("flip"))
         .select(col("vec_id"), col("t"),
           col("bucket").bitwiseXOR(col("flip")).as("probe")))

@@ -83,6 +83,53 @@ class ClusterIvfSpec extends SparkSpec {
     withClue(s"recall@5 = $recall") { recall should be >= 0.3 }
   }
 
+  test("ivf incremental append equals a full rebuild; drifted batches are refused") {
+    val emb = KvTable.table(spark, sfDir, "embeddings")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/ivf_incr_spec"
+    graft.sinks.Sinks.deleteRecursive(spark, base)
+    Similarity.persistIvfIndex(emb.filter($"vec_id" % 10 =!= 9), base)
+    val (corpusFit, batchFit) =
+      Similarity.appendIvfIndex(spark, base, emb.filter($"vec_id" % 10 === 9))
+    // same-distribution batch fits the frozen quantizer about as well
+    batchFit should be >= corpusFit - 0.10
+    // the appended layout answers queries exactly like a full rebuild
+    val full = s"${sys.props("java.io.tmpdir")}/graft_test/ivf_full_spec"
+    graft.sinks.Sinks.deleteRecursive(spark, full)
+    Similarity.persistIvfIndex(emb, full)
+    val incr = Similarity.ivfTopKIndexed(spark, base, v => v % 50 === 0)
+      .orderBy($"q", $"rank").collect().toSeq
+    val rebuilt = Similarity.ivfTopKIndexed(spark, full, v => v % 50 === 0)
+      .orderBy($"q", $"rank").collect().toSeq
+    incr shouldBe rebuilt
+    // a genuinely drifted batch: vectors projected into the orthogonal
+    // complement of the centroid span score ~0 against EVERY centroid
+    // (the corpus fit is ~0.26), which trips the gate instead of appending
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.iterator.zip(b.iterator).map(p => p._1 * p._2).sum
+    val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (c <- graft.ext.IvfCentroids.Cents) {
+      val v = c.clone()
+      for (b <- basis) {
+        val d = dotd(v, b)
+        for (i <- v.indices) v(i) -= d * b(i)
+      }
+      val n = math.sqrt(dotd(v, v))
+      if (n > 1e-9) basis += v.map(_ / n)
+    }
+    val drifted = (0 until 50).map { j =>
+      val v = Array.tabulate(64)(d =>
+        (((j * 64 + d) * 2654435761L) % 1000).toDouble / 500.0 - 1.0)
+      for (b <- basis) {
+        val d = dotd(v, b)
+        for (i <- v.indices) v(i) -= d * b(i)
+      }
+      (1000000L + j, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.appendIvfIndex(spark, base, drifted))
+    e.getMessage should include("centroid drift")
+  }
+
   test("embedding LSH pairs are a subset of brute pairs with identical scores") {
     val emb = KvTable.table(spark, sfDir, "embeddings")
     val brute = Queries.dedupEmbedPairs(spark, sfDir)
