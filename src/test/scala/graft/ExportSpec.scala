@@ -103,6 +103,29 @@ class ExportSpec extends SparkSpec {
     e.getMessage should include("xs")
   }
 
+  test("avro reader schema evolution: projection and reorder resolve against the writer schema") {
+    // the reference's AvroReader takes an EXPLICIT reader schema
+    // (AvroReader.java:32-51) — Avro schema resolution must let a reader
+    // project a field subset and reorder fields against the written file
+    import org.apache.spark.sql.types._
+    val path = tmp("avro_evolve")
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "qty")
+    Sinks.deleteRecursive(spark, path)
+    AvroIO.write(df, path, Some("snappy"))
+    // projected reader schema: drops 'name' entirely
+    val projected = AvroIO.read(spark, path, StructType(Seq(
+        StructField("id", LongType), StructField("qty", IntegerType))))
+      .as[(Long, Int)].collect().sorted
+    projected shouldBe Seq((1L, 10), (2L, 20), (3L, 30))
+    // reordered reader schema: fields in a different order than written
+    val reordered = AvroIO.read(spark, path, StructType(Seq(
+        StructField("qty", IntegerType), StructField("name", StringType),
+        StructField("id", LongType))))
+      .as[(Int, String, Long)].collect().sorted
+    reordered shouldBe Seq((10, "a", 1L), (20, "b", 2L), (30, "c", 3L))
+  }
+
   test("K4 parquet: typed export round-trip with int/long decode (F2)") {
     val path = tmp("parquet")
     val typedCells = KvTableHelpers.typedCells(spark)
