@@ -165,6 +165,61 @@ object Scratch {
           println("  rows = " + graft.streaming.StreamingPivot
             .runAvailableNow(piv, "scale_stream_out").count()))
 
+      case "rocksdb" =>
+        import org.apache.spark.sql.functions._
+        // Deep-state streaming on the RocksDB state store provider — the
+        // 100×-state path (per-task native memory + local disk, changelog
+        // in the checkpoint) vs the default in-memory HDFSBackedStateStore.
+        // Results must be IDENTICAL across providers; the rows printed
+        // prove it. 1M-event windowed pivot (~1M state rows) and 500k-user
+        // sessionization (500k state entries).
+        val dir = "/tmp/graft_rocksdb_events"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        spark.range(1000000L).selectExpr(
+            "id AS event_id",
+            "CAST(1704067200000000000 + id * 2500000000 AS LONG) AS ts",
+            "id % 15000 AS user_id",
+            "element_at(array('click','error','purchase','signup','view'), CAST(id % 5 AS INT) + 1) AS event_type",
+            "CAST(id % 100 AS DOUBLE) / 7 AS value", "'{}' AS props")
+          .coalesce(4).write.mode("overwrite").parquet(dir)
+        def pivotDf = {
+          val cells = spark.readStream
+            .schema(graft.kv.KvTable.EventsParquetSchema).parquet(dir)
+            .select(graft.kv.KvTable.eventCellColumns :+
+              expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
+          graft.streaming.StreamingPivot.windowedPivot(cells, Queries.EventCols)
+        }
+        val pivMem = time("1M-event pivot, default provider")(
+          graft.streaming.StreamingPivot.runAvailableNow(pivotDf, "rdb_piv_mem").count())
+        val pivRdb = time("1M-event pivot, RocksDB provider")(
+          graft.streaming.StreamingPivot.runAvailableNow(pivotDf, "rdb_piv_rocks",
+            stateStoreProvider = Some(graft.streaming.StreamingPivot.RocksDbProvider)).count())
+        println(s"  pivot rows: mem=$pivMem rocksdb=$pivRdb equal=${pivMem == pivRdb}")
+        val sdir = "/tmp/graft_rocksdb_sessions"
+        graft.sinks.Sinks.deleteRecursive(spark, sdir)
+        spark.range(1000000L).selectExpr(
+            "id % 500000 AS user_id", "id AS event_id",
+            "CAST(1704067200000000000 + id * 1000000000 AS LONG) AS tsNanos")
+          .coalesce(4).write.mode("overwrite").parquet(sdir)
+        def sessDf = {
+          import spark.implicits._
+          val raw = spark.readStream
+            .schema("user_id BIGINT, event_id BIGINT, tsNanos BIGINT")
+            .parquet(sdir)
+            .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
+            .withWatermark("eventTime", "0 seconds")
+            .as[graft.streaming.StreamingPivot.SessionEvent]
+          graft.streaming.StreamingPivot.Sessionize(raw, gapNanos = 3600L * 1000000000L).toDF()
+        }
+        val sMem = time("500k-user sessionize, default provider")(
+          graft.streaming.StreamingPivot.runAvailableNow(sessDf, "rdb_sess_mem",
+            org.apache.spark.sql.streaming.OutputMode.Append()).count())
+        val sRdb = time("500k-user sessionize, RocksDB provider")(
+          graft.streaming.StreamingPivot.runAvailableNow(sessDf, "rdb_sess_rocks",
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            stateStoreProvider = Some(graft.streaming.StreamingPivot.RocksDbProvider)).count())
+        println(s"  session rows: mem=$sMem rocksdb=$sRdb equal=${sMem == sRdb}")
+
       case "jacab" =>
         time("jaccard #1")(Queries.dedupJaccardPairs(spark, sfDir).count())
         time("jaccard #2")(Queries.dedupJaccardPairs(spark, sfDir).count())

@@ -80,18 +80,42 @@ object StreamingPivot {
         col("rowKey") +: columns.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
 
+  /** Fully-qualified RocksDB state store provider class — the 100×-state
+    * path: per-task state lives in native memory + local disk with
+    * changelog/snapshot files in the checkpoint, instead of as JVM objects
+    * in executor heap. Pass as [[runAvailableNow]]'s `stateStoreProvider`;
+    * deep-state evidence in BASELINE.md (`Scratch rocksdb`).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Run a streaming DataFrame to completion over the currently-available
     * input (batch parity mode) and return the full result.
+    *
+    * `stateStoreProvider` overrides the state store backend for THIS query
+    * only: the conf is read once at query start, so a set/restore around
+    * `start()` scopes it (restored even when the run throws).
     */
   def runAvailableNow(df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      mode: OutputMode = OutputMode.Complete(),
+      stateStoreProvider: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    stateStoreProvider.foreach(spark.conf.set(key, _))
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (stateStoreProvider.isDefined) prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     spark.table(name)
   }
 
