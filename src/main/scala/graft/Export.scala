@@ -25,6 +25,8 @@ object Export {
   case object DelimitedSeq extends Format // K2 (ExportHBaseTableToDelimiteredSeq)
   case object Avro extends Format         // K3 (ExportHBaseTableToAvro)
   case object Parquet extends Format      // K4 (ExportHBaseTableToParquet)
+  case object Orc extends Format          // ext: columnar sink beyond the reference's four
+  case object JsonLines extends Format    // ext: line-record sink (typed JSON)
 
   /** The reference's CLI surface (positional args → one config).
     * @param schemaText  content of the schema file: CSV dialect for delimited
@@ -50,7 +52,7 @@ object Export {
       val cols = schema.fieldNames.toSeq
       val piv = KvPivot.pivot(cells, cols, cfg.rowKeyColumn, cfg.columnFamily)
       KvPivot.projectLines(piv, cols, cfg.delimiter)
-    case Avro | Parquet =>
+    case Avro | Parquet | Orc | JsonLines =>
       val schema = SchemaFile.parseAvroJson(cfg.schemaText)
       val piv = KvPivot.pivot(cells, schema.fieldNames.toSeq,
         cfg.rowKeyColumn, cfg.columnFamily)
@@ -67,10 +69,26 @@ object Export {
       case Parquet      =>
         val w = df.write.mode("overwrite")
         cfg.compression.fold(w)(c => w.option("compression", c)).parquet(cfg.outputPath)
+      case Orc          =>
+        val w = df.write.mode("overwrite")
+        cfg.compression.fold(w)(c => w.option("compression", c)).orc(cfg.outputPath)
+      case JsonLines    =>
+        val w = df.write.mode("overwrite")
+        cfg.compression.fold(w)(c => w.option("compression", c)).json(cfg.outputPath)
     }
   }
 
   /** S5/K6 inspection readers (AvroReader/ParquetReader): read back + dump. */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON carries no int-vs-long / null-vs-absent distinction on its own:
+    * read back under the SAME schema the export projected (the Avro-JSON
+    * schema file), so the round-trip is type-exact, not inference-lucky.
+    */
+  def readJsonLines(spark: SparkSession, path: String, schemaText: String): DataFrame =
+    spark.read.schema(SchemaFile.parseAvroJson(schemaText)).json(path)
 }

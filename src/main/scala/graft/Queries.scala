@@ -489,6 +489,32 @@ object Queries {
     Export.readParquet(spark, cfg.outputPath)
   }
 
+  /** Ext sink: ORC export (zlib), read-back — same pivot plan as K4, a
+    * fifth format a reference user migrating formats would reach for.
+    * DuckDB never reads ORC: the oracle checks the round-tripped ROWS
+    * against the same relational truth as the parquet path.
+    */
+  def exportOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.lineitemAsCells(spark, sfDir)
+    val cfg = Export.Config(Export.Orc, TypedAvroSchema, tmpOut("orc"),
+      columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("zlib"))
+    graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
+    Export.run(cells, cfg)
+    Export.readOrc(spark, cfg.outputPath)
+  }
+
+  /** Ext sink: JSON-lines export (gzip), read back under the SAME Avro-JSON
+    * schema so types survive the text round-trip (no inference).
+    */
+  def exportJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.lineitemAsCells(spark, sfDir)
+    val cfg = Export.Config(Export.JsonLines, TypedAvroSchema, tmpOut("jsonl"),
+      columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("gzip"))
+    graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
+    Export.run(cells, cfg)
+    Export.readJsonLines(spark, cfg.outputPath, TypedAvroSchema)
+  }
+
   // --------------------------------------------- relational (SURVEY §2.4-2.6)
 
   /** Enrich-by-key equi-join (the only reference-shaped join use case,
@@ -1845,6 +1871,8 @@ object Queries {
     "export_seq_roundtrip" -> (exportSeqRoundtrip _),
     "export_avro_roundtrip" -> (exportAvroRoundtrip _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
+    "export_orc_roundtrip" -> (exportOrcRoundtrip _),
+    "export_json_roundtrip" -> (exportJsonRoundtrip _),
     "rel_enrich_join" -> (relEnrichJoin _),
     "rel_topk_orders" -> (relTopkOrders _),
     "rel_skew_agg" -> (relSkewAgg _),
@@ -1913,6 +1941,8 @@ object Queries {
     "export_txt_roundtrip" -> delimitedRoundtripSql,
     "export_seq_roundtrip" -> delimitedRoundtripSql,
     "export_avro_roundtrip" -> kvTypedExportSql,
+    "export_orc_roundtrip" -> kvTypedExportSql,
+    "export_json_roundtrip" -> kvTypedExportSql,
     "export_parquet_roundtrip" -> kvTypedExportSql,
     "rel_enrich_join" -> relEnrichJoinSql,
     "rel_topk_orders" -> relTopkOrdersSql,

@@ -145,6 +145,49 @@ class ExportSpec extends SparkSpec {
     r.map(_.getInt(1)).toSeq shouldBe Seq(1, 2)
   }
 
+  test("ext orc: typed export round-trip preserves types and rows") {
+    val path = tmp("orc")
+    val typedCells = KvTableHelpers.typedCells(spark)
+    val schema =
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"n","type":["long","null"]},
+        |  {"name":"m","type":["int","null"]},
+        |  {"name":"KEY","type":["string","null"]}]}""".stripMargin
+    val cfg = Export.Config(Export.Orc, schema, path,
+      rowKeyColumn = Some("KEY"), compression = Some("zlib"))
+    Export.run(typedCells, cfg)
+    val back = Export.readOrc(spark, path)
+    back.schema("n").dataType.typeName shouldBe "long"
+    back.schema("m").dataType.typeName shouldBe "integer"
+    val r = back.orderBy("KEY").collect()
+    r.map(_.getLong(0)).toSeq shouldBe Seq(100L, 200L)
+    r.map(_.getInt(1)).toSeq shouldBe Seq(1, 2)
+  }
+
+  test("ext json-lines: schema-pinned read-back is type-exact, incl. nulls") {
+    val path = tmp("jsonl")
+    // one sparse row: qualifier 'm' missing for k2 -> null survives the trip
+    val sparse = KvTableHelpers.typedCells(spark)
+      .filter(!(col("rowKey") === "k2" && col("qualifier") === "m"))
+    val schema =
+      """{"type":"record","name":"T","fields":[
+        |  {"name":"n","type":["long","null"]},
+        |  {"name":"m","type":["int","null"]},
+        |  {"name":"KEY","type":["string","null"]}]}""".stripMargin
+    val cfg = Export.Config(Export.JsonLines, schema, path,
+      rowKeyColumn = Some("KEY"), compression = Some("gzip"))
+    Export.run(sparse, cfg)
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), s"expected gzip json, got ${files.toSeq}")
+    val back = Export.readJsonLines(spark, path, schema)
+    back.schema("n").dataType.typeName shouldBe "long"
+    back.schema("m").dataType.typeName shouldBe "integer"
+    val r = back.orderBy("KEY").collect()
+    r.map(_.getLong(0)).toSeq shouldBe Seq(100L, 200L)
+    r(0).getInt(1) shouldBe 1
+    r(1).isNullAt(1) shouldBe true // JSON drops null fields; schema restores them
+  }
+
   test("K6 console dump renders schema + bounded rows without collecting all") {
     noException should be thrownBy Sinks.console(cells.limit(3), 3)
   }
