@@ -170,6 +170,43 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
+  /** CDC snapshot diff (ext of the export family): an older generator run
+    * (1000 ids) vs a newer state where qualifier C3 was dropped (deletes),
+    * 200 new ids appeared (inserts), and every C0 cell was rewritten
+    * (updates). [[graft.ops.SnapshotDiff]] emits exactly the changed cells —
+    * what an incremental exporter ships instead of a full rescan.
+    */
+  def kvSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val older = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+    val newer = KvGenerator.cells(spark, GenRecords + 200, GenTasks, "run1")
+      .filter(col("qualifier") =!= "C3")
+      .withColumn("value",
+        when(col("qualifier") === "C0",
+          concat(col("value"), lit(":v2".getBytes("UTF-8"))))
+          .otherwise(col("value")))
+    graft.ops.SnapshotDiff.diff(older, newer)
+      .select(col("rowKey"), col("qualifier"), col("change"),
+        decode(col("old_value"), "UTF-8").as("old_value"),
+        decode(col("new_value"), "UTF-8").as("new_value"))
+  }
+
+  private val kvSnapshotDiffSql: String =
+    s"""WITH older AS (${genCellsSql(GenRecords, GenTasks, "run1")}),
+       |newer AS (
+       |  SELECT rowKey, qualifier,
+       |    CASE WHEN qualifier = 'C0' THEN value || ':v2' ELSE value END AS value
+       |  FROM (${genCellsSql(GenRecords + 200, GenTasks, "run1")})
+       |  WHERE qualifier <> 'C3')
+       |SELECT coalesce(o.rowKey, n.rowKey) AS rowKey,
+       |  coalesce(o.qualifier, n.qualifier) AS qualifier,
+       |  CASE WHEN o.value IS NULL THEN 'insert'
+       |       WHEN n.value IS NULL THEN 'delete'
+       |       ELSE 'update' END AS change,
+       |  o.value AS old_value, n.value AS new_value
+       |FROM older o FULL OUTER JOIN newer n
+       |  ON o.rowKey = n.rowKey AND o.qualifier = n.qualifier
+       |WHERE o.value IS NULL OR n.value IS NULL OR o.value <> n.value""".stripMargin
+
   private val kvTtlExpireSql: String = {
     val now = GenRecords * 10 - 1
     s"""SELECT rowKey, qualifier, value, ts
@@ -1863,6 +1900,7 @@ object Queries {
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_versions_retain" -> (kvVersionsRetain _),
     "kv_ttl_expire" -> (kvTtlExpire _),
+    "kv_snapshot_diff" -> (kvSnapshotDiff _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -1934,6 +1972,7 @@ object Queries {
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_versions_retain" -> kvVersionsRetainSql,
     "kv_ttl_expire" -> kvTtlExpireSql,
+    "kv_snapshot_diff" -> kvSnapshotDiffSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,

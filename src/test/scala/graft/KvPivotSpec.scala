@@ -169,6 +169,30 @@ class KvPivotSpec extends SparkSpec {
       .filter(col("rowKey") === "k1" && col("qualifier") === "C0")
       .select(decode(col("value"), "UTF-8")).as[String].collect() shouldBe Array("v2")
   }
+
+  test("snapshot diff: insert/delete/update per cell, LWW-resolved per side") {
+    def cells(rows: (String, String, String, Long)*): DataFrame =
+      rows.toDF("rowKey", "qualifier", "v", "ts")
+        .select(col("rowKey"), lit("f").as("family"), col("qualifier"),
+          encode(col("v"), "UTF-8").as("value"), col("ts"))
+    val older = cells(
+      ("k1", "a", "old", 1L), ("k1", "a", "older", 0L), // LWW → "old"
+      ("k2", "a", "gone", 1L),
+      ("k3", "a", "same", 1L))
+    val newer = cells(
+      ("k1", "a", "new", 2L),   // update (old -> new)
+      ("k3", "a", "same", 9L),  // unchanged: not a diff row
+      ("k4", "a", "born", 1L))  // insert
+    val out = graft.ops.SnapshotDiff.diff(older, newer)
+      .select(col("rowKey"), col("change"),
+        decode(col("old_value"), "UTF-8").as("o"),
+        decode(col("new_value"), "UTF-8").as("n"))
+      .as[(String, String, String, String)].collect().sortBy(_._1)
+    out shouldBe Array(
+      ("k1", "update", "old", "new"),
+      ("k2", "delete", "gone", null),
+      ("k4", "insert", null, "born"))
+  }
 }
 
 /** Deterministic pseudo-random cell fixture shared by property-ish tests. */

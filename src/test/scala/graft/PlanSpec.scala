@@ -107,6 +107,12 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
   }
 
+  test("snapshot diff runs exactly two exchanges (one LWW agg per side, join reuses them)") {
+    val plan = executedPlan(Queries.all("kv_snapshot_diff")(spark, sfDir))
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 2
+    plan should not include "CartesianProduct"
+  }
+
   test("enrich join broadcasts the dim side, no shuffle of the fact side") {
     val plan = executedPlan(Queries.relEnrichJoin(spark, sfDir))
     plan should include("BroadcastHashJoin")
