@@ -886,6 +886,79 @@ object Queries {
       |               (a, b) -> (a * 31 + b) % 2147483647) END)::BIGINT AS fp
       |FROM documents""".stripMargin
 
+  /** PII redaction over synthetic support-log lines: the documents corpus
+    * carries no digits, so the log line (email, phone, IP, free remainder)
+    * is CONSTRUCTED deterministically from each event — the identical
+    * construction is mirrored in the oracle, so every redaction rule
+    * genuinely fires and the unredacted remainder proves selectivity. The
+    * op itself ([[TextAnalysis.redactPii]]) is a map-only codegen'd
+    * regexp_replace chain: no shuffle at any scale.
+    */
+  def txtRedactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = KvTable.table(spark, sfDir, "events")
+    val line = concat(
+      lit("user "), col("user_id").cast("string"),
+      lit(" <u"), col("user_id").cast("string"),
+      lit("@ex-"), col("event_type"), lit(".com> tel +1-555-"),
+      lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("user_id") % 256).cast("string"),
+      lit(".0."), (col("event_id") % 256).cast("string"),
+      lit(" ref "), col("props"))
+    ev.select(col("event_id"), TextAnalysis.redactPii(line).as("clean"))
+  }
+
+  /** The oracle replays the same construction (`||` not `concat`: DuckDB's
+    * concat skips NULLs, `||` propagates them like Spark's concat) and the
+    * same rule chain, innermost-first.
+    */
+  private val txtRedactPiiSql: String = {
+    val line = "'user ' || CAST(user_id AS VARCHAR) || ' <u' || " +
+      "CAST(user_id AS VARCHAR) || '@ex-' || event_type || '.com> tel +1-555-' || " +
+      "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip 10.' || CAST(user_id % 256 AS VARCHAR) || '.0.' || " +
+      "CAST(event_id % 256 AS VARCHAR) || ' ref ' || props"
+    val redacted = TextAnalysis.PiiRules.foldLeft(line) { case (inner, (pat, rep)) =>
+      s"regexp_replace($inner, '$pat', '$rep', 'g')"
+    }
+    s"SELECT event_id, $redacted AS clean FROM events"
+  }
+
+  /** Gopher/C4-style hard-rule gate with per-doc reject reason. */
+  def pipeQualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityFilter(docs(spark, sfDir))
+
+  private val pipeQualityFilterSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_chars = 0 THEN 0 ELSE (punct * 1000) // n_chars END AS punct_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (stop * 1000) // n_tokens END AS stop_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (nonspace * 100) // n_tokens END AS avg_tok_x100
+      |  FROM raw),
+      |g AS (
+      |  SELECT doc_id, n_tokens, avg_tok_x100, punct_per_1000, stop_per_1000,
+      |    CASE WHEN n_tokens < 5 THEN 'too_short'
+      |         WHEN n_tokens > 10000 THEN 'too_long'
+      |         WHEN avg_tok_x100 < 150 OR avg_tok_x100 > 1000 THEN 'bad_word_len'
+      |         WHEN punct_per_1000 > 300 THEN 'too_much_punct'
+      |         WHEN stop_per_1000 < 10 THEN 'no_stopwords'
+      |         ELSE 'ok' END AS reason
+      |  FROM f)
+      |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+      |  avg_tok_x100::BIGINT AS avg_tok_x100,
+      |  punct_per_1000::BIGINT AS punct_per_1000,
+      |  stop_per_1000::BIGINT AS stop_per_1000,
+      |  reason, (reason = 'ok') AS keep
+      |FROM g""".stripMargin
+
   /** The end-to-end training-corpus cleaning pass, composed from the
     * individual operators: exact dedup (keep the canonical doc), predicted
     * language filter, quality threshold, token accounting.
@@ -1925,6 +1998,8 @@ object Queries {
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_topterms" -> (txtTopterms _),
+    "txt_redact_pii" -> (txtRedactPii _),
+    "pipe_quality_filter" -> (pipeQualityFilter _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "pipe_corpus_stats" -> (pipeCorpusStats _),
     "sample_bernoulli" -> (sampleBernoulli _),
@@ -1997,6 +2072,8 @@ object Queries {
     "txt_langid" -> txtLangIdSql,
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_topterms" -> txtToptermsSql,
+    "txt_redact_pii" -> txtRedactPiiSql,
+    "pipe_quality_filter" -> pipeQualityFilterSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "pipe_corpus_stats" -> pipeCorpusStatsSql,
     "sample_bernoulli" -> sampleBernoulliSql,

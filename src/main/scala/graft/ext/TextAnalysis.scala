@@ -134,6 +134,50 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** PII redaction rules: (pattern, replacement) in APPLICATION ORDER — the
+    * specific shapes (email, phone, IPv4) must fire before the generic long
+    * digit-run rule swallows their digits. Patterns stay in the
+    * Java-regex ∩ RE2 common dialect (classes, bounded repeats, `\b`, `\d`)
+    * so the DuckDB oracle replays them verbatim.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?\\d{1,2}-\\d{3}-\\d{4}" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\d{6,}" -> "<NUM>")
+
+  /** Scrub PII-shaped substrings from free text — the compliance pass every
+    * training-data pipeline runs before a corpus leaves quarantine. A chain
+    * of codegen'd `regexp_replace`s (global, like HBase-era scrubbers were
+    * not): map-only, no shuffle, scales linearly with the scan.
+    */
+  def redactPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** Gopher/C4-style hard-rule document gate: each doc gets keep=true or the
+    * FIRST failing rule's name (fixed rule order ⇒ deterministic reason).
+    * All facets come from the one fused [[TextStatsExpr]] scan — the gate is
+    * a map-only filter, the cheapest possible shape for the first pass of a
+    * 100-TB cleaning pipeline (everything downstream sees only survivors).
+    */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("doc_id"), stats(col("text")).as("_st"))
+    val f = qualityFacetsFrom(col("_st")).toMap
+    val reason = when(f("n_tokens") < 5, lit("too_short"))
+      .when(f("n_tokens") > 10000, lit("too_long"))
+      .when(f("avg_tok_x100") < 150 || f("avg_tok_x100") > 1000, lit("bad_word_len"))
+      .when(f("punct_per_1000") > 300, lit("too_much_punct"))
+      .when(f("stop_per_1000") < 10, lit("no_stopwords"))
+      .otherwise(lit("ok"))
+    st.select(col("doc_id"),
+      f("n_tokens").cast("long").as("n_tokens"),
+      f("avg_tok_x100").cast("long").as("avg_tok_x100"),
+      f("punct_per_1000").cast("long").as("punct_per_1000"),
+      f("stop_per_1000").cast("long").as("stop_per_1000"),
+      reason.as("reason"),
+      (reason === "ok").as("keep"))
+  }
+
   /** Per-language top-k terms by document frequency — the corpus-statistics
     * pass of a training-data pipeline (vocabulary building, boilerplate
     * spotting). One distinct-terms explode, one (lang, term) count

@@ -96,6 +96,33 @@ class TextAnalysisSpec extends SparkSpec {
     PolyHash.of("ab") shouldBe ('a' * 31L + 'b') % PolyHash.Mod
   }
 
+  test("redactPii scrubs email/phone/ip/long digit runs, keeps the rest") {
+    val in = "mail bob.smith+x@corp.example.org call +1-555-0199 " +
+      "host 192.168.0.1 acct 12345678 ok ref 42 end"
+    val out = Seq(in).toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).as[String].head()
+    out shouldBe "mail <EMAIL> call <PHONE> host <IP> acct <NUM> ok ref 42 end"
+  }
+
+  test("redactPii rule order: specific shapes beat the generic digit-run") {
+    // phone digits would also match \d-runs if the order flipped
+    val out = Seq("a@b.co 123456 +12-345-6789").toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).as[String].head()
+    out shouldBe "<EMAIL> <NUM> <PHONE>"
+  }
+
+  test("qualityFilter: first failing rule names the reason, ok keeps") {
+    def reasonOf(t: String): (String, Boolean) =
+      TextAnalysis.qualityFilter(Seq((1L, t)).toDF("doc_id", "text"))
+        .select("reason", "keep").as[(String, Boolean)].head()
+    reasonOf("one two three") shouldBe ("too_short", false)
+    reasonOf("aaaaaaaaaaaa bbbbbbbbbbbb cccccccccccc dddddddddddd eeeeeeeeeeee") shouldBe
+      ("bad_word_len", false)
+    reasonOf("wx yz!! ab,, cd;; ef..") shouldBe ("too_much_punct", false)
+    reasonOf("alpha beta gamma delta epsilon zeta") shouldBe ("no_stopwords", false)
+    reasonOf("the cat sat on the mat in a hat") shouldBe ("ok", true)
+  }
+
   test("fingerprint is stable and collision-spread over real docs") {
     val fps = TextAnalysis.fingerprints(
       spark.read.parquet(s"$sfDir/documents.parquet"))
