@@ -1177,6 +1177,26 @@ object Queries {
       |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
       |FROM documents""".stripMargin
 
+  /** Chunk-level exact dedup + reconstruction ([[Dedup.paragraphDedup]]). */
+  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.paragraphDedup(docs(spark, sfDir))
+
+  private val dedupParagraphSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c AS (
+      |  SELECT doc_id, i AS idx,
+      |    array_to_string(list_slice(ws, i*10+1, i*10+10), ' ') AS chunk
+      |  FROM w, UNNEST(generate_series(0, (len(ws)-1)//10)) AS t(i)),
+      |win AS (
+      |  SELECT chunk, doc_id, idx FROM (
+      |    SELECT chunk, doc_id, idx,
+      |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      |    FROM c) WHERE rn = 1)
+      |SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+      |FROM win GROUP BY doc_id""".stripMargin
+
   def dedupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, sfDir))
 
@@ -2010,6 +2030,7 @@ object Queries {
     "pipe_pack_windows" -> (pipePackWindows _),
     "pipe_pack_firstfit" -> (pipePackFirstfit _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_paragraph" -> (dedupParagraph _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_jaccard_df" -> (dedupJaccardDf _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -2084,6 +2105,7 @@ object Queries {
     "pipe_pack_windows" -> pipePackWindowsSql,
     "pipe_pack_firstfit" -> pipePackFirstfitSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_paragraph" -> dedupParagraphSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
     "dedup_jaccard_df" -> dedupJaccardDfSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,

@@ -440,6 +440,41 @@ object Dedup {
     * oracle-checkable baseline; the sub-quadratic path is
     * [[embeddingLshPairs]].
     */
+  /** Paragraph-granular exact dedup with document reconstruction (the
+    * "deduplicating training data" substring-dedup shape, at fixed
+    * `chunkWords`-word granularity): every chunk keeps only its FIRST
+    * occurrence in corpus order (min (doc_id, idx)), and each document is
+    * rebuilt from the chunks it won — a doc that is entirely boilerplate
+    * disappears, a doc sharing a preamble with an earlier doc loses just
+    * that preamble.
+    *
+    * Plan shape: chunking is a map-only posexplode; then exactly two
+    * shuffles, BOTH over already-compressed relations — the winner pick
+    * groups by chunk text (map-side partial combine collapses same-chunk
+    * occurrences per partition before the exchange), and the rebuild groups
+    * the one-row-per-distinct-chunk winner set by doc_id. No join anywhere:
+    * the winner aggregation already carries (chunk, winning doc, position),
+    * which IS the reconstruction input. `collect_list` order is
+    * indeterminate, so the rebuild sorts by the unique in-doc position
+    * before concatenation — run-to-run deterministic.
+    */
+  def paragraphDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    val words = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("_ws"))
+    val lastChunk = floor((size(col("_ws")) - 1) / lit(chunkWords)).cast("int")
+    val chunks = words
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lastChunk),
+        i => concat_ws(" ", slice(col("_ws"), i * chunkWords + 1, lit(chunkWords))))))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("chunk"))
+    val winners = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("_w"))
+    winners.groupBy(col("_w.doc_id").as("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("_w.idx").as("idx"), col("chunk")))),
+        s => s.getField("chunk"))).as("clean_text"))
+  }
+
   def embeddingPairs(embeddings: DataFrame, threshold: Long = 400L): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       VectorOps.toDoubleArray(col("embedding")).as("v"))

@@ -150,6 +150,28 @@ class DedupSpec extends SparkSpec {
     out.length.toLong should be <= d.count()
   }
 
+  test("paragraph dedup: shared chunks keep first occurrence, docs rebuilt in order") {
+    // 3-word chunks: doc 1 = [A B], doc 2 = [B C] (B = doc 1's suffix),
+    // doc 3 = [A] entirely (pure boilerplate -> vanishes)
+    val d = Seq(
+      (1L, "a1 a2 a3 b1 b2 b3"),
+      (2L, "b1 b2 b3 c1 c2 c3"),
+      (3L, "a1 a2 a3")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, chunkWords = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, "a1 a2 a3 b1 b2 b3"),
+      (2L, "c1 c2 c3")) // lost its duplicated preamble, kept its tail
+  }
+
+  test("paragraph dedup: trailing partial chunk is its own unit") {
+    val d = Seq((1L, "x y z w"), (2L, "w")).toDF("doc_id", "text")
+    // chunks of 3: doc 1 -> ["x y z", "w"]; doc 2 -> ["w"] loses to doc 1
+    val out = Dedup.paragraphDedup(d, chunkWords = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    out shouldBe Array((1L, "x y z w"))
+  }
+
   test("embedding pairs: identical vectors -> cos_x1000 = 1000 (exact sqrt)") {
     val e = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(3.0f, 4.0f)),
       (3L, Array(-4.0f, 3.0f))) // orthogonal to 1
