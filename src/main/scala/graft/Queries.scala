@@ -748,6 +748,33 @@ object Queries {
       |SELECT k, 'orders_only' AS src FROM (
       |  SELECT o_custkey AS k FROM orders EXCEPT SELECT user_id FROM events)""".stripMargin
 
+  /** Bloom-reduced shuffle join ([[graft.ops.BloomJoin]]): lineitem joined
+    * to the urgent-orders subset — a build side that at 100 TB is far past
+    * broadcast range (~20% of orders) while its key SET still fits a bloom
+    * sketch. The codegen'd pre-filter drops non-joining lineitem rows
+    * before the join shuffle; the exact join absorbs false positives, so
+    * the result is hash-identical to the plain join the oracle runs.
+    */
+  def relBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = KvTable.table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = KvTable.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    graft.ops.BloomJoin.reduceJoin(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, fpp = 0.01)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100)).cast("long").as("rev_x100"))
+  }
+
+  private val relBloomJoinSql: String =
+    """SELECT o_orderkey, count(*) AS n_items,
+      |  CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_x100
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
+
   /** Exact distributed quantiles per group WITHOUT a per-group sort of the
     * raw rows (Spark's `percentile` buffers and sorts every value per
     * group — a scale killer on a hot group). The inputs are integer-floored,
@@ -2012,6 +2039,7 @@ object Queries {
     "rel_rollup" -> (relRollup _),
     "rel_quantiles" -> (relQuantiles _),
     "rel_semi_anti" -> (relSemiAnti _),
+    "rel_bloom_join" -> (relBloomJoin _),
     "rel_set_ops" -> (relSetOps _),
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -2087,6 +2115,7 @@ object Queries {
     "rel_rollup" -> relRollupSql,
     "rel_quantiles" -> relQuantilesSql,
     "rel_semi_anti" -> relSemiAntiSql,
+    "rel_bloom_join" -> relBloomJoinSql,
     "rel_set_ops" -> relSetOpsSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,

