@@ -748,6 +748,25 @@ object Queries {
       |SELECT k, 'orders_only' AS src FROM (
       |  SELECT o_custkey AS k FROM orders EXCEPT SELECT user_id FROM events)""".stripMargin
 
+  /** Distinct users per event type through the KMV sketch
+    * ([[graft.functions.KmvDistinctAgg]]): constant 512 KiB state per group
+    * at ANY input size, mergeable at any partitioning. At the verify scales
+    * every group is far below k = 65536, where KMV is provably exact — so
+    * the `count(DISTINCT)` oracle matches hash-exactly; past k (the 100-TB
+    * path) the same plan degrades to a ~0.4%-error estimate instead of an
+    * unbounded exact-distinct shuffle.
+    */
+  def aggDistinctKmv(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.table(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvDistinctAgg.kmvDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  private val aggDistinctKmvSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Bloom-reduced shuffle join ([[graft.ops.BloomJoin]]): lineitem joined
     * to the urgent-orders subset — a build side that at 100 TB is far past
     * broadcast range (~20% of orders) while its key SET still fits a bloom
@@ -2040,6 +2059,7 @@ object Queries {
     "rel_quantiles" -> (relQuantiles _),
     "rel_semi_anti" -> (relSemiAnti _),
     "rel_bloom_join" -> (relBloomJoin _),
+    "agg_distinct_kmv" -> (aggDistinctKmv _),
     "rel_set_ops" -> (relSetOps _),
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -2116,6 +2136,7 @@ object Queries {
     "rel_quantiles" -> relQuantilesSql,
     "rel_semi_anti" -> relSemiAntiSql,
     "rel_bloom_join" -> relBloomJoinSql,
+    "agg_distinct_kmv" -> aggDistinctKmvSql,
     "rel_set_ops" -> relSetOpsSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
