@@ -1857,6 +1857,26 @@ object Queries {
        |FROM events GROUP BY 1, 2""".stripMargin
   }
 
+  /** Stream-static enrichment join + windowed rollup
+    * ([[StreamingPivot.enrichedNationCounts]]): batch-parity oracle is the
+    * plain join + hourly group — AvailableNow replay covers all input, so
+    * the complete-mode result equals the batch answer.
+    */
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamingPivot.eventsStream(spark, sfDir)
+    val dim = KvTable.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    StreamingPivot.runAvailableNow(
+      StreamingPivot.enrichedNationCounts(ev, dim), "stream_enrich_out")
+  }
+
+  private val streamEnrichSql: String =
+    """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
+      |  c_nationkey, count(*) AS n_events,
+      |  CAST(sum(floor(value * 100)) AS BIGINT) AS val_x100
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   /** The windowed pivot under ALLOWED LATENESS in APPEND mode: the same
     * events replayed with adjacent time-range chunks swapped (micro-batches
     * out of event-time order), watermark delay = the staged disorder bound.
@@ -2100,6 +2120,7 @@ object Queries {
     "mm_near_dup" -> (mmNearDup _),
     "mm_video_decode" -> (mmVideoDecode _),
     "stream_pivot" -> (streamPivot _),
+    "stream_enrich" -> (streamEnrich _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
     "stream_sessions_late" -> (streamSessionsLate _),
@@ -2177,6 +2198,7 @@ object Queries {
     "mm_near_dup" -> mmNearDupSql,
     "mm_video_decode" -> mmVideoDecodeSql,
     "stream_pivot" -> streamPivotSql,
+    "stream_enrich" -> streamEnrichSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,
     "stream_sessions_late" -> streamSessionsSql,

@@ -80,6 +80,33 @@ object StreamingPivot {
         col("rowKey") +: columns.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
 
+  /** Stream-static enrichment: the event stream joined to a STATIC dim
+    * table (the classic "enrich the firehose with a dimension" shape),
+    * then a watermarked windowed rollup per (window, nation).
+    *
+    * The static side is `broadcast()`-pinned: a stream-static join must
+    * not shuffle the stream per micro-batch — with the dim broadcast, each
+    * batch is map-side enriched and the only stateful exchange is the
+    * windowed aggregation's. At 100 TB/day the dim (customer) is the side
+    * that fits memory; were it not, the scale path is pre-bucketing both
+    * sides, not broadcast.
+    */
+  def enrichedNationCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .select(col("user_id"), col("value"),
+        expr("timestamp_micros(ts DIV 1000)").as("eventTime"))
+      .withWatermark("eventTime", watermark)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("eventTime"), windowDur), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100)).cast("long").as("val_x100"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("c_nationkey"), col("n_events"), col("val_x100"))
+
   /** Fully-qualified RocksDB state store provider class — the 100×-state
     * path: per-task state lives in native memory + local disk with
     * changelog/snapshot files in the checkpoint, instead of as JVM objects

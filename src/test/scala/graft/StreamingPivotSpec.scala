@@ -166,4 +166,22 @@ class StreamingPivotSpec extends SparkSpec {
       .distinct().count()
     cnt shouldBe expected
   }
+
+  test("stream-static enrich: dim side is broadcast, result == batch join rollup") {
+    import org.apache.spark.sql.functions._
+    // the streaming plan must carry the broadcast hint on the static side
+    val ev = StreamingPivot.eventsStream(spark, sfDir)
+    val dim = graft.kv.KvTable.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val enriched = StreamingPivot.enrichedNationCounts(ev, dim)
+    enriched.queryExecution.analyzed.toString should include("ResolvedHint")
+    val out = StreamingPivot.runAvailableNow(enriched, "spec_stream_enrich")
+    val batch = graft.kv.KvTable.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(expr("tsNanos DIV 3600000000000").as("w"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"))
+    out.agg(sum(col("n_events"))).head().getLong(0) shouldBe
+      batch.agg(sum(col("n_events"))).head().getLong(0)
+    out.count() shouldBe batch.count()
+  }
 }
