@@ -1125,6 +1125,47 @@ object Queries {
        |FROM p
        |QUALIFY rk <= 10""".stripMargin
 
+  /** Deterministic 80/10/10 train/val/test assignment per doc_id
+    * ([[Sampling.datasetSplit]]): leakage-safe, retry-stable, map-only.
+    */
+  def pipeDatasetSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.datasetSplit(docs(spark, sfDir), "doc_id",
+        trainX1000 = 800, valX1000 = 100)
+      .select(col("doc_id"), col("split"))
+
+  private val pipeDatasetSplitSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |             (${polyHashSql("'split|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents),
+       |d AS (SELECT doc_id, (${scrambleSql("ph")}) % 2147483647 AS draw FROM p)
+       |SELECT doc_id,
+       |  CASE WHEN draw * 1000 < 800::BIGINT * 2147483647 THEN 'train'
+       |       WHEN draw * 1000 < 900::BIGINT * 2147483647 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM d""".stripMargin
+
+  /** Per-doc top-3 tf-idf keywords ([[TextAnalysis.tfIdfTopTerms]]). */
+  def pipeTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(docs(spark, sfDir))
+
+  private val pipeTfidfSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |t AS (SELECT doc_id, unnest(ws) AS term FROM d),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM d),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    tf.tf * ((n.nn * 1000) // dfr.df) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((n.nn * 1000) // dfr.df) DESC, tf.term) AS rk
+      |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+      |SELECT doc_id, term, tf::BIGINT AS tf, score::BIGINT AS score,
+      |  rk::BIGINT AS rk
+      |FROM s WHERE rk <= 3""".stripMargin
+
   /** Weighted corpus mix to a 50k-char budget: source weights assigned by
     * name rank (sorted source list is tiny and collected once — bounded by
     * the source catalog, not the corpus), per-source keep-thresholds are
@@ -2093,6 +2134,8 @@ object Queries {
     "sample_bernoulli" -> (sampleBernoulli _),
     "sample_stratified" -> (sampleStratified _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
+    "pipe_dataset_split" -> (pipeDatasetSplit _),
+    "pipe_tfidf" -> (pipeTfidf _),
     "pipe_canonical_corpus" -> (pipeCanonicalCorpus _),
     "dedup_incremental" -> (dedupIncremental _),
     "pipe_pack_windows" -> (pipePackWindows _),
@@ -2171,6 +2214,8 @@ object Queries {
     "sample_bernoulli" -> sampleBernoulliSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
+    "pipe_dataset_split" -> pipeDatasetSplitSql,
+    "pipe_tfidf" -> pipeTfidfSql,
     "pipe_canonical_corpus" -> pipeCanonicalCorpusSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "pipe_pack_windows" -> pipePackWindowsSql,

@@ -575,6 +575,61 @@ object Scratch {
             println(f"[autobits] n=$n%8d $nm%-7s candidates/query ${cands / 10}%8d")
           }
         }
+      case "scaler6" =>
+        import org.apache.spark.sql.functions._
+        // --- paragraph dedup: 1M ~100-word docs, 20% sharing a boilerplate
+        // preamble chunk-set (the realistic "same header everywhere" case)
+        val pd = spark.range(1000000L).selectExpr(
+          "id AS doc_id",
+          "concat(CASE WHEN id % 5 = 0 THEN 'hdr0 hdr1 hdr2 hdr3 hdr4 hdr5 hdr6 hdr7 hdr8 hdr9 ' ELSE '' END, " +
+            "array_join(transform(sequence(1, 100), i -> concat('w', CAST(abs(xxhash64(id * 100 + i)) % 50000 AS STRING))), ' ')) AS text")
+          .localCheckpoint()
+        time("1M docs paragraph dedup")(
+          println("  docs out = " + graft.ext.Dedup.paragraphDedup(pd).count()))
+        // --- bloom join: 50M fact rows, 1M dim keys, ~2% join selectivity;
+        // shuffle-byte A/B of bloom-reduced vs plain shuffle join
+        @volatile var shuffleBytes = 0L
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              shuffleBytes += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+        })
+        val fact = spark.range(50000000L).selectExpr(
+          "abs(xxhash64(id)) % 50000000 AS k", "id AS payload").localCheckpoint()
+        val dim = spark.range(1000000L).selectExpr("id AS dk").localCheckpoint()
+        def measure(name: String)(f: => Long): Unit = {
+          shuffleBytes = 0L
+          time(name)(println("  rows = " + f))
+          Thread.sleep(2000)
+          println(f"  shuffle write = ${shuffleBytes / 1e6}%.1f MB")
+        }
+        val noBcast = dim.hint("shuffle_hash")
+        measure("plain shuffle join 50M x 1M")(
+          fact.join(noBcast, col("k") === col("dk")).count())
+        measure("bloom-reduced join 50M x 1M")(
+          graft.ops.BloomJoin.reduceJoin(fact, noBcast, "k", "dk",
+            expectedItems = 1000000L, fpp = 0.01).count())
+        // --- KMV distinct: 100M rows, 10M distinct, 5 groups — constant
+        // state vs exact distinct
+        val kv = spark.range(100000000L).selectExpr(
+          "id % 5 AS g", "abs(xxhash64(id)) % 10000000 AS v")
+        measure("exact count(DISTINCT) 100M")(
+          kv.groupBy(col("g")).agg(countDistinct(col("v"))).count())
+        measure("KMV sketch distinct 100M")(
+          kv.groupBy(col("g"))
+            .agg(graft.functions.KmvDistinctAgg.kmvDistinct(col("v")).as("n")).count())
+        kv.groupBy(col("g"))
+          .agg(graft.functions.KmvDistinctAgg.kmvDistinct(col("v")).as("est"),
+            countDistinct(col("v")).as("exact"))
+          .selectExpr("g", "est", "exact",
+            "CAST(abs(est - exact) AS DOUBLE) / exact AS rel_err")
+          .show()
+        // --- snapshot diff: 2M-record generator runs (~20M cells/side)
+        def oldc = graft.kv.KvGenerator.cells(spark, 2000000, 32, "r")
+        def newc = graft.kv.KvGenerator.cells(spark, 2200000, 32, "r")
+          .filter(col("qualifier") =!= "C3")
+        time("snapshot diff 20M vs 20M cells")(
+          println("  changes = " + graft.ops.SnapshotDiff.diff(oldc, newc).count()))
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)

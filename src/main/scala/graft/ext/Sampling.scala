@@ -73,6 +73,24 @@ object Sampling {
     * the integral divide, so budgets up to ~10^18 cost units never
     * overflow.
     */
+  /** Deterministic train/val/test split assignment: each row lands in a
+    * split by its hash draw against cumulative per-mille thresholds — the
+    * standard leakage-safe split for a training corpus (membership is a
+    * pure function of the key, so re-runs, retries, and OTHER MACHINES
+    * agree; adding documents later never moves an existing one across
+    * splits). Map-only: a column, not a shuffle.
+    */
+  def datasetSplit(df: DataFrame, keyCol: String,
+      trainX1000: Long, valX1000: Long, salt: String = "split"): DataFrame = {
+    require(trainX1000 >= 0 && valX1000 >= 0 && trainX1000 + valX1000 <= 1000,
+      "per-mille split fractions must fit in [0, 1000]")
+    val draw = drawOf(col(keyCol), salt)
+    df.withColumn("split",
+      when(draw * 1000 < trainX1000 * PolyHash.Mod, lit("train"))
+        .when(draw * 1000 < (trainX1000 + valX1000) * PolyHash.Mod, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   def weightedMix(df: DataFrame, sourceCol: String, costCol: String,
       keyCol: String, weights: Map[String, Long], budget: Long,
       salt: String = "mix"): DataFrame = {

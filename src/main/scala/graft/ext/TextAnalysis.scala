@@ -154,6 +154,37 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     PiiRules.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
 
+  /** Per-document top-k terms by tf-idf, in EXACT integer arithmetic:
+    * `score = tf · ((N·1000) div df)` — the idf is an integer-scaled
+    * reciprocal document frequency instead of a float log, so a SQL oracle
+    * replays every score bit-exactly and ranking ties (score, then term)
+    * are deterministic. Same signal shape as classic tf-idf keyword
+    * extraction; only the idf curve differs.
+    *
+    * Plan: one (doc, term) count (partial-agg'd explode), one term-keyed
+    * df count OVER THE TF RELATION (already one row per doc-term — no
+    * second pass over raw text), a broadcast of the single-row corpus
+    * count, and a per-doc top-k window. Text crosses the wire once, as
+    * exploded terms.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = docs.filter(length(trim(col("text"))) > 0)
+    val tf = live
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = live.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("_n * 1000 DIV df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("score").cast("long").as("score"), col("rk"))
+  }
+
   /** Gopher/C4-style hard-rule document gate: each doc gets keep=true or the
     * FIRST failing rule's name (fixed rule order ⇒ deterministic reason).
     * All facets come from the one fused [[TextStatsExpr]] scan — the gate is

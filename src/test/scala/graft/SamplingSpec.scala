@@ -90,6 +90,24 @@ class SamplingSpec extends SparkSpec {
     ex.getMessage should include("no weight for source")
   }
 
+  test("datasetSplit: exhaustive, leakage-safe, and stable under corpus growth") {
+    val full = spark.range(10000).selectExpr("id AS doc_id")
+    val s1 = Sampling.datasetSplit(full, "doc_id", 800, 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row assigned, fractions near 80/10/10
+    s1.size shouldBe 10000
+    val train = s1.values.count(_ == "train")
+    val v = s1.values.count(_ == "val")
+    train.toDouble / 10000 shouldBe 0.8 +- 0.03
+    v.toDouble / 10000 shouldBe 0.1 +- 0.02
+    // growth stability: assignments over a subset are IDENTICAL — adding
+    // docs later never moves an existing one across splits
+    val sub = Sampling.datasetSplit(
+        spark.range(5000).selectExpr("id AS doc_id"), "doc_id", 800, 100)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    sub.foreach { case (id, sp) => s1(id) shouldBe sp }
+  }
+
   test("weightedMix plan: corpus side is never shuffled (broadcast thresholds)") {
     val sources = docs.select("source").distinct().as[String].collect().sorted
     val mix = Sampling.weightedMix(docs, "source", "n_chars", "doc_id",

@@ -123,6 +123,21 @@ class TextAnalysisSpec extends SparkSpec {
     reasonOf("the cat sat on the mat in a hat") shouldBe ("ok", true)
   }
 
+  test("tfIdfTopTerms: rare terms outrank common ones, integer-exact scores") {
+    // 3 docs; 'rare' only in doc 1, 'shared' in all -> idf(shared) floor
+    val d = Seq(
+      (1L, "shared shared rare"),
+      (2L, "shared other other"),
+      (3L, "shared misc")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(d, k = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(r => (r._2, r._4))).toMap
+    // doc 1: rare tf=1 idf=(3*1000)//1=3000 -> 3000; shared tf=2 idf=1000 -> 2000
+    out(1L) shouldBe Array(("rare", 3000L), ("shared", 2000L))
+    // doc 2: other tf=2 idf=3000 -> 6000 beats shared 1000
+    out(2L).head shouldBe ("other", 6000L)
+  }
+
   test("fingerprint is stable and collision-spread over real docs") {
     val fps = TextAnalysis.fingerprints(
       spark.read.parquet(s"$sfDir/documents.parquet"))
