@@ -1166,6 +1166,35 @@ object Queries {
       |  rk::BIGINT AS rk
       |FROM s WHERE rk <= 3""".stripMargin
 
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): docs with
+    * `doc_id % 50 == 0` stand in for a held-out eval set; every other doc
+    * sharing at least one word 4-gram with it is reported with its distinct
+    * shared-gram count (k=4 on this small-vocabulary synthetic corpus plays
+    * the role 13-grams do on web text). The benchmark gram set is broadcast
+    * — the corpus is scanned once and never shuffled; only matched gram rows
+    * reach the one aggregation exchange.
+    */
+  def pipeDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.Dedup
+    val d = docs(spark, sfDir)
+    Dedup.decontaminate(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0),
+      k = 4)
+  }
+
+  private val pipeDecontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 2),
+      |        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS s
+      |      FROM toks WHERE len(t) >= 4),
+      |bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id, count(*)::BIGINT AS hits
+      |FROM g JOIN bg USING (s)
+      |WHERE g.doc_id % 50 <> 0
+      |GROUP BY 1""".stripMargin
+
   /** Weighted corpus mix to a 50k-char budget: source weights assigned by
     * name rank (sorted source list is tiny and collected once — bounded by
     * the source catalog, not the corpus), per-source keep-thresholds are
@@ -2136,6 +2165,7 @@ object Queries {
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_dataset_split" -> (pipeDatasetSplit _),
     "pipe_tfidf" -> (pipeTfidf _),
+    "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_canonical_corpus" -> (pipeCanonicalCorpus _),
     "dedup_incremental" -> (dedupIncremental _),
     "pipe_pack_windows" -> (pipePackWindows _),
@@ -2216,6 +2246,7 @@ object Queries {
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_dataset_split" -> pipeDatasetSplitSql,
     "pipe_tfidf" -> pipeTfidfSql,
+    "pipe_decontaminate" -> pipeDecontaminateSql,
     "pipe_canonical_corpus" -> pipeCanonicalCorpusSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "pipe_pack_windows" -> pipePackWindowsSql,

@@ -190,6 +190,38 @@ object Dedup {
       .filter(col("jac_x1000") >= threshold)
   }
 
+  // ------------------------------------------------------- decontamination
+
+  /** Distinct word k-gram rows (doc_id, s) — [[shingleRows]] generalized to
+    * any window width. The token array is materialized via a projection
+    * first, for the same reason documented on [[shingleRows]].
+    */
+  private def shingleRowsK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("t")) - (k - 1)), i =>
+          concat_ws(" ", (0 until k).map(d => element_at(col("t"), i + d)): _*)))).as("s"))
+
+  /** Benchmark decontamination scan: training docs that share at least one
+    * word k-gram with the benchmark/eval set, with the count of distinct
+    * shared k-grams as the contamination evidence.
+    *
+    * Scale shape: eval sets are tiny next to a training corpus (MBs vs TBs),
+    * so the benchmark's distinct-gram set is BROADCAST — the corpus is
+    * scanned exactly once, the gram join is map-side, and only the matched
+    * gram rows (contaminated docs only) reach the single aggregation
+    * exchange. The corpus itself is never shuffled. k defaults to 5 here;
+    * production decontamination runs use k≈13 — the knob is the same.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, k: Int = 5): DataFrame = {
+    val benchGrams = shingleRowsK(bench, k).select(col("s")).distinct()
+    shingleRowsK(train, k)
+      .join(broadcast(benchGrams), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Fixed-width MinHash signature: s_j = min over shingles of

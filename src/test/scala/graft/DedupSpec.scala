@@ -45,6 +45,18 @@ class DedupSpec extends SparkSpec {
     pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
   }
 
+  test("decontaminate: doc sharing a 5-gram with the benchmark is flagged with its hit count") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta epsilon zeta y"), // contains 2 benchmark 5-grams
+      (2L, "completely unrelated words that never overlap anything"),
+      (3L, "alpha beta gamma short")) // 4 tokens: no 5-gram at all
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 2L)
+  }
+
   test("minhash: identical docs -> identical signatures; LSH finds the pair") {
     val sig = Dedup.minhashSignatures(docsDf)
     val rows = sig.filter(col("doc_id").isin(1L, 3L)).drop("doc_id").collect()

@@ -122,6 +122,12 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("decontaminate broadcasts the benchmark gram set, never a sort-merge join") {
+    val plan = executedPlan(Queries.pipeDecontaminate(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("enrich join broadcasts the dim side, no shuffle of the fact side") {
     val plan = executedPlan(Queries.relEnrichJoin(spark, sfDir))
     plan should include("BroadcastHashJoin")
