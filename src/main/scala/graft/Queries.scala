@@ -1369,6 +1369,26 @@ object Queries {
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE (i * 1000) // (sa.n + sb.n - i) >= 800""".stripMargin
 
+  /** Duplicated 8-token spans ([[Dedup.substringDupSpans]]): window-level
+    * substring dedup — strings are hashed to 128 bits before any exchange.
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDupSpans(docs(spark, sfDir))
+
+  private val dedupSubstringSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+      |      FROM toks WHERE len(t) >= 8),
+      |w AS (SELECT doc_id, pos, concat_ws(' ', t[pos], t[pos+1], t[pos+2],
+      |        t[pos+3], t[pos+4], t[pos+5], t[pos+6], t[pos+7]) AS s
+      |      FROM p),
+      |d AS (SELECT s FROM w GROUP BY s HAVING count(*) > 1)
+      |SELECT doc_id, count(*)::BIGINT AS dup_windows,
+      |  min(pos)::BIGINT AS first_pos
+      |FROM w JOIN d USING (s)
+      |GROUP BY 1""".stripMargin
+
   def dedupMinhashSig(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashSignatures(docs(spark, sfDir))
 
@@ -2173,6 +2193,7 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_jaccard_df" -> (dedupJaccardDf _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
@@ -2254,6 +2275,7 @@ object Queries {
     "dedup_exact" -> dedupExactSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_jaccard_df" -> dedupJaccardDfSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,

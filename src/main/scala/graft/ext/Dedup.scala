@@ -222,6 +222,40 @@ object Dedup {
       .agg(count(lit(1)).as("hits"))
   }
 
+  // ------------------------------------------------------ substring spans
+
+  /** Duplicated k-token span detection: every k-token window (all positions,
+    * not distinct) whose text occurs more than once corpus-wide, aggregated
+    * per doc as (window count, first position) — the window-level
+    * approximation of suffix-array substring dedup: a duplicated run of
+    * length L ≥ k shows up as L-k+1 duplicated windows at consecutive
+    * positions.
+    *
+    * Scale shape: window STRINGS never cross an exchange — each window is
+    * reduced to the 128-bit [[textKey128]]-style hash pair before the first
+    * shuffle, so the duplicate-count exchange ships 32 bytes/row. Duplicate
+    * counting is a partition-key analytic (one hash exchange), the per-doc
+    * rollup is the second; collision odds are the documented ~n²/2^129 of
+    * [[exact]].
+    */
+  def substringDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    // Window array materialized per doc (O(k·|doc|) in one buffer, the
+    // shingleRows pattern) — positions are 1-based via posexplode + 1.
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+    val windows = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(d => element_at(col("t"), i + d)): _*)))
+        .as(Seq("_p", "_s")))
+    val keyed = windows.select(col("doc_id"), (col("_p") + 1).as("pos"),
+      xxhash64(col("_s")).as("_h1"),
+      xxhash64(lit("graft.dedup.salt"), col("_s")).as("_h2"))
+    val cnt = count(lit(1)).over(Window.partitionBy(col("_h1"), col("_h2")))
+    keyed.withColumn("_c", cnt).filter(col("_c") > 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"), min(col("pos")).as("first_pos"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Fixed-width MinHash signature: s_j = min over shingles of

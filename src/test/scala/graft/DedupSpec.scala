@@ -57,6 +57,19 @@ class DedupSpec extends SparkSpec {
     out shouldBe Map(1L -> 2L)
   }
 
+  test("substring spans: a duplicated k-run yields L-k+1 consecutive dup windows") {
+    // Docs 10/11 share a 9-token run -> 2 duplicated 8-windows each, starting
+    // at positions 2 and 1; doc 12 shares nothing 8 tokens long.
+    val d = Seq(
+      (10L, "pre one two three four five six seven eight nine"),
+      (11L, "one two three four five six seven eight nine post"),
+      (12L, "one two three four five six seven unrelated tail here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(d, k = 8)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    out shouldBe Map(10L -> ((2L, 2L)), 11L -> ((2L, 1L)))
+  }
+
   test("minhash: identical docs -> identical signatures; LSH finds the pair") {
     val sig = Dedup.minhashSignatures(docsDf)
     val rows = sig.filter(col("doc_id").isin(1L, 3L)).drop("doc_id").collect()
