@@ -170,6 +170,40 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
+  /** HBase delete-marker compaction ([[KvPivot.compactTombstones]]): every
+    * third generated record's C9 write doubles as a "delete C0 as of my ts"
+    * column tombstone (C9 ts = id*10+9, so id % 3 == 0 ⟺ ts % 30 == 9);
+    * the compacted output keeps only C0/C1 puts that survive the newest
+    * masking tombstone at their coordinate. C1 has no tombstones (full
+    * history survives); C0's colliding version stacks (up to depth 4 at 100k
+    * records over the 32768-key space) are genuinely masked. One exchange,
+    * no join — the marker max is a partition-key analytic over the unioned
+    * relation.
+    */
+  def kvCompactTombstones(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvGenerator.cells(spark, VersionRecords, GenTasks, "run1")
+    val puts = cells.filter(col("qualifier").isin("C0", "C1"))
+    val tombs = cells
+      .filter(col("qualifier") === "C9" && col("ts") % 30 === 9)
+      .select(col("rowKey"), lit("C0").as("qualifier"), col("ts"))
+    KvPivot.compactTombstones(puts, tombs)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  private val kvCompactTombstonesSql: String =
+    s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
+       |u AS (
+       |  SELECT rowKey, qualifier, value, ts, FALSE AS tomb FROM g
+       |  WHERE qualifier IN ('C0', 'C1')
+       |  UNION ALL
+       |  SELECT rowKey, 'C0' AS qualifier, NULL AS value, ts, TRUE AS tomb
+       |  FROM g WHERE qualifier = 'C9' AND ts % 30 = 9),
+       |m AS (SELECT *, max(CASE WHEN tomb THEN ts END)
+       |        OVER (PARTITION BY rowKey, qualifier) AS tmax FROM u)
+       |SELECT rowKey, qualifier, value, ts
+       |FROM m WHERE NOT tomb AND (tmax IS NULL OR ts > tmax)""".stripMargin
+
   /** CDC snapshot diff (ext of the export family): an older generator run
     * (1000 ids) vs a newer state where qualifier C3 was dropped (deletes),
     * 200 new ids appeared (inserts), and every C0 cell was rewritten
@@ -2149,6 +2183,7 @@ object Queries {
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_versions_retain" -> (kvVersionsRetain _),
     "kv_ttl_expire" -> (kvTtlExpire _),
+    "kv_compact_tombstones" -> (kvCompactTombstones _),
     "kv_snapshot_diff" -> (kvSnapshotDiff _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_typed_decode" -> (kvTypedDecode _),
@@ -2231,6 +2266,7 @@ object Queries {
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_versions_retain" -> kvVersionsRetainSql,
     "kv_ttl_expire" -> kvTtlExpireSql,
+    "kv_compact_tombstones" -> kvCompactTombstonesSql,
     "kv_snapshot_diff" -> kvSnapshotDiffSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_typed_decode" -> kvTypedDecodeSql,

@@ -177,4 +177,29 @@ object KvPivot {
     require(ttl > 0, "ttl must be positive")
     cells.filter(col("ts") > nowTs - ttl)
   }
+
+  /** HBase major-compaction semantics for column delete markers: a tombstone
+    * `(rowKey, qualifier, ts)` masks every put at the same coordinate with
+    * `put.ts <= tombstone.ts`; a major compaction drops the masked cells AND
+    * the markers themselves (HBase 0.94 Delete/Store semantics — the read
+    * path the reference's full-table scans silently rely on HBase to apply).
+    *
+    * Plan shape: NO join. Puts and tombstones are unioned into one relation
+    * and the per-coordinate max tombstone ts is a partition-key analytic —
+    * one exchange on (rowKey, qualifier), the same key the downstream pivot
+    * shuffles on anyway. A join formulation would shuffle both inputs AND
+    * re-exchange the result; this shuffles each input row exactly once.
+    */
+  def compactTombstones(puts: DataFrame, tombstones: DataFrame): DataFrame = {
+    val u = puts.select(col("rowKey"), col("qualifier"), col("value"),
+        col("ts"), lit(false).as("_tomb"))
+      .unionByName(tombstones.select(col("rowKey"), col("qualifier"),
+        lit(null).cast("binary").as("value"), col("ts"), lit(true).as("_tomb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rowKey"), col("qualifier"))
+    val tombMax = max(when(col("_tomb"), col("ts"))).over(w)
+    u.withColumn("_tmax", tombMax)
+      .filter(!col("_tomb") && (col("_tmax").isNull || col("ts") > col("_tmax")))
+      .drop("_tomb", "_tmax")
+  }
 }

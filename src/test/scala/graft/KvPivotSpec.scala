@@ -170,6 +170,27 @@ class KvPivotSpec extends SparkSpec {
       .select(decode(col("value"), "UTF-8")).as[String].collect() shouldBe Array("v2")
   }
 
+  test("compactTombstones: marker masks puts at or before its ts, markers dropped") {
+    import org.apache.spark.sql.functions._
+    val puts = Seq(
+      ("k1", "C0", "old", 10L), ("k1", "C0", "atMark", 20L),
+      ("k1", "C0", "new", 30L), // only this C0 survives the ts=20 marker
+      ("k1", "C1", "other", 5L), // different qualifier: untouched
+      ("k2", "C0", "noTomb", 1L)) // coordinate without a marker
+      .toDF("rowKey", "qualifier", "value", "ts")
+      .withColumn("value", encode(col("value"), "UTF-8"))
+    val tombs = Seq(("k1", "C0", 20L)).toDF("rowKey", "qualifier", "ts")
+    val out = KvPivot.compactTombstones(puts, tombs)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    out shouldBe Set(
+      ("k1", "C0", "new", 30L),
+      ("k1", "C1", "other", 5L),
+      ("k2", "C0", "noTomb", 1L))
+  }
+
   test("snapshot diff: insert/delete/update per cell, LWW-resolved per side") {
     def cells(rows: (String, String, String, Long)*): DataFrame =
       rows.toDF("rowKey", "qualifier", "v", "ts")

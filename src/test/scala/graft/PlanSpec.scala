@@ -107,6 +107,12 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
   }
 
+  test("tombstone compaction runs exactly one exchange and no join") {
+    val plan = executedPlan(Queries.all("kv_compact_tombstones")(spark, sfDir))
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+    plan should not include "Join"
+  }
+
   test("bloom join: the might-contain predicate filters the fact side before the join") {
     val plan = executedPlan(Queries.relBloomJoin(spark, sfDir))
     plan should include("bloom_might_contain")
