@@ -390,6 +390,7 @@ object Queries {
     ensureSessionDir(spark, sfDir)
     ensureSessionLateDir(spark, sfDir)
     ensurePivotLateDir(spark, sfDir)
+    ensureJoinDir(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -2026,6 +2027,43 @@ object Queries {
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  private def ensureJoinDir(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"join_dir|$sfDir", _ =>
+      StreamingPivot.stageEventsOrdered(
+        spark.read.schema(KvTable.EventsParquetSchema)
+          .parquet(s"$sfDir/events.parquet"), nChunks = 4))
+
+  /** Stream-stream interval join ([[StreamingPivot.intervalJoin]]) over a
+    * genuine multi-batch replay: clicks and purchases read as two file
+    * streams off the same time-ordered 4-chunk staging
+    * (`maxFilesPerTrigger=1`), so pairs straddling chunk boundaries must
+    * survive in join state across micro-batches. Batch-parity oracle is the
+    * plain interval join in micros arithmetic.
+    */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureJoinDir(spark, sfDir)
+    def side(tpe: String) = spark.readStream
+      .schema(KvTable.EventsParquetSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .filter(col("event_type") === tpe)
+    StreamingPivot.runAvailableNow(
+      StreamingPivot.intervalJoin(side("click"), side("purchase")),
+      "stream_join_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  private val streamJoinSql: String =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+      |  epoch_ns(a.ts) // 1000 AS click_us,
+      |  epoch_ns(b.ts) // 1000 AS purchase_us,
+      |  CAST(floor(b.value * 100) AS BIGINT) AS val_x100
+      |FROM events a JOIN events b
+      |  ON a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND a.user_id = b.user_id
+      |  AND epoch_ns(b.ts) // 1000 >= epoch_ns(a.ts) // 1000
+      |  AND epoch_ns(b.ts) // 1000 <= epoch_ns(a.ts) // 1000 + 14400000000""".stripMargin
+
   /** Streaming exact dedup: distinct (rowKey, qualifier) pairs maintained as
     * streaming state, run to batch parity (append mode).
     */
@@ -2250,6 +2288,7 @@ object Queries {
     "mm_video_decode" -> (mmVideoDecode _),
     "stream_pivot" -> (streamPivot _),
     "stream_enrich" -> (streamEnrich _),
+    "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
     "stream_sessions_late" -> (streamSessionsLate _),
@@ -2333,6 +2372,7 @@ object Queries {
     "mm_video_decode" -> mmVideoDecodeSql,
     "stream_pivot" -> streamPivotSql,
     "stream_enrich" -> streamEnrichSql,
+    "stream_join" -> streamJoinSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,
     "stream_sessions_late" -> streamSessionsSql,

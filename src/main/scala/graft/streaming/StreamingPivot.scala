@@ -461,6 +461,50 @@ object StreamingPivot {
     * watermark, so Append mode never finalizes it. Returns
     * `(dir, lateNanos)`; the reader's watermark must cover `lateNanos`.
     */
+  /** Stage the RAW events relation as an event-time-ORDERED multi-file
+    * stream (`nChunks` disjoint time-range files, replayed one per trigger,
+    * no punctuation): the replay harness for operators whose emission is
+    * data-driven rather than watermark-driven — a stream-stream INNER join
+    * emits each pair the micro-batch both sides have arrived, so no flush
+    * wave is needed to drain it at end of replay.
+    */
+  def stageEventsOrdered(events: DataFrame, nChunks: Int): String =
+    Staging.assemble("graft_join_", events, "ts", nChunks, swap = false, Seq.empty)
+
+  /** Stream-stream event-time interval join: each click matched to every
+    * purchase by the same user with `purchaseTime` inside
+    * `[clickTime, clickTime + maxGap]` — the attribution-join shape.
+    *
+    * State is BOUNDED by construction: the interval condition plus the two
+    * watermarks hand Spark an eviction rule for both sides (a click leaves
+    * state once the global watermark passes `clickTime + maxGap`; a
+    * purchase as soon as it passes `purchaseTime`), so steady-state size is
+    * input-rate × (maxGap + delay), independent of stream length. Under
+    * time-ordered replay a source's watermark can never overtake events
+    * that haven't arrived, so ANY non-negative delay keeps the join exact —
+    * the tight default maximizes eviction, it does not trade correctness.
+    * Inner-join emission is data-driven (no watermark latency): rows appear
+    * in the micro-batch where the later side arrives.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      maxGap: String = "4 hours", watermark: String = "1 second"): DataFrame = {
+    val a = clicks.select(col("event_id").as("click_id"), col("user_id"),
+        expr("timestamp_micros(ts DIV 1000)").as("clickTime"))
+      .withWatermark("clickTime", watermark)
+    val b = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("value"),
+        expr("timestamp_micros(ts DIV 1000)").as("purchaseTime"))
+      .withWatermark("purchaseTime", watermark)
+    a.join(b,
+        col("user_id") === col("p_user_id") &&
+          col("purchaseTime") >= col("clickTime") &&
+          col("purchaseTime") <= col("clickTime") + expr(s"INTERVAL $maxGap"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("clickTime")).as("click_us"),
+        unix_micros(col("purchaseTime")).as("purchase_us"),
+        floor(col("value") * 100).cast("long").as("val_x100"))
+  }
+
   def stageEventsShuffled(events: DataFrame, nChunks: Int,
       horizonNanos: Long, punctType: String = "click"): (String, Long) = {
     val mm = events.agg(min(col("ts")), max(col("ts"))).collect()(0)

@@ -184,4 +184,34 @@ class StreamingPivotSpec extends SparkSpec {
       batch.agg(sum(col("n_events"))).head().getLong(0)
     out.count() shouldBe batch.count()
   }
+
+  private case class Ev(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  test("stream-stream interval join: state carries clicks across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingPivot.intervalJoin(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("sj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h = 3600L * 1000000000L // one hour in nanos
+      clicks.addData(
+        Ev(1, 10 * h, 7, "click", 0.0, ""),
+        Ev(2, 20 * h, 8, "click", 0.0, ""))
+      q.processAllAvailable()
+      // purchases arrive a LATER micro-batch: the matching click must still
+      // be in join state
+      purchases.addData(
+        Ev(3, 12 * h, 7, "purchase", 1.25, ""), // 2h after click 1: match
+        Ev(4, 15 * h, 7, "purchase", 2.0, ""), // 5h after: past the 4h gap
+        Ev(5, 20 * h - 1, 8, "purchase", 3.0, "")) // before click 2: no match
+      q.processAllAvailable()
+      val rows = spark.table("sj_test")
+        .select("click_id", "purchase_id", "user_id", "val_x100")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      rows shouldBe Set((1L, 3L, 7L, 125L))
+    } finally q.stop()
+  }
 }
