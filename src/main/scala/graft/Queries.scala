@@ -733,6 +733,50 @@ object Queries {
       |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Iterative graph compute ([[graft.ops.PageRank]]): 3 supersteps of
+    * integer-exact PageRank over the symmetric customer↔supplier trade
+    * graph (an edge per distinct lineitem trade relationship, both
+    * directions, nodes namespaced even/odd). Every superstep is one hash
+    * join + one aggregation exchange; fixed-count iteration built into the
+    * plan, nothing driver-side.
+    */
+  def relPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = KvTable.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = KvTable.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+      .union(raw.select(col("b").as("src"), col("a").as("dst")))
+    graft.ops.PageRank.run(edges)
+  }
+
+  private val relPagerankSql: String =
+    """WITH raw AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |nn AS (SELECT count(*) AS N FROM nodes),
+      |r0 AS (SELECT node, 1000000000000 // N AS r FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT dst, sum(r // deg) AS cin
+      |       FROM r0 JOIN e ON node = src JOIN deg USING (src) GROUP BY 1),
+      |r1 AS (SELECT node, (1000000000000 * 15) // (100 * N)
+      |         + (85 * coalesce(cin, 0)) // 100 AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = dst),
+      |c2 AS (SELECT dst, sum(r // deg) AS cin
+      |       FROM r1 JOIN e ON node = src JOIN deg USING (src) GROUP BY 1),
+      |r2 AS (SELECT node, (1000000000000 * 15) // (100 * N)
+      |         + (85 * coalesce(cin, 0)) // 100 AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = dst),
+      |c3 AS (SELECT dst, sum(r // deg) AS cin
+      |       FROM r2 JOIN e ON node = src JOIN deg USING (src) GROUP BY 1),
+      |r3 AS (SELECT node, (1000000000000 * 15) // (100 * N)
+      |         + (85 * coalesce(cin, 0)) // 100 AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
+      |SELECT node::BIGINT AS node, r::BIGINT AS rank_s FROM r3""".stripMargin
+
   /** Semi/anti joins (SURVEY §2.4 — absent in the reference, free in Spark):
     * active users = customers with at least one event; for each, order count
     * plus an anti-join flag against high-priority orders. Both sides plan as
@@ -2239,6 +2283,7 @@ object Queries {
     "rel_asof_join" -> (relAsofJoin _),
     "rel_range_join" -> (relRangeJoin _),
     "rel_rollup" -> (relRollup _),
+    "rel_pagerank" -> (relPagerank _),
     "rel_quantiles" -> (relQuantiles _),
     "rel_semi_anti" -> (relSemiAnti _),
     "rel_bloom_join" -> (relBloomJoin _),
@@ -2323,6 +2368,7 @@ object Queries {
     "rel_asof_join" -> relAsofJoinSql,
     "rel_range_join" -> relRangeJoinSql,
     "rel_rollup" -> relRollupSql,
+    "rel_pagerank" -> relPagerankSql,
     "rel_quantiles" -> relQuantilesSql,
     "rel_semi_anti" -> relSemiAntiSql,
     "rel_bloom_join" -> relBloomJoinSql,
