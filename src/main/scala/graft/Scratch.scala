@@ -630,6 +630,50 @@ object Scratch {
           .filter(col("qualifier") =!= "C3")
         time("snapshot diff 20M vs 20M cells")(
           println("  changes = " + graft.ops.SnapshotDiff.diff(oldc, newc).count()))
+      case "scaler6b" =>
+        import org.apache.spark.sql.functions._
+        // --- decontamination: 5M-doc corpus vs a 50k-doc eval set whose
+        // texts are exact copies of every 100th corpus doc (worst-case
+        // contamination density: every eval gram hits).
+        def corpusText(idExpr: String) =
+          s"array_join(transform(sequence(1, 60), i -> concat('w', " +
+            s"CAST(abs(xxhash64(($idExpr) * 60 + i)) % 30000 AS STRING))), ' ') AS text"
+        val corpus = spark.range(5000000L)
+          .selectExpr("id AS doc_id", corpusText("id")).localCheckpoint()
+        val evalSet = spark.range(50000L)
+          .selectExpr("id + 10000000 AS doc_id", corpusText("id * 100"))
+        time("decontaminate 5M docs vs 50k eval")(
+          println("  contaminated = " +
+            graft.ext.Dedup.decontaminate(corpus, evalSet, k = 4).count()))
+        // --- substring spans: 1M docs, 20% share a 10-token boilerplate
+        // preamble -> every preamble window duplicated across 200k docs
+        val pd = spark.range(1000000L).selectExpr(
+          "id AS doc_id",
+          "concat(CASE WHEN id % 5 = 0 THEN 'hdr0 hdr1 hdr2 hdr3 hdr4 hdr5 hdr6 hdr7 hdr8 hdr9 ' ELSE '' END, " +
+            "array_join(transform(sequence(1, 100), i -> concat('w', CAST(abs(xxhash64(id * 100 + i)) % 50000 AS STRING))), ' ')) AS text")
+          .localCheckpoint()
+        time("substring dup spans 1M docs")(
+          println("  docs with dup spans = " +
+            graft.ext.Dedup.substringDupSpans(pd).count()))
+        // --- tombstone compaction: 2M-record generator (~20M cells), every
+        // third record's C9 write masking its C0 stack
+        def tcells = graft.kv.KvGenerator.cells(spark, 2000000, 32, "r")
+        time("tombstone compaction 20M cells") {
+          val puts = tcells
+          val tombs = tcells
+            .filter(col("qualifier") === "C9" && col("ts") % 30 === 9)
+            .select(col("rowKey"), lit("C0").as("qualifier"), col("ts"))
+          println("  survivors = " +
+            graft.ops.KvPivot.compactTombstones(puts, tombs).count())
+        }
+        // --- PageRank: 10M-edge random graph over 1M nodes, 3 supersteps
+        val redges = spark.range(10000000L).selectExpr(
+          "abs(xxhash64(id)) % 1000000 AS src",
+          "abs(xxhash64(id + 77)) % 1000000 AS dst")
+        val symEdges = redges.union(
+          redges.selectExpr("dst AS src", "src AS dst")).localCheckpoint()
+        time("pagerank 20M directed edges, 3 iters")(
+          println("  nodes = " + graft.ops.PageRank.run(symEdges).count()))
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)
