@@ -2091,10 +2091,14 @@ object Queries {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .filter(col("event_type") === tpe)
+    // 8 state partitions: a stream-stream join keeps 4 state stores per
+    // partition, each paying per-batch commit I/O regardless of rows — size
+    // to the rate × gap state volume (tiny here), not the session default.
     StreamingPivot.runAvailableNow(
       StreamingPivot.intervalJoin(side("click"), side("purchase")),
       "stream_join_out",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      shufflePartitions = Some(8))
   }
 
   private val streamJoinSql: String =

@@ -122,14 +122,24 @@ object StreamingPivot {
     * `stateStoreProvider` overrides the state store backend for THIS query
     * only: the conf is read once at query start, so a set/restore around
     * `start()` scopes it (restored even when the run throws).
+    *
+    * `shufflePartitions` pins the query's STATE partition count (state store
+    * instances = shuffle partitions, fixed at first run). Every instance
+    * pays per-micro-batch commit I/O regardless of row count, so stateful
+    * queries size this to their state VOLUME, not to the session default —
+    * a stream-stream join holding rate × gap rows wants few fat stores at
+    * test rates and proportionally more at production rates.
     */
   def runAvailableNow(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
-      stateStoreProvider: Option[String] = None): DataFrame = {
+      stateStoreProvider: Option[String] = None,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    stateStoreProvider.foreach(spark.conf.set(key, _))
+    val overrides =
+      stateStoreProvider.map("spark.sql.streaming.stateStore.providerClass" -> _) ++
+        shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }.toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = df.writeStream
         .format("memory").queryName(name)
@@ -138,9 +148,9 @@ object StreamingPivot {
         .start()
       q.awaitTermination()
     } finally {
-      if (stateStoreProvider.isDefined) prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
     spark.table(name)
