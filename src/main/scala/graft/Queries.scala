@@ -391,6 +391,7 @@ object Queries {
     ensureSessionLateDir(spark, sfDir)
     ensurePivotLateDir(spark, sfDir)
     ensureJoinDir(spark, sfDir)
+    ensurePartitionedEvents(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -493,6 +494,43 @@ object Queries {
       |SELECT KEY, 'qty' AS qualifier, qty AS value FROM r
       |UNION ALL SELECT KEY, 'ln' AS qualifier, ln AS value FROM r
       |UNION ALL SELECT KEY, 'flag' AS qualifier, flag AS value FROM r""".stripMargin
+
+  // ---------------------------------------------- hive-layout partitioning
+
+  /** The events table re-written in hive partition layout
+    * (`event_type=<v>/part-*.parquet`). Directory partitioning is the
+    * 100-TB scan reducer the reference gets from HBase key ranges + column
+    * families (HBaseUtils.java pre-splits): a predicate on the partition
+    * column prunes whole directories at PLANNING time — zero I/O and zero
+    * tasks for the pruned values — where a row predicate still lists and
+    * opens every file. Built once per sfDir as a persisted artifact.
+    */
+  private def ensurePartitionedEvents(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"part_events|$sfDir", _ => {
+      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = tmpOut(s"part_events_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      KvTable.events(spark, sfDir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      path
+    })
+
+  /** Partition-pruned aggregate over the hive-layout events: the
+    * `event_type` equality resolves against directory names (PlanSpec
+    * asserts the scan's PartitionFilters), so the job reads one partition's
+    * files instead of row-filtering all of them.
+    */
+  def kvPartitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(ensurePartitionedEvents(spark, sfDir))
+    part.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(floor(col("value") * 100)).cast("long").as("sum_x100"))
+  }
+
+  private val kvPartitionedScanSql: String =
+    """SELECT user_id, count(*) AS n_clicks,
+      |  CAST(sum(floor(value * 100)) AS BIGINT) AS sum_x100
+      |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- K1–K4 sinks
 
@@ -2272,6 +2310,7 @@ object Queries {
     "kv_compact_tombstones" -> (kvCompactTombstones _),
     "kv_snapshot_diff" -> (kvSnapshotDiff _),
     "kv_region_histogram" -> (kvRegionHistogram _),
+    "kv_partitioned_scan" -> (kvPartitionedScan _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
     "kv_unpivot" -> (kvUnpivot _),
@@ -2357,6 +2396,7 @@ object Queries {
     "kv_compact_tombstones" -> kvCompactTombstonesSql,
     "kv_snapshot_diff" -> kvSnapshotDiffSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
+    "kv_partitioned_scan" -> kvPartitionedScanSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,
     "kv_unpivot" -> kvUnpivotSql,

@@ -87,6 +87,15 @@ class PlanSpec extends SparkSpec {
     df.count() should be > 0L
   }
 
+  test("hive-partitioned events scan prunes on event_type at planning time") {
+    val plan = executedPlan(Queries.all("kv_partitioned_scan")(spark, sfDir))
+    // the equality predicate resolves against directory names, not row data
+    plan should include("PartitionFilters: [isnotnull(event_type")
+    plan should include("= click)")
+    // and is NOT re-checked as a row-level parquet pushdown
+    plan should not include "PushedFilters: [IsNotNull(event_type)"
+  }
+
   test("bernoulli sample is map-only: zero exchanges, filter reaches the scan stage") {
     val plan = executedPlan(Queries.all("sample_bernoulli")(spark, sfDir))
     plan should not include "Exchange"
