@@ -1719,6 +1719,28 @@ object Queries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk FROM p)
        |SELECT q, nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
 
+  /** Int8-quantized ANN scan ([[Similarity.quantTopK]]): ranking by the
+    * integer dot of packed 64-byte vectors. The oracle replays the exact
+    * quantization (`round(127·v/‖v‖)` — round-half-away ties agree between
+    * engines on identical doubles) and integer dot, so this hash-matches
+    * rather than being recall-judged.
+    */
+  def annTopkQuant(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.quantTopK(embeds(spark, sfDir), isQuery)
+
+  private val annTopkQuantSql: String =
+    s"""WITH $annNormCte,
+       |qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127 / nrm)::BIGINT) AS qv
+       |       FROM n),
+       |pr AS (SELECT a.vec_id AS q, c.vec_id AS nb,
+       |         list_reduce(list_transform(list_zip(a.qv, c.qv), z -> z[1] * z[2]),
+       |                     (x, y) -> x + y)::BIGINT AS dot_q
+       |       FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+       |       WHERE a.vec_id % 50 = 0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY dot_q DESC, nb) AS rk
+       |      FROM pr)
+       |SELECT q, nb, rk::BIGINT AS rank, dot_q FROM r WHERE rk <= 5""".stripMargin
+
   def annTopkLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.lshTopK(embeds(spark, sfDir), isQuery)
 
@@ -2364,6 +2386,7 @@ object Queries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embed_lsh_pairs" -> (dedupEmbedLshPairs _),
     "ann_topk_brute" -> (annTopkBrute _),
+    "ann_topk_quant" -> (annTopkQuant _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_pruned" -> (annTopkIvfPruned _),
@@ -2450,6 +2473,7 @@ object Queries {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embed_lsh_pairs" -> dedupEmbedLshPairsSql,
     "ann_topk_brute" -> annTopkBruteSql,
+    "ann_topk_quant" -> annTopkQuantSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_ivf_pruned" -> annTopkIvfSql,

@@ -109,6 +109,38 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ------------------------------------------------------ int8 quantization
+
+  /** vec_id + the L2-normalized vector scaled-int8-quantized and PACKED to
+    * one byte per component (`round(127 · v_i / ||v||)`): 64 B/vector
+    * instead of 512 B of doubles. See [[graft.functions.Int8Ops]] for the
+    * 100-TB memory argument.
+    */
+  def quantIndex(embeddings: DataFrame): DataFrame =
+    index(embeddings).select(col("vec_id"),
+      graft.functions.Int8Ops.pack(
+        transform(col("v"), x => round(x * 127 / col("nrm")).cast("int"))).as("qv"))
+
+  /** Memory-bound ANN scan: rank by the INTEGER dot of packed int8 vectors
+    * (≈ 127²·cosine). Same broadcast-queries × corpus shape as [[bruteTopK]]
+    * but the corpus scan touches 1/8th the bytes and the inner loop is an
+    * integer multiply-add — at 100 TB this is the difference between a
+    * memory-bandwidth-bound scan that fits the quantized corpus in executor
+    * page cache and one that thrashes. Integer scores are also exactly
+    * reproducible in the oracle (no FP summation-order concerns).
+    */
+  def quantTopK(embeddings: DataFrame, isQuery: Column => Column, k: Int = 5): DataFrame = {
+    val qi = quantIndex(embeddings)
+    val qs = broadcast(qi.filter(isQuery(col("vec_id")))).as("qr")
+    val scored = qs.join(qi.as("cand"), col("cand.vec_id") =!= col("qr.vec_id"))
+      .select(col("qr.vec_id").as("q"), col("cand.vec_id").as("nb"),
+        graft.functions.Int8Ops.dot(col("qr.qv"), col("cand.qv")).as("dot_q"))
+    val w = Window.partitionBy(col("q")).orderBy(col("dot_q").desc, col("nb"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("nb"), col("rank").cast("long").as("rank"), col("dot_q"))
+  }
+
   // ------------------------------------------------------------- IVF
 
   val NumCells = 32

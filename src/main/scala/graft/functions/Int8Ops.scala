@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Int8 vector quantization primitives (SURVEY §7.6 similarity extension).
+  *
+  * The 100-TB argument: a 64-dim float32 embedding corpus is 256 B/vector
+  * (512 B once widened to double for exact math); scaled-int8 quantization
+  * stores the same vector in 64 B — a 4-8× cut in scan bytes, shuffle bytes,
+  * and broadcast size — and scores candidates with an integer dot product
+  * (SIMD-friendly, no FP rounding concerns in the oracle compare). Packing
+  * is `round(127 * v_i / ||v||)` per component, so the quantized dot of two
+  * vectors approximates `127² · cosine`; ranking by it is the standard
+  * memory-bound ANN scan (re-ranking by exact cosine is a composable second
+  * stage — [[graft.ext.Similarity]] keeps it separate on purpose).
+  *
+  * [[PackInt8]]: `array<int>` (components in [-128, 127]) → `binary`, one
+  * byte per component. [[Int8Dot]]: `(binary, binary)` → `long` — the sum of
+  * signed byte products. Both codegen'd; a dimension mismatch throws rather
+  * than silently truncating.
+  */
+case class PackInt8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = arr.getInt(i)
+      if (v < Byte.MinValue || v > Byte.MaxValue)
+        throw new IllegalArgumentException(
+          s"pack_int8 component $v at index $i outside [-128, 127]")
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $v = $c.getInt($i);
+         |  if ($v < -128 || $v > 127) {
+         |    throw new IllegalArgumentException(
+         |      "pack_int8 component " + $v + " at index " + $i + " outside [-128, 127]");
+         |  }
+         |  $out[$i] = (byte) $v;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackInt8 =
+    copy(child = newChild)
+  override def prettyName: String = "pack_int8"
+}
+
+/** Signed-byte dot product over two packed int8 vectors: `(binary, binary)
+  * → long`. 64 dims × 127² fits easily in an int, but the accumulator is a
+  * long so higher-dimensional callers never overflow.
+  */
+case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two binary arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"int8_dot dimension mismatch: ${x.length} vs ${y.length}")
+    var s = 0L
+    var i = 0
+    while (i < x.length) {
+      s += x(i).toLong * y(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "int8_dot dimension mismatch: " + $a.length + " vs " + $b.length);
+         |}
+         |long $s = 0L;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $s += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "int8_dot"
+}
+
+object Int8Ops {
+  import bridge.{toColumn, toExpression}
+
+  def pack(c: Column): Column = toColumn(PackInt8(toExpression(c)))
+  def dot(a: Column, b: Column): Column =
+    toColumn(Int8Dot(toExpression(a), toExpression(b)))
+}

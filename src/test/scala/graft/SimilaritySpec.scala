@@ -47,6 +47,30 @@ class SimilaritySpec extends SparkSpec {
     out.last._4 shouldBe -1000L
   }
 
+  test("int8 pack/dot round-trips and matches a hand-computed dot") {
+    import graft.functions.Int8Ops
+    val df = Seq((Seq(127, -128, 0, 5), Seq(1, 2, 3, 4))).toDF("a", "b")
+    df.select(Int8Ops.dot(Int8Ops.pack(col("a")), Int8Ops.pack(col("b"))).as("d"))
+      .as[Long].head() shouldBe (127L * 1 - 128L * 2 + 0L * 3 + 5L * 4)
+    // out-of-range component and dimension mismatch both fail loudly
+    intercept[Exception] {
+      Seq(Seq(200)).toDF("a").select(Int8Ops.pack(col("a"))).collect()
+    }.getMessage should include("outside")
+    intercept[Exception] {
+      Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
+        .select(Int8Ops.dot(Int8Ops.pack(col("a")), Int8Ops.pack(col("b")))).collect()
+    }.getMessage should include("mismatch")
+  }
+
+  test("quantized top-k preserves the planted neighborhood order") {
+    val out = Similarity.quantTopK(vecs, v => v === 1L, k = 4)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    // same ranking as exact cosine on this corpus; scores are int8 dots
+    out.map(_._2).toSeq shouldBe Seq(2L, 5L, 4L, 3L)
+    out.head._4 shouldBe 127L * 127L // parallel unit vectors
+    out.last._4 shouldBe -127L * 127L // opposite
+  }
+
   test("buckets are stable, in [0, 2^6), and differ across tables") {
     val idx = Similarity.bucketedIndex(Similarity.index(vecs), dim = 4)
     val buckets = idx.select("bucket").as[Long].collect()
