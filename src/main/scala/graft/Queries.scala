@@ -1202,6 +1202,27 @@ object Queries {
       |      FROM d)
       |SELECT lang, term, df::BIGINT AS df, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** The SAME per-language top-5-terms answer as [[txtTopterms]], computed
+    * by the SpaceSaving sketch ([[graft.functions.SpaceSavingAgg]]) instead
+    * of the exact explode→groupBy(lang, term) plan: the exchange carries at
+    * most `capacity` counters per (partition, lang) rather than every
+    * distinct (lang, term) row — the bounded-state path for vocabularies
+    * that don't fit a shuffle. Sharing txt_topterms' oracle pins the
+    * exactness contract (distinct ≤ capacity ⇒ identical answer).
+    */
+  def txtToptermsSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SpaceSavingAgg
+    val terms = docs(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+    terms.groupBy(col("lang"))
+      .agg(SpaceSavingAgg.heavyHitters(col("term"), capacity = 8192, k = 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.term").as("term"), col("col.cnt").as("df"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   // ------------------------------------------------- sampling / mixing (§7.6)
 
   import graft.ext.Sampling
@@ -2359,6 +2380,7 @@ object Queries {
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_topterms" -> (txtTopterms _),
+    "txt_topterms_sketch" -> (txtToptermsSketch _),
     "txt_redact_pii" -> (txtRedactPii _),
     "pipe_quality_filter" -> (pipeQualityFilter _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -2446,6 +2468,7 @@ object Queries {
     "txt_langid" -> txtLangIdSql,
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_topterms" -> txtToptermsSql,
+    "txt_topterms_sketch" -> txtToptermsSql,
     "txt_redact_pii" -> txtRedactPiiSql,
     "pipe_quality_filter" -> pipeQualityFilterSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
