@@ -815,6 +815,38 @@ object Queries {
       |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
       |SELECT node::BIGINT AS node, r::BIGINT AS rank_s FROM r3""".stripMargin
 
+  /** Hourly gap-fill over the events series ([[graft.ops.GapFill]]): per
+    * event_type, the dense hour grid with observation counts and the last
+    * written value (LWW by event_id, like the pivot) carried forward into
+    * empty hours. Integer hour buckets (`tsNanos DIV 3600e9`) keep the
+    * bucketing exact in both engines — nanos exceed 2^53, so double division
+    * would mis-bucket.
+    */
+  def relGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.GapFill
+    val observed = KvTable.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("tsNanos DIV 3600000000000").as("h"))
+      .agg(count(lit(1)).as("n_obs"),
+        max_by(floor(col("value") * 100).cast("long"), col("event_id")).as("v"))
+    GapFill.locf(observed, "event_type", "h", Seq("v"))
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v").as("filled_x100"))
+  }
+
+  private val relGapfillSql: String =
+    """WITH b AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+      |             count(*) AS n_obs,
+      |             max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v
+      |           FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+      |      FROM b GROUP BY event_type),
+      |j AS (SELECT g.event_type, g.h, coalesce(b.n_obs, 0) AS n_obs, b.v
+      |      FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.h = b.h)
+      |SELECT event_type, h::BIGINT AS h, n_obs::BIGINT AS n_obs,
+      |  (last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS filled_x100
+      |FROM j""".stripMargin
+
   /** Semi/anti joins (SURVEY §2.4 — absent in the reference, free in Spark):
     * active users = customers with at least one event; for each, order count
     * plus an anti-join flag against high-priority orders. Both sides plan as
@@ -2372,6 +2404,7 @@ object Queries {
     "rel_pagerank" -> (relPagerank _),
     "rel_quantiles" -> (relQuantiles _),
     "rel_semi_anti" -> (relSemiAnti _),
+    "rel_gapfill" -> (relGapfill _),
     "rel_bloom_join" -> (relBloomJoin _),
     "agg_distinct_kmv" -> (aggDistinctKmv _),
     "rel_set_ops" -> (relSetOps _),
@@ -2460,6 +2493,7 @@ object Queries {
     "rel_pagerank" -> relPagerankSql,
     "rel_quantiles" -> relQuantilesSql,
     "rel_semi_anti" -> relSemiAntiSql,
+    "rel_gapfill" -> relGapfillSql,
     "rel_bloom_join" -> relBloomJoinSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
     "rel_set_ops" -> relSetOpsSql,

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series gap fill: densify a per-series bucket grid and carry the last
+  * observation forward (LOCF) into the gaps — the standard resample step for
+  * sensor/market/metric series before windowed analytics.
+  *
+  * Plan shape: the grid is generated FROM the observations (per-series
+  * min..max bucket via `sequence` + `explode` — no driver-side range
+  * materialization), left-joined back on (series, bucket), then filled with
+  * an `ignoreNulls` last() window per series. Every exchange hashes on the
+  * series key (or its superset), so at 100 TB the work distributes by
+  * series and each series sorts independently; the documented caveat is a
+  * single multi-billion-bucket series, which would need bucket-range
+  * chunking of the window (not composed here — the series axis is the
+  * parallelism axis for every realistic telemetry layout).
+  */
+object GapFill {
+
+  /** Densify `observed` (one row per (key, bucket) with observation columns)
+    * to the full per-key [min(bucket), max(bucket)] integer grid and LOCF-
+    * fill each column in `fills`; other columns are left null on gap rows.
+    */
+  def locf(observed: DataFrame, key: String, bucket: String,
+      fills: Seq[String]): DataFrame = {
+    val grid = observed.groupBy(col(key))
+      .agg(min(col(bucket)).as("__lo"), max(col(bucket)).as("__hi"))
+      .select(col(key), explode(sequence(col("__lo"), col("__hi"))).as(bucket))
+    val joined = grid.join(observed, Seq(key, bucket), "left")
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fills.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}
