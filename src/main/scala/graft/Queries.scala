@@ -815,6 +815,46 @@ object Queries {
       |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
       |SELECT node::BIGINT AS node, r::BIGINT AS rank_s FROM r3""".stripMargin
 
+  /** Per-supplier triangle counts over the DOULION-sampled supplier
+    * co-occurrence graph. The graph: suppliers are adjacent when they serve
+    * ≥1 common order; since co-occurrence graphs densify toward complete
+    * (every pair of the 100 sf0.01 suppliers shares an order), the edge set
+    * is p=1/5 Bernoulli-sampled by a deterministic integer hash — DOULION
+    * (Tsourakakis et al., KDD'09): count triangles on the sampled graph,
+    * estimate the original as count/p³ with provably small variance. The
+    * sample is the same arithmetic in both engines, so counts hash-match;
+    * [[graft.ops.Triangles]] does the degree-oriented enumeration that
+    * bounds wedge fan-out at scale.
+    */
+  def relTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Triangles
+    val pe = KvTable.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = pe.as("a").join(pe.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+    val e = pairs.filter(
+      ((col("u") * 2654435761L + col("v") * 40503L) % 1000003L) % 5 === 0)
+    Triangles.perNodeCounts(e)
+  }
+
+  private val relTrianglesSql: String =
+    """WITH pe AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |       FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
+      |                          AND a.l_suppkey < b.l_suppkey
+      |       GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM e0
+      |      WHERE ((u * 2654435761 + v * 40503) % 1000003) % 5 = 0),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |x AS (SELECT unnest([a, b, c]) AS node FROM tri)
+      |SELECT node::BIGINT AS node, count(*)::BIGINT AS n_tri
+      |FROM x GROUP BY 1""".stripMargin
+
   /** Hourly gap-fill over the events series ([[graft.ops.GapFill]]): per
     * event_type, the dense hour grid with observation counts and the last
     * written value (LWW by event_id, like the pivot) carried forward into
@@ -2405,6 +2445,7 @@ object Queries {
     "rel_quantiles" -> (relQuantiles _),
     "rel_semi_anti" -> (relSemiAnti _),
     "rel_gapfill" -> (relGapfill _),
+    "rel_triangles" -> (relTriangles _),
     "rel_bloom_join" -> (relBloomJoin _),
     "agg_distinct_kmv" -> (aggDistinctKmv _),
     "rel_set_ops" -> (relSetOps _),
@@ -2494,6 +2535,7 @@ object Queries {
     "rel_quantiles" -> relQuantilesSql,
     "rel_semi_anti" -> relSemiAntiSql,
     "rel_gapfill" -> relGapfillSql,
+    "rel_triangles" -> relTrianglesSql,
     "rel_bloom_join" -> relBloomJoinSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
     "rel_set_ops" -> relSetOpsSql,
