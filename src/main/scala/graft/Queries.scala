@@ -1274,6 +1274,46 @@ object Queries {
       |      FROM d)
       |SELECT lang, term, df::BIGINT AS df, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** Gopher-style within-document repetition signals
+    * ([[graft.functions.RepetitionStats]]): token duplication, top-token
+    * share, and bigram duplication per document, as x1000 integer ratios —
+    * the repetition gates a pretraining cleaner thresholds on. One fused
+    * map-only pass (no explode, no shuffle); ratio math is integer DIV so
+    * the oracle hashes exactly.
+    */
+  def txtRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.RepetitionStatsExpr
+    docs(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), RepetitionStatsExpr(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        expr("(1000 * (r.n_tokens - r.n_distinct)) DIV r.n_tokens").as("dup_token_x1000"),
+        expr("(1000 * r.top_cnt) DIV r.n_tokens").as("top_token_x1000"),
+        expr("CASE WHEN r.n_bigrams = 0 THEN 0L ELSE " +
+          "(1000 * (r.n_bigrams - r.n_distinct_bigrams)) DIV r.n_bigrams END")
+          .as("dup_bigram_x1000"))
+  }
+
+  private val txtRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |        len(list_distinct(toks))::BIGINT AS n_distinct,
+      |        list_max(list_transform(list_distinct(toks),
+      |          d -> len(list_filter(toks, x -> x = d))))::BIGINT AS top_cnt,
+      |        greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
+      |        len(list_distinct(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i + 1])))::BIGINT AS n_distinct_bigrams
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |  (1000 * (n_tokens - n_distinct)) // n_tokens AS dup_token_x1000,
+      |  (1000 * top_cnt) // n_tokens AS top_token_x1000,
+      |  (CASE WHEN n_bigrams = 0 THEN 0
+      |        ELSE (1000 * (n_bigrams - n_distinct_bigrams)) // n_bigrams
+      |   END)::BIGINT AS dup_bigram_x1000
+      |FROM c""".stripMargin
+
   /** The SAME per-language top-5-terms answer as [[txtTopterms]], computed
     * by the SpaceSaving sketch ([[graft.functions.SpaceSavingAgg]]) instead
     * of the exact explode→groupBy(lang, term) plan: the exchange carries at
@@ -2455,6 +2495,7 @@ object Queries {
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_topterms" -> (txtTopterms _),
     "txt_topterms_sketch" -> (txtToptermsSketch _),
+    "txt_repetition" -> (txtRepetition _),
     "txt_redact_pii" -> (txtRedactPii _),
     "pipe_quality_filter" -> (pipeQualityFilter _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -2545,6 +2586,7 @@ object Queries {
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_topterms" -> txtToptermsSql,
     "txt_topterms_sketch" -> txtToptermsSql,
+    "txt_repetition" -> txtRepetitionSql,
     "txt_redact_pii" -> txtRedactPiiSql,
     "pipe_quality_filter" -> pipeQualityFilterSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,

@@ -56,6 +56,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: counts, top share, bigram dedup, split edge cases") {
+    import graft.functions.RepetitionStatsExpr
+    def stats(s: String): (Long, Long, Long, Long, Long) =
+      Seq(s).toDF("text")
+        .select(RepetitionStatsExpr(col("text")).as("r"))
+        .select("r.n_tokens", "r.n_distinct", "r.top_cnt", "r.n_bigrams",
+          "r.n_distinct_bigrams")
+        .as[(Long, Long, Long, Long, Long)].head()
+    // "a b a b a": 5 tokens, 2 distinct, top a=3; bigrams {a b, b a} of 4
+    stats("a b a b a") shouldBe ((5L, 2L, 3L, 4L, 2L))
+    stats("x") shouldBe ((1L, 1L, 1L, 0L, 0L))
+    // leading tab after trim keeps split()'s empty token, like Spark/DuckDB
+    stats(" \tx y ") shouldBe ((3L, 3L, 1L, 2L, 2L))
+    // all-same doc is fully duplicated
+    stats("z z z z") shouldBe ((4L, 1L, 4L, 3L, 1L))
+  }
+
   test("quality facets are integer-exact and guard zero denominators") {
     val r = TextAnalysis.quality(one("the cat, the hat!")).collect().head
     val m = r.getValuesMap[Any](Seq("n_chars", "n_tokens", "punct_per_1000",
