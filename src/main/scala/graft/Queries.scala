@@ -392,6 +392,7 @@ object Queries {
     ensurePivotLateDir(spark, sfDir)
     ensureJoinDir(spark, sfDir)
     ensurePartitionedEvents(spark, sfDir)
+    ensureClickIndex(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -494,6 +495,51 @@ object Queries {
       |SELECT KEY, 'qty' AS qualifier, qty AS value FROM r
       |UNION ALL SELECT KEY, 'ln' AS qualifier, ln AS value FROM r
       |UNION ALL SELECT KEY, 'flag' AS qualifier, flag AS value FROM r""".stripMargin
+
+  // ------------------------------------------------------- secondary index
+
+  /** HBase-style secondary index, modeled the way HBase users build one
+    * (an index TABLE maintained next to the data table — HBase itself has
+    * none; cf. the Phoenix/HBase-book pattern): `base` is the pivoted
+    * events table persisted sorted by rowKey; `idx` maps the decoded click
+    * value → rowKey, persisted range-partitioned and sorted by value so
+    * parquet min/max stats skip every file/row-group outside a lookup
+    * range. Both are build-once artifacts.
+    */
+  private def ensureClickIndex(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"click_idx|$sfDir", _ => {
+      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = tmpOut(s"click_idx_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      val piv = kvPivotEvents(spark, sfDir)
+      piv.repartitionByRange(8, col("rowKey")).sortWithinPartitions("rowKey")
+        .write.mode("overwrite").parquet(s"$path/base")
+      piv.filter(col("click").isNotNull)
+        .select(col("click").cast("long").as("clk"), col("rowKey"))
+        .repartitionByRange(8, col("clk")).sortWithinPartitions("clk")
+        .write.mode("overwrite").parquet(s"$path/idx")
+      path
+    })
+
+  /** Value-range lookup THROUGH the secondary index: the range predicate
+    * runs on the tiny index scan (pushed to parquet — PlanSpec asserts it),
+    * the matching rowKeys broadcast into a semi join against the base
+    * table. At 100 TB the alternative is re-deriving the pivot and
+    * filtering all of it; the index path reads two narrow columns of a
+    * value-sorted table, skips non-overlapping row groups entirely, and
+    * never shuffles the base.
+    */
+  def kvIndexLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureClickIndex(spark, sfDir)
+    val keys = spark.read.parquet(s"$path/idx")
+      .filter(col("clk") >= 9000L && col("clk") < 12000L)
+      .select(col("rowKey"))
+    spark.read.parquet(s"$path/base")
+      .join(broadcast(keys), Seq("rowKey"), "left_semi")
+  }
+
+  private val kvIndexLookupSql: String =
+    s"""SELECT * FROM ($kvPivotEventsSql)
+       |WHERE CAST(click AS BIGINT) >= 9000 AND CAST(click AS BIGINT) < 12000""".stripMargin
 
   // ---------------------------------------------- hive-layout partitioning
 
@@ -2466,6 +2512,7 @@ object Queries {
     "kv_snapshot_diff" -> (kvSnapshotDiff _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_partitioned_scan" -> (kvPartitionedScan _),
+    "kv_index_lookup" -> (kvIndexLookup _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
     "kv_unpivot" -> (kvUnpivot _),
@@ -2557,6 +2604,7 @@ object Queries {
     "kv_snapshot_diff" -> kvSnapshotDiffSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_partitioned_scan" -> kvPartitionedScanSql,
+    "kv_index_lookup" -> kvIndexLookupSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,
     "kv_unpivot" -> kvUnpivotSql,

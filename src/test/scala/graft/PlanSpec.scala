@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
     plan should not include "PushedFilters: [IsNotNull(event_type)"
   }
 
+  test("secondary-index lookup: range pushed to the index scan, base semi-joined broadcast") {
+    val plan = executedPlan(Queries.all("kv_index_lookup")(spark, sfDir))
+    plan should include("PushedFilters: [IsNotNull(clk), GreaterThanOrEqual(clk,9000), LessThan(clk,12000)")
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+    // the base table is never shuffled — the only exchange is the broadcast
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 0
+  }
+
   test("bernoulli sample is map-only: zero exchanges, filter reaches the scan stage") {
     val plan = executedPlan(Queries.all("sample_bernoulli")(spark, sfDir))
     plan should not include "Exchange"
