@@ -1086,6 +1086,28 @@ object Queries {
       |  count(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** The same per-status percentiles through the MERGEABLE quantile sketch
+    * ([[graft.functions.QuantileSketchAgg]]) instead of the bounded-domain
+    * exact plan: one partial-aggregated pass, O(k·log n) state per group,
+    * no per-group value histogram on the exchange. Shares rel_quantiles'
+    * oracle — below k the sketch replays quantile_cont bit-for-bit, which
+    * is the same exact-below-capacity contract the KMV and SpaceSaving
+    * sketches pin.
+    */
+  def aggQuantilesSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.QuantileSketchAgg
+    KvTable.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        QuantileSketchAgg.quantileSketch(
+          floor(col("o_totalprice")).cast("long"), Seq(0.5, 0.9)).as("q"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        floor(element_at(col("q"), 1) * 100).cast("long").as("p50_x100"),
+        floor(element_at(col("q"), 2) * 100).cast("long").as("p90_x100"),
+        col("n"))
+  }
+
   // ------------------------------------------------- text analysis (§7.6)
 
   import graft.ext.TextAnalysis
@@ -2535,6 +2557,7 @@ object Queries {
     "rel_triangles" -> (relTriangles _),
     "rel_bloom_join" -> (relBloomJoin _),
     "agg_distinct_kmv" -> (aggDistinctKmv _),
+    "agg_quantiles_sketch" -> (aggQuantilesSketch _),
     "rel_set_ops" -> (relSetOps _),
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -2627,6 +2650,7 @@ object Queries {
     "rel_triangles" -> relTrianglesSql,
     "rel_bloom_join" -> relBloomJoinSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
+    "agg_quantiles_sketch" -> relQuantilesSql,
     "rel_set_ops" -> relSetOpsSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
