@@ -674,6 +674,59 @@ object Scratch {
           redges.selectExpr("dst AS src", "src AS dst")).localCheckpoint()
         time("pagerank 20M directed edges, 3 iters")(
           println("  nodes = " + graft.ops.PageRank.run(symEdges).count()))
+      case "scaler6c" =>
+        import org.apache.spark.sql.functions._
+        // --- SpaceSaving: 50M tokens over a 1M-term vocabulary with 20
+        // planted heavy hitters (~250k hits each, tail ~50/term). The sketch
+        // runs far past capacity; all 20 hitters must surface.
+        val toks = spark.range(50000000L).selectExpr(
+          "CASE WHEN id % 10 = 0 THEN concat('hot', CAST((id DIV 10) % 20 AS STRING)) " +
+            "ELSE concat('w', CAST(abs(xxhash64(id)) % 1000000 AS STRING)) END AS t")
+        time("spacesaving 50M tokens / 1M vocab") {
+          val top = toks.agg(
+              graft.functions.SpaceSavingAgg.heavyHitters(col("t"), capacity = 4096, k = 20)
+                .as("top"))
+            .select(explode(col("top")))
+            .select("col.term").collect().map(_.getString(0))
+          println("  hot terms found = " + top.count(_.startsWith("hot")) + "/20")
+        }
+        // --- int8 ANN: 1M x 64-dim corpus, quantized integer scan vs the
+        // exact double scan, same 10 queries.
+        val qemb = spark.range(1000000L).selectExpr(
+          "id AS vec_id",
+          "transform(sequence(1, 64), i -> CAST((xxhash64(id * 64 + i) % 1000) / 1000.0 AS FLOAT)) AS embedding")
+          .localCheckpoint()
+        time("1M vec brute double top-5 (10 q)")(
+          graft.ext.Similarity.bruteTopK(qemb, v => v % 100000 === 0).count())
+        time("1M vec int8 quant top-5 (10 q)")(
+          graft.ext.Similarity.quantTopK(qemb, v => v % 100000 === 0).count())
+        // --- triangles: 10M-edge random graph over 1M nodes (avg deg 20,
+        // xxhash endpoints so heavy-tail collisions exist), degree-oriented.
+        val tedges = spark.range(10000000L).selectExpr(
+            "least(abs(xxhash64(id)) % 1000000, abs(xxhash64(id + 77)) % 1000000) AS u",
+            "greatest(abs(xxhash64(id)) % 1000000, abs(xxhash64(id + 77)) % 1000000) AS v")
+          .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        time("triangles 10M-edge graph")(
+          println("  nodes in triangles = " +
+            graft.ops.Triangles.perNodeCounts(tedges).count()))
+        // --- gap fill: 1M series, ~10 observed buckets each over a 0..49
+        // span -> ~50M dense rows out.
+        val obs = spark.range(10000000L).selectExpr(
+            "id % 1000000 AS k", "abs(xxhash64(id)) % 50 AS h", "id AS v")
+          .groupBy(col("k"), col("h")).agg(max(col("v")).as("v"))
+        time("gapfill 1M series -> dense grid")(
+          println("  dense rows = " +
+            graft.ops.GapFill.locf(obs, "k", "h", Seq("v")).count()))
+        // --- quantile sketch: 100M uniform values, one group, k=1024 —
+        // deep past capacity; median must land within the paper's bound.
+        time("quantile sketch 100M values") {
+          val q = spark.range(100000000L)
+            .select(((col("id") * 48271) % 100000000L).as("v"))
+            .agg(graft.functions.QuantileSketchAgg.quantileSketch(
+              col("v"), Seq(0.5), k = 1024).as("q"))
+            .selectExpr("q[0]").collect().head.getDouble(0)
+          println(f"  p50 = $q%.0f (true 5e7, rel err ${math.abs(q - 5e7) / 1e8}%.4f)")
+        }
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)

@@ -118,8 +118,7 @@ object Similarity {
     */
   def quantIndex(embeddings: DataFrame): DataFrame =
     index(embeddings).select(col("vec_id"),
-      graft.functions.Int8Ops.pack(
-        transform(col("v"), x => round(x * 127 / col("nrm")).cast("int"))).as("qv"))
+      graft.functions.Int8Ops.quantize(col("v"), col("nrm")).as("qv"))
 
   /** Memory-bound ANN scan: rank by the INTEGER dot of packed int8 vectors
     * (≈ 127²·cosine). Same broadcast-queries × corpus shape as [[bruteTopK]]

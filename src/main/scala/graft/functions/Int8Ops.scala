@@ -131,10 +131,83 @@ case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression
   override def prettyName: String = "int8_dot"
 }
 
+/** Fused scale-quantize-pack: `(array<double> v, double nrm) → binary` with
+  * byte i = `round(v[i] * 127 / nrm)` (round-half-away-from-zero, the
+  * behavior of both Spark's `round` and DuckDB's `round` on doubles). One
+  * codegen loop replaces the interpreted `transform(round(...))` chain —
+  * higher-order array functions are CodegenFallback and `round` allocates a
+  * BigDecimal per element, which measured ~2.5× slower than the plain
+  * exact double scan it was supposed to beat.
+  *
+  * `|v[i]| ≤ nrm` for any L2 norm, so results stay within [-127, 127] by
+  * construction; a violation (wrong norm passed) throws rather than
+  * wrapping.
+  */
+case class QuantizeInt8(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val d = v.getDouble(i) * 127 / nrm
+      val r = if (d < 0) -math.floor(-d + 0.5) else math.floor(d + 0.5)
+      if (r < Byte.MinValue || r > Byte.MaxValue)
+        throw new IllegalArgumentException(
+          s"quantize_int8 component $r at index $i outside [-128, 127] (bad norm?)")
+      out(i) = r.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val r = ctx.freshName("r")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) * 127 / $b;
+         |  double $r = $d < 0 ? -Math.floor(-$d + 0.5d) : Math.floor($d + 0.5d);
+         |  if ($r < -128 || $r > 127) {
+         |    throw new IllegalArgumentException(
+         |      "quantize_int8 component " + $r + " at index " + $i + " outside [-128, 127] (bad norm?)");
+         |  }
+         |  $out[$i] = (byte) $r;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizeInt8 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "quantize_int8"
+}
+
 object Int8Ops {
   import bridge.{toColumn, toExpression}
 
   def pack(c: Column): Column = toColumn(PackInt8(toExpression(c)))
   def dot(a: Column, b: Column): Column =
     toColumn(Int8Dot(toExpression(a), toExpression(b)))
+  def quantize(v: Column, nrm: Column): Column =
+    toColumn(QuantizeInt8(toExpression(v), toExpression(nrm)))
 }

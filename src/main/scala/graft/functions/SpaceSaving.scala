@@ -67,7 +67,7 @@ case class SpaceSavingAgg(
   }
 
   override def merge(b: SpaceSavingAgg.Buf, o: SpaceSavingAgg.Buf): SpaceSavingAgg.Buf = {
-    o.foreach((t, cnt, err) => b.add(t, cnt, err))
+    b.mergeWith(o)
     b
   }
 
@@ -104,7 +104,7 @@ case class SpaceSavingAgg(
     var i = 0
     while (i < n) {
       val tb = new Array[Byte](in.getInt()); in.get(tb)
-      b.add(new String(tb, StandardCharsets.UTF_8), in.getLong(), in.getLong())
+      b.load(new String(tb, StandardCharsets.UTF_8), in.getLong(), in.getLong())
       i += 1
     }
     b
@@ -136,10 +136,10 @@ object SpaceSavingAgg {
     private val byTerm = new java.util.HashMap[String, Entry]()
     private val ordered = new java.util.TreeSet[Entry](byCountThenTerm)
 
-    /** Add `cnt` observations of `term` carrying `err` overestimation.
-      * Handles both single updates (1, 0) and sketch merges: a merge of a
-      * term absent here at a full sketch evicts the min counter and inherits
-      * its count as additional error — the standard SpaceSaving step.
+    /** Stream update: add `cnt` observations of `term` carrying `err`
+      * overestimation. A new term at a full sketch evicts the min counter
+      * and inherits its count as error — the classic SpaceSaving step,
+      * correct for SINGLE observations.
       */
     def add(term: String, cnt: Long, err: Long): Unit = {
       val e = byTerm.get(term)
@@ -155,6 +155,39 @@ object SpaceSavingAgg {
         byTerm.remove(min.term)
         val n = Entry(term, cnt + min.cnt, err + min.cnt)
         byTerm.put(term, n); ordered.add(n); ()
+      }
+    }
+
+    /** Insert a counter verbatim, no eviction — deserialization and the
+      * pre-truncation phase of [[mergeWith]].
+      */
+    def load(term: String, cnt: Long, err: Long): Unit = {
+      val n = Entry(term, cnt, err)
+      byTerm.put(term, n); ordered.add(n); ()
+    }
+
+    /** Sketch merge, mergeable-summaries style (Agarwal et al., PODS'12):
+      * sum counters term-wise over the union, then truncate back to the
+      * `capacity` largest. NOT the per-observation eviction step — applying
+      * that to whole counters lets a long tail of single-count misses
+      * ratchet min-count inheritance (each miss inherits the current min,
+      * re-raising it) until tail counters crowd out true heavy hitters.
+      * Summed counts keep the ≥-true invariant for every retained term;
+      * truncation only drops the smallest counters; below capacity nothing
+      * truncates, preserving the exactness contract.
+      */
+    def mergeWith(o: Buf): Unit = {
+      o.foreach { (t, cnt, err) =>
+        val e = byTerm.get(t)
+        if (e != null) {
+          ordered.remove(e)
+          e.cnt += cnt; e.err += err
+          ordered.add(e); ()
+        } else load(t, cnt, err)
+      }
+      while (byTerm.size() > capacity) {
+        val min = ordered.pollFirst()
+        byTerm.remove(min.term); ()
       }
     }
 

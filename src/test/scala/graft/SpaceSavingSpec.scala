@@ -53,6 +53,20 @@ class SpaceSavingSpec extends SparkSpec {
     out.find(_._1 == "H2").get._2 should be >= 150L
   }
 
+  test("multi-partition merge past capacity recovers every planted heavy hitter") {
+    // 500k tokens over a ~100k-term vocabulary in 16 partitions, 20 planted
+    // hitters at ~2.5k hits each vs a tail of ~5/term: the summed+truncated
+    // mergeable-summaries merge must keep all 20 with counts >= truth
+    // (counter-wise eviction-inheritance would let the tail ratchet).
+    val toks = spark.range(500000L).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN concat('hot', CAST((id DIV 10) % 20 AS STRING)) " +
+          "ELSE concat('w', CAST(abs(xxhash64(id)) % 100000 AS STRING)) END AS t")
+      .repartition(16)
+    val out = top(toks, capacity = 1024, k = 20)
+    out.count(_._1.startsWith("hot")) shouldBe 20
+    all(out.filter(_._1.startsWith("hot")).map(_._2)) should be >= 2400L
+  }
+
   test("null terms are skipped; empty input yields an empty top list") {
     val df = Seq[Option[String]](Some("a"), None, Some("a")).toDF("t")
     top(df, capacity = 64, k = 3) shouldBe Seq("a" -> 2L)
