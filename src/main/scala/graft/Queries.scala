@@ -933,6 +933,52 @@ object Queries {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS filled_x100
       |FROM j""".stripMargin
 
+  /** Semi-structured extraction: the events `props` JSON column parsed and
+    * aggregated. `get_json_object` evaluates per row in the scan projection
+    * (no UDF, no intermediate struct materialization); the only exchange is
+    * the ≤50-key final aggregate — the standard shape for prop-bag columns
+    * at scale, where parsing pushes to the scan and raw JSON never shuffles.
+    */
+  def kvJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  private val kvJsonExtractSql: String =
+    """SELECT event_type,
+      |  json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
+      |  count(*) AS n,
+      |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Trailing 7-bucket moving average OVER the gap-filled series — the
+    * reason gap fill precedes windowed analytics: on the raw sparse series
+    * a ROWS frame would span wildly different time extents per row; on the
+    * dense grid ROWS 6 PRECEDING IS seven hours. Integer avg (sum DIV n)
+    * keeps the oracle hash-exact.
+    */
+  def relMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-6, Window.currentRow)
+    relGapfill(spark, sfDir)
+      .select(col("event_type"), col("h"), col("filled_x100"),
+        sum(col("filled_x100")).over(w).as("s"),
+        count(lit(1)).over(w).as("nw"))
+      .select(col("event_type"), col("h"), col("filled_x100"),
+        expr("s DIV nw").as("avg7_x100"))
+  }
+
+  private val relMovingAvgSql: String =
+    s"""WITH filled AS ($relGapfillSql)
+       |SELECT event_type, h, filled_x100,
+       |  (sum(filled_x100) OVER w // count(*) OVER w)::BIGINT AS avg7_x100
+       |FROM filled
+       |WINDOW w AS (PARTITION BY event_type ORDER BY h
+       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Semi/anti joins (SURVEY §2.4 — absent in the reference, free in Spark):
     * active users = customers with at least one event; for each, order count
     * plus an anti-join flag against high-priority orders. Both sides plan as
@@ -2554,7 +2600,9 @@ object Queries {
     "rel_quantiles" -> (relQuantiles _),
     "rel_semi_anti" -> (relSemiAnti _),
     "rel_gapfill" -> (relGapfill _),
+    "rel_moving_avg" -> (relMovingAvg _),
     "rel_triangles" -> (relTriangles _),
+    "kv_json_extract" -> (kvJsonExtract _),
     "rel_bloom_join" -> (relBloomJoin _),
     "agg_distinct_kmv" -> (aggDistinctKmv _),
     "agg_quantiles_sketch" -> (aggQuantilesSketch _),
@@ -2647,7 +2695,9 @@ object Queries {
     "rel_quantiles" -> relQuantilesSql,
     "rel_semi_anti" -> relSemiAntiSql,
     "rel_gapfill" -> relGapfillSql,
+    "rel_moving_avg" -> relMovingAvgSql,
     "rel_triangles" -> relTrianglesSql,
+    "kv_json_extract" -> kvJsonExtractSql,
     "rel_bloom_join" -> relBloomJoinSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
     "agg_quantiles_sketch" -> relQuantilesSql,
