@@ -61,6 +61,47 @@ object GraftExtensions {
     f(args.head, args(1))
   }
 
+  private def ternary(name: String, f: (Expression, Expression, Expression) => Expression)(
+      args: Seq[Expression]): Expression = {
+    if (args.length != 3) wrongArity(name, 3, args.length)
+    f(args.head, args(1), args(2))
+  }
+
+  /** Sketch parameters (capacity, k, probes) must be literals — they shape
+    * the aggregation buffer, not per-row data. A non-foldable argument is an
+    * analysis-time error, mirroring how the built-in registry treats e.g.
+    * approx_percentile's accuracy argument.
+    */
+  private def nonFoldable(name: String, arg: String, tpe: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map(
+        "funcName" -> s"`$name`",
+        "paramName" -> s"`$arg`",
+        "paramType" -> tpe),
+      None)
+
+  private def foldInt(name: String, arg: String, e: Expression): Int = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (!e.foldable) nonFoldable(name, arg, "\"INT\"")
+    e.dataType match {
+      case IntegerType => e.eval().asInstanceOf[Int]
+      case LongType => e.eval().asInstanceOf[Long].toInt
+      case _ => nonFoldable(name, arg, "\"INT\"")
+    }
+  }
+
+  private def foldDoubles(name: String, arg: String, e: Expression): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    if (!e.foldable) nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"")
+    e.dataType match {
+      case ArrayType(DoubleType, _) =>
+        e.eval().asInstanceOf[ArrayData].toDoubleArray().toSeq
+      case _ => nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"")
+    }
+  }
+
   /** (name, usage, builder) for every public custom expression. */
   val registrations: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("poly_hash", "poly_hash(str) - rolling polynomial hash over code points",
@@ -86,5 +127,31 @@ object GraftExtensions {
       binary("vec_dot_matrix", DotMatrix) _),
     ("max_by_ts", "max_by_ts(binary, bigint) - hash-aggregable last-write-wins",
       binary("max_by_ts",
-        (v, o) => MaxByTsAgg(v, o).toAggregateExpression()) _))
+        (v, o) => MaxByTsAgg(v, o).toAggregateExpression()) _),
+    ("repetition_stats",
+      "repetition_stats(str) - within-doc repetition counters (struct of 5 longs)",
+      unary("repetition_stats", RepetitionStatsExpr.apply(_: Expression)) _),
+    ("pack_int8", "pack_int8(array<int>) - pack [-128,127] components, 1 byte each",
+      unary("pack_int8", PackInt8) _),
+    ("int8_dot", "int8_dot(binary, binary) - signed-byte integer dot product",
+      binary("int8_dot", Int8Dot) _),
+    ("quantize_int8",
+      "quantize_int8(array<double>, nrm double) - fused round(v*127/nrm) pack",
+      binary("quantize_int8", QuantizeInt8) _),
+    ("kmv_distinct", "kmv_distinct(hash bigint, k int) - KMV distinct sketch, exact below k",
+      binary("kmv_distinct",
+        (h, k) => KmvDistinctAgg(h, foldInt("kmv_distinct", "k", k))
+          .toAggregateExpression()) _),
+    ("space_saving_topk",
+      "space_saving_topk(term, capacity int, k int) - heavy-hitter top-k, exact below capacity",
+      ternary("space_saving_topk",
+        (t, cap, k) => SpaceSavingAgg(t,
+          foldInt("space_saving_topk", "capacity", cap),
+          foldInt("space_saving_topk", "k", k)).toAggregateExpression()) _),
+    ("quantile_sketch",
+      "quantile_sketch(v bigint, probes array<double>, k int) - mergeable quantiles, exact below k",
+      ternary("quantile_sketch",
+        (v, probes, k) => QuantileSketchAgg(v,
+          foldInt("quantile_sketch", "k", k),
+          foldDoubles("quantile_sketch", "probes", probes)).toAggregateExpression()) _))
 }

@@ -57,6 +57,37 @@ class GraftExtensionsSpec extends SparkSpec {
     row.getLong(4) shouldBe (h * h % PolyHash.Mod * 48271L + h) % PolyHash.Mod
   }
 
+  test("sketch aggregates and int8/repetition functions are callable from SQL") {
+    val row = sql.sql(
+      """SELECT repetition_stats('a b a').n_distinct AS nd,
+        |  int8_dot(pack_int8(array(1, 2)), pack_int8(array(3, 4))) AS d,
+        |  int8_dot(quantize_int8(array(3.0d, 4.0d), 5.0d),
+        |           quantize_int8(array(3.0d, 4.0d), 5.0d)) AS q""".stripMargin)
+      .collect().head
+    row.getLong(0) shouldBe 2L
+    row.getLong(1) shouldBe 11L
+    // (3,4)/5 quantizes to (76, 102): 76^2 + 102^2
+    row.getLong(2) shouldBe (76L * 76 + 102L * 102)
+    sql.sql("SELECT * FROM VALUES ('x', 5L), ('x', 5L), ('y', 9L) AS t(t, v)")
+      .createOrReplaceTempView("sk_v")
+    val agg = sql.sql(
+      """SELECT kmv_distinct(xxhash64(t), 64) AS kd,
+        |  space_saving_topk(t, 16, 1)[0].term AS hot,
+        |  quantile_sketch(v, array(0.5d), 64)[0] AS med
+        |FROM sk_v""".stripMargin).collect().head
+    agg.getLong(0) shouldBe 2L
+    agg.getString(1) shouldBe "x"
+    agg.getDouble(2) shouldBe 5.0
+  }
+
+  test("sketch parameters must be literals (analysis-time error)") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      sql.sql("SELECT space_saving_topk(t, CAST(v AS INT), 1) FROM VALUES ('x', 5L) AS t(t, v)")
+        .collect()
+    }
+    e.getMessage should include("capacity")
+  }
+
   test("max_by_ts aggregates from SQL (LWW per key)") {
     sql.sql(
       """SELECT * FROM VALUES
