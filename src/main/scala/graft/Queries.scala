@@ -393,6 +393,7 @@ object Queries {
     ensureJoinDir(spark, sfDir)
     ensurePartitionedEvents(spark, sfDir)
     ensureClickIndex(spark, sfDir)
+    ensureBucketedTrade(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -932,6 +933,58 @@ object Queries {
       |  (last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS filled_x100
       |FROM j""".stripMargin
+
+  /** Both sides of the trade join persisted as bucketed catalog tables,
+    * hash-bucketed on their join keys with equal bucket counts — the
+    * co-location contract under which a big-big join needs NO exchange at
+    * all (and the downstream per-key aggregate reuses the same
+    * partitioning). At 100 TB this is THE pattern for a fact table joined
+    * repeatedly on one key: pay the bucketing once at load, never shuffle
+    * the fact again.
+    */
+  private def ensureBucketedTrade(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"bucketed_trade|$sfDir", _ => {
+      // no dots: the slug names CATALOG TABLES, where '.' splits schema.table
+      val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_") +
+        "_" + Integer.toHexString(sfDir.hashCode)
+      val base = tmpOut(s"bucketed_trade_$slug")
+      def persist(df: DataFrame, name: String, key: String): Unit = {
+        val table = s"graft_${name}_$slug"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        graft.sinks.Sinks.deleteRecursive(spark, s"$base/$name")
+        df.repartition(8, col(key))
+          .write.format("parquet").bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$name").saveAsTable(table)
+      }
+      persist(KvTable.table(spark, sfDir, "orders"), "orders", "o_custkey")
+      persist(KvTable.table(spark, sfDir, "customer"), "customer", "c_custkey")
+      slug
+    })
+
+  /** Zero-exchange big-big join over the bucketed tables: the merge-hinted
+    * sort-merge join consumes both bucketed scans' hash partitioning
+    * directly, and the per-custkey aggregate rides the same partitioning —
+    * PlanSpec asserts NO shuffle anywhere in the executed plan (the
+    * broadcast alternative would also avoid a shuffle here, but only
+    * because customer is small; the bucketed plan is the one that survives
+    * when both sides are fact-sized).
+    */
+  def relBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val slug = ensureBucketedTrade(spark, sfDir)
+    val o = spark.table(s"graft_orders_$slug")
+    val c = spark.table(s"graft_customer_$slug")
+    o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("c_nationkey")).as("nationkey"),
+        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
+  }
+
+  private val relBucketedJoinSql: String =
+    """SELECT o_custkey, count(*) AS n_orders, max(c_nationkey) AS nationkey,
+      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
 
   /** Semi-structured extraction: the events `props` JSON column parsed and
     * aggregated. `get_json_object` evaluates per row in the scan projection
@@ -2604,6 +2657,7 @@ object Queries {
     "rel_triangles" -> (relTriangles _),
     "kv_json_extract" -> (kvJsonExtract _),
     "rel_bloom_join" -> (relBloomJoin _),
+    "rel_bucketed_join" -> (relBucketedJoin _),
     "agg_distinct_kmv" -> (aggDistinctKmv _),
     "agg_quantiles_sketch" -> (aggQuantilesSketch _),
     "rel_set_ops" -> (relSetOps _),
@@ -2699,6 +2753,7 @@ object Queries {
     "rel_triangles" -> relTrianglesSql,
     "kv_json_extract" -> kvJsonExtractSql,
     "rel_bloom_join" -> relBloomJoinSql,
+    "rel_bucketed_join" -> relBucketedJoinSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
     "agg_quantiles_sketch" -> relQuantilesSql,
     "rel_set_ops" -> relSetOpsSql,

@@ -105,6 +105,13 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 0
   }
 
+  test("bucketed co-partitioned join + aligned aggregate run with ZERO exchanges") {
+    val plan = executedPlan(Queries.all("rel_bucketed_join")(spark, sfDir))
+    plan should include("SortMergeJoin")
+    plan should include("Bucketed: true")
+    plan should not include "Exchange"
+  }
+
   test("bernoulli sample is map-only: zero exchanges, filter reaches the scan stage") {
     val plan = executedPlan(Queries.all("sample_bernoulli")(spark, sfDir))
     plan should not include "Exchange"
