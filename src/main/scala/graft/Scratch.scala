@@ -727,6 +727,39 @@ object Scratch {
             .selectExpr("q[0]").collect().head.getDouble(0)
           println(f"  p50 = $q%.0f (true 5e7, rel err ${math.abs(q - 5e7) / 1e8}%.4f)")
         }
+      case "scalebkt" =>
+        import org.apache.spark.sql.functions._
+        // 20M-row fact joined to a 2M-row dim on a shared key, twice: once
+        // as plain parquet (shuffle join), once with both sides bucketed on
+        // the key (zero-exchange merge join). The delta is the recurring
+        // per-query cost the one-time bucketing pays off.
+        val factDf = spark.range(20000000L).selectExpr(
+          "abs(xxhash64(id)) % 2000000 AS k", "id AS payload")
+        val dimDf = spark.range(2000000L).selectExpr(
+          "id AS k", "id % 97 AS attr")
+        val base = s"${sys.props("java.io.tmpdir")}/graft_export/scalebkt"
+        graft.sinks.Sinks.deleteRecursive(spark, base)
+        factDf.write.parquet(s"$base/fact_plain")
+        dimDf.write.parquet(s"$base/dim_plain")
+        for (t <- Seq("sb_fact", "sb_dim")) spark.sql(s"DROP TABLE IF EXISTS $t")
+        factDf.repartition(32, col("k")).write.format("parquet")
+          .bucketBy(32, "k").sortBy("k").option("path", s"$base/fact_b")
+          .saveAsTable("sb_fact")
+        dimDf.repartition(32, col("k")).write.format("parquet")
+          .bucketBy(32, "k").sortBy("k").option("path", s"$base/dim_b")
+          .saveAsTable("sb_dim")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def agg(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+          f.join(d.hint("merge"), "k").groupBy(col("k"))
+            .agg(count(lit(1)), sum(col("payload") + col("attr"))).count()
+        for (i <- 1 to 2) {
+          time(s"shuffle join 20M x 2M #$i")(
+            agg(spark.read.parquet(s"$base/fact_plain"),
+              spark.read.parquet(s"$base/dim_plain")))
+          time(s"bucketed join 20M x 2M #$i")(
+            agg(spark.table("sb_fact"), spark.table("sb_dim")))
+        }
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)
