@@ -2406,6 +2406,44 @@ object Queries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** SKETCHES AS STREAMING STATE: per hour window, the SpaceSaving top-3
+    * users and the KMV distinct-user count, both living inside the stateful
+    * windowed aggregation (TypedImperativeAggregate buffers serialize into
+    * the state store like any agg state). At production rates this is the
+    * point of the sketch family — per-window state is O(capacity), not
+    * O(distinct users), while below capacity the answers stay EXACT, which
+    * is what lets the batch oracle pin them here.
+    */
+  def streamWindowSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{KmvDistinctAgg, SpaceSavingAgg}
+    val ev = StreamingPivot.eventsStream(spark, sfDir)
+      .select(lpad(col("user_id").cast("string"), 8, "0").as("u"),
+        expr("timestamp_micros(ts DIV 1000)").as("eventTime"))
+      .withWatermark("eventTime", "1 hour")
+    val agg = ev.groupBy(window(col("eventTime"), "1 hour"))
+      .agg(SpaceSavingAgg.heavyHitters(col("u"), capacity = 4096, k = 3).as("top"),
+        KmvDistinctAgg.kmvDistinct(col("u")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_users"), col("top"))
+    StreamingPivot.runAvailableNow(agg, "stream_window_sketch_out")
+      .select(col("win_start_us"), col("n_users"), posexplode(col("top")))
+      .select(col("win_start_us"), col("n_users"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.term").as("u"), col("col.cnt").as("n_events"))
+  }
+
+  private val streamWindowSketchSql: String =
+    """WITH b AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
+      |             lpad(CAST(user_id AS VARCHAR), 8, '0') AS u, count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT win_start_us, u, c,
+      |        row_number() OVER (PARTITION BY win_start_us ORDER BY c DESC, u) AS rk,
+      |        count(*) OVER (PARTITION BY win_start_us) AS nu
+      |      FROM b)
+      |SELECT win_start_us, nu::BIGINT AS n_users, rk::BIGINT AS rk, u,
+      |  c::BIGINT AS n_events
+      |FROM r WHERE rk <= 3""".stripMargin
+
   /** The windowed pivot under ALLOWED LATENESS in APPEND mode: the same
     * events replayed with adjacent time-range chunks swapped (micro-batches
     * out of event-time order), watermark delay = the staged disorder bound.
@@ -2708,6 +2746,7 @@ object Queries {
     "mm_video_decode" -> (mmVideoDecode _),
     "stream_pivot" -> (streamPivot _),
     "stream_enrich" -> (streamEnrich _),
+    "stream_window_sketch" -> (streamWindowSketch _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
@@ -2804,6 +2843,7 @@ object Queries {
     "mm_video_decode" -> mmVideoDecodeSql,
     "stream_pivot" -> streamPivotSql,
     "stream_enrich" -> streamEnrichSql,
+    "stream_window_sketch" -> streamWindowSketchSql,
     "stream_join" -> streamJoinSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,
