@@ -84,9 +84,15 @@ object GraftExtensions {
   private def foldInt(name: String, arg: String, e: Expression): Int = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     if (!e.foldable) nonFoldable(name, arg, "\"INT\"")
-    e.dataType match {
-      case IntegerType => e.eval().asInstanceOf[Int]
-      case LongType => e.eval().asInstanceOf[Long].toInt
+    // a NULL literal or an out-of-int bigint must be an analysis error, not
+    // a silently unboxed 0 / truncated sketch size
+    val v = e.dataType match {
+      case IntegerType => Option(e.eval()).map(_.asInstanceOf[Int].toLong)
+      case LongType => Option(e.eval()).map(_.asInstanceOf[Long])
+      case _ => nonFoldable(name, arg, "\"INT\"")
+    }
+    v match {
+      case Some(l) if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case _ => nonFoldable(name, arg, "\"INT\"")
     }
   }
@@ -97,7 +103,11 @@ object GraftExtensions {
     if (!e.foldable) nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"")
     e.dataType match {
       case ArrayType(DoubleType, _) =>
-        e.eval().asInstanceOf[ArrayData].toDoubleArray().toSeq
+        e.eval() match {
+          case arr: ArrayData if !(0 until arr.numElements()).exists(arr.isNullAt) =>
+            arr.toDoubleArray().toSeq
+          case _ => nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"") // NULL / null element
+        }
       case _ => nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"")
     }
   }

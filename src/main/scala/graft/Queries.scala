@@ -1198,8 +1198,12 @@ object Queries {
     KvTable.table(spark, sfDir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
+        // k EXPLICIT with headroom over the gate scales: per-status groups
+        // hold ~5k values at sf0.01 and ~50k at sf0.1 — 2^18 keeps the
+        // exactness precondition satisfied through ~5x the bench scale
+        // rather than silently riding the default's edge.
         QuantileSketchAgg.quantileSketch(
-          floor(col("o_totalprice")).cast("long"), Seq(0.5, 0.9)).as("q"),
+          floor(col("o_totalprice")).cast("long"), Seq(0.5, 0.9), k = 262144).as("q"),
         count(lit(1)).as("n"))
       .select(col("o_orderstatus"),
         floor(element_at(col("q"), 1) * 100).cast("long").as("p50_x100"),

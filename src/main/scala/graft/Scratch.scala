@@ -725,7 +725,7 @@ object Scratch {
             .agg(graft.functions.QuantileSketchAgg.quantileSketch(
               col("v"), Seq(0.5), k = 1024).as("q"))
             .selectExpr("q[0]").collect().head.getDouble(0)
-          println(f"  p50 = $q%.0f (true 5e7, rel err ${math.abs(q - 5e7) / 1e8}%.4f)")
+          println(f"  p50 = $q%.0f (true 5e7, rel err ${math.abs(q - 5e7) / 5e7}%.4f)")
         }
       case "scalebkt" =>
         import org.apache.spark.sql.functions._

@@ -41,6 +41,9 @@ case class PackInt8(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      // a null element would read as 0 and silently zero the dimension
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(s"pack_int8 NULL component at index $i")
       val v = arr.getInt(i)
       if (v < Byte.MinValue || v > Byte.MaxValue)
         throw new IllegalArgumentException(
@@ -61,6 +64,10 @@ case class PackInt8(child: Expression) extends UnaryExpression {
          |int $n = $c.numElements();
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "pack_int8 NULL component at index " + $i);
+         |  }
          |  int $v = $c.getInt($i);
          |  if ($v < -128 || $v > 127) {
          |    throw new IllegalArgumentException(
@@ -162,9 +169,13 @@ case class QuantizeInt8(left: Expression, right: Expression) extends BinaryExpre
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(s"quantize_int8 NULL component at index $i")
       val d = v.getDouble(i) * 127 / nrm
-      val r = if (d < 0) -math.floor(-d + 0.5) else math.floor(d + 0.5)
-      if (r < Byte.MinValue || r > Byte.MaxValue)
+      val r = QuantizeInt8.roundHalfAway(d)
+      // inverted guard: NaN (zero/NaN norm) fails >= and <= and must throw,
+      // not cast to byte 0
+      if (!(r >= Byte.MinValue && r <= Byte.MaxValue))
         throw new IllegalArgumentException(
           s"quantize_int8 component $r at index $i outside [-128, 127] (bad norm?)")
       out(i) = r.toByte
@@ -184,9 +195,13 @@ case class QuantizeInt8(left: Expression, right: Expression) extends BinaryExpre
          |int $n = $a.numElements();
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "quantize_int8 NULL component at index " + $i);
+         |  }
          |  double $d = $a.getDouble($i) * 127 / $b;
-         |  double $r = $d < 0 ? -Math.floor(-$d + 0.5d) : Math.floor($d + 0.5d);
-         |  if ($r < -128 || $r > 127) {
+         |  double $r = graft.functions.QuantizeInt8.roundHalfAway($d);
+         |  if (!($r >= -128 && $r <= 127)) {
          |    throw new IllegalArgumentException(
          |      "quantize_int8 component " + $r + " at index " + $i + " outside [-128, 127] (bad norm?)");
          |  }
@@ -200,6 +215,27 @@ case class QuantizeInt8(left: Expression, right: Expression) extends BinaryExpre
       newLeft: Expression, newRight: Expression): QuantizeInt8 =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "quantize_int8"
+}
+
+object QuantizeInt8 {
+  /** Round half away from zero, bit-exact with C `round` (what DuckDB's
+    * `round(double)` runs) on every finite double: split into integer part
+    * and fraction (both exact — the operands are within one unit, so the
+    * subtraction is representable), then compare the fraction against 0.5
+    * directly. The tempting `floor(|d| + 0.5)` is NOT this function: for
+    * d = 0.49999999999999994 the FP add rounds up to 1.0 and floors to 1,
+    * where true nearest (and std::round) is 0 — a one-ulp input landing
+    * next to a tie boundary would quantize differently engine-side vs
+    * oracle-side and break the hash compare. NaN propagates (caller
+    * guards).
+    */
+  def roundHalfAway(d: Double): Double = {
+    val a = math.abs(d)
+    if (a != a || a >= 9007199254740992.0) return d // NaN or >= 2^53: integral already
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1 else f
+    if (d < 0) -r else r
+  }
 }
 
 object Int8Ops {

@@ -86,6 +86,20 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect()
     }
     e.getMessage should include("capacity")
+    // NULL and out-of-int bigint literals are analysis errors too, not a
+    // silently unboxed 0 / truncated sketch size
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sql.sql("SELECT kmv_distinct(xxhash64(t), CAST(NULL AS INT)) FROM VALUES ('x') AS t(t)")
+        .collect()
+    }.getMessage should include("k")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sql.sql("SELECT space_saving_topk(t, 8589934608, 1) FROM VALUES ('x') AS t(t)")
+        .collect()
+    }.getMessage should include("capacity")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sql.sql("SELECT quantile_sketch(5L, array(0.5d, CAST(NULL AS DOUBLE)), 64) FROM VALUES ('x') AS t(t)")
+        .collect()
+    }.getMessage should include("probes")
   }
 
   test("max_by_ts aggregates from SQL (LWW per key)") {

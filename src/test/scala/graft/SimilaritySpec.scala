@@ -62,6 +62,29 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage should include("mismatch")
   }
 
+  test("quantize guards: zero-norm NaN, null elements, and tie rounding") {
+    import graft.functions.{Int8Ops, QuantizeInt8}
+    // zero vector -> nrm 0 -> NaN components must throw, not pack 0x00
+    intercept[Exception] {
+      Seq((Seq(0.0, 0.0), 0.0)).toDF("v", "n")
+        .select(Int8Ops.quantize(col("v"), col("n"))).collect()
+    }.getMessage should include("bad norm")
+    intercept[Exception] {
+      Seq((Seq(Some(1.0), None), 2.0)).toDF("v", "n")
+        .select(Int8Ops.quantize(col("v"), col("n"))).collect()
+    }.getMessage should include("NULL component")
+    intercept[Exception] {
+      Seq(Seq(Some(1), None)).toDF("a")
+        .select(Int8Ops.pack(col("a"))).collect()
+    }.getMessage should include("NULL component")
+    // round-half-away matches C round on the adversarial boundary double
+    QuantizeInt8.roundHalfAway(0.49999999999999994) shouldBe 0.0
+    QuantizeInt8.roundHalfAway(-0.49999999999999994) shouldBe -0.0
+    QuantizeInt8.roundHalfAway(2.5) shouldBe 3.0
+    QuantizeInt8.roundHalfAway(-2.5) shouldBe -3.0
+    QuantizeInt8.roundHalfAway(2.4999999999999996) shouldBe 2.0
+  }
+
   test("quantized top-k preserves the planted neighborhood order") {
     val out = Similarity.quantTopK(vecs, v => v === 1L, k = 4)
       .orderBy("rank").as[(Long, Long, Long, Long)].collect()
