@@ -1616,6 +1616,36 @@ object Queries {
       |WHERE g.doc_id % 50 <> 0
       |GROUP BY 1""".stripMargin
 
+  /** Deterministic weighted interleave for training order: doc i of a
+    * weight-w source lands at position key `r·12 DIV w` (12 = lcm of the
+    * weight domain {1..4}, so the division is EXACT — the key IS the
+    * rational r/w scaled, no truncation collapse), making a weight-4
+    * source appear 4× as often as a weight-1 source at any prefix. The
+    * key is emitted, not a global row_number: consumers range-partition
+    * by (pos_key, source, doc_id) — a parallel total order — where a
+    * contiguous global rank would force everything through one window
+    * partition. Per-source ranks order by doc_id, so the whole layout is
+    * reproducible run-over-run and shuffle-independent.
+    */
+  def pipeInterleave(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("r"),
+        expr("r * 12 DIV w").as("pos_key"))
+  }
+
+  private val pipeInterleaveSql: String =
+    """WITH b AS (SELECT doc_id, source,
+      |             substr(source, 4)::BIGINT % 4 + 1 AS w,
+      |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      |           FROM documents)
+      |SELECT doc_id, source, r::BIGINT AS r, (r * 12 // w)::BIGINT AS pos_key
+      |FROM b""".stripMargin
+
   /** Weighted corpus mix to a 50k-char budget: source weights assigned by
     * name rank (sorted source list is tiny and collected once — bounded by
     * the source catalog, not the corpus), per-source keep-thresholds are
@@ -2044,6 +2074,33 @@ object Queries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY dot_q DESC, nb) AS rk
        |      FROM pr)
        |SELECT q, nb, rk::BIGINT AS rank, dot_q FROM r WHERE rk <= 5""".stripMargin
+
+  /** Two-stage ANN ([[Similarity.quantRerankTopK]]): int8 scan for a wide
+    * candidate set, exact float cosine re-rank of just those — the
+    * production memory-bandwidth shape. Both stages deterministic → the
+    * oracle replays stage 1's integer ranking then stage 2's exact cosine.
+    */
+  def annTopkQuantRerank(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.quantRerankTopK(embeds(spark, sfDir), isQuery)
+
+  private val annTopkQuantRerankSql: String =
+    s"""WITH $annNormCte,
+       |qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127 / nrm)::BIGINT) AS qv
+       |       FROM n),
+       |pq AS (SELECT a.vec_id AS q, c.vec_id AS nb,
+       |         list_reduce(list_transform(list_zip(a.qv, c.qv), z -> z[1] * z[2]),
+       |                     (x, y) -> x + y)::BIGINT AS dot_q
+       |       FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+       |       WHERE a.vec_id % 50 = 0),
+       |cand AS (SELECT q, nb FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY q ORDER BY dot_q DESC, nb) AS rk
+       |           FROM pq) WHERE rk <= 50),
+       |px AS (SELECT cand.q, cand.nb,
+       |         floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm))::BIGINT AS cos_x1000
+       |       FROM cand JOIN n a ON a.vec_id = cand.q JOIN n b ON b.vec_id = cand.nb),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk
+       |      FROM px)
+       |SELECT q, nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
 
   def annTopkLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.lshTopK(embeds(spark, sfDir), isQuery)
@@ -2717,6 +2774,7 @@ object Queries {
     "sample_bernoulli" -> (sampleBernoulli _),
     "sample_stratified" -> (sampleStratified _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
+    "pipe_interleave" -> (pipeInterleave _),
     "pipe_dataset_split" -> (pipeDatasetSplit _),
     "pipe_tfidf" -> (pipeTfidf _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
@@ -2738,6 +2796,7 @@ object Queries {
     "dedup_embed_lsh_pairs" -> (dedupEmbedLshPairs _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_quant" -> (annTopkQuant _),
+    "ann_topk_quant_rerank" -> (annTopkQuantRerank _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_pruned" -> (annTopkIvfPruned _),
@@ -2814,6 +2873,7 @@ object Queries {
     "sample_bernoulli" -> sampleBernoulliSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
+    "pipe_interleave" -> pipeInterleaveSql,
     "pipe_dataset_split" -> pipeDatasetSplitSql,
     "pipe_tfidf" -> pipeTfidfSql,
     "pipe_decontaminate" -> pipeDecontaminateSql,
@@ -2835,6 +2895,7 @@ object Queries {
     "dedup_embed_lsh_pairs" -> dedupEmbedLshPairsSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_quant" -> annTopkQuantSql,
+    "ann_topk_quant_rerank" -> annTopkQuantRerankSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_ivf_pruned" -> annTopkIvfSql,

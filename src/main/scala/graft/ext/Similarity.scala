@@ -140,6 +140,29 @@ object Similarity {
       .select(col("q"), col("nb"), col("rank").cast("long").as("rank"), col("dot_q"))
   }
 
+  /** The production two-stage shape: a WIDE quantized first pass (top
+    * `candidates` by int8 dot — the memory-bound scan touching 1/8th the
+    * bytes) feeding a NARROW exact re-rank (float cosine on `candidates`
+    * rows per query instead of the whole corpus). Exact-top-k recall is
+    * bounded only by quantization error at the candidate cut, which the
+    * wide margin (candidates >> k) absorbs; both stages are deterministic,
+    * so the result is oracle-replayable end to end.
+    */
+  def quantRerankTopK(embeddings: DataFrame, isQuery: Column => Column,
+      k: Int = 5, candidates: Int = 50): DataFrame = {
+    val cand = quantTopK(embeddings, isQuery, candidates)
+      .select(col("q"), col("nb"))
+    val idx = index(embeddings)
+    // candidate list and query vectors are |Q|-sized — broadcast both; the
+    // corpus is only streamed once more to pick up candidate vectors by id
+    val scored = broadcast(cand)
+      .join(broadcast(idx.filter(isQuery(col("vec_id")))).as("qr"),
+        col("q") === col("qr.vec_id"))
+      .join(idx.as("cand"), col("nb") === col("cand.vec_id"))
+      .select(col("q"), col("nb"), cosX1000.as("cos_x1000"))
+    topK(scored, k)
+  }
+
   // ------------------------------------------------------------- IVF
 
   val NumCells = 32

@@ -94,6 +94,14 @@ class SimilaritySpec extends SparkSpec {
     out.last._4 shouldBe -127L * 127L // opposite
   }
 
+  test("quant+rerank reproduces exact brute top-k when candidates cover the corpus") {
+    val exact = Similarity.bruteTopK(vecs, v => v === 1L, k = 4)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val rr = Similarity.quantRerankTopK(vecs, v => v === 1L, k = 4, candidates = 4)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    rr shouldBe exact // stage-2 scores are the same exact cosine
+  }
+
   test("buckets are stable, in [0, 2^6), and differ across tables") {
     val idx = Similarity.bucketedIndex(Similarity.index(vecs), dim = 4)
     val buckets = idx.select("bucket").as[Long].collect()
