@@ -497,6 +497,30 @@ object Queries {
       |UNION ALL SELECT KEY, 'ln' AS qualifier, ln AS value FROM r
       |UNION ALL SELECT KEY, 'flag' AS qualifier, flag AS value FROM r""".stripMargin
 
+  /** HBase `Append` analog (`Table.append` — the in-place cell concat op):
+    * per cell coordinate, all written values joined in WRITE ORDER. The
+    * write order is recovered deterministically (sort by the unique cell
+    * ts = event_id inside the aggregated array — `array_sort` on (ts,
+    * value) structs), so the result is partitioning-independent; state per
+    * cell is bounded by versions-per-cell, the op's inherent cost.
+    */
+  def kvAppendCells(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.eventsAsCells(spark, sfDir)
+      .groupBy(col("rowKey"), col("qualifier"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("ts"), col("value")))),
+            x => decode(x.getField("value"), "UTF-8")), ",").as("appended"),
+        count(lit(1)).as("n_writes"))
+
+  private val kvAppendCellsSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  event_type AS qualifier,
+      |  string_agg(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+      |             ',' ORDER BY event_id) AS appended,
+      |  count(*) AS n_writes
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- secondary index
 
   /** HBase-style secondary index, modeled the way HBase users build one
@@ -2467,6 +2491,31 @@ object Queries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** HBase `Increment` as streaming state (`Table.incrementColumnValue` —
+    * the reference's HBase exposes atomic counters as a first-class op):
+    * per (rowKey, qualifier), the running sum of written values as a
+    * stateful streaming aggregation. Counter state is one long per cell
+    * coordinate — the cheapest possible stateful query, and the AvailableNow
+    * replay's final counters must equal the batch SUM, which the oracle
+    * pins.
+    */
+  def streamIncrement(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").cast("long").as("delta"))
+    StreamingPivot.runAvailableNow(
+      cells.groupBy(col("rowKey"), col("qualifier"))
+        .agg(sum(col("delta")).as("counter"), count(lit(1)).as("n_incr")),
+      "stream_increment_out")
+  }
+
+  private val streamIncrementSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  event_type AS qualifier,
+      |  CAST(sum(floor(value * 100)) AS BIGINT) AS counter,
+      |  count(*) AS n_incr
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** SKETCHES AS STREAMING STATE: per hour window, the SpaceSaving top-3
     * users and the KMV distinct-user count, both living inside the stateful
     * windowed aggregation (TypedImperativeAggregate buffers serialize into
@@ -2733,6 +2782,7 @@ object Queries {
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_partitioned_scan" -> (kvPartitionedScan _),
     "kv_index_lookup" -> (kvIndexLookup _),
+    "kv_append_cells" -> (kvAppendCells _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
     "kv_unpivot" -> (kvUnpivot _),
@@ -2810,6 +2860,7 @@ object Queries {
     "stream_pivot" -> (streamPivot _),
     "stream_enrich" -> (streamEnrich _),
     "stream_window_sketch" -> (streamWindowSketch _),
+    "stream_increment" -> (streamIncrement _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
     "stream_sessions" -> (streamSessions _),
@@ -2832,6 +2883,7 @@ object Queries {
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_partitioned_scan" -> kvPartitionedScanSql,
     "kv_index_lookup" -> kvIndexLookupSql,
+    "kv_append_cells" -> kvAppendCellsSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,
     "kv_unpivot" -> kvUnpivotSql,
@@ -2909,6 +2961,7 @@ object Queries {
     "stream_pivot" -> streamPivotSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_window_sketch" -> streamWindowSketchSql,
+    "stream_increment" -> streamIncrementSql,
     "stream_join" -> streamJoinSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessions" -> streamSessionsSql,
