@@ -112,6 +112,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("repetition stats and JSON extraction stay map-side until their final aggregate") {
+    // txt_repetition: fused expression, NO shuffle at all
+    val rep = executedPlan(Queries.all("txt_repetition")(spark, sfDir))
+    rep should not include "Exchange"
+    // kv_json_extract: parse in the scan projection, one small-domain agg exchange
+    val js = executedPlan(Queries.all("kv_json_extract")(spark, sfDir))
+    js.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+  }
+
+  test("interleave runs one exchange (the per-source window); quant ANN never shuffles the corpus") {
+    val il = executedPlan(Queries.all("pipe_interleave")(spark, sfDir))
+    il.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+    val q = executedPlan(Queries.all("ann_topk_quant")(spark, sfDir))
+    // queries broadcast (nested-loop: the <> condition is non-equi); the
+    // only shuffle is the tiny per-query top-k window
+    q should include("BroadcastNestedLoopJoin")
+    q.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+  }
+
   test("bernoulli sample is map-only: zero exchanges, filter reaches the scan stage") {
     val plan = executedPlan(Queries.all("sample_bernoulli")(spark, sfDir))
     plan should not include "Exchange"
