@@ -696,6 +696,35 @@ object Queries {
     Export.readJsonLines(spark, cfg.outputPath, TypedAvroSchema)
   }
 
+  /** Schema evolution across a table's file history: half the rows written
+    * under the v1 schema (no `value_x100`), half under v2 (column added),
+    * read back with `mergeSchema` — the lakehouse behavior every
+    * long-lived export directory eventually needs. v1 rows surface the new
+    * column as NULL; no rewrite of old files. (Parquet merges by NAME, so
+    * this is metadata-only at read — pruning/pushdown still work on the
+    * merged schema.)
+    */
+  def exportEvolveRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpOut("evolve_roundtrip")
+    graft.sinks.Sinks.deleteRecursive(spark, out)
+    val ev = KvTable.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"))
+      .write.mode("append").parquet(out)
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("value_x100"))
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+  }
+
+  private val exportEvolveRoundtripSql: String =
+    """SELECT event_id, user_id, CAST(NULL AS BIGINT) AS value_x100
+      |FROM events WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT)
+      |FROM events WHERE event_id % 2 = 1""".stripMargin
+
   // --------------------------------------------- relational (SURVEY §2.4-2.6)
 
   /** Enrich-by-key equi-join (the only reference-shaped join use case,
@@ -2792,6 +2821,7 @@ object Queries {
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
+    "export_evolve_roundtrip" -> (exportEvolveRoundtrip _),
     "rel_enrich_join" -> (relEnrichJoin _),
     "rel_topk_orders" -> (relTopkOrders _),
     "rel_skew_agg" -> (relSkewAgg _),
@@ -2892,6 +2922,7 @@ object Queries {
     "export_avro_roundtrip" -> kvTypedExportSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,
+    "export_evolve_roundtrip" -> exportEvolveRoundtripSql,
     "export_parquet_roundtrip" -> kvTypedExportSql,
     "rel_enrich_join" -> relEnrichJoinSql,
     "rel_topk_orders" -> relTopkOrdersSql,
