@@ -2115,17 +2115,25 @@ object Queries {
   def annTopkQuant(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.quantTopK(embeds(spark, sfDir), isQuery)
 
+  /** Shared stage-1 CTE text: int8 quantization + the all-pairs integer dot
+    * for the query set (mirrors [[Similarity.quantIndex]]/`quantTopK`). ONE
+    * definition so the plain-quant and rerank oracles can never encode two
+    * different quantization formulas.
+    */
+  private val annQuantScoreCte: String =
+    """qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127 / nrm)::BIGINT) AS qv
+      |       FROM n),
+      |pq AS (SELECT a.vec_id AS q, c.vec_id AS nb,
+      |         list_reduce(list_transform(list_zip(a.qv, c.qv), z -> z[1] * z[2]),
+      |                     (x, y) -> x + y)::BIGINT AS dot_q
+      |       FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+      |       WHERE a.vec_id % 50 = 0)""".stripMargin
+
   private val annTopkQuantSql: String =
     s"""WITH $annNormCte,
-       |qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127 / nrm)::BIGINT) AS qv
-       |       FROM n),
-       |pr AS (SELECT a.vec_id AS q, c.vec_id AS nb,
-       |         list_reduce(list_transform(list_zip(a.qv, c.qv), z -> z[1] * z[2]),
-       |                     (x, y) -> x + y)::BIGINT AS dot_q
-       |       FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
-       |       WHERE a.vec_id % 50 = 0),
+       |$annQuantScoreCte,
        |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY dot_q DESC, nb) AS rk
-       |      FROM pr)
+       |      FROM pq)
        |SELECT q, nb, rk::BIGINT AS rank, dot_q FROM r WHERE rk <= 5""".stripMargin
 
   /** Two-stage ANN ([[Similarity.quantRerankTopK]]): int8 scan for a wide
@@ -2138,13 +2146,7 @@ object Queries {
 
   private val annTopkQuantRerankSql: String =
     s"""WITH $annNormCte,
-       |qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127 / nrm)::BIGINT) AS qv
-       |       FROM n),
-       |pq AS (SELECT a.vec_id AS q, c.vec_id AS nb,
-       |         list_reduce(list_transform(list_zip(a.qv, c.qv), z -> z[1] * z[2]),
-       |                     (x, y) -> x + y)::BIGINT AS dot_q
-       |       FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
-       |       WHERE a.vec_id % 50 = 0),
+       |$annQuantScoreCte,
        |cand AS (SELECT q, nb FROM (
        |           SELECT *, row_number() OVER (PARTITION BY q ORDER BY dot_q DESC, nb) AS rk
        |           FROM pq) WHERE rk <= 50),
