@@ -27,6 +27,28 @@ class GraftExtensionsSpec extends SparkSpec {
     s
   }
 
+  test("config-path loading (spark.sql.extensions=graft.GraftExtensions) works") {
+    // the spark-submit deployment path: the class must be reflectively
+    // instantiable from the conf string, no programmatic withExtensions
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-conf-test")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    try {
+      s.sql("SELECT poly_hash('spark') AS h").collect()
+        .head.getLong(0) shouldBe PolyHash.of("spark")
+    } finally {
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("wrong arity raises an analysis-time WRONG_NUM_ARGS error, not a raw require") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       sql.sql("SELECT poly_hash('a', 'b')").collect()
