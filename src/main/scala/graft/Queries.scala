@@ -394,6 +394,7 @@ object Queries {
     ensurePartitionedEvents(spark, sfDir)
     ensureClickIndex(spark, sfDir)
     ensureBucketedTrade(spark, sfDir)
+    ensureMaterializedAgg(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -695,6 +696,51 @@ object Queries {
     Export.run(cells, cfg)
     Export.readJsonLines(spark, cfg.outputPath, TypedAvroSchema)
   }
+
+  /** The materialized per-customer order aggregate over "yesterday's"
+    * orders (o_orderkey % 10 != 9), persisted once — the base a delta batch
+    * maintains incrementally.
+    */
+  private def ensureMaterializedAgg(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"mat_agg|$sfDir", _ => {
+      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = tmpOut(s"mat_agg_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      KvTable.table(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 10 =!= 9)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Incremental view maintenance: merge TODAY's delta (o_orderkey % 10 ==
+    * 9, ~10% of rows) into the persisted aggregate — aggregate ONLY the
+    * delta, then a full-outer count/sum merge with the materialized base.
+    * At 100 TB this is the difference between shuffling a day's increment
+    * and re-shuffling the whole history every refresh; the oracle is the
+    * full recompute over all orders, which the merged result must equal
+    * exactly (count and integer-sum are self-mergeable aggregates — the
+    * property that makes a view maintainable this way at all).
+    */
+  def relIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(ensureMaterializedAgg(spark, sfDir))
+      .withColumnRenamed("n_orders", "b_n").withColumnRenamed("sum_price", "b_s")
+    val delta = KvTable.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 10 === 9)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("d_n"),
+        sum(floor(col("o_totalprice"))).cast("long").as("d_s"))
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_orders"),
+        (coalesce(col("b_s"), lit(0L)) + coalesce(col("d_s"), lit(0L))).as("sum_price"))
+  }
+
+  private val relIncrementalAggSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
 
   /** Schema evolution across a table's file history: half the rows written
     * under the v1 schema (no `value_x100`), half under v2 (column added),
@@ -2839,6 +2885,7 @@ object Queries {
     "kv_json_extract" -> (kvJsonExtract _),
     "rel_bloom_join" -> (relBloomJoin _),
     "rel_bucketed_join" -> (relBucketedJoin _),
+    "rel_incremental_agg" -> (relIncrementalAgg _),
     "agg_distinct_kmv" -> (aggDistinctKmv _),
     "agg_quantiles_sketch" -> (aggQuantilesSketch _),
     "rel_set_ops" -> (relSetOps _),
@@ -2941,6 +2988,7 @@ object Queries {
     "kv_json_extract" -> kvJsonExtractSql,
     "rel_bloom_join" -> relBloomJoinSql,
     "rel_bucketed_join" -> relBucketedJoinSql,
+    "rel_incremental_agg" -> relIncrementalAggSql,
     "agg_distinct_kmv" -> aggDistinctKmvSql,
     "agg_quantiles_sketch" -> relQuantilesSql,
     "rel_set_ops" -> relSetOpsSql,
