@@ -1014,7 +1014,7 @@ object Queries {
       .groupBy(col("event_type"), expr("tsNanos DIV 3600000000000").as("h"))
       .agg(count(lit(1)).as("n_obs"),
         max_by(floor(col("value") * 100).cast("long"), col("event_id")).as("v"))
-    GapFill.locf(observed, "event_type", "h", Seq("v"))
+    GapFill.locf(observed, "event_type", "h", Seq("v"), materialize = true)
       .select(col("event_type"), col("h"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v").as("filled_x100"))
   }
