@@ -56,7 +56,7 @@ object Cli {
     "CreateTable" -> 3, "PopulateTable" -> 6,
     "ExportHBaseTableToDelimiteredTxt" -> 6, "ExportHBaseTableToDelimiteredSeq" -> 6,
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
-    "AvroReader" -> 3, "ParquetReader" -> 2)
+    "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -115,6 +115,17 @@ object Cli {
       val Array(file, n) = a.take(2)
       Sinks.console(spark.read.parquet(file).limit(n.toInt), n.toInt)
 
+    // Beyond the reference's eight: run ANY registered operator query over a
+    // test-data scale dir and dump the first n rows — the whole §7.6
+    // extension surface from one spark-submit entry point.
+    case "RunQuery" =>
+      val Array(name, sfDir, n) = a.take(3)
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown query '$name'; available:\n  " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString("\n  ")))
+      Sinks.console(fn(spark, sfDir).limit(n.toInt), n.toInt)
+
     case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
   }
 
@@ -143,5 +154,6 @@ object Cli {
       |  ExportHBaseTableToAvro <table> <cf> <out> <codec> <schemaFile> [rowKeyColumn]
       |  ExportHBaseTableToParquet <table> <cf> <out> <codec> <schemaFile> [rowKeyColumn]
       |  AvroReader <file> <schemaFile> <recordsToRead>
-      |  ParquetReader <file> <recordsToRead>""".stripMargin
+      |  ParquetReader <file> <recordsToRead>
+      |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)""".stripMargin
 }

@@ -67,4 +67,13 @@ class CliSpec extends SparkSpec {
     }
     e.getMessage should include("usage")
   }
+
+  test("RunQuery runs any registered operator; unknown names list the registry") {
+    // smoke an extension operator end-to-end through the CLI dispatch
+    Cli.run(spark, "RunQuery", Array("txt_repetition", sfDir, "3"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, "RunQuery", Array("nope", sfDir, "3"))
+    }
+    e.getMessage should include("dedup_exact") // the listing names the registry
+  }
 }
