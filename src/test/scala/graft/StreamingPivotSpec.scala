@@ -190,6 +190,32 @@ class StreamingPivotSpec extends SparkSpec {
       Set(("r1", 17L, 2L), ("r2", 5L, 1L), ("r3", 1L, 1L))
   }
 
+  test("windowed sketch state serializes through the RocksDB state store") {
+    // TypedImperativeAggregate buffers (SpaceSaving + KMV) must round-trip
+    // the RocksDB provider's native state encoding, not just the in-memory
+    // map — run the real stream_window_sketch aggregation under both
+    // providers and require identical results
+    import graft.functions.{KmvDistinctAgg, SpaceSavingAgg}
+    import org.apache.spark.sql.functions._
+    def run(provider: Option[String], name: String) = {
+      val ev = StreamingPivot.eventsStream(spark, sfDir)
+        .select(lpad(col("user_id").cast("string"), 8, "0").as("u"),
+          expr("timestamp_micros(ts DIV 1000)").as("eventTime"))
+        .withWatermark("eventTime", "1 hour")
+      val agg = ev.groupBy(window(col("eventTime"), "1 hour"))
+        .agg(SpaceSavingAgg.heavyHitters(col("u"), capacity = 4096, k = 3).as("top"),
+          KmvDistinctAgg.kmvDistinct(col("u")).as("n_users"))
+        .select(unix_micros(col("window.start")).as("w"), col("n_users"), col("top"))
+      StreamingPivot.runAvailableNow(agg, name, stateStoreProvider = provider)
+        .select(col("w"), col("n_users"), col("top").cast("string"))
+        .as[(Long, Long, String)].collect().toSet
+    }
+    val mem = run(None, "sk_mem_out")
+    val rocks = run(Some(StreamingPivot.RocksDbProvider), "sk_rocks_out")
+    rocks.nonEmpty shouldBe true // functions.not shadows matcher `not` here
+    rocks shouldBe mem
+  }
+
   test("streaming availableNow result == batch pivot (parity on real data)") {
     val streamed = Queries.all("stream_pivot")(spark, sfDir)
     val cnt = streamed.count()
