@@ -24,7 +24,18 @@ object Bench {
     // round-over-round deltas outrun single-run container noise. A failed
     // query records -1, never a fake timing — a broken query must not read
     // as a speed-up against the baseline.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for fast iteration on hot queries
+    // (SPARK_GRAFT_BENCH_ONLY=q1,q2); the driver's full runs leave it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
