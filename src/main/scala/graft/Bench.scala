@@ -16,18 +16,20 @@ object Bench {
     // first query of the run.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Untimed artifact build: persisted indexes/tables (IVF index, bucketed
-    // cells) are constructed once here so the timed loop measures query
-    // latency, not index construction.
-    Queries.prepare(spark, sfDir)
-    // Each query runs `reps` times; the reported number is the MEDIAN, so
-    // round-over-round deltas outrun single-run container noise. A failed
-    // query records -1, never a fake timing — a broken query must not read
-    // as a speed-up against the baseline.
     // Optional comma-separated subset for fast iteration on hot queries
     // (SPARK_GRAFT_BENCH_ONLY=q1,q2); the driver's full runs leave it unset.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Untimed artifact build: persisted indexes/tables (IVF index, bucketed
+    // cells) are constructed once here so the timed loop measures query
+    // latency, not index construction. Skipped for a subset run — every
+    // query fn lazily self-ensures what it reads, so a subset pays only its
+    // own artifacts (in the first rep; the median still reflects warm reps).
+    if (only.isEmpty) Queries.prepare(spark, sfDir)
+    // Each query runs `reps` times; the reported number is the MEDIAN, so
+    // round-over-round deltas outrun single-run container noise. A failed
+    // query records -1, never a fake timing — a broken query must not read
+    // as a speed-up against the baseline.
     val selected = only match {
       case Some(names) =>
         val unknown = names -- SparkEntry.queries.keySet

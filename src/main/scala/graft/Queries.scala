@@ -286,6 +286,16 @@ object Queries {
   // via [[prepare]] and times only the read path.
   private val artifacts = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Injective per-sfDir artifact path: readable slug + raw-hash suffix, so
+    * two dirs that sanitize to the same slug still get distinct paths and
+    * one never overwrites the other's artifact. (Catalog TABLE names need
+    * the stricter no-dots slug — see ensureBucketedTrade.)
+    */
+  private def artifactPath(prefix: String, sfDir: String): String = {
+    val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    tmpOut(s"${prefix}_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+  }
+
   /** The K5 bucketed+sorted catalog table of generated cells (built once). */
   private def ensureBucketedCells(spark: SparkSession): String =
     artifacts.computeIfAbsent("bucketed_cells", _ => {
@@ -301,11 +311,7 @@ object Queries {
     */
   private def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"ivf_index|$sfDir", _ => {
-      // The readable-slug + raw-hash suffix makes the on-disk path injective
-      // per sfDir: two dirs that sanitize to the same slug still get
-      // distinct paths, so one never overwrites the other's index.
-      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val path = tmpOut(s"ivf_index_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      val path = artifactPath("ivf_index", sfDir)
       Similarity.persistIvfIndex(embeds(spark, sfDir), path)
       path
     })
@@ -319,8 +325,7 @@ object Queries {
     */
   private def ensureIvfIncrIndex(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"ivf_incr|$sfDir", _ => {
-      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val path = tmpOut(s"ivf_incr_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      val path = artifactPath("ivf_incr", sfDir)
       val e = embeds(spark, sfDir)
       Similarity.persistIvfIndex(e.filter(col("vec_id") % 10 =!= 9), path)
       Similarity.appendIvfIndex(spark, path, e.filter(col("vec_id") % 10 === 9))
@@ -534,8 +539,7 @@ object Queries {
     */
   private def ensureClickIndex(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"click_idx|$sfDir", _ => {
-      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val path = tmpOut(s"click_idx_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      val path = artifactPath("click_idx", sfDir)
       val piv = kvPivotEvents(spark, sfDir)
       piv.repartitionByRange(8, col("rowKey")).sortWithinPartitions("rowKey")
         .write.mode("overwrite").parquet(s"$path/base")
@@ -579,8 +583,7 @@ object Queries {
     */
   private def ensurePartitionedEvents(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"part_events|$sfDir", _ => {
-      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val path = tmpOut(s"part_events_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      val path = artifactPath("part_events", sfDir)
       KvTable.events(spark, sfDir)
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
       path
@@ -703,8 +706,7 @@ object Queries {
     */
   private def ensureMaterializedAgg(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"mat_agg|$sfDir", _ => {
-      val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val path = tmpOut(s"mat_agg_${slug}_${Integer.toHexString(sfDir.hashCode)}")
+      val path = artifactPath("mat_agg", sfDir)
       KvTable.table(spark, sfDir, "orders")
         .filter(col("o_orderkey") % 10 =!= 9)
         .groupBy(col("o_custkey"))

@@ -27,26 +27,21 @@ class GraftExtensionsSpec extends SparkSpec {
     s
   }
 
-  test("config-path loading (spark.sql.extensions=graft.GraftExtensions) works") {
-    // the spark-submit deployment path: the class must be reflectively
-    // instantiable from the conf string, no programmatic withExtensions
-    val prev = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-conf-test")
-      .config("spark.sql.shuffle.partitions", 2)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
-    try {
-      s.sql("SELECT poly_hash('spark') AS h").collect()
-        .head.getLong(0) shouldBe PolyHash.of("spark")
-    } finally {
-      prev.foreach(SparkSession.setDefaultSession)
-      prev.foreach(SparkSession.setActiveSession)
-    }
+  test("config-path loading contract: reflectively instantiable and applicable") {
+    // What `spark.sql.extensions=graft.GraftExtensions` requires of the
+    // class: resolvable by name, a public no-arg constructor, and
+    // assignable to SparkSessionExtensions => Unit, whose apply registers
+    // without throwing. Tested at that level deliberately — a builder
+    // `.config` probe is order-dependent (spark.sql.extensions is a STATIC
+    // conf: once any suite has created the shared SparkContext, a later
+    // builder setting is silently ignored and the probe tests nothing).
+    // The registered functions' behavior is covered by the programmatic
+    // `withExtensions` session below, which shares the same registration
+    // list.
+    val inst = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    noException should be thrownBy inst(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
   test("wrong arity raises an analysis-time WRONG_NUM_ARGS error, not a raw require") {
