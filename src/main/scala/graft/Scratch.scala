@@ -760,6 +760,26 @@ object Scratch {
             agg(spark.table("sb_fact"), spark.table("sb_dim")))
         }
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      case "scalerr" =>
+        import org.apache.spark.sql.functions._
+        // 1M x 64-dim: exact brute vs pure-int8 vs int8+rerank-50 — recall
+        // of each approximate ranking against the exact top-5.
+        val remb = spark.range(1000000L).selectExpr(
+          "id AS vec_id",
+          "transform(sequence(1, 64), i -> CAST((xxhash64(id * 64 + i) % 1000) / 1000.0 AS FLOAT)) AS embedding")
+          .localCheckpoint()
+        val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          v => v % 100000 === 0
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          df.select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = time("1M exact brute top-5")(
+          pairs(graft.ext.Similarity.bruteTopK(remb, isQ)))
+        val quant = time("1M pure int8 top-5")(
+          pairs(graft.ext.Similarity.quantTopK(remb, isQ)))
+        val rr = time("1M int8 + rerank-50 top-5")(
+          pairs(graft.ext.Similarity.quantRerankTopK(remb, isQ)))
+        println(f"  recall@5 pure-int8 ${quant.intersect(exact).size / exact.size.toDouble}%.2f" +
+          f", rerank-50 ${rr.intersect(exact).size / exact.size.toDouble}%.2f")
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)
