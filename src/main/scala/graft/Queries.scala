@@ -400,6 +400,7 @@ object Queries {
     ensureClickIndex(spark, sfDir)
     ensureBucketedTrade(spark, sfDir)
     ensureMaterializedAgg(spark, sfDir)
+    ensureZorderedEvents(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -570,6 +571,45 @@ object Queries {
   private val kvIndexLookupSql: String =
     s"""SELECT * FROM ($kvPivotEventsSql)
        |WHERE CAST(click AS BIGINT) >= 9000 AND CAST(click AS BIGINT) < 12000""".stripMargin
+
+  // ------------------------------------------------------- z-order layout
+
+  /** Events re-laid by the Morton interleave of (user_id, value_x100):
+    * range-partitioned and sorted by z-value, so parquet min/max stats
+    * cluster BOTH dimensions — a range predicate on either column skips
+    * most row groups, where a single-column sort only serves its own
+    * column. 32 output files make the file-level stats the pruning unit.
+    */
+  private def ensureZorderedEvents(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"zorder_events|$sfDir", _ => {
+      val path = artifactPath("zorder_events", sfDir)
+      import graft.functions.ZOrderInterleave
+      KvTable.events(spark, sfDir)
+        .withColumn("value_x100", floor(col("value") * 100).cast("long"))
+        .withColumn("zv", ZOrderInterleave.zOrder(col("user_id"), col("value_x100")))
+        .repartitionByRange(32, col("zv")).sortWithinPartitions("zv")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Selective two-axis query over the z-laid table: both predicates are
+    * plain pushed parquet filters (no derived z-range math — the LAYOUT
+    * does the clustering; the engine's ordinary min/max skipping gets the
+    * benefit for free on either axis). Identical answer to filtering the
+    * raw table, which is the oracle.
+    */
+  def kvZorderScan(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(ensureZorderedEvents(spark, sfDir))
+      .filter(col("user_id") < 100 && col("value_x100") >= 5000)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_x100")).as("sum_x100"))
+
+  private val kvZorderScanSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_x100
+      |FROM events
+      |WHERE user_id < 100 AND CAST(floor(value * 100) AS BIGINT) >= 5000
+      |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------- hive-layout partitioning
 
@@ -2860,6 +2900,7 @@ object Queries {
     "kv_snapshot_diff" -> (kvSnapshotDiff _),
     "kv_region_histogram" -> (kvRegionHistogram _),
     "kv_partitioned_scan" -> (kvPartitionedScan _),
+    "kv_zorder_scan" -> (kvZorderScan _),
     "kv_index_lookup" -> (kvIndexLookup _),
     "kv_append_cells" -> (kvAppendCells _),
     "kv_typed_decode" -> (kvTypedDecode _),
@@ -2963,6 +3004,7 @@ object Queries {
     "kv_snapshot_diff" -> kvSnapshotDiffSql,
     "kv_region_histogram" -> kvRegionHistogramSql,
     "kv_partitioned_scan" -> kvPartitionedScanSql,
+    "kv_zorder_scan" -> kvZorderScanSql,
     "kv_index_lookup" -> kvIndexLookupSql,
     "kv_append_cells" -> kvAppendCellsSql,
     "kv_typed_decode" -> kvTypedDecodeSql,

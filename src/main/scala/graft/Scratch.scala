@@ -780,6 +780,44 @@ object Scratch {
           pairs(graft.ext.Similarity.quantRerankTopK(remb, isQ)))
         println(f"  recall@5 pure-int8 ${quant.intersect(exact).size / exact.size.toDouble}%.2f" +
           f", rerank-50 ${rr.intersect(exact).size / exact.size.toDouble}%.2f")
+      case "scalezo" =>
+        import org.apache.spark.sql.functions._
+        // 20M rows, two filter axes: single-column sort vs z-order layout.
+        // The same two-axis predicate over both; pruning shows as scan time.
+        val zrows = spark.range(20000000L).selectExpr(
+          "abs(xxhash64(id)) % 100000 AS u",
+          "abs(xxhash64(id + 1)) % 50000 AS v",
+          "id AS payload")
+        val base = s"${sys.props("java.io.tmpdir")}/graft_export/scalezo"
+        graft.sinks.Sinks.deleteRecursive(spark, base)
+        zrows.repartitionByRange(32, col("u")).sortWithinPartitions("u")
+          .write.parquet(s"$base/by_u")
+        zrows.withColumn("zv",
+            graft.functions.ZOrderInterleave.zOrder(col("u"), col("v")))
+          .repartitionByRange(32, col("zv")).sortWithinPartitions("zv")
+          .drop("zv").write.parquet(s"$base/by_z")
+        // rows EMITTED BY THE SCAN (after parquet row-group/page skipping,
+        // before the exact filter) — the direct measure of what the layout
+        // pruned; wall-clock at this size is page-cache noise.
+        def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+          // AQE's wrapper hides the scan leaves from collectLeaves — probe
+          // with it off so the FileSourceScan metric is reachable
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          try {
+            val agg = spark.read.parquet(path).filter(pred)
+              .agg(count(lit(1)), sum(col("payload")))
+            agg.collect()
+            agg.queryExecution.executedPlan.collectLeaves()
+              .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+          } finally spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+        val twoAxis = col("u") < 1000 && col("v") >= 45000
+        val vOnly = col("v") >= 49900
+        println("  scan-emitted rows of 20M (row-group skipping):")
+        println(f"    two-axis: u-sorted ${scanRows(s"$base/by_u", twoAxis)}%,d" +
+          f" vs z-laid ${scanRows(s"$base/by_z", twoAxis)}%,d")
+        println(f"    v-only:   u-sorted ${scanRows(s"$base/by_u", vOnly)}%,d" +
+          f" vs z-laid ${scanRows(s"$base/by_z", vOnly)}%,d")
       case "ab" =>
         import org.apache.spark.sql.functions._
         def cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)

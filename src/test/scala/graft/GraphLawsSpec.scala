@@ -55,6 +55,23 @@ class GraphLawsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("z-order interleave: bit placement, monotonicity per axis, range guard") {
+    import graft.functions.ZOrderInterleave
+    def z(a: Long, b: Long): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(ZOrderInterleave.zOrder(col("a"), col("b"))).as[Long].head()
+    z(0L, 0L) shouldBe 0L
+    z(1L, 0L) shouldBe 1L // a occupies even bits
+    z(0L, 1L) shouldBe 2L // b occupies odd bits
+    z(3L, 3L) shouldBe 15L
+    z(0xFFFFFFFFL, 0xFFFFFFFFL) shouldBe -1L // all 64 bits set
+    // fixing one axis, the z-value is monotonic in the other
+    val zs = (0L to 20L).map(v => z(v, 7L))
+    zs shouldBe zs.sorted
+    intercept[Exception] { z(-1L, 0L) }.getMessage should include("z_order")
+    intercept[Exception] { z(0L, 1L << 32) }.getMessage should include("z_order")
+  }
+
   test("gap fill is idempotent: filling an already-dense series is identity") {
     val dense = (1L to 40L).map(h => ("k", h, h * 10)).toDF("k", "h", "v")
     val once = GapFill.locf(dense, "k", "h", Seq("v"))
