@@ -79,12 +79,14 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT repetition_stats('a b a').n_distinct AS nd,
         |  int8_dot(pack_int8(array(1, 2)), pack_int8(array(3, 4))) AS d,
         |  int8_dot(quantize_int8(array(3.0d, 4.0d), 5.0d),
-        |           quantize_int8(array(3.0d, 4.0d), 5.0d)) AS q""".stripMargin)
+        |           quantize_int8(array(3.0d, 4.0d), 5.0d)) AS q,
+        |  z_order(3L, 3L) AS z""".stripMargin)
       .collect().head
     row.getLong(0) shouldBe 2L
     row.getLong(1) shouldBe 11L
     // (3,4)/5 quantizes to (76, 102): 76^2 + 102^2
     row.getLong(2) shouldBe (76L * 76 + 102L * 102)
+    row.getLong(3) shouldBe 15L
     sql.sql("SELECT * FROM VALUES ('x', 5L), ('x', 5L), ('y', 9L) AS t(t, v)")
       .createOrReplaceTempView("sk_v")
     val agg = sql.sql(
