@@ -148,7 +148,7 @@ object GraftExtensions {
     ("quantize_int8",
       "quantize_int8(array<double>, nrm double) - fused round(v*127/nrm) pack",
       binary("quantize_int8", QuantizeInt8) _),
-    ("z_order", "z_order(bigint, bigint) - Morton bit-interleave of two 32-bit dims",
+    ("z_order", "z_order(bigint, bigint) - Morton bit-interleave of two 31-bit dims",
       binary("z_order", ZOrderInterleave) _),
     ("kmv_distinct", "kmv_distinct(hash bigint, k int) - KMV distinct sketch, exact below k",
       binary("kmv_distinct",

@@ -588,6 +588,7 @@ object Queries {
         .withColumn("value_x100", floor(col("value") * 100).cast("long"))
         .withColumn("zv", ZOrderInterleave.zOrder(col("user_id"), col("value_x100")))
         .repartitionByRange(32, col("zv")).sortWithinPartitions("zv")
+        .drop("zv") // the key shaped the layout; no query reads it
         .write.mode("overwrite").parquet(path)
       path
     })

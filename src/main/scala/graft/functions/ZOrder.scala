@@ -17,8 +17,14 @@ import org.apache.spark.sql.types._
   * itself is pure bit math (codegen'd single expression); the LAYOUT is
   * what delivers pruning — see Queries.ensureZorderedEvents.
   *
-  * Inputs must fit 32 bits (callers bucket/clamp first — a silent high-bit
-  * drop would interleave wrongly, so out-of-range throws).
+  * Inputs must fit 31 bits — NOT 32: the right dimension's top bit would
+  * land in the long's SIGN bit, putting z(0, 2^31) below z(0, 0) under the
+  * signed ordering every sort/range-partition uses and splitting the curve
+  * at the sign boundary instead of clustering it. 31 bits per dimension
+  * keeps all 62 output bits in the positive range, so signed order == curve
+  * order over the whole accepted domain. Callers bucket/clamp wider values
+  * first — a silent high-bit drop would interleave wrongly, so
+  * out-of-range throws.
   */
 case class ZOrderInterleave(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -35,17 +41,17 @@ case class ZOrderInterleave(left: Expression, right: Expression) extends BinaryE
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Long]
     val y = b.asInstanceOf[Long]
-    if (x < 0 || x > 0xFFFFFFFFL || y < 0 || y > 0xFFFFFFFFL)
+    if (x < 0 || x > 0x7FFFFFFFL || y < 0 || y > 0x7FFFFFFFL)
       throw new IllegalArgumentException(
-        s"z_order inputs must sit in [0, 2^32): got ($x, $y)")
+        s"z_order inputs must sit in [0, 2^31): got ($x, $y)")
     ZOrderInterleave.interleave(x) | (ZOrderInterleave.interleave(y) << 1)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-       |if ($a < 0L || $a > 4294967295L || $b < 0L || $b > 4294967295L) {
+       |if ($a < 0L || $a > 2147483647L || $b < 0L || $b > 2147483647L) {
        |  throw new IllegalArgumentException(
-       |    "z_order inputs must sit in [0, 2^32): got (" + $a + ", " + $b + ")");
+       |    "z_order inputs must sit in [0, 2^31): got (" + $a + ", " + $b + ")");
        |}
        |${ev.value} = graft.functions.ZOrderInterleave.interleave($a)
        |  | (graft.functions.ZOrderInterleave.interleave($b) << 1);

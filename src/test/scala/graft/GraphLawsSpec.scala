@@ -64,12 +64,17 @@ class GraphLawsSpec extends SparkSpec {
     z(1L, 0L) shouldBe 1L // a occupies even bits
     z(0L, 1L) shouldBe 2L // b occupies odd bits
     z(3L, 3L) shouldBe 15L
-    z(0xFFFFFFFFL, 0xFFFFFFFFL) shouldBe -1L // all 64 bits set
-    // fixing one axis, the z-value is monotonic in the other
+    // 31-bit maxima fill bits 0..61 — POSITIVE, so signed sort order is
+    // curve order (a 32-bit right input would put its top bit in the
+    // long's sign bit and order z(0, 2^31) below z(0, 0))
+    z(0x7FFFFFFFL, 0x7FFFFFFFL) shouldBe (1L << 62) - 1
+    // fixing one axis, the z-value is monotonic in the other — including
+    // across the old hazardous boundary
     val zs = (0L to 20L).map(v => z(v, 7L))
     zs shouldBe zs.sorted
+    z(0L, 0x7FFFFFFFL) should be > z(0L, 0L)
     intercept[Exception] { z(-1L, 0L) }.getMessage should include("z_order")
-    intercept[Exception] { z(0L, 1L << 32) }.getMessage should include("z_order")
+    intercept[Exception] { z(0L, 1L << 31) }.getMessage should include("z_order")
   }
 
   test("gap fill is idempotent: filling an already-dense series is identity") {
