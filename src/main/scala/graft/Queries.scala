@@ -960,6 +960,29 @@ object Queries {
       |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** CUBE over (status, priority, year): all 2³ grouping-set combinations
+    * in ONE pass — Spark expands the sets into a single partial-aggregable
+    * plan (each input row contributes to every set map-side), so the
+    * 8-way report costs one exchange, not eight scans. The rollup's lattice
+    * completion; `grouping_id` disambiguates the NULL-as-total rows exactly
+    * as DuckDB numbers them.
+    */
+  def relCube(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.table(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
+
+  private val relCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
+      |  GROUPING_ID(o_orderstatus, o_orderpriority, year(o_orderdate)) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority, year(o_orderdate))""".stripMargin
+
   /** Iterative graph compute ([[graft.ops.PageRank]]): 3 supersteps of
     * integer-exact PageRank over the symmetric customer↔supplier trade
     * graph (an edge per distinct lineitem trade relationship, both
@@ -2920,6 +2943,7 @@ object Queries {
     "rel_asof_join" -> (relAsofJoin _),
     "rel_range_join" -> (relRangeJoin _),
     "rel_rollup" -> (relRollup _),
+    "rel_cube" -> (relCube _),
     "rel_pagerank" -> (relPagerank _),
     "rel_quantiles" -> (relQuantiles _),
     "rel_semi_anti" -> (relSemiAnti _),
@@ -3024,6 +3048,7 @@ object Queries {
     "rel_asof_join" -> relAsofJoinSql,
     "rel_range_join" -> relRangeJoinSql,
     "rel_rollup" -> relRollupSql,
+    "rel_cube" -> relCubeSql,
     "rel_pagerank" -> relPagerankSql,
     "rel_quantiles" -> relQuantilesSql,
     "rel_semi_anti" -> relSemiAntiSql,
