@@ -2718,8 +2718,13 @@ object Queries {
         expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
     val piv = StreamingPivot.windowedPivot(cells, EventCols,
       watermark = s"${lateNs / 1000000L + 2} milliseconds")
+    // 8 state partitions, not the session's 32: a 7-batch replay pays
+    // (state stores × batches) commits regardless of rows, and the state
+    // here is ~10^4 window×rowKey rows — size to state VOLUME (the
+    // stream_join rule). Measured 13-15 s → 5-6 s on the same replay.
     StreamingPivot.runAvailableNow(piv, "stream_pivot_late_out",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      shufflePartitions = Some(8))
   }
 
   private def ensureJoinDir(spark: SparkSession, sfDir: String): String =
@@ -2796,10 +2801,14 @@ object Queries {
       .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
       .withWatermark("eventTime", "0 seconds")
       .as[StreamingPivot.SessionEvent]
+    // State volume is one open-tail per user (~10^3-10^4): 8 state
+    // partitions, not 32 — a 5-batch replay pays per-store per-batch
+    // commit I/O (the stream_join sizing rule).
     StreamingPivot.runAvailableNow(
       StreamingPivot.Sessionize(raw, gapNanos = gap).toDF(),
       "stream_sessions_out",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      shufflePartitions = Some(8))
   }
 
   /** Sessionization under ALLOWED LATENESS: the same events replayed with
@@ -2823,7 +2832,8 @@ object Queries {
     StreamingPivot.runAvailableNow(
       StreamingPivot.SessionizeLate(raw, gapNanos = gap).toDF(),
       "stream_sessions_late_out",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      shufflePartitions = Some(8))
   }
 
   private val streamSessionsSql: String =

@@ -890,6 +890,43 @@ object Scratch {
           graft.ops.KvPivot.pivotPresorted(re, schema.fieldNames.toSeq,
             rowKeyCol = Some("KEY")).count()
         }
+      case "latebatch" =>
+        // Per-micro-batch decomposition of stream_pivot_late: same staging
+        // and plan as Queries.streamPivotLate, but holding the query handle
+        // so recentProgress exposes where the wall-clock goes.
+        import org.apache.spark.sql.functions._
+        import graft.streaming.StreamingPivot
+        val raw = spark.read.schema(graft.kv.KvTable.EventsParquetSchema)
+          .parquet(s"$sfDir/events.parquet")
+        val (dir, lateNs) = StreamingPivot.stageEventsShuffled(
+          raw, nChunks = 4, horizonNanos = 3600L * 1000000000L)
+        for (rep <- 1 to 6) {
+          val parts = if (rep % 2 == 0) "8" else "32"
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          val cells = spark.readStream
+            .schema(graft.kv.KvTable.EventsParquetSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir)
+            .select(graft.kv.KvTable.eventCellColumns :+
+              expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
+          val piv = StreamingPivot.windowedPivot(cells, Queries.EventCols,
+            watermark = s"${lateNs / 1000000L + 2} milliseconds")
+          val t0 = System.nanoTime()
+          val q = piv.writeStream.format("memory").queryName(s"late_$rep")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          println(f"[late] rep $rep parts=$parts total ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+            s"batches=${q.recentProgress.length} rows=${spark.table(s"late_$rep").count()}")
+          q.recentProgress.foreach { p =>
+            val d = p.durationMs
+            println(s"[late]   batch=${p.batchId} rows=${p.numInputRows} " +
+              s"triggerMs=${d.get("triggerExecution")} addBatch=${d.get("addBatch")} " +
+              s"getBatch=${d.get("getBatch")} latestOffset=${d.get("latestOffset")} " +
+              s"commit=${d.get("commitOffsets")} wal=${d.get("walCommit")}")
+          }
+        }
       case other => println(s"?? $other")
     }
     spark.stop()
