@@ -1313,9 +1313,14 @@ object Queries {
       .groupBy(col("o_orderstatus"), floor(col("o_totalprice")).as("v"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
+    // n rides the SAME exchange+sort as the running sum (partition-only
+    // frame over an already-sorted child): one window pass produces both,
+    // where a separate `groupBy(max(cum))` + join would recompute the whole
+    // window subtree (Spark does not share it) and shuffle twice more.
+    val wAll = Window.partitionBy(col("o_orderstatus"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = vc.select(col("o_orderstatus"), col("v"), col("c"),
-      sum(col("c")).over(w).as("cum"))
-    val tot = cum.groupBy(col("o_orderstatus")).agg(max(col("cum")).as("n"))
+      sum(col("c")).over(w).as("cum"), sum(col("c")).over(wAll).as("n"))
     // Exactly one distinct-value row covers sorted index i (cum−c ≤ i < cum),
     // so a conditional max picks the value at that rank.
     def valAt(i: Column): Column =
@@ -1334,7 +1339,7 @@ object Queries {
         .otherwise((hi - pos(p)) * loV + (pos(p) - lo) * hiV)
       floor(r * 100).cast("long")
     }
-    cum.join(tot, "o_orderstatus")
+    cum
       .groupBy(col("o_orderstatus"), col("n"))
       .agg(brackets.head, brackets.tail: _*)
       .select(col("o_orderstatus"),

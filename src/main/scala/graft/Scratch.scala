@@ -890,6 +890,25 @@ object Scratch {
           graft.ops.KvPivot.pivotPresorted(re, schema.fieldNames.toSeq,
             rowKeyCol = Some("KEY")).count()
         }
+      case "quant" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        for (i <- 1 to 3)
+          time(s"rel_quantiles #$i")(Queries.relQuantiles(spark, sfDir).count())
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        time("orders scan")(orders.count())
+        val vc = orders.groupBy(col("o_orderstatus"), floor(col("o_totalprice")).as("v"))
+          .agg(count(lit(1)).as("c"))
+        time("vc")(vc.count())
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
+        val cum = vc.select(col("o_orderstatus"), col("v"), col("c"),
+          sum(col("c")).over(w).as("cum"))
+        time("cum")(cum.count())
+        val tot = cum.groupBy(col("o_orderstatus")).agg(max(col("cum")).as("n"))
+        time("tot")(tot.count())
+        time("join+agg")(cum.join(tot, "o_orderstatus").groupBy(col("o_orderstatus"), col("n"))
+          .agg(max(when(col("cum") - col("c") <= lit(0), col("v")))).count())
+        time("rel_quantiles again")(Queries.relQuantiles(spark, sfDir).count())
       case "latebatch" =>
         // Per-micro-batch decomposition of stream_pivot_late: same staging
         // and plan as Queries.streamPivotLate, but holding the query handle
