@@ -81,15 +81,35 @@ object GraftExtensions {
         "paramType" -> tpe),
       None)
 
+  /** A foldable argument of the WRONG type is a different user error than a
+    * non-foldable one and gets the standard type-mismatch diagnostic, not a
+    * misleading NON_FOLDABLE_ARGUMENT (e.g. probes written as `array(0.5)`
+    * parse as array<decimal> — the user needs "expected ARRAY<DOUBLE>",
+    * not "must be foldable").
+    */
+  private def wrongType(name: String, arg: String, required: String,
+      e: Expression): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+      Map(
+        "sqlExpr" -> s"\"$name\"",
+        "paramIndex" -> s"`$arg`",
+        "requiredType" -> required,
+        "inputSql" -> s"\"${e.sql}\"",
+        "inputType" -> s"\"${e.dataType.sql}\""),
+      None)
+
   private def foldInt(name: String, arg: String, e: Expression): Int = {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     if (!e.foldable) nonFoldable(name, arg, "\"INT\"")
     // a NULL literal or an out-of-int bigint must be an analysis error, not
     // a silently unboxed 0 / truncated sketch size
     val v = e.dataType match {
+      case ByteType => Option(e.eval()).map(_.asInstanceOf[Byte].toLong)
+      case ShortType => Option(e.eval()).map(_.asInstanceOf[Short].toLong)
       case IntegerType => Option(e.eval()).map(_.asInstanceOf[Int].toLong)
       case LongType => Option(e.eval()).map(_.asInstanceOf[Long])
-      case _ => nonFoldable(name, arg, "\"INT\"")
+      case _ => wrongType(name, arg, "\"INT\"", e)
     }
     v match {
       case Some(l) if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
@@ -98,17 +118,22 @@ object GraftExtensions {
   }
 
   private def foldDoubles(name: String, arg: String, e: Expression): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.catalyst.util.ArrayData
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
     if (!e.foldable) nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"")
-    e.dataType match {
-      case ArrayType(DoubleType, _) =>
-        e.eval() match {
-          case arr: ArrayData if !(0 until arr.numElements()).exists(arr.isNullAt) =>
-            arr.toDoubleArray().toSeq
-          case _ => nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"") // NULL / null element
-        }
-      case _ => nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"")
+    // Any numeric element type folds: array(0.5, 0.9) parses as
+    // array<decimal>, which is a perfectly good probe list — widen instead
+    // of erroring (the registry's own approx_percentile does the same).
+    val widened = e.dataType match {
+      case ArrayType(DoubleType, _) => e
+      case ArrayType(_: NumericType, _) => Cast(e, ArrayType(DoubleType))
+      case _ => wrongType(name, arg, "\"ARRAY<DOUBLE>\"", e)
+    }
+    widened.eval() match {
+      case arr: ArrayData if !(0 until arr.numElements()).exists(arr.isNullAt) =>
+        arr.toDoubleArray().toSeq
+      case _ => nonFoldable(name, arg, "\"ARRAY<DOUBLE>\"") // NULL / null element
     }
   }
 

@@ -140,18 +140,24 @@ object QuantileSketchAgg {
       }
       if (pts.isEmpty) return null
       val sorted = pts.sortBy(_._1)
-      val n = sorted.iterator.map(_._2).sum
+      // One cumulative-weight pass, then binary search per probe: valAt is
+      // called up to twice per probe, and retained size is ~k·log(n/k) —
+      // rescanning the list per call was O(probes × retained).
+      val cumW = new Array[Long](sorted.size)
+      var acc = 0L
+      var j = 0
+      while (j < sorted.size) { acc += sorted(j)._2; cumW(j) = acc; j += 1 }
+      val n = acc
       // value at expanded sorted index r: the point whose cumulative weight
-      // range (cum-w, cum] covers r+1
+      // range (cum-w, cum] covers r+1, i.e. the first index with cumW > r
       def valAt(r: Long): Double = {
-        var cum = 0L
-        val it = sorted.iterator
-        while (it.hasNext) {
-          val (v, w) = it.next()
-          cum += w
-          if (r < cum) return v.toDouble
+        var lo = 0
+        var hi = sorted.size - 1
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cumW(mid) > r) hi = mid else lo = mid + 1
         }
-        sorted.last._1.toDouble
+        sorted(lo)._1.toDouble
       }
       probes.map { p =>
         val pos = p * (n - 1).toDouble
