@@ -741,6 +741,56 @@ object Queries {
     Export.readJsonLines(spark, cfg.outputPath, TypedAvroSchema)
   }
 
+  /** Union-typed Avro schema for the reader-gate queries (events pivot,
+    * string cells — the delimited dialect's column set as a record).
+    */
+  private val ReaderAvroSchema =
+    """{"type":"record","name":"Ev","fields":[
+      |  {"name":"click","type":["string","null"]},
+      |  {"name":"view","type":["string","null"]},
+      |  {"name":"KEY","type":["string","null"]}]}""".stripMargin
+
+  private val readerLimitSql: String =
+    """SELECT click, view, KEY FROM (
+      |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS KEY,
+      |    max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id)
+      |      FILTER (WHERE event_type = 'click') AS click,
+      |    max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id)
+      |      FILTER (WHERE event_type = 'view') AS view
+      |  FROM events GROUP BY 1)
+      |ORDER BY KEY LIMIT 20""".stripMargin
+
+  /** O2+K6 oracle gate, Avro flavor: the AvroReader inspection path
+    * (distributed Avro read + read limit — Cli.scala's `AvroReader` runs
+    * exactly this `AvroIO.read(...).limit(n)` plan into a console sink).
+    * An ORDER BY makes the LIMIT replayable by the oracle; the subcommand
+    * itself is the unordered `show(n)` flavor of the same plan. The limit
+    * collapses to a `CollectLimit` over a sorted scan — at 100 TB an
+    * inspection read touches only the first file splits, never the corpus.
+    */
+  def readerAvroLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val cfg = Export.Config(Export.Avro, ReaderAvroSchema, tmpOut("reader_avro"),
+      columnFamily = Some("f"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
+    graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
+    Export.run(cells, cfg)
+    graft.sinks.AvroIO.read(spark, cfg.outputPath, SchemaFile.parseAvroJson(ReaderAvroSchema))
+      .orderBy(col("KEY")).limit(20)
+  }
+
+  /** O2+K6 oracle gate, Parquet flavor: the ParquetReader path
+    * (`spark.read.parquet(...).limit(n)`, Cli.scala `ParquetReader`) made
+    * deterministic the same way.
+    */
+  def readerParquetLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val cfg = Export.Config(Export.Parquet, ReaderAvroSchema, tmpOut("reader_parquet"),
+      columnFamily = Some("f"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
+    graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
+    Export.run(cells, cfg)
+    Export.readParquet(spark, cfg.outputPath).orderBy(col("KEY")).limit(20)
+  }
+
   /** The materialized per-customer order aggregate over "yesterday's"
     * orders (o_orderkey % 10 != 9), persisted once — the base a delta batch
     * maintains incrementally.
@@ -2948,6 +2998,8 @@ object Queries {
     "export_txt_roundtrip" -> (exportTxtRoundtrip _),
     "export_seq_roundtrip" -> (exportSeqRoundtrip _),
     "export_avro_roundtrip" -> (exportAvroRoundtrip _),
+    "reader_avro_limit" -> (readerAvroLimit _),
+    "reader_parquet_limit" -> (readerParquetLimit _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -3053,6 +3105,8 @@ object Queries {
     "export_txt_roundtrip" -> delimitedRoundtripSql,
     "export_seq_roundtrip" -> delimitedRoundtripSql,
     "export_avro_roundtrip" -> kvTypedExportSql,
+    "reader_avro_limit" -> readerLimitSql,
+    "reader_parquet_limit" -> readerLimitSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,
     "export_evolve_roundtrip" -> exportEvolveRoundtripSql,
