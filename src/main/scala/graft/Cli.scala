@@ -130,8 +130,14 @@ object Cli {
   }
 
   /** The cell table of a warehouse table (schema: Cell.schema). */
+  /** Table scans go through the engine's own `graft-kv` DataSource V2
+    * connector ([[graft.sources.KvCellSource]]): the export subcommands'
+    * family filter is pushed into the source — the `scan.addFamily`
+    * architecture of the reference's `initTableMapperJob` wiring
+    * (ExportHBaseTableToDelimiteredTxt.java:75-80).
+    */
   def cells(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(s"${tableDir(table)}/cells")
+    spark.read.format("graft-kv").load(s"${tableDir(table)}/cells")
 
   private def writeSpec(spark: SparkSession, table: String, family: String, regions: Int): Unit = {
     import spark.implicits._

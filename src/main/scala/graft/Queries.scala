@@ -26,14 +26,58 @@ object Queries {
 
   // ---------------------------------------------------------------- A1 / A2
 
+  /** The events cell table persisted in the range layout (8 "regions",
+    * sorted within — the modeled HBase table on disk), served by the
+    * `graft-kv` DataSource V2 connector ([[graft.sources.KvCellSource]]).
+    * This is the S1 scan as an engine-owned pluggable source rather than an
+    * inherited parquet read.
+    */
+  private def ensureRegionCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"region_cells|$sfDir", _ => {
+      val path = artifactPath("region_cells", sfDir)
+      RangeLayout.layout(KvTable.eventsAsCells(spark, sfDir), 8)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private def kvSourceCells(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-kv").load(ensureRegionCells(spark, sfDir))
+
   /** A1 pivot + A2 last-write-wins over the events-as-KV table (S1 scan →
     * S2 family filter → groupBy pivot), P3 nulls kept for missing cells.
+    * The scan runs through the `graft-kv` V2 connector: the family
+    * predicate is pushed INTO the source (PlanSpec asserts it appears in
+    * the scan's pushed filter list) — `scan.addFamily` semantics owned by
+    * the engine, with parquet record filtering underneath.
     */
   def kvPivotEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = KvTable.eventsAsCells(spark, sfDir)
+    val cells = kvSourceCells(spark, sfDir)
     val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
+
+  /** S1 range scan through the V2 source: a rowKey interval + qualifier
+    * predicate aggregated per key. The rowKey bounds prune REGION FILES at
+    * planning time (footer min/max over the sorted layout — the HBase
+    * scan-range → region routing analog); PlanSpec asserts the scan
+    * schedules fewer partitions than the table has regions.
+    */
+  def kvV2RangeScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = kvSourceCells(spark, sfDir)
+    cells.filter(col("rowKey") >= "00000002" && col("rowKey") < "00000012" &&
+        col("qualifier") === "click")
+      .groupBy(col("rowKey"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("max_ts"))
+  }
+
+  private val kvV2RangeScanSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  count(*) AS n_clicks, max(event_id) AS max_ts
+      |FROM events
+      |WHERE event_type = 'click'
+      |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') >= '00000002'
+      |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
+      |GROUP BY 1""".stripMargin
 
   private val kvPivotEventsSql: String = {
     val aggs = EventCols.map { c =>
@@ -397,6 +441,7 @@ object Queries {
     ensurePivotLateDir(spark, sfDir)
     ensureJoinDir(spark, sfDir)
     ensurePartitionedEvents(spark, sfDir)
+    ensureRegionCells(spark, sfDir)
     ensureClickIndex(spark, sfDir)
     ensureBucketedTrade(spark, sfDir)
     ensureMaterializedAgg(spark, sfDir)
@@ -2978,6 +3023,7 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv_pivot_events" -> (kvPivotEvents _),
+    "kv_v2_range_scan" -> (kvV2RangeScan _),
     "kv_pivot_inject" -> (kvPivotInject _),
     "kv_delimited_lines" -> (kvDelimitedLines _),
     "kv_gen_cells" -> (kvGenCells _),
@@ -3085,6 +3131,7 @@ object Queries {
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
+    "kv_v2_range_scan" -> kvV2RangeScanSql,
     "kv_pivot_inject" -> kvPivotInjectSql,
     "kv_delimited_lines" -> kvDelimitedLinesSql,
     "kv_gen_cells" -> kvGenCellsSql,

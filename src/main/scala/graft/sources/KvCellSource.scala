@@ -1,0 +1,368 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader => PqReader}
+import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordMaterializer}
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1/S2 as an engine-OWNED DataSource V2 connector (`graft-kv`), replacing
+  * the inherited-from-parquet modeling of the KV scan: the reference's scan
+  * is a pluggable input format wired by `TableMapReduceUtil
+  * .initTableMapperJob` (ExportHBaseTableToDelimiteredTxt.java:75-80) with
+  * the column-family filter applied by the SERVER (`scan.addFamily`), not
+  * the consumer. This source is that architecture on Spark:
+  *
+  *  - one `InputPartition` per region file of the range layout
+  *    ([[graft.kv.RangeLayout.layout]] — the modeled HBase region),
+  *  - rowKey range predicates prune whole REGIONS at planning time from the
+  *    parquet footer min/max of the sorted region files (the scan-range →
+  *    region-server routing of a real HBase scan; at 1000 executors the
+  *    pruned regions are never even scheduled),
+  *  - family/qualifier/rowKey/ts predicates are pushed into the parquet
+  *    record reader (`FilterCompat`) so row-group stats skip pages and
+  *    non-matching rows never surface — the `scan.addFamily` analog,
+  *  - column pruning reaches the reader's requested schema
+  *    (`SupportsPushDownRequiredColumns`), so a 2-column projection reads
+  *    2 columns.
+  *
+  * Pushed filters are also RETAINED as a residual for Spark to re-apply —
+  * the same belt-and-braces contract as Spark's own parquet source (the
+  * source's filtering is an I/O optimization, never the correctness
+  * boundary).
+  */
+class KvCellSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.kv.Cell.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-kv: a path is required")
+    new KvCellTable(path)
+  }
+}
+
+private[sources] class KvCellTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv `$path`"
+  override def schema(): StructType = graft.kv.Cell.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(path)
+}
+
+private[sources] class KvScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = graft.kv.Cell.schema
+  private var accepted: Array[Filter] = Array.empty
+
+  /** Accept what the parquet reader (or the region pruner) can use; report
+    * the rest as residual-only. Everything — accepted included — is returned
+    * for Spark to re-evaluate (see class doc).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(KvFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KvScan(path, required, accepted)
+}
+
+private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  // Region pruning happens once, lazily, on the driver: region count is
+  // bounded metadata (like HBase's region directory), not data.
+  private lazy val (keptFiles, totalFiles): (Seq[String], Int) = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val all = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val bounds = KvFilters.rowKeyBounds(pushed)
+    val kept =
+      if (bounds.isEmpty) all.toSeq
+      else all.toSeq.filter { f =>
+        KvFilters.fileRowKeyRange(f, conf) match {
+          case Some((lo, hi)) => KvFilters.intersects(bounds, lo, hi)
+          case None => true // no stats: cannot prune, must scan
+        }
+      }
+    (kept.map(_.toString), all.length)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.map(KvFilePartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // The reader must also materialize filter-only columns (parquet
+    // record-level filters evaluate over the requested schema).
+    val filterCols = pushed.toSeq.flatMap(_.references).distinct
+    val projNames = (required.fieldNames ++ filterCols).distinct.toSeq
+    KvReaderFactory(projNames, required.fieldNames.toSeq,
+      KvFilters.toParquet(pushed))
+  }
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val pruned = s"regions=${keptFiles.size}/$totalFiles"
+    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned"
+  }
+}
+
+private[sources] case class KvFilePartition(file: String) extends InputPartition
+
+private[sources] case class KvReaderFactory(
+    projNames: Seq[String], outNames: Seq[String],
+    predicate: Option[FilterPredicate]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvPartitionReader(partition.asInstanceOf[KvFilePartition].file,
+      projNames, outNames, predicate)
+}
+
+/** Reads one region file through a CUSTOM parquet `ReadSupport` that
+  * materializes `InternalRow` directly — no intermediate record objects,
+  * one converter per projected column writing straight into the row buffer.
+  * Spark's vectorized reader is still faster on wide numeric scans, but the
+  * point here is OWNERSHIP of the pushdown surface; cells are 5 narrow
+  * columns and the export path is aggregation-bound, not scan-bound.
+  */
+private[sources] class KvPartitionReader(
+    file: String, projNames: Seq[String], outNames: Seq[String],
+    predicate: Option[FilterPredicate]) extends PartitionReader[InternalRow] {
+
+  private val reader: PqReader[InternalRow] = {
+    val b = PqReader.builder(new KvReadSupport(projNames, outNames), new Path(file))
+      .withConf(new Configuration())
+    predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}
+
+/** Projection + direct-to-InternalRow assembly. The requested schema is
+  * built from the FILE's own schema (repetition/logical types match exactly
+  * — Spark writes non-nullable fields as `required`), restricted to
+  * `projNames`; `outNames` selects and orders the emitted fields (filter-only
+  * columns are assembled but not emitted).
+  */
+private[sources] class KvReadSupport(projNames: Seq[String], outNames: Seq[String])
+    extends ReadSupport[InternalRow] {
+
+  override def init(context: InitContext): ReadSupport.ReadContext = {
+    val fileSchema = context.getFileSchema
+    val fields: Seq[org.apache.parquet.schema.Type] =
+      projNames.filter(fileSchema.containsField)
+        .map(n => fileSchema.getType(Seq(n): _*))
+    new ReadSupport.ReadContext(new MessageType(fileSchema.getName, fields.asJava))
+  }
+
+  override def prepareForRead(conf: Configuration,
+      metadata: util.Map[String, String], fileSchema: MessageType,
+      readContext: ReadSupport.ReadContext): RecordMaterializer[InternalRow] =
+    new KvMaterializer(readContext.getRequestedSchema, outNames)
+}
+
+private[sources] class KvMaterializer(schema: MessageType, outNames: Seq[String])
+    extends RecordMaterializer[InternalRow] {
+
+  private val n = schema.getFieldCount
+  private val buf = new Array[Any](n)
+  private val outIdx: Array[Int] = outNames.map { name =>
+    (0 until n).find(i => schema.getFieldName(i) == name).getOrElse(-1)
+  }.toArray
+
+  private val root: GroupConverter = new GroupConverter {
+    private val converters: Array[Converter] = Array.tabulate(n) { i =>
+      val tpe = graft.kv.Cell.schema.fields
+        .find(_.name == schema.getFieldName(i)).map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-kv: unknown column ${schema.getFieldName(i)}"))
+      tpe match {
+        case StringType => new PrimitiveConverter {
+          override def addBinary(v: Binary): Unit =
+            buf(i) = UTF8String.fromBytes(v.getBytes)
+        }
+        case BinaryType => new PrimitiveConverter {
+          override def addBinary(v: Binary): Unit = buf(i) = v.getBytes
+        }
+        case LongType => new PrimitiveConverter {
+          override def addLong(v: Long): Unit = buf(i) = v
+        }
+        case t => throw new IllegalStateException(s"graft-kv: unexpected type $t")
+      }
+    }
+    override def getConverter(i: Int): Converter = converters(i)
+    override def start(): Unit = {
+      var i = 0
+      while (i < n) { buf(i) = null; i += 1 }
+    }
+    override def end(): Unit = ()
+  }
+
+  override def getRootConverter: GroupConverter = root
+
+  override def getCurrentRecord: InternalRow = {
+    val out = new Array[Any](outIdx.length)
+    var i = 0
+    while (i < out.length) {
+      val gi = outIdx(i)
+      out(i) = if (gi < 0) null else buf(gi)
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** Filter triage + translation shared by the scan builder, the region
+  * pruner, and the reader factory.
+  */
+private[sources] object KvFilters {
+
+  private val stringCols = Set("rowKey", "family", "qualifier")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, _: String) if stringCols(c) => true
+    case In(c, vs) if stringCols(c) && vs.forall(_.isInstanceOf[String]) => true
+    case GreaterThan(c, _: String) if stringCols(c) => true
+    case GreaterThanOrEqual(c, _: String) if stringCols(c) => true
+    case LessThan(c, _: String) if stringCols(c) => true
+    case LessThanOrEqual(c, _: String) if stringCols(c) => true
+    case StringStartsWith("rowKey", _) => true
+    case EqualTo("ts", _: java.lang.Long) => true
+    case GreaterThan("ts", _: java.lang.Long) => true
+    case GreaterThanOrEqual("ts", _: java.lang.Long) => true
+    case LessThan("ts", _: java.lang.Long) => true
+    case LessThanOrEqual("ts", _: java.lang.Long) => true
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  /** Translate to a parquet record/row-group predicate. StartsWith becomes
+    * its >= prefix relaxation — a SUPERSET is always sound because Spark
+    * re-applies the exact residual.
+    */
+  def toParquet(filters: Array[Filter]): Option[FilterPredicate] = {
+    def bin(c: String) = FilterApi.binaryColumn(c)
+    def one(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(c, v: String) if stringCols(c) =>
+        Some(FilterApi.eq(bin(c), Binary.fromString(v)))
+      case In(c, vs) if stringCols(c) =>
+        vs.collect { case s: String => FilterApi.eq(bin(c), Binary.fromString(s)): FilterPredicate }
+          .reduceOption(FilterApi.or)
+      case GreaterThan(c, v: String) if stringCols(c) =>
+        Some(FilterApi.gt(bin(c), Binary.fromString(v)))
+      case GreaterThanOrEqual(c, v: String) if stringCols(c) =>
+        Some(FilterApi.gtEq(bin(c), Binary.fromString(v)))
+      case LessThan(c, v: String) if stringCols(c) =>
+        Some(FilterApi.lt(bin(c), Binary.fromString(v)))
+      case LessThanOrEqual(c, v: String) if stringCols(c) =>
+        Some(FilterApi.ltEq(bin(c), Binary.fromString(v)))
+      case StringStartsWith("rowKey", p) =>
+        Some(FilterApi.gtEq(bin("rowKey"), Binary.fromString(p)))
+      case EqualTo("ts", v: java.lang.Long) =>
+        Some(FilterApi.eq(FilterApi.longColumn("ts"), v))
+      case GreaterThan("ts", v: java.lang.Long) =>
+        Some(FilterApi.gt(FilterApi.longColumn("ts"), v))
+      case GreaterThanOrEqual("ts", v: java.lang.Long) =>
+        Some(FilterApi.gtEq(FilterApi.longColumn("ts"), v))
+      case LessThan("ts", v: java.lang.Long) =>
+        Some(FilterApi.lt(FilterApi.longColumn("ts"), v))
+      case LessThanOrEqual("ts", v: java.lang.Long) =>
+        Some(FilterApi.ltEq(FilterApi.longColumn("ts"), v))
+      case And(l, r) =>
+        (one(l), one(r)) match {
+          case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+    filters.flatMap(one(_)).reduceOption(FilterApi.and)
+  }
+
+  /** Conjunctive rowKey interval [lo, hi] implied by the pushed filters
+    * (None bound = unbounded). Empty seq = no rowKey constraint.
+    */
+  def rowKeyBounds(filters: Array[Filter]): Seq[(Option[String], Option[String])] = {
+    def one(f: Filter): Seq[(Option[String], Option[String])] = f match {
+      case EqualTo("rowKey", v: String) => Seq((Some(v), Some(v)))
+      case GreaterThan("rowKey", v: String) => Seq((Some(v), None))
+      case GreaterThanOrEqual("rowKey", v: String) => Seq((Some(v), None))
+      case LessThan("rowKey", v: String) => Seq((None, Some(v)))
+      case LessThanOrEqual("rowKey", v: String) => Seq((None, Some(v)))
+      case StringStartsWith("rowKey", p) => Seq((Some(p), None))
+      case And(l, r) => one(l) ++ one(r)
+      case _ => Nil
+    }
+    filters.toSeq.flatMap(one)
+  }
+
+  /** rowKey [min, max] of one region file from its footer stats (union over
+    * row groups); None when stats are missing.
+    */
+  def fileRowKeyRange(f: Path, conf: Configuration): Option[(String, String)] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    try {
+      val ranges = r.getRowGroups.asScala.flatMap { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == "rowKey")
+          .flatMap { col =>
+            val st = col.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else Some((
+              new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8),
+              new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)))
+          }
+      }
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally r.close()
+  }
+
+  def intersects(bounds: Seq[(Option[String], Option[String])],
+      lo: String, hi: String): Boolean =
+    bounds.forall { case (bLo, bHi) =>
+      bLo.forall(_ <= hi) && bHi.forall(_ >= lo)
+    }
+}

@@ -193,6 +193,22 @@ class PlanSpec extends SparkSpec {
     plan should include("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>")
   }
 
+  test("kv_pivot_events scans through the graft-kv V2 source with the family pushed") {
+    val plan = executedPlan(Queries.kvPivotEvents(spark, sfDir))
+    plan should include("GraftKvScan")
+    plan should include("EqualTo(family,f)")
+  }
+
+  test("kv_v2_range_scan prunes regions and pushes the rowKey bounds into the source") {
+    val plan = executedPlan(Queries.kvV2RangeScan(spark, sfDir))
+    plan should include("GraftKvScan")
+    plan should include("GreaterThanOrEqual(rowKey,00000002)")
+    plan should include("LessThan(rowKey,00000012)")
+    plan should include("EqualTo(qualifier,click)")
+    // the narrow key interval lives in a strict subset of the 8 regions
+    plan should include regex "regions=[1-7]/8"
+  }
+
   test("asof join is one shuffle + one window, no join operator at all") {
     val plan = executedPlan(Queries.relAsofJoin(spark, sfDir))
     plan should include("Window")
