@@ -890,6 +890,47 @@ object Scratch {
           graft.ops.KvPivot.pivotPresorted(re, schema.fieldNames.toSeq,
             rowKeyCol = Some("KEY")).count()
         }
+      case "aqeskew" =>
+        import org.apache.spark.sql.functions._
+        // One hot key in a forced-shuffle large-large equi-join: does Spark 4
+        // AQE's skew-join split make manual salting redundant, and where
+        // does salt still win?
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val n = 8000000L
+        val left = spark.range(n).selectExpr(
+          "CASE WHEN id % 4 < 3 THEN 0L ELSE id % 1000 END AS k", // 75% on key 0
+          "id AS lv").localCheckpoint()
+        val right = spark.range(1000L).selectExpr("id AS k", "id * 7 AS rv")
+          .localCheckpoint()
+        def runJoin(tag: String): Long = {
+          var out = 0L
+          time(tag) {
+            val j = left.join(right, "k").agg(sum(col("lv") + col("rv")))
+            out = j.collect()(0).getLong(0)
+            val plan = j.queryExecution.executedPlan.toString
+            println("  skew-read in plan: " + plan.linesIterator
+              .filter(_.contains("AQEShuffleRead")).mkString(" | "))
+          }
+          out
+        }
+        // A: AQE defaults (skew thresholds tuned down to fire at test scale)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        val a = runJoin("hot-key join, AQE skew split")
+        // B: AQE skew split disabled — the one-task sort-merge baseline
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val b = runJoin("hot-key join, skew split OFF")
+        // C: manual two-phase salt (SkewTools-style): explode the small side
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val salt = 32
+        var c = 0L
+        time("hot-key join, manual salt x32") {
+          val ls = left.withColumn("s", (col("lv") % salt).cast("int"))
+          val rs = right.withColumn("s", explode(sequence(lit(0), lit(salt - 1))))
+          c = ls.join(rs, Seq("k", "s")).agg(sum(col("lv") + col("rv")))
+            .collect()(0).getLong(0)
+        }
+        println(s"  checksums equal = ${a == b && b == c} ($a)")
       case "quant" =>
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window

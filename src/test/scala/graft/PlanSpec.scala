@@ -193,6 +193,32 @@ class PlanSpec extends SparkSpec {
     plan should include("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>")
   }
 
+  test("AQE splits a skewed forced-shuffle join without manual salt") {
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // fire at test scale: default 256m threshold never trips on local data
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      val left = spark.range(1500000L).selectExpr(
+        "CASE WHEN id % 4 < 3 THEN 0L ELSE id % 1000 END AS k", "id AS lv")
+      val right = spark.range(1000L).selectExpr("id AS k", "id * 7 AS rv")
+      val j = left.join(right, "k").groupBy().sum("lv")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      plan should include("skewed")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("kv_pivot_events scans through the graft-kv V2 source with the family pushed") {
     val plan = executedPlan(Queries.kvPivotEvents(spark, sfDir))
     plan should include("GraftKvScan")
