@@ -890,6 +890,36 @@ object Scratch {
           graft.ops.KvPivot.pivotPresorted(re, schema.fieldNames.toSeq,
             rowKeyCol = Some("KEY")).count()
         }
+      case "scalecc" =>
+        import org.apache.spark.sql.functions._
+        // 10M random edges over 5M nodes — 10x past the 2^20 driver ceiling:
+        // the distributed large/small-star path vs the driver union-find on
+        // identical input, label-identical results required.
+        val nNodes = 5000000L
+        val docs = spark.range(nNodes).selectExpr("id AS doc_id").localCheckpoint()
+        val pairs = spark.range(10000000L).selectExpr(
+          s"abs(xxhash64(id)) % $nNodes AS a",
+          s"abs(xxhash64(id + 99991)) % $nNodes AS b")
+          .filter(col("a") =!= col("b")).localCheckpoint()
+        println(s"  edges = ${pairs.count()}")
+        var dist: org.apache.spark.sql.DataFrame = null
+        time("clusters DISTRIBUTED star-contraction") {
+          dist = graft.ext.Dedup.clusters(docs, pairs, maxRounds = 30,
+            driverMaxEdges = 0L).localCheckpoint()
+          println(s"  rounds = ${graft.ext.Dedup.lastDistributedRounds}, " +
+            s"components = ${dist.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0)}")
+        }
+        var drv: org.apache.spark.sql.DataFrame = null
+        time("clusters DRIVER union-find") {
+          drv = graft.ext.Dedup.clusters(docs, pairs,
+            driverMaxEdges = Long.MaxValue).localCheckpoint()
+          println(s"  components = ${drv.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0)}")
+        }
+        time("label equality check") {
+          val diff = dist.except(drv).count() + drv.except(dist).count()
+          println(s"  differing labels = $diff")
+          require(diff == 0, "distributed and driver clusterings disagree")
+        }
       case "aqeskew" =>
         import org.apache.spark.sql.functions._
         // One hot key in a forced-shuffle large-large equi-join: does Spark 4

@@ -393,12 +393,19 @@ object Dedup {
     */
   val DriverCcMaxEdges: Long = 1L << 20
 
+  /** Diagnostics only: rounds the last distributed contraction took to
+    * converge (−1 when the driver fast path served the call). Read by the
+    * scale-evidence harness; not part of the result contract.
+    */
+  @volatile var lastDistributedRounds: Int = -1
+
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
       driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     // Pairs materialized BEFORE any reuse — self-unioning the plan would run
     // the expensive pair pipeline (LSH, shingling, ...) once per branch.
     val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
     if (p0.count() * 2 <= driverMaxEdges) {
+      lastDistributedRounds = -1
       val both = p0.select(col("a").as("src"), col("b").as("dst"))
         .union(p0.select(col("b").as("src"), col("a").as("dst")))
       return clustersDriver(docs, both)
@@ -434,6 +441,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"large/small-star contraction did not converge in $maxRounds rounds")
+    lastDistributedRounds = round
     // Fixpoint edges form stars rooted at each component's min id.
     val labels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
     docs.select(col("doc_id"))
