@@ -2545,6 +2545,39 @@ object Queries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** The learned-embedding hook ([[Multimodal.featuresWithProvided]]): half
+    * the corpus (even ids) arrives with a MODEL embedding from the
+    * embeddings table, the rest falls back to arithmetic pooling — decode
+    * runs only on the fallback rows. Emits the first 4 feature components
+    * integer-scaled, so the one query pins both legs against the oracle.
+    */
+  def mmFeaturesPretrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.withRealVideoPayloads(
+      Multimodal.withRealAudioPayloads(
+        Multimodal.withRealImagePayloads(
+          Multimodal.syntheticMedia(docs(spark, sfDir)))))
+    val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("media_id"),
+        col("embedding").cast("array<double>").as("features"))
+    Multimodal.featuresWithProvided(media, provided)
+      .select(col("media_id") +: col("kind") +: col("pretrained") +:
+        (0 until 4).map(i =>
+          floor(element_at(col("features"), i + 1) * 100).cast("long").as(s"g$i")): _*)
+  }
+
+  private val mmFeaturesPretrainedSql: String =
+    s"""WITH pooled AS ($mmFeaturesSql),
+       |emb AS (SELECT vec_id AS media_id, embedding FROM embeddings
+       |        WHERE vec_id % 2 = 0)
+       |SELECT p.media_id, p.kind,
+       |  CAST(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS pretrained,
+       |  CAST(floor(COALESCE(e.embedding[1]::DOUBLE, p.f0) * 100) AS BIGINT) AS g0,
+       |  CAST(floor(COALESCE(e.embedding[2]::DOUBLE, p.f1) * 100) AS BIGINT) AS g1,
+       |  CAST(floor(COALESCE(e.embedding[3]::DOUBLE, p.f2) * 100) AS BIGINT) AS g2,
+       |  CAST(floor(COALESCE(e.embedding[4]::DOUBLE, p.f3) * 100) AS BIGINT) AS g3
+       |FROM pooled p LEFT JOIN emb e USING (media_id)""".stripMargin
+
   /** Frame sampling fan-out (videos only, every 2nd frame). */
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(docs(spark, sfDir))
@@ -3112,6 +3145,7 @@ object Queries {
     "ann_topk_ivf_pruned" -> (annTopkIvfPruned _),
     "ann_topk_ivf_incremental" -> (annTopkIvfIncremental _),
     "mm_features" -> (mmFeatures _),
+    "mm_features_pretrained" -> (mmFeaturesPretrained _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_resample" -> (mmResample _),
@@ -3220,6 +3254,7 @@ object Queries {
     "ann_topk_ivf_pruned" -> annTopkIvfSql,
     "ann_topk_ivf_incremental" -> annTopkIvfSql,
     "mm_features" -> mmFeaturesSql,
+    "mm_features_pretrained" -> mmFeaturesPretrainedSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "mm_resample" -> mmResampleSql,

@@ -600,6 +600,32 @@ object Multimodal {
     }
   }
 
+  /** The learned-embedding hook: feature extraction with a PROVIDED
+    * model-embedding table (`media_id`, `features: array<double>`) taking
+    * precedence and the arithmetic pooling as fallback. The decode+pool leg
+    * runs ONLY for rows without a provided embedding (left-anti before
+    * `extractFeatures`) — at 100 TB the decode is the expensive leg, and a
+    * production corpus typically has embeddings for all but the newest
+    * ingest slice. Both joins hash on `media_id`, so the exchange is reused
+    * between the anti and inner branch; output rows carry `pretrained`
+    * (0/1) so downstream consumers (the ANN path takes this column
+    * directly) can tell model vectors from pooled ones.
+    */
+  def featuresWithProvided(media: Dataset[MediaRow], provided: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val p = provided.select(col("media_id"), col("features"))
+    val missing = media.join(p.select(col("media_id")), Seq("media_id"), "left_anti")
+      .as[MediaRow]
+    val pooled = extractFeatures(missing).toDF()
+      .select(col("media_id"), col("kind"), col("features"),
+        lit(0L).as("pretrained"))
+    val fromModel = media.toDF().select(col("media_id"), col("kind"))
+      .join(p, Seq("media_id"))
+      .select(col("media_id"), col("kind"), col("features"),
+        lit(1L).as("pretrained"))
+    fromModel.unionByName(pooled)
+  }
+
   /** Frame sampling: videos fan out to one row per sampled frame (every
     * `stride`-th frame), other kinds produce nothing.
     */
