@@ -79,8 +79,13 @@ object Cli {
       val (specFamily, regions) = readSpec(spark, table)
       require(specFamily == family, s"table $table has family '$specFamily', not '$family'")
       val cells = KvGenerator.cells(spark, records.toLong, mappers.toInt, runId, family)
-      RangeLayout.layout(cells, regions) // range partition + sort = the bulk-load invariant
-        .write.mode("overwrite").parquet(s"${tableDir(table)}/cells")
+      // The graft-kv SINK demands the bulk-load invariant itself
+      // (RequiresDistributionAndOrdering: range partition on rowKey into
+      // `regions`, sorted by (rowKey, qualifier) within) — the
+      // TotalOrderPartitioner + sorting reducer of PopulateTable.java:68,
+      // owned by the connector instead of trusted to this call site.
+      cells.write.format("graft-kv").option("regions", regions)
+        .mode("overwrite").save(s"${tableDir(table)}/cells")
       println(s"populated $table with ${records.toLong * 10} cells across $regions regions")
 
     case "ExportHBaseTableToDelimiteredTxt" | "ExportHBaseTableToDelimiteredSeq" =>

@@ -35,8 +35,9 @@ object Queries {
   private def ensureRegionCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"region_cells|$sfDir", _ => {
       val path = artifactPath("region_cells", sfDir)
-      RangeLayout.layout(KvTable.eventsAsCells(spark, sfDir), 8)
-        .write.mode("overwrite").parquet(path)
+      KvTable.eventsAsCells(spark, sfDir)
+        .write.format("graft-kv").option("regions", 8)
+        .mode("overwrite").save(path)
       path
     })
 

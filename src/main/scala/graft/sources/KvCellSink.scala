@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.{Binary, RecordConsumer}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
+
+/** The bulk-load WRITE path of the `graft-kv` connector — PopulateTable's
+  * HFile invariant (globally range-sorted region files,
+  * PopulateTable.java:68's `TotalOrderPartitioner` + sorting reducer) owned
+  * by the SINK, not trusted to the caller:
+  * [[RequiresDistributionAndOrdering]] makes Spark itself range-partition
+  * the input on rowKey into `regions` partitions and sort each by
+  * (rowKey, qualifier) before a single writer row is consumed. Any
+  * DataFrame written through `format("graft-kv").option("regions", n)`
+  * lands as the bulk-load layout — no `repartitionByRange`, no
+  * `sortWithinPartitions` at the call site, and no way to forget them.
+  *
+  * Commit protocol: writers stage `part-r-<partition>-<task>.parquet` in a
+  * `_tmp_<uuid>` dir; the driver-side commit renames the acknowledged files
+  * into place (one rename per region — metadata-only on HDFS-like stores)
+  * and clears the staging dir, so concurrent speculative attempts can never
+  * tear the table.
+  */
+private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    val cellCols = graft.kv.Cell.schema.fieldNames.toSet
+    require(schema.fieldNames.toSet == cellCols,
+      s"graft-kv write needs exactly columns ${cellCols.mkString(", ")}, " +
+        s"got ${schema.fieldNames.mkString(", ")}")
+    val regions = Option(info.options.get("regions")).map(_.toInt).getOrElse(8)
+    require(regions > 0, "graft-kv: regions must be positive")
+    new KvWrite(path, schema, regions, doTruncate)
+  }
+}
+
+private[sources] class KvWrite(
+    path: String, schema: StructType, regions: Int, truncate: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+
+  // The sink's contract: range distribution on rowKey across exactly
+  // `regions` partitions, each sorted by (rowKey, qualifier) — Spark plans
+  // the exchange + sort, the sink just streams rows into region files.
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(
+      Expressions.sort(Expressions.column("rowKey"), SortDirection.ASCENDING)))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("rowKey"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("qualifier"), SortDirection.ASCENDING))
+
+  override def requiredNumPartitions(): Int = regions
+
+  override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate)
+}
+
+private[sources] case class KvFileCommit(file: String) extends WriterCommitMessage
+
+private[sources] class KvBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KvWriterFactory(stagingDir, schema.fieldNames.toSeq)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate && fs.exists(dir)) {
+      fs.listStatus(dir).map(_.getPath)
+        .filter(f => !f.getName.startsWith("_tmp_"))
+        .foreach(f => fs.delete(f, true))
+    }
+    fs.mkdirs(dir)
+    messages.collect { case KvFileCommit(f) if f.nonEmpty =>
+      val src = new Path(f)
+      fs.rename(src, new Path(dir, src.getName))
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(stagingDir)
+    val fs = staging.getFileSystem(new Configuration())
+    fs.delete(staging, true)
+  }
+}
+
+private[sources] case class KvWriterFactory(stagingDir: String, fieldNames: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(stagingDir, fieldNames, partitionId, taskId)
+}
+
+/** One region file per partition, created lazily on the first row (empty
+  * regions produce no file, matching Spark's own file sinks).
+  */
+private[sources] class KvDataWriter(
+    stagingDir: String, fieldNames: Seq[String], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = f"$stagingDir/part-r-$partitionId%05d-$taskId.parquet"
+  private var writer: ParquetWriter[InternalRow] = _
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      writer = new KvParquetWriterBuilder(new Path(file), fieldNames)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    writer.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) KvFileCommit("")
+    else { writer.close(); KvFileCommit(file) }
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = if (writer != null) writer.close()
+}
+
+private[sources] class KvParquetWriterBuilder(p: Path, fieldNames: Seq[String])
+    extends ParquetWriter.Builder[InternalRow, KvParquetWriterBuilder](p) {
+  override def self(): KvParquetWriterBuilder = this
+  override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+    new CellWriteSupport(fieldNames)
+}
+
+/** parquet-mr WriteSupport emitting cell rows in the INPUT's column order —
+  * physical types match what Spark's parquet writer produces for the cell
+  * schema (optional binary/UTF8 strings, optional binary value, optional
+  * int64 ts), so connector-written and Spark-written region files are
+  * interchangeable to every reader.
+  */
+private[sources] class CellWriteSupport(fieldNames: Seq[String])
+    extends WriteSupport[InternalRow] {
+
+  private val types = {
+    val bySchema = graft.kv.Cell.schema.fields.map(f => f.name -> f.dataType).toMap
+    fieldNames.map(bySchema).toArray
+  }
+
+  private val messageType: MessageType = {
+    val b = Types.buildMessage()
+    fieldNames.zip(types).foreach {
+      case (n, StringType) =>
+        b.addField(Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(n))
+      case (n, BinaryType) =>
+        b.addField(Types.optional(PrimitiveTypeName.BINARY).named(n))
+      case (n, LongType) =>
+        b.addField(Types.optional(PrimitiveTypeName.INT64).named(n))
+      case (n, t) =>
+        throw new IllegalStateException(s"graft-kv: unexpected type $t for $n")
+    }
+    b.named("cell")
+  }
+
+  private var consumer: RecordConsumer = _
+
+  override def init(conf: Configuration): WriteSupport.WriteContext =
+    new WriteSupport.WriteContext(messageType, Map.empty[String, String].asJava)
+
+  override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
+
+  override def write(row: InternalRow): Unit = {
+    consumer.startMessage()
+    var i = 0
+    while (i < types.length) {
+      if (!row.isNullAt(i)) {
+        consumer.startField(fieldNames(i), i)
+        types(i) match {
+          case StringType =>
+            consumer.addBinary(Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType =>
+            consumer.addBinary(Binary.fromReusedByteArray(row.getBinary(i)))
+          case LongType =>
+            consumer.addLong(row.getLong(i))
+          case _ => ()
+        }
+        consumer.endField(fieldNames(i), i)
+      }
+      i += 1
+    }
+    consumer.endMessage()
+  }
+}

@@ -64,13 +64,19 @@ class KvCellSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sources] class KvCellTable(path: String) extends Table with SupportsRead {
+private[sources] class KvCellTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-kv `$path`"
   override def schema(): StructType = graft.kv.Cell.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KvWriteBuilder(path, info)
 }
 
 private[sources] class KvScanBuilder(path: String)
