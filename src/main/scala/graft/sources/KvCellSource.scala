@@ -80,10 +80,13 @@ private[sources] class KvCellTable(path: String) extends Table
 }
 
 private[sources] class KvScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = graft.kv.Cell.schema
   private var accepted: Array[Filter] = Array.empty
+  private var statsAggs: Option[Seq[KvStatsScan.Spec]] = None
 
   /** Accept what the parquet reader (or the region pruner) can use; report
     * the rest as residual-only. Everything — accepted included — is returned
@@ -98,7 +101,133 @@ private[sources] class KvScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KvScan(path, required, accepted)
+  /** COUNT(*) / MIN(ts) / MAX(ts) with no grouping and NO filters are
+    * answered from footer METADATA — zero data pages read; at 100 TB a
+    * table-stats query costs one footer pass instead of a scan. Strings are
+    * deliberately NOT min/max-pushed: parquet writers may truncate binary
+    * statistics, and a truncated bound is a prefix, not the exact value —
+    * int64 stats are always exact. Any filter (even one the source itself
+    * enforces) disables the rewrite: Spark re-evaluates pushed filters as
+    * residuals ABOVE the scan, which would re-filter the one stats row.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    accepted.isEmpty && KvStatsScan.translate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (accepted.nonEmpty) return false
+    KvStatsScan.translate(agg) match {
+      case some @ Some(_) => statsAggs = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = statsAggs match {
+    case Some(specs) => new KvStatsScan(path, specs)
+    case None => new KvScan(path, required, accepted)
+  }
+}
+
+/** Metadata-only scan serving pushed aggregates from parquet footers. */
+private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec])
+    extends Scan with Batch {
+
+  import KvStatsScan._
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (CountStarSpec, i) => org.apache.spark.sql.types.StructField(s"agg$i", LongType, nullable = false)
+    case (_, i) => org.apache.spark.sql.types.StructField(s"agg$i", LongType, nullable = true)
+  })
+
+  private lazy val values: Array[Any] = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    var count = 0L
+    var tsMin: Option[Long] = None
+    var tsMax: Option[Long] = None
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRowGroups.asScala.foreach { block =>
+        count += block.getRowCount
+        block.getColumns.asScala.find(_.getPath.toDotString == "ts").foreach { c =>
+          val st = c.getStatistics
+          require(st != null && !st.isEmpty,
+            s"graft-kv: ts statistics missing in $f — cannot serve pushed min/max")
+          if (st.hasNonNullValue) {
+            val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+            val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            tsMin = Some(tsMin.fold(lo)(math.min(_, lo)))
+            tsMax = Some(tsMax.fold(hi)(math.max(_, hi)))
+          }
+        }
+      } finally r.close()
+    }
+    specs.map {
+      case CountStarSpec => count: Any
+      case MinTsSpec => tsMin.map(Long.box).orNull: Any
+      case MaxTsSpec => tsMax.map(Long.box).orNull: Any
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvStatsPartition(values.map {
+      case null => java.lang.Long.valueOf(Long.MinValue) -> false
+      case l: Long => java.lang.Long.valueOf(l) -> true
+      case l: java.lang.Long => l -> true
+    }))
+
+  override def createReaderFactory(): PartitionReaderFactory = KvStatsReaderFactory()
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftKvScan path=$path aggPushed=[${specs.mkString(", ")}] metadata-only"
+}
+
+private[sources] object KvStatsScan {
+  sealed trait Spec
+  case object CountStarSpec extends Spec { override def toString = "COUNT(*)" }
+  case object MinTsSpec extends Spec { override def toString = "MIN(ts)" }
+  case object MaxTsSpec extends Spec { override def toString = "MAX(ts)" }
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
+  private def tsRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("ts")
+      case _ => false
+    }
+
+  def translate(agg: Aggregation): Option[Seq[Spec]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarSpec)
+      case m: Min if tsRef(m.column) => Some(MinTsSpec)
+      case m: Max if tsRef(m.column) => Some(MaxTsSpec)
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
+  }
+}
+
+private[sources] case class KvStatsPartition(vals: Array[(java.lang.Long, Boolean)])
+    extends InputPartition
+
+private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[KvStatsPartition].vals
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        vals.map { case (v, present) => if (present) v.longValue(): Any else null }.toArray[Any])
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter])

@@ -118,6 +118,25 @@ class KvSourceSpec extends SparkSpec {
     assert(viaV2.filter(col("rowKey") < "00100").rdd.getNumPartitions < 6)
   }
 
+  test("count(*) and min/max(ts) are served from footer metadata, zero data read") {
+    val agg = v2.agg(count(lit(1)).as("n"), min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val expect = pq.agg(count(lit(1)), min(col("ts")), max(col("ts"))).collect()(0)
+    val got = agg.collect()(0)
+    got.getLong(0) shouldBe expect.getLong(0)
+    got.getLong(1) shouldBe expect.getLong(1)
+    got.getLong(2) shouldBe expect.getLong(2)
+    val plan = agg.queryExecution.executedPlan.toString
+    plan should include("aggPushed=[COUNT(*), MIN(ts), MAX(ts)]")
+    plan should include("metadata-only")
+  }
+
+  test("a filter disables the metadata aggregate rewrite") {
+    val agg = v2.filter(col("qualifier") === "C1").agg(count(lit(1)))
+    agg.collect()(0).getLong(0) shouldBe
+      pq.filter(col("qualifier") === "C1").count()
+    agg.queryExecution.executedPlan.toString should not include "aggPushed"
+  }
+
   test("write then overwrite truncates instead of accumulating") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test/kv_sink_truncate"
     graft.sinks.Sinks.deleteRecursive(spark, out)
