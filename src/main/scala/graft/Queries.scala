@@ -1643,6 +1643,51 @@ object Queries {
     * twins pass or fail together and the canonical-min is unchanged, while
     * the shuffle input shrinks by the rejection rate.
     */
+  /** Document chunking with overlap — the preprocessing step FEEDING the
+    * window packers: each doc's token sequence split into `ChunkSize`-token
+    * chunks every `ChunkStride` tokens (16-token overlap so boundary
+    * context survives). Emits the chunk's token count and content
+    * fingerprint rather than its text: MAP-ONLY and narrow (explode, no
+    * shuffle), the chunk text itself never needs to move — at 100 TB the
+    * chunker is a projection over the corpus scan, and downstream stages
+    * join back to the doc store by (doc_id, chunk_idx) when they need
+    * bytes.
+    */
+  def pipeChunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHash
+    val (size0, stride) = (ChunkSize, ChunkStride)
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(col("n") / lit(stride.toDouble)).cast("int") - 1),
+        i => {
+          val piece = slice(col("t"), i * stride + 1, lit(size0))
+          struct(size(piece).cast("long").as("n_toks"),
+            TextHash.polyHash(array_join(piece, " ")).as("chunk_hash"))
+        })))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.n_toks").as("n_toks"), col("col.chunk_hash").as("chunk_hash"))
+  }
+
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  private val pipeChunkDocsSql: String = {
+    val slice = s"list_slice(t, chunk_idx * $ChunkStride + 1, " +
+      s"LEAST(chunk_idx * $ChunkStride + $ChunkSize, n))"
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |           FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS n FROM t),
+       |c AS (SELECT doc_id, t, n,
+       |        unnest(range(0, CAST(ceil(n / $ChunkStride.0) AS BIGINT))) AS chunk_idx
+       |      FROM n)
+       |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       |  len($slice)::BIGINT AS n_toks,
+       |  COALESCE(${polyHashSql(s"array_to_string($slice, ' ')")}, 0)::BIGINT AS chunk_hash
+       |FROM c""".stripMargin
+  }
+
   def pipeCleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.ext.Dedup
@@ -3114,6 +3159,7 @@ object Queries {
     "txt_redact_pii" -> (txtRedactPii _),
     "pipe_quality_filter" -> (pipeQualityFilter _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
+    "pipe_chunk_docs" -> (pipeChunkDocs _),
     "pipe_corpus_stats" -> (pipeCorpusStats _),
     "sample_bernoulli" -> (sampleBernoulli _),
     "sample_stratified" -> (sampleStratified _),
@@ -3223,6 +3269,7 @@ object Queries {
     "txt_redact_pii" -> txtRedactPiiSql,
     "pipe_quality_filter" -> pipeQualityFilterSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
+    "pipe_chunk_docs" -> pipeChunkDocsSql,
     "pipe_corpus_stats" -> pipeCorpusStatsSql,
     "sample_bernoulli" -> sampleBernoulliSql,
     "sample_stratified" -> sampleStratifiedSql,
