@@ -920,6 +920,16 @@ object Scratch {
           println(s"  differing labels = $diff")
           require(diff == 0, "distributed and driver clusterings disagree")
         }
+      case "zogen" =>
+        import org.apache.spark.sql.functions._
+        import graft.functions.ZOrderInterleave
+        // minimal repro of the bench's janino failure: z_order inside the
+        // repartitionByRange sampling + sort stage
+        val df = graft.kv.KvTable.events(spark, sfDir)
+          .select(col("user_id"), floor(col("value") * 100).cast("long").as("vx"))
+          .withColumn("zv", ZOrderInterleave.zOrder(col("user_id"), col("vx")))
+          .repartitionByRange(8, col("zv")).sortWithinPartitions("zv")
+        time("zorder layout pass")(println("  rows " + df.count()))
       case "aqeskew" =>
         import org.apache.spark.sql.functions._
         // One hot key in a forced-shuffle large-large equi-join: does Spark 4

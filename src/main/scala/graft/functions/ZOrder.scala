@@ -38,24 +38,16 @@ case class ZOrderInterleave(left: Expression, right: Expression) extends BinaryE
 
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Long]
-    val y = b.asInstanceOf[Long]
-    if (x < 0 || x > 0x7FFFFFFFL || y < 0 || y > 0x7FFFFFFFL)
-      throw new IllegalArgumentException(
-        s"z_order inputs must sit in [0, 2^31): got ($x, $y)")
-    ZOrderInterleave.interleave(x) | (ZOrderInterleave.interleave(y) << 1)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderInterleave.combine(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
+  // One single-line statement: janino rejects a multi-line `a = x | (y << 1)`
+  // continuation ("Expression ... is not a type") and the whole stage would
+  // silently fall back to interpreted mode — the guard + interleave live in
+  // the static helper instead, shared with nullSafeEval.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-       |if ($a < 0L || $a > 2147483647L || $b < 0L || $b > 2147483647L) {
-       |  throw new IllegalArgumentException(
-       |    "z_order inputs must sit in [0, 2^31): got (" + $a + ", " + $b + ")");
-       |}
-       |${ev.value} = graft.functions.ZOrderInterleave.interleave($a)
-       |  | (graft.functions.ZOrderInterleave.interleave($b) << 1);
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrderInterleave.combine($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrderInterleave =
@@ -64,6 +56,17 @@ case class ZOrderInterleave(left: Expression, right: Expression) extends BinaryE
 }
 
 object ZOrderInterleave {
+
+  /** Range-guarded Morton combine — THE codegen entry point (one static
+    * call keeps the generated statement janino-parseable) and the
+    * interpreted path's implementation.
+    */
+  def combine(x: Long, y: Long): Long = {
+    if (x < 0L || x > 0x7FFFFFFFL || y < 0L || y > 0x7FFFFFFFL)
+      throw new IllegalArgumentException(
+        s"z_order inputs must sit in [0, 2^31): got ($x, $y)")
+    interleave(x) | (interleave(y) << 1)
+  }
 
   /** Spread the low 32 bits of `v` to the even bit positions (the classic
     * magic-mask spread, Hacker's Delight §7-2). Called from generated code.

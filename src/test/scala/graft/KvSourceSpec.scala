@@ -137,6 +137,19 @@ class KvSourceSpec extends SparkSpec {
     agg.queryExecution.executedPlan.toString should not include "aggPushed"
   }
 
+  test("the connector works as a SQL catalog table (CREATE TABLE USING graft-kv)") {
+    spark.sql("DROP TABLE IF EXISTS kv_sql_table")
+    spark.sql(s"CREATE TABLE kv_sql_table USING `graft-kv` OPTIONS (path '$dir')")
+    try {
+      val viaSql = spark.sql(
+        "SELECT rowKey, ts FROM kv_sql_table WHERE qualifier = 'C2'")
+      viaSql.count() shouldBe pq.filter(col("qualifier") === "C2").count()
+      val plan = viaSql.queryExecution.executedPlan.toString
+      plan should include("GraftKvScan")
+      plan should include("EqualTo(qualifier,C2)")
+    } finally spark.sql("DROP TABLE IF EXISTS kv_sql_table")
+  }
+
   test("write then overwrite truncates instead of accumulating") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test/kv_sink_truncate"
     graft.sinks.Sinks.deleteRecursive(spark, out)
