@@ -447,6 +447,7 @@ object Queries {
     ensureBucketedTrade(spark, sfDir)
     ensureMaterializedAgg(spark, sfDir)
     ensureZorderedEvents(spark, sfDir)
+    ensureWalSegments(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -2813,6 +2814,57 @@ object Queries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** The events cell table staged as a WAL: monotonically-named segment
+    * files in write order (cell ts ranges), consumed by the `graft-kv`
+    * micro-batch tail ([[graft.sources.KvTailStream]]). Segment names seal
+    * in lexicographic order — the WAL sequence-id convention the tail's
+    * O(1) offset relies on.
+    */
+  private def ensureWalSegments(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"wal_cells|$sfDir", _ => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val path = artifactPath("wal_cells", sfDir)
+      val tmp = path + "_chunks"
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      KvTable.eventsAsCells(spark, sfDir)
+        .repartitionByRange(6, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      Files.createDirectories(Paths.get(path))
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath, Paths.get(path, f"part-$i%05d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      graft.sinks.Sinks.deleteRecursive(spark, tmp)
+      path
+    })
+
+  /** The table's CHANGE stream through the connector — HBase replication
+    * tailing the WAL: `readStream.format("graft-kv")` over the sealed
+    * segments, family-scoped at the SOURCE (the replication-peer-config
+    * analog; V2 filter pushdown does not reach streaming scans, so scoping
+    * is an option the source enforces), replayed 2 segments per micro-batch
+    * under Trigger.AvailableNow. The LWW pivot in complete mode converges
+    * to the batch table state — same oracle as `kv_pivot_events`, which is
+    * the point: a consumer that tailed the log owns the same row state as
+    * one that scanned the table.
+    *
+    * Complete-mode state is O(#rowKeys) — the memstore analog, same bound
+    * as `stream_memstore`; at production rates the scale knob is state
+    * partition count (see BASELINE.md round-7 note), not state size.
+    */
+  def streamKvTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureWalSegments(spark, sfDir)
+    val cells = spark.readStream.format("graft-kv")
+      .option("family", "f").option("maxFilesPerBatch", 2).load(dir)
+    val piv = KvPivot.pivot(cells, EventCols)
+    StreamingPivot.runAvailableNow(
+      piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*),
+      "stream_kv_tail_out")
+  }
+
   /** HBase `Increment` as streaming state (`Table.incrementColumnValue` —
     * the reference's HBase exposes atomic counters as a first-class op):
     * per (rowKey, qualifier), the running sum of written values as a
@@ -3199,6 +3251,7 @@ object Queries {
     "mm_near_dup" -> (mmNearDup _),
     "mm_video_decode" -> (mmVideoDecode _),
     "stream_pivot" -> (streamPivot _),
+    "stream_kv_tail" -> (streamKvTail _),
     "stream_enrich" -> (streamEnrich _),
     "stream_window_sketch" -> (streamWindowSketch _),
     "stream_increment" -> (streamIncrement _),
@@ -3309,6 +3362,7 @@ object Queries {
     "mm_near_dup" -> mmNearDupSql,
     "mm_video_decode" -> mmVideoDecodeSql,
     "stream_pivot" -> streamPivotSql,
+    "stream_kv_tail" -> kvPivotEventsSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_window_sketch" -> streamWindowSketchSql,
     "stream_increment" -> streamIncrementSql,

@@ -69,17 +69,34 @@ private[sources] class KvCellTable(path: String) extends Table
   override def name(): String = s"graft-kv `$path`"
   override def schema(): StructType = graft.kv.Cell.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  /** Scan-scope options (`family` / `qualifier` / `minRowKey` inclusive /
+    * `maxRowKey` exclusive) become source-enforced filters. They exist for
+    * the STREAMING tail, where Catalyst's V2 filter pushdown does not apply
+    * (pushdown rewrites batch scan relations only — a `.filter` on a stream
+    * is always a residual): an HBase replication peer scopes what it ships
+    * by table/family CONFIGURATION, not by consumer-side predicates, and
+    * these options are that contract. They work identically on batch reads.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxFiles = Option(options.get("maxFilesPerBatch")).map(_.toInt)
+    maxFiles.foreach(n => require(n > 0, s"maxFilesPerBatch must be positive: $n"))
+    val scope: Array[Filter] = Seq[Option[Filter]](
+      Option(options.get("family")).map(EqualTo("family", _)),
+      Option(options.get("qualifier")).map(EqualTo("qualifier", _)),
+      Option(options.get("minRowKey")).map(GreaterThanOrEqual("rowKey", _)),
+      Option(options.get("maxRowKey")).map(LessThan("rowKey", _))).flatten.toArray
+    new KvScanBuilder(path, maxFiles, scope)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new KvWriteBuilder(path, info)
 }
 
-private[sources] class KvScanBuilder(path: String)
+private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int] = None,
+    scopeFilters: Array[Filter] = Array.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -112,20 +129,27 @@ private[sources] class KvScanBuilder(path: String)
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    accepted.isEmpty && KvStatsScan.translate(agg).isDefined
+    accepted.isEmpty && scopeFilters.isEmpty && KvStatsScan.translate(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (accepted.nonEmpty) return false
+    // Scope options also disable the footer rewrite: footer stats cover the
+    // whole file, so they cannot answer a scoped count.
+    if (accepted.nonEmpty || scopeFilters.nonEmpty) return false
     KvStatsScan.translate(agg) match {
       case some @ Some(_) => statsAggs = some; true
       case None => false
     }
   }
 
+  /** Scope filters join the pushed set. Unlike Catalyst-pushed filters,
+    * Spark never re-evaluates them as residuals — the parquet record filter
+    * (exact, row-level) is their correctness boundary, not an optimization.
+    */
   override def build(): Scan = statsAggs match {
     case Some(specs) => new KvStatsScan(path, specs)
-    case None => new KvScan(path, required, accepted)
+    case None =>
+      new KvScan(path, required, (accepted ++ scopeFilters).distinct, maxFilesPerBatch)
   }
 }
 
@@ -230,7 +254,8 @@ private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactor
     }
 }
 
-private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter])
+private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter],
+    maxFilesPerBatch: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -269,6 +294,14 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   }
 
   override def toBatch: Batch = this
+
+  /** The same scan as a micro-batch tail ([[KvTailStream]]): pushdown and
+    * pruning carry over; only the partition-planning axis changes (WAL
+    * segments per offset range instead of the whole table).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KvTailStream(path, required, pushed, maxFilesPerBatch)
 
   override def description(): String = {
     val pruned = s"regions=${keptFiles.size}/$totalFiles"
