@@ -2865,6 +2865,39 @@ object Queries {
       "stream_kv_tail_out")
   }
 
+  /** The full replication pipe: a `graft-kv` TAIL of the WAL segments
+    * streamed INTO a `graft-kv` STREAMING SINK — source and sink of the
+    * same connector composed as an HBase replication peer (WAL consumer →
+    * bulk-load writer). Each micro-batch epoch seals deterministic
+    * range-sorted region files (`part-e<epoch>-<region>.parquet`, the
+    * memstore-flush analog; re-committed epochs rename over the same
+    * targets, so recovery is exactly-once). The landed table, batch-read
+    * back through the connector, must equal the source cell table — which
+    * the oracle pins against the raw events.
+    */
+  def streamKvPipe(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureWalSegments(spark, sfDir)
+    val dst = artifactPath("kv_pipe_landed", sfDir)
+    val cp = dst + "_cp"
+    Seq(dst, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    val q = spark.readStream.format("graft-kv")
+      .option("maxFilesPerBatch", 2).load(src)
+      .writeStream.format("graft-kv").option("regions", 4)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(dst)
+    q.awaitTermination()
+    spark.read.format("graft-kv").load(dst)
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value_str"), col("ts"))
+  }
+
+  private val streamKvPipeSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  'f' AS family, event_type AS qualifier,
+      |  CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS value_str,
+      |  event_id AS ts
+      |FROM events""".stripMargin
+
   /** HBase `Increment` as streaming state (`Table.incrementColumnValue` —
     * the reference's HBase exposes atomic counters as a first-class op):
     * per (rowKey, qualifier), the running sum of written values as a
@@ -3252,6 +3285,7 @@ object Queries {
     "mm_video_decode" -> (mmVideoDecode _),
     "stream_pivot" -> (streamPivot _),
     "stream_kv_tail" -> (streamKvTail _),
+    "stream_kv_pipe" -> (streamKvPipe _),
     "stream_enrich" -> (streamEnrich _),
     "stream_window_sketch" -> (streamWindowSketch _),
     "stream_increment" -> (streamIncrement _),
@@ -3363,6 +3397,7 @@ object Queries {
     "mm_video_decode" -> mmVideoDecodeSql,
     "stream_pivot" -> streamPivotSql,
     "stream_kv_tail" -> kvPivotEventsSql,
+    "stream_kv_pipe" -> streamKvPipeSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_window_sketch" -> streamWindowSketchSql,
     "stream_increment" -> streamIncrementSql,

@@ -73,6 +73,72 @@ private[sources] class KvWrite(
   override def requiredNumPartitions(): Int = regions
 
   override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate)
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new KvStreamingWrite(path, schema)
+}
+
+/** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
+  * seals one set of region files per micro-batch epoch (the memstore-flush
+  * analog: each epoch's state flushes as sorted immutable files).
+  *
+  * The same [[KvWrite]] distribution/ordering contract applies per epoch, so
+  * every sealed segment is range-partitioned and (rowKey, qualifier)-sorted.
+  * Segment names are `part-e<epoch>-<region>.parquet` with the epoch
+  * zero-padded: lexicographic order == epoch order, which is exactly the
+  * monotone-name convention [[KvTailStream]] consumes — a graft-kv tail of
+  * a graft-kv streaming sink is a working replication pipe.
+  *
+  * Exactly-once: final names are DETERMINISTIC per (epoch, region) — no
+  * task id, no uuid. A replayed epoch after failure recovery renames over
+  * the same targets (rename-replace is the commit primitive, as in the
+  * batch protocol), so re-commits are idempotent and a torn epoch is
+  * invisible: readers only ever see files named by a completed commit.
+  */
+private[sources] class KvStreamingWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    messages.collect { case KvEpochCommit(f, partition) if f.nonEmpty =>
+      val target = new Path(dir, f"part-e$epochId%010d-$partition%05d.parquet")
+      fs.delete(target, false) // idempotent epoch replay: replace, never tear
+      fs.rename(new Path(f), target)
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(stagingDir)
+    val fs = staging.getFileSystem(new Configuration())
+    fs.delete(staging, true)
+  }
+}
+
+private[sources] case class KvEpochCommit(file: String, partition: Int)
+    extends WriterCommitMessage
+
+private[sources] case class KvStreamWriterFactory(
+    stagingDir: String, fieldNames: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  /** Attempts stage under task-unique names; the deterministic FINAL name is
+    * assigned at commit, so speculative/retried attempts can never collide.
+    */
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new KvDataWriter(stagingDir, fieldNames, partitionId, taskId,
+      commitAs = f => KvEpochCommit(f, partitionId))
 }
 
 private[sources] case class KvFileCommit(file: String) extends WriterCommitMessage
@@ -119,7 +185,8 @@ private[sources] case class KvWriterFactory(stagingDir: String, fieldNames: Seq[
   * regions produce no file, matching Spark's own file sinks).
   */
 private[sources] class KvDataWriter(
-    stagingDir: String, fieldNames: Seq[String], partitionId: Int, taskId: Long)
+    stagingDir: String, fieldNames: Seq[String], partitionId: Int, taskId: Long,
+    commitAs: String => WriterCommitMessage = KvFileCommit(_))
     extends DataWriter[InternalRow] {
 
   private val file = f"$stagingDir/part-r-$partitionId%05d-$taskId.parquet"
@@ -134,8 +201,8 @@ private[sources] class KvDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer == null) KvFileCommit("")
-    else { writer.close(); KvFileCommit(file) }
+    if (writer == null) commitAs("")
+    else { writer.close(); commitAs(file) }
   }
 
   override def abort(): Unit = close()

@@ -70,7 +70,8 @@ private[sources] class KvCellTable(path: String) extends Table
   override def schema(): StructType = graft.kv.Cell.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   /** Scan-scope options (`family` / `qualifier` / `minRowKey` inclusive /
     * `maxRowKey` exclusive) become source-enforced filters. They exist for
     * the STREAMING tail, where Catalyst's V2 filter pushdown does not apply
