@@ -920,6 +920,39 @@ object Scratch {
           println(s"  differing labels = $diff")
           require(diff == 0, "distributed and driver clusterings disagree")
         }
+      case "kvtail" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        // Admission-control scaling of the WAL tail: replay N sealed
+        // segments under different maxFilesPerBatch caps. The stateless
+        // tail's cost model is (#batches × per-batch floor) + scan; the cap
+        // trades catch-up latency against per-batch work — at 100 TB the
+        // floor is task scheduling + offset commit, constant per batch.
+        val nSeg = 64
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvtail_wal"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        val cells = graft.kv.KvTable.eventsAsCells(spark, sfDir)
+        val tmp = dir + "_chunks"
+        cells.repartitionByRange(nSeg, col("ts")).write.mode("overwrite").parquet(tmp)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(dir, f"part-$i%05d.parquet")): Unit
+          }
+        graft.sinks.Sinks.deleteRecursive(spark, tmp)
+        Seq(1, 8, 64).foreach { cap =>
+          val q = spark.readStream.format("graft-kv")
+            .option("maxFilesPerBatch", cap).load(dir)
+            .groupBy(col("qualifier")).count()
+            .writeStream.format("memory").queryName(s"kvtail_$cap")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          time(s"tail $nSeg segments, maxFilesPerBatch=$cap")(q.awaitTermination())
+          val batches = q.recentProgress.filter(_.numInputRows > 0)
+          println(s"  data batches = ${batches.length}, " +
+            s"rows = ${batches.map(_.numInputRows).sum}")
+        }
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
