@@ -257,7 +257,8 @@ private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactor
 
 private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerBatch: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -284,6 +285,28 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
 
   override def planInputPartitions(): Array[InputPartition] =
     keptFiles.map(KvFilePartition).toArray
+
+  /** PRUNING-AWARE stats from the kept region files (file length + footer
+    * row counts). Without this, Spark assigns a V2 relation
+    * `defaultSizeInBytes` (effectively infinite) and NO join against the
+    * table can ever auto-broadcast — at scale every kv join would plan as
+    * a full sort-merge. Reporting the post-pruning size means a rowKey-range
+    * scan of one region out of 1000 is seen at one region's size and
+    * becomes broadcast-eligible; cost is one footer read per KEPT file on
+    * the driver, bounded region metadata like the pruning pass itself.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val conf = new Configuration()
+    val fs = new Path(path).getFileSystem(conf)
+    val (bytes, rows) = keptFiles.foldLeft((0L, 0L)) { case ((b, r), f) =>
+      val p = new Path(f)
+      (b + fs.getFileStatus(p).getLen, r + KvFilters.fileRowCount(p, conf))
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // The reader must also materialize filter-only columns (parquet
@@ -534,4 +557,10 @@ private[sources] object KvFilters {
     bounds.forall { case (bLo, bHi) =>
       bLo.forall(_ <= hi) && bHi.forall(_ >= lo)
     }
+
+  /** Exact row count of one region file from its footer. */
+  def fileRowCount(f: Path, conf: Configuration): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    try r.getRecordCount finally r.close()
+  }
 }

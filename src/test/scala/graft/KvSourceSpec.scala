@@ -137,6 +137,19 @@ class KvSourceSpec extends SparkSpec {
     agg.queryExecution.executedPlan.toString should not include "aggPushed"
   }
 
+  test("reported statistics make the connector side of a join broadcast-eligible") {
+    // without SupportsReportStatistics a V2 relation sizes at
+    // defaultSizeInBytes (effectively infinite) and can never auto-broadcast
+    val small = v2.filter(col("rowKey") >= "00100" && col("rowKey") < "00200")
+    val sizeB = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sizeB < 10L * 1024 * 1024, s"stats should reflect pruned regions, got $sizeB")
+    val big = spark.range(0, 100000).selectExpr(
+      "lpad(CAST(id % 32768 AS STRING), 5, '0') AS k", "id AS payload")
+    val joined = big.join(small, col("k") === substring(col("rowKey"), 1, 5))
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("the connector works as a SQL catalog table (CREATE TABLE USING graft-kv)") {
     spark.sql("DROP TABLE IF EXISTS kv_sql_table")
     spark.sql(s"CREATE TABLE kv_sql_table USING `graft-kv` OPTIONS (path '$dir')")

@@ -176,6 +176,24 @@ class KvStreamSpec extends graft.SparkSpec {
     q2.recentProgress.filter(_.numInputRows > 0).length should be >= 1
   }
 
+  test("scan statistics are pruning-aware: a key-range scan reports only kept regions") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_stats_ranged"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    RangeLayout.layout(allCells, 8).write.mode("overwrite").parquet(d)
+    val full = new KvScan(d, Cell.schema, Array.empty)
+    val fullStats = full.estimateStatistics()
+    fullStats.numRows().getAsLong shouldBe allCells.count()
+    val pushed: Array[org.apache.spark.sql.sources.Filter] = Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("rowKey", "00100"),
+      org.apache.spark.sql.sources.LessThan("rowKey", "00200"))
+    val ranged = new KvScan(d, Cell.schema, pushed)
+    val rangedStats = ranged.estimateStatistics()
+    assert(rangedStats.sizeInBytes().getAsLong < fullStats.sizeInBytes().getAsLong,
+      "pruned scan must report a smaller size than the full table")
+    assert(rangedStats.numRows().getAsLong < fullStats.numRows().getAsLong)
+    rangedStats.sizeInBytes().getAsLong should be > 0L
+  }
+
   test("rowKey bounds prune WAL segments from a batch's partition list") {
     // key-ranged segments (the sorted region layout): pruning has something
     // to cut only when segments carry disjoint key ranges
