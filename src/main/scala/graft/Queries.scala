@@ -2898,6 +2898,53 @@ object Queries {
       |  event_id AS ts
       |FROM events""".stripMargin
 
+  /** Phoenix-style secondary index maintained ON THE WRITE PATH: the base
+    * table's WAL tailed (scoped to the indexed qualifier at the SOURCE),
+    * each write transformed into an index cell — rowKey = the zero-padded
+    * indexed VALUE (byte order == numeric order, the Phoenix value-encoding
+    * rule), qualifier/value = the base rowKey pointer — and streamed into a
+    * second `graft-kv` table through the epoch-sealing sink. The index is
+    * therefore itself a sorted-region KV table: a value-range lookup scans
+    * it with rowKey-range REGION PRUNING, broadcasts the candidate base
+    * keys into a semi join, and RE-CHECKS the current value on the base
+    * pivot (a write index holds every version; the recheck drops candidates
+    * whose current value moved out of range — completeness holds because
+    * the current value was itself a write). Same oracle as
+    * `kv_index_lookup`: the stream-maintained index must answer exactly
+    * what the batch-built one does.
+    */
+  def streamKvIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureWalSegments(spark, sfDir)
+    val idxDir = artifacts.computeIfAbsent(s"stream_idx|$sfDir", _ => {
+      val path = artifactPath("kv_stream_idx", sfDir)
+      val cp = path + "_cp"
+      Seq(path, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+      val q = spark.readStream.format("graft-kv")
+        .option("qualifier", "click").option("maxFilesPerBatch", 2).load(src)
+        .select(
+          lpad(decode(col("value"), "UTF-8").cast("long").cast("string"), 12, "0")
+            .as("idxKey"),
+          lit("i").as("family"),
+          col("rowKey").as("qualifier"),
+          encode(col("rowKey"), "UTF-8").as("value"),
+          col("ts"))
+        .withColumnRenamed("idxKey", "rowKey")
+        .writeStream.format("graft-kv").option("regions", 4)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(path)
+      q.awaitTermination()
+      path
+    })
+    val (lo, hi) = (9000L, 12000L)
+    val keys = spark.read.format("graft-kv").load(idxDir)
+      .filter(col("rowKey") >= lpad(lit(lo).cast("string"), 12, "0") &&
+        col("rowKey") < lpad(lit(hi).cast("string"), 12, "0"))
+      .select(decode(col("value"), "UTF-8").as("rowKey")).distinct()
+    kvPivotEvents(spark, sfDir)
+      .join(broadcast(keys), Seq("rowKey"), "left_semi")
+      .filter(col("click").cast("long") >= lo && col("click").cast("long") < hi)
+  }
+
   /** HBase `Increment` as streaming state (`Table.incrementColumnValue` —
     * the reference's HBase exposes atomic counters as a first-class op):
     * per (rowKey, qualifier), the running sum of written values as a
@@ -3286,6 +3333,7 @@ object Queries {
     "stream_pivot" -> (streamPivot _),
     "stream_kv_tail" -> (streamKvTail _),
     "stream_kv_pipe" -> (streamKvPipe _),
+    "stream_kv_index" -> (streamKvIndex _),
     "stream_enrich" -> (streamEnrich _),
     "stream_window_sketch" -> (streamWindowSketch _),
     "stream_increment" -> (streamIncrement _),
@@ -3398,6 +3446,7 @@ object Queries {
     "stream_pivot" -> streamPivotSql,
     "stream_kv_tail" -> kvPivotEventsSql,
     "stream_kv_pipe" -> streamKvPipeSql,
+    "stream_kv_index" -> kvIndexLookupSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_window_sketch" -> streamWindowSketchSql,
     "stream_increment" -> streamIncrementSql,
