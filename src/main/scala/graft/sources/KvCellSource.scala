@@ -468,6 +468,11 @@ private[sources] object KvFilters {
     case LessThan("ts", _: java.lang.Long) => true
     case LessThanOrEqual("ts", _: java.lang.Long) => true
     case And(l, r) => supported(l) && supported(r)
+    // HBase MultiRowRangeFilter analog: a disjunction of supported
+    // predicates (typically rowKey ranges — e.g. a salted table's per-salt
+    // ranges) is pushed as a whole, prunes regions per disjunct, and
+    // translates to a parquet `or`.
+    case Or(l, r) => supported(l) && supported(r)
     case _ => false
   }
 
@@ -508,6 +513,9 @@ private[sources] object KvFilters {
           case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
           case (a, b) => a.orElse(b)
         }
+      // Or needs BOTH sides translated (each possibly a sound superset —
+      // or-of-supersets is a superset); dropping one side would narrow.
+      case Or(l, r) => for { a <- one(l); b <- one(r) } yield FilterApi.or(a, b)
       case _ => None
     }
     filters.flatMap(one(_)).reduceOption(FilterApi.and)
