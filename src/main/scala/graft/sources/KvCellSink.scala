@@ -18,6 +18,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
 
 /** The bulk-load WRITE path of the `graft-kv` connector — PopulateTable's
   * HFile invariant (globally range-sorted region files,
@@ -30,13 +31,18 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
   * lands as the bulk-load layout — no `repartitionByRange`, no
   * `sortWithinPartitions` at the call site, and no way to forget them.
   *
-  * Commit protocol: writers stage `part-r-<partition>-<task>.parquet` in a
-  * `_tmp_<uuid>` dir; the driver-side commit renames the acknowledged files
-  * into place (one rename per region — metadata-only on HDFS-like stores)
-  * and clears the staging dir, so concurrent speculative attempts can never
-  * tear the table.
+  * Commit protocol: writers stage in a `_tmp_<uuid>` dir; the driver-side
+  * commit renames the acknowledged files into place (one rename per region
+  * — metadata-only on HDFS-like stores), APPENDS A MANIFEST-LOG ENTRY
+  * listing the sealed files ([[KvLog]] — the atomic publish point every
+  * reader consumes), and clears the staging dir, so concurrent speculative
+  * attempts can never tear the table. Batch commits seal monotone names
+  * `part-b<seq>-<region>.parquet` keyed by the allocated log seq — names
+  * stay human-orderable by commit, though with the manifest present no
+  * reader depends on name order anymore.
   */
-private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
+    conf: SerializableConfiguration)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -51,12 +57,13 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
         s"got ${schema.fieldNames.mkString(", ")}")
     val regions = Option(info.options.get("regions")).map(_.toInt).getOrElse(8)
     require(regions > 0, "graft-kv: regions must be positive")
-    new KvWrite(path, schema, regions, doTruncate)
+    new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf)
   }
 }
 
 private[sources] class KvWrite(
-    path: String, schema: StructType, regions: Int, truncate: Boolean)
+    path: String, schema: StructType, regions: Int, truncate: Boolean,
+    queryId: String, conf: SerializableConfiguration)
     extends Write with RequiresDistributionAndOrdering {
 
   // The sink's contract: range distribution on rowKey across exactly
@@ -72,11 +79,11 @@ private[sources] class KvWrite(
 
   override def requiredNumPartitions(): Int = regions
 
-  override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate)
+  override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate, conf)
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new KvStreamingWrite(path, schema)
+    new KvStreamingWrite(path, schema, queryId, conf)
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -85,42 +92,52 @@ private[sources] class KvWrite(
   *
   * The same [[KvWrite]] distribution/ordering contract applies per epoch, so
   * every sealed segment is range-partitioned and (rowKey, qualifier)-sorted.
-  * Segment names are `part-e<epoch>-<region>.parquet` with the epoch
-  * zero-padded: lexicographic order == epoch order, which is exactly the
-  * monotone-name convention [[KvTailStream]] consumes — a graft-kv tail of
-  * a graft-kv streaming sink is a working replication pipe.
+  * Each epoch commit appends one [[KvLog]] entry — a `graft-kv` tail of a
+  * `graft-kv` streaming sink is a working replication pipe whose admission
+  * cost is O(new epochs), not O(table history).
   *
   * Exactly-once: final names are DETERMINISTIC per (epoch, region) — no
-  * task id, no uuid. A replayed epoch after failure recovery renames over
-  * the same targets (rename-replace is the commit primitive, as in the
-  * batch protocol), so re-commits are idempotent and a torn epoch is
-  * invisible: readers only ever see files named by a completed commit.
+  * task id, no uuid — and the log entry carries a `queryId:epochId` writer
+  * tag. A replayed epoch after failure recovery first clears this epoch's
+  * targets, renames the replay's files over the same names, and the tagged
+  * log append deduplicates itself ([[KvLog.append]]), so re-commits are
+  * idempotent and a torn epoch is invisible: readers only ever see files
+  * named by a completed commit.
   */
-private[sources] class KvStreamingWrite(path: String, schema: StructType)
+private[sources] class KvStreamingWrite(path: String, schema: StructType,
+    queryId: String, conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq)
+    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
+    val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    messages.collect { case KvEpochCommit(f, partition) if f.nonEmpty =>
-      val target = new Path(dir, f"part-e$epochId%010d-$partition%05d.parquet")
-      fs.delete(target, false) // idempotent epoch replay: replace, never tear
-      fs.rename(new Path(f), target)
+    // Replay hygiene: a recovered epoch may seal a different non-empty
+    // region set than the failed attempt (range boundaries are sampled), so
+    // clear every target this epoch could have written before renaming.
+    val prefix = f"part-e$epochId%010d-"
+    (0 until messages.length).foreach { p =>
+      fs.delete(new Path(dir, f"$prefix$p%05d.parquet"), false): Unit
     }
+    val sealedFiles = messages.collect { case KvEpochCommit(f, partition) if f.nonEmpty =>
+      val target = new Path(dir, f"$prefix$partition%05d.parquet")
+      fs.rename(new Path(f), target)
+      target.getName
+    }
+    KvLog.append(fs, dir, adds = sealedFiles.toSeq,
+      writer = Some(s"$queryId:$epochId"))
     fs.delete(new Path(stagingDir), true)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staging = new Path(stagingDir)
-    val fs = staging.getFileSystem(new Configuration())
+    val fs = staging.getFileSystem(conf.value)
     fs.delete(staging, true)
   }
 }
@@ -129,7 +146,7 @@ private[sources] case class KvEpochCommit(file: String, partition: Int)
     extends WriterCommitMessage
 
 private[sources] case class KvStreamWriterFactory(
-    stagingDir: String, fieldNames: Seq[String])
+    stagingDir: String, fieldNames: Seq[String], conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   /** Attempts stage under task-unique names; the deterministic FINAL name is
@@ -137,48 +154,57 @@ private[sources] case class KvStreamWriterFactory(
     */
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new KvDataWriter(stagingDir, fieldNames, partitionId, taskId,
+    new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
       commitAs = f => KvEpochCommit(f, partitionId))
 }
 
-private[sources] case class KvFileCommit(file: String) extends WriterCommitMessage
+private[sources] case class KvFileCommit(file: String, partition: Int)
+    extends WriterCommitMessage
 
-private[sources] class KvBatchWrite(path: String, schema: StructType, truncate: Boolean)
+private[sources] class KvBatchWrite(path: String, schema: StructType,
+    truncate: Boolean, conf: SerializableConfiguration)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(stagingDir, schema.fieldNames.toSeq)
+    KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
+    val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) {
       fs.listStatus(dir).map(_.getPath)
         .filter(f => !f.getName.startsWith("_tmp_"))
         .foreach(f => fs.delete(f, true))
+      KvLog.reset(fs, dir) // truncate resets the manifest with the data
     }
     fs.mkdirs(dir)
-    messages.collect { case KvFileCommit(f) if f.nonEmpty =>
-      val src = new Path(f)
-      fs.rename(src, new Path(dir, src.getName))
+    // Allocate the commit's log seq first: it keys the sealed names, so a
+    // table's batch appends carry monotone, collision-free names.
+    val seq = KvLog.latestSeq(fs, dir) + 1
+    val sealedFiles = messages.collect { case KvFileCommit(f, partition) if f.nonEmpty =>
+      val target = new Path(dir, f"part-b$seq%010d-$partition%05d.parquet")
+      fs.rename(new Path(f), target)
+      target.getName
     }
+    KvLog.append(fs, dir, adds = sealedFiles.toSeq)
     fs.delete(new Path(stagingDir), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val staging = new Path(stagingDir)
-    val fs = staging.getFileSystem(new Configuration())
+    val fs = staging.getFileSystem(conf.value)
     fs.delete(staging, true)
   }
 }
 
-private[sources] case class KvWriterFactory(stagingDir: String, fieldNames: Seq[String])
+private[sources] case class KvWriterFactory(stagingDir: String,
+    fieldNames: Seq[String], conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(stagingDir, fieldNames, partitionId, taskId)
+    new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
+      commitAs = f => KvFileCommit(f, partitionId))
 }
 
 /** One region file per partition, created lazily on the first row (empty
@@ -186,7 +212,7 @@ private[sources] case class KvWriterFactory(stagingDir: String, fieldNames: Seq[
   */
 private[sources] class KvDataWriter(
     stagingDir: String, fieldNames: Seq[String], partitionId: Int, taskId: Long,
-    commitAs: String => WriterCommitMessage = KvFileCommit(_))
+    conf: SerializableConfiguration, commitAs: String => WriterCommitMessage)
     extends DataWriter[InternalRow] {
 
   private val file = f"$stagingDir/part-r-$partitionId%05d-$taskId.parquet"
@@ -195,6 +221,7 @@ private[sources] class KvDataWriter(
   override def write(row: InternalRow): Unit = {
     if (writer == null)
       writer = new KvParquetWriterBuilder(new Path(file), fieldNames)
+        .withConf(conf.value)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
     writer.write(row)

@@ -23,6 +23,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** S1/S2 as an engine-OWNED DataSource V2 connector (`graft-kv`), replacing
   * the inherited-from-parquet modeling of the KV scan: the reference's scan
@@ -66,6 +67,17 @@ class KvCellSource extends TableProvider with DataSourceRegister {
 
 private[sources] class KvCellTable(path: String) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  /** The SESSION's Hadoop conf (spark.hadoop.* settings, filesystem
+    * credentials, defaultFS), captured driver-side at builder time and
+    * shipped to executors via a serializable wrapper — `new Configuration()`
+    * would silently drop cluster credentials/filesystem config (works in
+    * local tests, misroutes I/O on a configured cluster).
+    */
+  private def sessionConf: SerializableConfiguration =
+    new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def name(): String = s"graft-kv `$path`"
   override def schema(): StructType = graft.kv.Cell.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -88,16 +100,17 @@ private[sources] class KvCellTable(path: String) extends Table
       Option(options.get("qualifier")).map(EqualTo("qualifier", _)),
       Option(options.get("minRowKey")).map(GreaterThanOrEqual("rowKey", _)),
       Option(options.get("maxRowKey")).map(LessThan("rowKey", _))).flatten.toArray
-    new KvScanBuilder(path, maxFiles, scope)
+    new KvScanBuilder(path, maxFiles, scope, sessionConf)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new KvWriteBuilder(path, info)
+    new KvWriteBuilder(path, info, sessionConf)
 }
 
 private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int] = None,
-    scopeFilters: Array[Filter] = Array.empty)
+    scopeFilters: Array[Filter] = Array.empty,
+    conf: SerializableConfiguration = KvScanBuilder.activeConf)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -148,14 +161,23 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     * (exact, row-level) is their correctness boundary, not an optimization.
     */
   override def build(): Scan = statsAggs match {
-    case Some(specs) => new KvStatsScan(path, specs)
+    case Some(specs) => new KvStatsScan(path, specs, conf)
     case None =>
-      new KvScan(path, required, (accepted ++ scopeFilters).distinct, maxFilesPerBatch)
+      new KvScan(path, required, (accepted ++ scopeFilters).distinct,
+        maxFilesPerBatch, conf)
   }
 }
 
+private[sources] object KvScanBuilder {
+  /** Test-construction fallback: the active session's Hadoop conf. */
+  def activeConf: SerializableConfiguration =
+    new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+}
+
 /** Metadata-only scan serving pushed aggregates from parquet footers. */
-private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec])
+private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
+    sconf: SerializableConfiguration = KvScanBuilder.activeConf)
     extends Scan with Batch {
 
   import KvStatsScan._
@@ -166,11 +188,10 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec])
   })
 
   private lazy val values: Array[Any] = {
-    val conf = new Configuration()
+    val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = fs.listStatus(p).map(_.getPath)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val files = KvLog.dataFiles(fs, p)
     var count = 0L
     var tsMin: Option[Long] = None
     var tsMax: Option[Long] = None
@@ -256,25 +277,26 @@ private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactor
 }
 
 private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter],
-    maxFilesPerBatch: Option[Int] = None)
+    maxFilesPerBatch: Option[Int] = None,
+    sconf: SerializableConfiguration = KvScanBuilder.activeConf)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   // Region pruning happens once, lazily, on the driver: region count is
-  // bounded metadata (like HBase's region directory), not data.
+  // bounded metadata (like HBase's region directory), not data. The file
+  // set comes from the manifest log when the table carries one (immune to
+  // stray files and listing-consistency gaps), directory listing otherwise.
   private lazy val (keptFiles, totalFiles): (Seq[String], Int) = {
-    val conf = new Configuration()
+    val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val all = fs.listStatus(p).map(_.getPath)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    val all = KvLog.dataFiles(fs, p)
     val bounds = KvFilters.rowKeyBounds(pushed)
     val kept =
-      if (bounds.isEmpty) all.toSeq
-      else all.toSeq.filter { f =>
+      if (bounds.isEmpty) all
+      else all.filter { f =>
         KvFilters.fileRowKeyRange(f, conf) match {
           case Some((lo, hi)) => KvFilters.intersects(bounds, lo, hi)
           case None => true // no stats: cannot prune, must scan
@@ -296,7 +318,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * the driver, bounded region metadata like the pruning pass itself.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val conf = new Configuration()
+    val conf = sconf.value
     val fs = new Path(path).getFileSystem(conf)
     val (bytes, rows) = keptFiles.foldLeft((0L, 0L)) { case ((b, r), f) =>
       val p = new Path(f)
@@ -314,7 +336,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val filterCols = pushed.toSeq.flatMap(_.references).distinct
     val projNames = (required.fieldNames ++ filterCols).distinct.toSeq
     KvReaderFactory(projNames, required.fieldNames.toSeq,
-      KvFilters.toParquet(pushed))
+      KvFilters.toParquet(pushed), sconf)
   }
 
   override def toBatch: Batch = this
@@ -325,7 +347,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KvTailStream(path, required, pushed, maxFilesPerBatch)
+    new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf)
 
   override def description(): String = {
     val pruned = s"regions=${keptFiles.size}/$totalFiles"
@@ -337,11 +359,12 @@ private[sources] case class KvFilePartition(file: String) extends InputPartition
 
 private[sources] case class KvReaderFactory(
     projNames: Seq[String], outNames: Seq[String],
-    predicate: Option[FilterPredicate]) extends PartitionReaderFactory {
+    predicate: Option[FilterPredicate],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvPartitionReader(partition.asInstanceOf[KvFilePartition].file,
-      projNames, outNames, predicate)
+      projNames, outNames, predicate, conf.value)
 }
 
 /** Reads one region file through a CUSTOM parquet `ReadSupport` that
@@ -353,11 +376,12 @@ private[sources] case class KvReaderFactory(
   */
 private[sources] class KvPartitionReader(
     file: String, projNames: Seq[String], outNames: Seq[String],
-    predicate: Option[FilterPredicate]) extends PartitionReader[InternalRow] {
+    predicate: Option[FilterPredicate], conf: Configuration)
+    extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
     val b = PqReader.builder(new KvReadSupport(projNames, outNames), new Path(file))
-      .withConf(new Configuration())
+      .withConf(conf)
     predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
 
