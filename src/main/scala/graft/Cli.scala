@@ -56,7 +56,8 @@ object Cli {
     "CreateTable" -> 3, "PopulateTable" -> 6,
     "ExportHBaseTableToDelimiteredTxt" -> 6, "ExportHBaseTableToDelimiteredSeq" -> 6,
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
-    "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3)
+    "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
+    "CompactTable" -> 2)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -131,6 +132,22 @@ object Cli {
             SparkEntry.queries.keys.toSeq.sorted.mkString("\n  ")))
       Sinks.console(fn(spark, sfDir).limit(n.toInt), n.toInt)
 
+    // Beyond the reference's eight: MAJOR COMPACTION of a warehouse table —
+    // the HBase compaction cycle its region sizing implies (CreateTable
+    // .java:28's 100 GB ConstantSizeRegionSplitPolicy). Merges the table's
+    // accumulated segments into `regions` range-sorted files and advances
+    // the manifest horizon; parks if a registered tail still needs the old
+    // segments (the WAL-cleanup/replication-peer contract).
+    case "CompactTable" =>
+      val Array(table, regions) = a.take(2)
+      graft.sources.KvCompactor.compact(
+          spark, s"${tableDir(table)}/cells", regions.toInt) match {
+        case graft.sources.KvCompactor.Compacted(seq, merged, into) =>
+          println(s"compacted $table: $merged segments -> $into at log seq $seq")
+        case graft.sources.KvCompactor.Parked(reason) =>
+          println(s"compaction parked for $table: $reason")
+      }
+
     case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
   }
 
@@ -166,5 +183,6 @@ object Cli {
       |  ExportHBaseTableToParquet <table> <cf> <out> <codec> <schemaFile> [rowKeyColumn]
       |  AvroReader <file> <schemaFile> <recordsToRead>
       |  ParquetReader <file> <recordsToRead>
-      |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)""".stripMargin
+      |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
+      |  CompactTable <table> <regions>              (major-compact a table's segments)""".stripMargin
 }

@@ -448,6 +448,7 @@ object Queries {
     ensureMaterializedAgg(spark, sfDir)
     ensureZorderedEvents(spark, sfDir)
     ensureWalSegments(spark, sfDir)
+    ensureCompactedCells(spark, sfDir)
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -574,6 +575,47 @@ object Queries {
       |             ',' ORDER BY event_id) AS appended,
       |  count(*) AS n_writes
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ compaction
+
+  /** A table in the state compaction exists to fix: the events cells landed
+    * as SEVERAL small batch commits (the memstore-flush pile-up of a
+    * long-lived table — each commit seals its own region-file set), then
+    * major-compacted through [[graft.sources.KvCompactor]]: one engine-owned
+    * merge pass rewrites the live set as 4 range-sorted region files and
+    * publishes a single manifest `compact` entry (adds = the merged set,
+    * removes = every pile-up segment, horizon advanced).
+    */
+  private def ensureCompactedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"compacted_cells|$sfDir", _ => {
+      val path = artifactPath("compacted_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvTable.eventsAsCells(spark, sfDir)
+      (0 until 3).foreach { i =>
+        cells.filter(pmod(col("ts"), lit(3)) === i)
+          .write.format("graft-kv").option("regions", 4)
+          .mode("append").save(path)
+      }
+      val res = graft.sources.KvCompactor.compact(spark, path, regions = 4)
+      require(res.isInstanceOf[graft.sources.KvCompactor.Compacted],
+        s"kv_compacted_scan staging expected a compaction, got $res")
+      path
+    })
+
+  /** The compaction cycle end-to-end, gated by the same oracle as
+    * `kv_pivot_events`: the LWW pivot of the COMPACTED table must equal the
+    * pivot of the original — compaction may merge segments but never change
+    * a single visible cell. The scan side is the payoff being verified: the
+    * table is read through the manifest's horizon entry (the merged live
+    * set only — stray or merged-away files are invisible) and opens 4
+    * region files where the pile-up had one set per commit.
+    */
+  def kvCompactedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv")
+      .load(ensureCompactedCells(spark, sfDir))
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
 
   // ------------------------------------------------------- secondary index
 
@@ -3249,6 +3291,7 @@ object Queries {
     "kv_zorder_scan" -> (kvZorderScan _),
     "kv_index_lookup" -> (kvIndexLookup _),
     "kv_append_cells" -> (kvAppendCells _),
+    "kv_compacted_scan" -> (kvCompactedScan _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
     "kv_unpivot" -> (kvUnpivot _),
@@ -3362,6 +3405,7 @@ object Queries {
     "kv_zorder_scan" -> kvZorderScanSql,
     "kv_index_lookup" -> kvIndexLookupSql,
     "kv_append_cells" -> kvAppendCellsSql,
+    "kv_compacted_scan" -> kvPivotEventsSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,
     "kv_unpivot" -> kvUnpivotSql,

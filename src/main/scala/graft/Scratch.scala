@@ -942,16 +942,40 @@ object Scratch {
               java.nio.file.Paths.get(dir, f"part-$i%05d.parquet")): Unit
           }
         graft.sinks.Sinks.deleteRecursive(spark, tmp)
-        Seq(1, 8, 64).foreach { cap =>
-          val q = spark.readStream.format("graft-kv")
-            .option("maxFilesPerBatch", cap).load(dir)
-            .groupBy(col("qualifier")).count()
-            .writeStream.format("memory").queryName(s"kvtail_$cap")
-            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-          time(s"tail $nSeg segments, maxFilesPerBatch=$cap")(q.awaitTermination())
-          val batches = q.recentProgress.filter(_.numInputRows > 0)
-          println(s"  data batches = ${batches.length}, " +
-            s"rows = ${batches.map(_.numInputRows).sum}")
+        // A/B the two admission modes over the SAME segment set: legacy
+        // directory-listing (O(all segments) listStatus per batch) vs the
+        // manifest log (one entry per commit; O(new commits) probes, zero
+        // listings in steady state). Log mode stages the same 64 files as
+        // 64 single-file log entries — the shape a long-lived streaming
+        // sink leaves behind. At 64 local segments the listing is cheap, so
+        // parity here + the counting-FS spec (KvStreamSpec pins 0 listStatus
+        // and O(new commits) probes in log mode) is the scale evidence; the
+        // listing cost curve is what grows with table age, not batch count.
+        val logDir = dir + "_logged"
+        graft.sinks.Sinks.deleteRecursive(spark, logDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+        val fs = new org.apache.hadoop.fs.Path(logDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+          .sortBy(_.getName).foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              java.nio.file.Paths.get(logDir, f.getName)): Unit
+            graft.sources.KvLog.append(fs,
+              new org.apache.hadoop.fs.Path(logDir), adds = Seq(f.getName)): Unit
+          }
+        Seq("listing" -> dir, "log" -> logDir).foreach { case (mode, d) =>
+          Seq(1, 8, 64).foreach { cap =>
+            val q = spark.readStream.format("graft-kv")
+              .option("maxFilesPerBatch", cap).load(d)
+              .groupBy(col("qualifier")).count()
+              .writeStream.format("memory").queryName(s"kvtail_${mode}_$cap")
+              .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+            time(s"tail $nSeg segments, $mode mode, maxFilesPerBatch=$cap")(
+              q.awaitTermination())
+            val batches = q.recentProgress.filter(_.numInputRows > 0)
+            println(s"  data batches = ${batches.length}, " +
+              s"rows = ${batches.map(_.numInputRows).sum}")
+          }
         }
       case "zogen" =>
         import org.apache.spark.sql.functions._

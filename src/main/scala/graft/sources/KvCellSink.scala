@@ -118,9 +118,26 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    // Replay hygiene: a recovered epoch may seal a different non-empty
-    // region set than the failed attempt (range boundaries are sampled), so
-    // clear every target this epoch could have written before renaming.
+    val writerTag = Some(s"$queryId:$epochId")
+    // Epoch REPLAY detection comes FIRST: the manifest entry is written
+    // after the renames, so a latest entry carrying this epoch's writer tag
+    // proves the original commit fully completed — the replay must be a
+    // pure no-op (drop its staging, touch neither targets nor manifest).
+    // Deleting/re-renaming here instead would be wrong: a recovered attempt
+    // can seal a DIFFERENT non-empty region set (range boundaries are
+    // re-sampled), and rewriting targets while keeping the original entry
+    // would leave the manifest pointing at deleted files.
+    val latest = KvLog.latestSeq(fs, dir)
+    if (latest >= 0 && KvLog.read(fs, dir, latest).exists(_.writer == writerTag)) {
+      fs.delete(new Path(stagingDir), true)
+      return
+    }
+    // First logged commit into a legacy directory: snapshot pre-existing
+    // segments into the manifest before this commit's entry (KvLog doc).
+    KvLog.seedFromDirIfNeeded(fs, dir)
+    // Incomplete-commit hygiene: a crash between renames and the log append
+    // leaves this epoch's targets on disk with no manifest entry — clear
+    // every target this epoch could have written before renaming.
     val prefix = f"part-e$epochId%010d-"
     (0 until messages.length).foreach { p =>
       fs.delete(new Path(dir, f"$prefix$p%05d.parquet"), false): Unit
@@ -130,8 +147,7 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
       fs.rename(new Path(f), target)
       target.getName
     }
-    KvLog.append(fs, dir, adds = sealedFiles.toSeq,
-      writer = Some(s"$queryId:$epochId"))
+    KvLog.append(fs, dir, adds = sealedFiles.toSeq, writer = writerTag)
     fs.delete(new Path(stagingDir), true)
   }
 
@@ -180,7 +196,12 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
       KvLog.reset(fs, dir) // truncate resets the manifest with the data
     }
     fs.mkdirs(dir)
-    // Allocate the commit's log seq first: it keys the sealed names, so a
+    // First logged commit into a legacy directory (non-truncate append to a
+    // table that predates the manifest): snapshot the pre-existing segments
+    // into the log FIRST, or this entry would become the whole visible
+    // table and silently hide them (KvLog.seedFromDirIfNeeded doc).
+    if (!truncate) KvLog.seedFromDirIfNeeded(fs, dir)
+    // Allocate the commit's log seq next: it keys the sealed names, so a
     // table's batch appends carry monotone, collision-free names.
     val seq = KvLog.latestSeq(fs, dir) + 1
     val sealedFiles = messages.collect { case KvFileCommit(f, partition) if f.nonEmpty =>

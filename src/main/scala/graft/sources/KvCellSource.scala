@@ -100,7 +100,10 @@ private[sources] class KvCellTable(path: String) extends Table
       Option(options.get("qualifier")).map(EqualTo("qualifier", _)),
       Option(options.get("minRowKey")).map(GreaterThanOrEqual("rowKey", _)),
       Option(options.get("maxRowKey")).map(LessThan("rowKey", _))).flatten.toArray
-    new KvScanBuilder(path, maxFiles, scope, sessionConf)
+    // `tailId` registers a streaming tail's progress with the table's
+    // manifest so compaction parks on it (KvTailStream.commit doc).
+    new KvScanBuilder(path, maxFiles, scope, sessionConf,
+      Option(options.get("tailId")))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -110,7 +113,8 @@ private[sources] class KvCellTable(path: String) extends Table
 
 private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int] = None,
     scopeFilters: Array[Filter] = Array.empty,
-    conf: SerializableConfiguration = KvScanBuilder.activeConf)
+    conf: SerializableConfiguration = KvScanBuilder.activeConf,
+    tailId: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -164,7 +168,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     case Some(specs) => new KvStatsScan(path, specs, conf)
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
-        maxFilesPerBatch, conf)
+        maxFilesPerBatch, conf, tailId)
   }
 }
 
@@ -278,7 +282,8 @@ private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactor
 
 private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerBatch: Option[Int] = None,
-    sconf: SerializableConfiguration = KvScanBuilder.activeConf)
+    sconf: SerializableConfiguration = KvScanBuilder.activeConf,
+    tailId: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -347,7 +352,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf)
+    new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf, tailId)
 
   override def description(): String = {
     val pruned = s"regions=${keptFiles.size}/$totalFiles"

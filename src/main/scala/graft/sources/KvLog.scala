@@ -36,10 +36,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    self-heal by probing forward, so a torn/stale `_latest` only costs
   *    extra probes, never correctness);
   *  - `_horizon`: seq of the last COMPACTION entry. A compaction entry's
-  *    `adds` are the complete live file set at that point (major
-  *    compaction), so it doubles as a log CHECKPOINT: live-set replay starts
-  *    there, and a tail positioned BELOW the horizon has lost segments to
-  *    compaction and must fail loudly (the Kafka log-start-offset contract).
+  *    `adds` are the complete live file set at that point, so it doubles as
+  *    a log CHECKPOINT: live-set replay starts there, and a fresh tail
+  *    begins there (delivering the checkpointed live set).
+  *  - `_floor`: the first seq whose segment FILES all survive on disk —
+  *    below it, segments were merged away and a tail must fail loudly (the
+  *    Kafka log-start-offset contract). Distinct from `_horizon` because
+  *    compaction is PARTIAL under tail gating ([[KvCompactor]]): entries in
+  *    `[floor, horizon)` had their files carried forward unmerged and stay
+  *    replayable in place.
   *
   * Entry format (text, one directive per line after the header):
   * {{{
@@ -59,11 +64,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Concurrent commits would race the seq allocation; the rename-into-place
   * write makes the race DETECTABLE (the second rename fails), not silent.
   */
-private[sources] object KvLog {
+private[graft] object KvLog {
 
   val LogDirName = "_log"
   private val LatestName = "_latest"
   private val HorizonName = "_horizon"
+  private val FloorName = "_floor"
+  private val TailsDirName = "_tails"
 
   case class Entry(
       seq: Long, compact: Boolean, writer: Option[String],
@@ -88,9 +95,23 @@ private[sources] object KvLog {
     seq
   }
 
-  /** Seq of the last compaction entry, -1 when none. */
+  /** Seq of the last compaction entry, -1 when none: where live-set REPLAY
+    * starts (the entry's adds are the complete live set).
+    */
   def horizon(fs: FileSystem, table: Path): Long =
     readLong(fs, new Path(logDir(table), HorizonName)).getOrElse(-1L)
+
+  /** The compaction FLOOR: the first seq whose segment FILES are all still
+    * on disk. Distinct from the horizon because compaction is PARTIAL when
+    * registered tails gate it ([[KvCompactor]]): the checkpoint entry
+    * carries newer entries' files forward unmerged, so tail positions in
+    * `[floor, horizon)` remain replayable — only positions below the floor
+    * have lost segments and must fail. Full compaction writes
+    * floor == horizon (the Kafka log-start-offset shape).
+    */
+  def floor(fs: FileSystem, table: Path): Long =
+    readLong(fs, new Path(logDir(table), FloorName))
+      .getOrElse(horizon(fs, table))
 
   def read(fs: FileSystem, table: Path, seq: Long): Option[Entry] = {
     val p = entryPath(table, seq)
@@ -115,44 +136,113 @@ private[sources] object KvLog {
     */
   def append(fs: FileSystem, table: Path, adds: Seq[String],
       removes: Seq[String] = Nil, compact: Boolean = false,
-      writer: Option[String] = None): Long = {
+      writer: Option[String] = None, expectSeq: Option[Long] = None,
+      floor: Option[Long] = None): Long = {
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
     val seq = latest + 1
+    // A caller that staged files keyed by a pre-allocated seq (compaction)
+    // must not publish under a different one: an entry claiming to be the
+    // complete live set while a concurrent commit slipped below it would
+    // hide that commit's files. Abort BEFORE publishing anything.
+    expectSeq.foreach { e =>
+      if (seq != e) throw new IllegalStateException(
+        s"graft-kv log: concurrent commit during compaction of $table — " +
+          s"expected to publish seq $e, log is now at ${seq - 1}")
+    }
     val kind = if (compact) "compact" else "append"
     val tag = writer.fold("")(w => s" writer=$w")
     val body = (s"v1 $kind$tag" +:
       (adds.map("+" + _) ++ removes.map("-" + _))).mkString("", "\n", "\n")
     val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID().toString.take(8)}")
     writeText(fs, tmp, body)
-    if (!fs.rename(tmp, entryPath(table, seq)))
+    // Concurrent-commit detection is two layers: the explicit existence
+    // check catches the common race on ANY filesystem (POSIX rename onto an
+    // existing path succeeds by replacement, so the rename result alone is
+    // only a detector under HDFS no-overwrite semantics); the rename-result
+    // check is the atomic backstop where the store provides it.
+    if (fs.exists(entryPath(table, seq)) || !fs.rename(tmp, entryPath(table, seq)))
       throw new IllegalStateException(
         s"graft-kv log: concurrent commit detected at seq $seq of $table")
     writeText(fs, new Path(logDir(table), LatestName), seq.toString)
-    if (compact) writeText(fs, new Path(logDir(table), HorizonName), seq.toString)
+    if (compact) {
+      writeText(fs, new Path(logDir(table), HorizonName), seq.toString)
+      writeText(fs, new Path(logDir(table), FloorName),
+        floor.getOrElse(seq).toString)
+    }
     seq
   }
 
-  /** Drop the whole log (table truncate). */
+  /** Drop the whole log (table truncate) — tail registrations included:
+    * a truncated table is a new history, so old progress marks are void.
+    */
   def reset(fs: FileSystem, table: Path): Unit =
     fs.delete(logDir(table), true): Unit
+
+  /** First-commit MIGRATION of a legacy table: when a directory holds data
+    * files but no manifest yet (round-7-written or externally-staged), the
+    * first logged commit must not hide them — [[dataFiles]] switches to log
+    * replay the moment `_log` exists, so an entry listing only the new
+    * files would silently drop every pre-log segment from all scans. Seeds
+    * the log with a `compact` entry enumerating the directory ONCE (a
+    * compaction entry's adds are by contract the complete live set, which
+    * is exactly what a directory snapshot is). Returns true when it seeded.
+    */
+  def seedFromDirIfNeeded(fs: FileSystem, table: Path): Boolean = {
+    if (exists(fs, table) || !fs.exists(table)) return false
+    val preexisting = fs.listStatus(table).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.toSeq
+    if (preexisting.isEmpty) false
+    else { append(fs, table, adds = preexisting, compact = true); true }
+  }
+
+  // ------------------------------------------------------- tail registry
+
+  /** Record a REGISTERED tail's committed log position (its `seq` — entries
+    * below it are fully consumed). The HBase WAL-cleanup contract: a
+    * replication peer's progress gates log truncation; here a registered
+    * tail's progress gates COMPACTION ([[KvCompactor]] parks while any
+    * registered tail still needs pre-compaction segments). Registration is
+    * opt-in (`tailId` reader option) — an unregistered tail costs nothing
+    * per batch but fails loudly if compaction overtakes its checkpoint.
+    */
+  def recordTail(fs: FileSystem, table: Path, tailId: String, seq: Long): Unit =
+    writeText(fs, new Path(new Path(logDir(table), TailsDirName), tailId), seq.toString)
+
+  /** All registered tails' committed seqs (empty when none registered). */
+  def tailPositions(fs: FileSystem, table: Path): Map[String, Long] = {
+    val d = new Path(logDir(table), TailsDirName)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).map(_.getPath).flatMap { p =>
+      readLong(fs, p).map(p.getName -> _)
+    }.toMap
+  }
 
   /** The live data-file set by log replay, starting at the horizon
     * checkpoint (a compaction entry's adds are the complete live set, so
     * replay cost is O(commits since last compaction), not O(all commits)).
     */
-  def liveFiles(fs: FileSystem, table: Path): Seq[String] = {
+  def liveFiles(fs: FileSystem, table: Path): Seq[String] =
+    liveFilesWithSeq(fs, table).map(_._1).sorted
+
+  /** Live files ATTRIBUTED to the entry whose adds last published them —
+    * the unit compaction partitions on: a file attributed below the gating
+    * floor is safe to merge (every position that could deliver it is
+    * already behind the floor), one at or above must be carried forward.
+    */
+  def liveFilesWithSeq(fs: FileSystem, table: Path): Seq[(String, Long)] = {
     val latest = latestSeq(fs, table)
     val from = math.max(horizon(fs, table), 0L)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     (from to latest).foreach { seq =>
       read(fs, table, seq).foreach { e =>
         e.removes.foreach(live -= _)
-        live ++= e.adds
+        e.adds.foreach(live(_) = seq)
       }
     }
-    live.toSeq.sorted
+    live.toSeq
   }
 
   /** The table's data files as Paths: log replay when a log exists, else a

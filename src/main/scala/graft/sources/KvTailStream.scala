@@ -26,10 +26,13 @@ import org.apache.spark.util.SerializableConfiguration
   *    the entry rename, so neither file-name conventions nor
   *    listing-visibility order carry correctness weight. Entries are
   *    immutable, so re-planning a recovered batch re-reads the same files.
-  *    A position below the table's compaction horizon fails loudly —
-  *    those segments were merged away (the Kafka log-start-offset
-  *    contract; a production deployment would instead gate compaction on
-  *    tail progress, as HBase gates WAL cleanup on replication peers).
+  *    A position below the table's compaction FLOOR fails loudly — those
+  *    segments were merged away (the Kafka log-start-offset contract). A
+  *    REGISTERED tail (`tailId` option) never gets there: it records its
+  *    committed position after every batch and [[KvCompactor]] merges only
+  *    below the slowest mark, as HBase gates WAL cleanup on replication
+  *    peers. A fresh tail starts at the compaction HORIZON, receiving the
+  *    checkpoint entry's complete live set ([[initialOffset]]).
   *
   *  - **Legacy mode** (no manifest: externally-staged directories): the
   *    round-7 behavior — the offset is the last consumed file NAME and each
@@ -59,7 +62,8 @@ import org.apache.spark.util.SerializableConfiguration
   */
 private[sources] class KvTailStream(
     path: String, required: StructType, pushed: Array[Filter],
-    maxFilesPerBatch: Option[Int], confBroadcast: SerializableConfiguration)
+    maxFilesPerBatch: Option[Int], confBroadcast: SerializableConfiguration,
+    tailId: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   def this(path: String, required: StructType, pushed: Array[Filter],
@@ -73,11 +77,21 @@ private[sources] class KvTailStream(
   // ------------------------------------------------------------ log mode
 
   /** Position in the segment log: entries `< seq` fully consumed, first
-    * `idx` files of entry `seq` consumed.
+    * `idx` files of entry `seq` consumed. `idx == InitIdx` (-1) is the
+    * FRESH-START sentinel: nothing of entry `seq` consumed AND, when the
+    * entry is a compaction checkpoint, its adds (the complete live set) are
+    * this stream's starting state and ARE deliverable. A tail that ADVANCED
+    * to a compact entry sits at `idx == 0` and skips its adds — they were
+    * already delivered by the original appends — so the sentinel is what
+    * distinguishes "begin from the checkpoint" from "passed through it",
+    * and a fresh tail of a compacted table starts correctly at the horizon
+    * instead of failing below it.
     */
   private case class LogPos(seq: Long, idx: Int) {
     def encode: String = s"log:$seq:$idx"
   }
+
+  private val InitIdx = -1
 
   private def decodePos(watermark: String): Option[LogPos] =
     if (!watermark.startsWith("log:")) None
@@ -87,29 +101,37 @@ private[sources] class KvTailStream(
         s"graft-kv tail: malformed log offset '$watermark'")
     }
 
-  /** Walk log entries from `pos`, collecting up to `maxFiles` file names
-    * (compaction entries contribute none — their contents were delivered by
-    * the original appends). Probes sequentially; O(entries visited), no
-    * listing. Returns the admitted files and the advanced position.
+  /** The adds of `entry` visible from position `cur`: a compact entry's
+    * adds are delivered only when the stream STARTED at it (sentinel, or
+    * resuming mid-delivery at `idx > 0`), never when it advanced past.
+    */
+  private def visibleAdds(entry: KvLog.Entry, cur: LogPos): Seq[String] =
+    if (entry.compact && cur.idx == 0) Nil else entry.adds
+
+  /** Walk log entries from `pos`, collecting up to `maxFiles` file names.
+    * Probes sequentially; O(entries visited), no listing. Returns the
+    * admitted files and the advanced position.
     */
   private def advance(pos: LogPos, maxFiles: Int, capSeq: Long): (Seq[Path], LogPos) = {
-    val hz = KvLog.horizon(fs, tableDir)
-    if (pos.seq < hz) throw new IllegalStateException(
+    val fl = KvLog.floor(fs, tableDir)
+    if (pos.seq < fl) throw new IllegalStateException(
       s"graft-kv tail: offset at log entry ${pos.seq} is behind the compaction " +
-        s"horizon $hz of $path — the segments were merged away. Restart the " +
-        "tail from a fresh checkpoint (or gate compaction on tail progress).")
+        s"floor $fl of $path — the segments were merged away. Restart the " +
+        "tail from a fresh checkpoint, or register the tail (tailId option) " +
+        "so compaction stops at its position.")
     val files = Seq.newBuilder[Path]
     var taken = 0
     var cur = pos
     var entry = KvLog.read(fs, tableDir, cur.seq)
     while (entry.isDefined && cur.seq <= capSeq && taken < maxFiles) {
-      val adds = if (entry.get.compact) Nil else entry.get.adds
+      val adds = visibleAdds(entry.get, cur)
+      val from = math.max(cur.idx, 0)
       val room = maxFiles - taken
-      val slice = adds.slice(cur.idx, cur.idx + room)
+      val slice = adds.slice(from, from + room)
       files ++= slice.map(new Path(tableDir, _))
       taken += slice.length
-      if (cur.idx + slice.length < adds.length) {
-        cur = LogPos(cur.seq, cur.idx + slice.length) // capped mid-entry
+      if (from + slice.length < adds.length) {
+        cur = LogPos(cur.seq, from + slice.length) // capped mid-entry
       } else {
         cur = LogPos(cur.seq + 1, 0)
         entry = if (cur.seq <= capSeq) KvLog.read(fs, tableDir, cur.seq) else None
@@ -142,13 +164,17 @@ private[sources] class KvTailStream(
 
   /** End pinned by Trigger.AvailableNow at query start: last log seq in log
     * mode (one `_latest` read + O(1) probes), last segment name in legacy.
+    * The value is MODE-TAGGED (`log:` / `name:`): a checkpointed offset of
+    * one mode meeting a cap pinned in the other (a `_log` removed or
+    * created across a restart) must fail loudly, not silently parse a file
+    * name as a seq or compare a seq against names.
     */
   @volatile private var availableNowEnd: Option[String] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(
-      if (KvLog.exists(fs, tableDir)) KvLog.latestSeq(fs, tableDir).toString
-      else segmentsAfter("").lastOption.fold("")(_.getName))
+      if (KvLog.exists(fs, tableDir)) s"log:${KvLog.latestSeq(fs, tableDir)}"
+      else s"name:${segmentsAfter("").lastOption.fold("")(_.getName)}")
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerBatch.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -161,12 +187,26 @@ private[sources] class KvTailStream(
     }
     decodePos(from) match {
       case Some(pos) =>
-        val cap = availableNowEnd.map(_.toLong).getOrElse(Long.MaxValue)
+        val cap = availableNowEnd match {
+          case Some(v) if v.startsWith("log:") => v.stripPrefix("log:").toLong
+          case Some(v) => throw new IllegalStateException(
+            s"graft-kv tail: log-mode offset '$from' but the AvailableNow cap " +
+              s"'$v' was pinned in listing mode — was $path's _log removed " +
+              "mid-stream? Restart from a fresh checkpoint.")
+          case None => Long.MaxValue
+        }
         val (files, next) = advance(pos, maxFiles, cap)
         if (files.isEmpty) start else KvWalOffset(next.encode)
       case None =>
         val pending = availableNowEnd match {
-          case Some(capName) => segmentsAfter(from).filter(_.getName <= capName)
+          case Some(v) if v.startsWith("name:") =>
+            val capName = v.stripPrefix("name:")
+            segmentsAfter(from).filter(_.getName <= capName)
+          case Some(v) => throw new IllegalStateException(
+            s"graft-kv tail: listing-mode offset '$from' but the AvailableNow " +
+              s"cap '$v' was pinned in log mode — a checkpoint from before " +
+              s"$path carried a manifest cannot resume against it. Restart " +
+              "from a fresh checkpoint.")
           case None => segmentsAfter(from)
         }
         val taken = pending.take(maxFiles)
@@ -211,9 +251,10 @@ private[sources] class KvTailStream(
       val entry = KvLog.read(fs, tableDir, cur.seq).getOrElse(
         throw new IllegalStateException(
           s"graft-kv tail: log entry ${cur.seq} of $path vanished mid-plan"))
-      val adds = if (entry.compact) Nil else entry.adds
+      val adds = visibleAdds(entry, cur)
+      val start = math.max(cur.idx, 0)
       val until = if (cur.seq == to.seq) to.idx else adds.length
-      files ++= adds.slice(cur.idx, until).map(new Path(tableDir, _))
+      files ++= adds.slice(start, until).map(new Path(tableDir, _))
       cur = if (until >= adds.length && cur.seq < to.seq) LogPos(cur.seq + 1, 0)
             else LogPos(cur.seq, until)
       if (cur.seq == to.seq && cur.idx >= to.idx) return (files.result(), cur)
@@ -230,12 +271,30 @@ private[sources] class KvTailStream(
       KvFilters.toParquet(pushed), confBroadcast)
   }
 
+  /** A fresh tail starts at the compaction HORIZON when one exists (the
+    * compact entry's adds are the live set at that point, delivered via the
+    * fresh-start sentinel), at entry 0 otherwise.
+    */
   override def initialOffset(): Offset =
-    if (KvLog.exists(fs, tableDir)) KvWalOffset(LogPos(0, 0).encode)
-    else KvWalOffset("")
+    if (KvLog.exists(fs, tableDir)) {
+      val hz = KvLog.horizon(fs, tableDir)
+      KvWalOffset(LogPos(math.max(hz, 0L), if (hz >= 0) InitIdx else 0).encode)
+    } else KvWalOffset("")
 
   override def deserializeOffset(json: String): Offset = KvWalOffset(json)
-  override def commit(end: Offset): Unit = ()
+
+  /** A REGISTERED tail (`tailId` option) records its committed log position
+    * after every batch — the replication-peer progress mark [[KvCompactor]]
+    * parks on, so compaction can never merge away segments the tail still
+    * needs. Unregistered tails record nothing (no per-batch write).
+    */
+  override def commit(end: Offset): Unit =
+    tailId.foreach { id =>
+      decodePos(end.asInstanceOf[KvWalOffset].watermark).foreach { pos =>
+        KvLog.recordTail(fs, tableDir, id, pos.seq)
+      }
+    }
+
   override def stop(): Unit = ()
 
   override def toString: String =

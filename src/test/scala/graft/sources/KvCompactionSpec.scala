@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.kv.KvGenerator
+
+/** [[KvCompactor]]: the major-compaction cycle over the manifest log —
+  * merge correctness, the all-or-nothing publish, horizon/tail interplay,
+  * and the WAL-cleanup gating contract (a registered tail's progress parks
+  * compaction; HBase gates WAL deletion on replication peers the same way).
+  */
+class KvCompactionSpec extends graft.SparkSpec {
+
+  private lazy val cells: DataFrame = KvGenerator.cells(spark, 400, 4, "runC").cache()
+
+  /** A fresh pile-up table: `commits` batch appends through the sink, each
+    * sealing its own region-file set (the memstore-flush accumulation).
+    */
+  private def pileUp(name: String, commits: Int = 3, regions: Int = 2): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    (0 until commits).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(commits)) === i)
+        .write.format("graft-kv").option("regions", regions)
+        .mode("append").save(d)
+    }
+    d
+  }
+
+  private def fsOf(d: String) =
+    new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("compaction merges the pile-up into range-sorted region files; not one visible cell changes") {
+    val d = pileUp("kv_compact_merge")
+    val before = spark.read.format("graft-kv").load(d)
+      .select(count(lit(1)), sum(col("ts")), max(col("rowKey"))).collect()(0)
+    val fs = fsOf(d)
+    KvLog.liveFiles(fs, new Path(d)).size shouldBe 6 // 3 commits x 2 regions
+    val res = KvCompactor.compact(spark, d, regions = 3)
+    val seq = res match {
+      case KvCompactor.Compacted(s, merged, into) =>
+        merged shouldBe 6; into shouldBe 3; s
+      case p => fail(s"expected Compacted, got $p")
+    }
+    // the manifest now replays from the horizon checkpoint: 3 files only
+    KvLog.horizon(fs, new Path(d)) shouldBe seq
+    val live = KvLog.liveFiles(fs, new Path(d))
+    live should have size 3
+    all(live) should startWith("part-c")
+    // merged-away segments are physically gone (post-publish deletes)
+    fs.listStatus(new Path(d)).map(_.getPath.getName)
+      .count(n => n.startsWith("part-") && n.endsWith(".parquet")) shouldBe 3
+    // scan equality: compaction changed the layout, not the data
+    val after = spark.read.format("graft-kv").load(d)
+      .select(count(lit(1)), sum(col("ts")), max(col("rowKey"))).collect()(0)
+    after shouldBe before
+    // each merged file honors the bulk-load sort contract
+    import spark.implicits._
+    live.foreach { f =>
+      val keys = spark.read.parquet(s"$d/$f")
+        .select(col("rowKey"), col("qualifier")).as[(String, String)].collect().toSeq
+      keys shouldBe keys.sorted
+    }
+    // idempotence: an already-compacted table parks
+    KvCompactor.compact(spark, d, regions = 3) shouldBe
+      KvCompactor.Parked(s"already compacted at seq $seq")
+  }
+
+  test("a file the manifest does not reference is invisible to every scan") {
+    val d = pileUp("kv_compact_stray", commits = 2)
+    val n = spark.read.format("graft-kv").load(d).count()
+    // an interrupted compaction's orphan: present in the directory, absent
+    // from the log — scans plan from the manifest and never read it
+    val fs = fsOf(d)
+    val stray = new Path(d, "part-zzz-stray.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(d, KvLog.liveFiles(fs, new Path(d)).head), fs, stray,
+      false, fs.getConf)
+    spark.read.format("graft-kv").load(d).count() shouldBe n
+  }
+
+  test("a registered tail's mark is the compaction floor: park below it, merge up to it, replay across it") {
+    val d = pileUp("kv_compact_gate") // entries 0,1,2 x 2 region files
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val latest = KvLog.latestSeq(fs, table)
+    latest shouldBe 2L
+    val total = spark.read.format("graft-kv").load(d).count()
+    // a peer parked at the log start: nothing is mergeable below it
+    KvLog.recordTail(fs, table, "peer-1", 0)
+    KvCompactor.compact(spark, d, regions = 2) match {
+      case KvCompactor.Parked(reason) => reason should include("peer-1@0")
+      case r => fail(s"expected Parked, got $r")
+    }
+    // the peer advances mid-log: compaction merges BELOW its mark and
+    // carries the newer segments forward unmerged (partial compaction)
+    KvLog.recordTail(fs, table, "peer-1", 2)
+    KvCompactor.compact(spark, d, regions = 2) shouldBe
+      KvCompactor.Compacted(3, merged = 4, into = 2) // entries 0,1 merged
+    KvLog.horizon(fs, table) shouldBe 3
+    KvLog.floor(fs, table) shouldBe 2 // entry 2's files survive on disk
+    // the gated peer's replay range still works: a batch over entry 2
+    // plans and reads the ORIGINAL (carried) segments
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stream = new KvTailStream(d, graft.kv.Cell.schema, Array.empty, None, sconf)
+    val o = stream.latestOffset(stream.deserializeOffset("log:2:0"),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(stream.deserializeOffset("log:2:0"), o)
+    parts.length shouldBe 2 // entry 2's two region files, not the compact entry
+    // and the table is still whole
+    spark.read.format("graft-kv").load(d).count() shouldBe total
+    // the peer passes the log end entirely: the carried files merge too
+    KvLog.recordTail(fs, table, "peer-1", 4)
+    KvCompactor.compact(spark, d, regions = 2) shouldBe
+      KvCompactor.Compacted(4, merged = 4, into = 2)
+    KvLog.floor(fs, table) shouldBe 4 // now a full checkpoint
+    KvLog.recordTail(fs, table, "peer-1", 5)
+    KvCompactor.compact(spark, d, regions = 2) shouldBe
+      KvCompactor.Parked("already compacted at seq 4")
+    spark.read.format("graft-kv").load(d).count() shouldBe total
+  }
+
+  test("a REGISTERED AvailableNow tail records its progress; compaction merges up to it end-to-end") {
+    val d = pileUp("kv_compact_e2e")
+    val cp = s"${d}_cp"
+    graft.sinks.Sinks.deleteRecursive(spark, cp)
+    val fs = fsOf(d)
+    val table = new Path(d)
+    // before any tail runs: no registrations
+    KvLog.tailPositions(fs, table) shouldBe Map.empty
+    def runTail(): Unit = {
+      val q = spark.readStream.format("graft-kv")
+        .option("maxFilesPerBatch", 2).option("tailId", "peer-e2e").load(d)
+        .groupBy(col("qualifier")).count()
+        .writeStream.format("memory").queryName("kv_gate_tail")
+        .option("checkpointLocation", cp)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runTail()
+    val latest = KvLog.latestSeq(fs, table)
+    // Spark delivers the source-level commit of batch N while running batch
+    // N+1, so a just-terminated tail's mark structurally lags ONE batch
+    // behind its checkpoint — which is exactly why compaction is PARTIAL:
+    // it merges below the mark and carries the final batch's segments
+    // forward, instead of waiting for a mark that only advances with data.
+    KvLog.tailPositions(fs, table) shouldBe Map("peer-e2e" -> latest)
+    KvCompactor.compact(spark, d, regions = 2) shouldBe
+      KvCompactor.Compacted(latest + 1, merged = 4, into = 2)
+    // the tail restarts across the compaction without error (its replay
+    // range was carried, not merged) and its checkpoint needs no reset
+    runTail()
+    // and a FRESH tail of the compacted table replays the merged live set
+    val q2 = spark.readStream.format("graft-kv").load(d)
+      .groupBy(col("qualifier")).count()
+      .writeStream.format("memory").queryName("kv_gate_retail")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    spark.table("kv_gate_retail").collect().map(_.getLong(1)).sum shouldBe
+      cells.count()
+  }
+}

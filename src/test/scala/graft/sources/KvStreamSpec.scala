@@ -2,10 +2,13 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.kv.{Cell, KvGenerator, RangeLayout}
 
@@ -192,6 +195,220 @@ class KvStreamSpec extends graft.SparkSpec {
       "pruned scan must report a smaller size than the full table")
     assert(rangedStats.numRows().getAsLong < fullStats.numRows().getAsLong)
     rangedStats.sizeInBytes().getAsLong should be > 0L
+  }
+
+  // ---------------------------------------------------------- manifest log
+
+  /** Hadoop conf with the metering `cfs:` filesystem registered. */
+  private def countingConf: Configuration = {
+    val c = new Configuration(spark.sessionState.newHadoopConf())
+    c.set("fs.cfs.impl", classOf[CountingFileSystem].getName)
+    c
+  }
+
+  private def offsetOf(o: org.apache.spark.sql.connector.read.streaming.Offset): String =
+    o.asInstanceOf[KvWalOffset].watermark
+
+  /** A manifest-logged table over the `cfs:` metering filesystem: 6 staged
+    * segments, the first 4 published as two 2-file commits (the remaining 2
+    * stay unreferenced — manifest readers must never see them).
+    */
+  private lazy val loggedDir: String = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/kv_log_counting"
+    graft.sinks.Sinks.deleteRecursive(spark, base)
+    val n = allCells.count()
+    val perSeg = (n / 6) + 1
+    stageSegments(base, (0 until 6).map { i =>
+      allCells.filter(col("ts") >= i * perSeg && col("ts") < (i + 1) * perSeg)
+    })
+    val table = new Path(s"cfs:$base")
+    val fs = table.getFileSystem(countingConf)
+    KvLog.append(fs, table, Seq("part-00000.parquet", "part-00001.parquet"))
+    KvLog.append(fs, table, Seq("part-00002.parquet", "part-00003.parquet"))
+    s"cfs:$base"
+  }
+
+  test("log mode: admission does ZERO directory listings and O(new commits) probes") {
+    val conf = countingConf
+    val table = new Path(loggedDir)
+    val fs = table.getFileSystem(conf)
+    val stream = new KvTailStream(loggedDir, Cell.schema, Array.empty, None,
+      new SerializableConfiguration(conf))
+    val start = stream.initialOffset()
+    offsetOf(start) shouldBe "log:0:0"
+    CountingFileSystem.reset()
+    val o1 = stream.latestOffset(start, ReadLimit.allAvailable())
+    offsetOf(o1) shouldBe "log:2:0"
+    val parts = stream.planInputPartitions(start, o1)
+    parts.length shouldBe 4 // published commits only, never the stray files
+    CountingFileSystem.lists.get shouldBe 0 // the scaladoc claim, literally
+    // steady state (drained): still zero listings, constant probe cost
+    CountingFileSystem.reset()
+    stream.latestOffset(o1, ReadLimit.allAvailable()) shouldBe o1
+    CountingFileSystem.lists.get shouldBe 0
+    val steady = CountingFileSystem.probes.get
+    steady should be <= 10L
+    // one new commit: steady cost + O(1) for the new entry, no listing
+    KvLog.append(fs, table, Seq("part-00004.parquet"))
+    CountingFileSystem.reset()
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+    offsetOf(o2) shouldBe "log:3:0"
+    CountingFileSystem.lists.get shouldBe 0
+    CountingFileSystem.probes.get should be <= steady + 8
+    // contrast: LEGACY listing admission lists the directory EVERY batch
+    val legacy = new KvTailStream(s"cfs:$walDir", Cell.schema, Array.empty, None,
+      new SerializableConfiguration(conf))
+    CountingFileSystem.reset()
+    legacy.latestOffset(KvWalOffset(""), ReadLimit.allAvailable())
+    CountingFileSystem.lists.get should be >= 1L
+  }
+
+  test("log mode: maxFilesPerBatch=1 paces WITHIN a multi-file commit; a mid-entry checkpoint resumes") {
+    val sconf = new SerializableConfiguration(countingConf)
+    val stream = new KvTailStream(loggedDir, Cell.schema, Array.empty, Some(1), sconf)
+    val start = stream.initialOffset()
+    val o1 = stream.latestOffset(start, ReadLimit.maxFiles(1))
+    offsetOf(o1) shouldBe "log:0:1" // capped mid-entry, not at a commit boundary
+    val p1 = stream.planInputPartitions(start, o1)
+    p1.map(_.asInstanceOf[KvFilePartition].file) should have length 1
+    p1.head.asInstanceOf[KvFilePartition].file should endWith("part-00000.parquet")
+    // recovery: a NEW stream resumes from the serialized mid-entry offset
+    val resumed = new KvTailStream(loggedDir, Cell.schema, Array.empty, Some(1), sconf)
+    val r0 = resumed.deserializeOffset(o1.json())
+    val r1 = resumed.latestOffset(r0, ReadLimit.maxFiles(1))
+    offsetOf(r1) shouldBe "log:1:0" // second file of entry 0 consumed
+    val p2 = resumed.planInputPartitions(r0, r1)
+    p2.head.asInstanceOf[KvFilePartition].file should endWith("part-00001.parquet")
+  }
+
+  test("a stale or torn _latest hint self-heals by probing forward") {
+    val conf = countingConf
+    val table = new Path(loggedDir)
+    val fs = table.getFileSystem(conf)
+    val latest = KvLog.latestSeq(fs, table)
+    val hint = new Path(table, "_log/_latest")
+    def overwrite(s: String): Unit = {
+      val out = fs.create(hint, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    try {
+      overwrite("0") // stale: crash between entry rename and hint update
+      KvLog.latestSeq(fs, table) shouldBe latest
+      overwrite("not-a-seq") // torn: unparseable hint is ignored, not fatal
+      KvLog.latestSeq(fs, table) shouldBe latest
+    } finally overwrite(latest.toString)
+  }
+
+  test("a replayed streaming epoch commit is a pure no-op: manifest and targets untouched") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_epoch_replay"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val conf = spark.sessionState.newHadoopConf()
+    val sconf = new SerializableConfiguration(conf)
+    val table = new Path(d)
+    val fs = table.getFileSystem(conf)
+    def stageAttempt(name: String): String = {
+      val tmp = s"${d}_stage_$name"
+      allCells.limit(5).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      part.getAbsolutePath
+    }
+    new KvStreamingWrite(d, Cell.schema, "q1", sconf)
+      .commit(0, Array(KvEpochCommit(stageAttempt("a"), 0)))
+    val live1 = KvLog.liveFiles(fs, table)
+    live1 shouldBe Seq("part-e0000000000-00000.parquet")
+    // recovery re-runs epoch 0 (failure AFTER the full commit, before
+    // Spark's checkpoint write) — and the replay seals a DIFFERENT
+    // non-empty region set, the hazard case: honoring it would leave the
+    // manifest pointing at deleted files
+    new KvStreamingWrite(d, Cell.schema, "q1", sconf)
+      .commit(0, Array(KvEpochCommit("", 0), KvEpochCommit(stageAttempt("b"), 1)))
+    KvLog.liveFiles(fs, table) shouldBe live1
+    fs.exists(new Path(d, "part-e0000000000-00000.parquet")) shouldBe true
+    fs.exists(new Path(d, "part-e0000000000-00001.parquet")) shouldBe false
+    // defense in depth: the log-level writer-tag dedup returns the existing
+    // seq instead of appending
+    KvLog.append(fs, table, Seq("x.parquet"), writer = Some("q1:0")) shouldBe 0L
+    KvLog.latestSeq(fs, table) shouldBe 0L
+  }
+
+  test("first logged commit on a legacy table SEEDS the manifest: pre-existing segments stay visible") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_legacy_seed"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val n = allCells.count()
+    val perSeg = (n / 2) + 1
+    stageSegments(d, (0 until 2).map { i =>
+      allCells.filter(col("ts") >= i * perSeg && col("ts") < (i + 1) * perSeg)
+    })
+    spark.read.format("graft-kv").load(d).count() shouldBe n // legacy listing read
+    // non-truncate batch append through the sink — the visibility-flip case
+    val extra = KvGenerator.cells(spark, 40, 2, "runX")
+    extra.write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    spark.read.format("graft-kv").load(d).count() shouldBe n + extra.count()
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val seed = KvLog.read(fs, new Path(d), 0L).get
+    seed.compact shouldBe true // the seed is a live-set checkpoint
+    seed.adds should contain allOf ("part-00000.parquet", "part-00001.parquet")
+    // and a fresh tail of the migrated table delivers the WHOLE table
+    // (seeded segments through the horizon sentinel + the appended commit)
+    val q = runAvailableNow(
+      tailStream(d, maxFiles = 100).groupBy(col("family")).count(), "kv_seed_tail")
+    spark.table("kv_seed_tail").collect().map(_.getLong(1)).sum shouldBe n + extra.count()
+  }
+
+  test("a checkpointed tail below the compaction floor fails loudly; a fresh tail starts at the horizon") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_horizon"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val n = allCells.count()
+    val perSeg = (n / 2) + 1
+    stageSegments(d, (0 until 2).map { i =>
+      allCells.filter(col("ts") >= i * perSeg && col("ts") < (i + 1) * perSeg)
+    })
+    val conf = spark.sessionState.newHadoopConf()
+    val sconf = new SerializableConfiguration(conf)
+    val table = new Path(d)
+    val fs = table.getFileSystem(conf)
+    KvLog.append(fs, table, Seq("part-00000.parquet"))
+    KvLog.append(fs, table, Seq("part-00001.parquet"))
+    // a compaction checkpoint: the live set republished at seq 2
+    KvLog.append(fs, table, Seq("part-00000.parquet", "part-00001.parquet"),
+      compact = true) shouldBe 2L
+    val stream = new KvTailStream(d, Cell.schema, Array.empty, None, sconf)
+    // checkpoint below the horizon: segments may be merged away — loud failure
+    val behind = stream.deserializeOffset("log:0:0")
+    val ex = intercept[IllegalStateException] {
+      stream.latestOffset(behind, ReadLimit.allAvailable())
+    }
+    ex.getMessage should include("behind the compaction floor")
+    // fresh tail: starts AT the horizon (sentinel) and receives the live set
+    val start = stream.initialOffset()
+    offsetOf(start) shouldBe "log:2:-1"
+    val o1 = stream.latestOffset(start, ReadLimit.allAvailable())
+    offsetOf(o1) shouldBe "log:3:0"
+    stream.planInputPartitions(start, o1).length shouldBe 2
+    // a tail that ADVANCED to the compact entry gets NOTHING from it — its
+    // contents were already delivered by the original appends
+    val through = stream.deserializeOffset("log:2:0")
+    stream.latestOffset(through, ReadLimit.allAvailable()) shouldBe through
+  }
+
+  test("AvailableNow cap and offset MODE mismatch fails loudly, both directions") {
+    val conf = countingConf
+    val sconf = new SerializableConfiguration(conf)
+    // log-mode table, listing-mode checkpoint (a _log created across restart)
+    val logged = new KvTailStream(loggedDir, Cell.schema, Array.empty, None, sconf)
+    logged.prepareForTriggerAvailableNow()
+    val ex1 = intercept[IllegalStateException] {
+      logged.latestOffset(KvWalOffset("part-00000.parquet"), ReadLimit.allAvailable())
+    }
+    ex1.getMessage should include("pinned in log mode")
+    // legacy table, log-mode checkpoint (a _log removed across restart)
+    val legacy = new KvTailStream(s"cfs:$walDir", Cell.schema, Array.empty, None, sconf)
+    legacy.prepareForTriggerAvailableNow()
+    val ex2 = intercept[IllegalStateException] {
+      legacy.latestOffset(KvWalOffset("log:0:0"), ReadLimit.allAvailable())
+    }
+    ex2.getMessage should include("pinned in listing mode")
   }
 
   test("rowKey bounds prune WAL segments from a batch's partition list") {
