@@ -57,7 +57,7 @@ object Cli {
     "ExportHBaseTableToDelimiteredTxt" -> 6, "ExportHBaseTableToDelimiteredSeq" -> 6,
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
-    "CompactTable" -> 2)
+    "CompactTable" -> 2, "VacuumTable" -> 1)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -148,6 +148,19 @@ object Cli {
           println(s"compaction parked for $table: $reason")
       }
 
+    // GC of manifest-unreferenced files (crash leftovers) after a grace
+    // period — the Delta VACUUM / HBase HFile-cleaner analog.
+    case "VacuumTable" =>
+      val table = a(0)
+      val graceHours = a.lift(1).map(_.toLong).getOrElse(24L)
+      graft.sources.KvVacuum.vacuum(
+          spark, s"${tableDir(table)}/cells", graceHours * 3600 * 1000) match {
+        case graft.sources.KvVacuum.Vacuumed(n, bytes, dirs) =>
+          println(s"vacuumed $table: $n stray files ($bytes bytes), $dirs scratch dirs")
+        case graft.sources.KvVacuum.Skipped(reason) =>
+          println(s"vacuum skipped for $table: $reason")
+      }
+
     case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
   }
 
@@ -184,5 +197,6 @@ object Cli {
       |  AvroReader <file> <schemaFile> <recordsToRead>
       |  ParquetReader <file> <recordsToRead>
       |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
-      |  CompactTable <table> <regions>              (major-compact a table's segments)""".stripMargin
+      |  CompactTable <table> <regions>              (major-compact a table's segments)
+      |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)""".stripMargin
 }

@@ -449,6 +449,8 @@ object Queries {
     ensureZorderedEvents(spark, sfDir)
     ensureWalSegments(spark, sfDir)
     ensureCompactedCells(spark, sfDir)
+    ensureVersionedCells(spark, sfDir): Unit
+    ensureVacuumedCells(spark, sfDir): Unit
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -601,6 +603,89 @@ object Queries {
         s"kv_compacted_scan staging expected a compaction, got $res")
       path
     })
+
+  /** A 3-commit pile-up left UNCOMPACTED: each manifest entry is a durable
+    * table version for [[kvTimetravelScan]] to read back.
+    */
+  private def ensureVersionedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"versioned_cells|$sfDir", _ => {
+      val path = artifactPath("versioned_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvTable.eventsAsCells(spark, sfDir)
+      (0 until 3).foreach { i =>
+        cells.filter(pmod(col("ts"), lit(3)) === i)
+          .write.format("graft-kv").option("regions", 4)
+          .mode("append").save(path)
+      }
+      path
+    })
+
+  /** A table carrying crash leftovers, then vacuumed: a stray unpublished
+    * compaction output and a dead scratch dir are planted (aged past the
+    * grace period), and [[graft.sources.KvVacuum]] must reclaim BOTH while
+    * leaving every manifest-referenced file in place.
+    */
+  private def ensureVacuumedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"vacuumed_cells|$sfDir", _ => {
+      val path = artifactPath("vacuumed_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvTable.eventsAsCells(spark, sfDir)
+      (0 until 2).foreach { i =>
+        cells.filter(pmod(col("ts"), lit(2)) === i)
+          .write.format("graft-kv").option("regions", 4)
+          .mode("append").save(path)
+      }
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val live = graft.sources.KvLog.liveFiles(fs, dir)
+      val stray = new org.apache.hadoop.fs.Path(dir, "part-c0000000009-00000.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dir, live.head), fs, stray, false, fs.getConf)
+      fs.setTimes(stray, 1000L, -1)
+      val res = graft.sources.KvVacuum.vacuum(spark, path, graceMs = 0)
+      require(res match {
+        case graft.sources.KvVacuum.Vacuumed(files, _, _) => files == 1
+        case _ => false
+      }, s"kv_vacuumed_scan staging expected 1 reclaimed stray, got $res")
+      path
+    })
+
+  /** VACUUM end-to-end, gated by the events-pivot oracle: after GC of the
+    * planted crash leftovers, the scan of the vacuumed table must still
+    * equal the full pivot — vacuum reclaims bytes, never visible data. (The
+    * stray file duplicates live cells, so a scan that ever read it would
+    * hash-mismatch on doubled rows; a vacuum that deleted a LIVE file would
+    * mismatch on missing ones.)
+    */
+  def kvVacuumedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv")
+      .load(ensureVacuumedCells(spark, sfDir))
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
+  /** TIME TRAVEL through the manifest log (HBase snapshot read / Delta
+    * `versionAsOf`): the pivot of the table AS OF log seq 1 — the first two
+    * of three batch commits — must equal the pivot of exactly those cells.
+    * The oracle filters the source rows the same way the staging partitioned
+    * them (`ts % 3 <= 1`), so a scan that read the wrong version set (too
+    * many files, too few, or the stray third commit) hash-mismatches.
+    */
+  def kvTimetravelScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv").option("asOfSeq", 1)
+      .load(ensureVersionedCells(spark, sfDir))
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
+  private val kvTimetravelScanSql: String = {
+    val aggs = EventCols.map { c =>
+      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) " +
+        s"FILTER (WHERE event_type = '$c') AS $c"
+    }.mkString(", ")
+    s"""SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs
+       |FROM events WHERE event_id % 3 <= 1 GROUP BY 1""".stripMargin
+  }
 
   /** The compaction cycle end-to-end, gated by the same oracle as
     * `kv_pivot_events`: the LWW pivot of the COMPACTED table must equal the
@@ -3292,6 +3377,8 @@ object Queries {
     "kv_index_lookup" -> (kvIndexLookup _),
     "kv_append_cells" -> (kvAppendCells _),
     "kv_compacted_scan" -> (kvCompactedScan _),
+    "kv_timetravel_scan" -> (kvTimetravelScan _),
+    "kv_vacuumed_scan" -> (kvVacuumedScan _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
     "kv_unpivot" -> (kvUnpivot _),
@@ -3406,6 +3493,8 @@ object Queries {
     "kv_index_lookup" -> kvIndexLookupSql,
     "kv_append_cells" -> kvAppendCellsSql,
     "kv_compacted_scan" -> kvPivotEventsSql,
+    "kv_timetravel_scan" -> kvTimetravelScanSql,
+    "kv_vacuumed_scan" -> kvPivotEventsSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,
     "kv_unpivot" -> kvUnpivotSql,

@@ -102,8 +102,15 @@ private[sources] class KvCellTable(path: String) extends Table
       Option(options.get("maxRowKey")).map(LessThan("rowKey", _))).flatten.toArray
     // `tailId` registers a streaming tail's progress with the table's
     // manifest so compaction parks on it (KvTailStream.commit doc).
+    // `asOfSeq` is a TIME-TRAVEL batch read: the table as of that manifest
+    // entry (KvLog.liveFilesAt doc). `sinceSeq` is an INCREMENTAL (CDC)
+    // batch read: only the cells committed in `(sinceSeq, asOfSeq|latest]`
+    // (KvLog.changedFiles doc). Batch-only — a stream's position IS its
+    // version, so both are rejected at stream construction.
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
-      Option(options.get("tailId")))
+      Option(options.get("tailId")),
+      Option(options.get("asOfSeq")).map(_.toLong),
+      Option(options.get("sinceSeq")).map(_.toLong))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -114,7 +121,9 @@ private[sources] class KvCellTable(path: String) extends Table
 private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int] = None,
     scopeFilters: Array[Filter] = Array.empty,
     conf: SerializableConfiguration = KvScanBuilder.activeConf,
-    tailId: Option[String] = None)
+    tailId: Option[String] = None,
+    asOfSeq: Option[Long] = None,
+    sinceSeq: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -165,10 +174,10 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     * (exact, row-level) is their correctness boundary, not an optimization.
     */
   override def build(): Scan = statsAggs match {
-    case Some(specs) => new KvStatsScan(path, specs, conf)
+    case Some(specs) => new KvStatsScan(path, specs, conf, asOfSeq, sinceSeq)
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
-        maxFilesPerBatch, conf, tailId)
+        maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq)
   }
 }
 
@@ -181,7 +190,9 @@ private[sources] object KvScanBuilder {
 
 /** Metadata-only scan serving pushed aggregates from parquet footers. */
 private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
-    sconf: SerializableConfiguration = KvScanBuilder.activeConf)
+    sconf: SerializableConfiguration = KvScanBuilder.activeConf,
+    asOfSeq: Option[Long] = None,
+    sinceSeq: Option[Long] = None)
     extends Scan with Batch {
 
   import KvStatsScan._
@@ -195,7 +206,7 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
     val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = KvLog.dataFiles(fs, p)
+    val files = KvLog.scanFiles(fs, p, asOfSeq, sinceSeq)
     var count = 0L
     var tsMin: Option[Long] = None
     var tsMax: Option[Long] = None
@@ -283,7 +294,9 @@ private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactor
 private[sources] class KvScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerBatch: Option[Int] = None,
     sconf: SerializableConfiguration = KvScanBuilder.activeConf,
-    tailId: Option[String] = None)
+    tailId: Option[String] = None,
+    asOfSeq: Option[Long] = None,
+    sinceSeq: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -297,7 +310,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val all = KvLog.dataFiles(fs, p)
+    val all = KvLog.scanFiles(fs, p, asOfSeq, sinceSeq)
     val bounds = KvFilters.rowKeyBounds(pushed)
     val kept =
       if (bounds.isEmpty) all
@@ -351,8 +364,12 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * segments per offset range instead of the whole table).
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOfSeq.isEmpty && sinceSeq.isEmpty,
+      "graft-kv: asOfSeq/sinceSeq are batch-read options — a stream's offset " +
+        "already names its log position; tail from a fresh checkpoint instead")
     new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf, tailId)
+  }
 
   override def description(): String = {
     val pruned = s"regions=${keptFiles.size}/$totalFiles"

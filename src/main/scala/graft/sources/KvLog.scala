@@ -115,17 +115,22 @@ private[graft] object KvLog {
 
   def read(fs: FileSystem, table: Path, seq: Long): Option[Entry] = {
     val p = entryPath(table, seq)
-    if (!fs.exists(p)) None
-    else {
-      val lines = readText(fs, p).split("\n").toSeq.filter(_.nonEmpty)
+    // Open directly and treat not-found as None: one metadata round-trip per
+    // probe instead of exists + open — the probe cost the tail's admission
+    // walk pays per entry, so it is halved here rather than at call sites.
+    val text = try Some(readText(fs, p)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    text.map { t =>
+      val lines = t.split("\n").toSeq.filter(_.nonEmpty)
       val header = lines.head.split(" ")
       require(header(0) == "v1", s"graft-kv log: unknown entry version in $p")
       val writer = header.drop(2).collectFirst {
         case w if w.startsWith("writer=") => w.stripPrefix("writer=")
       }
-      Some(Entry(seq, compact = header(1) == "compact", writer,
+      Entry(seq, compact = header(1) == "compact", writer,
         adds = lines.tail.collect { case l if l.startsWith("+") => l.tail },
-        removes = lines.tail.collect { case l if l.startsWith("-") => l.tail }))
+        removes = lines.tail.collect { case l if l.startsWith("-") => l.tail })
     }
   }
 
@@ -245,17 +250,100 @@ private[graft] object KvLog {
     live.toSeq
   }
 
+  /** TIME TRAVEL: the live file set AS OF log seq `asOf` — the table
+    * exactly as a scan at that commit would have seen it (the HBase
+    * snapshot-read / Delta `versionAsOf` analog; every manifest entry is a
+    * durable table version). Replays entries `0..asOf` (O(asOf) probes —
+    * acceptable for an audit/debug read, and bounded by log length, not
+    * table size). Fails loudly when:
+    *  - `asOf` is beyond the log end (that version doesn't exist yet), or
+    *  - any file live at `asOf` was later MERGED AWAY by compaction — a
+    *    file whose replay attribution lands below the compaction floor was
+    *    deleted by [[KvCompactor]]'s publish step, so the version is no
+    *    longer reconstructible (the same trade Delta makes: VACUUM limits
+    *    time travel). Versions at or above the floor stay readable because
+    *    partial compaction carries their files forward on disk.
+    */
+  def liveFilesAt(fs: FileSystem, table: Path, asOf: Long): Seq[String] = {
+    val latest = latestSeq(fs, table)
+    require(asOf >= 0 && asOf <= latest,
+      s"graft-kv log: asOfSeq $asOf is outside $table's log (latest $latest)")
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    (0L to asOf).foreach { seq =>
+      read(fs, table, seq).foreach { e =>
+        e.removes.foreach(live -= _)
+        e.adds.foreach(live(_) = seq)
+      }
+    }
+    val fl = floor(fs, table)
+    val merged = live.filter(_._2 < fl).keys.toSeq.sorted
+    if (merged.nonEmpty) throw new IllegalStateException(
+      s"graft-kv log: version $asOf of $table is no longer reconstructible — " +
+        s"${merged.length} of its files were merged away by compaction " +
+        s"(floor $fl): ${merged.take(3).mkString(", ")}…. Time travel reaches " +
+        "back to the compaction floor only.")
+    live.keys.toSeq.sorted
+  }
+
+  /** INCREMENTAL (CDC) read: the files COMMITTED in `(sinceSeq, asOf]` — a
+    * batch equivalent of tailing that span ([[KvTailStream]]), for backfill
+    * pipelines that consume a table in version-bounded increments without a
+    * streaming checkpoint (the Delta change-data-feed shape; cells are
+    * immutable so every change is an append). Compact entries contribute
+    * nothing — they re-publish existing data, not changes (the same rule the
+    * tail's delivery uses). Fails loudly when the span dips below the
+    * compaction floor: those increments' files were merged away and the
+    * change set is no longer reconstructible.
+    */
+  def changedFiles(fs: FileSystem, table: Path, sinceSeq: Long, asOf: Long)
+      : Seq[String] = {
+    val latest = latestSeq(fs, table)
+    require(sinceSeq >= -1 && sinceSeq <= asOf && asOf <= latest,
+      s"graft-kv log: change span ($sinceSeq, $asOf] is outside $table's " +
+        s"log (latest $latest)")
+    val fl = floor(fs, table)
+    if (sinceSeq + 1 < fl) throw new IllegalStateException(
+      s"graft-kv log: changes since seq $sinceSeq of $table are no longer " +
+        s"reconstructible — entries below the compaction floor $fl were " +
+        "merged away. Re-baseline from a full scan (or an asOfSeq read).")
+    (sinceSeq + 1 to asOf).flatMap { seq =>
+      read(fs, table, seq).toSeq.flatMap(e => if (e.compact) Nil else e.adds)
+    }.sorted
+  }
+
   /** The table's data files as Paths: log replay when a log exists, else a
     * directory listing (legacy/externally-staged tables). Every batch-scan
     * planning site shares this so log-carrying tables are read from their
     * MANIFEST (immune to stray files from an interrupted compaction) while
     * foreign tables keep working.
     */
-  def dataFiles(fs: FileSystem, table: Path): Seq[Path] =
-    if (exists(fs, table)) liveFiles(fs, table).map(new Path(table, _))
+  /** Scan-planning entry point uniting the three batch read shapes: full
+    * (neither option), time travel (`asOf`), incremental CDC (`since`, with
+    * `asOf` as its optional upper bound). Shared by the data scan and the
+    * footer-stats scan so a pushed COUNT(*) over a version or change span
+    * counts exactly that span's files.
+    */
+  def scanFiles(fs: FileSystem, table: Path, asOf: Option[Long],
+      since: Option[Long]): Seq[Path] = since match {
+    case Some(s) =>
+      if (!exists(fs, table)) throw new IllegalArgumentException(
+        s"graft-kv: sinceSeq incremental reads require a manifest log, and " +
+          s"$table has none (legacy/externally-staged directory)")
+      changedFiles(fs, table, s, asOf.getOrElse(latestSeq(fs, table)))
+        .map(new Path(table, _))
+    case None => dataFiles(fs, table, asOf)
+  }
+
+  def dataFiles(fs: FileSystem, table: Path, asOf: Option[Long] = None): Seq[Path] = {
+    if (asOf.isDefined && !exists(fs, table)) throw new IllegalArgumentException(
+      s"graft-kv: asOfSeq time travel requires a manifest log, and $table has " +
+        "none (legacy/externally-staged directory — versions were never recorded)")
+    if (exists(fs, table))
+      asOf.fold(liveFiles(fs, table))(liveFilesAt(fs, table, _)).map(new Path(table, _))
     else fs.listStatus(table).map(_.getPath)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .sortBy(_.getName).toSeq
+  }
 
   private def readLong(fs: FileSystem, p: Path): Option[Long] =
     try { if (fs.exists(p)) Some(readText(fs, p).trim.toLong) else None }

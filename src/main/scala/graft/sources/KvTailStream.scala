@@ -101,6 +101,27 @@ private[sources] class KvTailStream(
         s"graft-kv tail: malformed log offset '$watermark'")
     }
 
+  /** Log entries are IMMUTABLE once published (temp-write + rename), so the
+    * stream caches every entry it has read: each micro-batch otherwise pays
+    * the probe walk twice — once in [[latestOffset]]'s admission and again
+    * in [[planInputPartitions]]' re-walk of the same span — and a recovered
+    * batch a third time. Only hits are cached (a missing seq may be
+    * published later); [[commit]] evicts entries behind the committed
+    * position, so the cache is bounded by the in-flight window, not the
+    * stream's lifetime.
+    */
+  private val entryCache = new java.util.concurrent.ConcurrentHashMap[Long, KvLog.Entry]()
+
+  private def readEntry(seq: Long): Option[KvLog.Entry] = {
+    val cached = entryCache.get(seq)
+    if (cached != null) Some(cached)
+    else {
+      val e = KvLog.read(fs, tableDir, seq)
+      e.foreach(entryCache.put(seq, _))
+      e
+    }
+  }
+
   /** The adds of `entry` visible from position `cur`: a compact entry's
     * adds are delivered only when the stream STARTED at it (sentinel, or
     * resuming mid-delivery at `idx > 0`), never when it advanced past.
@@ -122,7 +143,7 @@ private[sources] class KvTailStream(
     val files = Seq.newBuilder[Path]
     var taken = 0
     var cur = pos
-    var entry = KvLog.read(fs, tableDir, cur.seq)
+    var entry = readEntry(cur.seq)
     while (entry.isDefined && cur.seq <= capSeq && taken < maxFiles) {
       val adds = visibleAdds(entry.get, cur)
       val from = math.max(cur.idx, 0)
@@ -134,7 +155,7 @@ private[sources] class KvTailStream(
         cur = LogPos(cur.seq, from + slice.length) // capped mid-entry
       } else {
         cur = LogPos(cur.seq + 1, 0)
-        entry = if (cur.seq <= capSeq) KvLog.read(fs, tableDir, cur.seq) else None
+        entry = if (cur.seq <= capSeq) readEntry(cur.seq) else None
       }
     }
     (files.result(), cur)
@@ -248,7 +269,7 @@ private[sources] class KvTailStream(
     val files = Seq.newBuilder[Path]
     var cur = from
     while (cur.seq < to.seq || (cur.seq == to.seq && cur.idx < to.idx)) {
-      val entry = KvLog.read(fs, tableDir, cur.seq).getOrElse(
+      val entry = readEntry(cur.seq).getOrElse(
         throw new IllegalStateException(
           s"graft-kv tail: log entry ${cur.seq} of $path vanished mid-plan"))
       val adds = visibleAdds(entry, cur)
@@ -286,13 +307,14 @@ private[sources] class KvTailStream(
   /** A REGISTERED tail (`tailId` option) records its committed log position
     * after every batch — the replication-peer progress mark [[KvCompactor]]
     * parks on, so compaction can never merge away segments the tail still
-    * needs. Unregistered tails record nothing (no per-batch write).
+    * needs. Unregistered tails record nothing (no per-batch write). Either
+    * way, cached entries behind the committed position are evicted — no
+    * later batch can plan below its start offset.
     */
   override def commit(end: Offset): Unit =
-    tailId.foreach { id =>
-      decodePos(end.asInstanceOf[KvWalOffset].watermark).foreach { pos =>
-        KvLog.recordTail(fs, tableDir, id, pos.seq)
-      }
+    decodePos(end.asInstanceOf[KvWalOffset].watermark).foreach { pos =>
+      tailId.foreach(KvLog.recordTail(fs, tableDir, _, pos.seq))
+      entryCache.keySet.removeIf(_ < pos.seq)
     }
 
   override def stop(): Unit = ()

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.kv.KvGenerator
+
+/** Time travel through the manifest log (`asOfSeq` reader option): every
+  * commit entry is a durable table version ([[KvLog.liveFilesAt]]), read
+  * back exactly; versions whose files compaction merged away fail loudly
+  * (the Delta VACUUM-limits-time-travel trade); mode misuse (no manifest,
+  * beyond the log end, on a stream) is rejected at plan time, not by a
+  * wrong result.
+  */
+class KvTimeTravelSpec extends graft.SparkSpec {
+
+  private lazy val cells: DataFrame = KvGenerator.cells(spark, 300, 4, "runT").cache()
+
+  private def pileUp(name: String, commits: Int = 3): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    (0 until commits).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(commits)) === i)
+        .write.format("graft-kv").option("regions", 2)
+        .mode("append").save(d)
+    }
+    d
+  }
+
+  private def fsOf(d: String) =
+    new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def asOf(d: String, seq: Long): DataFrame =
+    spark.read.format("graft-kv").option("asOfSeq", seq).load(d)
+
+  test("each commit is a readable version; the latest version equals the plain scan") {
+    val d = pileUp("kv_tt_versions")
+    val expect = (0 until 3).map(k =>
+      cells.filter(pmod(col("ts"), lit(3)) <= k).count())
+    (0 until 3).foreach { k =>
+      asOf(d, k).count() shouldBe expect(k)
+    }
+    asOf(d, 2).count() shouldBe spark.read.format("graft-kv").load(d).count()
+    // version scans prune like any other scan: rowKey bounds still cut files
+    val scoped = asOf(d, 1).filter(col("rowKey") < "00000")
+    scoped.count() shouldBe
+      cells.filter(pmod(col("ts"), lit(3)) <= 1).filter(col("rowKey") < "00000").count()
+  }
+
+  test("a version beyond the log end, or on a table without a manifest, is rejected") {
+    val d = pileUp("kv_tt_bounds")
+    (the[Exception] thrownBy asOf(d, 99).count()).getMessage should
+      include("outside")
+    // externally-staged directory: versions were never recorded
+    val legacy = s"${sys.props("java.io.tmpdir")}/graft_test/kv_tt_legacy"
+    graft.sinks.Sinks.deleteRecursive(spark, legacy)
+    cells.limit(10).write.mode("overwrite").parquet(legacy)
+    (the[Exception] thrownBy asOf(legacy, 0).count()).getMessage should
+      include("manifest log")
+  }
+
+  test("compaction bounds time travel: merged-away versions fail loudly, surviving ones read") {
+    val d = pileUp("kv_tt_compacted")
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val v1 = asOf(d, 1).count()
+    // partial compaction gated at seq 2: entries 0,1 merged, entry 2 carried
+    KvLog.recordTail(fs, table, "peer-tt", 2)
+    val seq = KvCompactor.compact(spark, d, regions = 2) match {
+      case KvCompactor.Compacted(s, _, _) => s
+      case p => fail(s"expected Compacted, got $p")
+    }
+    // versions at/above the floor survive (their files are on disk)
+    KvLog.floor(fs, table) shouldBe 2
+    asOf(d, seq).count() shouldBe spark.read.format("graft-kv").load(d).count()
+    // versions below the floor lost their files to the merge
+    val err = the[Exception] thrownBy asOf(d, 1).count()
+    err.getMessage should include("no longer reconstructible")
+    v1 should be > 0L // the version existed before compaction
+  }
+
+  test("asOfSeq on a stream is rejected: an offset already names its version") {
+    val d = pileUp("kv_tt_stream")
+    val ex = the[Exception] thrownBy {
+      spark.readStream.format("graft-kv").option("asOfSeq", 1).load(d)
+        .writeStream.format("memory").queryName("kv_tt_stream_q")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    ex.getMessage should include("batch-read option")
+  }
+}
