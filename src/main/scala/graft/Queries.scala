@@ -422,8 +422,7 @@ object Queries {
 
   private def ensurePivotLateDir(spark: SparkSession, sfDir: String): (String, Long) =
     pairArtifact(s"pivot_late_dir|$sfDir") {
-      val raw = spark.read.schema(KvTable.EventsParquetSchema)
-        .parquet(s"$sfDir/events.parquet")
+      val raw = KvTable.eventsRaw(spark, s"$sfDir/events.parquet")
       StreamingPivot.stageEventsShuffled(
         raw, nChunks = 4, horizonNanos = PivotWindowNanos)
     }
@@ -3168,8 +3167,7 @@ object Queries {
   private def ensureJoinDir(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"join_dir|$sfDir", _ =>
       StreamingPivot.stageEventsOrdered(
-        spark.read.schema(KvTable.EventsParquetSchema)
-          .parquet(s"$sfDir/events.parquet"), nChunks = 4))
+        KvTable.eventsRaw(spark, s"$sfDir/events.parquet"), nChunks = 4))
 
   /** Stream-stream interval join ([[StreamingPivot.intervalJoin]]) over a
     * genuine multi-batch replay: clicks and purchases read as two file

@@ -1053,8 +1053,7 @@ object Scratch {
         // so recentProgress exposes where the wall-clock goes.
         import org.apache.spark.sql.functions._
         import graft.streaming.StreamingPivot
-        val raw = spark.read.schema(graft.kv.KvTable.EventsParquetSchema)
-          .parquet(s"$sfDir/events.parquet")
+        val raw = graft.kv.KvTable.eventsRaw(spark, s"$sfDir/events.parquet")
         val (dir, lateNs) = StreamingPivot.stageEventsShuffled(
           raw, nChunks = 4, horizonNanos = 3600L * 1000000000L)
         for (rep <- 1 to 6) {

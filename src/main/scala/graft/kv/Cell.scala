@@ -43,11 +43,6 @@ object KvTable {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark 4 rejects
-    * during schema inference ([PARQUET_TYPE_ILLEGAL]). An explicit schema with
-    * `ts: long` (raw epoch nanos) skips footer inference; `tsNanos` keeps the
-    * name honest.
-    */
   /** `lineitem` viewed as a *typed* cell table: 3 cells per line item with
     * binary-encoded values (big-endian long/int like HBase `Bytes`, plus
     * UTF-8 strings) — exercises the Avro-dialect typed decode path
@@ -89,8 +84,10 @@ object KvTable {
         col("cell.ts").as("ts"))
   }
 
-  /** The raw events parquet schema (`ts` read as raw epoch nanos — Spark 4
-    * rejects TIMESTAMP(NANOS) inference). Shared with the streaming source.
+  /** The engine-internal raw events schema: `ts` = epoch NANOS as long.
+    * Every consumer (batch loaders, streaming sources, staging writers)
+    * sees exactly this shape; [[eventsRaw]] normalizes whatever the fixture
+    * physically stores into it.
     */
   val EventsParquetSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -100,9 +97,64 @@ object KvTable {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Whether the events parquet at `path` stores `ts` with a parquet
+    * TIMESTAMP logical type Spark can infer (micros/millis — read as a
+    * timestamp and converted), versus the legacy fixture whose
+    * TIMESTAMP(NANOS) column Spark 4 refuses to infer
+    * ([PARQUET_TYPE_ILLEGAL]) and which is therefore force-read as raw
+    * epoch-nanos long. The fixture's physical encoding has changed across
+    * harness regenerations (round 9 shipped 11 wrong queries by assuming
+    * raw nanos against a timestamp[us] file), so the unit is derived from
+    * the file's LOGICAL type, never assumed. Memoized: one footer
+    * inference per path per JVM.
+    */
+  private val tsIsLogicalTimestamp =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def storesLogicalTimestamp(spark: SparkSession, path: String): Boolean =
+    tsIsLogicalTimestamp.computeIfAbsent(path, _ =>
+      try {
+        spark.read.parquet(path).schema("ts").dataType match {
+          case TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+      } catch {
+        // Inference rejects TIMESTAMP(NANOS) — exactly the legacy raw-long case.
+        case _: org.apache.spark.sql.AnalysisException => false
+      })
+
+  /** The schema to hand a reader of the raw fixture file (streaming file
+    * sources REQUIRE an explicit schema, so inference alone can't decide):
+    * the inferred one when the file stores a logical timestamp, the forced
+    * raw-long one otherwise. Pair with [[normalizeRawEvents]].
+    */
+  private[graft] def eventsReadSchema(spark: SparkSession, path: String): StructType =
+    if (storesLogicalTimestamp(spark, path)) spark.read.parquet(path).schema
+    else EventsParquetSchema
+
+  /** Normalize a raw events relation (read with [[eventsReadSchema]]) to
+    * [[EventsParquetSchema]]: a logical-timestamp `ts` becomes epoch nanos
+    * (`unix_micros * 1000`; NTZ is interpreted in the session time zone,
+    * UTC in every entry point, matching the oracle's `epoch_ns`); a raw
+    * long passes through. Works identically on batch and streaming frames.
+    */
+  private[graft] def normalizeRawEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .select(EventsParquetSchema.fieldNames.toIndexedSeq.map(col): _*)
+      case _ => df
+    }
+
+  /** The raw events relation in engine shape (ts = epoch nanos long),
+    * whatever the fixture's physical encoding.
+    */
+  def eventsRaw(spark: SparkSession, path: String): DataFrame =
+    normalizeRawEvents(
+      spark.read.schema(eventsReadSchema(spark, path)).parquet(path))
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(EventsParquetSchema)
-      .parquet(s"$sfDir/events.parquet")
+    eventsRaw(spark, s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "tsNanos")
 
   /** The events→cells column mapping, shared by the batch loader and the

@@ -35,11 +35,20 @@ object StreamingPivot {
     dir.toString
   }
 
-  /** The raw events table as a stream (`ts` = epoch nanos, long). */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(graft.kv.KvTable.EventsParquetSchema)
-      .parquet(asStreamDir(s"$sfDir/events.parquet"))
+  /** The raw events table as a stream (`ts` = epoch nanos, long). The
+    * fixture's physical `ts` encoding varies across harness regenerations
+    * (timestamp[us] vs raw nanos), so the read schema comes from
+    * [[graft.kv.KvTable.eventsReadSchema]] (footer-derived, batch-side —
+    * streaming file sources can't infer) and the frame is normalized to
+    * engine shape before any consumer sees it.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    graft.kv.KvTable.normalizeRawEvents(
+      spark.readStream
+        .schema(graft.kv.KvTable.eventsReadSchema(spark, path))
+        .parquet(asStreamDir(path)))
+  }
 
   /** The events table as a *stream* of KV cells (same mapping as
     * KvTable.eventsAsCells plus an event-time column). `ts DIV 1000` stays
