@@ -44,10 +44,15 @@ import org.apache.spark.sql.SparkSession
   *     live set, making the entry a log CHECKPOINT), removes = every
   *     merged-away segment, floor = the gating floor; `expectSeq` aborts
   *     pre-publish if a concurrent commit moved the log,
-  *  4. only then delete the merged-away files and the scratch dir. A crash
-  *     at any earlier step leaves stray data files that no manifest entry
-  *     references — invisible to every reader, reclaimed by a later
-  *     compaction's publish (its entry supersedes the whole live set).
+  *  4. delete ONLY the (now empty) scratch dir. The merged-away segments
+  *     are NOT deleted here: manifest readers planned from here on never
+  *     see them, but an in-flight scan planned pre-publish may still hold
+  *     their paths — physical reclamation is [[KvVacuum]]'s job, whose
+  *     grace period runs from this entry's publish time
+  *     ([[KvLog.removalTimes]]), giving every pre-publish reader a full
+  *     grace window to finish (the Delta OPTIMIZE/VACUUM split). A crash
+  *     at any earlier step leaves stray files no manifest entry references
+  *     — invisible to every reader, reclaimed by the same vacuum pass.
   */
 object KvCompactor {
 
@@ -98,12 +103,8 @@ object KvCompactor {
     val seq = KvLog.append(fs, dir, adds = merged ++ carrySet.map(_._1),
       removes = mergeSet.map(_._1), compact = true,
       expectSeq = Some(expectSeq), floor = Some(math.min(gate, expectSeq)))
-    // Physical deletes strictly AFTER the atomic publish: manifest readers
-    // planned from here on never see the merged-away segments. In-flight
-    // scans planned pre-publish may still hold them — production would
-    // defer these deletes by a read-grace period; the single-writer test
-    // environment deletes eagerly.
-    mergeSet.foreach { case (n, _) => fs.delete(new Path(dir, n), false) }
+    // Merged-away segments stay on disk for in-flight readers (see the
+    // publish protocol above); only the emptied scratch dir goes now.
     fs.delete(tmp, true)
     Compacted(seq, merged = mergeSet.size, into = merged.size)
   }

@@ -225,6 +225,38 @@ private[graft] object KvLog {
     }.toMap
   }
 
+  /** For every file some entry has REMOVED (compaction's merged-away
+    * segments), the PUBLISH time of the removing entry (the entry file's
+    * mtime) — the instant the file became unreferenced. [[KvVacuum]]'s
+    * grace window for these runs from this instant, NOT the data file's own
+    * mtime: a segment written days ago and merged away a second ago must
+    * survive a full grace period so in-flight scans planned pre-publish can
+    * finish (the read-grace contract [[KvCompactor]]'s deferred deletes
+    * rely on). Replays the whole log — O(log length) driver-side probes,
+    * paid on the GC path only.
+    */
+  def removalTimes(fs: FileSystem, table: Path): Map[String, Long] = {
+    val latest = latestSeq(fs, table)
+    val out = scala.collection.mutable.HashMap.empty[String, Long]
+    (0L to latest).foreach { seq =>
+      read(fs, table, seq).foreach { e =>
+        if (e.removes.nonEmpty) {
+          val t = fs.getFileStatus(entryPath(table, seq)).getModificationTime
+          e.removes.foreach(out(_) = t)
+        }
+        e.adds.foreach(out -= _) // a re-published name is live again
+      }
+    }
+    out.toMap
+  }
+
+  /** Test hook: backdate entry `seq`'s publish time (its file mtime), so
+    * specs can expire a removal's grace window without sleeping.
+    */
+  private[graft] def backdateEntry(fs: FileSystem, table: Path, seq: Long,
+      mtimeMs: Long): Unit =
+    fs.setTimes(entryPath(table, seq), mtimeMs, -1)
+
   /** The live data-file set by log replay, starting at the horizon
     * checkpoint (a compaction entry's adds are the complete live set, so
     * replay cost is O(commits since last compaction), not O(all commits)).
@@ -257,12 +289,14 @@ private[graft] object KvLog {
     * acceptable for an audit/debug read, and bounded by log length, not
     * table size). Fails loudly when:
     *  - `asOf` is beyond the log end (that version doesn't exist yet), or
-    *  - any file live at `asOf` was later MERGED AWAY by compaction — a
-    *    file whose replay attribution lands below the compaction floor was
-    *    deleted by [[KvCompactor]]'s publish step, so the version is no
-    *    longer reconstructible (the same trade Delta makes: VACUUM limits
-    *    time travel). Versions at or above the floor stay readable because
-    *    partial compaction carries their files forward on disk.
+    *  - any file live at `asOf` was merged away by compaction AND already
+    *    physically reclaimed by [[KvVacuum]] — exactly Delta's trade:
+    *    compaction alone never limits time travel (its deletes are
+    *    deferred, [[KvCompactor]] publish protocol step 4), VACUUM does.
+    * A file whose replay attribution lands below the compaction floor is
+    * manifest-removed; while it survives on disk awaiting vacuum's grace
+    * the version still reads (one existence probe per suspect file, paid
+    * only on pre-checkpoint reads), after reclamation it cannot.
     */
   def liveFilesAt(fs: FileSystem, table: Path, asOf: Long): Seq[String] = {
     val latest = latestSeq(fs, table)
@@ -277,11 +311,13 @@ private[graft] object KvLog {
     }
     val fl = floor(fs, table)
     val merged = live.filter(_._2 < fl).keys.toSeq.sorted
-    if (merged.nonEmpty) throw new IllegalStateException(
+    val reclaimed = merged.filterNot(n => fs.exists(new Path(table, n)))
+    if (reclaimed.nonEmpty) throw new IllegalStateException(
       s"graft-kv log: version $asOf of $table is no longer reconstructible — " +
-        s"${merged.length} of its files were merged away by compaction " +
-        s"(floor $fl): ${merged.take(3).mkString(", ")}…. Time travel reaches " +
-        "back to the compaction floor only.")
+        s"${reclaimed.length} of its files were merged away by compaction " +
+        s"(floor $fl) and reclaimed by vacuum: " +
+        s"${reclaimed.take(3).mkString(", ")}…. Pre-checkpoint versions stay " +
+        "readable only until vacuum's grace period reclaims their segments.")
     live.keys.toSeq.sorted
   }
 

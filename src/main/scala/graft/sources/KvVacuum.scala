@@ -5,29 +5,35 @@ import org.apache.spark.sql.SparkSession
 
 /** GARBAGE COLLECTION for `graft-kv` tables — deletes files the manifest
   * does not reference (the Delta VACUUM analog; HBase's equivalent is the
-  * HFile cleaner chain). The log's crash-safety story deliberately LEAKS
-  * files instead of risking data: a compaction that dies between staging
-  * and publish leaves renamed `part-c*` files and a `_compact_*` scratch
-  * dir; a compaction that dies between publish and its deletes leaves the
-  * merged-away originals; an epoch whose log append crashed leaves sealed
-  * targets. All are invisible (every reader plans from the manifest), so
-  * correctness never depends on this pass — it reclaims bytes, nothing
-  * else. That one-sidedness is what makes it safe to run anytime.
+  * HFile cleaner chain). Two kinds of garbage land here, and vacuum is the
+  * ONLY deleter of both (the OPTIMIZE/VACUUM split):
+  *  - compaction's merged-away segments — [[KvCompactor]] publishes its
+  *    entry and deliberately leaves them on disk for in-flight scans
+  *    planned pre-publish;
+  *  - crash leftovers the log's safety story deliberately LEAKS instead of
+  *    risking data: a compaction that dies between staging and publish
+  *    leaves renamed `part-c*` files and a `_compact_*` scratch dir; an
+  *    epoch whose log append crashed leaves sealed targets.
+  * All are invisible (every reader plans from the manifest), so correctness
+  * never depends on this pass — it reclaims bytes, nothing else. That
+  * one-sidedness is what makes it safe to run anytime.
   *
-  * The GRACE PERIOD is the only correctness-adjacent knob: a batch commit
-  * renames its sealed files into place BEFORE appending its log entry, so
-  * a zero-grace vacuum racing that window would delete a commit in flight.
-  * Files younger than `graceMs` are never touched (Delta's retention
-  * check, same reasoning). In-flight scans planned before a vacuum hold
-  * pre-publish file lists the same way they do across compaction's
-  * deletes — the grace period is also their read window.
+  * The GRACE PERIOD is the only correctness-adjacent knob, and its clock
+  * starts at the moment the file became UNREFERENCED, not when it was
+  * written: a merged-away segment's window runs from its removing entry's
+  * publish time ([[KvLog.removalTimes]]) — a segment written days ago and
+  * compacted away a second ago survives a full grace period, so every scan
+  * planned pre-publish gets its read window. Files the log never removed
+  * (crash strays, in-flight commits renaming files before their log
+  * append) fall back to their own mtime — younger than `graceMs` is never
+  * touched (Delta's retention check, same reasoning).
   *
   * Scale shape: one `listStatus` of the table root (bounded region
   * metadata, driver-side — the same cost every scan-planning pass pays)
-  * plus one manifest replay; deletes are per-stray, not per-live-file.
-  * Requires a manifest: on a legacy directory every file is only
-  * discoverable by listing, so "unreferenced" is undefined and vacuum
-  * refuses rather than guesses.
+  * plus one full manifest replay for removal attribution; deletes are
+  * per-stray, not per-live-file. Requires a manifest: on a legacy
+  * directory every file is only discoverable by listing, so "unreferenced"
+  * is undefined and vacuum refuses rather than guesses.
   */
 object KvVacuum {
 
@@ -46,18 +52,23 @@ object KvVacuum {
       s"$path has no manifest log: unreferenced files are undefined on a " +
         "legacy directory (every part-* file there IS the table)")
     val live = KvLog.liveFiles(fs, dir).toSet
+    val removedAt = KvLog.removalTimes(fs, dir)
     val cutoff = System.currentTimeMillis() - graceMs
     var files = 0
     var bytes = 0L
     var dirs = 0
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      val expired = st.getModificationTime < cutoff
-      if (st.isDirectory && n.startsWith("_compact_") && expired) {
+      if (st.isDirectory && n.startsWith("_compact_") &&
+          st.getModificationTime < cutoff) {
         fs.delete(st.getPath, true): Unit
         dirs += 1
       } else if (st.isFile && n.startsWith("part-") && n.endsWith(".parquet")
-          && !live.contains(n) && expired) {
+          && !live.contains(n)
+          // Grace from the un-reference instant: the removing entry's
+          // publish for merged-away segments, the file's own mtime for
+          // never-referenced strays.
+          && removedAt.getOrElse(n, st.getModificationTime) < cutoff) {
         bytes += st.getLen
         fs.delete(st.getPath, false): Unit
         files += 1

@@ -39,6 +39,10 @@ class KvCompactionSpec extends graft.SparkSpec {
       .select(count(lit(1)), sum(col("ts")), max(col("rowKey"))).collect()(0)
     val fs = fsOf(d)
     KvLog.liveFiles(fs, new Path(d)).size shouldBe 6 // 3 commits x 2 regions
+    // an "in-flight scan" holding pre-publish file paths (a reader planned
+    // before the compaction commits): must still read after the publish
+    val prePublish = spark.read.parquet(
+      KvLog.liveFiles(fs, new Path(d)).map(f => s"$d/$f"): _*)
     val res = KvCompactor.compact(spark, d, regions = 3)
     val seq = res match {
       case KvCompactor.Compacted(s, merged, into) =>
@@ -50,13 +54,33 @@ class KvCompactionSpec extends graft.SparkSpec {
     val live = KvLog.liveFiles(fs, new Path(d))
     live should have size 3
     all(live) should startWith("part-c")
-    // merged-away segments are physically gone (post-publish deletes)
+    // merged-away segments STAY on disk (deferred to vacuum's grace): the
+    // directory holds originals + merged, the manifest hides the originals
     fs.listStatus(new Path(d)).map(_.getPath.getName)
-      .count(n => n.startsWith("part-") && n.endsWith(".parquet")) shouldBe 3
+      .count(n => n.startsWith("part-") && n.endsWith(".parquet")) shouldBe 9
+    // the pre-publish reader finishes against the surviving originals
+    prePublish.count() shouldBe before.getLong(0)
     // scan equality: compaction changed the layout, not the data
     val after = spark.read.format("graft-kv").load(d)
       .select(count(lit(1)), sum(col("ts")), max(col("rowKey"))).collect()(0)
     after shouldBe before
+    // vacuum inside the grace window reclaims nothing (removal is recent,
+    // whatever the segments' own mtimes say)...
+    KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) shouldBe
+      KvVacuum.Vacuumed(0, 0, 0)
+    // ...and once the removing entry's grace expires, exactly the 6
+    // merged-away originals go; the live set and the data are untouched
+    KvLog.backdateEntry(fs, new Path(d), seq, 1000L)
+    KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
+      case KvVacuum.Vacuumed(files, bytes, _) =>
+        files shouldBe 6; bytes should be > 0L
+      case r => fail(s"expected Vacuumed, got $r")
+    }
+    fs.listStatus(new Path(d)).map(_.getPath.getName)
+      .count(n => n.startsWith("part-") && n.endsWith(".parquet")) shouldBe 3
+    spark.read.format("graft-kv").load(d)
+      .select(count(lit(1)), sum(col("ts")), max(col("rowKey")))
+      .collect()(0) shouldBe before
     // each merged file honors the bulk-load sort contract
     import spark.implicits._
     live.foreach { f =>

@@ -60,24 +60,74 @@ class KvTimeTravelSpec extends graft.SparkSpec {
       include("manifest log")
   }
 
-  test("compaction bounds time travel: merged-away versions fail loudly, surviving ones read") {
+  test("vacuum bounds time travel, compaction alone does not: pre-checkpoint versions read until reclamation") {
     val d = pileUp("kv_tt_compacted")
     val fs = fsOf(d)
     val table = new Path(d)
     val v1 = asOf(d, 1).count()
+    v1 should be > 0L
     // partial compaction gated at seq 2: entries 0,1 merged, entry 2 carried
     KvLog.recordTail(fs, table, "peer-tt", 2)
     val seq = KvCompactor.compact(spark, d, regions = 2) match {
       case KvCompactor.Compacted(s, _, _) => s
       case p => fail(s"expected Compacted, got $p")
     }
-    // versions at/above the floor survive (their files are on disk)
     KvLog.floor(fs, table) shouldBe 2
     asOf(d, seq).count() shouldBe spark.read.format("graft-kv").load(d).count()
-    // versions below the floor lost their files to the merge
+    // compaction's deletes are deferred: the merged-away originals are
+    // still on disk, so the pre-checkpoint version STILL reads (Delta's
+    // contract — OPTIMIZE never limits time travel, VACUUM does)
+    asOf(d, 1).count() shouldBe v1
+    // vacuum reclaims after the removal grace: now the version is gone
+    KvLog.backdateEntry(fs, table, seq, 1000L)
+    KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
+      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 4
+      case r => fail(s"expected Vacuumed, got $r")
+    }
     val err = the[Exception] thrownBy asOf(d, 1).count()
     err.getMessage should include("no longer reconstructible")
-    v1 should be > 0L // the version existed before compaction
+    err.getMessage should include("reclaimed by vacuum")
+  }
+
+  test("retention lifecycle end-to-end: commits, partial compact, vacuum — every read shape at every stage") {
+    val d = pileUp("kv_tt_lifecycle", commits = 4)
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val versions = (0 until 4).map(k => asOf(d, k).count())
+    val full = spark.read.format("graft-kv").load(d).count()
+    versions(3) shouldBe full
+    // partial compaction gated at seq 2: entries 0,1 merge; 2,3 carry
+    KvLog.recordTail(fs, table, "peer-lc", 2)
+    val seq = KvCompactor.compact(spark, d, regions = 2) match {
+      case KvCompactor.Compacted(s, merged, _) => merged shouldBe 4; s
+      case p => fail(s"expected Compacted, got $p")
+    }
+    KvLog.floor(fs, table) shouldBe 2
+    KvLog.horizon(fs, table) shouldBe seq
+    // stage 1 (compacted, not vacuumed): EVERY version still reads
+    (0 until 4).foreach(k => asOf(d, k).count() shouldBe versions(k))
+    asOf(d, seq).count() shouldBe full
+    // incremental (CDC) reads honor the floor: from it they work...
+    KvLog.changedFiles(fs, table, sinceSeq = 1, asOf = 3) should have size 4
+    // ...below it they fail loudly (those increments were merged away)
+    (the[Exception] thrownBy KvLog.changedFiles(fs, table, 0, 3))
+      .getMessage should include("compaction floor")
+    // stage 2 (vacuumed past grace): exactly the merged-away originals go
+    KvLog.backdateEntry(fs, table, seq, 1000L)
+    KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
+      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 4
+      case r => fail(s"expected Vacuumed, got $r")
+    }
+    // pre-checkpoint cumulative versions are gone, with the documented error
+    (0 until 4).foreach { k =>
+      (the[Exception] thrownBy asOf(d, k).count()).getMessage should
+        include("no longer reconstructible")
+    }
+    // the checkpoint version and the live scan are untouched, and the
+    // floor-bounded incremental read still replays the carried segments
+    asOf(d, seq).count() shouldBe full
+    spark.read.format("graft-kv").load(d).count() shouldBe full
+    KvLog.changedFiles(fs, table, sinceSeq = 1, asOf = 3) should have size 4
   }
 
   test("asOfSeq on a stream is rejected: an offset already names its version") {

@@ -77,28 +77,32 @@ class KvVacuumSpec extends graft.SparkSpec {
     }
   }
 
-  test("vacuum completes what an interrupted compaction left: originals published away, then reclaimed") {
+  test("merged-away segments get grace from the REMOVING ENTRY's publish, not their own mtime") {
     val d = pileUp("kv_vac_compact")
     val fs = fsOf(d)
     val table = new Path(d)
     val before = KvLog.liveFiles(fs, table)
-    KvCompactor.compact(spark, d, regions = 2) match {
-      case KvCompactor.Compacted(_, merged, _) => merged shouldBe 4
+    // age the segments to look days old BEFORE compaction: a vacuum keying
+    // grace off file mtime would delete them the instant they're removed,
+    // racing in-flight scans planned pre-publish
+    before.foreach(age(d, _))
+    val seq = KvCompactor.compact(spark, d, regions = 2) match {
+      case KvCompactor.Compacted(s, merged, _) => merged shouldBe 4; s
       case r => fail(s"expected Compacted, got $r")
     }
-    // simulate the crash-between-publish-and-delete leftovers: re-create a
-    // merged-away original (its entry still lists it in removes)
-    val ghost = before.head
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new Path(d, KvLog.liveFiles(fs, table).head), fs,
-      new Path(d, ghost), false, fs.getConf)
-    age(d, ghost)
     val n = spark.read.format("graft-kv").load(d).count()
-    KvVacuum.vacuum(spark, d, graceMs = 0) match {
-      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 1
+    // just-removed (entry published milliseconds ago): a full grace window
+    // shields the old-mtime originals
+    KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) shouldBe
+      KvVacuum.Vacuumed(0, 0, 0)
+    before.foreach(f => fs.exists(new Path(d, f)) shouldBe true)
+    // removal grace expired (entry backdated): exactly the originals go
+    KvLog.backdateEntry(fs, table, seq, 1000L)
+    KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
+      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 4
       case r => fail(s"expected Vacuumed, got $r")
     }
-    fs.exists(new Path(d, ghost)) shouldBe false
+    before.foreach(f => fs.exists(new Path(d, f)) shouldBe false)
     spark.read.format("graft-kv").load(d).count() shouldBe n
   }
 }
