@@ -57,7 +57,7 @@ object Cli {
     "ExportHBaseTableToDelimiteredTxt" -> 6, "ExportHBaseTableToDelimiteredSeq" -> 6,
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
-    "CompactTable" -> 2, "VacuumTable" -> 1)
+    "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -161,6 +161,32 @@ object Cli {
           println(s"vacuum skipped for $table: $reason")
       }
 
+    // The scheduled housekeeping pass: compact past a segment-count
+    // threshold (output regions sized by bytes, the
+    // ConstantSizeRegionSplitPolicy analog of CreateTable.java:28), then
+    // vacuum expired garbage — idempotent, parks on a healthy table.
+    case "MaintainTable" =>
+      val table = a(0)
+      val policy = graft.sources.KvMaintenance.Policy(
+        maxSegments = a.lift(1).map(_.toInt).getOrElse(8),
+        targetRegionBytes =
+          a.lift(2).map(_.toLong * 1024 * 1024).getOrElse(128L * 1024 * 1024),
+        vacuumGraceMs =
+          a.lift(3).map(_.toLong * 3600 * 1000).getOrElse(24L * 3600 * 1000))
+      val r = graft.sources.KvMaintenance.maintain(
+        spark, s"${tableDir(table)}/cells", policy)
+      val c = r.compaction match {
+        case graft.sources.KvCompactor.Compacted(seq, merged, into) =>
+          s"compacted $merged segments -> $into at log seq $seq"
+        case graft.sources.KvCompactor.Parked(reason) => s"compaction parked: $reason"
+      }
+      val v = r.vacuum match {
+        case graft.sources.KvVacuum.Vacuumed(n, bytes, dirs) =>
+          s"vacuumed $n stray files ($bytes bytes), $dirs scratch dirs"
+        case graft.sources.KvVacuum.Skipped(reason) => s"vacuum skipped: $reason"
+      }
+      println(s"maintained $table: $c; $v")
+
     case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
   }
 
@@ -198,5 +224,7 @@ object Cli {
       |  ParquetReader <file> <recordsToRead>
       |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
       |  CompactTable <table> <regions>              (major-compact a table's segments)
-      |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)""".stripMargin
+      |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
+      |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
+      |                                              (policy pass: compact past threshold, vacuum expired)""".stripMargin
 }

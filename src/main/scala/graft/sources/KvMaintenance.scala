@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** POLICY-DRIVEN table maintenance for `graft-kv` tables — the automated
+  * housekeeping loop HBase runs for every region server (compaction
+  * triggers on store-file count, `ConstantSizeRegionSplitPolicy` sizes the
+  * regions — CreateTable.java:28,56-57 pins 100 GB) restated over the
+  * manifest log: ONE idempotent pass that compacts when the segment
+  * pile-up crosses a threshold and vacuums what previous compactions left
+  * behind. [[KvCompactor]] and [[KvVacuum]] stay manually drivable
+  * (CompactTable / VacuumTable); this is the "nobody has to remember"
+  * wrapper a long-lived warehouse schedules after its write batches
+  * (MaintainTable subcommand, or programmatically per table).
+  *
+  * The policy has three knobs, each mirroring the HBase analog:
+  *  - `maxSegments` — compact only when the LIVE segment count exceeds it
+  *    (`hbase.hstore.compactionThreshold`: more store files than this
+  *    triggers a compaction). Under it the pass parks: maintenance on a
+  *    healthy table is a no-op, so scheduling it aggressively is safe.
+  *  - `targetRegionBytes` — the merged output's region count is
+  *    `ceil(live bytes / target)` (ConstantSizeRegionSplitPolicy: regions
+  *    split to hold a target size): a table that grew gets MORE output
+  *    regions, never an ever-fatter fixed count. Clamped to ≥ 1.
+  *  - `vacuumGraceMs` — passed through to [[KvVacuum]]; merged-away
+  *    segments older than this (measured from their REMOVING entry's
+  *    publish, [[KvLog.removalTimes]]) are reclaimed in the same pass, so
+  *    steady-state maintenance bounds disk at live + one grace window of
+  *    garbage.
+  *
+  * Scale shape: the decision reads the manifest (live file names) plus one
+  * `getFileStatus` per live segment for sizing — driver-side, bounded by
+  * segment count which maintenance itself keeps bounded. The merge is the
+  * engine's range-sorted sink ([[KvCompactor]]); the pass never reads or
+  * shuffles data it doesn't merge. Tail gating applies unchanged: a live
+  * pipeline parks compaction below its mark, and the vacuum half still
+  * runs — maintenance never blocks on an idle tail.
+  */
+object KvMaintenance {
+
+  /** Defaults sized for the test warehouse; production would pass the
+    * 100 GB-region / 24 h-grace equivalents.
+    */
+  case class Policy(
+      maxSegments: Int = 8,
+      targetRegionBytes: Long = 128L * 1024 * 1024,
+      vacuumGraceMs: Long = 24L * 3600 * 1000) {
+    require(maxSegments >= 1, "graft-kv maintenance: maxSegments must be >= 1")
+    require(targetRegionBytes > 0,
+      "graft-kv maintenance: targetRegionBytes must be positive")
+  }
+
+  case class Report(compaction: KvCompactor.Result, vacuum: KvVacuum.Result)
+
+  def maintain(spark: SparkSession, path: String,
+      policy: Policy = Policy()): Report = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir))
+      return Report(KvCompactor.Parked(s"no table at $path"),
+        KvVacuum.Skipped(s"no table at $path"))
+    KvLog.seedFromDirIfNeeded(fs, dir) // legacy table: manifest first
+    val live = KvLog.liveFiles(fs, dir)
+    val compaction =
+      if (live.size <= policy.maxSegments)
+        KvCompactor.Parked(
+          s"under threshold: ${live.size} live segments <= ${policy.maxSegments}")
+      else {
+        val bytes = live.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
+        val regions = math.max(1L,
+          (bytes + policy.targetRegionBytes - 1) / policy.targetRegionBytes)
+        KvCompactor.compact(spark, path, regions.toInt)
+      }
+    // Vacuum runs regardless of the compaction outcome: it reclaims what
+    // PREVIOUS passes removed once their grace expires, and crash strays.
+    Report(compaction, KvVacuum.vacuum(spark, path, policy.vacuumGraceMs))
+  }
+}

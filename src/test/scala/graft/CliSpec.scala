@@ -51,6 +51,15 @@ class CliSpec extends SparkSpec {
     // the inspection readers (K6) complete without error on their own output
     Cli.run(spark, "AvroReader", Array(s"$wh/export.avro", avroSchema, "5"))
     Cli.run(spark, "ParquetReader", Array(s"$wh/export.parquet", "5"))
+
+    // the housekeeping pass over the populated table: 5 region files are
+    // under the default threshold (parks), then a tightened threshold
+    // compacts them; either way not one visible cell changes
+    Cli.run(spark, "MaintainTable", Array("exportTest"))
+    cells.count() shouldBe 3000
+    Cli.run(spark, "MaintainTable", Array("exportTest", "2", "128", "24"))
+    new java.io.File(s"$wh/exportTest/cells/_log").exists() shouldBe true
+    Cli.cells(spark, "exportTest").count() shouldBe 3000
   }
 
   test("populate rejects a family mismatch against the table spec") {

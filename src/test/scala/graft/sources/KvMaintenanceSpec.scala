@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.kv.KvGenerator
+
+/** [[KvMaintenance]]: the policy pass — parks under the segment threshold,
+  * compacts past it with byte-sized output regions, vacuums expired
+  * garbage in the same sweep, and is idempotent (a healthy table's
+  * maintenance is a no-op, so scheduling it aggressively is safe).
+  */
+class KvMaintenanceSpec extends graft.SparkSpec {
+
+  private lazy val cells: DataFrame = KvGenerator.cells(spark, 400, 4, "runM").cache()
+
+  private def pileUp(name: String, commits: Int, regions: Int = 2): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    (0 until commits).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(commits)) === i)
+        .write.format("graft-kv").option("regions", regions)
+        .mode("append").save(d)
+    }
+    d
+  }
+
+  private def fsOf(d: String) =
+    new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a healthy table parks: under the threshold nothing compacts, nothing is deleted") {
+    val d = pileUp("kv_maint_healthy", commits = 3) // 6 segments
+    val before = KvLog.liveFiles(fsOf(d), new Path(d))
+    val r = KvMaintenance.maintain(spark, d, KvMaintenance.Policy(maxSegments = 8))
+    r.compaction match {
+      case KvCompactor.Parked(reason) => reason should include("under threshold: 6")
+      case c => fail(s"expected Parked, got $c")
+    }
+    r.vacuum shouldBe KvVacuum.Vacuumed(0, 0, 0)
+    KvLog.liveFiles(fsOf(d), new Path(d)) shouldBe before
+  }
+
+  test("past the threshold the pile-up compacts, output regions sized by bytes; the pass is idempotent") {
+    val d = pileUp("kv_maint_compact", commits = 5) // 10 segments
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val n = spark.read.format("graft-kv").load(d).count()
+    val liveBytes = KvLog.liveFiles(fs, table)
+      .map(f => fs.getFileStatus(new Path(d, f)).getLen).sum
+    // target sized so ceil(bytes/target) lands on 3 output regions — the
+    // ConstantSizeRegionSplitPolicy shape, not a fixed count
+    val target = liveBytes / 3 + 1
+    val policy = KvMaintenance.Policy(
+      maxSegments = 8, targetRegionBytes = target, vacuumGraceMs = 3600 * 1000)
+    val r = KvMaintenance.maintain(spark, d, policy)
+    val seq = r.compaction match {
+      case KvCompactor.Compacted(s, merged, into) =>
+        merged shouldBe 10; into shouldBe 3; s
+      case c => fail(s"expected Compacted, got $c")
+    }
+    // merged-away originals are inside their grace window: kept this pass
+    r.vacuum shouldBe KvVacuum.Vacuumed(0, 0, 0)
+    spark.read.format("graft-kv").load(d).count() shouldBe n
+    // second pass: 3 live segments, under threshold; nothing to reclaim yet
+    val r2 = KvMaintenance.maintain(spark, d, policy)
+    r2.compaction shouldBe KvCompactor.Parked("under threshold: 3 live segments <= 8")
+    r2.vacuum shouldBe KvVacuum.Vacuumed(0, 0, 0)
+    // third pass after the removal grace expires: the same scheduled call
+    // now reclaims the 10 originals — steady state bounds disk at
+    // live + one grace window of garbage
+    KvLog.backdateEntry(fs, table, seq, 1000L)
+    val r3 = KvMaintenance.maintain(spark, d, policy)
+    r3.vacuum match {
+      case KvVacuum.Vacuumed(files, bytes, _) =>
+        files shouldBe 10; bytes should be > 0L
+      case v => fail(s"expected Vacuumed, got $v")
+    }
+    spark.read.format("graft-kv").load(d).count() shouldBe n
+  }
+
+  test("tail gating carries into maintenance: a parked compaction never blocks the vacuum half") {
+    val d = pileUp("kv_maint_gated", commits = 5)
+    val fs = fsOf(d)
+    val table = new Path(d)
+    KvLog.recordTail(fs, table, "peer-m", 0) // parks all merging
+    val r = KvMaintenance.maintain(spark, d,
+      KvMaintenance.Policy(maxSegments = 4, vacuumGraceMs = 0))
+    r.compaction match {
+      case KvCompactor.Parked(reason) => reason should include("peer-m@0")
+      case c => fail(s"expected Parked, got $c")
+    }
+    r.vacuum shouldBe a[KvVacuum.Vacuumed] // ran despite the park
+  }
+}
