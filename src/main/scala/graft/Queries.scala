@@ -2751,6 +2751,34 @@ object Queries {
        |  CAST(floor(COALESCE(e.embedding[4]::DOUBLE, p.f3) * 100) AS BIGINT) AS g3
        |FROM pooled p LEFT JOIN emb e USING (media_id)""".stripMargin
 
+  /** Coverage report for the provided-embedding hook
+    * ([[Multimodal.providedCoverage]]): per kind, the fraction of media
+    * [[mmFeaturesPretrained]] serves from the model table vs the
+    * arithmetic fallback — metadata-only (ids join, no decode), so the
+    * report is cheap enough to emit on every run.
+    */
+  def mmCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("media_id"),
+        col("embedding").cast("array<double>").as("features"))
+    Multimodal.providedCoverage(media, provided)
+  }
+
+  private val mmCoverageSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |             ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind
+      |           FROM documents),
+      |emb AS (SELECT vec_id AS media_id FROM embeddings WHERE vec_id % 2 = 0)
+      |SELECT m.kind, count(*) AS n_media,
+      |  CAST(sum(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_pretrained,
+      |  CAST(floor(sum(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END)
+      |             * 10000 / count(*)) AS BIGINT) AS coverage_bp
+      |FROM m LEFT JOIN emb e USING (media_id)
+      |GROUP BY 1""".stripMargin
+
   /** Frame sampling fan-out (videos only, every 2nd frame). */
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(docs(spark, sfDir))
@@ -3453,6 +3481,7 @@ object Queries {
     "ann_topk_ivf_incremental" -> (annTopkIvfIncremental _),
     "mm_features" -> (mmFeatures _),
     "mm_features_pretrained" -> (mmFeaturesPretrained _),
+    "mm_coverage" -> (mmCoverage _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_resample" -> (mmResample _),
@@ -3569,6 +3598,7 @@ object Queries {
     "ann_topk_ivf_incremental" -> annTopkIvfSql,
     "mm_features" -> mmFeaturesSql,
     "mm_features_pretrained" -> mmFeaturesPretrainedSql,
+    "mm_coverage" -> mmCoverageSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "mm_resample" -> mmResampleSql,

@@ -626,6 +626,26 @@ object Multimodal {
     fromModel.unionByName(pooled)
   }
 
+  /** COVERAGE of the provided-embedding hook: per kind, how much of the
+    * corpus [[featuresWithProvided]] would serve from the model table vs
+    * the arithmetic fallback — the per-run measurability the fallback's
+    * env-bound stub caveat needs (a run claiming "pretrained features"
+    * with 3% coverage is mostly pooled arithmetic, and this says so).
+    * Deliberately METADATA-ONLY: the pretrained-vs-fallback decision is
+    * the join on `media_id` alone, so coverage never pays the decode leg —
+    * at 100 TB this aggregates ids, not payloads. `coverage_bp` is basis
+    * points (floor), exact under IEEE double division on both engines.
+    */
+  def providedCoverage(media: Dataset[MediaRow], provided: DataFrame): DataFrame =
+    media.toDF().select(col("media_id"), col("kind"))
+      .join(provided.select(col("media_id"), lit(1L).as("has")),
+        Seq("media_id"), "left")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(coalesce(col("has"), lit(0L))).as("n_pretrained"))
+      .withColumn("coverage_bp",
+        floor(col("n_pretrained") * lit(10000) / col("n_media")).cast("long"))
+
   /** Frame sampling: videos fan out to one row per sampled frame (every
     * `stride`-th frame), other kinds produce nothing.
     */

@@ -267,4 +267,30 @@ class MultimodalSpec extends SparkSpec {
       d.n_bytes shouldBe d.width.toLong * d.height * 3
     }
   }
+
+  test("provided embeddings take precedence; coverage reports the split without decoding") {
+    // model vectors for ids 0, 2, 4 only — the other half falls back
+    val provided = Seq((0L, Seq(9.0, 9.0)), (2L, Seq(8.0, 8.0)), (4L, Seq(7.0, 7.0)))
+      .toDF("media_id", "features")
+    val out = Multimodal.featuresWithProvided(media, provided).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.keySet shouldBe (0L to 5L).toSet
+    Seq(0L, 2L, 4L).foreach { id =>
+      out(id).getLong(3) shouldBe 1L // pretrained
+      out(id).getSeq[Double](2).head should be >= 7.0 // the MODEL vector won
+    }
+    Seq(1L, 3L, 5L).foreach { id =>
+      out(id).getLong(3) shouldBe 0L
+      all(out(id).getSeq[Double](2)) should be < 1.0 // pooled features are normalized
+    }
+    // the coverage report agrees with the per-row flags, per kind
+    val cov = Multimodal.providedCoverage(media, provided).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cov.keySet shouldBe Set("image", "audio", "video")
+    // kinds: 0,3=image 1,4=audio 2,5=video; provided = {0,2,4}
+    cov("image").getLong(2) shouldBe 1L // of 2 -> 5000 bp
+    cov("image").getLong(3) shouldBe 5000L
+    cov.values.map(_.getLong(1)).sum shouldBe 6L
+    cov.values.map(_.getLong(2)).sum shouldBe 3L
+  }
 }
