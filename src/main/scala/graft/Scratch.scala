@@ -977,6 +977,50 @@ object Scratch {
               s"rows = ${batches.map(_.numInputRows).sum}")
           }
         }
+      case "kvtailq" =>
+        // The ACTUAL stream_kv_tail pipeline (6 WAL segments, cap 2, LWW
+        // pivot, complete mode), profiled per batch: recentProgress's
+        // durationMs decomposes each micro-batch into admission
+        // (latestOffset), planning+exec (addBatch), and the offset/commit
+        // log writes — attributing the bench number to the per-batch floor
+        // vs the admission path.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.ops.KvPivot
+        val cells0 = graft.kv.KvTable.eventsAsCells(spark, sfDir)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvtailq_wal"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        val tmp = dir + "_chunks"
+        cells0.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(tmp)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(dir, f"part-$i%05d.parquet")): Unit
+          }
+        graft.sinks.Sinks.deleteRecursive(spark, tmp)
+        val cols = cells0.select("qualifier").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        for (rep <- 1 to 5) {
+          val cellsS = spark.readStream.format("graft-kv")
+            .option("family", "f").option("maxFilesPerBatch", 2).load(dir)
+          val piv = KvPivot.pivot(cellsS, cols)
+          val q = piv
+            .select(col("rowKey") +: cols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+            .writeStream.format("memory").queryName(s"kvtailq_$rep")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          time(s"rep $rep: stream_kv_tail replay")(q.awaitTermination())
+          q.recentProgress.foreach { p =>
+            val d = p.durationMs
+            println(f"  batch ${p.batchId}%2d rows=${p.numInputRows}%6d " +
+              s"triggerExec=${d.get("triggerExecution")} addBatch=${d.get("addBatch")} " +
+              s"latestOffset=${d.get("latestOffset")} getBatch=${d.get("getBatch")} " +
+              s"queryPlanning=${d.get("queryPlanning")} walCommit=${d.get("walCommit")} " +
+              s"commitOffsets=${d.get("commitOffsets")}")
+          }
+        }
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
