@@ -2725,15 +2725,17 @@ object Queries {
     * integer-scaled, so the one query pins both legs against the oracle.
     */
   def mmFeaturesPretrained(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.withRealVideoPayloads(
-      Multimodal.withRealAudioPayloads(
-        Multimodal.withRealImagePayloads(
-          Multimodal.syntheticMedia(docs(spark, sfDir)))))
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
     val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("media_id"),
         col("embedding").cast("array<double>").as("features"))
-    Multimodal.featuresWithProvided(media, provided)
+    // real-container payloads materialize on the FALLBACK slice only —
+    // the model-served half never pays the encode (see featuresWithProvided)
+    Multimodal.featuresWithProvided(media, provided,
+      m => Multimodal.withRealVideoPayloads(
+        Multimodal.withRealAudioPayloads(
+          Multimodal.withRealImagePayloads(m))))
       .select(col("media_id") +: col("kind") +: col("pretrained") +:
         (0 until 4).map(i =>
           floor(element_at(col("features"), i + 1) * 100).cast("long").as(s"g$i")): _*)
