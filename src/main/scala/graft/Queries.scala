@@ -686,6 +686,32 @@ object Queries {
        |FROM events WHERE event_id % 3 <= 1 GROUP BY 1""".stripMargin
   }
 
+  /** INCREMENTAL (CDC) read through the manifest log (the Delta
+    * change-data-feed shape over immutable cells): the cells committed
+    * strictly AFTER log seq 0 — the second and third of three staged
+    * commits — pivoted. A backfill consumer taking version-bounded
+    * increments without a streaming checkpoint must see exactly those
+    * commits' cells: a full scan (too many files), a dropped commit, or a
+    * compact entry's re-published files would all hash-mismatch. The
+    * oracle filters the source rows the same way the staging partitioned
+    * them (`event_id % 3 >= 1`).
+    */
+  def kvChangesScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv").option("sinceSeq", 0)
+      .load(ensureVersionedCells(spark, sfDir))
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
+  private val kvChangesScanSql: String = {
+    val aggs = EventCols.map { c =>
+      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) " +
+        s"FILTER (WHERE event_type = '$c') AS $c"
+    }.mkString(", ")
+    s"""SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs
+       |FROM events WHERE event_id % 3 >= 1 GROUP BY 1""".stripMargin
+  }
+
   /** The compaction cycle end-to-end, gated by the same oracle as
     * `kv_pivot_events`: the LWW pivot of the COMPACTED table must equal the
     * pivot of the original — compaction may merge segments but never change
@@ -3406,6 +3432,7 @@ object Queries {
     "kv_append_cells" -> (kvAppendCells _),
     "kv_compacted_scan" -> (kvCompactedScan _),
     "kv_timetravel_scan" -> (kvTimetravelScan _),
+    "kv_changes_scan" -> (kvChangesScan _),
     "kv_vacuumed_scan" -> (kvVacuumedScan _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -3523,6 +3550,7 @@ object Queries {
     "kv_append_cells" -> kvAppendCellsSql,
     "kv_compacted_scan" -> kvPivotEventsSql,
     "kv_timetravel_scan" -> kvTimetravelScanSql,
+    "kv_changes_scan" -> kvChangesScanSql,
     "kv_vacuumed_scan" -> kvPivotEventsSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,
