@@ -163,6 +163,37 @@ class KvSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS kv_sql_table")
   }
 
+  test("sinceSeq plans exactly the span's files and reads exactly its commits' cells") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_cdc"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = KvGenerator.cells(spark, 600, 4, "runS")
+    (0 until 3).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(3)) === i)
+        .write.format("graft-kv").option("regions", 2)
+        .mode("append").save(d)
+    }
+    val inc = spark.read.format("graft-kv").option("sinceSeq", 0).load(d)
+    // one partition per committed file of the span: commits 1,2 x 2 regions
+    inc.rdd.getNumPartitions shouldBe 4
+    sortedRows(inc) shouldBe
+      sortedRows(spark.read.format("graft-kv").load(d)
+        .filter(pmod(col("ts"), lit(3)) =!= 0))
+    // bounded above too: (0, 1] is commit 1 alone
+    val span = spark.read.format("graft-kv")
+      .option("sinceSeq", 0).option("asOfSeq", 1).load(d)
+    span.rdd.getNumPartitions shouldBe 2
+    sortedRows(span) shouldBe
+      sortedRows(spark.read.format("graft-kv").load(d)
+        .filter(pmod(col("ts"), lit(3)) === 1))
+    // a legacy directory has no version history to span
+    val legacy = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_cdc_legacy"
+    graft.sinks.Sinks.deleteRecursive(spark, legacy)
+    cells.limit(10).write.mode("overwrite").parquet(legacy)
+    (the[Exception] thrownBy spark.read.format("graft-kv")
+      .option("sinceSeq", 0).load(legacy).count())
+      .getMessage should include("manifest log")
+  }
+
   test("write then overwrite truncates instead of accumulating") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test/kv_sink_truncate"
     graft.sinks.Sinks.deleteRecursive(spark, out)

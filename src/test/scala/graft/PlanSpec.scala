@@ -254,4 +254,23 @@ class PlanSpec extends SparkSpec {
     plan.toLowerCase should not include "percentile"
     plan should include("HashAggregate")
   }
+
+  test("coverage report never decodes: no object-typed operator in the plan; pretrained decodes only the fallback slice") {
+    // mm_coverage's claim is structural: the pretrained-vs-fallback split
+    // is the media_id join alone, so the plan must contain NO mapPartitions
+    // leg (object serialization = the codec path) — ids aggregate, payloads
+    // untouched
+    val cov = executedPlan(Queries.all("mm_coverage")(spark, sfDir))
+    cov should not include "MapPartitions"
+    cov should not include "DeserializeToObject"
+    // mm_features_pretrained runs ONE codec chain (3 payload swaps + 1
+    // extract = 4 distinct object stages) on the fallback slice after the
+    // left-anti; a regression that prepares payloads upstream would
+    // instantiate a second chain for the model-served branch and double
+    // the distinct stage count (AQE prints each subtree twice, so count
+    // DISTINCT lines, not lines)
+    val pre = executedPlan(Queries.all("mm_features_pretrained")(spark, sfDir))
+    pre.linesIterator.filter(_.contains("MapPartitions"))
+      .map(_.trim).toSeq.distinct.size shouldBe 4
+  }
 }
