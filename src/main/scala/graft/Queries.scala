@@ -619,6 +619,41 @@ object Queries {
       path
     })
 
+  /** A pile-up pushed through the POLICY pass ([[graft.sources.KvMaintenance]])
+    * rather than a manual compact: 6 commits exceed the maxSegments
+    * threshold, so maintenance compacts (output regions sized from live
+    * bytes) and vacuums in one sweep. The staged table must behave exactly
+    * like a manually compacted one — the policy only decides WHEN.
+    */
+  private def ensureMaintainedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"maintained_cells|$sfDir", _ => {
+      val path = artifactPath("maintained_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvTable.eventsAsCells(spark, sfDir)
+      (0 until 6).foreach { i =>
+        cells.filter(pmod(col("ts"), lit(6)) === i)
+          .write.format("graft-kv").option("regions", 2)
+          .mode("append").save(path)
+      }
+      val res = graft.sources.KvMaintenance.maintain(spark, path,
+        graft.sources.KvMaintenance.Policy(maxSegments = 8))
+      require(res.compaction.isInstanceOf[graft.sources.KvCompactor.Compacted],
+        s"kv_maintained_scan staging expected the policy to compact, got $res")
+      path
+    })
+
+  /** The maintenance policy end-to-end, gated by the events-pivot oracle:
+    * a 12-segment pile-up crosses the threshold, the policy pass compacts
+    * + vacuums, and the scan of the maintained table must still equal the
+    * full pivot — housekeeping reclaims layout debt, never visible data.
+    */
+  def kvMaintainedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv")
+      .load(ensureMaintainedCells(spark, sfDir))
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
   /** A table carrying crash leftovers, then vacuumed: a stray unpublished
     * compaction output and a dead scratch dir are planted (aged past the
     * grace period), and [[graft.sources.KvVacuum]] must reclaim BOTH while
@@ -2009,6 +2044,26 @@ object Queries {
        |    ORDER BY (${scrambleSql("ph")}) % 2147483647, doc_id)::BIGINT AS rk
        |FROM p
        |QUALIFY rk <= 10""".stripMargin
+
+  /** Deterministic epoch shuffle ([[Sampling.epochShuffle]]): the per-epoch
+    * corpus reorder of a training run — seeded draw, shard = output-file
+    * unit, within-shard rank. Epoch 3 over 16 shards; the oracle replays
+    * the draw arithmetic and the shard-partitioned rank exactly.
+    */
+  def pipeEpochShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.epochShuffle(docs(spark, sfDir), "doc_id", epoch = 3, nShards = 16)
+      .select(col("shard"), col("shard_pos"), col("doc_id"), col("draw"))
+
+  private val pipeEpochShuffleSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |             (${polyHashSql("'epoch3|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents),
+       |d AS (SELECT doc_id, (${scrambleSql("ph")}) % 2147483647 AS draw FROM p)
+       |SELECT (draw % 16)::BIGINT AS shard,
+       |  row_number() OVER (PARTITION BY draw % 16 ORDER BY draw, doc_id)::BIGINT
+       |    AS shard_pos,
+       |  doc_id, draw::BIGINT AS draw
+       |FROM d""".stripMargin
 
   /** Deterministic 80/10/10 train/val/test assignment per doc_id
     * ([[Sampling.datasetSplit]]): leakage-safe, retry-stable, map-only.
@@ -3431,6 +3486,7 @@ object Queries {
     "kv_index_lookup" -> (kvIndexLookup _),
     "kv_append_cells" -> (kvAppendCells _),
     "kv_compacted_scan" -> (kvCompactedScan _),
+    "kv_maintained_scan" -> (kvMaintainedScan _),
     "kv_timetravel_scan" -> (kvTimetravelScan _),
     "kv_changes_scan" -> (kvChangesScan _),
     "kv_vacuumed_scan" -> (kvVacuumedScan _),
@@ -3483,6 +3539,7 @@ object Queries {
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_interleave" -> (pipeInterleave _),
     "pipe_dataset_split" -> (pipeDatasetSplit _),
+    "pipe_epoch_shuffle" -> (pipeEpochShuffle _),
     "pipe_tfidf" -> (pipeTfidf _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_canonical_corpus" -> (pipeCanonicalCorpus _),
@@ -3549,6 +3606,7 @@ object Queries {
     "kv_index_lookup" -> kvIndexLookupSql,
     "kv_append_cells" -> kvAppendCellsSql,
     "kv_compacted_scan" -> kvPivotEventsSql,
+    "kv_maintained_scan" -> kvPivotEventsSql,
     "kv_timetravel_scan" -> kvTimetravelScanSql,
     "kv_changes_scan" -> kvChangesScanSql,
     "kv_vacuumed_scan" -> kvPivotEventsSql,
@@ -3601,6 +3659,7 @@ object Queries {
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_interleave" -> pipeInterleaveSql,
     "pipe_dataset_split" -> pipeDatasetSplitSql,
+    "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
     "pipe_tfidf" -> pipeTfidfSql,
     "pipe_decontaminate" -> pipeDecontaminateSql,
     "pipe_canonical_corpus" -> pipeCanonicalCorpusSql,

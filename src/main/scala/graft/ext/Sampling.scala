@@ -91,6 +91,29 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** EPOCH SHUFFLE: the deterministic global reorder a training run
+    * applies each epoch. Every row gets a seeded hash draw (salt =
+    * `epoch<N>`, so distinct epochs are independent permutations of the
+    * SAME corpus), lands in `shard = draw mod nShards` (the output-file
+    * unit a data loader consumes), and takes its within-shard position by
+    * (draw, key) rank. Deliberately two-level: one hash exchange on shard
+    * + a per-shard sort — the epoch-sharded shuffle shape, with NO global
+    * single-point sort (a global row_number would serialize 100 TB through
+    * one task; shards are the parallel unit and their count scales with
+    * the cluster). Everything is a pure function of (key, epoch): re-runs,
+    * retries, and other machines reproduce byte-identical shards, and a
+    * resumed epoch continues from the same permutation (restart safety).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int,
+      nShards: Int = 16): DataFrame = {
+    require(nShards > 0, "epochShuffle: nShards must be positive")
+    val keyed = df
+      .withColumn("draw", drawOf(col(keyCol), s"epoch$epoch"))
+      .withColumn("shard", pmod(col("draw"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("draw"), col(keyCol))
+    keyed.withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   def weightedMix(df: DataFrame, sourceCol: String, costCol: String,
       keyCol: String, weights: Map[String, Long], budget: Long,
       salt: String = "mix"): DataFrame = {

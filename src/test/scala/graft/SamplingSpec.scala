@@ -117,4 +117,30 @@ class SamplingSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("epochShuffle: a permutation, epoch-independent, reproducible, shard-ranked 1..n") {
+    val n = docs.count()
+    val e3 = Sampling.epochShuffle(docs, "doc_id", epoch = 3, nShards = 8)
+      .select("shard", "shard_pos", "doc_id").cache()
+    // a PERMUTATION: every doc appears exactly once
+    e3.count() shouldBe n
+    e3.select("doc_id").distinct().count() shouldBe n
+    // shard positions are a dense 1..size rank per shard
+    val bad = e3.groupBy("shard")
+      .agg(count(lit(1)).as("sz"), max("shard_pos").as("mx"), min("shard_pos").as("mn"))
+      .filter(col("mx") =!= col("sz") || col("mn") =!= 1).count()
+    bad shouldBe 0
+    // reproducible: a re-run (fresh plan, different partitioning) is identical
+    val again = Sampling.epochShuffle(docs.repartition(7), "doc_id", 3, nShards = 8)
+      .select("shard", "shard_pos", "doc_id")
+    e3.except(again).count() shouldBe 0
+    // distinct epochs permute DIFFERENTLY (independent draws off same keys)
+    val e4 = Sampling.epochShuffle(docs, "doc_id", epoch = 4, nShards = 8)
+      .select("shard", "shard_pos", "doc_id")
+    e3.except(e4).count() should be > 0L
+    // scale shape: the only exchange is the shard hash partition (plus
+    // AQE's reads) — never a global single-partition sort
+    val plan = e3.queryExecution.executedPlan.toString
+    plan should not include "SinglePartition"
+  }
 }
