@@ -450,6 +450,7 @@ object Queries {
     ensureCompactedCells(spark, sfDir)
     ensureVersionedCells(spark, sfDir): Unit
     ensureVacuumedCells(spark, sfDir): Unit
+    ensureMaintainedCells(spark, sfDir): Unit
   }
 
   // ---------------------------------------------------------------- D1 / O1
