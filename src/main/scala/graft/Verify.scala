@@ -24,6 +24,28 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FIXTURE PREFLIGHT (round-9 lesson: the harness regenerates
+    // /root/testdata and can silently change physical encodings — r8→9
+    // switched events.ts from raw int64 nanos to timestamp[us] and a
+    // forced-long read shipped 11 wrong queries). Assert the decoded
+    // invariant AT THE GATE'S OWN SCALE DIR before dumping anything: a
+    // misdecoded unit fails the whole run loudly instead of producing 118
+    // plausible-but-wrong parquet dumps. FixtureSpec pins the same bounds
+    // (plus batch/stream parity) at test scale.
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = graft.kv.KvTable.events(spark, sfDir)
+        .agg(count(lit(1)), min("tsNanos"), max("tsNanos")).collect()(0)
+      val (n, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val lo = 1703980800000000000L // 2023-12-31T00:00:00Z, epoch nanos
+      val hi = 1735689600000000000L // 2025-01-01T00:00:00Z
+      if (n == 0 || mn < lo || mx > hi || mx - mn < 24L * 3600 * 1000000000L) {
+        System.err.println(s"[verify] FIXTURE DRIFT: events tsNanos " +
+          s"[$mn, $mx] (n=$n) outside the 2024 nanos span [$lo, $hi] — " +
+          "ts unit misdecoded after a fixture regeneration?")
+        sys.exit(3)
+      }
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
