@@ -1021,6 +1021,42 @@ object Scratch {
           }
         }
 
+      case "maint" =>
+        // Maintenance amortization A/B: a 32-commit pile-up (the
+        // months-of-memstore-flushes shape — 64 segment files) vs the same
+        // table after ONE KvMaintenance pass. Measures what the policy
+        // buys every later scan (fewer file opens, range-sorted layout)
+        // and what the pass itself costs — the trade a scheduler weighs.
+        import org.apache.spark.sql.functions._
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/maint_pile"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        val cells = graft.kv.KvTable.eventsAsCells(spark, sfDir)
+        time("stage: 32 batch commits x 2 regions") {
+          (0 until 32).foreach { i =>
+            cells.filter(pmod(col("ts"), lit(32)) === i)
+              .write.format("graft-kv").option("regions", 2)
+              .mode("append").save(dir)
+          }
+        }
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        def liveCount = graft.sources.KvLog.liveFiles(fs,
+          new org.apache.hadoop.fs.Path(dir)).size
+        def scan() = spark.read.format("graft-kv").load(dir)
+          .agg(count(lit(1)), sum(length(col("value")))).collect()(0)
+        println(s"  pile-up live segments = $liveCount")
+        for (i <- 1 to 3) time(s"scan pile-up #$i")(scan())
+        val policy = graft.sources.KvMaintenance.Policy(
+          maxSegments = 8, targetRegionBytes = 16L * 1024 * 1024)
+        val res = time("maintenance pass (compact + vacuum)")(
+          graft.sources.KvMaintenance.maintain(spark, dir, policy))
+        println(s"  $res")
+        println(s"  maintained live segments = $liveCount")
+        for (i <- 1 to 3) time(s"scan maintained #$i")(scan())
+        // steady state: the next pass parks and costs (nearly) nothing
+        time("idle maintenance pass (parked)")(
+          graft.sources.KvMaintenance.maintain(spark, dir, policy))
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
