@@ -3276,6 +3276,35 @@ object Queries {
       shufflePartitions = Some(8))
   }
 
+  /** Exactly-once ingest over at-least-once delivery
+    * ([[StreamingPivot.dedupedHourlyCounts]]): the staged multi-chunk
+    * replay with every 10th event REDELIVERED (a second streaming leg
+    * unioned in — the retry/replay duplication every ingest pipeline
+    * sees), deduped within the watermark, then counted hourly per type.
+    * The oracle aggregates the clean batch table: any surviving duplicate
+    * inflates a count and hash-mismatches, so the gate proves the dedup
+    * delivered exactly-once semantics — not just "ran".
+    */
+  def streamIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, lateNs) = ensurePivotLateDir(spark, sfDir)
+    def leg = spark.readStream
+      .schema(KvTable.EventsParquetSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val atLeastOnce = leg.union(leg.filter(col("event_id") % 10 === 0))
+    val counts = StreamingPivot.dedupedHourlyCounts(atLeastOnce,
+      watermark = s"${lateNs / 1000000L + 2} milliseconds")
+    StreamingPivot.runAvailableNow(counts, "stream_ingest_dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      shufflePartitions = Some(8))
+  }
+
+  private val streamIngestDedupSql: String =
+    """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(floor(value * 100)) AS BIGINT) AS val_x100
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   private def ensureJoinDir(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"join_dir|$sfDir", _ =>
       StreamingPivot.stageEventsOrdered(
@@ -3579,6 +3608,7 @@ object Queries {
     "stream_kv_pipe" -> (streamKvPipe _),
     "stream_kv_index" -> (streamKvIndex _),
     "stream_enrich" -> (streamEnrich _),
+    "stream_ingest_dedup" -> (streamIngestDedup _),
     "stream_window_sketch" -> (streamWindowSketch _),
     "stream_increment" -> (streamIncrement _),
     "stream_join" -> (streamJoin _),
@@ -3699,6 +3729,7 @@ object Queries {
     "stream_kv_pipe" -> streamKvPipeSql,
     "stream_kv_index" -> kvIndexLookupSql,
     "stream_enrich" -> streamEnrichSql,
+    "stream_ingest_dedup" -> streamIngestDedupSql,
     "stream_window_sketch" -> streamWindowSketchSql,
     "stream_increment" -> streamIncrementSql,
     "stream_join" -> streamJoinSql,

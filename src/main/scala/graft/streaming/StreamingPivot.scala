@@ -116,6 +116,33 @@ object StreamingPivot {
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("c_nationkey"), col("n_events"), col("val_x100"))
 
+  /** EXACTLY-ONCE INGEST DEDUP over an at-least-once delivery stream — the
+    * front door of every training-data ingest pipeline (redeliveries are
+    * the NORM under retries/replays; downstream counts must not inflate).
+    * Watermarked `dropDuplicatesWithinWatermark` on the event key, then an
+    * hourly per-type aggregate, BOTH in append mode — the chained
+    * stateful-operator shape Spark supports when every operator is
+    * event-time-bounded. Scale story: dedup state is O(keys inside the
+    * watermark delay), evicted as the watermark passes (the unbounded
+    * alternative, plain `dropDuplicates`, holds every key forever and is
+    * exactly what this operator exists to avoid); the aggregate's state is
+    * O(open windows × types). Punctuation rows (event_id < 0, the staging
+    * sentinels that flush append windows) are dropped after the dedup so
+    * they advance the watermark without entering the counts.
+    */
+  def dedupedHourlyCounts(events: DataFrame, watermark: String): DataFrame =
+    events
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("timestamp_micros(ts DIV 1000)").as("eventTime"))
+      .withWatermark("eventTime", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .filter(col("event_id") >= 0)
+      .groupBy(window(col("eventTime"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100)).cast("long").as("val_x100"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("val_x100"))
+
   /** Fully-qualified RocksDB state store provider class — the 100×-state
     * path: per-task state lives in native memory + local disk with
     * changelog/snapshot files in the checkpoint, instead of as JVM objects

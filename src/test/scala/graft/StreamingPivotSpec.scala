@@ -274,4 +274,68 @@ class StreamingPivotSpec extends SparkSpec {
       rows shouldBe Set((1L, 3L, 7L, 125L))
     } finally q.stop()
   }
+
+  test("ingest dedup: redelivered events across micro-batches count once; the negative control inflates") {
+    implicit val ctx = spark.sqlContext
+    val h = 3600L * 1000000000L // one hour in nanos
+    def ev(id: Long, hr: Long, typ: String, v: Double) =
+      Ev(id, hr * h, id, typ, v, "")
+    val in = MemoryStream[Ev]
+    // the 4h delay mirrors the real query's staged-shuffle allowance: a
+    // redelivery lands a later micro-batch but is NOT event-time late
+    val counts = StreamingPivot.dedupedHourlyCounts(in.toDF(), watermark = "4 hours")
+    val q = counts.writeStream.format("memory").queryName("sid_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 10, "click", 1.0), ev(2, 10, "click", 2.0),
+        ev(3, 10, "view", 5.0))
+      q.processAllAvailable()
+      // the SAME events redelivered in a LATER micro-batch (the retry
+      // shape) plus one genuinely new event; sentinel advances watermark
+      in.addData(ev(1, 10, "click", 1.0), ev(3, 10, "view", 5.0),
+        ev(4, 10, "click", 4.0))
+      q.processAllAvailable()
+      in.addData(ev(-1, 20, "click", 0.0)) // punctuation: flush hour 10
+      q.processAllAvailable()
+      val rows = spark.table("sid_test")
+        .select("win_start_us", "event_type", "n_events", "val_x100")
+        .as[(Long, String, Long, Long)].collect().toSet
+      rows shouldBe Set(
+        (10 * h / 1000, "click", 3L, 100L + 200L + 400L),
+        (10 * h / 1000, "view", 1L, 500L))
+      // negative control: the same replay WITHOUT dedup double-counts the
+      // redelivered events — proving the operator, not the data, kept the
+      // counts exact
+      // NOTE: no pre-agg row filter here — a plain Filter would be pushed
+      // below the EventTimeWatermark node and the punct row would never
+      // advance the watermark (the real operator's filter sits behind the
+      // stateful dedup, which pushdown cannot cross); the hour-10 window
+      // is selected at assertion time instead
+      val in2 = MemoryStream[Ev]
+      val plain = in2.toDF()
+        .selectExpr("event_type", "value",
+          "timestamp_micros(ts DIV 1000) AS eventTime")
+        .withWatermark("eventTime", "4 hours")
+        .groupBy(org.apache.spark.sql.functions.window(
+            org.apache.spark.sql.functions.col("eventTime"), "1 hour"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .count()
+      val q2 = plain.writeStream.format("memory").queryName("sid_plain")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in2.addData(ev(1, 10, "click", 1.0), ev(2, 10, "click", 2.0))
+        q2.processAllAvailable()
+        in2.addData(ev(1, 10, "click", 1.0)) // redelivery, not deduped
+        q2.processAllAvailable()
+        in2.addData(ev(-1, 20, "click", 0.0))
+        q2.processAllAvailable()
+        in2.addData(ev(-1, 21, "click", 0.0)) // append emits a batch later
+        q2.processAllAvailable()
+        spark.table("sid_plain")
+          .where(s"unix_micros(window.start) = ${10 * h / 1000}")
+          .select("count")
+          .as[Long].collect().sum shouldBe 3L // inflated: 2 events read as 3
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
