@@ -57,7 +57,8 @@ object Cli {
     "ExportHBaseTableToDelimiteredTxt" -> 6, "ExportHBaseTableToDelimiteredSeq" -> 6,
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
-    "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1)
+    "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
+    "HistoryTable" -> 1)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -187,6 +188,21 @@ object Cli {
       }
       println(s"maintained $table: $c; $v")
 
+    // The Delta DESCRIBE HISTORY analog: every manifest entry in seq
+    // order with kind, writer, and add/remove counts — the version list
+    // asOfSeq/sinceSeq reads address into.
+    case "HistoryTable" =>
+      val table = a(0)
+      val dir = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/cells")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!graft.sources.KvLog.exists(fs, dir))
+        println(s"$table has no manifest log (legacy/externally-staged directory)")
+      else graft.sources.KvLog.history(fs, dir).foreach {
+        case (seq, kind, writer, nAdds, nRemoves) =>
+          val w = if (writer.isEmpty) "" else s" writer=$writer"
+          println(f"$seq%6d  $kind%-7s adds=$nAdds%-4d removes=$nRemoves%-4d$w")
+      }
+
     case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
   }
 
@@ -226,5 +242,6 @@ object Cli {
       |  CompactTable <table> <regions>              (major-compact a table's segments)
       |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
-      |                                              (policy pass: compact past threshold, vacuum expired)""".stripMargin
+      |                                              (policy pass: compact past threshold, vacuum expired)
+      |  HistoryTable <table>                        (commit history from the manifest log)""".stripMargin
 }

@@ -748,6 +748,31 @@ object Queries {
        |FROM events WHERE event_id % 3 >= 1 GROUP BY 1""".stripMargin
   }
 
+  /** Commit history of the versioned staging table (the Delta
+    * `DESCRIBE HISTORY` analog over the manifest log,
+    * [[graft.sources.KvLog.history]]): seq, entry kind, add/remove counts
+    * per commit. The staging is deterministic (3 appends × 4 regions), so
+    * the oracle is the literal expected history — a wrong seq order, a
+    * miscounted entry, or a phantom commit all hash-mismatch. Metadata
+    * only: the query never opens a data file.
+    */
+  def kvHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureVersionedCells(spark, sfDir)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.KvLog.history(fs, dir)
+      .map { case (seq, kind, _, nAdds, nRemoves) => (seq, kind, nAdds, nRemoves) }
+      .toDF("seq", "kind", "n_adds", "n_removes")
+  }
+
+  private val kvHistorySql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'append', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 'append', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'append', CAST(4 AS BIGINT), CAST(0 AS BIGINT)))
+      |  AS t(seq, kind, n_adds, n_removes)""".stripMargin
+
   /** The compaction cycle end-to-end, gated by the same oracle as
     * `kv_pivot_events`: the LWW pivot of the COMPACTED table must equal the
     * pivot of the original — compaction may merge segments but never change
@@ -3519,6 +3544,7 @@ object Queries {
     "kv_maintained_scan" -> (kvMaintainedScan _),
     "kv_timetravel_scan" -> (kvTimetravelScan _),
     "kv_changes_scan" -> (kvChangesScan _),
+    "kv_history" -> (kvHistory _),
     "kv_vacuumed_scan" -> (kvVacuumedScan _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -3640,6 +3666,7 @@ object Queries {
     "kv_maintained_scan" -> kvPivotEventsSql,
     "kv_timetravel_scan" -> kvTimetravelScanSql,
     "kv_changes_scan" -> kvChangesScanSql,
+    "kv_history" -> kvHistorySql,
     "kv_vacuumed_scan" -> kvPivotEventsSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,

@@ -225,6 +225,20 @@ private[graft] object KvLog {
     }.toMap
   }
 
+  /** The table's commit HISTORY (the Delta `DESCRIBE HISTORY` analog):
+    * every entry in seq order with its kind, writer tag, and add/remove
+    * counts. Driver-side metadata replay, O(log length) — the same cost
+    * class as Delta's, and the audit surface time travel (`asOfSeq`) and
+    * CDC (`sinceSeq`) reads pick their versions from.
+    */
+  def history(fs: FileSystem, table: Path)
+      : Seq[(Long, String, String, Long, Long)] = {
+    val latest = latestSeq(fs, table)
+    (0L to latest).flatMap(seq => read(fs, table, seq).map(e =>
+      (e.seq, if (e.compact) "compact" else "append",
+        e.writer.getOrElse(""), e.adds.size.toLong, e.removes.size.toLong)))
+  }
+
   /** For every file some entry has REMOVED (compaction's merged-away
     * segments), the PUBLISH time of the removing entry (the entry file's
     * mtime) — the instant the file became unreferenced. [[KvVacuum]]'s

@@ -60,6 +60,7 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, "MaintainTable", Array("exportTest", "2", "128", "24"))
     new java.io.File(s"$wh/exportTest/cells/_log").exists() shouldBe true
     Cli.cells(spark, "exportTest").count() shouldBe 3000
+    Cli.run(spark, "HistoryTable", Array("exportTest")) // completes, prints log
   }
 
   test("populate rejects a family mismatch against the table spec") {
