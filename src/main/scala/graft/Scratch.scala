@@ -1057,6 +1057,28 @@ object Scratch {
         time("idle maintenance pass (parked)")(
           graft.sources.KvMaintenance.maintain(spark, dir, policy))
 
+      case "epochshuffle" =>
+        // Epoch shuffle at 10M keys (2000× the bench corpus): one hash
+        // exchange + per-shard sort, shard balance, and the cost of a
+        // second epoch (independent permutation, same price). The claim
+        // under test: NO global single-point sort anywhere, shards stay
+        // balanced enough that the widest shard bounds the stage.
+        import org.apache.spark.sql.functions._
+        val n = 10000000L
+        val ids = spark.range(n).selectExpr("id AS doc_id")
+        for (epoch <- 3 to 4) {
+          val out = graft.ext.Sampling.epochShuffle(ids, "doc_id", epoch, nShards = 64)
+          val stats = time(s"epoch $epoch shuffle of ${n / 1000000}M keys (64 shards)")(
+            out.groupBy("shard").count()
+              .agg(min("count"), max("count"), count(lit(1))).collect()(0))
+          println(s"  shards=${stats.getLong(2)} " +
+            s"min=${stats.getLong(0)} max=${stats.getLong(1)} " +
+            f"skew=${stats.getLong(1).toDouble / stats.getLong(0)}%.3f")
+        }
+        val plan = graft.ext.Sampling.epochShuffle(ids, "doc_id", 3, 64)
+          .queryExecution.executedPlan.toString
+        println(s"  SinglePartition in plan: ${plan.contains("SinglePartition")}")
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
