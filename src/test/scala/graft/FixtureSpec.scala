@@ -60,6 +60,35 @@ class FixtureSpec extends SparkSpec {
     s.getLong(2) shouldBe b.getLong(2)
   }
 
+  test("eventsRaw normalizes BOTH fixture encodings to the same nanos") {
+    // The two encodings the harness has actually shipped: raw int64 nanos
+    // (rounds 1-8) and parquet timestamp[us] (round 9+). eventsRaw must
+    // decode them to IDENTICAL tsNanos — this is the synthetic pin of the
+    // round-10 fix, independent of whichever encoding the live fixture
+    // carries today.
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir") + "/graft_test/fixture_encodings"
+    graft.sinks.Sinks.deleteRecursive(spark, base)
+    val nanos = Seq(
+      (1L, 1704067200000000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1706745600123456000L, 11L, "view", 2.5, "{}"))
+    val df = nanos.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.parquet(s"$base/legacy.parquet") // raw long nanos
+    df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      .write.parquet(s"$base/modern.parquet") // timestamp[us]
+    def decoded(p: String) = KvTable.eventsRaw(spark, p)
+      .select("event_id", "ts").as[(Long, Long)].collect().toMap
+    val legacy = decoded(s"$base/legacy.parquet")
+    val modern = decoded(s"$base/modern.parquet")
+    val expect = nanos.map(r => r._1 -> r._2).toMap
+    legacy shouldBe expect
+    // micros-precision fixture: nanos truncated to the stored micros
+    modern shouldBe expect.map { case (k, v) => k -> (v / 1000 * 1000) }
+    // and both land in engine shape: a LongType ts column
+    KvTable.eventsRaw(spark, s"$base/modern.parquet")
+      .schema("ts").dataType shouldBe LongType
+  }
+
   test("core tables load with expected shapes") {
     val expected = Map(
       "region" -> 5L, "nation" -> 25L, "customer" -> 150L,
