@@ -126,11 +126,26 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     sinceSeq: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = graft.kv.Cell.schema
   private var accepted: Array[Filter] = Array.empty
   private var statsAggs: Option[Seq[KvStatsScan.Spec]] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, always PARTIAL (the default `isPartiallyPushed` —
+    * Spark keeps its own global Limit above the scan, so the source only
+    * has to not UNDER-produce): an interactive `LIMIT n` inspection of a
+    * 1000-region table must not schedule 1000 tasks. Two effects in
+    * [[KvScan]]: with no pushed filters, file planning stops once footer
+    * row counts cover `n` (O(limit) tasks, not O(table)); with filters,
+    * every file stays planned (a file's matching-row count is unknown) but
+    * each reader stops after `n` post-filter rows — safe because the
+    * parquet record filter is exact, so the union still carries at least
+    * `min(n, total matching)` rows.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   /** Accept what the parquet reader (or the region pruner) can use; report
     * the rest as residual-only. Everything — accepted included — is returned
@@ -177,7 +192,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     case Some(specs) => new KvStatsScan(path, specs, conf, asOfSeq, sinceSeq)
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
-        maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq)
+        maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit)
   }
 }
 
@@ -296,7 +311,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     sconf: SerializableConfiguration = KvScanBuilder.activeConf,
     tailId: Option[String] = None,
     asOfSeq: Option[Long] = None,
-    sinceSeq: Option[Long] = None)
+    sinceSeq: Option[Long] = None,
+    limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -323,8 +339,29 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     (kept.map(_.toString), all.length)
   }
 
+  /** With a pushed limit and NO filters, footer row counts are exact: stop
+    * planning files once they cover the limit — a LIMIT 20 console dump of
+    * a 1000-region table schedules one task. Filters make a file's
+    * matching-row count unknowable from metadata, so every kept file stays
+    * planned and the cap moves into the readers.
+    */
+  private lazy val plannedFiles: Seq[String] = limit match {
+    case Some(n) if pushed.isEmpty =>
+      val conf = sconf.value
+      var acc = 0L
+      val out = Seq.newBuilder[String]
+      val it = keptFiles.iterator
+      while (acc < n && it.hasNext) {
+        val f = it.next()
+        out += f
+        acc += KvFilters.fileRowCount(new Path(f), conf)
+      }
+      out.result()
+    case _ => keptFiles
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map(KvFilePartition).toArray
+    plannedFiles.map(KvFilePartition).toArray
 
   /** PRUNING-AWARE stats from the kept region files (file length + footer
     * row counts). Without this, Spark assigns a V2 relation
@@ -354,7 +391,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val filterCols = pushed.toSeq.flatMap(_.references).distinct
     val projNames = (required.fieldNames ++ filterCols).distinct.toSeq
     KvReaderFactory(projNames, required.fieldNames.toSeq,
-      KvFilters.toParquet(pushed), sconf)
+      KvFilters.toParquet(pushed), sconf, limit)
   }
 
   override def toBatch: Batch = this
@@ -372,8 +409,9 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   }
 
   override def description(): String = {
-    val pruned = s"regions=${keptFiles.size}/$totalFiles"
-    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned"
+    val pruned = s"regions=${plannedFiles.size}/$totalFiles"
+    val lim = limit.fold("")(n => s" limit=$n")
+    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim"
   }
 }
 
@@ -382,11 +420,12 @@ private[sources] case class KvFilePartition(file: String) extends InputPartition
 private[sources] case class KvReaderFactory(
     projNames: Seq[String], outNames: Seq[String],
     predicate: Option[FilterPredicate],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    limit: Option[Int] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvPartitionReader(partition.asInstanceOf[KvFilePartition].file,
-      projNames, outNames, predicate, conf.value)
+      projNames, outNames, predicate, conf.value, limit)
 }
 
 /** Reads one region file through a CUSTOM parquet `ReadSupport` that
@@ -398,7 +437,8 @@ private[sources] case class KvReaderFactory(
   */
 private[sources] class KvPartitionReader(
     file: String, projNames: Seq[String], outNames: Seq[String],
-    predicate: Option[FilterPredicate], conf: Configuration)
+    predicate: Option[FilterPredicate], conf: Configuration,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
@@ -408,9 +448,15 @@ private[sources] class KvPartitionReader(
   }
 
   private var current: InternalRow = _
+  // Pushed-limit cap, counted POST-filter (the record filter is exact, so
+  // emitting `limit` matching rows per partition can never starve the
+  // global Limit above the scan).
+  private var remaining: Long = limit.fold(Long.MaxValue)(_.toLong)
 
   override def next(): Boolean = {
+    if (remaining <= 0) return false
     current = reader.read()
+    if (current != null) remaining -= 1
     current != null
   }
 

@@ -163,6 +163,29 @@ class KvSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS kv_sql_table")
   }
 
+  test("pushed limit plans O(limit) files unfiltered, caps reader output filtered") {
+    // unfiltered: one region file's footer rows cover LIMIT 3 -> 1 task,
+    // not 8, and the global Limit still gets its rows
+    val limited = v2.limit(3)
+    limited.count() shouldBe 3
+    limited.rdd.getNumPartitions shouldBe 1
+    limited.queryExecution.executedPlan.toString should include("limit=3")
+    // the rows are genuine table rows
+    val full = sortedRows(pq).toSet
+    sortedRows(limited).foreach(r => full should contain(r))
+    // filtered: matching-rows-per-file is unknowable from metadata, so all
+    // regions stay planned; the cap is per-reader, post-filter — the
+    // result still honors both the filter and the limit
+    val filtered = v2.filter(col("qualifier") === "C3").limit(5)
+    val rows = filtered.collect()
+    rows.length shouldBe 5
+    filtered.queryExecution.executedPlan.toString should include("regions=8/8")
+    val c3 = sortedRows(pq.filter(col("qualifier") === "C3")).toSet
+    sortedRows(filtered).foreach(r => c3 should contain(r))
+    // a limit larger than the table degrades to the full scan
+    v2.limit(1000000).count() shouldBe pq.count()
+  }
+
   test("sinceSeq plans exactly the span's files and reads exactly its commits' cells") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_cdc"
     graft.sinks.Sinks.deleteRecursive(spark, d)
