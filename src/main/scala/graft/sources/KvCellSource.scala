@@ -127,12 +127,14 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = graft.kv.Cell.schema
   private var accepted: Array[Filter] = Array.empty
   private var statsAggs: Option[Seq[KvStatsScan.Spec]] = None
   private var limit: Option[Int] = None
+  private var ordered: Boolean = false
 
   /** LIMIT pushdown, always PARTIAL (the default `isPartiallyPushed` —
     * Spark keeps its own global Limit above the scan, so the source only
@@ -146,6 +148,34 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     * `min(n, total matching)` rows.
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** TOP-N pushdown for `ORDER BY rowKey [ASC] LIMIT n` — the HBase
+    * "scan from the table start" inspection. Region files are internally
+    * (rowKey, qualifier)-sorted, so a file's FIRST `n` rows always contain
+    * its contribution to the global ascending top-n: each reader stops at
+    * `n` rows and Spark's retained TopN (partial pushdown) merges the ≤
+    * n×files survivors. No file is dropped — commits overlap like LSM
+    * runs, so ANY file may hold globally-small keys — but every task
+    * becomes O(n) instead of O(file). Descending order is refused (the
+    * top-n of a forward-sorted file is its tail, which a streaming reader
+    * cannot cap); multi-column or non-rowKey orders are refused.
+    */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("rowKey")
+      case _ => false
+    }) && orders(0).direction() == SortDirection.ASCENDING
+    if (ok) { limit = Some(l); ordered = true }
+    ok
+  }
+
+  /** Both pushdowns are PARTIAL: Spark always retains its own global
+    * Limit/TopN, the source only guarantees it never under-produces.
+    * (Explicit override required — both parent traits carry the default.)
+    */
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept what the parquet reader (or the region pruner) can use; report
     * the rest as residual-only. Everything — accepted included — is returned
@@ -192,7 +222,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     case Some(specs) => new KvStatsScan(path, specs, conf, asOfSeq, sinceSeq)
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
-        maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit)
+        maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered)
   }
 }
 
@@ -312,7 +342,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     tailId: Option[String] = None,
     asOfSeq: Option[Long] = None,
     sinceSeq: Option[Long] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    ordered: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -346,7 +377,10 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * planned and the cap moves into the readers.
     */
   private lazy val plannedFiles: Seq[String] = limit match {
-    case Some(n) if pushed.isEmpty =>
+    // ordered (top-n) scans must keep EVERY file: commits overlap like LSM
+    // runs, so any file may hold globally-small keys — the cap lives in
+    // the readers only
+    case Some(n) if pushed.isEmpty && !ordered =>
       val conf = sconf.value
       var acc = 0L
       val out = Seq.newBuilder[String]
@@ -410,7 +444,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
 
   override def description(): String = {
     val pruned = s"regions=${plannedFiles.size}/$totalFiles"
-    val lim = limit.fold("")(n => s" limit=$n")
+    val lim = limit.fold("")(n =>
+      if (ordered) s" topN=$n(rowKey ASC)" else s" limit=$n")
     s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim"
   }
 }

@@ -186,6 +186,42 @@ class KvSourceSpec extends SparkSpec {
     v2.limit(1000000).count() shouldBe pq.count()
   }
 
+  test("ORDER BY rowKey LIMIT n pushes top-n: every reader O(n), no file dropped, DESC refused") {
+    // an LSM-shaped table: two OVERLAPPING commits, each covering the full
+    // keyspace — any file may hold globally-small keys
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_topn"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = KvGenerator.cells(spark, 800, 4, "runT")
+    (0 until 2).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(2)) === i)
+        .write.format("graft-kv").option("regions", 2)
+        .mode("append").save(d)
+    }
+    val t = spark.read.format("graft-kv").load(d)
+    val p = spark.read.parquet(d)
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("rowKey").collect().map(_.getString(0)).sorted.toSeq
+    val top = t.orderBy("rowKey").limit(7)
+    // the rowKey MULTISET of a rowKey-ordered top-n is deterministic even
+    // when ties leave the chosen physical rows ambiguous
+    keys(top) shouldBe keys(p.orderBy("rowKey").limit(7))
+    val plan = top.queryExecution.executedPlan.toString
+    plan should include("topN=7(rowKey ASC)")
+    plan should include("regions=4/4") // overlap: no file may be dropped
+    // with a filter, Spark's rule keeps TopN above the (residual) Filter
+    // and does not push it — the query still answers correctly through
+    // the ordinary TakeOrderedAndProject path
+    val topF = t.filter(col("qualifier") === "C2").orderBy("rowKey").limit(3)
+    keys(topF) shouldBe
+      keys(p.filter(col("qualifier") === "C2").orderBy("rowKey").limit(3))
+    topF.queryExecution.executedPlan.toString should not include "topN="
+    // DESC cannot be capped by a forward reader: refused, planned as a
+    // normal sort, still correct
+    val desc = t.orderBy(col("rowKey").desc).limit(4)
+    keys(desc) shouldBe keys(p.orderBy(col("rowKey").desc).limit(4))
+    desc.queryExecution.executedPlan.toString should not include "topN="
+  }
+
   test("sinceSeq plans exactly the span's files and reads exactly its commits' cells") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_cdc"
     graft.sinks.Sinks.deleteRecursive(spark, d)
