@@ -1079,6 +1079,31 @@ object Scratch {
           .queryExecution.executedPlan.toString
         println(s"  SinglePartition in plan: ${plan.contains("SinglePartition")}")
 
+      case "kvlimit" =>
+        // Limit/top-n pushdown payoff on a many-segment table: LIMIT 20
+        // and ORDER BY rowKey LIMIT 20 against 64 sealed segments —
+        // task counts and wall-clock vs the same queries pre-pushdown
+        // (which scheduled all 64 segments and read them fully).
+        import org.apache.spark.sql.functions._
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvlimit_wal"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        val cells = graft.kv.KvTable.eventsAsCells(spark, sfDir)
+        (0 until 16).foreach { i =>
+          cells.filter(pmod(col("ts"), lit(16)) === i)
+            .write.format("graft-kv").option("regions", 4)
+            .mode("append").save(dir)
+        }
+        val t = spark.read.format("graft-kv").load(dir)
+        val lim = t.limit(20)
+        time("LIMIT 20 over 64 segments")(lim.collect())
+        println(s"  tasks = ${lim.rdd.getNumPartitions} (was 64 pre-pushdown)")
+        val top = t.orderBy("rowKey").limit(20)
+        time("ORDER BY rowKey LIMIT 20")(top.collect())
+        println("  plan: " + top.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("GraftKvScan")).map(_.trim.take(160)).getOrElse("?"))
+        val full = t
+        time("full scan count (reference)")(full.count(): Unit)
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
