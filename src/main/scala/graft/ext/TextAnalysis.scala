@@ -165,7 +165,12 @@ object TextAnalysis {
     * df count OVER THE TF RELATION (already one row per doc-term — no
     * second pass over raw text), a broadcast of the single-row corpus
     * count, and a per-doc top-k window. Text crosses the wire once, as
-    * exploded terms.
+    * exploded terms. The df side is broadcast EXPLICITLY: it is
+    * vocabulary-sized (heavy-tailed, orders of magnitude smaller than the
+    * doc-term relation) and without the hint a cold run without AQE stats
+    * would sort-merge — re-shuffling the whole tf relation on term a
+    * second time. A vocabulary too large to broadcast is the signal to
+    * df-filter it first (as topTermsSketch does), not to shuffle twice.
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -177,7 +182,7 @@ object TextAnalysis {
     val n = live.agg(count(lit(1)).as("_n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr("_n * 1000 DIV df"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

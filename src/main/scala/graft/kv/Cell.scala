@@ -105,14 +105,27 @@ object KvTable {
     * epoch-nanos long. The fixture's physical encoding has changed across
     * harness regenerations (round 9 shipped 11 wrong queries by assuming
     * raw nanos against a timestamp[us] file), so the unit is derived from
-    * the file's LOGICAL type, never assumed. Memoized: one footer
-    * inference per path per JVM.
+    * the file's LOGICAL type, never assumed. Memoized per
+    * (path, mtime, length) — NOT per path alone, so a fixture overwritten
+    * with a different ts encoding within one JVM re-infers instead of
+    * silently reusing the stale decision (the exact wrong-units failure
+    * class this code exists to prevent). Cost: one driver-side
+    * `getFileStatus` per lookup, one footer inference per distinct file
+    * version.
     */
   private val tsIsLogicalTimestamp =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def storesLogicalTimestamp(spark: SparkSession, path: String): Boolean =
-    tsIsLogicalTimestamp.computeIfAbsent(path, _ =>
+  /** Test hook: drop all memoized encoding decisions. */
+  private[graft] def clearTsEncodingCache(): Unit = tsIsLogicalTimestamp.clear()
+
+  private def storesLogicalTimestamp(spark: SparkSession, path: String): Boolean = {
+    val key = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      s"$path@${st.getModificationTime}:${st.getLen}"
+    } catch { case _: java.io.IOException => path } // unstat-able: fall back
+    tsIsLogicalTimestamp.computeIfAbsent(key, _ =>
       try {
         spark.read.parquet(path).schema("ts").dataType match {
           case TimestampType | TimestampNTZType => true
@@ -122,6 +135,7 @@ object KvTable {
         // Inference rejects TIMESTAMP(NANOS) — exactly the legacy raw-long case.
         case _: org.apache.spark.sql.AnalysisException => false
       })
+  }
 
   /** The schema to hand a reader of the raw fixture file (streaming file
     * sources REQUIRE an explicit schema, so inference alone can't decide):

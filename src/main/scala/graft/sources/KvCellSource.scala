@@ -424,8 +424,15 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // record-level filters evaluate over the requested schema).
     val filterCols = pushed.toSeq.flatMap(_.references).distinct
     val projNames = (required.fieldNames ++ filterCols).distinct.toSeq
+    // The per-reader limit cap counts rows POST-parquet-filter, so it is
+    // sound only when every pushed filter translates EXACTLY to its
+    // parquet predicate: an inexact translation (StartsWith's >=-prefix
+    // relaxation) would let non-matching rows spend the cap and the union
+    // could under-produce the global Limit. Inexact ⇒ the cap stays off
+    // and Spark's retained Limit/TopN does all the cutting.
+    val readerLimit = if (KvFilters.allExact(pushed)) limit else None
     KvReaderFactory(projNames, required.fieldNames.toSeq,
-      KvFilters.toParquet(pushed), sconf, limit)
+      KvFilters.toParquet(pushed), sconf, readerLimit)
   }
 
   override def toBatch: Batch = this
@@ -646,6 +653,22 @@ private[sources] object KvFilters {
       case _ => None
     }
     filters.flatMap(one(_)).reduceOption(FilterApi.and)
+  }
+
+  /** Whether every filter translates EXACTLY to its parquet predicate —
+    * the precondition for counting parquet-filtered rows against a pushed
+    * limit (see [[KvScan.createReaderFactory]]). Only StartsWith is
+    * inexact today (>=-prefix superset relaxation in [[toParquet]]); the
+    * check recurses so a StartsWith buried under And/Or also disqualifies.
+    */
+  def allExact(filters: Array[Filter]): Boolean = {
+    def exact(f: Filter): Boolean = f match {
+      case _: StringStartsWith => false
+      case And(l, r) => exact(l) && exact(r)
+      case Or(l, r) => exact(l) && exact(r)
+      case _ => true
+    }
+    filters.forall(exact)
   }
 
   /** Conjunctive rowKey interval [lo, hi] implied by the pushed filters

@@ -49,6 +49,13 @@ object KvMaintenance {
     require(maxSegments >= 1, "graft-kv maintenance: maxSegments must be >= 1")
     require(targetRegionBytes > 0,
       "graft-kv maintenance: targetRegionBytes must be positive")
+    // Grace 0 is a TEST-ONLY setting under the single-writer assumption:
+    // it reclaims a merged-away segment the instant its removing entry
+    // publishes, racing any in-flight scan planned pre-publish and a
+    // concurrent commit's pre-publish renamed files. Production passes a
+    // grace longer than its longest-running scan (the Delta retention rule).
+    require(vacuumGraceMs >= 0,
+      "graft-kv maintenance: vacuumGraceMs must be non-negative")
   }
 
   case class Report(compaction: KvCompactor.Result, vacuum: KvVacuum.Result)

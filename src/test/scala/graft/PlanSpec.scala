@@ -255,6 +255,21 @@ class PlanSpec extends SparkSpec {
     plan should include("HashAggregate")
   }
 
+  test("tfidf broadcasts the vocabulary-sized df side; tf never shuffles on term twice") {
+    val plan = executedPlan(Queries.all("pipe_tfidf")(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("epoch shuffle stays SinglePartition-free: shard exchange + per-shard rank, no global sort") {
+    val plan = executedPlan(Queries.all("pipe_epoch_shuffle")(spark, sfDir))
+    // the Window's partition spec must be the shard hash exchange — a
+    // future edit that drops the shard column would silently globalize the
+    // row_number through one task (the 100-TB serialization cliff)
+    plan should not include "SinglePartition"
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
+  }
+
   test("coverage report never decodes: no object-typed operator in the plan; pretrained decodes only the fallback slice") {
     // mm_coverage's claim is structural: the pretrained-vs-fallback split
     // is the media_id join alone, so the plan must contain NO mapPartitions
