@@ -1057,6 +1057,65 @@ object Scratch {
         time("idle maintenance pass (parked)")(
           graft.sources.KvMaintenance.maintain(spark, dir, policy))
 
+      case "maintwa" =>
+        // Write-amplification A/B for the compaction SELECTION policy: a
+        // streaming sink seals one small segment per epoch, maintenance
+        // runs after EVERY epoch (the task-7 hook cadence). Major mode
+        // rewrites the whole live set every time the threshold trips —
+        // O(table) bytes per pass; size-tiered minor mode merges one
+        // similar-size cohort — O(tier). The metric that matters at
+        // 100 TB: total bytes REWRITTEN across the run vs bytes APPENDED
+        // (write amplification), and the worst single pass (the latency
+        // spike a production trigger schedule must absorb).
+        import org.apache.spark.sql.functions._
+        // Longer runs widen the gap: major's amplification grows linearly
+        // with pass count (each pass rewrites the WHOLE accumulated
+        // table), minor's stays at the tier ladder's log factor.
+        val epochs = sys.env.get("GRAFT_WA_EPOCHS").map(_.toInt).getOrElse(64)
+        val cells = graft.kv.KvTable.eventsAsCells(spark, sfDir).localCheckpoint()
+        for (mode <- Seq("major", "minor")) {
+          val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/maintwa_$mode"
+          graft.sinks.Sinks.deleteRecursive(spark, dir)
+          val table = new org.apache.hadoop.fs.Path(dir)
+          val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+          val policy = graft.sources.KvMaintenance.Policy(
+            maxSegments = 8, targetRegionBytes = 64L * 1024 * 1024,
+            vacuumGraceMs = 0, majorCompact = mode == "major")
+          var appended = 0L; var rewritten = 0L; var worstPass = 0L
+          var passes = 0; var maxLive = 0
+          time(s"$mode: $epochs epochs, maintain after each") {
+            (0 until epochs).foreach { i =>
+              cells.filter(pmod(col("ts"), lit(epochs)) === i)
+                .write.format("graft-kv").option("regions", 1)
+                .mode("append").save(dir)
+              val sizes = graft.sources.KvLog.liveFiles(fs, table)
+                .map(f => f -> fs.getFileStatus(
+                  new org.apache.hadoop.fs.Path(table, f)).getLen).toMap
+              appended += graft.sources.KvLog
+                .read(fs, table, graft.sources.KvLog.latestSeq(fs, table))
+                .get.adds.map(sizes).sum
+              maxLive = math.max(maxLive, sizes.size)
+              graft.sources.KvMaintenance.maintain(spark, dir, policy)
+                .compaction match {
+                case graft.sources.KvCompactor.Compacted(seq, _, _) =>
+                  val passBytes = graft.sources.KvLog.read(fs, table, seq)
+                    .get.removes.map(sizes).sum
+                  rewritten += passBytes
+                  worstPass = math.max(worstPass, passBytes)
+                  passes += 1
+                case _ => ()
+              }
+            }
+          }
+          val live = graft.sources.KvLog.liveFiles(fs, table).size
+          println(f"  $mode%-5s appended=${appended / 1024}%dK rewritten=${rewritten / 1024}%dK " +
+            f"amplification=${rewritten.toDouble / appended}%.1fx passes=$passes " +
+            f"worstPass=${worstPass / 1024}%dK maxLiveSegments=$maxLive finalLive=$live")
+          // correctness backstop: the maintained table still equals the input
+          val n = spark.read.format("graft-kv").load(dir).count()
+          println(s"  $mode scan rows = $n (expect ${cells.count()})")
+        }
+
       case "epochshuffle" =>
         // Epoch shuffle at 10M keys (2000× the bench corpus): one hash
         // exchange + per-shard sort, shard balance, and the cost of a

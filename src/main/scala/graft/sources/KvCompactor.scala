@@ -56,6 +56,38 @@ import org.apache.spark.sql.SparkSession
   */
 object KvCompactor {
 
+  /** WHICH segments below the gating floor a pass merges — the HBase
+    * minor/major distinction, which is what bounds WRITE AMPLIFICATION on
+    * a long-lived table: a pass that always rewrites the entire live set
+    * (major) pays O(table) bytes per trigger, so steady streaming ingest
+    * (one sealed epoch per trigger) would rewrite 100 TB every few epochs.
+    * Size-tiered minor selection instead merges only a cohort of
+    * SIMILAR-SIZED segments, so each byte is rewritten O(log table/epoch)
+    * times over its lifetime — the LSM amortization argument.
+    */
+  sealed trait Selection
+  /** Merge EVERYTHING below the gating floor — the full rewrite that
+    * restores the minimal region layout (floor == horizon afterwards).
+    * Operator-scheduled, like an HBase admin's explicit major_compact.
+    */
+  case object Major extends Selection
+  /** Size-tiered minor selection (the `ExploringCompactionPolicy` shape):
+    * among all windows of 2..`maxMerge` segments CONTIGUOUS IN SIZE ORDER,
+    * pick one where the largest member is at most `sizeRatio` × the sum of
+    * the others (no member is merged just to absorb far-smaller siblings —
+    * that rewrite would be nearly all dead weight), preferring the window
+    * with the most files, then the fewest bytes. No valid window ⇒ the
+    * pass parks: segment sizes are geometric (already tiered) and
+    * rewriting now would only inflate write amplification. Defaults mirror
+    * HBase (`hbase.hstore.compaction.max` = 10, ratio 1.2).
+    */
+  final case class Minor(maxMerge: Int = 10, sizeRatio: Double = 1.2)
+      extends Selection {
+    require(maxMerge >= 2, "graft-kv compaction: Minor.maxMerge must be >= 2")
+    require(sizeRatio >= 1.0,
+      "graft-kv compaction: Minor.sizeRatio must be >= 1.0")
+  }
+
   sealed trait Result
   /** Compaction published at log `seq`: `merged` segments → `into` files. */
   case class Compacted(seq: Long, merged: Int, into: Int) extends Result
@@ -64,8 +96,30 @@ object KvCompactor {
     */
   case class Parked(reason: String) extends Result
 
-  def compact(spark: SparkSession, path: String, regions: Int): Result = {
+  /** Compact with a FIXED output region count (the CompactTable CLI shape). */
+  def compact(spark: SparkSession, path: String, regions: Int,
+      selection: Selection = Major): Result = {
     require(regions > 0, "graft-kv compaction: regions must be positive")
+    run(spark, path, _ => regions, selection)
+  }
+
+  /** Compact with output regions SIZED from the merged bytes —
+    * `ceil(merged bytes / targetRegionBytes)`, the
+    * ConstantSizeRegionSplitPolicy analog (CreateTable.java:28's 100 GB
+    * sizing): a tier that merged more bytes gets more output regions,
+    * never an ever-fatter fixed count. The policy pass ([[KvMaintenance]])
+    * routes here so minor tiers produce tier-sized outputs.
+    */
+  def compactTo(spark: SparkSession, path: String, targetRegionBytes: Long,
+      selection: Selection = Major): Result = {
+    require(targetRegionBytes > 0,
+      "graft-kv compaction: targetRegionBytes must be positive")
+    run(spark, path, bytes => math.max(1L,
+      (bytes + targetRegionBytes - 1) / targetRegionBytes).toInt, selection)
+  }
+
+  private def run(spark: SparkSession, path: String, regionsFor: Long => Int,
+      selection: Selection): Result = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return Parked(s"no table at $path")
@@ -74,18 +128,41 @@ object KvCompactor {
     if (latest < 0) return Parked("empty table: nothing to compact")
     val marks = KvLog.tailPositions(fs, dir)
     // The gating floor: merge strictly below the slowest registered tail;
-    // with none registered, below the log end + 1 (full major compaction).
+    // with none registered, below the log end + 1 (the whole live set is
+    // fair game — selection then decides how much of it to touch).
     val gate = if (marks.isEmpty) latest + 1 else marks.values.min
-    if (KvLog.horizon(fs, dir) == latest && KvLog.floor(fs, dir) == latest &&
-        gate > latest)
+    val live = KvLog.liveFilesWithSeq(fs, dir)
+    // Idempotence park: when the log tip IS a compaction entry and every
+    // live segment is one of ITS merge outputs, a re-run would only
+    // re-merge the previous pass's own outputs — a pure rewrite with no
+    // layout debt retired. (Floor alone can't detect this: a minor pass
+    // that merged a tier reaching the tip also writes floor == latest
+    // while plenty of carried segments still await their turn.)
+    if (KvLog.horizon(fs, dir) == latest && gate > latest &&
+        live.forall(_._1.startsWith(f"part-c$latest%010d-")))
       return Parked(s"already compacted at seq $latest")
-    val (mergeSet, carrySet) =
-      KvLog.liveFilesWithSeq(fs, dir).partition(_._2 < gate)
-    if (mergeSet.size < 2)
+    val (candidates, gatedCarry) = live.partition(_._2 < gate)
+    if (candidates.size < 2)
       return Parked(
         if (marks.isEmpty) "nothing to merge: fewer than 2 compactable segments"
         else s"registered tails gate compaction below seq $gate: " +
           marks.toSeq.sorted.map { case (id, m) => s"$id@$m" }.mkString(", "))
+    // One driver-side getFileStatus per candidate — bounded region
+    // metadata, the same cost class as the planning pass.
+    val sized = candidates.map { case (f, s) =>
+      (f, s, fs.getFileStatus(new Path(dir, f)).getLen) }
+    val mergeSet = selection match {
+      case Major => sized
+      case m: Minor => selectTier(sized, m)
+    }
+    if (mergeSet.size < 2)
+      return Parked(s"no size tier to merge: ${candidates.size} candidate " +
+        "segments have geometric sizes (rewriting a far-larger segment to " +
+        "absorb a smaller one is write amplification, not maintenance)")
+    val mergeNames = mergeSet.map(_._1).toSet
+    val carrySet = candidates.collect {
+      case (f, _) if !mergeNames.contains(f) => f } ++ gatedCarry.map(_._1)
+    val regions = regionsFor(mergeSet.map(_._3).sum)
 
     val expectSeq = latest + 1
     val tmp = new Path(dir, s"_compact_${UUID.randomUUID().toString.take(8)}")
@@ -100,12 +177,46 @@ object KvCompactor {
         s"graft-kv compaction: staging rename to $target failed")
       target.getName
     }
-    val seq = KvLog.append(fs, dir, adds = merged ++ carrySet.map(_._1),
+    // The tightest sound floor: a tail at position p fails only if some
+    // entry >= p lost a file, so the floor is one past the HIGHEST
+    // attribution among the merged-away segments (never regressing a prior
+    // floor). A minor pass that merged only old segments leaves newer
+    // positions replayable; a major pass reduces to the old gate formula.
+    val floor = math.min(expectSeq,
+      math.max(KvLog.floor(fs, dir), mergeSet.map(_._2).max + 1))
+    val seq = KvLog.append(fs, dir, adds = merged ++ carrySet,
       removes = mergeSet.map(_._1), compact = true,
-      expectSeq = Some(expectSeq), floor = Some(math.min(gate, expectSeq)))
+      expectSeq = Some(expectSeq), floor = Some(floor))
     // Merged-away segments stay on disk for in-flight readers (see the
     // publish protocol above); only the emptied scratch dir goes now.
     fs.delete(tmp, true)
     Compacted(seq, merged = mergeSet.size, into = merged.size)
+  }
+
+  /** The [[Minor]] window search over (name, attributedSeq, bytes)
+    * candidates. O(candidates²) driver-side arithmetic on bounded region
+    * metadata; exposed for the selection-law spec.
+    */
+  private[sources] def selectTier(sized: Seq[(String, Long, Long)],
+      m: Minor): Seq[(String, Long, Long)] = {
+    val bySize = sized.sortBy(f => (f._3, f._1))
+    var best: Seq[(String, Long, Long)] = Nil
+    var bestBytes = Long.MaxValue
+    var start = 0
+    while (start < bySize.length) {
+      var len = 2
+      while (len <= math.min(m.maxMerge, bySize.length - start)) {
+        val w = bySize.slice(start, start + len)
+        val total = w.map(_._3).sum
+        val largest = w.last._3 // size-sorted: the window's max
+        if (largest.toDouble <= m.sizeRatio * (total - largest) &&
+            (len > best.size || (len == best.size && total < bestBytes))) {
+          best = w; bestBytes = total
+        }
+        len += 1
+      }
+      start += 1
+    }
+    best
   }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * wrapper a long-lived warehouse schedules after its write batches
   * (MaintainTable subcommand, or programmatically per table).
   *
-  * The policy has three knobs, each mirroring the HBase analog:
+  * The core knobs each mirror an HBase analog:
   *  - `maxSegments` — compact only when the LIVE segment count exceeds it
   *    (`hbase.hstore.compactionThreshold`: more store files than this
   *    triggers a compaction). Under it the pass parks: maintenance on a
@@ -41,11 +41,25 @@ object KvMaintenance {
 
   /** Defaults sized for the test warehouse; production would pass the
     * 100 GB-region / 24 h-grace equivalents.
+    *
+    * The compaction a maintenance pass runs is MINOR by default
+    * ([[KvCompactor.Minor]] size-tiered selection, `minorMaxMerge` /
+    * `minorSizeRatio` mirroring `hbase.hstore.compaction.max` and the
+    * HBase ratio): each pass rewrites at most one similar-size tier, so a
+    * steady streaming sink triggering maintenance per epoch pays O(tier)
+    * bytes per pass — NOT a full-table rewrite every time the segment
+    * count crosses the threshold, which at 100 TB would be the dominant
+    * write cost of the whole pipeline. `majorCompact = true` restores the
+    * full rewrite (the admin-scheduled `major_compact`, worth running
+    * off-peak to collapse the tier ladder back to the minimal layout).
     */
   case class Policy(
       maxSegments: Int = 8,
       targetRegionBytes: Long = 128L * 1024 * 1024,
-      vacuumGraceMs: Long = 24L * 3600 * 1000) {
+      vacuumGraceMs: Long = 24L * 3600 * 1000,
+      minorMaxMerge: Int = 10,
+      minorSizeRatio: Double = 1.2,
+      majorCompact: Boolean = false) {
     require(maxSegments >= 1, "graft-kv maintenance: maxSegments must be >= 1")
     require(targetRegionBytes > 0,
       "graft-kv maintenance: targetRegionBytes must be positive")
@@ -73,12 +87,9 @@ object KvMaintenance {
       if (live.size <= policy.maxSegments)
         KvCompactor.Parked(
           s"under threshold: ${live.size} live segments <= ${policy.maxSegments}")
-      else {
-        val bytes = live.map(f => fs.getFileStatus(new Path(dir, f)).getLen).sum
-        val regions = math.max(1L,
-          (bytes + policy.targetRegionBytes - 1) / policy.targetRegionBytes)
-        KvCompactor.compact(spark, path, regions.toInt)
-      }
+      else KvCompactor.compactTo(spark, path, policy.targetRegionBytes,
+        if (policy.majorCompact) KvCompactor.Major
+        else KvCompactor.Minor(policy.minorMaxMerge, policy.minorSizeRatio))
     // Vacuum runs regardless of the compaction outcome: it reclaims what
     // PREVIOUS passes removed once their grace expires, and crash strays.
     Report(compaction, KvVacuum.vacuum(spark, path, policy.vacuumGraceMs))

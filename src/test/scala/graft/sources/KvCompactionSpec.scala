@@ -93,6 +93,65 @@ class KvCompactionSpec extends graft.SparkSpec {
       KvCompactor.Parked(s"already compacted at seq $seq")
   }
 
+  test("selectTier laws: equal cohorts merge, geometric sizes park, the cap and preference order hold") {
+    def f(n: String, seq: Long, b: Long) = (n, seq, b)
+    val m = KvCompactor.Minor(maxMerge = 4, sizeRatio = 1.2)
+    // an equal-size cohort merges whole, capped at maxMerge
+    KvCompactor.selectTier(
+      (1 to 6).map(i => f(s"s$i", i.toLong, 100L)), m).size shouldBe 4
+    // geometric sizes: no member is within ratio of the others' sum — park
+    KvCompactor.selectTier(
+      Seq(f("a", 0, 1), f("b", 1, 10), f("c", 2, 100)), m) shouldBe Nil
+    // a tiny outlier rides along with an in-ratio cohort for free (the
+    // window stays valid, one more file retired)...
+    val mixed = KvCompactor.selectTier(
+      Seq(f("tiny", 0, 1), f("h1", 1, 100), f("h2", 2, 100), f("h3", 3, 100)), m)
+    mixed.map(_._1).toSet shouldBe Set("tiny", "h1", "h2", "h3")
+    // ...but WITHOUT a cohort the outlier pair is all dead weight — park
+    KvCompactor.selectTier(Seq(f("tiny", 0, 1), f("huge", 1, 100)), m) shouldBe Nil
+    // most files wins over fewest bytes: 3 smalls beat 2 bigs
+    val pref = KvCompactor.selectTier(
+      Seq(f("s1", 0, 10), f("s2", 1, 10), f("s3", 2, 10),
+        f("b1", 3, 1000), f("b2", 4, 1000)), KvCompactor.Minor(maxMerge = 3))
+    pref.map(_._1).toSet shouldBe Set("s1", "s2", "s3")
+  }
+
+  test("a minor pass merges ONE tier and carries the rest: bounded write amplification, data unchanged") {
+    val d = pileUp("kv_compact_minor", commits = 6, regions = 2) // 12 segments
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val before = spark.read.format("graft-kv").load(d)
+      .select(count(lit(1)), sum(col("ts")), max(col("rowKey"))).collect()(0)
+    val attributed = KvLog.liveFilesWithSeq(fs, table).toMap
+    // cap the tier at 4: the pass must touch 4 segments, not all 12
+    val res = KvCompactor.compactTo(spark, d, targetRegionBytes = Long.MaxValue,
+      KvCompactor.Minor(maxMerge = 4))
+    val seq = res match {
+      case KvCompactor.Compacted(s, merged, into) =>
+        merged shouldBe 4; into shouldBe 1; s
+      case p => fail(s"expected Compacted, got $p")
+    }
+    // the entry is still a full checkpoint (horizon moved), but the floor
+    // is the TIGHT one: exactly one past the highest merged attribution —
+    // positions above it kept every one of their segments
+    KvLog.horizon(fs, table) shouldBe seq
+    val mergedAway = KvLog.read(fs, table, seq).get.removes
+    KvLog.floor(fs, table) shouldBe (mergedAway.map(attributed).max + 1)
+    KvLog.liveFiles(fs, table) should have size 9 // 12 - 4 + 1
+    val after = spark.read.format("graft-kv").load(d)
+      .select(count(lit(1)), sum(col("ts")), max(col("rowKey"))).collect()(0)
+    after shouldBe before
+    // a second minor pass ladders up another tier without a full rewrite
+    KvCompactor.compactTo(spark, d, targetRegionBytes = Long.MaxValue,
+      KvCompactor.Minor(maxMerge = 4)) match {
+      case KvCompactor.Compacted(_, merged, _) => merged shouldBe 4
+      case p => fail(s"expected Compacted, got $p")
+    }
+    spark.read.format("graft-kv").load(d)
+      .select(count(lit(1)), sum(col("ts")), max(col("rowKey")))
+      .collect()(0) shouldBe before
+  }
+
   test("a file the manifest does not reference is invisible to every scan") {
     val d = pileUp("kv_compact_stray", commits = 2)
     val n = spark.read.format("graft-kv").load(d).count()
