@@ -142,12 +142,13 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     (0 until messages.length).foreach { p =>
       fs.delete(new Path(dir, f"$prefix$p%05d.parquet"), false): Unit
     }
-    val sealedFiles = messages.collect { case KvEpochCommit(f, partition) if f.nonEmpty =>
+    val sealedOut = messages.collect { case KvEpochCommit(f, partition, st) if f.nonEmpty =>
       val target = new Path(dir, f"$prefix$partition%05d.parquet")
       fs.rename(new Path(f), target)
-      target.getName
+      target.getName -> st
     }
-    KvLog.append(fs, dir, adds = sealedFiles.toSeq, writer = writerTag)
+    KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq, writer = writerTag,
+      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
     fs.delete(new Path(stagingDir), true)
   }
 
@@ -158,7 +159,8 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
   }
 }
 
-private[sources] case class KvEpochCommit(file: String, partition: Int)
+private[sources] case class KvEpochCommit(file: String, partition: Int,
+    stat: Option[KvLog.FileStat] = None)
     extends WriterCommitMessage
 
 private[sources] case class KvStreamWriterFactory(
@@ -171,10 +173,11 @@ private[sources] case class KvStreamWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
-      commitAs = f => KvEpochCommit(f, partitionId))
+      commitAs = (f, st) => KvEpochCommit(f, partitionId, st))
 }
 
-private[sources] case class KvFileCommit(file: String, partition: Int)
+private[sources] case class KvFileCommit(file: String, partition: Int,
+    stat: Option[KvLog.FileStat] = None)
     extends WriterCommitMessage
 
 private[sources] class KvBatchWrite(path: String, schema: StructType,
@@ -204,12 +207,13 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // Allocate the commit's log seq next: it keys the sealed names, so a
     // table's batch appends carry monotone, collision-free names.
     val seq = KvLog.latestSeq(fs, dir) + 1
-    val sealedFiles = messages.collect { case KvFileCommit(f, partition) if f.nonEmpty =>
+    val sealedOut = messages.collect { case KvFileCommit(f, partition, st) if f.nonEmpty =>
       val target = new Path(dir, f"part-b$seq%010d-$partition%05d.parquet")
       fs.rename(new Path(f), target)
-      target.getName
+      target.getName -> st
     }
-    KvLog.append(fs, dir, adds = sealedFiles.toSeq)
+    KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq,
+      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
     fs.delete(new Path(stagingDir), true)
   }
 
@@ -225,19 +229,35 @@ private[sources] case class KvWriterFactory(stagingDir: String,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
-      commitAs = f => KvFileCommit(f, partitionId))
+      commitAs = (f, st) => KvFileCommit(f, partitionId, st))
 }
 
 /** One region file per partition, created lazily on the first row (empty
   * regions produce no file, matching Spark's own file sinks).
+  *
+  * The writer also collects the file's MANIFEST STATISTICS in-stream
+  * (rows, rowKey min/max, ts min/max — [[KvLog.FileStat]]): it is the one
+  * place every row passes anyway, so the values are exact and the commit
+  * carries them to the log for free — no planning-side footer opens, ever,
+  * for sink-written segments.
   */
 private[sources] class KvDataWriter(
     stagingDir: String, fieldNames: Seq[String], partitionId: Int, taskId: Long,
-    conf: SerializableConfiguration, commitAs: String => WriterCommitMessage)
+    conf: SerializableConfiguration,
+    commitAs: (String, Option[KvLog.FileStat]) => WriterCommitMessage)
     extends DataWriter[InternalRow] {
 
   private val file = f"$stagingDir/part-r-$partitionId%05d-$taskId.parquet"
   private var writer: ParquetWriter[InternalRow] = _
+
+  private val keyIdx = fieldNames.indexOf("rowKey")
+  private val tsIdx = fieldNames.indexOf("ts")
+  private var rows = 0L
+  private var minKey: String = null
+  private var maxKey: String = null
+  private var minTs = Long.MaxValue
+  private var maxTs = Long.MinValue
+  private var sawTs = false
 
   override def write(row: InternalRow): Unit = {
     if (writer == null)
@@ -246,11 +266,31 @@ private[sources] class KvDataWriter(
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
     writer.write(row)
+    rows += 1
+    if (keyIdx >= 0 && !row.isNullAt(keyIdx)) {
+      // .toString copies out of Spark's reused row buffer — required
+      val k = row.getUTF8String(keyIdx).toString
+      if (minKey == null || k < minKey) minKey = k
+      if (maxKey == null || k > maxKey) maxKey = k
+    }
+    if (tsIdx >= 0 && !row.isNullAt(tsIdx)) {
+      val t = row.getLong(tsIdx)
+      if (t < minTs) minTs = t
+      if (t > maxTs) maxTs = t
+      sawTs = true
+    }
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer == null) commitAs("")
-    else { writer.close(); commitAs(file) }
+    if (writer == null) commitAs("", None)
+    else {
+      writer.close()
+      val bytes = new Path(file).getFileSystem(conf.value)
+        .getFileStatus(new Path(file)).getLen
+      commitAs(file, Some(KvLog.FileStat(rows, bytes,
+        Option(minKey), Option(maxKey),
+        if (sawTs) Some(minTs) else None, if (sawTs) Some(maxTs) else None)))
+    }
   }
 
   override def abort(): Unit = close()

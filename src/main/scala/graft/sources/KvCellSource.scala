@@ -251,26 +251,35 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
     val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = KvLog.scanFiles(fs, p, asOfSeq, sinceSeq)
+    val files = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq)
     var count = 0L
     var tsMin: Option[Long] = None
     var tsMax: Option[Long] = None
-    files.foreach { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try r.getRowGroups.asScala.foreach { block =>
-        count += block.getRowCount
-        block.getColumns.asScala.find(_.getPath.toDotString == "ts").foreach { c =>
-          val st = c.getStatistics
-          require(st != null && !st.isEmpty,
-            s"graft-kv: ts statistics missing in $f — cannot serve pushed min/max")
-          if (st.hasNonNullValue) {
-            val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
-            val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
-            tsMin = Some(tsMin.fold(lo)(math.min(_, lo)))
-            tsMax = Some(tsMax.fold(hi)(math.max(_, hi)))
+    files.foreach {
+      // Manifest-carried stats answer without touching the file at all —
+      // a stats query over a logged 100-TB table is one log replay, zero
+      // footer round-trips. Absent ts bounds inside a stat mean every row
+      // had a null ts: genuinely no contribution, not missing data.
+      case (_, Some(st)) =>
+        count += st.rows
+        st.minTs.foreach(lo => tsMin = Some(tsMin.fold(lo)(math.min(_, lo))))
+        st.maxTs.foreach(hi => tsMax = Some(tsMax.fold(hi)(math.max(_, hi))))
+      case (f, None) =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getRowGroups.asScala.foreach { block =>
+          count += block.getRowCount
+          block.getColumns.asScala.find(_.getPath.toDotString == "ts").foreach { c =>
+            val st = c.getStatistics
+            require(st != null && !st.isEmpty,
+              s"graft-kv: ts statistics missing in $f — cannot serve pushed min/max")
+            if (st.hasNonNullValue) {
+              val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+              tsMin = Some(tsMin.fold(lo)(math.min(_, lo)))
+              tsMax = Some(tsMax.fold(hi)(math.max(_, hi)))
+            }
           }
-        }
-      } finally r.close()
+        } finally r.close()
     }
     specs.map {
       case CountStarSpec => count: Any
@@ -352,29 +361,34 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   // Region pruning happens once, lazily, on the driver: region count is
   // bounded metadata (like HBase's region directory), not data. The file
   // set comes from the manifest log when the table carries one (immune to
-  // stray files and listing-consistency gaps), directory listing otherwise.
-  private lazy val (keptFiles, totalFiles): (Seq[String], Int) = {
+  // stray files and listing-consistency gaps), directory listing otherwise
+  // — and the MANIFEST-CARRIED stats serve the rowKey bounds, so a logged
+  // table prunes with ZERO footer opens (each of which is an object-store
+  // round-trip at 100 TB); only stat-less legacy files pay the footer.
+  private lazy val (keptFiles, totalFiles)
+      : (Seq[(String, Option[KvLog.FileStat])], Int) = {
     val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val all = KvLog.scanFiles(fs, p, asOfSeq, sinceSeq)
+    val all = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq)
     val bounds = KvFilters.rowKeyBounds(pushed)
     val kept =
       if (bounds.isEmpty) all
-      else all.filter { f =>
-        KvFilters.fileRowKeyRange(f, conf) match {
+      else all.filter { case (f, stat) =>
+        stat.flatMap(s => s.minKey.zip(s.maxKey))
+          .orElse(KvFilters.fileRowKeyRange(f, conf)) match {
           case Some((lo, hi)) => KvFilters.intersects(bounds, lo, hi)
-          case None => true // no stats: cannot prune, must scan
+          case None => true // no stats anywhere: cannot prune, must scan
         }
       }
-    (kept.map(_.toString), all.length)
+    (kept.map { case (f, st) => (f.toString, st) }, all.length)
   }
 
-  /** With a pushed limit and NO filters, footer row counts are exact: stop
-    * planning files once they cover the limit — a LIMIT 20 console dump of
-    * a 1000-region table schedules one task. Filters make a file's
-    * matching-row count unknowable from metadata, so every kept file stays
-    * planned and the cap moves into the readers.
+  /** With a pushed limit and NO filters, manifest/footer row counts are
+    * exact: stop planning files once they cover the limit — a LIMIT 20
+    * console dump of a 1000-region table schedules one task. Filters make
+    * a file's matching-row count unknowable from metadata, so every kept
+    * file stays planned and the cap moves into the readers.
     */
   private lazy val plannedFiles: Seq[String] = limit match {
     // ordered (top-n) scans must keep EVERY file: commits overlap like LSM
@@ -386,32 +400,36 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       val out = Seq.newBuilder[String]
       val it = keptFiles.iterator
       while (acc < n && it.hasNext) {
-        val f = it.next()
+        val (f, stat) = it.next()
         out += f
-        acc += KvFilters.fileRowCount(new Path(f), conf)
+        acc += stat.map(_.rows)
+          .getOrElse(KvFilters.fileRowCount(new Path(f), conf))
       }
       out.result()
-    case _ => keptFiles
+    case _ => keptFiles.map(_._1)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedFiles.map(KvFilePartition).toArray
 
-  /** PRUNING-AWARE stats from the kept region files (file length + footer
-    * row counts). Without this, Spark assigns a V2 relation
-    * `defaultSizeInBytes` (effectively infinite) and NO join against the
-    * table can ever auto-broadcast — at scale every kv join would plan as
-    * a full sort-merge. Reporting the post-pruning size means a rowKey-range
-    * scan of one region out of 1000 is seen at one region's size and
-    * becomes broadcast-eligible; cost is one footer read per KEPT file on
-    * the driver, bounded region metadata like the pruning pass itself.
+  /** PRUNING-AWARE stats from the kept region files (manifest stats, with
+    * file length + footer row count as the stat-less fallback). Without
+    * this, Spark assigns a V2 relation `defaultSizeInBytes` (effectively
+    * infinite) and NO join against the table can ever auto-broadcast — at
+    * scale every kv join would plan as a full sort-merge. Reporting the
+    * post-pruning size means a rowKey-range scan of one region out of
+    * 1000 is seen at one region's size and becomes broadcast-eligible; on
+    * a logged table the whole estimate is served from the manifest replay
+    * already paid for by planning.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val conf = sconf.value
     val fs = new Path(path).getFileSystem(conf)
-    val (bytes, rows) = keptFiles.foldLeft((0L, 0L)) { case ((b, r), f) =>
-      val p = new Path(f)
-      (b + fs.getFileStatus(p).getLen, r + KvFilters.fileRowCount(p, conf))
+    val (bytes, rows) = keptFiles.foldLeft((0L, 0L)) {
+      case ((b, r), (f, Some(st))) => (b + st.bytes, r + st.rows)
+      case ((b, r), (f, None)) =>
+        val p = new Path(f)
+        (b + fs.getFileStatus(p).getLen, r + KvFilters.fileRowCount(p, conf))
     }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)

@@ -147,10 +147,13 @@ object KvCompactor {
         if (marks.isEmpty) "nothing to merge: fewer than 2 compactable segments"
         else s"registered tails gate compaction below seq $gate: " +
           marks.toSeq.sorted.map { case (id, m) => s"$id@$m" }.mkString(", "))
-    // One driver-side getFileStatus per candidate — bounded region
-    // metadata, the same cost class as the planning pass.
+    // Sizes come from the manifest stats where recorded; a driver-side
+    // getFileStatus covers stat-less legacy entries — bounded region
+    // metadata either way.
+    val liveStats = KvLog.liveFileStats(fs, dir)
     val sized = candidates.map { case (f, s) =>
-      (f, s, fs.getFileStatus(new Path(dir, f)).getLen) }
+      (f, s, liveStats.get(f).map(_.bytes)
+        .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)) }
     val mergeSet = selection match {
       case Major => sized
       case m: Minor => selectTier(sized, m)
@@ -171,11 +174,16 @@ object KvCompactor {
       .select(cellCols.toIndexedSeq: _*)
       .write.format("graft-kv").option("regions", regions)
       .mode("overwrite").save(tmp.toString)
+    // The scratch write went through the graft-kv sink, so its own log
+    // carries exact stats for the merged outputs — re-key them by the
+    // published names. Carried files keep their stats too: the checkpoint
+    // entry is the replay start, so stats dropped here would be lost.
+    val tmpStats = KvLog.liveFileStats(fs, tmp)
     val merged = KvLog.dataFiles(fs, tmp).zipWithIndex.map { case (f, i) =>
       val target = new Path(dir, f"part-c$expectSeq%010d-$i%05d.parquet")
       if (!fs.rename(f, target)) throw new IllegalStateException(
         s"graft-kv compaction: staging rename to $target failed")
-      target.getName
+      target.getName -> tmpStats.get(f.getName)
     }
     // The tightest sound floor: a tail at position p fails only if some
     // entry >= p lost a file, so the floor is one past the HIGHEST
@@ -184,9 +192,11 @@ object KvCompactor {
     // positions replayable; a major pass reduces to the old gate formula.
     val floor = math.min(expectSeq,
       math.max(KvLog.floor(fs, dir), mergeSet.map(_._2).max + 1))
-    val seq = KvLog.append(fs, dir, adds = merged ++ carrySet,
+    val entryStats = (merged.collect { case (n, Some(st)) => n -> st } ++
+      carrySet.flatMap(n => liveStats.get(n).map(n -> _))).toMap
+    val seq = KvLog.append(fs, dir, adds = merged.map(_._1) ++ carrySet,
       removes = mergeSet.map(_._1), compact = true,
-      expectSeq = Some(expectSeq), floor = Some(floor))
+      expectSeq = Some(expectSeq), floor = Some(floor), stats = entryStats)
     // Merged-away segments stay on disk for in-flight readers (see the
     // publish protocol above); only the emptied scratch dir goes now.
     fs.delete(tmp, true)

@@ -50,9 +50,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * {{{
   *   v1 append writer=<queryId>:<epochId>     // writer tag optional
   *   v1 compact
-  *   +<fileName>                              // sealed (or live, for compact)
+  *   +<fileName>[\t<stat>...]                 // sealed (or live, for compact)
   *   -<fileName>                              // removed by compaction
   * }}}
+  *
+  * An add line may carry MANIFEST-LEVEL FILE STATISTICS, tab-separated
+  * after the name: `r=<rows>`, `b=<bytes>`, `k=<b64(minKey)>,<b64(maxKey)>`
+  * (base64 because rowKeys are arbitrary strings), `t=<minTs>,<maxTs>`.
+  * They are collected by the SINK's writer tasks while streaming rows (the
+  * writers see every row, so the values are exact and cost zero extra
+  * I/O) and make the manifest self-sufficient for planning: region
+  * pruning, LIMIT planning, pushed COUNT/MIN/MAX(ts), and maintenance
+  * sizing all read the log instead of opening one parquet footer (an
+  * object-store round-trip) per segment per query — the Delta/Iceberg
+  * stats-in-manifest shape. Entries without stats (legacy tables, seeded
+  * migrations) degrade per-file to the footer path, never fail. Unknown
+  * tokens are ignored on read (forward compatibility).
   *
   * The writer tag makes streaming epoch re-commits IDEMPOTENT: a recovered
   * query re-running `commit(epoch)` finds its own tag on the latest entry
@@ -72,9 +85,20 @@ private[graft] object KvLog {
   private val FloorName = "_floor"
   private val TailsDirName = "_tails"
 
+  /** Exact per-file statistics carried on a manifest add line. `rows` and
+    * `bytes` are always known to a writing sink; `minKey`/`maxKey` and
+    * `minTs`/`maxTs` are absent when every row had a null in that column
+    * (then the file genuinely contributes nothing to a bound).
+    */
+  case class FileStat(
+      rows: Long, bytes: Long,
+      minKey: Option[String], maxKey: Option[String],
+      minTs: Option[Long], maxTs: Option[Long])
+
   case class Entry(
       seq: Long, compact: Boolean, writer: Option[String],
-      adds: Seq[String], removes: Seq[String])
+      adds: Seq[String], removes: Seq[String],
+      stats: Map[String, FileStat] = Map.empty)
 
   private def logDir(table: Path) = new Path(table, LogDirName)
   private def entryPath(table: Path, seq: Long) =
@@ -128,10 +152,51 @@ private[graft] object KvLog {
       val writer = header.drop(2).collectFirst {
         case w if w.startsWith("writer=") => w.stripPrefix("writer=")
       }
+      val addLines = lines.tail.collect { case l if l.startsWith("+") =>
+        val toks = l.tail.split("\t")
+        toks.head -> parseStat(toks.tail)
+      }
       Entry(seq, compact = header(1) == "compact", writer,
-        adds = lines.tail.collect { case l if l.startsWith("+") => l.tail },
-        removes = lines.tail.collect { case l if l.startsWith("-") => l.tail })
+        adds = addLines.map(_._1),
+        removes = lines.tail.collect { case l if l.startsWith("-") => l.tail },
+        stats = addLines.collect { case (n, Some(s)) => n -> s }.toMap)
     }
+  }
+
+  private def parseStat(toks: Array[String]): Option[FileStat] = {
+    if (toks.isEmpty) return None
+    var rows = -1L; var bytes = -1L
+    var minKey: Option[String] = None; var maxKey: Option[String] = None
+    var minTs: Option[Long] = None; var maxTs: Option[Long] = None
+    val b64 = java.util.Base64.getDecoder
+    toks.foreach {
+      case t if t.startsWith("r=") => rows = t.drop(2).toLong
+      case t if t.startsWith("b=") => bytes = t.drop(2).toLong
+      case t if t.startsWith("k=") =>
+        val Array(lo, hi) = t.drop(2).split(",", 2)
+        minKey = Some(new String(b64.decode(lo), StandardCharsets.UTF_8))
+        maxKey = Some(new String(b64.decode(hi), StandardCharsets.UTF_8))
+      case t if t.startsWith("t=") =>
+        val Array(lo, hi) = t.drop(2).split(",", 2)
+        minTs = Some(lo.toLong); maxTs = Some(hi.toLong)
+      case _ => () // unknown stat token: ignore (forward compatibility)
+    }
+    if (rows < 0 || bytes < 0) None // r= and b= anchor a well-formed stat
+    else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs))
+  }
+
+  private def statSuffix(s: FileStat): String = {
+    val b64 = java.util.Base64.getEncoder
+    def enc(v: String) = b64.encodeToString(v.getBytes(StandardCharsets.UTF_8))
+    val k = (s.minKey, s.maxKey) match {
+      case (Some(lo), Some(hi)) => s"\tk=${enc(lo)},${enc(hi)}"
+      case _ => ""
+    }
+    val t = (s.minTs, s.maxTs) match {
+      case (Some(lo), Some(hi)) => s"\tt=$lo,$hi"
+      case _ => ""
+    }
+    s"\tr=${s.rows}\tb=${s.bytes}$k$t"
   }
 
   /** Append an entry at `latest + 1` (temp-write + rename = atomic publish,
@@ -142,7 +207,8 @@ private[graft] object KvLog {
   def append(fs: FileSystem, table: Path, adds: Seq[String],
       removes: Seq[String] = Nil, compact: Boolean = false,
       writer: Option[String] = None, expectSeq: Option[Long] = None,
-      floor: Option[Long] = None): Long = {
+      floor: Option[Long] = None,
+      stats: Map[String, FileStat] = Map.empty): Long = {
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
@@ -159,7 +225,8 @@ private[graft] object KvLog {
     val kind = if (compact) "compact" else "append"
     val tag = writer.fold("")(w => s" writer=$w")
     val body = (s"v1 $kind$tag" +:
-      (adds.map("+" + _) ++ removes.map("-" + _))).mkString("", "\n", "\n")
+      (adds.map(n => "+" + n + stats.get(n).fold("")(statSuffix)) ++
+        removes.map("-" + _))).mkString("", "\n", "\n")
     val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID().toString.take(8)}")
     writeText(fs, tmp, body)
     // Concurrent-commit detection is two layers: the explicit existence
@@ -283,17 +350,34 @@ private[graft] object KvLog {
     * floor is safe to merge (every position that could deliver it is
     * already behind the floor), one at or above must be carried forward.
     */
-  def liveFilesWithSeq(fs: FileSystem, table: Path): Seq[(String, Long)] = {
-    val latest = latestSeq(fs, table)
-    val from = math.max(horizon(fs, table), 0L)
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    (from to latest).foreach { seq =>
+  def liveFilesWithSeq(fs: FileSystem, table: Path): Seq[(String, Long)] =
+    replayLive(fs, table, math.max(horizon(fs, table), 0L),
+      latestSeq(fs, table)).map { case (n, (seq, _)) => (n, seq) }.toSeq
+
+  /** Manifest-carried [[FileStat]]s for the live file set — the planning
+    * side's zero-footer-open source of row counts, byte sizes, and
+    * rowKey/ts bounds. Files whose publishing entry carried no stats
+    * (legacy tables, seeded migrations) are absent; consumers fall back
+    * per-file.
+    */
+  def liveFileStats(fs: FileSystem, table: Path): Map[String, FileStat] =
+    replayLive(fs, table, math.max(horizon(fs, table), 0L),
+      latestSeq(fs, table)).collect { case (n, (_, Some(s))) => n -> s }.toMap
+
+  /** Replay entries `[from, to]` into the live (name → (attribution,
+    * stats)) map — the shared engine under every live-set read.
+    */
+  private def replayLive(fs: FileSystem, table: Path, from: Long, to: Long)
+      : scala.collection.mutable.LinkedHashMap[String, (Long, Option[FileStat])] = {
+    val live = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Long, Option[FileStat])]
+    (from to to).foreach { seq =>
       read(fs, table, seq).foreach { e =>
         e.removes.foreach(live -= _)
-        e.adds.foreach(live(_) = seq)
+        e.adds.foreach(n => live(n) = (seq, e.stats.get(n)))
       }
     }
-    live.toSeq
+    live
   }
 
   /** TIME TRAVEL: the live file set AS OF log seq `asOf` — the table
@@ -312,19 +396,17 @@ private[graft] object KvLog {
     * the version still reads (one existence probe per suspect file, paid
     * only on pre-checkpoint reads), after reclamation it cannot.
     */
-  def liveFilesAt(fs: FileSystem, table: Path, asOf: Long): Seq[String] = {
+  def liveFilesAt(fs: FileSystem, table: Path, asOf: Long): Seq[String] =
+    liveFilesAtWithStats(fs, table, asOf).map(_._1)
+
+  private def liveFilesAtWithStats(fs: FileSystem, table: Path, asOf: Long)
+      : Seq[(String, Option[FileStat])] = {
     val latest = latestSeq(fs, table)
     require(asOf >= 0 && asOf <= latest,
       s"graft-kv log: asOfSeq $asOf is outside $table's log (latest $latest)")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    (0L to asOf).foreach { seq =>
-      read(fs, table, seq).foreach { e =>
-        e.removes.foreach(live -= _)
-        e.adds.foreach(live(_) = seq)
-      }
-    }
+    val live = replayLive(fs, table, 0L, asOf)
     val fl = floor(fs, table)
-    val merged = live.filter(_._2 < fl).keys.toSeq.sorted
+    val merged = live.filter(_._2._1 < fl).keys.toSeq.sorted
     val reclaimed = merged.filterNot(n => fs.exists(new Path(table, n)))
     if (reclaimed.nonEmpty) throw new IllegalStateException(
       s"graft-kv log: version $asOf of $table is no longer reconstructible — " +
@@ -332,7 +414,7 @@ private[graft] object KvLog {
         s"(floor $fl) and reclaimed by vacuum: " +
         s"${reclaimed.take(3).mkString(", ")}…. Pre-checkpoint versions stay " +
         "readable only until vacuum's grace period reclaims their segments.")
-    live.keys.toSeq.sorted
+    live.toSeq.map { case (n, (_, st)) => (n, st) }.sortBy(_._1)
   }
 
   /** INCREMENTAL (CDC) read: the files COMMITTED in `(sinceSeq, asOf]` — a
@@ -374,14 +456,42 @@ private[graft] object KvLog {
     * counts exactly that span's files.
     */
   def scanFiles(fs: FileSystem, table: Path, asOf: Option[Long],
-      since: Option[Long]): Seq[Path] = since match {
+      since: Option[Long]): Seq[Path] =
+    scanFilesWithStats(fs, table, asOf, since).map(_._1)
+
+  /** [[scanFiles]] plus each file's manifest-carried [[FileStat]] (None for
+    * stat-less entries and legacy directories) — so planning consults the
+    * log first and pays a footer open only where the log is silent.
+    */
+  def scanFilesWithStats(fs: FileSystem, table: Path, asOf: Option[Long],
+      since: Option[Long]): Seq[(Path, Option[FileStat])] = since match {
     case Some(s) =>
       if (!exists(fs, table)) throw new IllegalArgumentException(
         s"graft-kv: sinceSeq incremental reads require a manifest log, and " +
           s"$table has none (legacy/externally-staged directory)")
-      changedFiles(fs, table, s, asOf.getOrElse(latestSeq(fs, table)))
-        .map(new Path(table, _))
-    case None => dataFiles(fs, table, asOf)
+      val upTo = asOf.getOrElse(latestSeq(fs, table))
+      changedFiles(fs, table, s, upTo) // span validation (bounds + floor)
+      (s + 1 to upTo).flatMap { seq =>
+        read(fs, table, seq).toSeq.flatMap(e =>
+          if (e.compact) Nil
+          else e.adds.map(n => (new Path(table, n), e.stats.get(n))))
+      }.sortBy(_._1.getName)
+    case None =>
+      if (asOf.isDefined && !exists(fs, table)) throw new IllegalArgumentException(
+        s"graft-kv: asOfSeq time travel requires a manifest log, and $table " +
+          "has none (legacy/externally-staged directory — versions were never recorded)")
+      if (exists(fs, table)) asOf match {
+        case Some(v) => liveFilesAtWithStats(fs, table, v)
+          .map { case (n, st) => (new Path(table, n), st) }
+        case None =>
+          replayLive(fs, table, math.max(horizon(fs, table), 0L),
+            latestSeq(fs, table)).toSeq
+            .map { case (n, (_, st)) => (new Path(table, n), st) }
+            .sortBy(_._1.getName)
+      }
+      else fs.listStatus(table).map(_.getPath)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).toSeq.map((_, None))
   }
 
   def dataFiles(fs: FileSystem, table: Path, asOf: Option[Long] = None): Seq[Path] = {

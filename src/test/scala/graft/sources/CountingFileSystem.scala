@@ -3,7 +3,7 @@ package graft.sources
 import java.net.URI
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path, RawLocalFileSystem}
 
 /** A local filesystem that COUNTS metadata calls, registered under the
   * `cfs:` scheme (`fs.cfs.impl`) — the measuring instrument behind the
@@ -26,6 +26,12 @@ class CountingFileSystem extends RawLocalFileSystem {
     CountingFileSystem.probes.incrementAndGet()
     super.getFileStatus(p)
   }
+
+  override def open(p: Path, bufferSize: Int): FSDataInputStream = {
+    if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      CountingFileSystem.dataOpens.incrementAndGet()
+    super.open(p, bufferSize)
+  }
 }
 
 object CountingFileSystem {
@@ -33,5 +39,9 @@ object CountingFileSystem {
   val lists = new AtomicLong(0)
   /** Point metadata probes (`getFileStatus`, including `exists`/`open`). */
   val probes = new AtomicLong(0)
-  def reset(): Unit = { lists.set(0); probes.set(0) }
+  /** Opens of DATA files (`part-*.parquet`) — footer reads included; the
+    * manifest-stats claims pin these at zero for metadata-served plans.
+    */
+  val dataOpens = new AtomicLong(0)
+  def reset(): Unit = { lists.set(0); probes.set(0); dataOpens.set(0) }
 }
