@@ -80,6 +80,51 @@ object Queries {
       |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
       |GROUP BY 1""".stripMargin
 
+  /** Cells keyed by UNIQUE event_id across two OVERLAPPING commits (the
+    * LSM shape — both commits span the whole key range, so no region file
+    * can be pruned and every file may hold globally-extreme keys). Unique
+    * keys make a rowKey top-n deterministic for the oracle.
+    */
+  private def ensureTailKeyCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"tailkey_cells|$sfDir", _ => {
+      val path = artifactPath("tailkey_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvTable.table(spark, sfDir, "events").select(
+        lpad(col("event_id").cast("string"), 10, "0").as("rowKey"),
+        lit("f").as("family"),
+        col("event_type").as("qualifier"),
+        encode(floor(col("value") * 100).cast("string"), "UTF-8").as("value"),
+        col("event_id").as("ts"))
+      (0 until 2).foreach { i =>
+        cells.filter(pmod(col("ts"), lit(2)) === i)
+          .write.format("graft-kv").option("regions", 4)
+          .mode("append").save(path)
+      }
+      path
+    })
+
+  /** O2's DESC mirror — the "newest keys" console inspection
+    * (AvroReader.java:27-30's read limit pointed at the key tail):
+    * `ORDER BY rowKey DESC LIMIT 20` pushes as a DESC top-n into the
+    * `graft-kv` scan, so each region-file task ring-buffers its tail and
+    * emits O(20) rows — and with no filters reads only its tail row
+    * groups — instead of surfacing the whole file to a global sort
+    * ([[graft.sources.KvTailPartitionReader]]; PlanSpec asserts the
+    * pushed form).
+    */
+  def readerTopnDesc(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-kv").load(ensureTailKeyCells(spark, sfDir))
+      .orderBy(col("rowKey").desc).limit(20)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+
+  private val readerTopnDescSql: String =
+    """SELECT lpad(CAST(event_id AS VARCHAR), 10, '0') AS rowKey,
+      |  event_type AS qualifier,
+      |  CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+      |  event_id AS ts
+      |FROM events ORDER BY rowKey DESC LIMIT 20""".stripMargin
+
   private val kvPivotEventsSql: String = {
     val aggs = EventCols.map { c =>
       s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
@@ -3554,6 +3599,7 @@ object Queries {
     "export_avro_roundtrip" -> (exportAvroRoundtrip _),
     "reader_avro_limit" -> (readerAvroLimit _),
     "reader_parquet_limit" -> (readerParquetLimit _),
+    "reader_topn_desc" -> (readerTopnDesc _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -3676,6 +3722,7 @@ object Queries {
     "export_avro_roundtrip" -> kvTypedExportSql,
     "reader_avro_limit" -> readerLimitSql,
     "reader_parquet_limit" -> readerLimitSql,
+    "reader_topn_desc" -> readerTopnDescSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,
     "export_evolve_roundtrip" -> exportEvolveRoundtripSql,

@@ -1160,6 +1160,11 @@ object Scratch {
         time("ORDER BY rowKey LIMIT 20")(top.collect())
         println("  plan: " + top.queryExecution.executedPlan.toString
           .linesIterator.find(_.contains("GraftKvScan")).map(_.trim.take(160)).getOrElse("?"))
+        // the DESC mirror ("newest keys"): tail reader, O(n) rows per task
+        val desc = t.orderBy(col("rowKey").desc).limit(20)
+        time("ORDER BY rowKey DESC LIMIT 20")(desc.collect())
+        println("  plan: " + desc.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("GraftKvScan")).map(_.trim.take(160)).getOrElse("?"))
         val full = t
         time("full scan count (reference)")(full.count(): Unit)
 

@@ -135,6 +135,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
   private var statsAggs: Option[Seq[KvStatsScan.Spec]] = None
   private var limit: Option[Int] = None
   private var ordered: Boolean = false
+  private var descending: Boolean = false
 
   /** LIMIT pushdown, always PARTIAL (the default `isPartiallyPushed` —
     * Spark keeps its own global Limit above the scan, so the source only
@@ -149,26 +150,43 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  /** TOP-N pushdown for `ORDER BY rowKey [ASC] LIMIT n` — the HBase
-    * "scan from the table start" inspection. Region files are internally
-    * (rowKey, qualifier)-sorted, so a file's FIRST `n` rows always contain
-    * its contribution to the global ascending top-n: each reader stops at
-    * `n` rows and Spark's retained TopN (partial pushdown) merges the ≤
-    * n×files survivors. No file is dropped — commits overlap like LSM
-    * runs, so ANY file may hold globally-small keys — but every task
-    * becomes O(n) instead of O(file). Descending order is refused (the
-    * top-n of a forward-sorted file is its tail, which a streaming reader
-    * cannot cap); multi-column or non-rowKey orders are refused.
+  /** TOP-N pushdown for `ORDER BY rowKey [ASC|DESC] LIMIT n` — the HBase
+    * "scan from the table start" / "newest keys" inspections (the DESC
+    * form mirrors AvroReader.java:27-30's limit pointed at the key tail).
+    * Region files are internally (rowKey, qualifier)-sorted, so a file's
+    * contribution to the global top-n is bounded either way:
+    *  - ASC: its FIRST `n` rows — each reader stops at `n` rows;
+    *  - DESC: its LAST `n` rows — each reader ring-buffers the tail `n`
+    *    and, with no filters, plans only the file's TAIL row groups
+    *    (footer row counts are exact), so the task reads O(n) rows too.
+    * Spark's retained TopN (partial pushdown) merges the ≤ n×files
+    * survivors. No file is dropped — commits overlap like LSM runs, so
+    * ANY file may hold globally-extreme keys — but every task emits O(n)
+    * rows instead of O(file). Multi-column or non-rowKey orders are
+    * refused, as is a NON-DEFAULT null ordering: rowKey is never null in
+    * practice, but the reader's bound says nothing about where nulls
+    * sort, so only the direction's default (ASC+NULLS_FIRST,
+    * DESC+NULLS_LAST — where the null placement cannot matter for a
+    * non-null column) is accepted rather than assumed.
     */
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder], l: Int): Boolean = {
-    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    val ok = orders.length == 1 && (orders(0).expression() match {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    val onRowKey = orders.length == 1 && (orders(0).expression() match {
       case nr: NamedReference => nr.fieldNames.toSeq == Seq("rowKey")
       case _ => false
-    }) && orders(0).direction() == SortDirection.ASCENDING
-    if (ok) { limit = Some(l); ordered = true }
-    ok
+    })
+    val defaultNulls = onRowKey && (orders(0).direction() match {
+      case SortDirection.ASCENDING =>
+        orders(0).nullOrdering() == NullOrdering.NULLS_FIRST
+      case SortDirection.DESCENDING =>
+        orders(0).nullOrdering() == NullOrdering.NULLS_LAST
+    })
+    if (onRowKey && defaultNulls) {
+      limit = Some(l); ordered = true
+      descending = orders(0).direction() == SortDirection.DESCENDING
+      true
+    } else false
   }
 
   /** Both pushdowns are PARTIAL: Spark always retains its own global
@@ -222,7 +240,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     case Some(specs) => new KvStatsScan(path, specs, conf, asOfSeq, sinceSeq)
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
-        maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered)
+        maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
+        descending)
   }
 }
 
@@ -352,7 +371,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     asOfSeq: Option[Long] = None,
     sinceSeq: Option[Long] = None,
     limit: Option[Int] = None,
-    ordered: Boolean = false)
+    ordered: Boolean = false,
+    descending: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -450,7 +470,11 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // and Spark's retained Limit/TopN does all the cutting.
     val readerLimit = if (KvFilters.allExact(pushed)) limit else None
     KvReaderFactory(projNames, required.fieldNames.toSeq,
-      KvFilters.toParquet(pushed), sconf, readerLimit)
+      KvFilters.toParquet(pushed), sconf, readerLimit,
+      desc = descending,
+      // tail row-group planning needs RAW row counts to be the bound —
+      // only sound with no record filter at all
+      tailPlan = descending && pushed.isEmpty)
   }
 
   override def toBatch: Batch = this
@@ -470,7 +494,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   override def description(): String = {
     val pruned = s"regions=${plannedFiles.size}/$totalFiles"
     val lim = limit.fold("")(n =>
-      if (ordered) s" topN=$n(rowKey ASC)" else s" limit=$n")
+      if (ordered) s" topN=$n(rowKey ${if (descending) "DESC" else "ASC"})"
+      else s" limit=$n")
     s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim"
   }
 }
@@ -481,10 +506,15 @@ private[sources] case class KvReaderFactory(
     projNames: Seq[String], outNames: Seq[String],
     predicate: Option[FilterPredicate],
     conf: SerializableConfiguration,
-    limit: Option[Int] = None) extends PartitionReaderFactory {
+    limit: Option[Int] = None,
+    desc: Boolean = false,
+    tailPlan: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(partition.asInstanceOf[KvFilePartition].file,
+    if (desc && limit.exists(_ > 0))
+      new KvTailPartitionReader(partition.asInstanceOf[KvFilePartition].file,
+        projNames, outNames, predicate, conf.value, limit.get, tailPlan)
+    else new KvPartitionReader(partition.asInstanceOf[KvFilePartition].file,
       projNames, outNames, predicate, conf.value, limit)
 }
 
@@ -518,6 +548,78 @@ private[sources] class KvPartitionReader(
     current = reader.read()
     if (current != null) remaining -= 1
     current != null
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}
+
+/** DESC top-n reader: one region file's contribution to a global
+  * `ORDER BY rowKey DESC LIMIT n` is within its LAST `n` (matching) rows —
+  * the file is (rowKey, qualifier)-sorted, so the largest keys live at its
+  * tail. A parquet stream only reads forward, so the reader keeps a RING
+  * BUFFER of the last `n` rows it has seen and emits the buffer at end of
+  * input: O(n) rows emitted per task, whatever the file size.
+  *
+  * With no record filter (`tailPlan`), it additionally plans a BYTE RANGE
+  * covering just the tail row groups whose raw row counts reach `n` (footer
+  * counts are exact), so the task also READS O(n) rows — the mirror of the
+  * ASC reader's early stop. With an (exact) filter, raw counts bound
+  * nothing — matching rows may live anywhere — so the whole file streams
+  * through the filter while only the last `n` survivors are buffered.
+  */
+private[graft] class KvTailPartitionReader(
+    file: String, projNames: Seq[String], outNames: Seq[String],
+    predicate: Option[FilterPredicate], conf: Configuration,
+    n: Int, tailPlan: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: PqReader[InternalRow] = {
+    val p = new Path(file)
+    var b = PqReader.builder(new KvReadSupport(projNames, outNames), p)
+      .withConf(conf)
+    if (tailPlan) {
+      // Footer pass to find the tail row groups covering >= n rows; the
+      // range's midpoint rule selects exactly the groups at/after `start`.
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val start = try {
+        val blocks = fr.getRowGroups.asScala
+        var need = n.toLong
+        var idx = blocks.length
+        while (idx > 0 && need > 0) { idx -= 1; need -= blocks(idx).getRowCount }
+        if (blocks.isEmpty) 0L else blocks(idx).getStartingPos
+      } finally fr.close()
+      b = b.withFileRange(start, Long.MaxValue)
+    }
+    predicate.fold(b)(pr => b.withFilter(FilterCompat.get(pr))).build()
+  }
+
+  // Ring buffer of the last n rows read (KvMaterializer allocates a fresh
+  // row per record, so buffering references is safe).
+  private val ring = new Array[InternalRow](n)
+  private var seen = 0L
+  private var emitted = 0
+  private var filled = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!filled) {
+      var row = reader.read()
+      while (row != null) {
+        ring((seen % n).toInt) = row
+        seen += 1
+        row = reader.read()
+      }
+      filled = true
+    }
+    val kept = math.min(seen, n.toLong).toInt
+    if (emitted >= kept) return false
+    // emission order within the task is irrelevant — Spark's retained
+    // TopN re-sorts the ≤ n×files survivors
+    current = ring(emitted)
+    emitted += 1
+    true
   }
 
   override def get(): InternalRow = current

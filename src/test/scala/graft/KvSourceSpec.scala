@@ -186,7 +186,7 @@ class KvSourceSpec extends SparkSpec {
     v2.limit(1000000).count() shouldBe pq.count()
   }
 
-  test("ORDER BY rowKey LIMIT n pushes top-n: every reader O(n), no file dropped, DESC refused") {
+  test("ORDER BY rowKey LIMIT n pushes top-n both directions: every reader O(n), no file dropped") {
     // an LSM-shaped table: two OVERLAPPING commits, each covering the full
     // keyspace — any file may hold globally-small keys
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_topn"
@@ -215,11 +215,54 @@ class KvSourceSpec extends SparkSpec {
     keys(topF) shouldBe
       keys(p.filter(col("qualifier") === "C2").orderBy("rowKey").limit(3))
     topF.queryExecution.executedPlan.toString should not include "topN="
-    // DESC cannot be capped by a forward reader: refused, planned as a
-    // normal sort, still correct
+    // DESC is served by the TAIL reader (ring buffer over the file's last
+    // rows, tail row groups only when unfiltered): pushed, correct, O(n)
+    // emitted per task — the "newest keys" inspection
     val desc = t.orderBy(col("rowKey").desc).limit(4)
     keys(desc) shouldBe keys(p.orderBy(col("rowKey").desc).limit(4))
-    desc.queryExecution.executedPlan.toString should not include "topN="
+    val dplan = desc.queryExecution.executedPlan.toString
+    dplan should include("topN=4(rowKey DESC)")
+    dplan should include("regions=4/4") // overlap: no file may be dropped
+    // a DESC top-n larger than the table degrades to the full content
+    keys(t.orderBy(col("rowKey").desc).limit(100000)) shouldBe keys(p)
+  }
+
+  test("the DESC tail reader returns the exact file tail across MULTIPLE row groups") {
+    // a sorted multi-row-group region file (tiny block size forces several
+    // groups), read directly through the tail reader with tail planning on:
+    // the byte-range row-group selection plus the ring buffer must surface
+    // exactly the file's last n rows
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_tail_groups"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = KvGenerator.cells(spark, 4000, 4, "runG")
+      .orderBy("rowKey", "qualifier").coalesce(1)
+    val w = spark.sessionState.newHadoopConf()
+    cells.write.option("parquet.block.size", 16 * 1024) // ~16KB row groups
+      .mode("overwrite").parquet(d)
+    val file = new java.io.File(d).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head.getAbsolutePath
+    val groups = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), w))
+      try r.getRowGroups.size finally r.close()
+    }
+    assert(groups > 1, s"fixture must span row groups, got $groups")
+    val n = 7
+    val names = graft.kv.Cell.schema.fieldNames.toSeq
+    val reader = new graft.sources.KvTailPartitionReader(
+      file, names, names, None, w, n, tailPlan = true)
+    val got = scala.collection.mutable.Buffer.empty[String]
+    while (reader.next()) {
+      val r = reader.get()
+      got += r.getUTF8String(0).toString + "|" + r.getUTF8String(2).toString
+    }
+    reader.close()
+    val expect = spark.read.parquet(d)
+      .orderBy(col("rowKey").desc, col("qualifier").desc).limit(n)
+      .collect().map(r => r.getString(0) + "|" + r.getString(2)).toSeq
+    got.sorted.toSeq shouldBe expect.sorted.toSeq
   }
 
   test("sinceSeq plans exactly the span's files and reads exactly its commits' cells") {

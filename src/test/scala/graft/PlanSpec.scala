@@ -255,6 +255,12 @@ class PlanSpec extends SparkSpec {
     plan should include("HashAggregate")
   }
 
+  test("reader_topn_desc pushes the DESC top-n into the graft-kv scan, no file dropped") {
+    val plan = executedPlan(Queries.all("reader_topn_desc")(spark, sfDir))
+    plan should include("topN=20(rowKey DESC)")
+    plan should include("regions=8/8") // overlapping commits: nothing prunable
+  }
+
   test("tfidf broadcasts the vocabulary-sized df side; tf never shuffles on term twice") {
     val plan = executedPlan(Queries.all("pipe_tfidf")(spark, sfDir))
     plan should include("BroadcastHashJoin")
