@@ -194,9 +194,18 @@ object KvCompactor {
       math.max(KvLog.floor(fs, dir), mergeSet.map(_._2).max + 1))
     val entryStats = (merged.collect { case (n, Some(st)) => n -> st } ++
       carrySet.flatMap(n => liveStats.get(n).map(n -> _))).toMap
+    // Checkpoint the PENDING REMOVALS (earlier entries' merged-away files
+    // still awaiting vacuum, with their original removal clocks) into this
+    // entry, so removal attribution replays from here and the pre-floor
+    // prefix becomes truncatable ([[KvLog.truncate]]). Filtered to files
+    // still on disk — already-reclaimed names need no clock. One replay +
+    // O(pending) existence probes, driver-side, on the rare compact path.
+    val pending = KvLog.removalTimes(fs, dir)
+      .filter { case (n, _) => fs.exists(new Path(dir, n)) }
     val seq = KvLog.append(fs, dir, adds = merged.map(_._1) ++ carrySet,
       removes = mergeSet.map(_._1), compact = true,
-      expectSeq = Some(expectSeq), floor = Some(floor), stats = entryStats)
+      expectSeq = Some(expectSeq), floor = Some(floor), stats = entryStats,
+      carriedRemovals = Some(pending))
     // Merged-away segments stay on disk for in-flight readers (see the
     // publish protocol above); only the emptied scratch dir goes now.
     fs.delete(tmp, true)

@@ -54,6 +54,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   -<fileName>                              // removed by compaction
   * }}}
   *
+  * A compact entry additionally carries the PENDING REMOVALS it
+  * checkpoints over (`~<fileName>\t<removedAtMs>` lines, plus a `pend`
+  * header token marking the entry as carrying a complete pending set):
+  * every file some EARLIER entry removed that is still awaiting vacuum,
+  * with its original removal time. That makes the checkpoint a complete
+  * anchor for garbage attribution — [[removalTimes]] replays from the
+  * horizon instead of seq 0, and [[truncate]] may drop expired pre-floor
+  * entries entirely without vacuum losing grace clocks.
+  *
   * An add line may carry MANIFEST-LEVEL FILE STATISTICS, tab-separated
   * after the name: `r=<rows>`, `b=<bytes>`, `k=<b64(minKey)>,<b64(maxKey)>`
   * (base64 because rowKeys are arbitrary strings), `t=<minTs>,<maxTs>`.
@@ -83,6 +92,7 @@ private[graft] object KvLog {
   private val LatestName = "_latest"
   private val HorizonName = "_horizon"
   private val FloorName = "_floor"
+  private val TruncName = "_trunc"
   private val TailsDirName = "_tails"
 
   /** Exact per-file statistics carried on a manifest add line. `rows` and
@@ -98,7 +108,17 @@ private[graft] object KvLog {
   case class Entry(
       seq: Long, compact: Boolean, writer: Option[String],
       adds: Seq[String], removes: Seq[String],
-      stats: Map[String, FileStat] = Map.empty)
+      stats: Map[String, FileStat] = Map.empty,
+      /** Pre-entry removals still awaiting vacuum, name → removal time —
+        * present (possibly empty) iff `carriesPending`.
+        */
+      carriedRemovals: Map[String, Long] = Map.empty,
+      /** Whether this entry checkpoints the complete pending-removal set
+        * (the `pend` header token): anchored replay and truncation are
+        * only sound when true — a pre-round-11 compact entry removes
+        * without carrying, and must keep the full replay.
+        */
+      carriesPending: Boolean = false)
 
   private def logDir(table: Path) = new Path(table, LogDirName)
   private def entryPath(table: Path, seq: Long) =
@@ -137,6 +157,54 @@ private[graft] object KvLog {
     readLong(fs, new Path(logDir(table), FloorName))
       .getOrElse(horizon(fs, table))
 
+  /** First seq whose ENTRY still exists — 0 until [[truncate]] has run.
+    * Entries below it are gone; everything that needs them (pre-floor time
+    * travel, full-history audits) fails loudly instead of replaying a
+    * silently incomplete prefix.
+    */
+  def earliestSeq(fs: FileSystem, table: Path): Long =
+    readLong(fs, new Path(logDir(table), TruncName)).getOrElse(0L)
+
+  /** RETENTION-BOUNDED LOG TRUNCATION — the checkpoint makes the log's
+    * prefix droppable: a `pend`-carrying horizon entry is a complete
+    * anchor for live-set replay, tail starts, AND garbage attribution, so
+    * entries below the compaction FLOOR serve only pre-floor time travel —
+    * a capability vacuum is already expiring on the same clock. Deletes
+    * the expired prefix (entries older than `retentionMs`, strictly below
+    * the floor, contiguous from the current start — a gap would make
+    * "first retained" meaningless) and records the new start in `_trunc`.
+    *
+    * Refused (returns 0) when the horizon entry does not carry its
+    * pending set: dropping history the vacuum still replays would turn
+    * grace-from-removal into grace-from-mtime and reclaim too early.
+    * Driver-side, O(truncated entries), idempotent.
+    */
+  def truncate(fs: FileSystem, table: Path, retentionMs: Long): Int = {
+    require(retentionMs >= 0, "graft-kv log: retention must be non-negative")
+    if (!exists(fs, table)) return 0
+    val h = horizon(fs, table)
+    if (h < 0 || !read(fs, table, h).exists(_.carriesPending)) return 0
+    val fl = floor(fs, table)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var seq = earliestSeq(fs, table)
+    var dropped = 0
+    var stop = false
+    while (!stop && seq < fl) {
+      val p = entryPath(table, seq)
+      val expired = try fs.getFileStatus(p).getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => true } // already gone
+      if (!expired) stop = true
+      else {
+        fs.delete(p, false): Unit
+        dropped += 1
+        seq += 1
+      }
+    }
+    if (seq > earliestSeq(fs, table))
+      writeText(fs, new Path(logDir(table), TruncName), seq.toString)
+    dropped
+  }
+
   def read(fs: FileSystem, table: Path, seq: Long): Option[Entry] = {
     val p = entryPath(table, seq)
     // Open directly and treat not-found as None: one metadata round-trip per
@@ -159,7 +227,12 @@ private[graft] object KvLog {
       Entry(seq, compact = header(1) == "compact", writer,
         adds = addLines.map(_._1),
         removes = lines.tail.collect { case l if l.startsWith("-") => l.tail },
-        stats = addLines.collect { case (n, Some(s)) => n -> s }.toMap)
+        stats = addLines.collect { case (n, Some(s)) => n -> s }.toMap,
+        carriedRemovals = lines.tail.collect { case l if l.startsWith("~") =>
+          val Array(n, t) = l.tail.split("\t", 2)
+          n -> t.toLong
+        }.toMap,
+        carriesPending = header.contains("pend"))
     }
   }
 
@@ -208,7 +281,8 @@ private[graft] object KvLog {
       removes: Seq[String] = Nil, compact: Boolean = false,
       writer: Option[String] = None, expectSeq: Option[Long] = None,
       floor: Option[Long] = None,
-      stats: Map[String, FileStat] = Map.empty): Long = {
+      stats: Map[String, FileStat] = Map.empty,
+      carriedRemovals: Option[Map[String, Long]] = None): Long = {
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
@@ -224,9 +298,12 @@ private[graft] object KvLog {
     }
     val kind = if (compact) "compact" else "append"
     val tag = writer.fold("")(w => s" writer=$w")
-    val body = (s"v1 $kind$tag" +:
+    val pend = if (carriedRemovals.isDefined) " pend" else ""
+    val body = (s"v1 $kind$tag$pend" +:
       (adds.map(n => "+" + n + stats.get(n).fold("")(statSuffix)) ++
-        removes.map("-" + _))).mkString("", "\n", "\n")
+        removes.map("-" + _) ++
+        carriedRemovals.getOrElse(Map.empty).toSeq.sorted
+          .map { case (n, t) => s"~$n\t$t" })).mkString("", "\n", "\n")
     val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID().toString.take(8)}")
     writeText(fs, tmp, body)
     // Concurrent-commit detection is two layers: the explicit existence
@@ -267,7 +344,13 @@ private[graft] object KvLog {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted.toSeq
     if (preexisting.isEmpty) false
-    else { append(fs, table, adds = preexisting, compact = true); true }
+    else {
+      // The seed is a compact entry with an (empty) pending set, so a
+      // migrated table is checkpoint-anchored from its first entry.
+      append(fs, table, adds = preexisting, compact = true,
+        carriedRemovals = Some(Map.empty))
+      true
+    }
   }
 
   // ------------------------------------------------------- tail registry
@@ -293,17 +376,20 @@ private[graft] object KvLog {
   }
 
   /** The table's commit HISTORY (the Delta `DESCRIBE HISTORY` analog):
-    * every entry in seq order with its kind, writer tag, and add/remove
-    * counts. Driver-side metadata replay, O(log length) — the same cost
-    * class as Delta's, and the audit surface time travel (`asOfSeq`) and
-    * CDC (`sinceSeq`) reads pick their versions from.
+    * every RETAINED entry in seq order with its kind, writer tag, and
+    * add/remove counts — after [[truncate]], history starts at the first
+    * retained seq (like Delta after checkpoint cleanup). Driver-side
+    * metadata replay, O(retained log length); the audit surface time
+    * travel (`asOfSeq`) and CDC (`sinceSeq`) reads pick their versions
+    * from.
     */
   def history(fs: FileSystem, table: Path)
       : Seq[(Long, String, String, Long, Long)] = {
     val latest = latestSeq(fs, table)
-    (0L to latest).flatMap(seq => read(fs, table, seq).map(e =>
-      (e.seq, if (e.compact) "compact" else "append",
-        e.writer.getOrElse(""), e.adds.size.toLong, e.removes.size.toLong)))
+    (earliestSeq(fs, table) to latest).flatMap(seq =>
+      read(fs, table, seq).map(e =>
+        (e.seq, if (e.compact) "compact" else "append",
+          e.writer.getOrElse(""), e.adds.size.toLong, e.removes.size.toLong)))
   }
 
   /** For every file some entry has REMOVED (compaction's merged-away
@@ -313,13 +399,23 @@ private[graft] object KvLog {
     * mtime: a segment written days ago and merged away a second ago must
     * survive a full grace period so in-flight scans planned pre-publish can
     * finish (the read-grace contract [[KvCompactor]]'s deferred deletes
-    * rely on). Replays the whole log — O(log length) driver-side probes,
-    * paid on the GC path only.
+    * rely on).
+    *
+    * ANCHORED REPLAY: when the horizon checkpoint carries its pending-
+    * removal set (`pend` entries, written by every current compaction),
+    * attribution starts there — O(commits since checkpoint) probes, and
+    * pre-floor entries may have been [[truncate]]d away entirely. A
+    * pre-`pend` checkpoint (or no checkpoint) keeps the full O(log
+    * length) replay, still only on the GC path.
     */
   def removalTimes(fs: FileSystem, table: Path): Map[String, Long] = {
     val latest = latestSeq(fs, table)
+    val h = horizon(fs, table)
+    val anchor = if (h >= 0) read(fs, table, h).filter(_.carriesPending) else None
+    val from = anchor.fold(0L)(_ => h)
     val out = scala.collection.mutable.HashMap.empty[String, Long]
-    (0L to latest).foreach { seq =>
+    anchor.foreach(e => out ++= e.carriedRemovals)
+    (from to latest).foreach { seq =>
       read(fs, table, seq).foreach { e =>
         if (e.removes.nonEmpty) {
           val t = fs.getFileStatus(entryPath(table, seq)).getModificationTime
@@ -404,7 +500,19 @@ private[graft] object KvLog {
     val latest = latestSeq(fs, table)
     require(asOf >= 0 && asOf <= latest,
       s"graft-kv log: asOfSeq $asOf is outside $table's log (latest $latest)")
-    val live = replayLive(fs, table, 0L, asOf)
+    // Versions at/after the horizon replay FROM the checkpoint (its adds
+    // are the complete live set) — O(asOf - horizon) probes, and immune
+    // to pre-floor entry truncation. Older versions need the full prefix;
+    // a truncated entry there means the version is genuinely gone.
+    val h = horizon(fs, table)
+    val from = if (h >= 0 && asOf >= h) h else 0L
+    val live = replayLive(fs, table, from, asOf)
+    val firstKept = earliestSeq(fs, table)
+    if (from < firstKept) throw new IllegalStateException(
+      s"graft-kv log: version $asOf of $table is no longer reconstructible — " +
+        s"entries below seq $firstKept were truncated by log retention " +
+        "(pre-floor versions survive truncation only as long as their " +
+        "entries do; re-baseline from the checkpoint or a full scan)")
     val fl = floor(fs, table)
     val merged = live.filter(_._2._1 < fl).keys.toSeq.sorted
     val reclaimed = merged.filterNot(n => fs.exists(new Path(table, n)))

@@ -72,7 +72,8 @@ object KvMaintenance {
       "graft-kv maintenance: vacuumGraceMs must be non-negative")
   }
 
-  case class Report(compaction: KvCompactor.Result, vacuum: KvVacuum.Result)
+  case class Report(compaction: KvCompactor.Result, vacuum: KvVacuum.Result,
+      logEntriesTruncated: Int = 0)
 
   def maintain(spark: SparkSession, path: String,
       policy: Policy = Policy()): Report = {
@@ -92,6 +93,11 @@ object KvMaintenance {
         else KvCompactor.Minor(policy.minorMaxMerge, policy.minorSizeRatio))
     // Vacuum runs regardless of the compaction outcome: it reclaims what
     // PREVIOUS passes removed once their grace expires, and crash strays.
-    Report(compaction, KvVacuum.vacuum(spark, path, policy.vacuumGraceMs))
+    // Log retention rides the same clock: entries below the floor older
+    // than the vacuum grace are dropped (their pre-floor versions' data
+    // is being reclaimed by the same pass anyway); refused automatically
+    // on tables whose checkpoint predates pending-carrying entries.
+    Report(compaction, KvVacuum.vacuum(spark, path, policy.vacuumGraceMs),
+      KvLog.truncate(fs, dir, policy.vacuumGraceMs))
   }
 }

@@ -30,8 +30,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Scale shape: one `listStatus` of the table root (bounded region
   * metadata, driver-side — the same cost every scan-planning pass pays)
-  * plus one full manifest replay for removal attribution; deletes are
-  * per-stray, not per-live-file. Requires a manifest: on a legacy
+  * plus a CHECKPOINT-ANCHORED removal-attribution replay (the horizon
+  * entry carries its pending set, [[KvLog.removalTimes]] — O(commits
+  * since checkpoint), full replay only on pre-anchor legacy logs);
+  * deletes are per-stray, not per-live-file. Requires a manifest: on a legacy
   * directory every file is only discoverable by listing, so "unreferenced"
   * is undefined and vacuum refuses rather than guesses.
   */
