@@ -57,13 +57,29 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
         s"got ${schema.fieldNames.mkString(", ")}")
     val regions = Option(info.options.get("regions")).map(_.toInt).getOrElse(8)
     require(regions > 0, "graft-kv: regions must be positive")
-    new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf)
+    // Opt-in POST-EPOCH MAINTENANCE (`maintain=true` + policy knobs):
+    // lifecycle hygiene wired into the write path itself, the HBase shape
+    // (region servers trigger compaction checks from the memstore flush)
+    // — so a long-lived streaming pipe keeps its segment count bounded
+    // without an operator remembering to schedule MaintainTable.
+    val maintainPolicy =
+      if (!Option(info.options.get("maintain")).exists(_.toBoolean)) None
+      else Some(KvMaintenance.Policy(
+        maxSegments = Option(info.options.get("maintainMaxSegments"))
+          .map(_.toInt).getOrElse(8),
+        targetRegionBytes = Option(info.options.get("maintainTargetRegionBytes"))
+          .map(_.toLong).getOrElse(128L * 1024 * 1024),
+        vacuumGraceMs = Option(info.options.get("maintainGraceMs"))
+          .map(_.toLong).getOrElse(24L * 3600 * 1000)))
+    new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf,
+      maintainPolicy)
   }
 }
 
 private[sources] class KvWrite(
     path: String, schema: StructType, regions: Int, truncate: Boolean,
-    queryId: String, conf: SerializableConfiguration)
+    queryId: String, conf: SerializableConfiguration,
+    maintainPolicy: Option[KvMaintenance.Policy] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   // The sink's contract: range distribution on rowKey across exactly
@@ -83,7 +99,7 @@ private[sources] class KvWrite(
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new KvStreamingWrite(path, schema, queryId, conf)
+    new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy)
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -105,7 +121,8 @@ private[sources] class KvWrite(
   * named by a completed commit.
   */
 private[sources] class KvStreamingWrite(path: String, schema: StructType,
-    queryId: String, conf: SerializableConfiguration)
+    queryId: String, conf: SerializableConfiguration,
+    maintainPolicy: Option[KvMaintenance.Policy] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -150,6 +167,16 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq, writer = writerTag,
       stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
     fs.delete(new Path(stagingDir), true)
+    // Post-epoch policy pass (opt-in): runs AFTER the epoch's entry is
+    // durable, so a crash mid-maintenance can never tear the commit — at
+    // worst the next epoch's pass redoes the housekeeping (idempotent).
+    // Under the threshold it parks at metadata cost; when it compacts,
+    // the trigger interval absorbs the merge, exactly like an HBase
+    // flush-path compaction. Skipped on the epoch-replay no-op path
+    // above: a recovery replay should re-ack, not re-maintain.
+    maintainPolicy.foreach { p =>
+      KvMaintenance.maintain(org.apache.spark.sql.SparkSession.active, path, p)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

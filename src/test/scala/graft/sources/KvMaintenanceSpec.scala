@@ -79,6 +79,39 @@ class KvMaintenanceSpec extends graft.SparkSpec {
     spark.read.format("graft-kv").load(d).count() shouldBe n
   }
 
+  test("sink-hook maintenance bounds a streaming pipe's segment count across epochs") {
+    import org.apache.spark.sql.streaming.Trigger
+    // source: an 8-commit WAL pile; maxFilesPerBatch=1 forces one epoch
+    // per source segment, so the UNMAINTAINED sink would accumulate one
+    // sealed segment set per epoch — 16 files by the end
+    val src = pileUp("kv_maint_hook_src", commits = 8, regions = 2)
+    val dst = s"${sys.props("java.io.tmpdir")}/graft_test/kv_maint_hook_dst"
+    val cp = s"${dst}_cp"
+    Seq(dst, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    val q = spark.readStream.format("graft-kv")
+      .option("maxFilesPerBatch", 1).load(src)
+      .writeStream.format("graft-kv").option("regions", 2)
+      .option("maintain", "true")
+      .option("maintainMaxSegments", 3)
+      .option("maintainGraceMs", 0)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination()
+    val fs = fsOf(dst)
+    val live = KvLog.liveFiles(fs, new Path(dst))
+    // the policy compacted as epochs piled up: far fewer live segments
+    // than the 16 an unmaintained pipe would hold (minor tiers may leave
+    // a small ladder above the threshold between passes)
+    assert(live.size <= 6, s"expected a bounded segment count, got ${live.size}")
+    // the landed data equals the source, cell for cell
+    def digest(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("rowKey"), col("qualifier"), col("ts"))))
+        .collect()(0).getLong(0)
+    val landed = spark.read.format("graft-kv").load(dst)
+    landed.count() shouldBe cells.count()
+    digest(landed) shouldBe digest(spark.read.format("graft-kv").load(src))
+  }
+
   test("tail gating carries into maintenance: a parked compaction never blocks the vacuum half") {
     val d = pileUp("kv_maint_gated", commits = 5)
     val fs = fsOf(d)
