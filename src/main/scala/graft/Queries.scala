@@ -222,9 +222,41 @@ object Queries {
       PresortedCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
 
+  /** The colliding-key generator run staged as a COMPACTED `graft-kv`
+    * table: two overlapping commits merged by a major compaction into 8
+    * disjoint sorted region files — the bulk-load layout, certified for
+    * the shuffle-free pivot from MANIFEST STATS alone
+    * ([[graft.sources.KvTableInfo.disjointSortedRegions]]).
+    */
+  private def ensurePresortedKv(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"presorted_kv|$sfDir", _ => {
+      val path = artifactPath("presorted_kv", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
+      (0 until 2).foreach { i =>
+        cells.filter(pmod(col("ts"), lit(2)) === i)
+          .write.format("graft-kv").option("regions", 4)
+          .mode("append").save(path)
+      }
+      val res = graft.sources.KvCompactor.compact(spark, path, regions = 8)
+      require(res.isInstanceOf[graft.sources.KvCompactor.Compacted],
+        s"kv_pivot_presorted staging expected a compaction, got $res")
+      path
+    })
+
+  /** r11: routed THROUGH the `graft-kv` connector over the compacted
+    * artifact — the scan plans one partition per region file, the
+    * certification proves every rowKey confined to one sorted file, and
+    * the per-partition streaming pivot adds zero exchanges on top (the
+    * whole query plans without a single shuffle; PlanSpec asserts it).
+    * This unifies the bucketed-catalog fast path with the connector path:
+    * both are now "certified layout ⇒ map-only pivot".
+    */
   def kvPivotPresorted(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
-    decodedPresortedPivot(RangeLayout.layout(cells, 8))
+    val path = ensurePresortedKv(spark, sfDir)
+    require(graft.sources.KvTableInfo.disjointSortedRegions(spark, path),
+      s"kv_pivot_presorted: $path must certify the bulk-load invariant")
+    decodedPresortedPivot(spark.read.format("graft-kv").load(path))
   }
 
   /** 100k records over the 32768-key space ⇒ version depth up to 4 per

@@ -374,9 +374,33 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     ordered: Boolean = false,
     descending: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = required
+
+  /** PER-PARTITION ordering report: a sink-written region file is
+    * (rowKey, qualifier)-sorted by the write contract, every reader mode
+    * except the DESC tail ring-buffer preserves file order, and stats
+    * presence in the manifest certifies sink authorship — so a scan whose
+    * planned files all carry stats reports (rowKey[, qualifier]) ASC and
+    * Catalyst drops redundant in-partition sorts. (Range DISTRIBUTION is
+    * not expressible through DSv2 — see [[KvTableInfo]] for how the
+    * engine exploits it structurally instead.)
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val names = required.fieldNames.toSet
+    val certified = !(ordered && descending) && names.contains("rowKey") &&
+      keptFiles.nonEmpty && keptFiles.forall(_._2.isDefined)
+    if (!certified) Array.empty
+    else {
+      val keys = Seq("rowKey") ++ (if (names.contains("qualifier")) Seq("qualifier") else Nil)
+      keys.map(k => Expressions.sort(Expressions.column(k),
+        SortDirection.ASCENDING)).toArray
+    }
+  }
 
   // Region pruning happens once, lazily, on the driver: region count is
   // bounded metadata (like HBase's region directory), not data. The file

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-level physical-layout certification from the manifest alone.
+  *
+  * DSv2 has no vocabulary for "range-partitioned by rowKey" — a scan can
+  * report ordering (`SupportsReportOrdering`) and key-grouped hash-style
+  * partitioning, but not the range layout the `graft-kv` sink actually
+  * produces, so Catalyst cannot learn that a pivot over a compacted table
+  * needs no exchange. The engine closes that gap STRUCTURALLY instead of
+  * through the planner: [[disjointSortedRegions]] certifies the bulk-load
+  * invariant from manifest stats (zero file opens), and the presorted
+  * pivot ([[graft.ops.KvPivot.pivotPresorted]] — a per-partition streaming
+  * group) exploits it with zero exchanges BY CONSTRUCTION, the same way
+  * the reference's map-only export exploited HBase scan order
+  * (ExportHBaseTableToDelimiteredTxt.java:85 `setNumReduceTasks(0)`).
+  */
+object KvTableInfo {
+
+  /** Whether `path`'s live region files certify the BULK-LOAD INVARIANT
+    * the presorted pivot needs — every rowKey's cells confined to one
+    * file, each file internally (rowKey, qualifier)-sorted:
+    *  - every live file carries manifest stats ⇒ it was written by the
+    *    engine's sink, whose `RequiresDistributionAndOrdering` sorted it
+    *    (a stat-less legacy/foreign file certifies nothing);
+    *  - the files' [minKey, maxKey] ranges are pairwise STRICTLY disjoint
+    *    ⇒ no key spans two files (an LSM pile-up of overlapping commits
+    *    fails here until compaction merges it).
+    * Driver-side manifest replay only — the certification itself opens no
+    * data file. Returns false for legacy directories and empty tables.
+    */
+  def disjointSortedRegions(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir) || !KvLog.exists(fs, dir)) return false
+    val live = KvLog.liveFiles(fs, dir)
+    val stats = KvLog.liveFileStats(fs, dir)
+    if (live.isEmpty || !live.forall(stats.contains)) return false
+    val ranges = live.flatMap(n => stats(n).minKey.zip(stats(n).maxKey))
+    if (ranges.size != live.size) return false // an all-null-key file: no bounds
+    ranges.sortBy(_._1).sliding(2).forall {
+      case Seq((_, hiA), (loB, _)) => hiA < loB
+      case _ => true // single file
+    }
+  }
+}

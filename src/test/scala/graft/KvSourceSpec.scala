@@ -265,6 +265,32 @@ class KvSourceSpec extends SparkSpec {
     got.sorted.toSeq shouldBe expect.sorted.toSeq
   }
 
+  test("layout certification: compacted tables certify, LSM pile-ups and legacy dirs do not; scan reports order") {
+    import graft.sources.KvTableInfo
+    // legacy plain-parquet directory: no manifest, nothing certifiable
+    KvTableInfo.disjointSortedRegions(spark, dir) shouldBe false
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_cert"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = KvGenerator.cells(spark, 600, 4, "runC2")
+    (0 until 2).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(2)) === i)
+        .write.format("graft-kv").option("regions", 2)
+        .mode("append").save(d)
+    }
+    // overlapping commits: ranges collide, certification refuses
+    KvTableInfo.disjointSortedRegions(spark, d) shouldBe false
+    graft.sources.KvCompactor.compact(spark, d, regions = 3)
+    // compaction restored the disjoint range layout — certified
+    KvTableInfo.disjointSortedRegions(spark, d) shouldBe true
+    // ...and the ordering REPORT makes a redundant in-partition sort
+    // disappear from the plan (per-file (rowKey, qualifier) order is a
+    // write-contract fact the scan now tells Catalyst about)
+    val sorted = spark.read.format("graft-kv").load(d)
+      .sortWithinPartitions("rowKey")
+    sorted.collect()
+    sorted.queryExecution.executedPlan.toString should not include "Sort "
+  }
+
   test("sinceSeq plans exactly the span's files and reads exactly its commits' cells") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_source_cdc"
     graft.sinks.Sinks.deleteRecursive(spark, d)

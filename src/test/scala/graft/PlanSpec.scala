@@ -255,6 +255,14 @@ class PlanSpec extends SparkSpec {
     plan should include("HashAggregate")
   }
 
+  test("kv_pivot_presorted routed through the connector on a compacted table: ZERO exchanges") {
+    val df = Queries.all("kv_pivot_presorted")(spark, sfDir)
+    val plan = executedPlan(df)
+    plan should include("GraftKvScan")
+    plan should not include "Exchange"
+    df.count() should be > 0L
+  }
+
   test("reader_topn_desc pushes the DESC top-n into the graft-kv scan, no file dropped") {
     val plan = executedPlan(Queries.all("reader_topn_desc")(spark, sfDir))
     plan should include("topN=20(rowKey DESC)")
