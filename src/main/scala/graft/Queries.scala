@@ -80,6 +80,27 @@ object Queries {
       |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
       |GROUP BY 1""".stripMargin
 
+  /** Table-stats inspection served ENTIRELY from metadata: COUNT(*),
+    * MIN/MAX(rowKey) and MIN/MAX(ts) push into the `graft-kv` scan and are
+    * answered from the manifest's writer-collected per-file stats — zero
+    * data-file opens (counting-FS spec pins it), one manifest replay on a
+    * 100-TB table. The rowKey bounds are manifest-ONLY (parquet footer
+    * string stats may be truncated; writer-collected bounds are exact —
+    * a stat-less legacy file anywhere in the plan refuses the key push).
+    */
+  def kvStatsBounds(spark: SparkSession, sfDir: String): DataFrame =
+    kvSourceCells(spark, sfDir).agg(
+      count(lit(1)).as("n_cells"),
+      min(col("rowKey")).as("min_key"), max(col("rowKey")).as("max_key"),
+      min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+
+  private val kvStatsBoundsSql: String =
+    """SELECT count(*) AS n_cells,
+      |  min(lpad(CAST(user_id AS VARCHAR), 8, '0')) AS min_key,
+      |  max(lpad(CAST(user_id AS VARCHAR), 8, '0')) AS max_key,
+      |  min(event_id) AS min_ts, max(event_id) AS max_ts
+      |FROM events""".stripMargin
+
   /** Cells keyed by UNIQUE event_id across two OVERLAPPING commits (the
     * LSM shape — both commits span the whole key range, so no region file
     * can be pruned and every file may hold globally-extreme keys). Unique
@@ -3632,6 +3653,7 @@ object Queries {
     "reader_avro_limit" -> (readerAvroLimit _),
     "reader_parquet_limit" -> (readerParquetLimit _),
     "reader_topn_desc" -> (readerTopnDesc _),
+    "kv_stats_bounds" -> (kvStatsBounds _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -3755,6 +3777,7 @@ object Queries {
     "reader_avro_limit" -> readerLimitSql,
     "reader_parquet_limit" -> readerLimitSql,
     "reader_topn_desc" -> readerTopnDescSql,
+    "kv_stats_bounds" -> kvStatsBoundsSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,
     "export_evolve_roundtrip" -> exportEvolveRoundtripSql,

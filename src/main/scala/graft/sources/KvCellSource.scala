@@ -208,29 +208,39 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) / MIN(ts) / MAX(ts) with no grouping and NO filters are
-    * answered from footer METADATA — zero data pages read; at 100 TB a
-    * table-stats query costs one footer pass instead of a scan. Strings are
-    * deliberately NOT min/max-pushed: parquet writers may truncate binary
-    * statistics, and a truncated bound is a prefix, not the exact value —
-    * int64 stats are always exact. Any filter (even one the source itself
-    * enforces) disables the rewrite: Spark re-evaluates pushed filters as
-    * residuals ABOVE the scan, which would re-filter the one stats row.
+  /** COUNT(*) / MIN(ts) / MAX(ts) / MIN(rowKey) / MAX(rowKey) with no
+    * grouping and NO filters are answered from METADATA — zero data pages
+    * read; at 100 TB a table-stats query costs one manifest replay (or
+    * footer pass, for legacy files) instead of a scan. The rowKey bounds
+    * are served from MANIFEST stats ONLY: parquet writers may truncate
+    * binary footer statistics (a truncated bound is a prefix, not the
+    * value), but the sink's writer-collected bounds are exact — so the
+    * key aggregates are accepted only when every planned file carries
+    * stats ([[KvStatsScan.keyBoundsServable]]); int64 ts footer stats are
+    * always exact and need no such gate. Any filter (even one the source
+    * itself enforces) disables the rewrite: Spark re-evaluates pushed
+    * filters as residuals ABOVE the scan, which would re-filter the one
+    * stats row.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    accepted.isEmpty && scopeFilters.isEmpty && KvStatsScan.translate(agg).isDefined
+    accepted.isEmpty && scopeFilters.isEmpty &&
+      KvStatsScan.translate(agg).exists(servable)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    // Scope options also disable the footer rewrite: footer stats cover the
-    // whole file, so they cannot answer a scoped count.
+    // Scope options also disable the metadata rewrite: file-level stats
+    // cover the whole file, so they cannot answer a scoped count.
     if (accepted.nonEmpty || scopeFilters.nonEmpty) return false
-    KvStatsScan.translate(agg) match {
+    KvStatsScan.translate(agg).filter(servable) match {
       case some @ Some(_) => statsAggs = some; true
       case None => false
     }
   }
+
+  private def servable(specs: Seq[KvStatsScan.Spec]): Boolean =
+    !specs.exists(s => s == KvStatsScan.MinKeySpec || s == KvStatsScan.MaxKeySpec) ||
+      KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq)
 
   /** Scope filters join the pushed set. Unlike Catalyst-pushed filters,
     * Spark never re-evaluates them as residuals — the parquet record filter
@@ -262,8 +272,12 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
   import KvStatsScan._
 
   override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
-    case (CountStarSpec, i) => org.apache.spark.sql.types.StructField(s"agg$i", LongType, nullable = false)
-    case (_, i) => org.apache.spark.sql.types.StructField(s"agg$i", LongType, nullable = true)
+    case (CountStarSpec, i) =>
+      org.apache.spark.sql.types.StructField(s"agg$i", LongType, nullable = false)
+    case (MinKeySpec | MaxKeySpec, i) =>
+      org.apache.spark.sql.types.StructField(s"agg$i", StringType, nullable = true)
+    case (_, i) =>
+      org.apache.spark.sql.types.StructField(s"agg$i", LongType, nullable = true)
   })
 
   private lazy val values: Array[Any] = {
@@ -274,16 +288,23 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
     var count = 0L
     var tsMin: Option[Long] = None
     var tsMax: Option[Long] = None
+    var keyMin: Option[String] = None
+    var keyMax: Option[String] = None
     files.foreach {
       // Manifest-carried stats answer without touching the file at all —
       // a stats query over a logged 100-TB table is one log replay, zero
-      // footer round-trips. Absent ts bounds inside a stat mean every row
-      // had a null ts: genuinely no contribution, not missing data.
+      // footer round-trips. Absent ts/key bounds inside a stat mean every
+      // row had a null there: genuinely no contribution, not missing data.
       case (_, Some(st)) =>
         count += st.rows
         st.minTs.foreach(lo => tsMin = Some(tsMin.fold(lo)(math.min(_, lo))))
         st.maxTs.foreach(hi => tsMax = Some(tsMax.fold(hi)(math.max(_, hi))))
+        st.minKey.foreach(lo => keyMin = Some(keyMin.fold(lo)(m => if (lo < m) lo else m)))
+        st.maxKey.foreach(hi => keyMax = Some(keyMax.fold(hi)(m => if (hi > m) hi else m)))
       case (f, None) =>
+        // Stat-less legacy file: footer fallback serves count and ts (int64
+        // footer stats are exact); key bounds never get here — the builder
+        // only accepts key aggregates when every file carries stats.
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try r.getRowGroups.asScala.foreach { block =>
           count += block.getRowCount
@@ -304,15 +325,13 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
       case CountStarSpec => count: Any
       case MinTsSpec => tsMin.map(Long.box).orNull: Any
       case MaxTsSpec => tsMax.map(Long.box).orNull: Any
+      case MinKeySpec => keyMin.orNull: Any
+      case MaxKeySpec => keyMax.orNull: Any
     }.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(KvStatsPartition(values.map {
-      case null => java.lang.Long.valueOf(Long.MinValue) -> false
-      case l: Long => java.lang.Long.valueOf(l) -> true
-      case l: java.lang.Long => l -> true
-    }))
+    Array(KvStatsPartition(values))
 
   override def createReaderFactory(): PartitionReaderFactory = KvStatsReaderFactory()
 
@@ -327,13 +346,16 @@ private[sources] object KvStatsScan {
   case object CountStarSpec extends Spec { override def toString = "COUNT(*)" }
   case object MinTsSpec extends Spec { override def toString = "MIN(ts)" }
   case object MaxTsSpec extends Spec { override def toString = "MAX(ts)" }
+  case object MinKeySpec extends Spec { override def toString = "MIN(rowKey)" }
+  case object MaxKeySpec extends Spec { override def toString = "MAX(rowKey)" }
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
-  private def tsRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+  private def ref(e: org.apache.spark.sql.connector.expressions.Expression,
+      name: String): Boolean =
     e match {
-      case nr: NamedReference => nr.fieldNames.toSeq == Seq("ts")
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq(name)
       case _ => false
     }
 
@@ -341,15 +363,34 @@ private[sources] object KvStatsScan {
     if (agg.groupByExpressions.nonEmpty) return None
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(CountStarSpec)
-      case m: Min if tsRef(m.column) => Some(MinTsSpec)
-      case m: Max if tsRef(m.column) => Some(MaxTsSpec)
+      case m: Min if ref(m.column, "ts") => Some(MinTsSpec)
+      case m: Max if ref(m.column, "ts") => Some(MaxTsSpec)
+      case m: Min if ref(m.column, "rowKey") => Some(MinKeySpec)
+      case m: Max if ref(m.column, "rowKey") => Some(MaxKeySpec)
       case _ => None
     }
     if (specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
   }
+
+  /** Whether every file the scan would plan carries manifest stats — the
+    * precondition for EXACT rowKey bounds (footer string statistics may
+    * be truncated, so a stat-less file cannot serve them). One manifest
+    * replay at pushdown-decision time, driver-side.
+    */
+  def keyBoundsServable(path: String, sconf: SerializableConfiguration,
+      asOfSeq: Option[Long], sinceSeq: Option[Long]): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(sconf.value)
+    try KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq).forall(_._2.isDefined)
+    catch { case _: Exception => false } // unreadable here ⇒ let the scan fail
+  }
 }
 
-private[sources] case class KvStatsPartition(vals: Array[(java.lang.Long, Boolean)])
+/** The one stats row, shipped driver→executor as plain JVM values
+  * (Long/String/null per spec slot) and materialized to Catalyst types in
+  * the reader.
+  */
+private[sources] case class KvStatsPartition(vals: Array[Any])
     extends InputPartition
 
 private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactory {
@@ -359,7 +400,10 @@ private[sources] case class KvStatsReaderFactory() extends PartitionReaderFactor
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
       override def get(): InternalRow = new GenericInternalRow(
-        vals.map { case (v, present) => if (present) v.longValue(): Any else null }.toArray[Any])
+        vals.map {
+          case s: String => UTF8String.fromString(s): Any
+          case v => v
+        })
       override def close(): Unit = ()
     }
 }

@@ -83,6 +83,29 @@ class KvManifestStatsSpec extends graft.SparkSpec {
     got.getLong(2) shouldBe expect.getLong(2)
   }
 
+  test("pushed MIN/MAX(rowKey) serves EXACT bounds from the manifest; stat-less tables refuse the push") {
+    val d = pileUp("kv_stats_keybounds", commits = 3, regions = 2)
+    val expect = cells.agg(min(col("rowKey")), max(col("rowKey"))).collect()(0)
+    val agg = withCfs(spark.read.format("graft-kv").load(d)
+      .agg(min(col("rowKey")).as("lo"), max(col("rowKey")).as("hi")))
+    CountingFileSystem.reset()
+    val got = agg.collect()(0)
+    CountingFileSystem.dataOpens.get shouldBe 0
+    got.getString(0) shouldBe expect.getString(0)
+    got.getString(1) shouldBe expect.getString(1)
+    agg.queryExecution.executedPlan.toString should include("MIN(rowKey)")
+    // a legacy table (seeded manifest, no stats) must NOT push the key
+    // bounds: footer string statistics may be truncated, so the scan falls
+    // back to computing them from data — correct either way
+    val legacy = s"${sys.props("java.io.tmpdir")}/graft_test/kv_stats_legacy"
+    graft.sinks.Sinks.deleteRecursive(spark, legacy)
+    graft.kv.RangeLayout.layout(cells, 2).write.mode("overwrite").parquet(legacy)
+    val lagg = spark.read.format("graft-kv").load(legacy)
+      .agg(min(col("rowKey")).as("lo"), max(col("rowKey")).as("hi"))
+    lagg.collect()(0).getString(0) shouldBe expect.getString(0)
+    lagg.queryExecution.executedPlan.toString should not include "MIN(rowKey)"
+  }
+
   test("LIMIT planning reads manifest row counts: one task, only the planned file is ever opened") {
     val d = pileUp("kv_stats_limit", commits = 8, regions = 2) // 16 segments
     val lim = withCfs(spark.read.format("graft-kv").load(d).limit(5))
