@@ -419,9 +419,59 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     descending: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
+
+  /** RUNTIME region pruning (the HBase multi-get → region-server routing
+    * analog, and Spark's DPP shape for V2 sources): when this scan sits
+    * under a join on rowKey whose other side is small and selective,
+    * Spark re-plans the scan at execution time with the build side's key
+    * set — [[filter]] intersects those keys against each region file's
+    * manifest key bounds and drops whole files a compile-time predicate
+    * could never prune (the keys aren't known until runtime). Planning
+    * cost: arithmetic over already-loaded manifest stats; files without
+    * stats are conservatively kept.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowKey"))
+
+  @volatile private var runtimeKeys: Option[Seq[String]] = None
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression) = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("rowKey")
+      case _ => false
+    }
+    def str(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: VLit[_] if l.dataType == StringType =>
+          Option(l.value).map(_.toString)
+        case _ => None
+      }
+    val sets = predicates.toSeq.flatMap { p =>
+      p.name() match {
+        case "IN" if p.children().nonEmpty && keyRef(p.children()(0)) =>
+          val vs = p.children().drop(1).toSeq.map(str)
+          if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+        case "=" if p.children().length == 2 =>
+          (p.children()(0), p.children()(1)) match {
+            case (k, v) if keyRef(k) => str(v).map(Seq(_))
+            case (v, k) if keyRef(k) => str(v).map(Seq(_))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    // Multiple translatable predicates conjoin: intersect their key sets.
+    if (sets.nonEmpty) runtimeKeys = Some(
+      sets.reduce((a, b) => a.intersect(b)))
+  }
 
   /** PER-PARTITION ordering report: a sink-written region file is
     * (rowKey, qualifier)-sorted by the write contract, every reader mode
@@ -497,8 +547,19 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     case _ => keptFiles.map(_._1)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedFiles.map(KvFilePartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val statsByFile = keptFiles.toMap
+    val files = runtimeKeys match {
+      case Some(keys) => plannedFiles.filter { f =>
+        statsByFile.get(f).flatten.flatMap(s => s.minKey.zip(s.maxKey)) match {
+          case Some((lo, hi)) => keys.exists(k => k >= lo && k <= hi)
+          case None => true // no bounds: cannot prune, must scan
+        }
+      }
+      case None => plannedFiles
+    }
+    files.map(KvFilePartition).toArray
+  }
 
   /** PRUNING-AWARE stats from the kept region files (manifest stats, with
     * file length + footer row count as the stat-less fallback). Without

@@ -133,6 +133,31 @@ class KvManifestStatsSpec extends graft.SparkSpec {
     CountingFileSystem.dataOpens.get should be <= (2L * kept)
   }
 
+  test("runtime (DPP) region pruning: a broadcast join's keys drop unmatched region files at execution") {
+    val d = pileUp("kv_stats_dpp", commits = 1, regions = 8) // 8 disjoint files
+    val kv = withCfs(spark.read.format("graft-kv").load(d))
+    // 3 keys from the BOTTOM of the keyspace — they live in 1-2 regions
+    val keys = cells.select("rowKey").distinct().orderBy("rowKey")
+      .limit(3).collect().map(_.getString(0)).toSeq
+    // the DPP trigger shape: a FILTERED parquet dim on the join key
+    // (plain local path, so its own files never touch the cfs counters)
+    val dimPath = s"${sys.props("java.io.tmpdir")}/graft_test/kv_stats_dpp_dim"
+    graft.sinks.Sinks.deleteRecursive(spark, dimPath)
+    import spark.implicits._
+    keys.zipWithIndex.toDF("rowKey", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("grp") >= 0)
+    val j = kv.join(broadcast(dim), "rowKey").groupBy().count()
+    CountingFileSystem.reset()
+    val got = j.collect()(0).getLong(0)
+    got shouldBe cells.filter(col("rowKey").isin(keys: _*)).count()
+    // the runtime IN-filter reached the scan…
+    j.queryExecution.executedPlan.toString should include("dynamicpruningexpression")
+    // …and pruned at the FILE level: of 8 region files only the 1-2
+    // holding the keys were ever opened (≤2 opens each: footer + stream)
+    CountingFileSystem.dataOpens.get should be <= 4L
+  }
+
   test("compaction carries stats through the checkpoint: post-compact plans stay metadata-served") {
     val d = pileUp("kv_stats_compact", commits = 4, regions = 2)
     withCfs(KvCompactor.compact(spark, d, regions = 2)) match {
