@@ -101,6 +101,43 @@ object Queries {
       |  min(event_id) AS min_ts, max(event_id) AS max_ts
       |FROM events""".stripMargin
 
+  /** A persisted user dimension (rowKey, uid) for the runtime-pruned join
+    * — parquet with a selective filter is the shape Spark's dynamic
+    * pruning triggers on.
+    */
+  private def ensureUserDim(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"user_dim|$sfDir", _ => {
+      val path = artifactPath("user_dim", sfDir)
+      KvTable.table(spark, sfDir, "events")
+        .select(lpad(col("user_id").cast("string"), 8, "0").as("rowKey"),
+          col("user_id").as("uid"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The runtime-pruned point-lookup join (HBase multi-get routing,
+    * [[graft.sources.KvCellSource]] `SupportsRuntimeV2Filtering`): a
+    * selective user dim broadcast-joins the cell table on rowKey, Spark
+    * ships the build side's key set to the scan at execution, and whole
+    * region files holding none of the keys are never scheduled. The
+    * oracle pins the join's cell counts; the counting-FS spec and
+    * PlanSpec pin the pruning itself.
+    */
+  def kvRuntimePrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = kvSourceCells(spark, sfDir)
+    val dim = spark.read.parquet(ensureUserDim(spark, sfDir))
+      .filter(pmod(col("uid"), lit(97)) === 0)
+    kv.join(broadcast(dim.select(col("rowKey"))), "rowKey")
+      .groupBy(col("rowKey"))
+      .agg(count(lit(1)).as("n_cells"), max(col("ts")).as("max_ts"))
+  }
+
+  private val kvRuntimePruneSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  count(*) AS n_cells, max(event_id) AS max_ts
+      |FROM events WHERE user_id % 97 = 0 GROUP BY 1""".stripMargin
+
   /** Cells keyed by UNIQUE event_id across two OVERLAPPING commits (the
     * LSM shape — both commits span the whole key range, so no region file
     * can be pruned and every file may hold globally-extreme keys). Unique
@@ -3654,6 +3691,7 @@ object Queries {
     "reader_parquet_limit" -> (readerParquetLimit _),
     "reader_topn_desc" -> (readerTopnDesc _),
     "kv_stats_bounds" -> (kvStatsBounds _),
+    "kv_runtime_prune" -> (kvRuntimePrune _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -3778,6 +3816,7 @@ object Queries {
     "reader_parquet_limit" -> readerLimitSql,
     "reader_topn_desc" -> readerTopnDescSql,
     "kv_stats_bounds" -> kvStatsBoundsSql,
+    "kv_runtime_prune" -> kvRuntimePruneSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,
     "export_evolve_roundtrip" -> exportEvolveRoundtripSql,

@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
     df.count() should be > 0L
   }
 
+  test("kv_runtime_prune ships the dim's key set to the scan as a runtime filter") {
+    val df = Queries.all("kv_runtime_prune")(spark, sfDir)
+    val plan = executedPlan(df)
+    plan should include("dynamicpruningexpression")
+    plan should include("BroadcastHashJoin")
+    df.count() should be > 0L
+  }
+
   test("reader_topn_desc pushes the DESC top-n into the graft-kv scan, no file dropped") {
     val plan = executedPlan(Queries.all("reader_topn_desc")(spark, sfDir))
     plan should include("topN=20(rowKey DESC)")
