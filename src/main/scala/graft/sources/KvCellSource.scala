@@ -182,9 +182,14 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       case SortDirection.DESCENDING =>
         orders(0).nullOrdering() == NullOrdering.NULLS_LAST
     })
-    if (onRowKey && defaultNulls) {
+    val desc = onRowKey && orders(0).direction() == SortDirection.DESCENDING
+    // The DESC reader BUFFERS n rows per task (the ring), so a huge top-n
+    // would turn every task into an n-row heap consumer — refuse past an
+    // inspection-sized bound and let the ordinary sort handle it (ASC
+    // needs no cap: its reader only counts).
+    if (onRowKey && defaultNulls && !(desc && l > KvScanBuilder.MaxDescTopN)) {
       limit = Some(l); ordered = true
-      descending = orders(0).direction() == SortDirection.DESCENDING
+      descending = desc
       true
     } else false
   }
@@ -256,6 +261,12 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
 }
 
 private[sources] object KvScanBuilder {
+  /** Largest DESC top-n served by the buffering tail reader (1M rows ≈ a
+    * few hundred MB of cells per task at worst) — larger asks are not
+    * "newest keys" inspections and plan as a regular sort.
+    */
+  val MaxDescTopN: Int = 1 << 20
+
   /** Test-construction fallback: the active session's Hadoop conf. */
   def activeConf: SerializableConfiguration =
     new SerializableConfiguration(
