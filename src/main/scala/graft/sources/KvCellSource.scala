@@ -95,6 +95,8 @@ private[sources] class KvCellTable(path: String) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxFiles = Option(options.get("maxFilesPerBatch")).map(_.toInt)
     maxFiles.foreach(n => require(n > 0, s"maxFilesPerBatch must be positive: $n"))
+    val maxBytes = Option(options.get("maxBytesPerBatch")).map(_.toLong)
+    maxBytes.foreach(n => require(n > 0, s"maxBytesPerBatch must be positive: $n"))
     val scope: Array[Filter] = Seq[Option[Filter]](
       Option(options.get("family")).map(EqualTo("family", _)),
       Option(options.get("qualifier")).map(EqualTo("qualifier", _)),
@@ -110,7 +112,8 @@ private[sources] class KvCellTable(path: String) extends Table
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
       Option(options.get("tailId")),
       Option(options.get("asOfSeq")).map(_.toLong),
-      Option(options.get("sinceSeq")).map(_.toLong))
+      Option(options.get("sinceSeq")).map(_.toLong),
+      maxBytes)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -123,7 +126,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     conf: SerializableConfiguration = KvScanBuilder.activeConf,
     tailId: Option[String] = None,
     asOfSeq: Option[Long] = None,
-    sinceSeq: Option[Long] = None)
+    sinceSeq: Option[Long] = None,
+    maxBytesPerBatch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -256,7 +260,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
-        descending)
+        descending, maxBytesPerBatch)
   }
 }
 
@@ -427,7 +431,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     sinceSeq: Option[Long] = None,
     limit: Option[Int] = None,
     ordered: Boolean = false,
-    descending: Boolean = false)
+    descending: Boolean = false,
+    maxBytesPerBatch: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -628,7 +633,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     require(asOfSeq.isEmpty && sinceSeq.isEmpty,
       "graft-kv: asOfSeq/sinceSeq are batch-read options — a stream's offset " +
         "already names its log position; tail from a fresh checkpoint instead")
-    new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf, tailId)
+    new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf, tailId,
+      maxBytesPerBatch)
   }
 
   override def description(): String = {

@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -47,10 +47,15 @@ import org.apache.spark.util.SerializableConfiguration
   *  - `SupportsTriggerAvailableNow`: the end position is pinned ONCE at
   *    query start, so a bounded replay ("catch up to now, then stop") is
   *    deterministic even while writers keep appending.
-  *  - Admission control (`maxFilesPerBatch` option): bounds per-batch work
-  *    like the file source's `maxFilesPerTrigger` — and in log mode it
-  *    splits WITHIN a large commit's entry (one bulk-load commit can seal
-  *    thousands of region files; the tail still paces them).
+  *  - Admission control (`maxFilesPerBatch` / `maxBytesPerBatch` options):
+  *    bounds per-batch work like the file source's `maxFilesPerTrigger` —
+  *    and in log mode it splits WITHIN a large commit's entry (one
+  *    bulk-load commit can seal thousands of region files; the tail still
+  *    paces them). The BYTE cap is the one that matters when epoch sizes
+  *    vary (a backfill commit can be 1000× a steady epoch): sizes come
+  *    from the entries' manifest stats, so byte admission costs no
+  *    filesystem probes in log mode; both caps admit at least one file per
+  *    batch so progress never stalls on an oversized segment.
   *  - The batch scan's pushdown surface is REUSED verbatim: family /
   *    qualifier / ts predicates reach the parquet record reader, and rowKey
   *    bounds prune whole segments from a batch's partition list (a
@@ -63,7 +68,8 @@ import org.apache.spark.util.SerializableConfiguration
 private[sources] class KvTailStream(
     path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerBatch: Option[Int], confBroadcast: SerializableConfiguration,
-    tailId: Option[String] = None)
+    tailId: Option[String] = None,
+    maxBytesPerBatch: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   def this(path: String, required: StructType, pushed: Array[Filter],
@@ -129,11 +135,20 @@ private[sources] class KvTailStream(
   private def visibleAdds(entry: KvLog.Entry, cur: LogPos): Seq[String] =
     if (entry.compact && cur.idx == 0) Nil else entry.adds
 
-  /** Walk log entries from `pos`, collecting up to `maxFiles` file names.
-    * Probes sequentially; O(entries visited), no listing. Returns the
-    * admitted files and the advanced position.
+  /** One admitted file's size: the entry's manifest stat (free), or a
+    * `getFileStatus` probe for stat-less legacy entries.
     */
-  private def advance(pos: LogPos, maxFiles: Int, capSeq: Long): (Seq[Path], LogPos) = {
+  private def fileSize(entry: KvLog.Entry, name: String): Long =
+    entry.stats.get(name).map(_.bytes)
+      .getOrElse(fs.getFileStatus(new Path(tableDir, name)).getLen)
+
+  /** Walk log entries from `pos`, collecting file names until the FILE or
+    * BYTE cap fills (always at least one file, so an oversized segment
+    * never stalls the stream). Probes sequentially; O(entries visited), no
+    * listing. Returns the admitted files and the advanced position.
+    */
+  private def advance(pos: LogPos, maxFiles: Int, maxBytes: Long,
+      capSeq: Long): (Seq[Path], LogPos) = {
     val fl = KvLog.floor(fs, tableDir)
     if (pos.seq < fl) throw new IllegalStateException(
       s"graft-kv tail: offset at log entry ${pos.seq} is behind the compaction " +
@@ -142,17 +157,27 @@ private[sources] class KvTailStream(
         "so compaction stops at its position.")
     val files = Seq.newBuilder[Path]
     var taken = 0
+    var bytes = 0L
     var cur = pos
     var entry = readEntry(cur.seq)
-    while (entry.isDefined && cur.seq <= capSeq && taken < maxFiles) {
+    var full = false
+    while (entry.isDefined && cur.seq <= capSeq && !full) {
       val adds = visibleAdds(entry.get, cur)
-      val from = math.max(cur.idx, 0)
-      val room = maxFiles - taken
-      val slice = adds.slice(from, from + room)
-      files ++= slice.map(new Path(tableDir, _))
-      taken += slice.length
-      if (from + slice.length < adds.length) {
-        cur = LogPos(cur.seq, from + slice.length) // capped mid-entry
+      var i = math.max(cur.idx, 0)
+      while (i < adds.length && !full) {
+        val size =
+          if (maxBytes == Long.MaxValue) 0L else fileSize(entry.get, adds(i))
+        if (taken >= maxFiles || (taken > 0 && bytes + size > maxBytes)) {
+          full = true
+        } else {
+          files += new Path(tableDir, adds(i))
+          taken += 1
+          bytes += size
+          i += 1
+        }
+      }
+      if (full) {
+        cur = LogPos(cur.seq, i) // capped mid-entry (i == length resumes clean)
       } else {
         cur = LogPos(cur.seq + 1, 0)
         entry = if (cur.seq <= capSeq) readEntry(cur.seq) else None
@@ -197,15 +222,28 @@ private[sources] class KvTailStream(
       if (KvLog.exists(fs, tableDir)) s"log:${KvLog.latestSeq(fs, tableDir)}"
       else s"name:${segmentsAfter("").lastOption.fold("")(_.getName)}")
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerBatch.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerBatch.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerBatch.map(ReadLimit.maxBytes(_)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+    case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+    case x => Seq(x)
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[KvWalOffset].watermark
-    val maxFiles = limit match {
-      case m: ReadMaxFiles => m.maxFiles()
-      case _ => Int.MaxValue
-    }
+    val ls = flatten(limit)
+    val maxFiles = ls.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+      .getOrElse(Int.MaxValue)
+    val maxBytes = ls.collectFirst { case m: ReadMaxBytes => m.maxBytes() }
+      .getOrElse(Long.MaxValue)
     decodePos(from) match {
       case Some(pos) =>
         val cap = availableNowEnd match {
@@ -216,7 +254,7 @@ private[sources] class KvTailStream(
               "mid-stream? Restart from a fresh checkpoint.")
           case None => Long.MaxValue
         }
-        val (files, next) = advance(pos, maxFiles, cap)
+        val (files, next) = advance(pos, maxFiles, maxBytes, cap)
         if (files.isEmpty) start else KvWalOffset(next.encode)
       case None =>
         val pending = availableNowEnd match {
@@ -230,7 +268,19 @@ private[sources] class KvTailStream(
               "from a fresh checkpoint.")
           case None => segmentsAfter(from)
         }
-        val taken = pending.take(maxFiles)
+        // Legacy byte admission pays one probe per admitted file — the
+        // listing mode is O(all segments) per batch anyway.
+        val taken =
+          if (maxBytes == Long.MaxValue) pending.take(maxFiles)
+          else {
+            var bytes = 0L
+            pending.take(maxFiles).takeWhile { p =>
+              val sz = fs.getFileStatus(p).getLen
+              val fits = bytes == 0L || bytes + sz <= maxBytes
+              if (fits) bytes += sz
+              fits
+            }
+          }
         if (taken.isEmpty) start else KvWalOffset(taken.last.getName)
     }
   }
@@ -240,33 +290,39 @@ private[sources] class KvTailStream(
 
   /** Files in `(start, end]`, region-pruned by pushed rowKey bounds the
     * same way the batch scan prunes — per batch, because each batch plans
-    * its own partition list. Log entries are immutable, so a recovered
-    * batch re-plans the exact same file set.
+    * its own partition list, and from the ENTRIES' manifest stats (a
+    * footer open per file per batch would be the object-store round-trip
+    * the log exists to avoid; only stat-less legacy entries pay it). Log
+    * entries are immutable, so a recovered batch re-plans the exact same
+    * file set.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[KvWalOffset].watermark
     val hi = end.asInstanceOf[KvWalOffset].watermark
-    val files = (decodePos(lo), decodePos(hi)) match {
-      case (Some(from), Some(to)) => advanceTo(from, to)._1
-      case _ => segmentsAfter(lo).filter(_.getName <= hi)
-    }
+    val files: Seq[(Path, Option[KvLog.FileStat])] =
+      (decodePos(lo), decodePos(hi)) match {
+        case (Some(from), Some(to)) => advanceTo(from, to)._1
+        case _ => segmentsAfter(lo).filter(_.getName <= hi).map((_, None))
+      }
     val bounds = KvFilters.rowKeyBounds(pushed)
     val kept =
       if (bounds.isEmpty) files
-      else files.filter { f =>
-        KvFilters.fileRowKeyRange(f, conf) match {
+      else files.filter { case (f, stat) =>
+        stat.flatMap(s => s.minKey.zip(s.maxKey))
+          .orElse(KvFilters.fileRowKeyRange(f, conf)) match {
           case Some((kLo, kHi)) => KvFilters.intersects(bounds, kLo, kHi)
           case None => true
         }
       }
-    kept.map(f => KvFilePartition(f.toString)).toArray
+    kept.map { case (f, _) => KvFilePartition(f.toString) }.toArray
   }
 
-  /** Files strictly between two log positions (exclusive start, inclusive
-    * end — the batch contract).
+  /** Files (with their entries' stats) strictly between two log positions
+    * (exclusive start, inclusive end — the batch contract).
     */
-  private def advanceTo(from: LogPos, to: LogPos): (Seq[Path], LogPos) = {
-    val files = Seq.newBuilder[Path]
+  private def advanceTo(from: LogPos, to: LogPos)
+      : (Seq[(Path, Option[KvLog.FileStat])], LogPos) = {
+    val files = Seq.newBuilder[(Path, Option[KvLog.FileStat])]
     var cur = from
     while (cur.seq < to.seq || (cur.seq == to.seq && cur.idx < to.idx)) {
       val entry = readEntry(cur.seq).getOrElse(
@@ -275,7 +331,8 @@ private[sources] class KvTailStream(
       val adds = visibleAdds(entry, cur)
       val start = math.max(cur.idx, 0)
       val until = if (cur.seq == to.seq) to.idx else adds.length
-      files ++= adds.slice(start, until).map(new Path(tableDir, _))
+      files ++= adds.slice(start, until)
+        .map(n => (new Path(tableDir, n), entry.stats.get(n)))
       cur = if (until >= adds.length && cur.seq < to.seq) LogPos(cur.seq + 1, 0)
             else LogPos(cur.seq, until)
       if (cur.seq == to.seq && cur.idx >= to.idx) return (files.result(), cur)

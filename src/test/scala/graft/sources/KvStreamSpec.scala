@@ -263,6 +263,63 @@ class KvStreamSpec extends graft.SparkSpec {
     CountingFileSystem.lists.get should be >= 1L
   }
 
+  test("byte-capped admission paces by manifest sizes; streaming pruning never opens a footer") {
+    // a SINK-written pile (entries carry stats) over the metering fs
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/kv_stream_bytes"
+    graft.sinks.Sinks.deleteRecursive(spark, base)
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    val d = s"cfs:$base"
+    (0 until 4).foreach { i =>
+      allCells.filter(pmod(col("ts"), lit(4)) === i)
+        .write.format("graft-kv").option("regions", 1).mode("append").save(d)
+    }
+    val sconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val table = new Path(d)
+    val fs = table.getFileSystem(sconf.value)
+    val sizes = KvLog.liveFileStats(fs, table).values.map(_.bytes)
+    sizes.size shouldBe 4
+    // budget below any two files: every batch admits exactly one — and the
+    // admission walk reads sizes from the LOG, not getFileStatus
+    val budget = sizes.min + 1
+    val s1 = new KvTailStream(d, Cell.schema, Array.empty, None, sconf,
+      None, Some(budget))
+    val start = s1.initialOffset()
+    CountingFileSystem.reset()
+    val o1 = s1.latestOffset(start, s1.getDefaultReadLimit)
+    s1.planInputPartitions(start, o1).length shouldBe 1
+    CountingFileSystem.dataOpens.get shouldBe 0 // no footer, no size probe reads
+    val o2 = s1.latestOffset(o1, s1.getDefaultReadLimit)
+    s1.planInputPartitions(o1, o2).length shouldBe 1
+    // a large budget drains the rest in one batch
+    val o3 = s1.latestOffset(o2, ReadLimit.maxBytes(Long.MaxValue))
+    s1.planInputPartitions(o2, o3).length shouldBe 2
+    // composite: the tighter of the two caps wins
+    val s2 = new KvTailStream(d, Cell.schema, Array.empty, Some(1), sconf,
+      None, Some(Long.MaxValue))
+    s2.getDefaultReadLimit shouldBe a[
+      org.apache.spark.sql.connector.read.streaming.CompositeReadLimit]
+    val c1 = s2.latestOffset(start, s2.getDefaultReadLimit)
+    s2.planInputPartitions(start, c1).length shouldBe 1
+    // an oversized single segment still makes progress under a tiny budget
+    val s3 = new KvTailStream(d, Cell.schema, Array.empty, None, sconf,
+      None, Some(1L))
+    val t1 = s3.latestOffset(start, s3.getDefaultReadLimit)
+    s3.planInputPartitions(start, t1).length shouldBe 1
+    // streaming REGION PRUNING from the entries' stats: a scoped tail
+    // plans its partitions without opening one data file
+    val lo = allCells.agg(min(col("rowKey"))).collect()(0).getString(0)
+    val pruned = new KvTailStream(d, Cell.schema,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("rowKey", lo),
+        org.apache.spark.sql.sources.LessThan("rowKey", lo + "~")),
+      None, sconf)
+    val pEnd = pruned.latestOffset(start, ReadLimit.allAvailable())
+    CountingFileSystem.reset()
+    val parts = pruned.planInputPartitions(start, pEnd)
+    CountingFileSystem.dataOpens.get shouldBe 0
+    assert(parts.length <= 4)
+  }
+
   test("log mode: maxFilesPerBatch=1 paces WITHIN a multi-file commit; a mid-entry checkpoint resumes") {
     val sconf = new SerializableConfiguration(countingConf)
     val stream = new KvTailStream(loggedDir, Cell.schema, Array.empty, Some(1), sconf)
