@@ -105,13 +105,25 @@ private[sources] class KvCellTable(path: String) extends Table
     // `tailId` registers a streaming tail's progress with the table's
     // manifest so compaction parks on it (KvTailStream.commit doc).
     // `asOfSeq` is a TIME-TRAVEL batch read: the table as of that manifest
-    // entry (KvLog.liveFilesAt doc). `sinceSeq` is an INCREMENTAL (CDC)
-    // batch read: only the cells committed in `(sinceSeq, asOfSeq|latest]`
-    // (KvLog.changedFiles doc). Batch-only — a stream's position IS its
-    // version, so both are rejected at stream construction.
+    // entry (KvLog.liveFilesAt doc); `asOfTime` (epoch millis) resolves to
+    // the last version PUBLISHED at or before that instant
+    // (KvLog.seqAtTime — the Delta timestampAsOf analog). `sinceSeq` is an
+    // INCREMENTAL (CDC) batch read: only the cells committed in
+    // `(sinceSeq, asOfSeq|latest]` (KvLog.changedFiles doc). Batch-only —
+    // a stream's position IS its version, so all are rejected at stream
+    // construction.
+    val asOfSeq = Option(options.get("asOfSeq")).map(_.toLong)
+    val asOfTime = Option(options.get("asOfTime")).map(_.toLong)
+    require(asOfSeq.isEmpty || asOfTime.isEmpty,
+      "graft-kv: asOfSeq and asOfTime are mutually exclusive — a read names " +
+        "its version by seq OR by publish instant, not both")
+    val asOf = asOfSeq.orElse(asOfTime.map { t =>
+      val dir = new org.apache.hadoop.fs.Path(path)
+      KvLog.seqAtTime(dir.getFileSystem(sessionConf.value), dir, t)
+    })
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
       Option(options.get("tailId")),
-      Option(options.get("asOfSeq")).map(_.toLong),
+      asOf,
       Option(options.get("sinceSeq")).map(_.toLong),
       maxBytes)
   }

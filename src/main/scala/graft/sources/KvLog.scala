@@ -165,6 +165,36 @@ private[graft] object KvLog {
   def earliestSeq(fs: FileSystem, table: Path): Long =
     readLong(fs, new Path(logDir(table), TruncName)).getOrElse(0L)
 
+  /** TIMESTAMP → VERSION resolution (the Delta `timestampAsOf` analog):
+    * the last seq whose entry PUBLISHED at or before `tMs` — entry mtimes
+    * are the publish instants and commits are sequential, so they are
+    * non-decreasing. O(retained log) driver-side probes; fails loudly
+    * when `tMs` predates the first retained entry (that version's history
+    * is truncated or never existed).
+    */
+  def seqAtTime(fs: FileSystem, table: Path, tMs: Long): Long = {
+    val latest = latestSeq(fs, table)
+    require(latest >= 0, s"graft-kv log: $table has no commits to time-travel to")
+    var found = -1L
+    var seq = earliestSeq(fs, table)
+    var stop = false
+    while (!stop && seq <= latest) {
+      val mtime = try
+        Some(fs.getFileStatus(entryPath(table, seq)).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+      mtime match {
+        case Some(t) if t <= tMs => found = seq; seq += 1
+        case Some(_) => stop = true
+        case None => seq += 1 // truncated gap (defensive): keep walking
+      }
+    }
+    if (found < 0) throw new IllegalArgumentException(
+      s"graft-kv log: no version of $table published at or before " +
+        s"timestamp $tMs (first retained entry is newer — truncated by log " +
+        "retention, or the table did not exist yet)")
+    found
+  }
+
   /** RETENTION-BOUNDED LOG TRUNCATION — the checkpoint makes the log's
     * prefix droppable: a `pend`-carrying horizon entry is a complete
     * anchor for live-set replay, tail starts, AND garbage attribution, so

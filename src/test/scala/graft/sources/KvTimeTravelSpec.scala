@@ -60,6 +60,31 @@ class KvTimeTravelSpec extends graft.SparkSpec {
       include("manifest log")
   }
 
+  test("asOfTime resolves the last version published at or before the instant (timestampAsOf)") {
+    val d = pileUp("kv_tt_bytime")
+    val fs = fsOf(d)
+    val table = new Path(d)
+    // pin distinct publish instants per entry
+    KvLog.backdateEntry(fs, table, 0, 1000L)
+    KvLog.backdateEntry(fs, table, 1, 2000L)
+    KvLog.backdateEntry(fs, table, 2, 3000L)
+    def atTime(t: Long): DataFrame =
+      spark.read.format("graft-kv").option("asOfTime", t).load(d)
+    // between commits: the older one wins; exactly at: that one
+    atTime(2500L).count() shouldBe asOf(d, 1).count()
+    atTime(2000L).count() shouldBe asOf(d, 1).count()
+    atTime(999999999L).count() shouldBe
+      spark.read.format("graft-kv").load(d).count()
+    // before the first commit: loud failure, not an empty table
+    intercept[IllegalArgumentException] { atTime(500L).count() }
+      .getMessage should include("no version")
+    // naming the version both ways at once is rejected
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-kv").option("asOfTime", 2500L)
+        .option("asOfSeq", 1).load(d).count()
+    }.getMessage should include("mutually exclusive")
+  }
+
   test("vacuum bounds time travel, compaction alone does not: pre-checkpoint versions read until reclamation") {
     val d = pileUp("kv_tt_compacted")
     val fs = fsOf(d)
