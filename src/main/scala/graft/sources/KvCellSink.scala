@@ -231,16 +231,35 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // into the log FIRST, or this entry would become the whole visible
     // table and silently hide them (KvLog.seedFromDirIfNeeded doc).
     if (!truncate) KvLog.seedFromDirIfNeeded(fs, dir)
-    // Allocate the commit's log seq next: it keys the sealed names, so a
-    // table's batch appends carry monotone, collision-free names.
+    // Sealed names carry the current seq as a human-orderable label plus
+    // this commit's WRITER-UNIQUE token (the staging dir's uuid): names can
+    // never collide across concurrent committers, so losing the log-append
+    // race costs a retry of the one-entry append — never a rename of data.
     val seq = KvLog.latestSeq(fs, dir) + 1
+    val token = stagingDir.substring(stagingDir.lastIndexOf('_') + 1)
     val sealedOut = messages.collect { case KvFileCommit(f, partition, st) if f.nonEmpty =>
-      val target = new Path(dir, f"part-b$seq%010d-$partition%05d.parquet")
+      val target = new Path(dir, f"part-b$seq%010d-$partition%05d-$token.parquet")
       fs.rename(new Path(f), target)
       target.getName -> st
     }
-    KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq,
-      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
+    // OPTIMISTIC CONCURRENCY on the entry append (the Delta commit-loop
+    // shape): a concurrent committer winning the seq costs this one a
+    // re-append under a fresh allocation — bounded attempts, data files
+    // untouched. In-process writers never even conflict (KvLog's
+    // per-table append lock); this loop is the cross-process path.
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      try {
+        KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq,
+          stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
+        committed = true
+      } catch {
+        case e: KvLog.ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+      }
+    }
     fs.delete(new Path(stagingDir), true)
   }
 

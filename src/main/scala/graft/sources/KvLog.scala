@@ -81,12 +81,37 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * and skips the duplicate append (an epoch replay is always of the latest
   * committed epoch — Spark checkpoints an epoch before starting the next).
   *
-  * Single-writer assumption: one committing writer per table at a time (the
-  * HBase model — one WAL appender per region server; bulk loads coordinate).
-  * Concurrent commits would race the seq allocation; the rename-into-place
-  * write makes the race DETECTABLE (the second rename fails), not silent.
+  * Concurrency: in-process writer threads serialize on a per-table append
+  * lock (race-free by construction — the realistic local shape, one driver
+  * many jobs). Cross-process committers race the seq allocation; the
+  * rename-into-place write makes the race DETECTABLE (the loser's rename
+  * fails → [[ConcurrentCommitException]]) and the BATCH sink retries under
+  * a fresh allocation with writer-unique file names, so concurrent batch
+  * appends compose like Delta's commit loop. Streaming keeps one pipe per
+  * table (its exactly-once replay detection reads the latest entry's
+  * writer tag); compaction aborts rather than retries (`expectSeq` — its
+  * staged layout is invalidated by any interleaved commit).
   */
 private[graft] object KvLog {
+
+  /** A commit lost the seq-allocation race. Batch sink commits RETRY on
+    * this (their file names are writer-unique, so only the entry append
+    * needs re-running); compaction's `expectSeq` abort deliberately does
+    * NOT use this type — a moved log invalidates its staged layout and
+    * retrying would publish stale merges.
+    */
+  final class ConcurrentCommitException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Per-table in-process append lock: concurrent writer THREADS of one
+    * driver (the realistic local concurrency) serialize their
+    * allocate+publish critical sections here, making in-JVM commits
+    * race-free outright; cross-PROCESS writers still rely on the
+    * exists-check + rename CAS below (atomic on HDFS-like stores) and the
+    * callers' retry.
+    */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   val LogDirName = "_log"
   private val LatestName = "_latest"
@@ -312,7 +337,18 @@ private[graft] object KvLog {
       writer: Option[String] = None, expectSeq: Option[Long] = None,
       floor: Option[Long] = None,
       stats: Map[String, FileStat] = Map.empty,
-      carriedRemovals: Option[Map[String, Long]] = None): Long = {
+      carriedRemovals: Option[Map[String, Long]] = None): Long =
+    appendLocks.computeIfAbsent(table.toString, _ => new Object).synchronized {
+      appendLocked(fs, table, adds, removes, compact, writer, expectSeq,
+        floor, stats, carriedRemovals)
+    }
+
+  private def appendLocked(fs: FileSystem, table: Path, adds: Seq[String],
+      removes: Seq[String], compact: Boolean,
+      writer: Option[String], expectSeq: Option[Long],
+      floor: Option[Long],
+      stats: Map[String, FileStat],
+      carriedRemovals: Option[Map[String, Long]]): Long = {
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
@@ -340,10 +376,14 @@ private[graft] object KvLog {
     // check catches the common race on ANY filesystem (POSIX rename onto an
     // existing path succeeds by replacement, so the rename result alone is
     // only a detector under HDFS no-overwrite semantics); the rename-result
-    // check is the atomic backstop where the store provides it.
-    if (fs.exists(entryPath(table, seq)) || !fs.rename(tmp, entryPath(table, seq)))
-      throw new IllegalStateException(
+    // check is the atomic backstop where the store provides it. The loser's
+    // tmp file is cleaned up here — a retrying caller re-enters with a
+    // fresh allocation and must not accrete orphans in the log dir.
+    if (fs.exists(entryPath(table, seq)) || !fs.rename(tmp, entryPath(table, seq))) {
+      fs.delete(tmp, false): Unit
+      throw new ConcurrentCommitException(
         s"graft-kv log: concurrent commit detected at seq $seq of $table")
+    }
     writeText(fs, new Path(logDir(table), LatestName), seq.toString)
     if (compact) {
       writeText(fs, new Path(logDir(table), HorizonName), seq.toString)
