@@ -147,6 +147,8 @@ object Cli {
           println(s"compacted $table: $merged segments -> $into at log seq $seq")
         case graft.sources.KvCompactor.Parked(reason) =>
           println(s"compaction parked for $table: $reason")
+        case graft.sources.KvCompactor.Aborted(reason) =>
+          println(s"compaction aborted for $table: $reason")
       }
 
     // GC of manifest-unreferenced files (crash leftovers) after a grace
@@ -180,6 +182,7 @@ object Cli {
         case graft.sources.KvCompactor.Compacted(seq, merged, into) =>
           s"compacted $merged segments -> $into at log seq $seq"
         case graft.sources.KvCompactor.Parked(reason) => s"compaction parked: $reason"
+        case graft.sources.KvCompactor.Aborted(reason) => s"compaction aborted: $reason"
       }
       val v = r.vacuum match {
         case graft.sources.KvVacuum.Vacuumed(n, bytes, dirs) =>

@@ -42,8 +42,11 @@ import org.apache.spark.sql.SparkSession
   *     PRE-ALLOCATED seq,
   *  3. append ONE `compact` entry — adds = merged + carried (the complete
   *     live set, making the entry a log CHECKPOINT), removes = every
-  *     merged-away segment, floor = the gating floor; `expectSeq` aborts
-  *     pre-publish if a concurrent commit moved the log,
+  *     merged-away segment, floor = the gating floor; `expectSeq` detects
+  *     a concurrently moved log pre-publish, on which the publish loop
+  *     REBASES over interleaved pure appends (their files join the
+  *     checkpoint; the staged merge is untouched) and aborts only when an
+  *     interleaved commit removed files,
   *  4. delete ONLY the (now empty) scratch dir. The merged-away segments
   *     are NOT deleted here: manifest readers planned from here on never
   *     see them, but an in-flight scan planned pre-publish may still hold
@@ -95,6 +98,13 @@ object KvCompactor {
     * tail progress or an already-compact table is the normal idle state).
     */
   case class Parked(reason: String) extends Result
+  /** Compaction STAGED a merge but could not publish it: a concurrent
+    * commit removed files (another compaction/clone-restore) so the staged
+    * checkpoint may reference merged-away inputs, and the pass discarded
+    * its outputs rather than publish a corrupt live set. Retryable — the
+    * next pass plans from the winner's log.
+    */
+  case class Aborted(reason: String) extends Result
 
   /** Compact with a FIXED output region count (the CompactTable CLI shape). */
   def compact(spark: SparkSession, path: String, regions: Int,
@@ -179,38 +189,108 @@ object KvCompactor {
     // published names. Carried files keep their stats too: the checkpoint
     // entry is the replay start, so stats dropped here would be lost.
     val tmpStats = KvLog.liveFileStats(fs, tmp)
-    val merged = KvLog.dataFiles(fs, tmp).zipWithIndex.map { case (f, i) =>
+    var merged = KvLog.dataFiles(fs, tmp).zipWithIndex.map { case (f, i) =>
       val target = new Path(dir, f"part-c$expectSeq%010d-$i%05d.parquet")
       if (!fs.rename(f, target)) throw new IllegalStateException(
         s"graft-kv compaction: staging rename to $target failed")
       target.getName -> tmpStats.get(f.getName)
     }
-    // The tightest sound floor: a tail at position p fails only if some
-    // entry >= p lost a file, so the floor is one past the HIGHEST
-    // attribution among the merged-away segments (never regressing a prior
-    // floor). A minor pass that merged only old segments leaves newer
-    // positions replayable; a major pass reduces to the old gate formula.
-    val floor = math.min(expectSeq,
-      math.max(KvLog.floor(fs, dir), mergeSet.map(_._2).max + 1))
-    val entryStats = (merged.collect { case (n, Some(st)) => n -> st } ++
-      carrySet.flatMap(n => liveStats.get(n).map(n -> _))).toMap
-    // Checkpoint the PENDING REMOVALS (earlier entries' merged-away files
-    // still awaiting vacuum, with their original removal clocks) into this
-    // entry, so removal attribution replays from here and the pre-floor
-    // prefix becomes truncatable ([[KvLog.truncate]]). Filtered to files
-    // still on disk — already-reclaimed names need no clock. One replay +
-    // O(pending) existence probes, driver-side, on the rare compact path.
-    val pending = KvLog.removalTimes(fs, dir)
-      .filter { case (n, _) => fs.exists(new Path(dir, n)) }
-    val seq = KvLog.append(fs, dir, adds = merged.map(_._1) ++ carrySet,
-      removes = mergeSet.map(_._1), compact = true,
-      expectSeq = Some(expectSeq), floor = Some(floor), stats = entryStats,
-      carriedRemovals = Some(pending))
-    // Merged-away segments stay on disk for in-flight readers (see the
-    // publish protocol above); only the emptied scratch dir goes now.
     fs.delete(tmp, true)
-    Compacted(seq, merged = mergeSet.size, into = merged.size)
+
+    // PUBLISH LOOP — the Delta commit-loop shape for a long merge racing a
+    // live table. The staged merge is a pure function of `mergeSet`, so an
+    // interleaved commit invalidates it ONLY if that commit removed files;
+    // interleaved pure appends (streaming epochs sealing while a
+    // minutes-long merge ran — the steady state at scale) just mean the
+    // checkpoint entry must also carry THEIR files to stay a complete live
+    // set. So on a lost seq race: adjudicate the interleaved entries,
+    // rebase (fold their adds+stats into the checkpoint, re-key the merged
+    // outputs to the fresh seq — a metadata rename, no data rewrite) and
+    // retry, or abort + discard outputs if anything removed files. Without
+    // this, maintenance on a table with steady ingest would starve: every
+    // pass longer than an epoch interval would abort forever.
+    var expect = expectSeq
+    var extraAdds = Seq.empty[String]
+    var extraStats = Map.empty[String, KvLog.FileStat]
+    var attempt = 0
+    while (true) {
+      prePublishHook()
+      // The tightest sound floor: a tail at position p fails only if some
+      // entry >= p lost a file, so the floor is one past the HIGHEST
+      // attribution among the merged-away segments (never regressing a
+      // prior floor). A minor pass that merged only old segments leaves
+      // newer positions replayable; a major pass reduces to the gate
+      // formula. Recomputed per attempt (cheap hint reads).
+      val floor = math.min(expect,
+        math.max(KvLog.floor(fs, dir), mergeSet.map(_._2).max + 1))
+      // Checkpoint the PENDING REMOVALS (earlier entries' merged-away
+      // files still awaiting vacuum, with their original removal clocks)
+      // into this entry, so removal attribution replays from here and the
+      // pre-floor prefix becomes truncatable ([[KvLog.truncate]]).
+      // Filtered to files still on disk — already-reclaimed names need no
+      // clock. One replay + O(pending) existence probes, driver-side, on
+      // the rare compact path (and once more per rebase attempt).
+      val pending = KvLog.removalTimes(fs, dir)
+        .filter { case (n, _) => fs.exists(new Path(dir, n)) }
+      val entryStats = (merged.collect { case (n, Some(st)) => n -> st } ++
+        carrySet.flatMap(n => liveStats.get(n).map(n -> _))).toMap ++ extraStats
+      try {
+        val seq = KvLog.append(fs, dir,
+          adds = merged.map(_._1) ++ carrySet ++ extraAdds,
+          removes = mergeSet.map(_._1), compact = true,
+          expectSeq = Some(expect), floor = Some(floor), stats = entryStats,
+          carriedRemovals = Some(pending))
+        // Merged-away segments stay on disk for in-flight readers (see the
+        // publish protocol above).
+        return Compacted(seq, merged = mergeSet.size, into = merged.size)
+      } catch {
+        case _: KvLog.ConcurrentCommitException =>
+          attempt += 1
+          val nowLatest = KvLog.latestSeq(fs, dir)
+          val interleaved =
+            (expect to nowLatest).flatMap(KvLog.read(fs, dir, _))
+          val conflicts = interleaved.filter(e => e.compact || e.removes.nonEmpty)
+          if (conflicts.nonEmpty || attempt >= MaxRebaseAttempts) {
+            // True conflict (or a pathologically hot log): the winner may
+            // have merged away this pass's inputs, so the staged outputs
+            // are unpublishable — discard them and let the next pass plan
+            // from the winner's manifest. Nothing was published; readers
+            // never saw the staged files (manifest-planned).
+            merged.foreach { case (n, _) =>
+              fs.delete(new Path(dir, n), false): Unit }
+            return Aborted(
+              if (conflicts.nonEmpty)
+                s"concurrent commit at seq ${conflicts.head.seq} removed " +
+                  "files: staged merge discarded (next pass replans)"
+              else s"lost the publish race $attempt times: backing off")
+          }
+          extraAdds ++= interleaved.flatMap(_.adds)
+          extraStats ++= interleaved.flatMap(_.stats)
+          val next = nowLatest + 1
+          merged = merged.zipWithIndex.map { case ((n, st), i) =>
+            val target = f"part-c$next%010d-$i%05d.parquet"
+            if (!fs.rename(new Path(dir, n), new Path(dir, target)))
+              throw new IllegalStateException(
+                s"graft-kv compaction: rebase rename to $target failed")
+            target -> st
+          }
+          expect = next
+      }
+    }
+    throw new IllegalStateException("unreachable: publish loop returns")
   }
+
+  /** Rebase cap — each attempt is one log-hint read + one entry append, so
+    * the cap only guards a pathologically hot log; 5 lost races in a row
+    * means back off and let the maintenance scheduler re-trigger.
+    */
+  private val MaxRebaseAttempts = 5
+
+  /** Test-only injection point: runs immediately before each publish
+    * attempt, so a spec can interleave a commit deterministically between
+    * staging and publish. Production value is a no-op.
+    */
+  private[sources] var prePublishHook: () => Unit = () => ()
 
   /** The [[Minor]] window search over (name, attributedSeq, bytes)
     * candidates. O(candidates²) driver-side arithmetic on bounded region

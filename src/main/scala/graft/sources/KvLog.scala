@@ -89,16 +89,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * a fresh allocation with writer-unique file names, so concurrent batch
   * appends compose like Delta's commit loop. Streaming keeps one pipe per
   * table (its exactly-once replay detection reads the latest entry's
-  * writer tag); compaction aborts rather than retries (`expectSeq` — its
-  * staged layout is invalidated by any interleaved commit).
+  * writer tag); compaction rebases onto interleaved PURE APPENDS and
+  * aborts only on a true conflict — an interleaved remove/compact — see
+  * [[KvCompactor]]'s publish loop.
   */
 private[graft] object KvLog {
 
   /** A commit lost the seq-allocation race. Batch sink commits RETRY on
     * this (their file names are writer-unique, so only the entry append
-    * needs re-running); compaction's `expectSeq` abort deliberately does
-    * NOT use this type — a moved log invalidates its staged layout and
-    * retrying would publish stale merges.
+    * needs re-running). Compaction's `expectSeq` pre-publish check throws
+    * it too: [[KvCompactor]] ADJUDICATES the interleaved entries — pure
+    * appends are rebased into the checkpoint (the staged merge is still
+    * valid, only the entry moves), anything that removed files aborts the
+    * pass (the staged layout may reference merged-away inputs).
     */
   final class ConcurrentCommitException(msg: String)
       extends IllegalStateException(msg)
@@ -358,7 +361,7 @@ private[graft] object KvLog {
     // complete live set while a concurrent commit slipped below it would
     // hide that commit's files. Abort BEFORE publishing anything.
     expectSeq.foreach { e =>
-      if (seq != e) throw new IllegalStateException(
+      if (seq != e) throw new ConcurrentCommitException(
         s"graft-kv log: concurrent commit during compaction of $table — " +
           s"expected to publish seq $e, log is now at ${seq - 1}")
     }

@@ -61,4 +61,78 @@ class KvConcurrencySpec extends graft.SparkSpec {
     KvLog.liveFileStats(fs, table).keySet shouldBe
       KvLog.liveFiles(fs, table).toSet
   }
+
+  test("compaction rebases over an interleaved pure append instead of aborting") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_rebase"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = KvGenerator.cells(spark, 400, 4, "runRB").cache()
+    (0 until 4).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(5)) === i)
+        .write.format("graft-kv").option("regions", 1).mode("append").save(d)
+    }
+    val tail = cells.filter(pmod(col("ts"), lit(5)) === 4)
+    val tailCount = tail.count()
+    // Interleave a real sink append between compaction's staging and its
+    // first publish attempt — the epoch-seals-during-a-long-merge shape.
+    KvCompactor.prePublishHook = () => {
+      KvCompactor.prePublishHook = () => ()
+      tail.write.format("graft-kv").option("regions", 1).mode("append").save(d)
+    }
+    val res =
+      try KvCompactor.compact(spark, d, regions = 2)
+      finally KvCompactor.prePublishHook = () => ()
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val table = new Path(d)
+    // seqs 0..3 = appends, 4 = the interleaved append, 5 = the rebased pass
+    res shouldBe KvCompactor.Compacted(5L, merged = 4, into = 2)
+    val entry = KvLog.read(fs, table, 5L).get
+    entry.compact shouldBe true
+    // the checkpoint is the COMPLETE live set: rebased merge outputs keyed
+    // by the PUBLISHED seq plus the interleaved commit's file
+    val interleavedAdds = KvLog.read(fs, table, 4L).get.adds
+    entry.adds.filter(_.startsWith("part-c"))
+      .foreach(f => assert(f.startsWith("part-c0000000005-")))
+    interleavedAdds.foreach(f => assert(entry.adds.contains(f)))
+    // no orphaned pre-rebase staging names remain
+    assert(!KvLog.dataFiles(fs, table).exists(_.getName.startsWith("part-c0000000004")))
+    // the table replays to the full union and keeps every file's stats
+    spark.read.format("graft-kv").load(d).count() shouldBe cells.count()
+    KvLog.liveFileStats(fs, table).keySet shouldBe
+      KvLog.liveFiles(fs, table).toSet
+    // a rebased checkpoint still anchors replay (horizon moved with it)
+    KvLog.horizon(fs, table) shouldBe 5L
+    spark.catalog.clearCache()
+  }
+
+  test("compaction aborts and discards its outputs when an interleaved commit removed files") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_abort"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = KvGenerator.cells(spark, 200, 4, "runAB").cache()
+    (0 until 3).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(3)) === i)
+        .write.format("graft-kv").option("regions", 1).mode("append").save(d)
+    }
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val table = new Path(d)
+    val before = spark.read.format("graft-kv").load(d).count()
+    // Interleave a commit that REMOVES a live segment (another process's
+    // compaction winning the race): the staged merge may reference a
+    // merged-away input, so the pass must not publish.
+    KvCompactor.prePublishHook = () => {
+      KvCompactor.prePublishHook = () => ()
+      val live = KvLog.liveFiles(fs, table)
+      KvLog.append(fs, table, adds = Nil, removes = Seq(live.head))
+    }
+    val res =
+      try KvCompactor.compact(spark, d, regions = 2)
+      finally KvCompactor.prePublishHook = () => ()
+    assert(res.isInstanceOf[KvCompactor.Aborted], s"expected Aborted, got $res")
+    // the staged outputs were discarded — no part-c file is on disk or in
+    // the manifest, and the table reads exactly per the winner's log
+    assert(!KvLog.dataFiles(fs, table).exists(_.getName.startsWith("part-c")))
+    KvLog.liveFiles(fs, table).foreach(f => assert(!f.startsWith("part-c")))
+    val after = spark.read.format("graft-kv").load(d).count()
+    assert(after < before, "the interleaved remove should have shrunk the table")
+    spark.catalog.clearCache()
+  }
 }
