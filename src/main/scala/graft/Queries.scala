@@ -101,6 +101,48 @@ object Queries {
       |  min(event_id) AS min_ts, max(event_id) AS max_ts
       |FROM events""".stripMargin
 
+  /** The events cells as an EPOCH PILE: 4 interleaved appends (each holding
+    * every 4th user, so every epoch spans the whole keyspace — min/max
+    * bounds cannot prune between them). The shape a streaming sink leaves
+    * behind, and the one the manifest rowKey blooms exist for.
+    */
+  private def ensureEpochCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"epoch_cells|$sfDir", _ => {
+      val path = artifactPath("epoch_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvTable.eventsAsCells(spark, sfDir)
+      (0 until 4).foreach { i =>
+        cells.filter(pmod(col("rowKey").cast("int"), lit(4)) === i)
+          .write.format("graft-kv").option("regions", 2)
+          .mode("append").save(path)
+      }
+      path
+    })
+
+  /** The HBase Get: `rowKey = k` against an epoch-piled table. Every epoch
+    * spans the keyspace, so range pruning keeps all of them; the
+    * MANIFEST-CARRIED ROW BLOOM ([[graft.sources.KvBloom]]) keeps only the
+    * segments that may hold the key (~1 + fpp) at planning time —
+    * KvBloomSpec meters that unkept segments are never opened. At 100 TB
+    * this is the difference between a point lookup scheduling one task and
+    * scheduling one per epoch ever ingested.
+    */
+  def kvPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv")
+      .load(ensureEpochCells(spark, sfDir))
+    cells.filter(col("rowKey") === "00000005")
+      .groupBy(col("rowKey"), col("qualifier"))
+      .agg(count(lit(1)).as("n_cells"), max(col("ts")).as("max_ts"))
+  }
+
+  private val kvPointLookupSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  event_type AS qualifier,
+      |  count(*) AS n_cells, max(event_id) AS max_ts
+      |FROM events
+      |WHERE lpad(CAST(user_id AS VARCHAR), 8, '0') = '00000005'
+      |GROUP BY 1, 2""".stripMargin
+
   /** A persisted user dimension (rowKey, uid) for the runtime-pruned join
     * — parquet with a selective filter is the shape Spark's dynamic
     * pruning triggers on.
@@ -3691,6 +3733,7 @@ object Queries {
     "reader_parquet_limit" -> (readerParquetLimit _),
     "reader_topn_desc" -> (readerTopnDesc _),
     "kv_stats_bounds" -> (kvStatsBounds _),
+    "kv_point_lookup" -> (kvPointLookup _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
@@ -3816,6 +3859,7 @@ object Queries {
     "reader_parquet_limit" -> readerLimitSql,
     "reader_topn_desc" -> readerTopnDescSql,
     "kv_stats_bounds" -> kvStatsBoundsSql,
+    "kv_point_lookup" -> kvPointLookupSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

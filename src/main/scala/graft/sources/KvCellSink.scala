@@ -304,6 +304,10 @@ private[sources] class KvDataWriter(
   private var minTs = Long.MaxValue
   private var maxTs = Long.MinValue
   private var sawTs = false
+  // rowKey bloom for point-lookup pruning (HBase ROW bloom analog):
+  // built in-stream like the other stats, carried on the same add line.
+  // Self-disables for keyful (post-compaction-sized) files — see KvBloom.
+  private val bloom = new KvBloom.Builder
 
   override def write(row: InternalRow): Unit = {
     if (writer == null)
@@ -318,6 +322,7 @@ private[sources] class KvDataWriter(
       val k = row.getUTF8String(keyIdx).toString
       if (minKey == null || k < minKey) minKey = k
       if (maxKey == null || k > maxKey) maxKey = k
+      bloom.add(k)
     }
     if (tsIdx >= 0 && !row.isNullAt(tsIdx)) {
       val t = row.getLong(tsIdx)
@@ -335,7 +340,8 @@ private[sources] class KvDataWriter(
         .getFileStatus(new Path(file)).getLen
       commitAs(file, Some(KvLog.FileStat(rows, bytes,
         Option(minKey), Option(maxKey),
-        if (sawTs) Some(minTs) else None, if (sawTs) Some(maxTs) else None)))
+        if (sawTs) Some(minTs) else None, if (sawTs) Some(maxTs) else None,
+        bloom.buildToken())))
     }
   }
 

@@ -538,14 +538,29 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val fs = p.getFileSystem(conf)
     val all = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq)
     val bounds = KvFilters.rowKeyBounds(pushed)
+    // Point predicates additionally probe each file's MANIFEST BLOOM
+    // (KvBloom — the HBase ROW-bloom Get path): epoch segments all span
+    // the keyspace, so ranges alone keep every one of them for a point
+    // lookup; the bloom keeps ~1 (+fpp). Bloom-less files (compacted
+    // regions, legacy entries) fall through to range-only pruning.
+    val points = KvFilters.rowKeyPoints(pushed)
     val kept =
-      if (bounds.isEmpty) all
+      if (bounds.isEmpty && points.isEmpty) all
       else all.filter { case (f, stat) =>
-        stat.flatMap(s => s.minKey.zip(s.maxKey))
-          .orElse(KvFilters.fileRowKeyRange(f, conf)) match {
-          case Some((lo, hi)) => KvFilters.intersects(bounds, lo, hi)
-          case None => true // no stats anywhere: cannot prune, must scan
-        }
+        val rangeOk = bounds.isEmpty ||
+          (stat.flatMap(s => s.minKey.zip(s.maxKey))
+            .orElse(KvFilters.fileRowKeyRange(f, conf)) match {
+            case Some((lo, hi)) => KvFilters.intersects(bounds, lo, hi)
+            case None => true // no stats anywhere: cannot prune, must scan
+          })
+        rangeOk && (points match {
+          case Some(keys) =>
+            stat.flatMap(_.bloom).flatMap(KvBloom.decode) match {
+              case Some(b) => keys.exists(b.mightContain)
+              case None => true // no (valid) bloom: cannot prune
+            }
+          case None => true
+        })
       }
     (kept.map { case (f, st) => (f.toString, st) }, all.length)
   }
@@ -579,10 +594,17 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val statsByFile = keptFiles.toMap
     val files = runtimeKeys match {
       case Some(keys) => plannedFiles.filter { f =>
-        statsByFile.get(f).flatten.flatMap(s => s.minKey.zip(s.maxKey)) match {
+        val st = statsByFile.get(f).flatten
+        val rangeOk = st.flatMap(s => s.minKey.zip(s.maxKey)) match {
           case Some((lo, hi)) => keys.exists(k => k >= lo && k <= hi)
           case None => true // no bounds: cannot prune, must scan
         }
+        // Runtime (DPP) keys are exact values — the bloom prunes the
+        // in-range epoch segments the bounds cannot.
+        rangeOk && (st.flatMap(_.bloom).flatMap(KvBloom.decode) match {
+          case Some(b) => keys.exists(b.mightContain)
+          case None => true
+        })
       }
       case None => plannedFiles
     }
@@ -964,6 +986,31 @@ private[sources] object KvFilters {
       case _ => Nil
     }
     filters.toSeq.flatMap(one)
+  }
+
+  /** The FINITE rowKey point set implied by the pushed conjunction, when
+    * some conjunct pins rowKey to specific values (EqualTo / In / an Or of
+    * those — the Get / multi-Get shapes). None = not point-constrained
+    * (range predicates don't finite-ize). The planner probes each
+    * candidate segment's manifest bloom with this set ([[KvBloom]]);
+    * soundness needs only that the TRUE matching rows' keys are all in the
+    * returned set, so And intersects and Or unions, and any unrecognized
+    * conjunct is simply ignored (it can only narrow further).
+    */
+  def rowKeyPoints(filters: Array[Filter]): Option[Set[String]] = {
+    def one(f: Filter): Option[Set[String]] = f match {
+      case EqualTo("rowKey", v: String) => Some(Set(v))
+      case In("rowKey", vs) if vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.iterator.collect { case s: String => s }.toSet)
+      case Or(l, r) => for { a <- one(l); b <- one(r) } yield a | b
+      case And(l, r) => (one(l), one(r)) match {
+        case (Some(a), Some(b)) => Some(a & b)
+        case (a, b) => a.orElse(b)
+      }
+      case _ => None
+    }
+    val sets = filters.flatMap(one(_))
+    if (sets.isEmpty) None else Some(sets.reduce(_ & _))
   }
 
   /** rowKey [min, max] of one region file from its footer stats (union over

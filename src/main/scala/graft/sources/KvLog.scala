@@ -126,12 +126,15 @@ private[graft] object KvLog {
   /** Exact per-file statistics carried on a manifest add line. `rows` and
     * `bytes` are always known to a writing sink; `minKey`/`maxKey` and
     * `minTs`/`maxTs` are absent when every row had a null in that column
-    * (then the file genuinely contributes nothing to a bound).
+    * (then the file genuinely contributes nothing to a bound). `bloom` is
+    * the serialized rowKey bloom ([[KvBloom]]) for point-lookup segment
+    * pruning, present only for files small enough to carry one.
     */
   case class FileStat(
       rows: Long, bytes: Long,
       minKey: Option[String], maxKey: Option[String],
-      minTs: Option[Long], maxTs: Option[Long])
+      minTs: Option[Long], maxTs: Option[Long],
+      bloom: Option[String] = None)
 
   case class Entry(
       seq: Long, compact: Boolean, writer: Option[String],
@@ -299,6 +302,7 @@ private[graft] object KvLog {
     var rows = -1L; var bytes = -1L
     var minKey: Option[String] = None; var maxKey: Option[String] = None
     var minTs: Option[Long] = None; var maxTs: Option[Long] = None
+    var bloom: Option[String] = None
     val b64 = java.util.Base64.getDecoder
     toks.foreach {
       case t if t.startsWith("r=") => rows = t.drop(2).toLong
@@ -310,10 +314,11 @@ private[graft] object KvLog {
       case t if t.startsWith("t=") =>
         val Array(lo, hi) = t.drop(2).split(",", 2)
         minTs = Some(lo.toLong); maxTs = Some(hi.toLong)
+      case t if t.startsWith("f=") => bloom = Some(t.drop(2))
       case _ => () // unknown stat token: ignore (forward compatibility)
     }
     if (rows < 0 || bytes < 0) None // r= and b= anchor a well-formed stat
-    else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs))
+    else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs, bloom))
   }
 
   private def statSuffix(s: FileStat): String = {
@@ -327,7 +332,8 @@ private[graft] object KvLog {
       case (Some(lo), Some(hi)) => s"\tt=$lo,$hi"
       case _ => ""
     }
-    s"\tr=${s.rows}\tb=${s.bytes}$k$t"
+    val f = s.bloom.fold("")(tok => s"\tf=$tok")
+    s"\tr=${s.rows}\tb=${s.bytes}$k$t$f"
   }
 
   /** Append an entry at `latest + 1` (temp-write + rename = atomic publish,
