@@ -58,7 +58,8 @@ object Cli {
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
-    "HistoryTable" -> 1)
+    "HistoryTable" -> 1, "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
+    "DropSnapshot" -> 2, "ListSnapshots" -> 1)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -206,6 +207,38 @@ object Cli {
           println(f"$seq%6d  $kind%-7s adds=$nAdds%-4d removes=$nRemoves%-4d$w")
       }
 
+    // Named snapshots — the HBase snapshot / restore_snapshot /
+    // delete_snapshot / list_snapshots shell verbs ([[graft.sources.KvSnapshot]]).
+    case "SnapshotTable" =>
+      val Array(table, name) = a.take(2)
+      val info = graft.sources.KvSnapshot.create(
+        spark, s"${tableDir(table)}/cells", name)
+      println(s"snapshot '$name' of $table at log seq ${info.seq} " +
+        s"(${info.files.size} files pinned)")
+
+    case "RestoreSnapshot" =>
+      val Array(table, name) = a.take(2)
+      val seq = graft.sources.KvSnapshot.restore(
+        spark, s"${tableDir(table)}/cells", name)
+      println(s"restored $table to snapshot '$name' at log seq $seq")
+
+    case "DropSnapshot" =>
+      val Array(table, name) = a.take(2)
+      val dropped = graft.sources.KvSnapshot.drop(
+        spark, s"${tableDir(table)}/cells", name)
+      println(if (dropped) s"dropped snapshot '$name' of $table"
+        else s"no snapshot '$name' on $table")
+
+    case "ListSnapshots" =>
+      val table = a(0)
+      val dir = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/cells")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val snaps = graft.sources.KvSnapshot.list(fs, dir)
+      if (snaps.isEmpty) println(s"no snapshots on $table")
+      else snaps.foreach(s =>
+        println(f"${s.name}%-32s seq=${s.seq}%-6d files=${s.files.size}%-5d " +
+          s"at=${java.time.Instant.ofEpochMilli(s.createdAt)}"))
+
     case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
   }
 
@@ -246,5 +279,9 @@ object Cli {
       |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)
-      |  HistoryTable <table>                        (commit history from the manifest log)""".stripMargin
+      |  HistoryTable <table>                        (commit history from the manifest log)
+      |  SnapshotTable <table> <name>                (pin the current state, zero data copied)
+      |  RestoreSnapshot <table> <name>              (roll back to a snapshot, one metadata commit)
+      |  DropSnapshot <table> <name>                 (unpin; files become vacuum-eligible)
+      |  ListSnapshots <table>""".stripMargin
 }

@@ -303,6 +303,35 @@ object Queries {
 
   private val kvGenCellsSql: String = genCellsSql(GenRecords, GenTasks, "run1")
 
+  /** The HBase snapshot/restore cycle end-to-end ([[graft.sources.KvSnapshot]]):
+    * write the generator cells, SNAPSHOT (zero data copied — a
+    * self-contained manifest of the live set), append junk, RESTORE (one
+    * metadata commit republishing the pinned set), scan. The result must
+    * be exactly the pre-junk table, which the oracle regenerates
+    * independently — proving the rollback surgically removed the junk
+    * epoch and nothing else. Snapshots survive log truncation and are
+    * vacuum-protected (KvSnapshotSpec); at 100 TB both directions cost
+    * O(files) driver metadata, never a data rewrite.
+    */
+  def kvSnapshotRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"snapshot_restore|$sfDir", _ => {
+      val p = artifactPath("snapshot_restore", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+        .write.format("graft-kv").option("regions", 4)
+        .mode("append").save(p)
+      graft.sources.KvSnapshot.create(spark, p, "golden")
+      KvGenerator.cells(spark, 200, 2, "junk")
+        .write.format("graft-kv").option("regions", 1)
+        .mode("append").save(p)
+      graft.sources.KvSnapshot.restore(spark, p, "golden")
+      p
+    })
+    spark.read.format("graft-kv").load(path).select(
+      col("rowKey"), col("family"), col("qualifier"),
+      decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
   /** The shuffle-free pivot (map-only export, Txt:85): generated cells laid
     * out in range partitions sorted by rowKey (the HBase region invariant),
     * then pivoted per-partition with zero further exchanges. 40k records >
@@ -3734,6 +3763,7 @@ object Queries {
     "reader_topn_desc" -> (readerTopnDesc _),
     "kv_stats_bounds" -> (kvStatsBounds _),
     "kv_point_lookup" -> (kvPointLookup _),
+    "kv_snapshot_restore" -> (kvSnapshotRestore _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
@@ -3860,6 +3890,7 @@ object Queries {
     "reader_topn_desc" -> readerTopnDescSql,
     "kv_stats_bounds" -> kvStatsBoundsSql,
     "kv_point_lookup" -> kvPointLookupSql,
+    "kv_snapshot_restore" -> kvGenCellsSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

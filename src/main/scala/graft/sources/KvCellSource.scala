@@ -121,11 +121,22 @@ private[sources] class KvCellTable(path: String) extends Table
       val dir = new org.apache.hadoop.fs.Path(path)
       KvLog.seqAtTime(dir.getFileSystem(sessionConf.value), dir, t)
     })
+    // `snapshot` reads a NAMED snapshot ([[KvSnapshot]]) — like asOfSeq
+    // but planned from the snapshot's self-contained manifest, so it
+    // stays readable after log truncation and is vacuum-protected.
+    val snapshot = Option(options.get("snapshot"))
+    val sinceSeq = Option(options.get("sinceSeq")).map(_.toLong)
+    require(snapshot.isEmpty ||
+        (asOf.isEmpty && sinceSeq.isEmpty),
+      "graft-kv: snapshot is mutually exclusive with asOfSeq/asOfTime/" +
+        "sinceSeq — a snapshot read plans from its own manifest, not a " +
+        "log version")
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
       Option(options.get("tailId")),
       asOf,
-      Option(options.get("sinceSeq")).map(_.toLong),
-      maxBytes)
+      sinceSeq,
+      maxBytes,
+      snapshot)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -139,7 +150,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     tailId: Option[String] = None,
     asOfSeq: Option[Long] = None,
     sinceSeq: Option[Long] = None,
-    maxBytesPerBatch: Option[Long] = None)
+    maxBytesPerBatch: Option[Long] = None,
+    snapshot: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -261,18 +273,19 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
 
   private def servable(specs: Seq[KvStatsScan.Spec]): Boolean =
     !specs.exists(s => s == KvStatsScan.MinKeySpec || s == KvStatsScan.MaxKeySpec) ||
-      KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq)
+      KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq, snapshot)
 
   /** Scope filters join the pushed set. Unlike Catalyst-pushed filters,
     * Spark never re-evaluates them as residuals — the parquet record filter
     * (exact, row-level) is their correctness boundary, not an optimization.
     */
   override def build(): Scan = statsAggs match {
-    case Some(specs) => new KvStatsScan(path, specs, conf, asOfSeq, sinceSeq)
+    case Some(specs) =>
+      new KvStatsScan(path, specs, conf, asOfSeq, sinceSeq, snapshot)
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
-        descending, maxBytesPerBatch)
+        descending, maxBytesPerBatch, snapshot)
   }
 }
 
@@ -293,7 +306,8 @@ private[sources] object KvScanBuilder {
 private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
     sconf: SerializableConfiguration = KvScanBuilder.activeConf,
     asOfSeq: Option[Long] = None,
-    sinceSeq: Option[Long] = None)
+    sinceSeq: Option[Long] = None,
+    snapshot: Option[String] = None)
     extends Scan with Batch {
 
   import KvStatsScan._
@@ -311,7 +325,7 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
     val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq)
+    val files = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
     var count = 0L
     var tsMin: Option[Long] = None
     var tsMax: Option[Long] = None
@@ -405,10 +419,12 @@ private[sources] object KvStatsScan {
     * replay at pushdown-decision time, driver-side.
     */
   def keyBoundsServable(path: String, sconf: SerializableConfiguration,
-      asOfSeq: Option[Long], sinceSeq: Option[Long]): Boolean = {
+      asOfSeq: Option[Long], sinceSeq: Option[Long],
+      snapshot: Option[String] = None): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(sconf.value)
-    try KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq).forall(_._2.isDefined)
+    try KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
+      .forall(_._2.isDefined)
     catch { case _: Exception => false } // unreadable here ⇒ let the scan fail
   }
 }
@@ -444,7 +460,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     limit: Option[Int] = None,
     ordered: Boolean = false,
     descending: Boolean = false,
-    maxBytesPerBatch: Option[Long] = None)
+    maxBytesPerBatch: Option[Long] = None,
+    snapshot: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -536,7 +553,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val all = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq)
+    val all = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
     val bounds = KvFilters.rowKeyBounds(pushed)
     // Point predicates additionally probe each file's MANIFEST BLOOM
     // (KvBloom — the HBase ROW-bloom Get path): epoch segments all span
@@ -664,9 +681,10 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(asOfSeq.isEmpty && sinceSeq.isEmpty,
-      "graft-kv: asOfSeq/sinceSeq are batch-read options — a stream's offset " +
-        "already names its log position; tail from a fresh checkpoint instead")
+    require(asOfSeq.isEmpty && sinceSeq.isEmpty && snapshot.isEmpty,
+      "graft-kv: asOfSeq/sinceSeq/snapshot are batch-read options — a " +
+        "stream's offset already names its log position; tail from a fresh " +
+        "checkpoint instead")
     new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf, tailId,
       maxBytesPerBatch)
   }

@@ -297,7 +297,7 @@ private[graft] object KvLog {
     }
   }
 
-  private def parseStat(toks: Array[String]): Option[FileStat] = {
+  private[sources] def parseStat(toks: Array[String]): Option[FileStat] = {
     if (toks.isEmpty) return None
     var rows = -1L; var bytes = -1L
     var minKey: Option[String] = None; var maxKey: Option[String] = None
@@ -321,7 +321,7 @@ private[graft] object KvLog {
     else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs, bloom))
   }
 
-  private def statSuffix(s: FileStat): String = {
+  private[sources] def statSuffix(s: FileStat): String = {
     val b64 = java.util.Base64.getEncoder
     def enc(v: String) = b64.encodeToString(v.getBytes(StandardCharsets.UTF_8))
     val k = (s.minKey, s.maxKey) match {
@@ -648,10 +648,25 @@ private[graft] object KvLog {
 
   /** [[scanFiles]] plus each file's manifest-carried [[FileStat]] (None for
     * stat-less entries and legacy directories) — so planning consults the
-    * log first and pays a footer open only where the log is silent.
+    * log first and pays a footer open only where the log is silent. A
+    * `snapshot` read plans from the NAMED snapshot's self-contained
+    * manifest ([[KvSnapshot]]) — no log replay at all, which is what lets
+    * snapshots outlive log truncation.
     */
   def scanFilesWithStats(fs: FileSystem, table: Path, asOf: Option[Long],
-      since: Option[Long]): Seq[(Path, Option[FileStat])] = since match {
+      since: Option[Long], snapshot: Option[String] = None)
+      : Seq[(Path, Option[FileStat])] = snapshot match {
+    case Some(name) =>
+      val info = KvSnapshot.get(fs, table, name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-kv: no snapshot '$name' on $table"))
+      info.files.map { case (n, st) => (new Path(table, n), st) }
+    case None => scanFilesWithStatsLogged(fs, table, asOf, since)
+  }
+
+  private def scanFilesWithStatsLogged(fs: FileSystem, table: Path,
+      asOf: Option[Long], since: Option[Long])
+      : Seq[(Path, Option[FileStat])] = since match {
     case Some(s) =>
       if (!exists(fs, table)) throw new IllegalArgumentException(
         s"graft-kv: sinceSeq incremental reads require a manifest log, and " +

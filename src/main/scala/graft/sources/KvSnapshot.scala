@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** NAMED SNAPSHOTS for `graft-kv` tables — the HBase `snapshot` /
+  * `restore_snapshot` cycle (a snapshot there is a manifest of HFile
+  * references, not a data copy; the archiver keeps referenced HFiles alive
+  * after deletes and compactions). Same shape here:
+  *
+  *  - `create` captures the CURRENT live file set — names, stats, and the
+  *    pinned log seq — into one self-contained manifest under
+  *    `_snapshots/<name>`. Zero data copied, zero data read: the set comes
+  *    from the log replay planning already does.
+  *  - A batch read with `.option("snapshot", name)` plans from the
+  *    snapshot's OWN list, not a log replay. This is what distinguishes a
+  *    named snapshot from `asOfSeq` time travel: a seq read replays the
+  *    log and dies once retention truncates the entries or vacuum
+  *    reclaims the files; a snapshot is durable — its manifest is
+  *    self-contained and [[KvVacuum]] never deletes a file any snapshot
+  *    references (the HBase archive contract). Retention policy stays
+  *    free to truncate aggressively; snapshots are the explicit pins.
+  *  - `restore` rolls the table back by PUBLISHING a checkpoint entry
+  *    whose adds are the snapshot set and whose removes are everything
+  *    live that isn't in it — one O(files) metadata commit through the
+  *    normal log protocol (concurrent-commit safe via the same
+  *    expectSeq + retry loop as compaction; retries recompute everything,
+  *    so pure metadata makes every race retryable). History is preserved:
+  *    the pre-restore state remains one more version in the log.
+  *  - `drop` deletes the manifest; the files it pinned become ordinary
+  *    vacuum candidates again (if nothing else references them).
+  *
+  * Scale shape: a snapshot costs one log replay + one small file write at
+  * create, one file read at plan time, and adds one `_snapshots` listing
+  * to each vacuum pass — all driver-side bounded metadata, independent of
+  * data size. 100 TB tables snapshot in milliseconds.
+  */
+object KvSnapshot {
+
+  val DirName = "_snapshots"
+  private val NamePattern = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
+
+  /** One snapshot: `seq` is the log version it pinned (informational once
+    * created — reads use the stored list), `files` the complete live set
+    * at create time with its manifest stats.
+    */
+  case class Info(name: String, seq: Long, createdAt: Long,
+      files: Seq[(String, Option[KvLog.FileStat])])
+
+  private def snapDir(table: Path) = new Path(table, DirName)
+  private def snapPath(table: Path, name: String) = new Path(snapDir(table), name)
+
+  private def requireValidName(name: String): Unit =
+    require(NamePattern.pattern.matcher(name).matches(),
+      s"graft-kv snapshot: invalid name '$name' (letters, digits, . _ -; " +
+        "max 128 chars; must start alphanumeric)")
+
+  /** Capture the current table state under `name`. Fails if the name
+    * exists (snapshots are immutable — drop first to re-take) or the
+    * table has no manifest log (a legacy directory has no defined live
+    * set to pin).
+    */
+  def create(spark: SparkSession, path: String, name: String): Info = {
+    requireValidName(name)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(KvLog.exists(fs, dir),
+      s"graft-kv snapshot: $path has no manifest log")
+    require(!fs.exists(snapPath(dir, name)),
+      s"graft-kv snapshot: '$name' already exists on $path (drop it first)")
+    val seq = KvLog.latestSeq(fs, dir)
+    require(seq >= 0, s"graft-kv snapshot: $path is empty — nothing to pin")
+    val stats = KvLog.liveFileStats(fs, dir)
+    val files = KvLog.liveFiles(fs, dir).map(n => n -> stats.get(n))
+    val now = System.currentTimeMillis()
+    val body = (s"v1 snapshot seq=$seq at=$now" +:
+      files.map { case (n, st) => "+" + n + st.fold("")(KvLog.statSuffix) })
+      .mkString("", "\n", "\n")
+    // temp-write + rename publish, same atomicity story as log entries
+    val tmp = new Path(snapDir(dir), s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, snapPath(dir, name))) {
+      fs.delete(tmp, false): Unit
+      throw new IllegalStateException(
+        s"graft-kv snapshot: concurrent create of '$name' on $path")
+    }
+    Info(name, seq, now, files)
+  }
+
+  /** Read one snapshot's manifest; None when it doesn't exist. */
+  def get(fs: FileSystem, table: Path, name: String): Option[Info] = {
+    requireValidName(name)
+    val p = snapPath(table, name)
+    val text = try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+    text.map { t =>
+      val lines = t.split("\n").toSeq.filter(_.nonEmpty)
+      val header = lines.head.split(" ")
+      require(header(0) == "v1" && header(1) == "snapshot",
+        s"graft-kv snapshot: unknown manifest version in $p")
+      val seq = header.collectFirst { case h if h.startsWith("seq=") =>
+        h.stripPrefix("seq=").toLong }.getOrElse(-1L)
+      val at = header.collectFirst { case h if h.startsWith("at=") =>
+        h.stripPrefix("at=").toLong }.getOrElse(0L)
+      val files = lines.tail.collect { case l if l.startsWith("+") =>
+        val toks = l.tail.split("\t")
+        toks.head -> KvLog.parseStat(toks.tail)
+      }
+      Info(name, seq, at, files)
+    }
+  }
+
+  /** All snapshots on the table (empty when none / no dir). */
+  def list(fs: FileSystem, table: Path): Seq[Info] = {
+    val d = snapDir(table)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .sorted
+      .flatMap(get(fs, table, _))
+  }
+
+  /** Every file name any snapshot references — [[KvVacuum]]'s protected
+    * set (the HBase archive contract: referenced store files survive
+    * deletion from the live table). One listing + one small read per
+    * snapshot, on the GC path only.
+    */
+  def referencedFiles(fs: FileSystem, table: Path): Set[String] =
+    list(fs, table).flatMap(_.files.map(_._1)).toSet
+
+  /** Delete the snapshot manifest. Returns false when it didn't exist.
+    * The files it pinned become ordinary vacuum candidates again.
+    */
+  def drop(spark: SparkSession, path: String, name: String): Boolean = {
+    requireValidName(name)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(snapPath(dir, name), false)
+  }
+
+  /** Roll the table back to `name`'s state by publishing one checkpoint
+    * entry (adds = the snapshot set, removes = live \ snapshot). Every
+    * file the snapshot references must still exist — guaranteed while the
+    * snapshot exists, since vacuum skips referenced files. Returns the
+    * published seq. The restore is itself just another version: a
+    * pre-restore read (or another snapshot) can roll forward again.
+    */
+  def restore(spark: SparkSession, path: String, name: String): Long = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val info = get(fs, dir, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv snapshot: no snapshot '$name' on $path"))
+    val missing = info.files.map(_._1).filterNot(n => fs.exists(new Path(dir, n)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"graft-kv snapshot: '$name' references ${missing.length} missing " +
+        s"file(s) (${missing.take(3).mkString(", ")}…) — was it created " +
+        "before a manual delete, or copied from another table?")
+    val snapNames = info.files.map(_._1)
+    val snapSet = snapNames.toSet
+    val entryStats = info.files.collect { case (n, Some(st)) => n -> st }.toMap
+    var attempt = 0
+    while (true) {
+      // Restore stages nothing — every attempt recomputes from the current
+      // log, so ANY interleaved commit (append, compaction, another
+      // restore) is absorbed by recomputation, not adjudication.
+      val expect = KvLog.latestSeq(fs, dir) + 1
+      val removes = KvLog.liveFiles(fs, dir).filterNot(snapSet)
+      val pending = KvLog.removalTimes(fs, dir)
+        .filter { case (n, _) => fs.exists(new Path(dir, n)) }
+      try {
+        return KvLog.append(fs, dir, adds = snapNames, removes = removes,
+          compact = true, expectSeq = Some(expect), floor = Some(expect),
+          stats = entryStats, carriedRemovals = Some(pending))
+      } catch {
+        case e: KvLog.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable: restore loop returns")
+  }
+}

@@ -55,6 +55,12 @@ object KvVacuum {
         "legacy directory (every part-* file there IS the table)")
     val live = KvLog.liveFiles(fs, dir).toSet
     val removedAt = KvLog.removalTimes(fs, dir)
+    // Files any NAMED SNAPSHOT references are permanently off-limits (the
+    // HBase archive contract, [[KvSnapshot]]): a snapshot read plans from
+    // its own manifest, so reclaiming a referenced file would silently
+    // break it long after any grace period. One `_snapshots` listing +
+    // one small read per snapshot, GC path only.
+    val pinned = KvSnapshot.referencedFiles(fs, dir)
     val cutoff = System.currentTimeMillis() - graceMs
     var files = 0
     var bytes = 0L
@@ -66,7 +72,7 @@ object KvVacuum {
         fs.delete(st.getPath, true): Unit
         dirs += 1
       } else if (st.isFile && n.startsWith("part-") && n.endsWith(".parquet")
-          && !live.contains(n)
+          && !live.contains(n) && !pinned.contains(n)
           // Grace from the un-reference instant: the removing entry's
           // publish for merged-away segments, the file's own mtime for
           // never-referenced strays.
