@@ -1168,6 +1168,62 @@ object Scratch {
         val full = t
         time("full scan count (reference)")(full.count(): Unit)
 
+      case "kvbloom" =>
+        // Manifest-bloom payoff on an epoch pile: 64 sealed epochs of
+        // 20k keys each, every epoch spanning the whole keyspace (keys
+        // interleave by suffix), so min/max range pruning keeps ALL 64
+        // for a point lookup — only the bloom can prune. Also times the
+        // snapshot create/restore cycle on the same table (pure metadata,
+        // should be ms-scale regardless of data volume).
+        import org.apache.spark.sql.functions._
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvbloom"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        val epochs = 64
+        val keysPer = 20000
+        time(s"build $epochs-epoch pile (${epochs * keysPer / 1000}k keys)") {
+          (0 until epochs).foreach { e =>
+            spark.range(keysPer).select(
+              format_string("%05d-e%02d", col("id"), lit(e)).as("rowKey"),
+              lit("f").as("family"), lit("q").as("qualifier"),
+              encode(col("id").cast("string"), "UTF-8").as("value"),
+              (col("id") + e.toLong * keysPer).as("ts"))
+              .write.format("graft-kv").option("regions", 1)
+              .mode("append").save(dir)
+          }
+        }
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val stats = graft.sources.KvLog.liveFileStats(
+          fs, new org.apache.hadoop.fs.Path(dir))
+        val probeKey = "12345-e37"
+        val rangeOnly = stats.values.count(s =>
+          s.minKey.exists(_ <= probeKey) && s.maxKey.exists(_ >= probeKey))
+        println(s"  segments=${stats.size} withBloom=${stats.values.count(_.bloom.isDefined)} " +
+          s"rangeOnlyWouldKeep=$rangeOnly")
+        val t = spark.read.format("graft-kv").load(dir)
+        val get = t.filter(col("rowKey") === probeKey)
+        time("point lookup (bloom-pruned)")(get.collect(): Unit)
+        println("  plan: " + get.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("GraftKvScan"))
+          .flatMap("regions=\\d+/\\d+".r.findFirstIn(_)).getOrElse("?"))
+        val keys = (0 until 10).map(i => f"${i * 1111}%05d-e${(i * 7) % epochs}%02d")
+        val multi = t.filter(col("rowKey").isin(keys: _*))
+        time("multi-get IN(10)")(multi.collect(): Unit)
+        println("  plan: " + multi.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("GraftKvScan"))
+          .flatMap("regions=\\d+/\\d+".r.findFirstIn(_)).getOrElse("?"))
+        time("snapshot create (64 segments)")(
+          graft.sources.KvSnapshot.create(spark, dir, "probe"): Unit)
+        spark.range(1000).select(
+          format_string("%05d-junk", col("id")).as("rowKey"),
+          lit("f").as("family"), lit("q").as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+          .write.format("graft-kv").option("regions", 1)
+          .mode("append").save(dir)
+        time("snapshot restore")(
+          graft.sources.KvSnapshot.restore(spark, dir, "probe"): Unit)
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
