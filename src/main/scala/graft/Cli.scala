@@ -59,7 +59,7 @@ object Cli {
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
     "HistoryTable" -> 1, "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
-    "DropSnapshot" -> 2, "ListSnapshots" -> 1)
+    "DropSnapshot" -> 2, "ListSnapshots" -> 1, "CloneSnapshot" -> 3)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -229,6 +229,16 @@ object Cli {
       println(if (dropped) s"dropped snapshot '$name' of $table"
         else s"no snapshot '$name' on $table")
 
+    case "CloneSnapshot" =>
+      val Array(table, name, newTable) = a.take(3)
+      val seq = graft.sources.KvSnapshot.cloneTo(spark,
+        s"${tableDir(table)}/cells", name, s"${tableDir(newTable)}/cells")
+      // the clone inherits the source's table spec (family/regions DDL)
+      val (family, regions) = readSpec(spark, table)
+      writeSpec(spark, newTable, family, regions)
+      println(s"cloned snapshot '$name' of $table to $newTable " +
+        s"(manifest seq $seq)")
+
     case "ListSnapshots" =>
       val table = a(0)
       val dir = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/cells")
@@ -283,5 +293,6 @@ object Cli {
       |  SnapshotTable <table> <name>                (pin the current state, zero data copied)
       |  RestoreSnapshot <table> <name>              (roll back to a snapshot, one metadata commit)
       |  DropSnapshot <table> <name>                 (unpin; files become vacuum-eligible)
+      |  CloneSnapshot <table> <name> <newTable>     (materialize a snapshot as a new table)
       |  ListSnapshots <table>""".stripMargin
 }

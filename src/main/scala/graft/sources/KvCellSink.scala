@@ -220,8 +220,15 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) {
+      // Truncate resets the table but NOT its named snapshots (the HBase
+      // archive contract, [[KvSnapshot]]): the `_snapshots` dir and every
+      // data file a snapshot references survive, so a pinned state stays
+      // readable/restorable across an overwrite. Unpinned files and the
+      // manifest go.
+      val pinned = KvSnapshot.referencedFiles(fs, dir)
       fs.listStatus(dir).map(_.getPath)
         .filter(f => !f.getName.startsWith("_tmp_"))
+        .filter(f => f.getName != KvSnapshot.DirName && !pinned.contains(f.getName))
         .foreach(f => fs.delete(f, true))
       KvLog.reset(fs, dir) // truncate resets the manifest with the data
     }

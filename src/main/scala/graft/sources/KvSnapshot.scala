@@ -150,6 +150,52 @@ object KvSnapshot {
     fs.delete(snapPath(dir, name), false)
   }
 
+  /** Materialize snapshot `name` as a NEW independent table at `destPath`
+    * — the HBase `ExportSnapshot` + `clone_snapshot` cycle, which also
+    * copies HFiles when crossing filesystems (hard links don't exist on
+    * object stores, so a portable clone is a copy). The copy is
+    * DISTRIBUTED: one task per region file (region-sized units, the same
+    * parallelism a scan gets), executors stream bytes FS-to-FS with no
+    * driver involvement beyond the task launch. The destination gets a
+    * fresh manifest whose first entry is a checkpoint of the copied set
+    * with the snapshot's stats carried over — so the clone plans
+    * metadata-served from its first read, and its lifecycle (compaction,
+    * vacuum, snapshots of its own) is fully independent of the source.
+    */
+  def cloneTo(spark: SparkSession, path: String, name: String,
+      destPath: String): Long = {
+    val src = new Path(path)
+    val dest = new Path(destPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = src.getFileSystem(conf)
+    val dfs = dest.getFileSystem(conf)
+    val info = get(fs, src, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv snapshot: no snapshot '$name' on $path"))
+    require(!KvLog.exists(dfs, dest) &&
+        (!dfs.exists(dest) || dfs.listStatus(dest).isEmpty),
+      s"graft-kv snapshot: clone destination $destPath is not empty")
+    dfs.mkdirs(dest)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val srcStr = src.toString
+    val destStr = dest.toString
+    spark.sparkContext
+      .parallelize(info.files.map(_._1), math.max(1, info.files.size))
+      .foreach { n =>
+        val c = sconf.value
+        val from = new Path(srcStr, n)
+        val to = new Path(destStr, n)
+        if (!org.apache.hadoop.fs.FileUtil.copy(
+            from.getFileSystem(c), from, to.getFileSystem(c), to,
+            false, true, c))
+          throw new java.io.IOException(
+            s"graft-kv snapshot: clone copy $from -> $to failed")
+      }
+    KvLog.append(dfs, dest, adds = info.files.map(_._1), removes = Nil,
+      compact = true,
+      stats = info.files.collect { case (n, Some(st)) => n -> st }.toMap,
+      carriedRemovals = Some(Map.empty))
+  }
+
   /** Roll the table back to `name`'s state by publishing one checkpoint
     * entry (adds = the snapshot set, removes = live \ snapshot). Every
     * file the snapshot references must still exist — guaranteed while the

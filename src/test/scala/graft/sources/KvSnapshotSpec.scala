@@ -90,6 +90,49 @@ class KvSnapshotSpec extends graft.SparkSpec {
       .count() shouldBe n0
   }
 
+  test("snapshots survive mode(overwrite): pinned files and _snapshots outlive the truncate") {
+    val (d, n0) = freshTable("kv_snap_overwrite", epochs = 2)
+    val before = spark.read.format("graft-kv").load(d)
+      .agg(bit_xor(xxhash64(col("rowKey"), col("qualifier"), col("ts"))))
+      .collect()(0).getLong(0)
+    KvSnapshot.create(spark, d, "preserve")
+    val fresh = KvGenerator.cells(spark, 80, 2, "runNew")
+    fresh.write.format("graft-kv").option("regions", 1).mode("overwrite").save(d)
+    // the live table is ONLY the overwrite's data…
+    spark.read.format("graft-kv").load(d).count() shouldBe fresh.count()
+    // …but the pinned state still reads and still restores
+    val snap = spark.read.format("graft-kv").option("snapshot", "preserve").load(d)
+    snap.count() shouldBe n0
+    snap.agg(bit_xor(xxhash64(col("rowKey"), col("qualifier"), col("ts"))))
+      .collect()(0).getLong(0) shouldBe before
+    KvSnapshot.restore(spark, d, "preserve")
+    spark.read.format("graft-kv").load(d).count() shouldBe n0
+  }
+
+  test("cloneTo materializes an independent table with stats carried") {
+    val (d, n0) = freshTable("kv_snap_clonesrc", epochs = 3)
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_test/kv_snap_clonedst"
+    graft.sinks.Sinks.deleteRecursive(spark, dest)
+    val info = KvSnapshot.create(spark, d, "fork")
+    KvSnapshot.cloneTo(spark, d, "fork", dest)
+    val clone = spark.read.format("graft-kv").load(dest)
+    clone.count() shouldBe n0
+    // the clone's manifest carries the snapshot's stats: metadata-served
+    // planning works from the first read
+    val dfs = fsOf(dest)
+    KvLog.liveFileStats(dfs, new Path(dest)).keySet shouldBe
+      info.files.map(_._1).toSet
+    // independence both ways: mutate the clone, the source is untouched
+    KvGenerator.cells(spark, 50, 2, "runCl")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dest)
+    KvCompactor.compact(spark, dest, regions = 1) shouldBe a[KvCompactor.Compacted]
+    KvVacuum.vacuum(spark, dest, graceMs = 0)
+    spark.read.format("graft-kv").load(d).count() shouldBe n0
+    // non-empty destination refused
+    an[IllegalArgumentException] should be thrownBy
+      KvSnapshot.cloneTo(spark, d, "fork", dest)
+  }
+
   test("lifecycle guards: duplicate create, unknown restore, invalid names, streaming") {
     val (d, _) = freshTable("kv_snap_guard", epochs = 2)
     KvSnapshot.create(spark, d, "one")
