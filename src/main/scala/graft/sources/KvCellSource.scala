@@ -164,6 +164,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
   private var limit: Option[Int] = None
   private var ordered: Boolean = false
   private var descending: Boolean = false
+  private var orderedCols: Int = 1
 
   /** LIMIT pushdown, always PARTIAL (the default `isPartiallyPushed` —
     * Spark keeps its own global Limit above the scan, so the source only
@@ -200,24 +201,39 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder], l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    val onRowKey = orders.length == 1 && (orders(0).expression() match {
-      case nr: NamedReference => nr.fieldNames.toSeq == Seq("rowKey")
-      case _ => false
+    // Accept any UNIFORM-direction prefix of the sink's file sort order
+    // (rowKey[, qualifier]): a sink-written file is lexicographically
+    // (rowKey, qualifier)-sorted, so its first n rows contain a valid
+    // top-n under the exact 2-column order AND under the weaker
+    // rowKey-only order (the n smallest (rk,q) pairs have the n smallest
+    // rowKeys as a multiset); reversed, its last n rows serve the DESC
+    // mirror. Mixed directions (rowKey ASC, qualifier DESC) have no
+    // contiguous-run shape in the file and fall back to the full sort.
+    val cols = orders.toSeq.map(_.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
     })
-    val defaultNulls = onRowKey && (orders(0).direction() match {
+    val onPrefix = orders.nonEmpty &&
+      cols.flatten.length == orders.length &&
+      cols.flatten == Seq("rowKey", "qualifier").take(orders.length)
+    val uniform = orders.map(_.direction()).distinct.length == 1
+    val desc = uniform && orders(0).direction() == SortDirection.DESCENDING
+    val defaultNulls = orders.forall(o => o.direction() match {
       case SortDirection.ASCENDING =>
-        orders(0).nullOrdering() == NullOrdering.NULLS_FIRST
+        o.nullOrdering() == NullOrdering.NULLS_FIRST
       case SortDirection.DESCENDING =>
-        orders(0).nullOrdering() == NullOrdering.NULLS_LAST
+        o.nullOrdering() == NullOrdering.NULLS_LAST
     })
-    val desc = onRowKey && orders(0).direction() == SortDirection.DESCENDING
     // The DESC reader BUFFERS n rows per task (the ring), so a huge top-n
     // would turn every task into an n-row heap consumer — refuse past an
     // inspection-sized bound and let the ordinary sort handle it (ASC
     // needs no cap: its reader only counts).
-    if (onRowKey && defaultNulls && !(desc && l > KvScanBuilder.MaxDescTopN)) {
+    if (onPrefix && uniform && defaultNulls &&
+        !(desc && l > KvScanBuilder.MaxDescTopN)) {
       limit = Some(l); ordered = true
       descending = desc
+      orderedCols = orders.length
       true
     } else false
   }
@@ -285,7 +301,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     case None =>
       new KvScan(path, required, (accepted ++ scopeFilters).distinct,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
-        descending, maxBytesPerBatch, snapshot)
+        descending, maxBytesPerBatch, snapshot, orderedCols)
   }
 }
 
@@ -461,7 +477,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     ordered: Boolean = false,
     descending: Boolean = false,
     maxBytesPerBatch: Option[Long] = None,
-    snapshot: Option[String] = None)
+    snapshot: Option[String] = None,
+    orderedCols: Int = 1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -692,8 +709,10 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   override def description(): String = {
     val pruned = s"regions=${plannedFiles.size}/$totalFiles"
     val lim = limit.fold("")(n =>
-      if (ordered) s" topN=$n(rowKey ${if (descending) "DESC" else "ASC"})"
-      else s" limit=$n")
+      if (ordered) {
+        val keys = Seq("rowKey", "qualifier").take(orderedCols).mkString(",")
+        s" topN=$n($keys ${if (descending) "DESC" else "ASC"})"
+      } else s" limit=$n")
     s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim"
   }
 }

@@ -225,6 +225,28 @@ class KvSourceSpec extends SparkSpec {
     dplan should include("regions=4/4") // overlap: no file may be dropped
     // a DESC top-n larger than the table degrades to the full content
     keys(t.orderBy(col("rowKey").desc).limit(100000)) shouldBe keys(p)
+    // MULTI-COLUMN prefix of the file sort order (rowKey, qualifier):
+    // uniform ASC and uniform DESC both push (first/last n file rows are
+    // the exact 2-column top-n); mixed directions fall back to the sort
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.select("rowKey", "qualifier").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val top2 = t.orderBy(col("rowKey"), col("qualifier")).limit(7)
+    pairs(top2) shouldBe pairs(p.orderBy(col("rowKey"), col("qualifier")).limit(7))
+    top2.queryExecution.executedPlan.toString should
+      include("topN=7(rowKey,qualifier ASC)")
+    val desc2 = t.orderBy(col("rowKey").desc, col("qualifier").desc).limit(5)
+    pairs(desc2) shouldBe
+      pairs(p.orderBy(col("rowKey").desc, col("qualifier").desc).limit(5))
+    desc2.queryExecution.executedPlan.toString should
+      include("topN=5(rowKey,qualifier DESC)")
+    val mixed = t.orderBy(col("rowKey"), col("qualifier").desc).limit(5)
+    pairs(mixed) shouldBe
+      pairs(p.orderBy(col("rowKey"), col("qualifier").desc).limit(5))
+    mixed.queryExecution.executedPlan.toString should not include "topN="
+    // a non-prefix order (qualifier leading) must also refuse
+    val nonPrefix = t.orderBy(col("qualifier")).limit(5)
+    nonPrefix.queryExecution.executedPlan.toString should not include "topN="
   }
 
   test("the DESC tail reader returns the exact file tail across MULTIPLE row groups") {
