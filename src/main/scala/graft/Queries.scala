@@ -455,6 +455,47 @@ object Queries {
        |SELECT rowKey, qualifier, value, ts
        |FROM m WHERE NOT tomb AND (tmax IS NULL OR ts > tmax)""".stripMargin
 
+  /** PHYSICAL cell GC in the compaction rewrite ([[graft.sources.KvCompactor.CellPolicy]]
+    * — the HBase compaction-scanner contract: TTL and `VERSIONS => k` are
+    * enforced where store files are rewritten, the only place dead cells
+    * physically disappear; without it a 100-TB table only grows). The
+    * fixture writes the 1M-cell version-stacked generator table, then
+    * MAJOR-compacts with ts-watermark + keep-2-versions policy; the scan
+    * of the compacted table must equal the oracle's declarative
+    * filter+rank over the regenerated cells — proving the rewrite dropped
+    * exactly the dead cells and nothing else. Distinct from
+    * `kv_ttl_expire`/`kv_versions_retain`, which compute the same
+    * semantics as READ-TIME operators over unmodified data.
+    */
+  def kvTtlCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"ttl_compact|$sfDir", _ => {
+      val p = artifactPath("ttl_compact", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      KvGenerator.cells(spark, VersionRecords, GenTasks, "run1")
+        .write.format("graft-kv").option("regions", 4)
+        .mode("append").save(p)
+      val res = graft.sources.KvCompactor.compact(spark, p, regions = 4,
+        selection = graft.sources.KvCompactor.Major,
+        cellPolicy = graft.sources.KvCompactor.CellPolicy(
+          dropBelowTs = Some(TtlCompactCutoff), maxVersions = Some(2)))
+      require(res.isInstanceOf[graft.sources.KvCompactor.Compacted],
+        s"ttl_compact fixture compaction did not publish: $res")
+      p
+    })
+    spark.read.format("graft-kv").load(path).select(
+      col("rowKey"), col("qualifier"),
+      decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  private val TtlCompactCutoff = VersionRecords * 10 / 2
+
+  private val kvTtlCompactSql: String =
+    s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
+       |f AS (SELECT * FROM g WHERE ts >= $TtlCompactCutoff),
+       |m AS (SELECT *, row_number() OVER (PARTITION BY rowKey, qualifier
+       |        ORDER BY ts DESC, value) AS rn FROM f)
+       |SELECT rowKey, qualifier, value, ts FROM m WHERE rn <= 2""".stripMargin
+
   /** CDC snapshot diff (ext of the export family): an older generator run
     * (1000 ids) vs a newer state where qualifier C3 was dropped (deletes),
     * 200 new ids appeared (inserts), and every C0 cell was rewritten
@@ -3764,6 +3805,7 @@ object Queries {
     "kv_stats_bounds" -> (kvStatsBounds _),
     "kv_point_lookup" -> (kvPointLookup _),
     "kv_snapshot_restore" -> (kvSnapshotRestore _),
+    "kv_ttl_compact" -> (kvTtlCompact _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
@@ -3891,6 +3933,7 @@ object Queries {
     "kv_stats_bounds" -> kvStatsBoundsSql,
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_snapshot_restore" -> kvGenCellsSql,
+    "kv_ttl_compact" -> kvTtlCompactSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

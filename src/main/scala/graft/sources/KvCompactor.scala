@@ -91,6 +91,36 @@ object KvCompactor {
       "graft-kv compaction: Minor.sizeRatio must be >= 1.0")
   }
 
+  /** CELL-LEVEL garbage collection applied DURING the merge rewrite — the
+    * HBase compaction-scanner semantics (TTL and `VERSIONS => k` are
+    * enforced while store files are rewritten, the only place dead cells
+    * can physically disappear): the merge is reading and rewriting every
+    * merged byte anyway, so dropping dead cells there is free — without
+    * it, expired data is immortal and a 100-TB table only ever grows.
+    *
+    *  - `dropBelowTs` — cells with `ts` strictly below this watermark are
+    *    dropped (HBase TTL, with the caller computing `now - ttl` so the
+    *    engine never interprets ts as wall-clock — cell timestamps here
+    *    are caller-defined, exactly like HBase's default-but-overridable
+    *    epoch millis).
+    *  - `maxVersions` — per (rowKey, qualifier), keep only the newest k
+    *    versions AMONG THE MERGED FILES (ts desc, value asc tie-break —
+    *    the `kv_versions_retain` order). Like HBase, a minor pass may
+    *    retain extra versions living in files outside the merge; a
+    *    [[Major]] pass enforces the bound exactly.
+    *
+    * Enforcement never touches carried (unmerged) files — their bytes are
+    * not being rewritten, so their dead cells wait for their tier's turn,
+    * the same amortization the merge itself follows.
+    */
+  final case class CellPolicy(
+      dropBelowTs: Option[Long] = None,
+      maxVersions: Option[Int] = None) {
+    maxVersions.foreach(k => require(k >= 1,
+      "graft-kv compaction: maxVersions must be >= 1"))
+    def isNoop: Boolean = dropBelowTs.isEmpty && maxVersions.isEmpty
+  }
+
   sealed trait Result
   /** Compaction published at log `seq`: `merged` segments → `into` files. */
   case class Compacted(seq: Long, merged: Int, into: Int) extends Result
@@ -108,9 +138,10 @@ object KvCompactor {
 
   /** Compact with a FIXED output region count (the CompactTable CLI shape). */
   def compact(spark: SparkSession, path: String, regions: Int,
-      selection: Selection = Major): Result = {
+      selection: Selection = Major,
+      cellPolicy: CellPolicy = CellPolicy()): Result = {
     require(regions > 0, "graft-kv compaction: regions must be positive")
-    run(spark, path, _ => regions, selection)
+    run(spark, path, _ => regions, selection, cellPolicy)
   }
 
   /** Compact with output regions SIZED from the merged bytes —
@@ -121,15 +152,17 @@ object KvCompactor {
     * routes here so minor tiers produce tier-sized outputs.
     */
   def compactTo(spark: SparkSession, path: String, targetRegionBytes: Long,
-      selection: Selection = Major): Result = {
+      selection: Selection = Major,
+      cellPolicy: CellPolicy = CellPolicy()): Result = {
     require(targetRegionBytes > 0,
       "graft-kv compaction: targetRegionBytes must be positive")
     run(spark, path, bytes => math.max(1L,
-      (bytes + targetRegionBytes - 1) / targetRegionBytes).toInt, selection)
+      (bytes + targetRegionBytes - 1) / targetRegionBytes).toInt, selection,
+      cellPolicy)
   }
 
   private def run(spark: SparkSession, path: String, regionsFor: Long => Int,
-      selection: Selection): Result = {
+      selection: Selection, cellPolicy: CellPolicy = CellPolicy()): Result = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return Parked(s"no table at $path")
@@ -180,9 +213,27 @@ object KvCompactor {
     val expectSeq = latest + 1
     val tmp = new Path(dir, s"_compact_${UUID.randomUUID().toString.take(8)}")
     val cellCols = graft.kv.Cell.schema.fieldNames.map(org.apache.spark.sql.functions.col)
-    spark.read.parquet(mergeSet.map(f => s"$path/${f._1}"): _*)
+    var mergeDf = spark.read.parquet(mergeSet.map(f => s"$path/${f._1}"): _*)
       .select(cellCols.toIndexedSeq: _*)
-      .write.format("graft-kv").option("regions", regions)
+    // Cell GC rides the rewrite ([[CellPolicy]]): TTL is a codegen'd
+    // filter fused into the scan; the versions bound is one extra
+    // (rowKey, qualifier) exchange on the already-rare compact path —
+    // row_number with the kv_versions_retain tie-break, so the retained
+    // set is deterministic under version-stack ties.
+    cellPolicy.dropBelowTs.foreach { t =>
+      mergeDf = mergeDf.filter(
+        org.apache.spark.sql.functions.col("ts") >= t)
+    }
+    cellPolicy.maxVersions.foreach { k =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      mergeDf = mergeDf
+        .withColumn("_v", row_number().over(Window
+          .partitionBy("rowKey", "qualifier")
+          .orderBy(col("ts").desc, col("value").asc)))
+        .filter(col("_v") <= k).drop("_v")
+    }
+    mergeDf.write.format("graft-kv").option("regions", regions)
       .mode("overwrite").save(tmp.toString)
     // The scratch write went through the graft-kv sink, so its own log
     // carries exact stats for the merged outputs — re-key them by the

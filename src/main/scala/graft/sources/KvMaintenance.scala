@@ -59,8 +59,23 @@ object KvMaintenance {
       vacuumGraceMs: Long = 24L * 3600 * 1000,
       minorMaxMerge: Int = 10,
       minorSizeRatio: Double = 1.2,
-      majorCompact: Boolean = false) {
+      majorCompact: Boolean = false,
+      /** HBase `TTL`: cells whose ts (interpreted as epoch millis, the
+        * HBase default contract — the table owner's responsibility) falls
+        * more than this below the pass's wall clock are dropped during
+        * the merge rewrite ([[KvCompactor.CellPolicy]]). None = keep
+        * forever.
+        */
+      ttlMs: Option[Long] = None,
+      /** HBase `VERSIONS => k`: retain only the newest k versions per
+        * (rowKey, qualifier) among merged files (exact under
+        * `majorCompact`, amortized under minor — same as HBase). None =
+        * unbounded versions.
+        */
+      maxVersions: Option[Int] = None) {
     require(maxSegments >= 1, "graft-kv maintenance: maxSegments must be >= 1")
+    ttlMs.foreach(t => require(t > 0,
+      "graft-kv maintenance: ttlMs must be positive"))
     require(targetRegionBytes > 0,
       "graft-kv maintenance: targetRegionBytes must be positive")
     // Grace 0 is a TEST-ONLY setting under the single-writer assumption:
@@ -90,7 +105,10 @@ object KvMaintenance {
           s"under threshold: ${live.size} live segments <= ${policy.maxSegments}")
       else KvCompactor.compactTo(spark, path, policy.targetRegionBytes,
         if (policy.majorCompact) KvCompactor.Major
-        else KvCompactor.Minor(policy.minorMaxMerge, policy.minorSizeRatio))
+        else KvCompactor.Minor(policy.minorMaxMerge, policy.minorSizeRatio),
+        KvCompactor.CellPolicy(
+          dropBelowTs = policy.ttlMs.map(System.currentTimeMillis() - _),
+          maxVersions = policy.maxVersions))
     // Vacuum runs regardless of the compaction outcome: it reclaims what
     // PREVIOUS passes removed once their grace expires, and crash strays.
     // Log retention rides the same clock: entries below the floor older

@@ -112,6 +112,42 @@ class KvMaintenanceSpec extends graft.SparkSpec {
     digest(landed) shouldBe digest(spark.read.format("graft-kv").load(src))
   }
 
+  test("cell policy GC in the rewrite: expired cells and excess versions are PHYSICALLY gone") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_maint_cellgc"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    // 40k records over the 32768-key space → colliding version stacks
+    val cells = KvGenerator.cells(spark, 40000, 4, "runGC").cache()
+    cells.write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    val cutoff = 40000L * 10 / 2
+    KvCompactor.compact(spark, d, regions = 2,
+      selection = KvCompactor.Major,
+      cellPolicy = KvCompactor.CellPolicy(
+        dropBelowTs = Some(cutoff), maxVersions = Some(1))) shouldBe
+      a[KvCompactor.Compacted]
+    val fs = fsOf(d)
+    val table = new Path(d)
+    // read the compacted region files DIRECTLY (no manifest, no operator):
+    // the dead cells must not exist on disk, not merely be masked
+    val files = KvLog.liveFiles(fs, table)
+    files.foreach(f => assert(f.startsWith("part-c"), s"uncompacted $f"))
+    val raw = spark.read.parquet(files.map(f => s"$d/$f"): _*)
+    raw.filter(col("ts") < cutoff).count() shouldBe 0
+    raw.groupBy("rowKey", "qualifier").count()
+      .filter(col("count") > 1).count() shouldBe 0
+    // and what survives is exactly the declarative expire+retain result
+    import org.apache.spark.sql.expressions.Window
+    val expect = cells.filter(col("ts") >= cutoff)
+      .withColumn("_v", row_number().over(Window
+        .partitionBy("rowKey", "qualifier")
+        .orderBy(col("ts").desc, col("value").asc)))
+      .filter(col("_v") === 1).drop("_v")
+    raw.count() shouldBe expect.count()
+    raw.agg(bit_xor(xxhash64(col("rowKey"), col("qualifier"), col("ts"))))
+      .collect()(0).getLong(0) shouldBe
+      expect.agg(bit_xor(xxhash64(col("rowKey"), col("qualifier"), col("ts"))))
+        .collect()(0).getLong(0)
+  }
+
   test("tail gating carries into maintenance: a parked compaction never blocks the vacuum half") {
     val d = pileUp("kv_maint_gated", commits = 5)
     val fs = fsOf(d)
