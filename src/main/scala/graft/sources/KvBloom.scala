@@ -107,6 +107,27 @@ private[graft] object KvBloom {
     }
   }
 
+  /** Planning-side decode cache: a point query over a many-segment table
+    * probes one bloom per candidate, and tables are re-planned per query —
+    * without memoization that is O(segments) inflate calls per point
+    * lookup. Tokens are immutable values (content-addressed by their own
+    * string), so a flat map keyed by token is sound; bounded by clearing
+    * wholesale at capacity (tokens cycle only when tables churn files, so
+    * the steady state is one entry per live segment across all tables).
+    */
+  private val decodeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[KvBloom]]()
+  private val DecodeCacheMax = 8192
+
+  def decodeCached(token: String): Option[KvBloom] = {
+    val hit = decodeCache.get(token)
+    if (hit != null) return hit
+    val v = decode(token)
+    if (decodeCache.size >= DecodeCacheMax) decodeCache.clear()
+    decodeCache.put(token, v)
+    v
+  }
+
   /** Parse a stat token back to a probe-ready filter. Unknown/corrupt
     * tokens decode to None — the planner then simply cannot prune with
     * this file's bloom (forward compatibility, same contract as unknown

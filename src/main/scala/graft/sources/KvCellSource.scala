@@ -589,7 +589,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
           })
         rangeOk && (points match {
           case Some(keys) =>
-            stat.flatMap(_.bloom).flatMap(KvBloom.decode) match {
+            stat.flatMap(_.bloom).flatMap(KvBloom.decodeCached) match {
               case Some(b) => keys.exists(b.mightContain)
               case None => true // no (valid) bloom: cannot prune
             }
@@ -635,7 +635,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
         }
         // Runtime (DPP) keys are exact values — the bloom prunes the
         // in-range epoch segments the bounds cannot.
-        rangeOk && (st.flatMap(_.bloom).flatMap(KvBloom.decode) match {
+        rangeOk && (st.flatMap(_.bloom).flatMap(KvBloom.decodeCached) match {
           case Some(b) => keys.exists(b.mightContain)
           case None => true
         })
