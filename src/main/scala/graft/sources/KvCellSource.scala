@@ -571,7 +571,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val all = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
-    val bounds = KvFilters.rowKeyBounds(pushed)
+    val bounds = KvFilters.rowKeyIntervalSets(pushed)
     // Point predicates additionally probe each file's MANIFEST BLOOM
     // (KvBloom — the HBase ROW-bloom Get path): epoch segments all span
     // the keyspace, so ranges alone keep every one of them for a point
@@ -584,7 +584,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
         val rangeOk = bounds.isEmpty ||
           (stat.flatMap(s => s.minKey.zip(s.maxKey))
             .orElse(KvFilters.fileRowKeyRange(f, conf)) match {
-            case Some((lo, hi)) => KvFilters.intersects(bounds, lo, hi)
+            case Some((lo, hi)) => KvFilters.keepsFile(bounds, lo, hi)
             case None => true // no stats anywhere: cannot prune, must scan
           })
         rangeOk && (points match {
@@ -1008,22 +1008,60 @@ private[sources] object KvFilters {
     filters.forall(exact)
   }
 
-  /** Conjunctive rowKey interval [lo, hi] implied by the pushed filters
-    * (None bound = unbounded). Empty seq = no rowKey constraint.
+  /** A closed rowKey interval (None bound = unbounded). All interval math
+    * here may RELAX (GT→GTE, StartsWith→its >= prefix) but never narrow —
+    * pruning keeps a superset of the matching files, the record filter and
+    * Spark's residual do the exact cutting.
     */
-  def rowKeyBounds(filters: Array[Filter]): Seq[(Option[String], Option[String])] = {
-    def one(f: Filter): Seq[(Option[String], Option[String])] = f match {
-      case EqualTo("rowKey", v: String) => Seq((Some(v), Some(v)))
-      case GreaterThan("rowKey", v: String) => Seq((Some(v), None))
-      case GreaterThanOrEqual("rowKey", v: String) => Seq((Some(v), None))
-      case LessThan("rowKey", v: String) => Seq((None, Some(v)))
-      case LessThanOrEqual("rowKey", v: String) => Seq((None, Some(v)))
-      case StringStartsWith("rowKey", p) => Seq((Some(p), None))
-      case And(l, r) => one(l) ++ one(r)
-      case _ => Nil
+  type KeyInterval = (Option[String], Option[String])
+
+  /** Per pushed filter, the DISJUNCTION of rowKey intervals it allows —
+    * None for a filter that implies no rowKey constraint at all. A file is
+    * scannable iff for EVERY constrained filter SOME disjunct intersects
+    * its [min, max]: the conjunctive single-interval case degenerates to
+    * the old bounds check, and an `Or` of rowKey ranges (the HBase
+    * MultiRowRangeFilter shape — e.g. a salted table's per-salt ranges)
+    * prunes per disjunct instead of not at all.
+    */
+  def rowKeyIntervalSets(filters: Array[Filter]): Seq[Seq[KeyInterval]] = {
+    def inter(a: KeyInterval, b: KeyInterval): Option[KeyInterval] = {
+      val lo = (a._1 ++ b._1).reduceOption((x, y) => if (x > y) x else y)
+      val hi = (a._2 ++ b._2).reduceOption((x, y) => if (x < y) x else y)
+      if (lo.zip(hi).exists { case (l, h) => l > h }) None else Some((lo, hi))
     }
-    filters.toSeq.flatMap(one)
+    // And of two disjunction-sets is the pairwise-intersection product;
+    // past a sanity cap the filter just stops constraining (sound: pruning
+    // is an optimization, never the correctness boundary).
+    def one(f: Filter): Option[Seq[KeyInterval]] = f match {
+      case EqualTo("rowKey", v: String) => Some(Seq((Some(v), Some(v))))
+      case In("rowKey", vs) if vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.toSeq.collect { case s: String => (Some(s), Some(s)): KeyInterval })
+      case GreaterThan("rowKey", v: String) => Some(Seq((Some(v), None)))
+      case GreaterThanOrEqual("rowKey", v: String) => Some(Seq((Some(v), None)))
+      case LessThan("rowKey", v: String) => Some(Seq((None, Some(v))))
+      case LessThanOrEqual("rowKey", v: String) => Some(Seq((None, Some(v))))
+      case StringStartsWith("rowKey", p) => Some(Seq((Some(p), None)))
+      case And(l, r) => (one(l), one(r)) match {
+        case (Some(a), Some(b)) =>
+          if (a.length.toLong * b.length > 1024) Some(a) // keep one side: still sound
+          else Some(for { x <- a; y <- b; iv <- inter(x, y) } yield iv)
+        case (a, b) => a.orElse(b)
+      }
+      // Or constrains only when BOTH sides do (a row may satisfy either).
+      case Or(l, r) => for { a <- one(l); b <- one(r) } yield a ++ b
+      case _ => None
+    }
+    filters.toSeq.flatMap(one(_))
   }
+
+  /** Whether a file spanning [lo, hi] can hold a row satisfying every
+    * constrained filter. An empty-disjunction set means the filter is
+    * unsatisfiable (e.g. `rowKey >= 'b' AND rowKey < 'a'`) — no file kept.
+    */
+  def keepsFile(sets: Seq[Seq[KeyInterval]], lo: String, hi: String): Boolean =
+    sets.forall(_.exists { case (bLo, bHi) =>
+      bLo.forall(_ <= hi) && bHi.forall(_ >= lo)
+    })
 
   /** The FINITE rowKey point set implied by the pushed conjunction, when
     * some conjunct pins rowKey to specific values (EqualTo / In / an Or of
@@ -1071,12 +1109,6 @@ private[sources] object KvFilters {
       else Some((ranges.map(_._1).min, ranges.map(_._2).max))
     } finally r.close()
   }
-
-  def intersects(bounds: Seq[(Option[String], Option[String])],
-      lo: String, hi: String): Boolean =
-    bounds.forall { case (bLo, bHi) =>
-      bLo.forall(_ <= hi) && bHi.forall(_ >= lo)
-    }
 
   /** Exact row count of one region file from its footer. */
   def fileRowCount(f: Path, conf: Configuration): Long = {

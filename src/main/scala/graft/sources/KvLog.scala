@@ -445,12 +445,17 @@ private[graft] object KvLog {
   def recordTail(fs: FileSystem, table: Path, tailId: String, seq: Long): Unit =
     writeText(fs, new Path(new Path(logDir(table), TailsDirName), tailId), seq.toString)
 
-  /** All registered tails' committed seqs (empty when none registered). */
+  /** All registered tails' committed seqs (empty when none registered).
+    * A mark that EXISTS but reads torn (racing its own per-batch overwrite
+    * — the tail is live right now) maps to position 0, the conservative
+    * gate: compaction parks below it this pass and re-reads next pass,
+    * instead of silently merging past an active tail.
+    */
   def tailPositions(fs: FileSystem, table: Path): Map[String, Long] = {
     val d = new Path(logDir(table), TailsDirName)
     if (!fs.exists(d)) Map.empty
-    else fs.listStatus(d).map(_.getPath).flatMap { p =>
-      readLong(fs, p).map(p.getName -> _)
+    else fs.listStatus(d).map(_.getPath).map { p =>
+      p.getName -> readLong(fs, p).getOrElse(0L)
     }.toMap
   }
 
@@ -707,9 +712,20 @@ private[graft] object KvLog {
       .sortBy(_.getName).toSeq
   }
 
+  /** Hint reads are TOLERANT of every failure mode a concurrent in-place
+    * hint overwrite can expose (torn value → NumberFormatException, open
+    * racing create/delete → EOF/FileNotFound/checksum IOExceptions): every
+    * hint consumer self-heals from None (latestSeq probes forward, horizon
+    * replays from 0, floor falls back to horizon), so a racing reader pays
+    * extra probes, never an exception. Entry files never take this path —
+    * they are staged + renamed and immutable once published.
+    */
   private def readLong(fs: FileSystem, p: Path): Option[Long] =
     try { if (fs.exists(p)) Some(readText(fs, p).trim.toLong) else None }
-    catch { case _: NumberFormatException => None } // torn hint: self-heal by probing
+    catch {
+      case _: NumberFormatException => None
+      case _: java.io.IOException => None
+    }
 
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

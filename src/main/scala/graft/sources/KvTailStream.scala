@@ -304,13 +304,13 @@ private[sources] class KvTailStream(
         case (Some(from), Some(to)) => advanceTo(from, to)._1
         case _ => segmentsAfter(lo).filter(_.getName <= hi).map((_, None))
       }
-    val bounds = KvFilters.rowKeyBounds(pushed)
+    val bounds = KvFilters.rowKeyIntervalSets(pushed)
     val kept =
       if (bounds.isEmpty) files
       else files.filter { case (f, stat) =>
         stat.flatMap(s => s.minKey.zip(s.maxKey))
           .orElse(KvFilters.fileRowKeyRange(f, conf)) match {
-          case Some((kLo, kHi)) => KvFilters.intersects(bounds, kLo, kHi)
+          case Some((kLo, kHi)) => KvFilters.keepsFile(bounds, kLo, kHi)
           case None => true
         }
       }

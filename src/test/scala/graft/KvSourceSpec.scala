@@ -57,6 +57,26 @@ class KvSourceSpec extends SparkSpec {
     plan should include regex "regions=[1-7]/8"
   }
 
+  test("an Or of rowKey ranges prunes per disjunct (MultiRowRangeFilter shape)") {
+    // two narrow ranges at opposite ends of the keyspace: conjunctive-only
+    // pruning would see no single bound and keep all 8 regions; disjunctive
+    // pruning keeps just the regions each disjunct touches
+    val p = (col("rowKey") >= "00010" && col("rowKey") < "00060") ||
+      (col("rowKey") >= "01900" && col("rowKey") < "01950")
+    val both = v2.filter(p)
+    sortedRows(both) shouldBe sortedRows(pq.filter(p))
+    assert(both.rdd.getNumPartitions < 8,
+      s"expected disjunctive pruning, got ${both.rdd.getNumPartitions} partitions")
+  }
+
+  test("an IN rowKey list prunes regions by its disjunct points") {
+    val keys = Seq("00011", "00013")
+    val in = v2.filter(col("rowKey").isin(keys: _*))
+    sortedRows(in) shouldBe sortedRows(pq.filter(col("rowKey").isin(keys: _*)))
+    assert(in.rdd.getNumPartitions < 8,
+      s"expected IN pruning, got ${in.rdd.getNumPartitions} partitions")
+  }
+
   test("column pruning reaches the scan output") {
     val slim = v2.select(col("rowKey"), col("ts"))
     sortedRows(slim) shouldBe sortedRows(pq.select(col("rowKey"), col("ts")))
