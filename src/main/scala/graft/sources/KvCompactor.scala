@@ -90,6 +90,23 @@ object KvCompactor {
     require(sizeRatio >= 1.0,
       "graft-kv compaction: Minor.sizeRatio must be >= 1.0")
   }
+  /** REGION SPLIT — the other half of `ConstantSizeRegionSplitPolicy`
+    * (CreateTable.java:28's sizing): [[Minor]] merges cohorts of SMALL
+    * segments but never touches a single far-oversized one (a region file
+    * sealed by one giant batch, or a legacy-seeded monolith), so without a
+    * split such a region grows without bound and every scan of its key
+    * range stays one task forever. This selection picks the single largest
+    * live segment at or past `minBytes` and rewrites JUST IT through the
+    * range-sorted sink into target-sized pieces — O(region) bytes, never
+    * O(table) — published as an ordinary compact entry (adds = pieces +
+    * carried, removes = the monolith). Parks when no segment qualifies.
+    * One split per pass, like an HBase region server's split check: the
+    * maintenance cadence absorbs multi-region normalization.
+    */
+  final case class SplitOversized(minBytes: Long) extends Selection {
+    require(minBytes > 0,
+      "graft-kv compaction: SplitOversized.minBytes must be positive")
+  }
 
   /** CELL-LEVEL garbage collection applied DURING the merge rewrite — the
     * HBase compaction-scanner semantics (TTL and `VERSIONS => k` are
@@ -181,11 +198,20 @@ object KvCompactor {
     // layout debt retired. (Floor alone can't detect this: a minor pass
     // that merged a tier reaching the tip also writes floor == latest
     // while plenty of carried segments still await their turn.)
-    if (KvLog.horizon(fs, dir) == latest && gate > latest &&
+    // (A split is exempt: dividing a PREVIOUS compaction's oversized
+    // output is exactly its job, and its own outputs are target-sized so
+    // it cannot re-trigger on them.)
+    if (!selection.isInstanceOf[SplitOversized] &&
+        KvLog.horizon(fs, dir) == latest && gate > latest &&
         live.forall(_._1.startsWith(f"part-c$latest%010d-")))
       return Parked(s"already compacted at seq $latest")
     val (candidates, gatedCarry) = live.partition(_._2 < gate)
-    if (candidates.size < 2)
+    // A merge needs >= 2 inputs; a split rewrites exactly 1.
+    val minInputs = selection match {
+      case _: SplitOversized => 1
+      case _ => 2
+    }
+    if (candidates.size < minInputs)
       return Parked(
         if (marks.isEmpty) "nothing to merge: fewer than 2 compactable segments"
         else s"registered tails gate compaction below seq $gate: " +
@@ -200,15 +226,24 @@ object KvCompactor {
     val mergeSet = selection match {
       case Major => sized
       case m: Minor => selectTier(sized, m)
+      case s: SplitOversized =>
+        sized.filter(_._3 >= s.minBytes).sortBy(-_._3).take(1)
     }
-    if (mergeSet.size < 2)
-      return Parked(s"no size tier to merge: ${candidates.size} candidate " +
-        "segments have geometric sizes (rewriting a far-larger segment to " +
-        "absorb a smaller one is write amplification, not maintenance)")
+    if (mergeSet.size < minInputs)
+      return Parked(selection match {
+        case s: SplitOversized =>
+          s"no oversized region: largest candidate is under ${s.minBytes} bytes"
+        case _ =>
+          s"no size tier to merge: ${candidates.size} candidate " +
+            "segments have geometric sizes (rewriting a far-larger segment to " +
+            "absorb a smaller one is write amplification, not maintenance)"
+      })
     val mergeNames = mergeSet.map(_._1).toSet
     val carrySet = candidates.collect {
       case (f, _) if !mergeNames.contains(f) => f } ++ gatedCarry.map(_._1)
     val regions = regionsFor(mergeSet.map(_._3).sum)
+    if (mergeSet.size == 1 && regions < 2)
+      return Parked("split would produce a single region: nothing to divide")
 
     val expectSeq = latest + 1
     val tmp = new Path(dir, s"_compact_${UUID.randomUUID().toString.take(8)}")

@@ -72,7 +72,16 @@ object KvMaintenance {
         * `majorCompact`, amortized under minor — same as HBase). None =
         * unbounded versions.
         */
-      maxVersions: Option[Int] = None) {
+      maxVersions: Option[Int] = None,
+      /** Region-SPLIT trigger, as a multiple of `targetRegionBytes` (the
+        * HBase split-policy half of ConstantSizeRegionSplitPolicy): a pass
+        * whose compaction check parks still splits one live segment at or
+        * past `splitFactor × targetRegionBytes` into target-sized pieces
+        * ([[KvCompactor.SplitOversized]]) — without it, a region sealed by
+        * one giant batch stays a single scan task forever and no minor
+        * tier ever selects it. `Double.PositiveInfinity` disables.
+        */
+      splitFactor: Double = 2.0) {
     require(maxSegments >= 1, "graft-kv maintenance: maxSegments must be >= 1")
     ttlMs.foreach(t => require(t > 0,
       "graft-kv maintenance: ttlMs must be positive"))
@@ -85,10 +94,13 @@ object KvMaintenance {
     // grace longer than its longest-running scan (the Delta retention rule).
     require(vacuumGraceMs >= 0,
       "graft-kv maintenance: vacuumGraceMs must be non-negative")
+    require(splitFactor >= 1.0,
+      "graft-kv maintenance: splitFactor must be >= 1.0")
   }
 
   case class Report(compaction: KvCompactor.Result, vacuum: KvVacuum.Result,
-      logEntriesTruncated: Int = 0)
+      logEntriesTruncated: Int = 0,
+      split: KvCompactor.Result = KvCompactor.Parked("not attempted"))
 
   def maintain(spark: SparkSession, path: String,
       policy: Policy = Policy()): Report = {
@@ -109,6 +121,23 @@ object KvMaintenance {
         KvCompactor.CellPolicy(
           dropBelowTs = policy.ttlMs.map(System.currentTimeMillis() - _),
           maxVersions = policy.maxVersions))
+    // SPLIT check (one publish per pass, like an HBase split check): only
+    // when the compaction half did not already rewrite this pass, divide
+    // one far-oversized region into target-sized pieces. The next pass
+    // handles any further region — maintenance cadence is the loop.
+    val splitThreshold = policy.splitFactor * policy.targetRegionBytes
+    val split = compaction match {
+      case _: KvCompactor.Compacted =>
+        KvCompactor.Parked("compaction ran this pass; split defers")
+      case _ if !splitThreshold.isFinite =>
+        KvCompactor.Parked("split disabled by policy")
+      case _ =>
+        KvCompactor.compactTo(spark, path, policy.targetRegionBytes,
+          KvCompactor.SplitOversized(splitThreshold.toLong),
+          KvCompactor.CellPolicy(
+            dropBelowTs = policy.ttlMs.map(System.currentTimeMillis() - _),
+            maxVersions = policy.maxVersions))
+    }
     // Vacuum runs regardless of the compaction outcome: it reclaims what
     // PREVIOUS passes removed once their grace expires, and crash strays.
     // Log retention rides the same clock: entries below the floor older
@@ -116,6 +145,6 @@ object KvMaintenance {
     // is being reclaimed by the same pass anyway); refused automatically
     // on tables whose checkpoint predates pending-carrying entries.
     Report(compaction, KvVacuum.vacuum(spark, path, policy.vacuumGraceMs),
-      KvLog.truncate(fs, dir, policy.vacuumGraceMs))
+      KvLog.truncate(fs, dir, policy.vacuumGraceMs), split)
   }
 }

@@ -79,6 +79,74 @@ class KvMaintenanceSpec extends graft.SparkSpec {
     spark.read.format("graft-kv").load(d).count() shouldBe n
   }
 
+  test("an oversized region splits into target-sized pieces; small siblings are carried, data unchanged") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_maint_split"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    // one monolith segment (regions=1) plus two small sibling commits
+    val big = KvGenerator.cells(spark, 20000, 4, "runS").cache()
+    big.write.format("graft-kv").option("regions", 1).mode("append").save(d)
+    val small = cells.limit(50)
+    small.write.format("graft-kv").option("regions", 1).mode("append").save(d)
+    small.write.format("graft-kv").option("regions", 1).mode("append").save(d)
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val n = spark.read.format("graft-kv").load(d).count()
+    val bigBytes = KvLog.liveFiles(fs, table)
+      .map(f => fs.getFileStatus(new Path(d, f)).getLen).max
+    // target sized so the monolith is past the 2× split trigger and
+    // divides into 3 pieces; the small siblings stay far under it
+    val target = bigBytes / 3 + 1
+    val policy = KvMaintenance.Policy(
+      maxSegments = 8, targetRegionBytes = target, vacuumGraceMs = 3600 * 1000)
+    val r = KvMaintenance.maintain(spark, d, policy)
+    r.compaction shouldBe KvCompactor.Parked("under threshold: 3 live segments <= 8")
+    r.split match {
+      case KvCompactor.Compacted(_, merged, into) =>
+        merged shouldBe 1; into shouldBe 3
+      case other => fail(s"expected a split, got $other")
+    }
+    // live set: 3 pieces + the 2 carried siblings; cells unchanged
+    KvLog.liveFiles(fs, table).size shouldBe 5
+    spark.read.format("graft-kv").load(d).count() shouldBe n
+    // pieces are range-disjoint and target-sized (none re-triggers)
+    val pieces = KvLog.liveFiles(fs, table).filter(_.startsWith("part-c"))
+    pieces.size shouldBe 3
+    pieces.map(f => fs.getFileStatus(new Path(d, f)).getLen)
+      .foreach(b => assert(b < 2 * target, s"piece still oversized: $b"))
+    // a second pass parks both halves: layout is normalized
+    val r2 = KvMaintenance.maintain(spark, d, policy)
+    r2.split match {
+      case KvCompactor.Parked(reason) => reason should include("no oversized region")
+      case other => fail(s"expected the split to park, got $other")
+    }
+  }
+
+  test("a previous compaction's oversized single output still splits (idempotence park exemption)") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_maint_split_c"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val big = KvGenerator.cells(spark, 20000, 4, "runS2").cache()
+    big.write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    big.filter(pmod(col("ts"), lit(2)) === 0)
+      .write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    // an admin major-compacts everything into ONE region — a monolith
+    KvCompactor.compact(spark, d, regions = 1) shouldBe a[KvCompactor.Compacted]
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val n = spark.read.format("graft-kv").load(d).count()
+    val bytes = KvLog.liveFiles(fs, table)
+      .map(f => fs.getFileStatus(new Path(d, f)).getLen).sum
+    val policy = KvMaintenance.Policy(
+      maxSegments = 8, targetRegionBytes = bytes / 3 + 1,
+      vacuumGraceMs = 3600 * 1000)
+    val r = KvMaintenance.maintain(spark, d, policy)
+    r.split match {
+      case KvCompactor.Compacted(_, merged, into) =>
+        merged shouldBe 1; into should be >= 2
+      case other => fail(s"expected the monolith to split, got $other")
+    }
+    spark.read.format("graft-kv").load(d).count() shouldBe n
+  }
+
   test("sink-hook maintenance bounds a streaming pipe's segment count across epochs") {
     import org.apache.spark.sql.streaming.Trigger
     // source: an 8-commit WAL pile; maxFilesPerBatch=1 forces one epoch
