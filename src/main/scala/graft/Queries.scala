@@ -80,6 +80,37 @@ object Queries {
       |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
       |GROUP BY 1""".stripMargin
 
+  /** The SALTED events table: rowKeys prefixed through [[KvSalt.salted]]
+    * (the HBase/Phoenix SALT_BUCKETS hotspot fix) before the ordinary
+    * range-sorted sink write — stored layout spreads every logical key
+    * range over 16 bucket subranges.
+    */
+  private def ensureSaltedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"salted_cells|$sfDir", _ => {
+      val path = artifactPath("salted_cells", sfDir)
+      graft.sources.KvSalt.salted(KvTable.eventsAsCells(spark, sfDir), 16)
+        .write.format("graft-kv").option("regions", 8)
+        .mode("overwrite").save(path)
+      path
+    })
+
+  /** The range scan of [[kvV2RangeScan]] against a SALTED table: the scan
+    * option strips the salt from every emitted key and rewrites the
+    * logical rowKey range into the 16 per-salt stored ranges (pushed as
+    * one exact Or — parquet record filter + disjunctive region pruning
+    * both consume it), so the same oracle must hold bit-for-bit. At scale
+    * this is the layout that keeps a "latest keys" range scan spread over
+    * the whole cluster instead of one tail region.
+    */
+  def kvSaltedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv").option("saltBuckets", 16)
+      .load(ensureSaltedCells(spark, sfDir))
+    cells.filter(col("rowKey") >= "00000002" && col("rowKey") < "00000012" &&
+        col("qualifier") === "click")
+      .groupBy(col("rowKey"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("max_ts"))
+  }
+
   /** Table-stats inspection served ENTIRELY from metadata: COUNT(*),
     * MIN/MAX(rowKey) and MIN/MAX(ts) push into the `graft-kv` scan and are
     * answered from the manifest's writer-collected per-file stats — zero
@@ -3807,6 +3838,7 @@ object Queries {
     "kv_snapshot_restore" -> (kvSnapshotRestore _),
     "kv_ttl_compact" -> (kvTtlCompact _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
+    "kv_salted_scan" -> (kvSaltedScan _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -3935,6 +3967,7 @@ object Queries {
     "kv_snapshot_restore" -> kvGenCellsSql,
     "kv_ttl_compact" -> kvTtlCompactSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
+    "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,
     "export_evolve_roundtrip" -> exportEvolveRoundtripSql,

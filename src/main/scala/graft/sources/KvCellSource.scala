@@ -131,12 +131,19 @@ private[sources] class KvCellTable(path: String) extends Table
       "graft-kv: snapshot is mutually exclusive with asOfSeq/asOfTime/" +
         "sinceSeq — a snapshot read plans from its own manifest, not a " +
         "log version")
+    // `saltBuckets` declares the table was written through
+    // [[KvSalt.salted]] with this bucket count: the scan strips the salt
+    // from every emitted rowKey and rewrites rowKey predicates (pushed
+    // AND scope) to stored form. Must match the writer's `n` — KvSalt doc.
+    val saltBuckets = Option(options.get("saltBuckets")).map(_.toInt)
+    saltBuckets.foreach(KvSalt.requireBuckets)
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
       Option(options.get("tailId")),
       asOf,
       sinceSeq,
       maxBytes,
-      snapshot)
+      snapshot,
+      saltBuckets)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -151,7 +158,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     asOfSeq: Option[Long] = None,
     sinceSeq: Option[Long] = None,
     maxBytesPerBatch: Option[Long] = None,
-    snapshot: Option[String] = None)
+    snapshot: Option[String] = None,
+    saltBuckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -228,8 +236,10 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     // The DESC reader BUFFERS n rows per task (the ring), so a huge top-n
     // would turn every task into an n-row heap consumer — refuse past an
     // inspection-sized bound and let the ordinary sort handle it (ASC
-    // needs no cap: its reader only counts).
-    if (onPrefix && uniform && defaultNulls &&
+    // needs no cap: its reader only counts). A SALTED table refuses all
+    // top-n: file order is stored (salt-interleaved) order, so a file's
+    // first/last n rows bound nothing about the logical-key top-n.
+    if (onPrefix && uniform && defaultNulls && saltBuckets.isEmpty &&
         !(desc && l > KvScanBuilder.MaxDescTopN)) {
       limit = Some(l); ordered = true
       descending = desc
@@ -289,7 +299,11 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
 
   private def servable(specs: Seq[KvStatsScan.Spec]): Boolean =
     !specs.exists(s => s == KvStatsScan.MinKeySpec || s == KvStatsScan.MaxKeySpec) ||
-      KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq, snapshot)
+      // Salted tables refuse the key aggregates outright: manifest bounds
+      // are STORED (salt-prefixed) keys, whose min/max says nothing about
+      // the logical extremes.
+      (saltBuckets.isEmpty &&
+        KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq, snapshot))
 
   /** Scope filters join the pushed set. Unlike Catalyst-pushed filters,
     * Spark never re-evaluates them as residuals — the parquet record filter
@@ -299,9 +313,16 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     case Some(specs) =>
       new KvStatsScan(path, specs, conf, asOfSeq, sinceSeq, snapshot)
     case None =>
-      new KvScan(path, required, (accepted ++ scopeFilters).distinct,
+      // Salted tables: every rowKey predicate — Catalyst-pushed AND
+      // scope-option — rewrites to stored key space before it reaches the
+      // parquet filter, the region pruner, or the bloom prober. Exact by
+      // construction (KvSalt.expand doc), so the residual contract and the
+      // reader limit cap are unchanged.
+      val effective = (accepted ++ scopeFilters).distinct
+      val pushedStored = saltBuckets.fold(effective)(KvSalt.expandAll(effective, _))
+      new KvScan(path, required, pushedStored,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
-        descending, maxBytesPerBatch, snapshot, orderedCols)
+        descending, maxBytesPerBatch, snapshot, orderedCols, saltBuckets)
   }
 }
 
@@ -478,7 +499,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     descending: Boolean = false,
     maxBytesPerBatch: Option[Long] = None,
     snapshot: Option[String] = None,
-    orderedCols: Int = 1)
+    orderedCols: Int = 1,
+    saltBuckets: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -548,7 +570,10 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     val names = required.fieldNames.toSet
-    val certified = !(ordered && descending) && names.contains("rowKey") &&
+    // Salted scans emit STRIPPED keys out of salt-interleaved file order —
+    // never sorted by the logical key, so no ordering is reported.
+    val certified = saltBuckets.isEmpty &&
+      !(ordered && descending) && names.contains("rowKey") &&
       keptFiles.nonEmpty && keptFiles.forall(_._2.isDefined)
     if (!certified) Array.empty
     else {
@@ -626,7 +651,12 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
 
   override def planInputPartitions(): Array[InputPartition] = {
     val statsByFile = keptFiles.toMap
-    val files = runtimeKeys match {
+    // Runtime (DPP) keys arrive in LOGICAL key space — the join side saw
+    // the scan's stripped output — so a salted scan maps each to its one
+    // stored form before probing bounds and blooms.
+    val storedRuntimeKeys = runtimeKeys.map(ks =>
+      saltBuckets.fold(ks)(n => ks.map(KvSalt.stored(_, n))))
+    val files = storedRuntimeKeys match {
       case Some(keys) => plannedFiles.filter { f =>
         val st = statsByFile.get(f).flatten
         val rangeOk = st.flatMap(s => s.minKey.zip(s.maxKey)) match {
@@ -687,7 +717,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       desc = descending,
       // tail row-group planning needs RAW row counts to be the bound —
       // only sound with no record filter at all
-      tailPlan = descending && pushed.isEmpty)
+      tailPlan = descending && pushed.isEmpty,
+      saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0)
   }
 
   override def toBatch: Batch = this
@@ -703,7 +734,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
         "stream's offset already names its log position; tail from a fresh " +
         "checkpoint instead")
     new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf, tailId,
-      maxBytesPerBatch)
+      maxBytesPerBatch,
+      saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0)
   }
 
   override def description(): String = {
@@ -713,7 +745,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
         val keys = Seq("rowKey", "qualifier").take(orderedCols).mkString(",")
         s" topN=$n($keys ${if (descending) "DESC" else "ASC"})"
       } else s" limit=$n")
-    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim"
+    val salt = saltBuckets.fold("")(n => s" salted=$n")
+    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt"
   }
 }
 
@@ -725,14 +758,15 @@ private[sources] case class KvReaderFactory(
     conf: SerializableConfiguration,
     limit: Option[Int] = None,
     desc: Boolean = false,
-    tailPlan: Boolean = false) extends PartitionReaderFactory {
+    tailPlan: Boolean = false,
+    saltLen: Int = 0) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (desc && limit.exists(_ > 0))
       new KvTailPartitionReader(partition.asInstanceOf[KvFilePartition].file,
-        projNames, outNames, predicate, conf.value, limit.get, tailPlan)
+        projNames, outNames, predicate, conf.value, limit.get, tailPlan, saltLen)
     else new KvPartitionReader(partition.asInstanceOf[KvFilePartition].file,
-      projNames, outNames, predicate, conf.value, limit)
+      projNames, outNames, predicate, conf.value, limit, saltLen)
 }
 
 /** Reads one region file through a CUSTOM parquet `ReadSupport` that
@@ -745,11 +779,13 @@ private[sources] case class KvReaderFactory(
 private[sources] class KvPartitionReader(
     file: String, projNames: Seq[String], outNames: Seq[String],
     predicate: Option[FilterPredicate], conf: Configuration,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    saltLen: Int = 0)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
-    val b = PqReader.builder(new KvReadSupport(projNames, outNames), new Path(file))
+    val b = PqReader.builder(new KvReadSupport(projNames, outNames, saltLen),
+      new Path(file))
       .withConf(conf)
     predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
@@ -789,12 +825,12 @@ private[sources] class KvPartitionReader(
 private[graft] class KvTailPartitionReader(
     file: String, projNames: Seq[String], outNames: Seq[String],
     predicate: Option[FilterPredicate], conf: Configuration,
-    n: Int, tailPlan: Boolean)
+    n: Int, tailPlan: Boolean, saltLen: Int = 0)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
     val p = new Path(file)
-    var b = PqReader.builder(new KvReadSupport(projNames, outNames), p)
+    var b = PqReader.builder(new KvReadSupport(projNames, outNames, saltLen), p)
       .withConf(conf)
     if (tailPlan) {
       // Footer pass to find the tail row groups covering >= n rows; the
@@ -850,7 +886,8 @@ private[graft] class KvTailPartitionReader(
   * `projNames`; `outNames` selects and orders the emitted fields (filter-only
   * columns are assembled but not emitted).
   */
-private[sources] class KvReadSupport(projNames: Seq[String], outNames: Seq[String])
+private[sources] class KvReadSupport(projNames: Seq[String], outNames: Seq[String],
+    saltLen: Int = 0)
     extends ReadSupport[InternalRow] {
 
   override def init(context: InitContext): ReadSupport.ReadContext = {
@@ -864,10 +901,11 @@ private[sources] class KvReadSupport(projNames: Seq[String], outNames: Seq[Strin
   override def prepareForRead(conf: Configuration,
       metadata: util.Map[String, String], fileSchema: MessageType,
       readContext: ReadSupport.ReadContext): RecordMaterializer[InternalRow] =
-    new KvMaterializer(readContext.getRequestedSchema, outNames)
+    new KvMaterializer(readContext.getRequestedSchema, outNames, saltLen)
 }
 
-private[sources] class KvMaterializer(schema: MessageType, outNames: Seq[String])
+private[sources] class KvMaterializer(schema: MessageType, outNames: Seq[String],
+    saltLen: Int = 0)
     extends RecordMaterializer[InternalRow] {
 
   private val n = schema.getFieldCount
@@ -875,6 +913,11 @@ private[sources] class KvMaterializer(schema: MessageType, outNames: Seq[String]
   private val outIdx: Array[Int] = outNames.map { name =>
     (0 until n).find(i => schema.getFieldName(i) == name).getOrElse(-1)
   }.toArray
+  // Salted scans emit the LOGICAL key: the stored salt prefix is stripped
+  // here, after the record filter ran on stored values. Prefix chars are
+  // ASCII, so the code-point substring is the byte strip.
+  private val rowKeyOut: Int =
+    if (saltLen > 0) outNames.indexOf("rowKey") else -1
 
   private val root: GroupConverter = new GroupConverter {
     private val converters: Array[Converter] = Array.tabulate(n) { i =>
@@ -912,6 +955,8 @@ private[sources] class KvMaterializer(schema: MessageType, outNames: Seq[String]
     while (i < out.length) {
       val gi = outIdx(i)
       out(i) = if (gi < 0) null else buf(gi)
+      if (i == rowKeyOut && out(i) != null)
+        out(i) = out(i).asInstanceOf[UTF8String].substring(saltLen, Int.MaxValue)
       i += 1
     }
     new GenericInternalRow(out)

@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+import org.apache.spark.sql.functions.{col, concat, format_string, hash, lit, pmod}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SALTED rowKeys for `graft-kv` tables — the HBase/Phoenix
+  * (`SALT_BUCKETS`) fix for key-range hotspotting: a stored key is
+  * `"%03d|" % (murmur3(key) mod n)` + the logical key, so any narrow
+  * LOGICAL key range (a time-prefixed "latest keys" scan, a tenant
+  * prefix) physically spreads over `n` stored subranges instead of
+  * landing in one region — a range scan that would occupy 1 task on an
+  * unsalted layout fans out across every region the salt spread it over,
+  * and a region layout with fixed split points never develops a hot tail.
+  *
+  * The engine keeps the salt OUT of user space:
+  *  - WRITE: [[salted]] prefixes the rowKey column (plain codegen'd
+  *    `hash`/`format_string` — one narrow projection, no shuffle of its
+  *    own) before any `format("graft-kv")` write, batch or streaming. The
+  *    sink then range-partitions on the STORED key as usual — every
+  *    lifecycle mechanism (manifest stats, blooms, compaction, snapshots)
+  *    works on salted tables untouched, because a salted key is just a
+  *    key.
+  *  - READ: `.option("saltBuckets", n)` on the scan strips the prefix
+  *    from every emitted rowKey and rewrites pushed rowKey predicates to
+  *    stored form ([[expand]]): a point Get maps to its ONE salted key
+  *    (the bucket is a function of the key — still a 1-file bloom-pruned
+  *    lookup), a range maps to the n per-salt ranges (an Or the
+  *    disjunctive pruner and the parquet record filter both consume
+  *    exactly). Spark's residual re-check runs on the STRIPPED key
+  *    against the ORIGINAL predicate, so the expansion is never the
+  *    correctness boundary.
+  *
+  * What salting deliberately gives up (both refused at pushdown, so plans
+  * stay correct via the ordinary sort): rowKey TOP-N pushdown and the
+  * scan's per-partition ordering report — stored order interleaves
+  * buckets, not logical keys. MIN/MAX(rowKey) metadata aggregates are
+  * likewise refused (manifest bounds are stored-form).
+  *
+  * The salt function is Spark's own `hash()` (Murmur3, seed 42) so the
+  * write-side column expression and the read-side driver rewrite can
+  * never disagree; [[saltOf]] evaluates the identical Catalyst expression
+  * driver-side.
+  */
+object KvSalt {
+
+  /** Stored-prefix width: 3 digits + '|'. */
+  val Width = 4
+
+  /** HBase guidance caps salt buckets near the region-server count;
+    * Phoenix caps SALT_BUCKETS at 256. Same bound here — more buckets
+    * than that only multiplies range-expansion fan-out.
+    */
+  val MaxBuckets = 256
+
+  def requireBuckets(n: Int): Unit =
+    require(n >= 1 && n <= MaxBuckets,
+      s"graft-kv: saltBuckets must be in [1, $MaxBuckets], got $n")
+
+  /** The bucket of one key — the driver-side twin of the write column:
+    * `pmod(hash(rowKey), n)` evaluated through the same Murmur3Hash
+    * Catalyst expression `functions.hash` compiles to.
+    */
+  def saltOf(key: String, n: Int): Int = {
+    val h = Murmur3Hash(Seq(Literal(UTF8String.fromString(key), StringType)), 42)
+      .eval(InternalRow.empty).asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
+
+  /** The stored form of one logical key. */
+  def stored(key: String, n: Int): String = f"${saltOf(key, n)}%03d|$key"
+
+  /** The stored prefix of one bucket (every bucket-`s` key starts with it). */
+  private def bucketPrefix(s: Int): String = f"$s%03d|"
+
+  /** Salt a cell DataFrame's rowKey for writing — call immediately before
+    * `.write.format("graft-kv")` / `.writeStream...` with the SAME `n`
+    * every writer of the table uses.
+    */
+  def salted(df: DataFrame, n: Int): DataFrame = {
+    requireBuckets(n)
+    df.withColumn("rowKey",
+      concat(format_string("%03d|", pmod(hash(col("rowKey")), lit(n))),
+        col("rowKey")))
+  }
+
+  /** Strip the salt prefix — the read-side inverse for code that consumes
+    * the raw files rather than the salt-aware scan.
+    */
+  def unsalted(df: DataFrame): DataFrame =
+    df.withColumn("rowKey",
+      org.apache.spark.sql.functions.expr(s"substring(rowKey, ${Width + 1})"))
+
+  /** Rewrite one pushed filter from LOGICAL to STORED key space. Exact —
+    * stored keys are precisely `{stored(k) : k}`, each disjunct pins one
+    * bucket's contiguous stored range, and non-rowKey predicates pass
+    * through — so the result is safe for the parquet record filter, the
+    * disjunctive region pruner, the bloom prober, AND the per-reader
+    * limit cap (expansion introduces no inexact translation beyond what
+    * the original filter already had).
+    */
+  def expand(f: Filter, n: Int): Filter = {
+    def allBuckets(mk: Int => Filter): Filter =
+      (0 until n).map(mk).reduceLeft[Filter](Or(_, _))
+    // Bucket s's stored keys live in [bucketPrefix(s), bucketPrefix(s+1));
+    // the last bucket needs no upper bound — no higher prefix exists.
+    def bounded(s: Int, f: Filter): Filter =
+      if (s == n - 1) f else And(f, LessThan("rowKey", bucketPrefix(s + 1)))
+    f match {
+      case EqualTo("rowKey", v: String) => EqualTo("rowKey", stored(v, n))
+      case In("rowKey", vs) if vs.forall(_.isInstanceOf[String]) =>
+        In("rowKey", vs.collect { case s: String => stored(s, n): Any })
+      case GreaterThan("rowKey", v: String) =>
+        allBuckets(s => bounded(s, GreaterThan("rowKey", bucketPrefix(s) + v)))
+      case GreaterThanOrEqual("rowKey", v: String) =>
+        allBuckets(s =>
+          bounded(s, GreaterThanOrEqual("rowKey", bucketPrefix(s) + v)))
+      case LessThan("rowKey", v: String) =>
+        allBuckets(s => And(GreaterThanOrEqual("rowKey", bucketPrefix(s)),
+          LessThan("rowKey", bucketPrefix(s) + v)))
+      case LessThanOrEqual("rowKey", v: String) =>
+        allBuckets(s => And(GreaterThanOrEqual("rowKey", bucketPrefix(s)),
+          LessThanOrEqual("rowKey", bucketPrefix(s) + v)))
+      case StringStartsWith("rowKey", p) =>
+        allBuckets(s => StringStartsWith("rowKey", bucketPrefix(s) + p))
+      case And(l, r) => And(expand(l, n), expand(r, n))
+      case Or(l, r) => Or(expand(l, n), expand(r, n))
+      case other => other
+    }
+  }
+
+  def expandAll(filters: Array[Filter], n: Int): Array[Filter] =
+    filters.map(expand(_, n))
+}

@@ -69,7 +69,8 @@ private[sources] class KvTailStream(
     path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerBatch: Option[Int], confBroadcast: SerializableConfiguration,
     tailId: Option[String] = None,
-    maxBytesPerBatch: Option[Long] = None)
+    maxBytesPerBatch: Option[Long] = None,
+    saltLen: Int = 0)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   def this(path: String, required: StructType, pushed: Array[Filter],
@@ -346,7 +347,7 @@ private[sources] class KvTailStream(
     val filterCols = pushed.toSeq.flatMap(_.references).distinct
     val projNames = (required.fieldNames ++ filterCols).distinct.toSeq
     KvReaderFactory(projNames, required.fieldNames.toSeq,
-      KvFilters.toParquet(pushed), confBroadcast)
+      KvFilters.toParquet(pushed), confBroadcast, saltLen = saltLen)
   }
 
   /** A fresh tail starts at the compaction HORIZON when one exists (the

@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.kv.KvGenerator
+
+/** [[KvSalt]]: the salted table layout. A salted write + salt-aware scan
+  * must be INDISTINGUISHABLE from the unsalted table to every consumer —
+  * same rows, same predicates, same residual semantics — while predicates
+  * still push, prune, and bloom-probe in stored key space.
+  */
+class KvSaltSpec extends graft.SparkSpec {
+
+  private val Buckets = 16
+
+  private lazy val cells: DataFrame =
+    KvGenerator.cells(spark, 3000, 4, "runSalt").cache()
+
+  /** The same data as two tables: plain, and salted through the helper. */
+  private lazy val (plainDir, saltDir): (String, String) = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_plain"
+    val s = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_table"
+    Seq(p, s).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    cells.write.format("graft-kv").option("regions", 8).mode("overwrite").save(p)
+    KvSalt.salted(cells, Buckets)
+      .write.format("graft-kv").option("regions", 8).mode("overwrite").save(s)
+    (p, s)
+  }
+
+  private def plain: DataFrame = spark.read.format("graft-kv").load(plainDir)
+  private def saltedScan: DataFrame = spark.read.format("graft-kv")
+    .option("saltBuckets", Buckets).load(saltDir)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case b: Array[Byte] => new String(b, "UTF-8")
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+
+  test("write column and driver saltOf agree on every key") {
+    import spark.implicits._
+    val keys = cells.select("rowKey").distinct().limit(200)
+      .collect().map(_.getString(0))
+    val viaColumn = KvSalt.salted(
+      keys.toSeq.toDF("rowKey"), Buckets).collect()
+      .map(_.getString(0)).toSet
+    keys.foreach { k =>
+      assert(viaColumn.contains(KvSalt.stored(k, Buckets)),
+        s"driver stored() disagrees with the write column for $k")
+    }
+  }
+
+  test("salt-aware full scan equals the plain table, stored keys never leak") {
+    rows(saltedScan) shouldBe rows(plain)
+  }
+
+  test("every predicate shape survives the stored-space rewrite") {
+    val preds = Seq(
+      col("rowKey") === "00123",
+      col("rowKey").isin("00123", "00456", "02999"),
+      col("rowKey") >= "00100" && col("rowKey") < "00300",
+      col("rowKey") > "02800",
+      col("rowKey") <= "00050",
+      col("rowKey").startsWith("001"),
+      col("rowKey") === "00123" && col("ts") >= 100L,
+      col("family") === "c" && col("rowKey") < "00500")
+    preds.foreach { p =>
+      rows(saltedScan.filter(p)) shouldBe rows(plain.filter(p))
+    }
+  }
+
+  test("a point Get on a salted table still bloom-prunes to ~1 file") {
+    val get = saltedScan.filter(col("rowKey") === "00123")
+    rows(get) shouldBe rows(plain.filter(col("rowKey") === "00123"))
+    val total = KvLog.liveFiles(
+      new Path(saltDir).getFileSystem(spark.sessionState.newHadoopConf()),
+      new Path(saltDir)).size
+    assert(get.rdd.getNumPartitions < total,
+      s"expected pruning below $total files, got ${get.rdd.getNumPartitions}")
+    val plan = get.queryExecution.executedPlan.toString
+    plan should include("salted=16")
+  }
+
+  test("a logical range prunes per salt disjunct instead of keeping every file") {
+    // a narrow logical range expands to 16 stored subranges; each region
+    // file covers a contiguous STORED range, so files outside every
+    // subrange drop at planning time
+    val ranged = saltedScan
+      .filter(col("rowKey") >= "00100" && col("rowKey") < "00140")
+    rows(ranged) shouldBe rows(
+      plain.filter(col("rowKey") >= "00100" && col("rowKey") < "00140"))
+  }
+
+  test("ORDER BY rowKey LIMIT is correct (top-n pushdown refused, plain sort serves it)") {
+    val top = saltedScan.orderBy(col("rowKey")).limit(10)
+    rows(top) shouldBe rows(plain.orderBy(col("rowKey")).limit(10))
+    top.queryExecution.executedPlan.toString should not include "topN="
+    val bottom = saltedScan.orderBy(col("rowKey").desc).limit(10)
+    rows(bottom) shouldBe rows(plain.orderBy(col("rowKey").desc).limit(10))
+  }
+
+  test("min/max(rowKey) refuse the metadata rewrite and still answer correctly") {
+    val r = saltedScan.agg(min("rowKey"), max("rowKey")).collect()(0)
+    val e = plain.agg(min("rowKey"), max("rowKey")).collect()(0)
+    r shouldBe e
+    // count(*) keeps the metadata path — row counts are salt-agnostic
+    saltedScan.count() shouldBe plain.count()
+  }
+
+  test("a runtime (DPP) key join maps probe keys to stored form") {
+    import spark.implicits._
+    val dim = Seq("00123", "00456").toDF("k")
+    val s = saltedScan
+    val p = plain
+    val joined = s.join(dim.hint("broadcast"), s("rowKey") === dim("k"))
+    val expect = p.join(dim.hint("broadcast"), p("rowKey") === dim("k"))
+    rows(joined.drop("k")) shouldBe rows(expect.drop("k"))
+  }
+
+  test("a streaming tail of a salted table emits logical keys under scope options") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_tail_out"
+    val cp = s"${out}_cp"
+    Seq(out, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    val q = spark.readStream.format("graft-kv")
+      .option("saltBuckets", Buckets)
+      .option("minRowKey", "00100").option("maxRowKey", "00300")
+      .load(saltDir)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start(out)
+    q.awaitTermination()
+    val landed = spark.read.parquet(out)
+    rows(landed) shouldBe rows(
+      plain.filter(col("rowKey") >= "00100" && col("rowKey") < "00300"))
+  }
+
+  test("lifecycle machinery is salt-agnostic: compaction preserves the salted table") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_compact"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val salted = KvSalt.salted(cells, Buckets)
+    (0 until 3).foreach { i =>
+      salted.filter(pmod(col("ts"), lit(3)) === i)
+        .write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    }
+    KvCompactor.compact(spark, d, regions = 4) shouldBe a[KvCompactor.Compacted]
+    rows(spark.read.format("graft-kv").option("saltBuckets", Buckets).load(d)) shouldBe
+      rows(plain)
+  }
+}
