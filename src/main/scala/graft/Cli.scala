@@ -58,7 +58,8 @@ object Cli {
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
-    "HistoryTable" -> 1, "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
+    "HistoryTable" -> 1, "CheckTable" -> 1,
+    "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
     "DropSnapshot" -> 2, "ListSnapshots" -> 1, "CloneSnapshot" -> 3)
 
   /** Dispatch, separated from session lifecycle for tests. */
@@ -207,6 +208,15 @@ object Cli {
           println(f"$seq%6d  $kind%-7s adds=$nAdds%-4d removes=$nRemoves%-4d$w")
       }
 
+    // The hbck analog: manifest <-> filesystem consistency, read-only
+    // ([[graft.sources.KvFsck]]) — metadata arithmetic, no data file opened.
+    case "CheckTable" =>
+      val table = a(0)
+      val r = graft.sources.KvFsck.check(spark, s"${tableDir(table)}/cells")
+      r.rows.foreach { case (k, v) => println(f"$k%-18s $v") }
+      println(if (r.healthy) s"$table: HEALTHY"
+        else s"$table: INCONSISTENT (missing or corrupt references above)")
+
     // Named snapshots — the HBase snapshot / restore_snapshot /
     // delete_snapshot / list_snapshots shell verbs ([[graft.sources.KvSnapshot]]).
     case "SnapshotTable" =>
@@ -290,6 +300,7 @@ object Cli {
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)
       |  HistoryTable <table>                        (commit history from the manifest log)
+      |  CheckTable <table>                          (hbck: manifest vs filesystem consistency, read-only)
       |  SnapshotTable <table> <name>                (pin the current state, zero data copied)
       |  RestoreSnapshot <table> <name>              (roll back to a snapshot, one metadata commit)
       |  DropSnapshot <table> <name>                 (unpin; files become vacuum-eligible)

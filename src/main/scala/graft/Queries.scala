@@ -111,6 +111,70 @@ object Queries {
       .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("max_ts"))
   }
 
+  /** A table staged into every accounting state [[graft.sources.KvFsck]]
+    * distinguishes: an overwrite that preserved a pre-overwrite snapshot's
+    * pinned files (SNAPSHOT-PINNED, on disk but in no log entry), a
+    * compaction whose merged-away segments await vacuum (PENDING REMOVAL),
+    * and a planted crash stray (ORPHAN) — alongside the healthy live set.
+    * Every count is exact by construction, so the fsck query's oracle is
+    * the literal expected report.
+    */
+  private def ensureFsckTable(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"fsck_table|$sfDir", _ => {
+      val path = artifactPath("fsck_table", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      // keep distinct keys per file small so the sink always records blooms
+      val cells = KvTable.eventsAsCells(spark, sfDir)
+        .filter(col("rowKey") < "00000200")
+      def subset(i: Int) = cells.filter(pmod(col("ts"), lit(3)) === i)
+      subset(0).write.format("graft-kv").option("regions", 2)
+        .mode("append").save(path)
+      graft.sources.KvSnapshot.create(spark, path, "pin") // pins 2 files
+      subset(1).write.format("graft-kv").option("regions", 2)
+        .mode("overwrite").save(path) // truncate keeps ONLY the pinned 2
+      subset(2).write.format("graft-kv").option("regions", 2)
+        .mode("append").save(path)
+      val res = graft.sources.KvCompactor.compact(spark, path, regions = 2)
+      require(res.isInstanceOf[graft.sources.KvCompactor.Compacted],
+        s"kv_fsck staging expected a compaction, got $res")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val live = graft.sources.KvLog.liveFiles(fs, dir)
+      val stray = new org.apache.hadoop.fs.Path(dir, "part-b9999999999-00000-dead.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dir, live.head), fs, stray, false, fs.getConf)
+      path
+    })
+
+  /** The hbck consistency report over the staged table, as (check, count)
+    * rows. The oracle is the exact expected accounting: 2 live compacted
+    * regions (stats+bloom covered), 4 merged-away segments pending vacuum,
+    * 2 snapshot-pinned survivors of the overwrite, 1 orphan stray, 3 log
+    * entries since the overwrite reset — and `healthy`=1 because nothing
+    * referenced is missing. Any mis-bucketed file hash-mismatches.
+    */
+  def kvFsck(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureFsckTable(spark, sfDir)
+    graft.sources.KvFsck.check(spark, path).rows.toDF("check_name", "n")
+  }
+
+  private val kvFsckSql: String =
+    """SELECT * FROM (VALUES
+      |  ('live_files', CAST(2 AS BIGINT)),
+      |  ('live_missing', CAST(0 AS BIGINT)),
+      |  ('stats_coverage', CAST(2 AS BIGINT)),
+      |  ('bloom_coverage', CAST(2 AS BIGINT)),
+      |  ('pending_removals', CAST(4 AS BIGINT)),
+      |  ('snapshot_pinned', CAST(2 AS BIGINT)),
+      |  ('snapshot_missing', CAST(0 AS BIGINT)),
+      |  ('orphans', CAST(1 AS BIGINT)),
+      |  ('scratch_dirs', CAST(0 AS BIGINT)),
+      |  ('log_entries', CAST(3 AS BIGINT)),
+      |  ('bounds_inverted', CAST(0 AS BIGINT)),
+      |  ('healthy', CAST(1 AS BIGINT)))
+      |  AS t(check_name, n)""".stripMargin
+
   /** Table-stats inspection served ENTIRELY from metadata: COUNT(*),
     * MIN/MAX(rowKey) and MIN/MAX(ts) push into the `graft-kv` scan and are
     * answered from the manifest's writer-collected per-file stats — zero
@@ -3839,6 +3903,7 @@ object Queries {
     "kv_ttl_compact" -> (kvTtlCompact _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
+    "kv_fsck" -> (kvFsck _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -3968,6 +4033,7 @@ object Queries {
     "kv_ttl_compact" -> kvTtlCompactSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
+    "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,
     "export_evolve_roundtrip" -> exportEvolveRoundtripSql,
