@@ -1224,6 +1224,59 @@ object Scratch {
         time("snapshot restore")(
           graft.sources.KvSnapshot.restore(spark, dir, "probe"): Unit)
 
+      case "kvsalt" =>
+        // Salted-layout payoff on a compacted table: a narrow LOGICAL key
+        // range on the unsalted layout lives in few contiguous regions
+        // (few tasks — the rest of the cluster idles), while the salted
+        // layout spreads the same rows over every region's salt slice
+        // (full parallelism, same bytes). Also checks the point Get stays
+        // a 1-file plan on the salted table: compacted region bounds are
+        // stored-contiguous, so the rewritten single stored key range-
+        // prunes without a bloom.
+        import org.apache.spark.sql.functions._
+        val n = 4000000L
+        val regions = 32
+        val base = spark.range(n).select(
+          format_string("%07d", col("id")).as("rowKey"),
+          lit("f").as("family"), lit("q").as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+        val plainDir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvsalt_plain"
+        val saltDir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvsalt_salted"
+        Seq(plainDir, saltDir).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+        time(s"write unsalted (${n / 1000000}M keys, $regions regions)") {
+          base.write.format("graft-kv").option("regions", regions)
+            .mode("overwrite").save(plainDir)
+        }
+        time("write salted (16 buckets)") {
+          graft.sources.KvSalt.salted(base, 16)
+            .write.format("graft-kv").option("regions", regions)
+            .mode("overwrite").save(saltDir)
+        }
+        val plainT = spark.read.format("graft-kv").load(plainDir)
+        val saltT = spark.read.format("graft-kv")
+          .option("saltBuckets", 16).load(saltDir)
+        val rangeP = col("rowKey") >= "1000000" && col("rowKey") < "2000000"
+        def scan(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+          val q = df.filter(rangeP)
+            .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("rowKey"))).as("x"))
+          // partitions of the underlying scan, pre-agg
+          val parts = df.filter(rangeP).rdd.getNumPartitions
+          val r = time(s"range scan 1M keys ($label, $parts tasks)")(q.collect())
+          println(s"  rows=${r(0).getLong(0)} digest=${r(0).getLong(1)}")
+        }
+        scan(plainT, "unsalted")
+        scan(saltT, "salted")
+        def get(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+          val g = df.filter(col("rowKey") === "1234567")
+          time(s"point Get ($label)")(g.collect(): Unit)
+          println("  plan: " + g.queryExecution.executedPlan.toString
+            .linesIterator.find(_.contains("GraftKvScan"))
+            .flatMap("regions=\\d+/\\d+".r.findFirstIn(_)).getOrElse("?"))
+        }
+        get(plainT, "unsalted")
+        get(saltT, "salted")
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
