@@ -58,7 +58,7 @@ object Cli {
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
-    "HistoryTable" -> 1, "CheckTable" -> 1,
+    "HistoryTable" -> 1, "CheckTable" -> 1, "RepairTable" -> 2,
     "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
     "DropSnapshot" -> 2, "ListSnapshots" -> 1, "CloneSnapshot" -> 3)
 
@@ -217,6 +217,25 @@ object Cli {
       println(if (r.healthy) s"$table: HEALTHY"
         else s"$table: INCONSISTENT (missing or corrupt references above)")
 
+    // hbck2-style explicit repair: every action opted into BY NAME —
+    // each encodes an operator judgment (accept data loss / surface
+    // orphan bytes / abandon an unreadable pin) the engine must not make.
+    case "RepairTable" =>
+      val table = a(0)
+      val actions = a.drop(1).toSet
+      val known = Set("forgetMissing", "adoptOrphans", "dropBrokenSnapshots")
+      require(actions.nonEmpty && actions.subsetOf(known),
+        s"RepairTable actions must be from ${known.mkString(", ")}\n$usage")
+      val r = graft.sources.KvFsck.repair(spark, s"${tableDir(table)}/cells",
+        forgetMissing = actions("forgetMissing"),
+        adoptOrphans = actions("adoptOrphans"),
+        dropBrokenSnapshots = actions("dropBrokenSnapshots"))
+      println(s"repaired $table: forgot=${r.forgotten.size} " +
+        s"adopted=${r.adopted.size} droppedSnapshots=${r.droppedSnapshots.size}")
+      r.forgotten.foreach(f => println(s"  forgot   $f"))
+      r.adopted.foreach(f => println(s"  adopted  $f"))
+      r.droppedSnapshots.foreach(s => println(s"  dropped  $s"))
+
     // Named snapshots — the HBase snapshot / restore_snapshot /
     // delete_snapshot / list_snapshots shell verbs ([[graft.sources.KvSnapshot]]).
     case "SnapshotTable" =>
@@ -301,6 +320,7 @@ object Cli {
       |                                              (policy pass: compact past threshold, vacuum expired)
       |  HistoryTable <table>                        (commit history from the manifest log)
       |  CheckTable <table>                          (hbck: manifest vs filesystem consistency, read-only)
+      |  RepairTable <table> <action...>             (hbck2: forgetMissing | adoptOrphans | dropBrokenSnapshots)
       |  SnapshotTable <table> <name>                (pin the current state, zero data copied)
       |  RestoreSnapshot <table> <name>              (roll back to a snapshot, one metadata commit)
       |  DropSnapshot <table> <name>                 (unpin; files become vacuum-eligible)

@@ -61,6 +61,70 @@ object KvFsck {
       "healthy" -> (if (healthy) 1L else 0L))
   }
 
+  case class RepairActions(
+      forgotten: Seq[String],
+      adopted: Seq[String],
+      droppedSnapshots: Seq[String])
+
+  /** EXPLICIT repair of the states [[check]] flags — the hbck2 model:
+    * every action must be opted into by name, because each one encodes an
+    * operator judgment the engine cannot make ("that data is gone, accept
+    * it" / "those bytes are real data, surface them"). Each action is one
+    * ordinary manifest commit (or snapshot drop) through the same
+    * concurrency-checked paths every writer uses — repair never touches a
+    * data file.
+    *
+    *  - `forgetMissing` — publish `removes` for live files that are gone
+    *    from disk: acknowledged data loss, but scans stop dying with
+    *    FileNotFound on the phantom partition. (HBase hbck2's
+    *    fixMeta-after-region-loss.)
+    *  - `adoptOrphans` — publish `adds` for on-disk data files nothing
+    *    references: their cells BECOME VISIBLE (if an orphan duplicates
+    *    live cells — a crashed re-commit — the LWW pivot absorbs the
+    *    duplicates, but raw scans see both; the operator chose this). The
+    *    adopted entries carry no stats, so planning falls back to footers
+    *    for them until the next compaction re-stats them.
+    *  - `dropBrokenSnapshots` — drop snapshots referencing missing files:
+    *    the pinned state is unreadable anyway, and dropping releases the
+    *    pin so vacuum can reclaim what remains.
+    */
+  def repair(spark: SparkSession, path: String,
+      forgetMissing: Boolean = false,
+      adoptOrphans: Boolean = false,
+      dropBrokenSnapshots: Boolean = false): RepairActions = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir) && KvLog.exists(fs, dir),
+      s"graft-kv repair: $path is not a manifest-logged table")
+    val live = KvLog.liveFiles(fs, dir).toSet
+    val removals = KvLog.removalTimes(fs, dir).keySet
+    val snapRefs = KvSnapshot.referencedFiles(fs, dir)
+    val onDisk = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    val forgotten =
+      if (!forgetMissing) Nil
+      else {
+        val missing = (live -- onDisk).toSeq.sorted
+        if (missing.nonEmpty)
+          KvLog.append(fs, dir, adds = Nil, removes = missing)
+        missing
+      }
+    val adopted =
+      if (!adoptOrphans) Nil
+      else {
+        val orphans = (onDisk -- live -- removals -- snapRefs).toSeq.sorted
+        if (orphans.nonEmpty) KvLog.append(fs, dir, adds = orphans)
+        orphans
+      }
+    val dropped =
+      if (!dropBrokenSnapshots) Nil
+      else KvSnapshot.list(fs, dir)
+        .filter(_.files.exists { case (f, _) => !onDisk.contains(f) })
+        .map(_.name).sorted
+        .filter(KvSnapshot.drop(spark, path, _))
+    RepairActions(forgotten, adopted, dropped)
+  }
+
   def check(spark: SparkSession, path: String): Report = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())

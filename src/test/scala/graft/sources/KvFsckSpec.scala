@@ -62,6 +62,59 @@ class KvFsckSpec extends graft.SparkSpec {
     assert(!r.healthy, "a missing pinned file must fail the health check")
   }
 
+  test("repair forgetMissing publishes the removes: scans stop dying, loss is acknowledged") {
+    val d = stage("kv_fsck_repair_miss")
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val victim = KvLog.liveFiles(fs, table).head
+    val victimRows = spark.read.parquet(s"$d/$victim").count()
+    val total = spark.read.format("graft-kv").load(d).count()
+    fs.delete(new Path(d, victim), false) shouldBe true
+    // un-repaired, a DATA read dies on the phantom partition (a bare
+    // count() is metadata-served from the manifest and would not notice)
+    an[Exception] should be thrownBy
+      spark.read.format("graft-kv").load(d).select("rowKey").collect()
+    val r = KvFsck.repair(spark, d, forgetMissing = true)
+    r.forgotten shouldBe Seq(victim)
+    assert(KvFsck.check(spark, d).healthy)
+    spark.read.format("graft-kv").load(d).select("rowKey").collect()
+      .length.toLong shouldBe (total - victimRows)
+  }
+
+  test("repair adoptOrphans publishes the adds: the orphan's cells become visible") {
+    val d = stage("kv_fsck_repair_orph")
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val total = spark.read.format("graft-kv").load(d).count()
+    val donor = KvLog.liveFiles(fs, table).head
+    val donorRows = spark.read.parquet(s"$d/$donor").count()
+    val stray = new Path(d, "part-b9999999999-00000-orph.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(d, donor), fs, stray,
+      false, fs.getConf)
+    // invisible until adopted (manifest-planned scans ignore strays)
+    spark.read.format("graft-kv").load(d).count() shouldBe total
+    val r = KvFsck.repair(spark, d, adoptOrphans = true)
+    r.adopted shouldBe Seq(stray.getName)
+    assert(KvFsck.check(spark, d).healthy)
+    KvFsck.check(spark, d).orphans shouldBe 0
+    spark.read.format("graft-kv").load(d).count() shouldBe (total + donorRows)
+  }
+
+  test("repair dropBrokenSnapshots releases only the unreadable pin") {
+    val d = stage("kv_fsck_repair_snap")
+    val fs = fsOf(d)
+    KvSnapshot.create(spark, d, "broken")
+    KvGenerator.cells(spark, 100, 2, "runF4")
+      .write.format("graft-kv").option("regions", 2).mode("overwrite").save(d)
+    KvSnapshot.create(spark, d, "intact") // pins the new live set
+    val pinned = KvSnapshot.get(fs, new Path(d), "broken").get.files.map(_._1)
+    fs.delete(new Path(d, pinned.head), false) shouldBe true
+    val r = KvFsck.repair(spark, d, dropBrokenSnapshots = true)
+    r.droppedSnapshots shouldBe Seq("broken")
+    KvSnapshot.list(fs, new Path(d)).map(_.name) shouldBe Seq("intact")
+    assert(KvFsck.check(spark, d).healthy)
+  }
+
   test("a legacy directory without a manifest is refused, not guessed at") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_fsck_legacy"
     graft.sinks.Sinks.deleteRecursive(spark, d)
