@@ -137,13 +137,21 @@ private[sources] class KvCellTable(path: String) extends Table
     // AND scope) to stored form. Must match the writer's `n` — KvSalt doc.
     val saltBuckets = Option(options.get("saltBuckets")).map(_.toInt)
     saltBuckets.foreach(KvSalt.requireBuckets)
+    // `splitRegionBytes` plans MULTIPLE byte-range partitions over any
+    // region file larger than it — intra-region scan parallelism for a
+    // monolith the layout hasn't normalized yet (KvScan doc; NOT for
+    // per-partition whole-key algorithms like the presorted pivot).
+    val splitBytes = Option(options.get("splitRegionBytes")).map(_.toLong)
+    splitBytes.foreach(b => require(b > 0,
+      s"graft-kv: splitRegionBytes must be positive, got $b"))
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
       Option(options.get("tailId")),
       asOf,
       sinceSeq,
       maxBytes,
       snapshot,
-      saltBuckets)
+      saltBuckets,
+      splitBytes)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -159,7 +167,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     sinceSeq: Option[Long] = None,
     maxBytesPerBatch: Option[Long] = None,
     snapshot: Option[String] = None,
-    saltBuckets: Option[Int] = None)
+    saltBuckets: Option[Int] = None,
+    splitRegionBytes: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -322,7 +331,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       val pushedStored = saltBuckets.fold(effective)(KvSalt.expandAll(effective, _))
       new KvScan(path, required, pushedStored,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
-        descending, maxBytesPerBatch, snapshot, orderedCols, saltBuckets)
+        descending, maxBytesPerBatch, snapshot, orderedCols, saltBuckets,
+        splitRegionBytes)
   }
 }
 
@@ -500,7 +510,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     maxBytesPerBatch: Option[Long] = None,
     snapshot: Option[String] = None,
     orderedCols: Int = 1,
-    saltBuckets: Option[Int] = None)
+    saltBuckets: Option[Int] = None,
+    splitRegionBytes: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -672,7 +683,33 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       }
       case None => plannedFiles
     }
-    files.map(KvFilePartition).toArray
+    // INTRA-REGION parallelism (`splitRegionBytes`): a monolith region the
+    // layout hasn't normalized yet ([[KvCompactor.SplitOversized]] is the
+    // durable fix) would otherwise scan as ONE task however large it is.
+    // Oversized files plan as contiguous BYTE-RANGE partitions; the
+    // parquet reader's midpoint rule assigns each row group to exactly one
+    // range, so the union reads the file exactly once without a footer
+    // open at planning time. Each range preserves file (sorted) order, but
+    // a rowKey's cells may STRADDLE a range boundary — hence not offered
+    // to per-partition whole-key algorithms (the certified pivot never
+    // sets it) and skipped under limit/top-n plans (already O(n)/task).
+    val pieces = splitRegionBytes.filter(_ => limit.isEmpty) match {
+      case Some(target) =>
+        val statsByFile2 = keptFiles.toMap
+        lazy val fsys = new Path(path).getFileSystem(sconf.value)
+        files.flatMap { f =>
+          val bytes = statsByFile2.get(f).flatten.map(_.bytes)
+            .getOrElse(fsys.getFileStatus(new Path(f)).getLen)
+          val n = math.max(1L, (bytes + target - 1) / target)
+          if (n == 1) Seq(KvFilePartition(f))
+          else (0L until n).map { i =>
+            KvFilePartition(f, i * target,
+              if (i == n - 1) Long.MaxValue else (i + 1) * target)
+          }
+        }
+      case None => files.map(KvFilePartition(_))
+    }
+    pieces.toArray
   }
 
   /** PRUNING-AWARE stats from the kept region files (manifest stats, with
@@ -746,11 +783,22 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
         s" topN=$n($keys ${if (descending) "DESC" else "ASC"})"
       } else s" limit=$n")
     val salt = saltBuckets.fold("")(n => s" salted=$n")
-    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt"
+    val split = splitRegionBytes.filter(_ => limit.isEmpty)
+      .fold("")(b => s" splitBytes=$b")
+    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt$split"
   }
 }
 
-private[sources] case class KvFilePartition(file: String) extends InputPartition
+/** One region file — or, under `splitRegionBytes`, one byte range of one:
+  * `[rangeStart, rangeEnd)` selects the row groups whose midpoints fall
+  * inside (the parquet file-range contract). The defaults cover the whole
+  * file.
+  */
+private[sources] case class KvFilePartition(file: String,
+    rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
+    extends InputPartition {
+  def wholeFile: Boolean = rangeStart == 0L && rangeEnd == Long.MaxValue
+}
 
 private[sources] case class KvReaderFactory(
     projNames: Seq[String], outNames: Seq[String],
@@ -761,12 +809,15 @@ private[sources] case class KvReaderFactory(
     tailPlan: Boolean = false,
     saltLen: Int = 0) extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvFilePartition]
     if (desc && limit.exists(_ > 0))
-      new KvTailPartitionReader(partition.asInstanceOf[KvFilePartition].file,
+      new KvTailPartitionReader(p.file,
         projNames, outNames, predicate, conf.value, limit.get, tailPlan, saltLen)
-    else new KvPartitionReader(partition.asInstanceOf[KvFilePartition].file,
-      projNames, outNames, predicate, conf.value, limit, saltLen)
+    else new KvPartitionReader(p.file,
+      projNames, outNames, predicate, conf.value, limit, saltLen,
+      range = if (p.wholeFile) None else Some((p.rangeStart, p.rangeEnd)))
+  }
 }
 
 /** Reads one region file through a CUSTOM parquet `ReadSupport` that
@@ -780,13 +831,15 @@ private[sources] class KvPartitionReader(
     file: String, projNames: Seq[String], outNames: Seq[String],
     predicate: Option[FilterPredicate], conf: Configuration,
     limit: Option[Int] = None,
-    saltLen: Int = 0)
+    saltLen: Int = 0,
+    range: Option[(Long, Long)] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
-    val b = PqReader.builder(new KvReadSupport(projNames, outNames, saltLen),
+    val b0 = PqReader.builder(new KvReadSupport(projNames, outNames, saltLen),
       new Path(file))
       .withConf(conf)
+    val b = range.fold(b0) { case (s, e) => b0.withFileRange(s, e) }
     predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
 

@@ -269,6 +269,33 @@ class KvSourceSpec extends SparkSpec {
     nonPrefix.queryExecution.executedPlan.toString should not include "topN="
   }
 
+  test("splitRegionBytes fans a monolith region over byte-range partitions, rows exactly once") {
+    // one sorted file with many ~16KB row groups; a split target well
+    // under the file size must plan multiple partitions whose union is
+    // the exact file (the midpoint rule assigns each row group to one
+    // range), while a whole-key algorithm contract is out of scope here
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_split_scan"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    KvGenerator.cells(spark, 6000, 4, "runSp")
+      .orderBy("rowKey", "qualifier").coalesce(1)
+      .write.option("parquet.block.size", 16 * 1024)
+      .mode("overwrite").parquet(d)
+    val whole = spark.read.format("graft-kv").load(d)
+    val split = spark.read.format("graft-kv")
+      .option("splitRegionBytes", 64 * 1024).load(d)
+    whole.rdd.getNumPartitions shouldBe 1
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected intra-file split, got ${split.rdd.getNumPartitions}")
+    sortedRows(split) shouldBe sortedRows(whole)
+    // pushdown still composes: a filtered split scan equals the plain read
+    val p = col("qualifier") === "C2" && col("rowKey") >= "00100"
+    sortedRows(split.filter(p)) shouldBe sortedRows(whole.filter(p))
+    // limit/top-n plans skip splitting (already O(n) per task)
+    val lim = spark.read.format("graft-kv")
+      .option("splitRegionBytes", 64 * 1024).load(d).limit(5)
+    lim.collect().length shouldBe 5
+  }
+
   test("the DESC tail reader returns the exact file tail across MULTIPLE row groups") {
     // a sorted multi-row-group region file (tiny block size forces several
     // groups), read directly through the tail reader with tail planning on:
