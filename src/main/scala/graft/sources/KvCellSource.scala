@@ -135,8 +135,23 @@ private[sources] class KvCellTable(path: String) extends Table
     // [[KvSalt.salted]] with this bucket count: the scan strips the salt
     // from every emitted rowKey and rewrites rowKey predicates (pushed
     // AND scope) to stored form. Must match the writer's `n` — KvSalt doc.
-    val saltBuckets = Option(options.get("saltBuckets")).map(_.toInt)
-    saltBuckets.foreach(KvSalt.requireBuckets)
+    val optionBuckets = Option(options.get("saltBuckets")).map(_.toInt)
+    optionBuckets.foreach(KvSalt.requireBuckets)
+    // A [[KvSalt.saltedWrite]] table RECORDS its bucket count (the HBase
+    // SALT_BUCKETS table attribute): reads auto-detect it, and an option
+    // that contradicts the recorded value is refused — a wrong bucket
+    // count doesn't error, it silently mis-routes point lookups.
+    val recorded = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      KvSalt.bucketsOf(dir.getFileSystem(sessionConf.value), dir)
+    }
+    (optionBuckets, recorded) match {
+      case (Some(a), Some(b)) => require(a == b,
+        s"graft-kv: saltBuckets option $a contradicts the table's recorded " +
+          s"salt property $b at $path")
+      case _ => ()
+    }
+    val saltBuckets = optionBuckets.orElse(recorded)
     // `splitRegionBytes` plans MULTIPLE byte-range partitions over any
     // region file larger than it — intra-region scan parallelism for a
     // monolith the layout hasn't normalized yet (KvScan doc; NOT for

@@ -79,13 +79,66 @@ object KvSalt {
 
   /** Salt a cell DataFrame's rowKey for writing — call immediately before
     * `.write.format("graft-kv")` / `.writeStream...` with the SAME `n`
-    * every writer of the table uses.
+    * every writer of the table uses. Prefer [[saltedWrite]], which also
+    * RECORDS `n` as a table property so reads auto-detect it.
     */
   def salted(df: DataFrame, n: Int): DataFrame = {
     requireBuckets(n)
     df.withColumn("rowKey",
       concat(format_string("%03d|", pmod(hash(col("rowKey")), lit(n))),
         col("rowKey")))
+  }
+
+  /** Name of the recorded bucket-count property under the table's log dir
+    * — the HBase `SALT_BUCKETS` table attribute: the salt is a property of
+    * the TABLE, not of each reader's memory. Scans auto-detect it when the
+    * `saltBuckets` option is absent and REFUSE a mismatching option
+    * (reading a 16-bucket table as 8-bucket silently drops/garbles rows —
+    * exactly the operator error a recorded attribute exists to prevent).
+    */
+  private val PropName = "_salt"
+
+  /** The table's recorded bucket count, if any. */
+  def bucketsOf(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(table, KvLog.LogDirName), PropName)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](16)
+          val read = in.read(buf)
+          Some(new String(buf, 0, math.max(read, 0), "UTF-8").trim.toInt)
+        } finally in.close()
+      }
+    } catch { case _: Exception => None } // unreadable property: option-only
+  }
+
+  /** Record the table's bucket count (idempotent; written once the log
+    * dir exists).
+    */
+  def register(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    requireBuckets(n)
+    val dir = new org.apache.hadoop.fs.Path(table, KvLog.LogDirName)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, PropName), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Salt + write + record in one step: after this, plain
+    * `spark.read.format("graft-kv").load(path)` reads the table salt-aware
+    * with no option to remember (or get wrong).
+    */
+  def saltedWrite(df: DataFrame, path: String, n: Int, regions: Int,
+      mode: String = "append"): Unit = {
+    salted(df, n).write.format("graft-kv").option("regions", regions)
+      .mode(mode).save(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    register(p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()),
+      p, n)
   }
 
   /** Strip the salt prefix — the read-side inverse for code that consumes

@@ -137,6 +137,22 @@ class KvSaltSpec extends graft.SparkSpec {
       plain.filter(col("rowKey") >= "00100" && col("rowKey") < "00300"))
   }
 
+  test("saltedWrite records the bucket count: plain reads auto-detect, wrong options refuse") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_prop"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    KvSalt.saltedWrite(cells, d, Buckets, regions = 4, mode = "overwrite")
+    // no option, still salt-aware: logical keys out, predicates rewritten
+    val auto = spark.read.format("graft-kv").load(d)
+    rows(auto.filter(col("rowKey") === "00123")) shouldBe
+      rows(plain.filter(col("rowKey") === "00123"))
+    rows(auto) shouldBe rows(plain)
+    // the matching option is accepted; a contradicting one is refused
+    spark.read.format("graft-kv").option("saltBuckets", Buckets).load(d)
+      .count() shouldBe plain.count()
+    an[Exception] should be thrownBy
+      spark.read.format("graft-kv").option("saltBuckets", 8).load(d).count()
+  }
+
   test("lifecycle machinery is salt-agnostic: compaction preserves the salted table") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_compact"
     graft.sinks.Sinks.deleteRecursive(spark, d)
