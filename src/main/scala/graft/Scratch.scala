@@ -1277,6 +1277,38 @@ object Scratch {
         get(plainT, "unsalted")
         get(saltT, "salted")
 
+      case "kvsplit" =>
+        // Intra-region scan parallelism: a monolith region file is one
+        // task however large; splitRegionBytes fans its row groups over
+        // byte-range partitions. Parallelism is bounded by row-group
+        // count (the midpoint rule can't cut a group), so the monolith is
+        // staged with 8MB groups — the shape of a real multi-GB region
+        // with default 128MB groups.
+        import org.apache.spark.sql.functions._
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvsplit"
+        graft.sinks.Sinks.deleteRecursive(spark, dir)
+        val rows = 8000000L
+        time(s"stage monolith (${rows / 1000000}M cells, 1 file, 8MB groups)") {
+          spark.range(rows).select(
+            format_string("%08d", col("id")).as("rowKey"),
+            lit("f").as("family"), lit("q").as("qualifier"),
+            encode(repeat(col("id").cast("string"), 4), "UTF-8").as("value"),
+            col("id").as("ts"))
+            .orderBy("rowKey").coalesce(1)
+            .write.option("parquet.block.size", 8 * 1024 * 1024)
+            .mode("overwrite").parquet(dir)
+        }
+        def agg(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+          val parts = df.rdd.getNumPartitions
+          val q = df.agg(count(lit(1)).as("n"),
+            bit_xor(xxhash64(col("rowKey"), col("ts"))).as("x"))
+          val r = time(s"full agg ($label, $parts tasks)")(q.collect())
+          println(s"  rows=${r(0).getLong(0)} digest=${r(0).getLong(1)}")
+        }
+        agg(spark.read.format("graft-kv").load(dir), "whole-file")
+        agg(spark.read.format("graft-kv")
+          .option("splitRegionBytes", 16 * 1024 * 1024).load(dir), "split 16MB")
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
