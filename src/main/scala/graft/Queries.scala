@@ -2940,6 +2940,54 @@ object Queries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk FROM p)
        |SELECT q, nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
 
+  /** SemDeDup over the embeddings corpus SEEDED with planted near-dups
+    * (every 10th vector copied under id+1000000 with one component nudged
+    * +0.01 — cosine ≈ 0.9999, done in DOUBLE on both engines so the
+    * corpora are bit-identical): [[Dedup.semanticDedup]] must drop exactly
+    * the planted copies (no natural pair in the synthetic corpus reaches
+    * cosine 0.995; max observed ≈ 0.48) with the original as keeper. The
+    * oracle replays the full decision — cell assignment against the same
+    * fixed centroids, within-cell pairs only, smallest-id keeper — so a
+    * cross-cell comparison, wrong keeper, or missed/phantom drop all
+    * hash-mismatch.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = embeds(spark, sfDir).select(col("vec_id"),
+      graft.functions.VectorOps.toDoubleArray(col("embedding")).as("embedding"))
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.01d)).otherwise(x)).as("embedding"))
+    Dedup.semanticDedup(base.unionAll(copies))
+  }
+
+  private val dedupSemanticSql: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cp AS (SELECT vec_id + 1000000 AS vec_id,
+       |         list_concat([v[1] + 0.01], v[2:]) AS v
+       |       FROM e0 WHERE vec_id % 10 = 0),
+       |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM cp),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |c AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn
+       |      FROM (VALUES $ivfCentroidValues) t(c_id, cv)),
+       |sc AS (SELECT n.vec_id, c.c_id,
+       |         floor(${dotSql("n.v", "c.cv")} * 1000000 / (n.nrm * c.cn))::BIGINT AS s
+       |       FROM n CROSS JOIN c),
+       |rk AS (SELECT vec_id, c_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS r
+       |       FROM sc),
+       |asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE r = 1),
+       |drops AS (SELECT d.vec_id AS vec_id, min(k.vec_id) AS kept_by
+       |  FROM asg d
+       |  JOIN asg k ON k.cell = d.cell AND k.vec_id < d.vec_id
+       |  JOIN n a ON a.vec_id = d.vec_id
+       |  JOIN n b ON b.vec_id = k.vec_id
+       |  WHERE floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm)) >= 995
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.cell::BIGINT AS cell, d.kept_by,
+       |  d.kept_by IS NOT NULL AS is_dup
+       |FROM asg a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
+
   /** Int8-quantized ANN scan ([[Similarity.quantTopK]]): ranking by the
     * integer dot of packed 64-byte vectors. The oracle replays the exact
     * quantization (`round(127·v/‖v‖)` — round-half-away ties agree between
@@ -3047,7 +3095,9 @@ object Queries {
     * inlines (Double.toString round-trips, DuckDB parses correctly-rounded
     * → bit-identical doubles), so no training is replayed oracle-side.
     */
-  private val ivfCentroidValues: String =
+  // lazy: referenced by oracle SQL vals declared BOTH before and after
+  // this point in the file (val init order is declaration order)
+  private lazy val ivfCentroidValues: String =
     graft.ext.IvfCentroids.Cents.zipWithIndex.map { case (cv, i) =>
       s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n        ")
@@ -3962,6 +4012,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embed_pairs" -> (dedupEmbedPairs _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embed_lsh_pairs" -> (dedupEmbedLshPairs _),
     "ann_topk_brute" -> (annTopkBrute _),
@@ -4092,6 +4143,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_embed_pairs" -> dedupEmbedPairsSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embed_lsh_pairs" -> dedupEmbedLshPairsSql,
     "ann_topk_brute" -> annTopkBruteSql,

@@ -549,6 +549,38 @@ object Dedup {
         s => s.getField("chunk"))).as("clean_text"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication: cluster the corpus by
+    * embedding (the same fixed coarse centroids the IVF ANN index uses —
+    * [[Similarity.assignCells]], a codegen'd projection with no shuffle of
+    * its own), compare pairs ONLY within a cluster, and drop every doc
+    * that has a smaller-id neighbor at or above the cosine threshold
+    * (keeper = the smallest such id, so the verdict is deterministic and
+    * oracle-replayable). The cluster restriction is the published
+    * sub-quadratic bound: comparisons are O(Σ cellᵢ²), not O(n²) — at
+    * 100 TB the cell count scales with the corpus (like the ANN index's)
+    * so cells stay bounded, and the one shuffle is the equi-join on
+    * `cell`. A cross-cluster near-dup is missed by construction — the
+    * SemDeDup trade, recoverable by raising the cell count's probe side,
+    * not by this operator.
+    *
+    * Returns one row per input vector: (vec_id, cell, kept_by, is_dup) —
+    * `kept_by` null for survivors.
+    */
+  def semanticDedup(embeddings: DataFrame, thresholdX1000: Long = 995L): DataFrame = {
+    val slim = Similarity.assignCells(Similarity.index(embeddings))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val drops = slim.as("d").join(slim.as("k"),
+        col("k.cell") === col("d.cell") && col("k.vec_id") < col("d.vec_id"))
+      .filter(floor(VectorOps.dot(col("d.v"), col("k.v")) * 1000 /
+        (col("d.nrm") * col("k.nrm"))).cast("long") >= thresholdX1000)
+      .groupBy(col("d.vec_id").as("vec_id"))
+      .agg(min(col("k.vec_id")).as("kept_by"))
+    slim.select(col("vec_id"), col("cell"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("kept_by"),
+        col("kept_by").isNotNull.as("is_dup"))
+  }
+
   def embeddingPairs(embeddings: DataFrame, threshold: Long = 400L): DataFrame = {
     val e = embeddings.select(col("vec_id"),
       VectorOps.toDoubleArray(col("embedding")).as("v"))

@@ -206,4 +206,27 @@ class DedupSpec extends SparkSpec {
     pairs should contain((1L, 2L, 1000L))
     pairs.filter(p => p._1 == 1L && p._2 == 3L).map(_._3).foreach(_ shouldBe 0L)
   }
+
+  test("semantic dedup: exact copies drop with their original as keeper; no cartesian in the plan") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // exact copies of every 25th vector: same cell by construction, cos = 1
+    val copies = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val nCopies = copies.count()
+    val out = Dedup.semanticDedup(base.unionAll(copies)).cache()
+    val dropped = out.filter(col("is_dup")).collect()
+    dropped.length.toLong shouldBe nCopies
+    dropped.foreach { r =>
+      r.getLong(0) shouldBe (r.getAs[Long]("kept_by") + 5000L)
+    }
+    // survivors have no keeper; originals all survive
+    out.filter(!col("is_dup")).filter(col("kept_by").isNotNull).count() shouldBe 0
+    out.filter(!col("is_dup")).count() shouldBe base.count()
+    // scale shape: the pairing is the cell equi-join, never a cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in semantic dedup plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in semantic dedup plan")
+  }
 }
