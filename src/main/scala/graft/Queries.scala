@@ -146,6 +146,36 @@ object Queries {
       path
     })
 
+  /** A MONOLITH region: the whole events cell table sorted into one file
+    * with small row groups (the shape of a region a giant batch sealed
+    * before any maintenance split normalized it).
+    */
+  private def ensureMonolithCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"monolith_cells|$sfDir", _ => {
+      val path = artifactPath("monolith_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      KvTable.eventsAsCells(spark, sfDir)
+        .orderBy("rowKey", "qualifier").coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The events pivot over a MONOLITH region read with `splitRegionBytes`:
+    * the scan fans the single file over byte-range partitions (each row
+    * group to exactly one range — the intra-region parallelism path), and
+    * the hash-shuffle pivot is indifferent to where the ranges cut, so
+    * the result must equal the plain pivot bit-for-bit. Same oracle as
+    * `kv_pivot_events`.
+    */
+  def kvSplitScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv")
+      .option("splitRegionBytes", 256 * 1024)
+      .load(ensureMonolithCells(spark, sfDir))
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
   /** The hbck consistency report over the staged table, as (check, count)
     * rows. The oracle is the exact expected accounting: 2 live compacted
     * regions (stats+bloom covered), 4 merged-away segments pending vacuum,
@@ -3954,6 +3984,7 @@ object Queries {
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_fsck" -> (kvFsck _),
+    "kv_split_scan" -> (kvSplitScan _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -4048,6 +4079,7 @@ object Queries {
 
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
+    "kv_split_scan" -> kvPivotEventsSql, // split must be invisible: same oracle
     "kv_v2_range_scan" -> kvV2RangeScanSql,
     "kv_pivot_inject" -> kvPivotInjectSql,
     "kv_delimited_lines" -> kvDelimitedLinesSql,
