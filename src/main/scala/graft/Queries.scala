@@ -146,6 +146,38 @@ object Queries {
       path
     })
 
+  /** INCREMENTAL MATERIALIZED PIVOT over the CDC feed — the reason
+    * `sinceSeq` exists: a downstream view refreshes from (state + delta)
+    * without ever re-scanning history. The LWW cell state
+    * (per-(rowKey, qualifier) max-ts cell, `max_by_ts` + `max(ts)`) is the
+    * associative merge kernel: LWW(all cells) = LWW(LWW(prefix) ∪ delta),
+    * so the materialized state of version 1 plus the `(1, latest]` CDC
+    * span must pivot to exactly the full-table pivot — one shuffle over
+    * |state| + |delta| per refresh, versus |history| for a rebuild. Same
+    * oracle as `kv_pivot_events` (the merged view must be
+    * indistinguishable from the rebuild).
+    */
+  def kvIncrementalPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureVersionedCells(spark, sfDir)
+    def lww(cells: DataFrame): DataFrame =
+      cells.groupBy("rowKey", "family", "qualifier")
+        .agg(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")).as("value"),
+          max("ts").as("ts"))
+    // state of version 1 (commits 0-1), materialized once like a real view
+    val statePath = artifacts.computeIfAbsent(s"incr_pivot_state|$sfDir", _ => {
+      val p = artifactPath("incr_pivot_state", sfDir)
+      lww(spark.read.format("graft-kv").option("asOfSeq", 1).load(path))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val state = spark.read.parquet(statePath)
+    val delta = spark.read.format("graft-kv").option("sinceSeq", 1).load(path)
+      .select("rowKey", "family", "qualifier", "value", "ts")
+    val merged = lww(state.unionByName(delta))
+    val piv = KvPivot.pivot(merged, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
   /** A MONOLITH region: the whole events cell table sorted into one file
     * with small row groups (the shape of a region a giant batch sealed
     * before any maintenance split normalized it).
@@ -3985,6 +4017,7 @@ object Queries {
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
+    "kv_incremental_pivot" -> (kvIncrementalPivot _),
     "export_parquet_roundtrip" -> (exportParquetRoundtrip _),
     "export_orc_roundtrip" -> (exportOrcRoundtrip _),
     "export_json_roundtrip" -> (exportJsonRoundtrip _),
@@ -4080,6 +4113,7 @@ object Queries {
   def oracles: Map[String, String] = Map(
     "kv_pivot_events" -> kvPivotEventsSql,
     "kv_split_scan" -> kvPivotEventsSql, // split must be invisible: same oracle
+    "kv_incremental_pivot" -> kvPivotEventsSql, // state+delta must equal the rebuild
     "kv_v2_range_scan" -> kvV2RangeScanSql,
     "kv_pivot_inject" -> kvPivotInjectSql,
     "kv_delimited_lines" -> kvDelimitedLinesSql,
