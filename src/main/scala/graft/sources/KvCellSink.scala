@@ -131,11 +131,22 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf)
 
+  /** Stable per-QUERY name token: sealed names are deterministic per
+    * (query, epoch, region), so exactly-once recovery (rename-over-same-
+    * names) still holds per query while TWO streaming queries appending to
+    * one table can never collide — without it, both queries' epoch 0 would
+    * target the same names and each one's incomplete-commit hygiene could
+    * delete the other's committed files.
+    */
+  private val queryTok =
+    queryId.filter(_.isLetterOrDigit).take(8).padTo(4, '0')
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
     val writerTag = Some(s"$queryId:$epochId")
+    val prefix = f"part-e$epochId%010d-$queryTok-"
     // Epoch REPLAY detection comes FIRST: the manifest entry is written
     // after the renames, so a latest entry carrying this epoch's writer tag
     // proves the original commit fully completed — the replay must be a
@@ -143,9 +154,15 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     // Deleting/re-renaming here instead would be wrong: a recovered attempt
     // can seal a DIFFERENT non-empty region set (range boundaries are
     // re-sampled), and rewriting targets while keeping the original entry
-    // would leave the manifest pointing at deleted files.
+    // would leave the manifest pointing at deleted files. Two layers:
+    // the latest-entry tag (the single-writer common case), and — because
+    // ANOTHER query's commits may have landed since — this query-epoch's
+    // prefix already in the LIVE set (names are query-unique, so a live
+    // prefix match proves the original commit published).
     val latest = KvLog.latestSeq(fs, dir)
-    if (latest >= 0 && KvLog.read(fs, dir, latest).exists(_.writer == writerTag)) {
+    if (latest >= 0 &&
+        (KvLog.read(fs, dir, latest).exists(_.writer == writerTag) ||
+          KvLog.liveFiles(fs, dir).exists(_.startsWith(prefix)))) {
       fs.delete(new Path(stagingDir), true)
       return
     }
@@ -154,8 +171,9 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     KvLog.seedFromDirIfNeeded(fs, dir)
     // Incomplete-commit hygiene: a crash between renames and the log append
     // leaves this epoch's targets on disk with no manifest entry — clear
-    // every target this epoch could have written before renaming.
-    val prefix = f"part-e$epochId%010d-"
+    // every target this epoch could have written before renaming. The
+    // prefix is query-scoped, so this can never touch a concurrent
+    // query's files.
     (0 until messages.length).foreach { p =>
       fs.delete(new Path(dir, f"$prefix$p%05d.parquet"), false): Unit
     }

@@ -163,7 +163,7 @@ class KvStreamSpec extends graft.SparkSpec {
     // segment names are deterministic per (epoch, region) and epoch-monotone
     val names = new java.io.File(dst).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).sorted
-    all(names) should fullyMatch regex "part-e\\d{10}-\\d{5}\\.parquet"
+    all(names) should fullyMatch regex "part-e\\d{10}-[A-Za-z0-9]{4,8}-\\d{5}\\.parquet"
     names.map(_.substring(6, 16)).distinct.length shouldBe 4 // one epoch per segment
     // each sealed segment honors the sink's (rowKey, qualifier) sort contract
     import spark.implicits._
@@ -373,7 +373,7 @@ class KvStreamSpec extends graft.SparkSpec {
     new KvStreamingWrite(d, Cell.schema, "q1", sconf)
       .commit(0, Array(KvEpochCommit(stageAttempt("a"), 0)))
     val live1 = KvLog.liveFiles(fs, table)
-    live1 shouldBe Seq("part-e0000000000-00000.parquet")
+    live1 shouldBe Seq("part-e0000000000-q100-00000.parquet")
     // recovery re-runs epoch 0 (failure AFTER the full commit, before
     // Spark's checkpoint write) — and the replay seals a DIFFERENT
     // non-empty region set, the hazard case: honoring it would leave the
@@ -381,12 +381,48 @@ class KvStreamSpec extends graft.SparkSpec {
     new KvStreamingWrite(d, Cell.schema, "q1", sconf)
       .commit(0, Array(KvEpochCommit("", 0), KvEpochCommit(stageAttempt("b"), 1)))
     KvLog.liveFiles(fs, table) shouldBe live1
-    fs.exists(new Path(d, "part-e0000000000-00000.parquet")) shouldBe true
-    fs.exists(new Path(d, "part-e0000000000-00001.parquet")) shouldBe false
+    fs.exists(new Path(d, "part-e0000000000-q100-00000.parquet")) shouldBe true
+    fs.exists(new Path(d, "part-e0000000000-q100-00001.parquet")) shouldBe false
     // defense in depth: the log-level writer-tag dedup returns the existing
     // seq instead of appending
     KvLog.append(fs, table, Seq("x.parquet"), writer = Some("q1:0")) shouldBe 0L
     KvLog.latestSeq(fs, table) shouldBe 0L
+  }
+
+  test("TWO streaming queries appending to one table never collide; each replays only its own epochs") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_two_writers"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val conf = spark.sessionState.newHadoopConf()
+    val sconf = new SerializableConfiguration(conf)
+    val table = new Path(d)
+    val fs = table.getFileSystem(conf)
+    def stageAttempt(name: String, rows: Int): String = {
+      val tmp = s"${d}_stage_$name"
+      allCells.limit(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.getAbsolutePath
+    }
+    // both queries commit THE SAME epoch number — the collision case the
+    // per-query name token exists for
+    new KvStreamingWrite(d, Cell.schema, "qA", sconf)
+      .commit(0, Array(KvEpochCommit(stageAttempt("a", 5), 0)))
+    new KvStreamingWrite(d, Cell.schema, "qB", sconf)
+      .commit(0, Array(KvEpochCommit(stageAttempt("b", 7), 0)))
+    val live = KvLog.liveFiles(fs, table).sorted
+    live.length shouldBe 2
+    live.count(_.contains("-qA00-")) shouldBe 1
+    live.count(_.contains("-qB00-")) shouldBe 1
+    spark.read.format("graft-kv").load(d).count() shouldBe 12
+    // qA's epoch 0 replays AFTER qB's commit: the latest entry carries
+    // qB's tag, so the tag check misses — the live-prefix check must make
+    // the replay a no-op instead of re-renaming and double-appending
+    new KvStreamingWrite(d, Cell.schema, "qA", sconf)
+      .commit(0, Array(KvEpochCommit(stageAttempt("a2", 3), 0)))
+    KvLog.liveFiles(fs, table).sorted shouldBe live
+    KvLog.latestSeq(fs, table) shouldBe 1L
+    spark.read.format("graft-kv").load(d).count() shouldBe 12
+    graft.sources.KvFsck.check(spark, d).healthy shouldBe true
   }
 
   test("first logged commit on a legacy table SEEDS the manifest: pre-existing segments stay visible") {
