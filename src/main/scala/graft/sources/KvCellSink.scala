@@ -182,8 +182,24 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
       fs.rename(new Path(f), target)
       target.getName -> st
     }
-    KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq, writer = writerTag,
-      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
+    // Same optimistic entry-append loop as the batch path: losing a seq
+    // race to another writer (a second streaming query, a batch append, a
+    // compaction rebase) costs a retry of the ONE-entry append — never an
+    // epoch abort, and never a repeat of the data renames (targets are
+    // query-unique and already in place).
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      try {
+        KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq, writer = writerTag,
+          stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
+        committed = true
+      } catch {
+        case e: KvLog.ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+      }
+    }
     fs.delete(new Path(stagingDir), true)
     // Post-epoch policy pass (opt-in): runs AFTER the epoch's entry is
     // durable, so a crash mid-maintenance can never tear the commit — at
