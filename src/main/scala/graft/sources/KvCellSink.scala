@@ -57,6 +57,22 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
         s"got ${schema.fieldNames.mkString(", ")}")
     val regions = Option(info.options.get("regions")).map(_.toInt).getOrElse(8)
     require(regions > 0, "graft-kv: regions must be positive")
+    // Region-file compression (HBase `COMPRESSION => ...` column-family
+    // attribute). Snappy default (cheap CPU); zstd trades encode CPU for
+    // ~30% smaller regions — at 100 TB that is tens of TB of storage and
+    // scan I/O, usually the right trade on an object store. Per-WRITE, so
+    // a compaction can rewrite a table to a different codec; readers are
+    // codec-agnostic (parquet self-describes per column chunk).
+    val codec = Option(info.options.get("codec")).map(_.toLowerCase)
+      .getOrElse("snappy") match {
+      case "snappy" => CompressionCodecName.SNAPPY
+      case "zstd" => CompressionCodecName.ZSTD
+      case "gzip" => CompressionCodecName.GZIP
+      case "lz4" => CompressionCodecName.LZ4_RAW
+      case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+      case other => throw new IllegalArgumentException(
+        s"graft-kv: unknown codec '$other' (snappy|zstd|gzip|lz4|none)")
+    }
     // Opt-in POST-EPOCH MAINTENANCE (`maintain=true` + policy knobs):
     // lifecycle hygiene wired into the write path itself, the HBase shape
     // (region servers trigger compaction checks from the memstore flush)
@@ -72,14 +88,15 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
         vacuumGraceMs = Option(info.options.get("maintainGraceMs"))
           .map(_.toLong).getOrElse(24L * 3600 * 1000)))
     new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf,
-      maintainPolicy)
+      maintainPolicy, codec)
   }
 }
 
 private[sources] class KvWrite(
     path: String, schema: StructType, regions: Int, truncate: Boolean,
     queryId: String, conf: SerializableConfiguration,
-    maintainPolicy: Option[KvMaintenance.Policy] = None)
+    maintainPolicy: Option[KvMaintenance.Policy] = None,
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
     extends Write with RequiresDistributionAndOrdering {
 
   // The sink's contract: range distribution on rowKey across exactly
@@ -95,11 +112,11 @@ private[sources] class KvWrite(
 
   override def requiredNumPartitions(): Int = regions
 
-  override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate, conf)
+  override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate, conf, codec)
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy)
+    new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy, codec)
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -122,14 +139,15 @@ private[sources] class KvWrite(
   */
 private[sources] class KvStreamingWrite(path: String, schema: StructType,
     queryId: String, conf: SerializableConfiguration,
-    maintainPolicy: Option[KvMaintenance.Policy] = None)
+    maintainPolicy: Option[KvMaintenance.Policy] = None,
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf)
+    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec)
 
   /** Stable per-QUERY name token: sealed names are deterministic per
     * (query, epoch, region), so exactly-once recovery (rename-over-same-
@@ -225,7 +243,8 @@ private[sources] case class KvEpochCommit(file: String, partition: Int,
     extends WriterCommitMessage
 
 private[sources] case class KvStreamWriterFactory(
-    stagingDir: String, fieldNames: Seq[String], conf: SerializableConfiguration)
+    stagingDir: String, fieldNames: Seq[String], conf: SerializableConfiguration,
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   /** Attempts stage under task-unique names; the deterministic FINAL name is
@@ -234,7 +253,7 @@ private[sources] case class KvStreamWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
-      commitAs = (f, st) => KvEpochCommit(f, partitionId, st))
+      commitAs = (f, st) => KvEpochCommit(f, partitionId, st), codec = codec)
 }
 
 private[sources] case class KvFileCommit(file: String, partition: Int,
@@ -242,13 +261,14 @@ private[sources] case class KvFileCommit(file: String, partition: Int,
     extends WriterCommitMessage
 
 private[sources] class KvBatchWrite(path: String, schema: StructType,
-    truncate: Boolean, conf: SerializableConfiguration)
+    truncate: Boolean, conf: SerializableConfiguration,
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf)
+    KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -312,11 +332,12 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] case class KvWriterFactory(stagingDir: String,
-    fieldNames: Seq[String], conf: SerializableConfiguration)
+    fieldNames: Seq[String], conf: SerializableConfiguration,
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
-      commitAs = (f, st) => KvFileCommit(f, partitionId, st))
+      commitAs = (f, st) => KvFileCommit(f, partitionId, st), codec = codec)
 }
 
 /** One region file per partition, created lazily on the first row (empty
@@ -331,7 +352,8 @@ private[sources] case class KvWriterFactory(stagingDir: String,
 private[sources] class KvDataWriter(
     stagingDir: String, fieldNames: Seq[String], partitionId: Int, taskId: Long,
     conf: SerializableConfiguration,
-    commitAs: (String, Option[KvLog.FileStat]) => WriterCommitMessage)
+    commitAs: (String, Option[KvLog.FileStat]) => WriterCommitMessage,
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
     extends DataWriter[InternalRow] {
 
   private val file = f"$stagingDir/part-r-$partitionId%05d-$taskId.parquet"
@@ -354,7 +376,7 @@ private[sources] class KvDataWriter(
     if (writer == null)
       writer = new KvParquetWriterBuilder(new Path(file), fieldNames)
         .withConf(conf.value)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withCompressionCodec(codec)
         .build()
     writer.write(row)
     rows += 1

@@ -391,6 +391,38 @@ class KvSourceSpec extends SparkSpec {
       .getMessage should include("manifest log")
   }
 
+  test("sink codec option lands in the region files; zstd roundtrips and shrinks") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/kv_codec"
+    val cells = KvGenerator.cells(spark, 3000, 4, "runC")
+    def write(codec: String): String = {
+      val d = s"${base}_$codec"
+      graft.sinks.Sinks.deleteRecursive(spark, d)
+      cells.write.format("graft-kv").option("regions", 2)
+        .option("codec", codec).mode("overwrite").save(d)
+      d
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    def codecOf(d: String): String = {
+      val f = new java.io.File(d).listFiles()
+        .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet")).head
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try r.getRowGroups.get(0).getColumns.get(0).getCodec.name() finally r.close()
+    }
+    def bytesOf(d: String): Long = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val snappy = write("snappy")
+    val zstd = write("zstd")
+    codecOf(snappy) shouldBe "SNAPPY"
+    codecOf(zstd) shouldBe "ZSTD"
+    sortedRows(spark.read.format("graft-kv").load(zstd)) shouldBe
+      sortedRows(spark.read.format("graft-kv").load(snappy))
+    assert(bytesOf(zstd) < bytesOf(snappy),
+      s"zstd (${bytesOf(zstd)}) not smaller than snappy (${bytesOf(snappy)})")
+    an[Exception] should be thrownBy write("bogus")
+  }
+
   test("write then overwrite truncates instead of accumulating") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test/kv_sink_truncate"
     graft.sinks.Sinks.deleteRecursive(spark, out)
