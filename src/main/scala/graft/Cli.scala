@@ -144,7 +144,8 @@ object Cli {
     case "CompactTable" =>
       val Array(table, regions) = a.take(2)
       graft.sources.KvCompactor.compact(
-          spark, s"${tableDir(table)}/cells", regions.toInt) match {
+          spark, s"${tableDir(table)}/cells", regions.toInt,
+          codec = a.lift(2)) match {
         case graft.sources.KvCompactor.Compacted(seq, merged, into) =>
           println(s"compacted $table: $merged segments -> $into at log seq $seq")
         case graft.sources.KvCompactor.Parked(reason) =>
@@ -314,7 +315,7 @@ object Cli {
       |  AvroReader <file> <schemaFile> <recordsToRead>
       |  ParquetReader <file> <recordsToRead>
       |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
-      |  CompactTable <table> <regions>              (major-compact a table's segments)
+      |  CompactTable <table> <regions> [codec]      (major-compact; optional re-codec: snappy|zstd|gzip|lz4|none)
       |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)

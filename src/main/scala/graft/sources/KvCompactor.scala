@@ -156,9 +156,10 @@ object KvCompactor {
   /** Compact with a FIXED output region count (the CompactTable CLI shape). */
   def compact(spark: SparkSession, path: String, regions: Int,
       selection: Selection = Major,
-      cellPolicy: CellPolicy = CellPolicy()): Result = {
+      cellPolicy: CellPolicy = CellPolicy(),
+      codec: Option[String] = None): Result = {
     require(regions > 0, "graft-kv compaction: regions must be positive")
-    run(spark, path, _ => regions, selection, cellPolicy)
+    run(spark, path, _ => regions, selection, cellPolicy, codec)
   }
 
   /** Compact with output regions SIZED from the merged bytes —
@@ -170,16 +171,18 @@ object KvCompactor {
     */
   def compactTo(spark: SparkSession, path: String, targetRegionBytes: Long,
       selection: Selection = Major,
-      cellPolicy: CellPolicy = CellPolicy()): Result = {
+      cellPolicy: CellPolicy = CellPolicy(),
+      codec: Option[String] = None): Result = {
     require(targetRegionBytes > 0,
       "graft-kv compaction: targetRegionBytes must be positive")
     run(spark, path, bytes => math.max(1L,
       (bytes + targetRegionBytes - 1) / targetRegionBytes).toInt, selection,
-      cellPolicy)
+      cellPolicy, codec)
   }
 
   private def run(spark: SparkSession, path: String, regionsFor: Long => Int,
-      selection: Selection, cellPolicy: CellPolicy = CellPolicy()): Result = {
+      selection: Selection, cellPolicy: CellPolicy = CellPolicy(),
+      codec: Option[String] = None): Result = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return Parked(s"no table at $path")
@@ -268,8 +271,14 @@ object KvCompactor {
           .orderBy(col("ts").desc, col("value").asc)))
         .filter(col("_v") <= k).drop("_v")
     }
-    mergeDf.write.format("graft-kv").option("regions", regions)
-      .mode("overwrite").save(tmp.toString)
+    // Re-CODEC rides the rewrite like cell GC does: compaction is the one
+    // place merged bytes are rewritten anyway, so changing the table's
+    // compression (e.g. snappy ingest -> zstd at rest) is free here and
+    // prohibitive anywhere else.
+    val scratchWriter = codec.foldLeft(
+      mergeDf.write.format("graft-kv").option("regions", regions))(
+      (w, c) => w.option("codec", c))
+    scratchWriter.mode("overwrite").save(tmp.toString)
     // The scratch write went through the graft-kv sink, so its own log
     // carries exact stats for the merged outputs — re-key them by the
     // published names. Carried files keep their stats too: the checkpoint

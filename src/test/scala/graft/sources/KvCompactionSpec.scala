@@ -33,6 +33,31 @@ class KvCompactionSpec extends graft.SparkSpec {
   private def fsOf(d: String) =
     new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
 
+  test("compaction re-codecs the table when asked: merged outputs land zstd, cells unchanged") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_compact_codec"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = graft.kv.KvGenerator.cells(spark, 1000, 4, "runCC")
+    (0 until 3).foreach { i =>
+      cells.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.lit(3)) === i)
+        .write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    }
+    val before = spark.read.format("graft-kv").load(d).count()
+    KvCompactor.compact(spark, d, regions = 2, codec = Some("zstd")) shouldBe
+      a[KvCompactor.Compacted]
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val live = KvLog.liveFiles(fs, new Path(d))
+    live.foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(d, f), spark.sessionState.newHadoopConf()))
+      try r.getRowGroups.get(0).getColumns.get(0).getCodec.name() shouldBe "ZSTD"
+      finally r.close()
+    }
+    spark.read.format("graft-kv").load(d).count() shouldBe before
+  }
+
   test("compaction merges the pile-up into range-sorted region files; not one visible cell changes") {
     val d = pileUp("kv_compact_merge")
     val before = spark.read.format("graft-kv").load(d)
