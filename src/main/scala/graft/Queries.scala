@@ -178,6 +178,57 @@ object Queries {
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
 
+  /** The SemDeDup verdicts applied to the ACTUAL corpus — the end of the
+    * semantic-dedup pipeline: survivors of [[Dedup.semanticDedup]] at a
+    * similarity threshold the synthetic corpus naturally exceeds
+    * (0.35 — ~30 real drops; embeddings and documents share ids) joined
+    * back to `documents`, each survivor carrying how many near-semantic
+    * docs it absorbed. The dedup join is the cell equi-join; the absorbed
+    * counts and the documents join are id equi-joins AQE broadcasts.
+    */
+  def pipeSemanticCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = graft.ext.Dedup.semanticDedup(embeds(spark, sfDir),
+      thresholdX1000 = 350L)
+    val absorbed = verdicts.filter(col("is_dup"))
+      .groupBy(col("kept_by").as("vec_id")).agg(count(lit(1)).as("pruned"))
+    verdicts.filter(!col("is_dup")).select(col("vec_id"), col("cell"))
+      .join(absorbed, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("pruned"))
+      .join(docs(spark, sfDir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("cell"), col("pruned"), col("n_chars"))
+  }
+
+  private lazy val pipeSemanticCorpusSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |c AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn
+       |      FROM (VALUES $ivfCentroidValues) t(c_id, cv)),
+       |sc AS (SELECT n.vec_id, c.c_id,
+       |         floor(${dotSql("n.v", "c.cv")} * 1000000 / (n.nrm * c.cn))::BIGINT AS s
+       |       FROM n CROSS JOIN c),
+       |rk AS (SELECT vec_id, c_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS r
+       |       FROM sc),
+       |asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE r = 1),
+       |drops AS (SELECT d.vec_id AS vec_id, min(k.vec_id) AS kept_by
+       |  FROM asg d
+       |  JOIN asg k ON k.cell = d.cell AND k.vec_id < d.vec_id
+       |  JOIN n a ON a.vec_id = d.vec_id
+       |  JOIN n b ON b.vec_id = k.vec_id
+       |  WHERE floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm)) >= 350
+       |  GROUP BY 1),
+       |ab AS (SELECT kept_by AS vec_id, count(*) AS pruned FROM drops GROUP BY 1)
+       |SELECT s.vec_id AS doc_id, s.cell::BIGINT AS cell,
+       |  coalesce(ab.pruned, 0)::BIGINT AS pruned,
+       |  length(d.text)::BIGINT AS n_chars
+       |FROM (SELECT a.vec_id, a.cell FROM asg a
+       |      LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+       |      WHERE dr.vec_id IS NULL) s
+       |LEFT JOIN ab ON ab.vec_id = s.vec_id
+       |JOIN documents d ON d.doc_id = s.vec_id""".stripMargin
+
   /** A MONOLITH region: the whole events cell table sorted into one file
     * with small row groups (the shape of a region a giant batch sealed
     * before any maintenance split normalized it).
@@ -4077,6 +4128,7 @@ object Queries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embed_pairs" -> (dedupEmbedPairs _),
     "dedup_semantic" -> (dedupSemantic _),
+    "pipe_semantic_corpus" -> (pipeSemanticCorpus _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embed_lsh_pairs" -> (dedupEmbedLshPairs _),
     "ann_topk_brute" -> (annTopkBrute _),
@@ -4210,6 +4262,7 @@ object Queries {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_embed_pairs" -> dedupEmbedPairsSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "pipe_semantic_corpus" -> pipeSemanticCorpusSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embed_lsh_pairs" -> dedupEmbedLshPairsSql,
     "ann_topk_brute" -> annTopkBruteSql,
