@@ -61,6 +61,12 @@ class CliSpec extends SparkSpec {
     new java.io.File(s"$wh/exportTest/cells/_log").exists() shouldBe true
     Cli.cells(spark, "exportTest").count() shouldBe 3000
     Cli.run(spark, "HistoryTable", Array("exportTest")) // completes, prints log
+    // the integrity verbs: a freshly maintained table checks healthy, and
+    // an explicit no-op repair (nothing missing, no orphans) changes nothing
+    Cli.run(spark, "CheckTable", Array("exportTest"))
+    graft.sources.KvFsck.check(spark, s"$wh/exportTest/cells").healthy shouldBe true
+    Cli.run(spark, "RepairTable", Array("exportTest", "forgetMissing"))
+    Cli.cells(spark, "exportTest").count() shouldBe 3000
   }
 
   test("populate rejects a family mismatch against the table spec") {
