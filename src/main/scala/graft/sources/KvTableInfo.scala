@@ -30,6 +30,12 @@ object KvTableInfo {
     *    fails here until compaction merges it).
     * Driver-side manifest replay only — the certification itself opens no
     * data file. Returns false for legacy directories and empty tables.
+    *
+    * SALTED tables ([[KvSalt]]): the invariant certified here holds in
+    * STORED key space only. A salt-aware scan strips the prefix, and one
+    * LOGICAL key's cells live in one file per its salt — so never feed a
+    * salt-stripped scan to a per-partition whole-key algorithm on the
+    * strength of this certification.
     */
   def disjointSortedRegions(spark: SparkSession, path: String): Boolean = {
     val dir = new Path(path)
