@@ -59,6 +59,7 @@ object Cli {
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
     "HistoryTable" -> 1, "CheckTable" -> 1, "RepairTable" -> 2,
+    "DropTail" -> 2,
     "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
     "DropSnapshot" -> 2, "ListSnapshots" -> 1, "CloneSnapshot" -> 3)
 
@@ -218,6 +219,17 @@ object Cli {
       println(if (r.healthy) s"$table: HEALTHY"
         else s"$table: INCONSISTENT (missing or corrupt references above)")
 
+    // HBase remove_peer: drop a DEAD tail's registration so its mark
+    // (possibly corrupt, read as the conservative position 0) stops
+    // gating compaction. CheckTable's tail_marks row is the visibility.
+    case "DropTail" =>
+      val Array(table, tailId) = a.take(2)
+      val dir = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/cells")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (graft.sources.KvLog.dropTail(fs, dir, tailId))
+        println(s"dropped tail '$tailId' of $table: compaction no longer gates on it")
+      else println(s"no tail '$tailId' registered on $table")
+
     // hbck2-style explicit repair: every action opted into BY NAME —
     // each encodes an operator judgment (accept data loss / surface
     // orphan bytes / abandon an unreadable pin) the engine must not make.
@@ -322,6 +334,7 @@ object Cli {
       |  HistoryTable <table>                        (commit history from the manifest log)
       |  CheckTable <table>                          (hbck: manifest vs filesystem consistency, read-only)
       |  RepairTable <table> <action...>             (hbck2: forgetMissing | adoptOrphans | dropBrokenSnapshots)
+      |  DropTail <table> <tailId>                   (remove_peer: stop a dead tail gating compaction)
       |  SnapshotTable <table> <name>                (pin the current state, zero data copied)
       |  RestoreSnapshot <table> <name>              (roll back to a snapshot, one metadata commit)
       |  DropSnapshot <table> <name>                 (unpin; files become vacuum-eligible)

@@ -285,6 +285,7 @@ object Queries {
       |  ('scratch_dirs', CAST(0 AS BIGINT)),
       |  ('log_entries', CAST(3 AS BIGINT)),
       |  ('bounds_inverted', CAST(0 AS BIGINT)),
+      |  ('tail_marks', CAST(0 AS BIGINT)),
       |  ('healthy', CAST(1 AS BIGINT)))
       |  AS t(check_name, n)""".stripMargin
 

@@ -157,7 +157,7 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     * delete the other's committed files.
     */
   private val queryTok =
-    queryId.filter(_.isLetterOrDigit).take(8).padTo(4, '0')
+    queryId.filter(_.isLetterOrDigit).take(16).padTo(4, '0')
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -166,21 +166,35 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     val writerTag = Some(s"$queryId:$epochId")
     val prefix = f"part-e$epochId%010d-$queryTok-"
     // Epoch REPLAY detection comes FIRST: the manifest entry is written
-    // after the renames, so a latest entry carrying this epoch's writer tag
-    // proves the original commit fully completed — the replay must be a
-    // pure no-op (drop its staging, touch neither targets nor manifest).
-    // Deleting/re-renaming here instead would be wrong: a recovered attempt
-    // can seal a DIFFERENT non-empty region set (range boundaries are
-    // re-sampled), and rewriting targets while keeping the original entry
-    // would leave the manifest pointing at deleted files. Two layers:
-    // the latest-entry tag (the single-writer common case), and — because
-    // ANOTHER query's commits may have landed since — this query-epoch's
-    // prefix already in the LIVE set (names are query-unique, so a live
-    // prefix match proves the original commit published).
+    // after the renames, so proof that the original commit published means
+    // the replay must be a pure no-op (drop its staging, touch neither
+    // targets nor manifest). Deleting/re-renaming here instead would be
+    // wrong: a recovered attempt can seal a DIFFERENT non-empty region set
+    // (range boundaries are re-sampled), and rewriting targets while
+    // keeping the original entry would leave the manifest pointing at
+    // deleted files. Three layers, O(1) on the fresh-epoch path:
+    //  1. the WRITER HINT (last epoch this query committed, recorded right
+    //     after the entry append) — stays correct however many commits
+    //     from other writers or this commit's own maintenance pass landed
+    //     since (the case where the latest-entry check goes blind, and
+    //     where redoing the epoch would double cells AND hygiene-delete
+    //     pending-removal files still inside readers' vacuum grace);
+    //  2. the latest-entry tag (covers the hint-write crash window in the
+    //     single-writer case);
+    //  3. only when this epoch's query-unique targets are ON DISK (one
+    //     glob; a fresh epoch has none, so it never pays more) — the
+    //     bounded recent-entry tag scan, covering the hint-crash window
+    //     WITH interleaved commits. A replayed epoch whose targets were
+    //     compacted away still matches: deferred deletes keep them on
+    //     disk for a full vacuum grace, far longer than any replay gap.
     val latest = KvLog.latestSeq(fs, dir)
-    if (latest >= 0 &&
-        (KvLog.read(fs, dir, latest).exists(_.writer == writerTag) ||
-          KvLog.liveFiles(fs, dir).exists(_.startsWith(prefix)))) {
+    val replayed =
+      KvLog.writerEpoch(fs, dir, queryTok).exists(_ >= epochId) ||
+        (latest >= 0 &&
+          (KvLog.read(fs, dir, latest).exists(_.writer == writerTag) ||
+            (fs.globStatus(new Path(dir, prefix + "*")).nonEmpty &&
+              KvLog.recentWriterTag(fs, dir, s"$queryId:$epochId"))))
+    if (replayed) {
       fs.delete(new Path(stagingDir), true)
       return
     }
@@ -218,6 +232,10 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
           if (attempts >= 20) throw e
       }
     }
+    // The O(1) replay guard for every future attempt of this epoch —
+    // written AFTER the entry so a crash in between falls back to the
+    // bounded tag scan, never to data loss.
+    KvLog.recordWriterEpoch(fs, dir, queryTok, epochId)
     fs.delete(new Path(stagingDir), true)
     // Post-epoch policy pass (opt-in): runs AFTER the epoch's entry is
     // durable, so a crash mid-maintenance can never tear the commit — at

@@ -710,10 +710,9 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // sets it) and skipped under limit/top-n plans (already O(n)/task).
     val pieces = splitRegionBytes.filter(_ => limit.isEmpty) match {
       case Some(target) =>
-        val statsByFile2 = keptFiles.toMap
         lazy val fsys = new Path(path).getFileSystem(sconf.value)
         files.flatMap { f =>
-          val bytes = statsByFile2.get(f).flatten.map(_.bytes)
+          val bytes = statsByFile.get(f).flatten.map(_.bytes)
             .getOrElse(fsys.getFileStatus(new Path(f)).getLen)
           val n = math.max(1L, (bytes + target - 1) / target)
           if (n == 1) Seq(KvFilePartition(f))

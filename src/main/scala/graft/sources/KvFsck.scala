@@ -41,7 +41,13 @@ object KvFsck {
       orphans: Long,
       scratchDirs: Long,
       logEntries: Long,
-      boundsInverted: Long) {
+      boundsInverted: Long,
+      /** Registered streaming-tail marks ([[KvLog.tailPositions]]): not a
+        * health failure, but the thing to look at when compaction parks
+        * forever — a DEAD tail's mark (corrupt ⇒ conservative position 0)
+        * gates compaction until `DropTail` removes it.
+        */
+      tailMarks: Long = 0L) {
     /** No referenced file is missing and no manifest stat is corrupt. */
     def healthy: Boolean =
       liveMissing == 0 && snapshotMissing == 0 && boundsInverted == 0
@@ -58,6 +64,7 @@ object KvFsck {
       "scratch_dirs" -> scratchDirs,
       "log_entries" -> logEntries,
       "bounds_inverted" -> boundsInverted,
+      "tail_marks" -> tailMarks,
       "healthy" -> (if (healthy) 1L else 0L))
   }
 
@@ -153,6 +160,7 @@ object KvFsck {
       scratchDirs = scratch,
       logEntries = KvLog.history(fs, dir).size,
       boundsInverted = stats.valuesIterator.count(s =>
-        s.minKey.zip(s.maxKey).exists { case (lo, hi) => lo > hi }))
+        s.minKey.zip(s.maxKey).exists { case (lo, hi) => lo > hi }),
+      tailMarks = KvLog.tailPositions(fs, dir).size)
   }
 }

@@ -445,6 +445,45 @@ private[graft] object KvLog {
   def recordTail(fs: FileSystem, table: Path, tailId: String, seq: Long): Unit =
     writeText(fs, new Path(new Path(logDir(table), TailsDirName), tailId), seq.toString)
 
+  /** Drop a tail's registration (HBase `remove_peer`): the operator escape
+    * hatch for a DEAD tail whose mark — possibly corrupt, read as the
+    * conservative position 0 — would otherwise gate compaction forever.
+    */
+  def dropTail(fs: FileSystem, table: Path, tailId: String): Boolean =
+    fs.delete(new Path(new Path(logDir(table), TailsDirName), tailId), false)
+
+  private val WritersDirName = "_writers"
+
+  /** Streaming-writer epoch HINT: the last epoch a writer committed,
+    * recorded right after its entry append (`_log/_writers/<tok>`). An
+    * O(1) replay check that stays sound under interleaved commits from
+    * OTHER writers (where the latest-entry tag check goes blind). Torn or
+    * missing reads self-heal like every other hint: the sink falls back
+    * to the bounded tag scan ([[recentWriterTag]]).
+    */
+  def recordWriterEpoch(fs: FileSystem, table: Path, tok: String,
+      epoch: Long): Unit =
+    writeText(fs, new Path(new Path(logDir(table), WritersDirName), tok),
+      epoch.toString)
+
+  def writerEpoch(fs: FileSystem, table: Path, tok: String): Option[Long] =
+    readLong(fs, new Path(new Path(logDir(table), WritersDirName), tok))
+
+  /** Whether any of the most recent `lookback` RETAINED entries carries
+    * `tag` — the slow-path replay detector for the crash window between an
+    * epoch's entry append and its hint write. Bounded: a replay arrives
+    * immediately on restart, so its entry is at most a handful of
+    * interleaved commits back.
+    */
+  def recentWriterTag(fs: FileSystem, table: Path, tag: String,
+      lookback: Int = 32): Boolean = {
+    val latest = latestSeq(fs, table)
+    if (latest < 0) return false
+    val first = math.max(earliestSeq(fs, table), latest - lookback + 1)
+    (first to latest).reverse
+      .exists(s => read(fs, table, s).exists(_.writer.contains(tag)))
+  }
+
   /** All registered tails' committed seqs (empty when none registered).
     * A mark that EXISTS but reads torn (racing its own per-batch overwrite
     * — the tail is live right now) maps to position 0, the conservative

@@ -98,34 +98,64 @@ object KvSalt {
     */
   private val PropName = "_salt"
 
-  /** The table's recorded bucket count, if any. */
+  /** The table's recorded bucket count, if any. Only genuine ABSENCE maps
+    * to None: a present-but-unreadable property throws, because falling
+    * back to "unsalted" on a registered table would silently emit stored
+    * keys and evaluate predicates unexpanded — wrong results, no error.
+    * (The recorded file is immutable once written — [[register]] never
+    * overwrites — so there is no torn-overwrite window to tolerate.)
+    */
   def bucketsOf(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(table, KvLog.LogDirName), PropName)
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try {
-          val buf = new Array[Byte](16)
-          val read = in.read(buf)
-          Some(new String(buf, 0, math.max(read, 0), "UTF-8").trim.toInt)
-        } finally in.close()
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val buf = new Array[Byte](16)
+        val read = in.read(buf)
+        new String(buf, 0, math.max(read, 0), "UTF-8").trim
+      } finally in.close()
+      val n = try text.toInt catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"graft-kv: corrupt salt property at $p ('$text') — refusing to " +
+            "guess whether the table is salted")
       }
-    } catch { case _: Exception => None } // unreadable property: option-only
+      requireBuckets(n)
+      Some(n)
+    }
   }
 
-  /** Record the table's bucket count (idempotent; written once the log
-    * dir exists).
+  /** Record the table's bucket count. Idempotent for the SAME `n`; a
+    * DIFFERENT `n` against an existing record is refused — appending
+    * 16-bucket rows to an 8-bucket table doesn't error at read time, it
+    * silently mis-routes point lookups, so the write side must be the
+    * guard. First registration stages + renames (no in-place overwrite a
+    * reader could tear).
     */
   def register(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, n: Int): Unit = {
     requireBuckets(n)
-    val dir = new org.apache.hadoop.fs.Path(table, KvLog.LogDirName)
-    fs.mkdirs(dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, PropName), true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    bucketsOf(fs, table) match {
+      case Some(existing) if existing == n => () // already recorded
+      case Some(existing) => throw new IllegalArgumentException(
+        s"graft-kv: table $table is recorded as salted with $existing " +
+          s"buckets; refusing to re-register with $n (mixed-salt keys " +
+          "would mis-route every read)")
+      case None =>
+        val dir = new org.apache.hadoop.fs.Path(table, KvLog.LogDirName)
+        fs.mkdirs(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".tmp-salt-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, false)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, PropName))) {
+          fs.delete(tmp, false)
+          // lost a registration race: verify the winner recorded the same n
+          register(fs, table, n)
+        }
+    }
   }
 
   /** Salt + write + record in one step: after this, plain
@@ -134,11 +164,18 @@ object KvSalt {
     */
   def saltedWrite(df: DataFrame, path: String, n: Int, regions: Int,
       mode: String = "append"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    // Refuse a bucket-count mismatch BEFORE any row lands: an append with
+    // the wrong n would physically mix two salt layouts. An overwrite may
+    // change n — truncate resets the property with the rest of the table.
+    if (mode != "overwrite") bucketsOf(fs, p).foreach(existing =>
+      require(existing == n,
+        s"graft-kv: $path is salted with $existing buckets, refusing a " +
+          s"$n-bucket append"))
     salted(df, n).write.format("graft-kv").option("regions", regions)
       .mode(mode).save(path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    register(p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()),
-      p, n)
+    register(fs, p, n)
   }
 
   /** Strip the salt prefix — the read-side inverse for code that consumes

@@ -31,16 +31,18 @@ object KvTableInfo {
     * Driver-side manifest replay only — the certification itself opens no
     * data file. Returns false for legacy directories and empty tables.
     *
-    * SALTED tables ([[KvSalt]]): the invariant certified here holds in
-    * STORED key space only. A salt-aware scan strips the prefix, and one
-    * LOGICAL key's cells live in one file per its salt — so never feed a
-    * salt-stripped scan to a per-partition whole-key algorithm on the
-    * strength of this certification.
+    * A table RECORDED as salted ([[KvSalt]]) refuses certification
+    * outright: the invariant holds in STORED key space only, a salt-aware
+    * scan strips the prefix, and one LOGICAL key's cells live in one file
+    * per salt — so any per-partition whole-key consumer of this
+    * certification would be silently wrong. Mechanical, not a doc caveat:
+    * the recorded `_salt` property makes the refusal checkable here.
     */
   def disjointSortedRegions(spark: SparkSession, path: String): Boolean = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir) || !KvLog.exists(fs, dir)) return false
+    if (KvSalt.bucketsOf(fs, dir).isDefined) return false
     val live = KvLog.liveFiles(fs, dir)
     val stats = KvLog.liveFileStats(fs, dir)
     if (live.isEmpty || !live.forall(stats.contains)) return false

@@ -115,6 +115,26 @@ class KvFsckSpec extends graft.SparkSpec {
     assert(KvFsck.check(spark, d).healthy)
   }
 
+  test("a dead tail's mark gates compaction; fsck surfaces it and DropTail releases it") {
+    val d = stage("kv_fsck_tail")
+    val fs = fsOf(d)
+    val table = new Path(d)
+    // a corrupt mark (crashed recordTail) reads as the conservative
+    // position 0 — compaction must park below it, not merge past it
+    val tailsDir = new Path(new Path(table, KvLog.LogDirName), "_tails")
+    fs.mkdirs(tailsDir)
+    val out = fs.create(new Path(tailsDir, "dead"), true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    KvFsck.check(spark, d).tailMarks shouldBe 1
+    KvCompactor.compact(spark, d, regions = 2) match {
+      case KvCompactor.Parked(reason) => reason should include("gate compaction")
+      case other => fail(s"expected the dead tail to park compaction, got $other")
+    }
+    KvLog.dropTail(fs, table, "dead") shouldBe true
+    KvFsck.check(spark, d).tailMarks shouldBe 0
+    KvCompactor.compact(spark, d, regions = 2) shouldBe a[KvCompactor.Compacted]
+  }
+
   test("a legacy directory without a manifest is refused, not guessed at") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_fsck_legacy"
     graft.sinks.Sinks.deleteRecursive(spark, d)

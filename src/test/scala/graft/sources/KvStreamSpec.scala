@@ -163,7 +163,7 @@ class KvStreamSpec extends graft.SparkSpec {
     // segment names are deterministic per (epoch, region) and epoch-monotone
     val names = new java.io.File(dst).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).sorted
-    all(names) should fullyMatch regex "part-e\\d{10}-[A-Za-z0-9]{4,8}-\\d{5}\\.parquet"
+    all(names) should fullyMatch regex "part-e\\d{10}-[A-Za-z0-9]{4,16}-\\d{5}\\.parquet"
     names.map(_.substring(6, 16)).distinct.length shouldBe 4 // one epoch per segment
     // each sealed segment honors the sink's (rowKey, qualifier) sort contract
     import spark.implicits._
