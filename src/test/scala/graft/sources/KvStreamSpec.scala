@@ -425,6 +425,41 @@ class KvStreamSpec extends graft.SparkSpec {
     graft.sources.KvFsck.check(spark, d).healthy shouldBe true
   }
 
+  test("an epoch replay AFTER its files were compacted away is still a no-op (writer-hint layer)") {
+    // the hazard: commit epoch 0, compaction merges its files (e.g. the
+    // maintain=true post-epoch hook), driver crashes before Spark's commit
+    // log records the batch, epoch 0 replays — the latest entry is the
+    // compaction's and the epoch's files are no longer live, so without
+    // the writer hint the replay would re-commit (doubled cells) and its
+    // hygiene delete would hit pending-removal files inside vacuum grace
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_replay_compact"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val conf = spark.sessionState.newHadoopConf()
+    val sconf = new SerializableConfiguration(conf)
+    val table = new Path(d)
+    val fs = table.getFileSystem(conf)
+    def stageAttempt(name: String): String = {
+      val tmp = s"${d}_stage_$name"
+      allCells.limit(20).coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.getAbsolutePath
+    }
+    val w = new KvStreamingWrite(d, Cell.schema, "qM", sconf)
+    w.commit(0, Array(KvEpochCommit(stageAttempt("a"), 0)))
+    w.commit(1, Array(KvEpochCommit(stageAttempt("b"), 0)))
+    val n = spark.read.format("graft-kv").load(d).count()
+    KvCompactor.compact(spark, d, regions = 1) shouldBe a[KvCompactor.Compacted]
+    val liveAfterCompact = KvLog.liveFiles(fs, table)
+    // epoch 1 replays post-compaction: must be a pure no-op
+    new KvStreamingWrite(d, Cell.schema, "qM", sconf)
+      .commit(1, Array(KvEpochCommit(stageAttempt("b2"), 0)))
+    KvLog.liveFiles(fs, table) shouldBe liveAfterCompact
+    spark.read.format("graft-kv").load(d).count() shouldBe n
+    // the compacted-away epoch files (pending removal) were not touched
+    graft.sources.KvFsck.check(spark, d).pendingRemovals shouldBe 2
+  }
+
   test("first logged commit on a legacy table SEEDS the manifest: pre-existing segments stay visible") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_legacy_seed"
     graft.sinks.Sinks.deleteRecursive(spark, d)
