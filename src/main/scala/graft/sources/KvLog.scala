@@ -243,10 +243,20 @@ private[graft] object KvLog {
   def truncate(fs: FileSystem, table: Path, retentionMs: Long): Int = {
     require(retentionMs >= 0, "graft-kv log: retention must be non-negative")
     if (!exists(fs, table)) return 0
+    val cutoff = System.currentTimeMillis() - retentionMs
+    // Writer-epoch hints ride the same retention clock: each streaming
+    // query leaves one hint file forever, so a long-lived table would
+    // accumulate one per query ever run against it. A hint idle past the
+    // retention window cannot matter — a replay arrives on restart,
+    // orders of magnitude inside any sane retention — so it is reclaimed
+    // here (independent of entry truncation, which needs a checkpoint).
+    val writers = new Path(logDir(table), WritersDirName)
+    if (fs.exists(writers)) fs.listStatus(writers)
+      .filter(st => st.isFile && st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false): Unit)
     val h = horizon(fs, table)
     if (h < 0 || !read(fs, table, h).exists(_.carriesPending)) return 0
     val fl = floor(fs, table)
-    val cutoff = System.currentTimeMillis() - retentionMs
     var seq = earliestSeq(fs, table)
     var dropped = 0
     var stop = false
