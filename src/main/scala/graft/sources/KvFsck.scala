@@ -73,6 +73,21 @@ object KvFsck {
       adopted: Seq[String],
       droppedSnapshots: Seq[String])
 
+  /** The reference sets both [[check]] and [[repair]] bucket files with —
+    * gathered once per call: manifest live set, pending removals,
+    * snapshot-pinned names, and the on-disk data files.
+    */
+  private case class TableSets(live: Set[String], removals: Set[String],
+      snapRefs: Set[String], onDisk: Set[String])
+
+  private def tableSets(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): TableSets = TableSets(
+    live = KvLog.liveFiles(fs, dir).toSet,
+    removals = KvLog.removalTimes(fs, dir).keySet,
+    snapRefs = KvSnapshot.referencedFiles(fs, dir),
+    onDisk = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet)
+
   /** EXPLICIT repair of the states [[check]] flags — the hbck2 model:
     * every action must be opted into by name, because each one encodes an
     * operator judgment the engine cannot make ("that data is gone, accept
@@ -103,11 +118,7 @@ object KvFsck {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(dir) && KvLog.exists(fs, dir),
       s"graft-kv repair: $path is not a manifest-logged table")
-    val live = KvLog.liveFiles(fs, dir).toSet
-    val removals = KvLog.removalTimes(fs, dir).keySet
-    val snapRefs = KvSnapshot.referencedFiles(fs, dir)
-    val onDisk = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    val TableSets(live, removals, snapRefs, onDisk) = tableSets(fs, dir)
     val forgotten =
       if (!forgetMissing) Nil
       else {
@@ -139,14 +150,10 @@ object KvFsck {
     require(KvLog.exists(fs, dir),
       s"graft-kv fsck: $path has no manifest log — consistency is undefined " +
         "for legacy/externally-staged directories (every file is 'live')")
-    val live = KvLog.liveFiles(fs, dir).toSet
+    val TableSets(live, removals, snapRefs, onDisk) = tableSets(fs, dir)
     val stats = KvLog.liveFileStats(fs, dir)
-    val removals = KvLog.removalTimes(fs, dir).keySet
-    val snapRefs = KvSnapshot.referencedFiles(fs, dir)
-    val listing = fs.listStatus(dir)
-    val onDisk = listing.map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
-    val scratch = listing.filter(_.isDirectory).map(_.getPath.getName)
+    val scratch = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName)
       .count(n => n.startsWith("_tmp_") || n.startsWith("_compact_"))
     Report(
       liveFiles = live.size,

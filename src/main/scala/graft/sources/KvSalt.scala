@@ -1,9 +1,10 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-import org.apache.spark.sql.functions.{col, concat, format_string, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, concat, expr, format_string, hash, lit, pmod}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -105,10 +106,10 @@ object KvSalt {
     * (The recorded file is immutable once written — [[register]] never
     * overwrites — so there is no torn-overwrite window to tolerate.)
     */
-  def bucketsOf(fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(table, KvLog.LogDirName), PropName)
+  def bucketsOf(fs: FileSystem,
+      table: Path): Option[Int] = {
+    val p = new Path(
+      new Path(table, KvLog.LogDirName), PropName)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -134,8 +135,8 @@ object KvSalt {
     * guard. First registration stages + renames (no in-place overwrite a
     * reader could tear).
     */
-  def register(fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path, n: Int): Unit = {
+  def register(fs: FileSystem,
+      table: Path, n: Int): Unit = {
     requireBuckets(n)
     bucketsOf(fs, table) match {
       case Some(existing) if existing == n => () // already recorded
@@ -144,13 +145,13 @@ object KvSalt {
           s"buckets; refusing to re-register with $n (mixed-salt keys " +
           "would mis-route every read)")
       case None =>
-        val dir = new org.apache.hadoop.fs.Path(table, KvLog.LogDirName)
+        val dir = new Path(table, KvLog.LogDirName)
         fs.mkdirs(dir)
-        val tmp = new org.apache.hadoop.fs.Path(dir,
+        val tmp = new Path(dir,
           s".tmp-salt-${java.util.UUID.randomUUID().toString.take(8)}")
         val out = fs.create(tmp, false)
         try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, PropName))) {
+        if (!fs.rename(tmp, new Path(dir, PropName))) {
           fs.delete(tmp, false)
           // lost a registration race: verify the winner recorded the same n
           register(fs, table, n)
@@ -164,7 +165,7 @@ object KvSalt {
     */
   def saltedWrite(df: DataFrame, path: String, n: Int, regions: Int,
       mode: String = "append"): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     // Refuse a bucket-count mismatch BEFORE any row lands: an append with
     // the wrong n would physically mix two salt layouts. An overwrite may
@@ -183,7 +184,7 @@ object KvSalt {
     */
   def unsalted(df: DataFrame): DataFrame =
     df.withColumn("rowKey",
-      org.apache.spark.sql.functions.expr(s"substring(rowKey, ${Width + 1})"))
+      expr(s"substring(rowKey, ${Width + 1})"))
 
   /** Rewrite one pushed filter from LOGICAL to STORED key space. Exact —
     * stored keys are precisely `{stored(k) : k}`, each disjunct pins one
