@@ -216,7 +216,17 @@ object Cli {
       val table = a(0)
       val r = graft.sources.KvFsck.check(spark, s"${tableDir(table)}/cells")
       r.rows.foreach { case (k, v) => println(f"$k%-18s $v") }
-      println(if (r.healthy) s"$table: HEALTHY"
+      // `deep` additionally cross-verifies every live file's footer row
+      // count against its manifest stat (O(files) footer opens — the
+      // operator chooses when to pay; hbck -checkCorruptHFiles analog)
+      val deepOk = if (!a.lift(1).contains("deep")) true else {
+        val d = graft.sources.KvFsck.deepCheck(spark, s"${tableDir(table)}/cells")
+        println(f"deep_checked       ${d.checked}")
+        println(f"deep_row_mismatch  ${d.rowMismatches}")
+        println(f"deep_unreadable    ${d.unreadable}")
+        d.healthy
+      }
+      println(if (r.healthy && deepOk) s"$table: HEALTHY"
         else s"$table: INCONSISTENT (missing or corrupt references above)")
 
     // HBase remove_peer: drop a DEAD tail's registration so its mark
@@ -332,7 +342,7 @@ object Cli {
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)
       |  HistoryTable <table>                        (commit history from the manifest log)
-      |  CheckTable <table>                          (hbck: manifest vs filesystem consistency, read-only)
+      |  CheckTable <table> [deep]                   (hbck: manifest vs filesystem consistency; deep verifies footers)
       |  RepairTable <table> <action...>             (hbck2: forgetMissing | adoptOrphans | dropBrokenSnapshots)
       |  DropTail <table> <tailId>                   (remove_peer: stop a dead tail gating compaction)
       |  SnapshotTable <table> <name>                (pin the current state, zero data copied)

@@ -143,6 +143,42 @@ object KvFsck {
     RepairActions(forgotten, adopted, dropped)
   }
 
+  case class DeepReport(
+      checked: Long, rowMismatches: Long, unreadable: Long) {
+    def healthy: Boolean = rowMismatches == 0 && unreadable == 0
+  }
+
+  /** DEEP check — the level [[check]] deliberately avoids: open every
+    * live file's parquet FOOTER and cross-verify its row count against
+    * the manifest's writer-collected stat. A mismatch means the bytes on
+    * disk are not the bytes the commit sealed (truncated upload, bit rot,
+    * hand-edited file); an unreadable footer means outright corruption.
+    * O(live files) footer round-trips — the operator chooses when to pay
+    * that (HBase's `hbck -checkCorruptHFiles` split), and each footer is
+    * independent so a cluster could fan the probes out; stat-less legacy
+    * files are counted checked with nothing to compare against.
+    */
+  def deepCheck(spark: SparkSession, path: String): DeepReport = {
+    val dir = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    require(fs.exists(dir) && KvLog.exists(fs, dir),
+      s"graft-kv fsck: $path is not a manifest-logged table")
+    val stats = KvLog.liveFileStats(fs, dir)
+    val live = KvLog.liveFiles(fs, dir)
+    var mismatches = 0L
+    var unreadable = 0L
+    live.foreach { f =>
+      val footerRows =
+        try Some(KvFilters.fileRowCount(new Path(dir, f), conf))
+        catch { case _: Exception => unreadable += 1; None }
+      footerRows.foreach { rows =>
+        if (stats.get(f).exists(_.rows != rows)) mismatches += 1
+      }
+    }
+    DeepReport(live.size, mismatches, unreadable)
+  }
+
   def check(spark: SparkSession, path: String): Report = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())

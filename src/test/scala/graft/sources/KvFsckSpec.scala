@@ -135,6 +135,26 @@ class KvFsckSpec extends graft.SparkSpec {
     KvCompactor.compact(spark, d, regions = 2) shouldBe a[KvCompactor.Compacted]
   }
 
+  test("deep check cross-verifies footers: a truncated data file is flagged, a clean table is not") {
+    val d = stage("kv_fsck_deep")
+    KvFsck.deepCheck(spark, d) shouldBe KvFsck.DeepReport(4, 0, 0)
+    // corrupt one live file by truncating its bytes (a torn upload): the
+    // metadata-only check still passes — only the deep check can see it
+    val fs = fsOf(d)
+    val victim = new Path(d, KvLog.liveFiles(fs, new Path(d)).head)
+    val bytes = {
+      val in = fs.open(victim)
+      try { val b = new Array[Byte](100); in.readFully(b); b } finally in.close()
+    }
+    val out = fs.create(victim, true)
+    try out.write(bytes) finally out.close()
+    assert(KvFsck.check(spark, d).healthy, "metadata check cannot see byte rot")
+    val deep = KvFsck.deepCheck(spark, d)
+    deep.checked shouldBe 4
+    (deep.rowMismatches + deep.unreadable) shouldBe 1
+    assert(!deep.healthy)
+  }
+
   test("a legacy directory without a manifest is refused, not guessed at") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_fsck_legacy"
     graft.sinks.Sinks.deleteRecursive(spark, d)
