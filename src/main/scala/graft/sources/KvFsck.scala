@@ -191,7 +191,7 @@ object KvFsck {
     val scratch = fs.listStatus(dir).filter(_.isDirectory)
       .map(_.getPath.getName)
       .count(n => n.startsWith("_tmp_") || n.startsWith("_compact_"))
-    Report(
+    val report = Report(
       liveFiles = live.size,
       liveMissing = (live -- onDisk).size,
       statsCoverage = live.count(stats.contains),
@@ -205,5 +205,14 @@ object KvFsck {
       boundsInverted = stats.valuesIterator.count(s =>
         s.minKey.zip(s.maxKey).exists { case (lo, hi) => lo > hi }),
       tailMarks = KvLog.tailPositions(fs, dir).size)
+    // The accounting model as an executable identity: the four buckets
+    // PARTITION the on-disk set, so their sizes must tile it exactly. A
+    // failure here is a bug in fsck itself, never in the table.
+    val liveOnDisk = report.liveFiles - report.liveMissing
+    require(liveOnDisk + report.pendingRemovals + report.snapshotPinned +
+        report.orphans == onDisk.size,
+      s"graft-kv fsck: internal accounting error — buckets do not tile the " +
+        s"on-disk set ($report vs ${onDisk.size} files)")
+    report
   }
 }
