@@ -67,10 +67,21 @@ object KvVacuum {
     var dirs = 0
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("_compact_") &&
-          st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, true): Unit
-        dirs += 1
+      // Crash-leftover scratch dirs: a compaction's `_compact_*` and a
+      // batch/epoch writer's `_tmp_*` staging (its owner deletes it on
+      // commit AND abort, so an old one is orphaned). Age is judged by the
+      // NEWEST mtime inside, not the dir's own — a long-running write
+      // keeps its staging alive by writing to it, so only a writer
+      // silent longer than the whole grace window can be reclaimed
+      // (the same longest-running-operation rule the grace gives scans).
+      if (st.isDirectory &&
+          (n.startsWith("_compact_") || n.startsWith("_tmp_"))) {
+        val newest = (st.getModificationTime +:
+          fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+        if (newest < cutoff) {
+          fs.delete(st.getPath, true): Unit
+          dirs += 1
+        }
       } else if (st.isFile && n.startsWith("part-") && n.endsWith(".parquet")
           && !live.contains(n) && !pinned.contains(n)
           // Grace from the un-reference instant: the removing entry's

@@ -55,6 +55,29 @@ class KvVacuumSpec extends graft.SparkSpec {
     spark.read.format("graft-kv").load(d).count() shouldBe n
   }
 
+  test("a crashed writer's _tmp_ staging is reclaimed; one still being written to survives") {
+    val d = pileUp("kv_vac_tmp")
+    val fs = fsOf(d)
+    // dead staging: a batch writer hard-killed mid-write (owner cleans up
+    // on both commit and abort, so an old _tmp_ dir is orphaned)
+    fs.mkdirs(new Path(d, "_tmp_deadbeef"))
+    val f = fs.create(new Path(d, "_tmp_deadbeef/part-r-00000-1.parquet"))
+    f.write(Array[Byte](1, 2, 3)); f.close()
+    age(d, "_tmp_deadbeef"); age(d, "_tmp_deadbeef/part-r-00000-1.parquet")
+    // live staging: the DIR is old but a file inside is fresh — a write
+    // that has been running longer than the grace must not lose its files
+    fs.mkdirs(new Path(d, "_tmp_alive001"))
+    age(d, "_tmp_alive001")
+    val g = fs.create(new Path(d, "_tmp_alive001/part-r-00000-2.parquet"))
+    g.write(Array[Byte](1)); g.close()
+    KvVacuum.vacuum(spark, d, graceMs = 60 * 1000) match {
+      case KvVacuum.Vacuumed(_, _, dirs) => dirs shouldBe 1
+      case r => fail(s"expected Vacuumed, got $r")
+    }
+    fs.exists(new Path(d, "_tmp_deadbeef")) shouldBe false
+    fs.exists(new Path(d, "_tmp_alive001/part-r-00000-2.parquet")) shouldBe true
+  }
+
   test("the grace period shields young files: a just-renamed commit in flight is never deleted") {
     val d = pileUp("kv_vac_grace")
     val fs = fsOf(d)
