@@ -774,6 +774,22 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
 
   override def toBatch: Batch = this
 
+  /** Pruning OBSERVABILITY (DSv2 custom metrics): how many region files
+    * the manifest held vs how many this scan actually planned — the
+    * number a 100-TB operator reads to see whether their predicate shape
+    * prunes (`regions=12/4096` as a queryable metric, not just a plan
+    * string). Driver-side values, reported once per scan execution.
+    */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(KvScanMetric("candidateRegions", "region files in the manifest"),
+      KvScanMetric("plannedRegions", "region files planned after pruning"))
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(KvScanTaskMetric("candidateRegions", totalFiles.toLong),
+      KvScanTaskMetric("plannedRegions", plannedFiles.size.toLong))
+
   /** The same scan as a micro-batch tail ([[KvTailStream]]): pushdown and
     * pruning carry over; only the partition-planning axis changes (WAL
     * segments per offset range instead of the whole table).
@@ -808,6 +824,19 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   * inside (the parquet file-range contract). The defaults cover the whole
   * file.
   */
+/** Sum-aggregated scan metric (driver-reported, so the "sum" is one value). */
+private[sources] case class KvScanMetric(metricName: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+}
+
+private[sources] case class KvScanTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 private[sources] case class KvFilePartition(file: String,
     rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
     extends InputPartition {

@@ -391,6 +391,20 @@ class KvSourceSpec extends SparkSpec {
       .getMessage should include("manifest log")
   }
 
+  test("pruning is observable as scan metrics: plannedRegions < candidateRegions on a ranged scan") {
+    val ranged = v2.filter(col("rowKey") >= "00100" && col("rowKey") < "00200")
+    ranged.collect()
+    val scanExec = ranged.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in the plan"))
+    val m = scanExec.metrics
+    m("candidateRegions").value shouldBe 8
+    assert(m("plannedRegions").value < 8,
+      s"expected pruning visible in metrics, got ${m("plannedRegions").value}")
+    m("plannedRegions").value shouldBe ranged.rdd.getNumPartitions.toLong
+  }
+
   test("sink codec option lands in the region files; zstd roundtrips and shrinks") {
     val base = s"${sys.props("java.io.tmpdir")}/graft_test/kv_codec"
     val cells = KvGenerator.cells(spark, 3000, 4, "runC")
