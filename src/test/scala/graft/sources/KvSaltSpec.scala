@@ -153,6 +153,19 @@ class KvSaltSpec extends graft.SparkSpec {
       spark.read.format("graft-kv").option("saltBuckets", 8).load(d).count()
   }
 
+  test("salt composes with intra-region splitting: stripped keys, exact rows, extra partitions") {
+    val split = spark.read.format("graft-kv")
+      .option("saltBuckets", Buckets)
+      .option("splitRegionBytes", 8 * 1024).load(saltDir)
+    rows(split) shouldBe rows(plain)
+    assert(split.rdd.getNumPartitions >
+      spark.read.format("graft-kv").option("saltBuckets", Buckets)
+        .load(saltDir).rdd.getNumPartitions,
+      "expected byte-range splitting to add partitions")
+    rows(split.filter(col("rowKey") >= "00100" && col("rowKey") < "00300")) shouldBe
+      rows(plain.filter(col("rowKey") >= "00100" && col("rowKey") < "00300"))
+  }
+
   test("lifecycle machinery is salt-agnostic: compaction preserves the salted table") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_compact"
     graft.sinks.Sinks.deleteRecursive(spark, d)
