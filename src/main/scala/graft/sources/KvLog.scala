@@ -392,13 +392,16 @@ private[graft] object KvLog {
     val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID().toString.take(8)}")
     writeText(fs, tmp, body)
     // Concurrent-commit detection is two layers: the explicit existence
-    // check catches the common race on ANY filesystem (POSIX rename onto an
-    // existing path succeeds by replacement, so the rename result alone is
-    // only a detector under HDFS no-overwrite semantics); the rename-result
-    // check is the atomic backstop where the store provides it. The loser's
-    // tmp file is cleaned up here — a retrying caller re-enters with a
-    // fresh allocation and must not accrete orphans in the log dir.
-    if (fs.exists(entryPath(table, seq)) || !fs.rename(tmp, entryPath(table, seq))) {
+    // check catches the common race cheaply; [[atomicPublish]] is the
+    // atomic backstop — no-overwrite rename where the store provides it
+    // (HDFS), an atomic hard-link CREATE on local/NFS-style stores whose
+    // rename silently REPLACES (two racing committers there would both
+    // "succeed" and one entry — with its data files — would be silently
+    // erased). The loser's tmp file is cleaned up here — a retrying
+    // caller re-enters with a fresh allocation and must not accrete
+    // orphans in the log dir.
+    if (fs.exists(entryPath(table, seq)) ||
+        !atomicPublish(fs, tmp, entryPath(table, seq))) {
       fs.delete(tmp, false): Unit
       throw new ConcurrentCommitException(
         s"graft-kv log: concurrent commit detected at seq $seq of $table")
@@ -411,6 +414,31 @@ private[graft] object KvLog {
     }
     seq
   }
+
+  /** Publish `tmp` at `target` with NO-OVERWRITE atomicity, returning
+    * false when the target already exists (a lost race). HDFS rename is
+    * already atomic-no-overwrite; POSIX-semantics stores (local, NFS)
+    * REPLACE on rename, so there the publish is an atomic hard-link
+    * create — `link(2)` fails with EEXIST exactly when a racer won. The
+    * checksum sidecar does not follow the link; local reads tolerate a
+    * missing .crc. Object stores without either primitive keep the
+    * exists-check + rename pair as best effort (the same residual Delta
+    * accepts without a LogStore lock).
+    */
+  private[sources] def atomicPublish(fs: FileSystem, tmp: Path, target: Path)
+      : Boolean =
+    if (Option(fs.getUri.getScheme).contains("file")) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false): Unit
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => fs.rename(tmp, target)
+      }
+    } else fs.rename(tmp, target)
 
   /** Drop the whole log (table truncate) — tail registrations included:
     * a truncated table is a new history, so old progress marks are void.
@@ -593,6 +621,16 @@ private[graft] object KvLog {
     replayLive(fs, table, math.max(horizon(fs, table), 0L),
       latestSeq(fs, table)).collect { case (n, (_, Some(s))) => n -> s }.toMap
 
+  /** Live (name, stat) pairs in one replay — for consumers that need both
+    * names and stats ([[KvSnapshot.create]]) without paying the log walk
+    * twice.
+    */
+  def liveFilesWithStats(fs: FileSystem, table: Path)
+      : Seq[(String, Option[FileStat])] =
+    replayLive(fs, table, math.max(horizon(fs, table), 0L),
+      latestSeq(fs, table)).toSeq.map { case (n, (_, st)) => (n, st) }
+      .sortBy(_._1)
+
   /** Replay entries `[from, to]` into the live (name → (attribution,
     * stats)) map — the shared engine under every live-set read.
     */
@@ -633,19 +671,33 @@ private[graft] object KvLog {
     val latest = latestSeq(fs, table)
     require(asOf >= 0 && asOf <= latest,
       s"graft-kv log: asOfSeq $asOf is outside $table's log (latest $latest)")
-    // Versions at/after the horizon replay FROM the checkpoint (its adds
-    // are the complete live set) — O(asOf - horizon) probes, and immune
-    // to pre-floor entry truncation. Older versions need the full prefix;
-    // a truncated entry there means the version is genuinely gone.
+    // Versions at/after the horizon replay FROM that checkpoint (its adds
+    // are the complete live set). Older versions anchor at the NEWEST
+    // RETAINED checkpoint at or below `asOf` — any compact entry is a
+    // complete live set, not just the current horizon's, so a version
+    // between two checkpoints stays reconstructible after truncation
+    // dropped the prefix below the older one (an O(asOf − anchor)
+    // backward probe on this audit path). Only when no retained
+    // checkpoint covers the span AND the prefix was truncated is the
+    // version genuinely gone.
     val h = horizon(fs, table)
-    val from = if (h >= 0 && asOf >= h) h else 0L
-    val live = replayLive(fs, table, from, asOf)
     val firstKept = earliestSeq(fs, table)
+    val from =
+      if (h >= 0 && asOf >= h) h
+      else {
+        var s = asOf
+        var anchor = -1L
+        while (anchor < 0 && s >= firstKept)
+          if (read(fs, table, s).exists(_.compact)) anchor = s else s -= 1
+        if (anchor >= 0) anchor else 0L
+      }
+    val live = replayLive(fs, table, from, asOf)
     if (from < firstKept) throw new IllegalStateException(
       s"graft-kv log: version $asOf of $table is no longer reconstructible — " +
-        s"entries below seq $firstKept were truncated by log retention " +
-        "(pre-floor versions survive truncation only as long as their " +
-        "entries do; re-baseline from the checkpoint or a full scan)")
+        s"entries below seq $firstKept were truncated by log retention and " +
+        "no retained checkpoint covers this version (pre-floor versions " +
+        "survive truncation only as long as their entries or a covering " +
+        "checkpoint do; re-baseline from the checkpoint or a full scan)")
     val fl = floor(fs, table)
     val merged = live.filter(_._2._1 < fl).keys.toSeq.sorted
     val reclaimed = merged.filterNot(n => fs.exists(new Path(table, n)))
@@ -726,7 +778,16 @@ private[graft] object KvLog {
         s"graft-kv: sinceSeq incremental reads require a manifest log, and " +
           s"$table has none (legacy/externally-staged directory)")
       val upTo = asOf.getOrElse(latestSeq(fs, table))
-      changedFiles(fs, table, s, upTo) // span validation (bounds + floor)
+      // Same bounds + floor validation as changedFiles, WITHOUT replaying
+      // the span twice (each entry read is an object-store round-trip; a
+      // 1000-entry CDC span would otherwise pay ~2000 of them).
+      require(s >= -1 && s <= upTo,
+        s"graft-kv log: change span ($s, $upTo] is outside $table's log")
+      val fl = floor(fs, table)
+      if (s + 1 < fl) throw new IllegalStateException(
+        s"graft-kv log: changes since seq $s of $table are no longer " +
+          s"reconstructible — entries below the compaction floor $fl were " +
+          "merged away. Re-baseline from a full scan (or an asOfSeq read).")
       (s + 1 to upTo).flatMap { seq =>
         read(fs, table, seq).toSeq.flatMap(e =>
           if (e.compact) Nil
@@ -776,7 +837,7 @@ private[graft] object KvLog {
       case _: java.io.IOException => None
     }
 
-  private def readText(fs: FileSystem, p: Path): String = {
+  private[sources] def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -787,7 +848,7 @@ private[graft] object KvLog {
     } finally in.close()
   }
 
-  private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
+  private[sources] def writeText(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }

@@ -151,10 +151,12 @@ object KvSalt {
           s".tmp-salt-${java.util.UUID.randomUUID().toString.take(8)}")
         val out = fs.create(tmp, false)
         try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-        if (!fs.rename(tmp, new Path(dir, PropName))) {
+        // Atomic no-overwrite publish (KvLog.atomicPublish): two racing
+        // first registrations with DIFFERENT n must not silently replace
+        // each other — the loser re-enters and hits the mismatch refusal.
+        if (!KvLog.atomicPublish(fs, tmp, new Path(dir, PropName))) {
           fs.delete(tmp, false)
-          // lost a registration race: verify the winner recorded the same n
-          register(fs, table, n)
+          register(fs, table, n) // lost the race: verify the winner's n
         }
     }
   }

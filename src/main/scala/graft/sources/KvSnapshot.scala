@@ -73,17 +73,19 @@ object KvSnapshot {
       s"graft-kv snapshot: '$name' already exists on $path (drop it first)")
     val seq = KvLog.latestSeq(fs, dir)
     require(seq >= 0, s"graft-kv snapshot: $path is empty — nothing to pin")
-    val stats = KvLog.liveFileStats(fs, dir)
-    val files = KvLog.liveFiles(fs, dir).map(n => n -> stats.get(n))
+    val files = KvLog.liveFilesWithStats(fs, dir)
     val now = System.currentTimeMillis()
     val body = (s"v1 snapshot seq=$seq at=$now" +:
       files.map { case (n, st) => "+" + n + st.fold("")(KvLog.statSuffix) })
       .mkString("", "\n", "\n")
-    // temp-write + rename publish, same atomicity story as log entries
+    // temp-write + atomic no-overwrite publish, the same primitive log
+    // entries use (KvLog.atomicPublish) — on POSIX-rename stores a plain
+    // rename would let two racing creates both "succeed" with one
+    // manifest silently replaced, leaving the loser holding an Info whose
+    // pins the stored snapshot does not protect.
     val tmp = new Path(snapDir(dir), s".tmp-${UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!fs.rename(tmp, snapPath(dir, name))) {
+    KvLog.writeText(fs, tmp, body)
+    if (!KvLog.atomicPublish(fs, tmp, snapPath(dir, name))) {
       fs.delete(tmp, false): Unit
       throw new IllegalStateException(
         s"graft-kv snapshot: concurrent create of '$name' on $path")
@@ -95,16 +97,9 @@ object KvSnapshot {
   def get(fs: FileSystem, table: Path, name: String): Option[Info] = {
     requireValidName(name)
     val p = snapPath(table, name)
-    val text = try {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val b = new Array[Byte](8192)
-        var n = in.read(b)
-        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
-        Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
-      } finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
+    val text =
+      try Some(KvLog.readText(fs, p))
+      catch { case _: java.io.FileNotFoundException => None }
     text.map { t =>
       val lines = t.split("\n").toSeq.filter(_.nonEmpty)
       val header = lines.head.split(" ")
@@ -213,6 +208,18 @@ object KvSnapshot {
       s"graft-kv snapshot: '$name' references ${missing.length} missing " +
         s"file(s) (${missing.take(3).mkString(", ")}…) — was it created " +
         "before a manual delete, or copied from another table?")
+    // The disable-table contract HBase's restore_snapshot enforces: a
+    // restore REWRITES HISTORY (floor jumps to its own seq), so any
+    // registered tail's position becomes unreplayable and — worse — the
+    // removed segments become vacuum-eligible despite the registration
+    // that is documented to gate reclamation. Refuse loudly; the operator
+    // drops dead tails (DropTail) or stops live pipes first.
+    val marks = KvLog.tailPositions(fs, dir)
+    require(marks.isEmpty,
+      s"graft-kv snapshot: cannot restore '$name' on $path while tails are " +
+        s"registered (${marks.keys.toSeq.sorted.mkString(", ")}) — a restore " +
+        "rewrites history past their positions; stop the pipes or DropTail " +
+        "first (the disable-table contract of restore_snapshot)")
     val snapNames = info.files.map(_._1)
     val snapSet = snapNames.toSet
     val entryStats = info.files.collect { case (n, Some(st)) => n -> st }.toMap

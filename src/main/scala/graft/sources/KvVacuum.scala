@@ -53,35 +53,52 @@ object KvVacuum {
     if (!KvLog.exists(fs, dir)) return Skipped(
       s"$path has no manifest log: unreferenced files are undefined on a " +
         "legacy directory (every part-* file there IS the table)")
-    val live = KvLog.liveFiles(fs, dir).toSet
     val removedAt = KvLog.removalTimes(fs, dir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    // CANDIDATES first, reference checks LAST: the slow part of a pass is
+    // the removal-attribution replay above, and the hazard window is the
+    // time between reading the reference sets and deleting — a concurrent
+    // RESTORE can re-publish a long-removed file as live, and a fresh
+    // snapshot can pin one. Reading live/pinned immediately before the
+    // delete loop shrinks that window from the whole replay to the loop
+    // itself (closing it fully needs a lock service no plain FileSystem
+    // offers — the same residual Delta accepts on non-locking stores).
+    val listing = fs.listStatus(dir)
+    val live = KvLog.liveFiles(fs, dir).toSet
     // Files any NAMED SNAPSHOT references are permanently off-limits (the
     // HBase archive contract, [[KvSnapshot]]): a snapshot read plans from
     // its own manifest, so reclaiming a referenced file would silently
     // break it long after any grace period. One `_snapshots` listing +
     // one small read per snapshot, GC path only.
     val pinned = KvSnapshot.referencedFiles(fs, dir)
-    val cutoff = System.currentTimeMillis() - graceMs
     var files = 0
     var bytes = 0L
     var dirs = 0
-    fs.listStatus(dir).foreach { st =>
+    listing.foreach { st =>
       val n = st.getPath.getName
       // Crash-leftover scratch dirs: a compaction's `_compact_*` and a
       // batch/epoch writer's `_tmp_*` staging (its owner deletes it on
-      // commit AND abort, so an old one is orphaned). Age is judged by the
-      // NEWEST mtime inside, not the dir's own — a long-running write
-      // keeps its staging alive by writing to it, so only a writer
-      // silent longer than the whole grace window can be reclaimed
-      // (the same longest-running-operation rule the grace gives scans).
+      // commit AND abort, so an old one is orphaned). Age is judged by
+      // the NEWEST mtime found RECURSIVELY inside (compaction's scratch
+      // nests the sink's own `_tmp_*` staging a level down) — a
+      // long-running write keeps its staging alive by creating files in
+      // it, so only a writer silent for the whole grace window can be
+      // reclaimed. Caveat inherited from filesystem semantics: stores
+      // that only set a file's mtime on CLOSE show no progress while one
+      // huge file streams — the default 24h grace is the margin. The
+      // owner may also delete its dir mid-scan (commit/abort) — that is
+      // the dir cleaning itself up, not an error.
       if (st.isDirectory &&
           (n.startsWith("_compact_") || n.startsWith("_tmp_"))) {
-        val newest = (st.getModificationTime +:
-          fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
-        if (newest < cutoff) {
-          fs.delete(st.getPath, true): Unit
-          dirs += 1
-        }
+        try {
+          val it = fs.listFiles(st.getPath, true)
+          var newest = st.getModificationTime
+          while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+          if (newest < cutoff) {
+            fs.delete(st.getPath, true): Unit
+            dirs += 1
+          }
+        } catch { case _: java.io.FileNotFoundException => () }
       } else if (st.isFile && n.startsWith("part-") && n.endsWith(".parquet")
           && !live.contains(n) && !pinned.contains(n)
           // Grace from the un-reference instant: the removing entry's

@@ -143,4 +143,33 @@ class KvLogTruncationSpec extends graft.SparkSpec {
     r.compaction shouldBe a[KvCompactor.Compacted]
     spark.read.format("graft-kv").load(d).count() shouldBe n + 50
   }
+
+  test("a version BETWEEN two checkpoints stays readable after the older prefix truncates") {
+    // commits 0-2, checkpoint 3, commits 4-5, checkpoint 6; truncating the
+    // pre-checkpoint prefix (0-2) must NOT take versions 3-5 with it —
+    // entry 3 is a complete live set, so asOfSeq=4 anchors there
+    val d = pileUp("kv_trunc_mid", commits = 3)
+    val fs = fsOf(d)
+    val table = new Path(d)
+    KvCompactor.compact(spark, d, regions = 2) // seq 3, checkpoint
+    val atV4 = cells.limit(40)
+    atV4.write.format("graft-kv").option("regions", 2).mode("append").save(d) // 4
+    val countAtV4 = spark.read.format("graft-kv")
+      .option("asOfSeq", 4).load(d).count()
+    cells.limit(10).write.format("graft-kv").option("regions", 2)
+      .mode("append").save(d) // 5
+    KvCompactor.compact(spark, d, regions = 2) // seq 6, new horizon
+    (0L to 2L).foreach(KvLog.backdateEntry(fs, table, _, 1000L))
+    // 60s retention: the backdated prefix (mtime 1000) expires, the
+    // just-written mid-span entries 3-5 do not
+    KvLog.truncate(fs, table, retentionMs = 60 * 1000) shouldBe 3
+    KvLog.earliestSeq(fs, table) shouldBe 3
+    // the mid-span version anchors at the RETAINED checkpoint 3
+    spark.read.format("graft-kv").option("asOfSeq", 4)
+      .load(d).count() shouldBe countAtV4
+    // a version below every retained checkpoint still fails loudly
+    intercept[Exception] {
+      spark.read.format("graft-kv").option("asOfSeq", 1).load(d).count()
+    }.getMessage should include("truncated by log retention")
+  }
 }
