@@ -782,8 +782,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     */
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(KvScanMetric("candidateRegions", "region files in the manifest"),
-      KvScanMetric("plannedRegions", "region files planned after pruning"))
+    Array(new KvCandidateRegionsMetric, new KvPlannedRegionsMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -824,11 +823,21 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   * inside (the parquet file-range contract). The defaults cover the whole
   * file.
   */
-/** Sum-aggregated scan metric (driver-reported, so the "sum" is one value). */
-private[sources] case class KvScanMetric(metricName: String, desc: String)
+/** Sum-aggregated scan metrics (driver-reported, so the "sum" is one
+  * value). One concrete zero-arg class per metric: Spark's status
+  * listener re-instantiates CustomMetric classes REFLECTIVELY by name, so
+  * a parameterized class breaks metric aggregation at runtime.
+  */
+private[sources] class KvCandidateRegionsMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = metricName
-  override def description(): String = desc
+  override def name(): String = "candidateRegions"
+  override def description(): String = "region files in the manifest"
+}
+
+private[sources] class KvPlannedRegionsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "plannedRegions"
+  override def description(): String = "region files planned after pruning"
 }
 
 private[sources] case class KvScanTaskMetric(metricName: String, v: Long)

@@ -457,8 +457,16 @@ private[graft] object KvLog {
     */
   def seedFromDirIfNeeded(fs: FileSystem, table: Path): Boolean = {
     if (exists(fs, table) || !fs.exists(table)) return false
+    // Seed only FOREIGN files (plain spark writes, external staging): a
+    // SINK-named file (part-b/e/c prefixes) is manifest-tracked by the
+    // commit that sealed it — on a brand-new table two concurrent first
+    // committers otherwise race, one seeing the other's just-renamed but
+    // not-yet-logged files and "seeding" them as legacy (an extra entry
+    // whose adds duplicate the real commit's).
+    val sinkNamed = "part-[bec]\\d{10}-.*".r
     val preexisting = fs.listStatus(table).map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .filterNot(sinkNamed.matches(_))
       .sorted.toSeq
     if (preexisting.isEmpty) false
     else {
