@@ -201,6 +201,10 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     // First logged commit into a legacy directory: snapshot pre-existing
     // segments into the manifest before this commit's entry (KvLog doc).
     KvLog.seedFromDirIfNeeded(fs, dir)
+    // The log dir must exist BEFORE any data rename so a racing first
+    // committer can never mistake this epoch's files for a log-less
+    // migration (KvLog.ensureLogDir doc).
+    KvLog.ensureLogDir(fs, dir)
     // Incomplete-commit hygiene: a crash between renames and the log append
     // leaves this epoch's targets on disk with no manifest entry — clear
     // every target this epoch could have written before renaming. The
@@ -310,6 +314,8 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // into the log FIRST, or this entry would become the whole visible
     // table and silently hide them (KvLog.seedFromDirIfNeeded doc).
     if (!truncate) KvLog.seedFromDirIfNeeded(fs, dir)
+    // Log dir before data renames — see the streaming commit's note.
+    KvLog.ensureLogDir(fs, dir)
     // Sealed names carry the current seq as a human-orderable label plus
     // this commit's WRITER-UNIQUE token (the staging dir's uuid): names can
     // never collide across concurrent committers, so losing the log-append

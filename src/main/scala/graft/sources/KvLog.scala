@@ -436,7 +436,15 @@ private[graft] object KvLog {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        // EVERY other link(2) failure degrades to rename, not just the
+        // no-links UnsupportedOperationException: file:// mounts can
+        // refuse links with EPERM/EXDEV (FileSystemException subclasses)
+        // and hard-link-hostile stores surface plain IOExceptions —
+        // without the fallback every commit on such a store throws the
+        // raw NIO error and the table is bricked for writes. The fallback
+        // rename is the same best-effort the non-file scheme always uses.
         case _: UnsupportedOperationException => fs.rename(tmp, target)
+        case _: java.io.IOException => fs.rename(tmp, target)
       }
     } else fs.rename(tmp, target)
 
@@ -455,26 +463,57 @@ private[graft] object KvLog {
     * compaction entry's adds are by contract the complete live set, which
     * is exactly what a directory snapshot is). Returns true when it seeded.
     */
+  /** Create the (possibly empty) `_log` dir — the commit paths call this
+    * BEFORE renaming any data file into the table, so a sink-named file
+    * can never exist in a log-less directory unless the directory was
+    * copied without its `_log` (the migration shape
+    * [[seedFromDirIfNeeded]] refuses loudly). An empty log dir replays as
+    * an empty table, which is exactly what a commit-in-progress is.
+    */
+  def ensureLogDir(fs: FileSystem, table: Path): Unit =
+    fs.mkdirs(logDir(table)): Unit
+
   def seedFromDirIfNeeded(fs: FileSystem, table: Path): Boolean = {
     if (exists(fs, table) || !fs.exists(table)) return false
-    // Seed only FOREIGN files (plain spark writes, external staging): a
-    // SINK-named file (part-b/e/c prefixes) is manifest-tracked by the
-    // commit that sealed it — on a brand-new table two concurrent first
-    // committers otherwise race, one seeing the other's just-renamed but
-    // not-yet-logged files and "seeding" them as legacy (an extra entry
-    // whose adds duplicate the real commit's).
+    // Seed only FOREIGN files (plain spark writes, external staging). A
+    // SINK-named file (part-b/e/c prefixes) in a LOG-LESS directory is a
+    // data-only migration — the table was copied without its `_log` — and
+    // silently excluding it from the seed would orphan it: invisible to
+    // every scan and vacuum-eligible after grace, with no error. Refuse
+    // loudly instead; the operator adopts via fsck or re-stages. (This
+    // cannot be a concurrent first commit's just-renamed files: every
+    // commit path creates the log dir via [[ensureLogDir]] BEFORE its
+    // renames, so a racing committer's files always coexist with `_log`
+    // and this method already returned false above.)
     val sinkNamed = "part-[bec]\\d{10}-.*".r
-    val preexisting = fs.listStatus(table).map(_.getPath.getName)
+    val all = fs.listStatus(table).map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .filterNot(sinkNamed.matches(_))
       .sorted.toSeq
+    val (sinkFiles, preexisting) = all.partition(sinkNamed.matches(_))
+    if (sinkFiles.nonEmpty) throw new IllegalStateException(
+      s"graft-kv log: $table has no manifest log but holds " +
+        s"${sinkFiles.length} sink-named data file(s) " +
+        s"(${sinkFiles.take(3).mkString(", ")}…) — a table directory " +
+        "copied without its _log dir. Refusing to seed implicitly (the " +
+        "files' commit attribution is lost); run KvFsck.repair with " +
+        "adoptOrphans=true after seeding an empty log, or re-stage the " +
+        "data through a fresh graft-kv write.")
     if (preexisting.isEmpty) false
     else {
       // The seed is a compact entry with an (empty) pending set, so a
-      // migrated table is checkpoint-anchored from its first entry.
-      append(fs, table, adds = preexisting, compact = true,
-        carriedRemovals = Some(Map.empty))
-      true
+      // migrated table is checkpoint-anchored from its first entry. Two
+      // concurrent seeders race benignly: both enumerate the same
+      // directory, the loser's append throws and finds the winner's
+      // identical seed already published.
+      try {
+        append(fs, table, adds = preexisting, compact = true,
+          carriedRemovals = Some(Map.empty))
+        true
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (latestSeq(fs, table) >= 0) false // another seeder won
+          else throw e
+      }
     }
   }
 
@@ -785,12 +824,17 @@ private[graft] object KvLog {
       if (!exists(fs, table)) throw new IllegalArgumentException(
         s"graft-kv: sinceSeq incremental reads require a manifest log, and " +
           s"$table has none (legacy/externally-staged directory)")
-      val upTo = asOf.getOrElse(latestSeq(fs, table))
+      val latest = latestSeq(fs, table)
+      val upTo = asOf.getOrElse(latest)
       // Same bounds + floor validation as changedFiles, WITHOUT replaying
       // the span twice (each entry read is an object-store round-trip; a
-      // 1000-entry CDC span would otherwise pay ~2000 of them).
-      require(s >= -1 && s <= upTo,
-        s"graft-kv log: change span ($s, $upTo] is outside $table's log")
+      // 1000-entry CDC span would otherwise pay ~2000 of them). The
+      // `upTo <= latest` bound matters: an asOfSeq beyond the log end is a
+      // stale/wrong version reference and must error, not silently return
+      // whatever entries happen to exist.
+      require(s >= -1 && s <= upTo && upTo <= latest,
+        s"graft-kv log: change span ($s, $upTo] is outside $table's log " +
+          s"(latest seq is $latest)")
       val fl = floor(fs, table)
       if (s + 1 < fl) throw new IllegalStateException(
         s"graft-kv log: changes since seq $s of $table are no longer " +

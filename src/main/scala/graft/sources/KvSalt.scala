@@ -169,16 +169,19 @@ object KvSalt {
       mode: String = "append"): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    // Refuse a bucket-count mismatch BEFORE any row lands: an append with
-    // the wrong n would physically mix two salt layouts. An overwrite may
-    // change n — truncate resets the property with the rest of the table.
-    if (mode != "overwrite") bucketsOf(fs, p).foreach(existing =>
-      require(existing == n,
-        s"graft-kv: $path is salted with $existing buckets, refusing a " +
-          s"$n-bucket append"))
+    // APPEND: register (reserve) the bucket count BEFORE the write — two
+    // concurrent first writers with different n would both pass a
+    // read-then-check (both see None) and durably commit mixed-salt rows
+    // before the loser's post-write register throws; reserving first makes
+    // the loser fail before any row lands (register's atomic no-overwrite
+    // publish adjudicates the race, and a mismatch against an existing
+    // record throws with the refusal message). OVERWRITE must register
+    // AFTER: the sink's truncate resets the log dir — property included —
+    // mid-write, so a pre-registration would be wiped.
+    if (mode != "overwrite") register(fs, p, n)
     salted(df, n).write.format("graft-kv").option("regions", regions)
       .mode(mode).save(path)
-    register(fs, p, n)
+    if (mode == "overwrite") register(fs, p, n)
   }
 
   /** Strip the salt prefix — the read-side inverse for code that consumes

@@ -170,6 +170,16 @@ object KvSnapshot {
         (!dfs.exists(dest) || dfs.listStatus(dest).isEmpty),
       s"graft-kv snapshot: clone destination $destPath is not empty")
     dfs.mkdirs(dest)
+    // The clone must inherit the source's TABLE PROPERTIES, not just its
+    // data: a salted table's files store salt-prefixed keys, and a clone
+    // without the recorded `_salt` would auto-detect nothing — plain reads
+    // would emit stored keys as logical rowKeys with unexpanded
+    // predicates, silently wrong results (the exact failure the recorded
+    // property exists to prevent). Registering also creates the log dir
+    // before any file lands, so the copy window never looks like a
+    // log-less migration to a concurrent committer.
+    KvLog.ensureLogDir(dfs, dest)
+    KvSalt.bucketsOf(fs, src).foreach(n => KvSalt.register(dfs, dest, n))
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val srcStr = src.toString
     val destStr = dest.toString

@@ -166,6 +166,47 @@ class KvSaltSpec extends graft.SparkSpec {
       rows(plain.filter(col("rowKey") >= "00100" && col("rowKey") < "00300"))
   }
 
+  test("saltedWrite append RESERVES the bucket count before any row lands") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_reserve"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    KvSalt.saltedWrite(cells, d, Buckets, regions = 2, mode = "append")
+    val n0 = spark.read.format("graft-kv").load(d).count()
+    // A mismatching append is refused by the RESERVATION — before a write:
+    // the table's row count and live file set must be untouched.
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val filesBefore = KvLog.liveFiles(fs, new Path(d))
+    an[Exception] should be thrownBy
+      KvSalt.saltedWrite(cells, d, Buckets / 2, regions = 2, mode = "append")
+    KvLog.liveFiles(fs, new Path(d)) shouldBe filesBefore
+    spark.read.format("graft-kv").load(d).count() shouldBe n0
+    // A fresh-table append registers even before data exists: the reserve
+    // makes a racing different-n writer fail before its rows land.
+    val d2 = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_reserve2"
+    graft.sinks.Sinks.deleteRecursive(spark, d2)
+    KvSalt.register(fs, new Path(d2), 4) // the "other writer" reserved 4
+    an[Exception] should be thrownBy
+      KvSalt.saltedWrite(cells, d2, Buckets, regions = 2, mode = "append")
+    assert(KvLog.liveFiles(fs, new Path(d2)).isEmpty,
+      "the refused writer must not have committed any file")
+  }
+
+  test("a clone of a salted snapshot inherits the salt property: plain reads stay correct") {
+    val src = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_clone_src"
+    val dst = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_clone_dst"
+    Seq(src, dst).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    KvSalt.saltedWrite(cells, src, Buckets, regions = 4, mode = "overwrite")
+    KvSnapshot.create(spark, src, "s1")
+    KvSnapshot.cloneTo(spark, src, "s1", dst)
+    val fs = new Path(dst).getFileSystem(spark.sessionState.newHadoopConf())
+    KvSalt.bucketsOf(fs, new Path(dst)) shouldBe Some(Buckets)
+    // A PLAIN read of the clone auto-detects: logical keys, predicates
+    // expanded — byte-identical to the plain table.
+    val clone = spark.read.format("graft-kv").load(dst)
+    rows(clone.filter(col("rowKey") === "00123")) shouldBe
+      rows(plain.filter(col("rowKey") === "00123"))
+    rows(clone) shouldBe rows(plain)
+  }
+
   test("lifecycle machinery is salt-agnostic: compaction preserves the salted table") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_compact"
     graft.sinks.Sinks.deleteRecursive(spark, d)
