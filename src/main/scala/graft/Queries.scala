@@ -705,6 +705,106 @@ object Queries {
        |        ORDER BY ts DESC, value) AS rn FROM f)
        |SELECT rowKey, qualifier, value, ts FROM m WHERE rn <= 2""".stripMargin
 
+  // ------------------------------------------------------- row deletes
+
+  /** The half-max event-id cutoff the as-of-ts delete uses — computed from
+    * the fixture so the same literal lands in the staged marker AND the
+    * oracle predicate.
+    */
+  private def deleteCutoff(spark: SparkSession, sfDir: String): Long =
+    KvTable.table(spark, sfDir, "events")
+      .agg(max(col("event_id"))).head().getLong(0) / 2
+
+  /** Stage three delete shapes against an events cell table
+    * ([[graft.sources.KvDelete]]): whole-row erasure (user_id%10==3,
+    * unbounded ts — the GDPR shape), an as-of-ts row delete at the
+    * half-max cutoff (%10==5 — later events survive), and a column delete
+    * of the 'view' qualifier (%10==4). Three small sorted marker commits;
+    * no data file is rewritten.
+    */
+  private def stageEventDeletes(spark: SparkSession, sfDir: String,
+      path: String): Unit = {
+    val users = KvTable.table(spark, sfDir, "events")
+      .select(col("user_id"),
+        lpad(col("user_id").cast(org.apache.spark.sql.types.StringType), 8, "0")
+          .as("rowKey"))
+      .distinct()
+    graft.sources.KvDelete.deleteRows(spark, path,
+      users.filter(pmod(col("user_id"), lit(10)) === 3).select("rowKey"))
+    graft.sources.KvDelete.deleteRows(spark, path,
+      users.filter(pmod(col("user_id"), lit(10)) === 5).select("rowKey"),
+      defaultTs = deleteCutoff(spark, sfDir))
+    graft.sources.KvDelete.deleteColumns(spark, path,
+      users.filter(pmod(col("user_id"), lit(10)) === 4)
+        .select(col("rowKey"), lit("f").as("family"), lit("view").as("qualifier")))
+  }
+
+  private def ensureDeletedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"deleted_cells|$sfDir", _ => {
+      val path = artifactPath("deleted_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      KvTable.eventsAsCells(spark, sfDir)
+        .write.format("graft-kv").option("regions", 4).mode("append").save(path)
+      stageEventDeletes(spark, sfDir, path)
+      path
+    })
+
+  /** READ-TIME delete masking, end to end: the scan of the tombstoned
+    * table must equal the oracle's declarative survivor set — rows erased,
+    * the as-of-ts delete cutting exactly the event_id <= cutoff half, the
+    * column delete scoped to its qualifier — with zero data rewritten
+    * (the markers are the only new bytes; BASELINE.md records the
+    * wholesale-rewrite alternative this replaces at 100 TB).
+    */
+  def kvDeleteMask(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-kv").load(ensureDeletedCells(spark, sfDir))
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+
+  /** The same deletes PHYSICALLY APPLIED: a major compaction rewrites the
+    * merged set with masked cells dropped and markers purged
+    * ([[graft.sources.KvCompactor]] + [[graft.sources.KvDelete.applyMarkers]]),
+    * so the identical oracle passing over the compacted table proves
+    * purge-at-rewrite changes bytes, never visible data. The staging
+    * additionally requires the manifest to record ZERO live tombstones
+    * after the pass — the masked read path is provably idle again.
+    */
+  def kvDeleteCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"deleted_compact|$sfDir", _ => {
+      val p = artifactPath("deleted_compact", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      KvTable.eventsAsCells(spark, sfDir)
+        .write.format("graft-kv").option("regions", 4).mode("append").save(p)
+      stageEventDeletes(spark, sfDir, p)
+      val res = graft.sources.KvCompactor.compact(spark, p, regions = 4)
+      require(res.isInstanceOf[graft.sources.KvCompactor.Compacted],
+        s"kv_delete_compact staging expected a compaction, got $res")
+      val dir = new org.apache.hadoop.fs.Path(p)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      require(graft.sources.KvLog.liveFileStats(fs, dir)
+        .values.forall(_.tombstones == 0L),
+        "kv_delete_compact: major compaction must purge every marker")
+      p
+    })
+    spark.read.format("graft-kv").load(path)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  /** One oracle serves both delete queries: the survivor set is a pure
+    * predicate over events, whatever the engine's masking mechanism.
+    */
+  private val kvDeleteMaskSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  event_type AS qualifier,
+      |  CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS value,
+      |  event_id AS ts
+      |FROM events
+      |WHERE user_id % 10 <> 3
+      |  AND NOT (user_id % 10 = 4 AND event_type = 'view')
+      |  AND NOT (user_id % 10 = 5 AND event_id <=
+      |    (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) FROM events))""".stripMargin
+
   /** CDC snapshot diff (ext of the export family): an older generator run
     * (1000 ids) vs a newer state where qualifier C3 was dropped (deletes),
     * 200 new ids appeared (inserts), and every C0 cell was rewritten
@@ -907,6 +1007,7 @@ object Queries {
     ensureVersionedCells(spark, sfDir): Unit
     ensureVacuumedCells(spark, sfDir): Unit
     ensureMaintainedCells(spark, sfDir): Unit
+    ensureDeletedCells(spark, sfDir): Unit
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -4065,6 +4166,8 @@ object Queries {
     "kv_point_lookup" -> (kvPointLookup _),
     "kv_snapshot_restore" -> (kvSnapshotRestore _),
     "kv_ttl_compact" -> (kvTtlCompact _),
+    "kv_delete_mask" -> (kvDeleteMask _),
+    "kv_delete_compact" -> (kvDeleteCompact _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_fsck" -> (kvFsck _),
@@ -4201,6 +4304,8 @@ object Queries {
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_snapshot_restore" -> kvGenCellsSql,
     "kv_ttl_compact" -> kvTtlCompactSql,
+    "kv_delete_mask" -> kvDeleteMaskSql,
+    "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
     "kv_fsck" -> kvFsckSql,

@@ -87,8 +87,13 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
           .map(_.toLong).getOrElse(128L * 1024 * 1024),
         vacuumGraceMs = Option(info.options.get("maintainGraceMs"))
           .map(_.toLong).getOrElse(24L * 3600 * 1000)))
+    // Reserved-qualifier admission ([[KvDelete]]): user writes must not
+    // smuggle delete markers; the delete API, compaction rewrites, and
+    // deliberate replication pipes set `allowTombstones=true`.
+    val allowTombstones =
+      Option(info.options.get("allowTombstones")).exists(_.toBoolean)
     new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf,
-      maintainPolicy, codec)
+      maintainPolicy, codec, allowTombstones)
   }
 }
 
@@ -96,7 +101,8 @@ private[sources] class KvWrite(
     path: String, schema: StructType, regions: Int, truncate: Boolean,
     queryId: String, conf: SerializableConfiguration,
     maintainPolicy: Option[KvMaintenance.Policy] = None,
-    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY,
+    allowTombstones: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   // The sink's contract: range distribution on rowKey across exactly
@@ -112,11 +118,13 @@ private[sources] class KvWrite(
 
   override def requiredNumPartitions(): Int = regions
 
-  override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate, conf, codec)
+  override def toBatch: BatchWrite =
+    new KvBatchWrite(path, schema, truncate, conf, codec, allowTombstones)
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy, codec)
+    new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy, codec,
+      allowTombstones)
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -140,14 +148,16 @@ private[sources] class KvWrite(
 private[sources] class KvStreamingWrite(path: String, schema: StructType,
     queryId: String, conf: SerializableConfiguration,
     maintainPolicy: Option[KvMaintenance.Policy] = None,
-    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY,
+    allowTombstones: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec)
+    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
+      allowTombstones)
 
   /** Stable per-QUERY name token: sealed names are deterministic per
     * (query, epoch, region), so exactly-once recovery (rename-over-same-
@@ -266,7 +276,8 @@ private[sources] case class KvEpochCommit(file: String, partition: Int,
 
 private[sources] case class KvStreamWriterFactory(
     stagingDir: String, fieldNames: Seq[String], conf: SerializableConfiguration,
-    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY,
+    allowTombstones: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   /** Attempts stage under task-unique names; the deterministic FINAL name is
@@ -275,7 +286,8 @@ private[sources] case class KvStreamWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
-      commitAs = (f, st) => KvEpochCommit(f, partitionId, st), codec = codec)
+      commitAs = (f, st) => KvEpochCommit(f, partitionId, st), codec = codec,
+      allowTombstones = allowTombstones)
 }
 
 private[sources] case class KvFileCommit(file: String, partition: Int,
@@ -284,13 +296,15 @@ private[sources] case class KvFileCommit(file: String, partition: Int,
 
 private[sources] class KvBatchWrite(path: String, schema: StructType,
     truncate: Boolean, conf: SerializableConfiguration,
-    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY,
+    allowTombstones: Boolean = false)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec)
+    KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
+      allowTombstones)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -357,11 +371,13 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
 
 private[sources] case class KvWriterFactory(stagingDir: String,
     fieldNames: Seq[String], conf: SerializableConfiguration,
-    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY,
+    allowTombstones: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
-      commitAs = (f, st) => KvFileCommit(f, partitionId, st), codec = codec)
+      commitAs = (f, st) => KvFileCommit(f, partitionId, st), codec = codec,
+      allowTombstones = allowTombstones)
 }
 
 /** One region file per partition, created lazily on the first row (empty
@@ -377,7 +393,8 @@ private[sources] class KvDataWriter(
     stagingDir: String, fieldNames: Seq[String], partitionId: Int, taskId: Long,
     conf: SerializableConfiguration,
     commitAs: (String, Option[KvLog.FileStat]) => WriterCommitMessage,
-    codec: CompressionCodecName = CompressionCodecName.SNAPPY)
+    codec: CompressionCodecName = CompressionCodecName.SNAPPY,
+    allowTombstones: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val file = f"$stagingDir/part-r-$partitionId%05d-$taskId.parquet"
@@ -385,6 +402,8 @@ private[sources] class KvDataWriter(
 
   private val keyIdx = fieldNames.indexOf("rowKey")
   private val tsIdx = fieldNames.indexOf("ts")
+  private val qualIdx = fieldNames.indexOf("qualifier")
+  private var tombstones = 0L
   private var rows = 0L
   private var minKey: String = null
   private var maxKey: String = null
@@ -402,6 +421,20 @@ private[sources] class KvDataWriter(
         .withConf(conf.value)
         .withCompressionCodec(codec)
         .build()
+    // Reserved-qualifier admission + tombstone stat (KvDelete doc): a
+    // one-byte probe per row, on the write path that already touches
+    // every field for the other stats.
+    if (qualIdx >= 0 && !row.isNullAt(qualIdx)) {
+      val q = row.getUTF8String(qualIdx)
+      if (q.numBytes() > 0 && q.getByte(0) == 0) {
+        if (!allowTombstones) throw new IllegalArgumentException(
+          "graft-kv: qualifier begins with the reserved tombstone prefix " +
+            "(\\u0000) — delete markers are written through KvDelete; set " +
+            "allowTombstones=true only for deliberate marker-carrying " +
+            "writes (replication pipes, compaction rewrites)")
+        tombstones += 1
+      }
+    }
     writer.write(row)
     rows += 1
     if (keyIdx >= 0 && !row.isNullAt(keyIdx)) {
@@ -428,7 +461,7 @@ private[sources] class KvDataWriter(
       commitAs(file, Some(KvLog.FileStat(rows, bytes,
         Option(minKey), Option(maxKey),
         if (sawTs) Some(minTs) else None, if (sawTs) Some(maxTs) else None,
-        bloom.buildToken())))
+        bloom.buildToken(), tombstones)))
     }
   }
 

@@ -159,6 +159,10 @@ private[sources] class KvCellTable(path: String) extends Table
     val splitBytes = Option(options.get("splitRegionBytes")).map(_.toLong)
     splitBytes.foreach(b => require(b > 0,
       s"graft-kv: splitRegionBytes must be positive, got $b"))
+    // `readTombstones=true` bypasses delete-marker masking ([[KvDelete]]):
+    // the raw replication/debug view — markers and masked puts included.
+    val readTombstones =
+      Option(options.get("readTombstones")).exists(_.toBoolean)
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
       Option(options.get("tailId")),
       asOf,
@@ -166,7 +170,8 @@ private[sources] class KvCellTable(path: String) extends Table
       maxBytes,
       snapshot,
       saltBuckets,
-      splitBytes)
+      splitBytes,
+      readTombstones)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -183,7 +188,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     maxBytesPerBatch: Option[Long] = None,
     snapshot: Option[String] = None,
     saltBuckets: Option[Int] = None,
-    splitRegionBytes: Option[Long] = None)
+    splitRegionBytes: Option[Long] = None,
+    readTombstones: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -322,12 +328,19 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
   }
 
   private def servable(specs: Seq[KvStatsScan.Spec]): Boolean =
-    !specs.exists(s => s == KvStatsScan.MinKeySpec || s == KvStatsScan.MaxKeySpec) ||
+    // A table carrying live DELETE MARKERS refuses every metadata
+    // aggregate: file stats count marker rows and masked puts, so a
+    // metadata COUNT/MIN/MAX would answer for the RAW table while the
+    // scan it replaces answers for the MASKED one. (A raw
+    // `readTombstones` scan is exactly the raw table — still servable.)
+    (readTombstones ||
+      KvStatsScan.tombstoneFree(path, conf, asOfSeq, sinceSeq, snapshot)) &&
+    (!specs.exists(s => s == KvStatsScan.MinKeySpec || s == KvStatsScan.MaxKeySpec) ||
       // Salted tables refuse the key aggregates outright: manifest bounds
       // are STORED (salt-prefixed) keys, whose min/max says nothing about
       // the logical extremes.
       (saltBuckets.isEmpty &&
-        KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq, snapshot))
+        KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq, snapshot)))
 
   /** Scope filters join the pushed set. Unlike Catalyst-pushed filters,
     * Spark never re-evaluates them as residuals — the parquet record filter
@@ -347,7 +360,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       new KvScan(path, required, pushedStored,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
         descending, maxBytesPerBatch, snapshot, orderedCols, saltBuckets,
-        splitRegionBytes)
+        splitRegionBytes, readTombstones)
   }
 }
 
@@ -489,6 +502,22 @@ private[sources] object KvStatsScan {
       .forall(_._2.isDefined)
     catch { case _: Exception => false } // unreadable here ⇒ let the scan fail
   }
+
+  /** Whether the scan's file set carries NO delete markers — the
+    * precondition for every metadata-served aggregate on a masked read
+    * (raw stats cannot answer for a masked table). Stat-less files are
+    * marker-free by construction: markers only enter through the sink,
+    * which always records stats.
+    */
+  def tombstoneFree(path: String, sconf: SerializableConfiguration,
+      asOfSeq: Option[Long], sinceSeq: Option[Long],
+      snapshot: Option[String] = None): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(sconf.value)
+    try KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
+      .forall(_._2.forall(_.tombstones == 0L))
+    catch { case _: Exception => false } // unreadable here ⇒ let the scan fail
+  }
 }
 
 /** The one stats row, shipped driver→executor as plain JVM values
@@ -526,7 +555,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     snapshot: Option[String] = None,
     orderedCols: Int = 1,
     saltBuckets: Option[Int] = None,
-    splitRegionBytes: Option[Long] = None)
+    splitRegionBytes: Option[Long] = None,
+    readTombstones: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -656,11 +686,67 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * a file's matching-row count unknowable from metadata, so every kept
     * file stays planned and the cap moves into the readers.
     */
+  /** The kept files that carry delete markers ([[KvDelete]]) — read-time
+    * masking activates iff any survive pruning and the scan is not a raw
+    * `readTombstones` view. Marker-free tables (the overwhelmingly common
+    * case) take the zero-overhead path everywhere this is consulted.
+    */
+  private lazy val tombstoneFiles: Seq[String] =
+    keptFiles.collect { case (f, Some(st)) if st.tombstones > 0 => f }
+
+  private def maskingActive: Boolean =
+    !readTombstones && tombstoneFiles.nonEmpty
+
+  /** The LIVE MASK, loaded once driver-side from the marker-carrying
+    * segments (a pushed `qualifier < "\u0001"` record filter — row-group
+    * stats skip marker-free groups) and broadcast to every reader.
+    * Markers come out in LOGICAL key space (the salt strip applies), so
+    * the mask probes with the reader's own emitted values. Bounded by
+    * [[KvDelete.MaxLiveMarkers]] — past it the read refuses loudly and
+    * the fix is a compaction (which purges markers), not a bigger driver.
+    */
+  private lazy val maskBroadcast
+      : org.apache.spark.broadcast.Broadcast[KvDelete.Mask] = {
+    val conf = sconf.value
+    val saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0
+    val cols = Seq("rowKey", "family", "qualifier", "ts")
+    val markers = Seq.newBuilder[(String, String, String, Long)]
+    var total = 0L
+    tombstoneFiles.foreach { f =>
+      val r = PqReader.builder(new KvReadSupport(cols, cols, saltLen),
+        new Path(f))
+        .withConf(conf)
+        .withFilter(FilterCompat.get(FilterApi.lt(
+          FilterApi.binaryColumn("qualifier"), Binary.fromString("\u0001"))))
+        .build()
+      try {
+        var row = r.read()
+        while (row != null) {
+          total += 1
+          if (total > KvDelete.MaxLiveMarkers) throw new IllegalStateException(
+            s"graft-kv: $path carries more than ${KvDelete.MaxLiveMarkers} " +
+              "live delete markers — the broadcast mask would no longer be " +
+              "bounded metadata. Run a major compaction to purge masked " +
+              "cells and their markers, then re-read.")
+          markers += ((row.getUTF8String(0).toString,
+            row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString,
+            row.getLong(3)))
+          row = r.read()
+        }
+      } finally r.close()
+    }
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(KvDelete.buildMask(markers.result().iterator))
+  }
+
   private lazy val plannedFiles: Seq[String] = limit match {
     // ordered (top-n) scans must keep EVERY file: commits overlap like LSM
     // runs, so any file may hold globally-small keys — the cap lives in
-    // the readers only
-    case Some(n) if pushed.isEmpty && !ordered =>
+    // the readers only. A MASKED scan also keeps every file: raw row
+    // counts include markers and masked puts, so stopping at `limit` raw
+    // rows could under-produce the survivors.
+    case Some(n) if pushed.isEmpty && !ordered && !maskingActive =>
       val conf = sconf.value
       var acc = 0L
       val out = Seq.newBuilder[String]
@@ -752,24 +838,40 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // A MASKED scan needs the full cell coordinate (rowKey, family,
+    // qualifier, ts) materialized to evaluate the mask even when the
+    // query projected it away: the inner row carries required ++ the
+    // missing mask columns, readers mask on it and emit the required
+    // PREFIX (cheap array slice, only on tombstoned tables).
+    val masked = maskingActive
+    val innerNames =
+      if (masked)
+        (required.fieldNames ++ Seq("rowKey", "family", "qualifier", "ts"))
+          .distinct.toSeq
+      else required.fieldNames.toSeq
     // The reader must also materialize filter-only columns (parquet
     // record-level filters evaluate over the requested schema).
     val filterCols = pushed.toSeq.flatMap(_.references).distinct
-    val projNames = (required.fieldNames ++ filterCols).distinct.toSeq
+    val projNames = (innerNames ++ filterCols).distinct
     // The per-reader limit cap counts rows POST-parquet-filter, so it is
     // sound only when every pushed filter translates EXACTLY to its
     // parquet predicate: an inexact translation (StartsWith's >=-prefix
     // relaxation) would let non-matching rows spend the cap and the union
     // could under-produce the global Limit. Inexact ⇒ the cap stays off
-    // and Spark's retained Limit/TopN does all the cutting.
+    // and Spark's retained Limit/TopN does all the cutting. (Masked rows
+    // never spend the cap either: readers count EMITTED survivors.)
     val readerLimit = if (KvFilters.allExact(pushed)) limit else None
-    KvReaderFactory(projNames, required.fieldNames.toSeq,
+    KvReaderFactory(projNames, innerNames,
       KvFilters.toParquet(pushed), sconf, readerLimit,
       desc = descending,
       // tail row-group planning needs RAW row counts to be the bound —
-      // only sound with no record filter at all
-      tailPlan = descending && pushed.isEmpty,
-      saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0)
+      // only sound with no record filter at all, and never under masking
+      // (raw counts include markers/masked puts, so the tail range could
+      // hold fewer than n survivors)
+      tailPlan = descending && pushed.isEmpty && !masked,
+      saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0,
+      mask = if (masked) Some(maskBroadcast) else None,
+      emitCols = if (masked) required.fieldNames.length else -1)
   }
 
   override def toBatch: Batch = this
@@ -814,7 +916,11 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val salt = saltBuckets.fold("")(n => s" salted=$n")
     val split = splitRegionBytes.filter(_ => limit.isEmpty)
       .fold("")(b => s" splitBytes=$b")
-    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt$split"
+    val tomb =
+      if (maskingActive) s" masked(tombstoneFiles=${tombstoneFiles.size})"
+      else if (readTombstones) " raw(tombstones)"
+      else ""
+    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt$split$tomb"
   }
 }
 
@@ -859,17 +965,56 @@ private[sources] case class KvReaderFactory(
     limit: Option[Int] = None,
     desc: Boolean = false,
     tailPlan: Boolean = false,
-    saltLen: Int = 0) extends PartitionReaderFactory {
+    saltLen: Int = 0,
+    mask: Option[org.apache.spark.broadcast.Broadcast[KvDelete.Mask]] = None,
+    emitCols: Int = -1) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvFilePartition]
+    val masker = mask.map(b => new KvRowMasker(b.value, outNames, emitCols))
     if (desc && limit.exists(_ > 0))
       new KvTailPartitionReader(p.file,
-        projNames, outNames, predicate, conf.value, limit.get, tailPlan, saltLen)
+        projNames, outNames, predicate, conf.value, limit.get, tailPlan, saltLen,
+        masker)
     else new KvPartitionReader(p.file,
       projNames, outNames, predicate, conf.value, limit, saltLen,
-      range = if (p.wholeFile) None else Some((p.rangeStart, p.rangeEnd)))
+      range = if (p.wholeFile) None else Some((p.rangeStart, p.rangeEnd)),
+      masker = masker)
   }
+}
+
+/** Task-side delete-marker masking ([[KvDelete]]): decides per inner row
+  * whether it survives (marker cells and masked puts do not) and projects
+  * the survivor down to the emitted prefix. One hash probe per row on the
+  * (rare) masked path; scans of marker-free tables never construct one.
+  */
+private[sources] final class KvRowMasker(mask: KvDelete.Mask,
+    innerNames: Seq[String], emitCols: Int) {
+
+  private val rkIdx = innerNames.indexOf("rowKey")
+  private val famIdx = innerNames.indexOf("family")
+  private val qualIdx = innerNames.indexOf("qualifier")
+  private val tsIdx = innerNames.indexOf("ts")
+  require(rkIdx >= 0 && famIdx >= 0 && qualIdx >= 0 && tsIdx >= 0,
+    "graft-kv: masked reads materialize the full cell coordinate")
+
+  /** Whether the inner row survives masking. */
+  def survives(row: InternalRow): Boolean = {
+    val q = row.getUTF8String(qualIdx)
+    // marker cells themselves never surface on a masked scan
+    if (q != null && q.numBytes() > 0 && q.getByte(0) == 0) return false
+    if (mask.isEmpty) return true
+    val rk = row.getUTF8String(rkIdx)
+    if (rk == null) return true
+    !mask.masked(rk, row.getUTF8String(famIdx), q,
+      if (row.isNullAt(tsIdx)) Long.MinValue else row.getLong(tsIdx))
+  }
+
+  /** Project a surviving inner row to the emitted prefix. */
+  def emit(row: InternalRow): InternalRow =
+    if (emitCols < 0 || emitCols >= innerNames.length) row
+    else new GenericInternalRow(
+      row.asInstanceOf[GenericInternalRow].values.take(emitCols))
 }
 
 /** Reads one region file through a CUSTOM parquet `ReadSupport` that
@@ -884,7 +1029,8 @@ private[sources] class KvPartitionReader(
     predicate: Option[FilterPredicate], conf: Configuration,
     limit: Option[Int] = None,
     saltLen: Int = 0,
-    range: Option[(Long, Long)] = None)
+    range: Option[(Long, Long)] = None,
+    masker: Option[KvRowMasker] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
@@ -898,14 +1044,23 @@ private[sources] class KvPartitionReader(
   private var current: InternalRow = _
   // Pushed-limit cap, counted POST-filter (the record filter is exact, so
   // emitting `limit` matching rows per partition can never starve the
-  // global Limit above the scan).
+  // global Limit above the scan). Under masking the cap counts EMITTED
+  // survivors only — masked rows never spend it.
   private var remaining: Long = limit.fold(Long.MaxValue)(_.toLong)
 
   override def next(): Boolean = {
     if (remaining <= 0) return false
-    current = reader.read()
-    if (current != null) remaining -= 1
-    current != null
+    masker match {
+      case None =>
+        current = reader.read()
+        if (current != null) remaining -= 1
+        current != null
+      case Some(m) =>
+        var row = reader.read()
+        while (row != null && !m.survives(row)) row = reader.read()
+        if (row == null) { current = null; false }
+        else { current = m.emit(row); remaining -= 1; true }
+    }
   }
 
   override def get(): InternalRow = current
@@ -930,7 +1085,8 @@ private[sources] class KvPartitionReader(
 private[graft] class KvTailPartitionReader(
     file: String, projNames: Seq[String], outNames: Seq[String],
     predicate: Option[FilterPredicate], conf: Configuration,
-    n: Int, tailPlan: Boolean, saltLen: Int = 0)
+    n: Int, tailPlan: Boolean, saltLen: Int = 0,
+    masker: Option[KvRowMasker] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
@@ -965,8 +1121,12 @@ private[graft] class KvTailPartitionReader(
     if (!filled) {
       var row = reader.read()
       while (row != null) {
-        ring((seen % n).toInt) = row
-        seen += 1
+        // Masking runs BEFORE the ring (a masked row must not evict a
+        // surviving one) and the ring stores the emitted projection.
+        if (masker.forall(_.survives(row))) {
+          ring((seen % n).toInt) = masker.fold(row)(_.emit(row))
+          seen += 1
+        }
         row = reader.read()
       }
       filled = true

@@ -253,11 +253,31 @@ object KvCompactor {
     val cellCols = graft.kv.Cell.schema.fieldNames.map(org.apache.spark.sql.functions.col)
     var mergeDf = spark.read.parquet(mergeSet.map(f => s"$path/${f._1}"): _*)
       .select(cellCols.toIndexedSeq: _*)
+    // DELETE-MARKER application ([[KvDelete]]) — the HBase
+    // compaction-scanner semantics, and the one place masked bytes
+    // physically disappear: masked puts among the merged files are
+    // dropped during the rewrite, and the markers themselves are PURGED
+    // when the merge covers the complete live set (a major pass — nothing
+    // outside could still hold maskable cells) or compacted to the newest
+    // marker per coordinate and carried when files remain outside the
+    // merge (minor/gated passes — the HBase rule that delete markers
+    // survive until a major compaction). Gated on the manifest's exact
+    // tombstone stats: marker-free merges pay nothing.
+    val mergeHasTombstones = mergeSet.exists { case (f, _, _) =>
+      liveStats.get(f).exists(_.tombstones > 0) }
+    var retainedMarkers: Option[org.apache.spark.sql.DataFrame] = None
+    if (mergeHasTombstones) {
+      val (survivors, compactedMarkers) = KvDelete.applyMarkers(mergeDf)
+      mergeDf = survivors
+      if (carrySet.nonEmpty) retainedMarkers = Some(compactedMarkers)
+    }
     // Cell GC rides the rewrite ([[CellPolicy]]): TTL is a codegen'd
     // filter fused into the scan; the versions bound is one extra
     // (rowKey, qualifier) exchange on the already-rare compact path —
     // row_number with the kv_versions_retain tie-break, so the retained
-    // set is deterministic under version-stack ties.
+    // set is deterministic under version-stack ties. Both apply to PUTS
+    // only — retained markers are appended after and exempt (dropping an
+    // old marker by TTL would unmask carried cells it still covers).
     cellPolicy.dropBelowTs.foreach { t =>
       mergeDf = mergeDf.filter(
         org.apache.spark.sql.functions.col("ts") >= t)
@@ -271,12 +291,14 @@ object KvCompactor {
           .orderBy(col("ts").desc, col("value").asc)))
         .filter(col("_v") <= k).drop("_v")
     }
+    retainedMarkers.foreach { m => mergeDf = mergeDf.unionByName(m) }
     // Re-CODEC rides the rewrite like cell GC does: compaction is the one
     // place merged bytes are rewritten anyway, so changing the table's
     // compression (e.g. snappy ingest -> zstd at rest) is free here and
     // prohibitive anywhere else.
     val scratchWriter = codec.foldLeft(
-      mergeDf.write.format("graft-kv").option("regions", regions))(
+      mergeDf.write.format("graft-kv").option("regions", regions)
+        .option("allowTombstones", mergeHasTombstones.toString))(
       (w, c) => w.option("codec", c))
     scratchWriter.mode("overwrite").save(tmp.toString)
     // The scratch write went through the graft-kv sink, so its own log

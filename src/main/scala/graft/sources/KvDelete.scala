@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+
+/** ROW/COLUMN DELETES for `graft-kv` tables — the HBase delete-marker
+  * model, which the KV data model implies and every exporter consumes
+  * implicitly (the `KeyValue` stream carries a TYPE byte —
+  * ExportHBaseTableToDelimiteredTxt.java:151 reads cells whose Delete
+  * types the server has already masked): a delete is not a rewrite, it is
+  * a CELL — a tombstone committed like any other write, masking every put
+  * at the same coordinate with `ts <= marker.ts` from the moment its
+  * commit publishes, and physically purged later when a major compaction
+  * rewrites the region ([[KvCompactor]]). At 100 TB this is the only
+  * delete shape that works: a GDPR erasure of a million users is one
+  * small sorted marker commit (seconds, O(deletes) bytes), not a rewrite
+  * of every region that holds one of their cells (hours, O(table) bytes).
+  *
+  * ENCODING — markers are ordinary cells in a RESERVED QUALIFIER space,
+  * so the five-column cell schema, the range-sorted sink, manifest stats,
+  * blooms, snapshots, and the streaming tail all carry them untouched:
+  *  - row delete:    `(rowKey, family = "\u0000", qualifier = "\u0000r",
+  *    value = null, ts)` — masks EVERY cell of `rowKey` (any family) with
+  *    `ts <= marker.ts`;
+  *  - column delete: `(rowKey, family, qualifier = "\u0000c" + q,
+  *    value = null, ts)` — masks cells of `(rowKey, family, q)` with
+  *    `ts <= marker.ts`.
+  * `"\u0000"` cannot appear in a user qualifier: the sink REFUSES
+  * reserved-prefix qualifiers unless the write carries
+  * `allowTombstones=true` (set by this API, compaction rewrites, and
+  * deliberate replication pipes), so user data can never masquerade as a
+  * delete.
+  *
+  * READ-TIME masking lives in the scan ([[KvScan]]): planning reads the
+  * live marker set from the manifest-flagged tombstone segments (the
+  * `d=` stat — zero extra I/O for marker-free tables, the overwhelmingly
+  * common case), broadcasts it, and every partition reader drops masked
+  * puts and the markers themselves in-stream. `ORDER`, pushdown, and
+  * pruning are unchanged; only newer-put-than-marker survives, exactly
+  * HBase's scanner. `.option("readTombstones", "true")` bypasses masking
+  * (the replication/debug raw view). A streaming tail always ships RAW
+  * cells, markers included — the WAL/replication-peer contract: deletes
+  * must replicate.
+  *
+  * Scale shape: the masking state is the LIVE marker set, bounded by
+  * [[MaxLiveMarkers]] and kept small by compaction purge (the same
+  * assumption HBase's scanner makes — delete markers are held in scan
+  * context until major compaction). Deletes land sorted through the
+  * ordinary sink, so marker segments prune/bloom like any region file,
+  * and a point Get of a deleted key is still a one-file bloom-hit probe
+  * that then masks to empty.
+  */
+object KvDelete {
+
+  /** Reserved first code point of every marker qualifier. */
+  val MarkerPrefix = "\u0000"
+  /** Whole-row tombstone qualifier (family is [[AllFamilies]]). */
+  val RowMarkerQualifier = "\u0000r"
+  /** Column tombstone qualifier prefix; the target qualifier follows. */
+  val ColMarkerPrefix = "\u0000c"
+  /** Row markers mask every family; their own family slot is reserved. */
+  val AllFamilies = "\u0000"
+
+  /** Live markers a single table may accumulate before reads refuse with
+    * a compact-first error: the broadcast mask must fit comfortably in
+    * executor memory (~100 B/marker ⇒ ~400 MB at the cap). A healthy
+    * table never approaches it — compaction purges markers continuously.
+    */
+  val MaxLiveMarkers: Long = 4L << 20
+
+  def isMarkerQualifier(q: String): Boolean = q.startsWith(MarkerPrefix)
+
+  /** Commit row tombstones for every rowKey in `keys` (a DataFrame with a
+    * `rowKey` string column and optionally a `ts` long column; rows
+    * missing a ts use `defaultTs`). `defaultTs` defaults to `Long.MaxValue`
+    * — "mask every version, past and future, until a compaction purges
+    * the marker", the GDPR-erasure shape; pass a real timestamp for
+    * HBase's delete-as-of-now semantics (later writes with higher ts
+    * survive). One ordinary sink append: sorted marker segments, manifest
+    * entry, stats, blooms — O(deletes), never O(table).
+    */
+  def deleteRows(spark: SparkSession, path: String, keys: DataFrame,
+      defaultTs: Long = Long.MaxValue, regions: Int = 1): Unit = {
+    require(keys.columns.contains("rowKey"),
+      "graft-kv delete: keys need a rowKey column")
+    val ts = if (keys.columns.contains("ts")) coalesce(col("ts").cast(LongType), lit(defaultTs))
+      else lit(defaultTs)
+    writeMarkers(spark, path, regions,
+      keys.select(
+        col("rowKey").cast(StringType).as("rowKey"),
+        lit(AllFamilies).as("family"),
+        lit(RowMarkerQualifier).as("qualifier"),
+        lit(null).cast(BinaryType).as("value"),
+        ts.as("ts")))
+  }
+
+  /** Commit column tombstones: `cols` is a DataFrame with `rowKey`,
+    * `family`, `qualifier` (the TARGET qualifier) and optionally `ts`.
+    * Masks that coordinate's cells with `ts <= marker.ts`.
+    */
+  def deleteColumns(spark: SparkSession, path: String, cols: DataFrame,
+      defaultTs: Long = Long.MaxValue, regions: Int = 1): Unit = {
+    Seq("rowKey", "family", "qualifier").foreach(c =>
+      require(cols.columns.contains(c), s"graft-kv delete: cols need a $c column"))
+    val ts = if (cols.columns.contains("ts")) coalesce(col("ts").cast(LongType), lit(defaultTs))
+      else lit(defaultTs)
+    writeMarkers(spark, path, regions,
+      cols.select(
+        col("rowKey").cast(StringType).as("rowKey"),
+        col("family").cast(StringType).as("family"),
+        concat(lit(ColMarkerPrefix), col("qualifier").cast(StringType)).as("qualifier"),
+        lit(null).cast(BinaryType).as("value"),
+        ts.as("ts")))
+  }
+
+  private def writeMarkers(spark: SparkSession, path: String, regions: Int,
+      markers: DataFrame): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // Salted tables store salted keys — the markers must too, or they
+    // would land outside their targets' regions and mask nothing.
+    val salted = KvSalt.bucketsOf(fs, dir).fold(markers)(KvSalt.salted(markers, _))
+    salted.write.format("graft-kv")
+      .option("regions", regions)
+      .option("allowTombstones", "true")
+      .mode("append").save(path)
+  }
+
+  /** The broadcast-able live mask: per deleted rowKey, the newest row
+    * marker ts and the newest column marker ts per (family, qualifier).
+    * Only the NEWEST marker per coordinate matters — a put masked by an
+    * older marker (`ts <= t1 <= t2`) is masked by the newer one too — so
+    * the mask is lossless and O(live coordinates), not O(markers ever).
+    * Keys are [[org.apache.spark.unsafe.types.UTF8String]] so readers
+    * probe with the scan's own row values, zero per-row conversions.
+    */
+  final class Mask(
+      val rowTs: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long],
+      val colTs: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.util.HashMap[ColKey, java.lang.Long]]) extends Serializable {
+
+    def isEmpty: Boolean = rowTs.isEmpty && colTs.isEmpty
+
+    /** Whether a put at this coordinate is masked. */
+    def masked(rowKey: org.apache.spark.unsafe.types.UTF8String,
+        family: org.apache.spark.unsafe.types.UTF8String,
+        qualifier: org.apache.spark.unsafe.types.UTF8String, ts: Long): Boolean = {
+      val r = rowTs.get(rowKey)
+      if (r != null && ts <= r.longValue()) return true
+      val byCol = colTs.get(rowKey)
+      if (byCol == null) return false
+      val c = byCol.get(ColKey(family, qualifier))
+      c != null && ts <= c.longValue()
+    }
+  }
+
+  final case class ColKey(
+      family: org.apache.spark.unsafe.types.UTF8String,
+      qualifier: org.apache.spark.unsafe.types.UTF8String) extends Serializable
+
+  /** Build the [[Mask]] from raw marker cells
+    * (rowKey, family, qualifier, ts) in LOGICAL key space. Driver-side;
+    * caller bounds the input ([[MaxLiveMarkers]]).
+    */
+  def buildMask(markers: Iterator[(String, String, String, Long)]): Mask = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rowTs = new java.util.HashMap[UTF8String, java.lang.Long]()
+    val colTs = new java.util.HashMap[UTF8String, java.util.HashMap[ColKey, java.lang.Long]]()
+    markers.foreach { case (rk, f, q, ts) =>
+      val key = UTF8String.fromString(rk)
+      if (q == RowMarkerQualifier) {
+        val prev = rowTs.get(key)
+        if (prev == null || prev.longValue() < ts) rowTs.put(key, ts)
+      } else if (q.startsWith(ColMarkerPrefix)) {
+        val ck = ColKey(UTF8String.fromString(f),
+          UTF8String.fromString(q.substring(ColMarkerPrefix.length)))
+        var byCol = colTs.get(key)
+        if (byCol == null) {
+          byCol = new java.util.HashMap[ColKey, java.lang.Long]()
+          colTs.put(key, byCol)
+        }
+        val prev = byCol.get(ck)
+        if (prev == null || prev.longValue() < ts) byCol.put(ck, ts)
+      }
+      // any other reserved qualifier: unknown marker kind from a newer
+      // writer — unreachable today (the sink only admits what this API
+      // writes), tolerated as no-op for forward compatibility
+    }
+    new Mask(rowTs, colTs)
+  }
+
+  /** Split a cell frame into (masked puts, compacted markers) — the
+    * COMPACTION-side masking ([[KvCompactor]] calls this while rewriting
+    * merged segments, the one place masked bytes physically disappear).
+    * The marker output is compacted to the newest marker per coordinate
+    * (lossless, see [[Mask]]); the put output drops every masked cell.
+    * Pure DataFrame composition: the marker side is tiny relative to the
+    * merge, so AQE broadcasts the mask joins — no driver materialization.
+    */
+  def applyMarkers(cells: DataFrame): (DataFrame, DataFrame) = {
+    val isMarker = substring(col("qualifier"), 1, 1) === lit(MarkerPrefix)
+    val puts = cells.filter(!isMarker)
+    val markers = cells.filter(isMarker)
+    val rowM = markers.filter(col("qualifier") === RowMarkerQualifier)
+      .groupBy(col("rowKey")).agg(max(col("ts")).as("_rts"))
+    val colM = markers.filter(col("qualifier").startsWith(ColMarkerPrefix))
+      .select(col("rowKey"), col("family"),
+        expr(s"substring(qualifier, ${ColMarkerPrefix.length + 1})").as("qualifier"),
+        col("ts"))
+      .groupBy(col("rowKey"), col("family"), col("qualifier"))
+      .agg(max(col("ts")).as("_cts"))
+    val survivors = puts
+      .join(rowM, Seq("rowKey"), "left")
+      .filter(col("_rts").isNull || col("ts") > col("_rts"))
+      .drop("_rts")
+      .join(colM, Seq("rowKey", "family", "qualifier"), "left")
+      .filter(col("_cts").isNull || col("ts") > col("_cts"))
+      .drop("_cts")
+    val compactedMarkers =
+      rowM.select(col("rowKey"), lit(AllFamilies).as("family"),
+        lit(RowMarkerQualifier).as("qualifier"),
+        lit(null).cast(BinaryType).as("value"), col("_rts").as("ts"))
+        .unionByName(colM.select(col("rowKey"), col("family"),
+          concat(lit(ColMarkerPrefix), col("qualifier")).as("qualifier"),
+          lit(null).cast(BinaryType).as("value"), col("_cts").as("ts")))
+    (survivors, compactedMarkers)
+  }
+}

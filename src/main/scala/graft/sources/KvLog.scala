@@ -134,7 +134,16 @@ private[graft] object KvLog {
       rows: Long, bytes: Long,
       minKey: Option[String], maxKey: Option[String],
       minTs: Option[Long], maxTs: Option[Long],
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      /** DELETE-MARKER rows in the file ([[KvDelete]]): scans consult it
+        * to decide whether read-time masking is needed at all (0 for
+        * every file ⇒ zero masking overhead — the common case) and the
+        * metadata-aggregate rewrite refuses when any planned file carries
+        * markers (raw counts/bounds would include masked rows). Markers
+        * enter only through the sink, which counts them here, so a
+        * stat-less legacy file is marker-free by construction.
+        */
+      tombstones: Long = 0L)
 
   case class Entry(
       seq: Long, compact: Boolean, writer: Option[String],
@@ -313,6 +322,7 @@ private[graft] object KvLog {
     var minKey: Option[String] = None; var maxKey: Option[String] = None
     var minTs: Option[Long] = None; var maxTs: Option[Long] = None
     var bloom: Option[String] = None
+    var tomb = 0L
     val b64 = java.util.Base64.getDecoder
     toks.foreach {
       case t if t.startsWith("r=") => rows = t.drop(2).toLong
@@ -325,10 +335,11 @@ private[graft] object KvLog {
         val Array(lo, hi) = t.drop(2).split(",", 2)
         minTs = Some(lo.toLong); maxTs = Some(hi.toLong)
       case t if t.startsWith("f=") => bloom = Some(t.drop(2))
+      case t if t.startsWith("d=") => tomb = t.drop(2).toLong
       case _ => () // unknown stat token: ignore (forward compatibility)
     }
     if (rows < 0 || bytes < 0) None // r= and b= anchor a well-formed stat
-    else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs, bloom))
+    else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs, bloom, tomb))
   }
 
   private[sources] def statSuffix(s: FileStat): String = {
@@ -343,7 +354,8 @@ private[graft] object KvLog {
       case _ => ""
     }
     val f = s.bloom.fold("")(tok => s"\tf=$tok")
-    s"\tr=${s.rows}\tb=${s.bytes}$k$t$f"
+    val d = if (s.tombstones > 0) s"\td=${s.tombstones}" else ""
+    s"\tr=${s.rows}\tb=${s.bytes}$k$t$f$d"
   }
 
   /** Append an entry at `latest + 1` (temp-write + rename = atomic publish,

@@ -157,6 +157,15 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("delete masking stays INSIDE the scan: no join, no exchange added to a masked read") {
+    val masked = Queries.all("kv_delete_mask")(spark, sfDir)
+    val plan = executedPlan(masked)
+    plan should include("masked(tombstoneFiles=")
+    plan should not include "Join"
+    plan.linesIterator.count(l =>
+      l.contains("ShuffleQueryStage") || l.contains("Exchange")) shouldBe 0
+  }
+
   test("bloom join: the might-contain predicate filters the fact side before the join") {
     val plan = executedPlan(Queries.relBloomJoin(spark, sfDir))
     plan should include("bloom_might_contain")

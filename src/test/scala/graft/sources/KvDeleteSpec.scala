@@ -1,0 +1,219 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[KvDelete]]: row/column tombstones as first-class connector
+  * operations — committed like writes, masking every subsequent scan at
+  * read time, purged physically by major compaction. The HBase
+  * delete-marker contract, end to end.
+  */
+class KvDeleteSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    d
+  }
+
+  private def fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def cells(rows: (String, String, String, String, Long)*): DataFrame =
+    rows.toSeq.toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+
+  /** 40 keys × (a@10, a@30, b@10). */
+  private def baseRows: Seq[(String, String, String, String, Long)] =
+    (1 to 40).flatMap { i =>
+      val k = f"k$i%02d"
+      Seq((k, "f", "a", s"a$i", 10L), (k, "f", "a", s"A$i", 30L),
+        (k, "f", "b", s"b$i", 10L))
+    }
+
+  private def readable(df: DataFrame): Set[(String, String, String, String, Long)] =
+    df.select(col("rowKey"), col("family"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("v"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+
+  private def scan(d: String): DataFrame =
+    spark.read.format("graft-kv").load(d)
+
+  test("row + column + ts-bounded deletes mask every subsequent scan; newer writes survive") {
+    val d = tmp("kv_del_mask")
+    cells(baseRows: _*).write.format("graft-kv").option("regions", 2)
+      .mode("append").save(d)
+    // k01,k02: full row erasure. k06: row delete AS OF ts 15 — the a@30
+    // version survives. (k07,f,b): column delete — a-cells untouched.
+    KvDelete.deleteRows(spark, d, Seq("k01", "k02").toDF("rowKey"))
+    KvDelete.deleteRows(spark, d, Seq("k06").toDF("rowKey"), defaultTs = 15L)
+    KvDelete.deleteColumns(spark, d,
+      Seq(("k07", "f", "b")).toDF("rowKey", "family", "qualifier"))
+    val expected = baseRows.filter { case (k, _, q, _, ts) =>
+      k != "k01" && k != "k02" &&
+        !(k == "k06" && ts <= 15L) &&
+        !(k == "k07" && q == "b")
+    }.map { case (k, f, q, v, ts) => (k, f, q, v, ts) }.toSet
+    readable(scan(d)) shouldBe expected
+    // a write AFTER the ts-bounded delete (higher ts) is visible
+    cells(("k06", "f", "b", "reborn", 99L)).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(d)
+    readable(scan(d)) shouldBe expected + (("k06", "f", "b", "reborn", 99L))
+    // raw view still has everything, markers included
+    val raw = spark.read.format("graft-kv").option("readTombstones", "true").load(d)
+    assert(raw.count() == baseRows.size + 1 + 4,
+      "raw view = all puts + the 4 markers")
+    // time travel to the pre-delete version sees the undeleted table
+    val pre = spark.read.format("graft-kv").option("asOfSeq", 0).load(d)
+    readable(pre) shouldBe baseRows.toSet
+  }
+
+  test("deleted keys stay invisible to point lookups, limits, and DESC top-n") {
+    val d = tmp("kv_del_push")
+    cells(baseRows: _*).write.format("graft-kv").option("regions", 2)
+      .mode("append").save(d)
+    KvDelete.deleteRows(spark, d,
+      (Seq("k01", "k03") ++ Seq("k39", "k40")).toDF("rowKey"))
+    // point lookup (bloom + pushed EqualTo) of a deleted key: empty
+    assert(scan(d).filter(col("rowKey") === "k01").count() == 0)
+    assert(scan(d).filter(col("rowKey") === "k04").count() == 3)
+    // a LIMIT larger than any single file's survivors never under-produces
+    val survivors = 36 * 3
+    assert(scan(d).limit(survivors).count() == survivors)
+    assert(scan(d).limit(5).count() == 5)
+    // DESC top-n skips the deleted tail keys
+    val topKeys = scan(d).orderBy(col("rowKey").desc).limit(3)
+      .select("rowKey").collect().map(_.getString(0)).toSeq
+    topKeys shouldBe Seq("k38", "k38", "k38")
+    // ASC head skips the deleted k01/k03
+    val headKeys = scan(d).orderBy(col("rowKey")).limit(4)
+      .select("rowKey").collect().map(_.getString(0)).toSeq
+    headKeys shouldBe Seq("k02", "k02", "k02", "k04")
+    // a projection narrower than the mask coordinate still masks
+    assert(scan(d).select("rowKey").distinct().count() == 36)
+  }
+
+  test("metadata aggregates refuse the rewrite on tombstoned tables: COUNT answers for the MASKED table") {
+    val d = tmp("kv_del_count")
+    cells(baseRows: _*).write.format("graft-kv").option("regions", 2)
+      .mode("append").save(d)
+    assert(scan(d).count() == baseRows.size) // marker-free: metadata-served
+    KvDelete.deleteRows(spark, d, Seq("k01").toDF("rowKey"))
+    assert(scan(d).count() == baseRows.size - 3)
+    assert(spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(d).count() == baseRows.size + 1)
+    assert(scan(d).agg(max("ts")).head().getLong(0) == 30L)
+  }
+
+  test("major compaction purges masked cells AND markers; partial compaction retains markers") {
+    val d = tmp("kv_del_compact")
+    // commit 0: markers target half the table; commits 1-2: data
+    val half = (1 to 20).map(i => f"k$i%02d")
+    cells(baseRows.filter(_._5 == 10L): _*).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(d)
+    cells(baseRows.filter(_._5 == 30L): _*).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(d)
+    KvDelete.deleteRows(spark, d, half.toDF("rowKey"))
+    val maskedBefore = readable(scan(d))
+    maskedBefore.map(_._1) shouldBe (21 to 40).map(i => f"k$i%02d").toSet
+
+    // PARTIAL pass: a registered tail at seq 2 gates the marker commit
+    // out of... rather, merges commits 0-1 (data) and CARRIES the marker
+    // file — nothing is unmasked, markers persist.
+    val dir = new Path(d)
+    KvLog.recordTail(fs, dir, "t1", 2)
+    KvCompactor.compact(spark, d, regions = 2) shouldBe a[KvCompactor.Compacted]
+    readable(scan(d)) shouldBe maskedBefore
+    val rawMid = spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(d).filter(col("qualifier") < "\u0001")
+    assert(rawMid.count() == 20, "markers survive a partial pass")
+
+    // MAJOR pass (tail dropped): masked cells and markers physically gone.
+    KvLog.dropTail(fs, dir, "t1")
+    KvCompactor.compact(spark, d, regions = 2) shouldBe a[KvCompactor.Compacted]
+    readable(scan(d)) shouldBe maskedBefore
+    val rawAfter = spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(d)
+    assert(rawAfter.filter(col("qualifier") < "\u0001").count() == 0,
+      "major compaction purges every marker")
+    assert(rawAfter.count() == maskedBefore.size,
+      "masked puts are physically gone")
+    assert(KvLog.liveFileStats(fs, dir).values.forall(_.tombstones == 0))
+    // marker-free again: metadata COUNT is servable and exact
+    assert(scan(d).count() == maskedBefore.size)
+  }
+
+  test("a partial pass whose merge INCLUDES the marker file applies masking and carries compacted markers") {
+    val d = tmp("kv_del_minor")
+    // seq 0: data(ts=10); seq 1: markers; seq 2: data(ts=30, newer than
+    // any marker target below). Tail gates at 2: merge = {data@10,
+    // markers}, carry = {data@30}.
+    cells(baseRows.filter(_._5 == 10L): _*).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(d)
+    KvDelete.deleteRows(spark, d, Seq("k01", "k02").toDF("rowKey"),
+      defaultTs = 20L)
+    cells(baseRows.filter(_._5 == 30L): _*).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(d)
+    val before = readable(scan(d))
+    // ts<=20 masked for k01/k02: their @10 cells die, @30 cells live
+    assert(before.count(_._1 == "k01") == 1)
+    val dir = new Path(d)
+    KvLog.recordTail(fs, dir, "t2", 2)
+    KvCompactor.compact(spark, d, regions = 2) shouldBe a[KvCompactor.Compacted]
+    readable(scan(d)) shouldBe before
+    // the markers were compacted (2 coordinates) and retained
+    val raw = spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(d).filter(col("qualifier") < "\u0001")
+    assert(raw.count() == 2, "newest-marker-per-coordinate retained")
+    KvLog.dropTail(fs, dir, "t2")
+  }
+
+  test("the sink refuses reserved-prefix qualifiers in user writes") {
+    val d = tmp("kv_del_guard")
+    val e = intercept[Exception] {
+      cells(("k1", "f", "\u0000evil", "x", 1L)).write.format("graft-kv")
+        .option("regions", 1).mode("append").save(d)
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    messages should include("reserved tombstone prefix")
+  }
+
+  test("deletes compose with salted tables: markers land salted, plain reads mask") {
+    val d = tmp("kv_del_salt")
+    KvSalt.saltedWrite(cells(baseRows: _*), d, n = 8, regions = 4,
+      mode = "overwrite")
+    KvDelete.deleteRows(spark, d, Seq("k05", "k17").toDF("rowKey"))
+    val out = readable(scan(d))
+    assert(!out.exists(r => r._1 == "k05" || r._1 == "k17"))
+    assert(out.size == baseRows.size - 6)
+    assert(scan(d).filter(col("rowKey") === "k05").count() == 0)
+    assert(scan(d).filter(col("rowKey") === "k18").count() == 3)
+  }
+
+  test("streaming tails ship markers raw: deletes replicate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = tmp("kv_del_tail_src")
+    val out = tmp("kv_del_tail_out")
+    val cp = tmp("kv_del_tail_cp")
+    cells(baseRows.take(9): _*).write.format("graft-kv").option("regions", 1)
+      .mode("append").save(d)
+    KvDelete.deleteRows(spark, d, Seq("k01").toDF("rowKey"))
+    val q = spark.readStream.format("graft-kv").load(d)
+      .writeStream.format("graft-kv")
+      .option("regions", 1).option("allowTombstones", "true")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start(out)
+    q.awaitTermination()
+    // the replica masks exactly like the source
+    readable(scan(out)) shouldBe readable(scan(d))
+    assert(spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(out).filter(col("qualifier") < "\u0001").count() == 1,
+      "the marker itself replicated")
+  }
+}
