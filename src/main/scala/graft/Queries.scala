@@ -597,6 +597,47 @@ object Queries {
     decodedPresortedPivot(spark.read.format("graft-kv").load(path))
   }
 
+  /** The colliding-key generator run as a SALTED, compacted table: the
+    * hot-key-ingest layout (16 salt buckets) merged into 8 disjoint
+    * STORED-key-sorted region files.
+    */
+  private def ensureSaltedPresortedKv(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"salted_presorted_kv|$sfDir", _ => {
+      val path = artifactPath("salted_presorted_kv", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
+      (0 until 2).foreach { i =>
+        graft.sources.KvSalt.saltedWrite(
+          cells.filter(pmod(col("ts"), lit(2)) === i), path, n = 16,
+          regions = 4, mode = "append")
+      }
+      val res = graft.sources.KvCompactor.compact(spark, path, regions = 8)
+      require(res.isInstanceOf[graft.sources.KvCompactor.Compacted],
+        s"kv_pivot_salted staging expected a compaction, got $res")
+      path
+    })
+
+  /** The SHUFFLE-FREE pivot on a SALTED table (r12 — closes the round-11
+    * "salted tables refuse presorted certification" gap): the invariant
+    * the per-partition streaming group needs is KEY CONTIGUITY, not
+    * logical sort — one logical key maps to one stored key, so a
+    * stored-space disjoint-sorted layout keeps every key's cells adjacent
+    * in one partition even though buckets interleave the logical order
+    * ([[graft.sources.KvTableInfo.keyContiguousRegions]]). Same oracle as
+    * the unsalted presorted pivot — the salt is invisible end to end —
+    * and PlanSpec asserts zero exchanges. At scale this restores the
+    * map-only export on exactly the layout designed for hot-key ingest.
+    */
+  def kvPivotSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureSaltedPresortedKv(spark, sfDir)
+    require(graft.sources.KvTableInfo.keyContiguousRegions(spark, path),
+      s"kv_pivot_salted: $path must certify stored-space key contiguity")
+    require(!graft.sources.KvTableInfo.disjointSortedRegions(spark, path),
+      "kv_pivot_salted: the strict logical-order certification must still " +
+        "refuse a salted table — only the contiguity tier admits it")
+    decodedPresortedPivot(spark.read.format("graft-kv").load(path))
+  }
+
   /** 100k records over the 32768-key space ⇒ version depth up to 4 per
     * (rowKey, C0) coordinate — deeper than the retention k, so the oracle
     * gate genuinely exercises EVICTION (at 40k records depth maxes at
@@ -790,6 +831,55 @@ object Queries {
       .select(col("rowKey"), col("qualifier"),
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
+
+  /** The NAMED-TABLE SQL surface ([[graft.sources.GraftKvCatalog]] — the
+    * reference's actual UX: every CLI verb takes a table NAME,
+    * App.java:14-30): a catalog is registered on the session, the events
+    * cell table is created with `CREATE TABLE ... USING graft-kv`
+    * (regions recorded as a table property), populated with a SQL
+    * `INSERT INTO`, and queried by name with a pushed rowKey range — the
+    * same pruned, range-sorted connector paths as the path API, now
+    * reachable from pure SQL. Staging is setup (memoized per sfDir);
+    * the timed query is the read.
+    */
+  def kvCatalogSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalogTable(spark, sfDir)
+    spark.sql(
+      s"""SELECT rowKey, qualifier, count(*) AS n_cells, max(ts) AS max_ts
+         |FROM $cat.corpus.events_kv
+         |WHERE rowKey >= '00000002' AND rowKey < '00000012'
+         |GROUP BY rowKey, qualifier""".stripMargin)
+  }
+
+  private def ensureCatalogTable(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"catalog_sql|$sfDir", _ => {
+      val name = "graftcat_" + Integer.toHexString(sfDir.hashCode)
+      val wh = artifactPath("kv_catalog_wh", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, wh)
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftKvCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+      spark.sql(
+        s"""CREATE TABLE $name.corpus.events_kv (
+           |  rowKey STRING, family STRING, qualifier STRING,
+           |  value BINARY, ts BIGINT)
+           |USING `graft-kv` TBLPROPERTIES ('regions' = '4')""".stripMargin)
+      KvTable.eventsAsCells(spark, sfDir)
+        .createOrReplaceTempView("graft_catalog_cells_src")
+      spark.sql(
+        s"INSERT INTO $name.corpus.events_kv SELECT * FROM graft_catalog_cells_src")
+      name
+    })
+
+  private val kvCatalogSqlSql: String =
+    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |  event_type AS qualifier,
+      |  count(*) AS n_cells, max(event_id) AS max_ts
+      |FROM events
+      |WHERE lpad(CAST(user_id AS VARCHAR), 8, '0') >= '00000002'
+      |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
+      |GROUP BY 1, 2""".stripMargin
 
   /** One oracle serves both delete queries: the survivor set is a pure
     * predicate over events, whatever the engine's masking mechanism.
@@ -1008,6 +1098,8 @@ object Queries {
     ensureVacuumedCells(spark, sfDir): Unit
     ensureMaintainedCells(spark, sfDir): Unit
     ensureDeletedCells(spark, sfDir): Unit
+    ensureCatalogTable(spark, sfDir): Unit
+    ensureSaltedPresortedKv(spark, sfDir): Unit
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -4137,6 +4229,7 @@ object Queries {
     "kv_delimited_lines" -> (kvDelimitedLines _),
     "kv_gen_cells" -> (kvGenCells _),
     "kv_pivot_presorted" -> (kvPivotPresorted _),
+    "kv_pivot_salted" -> (kvPivotSalted _),
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_versions_retain" -> (kvVersionsRetain _),
     "kv_ttl_expire" -> (kvTtlExpire _),
@@ -4168,6 +4261,7 @@ object Queries {
     "kv_ttl_compact" -> (kvTtlCompact _),
     "kv_delete_mask" -> (kvDeleteMask _),
     "kv_delete_compact" -> (kvDeleteCompact _),
+    "kv_catalog_sql" -> (kvCatalogSql _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_fsck" -> (kvFsck _),
@@ -4275,6 +4369,7 @@ object Queries {
     "kv_delimited_lines" -> kvDelimitedLinesSql,
     "kv_gen_cells" -> kvGenCellsSql,
     "kv_pivot_presorted" -> kvPivotPresortedSql,
+    "kv_pivot_salted" -> kvPivotPresortedSql, // salt invisible: same oracle
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_versions_retain" -> kvVersionsRetainSql,
     "kv_ttl_expire" -> kvTtlExpireSql,
@@ -4306,6 +4401,7 @@ object Queries {
     "kv_ttl_compact" -> kvTtlCompactSql,
     "kv_delete_mask" -> kvDeleteMaskSql,
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied
+    "kv_catalog_sql" -> kvCatalogSqlSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
     "kv_fsck" -> kvFsckSql,

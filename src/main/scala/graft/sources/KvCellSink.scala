@@ -92,8 +92,19 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     // deliberate replication pipes set `allowTombstones=true`.
     val allowTombstones =
       Option(info.options.get("allowTombstones")).exists(_.toBoolean)
+    // A REGISTERED salted table validates every appended rowKey as a
+    // self-consistent stored key ([[KvSalt.isStored]]): an unsalted (or
+    // wrong-n) append would corrupt the layout silently — reads mask no
+    // error, point lookups just miss. Truncating overwrites skip it: the
+    // commit resets the salt property with the rest of the table.
+    val saltCheck =
+      if (doTruncate) None
+      else {
+        val p = new Path(path)
+        KvSalt.bucketsOf(p.getFileSystem(conf.value), p)
+      }
     new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf,
-      maintainPolicy, codec, allowTombstones)
+      maintainPolicy, codec, allowTombstones, saltCheck)
   }
 }
 
@@ -102,7 +113,8 @@ private[sources] class KvWrite(
     queryId: String, conf: SerializableConfiguration,
     maintainPolicy: Option[KvMaintenance.Policy] = None,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
-    allowTombstones: Boolean = false)
+    allowTombstones: Boolean = false,
+    saltCheck: Option[Int] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   // The sink's contract: range distribution on rowKey across exactly
@@ -119,12 +131,13 @@ private[sources] class KvWrite(
   override def requiredNumPartitions(): Int = regions
 
   override def toBatch: BatchWrite =
-    new KvBatchWrite(path, schema, truncate, conf, codec, allowTombstones)
+    new KvBatchWrite(path, schema, truncate, conf, codec, allowTombstones,
+      saltCheck)
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy, codec,
-      allowTombstones)
+      allowTombstones, saltCheck)
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -149,7 +162,8 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     queryId: String, conf: SerializableConfiguration,
     maintainPolicy: Option[KvMaintenance.Policy] = None,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
-    allowTombstones: Boolean = false)
+    allowTombstones: Boolean = false,
+    saltCheck: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -157,7 +171,7 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
-      allowTombstones)
+      allowTombstones, saltCheck)
 
   /** Stable per-QUERY name token: sealed names are deterministic per
     * (query, epoch, region), so exactly-once recovery (rename-over-same-
@@ -277,7 +291,8 @@ private[sources] case class KvEpochCommit(file: String, partition: Int,
 private[sources] case class KvStreamWriterFactory(
     stagingDir: String, fieldNames: Seq[String], conf: SerializableConfiguration,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
-    allowTombstones: Boolean = false)
+    allowTombstones: Boolean = false,
+    saltCheck: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   /** Attempts stage under task-unique names; the deterministic FINAL name is
@@ -287,7 +302,7 @@ private[sources] case class KvStreamWriterFactory(
       : DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
       commitAs = (f, st) => KvEpochCommit(f, partitionId, st), codec = codec,
-      allowTombstones = allowTombstones)
+      allowTombstones = allowTombstones, saltCheck = saltCheck)
 }
 
 private[sources] case class KvFileCommit(file: String, partition: Int,
@@ -297,14 +312,15 @@ private[sources] case class KvFileCommit(file: String, partition: Int,
 private[sources] class KvBatchWrite(path: String, schema: StructType,
     truncate: Boolean, conf: SerializableConfiguration,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
-    allowTombstones: Boolean = false)
+    allowTombstones: Boolean = false,
+    saltCheck: Option[Int] = None)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
-      allowTombstones)
+      allowTombstones, saltCheck)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -372,12 +388,13 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
 private[sources] case class KvWriterFactory(stagingDir: String,
     fieldNames: Seq[String], conf: SerializableConfiguration,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
-    allowTombstones: Boolean = false)
+    allowTombstones: Boolean = false,
+    saltCheck: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(stagingDir, fieldNames, partitionId, taskId, conf,
       commitAs = (f, st) => KvFileCommit(f, partitionId, st), codec = codec,
-      allowTombstones = allowTombstones)
+      allowTombstones = allowTombstones, saltCheck = saltCheck)
 }
 
 /** One region file per partition, created lazily on the first row (empty
@@ -394,7 +411,8 @@ private[sources] class KvDataWriter(
     conf: SerializableConfiguration,
     commitAs: (String, Option[KvLog.FileStat]) => WriterCommitMessage,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
-    allowTombstones: Boolean = false)
+    allowTombstones: Boolean = false,
+    saltCheck: Option[Int] = None)
     extends DataWriter[InternalRow] {
 
   private val file = f"$stagingDir/part-r-$partitionId%05d-$taskId.parquet"
@@ -438,6 +456,17 @@ private[sources] class KvDataWriter(
     writer.write(row)
     rows += 1
     if (keyIdx >= 0 && !row.isNullAt(keyIdx)) {
+      // A registered salted table admits only self-consistent stored keys
+      // (KvWriteBuilder doc) — one bytes-hash per row, append paths only.
+      saltCheck.foreach { n =>
+        if (!KvSalt.isStored(row.getUTF8String(keyIdx), n))
+          throw new IllegalArgumentException(
+            s"graft-kv: appending to a table registered as salted with $n " +
+              s"buckets, but rowKey '${row.getUTF8String(keyIdx)}' is not " +
+              "a stored salted key — route the write through " +
+              "KvSalt.salted/saltedWrite (SQL INSERT cannot salt; use the " +
+              "path API for salted tables)")
+      }
       // .toString copies out of Spark's reused row buffer — required
       val k = row.getUTF8String(keyIdx).toString
       if (minKey == null || k < minKey) minKey = k

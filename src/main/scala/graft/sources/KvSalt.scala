@@ -72,6 +72,36 @@ object KvSalt {
     ((h % n) + n) % n
   }
 
+  /** The hot-path twin of [[saltOf]] for the sink's per-row validation:
+    * the same Murmur3 bytes-hash `functions.hash` codegens for a
+    * UTF8String (seed 42), no expression eval per row.
+    */
+  def saltOfUtf8(key: UTF8String, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      key.getBaseObject, key.getBaseOffset, key.numBytes(), 42)
+    ((h % n) + n) % n
+  }
+
+  /** Whether a STORED key is self-consistent under `n` buckets: a
+    * `"%03d|"` prefix whose value is the salt of the suffix. The sink
+    * validates every row written to a REGISTERED salted table with this —
+    * an unsalted (or wrong-n) write would otherwise silently corrupt the
+    * layout, and no read would ever error.
+    */
+  def isStored(key: UTF8String, n: Int): Boolean = {
+    if (key == null || key.numBytes() < Width) return false
+    if (key.getByte(3) != '|') return false
+    var s = 0
+    var i = 0
+    while (i < 3) {
+      val b = key.getByte(i)
+      if (b < '0' || b > '9') return false
+      s = s * 10 + (b - '0')
+      i += 1
+    }
+    s < n && s == saltOfUtf8(key.substring(Width, Int.MaxValue), n)
+  }
+
   /** The stored form of one logical key. */
   def stored(key: String, n: Int): String = f"${saltOf(key, n)}%03d|$key"
 

@@ -41,8 +41,34 @@ object KvTableInfo {
   def disjointSortedRegions(spark: SparkSession, path: String): Boolean = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir) || !KvLog.exists(fs, dir)) return false
     if (KvSalt.bucketsOf(fs, dir).isDefined) return false
+    storedDisjointSorted(fs, dir)
+  }
+
+  /** The WEAKER certification the per-partition streaming pivot actually
+    * needs, and the one a SALTED table can satisfy: every LOGICAL rowKey's
+    * cells are CONTIGUOUS within exactly one scan partition. True whenever
+    * the live files are disjoint-sorted in STORED key space — which is
+    * what the manifest bounds record — because one logical key maps to
+    * exactly one stored key (the salt is a function of the key), so its
+    * cells land in one file, adjacent in stored order, and the salt-aware
+    * scan's prefix strip preserves adjacency of equal keys. What salting
+    * still gives up is cross-partition LOGICAL ordering (stored order
+    * interleaves buckets) — so [[disjointSortedRegions]] keeps refusing
+    * salted tables for any consumer that needs a sorted-by-logical-key
+    * stream, while group-by-adjacent-key consumers
+    * ([[graft.ops.KvPivot.pivotPresorted]]) certify HERE and run
+    * exchange-free on the hot-key-ingest layout too.
+    */
+  def keyContiguousRegions(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    storedDisjointSorted(fs, dir)
+  }
+
+  private def storedDisjointSorted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Boolean = {
+    if (!fs.exists(dir) || !KvLog.exists(fs, dir)) return false
     val live = KvLog.liveFiles(fs, dir)
     val stats = KvLog.liveFileStats(fs, dir)
     if (live.isEmpty || !live.forall(stats.contains)) return false

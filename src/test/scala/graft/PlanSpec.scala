@@ -157,6 +157,12 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("salted presorted pivot runs ZERO exchanges (contiguity-tier certification)") {
+    val plan = executedPlan(Queries.all("kv_pivot_salted")(spark, sfDir))
+    plan should not include "Exchange"
+    plan should not include "ShuffleQueryStage"
+  }
+
   test("delete masking stays INSIDE the scan: no join, no exchange added to a masked read") {
     val masked = Queries.all("kv_delete_mask")(spark, sfDir)
     val plan = executedPlan(masked)

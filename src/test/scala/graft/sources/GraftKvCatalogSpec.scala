@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** [[GraftKvCatalog]]: the named-table SQL surface over the `graft-kv`
+  * connector — CREATE/INSERT/SELECT/SHOW/DROP against a filesystem
+  * warehouse, with table properties driving write defaults and the whole
+  * lifecycle (manifest, salt, deletes) traveling with the directory.
+  */
+class GraftKvCatalogSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private val cat = "graftcat_spec"
+  private lazy val wh: String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_catalog_wh"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", d)
+    d
+  }
+
+  private def cellsDf = Seq(
+    ("k01", "f", "a", "v1", 10L), ("k01", "f", "b", "v2", 11L),
+    ("k02", "f", "a", "v3", 12L), ("k03", "g", "c", "v4", 13L))
+    .toDF("rowKey", "family", "qualifier", "v", "ts")
+    .select(col("rowKey"), col("family"), col("qualifier"),
+      encode(col("v"), "UTF-8").as("value"), col("ts"))
+
+  test("CREATE NAMESPACE / CREATE TABLE / INSERT / SELECT / SHOW / DROP round-trip") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("corpus"))
+    spark.sql(
+      s"""CREATE TABLE $cat.corpus.t1 (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv` TBLPROPERTIES ('regions' = '2')""".stripMargin)
+    assert(spark.sql(s"SHOW TABLES IN $cat.corpus").collect()
+      .map(_.getString(1)).contains("t1"))
+    cellsDf.createOrReplaceTempView("catalog_spec_cells")
+    spark.sql(s"INSERT INTO $cat.corpus.t1 SELECT * FROM catalog_spec_cells")
+    // the recorded 'regions' property drove the write fan-out
+    val dir = new Path(s"$wh/corpus/t1")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(KvLog.liveFiles(fs, dir).size == 2,
+      "INSERT must use the table's recorded regions=2")
+    // SQL reads go through the same pruned/pushed scan
+    val n = spark.sql(
+      s"SELECT count(*) FROM $cat.corpus.t1 WHERE rowKey = 'k01'")
+      .head().getLong(0)
+    assert(n == 2)
+    spark.sql(s"SELECT rowKey, qualifier FROM $cat.corpus.t1 ORDER BY rowKey, qualifier")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("k01", "a"), ("k01", "b"), ("k02", "a"), ("k03", "c"))
+    // second INSERT appends (a second manifest commit)
+    spark.sql(s"INSERT INTO $cat.corpus.t1 SELECT * FROM catalog_spec_cells")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t1").head().getLong(0) == 8)
+    // deletes work against the catalog table's directory
+    KvDelete.deleteRows(spark, s"$wh/corpus/t1", Seq("k03").toDF("rowKey"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t1").head().getLong(0) == 6)
+    spark.sql(s"DROP TABLE $cat.corpus.t1")
+    assert(!fs.exists(dir))
+    assert(!spark.sql(s"SHOW TABLES IN $cat.corpus").collect()
+      .map(_.getString(1)).contains("t1"))
+  }
+
+  test("CTAS creates and loads; the cell schema is enforced") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ctas")
+    cellsDf.createOrReplaceTempView("catalog_spec_cells2")
+    spark.sql(
+      s"""CREATE TABLE $cat.ctas.t2 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1')
+         |AS SELECT * FROM catalog_spec_cells2""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ctas.t2").head().getLong(0) == 4)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ctas.bad (a INT, b STRING) USING `graft-kv`")
+    }
+    e.getMessage should include("exactly columns")
+  }
+
+  test("a salted catalog table refuses an unsalted SQL INSERT loudly") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.salted")
+    spark.sql(
+      s"""CREATE TABLE $cat.salted.t3 (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '8')""".stripMargin)
+    val dir = new Path(s"$wh/salted/t3")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    KvSalt.bucketsOf(fs, dir) shouldBe Some(8)
+    cellsDf.createOrReplaceTempView("catalog_spec_cells3")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.salted.t3 SELECT * FROM catalog_spec_cells3")
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    messages should include("not a stored salted key")
+    // the path API's salting write path works and reads back by NAME
+    KvSalt.saltedWrite(cellsDf, s"$wh/salted/t3", n = 8, regions = 2,
+      mode = "append")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3 WHERE rowKey = 'k01'")
+      .head().getLong(0) == 2)
+  }
+
+  test("ALTER refuses; RENAME moves the directory; DROP NAMESPACE honors CASCADE") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ops")
+    spark.sql(
+      s"""CREATE TABLE $cat.ops.t4 (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT) USING `graft-kv`""".stripMargin)
+    an[Exception] should be thrownBy
+      spark.sql(s"ALTER TABLE $cat.ops.t4 SET TBLPROPERTIES ('regions'='9')")
+    spark.sql(s"ALTER TABLE $cat.ops.t4 RENAME TO ops.t5")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ops").collect()
+      .map(_.getString(1)).toSet == Set("t5"))
+    an[Exception] should be thrownBy spark.sql(s"DROP NAMESPACE $cat.ops")
+    spark.sql(s"DROP NAMESPACE $cat.ops CASCADE")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ops"))
+  }
+}
