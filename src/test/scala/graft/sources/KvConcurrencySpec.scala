@@ -135,4 +135,57 @@ class KvConcurrencySpec extends graft.SparkSpec {
     assert(after < before, "the interleaved remove should have shrunk the table")
     spark.catalog.clearCache()
   }
+
+  test("RestoreSnapshot racing a compaction publish: the restore wins, the compaction aborts clean") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_restore_race"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = KvGenerator.cells(spark, 300, 4, "runRR").cache()
+    cells.filter(pmod(col("ts"), lit(3)) === 0)
+      .write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    KvSnapshot.create(spark, d, "golden")
+    def readable(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("rowKey"), col("qualifier"),
+          decode(col("value"), "UTF-8"), col("ts"))
+        .collect().map(_.mkString("|")).toSet
+    val goldenRows = readable(spark.read.format("graft-kv")
+      .option("snapshot", "golden").load(d))
+    (1 until 3).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(3)) === i)
+        .write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    }
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val table = new Path(d)
+    // The restore lands BETWEEN the compaction's staging and its publish
+    // attempt — a restore is a compact entry with removes, the exact
+    // conflict class the publish loop must refuse to rebase over (its
+    // staged merge references pre-restore segments the restore just
+    // removed from the live set).
+    var restoredSeq = -1L
+    KvCompactor.prePublishHook = () => {
+      KvCompactor.prePublishHook = () => ()
+      restoredSeq = KvSnapshot.restore(spark, d, "golden")
+    }
+    val res =
+      try KvCompactor.compact(spark, d, regions = 2)
+      finally KvCompactor.prePublishHook = () => ()
+    assert(res.isInstanceOf[KvCompactor.Aborted], s"expected Aborted, got $res")
+    assert(restoredSeq > 0, "the interleaved restore must have published")
+    // The table IS the snapshot state: the losing compaction left no
+    // trace — no staged output on disk or in the manifest, and the live
+    // set is exactly the snapshot's pins.
+    assert(!KvLog.dataFiles(fs, table).exists(_.getName.startsWith("part-c")))
+    readable(spark.read.format("graft-kv").load(d)) shouldBe goldenRows
+    val fsck = KvFsck.check(spark, d)
+    assert(fsck.healthy,
+      s"restore-race left an unhealthy table: ${fsck.rows}")
+    // And the restored table remains fully operational: a fresh major
+    // compaction over the snapshot state publishes normally.
+    KvCompactor.compact(spark, d, regions = 2) match {
+      case _: KvCompactor.Compacted => ()
+      case p: KvCompactor.Parked => () // single-segment snapshot: nothing to merge
+      case other => fail(s"post-race compaction broken: $other")
+    }
+    readable(spark.read.format("graft-kv").load(d)) shouldBe goldenRows
+    spark.catalog.clearCache()
+  }
 }
