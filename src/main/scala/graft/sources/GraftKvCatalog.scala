@@ -146,6 +146,36 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       p.toString, KvTableProps.read(fs, p))
   }
 
+  /** SQL time travel — `SELECT ... FROM cat.ns.t VERSION AS OF <seq>`:
+    * the named version is the manifest log seq ([[KvLog]]), injected as
+    * the scan's `asOfSeq` option. Same replay, same durability caveats as
+    * the path API.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = tablePath(ident)
+    val seq = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-kv catalog: VERSION AS OF takes a manifest log seq " +
+          s"(a number), got '$version' (named snapshots are read with the " +
+          "path API's snapshot option)")
+    }
+    new KvCatalogTable(s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}",
+      p.toString, KvTableProps.read(fs, p),
+      readOptions = Map("asOfSeq" -> seq.toString))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROSECONDS since epoch; the scan's
+    * `asOfTime` resolves the last version published at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = tablePath(ident)
+    new KvCatalogTable(s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}",
+      p.toString, KvTableProps.read(fs, p),
+      readOptions = Map("asOfTime" -> (timestamp / 1000L).toString))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -232,7 +262,9 @@ private[sources] object KvTableProps {
   * salting projection exactly like [[KvSalt.saltedWrite]].
   */
 private[sources] class KvCatalogTable(tableName: String, path: String,
-    props: Map[String, String]) extends KvCellTable(path) {
+    props: Map[String, String],
+    readOptions: Map[String, String] = Map.empty)
+    extends KvCellTable(path, readOptions) {
 
   override def name(): String = tableName
 

@@ -65,8 +65,10 @@ class KvCellSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sources] class KvCellTable(path: String) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+private[sources] class KvCellTable(path: String,
+    extraReadOptions: Map[String, String] = Map.empty) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** The SESSION's Hadoop conf (spark.hadoop.* settings, filesystem
     * credentials, defaultFS), captured driver-side at builder time and
@@ -92,7 +94,17 @@ private[sources] class KvCellTable(path: String) extends Table
     * by table/family CONFIGURATION, not by consumer-side predicates, and
     * these options are that contract. They work identically on batch reads.
     */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(options0: CaseInsensitiveStringMap): ScanBuilder = {
+    // Catalog-injected read options (VERSION AS OF / TIMESTAMP AS OF —
+    // GraftKvCatalog.loadTable) override the statement's, which SQL can't
+    // set anyway.
+    val options =
+      if (extraReadOptions.isEmpty) options0
+      else {
+        val m = new java.util.HashMap[String, String](options0.asCaseSensitiveMap())
+        extraReadOptions.foreach { case (k, v) => m.put(k, v) }
+        new CaseInsensitiveStringMap(m)
+      }
     val maxFiles = Option(options.get("maxFilesPerBatch")).map(_.toInt)
     maxFiles.foreach(n => require(n > 0, s"maxFilesPerBatch must be positive: $n"))
     val maxBytes = Option(options.get("maxBytesPerBatch")).map(_.toLong)
@@ -177,6 +189,24 @@ private[sources] class KvCellTable(path: String) extends Table
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new KvWriteBuilder(path, info, sessionConf)
+
+  /** SQL `DELETE FROM` / `TRUNCATE TABLE` ([[KvDelete]]): a supported
+    * condition commits delete MARKERS — one small sorted append, never a
+    * rewrite — and every subsequent scan masks it. Unsupported shapes are
+    * refused whole (no partial deletes).
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    KvDelete.translateSqlDelete(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    KvDelete.runSqlDelete(org.apache.spark.sql.SparkSession.active, path,
+      KvDelete.translateSqlDelete(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-kv: unsupported DELETE condition [${filters.mkString(", ")}] " +
+            "— delete by rowKey (=/IN), optionally AND family+qualifier " +
+            "equality and/or a ts upper bound")))
 }
 
 private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int] = None,

@@ -128,6 +128,97 @@ object KvDelete {
       .mode("append").save(path)
   }
 
+  /** A SQL `DELETE FROM` translated to marker commits
+    * ([[KvCellTable]]'s `SupportsDelete`): `keys` get row markers, or
+    * column markers when `colTarget` pins (family, qualifier). `tsBound`
+    * is the explicit `ts <= t` conjunct when present; otherwise the
+    * marker uses the table's current max ts (exact for every row present
+    * at delete time — the HBase delete-at-now analog for caller-defined
+    * timestamps; a later INSERT with a smaller-or-equal ts is masked
+    * until the marker compacts away, the same drift HBase accepts).
+    */
+  final case class SqlDelete(keys: Seq[String], tsBound: Option[Long],
+      colTarget: Option[(String, String)], truncate: Boolean = false)
+
+  /** Translate a pushed DELETE condition (a conjunction). Accepted shapes:
+    * `rowKey = v` / `rowKey IN (...)`, optionally `AND family = f AND
+    * qualifier = q` (column delete), optionally `AND ts <= t` / `ts < t`;
+    * the bare `TRUE` (TRUNCATE). Anything else returns None and Spark
+    * reports the delete as unsupported — never a partial or approximate
+    * delete.
+    */
+  def translateSqlDelete(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[SqlDelete] = {
+    import org.apache.spark.sql.sources._
+    if (filters.isEmpty || filters.toSeq == Seq(AlwaysTrue))
+      return Some(SqlDelete(Nil, None, None, truncate = true))
+    var keys: Option[Seq[String]] = None
+    var fam: Option[String] = None
+    var qual: Option[String] = None
+    var ts: Option[Long] = None
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo("rowKey", v: String) if keys.isEmpty => keys = Some(Seq(v))
+      case In("rowKey", vs) if keys.isEmpty && vs.forall(_.isInstanceOf[String]) =>
+        keys = Some(vs.toSeq.collect { case s: String => s })
+      case EqualTo("family", v: String) if fam.isEmpty => fam = Some(v)
+      case EqualTo("qualifier", v: String) if qual.isEmpty => qual = Some(v)
+      case LessThanOrEqual("ts", v: java.lang.Long) if ts.isEmpty => ts = Some(v)
+      case LessThan("ts", v: java.lang.Long) if ts.isEmpty => ts = Some(v - 1)
+      case _ => return None
+    }
+    (keys, fam, qual) match {
+      case (Some(ks), Some(f), Some(q)) => Some(SqlDelete(ks, ts, Some((f, q))))
+      case (Some(ks), None, None) => Some(SqlDelete(ks, ts, None))
+      case _ => None // family/qualifier without the other (or no keys)
+    }
+  }
+
+  /** Execute a translated SQL delete: one marker commit through
+    * [[deleteRows]]/[[deleteColumns]] (TRUNCATE resets the table like an
+    * overwrite, snapshots preserved). Driver-side O(keys).
+    */
+  def runSqlDelete(spark: SparkSession, path: String, d: SqlDelete): Unit = {
+    import spark.implicits._
+    if (d.truncate) {
+      // The sink's truncate path (empty overwrite): snapshot-pinned files
+      // survive, the manifest and salt property reset with the table.
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.kv.Cell.schema)
+        .write.format("graft-kv").mode("overwrite").save(path)
+      return
+    }
+    val ts = d.tsBound.getOrElse(currentMaxTs(spark, path))
+    d.colTarget match {
+      case Some((f, q)) =>
+        deleteColumns(spark, path,
+          d.keys.toDF("rowKey").select(col("rowKey"),
+            lit(f).as("family"), lit(q).as("qualifier")), defaultTs = ts)
+      case None =>
+        deleteRows(spark, path, d.keys.toDF("rowKey"), defaultTs = ts)
+    }
+  }
+
+  /** The table's current max ts from manifest stats — the implicit bound
+    * of an unbounded SQL delete. Falls back to Long.MaxValue when any
+    * live file lacks stats (over-masking is the safe direction: a DELETE
+    * must never leave matching rows visible).
+    */
+  private def currentMaxTs(spark: SparkSession, path: String): Long = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = KvLog.liveFiles(fs, dir)
+    val stats = KvLog.liveFileStats(fs, dir)
+    if (live.isEmpty) Long.MaxValue
+    else if (!live.forall(n => stats.get(n).exists(_.maxTs.isDefined)))
+      Long.MaxValue
+    else live.flatMap(n => stats(n).maxTs).max
+  }
+
   /** The broadcast-able live mask: per deleted rowKey, the newest row
     * marker ts and the newest column marker ts per (family, qualifier).
     * Only the NEWEST marker per coordinate matters — a put masked by an

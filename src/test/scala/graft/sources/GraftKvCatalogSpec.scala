@@ -109,6 +109,63 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       .head().getLong(0) == 2)
   }
 
+  test("SQL DELETE FROM commits markers; TRUNCATE resets; unsupported shapes refuse whole") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.del")
+    cellsDf.createOrReplaceTempView("catalog_spec_cells4")
+    spark.sql(
+      s"""CREATE TABLE $cat.del.t6 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1')
+         |AS SELECT * FROM catalog_spec_cells4""".stripMargin)
+    // row delete by key: both k01 cells masked from every read
+    spark.sql(s"DELETE FROM $cat.del.t6 WHERE rowKey = 'k01'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 2)
+    // it is a MARKER commit, not a rewrite: the raw view still has the puts
+    val dir = s"$wh/del/t6"
+    assert(spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(dir).count() == 5) // 4 puts + 1 marker
+    // column delete by (key, family, qualifier)
+    spark.sql(
+      s"DELETE FROM $cat.del.t6 WHERE rowKey = 'k02' AND family = 'f' AND qualifier = 'a'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 1)
+    // a later INSERT with a HIGHER ts is visible (delete-at-now semantics)
+    Seq(("k02", "f", "a", "back", 99L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_back")
+    spark.sql(s"INSERT INTO $cat.del.t6 SELECT * FROM catalog_spec_back")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.del.t6 WHERE rowKey = 'k02'").head().getLong(0) == 1)
+    // an unsupported condition refuses WHOLE — nothing deleted
+    an[Exception] should be thrownBy
+      spark.sql(s"DELETE FROM $cat.del.t6 WHERE ts > 5")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 2)
+    // TRUNCATE TABLE resets the data
+    spark.sql(s"TRUNCATE TABLE $cat.del.t6")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 0)
+  }
+
+  test("SQL time travel: VERSION AS OF reads the named manifest seq") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tt")
+    cellsDf.createOrReplaceTempView("catalog_spec_cells5")
+    spark.sql(
+      s"""CREATE TABLE $cat.tt.t7 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1')
+         |AS SELECT * FROM catalog_spec_cells5""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.tt.t7 SELECT * FROM catalog_spec_cells5")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt.t7").head().getLong(0) == 8)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt.t7 VERSION AS OF 0")
+      .head().getLong(0) == 4)
+    // TIMESTAMP AS OF far in the future resolves to the latest version
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.tt.t7 TIMESTAMP AS OF '2199-01-01 00:00:00'")
+      .head().getLong(0) == 8)
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT count(*) FROM $cat.tt.t7 VERSION AS OF 'goldenish'").collect()
+  }
+
   test("ALTER refuses; RENAME moves the directory; DROP NAMESPACE honors CASCADE") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ops")
