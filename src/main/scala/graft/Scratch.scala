@@ -1309,6 +1309,63 @@ object Scratch {
         agg(spark.read.format("graft-kv")
           .option("splitRegionBytes", 16 * 1024 * 1024).load(dir), "split 16MB")
 
+      case "kvdelete" =>
+        // Tombstone economics at scale: deleting K keys from an N-key
+        // table as (a) a MARKER commit + read-time masking (the engine's
+        // delete) vs (b) the wholesale filter+rewrite it replaces. Also
+        // prices the steady-state masking overhead on the full scan, the
+        // deleted-key point Get, and the post-major-compaction scan
+        // (masking retired, markers purged).
+        import org.apache.spark.sql.functions._
+        val n = 4000000L
+        val delKeys = 100000L
+        val regions = 32
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvdelete"
+        val rewriteDir = s"${dir}_rewrite"
+        Seq(dir, rewriteDir).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+        val base = spark.range(n).select(
+          format_string("%07d", col("id")).as("rowKey"),
+          lit("f").as("family"), lit("q").as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+        time(s"stage table (${n / 1000000}M cells, $regions regions)") {
+          base.write.format("graft-kv").option("regions", regions)
+            .mode("overwrite").save(dir)
+        }
+        def fullScan(label: String): Unit = {
+          val r = time(s"full scan ($label)") {
+            spark.read.format("graft-kv").load(dir)
+              .agg(count(lit(1)), bit_xor(xxhash64(col("rowKey"), col("ts"))))
+              .collect()
+          }
+          println(s"  rows=${r(0).getLong(0)}")
+        }
+        fullScan("pre-delete, no markers")
+        // every 40th key: 100k row deletes
+        val victims = spark.range(delKeys)
+          .select(format_string("%07d", col("id") * (n / delKeys)).as("rowKey"))
+        time(s"(a) marker commit (${delKeys / 1000}k row deletes)") {
+          graft.sources.KvDelete.deleteRows(spark, dir, victims, regions = 4)
+        }
+        fullScan("post-delete, masked")
+        time("point Get of a deleted key") {
+          val c = spark.read.format("graft-kv").load(dir)
+            .filter(col("rowKey") === "0000040").count()
+          require(c == 0, s"deleted key visible: $c")
+        }
+        time(s"(b) the rewrite alternative (filter+rewrite ${n / 1000000}M cells)") {
+          spark.read.format("graft-kv").option("readTombstones", "true").load(dir)
+            .filter(col("qualifier") >= "\u0001") // drop the markers themselves
+            .join(victims, Seq("rowKey"), "left_anti")
+            .write.format("graft-kv").option("regions", regions)
+            .mode("overwrite").save(rewriteDir)
+        }
+        time("major compaction (applies + purges markers)") {
+          val res = graft.sources.KvCompactor.compact(spark, dir, regions = regions)
+          require(res.isInstanceOf[graft.sources.KvCompactor.Compacted], res.toString)
+        }
+        fullScan("post-compaction, marker-free")
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave
