@@ -61,7 +61,8 @@ object Cli {
     "HistoryTable" -> 1, "CheckTable" -> 1, "RepairTable" -> 2,
     "DropTail" -> 2,
     "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
-    "DropSnapshot" -> 2, "ListSnapshots" -> 1, "CloneSnapshot" -> 3)
+    "DropSnapshot" -> 2, "ListSnapshots" -> 1, "CloneSnapshot" -> 3,
+    "DeleteRows" -> 2, "DeleteColumn" -> 4)
 
   /** Dispatch, separated from session lifecycle for tests. */
   def run(spark: SparkSession, command: String, a: Array[String]): Unit = {
@@ -301,6 +302,30 @@ object Cli {
         println(f"${s.name}%-32s seq=${s.seq}%-6d files=${s.files.size}%-5d " +
           s"at=${java.time.Instant.ofEpochMilli(s.createdAt)}"))
 
+    // HBase shell `deleteall` / `delete`: commit tombstones by key (one
+    // small sorted marker append — [[graft.sources.KvDelete]]); every
+    // subsequent scan masks immediately, major compaction purges.
+    case "DeleteRows" =>
+      val Array(table, keysCsv) = a.take(2)
+      val keys = keysCsv.split(",").toSeq.filter(_.nonEmpty)
+      require(keys.nonEmpty, s"DeleteRows needs at least one key\n$usage")
+      import spark.implicits._
+      val ts = a.lift(2).map(_.toLong)
+      graft.sources.KvDelete.deleteRows(spark, s"${tableDir(table)}/cells",
+        keys.toDF("rowKey"), defaultTs = ts.getOrElse(Long.MaxValue))
+      println(s"deleted ${keys.size} row(s) from $table" +
+        ts.fold(" (all versions, until purge)")(t => s" (versions with ts <= $t)"))
+
+    case "DeleteColumn" =>
+      val Array(table, key, family, qualifier) = a.take(4)
+      import spark.implicits._
+      val ts = a.lift(4).map(_.toLong)
+      graft.sources.KvDelete.deleteColumns(spark, s"${tableDir(table)}/cells",
+        Seq((key, family, qualifier)).toDF("rowKey", "family", "qualifier"),
+        defaultTs = ts.getOrElse(Long.MaxValue))
+      println(s"deleted $table $key $family:$qualifier" +
+        ts.fold("")(t => s" (ts <= $t)"))
+
     case other => throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
   }
 
@@ -349,5 +374,8 @@ object Cli {
       |  RestoreSnapshot <table> <name>              (roll back to a snapshot, one metadata commit)
       |  DropSnapshot <table> <name>                 (unpin; files become vacuum-eligible)
       |  CloneSnapshot <table> <name> <newTable>     (materialize a snapshot as a new table)
-      |  ListSnapshots <table>""".stripMargin
+      |  ListSnapshots <table>
+      |  DeleteRows <table> <key>[,<key>...] [ts]    (deleteall: tombstone rows, masked from the next scan)
+      |  DeleteColumn <table> <key> <family> <qualifier> [ts]
+      |                                              (delete: tombstone one column)""".stripMargin
 }

@@ -268,6 +268,9 @@ private[sources] class KvCatalogTable(tableName: String, path: String,
 
   override def name(): String = tableName
 
+  /** Recorded properties surface in DESCRIBE TABLE EXTENDED. */
+  override def properties(): util.Map[String, String] = props.asJava
+
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {

@@ -84,6 +84,35 @@ class CliSpec extends SparkSpec {
     e.getMessage should include("usage")
   }
 
+  test("DeleteRows / DeleteColumn tombstone by key: masked immediately, purged by CompactTable") {
+    Cli.run(spark, "CreateTable", Array("delTest", "c", "2"))
+    Cli.run(spark, "PopulateTable", Array("2", "100", "out", "delTest", "c", "runD"))
+    val before = Cli.cells(spark, "delTest").count()
+    val someKeys = Cli.cells(spark, "delTest").select("rowKey").distinct()
+      .orderBy("rowKey").limit(2).collect().map(_.getString(0))
+    Cli.run(spark, "DeleteRows", Array("delTest", someKeys.mkString(",")))
+    val deletedCells = before - Cli.cells(spark, "delTest").count()
+    assert(deletedCells > 0, "row deletes must mask cells")
+    assert(Cli.cells(spark, "delTest")
+      .filter(org.apache.spark.sql.functions.col("rowKey") === someKeys.head)
+      .count() == 0)
+    // column delete of one qualifier on a surviving key
+    val survivor = Cli.cells(spark, "delTest").select("rowKey").distinct()
+      .orderBy("rowKey").limit(1).collect().head.getString(0)
+    Cli.run(spark, "DeleteColumn", Array("delTest", survivor, "c", "C3"))
+    assert(Cli.cells(spark, "delTest")
+      .filter(org.apache.spark.sql.functions.col("rowKey") === survivor &&
+        org.apache.spark.sql.functions.col("qualifier") === "C3").count() == 0)
+    // major compaction purges the markers; visible data unchanged
+    val masked = Cli.cells(spark, "delTest").count()
+    Cli.run(spark, "CompactTable", Array("delTest", "2"))
+    assert(Cli.cells(spark, "delTest").count() == masked)
+    assert(spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(s"$wh/delTest/cells")
+      .filter(org.apache.spark.sql.functions.col("qualifier") < "\u0001")
+      .count() == 0)
+  }
+
   test("RunQuery runs any registered operator; unknown names list the registry") {
     // smoke an extension operator end-to-end through the CLI dispatch
     Cli.run(spark, "RunQuery", Array("txt_repetition", sfDir, "3"))

@@ -196,6 +196,23 @@ class KvDeleteSpec extends graft.SparkSpec {
     assert(scan(d).filter(col("rowKey") === "k18").count() == 3)
   }
 
+  test("snapshots and clones carry tombstones: the clone masks identically") {
+    val d = tmp("kv_del_snap_src")
+    val c = tmp("kv_del_snap_clone")
+    cells(baseRows.take(30): _*).write.format("graft-kv").option("regions", 2)
+      .mode("append").save(d)
+    KvDelete.deleteRows(spark, d, Seq("k03").toDF("rowKey"))
+    KvSnapshot.create(spark, d, "withDeletes")
+    KvSnapshot.cloneTo(spark, d, "withDeletes", c)
+    // the clone's marker file carried its d= stat, so masking activates
+    readable(scan(c)) shouldBe readable(scan(d))
+    assert(scan(c).filter(col("rowKey") === "k03").count() == 0)
+    // and the snapshot read itself masks too
+    val snapRead = spark.read.format("graft-kv")
+      .option("snapshot", "withDeletes").load(d)
+    readable(snapRead) shouldBe readable(scan(d))
+  }
+
   test("streaming tails ship markers raw: deletes replicate") {
     import org.apache.spark.sql.streaming.Trigger
     val d = tmp("kv_del_tail_src")
