@@ -256,10 +256,17 @@ private[sources] object KvTableProps {
 
 /** A catalog-resolved kv table: the ordinary [[KvCellTable]] surface with
   * the recorded table properties injected as WRITE defaults (a SQL
-  * `INSERT INTO` carries no options, so the regions/codec/salt choices
-  * made at CREATE must come from the table, not the statement). Explicit
-  * per-write options still win. Salted tables route INSERTs through the
-  * salting projection exactly like [[KvSalt.saltedWrite]].
+  * `INSERT INTO` carries no options, so the regions/codec choices made at
+  * CREATE must come from the table, not the statement). Explicit
+  * per-write options still win.
+  *
+  * A `salt_buckets` table registers its salt at CREATE, but the V2 write
+  * path cannot inject the salting PROJECTION (rows must be transformed
+  * before the sink's range exchange, which `RequiresDistributionAndOrdering`
+  * has no hook for) — so a plain SQL INSERT into a salted table is
+  * REFUSED per row by the sink's stored-key validation with a message
+  * pointing at [[KvSalt.saltedWrite]]; populate salted tables through the
+  * path API against the table's directory, then read them by name.
   */
 private[sources] class KvCatalogTable(tableName: String, path: String,
     props: Map[String, String],

@@ -330,13 +330,24 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
       // archive contract, [[KvSnapshot]]): the `_snapshots` dir and every
       // data file a snapshot references survive, so a pinned state stays
       // readable/restorable across an overwrite. Unpinned files and the
-      // manifest go.
+      // manifest go. CATALOG metadata also survives — HBase `truncate`
+      // preserves the table schema — so the recorded table properties
+      // ([[KvTableProps]]) are carried across the reset, and a
+      // catalog-declared `salt_buckets` is re-registered (a PATH-level
+      // salt registration, by contrast, resets with the data: an
+      // overwrite may legitimately change the salt layout).
+      val props = KvTableProps.read(fs, dir)
       val pinned = KvSnapshot.referencedFiles(fs, dir)
       fs.listStatus(dir).map(_.getPath)
         .filter(f => !f.getName.startsWith("_tmp_"))
         .filter(f => f.getName != KvSnapshot.DirName && !pinned.contains(f.getName))
         .foreach(f => fs.delete(f, true))
       KvLog.reset(fs, dir) // truncate resets the manifest with the data
+      if (props.nonEmpty) {
+        KvLog.ensureLogDir(fs, dir)
+        KvTableProps.write(fs, dir, props)
+        props.get("salt_buckets").foreach(n => KvSalt.register(fs, dir, n.toInt))
+      }
     }
     fs.mkdirs(dir)
     // First logged commit into a legacy directory (non-truncate append to a
@@ -442,16 +453,17 @@ private[sources] class KvDataWriter(
     // Reserved-qualifier admission + tombstone stat (KvDelete doc): a
     // one-byte probe per row, on the write path that already touches
     // every field for the other stats.
-    if (qualIdx >= 0 && !row.isNullAt(qualIdx)) {
+    val isMarkerRow = qualIdx >= 0 && !row.isNullAt(qualIdx) && {
       val q = row.getUTF8String(qualIdx)
-      if (q.numBytes() > 0 && q.getByte(0) == 0) {
-        if (!allowTombstones) throw new IllegalArgumentException(
-          "graft-kv: qualifier begins with the reserved tombstone prefix " +
-            "(\\u0000) — delete markers are written through KvDelete; set " +
-            "allowTombstones=true only for deliberate marker-carrying " +
-            "writes (replication pipes, compaction rewrites)")
-        tombstones += 1
-      }
+      q.numBytes() > 0 && q.getByte(0) == 0
+    }
+    if (isMarkerRow) {
+      if (!allowTombstones) throw new IllegalArgumentException(
+        "graft-kv: qualifier begins with the reserved tombstone prefix " +
+          "(\\u0000) — delete markers are written through KvDelete; set " +
+          "allowTombstones=true only for deliberate marker-carrying " +
+          "writes (replication pipes, compaction rewrites)")
+      tombstones += 1
     }
     writer.write(row)
     rows += 1
@@ -473,7 +485,13 @@ private[sources] class KvDataWriter(
       if (maxKey == null || k > maxKey) maxKey = k
       bloom.add(k)
     }
-    if (tsIdx >= 0 && !row.isNullAt(tsIdx)) {
+    // ts bounds cover PUT rows only: a delete marker's ts is a masking
+    // bound, not data — folding it in would poison every consumer of
+    // "the newest data ts" (an unbounded forever-marker would upgrade
+    // later at-now SQL deletes to forever-deletes, KvDelete.currentMaxTs
+    // doc). Metadata min/max(ts) aggregates never see marker-carrying
+    // files anyway (the tombstone gate refuses them).
+    if (tsIdx >= 0 && !row.isNullAt(tsIdx) && !isMarkerRow) {
       val t = row.getLong(tsIdx)
       if (t < minTs) minTs = t
       if (t > maxTs) maxTs = t

@@ -68,7 +68,8 @@ class KvCellSource extends TableProvider with DataSourceRegister {
 private[sources] class KvCellTable(path: String,
     extraReadOptions: Map[String, String] = Map.empty) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   /** The SESSION's Hadoop conf (spark.hadoop.* settings, filesystem
     * credentials, defaultFS), captured driver-side at builder time and
@@ -207,6 +208,17 @@ private[sources] class KvCellTable(path: String,
           s"graft-kv: unsupported DELETE condition [${filters.mkString(", ")}] " +
             "— delete by rowKey (=/IN), optionally AND family+qualifier " +
             "equality and/or a ts upper bound")))
+
+  /** SQL `UPDATE` / `MERGE INTO` (and the DELETE fallback for conditions
+    * markers cannot express): group-based copy-on-write rewrites through
+    * [[KvRowLevelOperation]]. Keyed DELETEs keep taking the marker fast
+    * path above — Spark's metadata-delete optimization prefers it when
+    * [[canDeleteWhere]] accepts.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new KvRowLevelOperationBuilder(path, info, sessionConf)
 }
 
 private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int] = None,
@@ -335,7 +347,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     * binary footer statistics (a truncated bound is a prefix, not the
     * value), but the sink's writer-collected bounds are exact — so the
     * key aggregates are accepted only when every planned file carries
-    * stats ([[KvStatsScan.keyBoundsServable]]); int64 ts footer stats are
+    * stats (the [[plannedStats]] gate); int64 ts footer stats are
     * always exact and need no such gate. Any filter (even one the source
     * itself enforces) disables the rewrite: Spark re-evaluates pushed
     * filters as residuals ABOVE the scan, which would re-filter the one
@@ -361,16 +373,33 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     // A table carrying live DELETE MARKERS refuses every metadata
     // aggregate: file stats count marker rows and masked puts, so a
     // metadata COUNT/MIN/MAX would answer for the RAW table while the
-    // scan it replaces answers for the MASKED one. (A raw
-    // `readTombstones` scan is exactly the raw table — still servable.)
-    (readTombstones ||
-      KvStatsScan.tombstoneFree(path, conf, asOfSeq, sinceSeq, snapshot)) &&
+    // scan it replaces answers for the MASKED one. Raw views — a
+    // `readTombstones` scan, or a `sinceSeq` change feed (KvScan
+    // .maskingActive doc) — ARE the raw rows, still servable.
+    (readTombstones || sinceSeq.isDefined ||
+      plannedStats.exists(_.forall(_._2.forall(_.tombstones == 0L)))) &&
     (!specs.exists(s => s == KvStatsScan.MinKeySpec || s == KvStatsScan.MaxKeySpec) ||
       // Salted tables refuse the key aggregates outright: manifest bounds
       // are STORED (salt-prefixed) keys, whose min/max says nothing about
-      // the logical extremes.
-      (saltBuckets.isEmpty &&
-        KvStatsScan.keyBoundsServable(path, conf, asOfSeq, sinceSeq, snapshot)))
+      // the logical extremes. Exact key bounds additionally need EVERY
+      // planned file to carry manifest stats (footer string statistics
+      // may be truncated).
+      (saltBuckets.isEmpty && plannedStats.exists(_.forall(_._2.isDefined))))
+
+  /** ONE manifest replay shared by every pushdown-feasibility check in
+    * this builder (the tombstone gate + the key-bounds gate would
+    * otherwise each replay the log — object-store round-trips per entry,
+    * on exactly the planning path the stats rewrite exists to make
+    * cheap). None = unreadable here; the refusal lets the real scan fail
+    * with the precise error.
+    */
+  private lazy val plannedStats
+      : Option[Seq[(Path, Option[KvLog.FileStat])]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    try Some(KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot))
+    catch { case _: Exception => None }
+  }
 
   /** Scope filters join the pushed set. Unlike Catalyst-pushed filters,
     * Spark never re-evaluates them as residuals — the parquet record filter
@@ -523,31 +552,8 @@ private[sources] object KvStatsScan {
     * be truncated, so a stat-less file cannot serve them). One manifest
     * replay at pushdown-decision time, driver-side.
     */
-  def keyBoundsServable(path: String, sconf: SerializableConfiguration,
-      asOfSeq: Option[Long], sinceSeq: Option[Long],
-      snapshot: Option[String] = None): Boolean = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(sconf.value)
-    try KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
-      .forall(_._2.isDefined)
-    catch { case _: Exception => false } // unreadable here ⇒ let the scan fail
-  }
-
-  /** Whether the scan's file set carries NO delete markers — the
-    * precondition for every metadata-served aggregate on a masked read
-    * (raw stats cannot answer for a masked table). Stat-less files are
-    * marker-free by construction: markers only enter through the sink,
-    * which always records stats.
-    */
-  def tombstoneFree(path: String, sconf: SerializableConfiguration,
-      asOfSeq: Option[Long], sinceSeq: Option[Long],
-      snapshot: Option[String] = None): Boolean = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(sconf.value)
-    try KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
-      .forall(_._2.forall(_.tombstones == 0L))
-    catch { case _: Exception => false } // unreadable here ⇒ let the scan fail
-  }
+  // (key-bounds and tombstone feasibility both read the builder's single
+  // shared manifest replay — KvScanBuilder.plannedStats)
 }
 
 /** The one stats row, shipped driver→executor as plain JVM values
@@ -586,7 +592,12 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     orderedCols: Int = 1,
     saltBuckets: Option[Int] = None,
     splitRegionBytes: Option[Long] = None,
-    readTombstones: Boolean = false)
+    readTombstones: Boolean = false,
+    /** Row-level-operation mode ([[KvRowLevelScanBuilder]]): pushed
+      * filters prune region files only; readers run filter-free so every
+      * row of a kept group surfaces for the copy-on-write rewrite.
+      */
+    groupPruneOnly: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -724,8 +735,16 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   private lazy val tombstoneFiles: Seq[String] =
     keptFiles.collect { case (f, Some(st)) if st.tombstones > 0 => f }
 
+  /** Masking applies to TABLE-STATE views (current, asOf, snapshot). A
+    * `sinceSeq` read is a CHANGE FEED, not a state view — it must ship
+    * raw cells, markers included, like the streaming tail: a CDC
+    * consumer mirroring the table needs the delete to arrive as a
+    * change, and masking would instead silently suppress both the
+    * markers and the span's masked puts (the replica would keep deleted
+    * data forever — the GDPR-leak direction).
+    */
   private def maskingActive: Boolean =
-    !readTombstones && tombstoneFiles.nonEmpty
+    !readTombstones && sinceSeq.isEmpty && tombstoneFiles.nonEmpty
 
   /** The LIVE MASK, loaded once driver-side from the marker-carrying
     * segments (a pushed `qualifier < "\u0001"` record filter — row-group
@@ -890,9 +909,12 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // could under-produce the global Limit. Inexact ⇒ the cap stays off
     // and Spark's retained Limit/TopN does all the cutting. (Masked rows
     // never spend the cap either: readers count EMITTED survivors.)
-    val readerLimit = if (KvFilters.allExact(pushed)) limit else None
+    val readerLimit =
+      if (groupPruneOnly) None
+      else if (KvFilters.allExact(pushed)) limit else None
     KvReaderFactory(projNames, innerNames,
-      KvFilters.toParquet(pushed), sconf, readerLimit,
+      if (groupPruneOnly) None else KvFilters.toParquet(pushed),
+      sconf, readerLimit,
       desc = descending,
       // tail row-group planning needs RAW row counts to be the bound —
       // only sound with no record filter at all, and never under masking

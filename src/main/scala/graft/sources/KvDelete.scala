@@ -213,10 +213,17 @@ object KvDelete {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val live = KvLog.liveFiles(fs, dir)
     val stats = KvLog.liveFileStats(fs, dir)
+    // Manifest ts bounds cover PUT rows only (the sink excludes marker ts
+    // — a prior forever-delete's Long.MaxValue marker must not upgrade
+    // this delete to forever). A file WITHOUT a stat has unknown content
+    // → fall back to the over-masking direction. A stat-carrying file
+    // with no ts bound holds no puts and contributes nothing.
     if (live.isEmpty) Long.MaxValue
-    else if (!live.forall(n => stats.get(n).exists(_.maxTs.isDefined)))
-      Long.MaxValue
-    else live.flatMap(n => stats(n).maxTs).max
+    else if (!live.forall(stats.contains)) Long.MaxValue
+    else {
+      val bounds = live.flatMap(n => stats(n).maxTs)
+      if (bounds.isEmpty) Long.MaxValue else bounds.max
+    }
   }
 
   /** The broadcast-able live mask: per deleted rowKey, the newest row

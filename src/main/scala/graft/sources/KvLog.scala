@@ -502,6 +502,12 @@ private[graft] object KvLog {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted.toSeq
     val (sinkFiles, preexisting) = all.partition(sinkNamed.matches(_))
+    // TOCTOU guard: a racing first committer may have created `_log` and
+    // renamed its files between the exists() check above and the listing
+    // — its sink-named files are a commit in progress, not a migration.
+    // Re-check before diagnosing; with `_log` present this table is
+    // log-tracked and there is nothing to seed.
+    if (sinkFiles.nonEmpty && exists(fs, table)) return false
     if (sinkFiles.nonEmpty) throw new IllegalStateException(
       s"graft-kv log: $table has no manifest log but holds " +
         s"${sinkFiles.length} sink-named data file(s) " +

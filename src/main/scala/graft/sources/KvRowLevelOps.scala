@@ -1,0 +1,342 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL `UPDATE` / `MERGE INTO` (and the arbitrary-condition `DELETE`
+  * fallback) for `graft-kv` — DSv2 GROUP-BASED row-level operations, the
+  * Iceberg copy-on-write shape:
+  *
+  *  1. Spark builds ONE scan through the operation's
+  *     [[KvRowLevelScanBuilder]]. The command's condition prunes GROUPS
+  *     (region files) two ways — statically through the manifest
+  *     bounds/blooms, and at runtime through the scan's existing
+  *     `SupportsRuntimeV2Filtering` rowKey pruning — but is NEVER applied
+  *     at row level: a group-based rewrite must read every row of an
+  *     affected group (unmatched rows are copied through), so the builder
+  *     reports all filters as residual and the readers run filter-free.
+  *  2. Catalyst computes the replacement rows (`ReplaceData`: matched
+  *     rows modified, the group's other rows copied).
+  *  3. The write re-enters the ordinary sink contract —
+  *     `RequiresDistributionAndOrdering` range-sorts the replacement rows
+  *     into region files, so a rewrite PRESERVES the bulk-load layout —
+  *     and its commit publishes ONE manifest entry: adds = the new files,
+  *     removes = exactly the files the scan planned. Readers flip
+  *     atomically; vacuum reclaims the replaced files after grace, like
+  *     any compaction.
+  *
+  * Concurrency: each publish attempt verifies every scanned group is
+  * STILL LIVE — an interleaved compaction/restore that merged one away
+  * aborts the operation (its replacement rows were computed from a
+  * superseded layout); interleaved pure appends compose (their files are
+  * untouched by the removes).
+  *
+  * Deletes by key stay MARKERS ([[KvDelete]] — the metadata fast path
+  * Spark prefers via `SupportsDelete`); this path is the fallback for
+  * conditions markers cannot express (`DELETE WHERE ts % 2 = 0`) and the
+  * only path for UPDATE/MERGE. Tables carrying LIVE markers refuse
+  * row-level rewrites ("compact first"): a copy-on-write over a masked
+  * scan would silently drop the masked-but-unpurged puts and the markers
+  * themselves from the replaced files. Salted tables refuse too (SQL
+  * cannot re-salt the replacement rows).
+  *
+  * At 100 TB: a keyed UPDATE rewrites the few regions holding the keys
+  * (runtime group filtering), an unkeyed one is an explicit full rewrite
+  * — exactly the copy-on-write cost model, with the marker path available
+  * whenever the statement is expressible by key.
+  */
+private[sources] class KvRowLevelOperationBuilder(path: String,
+    info: RowLevelOperationInfo, conf: SerializableConfiguration)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new KvRowLevelOperation(path, info.command, conf)
+}
+
+private[sources] class KvRowLevelOperation(path: String,
+    cmd: RowLevelOperation.Command, conf: SerializableConfiguration)
+    extends RowLevelOperation {
+
+  /** The files the operation's scan planned (post static + runtime group
+    * pruning) — the groups the replacement write must retire. Written by
+    * the scan at plan time, read by the write at commit.
+    */
+  private[sources] val scannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    val withTombstones = KvLog.liveFileStats(fs, dir).valuesIterator
+      .count(_.tombstones > 0)
+    if (withTombstones > 0) throw new UnsupportedOperationException(
+      s"graft-kv: $path carries live delete markers in $withTombstones " +
+        "file(s) — a group-based rewrite over a masked read would drop " +
+        "masked puts and markers from the replaced files. Run a major " +
+        "compaction (which applies and purges the markers) first, or " +
+        "express the delete by rowKey so it commits as markers.")
+    if (KvSalt.bucketsOf(fs, dir).isDefined)
+      throw new UnsupportedOperationException(
+        s"graft-kv: $path is salted — SQL cannot re-salt the replacement " +
+          "rows (the write path has no projection hook); rewrite through " +
+          "KvSalt.saltedWrite instead")
+    new KvRowLevelScanBuilder(path, conf, scannedFiles)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new KvReplaceDataWrite(path, info, conf, scannedFiles)
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def description(): String =
+    s"GraftKvRowLevelOperation[$cmd] path=$path"
+}
+
+/** The operation's scan builder: pushed filters prune GROUPS only. All
+  * filters are reported residual (Spark keeps the condition in its
+  * rewrite plan); the scan they configure runs its readers FILTER-FREE so
+  * every row of a kept group surfaces — the copy-on-write correctness
+  * requirement. Statically prunable conditions (rowKey ranges/points)
+  * drop whole unaffected groups here; everything else is handled by
+  * runtime group filtering and the residual evaluation.
+  */
+private[sources] class KvRowLevelScanBuilder(path: String,
+    conf: SerializableConfiguration,
+    record: java.util.concurrent.atomic.AtomicReference[Seq[String]])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  private var pruneFilters: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruneFilters = filters.filter(KvFilters.supported)
+    filters // ALL residual: the source never row-filters a group rewrite
+  }
+
+  override def pushedFilters(): Array[Filter] = pruneFilters
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new KvScanRecording(
+      new KvScan(path, graft.kv.Cell.schema, pruneFilters, sconf = conf,
+        groupPruneOnly = true),
+      record)
+}
+
+/** Decorates the operation's [[KvScan]] so the FINAL planned file set
+  * (after manifest pruning and runtime group filtering) is captured for
+  * the replacement commit. Pure delegation otherwise.
+  */
+private[sources] class KvScanRecording(inner: KvScan,
+    record: java.util.concurrent.atomic.AtomicReference[Seq[String]])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def readSchema(): org.apache.spark.sql.types.StructType =
+    inner.readSchema()
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    inner.filterAttributes()
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    inner.filter(predicates)
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val parts = inner.planInputPartitions()
+    record.set(parts.collect {
+      case p: KvFilePartition => new Path(p.file).getName
+    }.toSeq.distinct)
+    parts
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    inner.createReaderFactory()
+
+  override def description(): String = s"${inner.description()} recording"
+}
+
+/** The replacement write: the sink's range-sort contract for the data,
+  * plus a commit that atomically swaps the scanned groups for the new
+  * files in one manifest entry.
+  */
+private[sources] class KvReplaceDataWrite(path: String,
+    info: LogicalWriteInfo, conf: SerializableConfiguration,
+    scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]])
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private val regions =
+    Option(info.options.get("regions")).map(_.toInt).getOrElse(8)
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(
+      Expressions.sort(Expressions.column("rowKey"), SortDirection.ASCENDING)))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("rowKey"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("qualifier"), SortDirection.ASCENDING))
+
+  override def requiredNumPartitions(): Int = regions
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new KvReplaceDataBatchWrite(path, info.schema(), conf, scannedFiles)
+}
+
+private[sources] class KvReplaceDataBatchWrite(path: String,
+    writeSchema: org.apache.spark.sql.types.StructType,
+    conf: SerializableConfiguration,
+    scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
+
+  /** The ReplaceData query carries OPERATION metadata columns alongside
+    * the table columns (`__row_operation` in Spark 4's rewrite plans) —
+    * writers consume the CELL columns by name and ignore the rest.
+    */
+  if (sys.env.contains("GRAFT_RLO_DEBUG"))
+    // scalastyle:off println
+    println(s"[rlo-debug] write schema: ${writeSchema.fieldNames.mkString(",")}")
+    // scalastyle:on println
+
+  private val cellIdx: Array[Int] = graft.kv.Cell.schema.fieldNames.map { n =>
+    val i = writeSchema.fieldNames.indexOf(n)
+    require(i >= 0,
+      s"graft-kv: row-level replacement schema ${writeSchema.fieldNames.mkString(",")} " +
+        s"lacks cell column $n")
+    i
+  }
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    KvProjectingWriterFactory(stagingDir, conf, cellIdx,
+      writeSchema.length)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    val removes = Option(scannedFiles.get()).getOrElse(
+      throw new IllegalStateException(
+        "graft-kv: row-level replacement committed before its scan " +
+          "planned — no group set to retire"))
+    val token = stagingDir.substring(stagingDir.lastIndexOf('_') + 1)
+    val seq0 = KvLog.latestSeq(fs, dir) + 1
+    val sealedOut = messages.collect {
+      case KvFileCommit(f, partition, st) if f.nonEmpty =>
+        val target = new Path(dir, f"part-b$seq0%010d-$partition%05d-$token.parquet")
+        fs.rename(new Path(f), target)
+        target.getName -> st
+    }
+    // Optimistic publish with a GROUP LIVENESS check per attempt: an
+    // interleaved pure append composes (its files are not in `removes`),
+    // but any commit that removed one of the scanned groups (compaction,
+    // restore, another rewrite) invalidates the replacement rows — abort
+    // and discard rather than publish duplicates of merged-away data.
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val live = KvLog.liveFiles(fs, dir).toSet
+      val gone = removes.filterNot(live)
+      if (gone.nonEmpty) {
+        sealedOut.foreach { case (n, _) => fs.delete(new Path(dir, n), false): Unit }
+        fs.delete(new Path(stagingDir), true)
+        throw new IllegalStateException(
+          s"graft-kv: concurrent commit removed ${gone.length} of the " +
+            s"groups this rewrite read (${gone.take(3).mkString(", ")}…) — " +
+            "the replacement is stale; retry the statement")
+      }
+      try {
+        KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq,
+          removes = removes,
+          stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
+        committed = true
+      } catch {
+        case e: KvLog.ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+      }
+    }
+    fs.delete(new Path(stagingDir), true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(stagingDir)
+    val fs = staging.getFileSystem(conf.value)
+    fs.delete(staging, true)
+  }
+}
+
+/** Projects each replacement row down to the five cell columns (by the
+  * precomputed source indices) before the ordinary [[KvDataWriter]]
+  * consumes it — stats, blooms, and the tombstone/salt guards all apply
+  * unchanged.
+  */
+private[sources] case class KvProjectingWriterFactory(stagingDir: String,
+    conf: SerializableConfiguration, cellIdx: Array[Int],
+    declaredLen: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val cellNames = graft.kv.Cell.schema.fieldNames.toSeq
+    val inner = new KvDataWriter(stagingDir, cellNames, partitionId, taskId,
+      conf, commitAs = (f, st) => KvFileCommit(f, partitionId, st))
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      // Leading-extras offset, resolved on the first row: Spark's
+      // rewrite plans PREPEND `__row_operation` to the data columns
+      // without declaring it in the write schema.
+      private var offset = -1
+      override def write(row: InternalRow): Unit = {
+        if (offset < 0) {
+          offset = row.numFields - declaredLen
+          require(offset == 0 || offset == 1,
+            s"graft-kv: row-level replacement rows carry ${row.numFields} " +
+              s"fields for a $declaredLen-column schema — unrecognized " +
+              "rewrite-plan layout")
+        }
+        val out = new Array[Any](cellIdx.length)
+        var i = 0
+        while (i < cellIdx.length) {
+          val src = cellIdx(i) + offset
+          out(i) =
+            if (row.isNullAt(src)) null
+            else i match {
+              case 0 | 1 | 2 => row.getUTF8String(src).clone() // rowKey/family/qualifier
+              case 3 => row.getBinary(src).clone() // value
+              case _ => row.getLong(src) // ts
+            }
+          i += 1
+        }
+        inner.write(new GenericInternalRow(out))
+      }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}

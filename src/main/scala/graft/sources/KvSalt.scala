@@ -208,6 +208,25 @@ object KvSalt {
     // record throws with the refusal message). OVERWRITE must register
     // AFTER: the sink's truncate resets the log dir — property included —
     // mid-write, so a pre-registration would be wiped.
+    //
+    // A first-time registration is only valid on an EMPTY table: flipping
+    // an UNSALTED table with data to "salted" would make every plain read
+    // strip 4 chars off genuine rowKeys and expand predicates over keys
+    // that were never salted — silently garbled results for the old rows
+    // (and the new rows would mix layouts regardless). Refuse up front;
+    // the conversion path is a salted overwrite or a fresh table. (A
+    // failed write after a valid empty-table reservation leaves only the
+    // property: later plain writes fail the per-row salt validation
+    // LOUDLY, never silently.)
+    if (mode != "overwrite" && bucketsOf(fs, p).isEmpty) {
+      val nonEmpty = fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet"))
+      require(!nonEmpty,
+        s"graft-kv: $path already holds unsalted data — a salted append " +
+          "would mix key layouts and garble plain reads; use " +
+          "mode=overwrite to convert, or a fresh table")
+    }
     if (mode != "overwrite") register(fs, p, n)
     salted(df, n).write.format("graft-kv").option("regions", regions)
       .mode(mode).save(path)

@@ -141,9 +141,16 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     an[Exception] should be thrownBy
       spark.sql(s"DELETE FROM $cat.del.t6 WHERE ts > 5")
     assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 2)
-    // TRUNCATE TABLE resets the data
+    // TRUNCATE TABLE resets the data but PRESERVES the catalog metadata
+    // (HBase truncate keeps the schema): the recorded regions property
+    // still drives the next INSERT's fan-out.
     spark.sql(s"TRUNCATE TABLE $cat.del.t6")
     assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 0)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    KvTableProps.read(fs, new Path(dir)).get("regions") shouldBe Some("1")
+    spark.sql(s"INSERT INTO $cat.del.t6 SELECT * FROM catalog_spec_cells4")
+    assert(KvLog.liveFiles(fs, new Path(dir)).size == 1,
+      "post-truncate INSERT must still honor the recorded regions")
   }
 
   test("SQL time travel: VERSION AS OF reads the named manifest seq") {
@@ -164,6 +171,95 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       .head().getLong(0) == 8)
     an[Exception] should be thrownBy
       spark.sql(s"SELECT count(*) FROM $cat.tt.t7 VERSION AS OF 'goldenish'").collect()
+  }
+
+  test("SQL UPDATE rewrites only the affected groups; DELETE falls back to a rewrite for non-key conditions") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rlo")
+    // 8 keys across 2 region files
+    (1 to 8).map(i => (f"k$i%02d", "f", "a", s"v$i", i.toLong))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_rlo")
+    spark.sql(
+      s"""CREATE TABLE $cat.rlo.t8 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2')
+         |AS SELECT * FROM catalog_spec_rlo""".stripMargin)
+    val dir = new Path(s"$wh/rlo/t8")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val seqBefore = KvLog.latestSeq(fs, dir)
+    // keyed UPDATE: static group pruning touches ONE of the two regions
+    spark.sql(s"UPDATE $cat.rlo.t8 SET value = CAST('patched' AS BINARY) " +
+      "WHERE rowKey = 'k01'")
+    val entry = KvLog.read(fs, dir, KvLog.latestSeq(fs, dir)).get
+    assert(entry.removes.size == 1,
+      s"a keyed UPDATE must replace one group, removed ${entry.removes}")
+    val after = spark.sql(
+      s"SELECT rowKey, CAST(value AS STRING) v FROM $cat.rlo.t8 ORDER BY rowKey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    after.head shouldBe ("k01", "patched")
+    after.map(_._1) shouldBe (1 to 8).map(i => f"k$i%02d")
+    assert(after.count(_._2 == "patched") == 1, "only k01 updated")
+    // non-key DELETE cannot be a marker: the group-based fallback rewrites
+    spark.sql(s"DELETE FROM $cat.rlo.t8 WHERE ts % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.rlo.t8").head().getLong(0) == 4)
+    // physically gone, zero markers involved
+    assert(spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(dir.toString).count() == 4)
+    assert(KvLog.latestSeq(fs, dir) > seqBefore + 1)
+  }
+
+  test("MERGE INTO updates matches and inserts the rest through one atomic group swap") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mrg")
+    cellsDf.createOrReplaceTempView("catalog_spec_mrg_base")
+    spark.sql(
+      s"""CREATE TABLE $cat.mrg.t9 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1')
+         |AS SELECT * FROM catalog_spec_mrg_base""".stripMargin)
+    Seq(("k01", "f", "a", "merged", 99L), ("k09", "f", "z", "fresh", 50L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_mrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.mrg.t9 t
+         |USING catalog_spec_mrg_src s
+         |ON t.rowKey = s.rowKey AND t.family = s.family
+         |   AND t.qualifier = s.qualifier
+         |WHEN MATCHED THEN UPDATE SET value = s.value, ts = s.ts
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql(
+      s"SELECT rowKey, qualifier, CAST(value AS STRING) v, ts " +
+        s"FROM $cat.mrg.t9 ORDER BY rowKey, qualifier")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.length shouldBe 5
+    assert(out.contains(("k01", "a", "merged", 99L)), "matched row updated")
+    assert(out.contains(("k09", "z", "fresh", 50L)), "unmatched row inserted")
+    assert(out.contains(("k02", "a", "v3", 12L)), "untouched rows copied through")
+  }
+
+  test("row-level rewrites refuse tombstoned and salted tables with actionable errors") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rref")
+    cellsDf.createOrReplaceTempView("catalog_spec_rref")
+    spark.sql(
+      s"""CREATE TABLE $cat.rref.t10 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1')
+         |AS SELECT * FROM catalog_spec_rref""".stripMargin)
+    KvDelete.deleteRows(spark, s"$wh/rref/t10", Seq("k01").toDF("rowKey"))
+    // keyed DELETE still works: the marker fast path needs no rewrite
+    spark.sql(s"DELETE FROM $cat.rref.t10 WHERE rowKey = 'k02'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.rref.t10").head().getLong(0) == 1)
+    // UPDATE must refuse while markers are live
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.rref.t10 SET ts = 5 WHERE rowKey = 'k03'")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    msgs should include("compact")
   }
 
   test("ALTER refuses; RENAME moves the directory; DROP NAMESPACE honors CASCADE") {

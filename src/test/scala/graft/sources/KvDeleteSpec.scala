@@ -196,6 +196,39 @@ class KvDeleteSpec extends graft.SparkSpec {
     assert(scan(d).filter(col("rowKey") === "k18").count() == 3)
   }
 
+  test("an unbounded SQL delete is not poisoned by a prior forever-marker: later inserts survive") {
+    val d = tmp("kv_del_atnow")
+    cells(baseRows: _*).write.format("graft-kv").option("regions", 2)
+      .mode("append").save(d)
+    // a forever-delete first (its marker carries ts=Long.MaxValue; the
+    // sink excludes marker ts from the manifest bounds)
+    KvDelete.deleteRows(spark, d, Seq("k01").toDF("rowKey"))
+    // now the unbounded SQL-shaped delete of k02: its implicit bound must
+    // be the PUT max ts (30), not the forever-marker's MaxValue
+    KvDelete.runSqlDelete(spark, d, KvDelete.SqlDelete(Seq("k02"), None, None))
+    assert(scan(d).filter(col("rowKey") === "k02").count() == 0)
+    // a later write with a higher ts is visible — delete-at-now semantics
+    cells(("k02", "f", "a", "alive", 31L)).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(d)
+    readable(scan(d).filter(col("rowKey") === "k02")) shouldBe
+      Set(("k02", "f", "a", "alive", 31L))
+  }
+
+  test("a sinceSeq change feed ships RAW cells, markers included: deletes replicate through CDC") {
+    val d = tmp("kv_del_cdc")
+    cells(baseRows.take(9): _*).write.format("graft-kv").option("regions", 1)
+      .mode("append").save(d) // seq 0
+    KvDelete.deleteRows(spark, d, Seq("k01").toDF("rowKey")) // seq 1
+    // the span (0, 1] carries exactly the delete commit: the marker row
+    // itself, raw — NOT an empty masked view
+    val span = spark.read.format("graft-kv").option("sinceSeq", 0).load(d)
+    assert(span.count() == 1)
+    assert(span.filter(col("qualifier") < "\u0001").count() == 1,
+      "the CDC span must surface the delete marker")
+    // while the STATE read of the same table masks
+    assert(scan(d).count() == 6)
+  }
+
   test("snapshots and clones carry tombstones: the clone masks identically") {
     val d = tmp("kv_del_snap_src")
     val c = tmp("kv_del_snap_clone")

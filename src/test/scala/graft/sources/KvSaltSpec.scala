@@ -179,6 +179,17 @@ class KvSaltSpec extends graft.SparkSpec {
       KvSalt.saltedWrite(cells, d, Buckets / 2, regions = 2, mode = "append")
     KvLog.liveFiles(fs, new Path(d)) shouldBe filesBefore
     spark.read.format("graft-kv").load(d).count() shouldBe n0
+    // A salted append must not FLIP a nonempty unsalted table: the old
+    // rows' plain keys would be salt-stripped by every later read.
+    val d3 = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_noflip"
+    graft.sinks.Sinks.deleteRecursive(spark, d3)
+    cells.write.format("graft-kv").option("regions", 2).mode("append").save(d3)
+    val e3 = intercept[Exception] {
+      KvSalt.saltedWrite(cells, d3, Buckets, regions = 2, mode = "append")
+    }
+    e3.getMessage should include("unsalted data")
+    assert(KvSalt.bucketsOf(fs, new Path(d3)).isEmpty,
+      "the refused flip must not leave a salt property behind")
     // A fresh-table append registers even before data exists: the reserve
     // makes a racing different-n writer fail before its rows land.
     val d2 = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_reserve2"
