@@ -881,6 +881,63 @@ object Queries {
       |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
       |GROUP BY 1, 2""".stripMargin
 
+  /** The full SQL mutation surface over ONE catalog table (r12): CTAS
+    * from the generator cells, then `UPDATE` (every C5 value patched — a
+    * group-based copy-on-write rewrite through
+    * [[graft.sources.KvRowLevelOperation]]), `DELETE` with a condition
+    * markers cannot express (`ts % 10 = 9` ⇔ the C9 cells — the rewrite
+    * fallback), and `MERGE INTO` inserting 100 fresh-key rows — each an
+    * atomic manifest group swap preserving the range-sorted layout. The
+    * oracle replays the whole mutation history declaratively.
+    */
+  def kvSqlCrud(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = artifacts.computeIfAbsent(s"sql_crud|$sfDir", _ => {
+      val name = "graftcrud_" + Integer.toHexString(sfDir.hashCode)
+      val wh = artifactPath("kv_crud_wh", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, wh)
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftKvCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+      KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+        .createOrReplaceTempView("graft_crud_cells_src")
+      spark.sql(
+        s"""CREATE TABLE $name.corpus.cells USING `graft-kv`
+           |TBLPROPERTIES ('regions' = '4')
+           |AS SELECT * FROM graft_crud_cells_src""".stripMargin)
+      spark.sql(
+        s"""UPDATE $name.corpus.cells
+           |SET value = CAST('PATCHED' AS BINARY) WHERE qualifier = 'C5'""".stripMargin)
+      spark.sql(s"DELETE FROM $name.corpus.cells WHERE ts % 10 = 9")
+      spark.range(100).selectExpr(
+          "concat('zz', lpad(CAST(id AS STRING), 4, '0')) AS rowKey",
+          "'c' AS family", "'CX' AS qualifier",
+          "encode(concat('ins', CAST(id AS STRING)), 'UTF-8') AS value",
+          "CAST(1000000 + id AS BIGINT) AS ts")
+        .createOrReplaceTempView("graft_crud_merge_src")
+      spark.sql(
+        s"""MERGE INTO $name.corpus.cells t
+           |USING graft_crud_merge_src s
+           |ON t.rowKey = s.rowKey
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      name
+    })
+    spark.sql(
+      s"""SELECT rowKey, qualifier, CAST(value AS STRING) AS value, ts
+         |FROM $cat.corpus.cells""".stripMargin)
+  }
+
+  private val kvSqlCrudSql: String =
+    s"""WITH g AS (${genCellsSql(GenRecords, GenTasks, "run1")})
+       |SELECT rowKey, qualifier,
+       |  CASE WHEN qualifier = 'C5' THEN 'PATCHED' ELSE value END AS value,
+       |  ts
+       |FROM g WHERE ts % 10 <> 9
+       |UNION ALL
+       |SELECT concat('zz', lpad(CAST(i AS VARCHAR), 4, '0')),
+       |  'CX', concat('ins', CAST(i AS VARCHAR)), 1000000 + i
+       |FROM range(100) t(i)""".stripMargin
+
   /** One oracle serves both delete queries: the survivor set is a pure
     * predicate over events, whatever the engine's masking mechanism.
     */
@@ -1100,6 +1157,7 @@ object Queries {
     ensureDeletedCells(spark, sfDir): Unit
     ensureCatalogTable(spark, sfDir): Unit
     ensureSaltedPresortedKv(spark, sfDir): Unit
+    kvSqlCrud(spark, sfDir): Unit // staging memoized; the query is a read
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -4262,6 +4320,7 @@ object Queries {
     "kv_delete_mask" -> (kvDeleteMask _),
     "kv_delete_compact" -> (kvDeleteCompact _),
     "kv_catalog_sql" -> (kvCatalogSql _),
+    "kv_sql_crud" -> (kvSqlCrud _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_fsck" -> (kvFsck _),
@@ -4402,6 +4461,7 @@ object Queries {
     "kv_delete_mask" -> kvDeleteMaskSql,
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied
     "kv_catalog_sql" -> kvCatalogSqlSql,
+    "kv_sql_crud" -> kvSqlCrudSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
     "kv_fsck" -> kvFsckSql,
