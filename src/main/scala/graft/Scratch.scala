@@ -1366,6 +1366,50 @@ object Scratch {
         }
         fullScan("post-compaction, marker-free")
 
+      case "kvupdate" =>
+        // Copy-on-write UPDATE economics: a KEYED update must rewrite the
+        // few region files holding the keys (static group pruning via
+        // manifest bounds), not the table — the Iceberg COW cost model.
+        import org.apache.spark.sql.functions._
+        val n = 4000000L
+        val regions = 32
+        val wh = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvupdate_wh"
+        graft.sinks.Sinks.deleteRecursive(spark, wh)
+        spark.conf.set("spark.sql.catalog.scrupd",
+          classOf[graft.sources.GraftKvCatalog].getName)
+        spark.conf.set("spark.sql.catalog.scrupd.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS scrupd.ns")
+        spark.range(n).select(
+            format_string("%07d", col("id")).as("rowKey"),
+            lit("f").as("family"), lit("q").as("qualifier"),
+            encode(col("id").cast("string"), "UTF-8").as("value"),
+            col("id").as("ts"))
+          .createOrReplaceTempView("scr_upd_src")
+        time(s"stage table (${n / 1000000}M cells, $regions regions)") {
+          spark.sql("CREATE TABLE scrupd.ns.t USING `graft-kv` " +
+            s"TBLPROPERTIES('regions'='$regions') AS SELECT * FROM scr_upd_src")
+        }
+        time("keyed UPDATE (1 key, group-pruned)") {
+          spark.sql("UPDATE scrupd.ns.t SET value = CAST('xx' AS BINARY) " +
+            "WHERE rowKey = '1000000'")
+        }
+        val dir = new org.apache.hadoop.fs.Path(s"$wh/ns/t")
+        val fsys = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val entry = graft.sources.KvLog.read(fsys, dir,
+          graft.sources.KvLog.latestSeq(fsys, dir)).get
+        println(s"  keyed UPDATE replaced ${entry.removes.size}/$regions regions")
+        time("range UPDATE (1/32 of the keyspace)") {
+          spark.sql("UPDATE scrupd.ns.t SET value = CAST('yy' AS BINARY) " +
+            "WHERE rowKey >= '1000000' AND rowKey < '1125000'")
+        }
+        time("unkeyed UPDATE (full-table rewrite)") {
+          spark.sql("UPDATE scrupd.ns.t SET ts = ts + 0 WHERE ts % 1000 = 7")
+        }
+        time("post-update full scan") {
+          val r = spark.sql("SELECT count(*) FROM scrupd.ns.t").head().getLong(0)
+          require(r == n, s"row count drifted: $r")
+        }
+
       case "zogen" =>
         import org.apache.spark.sql.functions._
         import graft.functions.ZOrderInterleave

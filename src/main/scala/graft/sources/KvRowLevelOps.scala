@@ -52,6 +52,14 @@ import org.apache.spark.util.SerializableConfiguration
   * — exactly the copy-on-write cost model, with the marker path available
   * whenever the statement is expressible by key.
   */
+private[sources] object KvRowLevelOps {
+  /** Test-only injection point: runs at the head of the replacement
+    * commit, so a spec can interleave a commit deterministically between
+    * the rewrite's read and its publish. Production value is a no-op.
+    */
+  private[sources] var preCommitHook: () => Unit = () => ()
+}
+
 private[sources] class KvRowLevelOperationBuilder(path: String,
     info: RowLevelOperationInfo, conf: SerializableConfiguration)
     extends RowLevelOperationBuilder {
@@ -234,6 +242,7 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       writeSchema.length)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    KvRowLevelOps.preCommitHook()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val removes = Option(scannedFiles.get()).getOrElse(

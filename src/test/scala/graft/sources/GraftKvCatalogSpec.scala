@@ -262,6 +262,26 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     msgs should include("compact")
   }
 
+  test("streaming reads by NAME: readStream.table tails a catalog table") {
+    import org.apache.spark.sql.streaming.Trigger
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.strm")
+    cellsDf.createOrReplaceTempView("catalog_spec_strm")
+    spark.sql(
+      s"""CREATE TABLE $cat.strm.t11 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1')
+         |AS SELECT * FROM catalog_spec_strm""".stripMargin)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_test/kv_cat_stream_out"
+    val cp = s"${out}_cp"
+    Seq(out, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    val q = spark.readStream.table(s"$cat.strm.t11")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start(out)
+    q.awaitTermination()
+    spark.read.parquet(out).count() shouldBe 4
+  }
+
   test("ALTER refuses; RENAME moves the directory; DROP NAMESPACE honors CASCADE") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ops")

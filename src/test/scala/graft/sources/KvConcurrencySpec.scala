@@ -136,6 +136,52 @@ class KvConcurrencySpec extends graft.SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a SQL UPDATE racing a compaction publish: the rewrite aborts stale, the table stays consistent") {
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_test/kv_rlo_race_wh"
+    graft.sinks.Sinks.deleteRecursive(spark, wh)
+    val cat = "rlorace"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    val cells = KvGenerator.cells(spark, 200, 4, "runRL")
+    cells.createOrReplaceTempView("rlo_race_src")
+    spark.sql(s"CREATE TABLE $cat.ns.t USING `graft-kv` " +
+      "TBLPROPERTIES('regions'='2') AS SELECT * FROM rlo_race_src")
+    // second commit so a compaction has something to merge
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM rlo_race_src WHERE ts % 10 = 0")
+    val d = s"$wh/ns/t"
+    val before = spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0)
+    // a compaction lands BETWEEN the rewrite's read and its publish: the
+    // scanned groups are merged away, so the replacement is stale and
+    // must abort — publishing it would duplicate the merged rows.
+    KvRowLevelOps.preCommitHook = () => {
+      KvRowLevelOps.preCommitHook = () => ()
+      KvCompactor.compact(spark, d, regions = 2) match {
+        case _: KvCompactor.Compacted => ()
+        case other => fail(s"interleaved compaction did not publish: $other")
+      }
+    }
+    val e =
+      try intercept[Exception] {
+        spark.sql(s"UPDATE $cat.ns.t SET value = CAST('x' AS BINARY) " +
+          "WHERE qualifier = 'C0'")
+      } finally KvRowLevelOps.preCommitHook = () => ()
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    msgs should include("concurrent commit removed")
+    // nothing was published by the loser: same rows, no stray files, and
+    // the UPDATE retried after the dust settles succeeds
+    spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0) shouldBe before
+    assert(KvFsck.check(spark, d).healthy)
+    spark.sql(s"UPDATE $cat.ns.t SET value = CAST('x' AS BINARY) " +
+      "WHERE qualifier = 'C0'")
+    val patched = spark.sql(s"SELECT count(*) FROM $cat.ns.t " +
+      "WHERE CAST(value AS STRING) = 'x'").head().getLong(0)
+    assert(patched > 0)
+    spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0) shouldBe before
+  }
+
   test("RestoreSnapshot racing a compaction publish: the restore wins, the compaction aborts clean") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_restore_race"
     graft.sinks.Sinks.deleteRecursive(spark, d)
