@@ -307,6 +307,14 @@ object Similarity {
     val probes = probeRows(corpus, isQuery, nProbe)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell").cast("long"))
       .as[(Long, Seq[Double], Double, Long)].collect()
+    // The dual use (broadcast + literal partition filter) needs the probe
+    // set on the driver — sized for INSPECTION query batches. A large
+    // online batch would serialize through the driver here; refuse loudly
+    // past a generous bound and point at the one-consumer path.
+    require(probes.length <= 1000000,
+      s"ivfTopKIndexed: ${probes.length} probe rows exceed the driver-side " +
+        "bound (1M) — for bulk query batches use ivfTopK, which keeps the " +
+        "probe relation distributed")
     val probeCells = probes.map(_._4).distinct.sorted
     val qs = broadcast(
       probes.toSeq.toDF("vec_id", "v", "nrm", "cell"))

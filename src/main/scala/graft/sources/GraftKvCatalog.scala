@@ -46,6 +46,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * resolution is one property-file read; scans/writes are the same
   * pruned, pushed, range-sorted connector paths the path API uses.
   */
+object GraftKvCatalog {
+  /** Resolve a catalog-qualified name (`cat.ns.table`) to the table's
+    * DIRECTORY — the bridge to the path-level APIs the SQL surface cannot
+    * express: [[KvSalt.saltedWrite]] (a salted INSERT needs the salting
+    * projection), [[KvDelete]]'s bulk delete frames, [[KvSnapshot]],
+    * [[KvCompactor]]. Reads the catalog's warehouse from the session conf;
+    * fails loudly for unknown catalogs or non-3-part names.
+    */
+  def tablePathOf(spark: org.apache.spark.sql.SparkSession,
+      qualified: String): String = {
+    val parts = qualified.split("\\.")
+    require(parts.length == 3,
+      s"graft-kv catalog: expected cat.namespace.table, got '$qualified'")
+    val wh = spark.conf.getOption(s"spark.sql.catalog.${parts(0)}.warehouse")
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-kv catalog: no warehouse configured for catalog " +
+          s"'${parts(0)}' (spark.sql.catalog.${parts(0)}.warehouse)"))
+    s"$wh/${parts(1)}/${parts(2)}"
+  }
+}
+
 class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _

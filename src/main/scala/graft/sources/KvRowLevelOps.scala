@@ -51,6 +51,13 @@ import org.apache.spark.util.SerializableConfiguration
   * (runtime group filtering), an unkeyed one is an explicit full rewrite
   * — exactly the copy-on-write cost model, with the marker path available
   * whenever the statement is expressible by key.
+  *
+  * CDC note: the replacement entry is an ordinary (non-compact) commit,
+  * so a `sinceSeq` span covering it surfaces the WHOLE rewritten groups
+  * as adds — over-inclusive (copied-through rows reappear) but never
+  * lossy, the same coarse-grained CDC a Delta rewrite without CDF
+  * produces. Consumers needing row-level change attribution should diff
+  * against their previous state ([[graft.ops.SnapshotDiff]]).
   */
 private[sources] object KvRowLevelOps {
   /** Test-only injection point: runs at the head of the replacement

@@ -102,9 +102,13 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
     messages should include("not a stored salted key")
-    // the path API's salting write path works and reads back by NAME
-    KvSalt.saltedWrite(cellsDf, s"$wh/salted/t3", n = 8, regions = 2,
-      mode = "append")
+    // the path API's salting write path works and reads back by NAME —
+    // tablePathOf is the name → directory bridge
+    GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3") shouldBe
+      s"$wh/salted/t3"
+    KvSalt.saltedWrite(cellsDf,
+      GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3"), n = 8,
+      regions = 2, mode = "append")
     assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3 WHERE rowKey = 'k01'")
       .head().getLong(0) == 2)
   }
