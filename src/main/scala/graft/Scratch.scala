@@ -1318,7 +1318,7 @@ object Scratch {
         // (masking retired, markers purged).
         import org.apache.spark.sql.functions._
         val n = 4000000L
-        val delKeys = 100000L
+        val delKeys = sys.env.getOrElse("GRAFT_DELETE_KEYS", "100000").toLong
         val regions = 32
         val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/kvdelete"
         val rewriteDir = s"${dir}_rewrite"

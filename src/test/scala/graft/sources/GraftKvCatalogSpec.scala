@@ -266,6 +266,25 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     msgs should include("compact")
   }
 
+  test("INSERT OVERWRITE truncates then loads; recorded properties survive") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.iow")
+    cellsDf.createOrReplaceTempView("catalog_spec_iow")
+    spark.sql(
+      s"""CREATE TABLE $cat.iow.t12 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2')
+         |AS SELECT * FROM catalog_spec_iow""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.iow.t12 SELECT * FROM catalog_spec_iow")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.iow.t12").head().getLong(0) == 8)
+    spark.sql(s"INSERT OVERWRITE $cat.iow.t12 SELECT * FROM catalog_spec_iow")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.iow.t12").head().getLong(0) == 4)
+    val dir = new Path(s"$wh/iow/t12")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    KvTableProps.read(fs, dir).get("regions") shouldBe Some("2")
+    assert(KvLog.liveFiles(fs, dir).size == 2,
+      "the overwrite honors the recorded regions")
+  }
+
   test("streaming reads by NAME: readStream.table tails a catalog table") {
     import org.apache.spark.sql.streaming.Trigger
     wh: Unit
