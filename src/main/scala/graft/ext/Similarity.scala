@@ -304,17 +304,18 @@ object Similarity {
     // consumers (broadcast side, partition-filter cell list) — collect it
     // ONCE and rebuild locally, instead of running the query-side index
     // scan + centroid scoring twice.
-    val probes = probeRows(corpus, isQuery, nProbe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell").cast("long"))
-      .as[(Long, Seq[Double], Double, Long)].collect()
     // The dual use (broadcast + literal partition filter) needs the probe
     // set on the driver — sized for INSPECTION query batches. A large
-    // online batch would serialize through the driver here; refuse loudly
-    // past a generous bound and point at the one-consumer path.
-    require(probes.length <= 1000000,
-      s"ivfTopKIndexed: ${probes.length} probe rows exceed the driver-side " +
-        "bound (1M) — for bulk query batches use ivfTopK, which keeps the " +
-        "probe relation distributed")
+    // online batch must be refused BEFORE it materializes on the driver:
+    // take(bound+1) collects at most bound+1 rows, so the guard itself
+    // can never OOM what it guards against.
+    val ProbeBound = 1000000
+    val probes = probeRows(corpus, isQuery, nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell").cast("long"))
+      .as[(Long, Seq[Double], Double, Long)].take(ProbeBound + 1)
+    require(probes.length <= ProbeBound,
+      s"ivfTopKIndexed: more than $ProbeBound probe rows — for bulk query " +
+        "batches use ivfTopK, which keeps the probe relation distributed")
     val probeCells = probes.map(_._4).distinct.sorted
     val qs = broadcast(
       probes.toSeq.toDF("vec_id", "v", "nrm", "cell"))

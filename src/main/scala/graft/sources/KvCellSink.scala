@@ -95,13 +95,37 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     // A REGISTERED salted table validates every appended rowKey as a
     // self-consistent stored key ([[KvSalt.isStored]]): an unsalted (or
     // wrong-n) append would corrupt the layout silently — reads mask no
-    // error, point lookups just miss. Truncating overwrites skip it: the
-    // commit resets the salt property with the rest of the table.
+    // error, point lookups just miss. A TRUNCATING write resets the
+    // path-level registration with the data, so plain overwrites skip the
+    // check — EXCEPT on a table whose CATALOG properties declare
+    // `salt_buckets` (the commit re-registers it): there an unsalted
+    // INSERT OVERWRITE would corrupt exactly like an unsalted append, so
+    // it is refused unless the rows are pre-salted ([[KvSalt.saltedWrite]]
+    // declares that via `saltedInput=<n>`, which is then also validated).
+    val saltedInput = Option(info.options.get("saltedInput")).map(_.toInt)
+    saltedInput.foreach(KvSalt.requireBuckets)
     val saltCheck =
-      if (doTruncate) None
-      else {
+      if (!doTruncate) {
         val p = new Path(path)
         KvSalt.bucketsOf(p.getFileSystem(conf.value), p)
+      } else {
+        val p = new Path(path)
+        val declared = KvTableProps
+          .read(p.getFileSystem(conf.value), p).get("salt_buckets").map(_.toInt)
+        (declared, saltedInput) match {
+          case (Some(n), None) => throw new IllegalArgumentException(
+            s"graft-kv: $path declares salt_buckets=$n in its table " +
+              "properties — an unsalted truncating write (INSERT " +
+              "OVERWRITE / overwrite mode) would corrupt the salted " +
+              "layout the commit re-registers; route it through " +
+              "KvSalt.saltedWrite(mode=\"overwrite\")")
+          case (Some(n), Some(m)) =>
+            require(n == m,
+              s"graft-kv: $path declares salt_buckets=$n; refusing a " +
+                s"$m-bucket salted overwrite")
+            Some(m)
+          case (None, m) => m // validate pre-salted rows when declared
+        }
       }
     new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf,
       maintainPolicy, codec, allowTombstones, saltCheck)

@@ -167,7 +167,11 @@ object KvDelete {
       case EqualTo("family", v: String) if fam.isEmpty => fam = Some(v)
       case EqualTo("qualifier", v: String) if qual.isEmpty => qual = Some(v)
       case LessThanOrEqual("ts", v: java.lang.Long) if ts.isEmpty => ts = Some(v)
-      case LessThan("ts", v: java.lang.Long) if ts.isEmpty => ts = Some(v - 1)
+      // `ts < Long.MinValue` matches nothing; v - 1 would UNDERFLOW to a
+      // forever-marker. Refuse the translation — the row-level fallback
+      // then correctly deletes zero rows.
+      case LessThan("ts", v: java.lang.Long)
+          if ts.isEmpty && v.longValue() != Long.MinValue => ts = Some(v - 1)
       case _ => return None
     }
     (keys, fam, qual) match {
@@ -184,12 +188,31 @@ object KvDelete {
   def runSqlDelete(spark: SparkSession, path: String, d: SqlDelete): Unit = {
     import spark.implicits._
     if (d.truncate) {
-      // The sink's truncate path (empty overwrite): snapshot-pinned files
-      // survive, the manifest and salt property reset with the table.
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.kv.Cell.schema)
-        .write.format("graft-kv").mode("overwrite").save(path)
+      // Bare `DELETE FROM t` / `TRUNCATE TABLE t` are DML: they empty the
+      // table but PRESERVE its history — one manifest entry removing the
+      // whole live set (the Delta shape). Time travel to pre-truncate
+      // versions, snapshots, and registered tails all stay valid; the
+      // removed files await vacuum like any retired segment. (The
+      // destructive reset — log and all — remains the path API's
+      // explicit `mode("overwrite")`.)
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val expect = KvLog.latestSeq(fs, dir) + 1
+        val live = KvLog.liveFiles(fs, dir)
+        if (live.isEmpty) return
+        try {
+          KvLog.append(fs, dir, adds = Nil, removes = live,
+            expectSeq = Some(expect))
+          done = true
+        } catch {
+          case e: KvLog.ConcurrentCommitException =>
+            attempts += 1
+            if (attempts >= 20) throw e
+        }
+      }
       return
     }
     val ts = d.tsBound.getOrElse(currentMaxTs(spark, path))

@@ -448,15 +448,28 @@ private[graft] object KvLog {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        // EVERY other link(2) failure degrades to rename, not just the
-        // no-links UnsupportedOperationException: file:// mounts can
-        // refuse links with EPERM/EXDEV (FileSystemException subclasses)
-        // and hard-link-hostile stores surface plain IOExceptions —
-        // without the fallback every commit on such a store throws the
-        // raw NIO error and the table is bricked for writes. The fallback
-        // rename is the same best-effort the non-file scheme always uses.
-        case _: UnsupportedOperationException => fs.rename(tmp, target)
-        case _: java.io.IOException => fs.rename(tmp, target)
+        // EVERY other link(2) failure degrades, not just the no-links
+        // UnsupportedOperationException: file:// mounts can refuse links
+        // with EPERM/EXDEV (FileSystemException subclasses) and
+        // hard-link-hostile stores surface plain IOExceptions — without a
+        // fallback every commit on such a store throws the raw NIO error
+        // and the table is bricked for writes. The fallback is
+        // Files.move WITHOUT REPLACE_EXISTING — it refuses an existing
+        // target (the no-overwrite contract this method exists for,
+        // which a raw POSIX rename would silently break); only if even
+        // that is unavailable does the exists-checked rename best-effort
+        // apply (the same residual the non-file schemes accept).
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          try {
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(tmp.toUri.getPath),
+              java.nio.file.Paths.get(target.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException =>
+              !fs.exists(target) && fs.rename(tmp, target)
+          }
       }
     } else fs.rename(tmp, target)
 

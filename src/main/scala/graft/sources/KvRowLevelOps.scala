@@ -264,19 +264,26 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
         fs.rename(new Path(f), target)
         target.getName -> st
     }
-    // Optimistic publish with a GROUP LIVENESS check per attempt: an
-    // interleaved pure append composes (its files are not in `removes`),
+    // Optimistic publish with a GROUP LIVENESS check per attempt, made
+    // ATOMIC with the append via expectSeq (the compactor's shape): an
+    // interleaved pure append composes (retry re-checks and republishes),
     // but any commit that removed one of the scanned groups (compaction,
     // restore, another rewrite) invalidates the replacement rows — abort
     // and discard rather than publish duplicates of merged-away data.
+    // Without expectSeq, a commit landing between the liveness read and
+    // the append would slip through and duplicate every rewritten row.
+    def discard(): Unit = {
+      sealedOut.foreach { case (n, _) => fs.delete(new Path(dir, n), false): Unit }
+      fs.delete(new Path(stagingDir), true): Unit
+    }
     var attempts = 0
     var committed = false
     while (!committed) {
+      val expect = KvLog.latestSeq(fs, dir) + 1
       val live = KvLog.liveFiles(fs, dir).toSet
       val gone = removes.filterNot(live)
       if (gone.nonEmpty) {
-        sealedOut.foreach { case (n, _) => fs.delete(new Path(dir, n), false): Unit }
-        fs.delete(new Path(stagingDir), true)
+        discard()
         throw new IllegalStateException(
           s"graft-kv: concurrent commit removed ${gone.length} of the " +
             s"groups this rewrite read (${gone.take(3).mkString(", ")}…) — " +
@@ -284,13 +291,13 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       }
       try {
         KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq,
-          removes = removes,
+          removes = removes, expectSeq = Some(expect),
           stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
         committed = true
       } catch {
         case e: KvLog.ConcurrentCommitException =>
           attempts += 1
-          if (attempts >= 20) throw e
+          if (attempts >= 20) { discard(); throw e }
       }
     }
     fs.delete(new Path(stagingDir), true): Unit

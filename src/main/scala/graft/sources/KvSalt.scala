@@ -228,7 +228,11 @@ object KvSalt {
           "mode=overwrite to convert, or a fresh table")
     }
     if (mode != "overwrite") register(fs, p, n)
+    // `saltedInput` tells a TRUNCATING write the rows are pre-salted with
+    // this n (the sink refuses unsalted overwrites of catalog-declared
+    // salted tables, and validates declared vs n — KvWriteBuilder doc).
     salted(df, n).write.format("graft-kv").option("regions", regions)
+      .option("saltedInput", n)
       .mode(mode).save(path)
     if (mode == "overwrite") register(fs, p, n)
   }

@@ -180,6 +180,10 @@ object KvSnapshot {
     // log-less migration to a concurrent committer.
     KvLog.ensureLogDir(dfs, dest)
     KvSalt.bucketsOf(fs, src).foreach(n => KvSalt.register(dfs, dest, n))
+    // Catalog-recorded properties travel too — a clone of a catalog table
+    // keeps its write defaults AND its declared salt across later
+    // truncating writes (the commit re-registers from these).
+    KvTableProps.write(dfs, dest, KvTableProps.read(fs, src))
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val srcStr = src.toString
     val destStr = dest.toString

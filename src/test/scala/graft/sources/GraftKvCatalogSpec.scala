@@ -102,6 +102,15 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
     messages should include("not a stored salted key")
+    // an unsalted INSERT OVERWRITE is refused BEFORE any row lands — the
+    // truncate would re-register the declared salt over unsalted rows
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.salted.t3 SELECT * FROM catalog_spec_cells3")
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    m2 should include("salt_buckets")
     // the path API's salting write path works and reads back by NAME —
     // tablePathOf is the name → directory bridge
     GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3") shouldBe
@@ -111,6 +120,34 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       regions = 2, mode = "append")
     assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3 WHERE rowKey = 'k01'")
       .head().getLong(0) == 2)
+    // a SALTED overwrite of the declared table works (saltedInput) and
+    // stays salt-aware afterwards
+    KvSalt.saltedWrite(cellsDf,
+      GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3"), n = 8,
+      regions = 2, mode = "overwrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3 WHERE rowKey = 'k01'")
+      .head().getLong(0) == 2)
+    // a mismatching salted overwrite is refused by the declaration
+    an[Exception] should be thrownBy KvSalt.saltedWrite(cellsDf,
+      GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3"), n = 16,
+      regions = 2, mode = "overwrite")
+  }
+
+  test("cloneTo carries catalog table properties to the clone") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cln")
+    cellsDf.createOrReplaceTempView("catalog_spec_cln")
+    spark.sql(
+      s"""CREATE TABLE $cat.cln.t13 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2', 'codec' = 'zstd')
+         |AS SELECT * FROM catalog_spec_cln""".stripMargin)
+    KvSnapshot.create(spark, s"$wh/cln/t13", "s")
+    KvSnapshot.cloneTo(spark, s"$wh/cln/t13", "s", s"$wh/cln/t14")
+    val fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+    KvTableProps.read(fs, new Path(s"$wh/cln/t14")) shouldBe
+      Map("regions" -> "2", "codec" -> "zstd")
+    // and the clone is immediately addressable by name
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cln.t14").head().getLong(0) == 4)
   }
 
   test("SQL DELETE FROM commits markers; TRUNCATE resets; unsupported shapes refuse whole") {
@@ -145,12 +182,19 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     an[Exception] should be thrownBy
       spark.sql(s"DELETE FROM $cat.del.t6 WHERE ts > 5")
     assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 2)
-    // TRUNCATE TABLE resets the data but PRESERVES the catalog metadata
-    // (HBase truncate keeps the schema): the recorded regions property
-    // still drives the next INSERT's fan-out.
+    // TRUNCATE TABLE is DML: it empties the table in ONE manifest entry
+    // and PRESERVES everything else — catalog metadata, version history
+    // (time travel to the pre-truncate seq still works), registrations.
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val preTruncateSeq = KvLog.latestSeq(fs, new Path(dir))
+    val preTruncateCount =
+      spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0)
     spark.sql(s"TRUNCATE TABLE $cat.del.t6")
     assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 0)
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.del.t6 VERSION AS OF $preTruncateSeq")
+      .head().getLong(0) == preTruncateCount,
+      "TRUNCATE must preserve history: the pre-truncate version reads back")
     KvTableProps.read(fs, new Path(dir)).get("regions") shouldBe Some("1")
     spark.sql(s"INSERT INTO $cat.del.t6 SELECT * FROM catalog_spec_cells4")
     assert(KvLog.liveFiles(fs, new Path(dir)).size == 1,

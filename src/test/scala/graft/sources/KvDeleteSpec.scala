@@ -229,6 +229,21 @@ class KvDeleteSpec extends graft.SparkSpec {
     assert(scan(d).count() == 6)
   }
 
+  test("SQL-delete translation edge cases: ts underflow refused, truncate recognized") {
+    import org.apache.spark.sql.sources._
+    // ts < Long.MinValue matches nothing; v-1 would underflow to a
+    // forever-marker — the translation must refuse (the rewrite fallback
+    // then deletes zero rows)
+    KvDelete.translateSqlDelete(Array(
+      And(EqualTo("rowKey", "x"), LessThan("ts", Long.MinValue)))) shouldBe None
+    KvDelete.translateSqlDelete(Array(
+      And(EqualTo("rowKey", "x"), LessThan("ts", 10L)))) shouldBe
+      Some(KvDelete.SqlDelete(Seq("x"), Some(9L), None))
+    KvDelete.translateSqlDelete(Array(AlwaysTrue)) shouldBe
+      Some(KvDelete.SqlDelete(Nil, None, None, truncate = true))
+    KvDelete.translateSqlDelete(Array(GreaterThan("ts", 5L))) shouldBe None
+  }
+
   test("snapshots and clones carry tombstones: the clone masks identically") {
     val d = tmp("kv_del_snap_src")
     val c = tmp("kv_del_snap_clone")
