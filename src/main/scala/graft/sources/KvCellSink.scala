@@ -271,19 +271,9 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     // compaction rebase) costs a retry of the ONE-entry append — never an
     // epoch abort, and never a repeat of the data renames (targets are
     // query-unique and already in place).
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      try {
-        KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq, writer = writerTag,
-          stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
-        committed = true
-      } catch {
-        case e: KvLog.ConcurrentCommitException =>
-          attempts += 1
-          if (attempts >= 20) throw e
-      }
-    }
+    KvLog.appendRetrying(fs, dir, adds = sealedOut.map(_._1).toSeq,
+      writer = writerTag,
+      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap): Unit
     // The O(1) replay guard for every future attempt of this epoch —
     // written AFTER the entry so a crash in between falls back to the
     // bounded tag scan, never to data loss.
@@ -397,19 +387,8 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // re-append under a fresh allocation — bounded attempts, data files
     // untouched. In-process writers never even conflict (KvLog's
     // per-table append lock); this loop is the cross-process path.
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      try {
-        KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq,
-          stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
-        committed = true
-      } catch {
-        case e: KvLog.ConcurrentCommitException =>
-          attempts += 1
-          if (attempts >= 20) throw e
-      }
-    }
+    KvLog.appendRetrying(fs, dir, adds = sealedOut.map(_._1).toSeq,
+      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap): Unit
     fs.delete(new Path(stagingDir), true)
   }
 

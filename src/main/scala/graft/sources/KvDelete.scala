@@ -197,11 +197,15 @@ object KvDelete {
       // explicit `mode("overwrite")`.)
       val dir = new Path(path)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      // Legacy (log-less) directories must be seeded first or liveFiles
+      // is empty and the truncate would silently no-op while the scan's
+      // directory-listing fallback still shows every row.
+      if (fs.exists(dir)) KvLog.seedFromDirIfNeeded(fs, dir): Unit
       var attempts = 0
       var done = false
       while (!done) {
-        val expect = KvLog.latestSeq(fs, dir) + 1
-        val live = KvLog.liveFiles(fs, dir)
+        val (latest, live) = KvLog.liveFilesWithLatest(fs, dir)
+        val expect = latest + 1
         if (live.isEmpty) return
         try {
           KvLog.append(fs, dir, adds = Nil, removes = live,

@@ -390,8 +390,9 @@ private[graft] object KvLog {
     // hide that commit's files. Abort BEFORE publishing anything.
     expectSeq.foreach { e =>
       if (seq != e) throw new ConcurrentCommitException(
-        s"graft-kv log: concurrent commit during compaction of $table — " +
-          s"expected to publish seq $e, log is now at ${seq - 1}")
+        s"graft-kv log: concurrent commit raced an expectSeq-guarded " +
+          s"publish on $table — expected to publish seq $e, log is now " +
+          s"at ${seq - 1}")
     }
     val kind = if (compact) "compact" else "append"
     val tag = writer.fold("")(w => s" writer=$w")
@@ -440,30 +441,44 @@ private[graft] object KvLog {
   private[sources] def atomicPublish(fs: FileSystem, tmp: Path, target: Path)
       : Boolean =
     if (Option(fs.getUri.getScheme).contains("file")) {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        fs.delete(tmp, false): Unit
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        // EVERY other link(2) failure degrades, not just the no-links
-        // UnsupportedOperationException: file:// mounts can refuse links
-        // with EPERM/EXDEV (FileSystemException subclasses) and
-        // hard-link-hostile stores surface plain IOExceptions — without a
-        // fallback every commit on such a store throws the raw NIO error
-        // and the table is bricked for writes. The fallback is
-        // Files.move WITHOUT REPLACE_EXISTING — it refuses an existing
-        // target (the no-overwrite contract this method exists for,
-        // which a raw POSIX rename would silently break); only if even
-        // that is unavailable does the exists-checked rename best-effort
-        // apply (the same residual the non-file schemes accept).
-        case _: UnsupportedOperationException | _: java.io.IOException =>
+      // The success/failure decision is scoped to the LINK CALL ALONE: a
+      // failure in the post-link tmp cleanup must never be misreported as
+      // a lost race (the caller would treat a PUBLISHED entry as
+      // unpublished — the rewrite path would then discard files the live
+      // manifest references).
+      val linked =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          Some(true)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => Some(false)
+          // EVERY other link(2) failure degrades, not just the no-links
+          // UnsupportedOperationException: file:// mounts can refuse
+          // links with EPERM/EXDEV (FileSystemException subclasses) and
+          // hard-link-hostile stores surface plain IOExceptions — without
+          // a fallback every commit on such a store throws the raw NIO
+          // error and the table is bricked for writes.
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            None
+        }
+      linked match {
+        case Some(won) =>
+          if (won) bestEffortCleanup(fs, tmp)
+          won
+        case None =>
+          // BEST-EFFORT no-overwrite fallback for link-hostile stores:
+          // Files.move without REPLACE_EXISTING probes the target before
+          // rename(2), which is NOT atomic (a racer between probe and
+          // rename is silently replaced) — the same residual the
+          // non-file schemes and lock-less Delta LogStores accept, and
+          // strictly better than a raw replacing rename.
           try {
             java.nio.file.Files.move(
               java.nio.file.Paths.get(tmp.toUri.getPath),
               java.nio.file.Paths.get(target.toUri.getPath))
+            bestEffortCleanup(fs, tmp) // the .crc sidecar does not move
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
@@ -472,6 +487,16 @@ private[graft] object KvLog {
           }
       }
     } else fs.rename(tmp, target)
+
+  /** Remove a published tmp file and its Hadoop checksum sidecar; failures
+    * are swallowed — a leftover tmp is a benign orphan, misreporting a
+    * successful publish is not.
+    */
+  private def bestEffortCleanup(fs: FileSystem, tmp: Path): Unit = {
+    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    try fs.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
+    catch { case _: java.io.IOException => () }
+  }
 
   /** Drop the whole log (table truncate) — tail registrations included:
     * a truncated table is a new history, so old progress marks are void.
@@ -679,6 +704,37 @@ private[graft] object KvLog {
     */
   def liveFiles(fs: FileSystem, table: Path): Seq[String] =
     liveFilesWithSeq(fs, table).map(_._1).sorted
+
+  /** `(latestSeq, liveFiles)` from ONE log walk — for optimistic commit
+    * loops that need both per attempt (reading them separately doubles
+    * the hint probes and opens a benign-but-retry-causing window).
+    */
+  def liveFilesWithLatest(fs: FileSystem, table: Path): (Long, Seq[String]) = {
+    val latest = latestSeq(fs, table)
+    (latest, replayLive(fs, table, math.max(horizon(fs, table), 0L), latest)
+      .keysIterator.toSeq.sorted)
+  }
+
+  /** The optimistic append loop every simple committer shares: retry the
+    * ONE-entry append on a lost seq race (bounded attempts). Callers
+    * whose entry content must be RECOMPUTED per attempt (compaction
+    * rebase, truncate, row-level replace) keep their own loops.
+    */
+  def appendRetrying(fs: FileSystem, table: Path, adds: Seq[String],
+      writer: Option[String] = None,
+      stats: Map[String, FileStat] = Map.empty,
+      maxAttempts: Int = 20): Long = {
+    var attempts = 0
+    while (true) {
+      try return append(fs, table, adds = adds, writer = writer, stats = stats)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable: appendRetrying returns")
+  }
 
   /** Live files ATTRIBUTED to the entry whose adds last published them —
     * the unit compaction partitions on: a file attributed below the gating

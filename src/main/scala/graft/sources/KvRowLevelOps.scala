@@ -279,8 +279,9 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     var attempts = 0
     var committed = false
     while (!committed) {
-      val expect = KvLog.latestSeq(fs, dir) + 1
-      val live = KvLog.liveFiles(fs, dir).toSet
+      val (latest, liveSeq) = KvLog.liveFilesWithLatest(fs, dir)
+      val expect = latest + 1
+      val live = liveSeq.toSet
       val gone = removes.filterNot(live)
       if (gone.nonEmpty) {
         discard()

@@ -45,10 +45,19 @@ object KvSnapshot {
 
   /** One snapshot: `seq` is the log version it pinned (informational once
     * created — reads use the stored list), `files` the complete live set
-    * at create time with its manifest stats.
+    * at create time with its manifest stats. `configRecorded` snapshots
+    * (every snapshot from round 12 on) also capture the table CONFIG at
+    * create time — the salt registration and catalog properties — so a
+    * clone reproduces the snapshot's world, not the source's CURRENT one
+    * (a table converted to a different salt after the snapshot would
+    * otherwise stamp the clone with a bucket count its pinned files were
+    * never written under — silently empty point lookups).
     */
   case class Info(name: String, seq: Long, createdAt: Long,
-      files: Seq[(String, Option[KvLog.FileStat])])
+      files: Seq[(String, Option[KvLog.FileStat])],
+      salt: Option[Int] = None,
+      props: Map[String, String] = Map.empty,
+      configRecorded: Boolean = false)
 
   private def snapDir(table: Path) = new Path(table, DirName)
   private def snapPath(table: Path, name: String) = new Path(snapDir(table), name)
@@ -75,8 +84,16 @@ object KvSnapshot {
     require(seq >= 0, s"graft-kv snapshot: $path is empty — nothing to pin")
     val files = KvLog.liveFilesWithStats(fs, dir)
     val now = System.currentTimeMillis()
-    val body = (s"v1 snapshot seq=$seq at=$now" +:
-      files.map { case (n, st) => "+" + n + st.fold("")(KvLog.statSuffix) })
+    // cfg marks a config-recording manifest (Info doc); salt= carries the
+    // registration the pinned files were written under; `p<TAB>k=v` lines
+    // carry the catalog properties. Legacy readers ignore unknown tokens.
+    val salt = KvSalt.bucketsOf(fs, dir)
+    val props = KvTableProps.read(fs, dir)
+    val header = s"v1 snapshot seq=$seq at=$now cfg" +
+      salt.fold("")(n => s" salt=$n")
+    val body = (header +:
+      (files.map { case (n, st) => "+" + n + st.fold("")(KvLog.statSuffix) } ++
+        props.toSeq.sorted.map { case (k, v) => s"p\t$k=$v" }))
       .mkString("", "\n", "\n")
     // temp-write + atomic no-overwrite publish, the same primitive log
     // entries use (KvLog.atomicPublish) — on POSIX-rename stores a plain
@@ -109,11 +126,19 @@ object KvSnapshot {
         h.stripPrefix("seq=").toLong }.getOrElse(-1L)
       val at = header.collectFirst { case h if h.startsWith("at=") =>
         h.stripPrefix("at=").toLong }.getOrElse(0L)
+      val salt = header.collectFirst { case h if h.startsWith("salt=") =>
+        h.stripPrefix("salt=").toInt }
       val files = lines.tail.collect { case l if l.startsWith("+") =>
         val toks = l.tail.split("\t")
         toks.head -> KvLog.parseStat(toks.tail)
       }
-      Info(name, seq, at, files)
+      val props = lines.tail.collect { case l if l.startsWith("p\t") =>
+        l.drop(2).split("=", 2) match {
+          case Array(k, v) => k -> v
+        }
+      }.toMap
+      Info(name, seq, at, files, salt, props,
+        configRecorded = header.contains("cfg"))
     }
   }
 
@@ -179,11 +204,17 @@ object KvSnapshot {
     // before any file lands, so the copy window never looks like a
     // log-less migration to a concurrent committer.
     KvLog.ensureLogDir(dfs, dest)
-    KvSalt.bucketsOf(fs, src).foreach(n => KvSalt.register(dfs, dest, n))
-    // Catalog-recorded properties travel too — a clone of a catalog table
-    // keeps its write defaults AND its declared salt across later
-    // truncating writes (the commit re-registers from these).
-    KvTableProps.write(dfs, dest, KvTableProps.read(fs, src))
+    // The clone gets the SNAPSHOT-TIME table config (a config-recording
+    // manifest carries the salt registration and catalog properties the
+    // pinned files were written under); the source's CURRENT config may
+    // have diverged since — e.g. a salt conversion — and stamping it on
+    // the clone would mis-route every read of the pinned data. Legacy
+    // (pre-cfg) manifests fall back to the source's current config, the
+    // best information available.
+    val salt = if (info.configRecorded) info.salt else KvSalt.bucketsOf(fs, src)
+    val props = if (info.configRecorded) info.props else KvTableProps.read(fs, src)
+    salt.foreach(n => KvSalt.register(dfs, dest, n))
+    KvTableProps.write(dfs, dest, props)
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val srcStr = src.toString
     val destStr = dest.toString

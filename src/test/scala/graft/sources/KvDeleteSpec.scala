@@ -244,6 +244,18 @@ class KvDeleteSpec extends graft.SparkSpec {
     KvDelete.translateSqlDelete(Array(GreaterThan("ts", 5L))) shouldBe None
   }
 
+  test("DML truncate empties a LEGACY (log-less) directory too, seeding it first") {
+    val d = tmp("kv_del_legacy_trunc")
+    cells(baseRows.take(9): _*).write.mode("overwrite").parquet(d) // foreign files
+    assert(scan(d).count() == 9)
+    KvDelete.runSqlDelete(spark, d, KvDelete.SqlDelete(Nil, None, None, truncate = true))
+    assert(scan(d).count() == 0, "truncate must not no-op on a legacy dir")
+    // and it is history-preserving DML: the seeded pre-truncate version reads
+    val fs0 = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(KvLog.latestSeq(fs0, new Path(d)) == 1L) // seed + truncate
+    assert(spark.read.format("graft-kv").option("asOfSeq", 0).load(d).count() == 9)
+  }
+
   test("snapshots and clones carry tombstones: the clone masks identically") {
     val d = tmp("kv_del_snap_src")
     val c = tmp("kv_del_snap_clone")

@@ -218,6 +218,27 @@ class KvSaltSpec extends graft.SparkSpec {
     rows(clone) shouldBe rows(plain)
   }
 
+  test("a clone gets the SNAPSHOT-TIME salt, not the source's current one") {
+    val src = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_snaptime_src"
+    val dst = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_snaptime_dst"
+    Seq(src, dst).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    KvSalt.saltedWrite(cells, src, n = 8, regions = 2, mode = "overwrite")
+    KvSnapshot.create(spark, src, "pre")
+    val preRows = rows(spark.read.format("graft-kv")
+      .option("snapshot", "pre").load(src))
+    // convert the SOURCE to a different salt after the snapshot
+    KvSalt.saltedWrite(cells, src, n = 16, regions = 2, mode = "overwrite")
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    KvSalt.bucketsOf(fs, new Path(src)) shouldBe Some(16)
+    // the clone's pinned files are 8-salted: it must register 8, not 16
+    KvSnapshot.cloneTo(spark, src, "pre", dst)
+    KvSalt.bucketsOf(fs, new Path(dst)) shouldBe Some(8)
+    rows(spark.read.format("graft-kv").load(dst)) shouldBe preRows
+    rows(spark.read.format("graft-kv").load(dst)
+      .filter(col("rowKey") === "00123")) shouldBe
+      rows(plain.filter(col("rowKey") === "00123"))
+  }
+
   test("lifecycle machinery is salt-agnostic: compaction preserves the salted table") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_compact"
     graft.sinks.Sinks.deleteRecursive(spark, d)
