@@ -617,6 +617,38 @@ object Queries {
       path
     })
 
+  /** CloneSnapshot end-to-end under the oracle gate (r12 — the clone path
+    * was spec-only in r11): a generator table is snapshotted and cloned
+    * to a NEW directory (distributed file copy + fresh cfg-carrying
+    * manifest), the SOURCE then mutates (junk append) — and the scan of
+    * the CLONE must still equal the original table exactly: clones are
+    * independent, pinned at snapshot time.
+    */
+  def kvCloneScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"clone_scan|$sfDir", _ => {
+      val src = artifactPath("clone_scan_src", sfDir)
+      val dst = artifactPath("clone_scan_dst", sfDir)
+      Seq(src, dst).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+      KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+        .write.format("graft-kv").option("regions", 4)
+        .mode("append").save(src)
+      graft.sources.KvSnapshot.create(spark, src, "forClone")
+      graft.sources.KvSnapshot.cloneTo(spark, src, "forClone", dst)
+      // the source diverges AFTER the clone — the clone must not see it
+      KvGenerator.cells(spark, 200, 2, "junk")
+        .write.format("graft-kv").option("regions", 1)
+        .mode("append").save(src)
+      dst
+    })
+    spark.read.format("graft-kv").load(path).select(
+      col("rowKey"), col("family"), col("qualifier"),
+      decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  private val kvCloneScanSql: String =
+    s"""SELECT rowKey, family, qualifier, value, ts
+       |FROM (${genCellsSql(GenRecords, GenTasks, "run1")})""".stripMargin
+
   /** The SHUFFLE-FREE pivot on a SALTED table (r12 — closes the round-11
     * "salted tables refuse presorted certification" gap): the invariant
     * the per-partition streaming group needs is KEY CONTIGUITY, not
@@ -1158,6 +1190,7 @@ object Queries {
     ensureCatalogTable(spark, sfDir): Unit
     ensureSaltedPresortedKv(spark, sfDir): Unit
     kvSqlCrud(spark, sfDir): Unit // staging memoized; the query is a read
+    kvCloneScan(spark, sfDir): Unit
   }
 
   // ---------------------------------------------------------------- D1 / O1
@@ -4288,6 +4321,7 @@ object Queries {
     "kv_gen_cells" -> (kvGenCells _),
     "kv_pivot_presorted" -> (kvPivotPresorted _),
     "kv_pivot_salted" -> (kvPivotSalted _),
+    "kv_clone_scan" -> (kvCloneScan _),
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_versions_retain" -> (kvVersionsRetain _),
     "kv_ttl_expire" -> (kvTtlExpire _),
@@ -4429,6 +4463,7 @@ object Queries {
     "kv_gen_cells" -> kvGenCellsSql,
     "kv_pivot_presorted" -> kvPivotPresortedSql,
     "kv_pivot_salted" -> kvPivotPresortedSql, // salt invisible: same oracle
+    "kv_clone_scan" -> kvCloneScanSql,
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_versions_retain" -> kvVersionsRetainSql,
     "kv_ttl_expire" -> kvTtlExpireSql,
