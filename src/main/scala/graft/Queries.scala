@@ -286,6 +286,8 @@ object Queries {
       |  ('log_entries', CAST(3 AS BIGINT)),
       |  ('bounds_inverted', CAST(0 AS BIGINT)),
       |  ('tail_marks', CAST(0 AS BIGINT)),
+      |  ('tombstone_files', CAST(0 AS BIGINT)),
+      |  ('live_tombstones', CAST(0 AS BIGINT)),
       |  ('healthy', CAST(1 AS BIGINT)))
       |  AS t(check_name, n)""".stripMargin
 

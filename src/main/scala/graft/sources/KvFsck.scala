@@ -47,7 +47,15 @@ object KvFsck {
         * forever — a DEAD tail's mark (corrupt ⇒ conservative position 0)
         * gates compaction until `DropTail` removes it.
         */
-      tailMarks: Long = 0L) {
+      tailMarks: Long = 0L,
+      /** Tombstone accounting ([[KvDelete]]): how many live files carry
+        * delete markers, and how many markers are live in total — the
+        * numbers an operator reads to decide whether masked reads warrant
+        * a major compaction (which applies and purges them). Informational
+        * like tailMarks, not a health failure.
+        */
+      tombstoneFiles: Long = 0L,
+      liveTombstones: Long = 0L) {
     /** No referenced file is missing and no manifest stat is corrupt. */
     def healthy: Boolean =
       liveMissing == 0 && snapshotMissing == 0 && boundsInverted == 0
@@ -65,6 +73,8 @@ object KvFsck {
       "log_entries" -> logEntries,
       "bounds_inverted" -> boundsInverted,
       "tail_marks" -> tailMarks,
+      "tombstone_files" -> tombstoneFiles,
+      "live_tombstones" -> liveTombstones,
       "healthy" -> (if (healthy) 1L else 0L))
   }
 
@@ -204,7 +214,9 @@ object KvFsck {
       logEntries = KvLog.history(fs, dir).size,
       boundsInverted = stats.valuesIterator.count(s =>
         s.minKey.zip(s.maxKey).exists { case (lo, hi) => lo > hi }),
-      tailMarks = KvLog.tailPositions(fs, dir).size)
+      tailMarks = KvLog.tailPositions(fs, dir).size,
+      tombstoneFiles = stats.valuesIterator.count(_.tombstones > 0),
+      liveTombstones = stats.valuesIterator.map(_.tombstones).sum)
     // The accounting model as an executable identity: the four buckets
     // PARTITION the on-disk set, so their sizes must tile it exactly. A
     // failure here is a bug in fsck itself, never in the table.

@@ -229,6 +229,21 @@ class KvDeleteSpec extends graft.SparkSpec {
     assert(scan(d).count() == 6)
   }
 
+  test("fsck reports tombstone accounting: marker files and live marker counts") {
+    val d = tmp("kv_del_fsck")
+    cells(baseRows.take(9): _*).write.format("graft-kv").option("regions", 1)
+      .mode("append").save(d)
+    KvDelete.deleteRows(spark, d, Seq("k01", "k02").toDF("rowKey"))
+    val r = KvFsck.check(spark, d)
+    r.tombstoneFiles shouldBe 1L
+    r.liveTombstones shouldBe 2L
+    assert(r.healthy, "markers are informational, not a health failure")
+    KvCompactor.compact(spark, d, regions = 1) shouldBe a[KvCompactor.Compacted]
+    val r2 = KvFsck.check(spark, d)
+    r2.tombstoneFiles shouldBe 0L
+    r2.liveTombstones shouldBe 0L
+  }
+
   test("SQL-delete translation edge cases: ts underflow refused, truncate recognized") {
     import org.apache.spark.sql.sources._
     // ts < Long.MinValue matches nothing; v-1 would underflow to a
