@@ -59,12 +59,25 @@ object GraftKvCatalog {
     val parts = qualified.split("\\.")
     require(parts.length == 3,
       s"graft-kv catalog: expected cat.namespace.table, got '$qualified'")
+    // The SAME identifier rule the catalog proper enforces: a namespace or
+    // table segment with path characters ('/', '..') would otherwise
+    // string-interpolate to a directory OUTSIDE the warehouse's ns/table
+    // layout — a path the catalog itself could never have created.
+    Seq(parts(1), parts(2)).foreach { seg =>
+      require(IdentifierRe.pattern.matcher(seg).matches(),
+        s"graft-kv catalog: invalid identifier '$seg' in '$qualified'")
+    }
     val wh = spark.conf.getOption(s"spark.sql.catalog.${parts(0)}.warehouse")
       .getOrElse(throw new IllegalArgumentException(
         s"graft-kv catalog: no warehouse configured for catalog " +
           s"'${parts(0)}' (spark.sql.catalog.${parts(0)}.warehouse)"))
     s"$wh/${parts(1)}/${parts(2)}"
   }
+
+  /** One identifier grammar for every resolution path — [[tablePathOf]]
+    * and the catalog's own namespace/table admission share it.
+    */
+  private[sources] val IdentifierRe = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
 }
 
 class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
@@ -96,7 +109,7 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def requireValidName(n: String): Unit =
-    require("[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r.pattern.matcher(n).matches(),
+    require(GraftKvCatalog.IdentifierRe.pattern.matcher(n).matches(),
       s"graft-kv catalog: invalid identifier '$n'")
 
   override def listNamespaces(): Array[Array[String]] =

@@ -63,16 +63,8 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     // scan I/O, usually the right trade on an object store. Per-WRITE, so
     // a compaction can rewrite a table to a different codec; readers are
     // codec-agnostic (parquet self-describes per column chunk).
-    val codec = Option(info.options.get("codec")).map(_.toLowerCase)
-      .getOrElse("snappy") match {
-      case "snappy" => CompressionCodecName.SNAPPY
-      case "zstd" => CompressionCodecName.ZSTD
-      case "gzip" => CompressionCodecName.GZIP
-      case "lz4" => CompressionCodecName.LZ4_RAW
-      case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
-      case other => throw new IllegalArgumentException(
-        s"graft-kv: unknown codec '$other' (snappy|zstd|gzip|lz4|none)")
-    }
+    val codec = KvCodecs.parse(
+      Option(info.options.get("codec")).getOrElse("snappy"))
     // Opt-in POST-EPOCH MAINTENANCE (`maintain=true` + policy knobs):
     // lifecycle hygiene wired into the write path itself, the HBase shape
     // (region servers trigger compaction checks from the memstore flush)
@@ -129,6 +121,22 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
       }
     new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf,
       maintainPolicy, codec, allowTombstones, saltCheck)
+  }
+}
+
+/** One codec vocabulary for every write path — the batch/streaming sink
+  * and the row-level replacement write (which must honor the table's
+  * recorded `codec` property) parse through the same table.
+  */
+private[sources] object KvCodecs {
+  def parse(name: String): CompressionCodecName = name.toLowerCase match {
+    case "snappy" => CompressionCodecName.SNAPPY
+    case "zstd" => CompressionCodecName.ZSTD
+    case "gzip" => CompressionCodecName.GZIP
+    case "lz4" => CompressionCodecName.LZ4_RAW
+    case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+    case other => throw new IllegalArgumentException(
+      s"graft-kv: unknown codec '$other' (snappy|zstd|gzip|lz4|none)")
   }
 }
 

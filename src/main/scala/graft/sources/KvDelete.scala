@@ -52,7 +52,7 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
   * and a point Get of a deleted key is still a one-file bloom-hit probe
   * that then masks to empty.
   */
-object KvDelete {
+object KvDelete extends org.apache.spark.internal.Logging {
 
   /** Reserved first code point of every marker qualifier. */
   val MarkerPrefix = "\u0000"
@@ -245,8 +245,20 @@ object KvDelete {
     // this delete to forever). A file WITHOUT a stat has unknown content
     // → fall back to the over-masking direction. A stat-carrying file
     // with no ts bound holds no puts and contributes nothing.
-    if (live.isEmpty) Long.MaxValue
-    else if (!live.forall(stats.contains)) Long.MaxValue
+    def foreverFallback(why: String): Long = {
+      // Safe (over-masking) but SURPRISING SQL semantics: the marker
+      // masks FUTURE inserts at the deleted coordinates until a major
+      // compaction purges it — say so where the operator can see it.
+      logWarning(s"graft-kv: unbounded SQL DELETE on $path commits a " +
+        s"FOREVER marker (ts=Long.MaxValue) because $why — re-inserts of " +
+        "the deleted keys stay masked until a major compaction purges " +
+        "the marker; run KvCompactor.compact to clear it")
+      Long.MaxValue
+    }
+    if (live.isEmpty) Long.MaxValue // empty table: the marker masks nothing
+    else if (!live.forall(stats.contains))
+      foreverFallback("the table has stat-less (legacy) files whose max " +
+        "ts is unknown")
     else {
       val bounds = live.flatMap(n => stats(n).maxTs)
       if (bounds.isEmpty) Long.MaxValue else bounds.max

@@ -113,9 +113,14 @@ object KvFsck {
     *  - `adoptOrphans` — publish `adds` for on-disk data files nothing
     *    references: their cells BECOME VISIBLE (if an orphan duplicates
     *    live cells — a crashed re-commit — the LWW pivot absorbs the
-    *    duplicates, but raw scans see both; the operator chose this). The
-    *    adopted entries carry no stats, so planning falls back to footers
-    *    for them until the next compaction re-stats them.
+    *    duplicates, but raw scans see both; the operator chose this).
+    *    Adoption SCANS each orphan to recompute its full manifest stats
+    *    (rows, key/ts bounds, bloom, TOMBSTONE count) before publishing:
+    *    a stat-less adopted entry would break the read path's
+    *    "stat-less ⇒ marker-free" invariant ([[KvLog.FileStat]] doc) — an
+    *    orphan from a crashed delete-marker commit would then mask
+    *    nothing and surface raw NUL-qualifier marker rows on plain scans.
+    *    O(orphan bytes) driver-side, paid only on the explicit repair.
     *  - `dropBrokenSnapshots` — drop snapshots referencing missing files:
     *    the pinned state is unreadable anyway, and dropping releases the
     *    pin so vacuum can reclaim what remains.
@@ -141,7 +146,13 @@ object KvFsck {
       if (!adoptOrphans) Nil
       else {
         val orphans = (onDisk -- live -- removals -- snapRefs).toSeq.sorted
-        if (orphans.nonEmpty) KvLog.append(fs, dir, adds = orphans)
+        if (orphans.nonEmpty) {
+          val conf = spark.sessionState.newHadoopConf()
+          val stats = orphans.map { n =>
+            n -> recomputeStat(fs, conf, new Path(dir, n))
+          }.toMap
+          KvLog.append(fs, dir, adds = orphans, stats = stats)
+        }
         orphans
       }
     val dropped =
@@ -151,6 +162,56 @@ object KvFsck {
         .map(_.name).sorted
         .filter(KvSnapshot.drop(spark, path, _))
     RepairActions(forgotten, adopted, dropped)
+  }
+
+  /** Full writer-grade [[KvLog.FileStat]] for a file the sink did NOT
+    * stat (an adopted orphan): one sequential scan collecting exactly what
+    * [[KvDataWriter]] collects in-stream — row count, rowKey bounds +
+    * bloom, ts bounds over PUT rows only, and the tombstone count that
+    * keeps the read path's masking gate sound for adopted files.
+    */
+  private def recomputeStat(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path): KvLog.FileStat = {
+    val cols = Seq("rowKey", "qualifier", "ts")
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new KvReadSupport(cols, cols, 0), file).withConf(conf).build()
+    var rows = 0L
+    var tombstones = 0L
+    var minKey: String = null
+    var maxKey: String = null
+    var minTs = Long.MaxValue
+    var maxTs = Long.MinValue
+    var sawTs = false
+    val bloom = new KvBloom.Builder
+    try {
+      var row = r.read()
+      while (row != null) {
+        rows += 1
+        val marker = !row.isNullAt(1) && {
+          val q = row.getUTF8String(1)
+          q.numBytes() > 0 && q.getByte(0) == 0
+        }
+        if (marker) tombstones += 1
+        if (!row.isNullAt(0)) {
+          val k = row.getUTF8String(0).toString // copy out of the reused buffer
+          if (minKey == null || k < minKey) minKey = k
+          if (maxKey == null || k > maxKey) maxKey = k
+          bloom.add(k)
+        }
+        if (!marker && !row.isNullAt(2)) {
+          val t = row.getLong(2)
+          if (t < minTs) minTs = t
+          if (t > maxTs) maxTs = t
+          sawTs = true
+        }
+        row = r.read()
+      }
+    } finally r.close()
+    KvLog.FileStat(rows, fs.getFileStatus(file).getLen,
+      Option(minKey), Option(maxKey),
+      if (sawTs) Some(minTs) else None, if (sawTs) Some(maxTs) else None,
+      bloom.buildToken(), tombstones)
   }
 
   case class DeepReport(

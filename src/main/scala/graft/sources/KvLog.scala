@@ -473,17 +473,31 @@ private[graft] object KvLog {
           // rename(2), which is NOT atomic (a racer between probe and
           // rename is silently replaced) — the same residual the
           // non-file schemes and lock-less Delta LogStores accept, and
-          // strictly better than a raw replacing rename.
+          // strictly better than a raw replacing rename. A POST-PUBLISH
+          // READ-BACK narrows it further: the intended bytes are captured
+          // before the move and compared against what the target actually
+          // holds afterward, so a committer whose entry was replaced by a
+          // racer (or who replaced the racer's and was then replaced back)
+          // sees foreign bytes and reports the race LOUDLY as a false —
+          // the caller re-enters with a fresh seq — instead of both sides
+          // believing they published. The residual window (racer replaces
+          // AFTER this read-back) remains, but the common probe-vs-rename
+          // interleaving now fails visibly.
+          val intended = readText(fs, tmp)
+          def publishedVerified(): Boolean =
+            try readText(fs, target) == intended
+            catch { case _: java.io.IOException => false }
           try {
             java.nio.file.Files.move(
               java.nio.file.Paths.get(tmp.toUri.getPath),
               java.nio.file.Paths.get(target.toUri.getPath))
             bestEffortCleanup(fs, tmp) // the .crc sidecar does not move
-            true
+            publishedVerified()
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
             case _: java.io.IOException =>
-              !fs.exists(target) && fs.rename(tmp, target)
+              !fs.exists(target) && fs.rename(tmp, target) &&
+                publishedVerified()
           }
       }
     } else fs.rename(tmp, target)

@@ -70,12 +70,22 @@ private[sources] object KvRowLevelOps {
 private[sources] class KvRowLevelOperationBuilder(path: String,
     info: RowLevelOperationInfo, conf: SerializableConfiguration)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new KvRowLevelOperation(path, info.command, conf)
+  override def build(): RowLevelOperation = {
+    // RowLevelOperationInfo options carry NO table properties (only
+    // KvCatalogTable's newWriteBuilder injects them, and a rewrite's
+    // write builder is constructed by the OPERATION, not the table) — so
+    // the recorded `regions`/`codec` are read from the table directory
+    // here: a table created with regions=N must not be silently
+    // re-laid-out to the default on its first UPDATE/MERGE.
+    val dir = new Path(path)
+    val props = KvTableProps.read(dir.getFileSystem(conf.value), dir)
+    new KvRowLevelOperation(path, info.command, conf, props)
+  }
 }
 
 private[sources] class KvRowLevelOperation(path: String,
-    cmd: RowLevelOperation.Command, conf: SerializableConfiguration)
+    cmd: RowLevelOperation.Command, conf: SerializableConfiguration,
+    props: Map[String, String] = Map.empty)
     extends RowLevelOperation {
 
   /** The files the operation's scan planned (post static + runtime group
@@ -109,7 +119,7 @@ private[sources] class KvRowLevelOperation(path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new KvReplaceDataWrite(path, info, conf, scannedFiles)
+        new KvReplaceDataWrite(path, info, conf, scannedFiles, props)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -193,15 +203,19 @@ private[sources] class KvScanRecording(inner: KvScan,
   */
 private[sources] class KvReplaceDataWrite(path: String,
     info: LogicalWriteInfo, conf: SerializableConfiguration,
-    scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]])
+    scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]],
+    props: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
+  // Statement options win; the table's RECORDED properties (regions laid
+  // out at CREATE, codec) are the defaults a rewrite must preserve.
   private val regions =
-    Option(info.options.get("regions")).map(_.toInt).getOrElse(8)
+    Option(info.options.get("regions")).orElse(props.get("regions"))
+      .map(_.toInt).getOrElse(8)
 
   override def requiredDistribution(): Distribution =
     Distributions.ordered(Array(
@@ -214,13 +228,16 @@ private[sources] class KvReplaceDataWrite(path: String,
   override def requiredNumPartitions(): Int = regions
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new KvReplaceDataBatchWrite(path, info.schema(), conf, scannedFiles)
+    new KvReplaceDataBatchWrite(path, info.schema(), conf, scannedFiles,
+      KvCodecs.parse(props.getOrElse("codec", "snappy")))
 }
 
 private[sources] class KvReplaceDataBatchWrite(path: String,
     writeSchema: org.apache.spark.sql.types.StructType,
     conf: SerializableConfiguration,
-    scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]])
+    scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]],
+    codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -246,7 +263,7 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     KvProjectingWriterFactory(stagingDir, conf, cellIdx,
-      writeSchema.length)
+      writeSchema.length, codec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     KvRowLevelOps.preCommitHook()
@@ -318,7 +335,9 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
   */
 private[sources] case class KvProjectingWriterFactory(stagingDir: String,
     conf: SerializableConfiguration, cellIdx: Array[Int],
-    declaredLen: Int)
+    declaredLen: Int,
+    codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -326,7 +345,8 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
         org.apache.spark.sql.catalyst.InternalRow] = {
     val cellNames = graft.kv.Cell.schema.fieldNames.toSeq
     val inner = new KvDataWriter(stagingDir, cellNames, partitionId, taskId,
-      conf, commitAs = (f, st) => KvFileCommit(f, partitionId, st))
+      conf, commitAs = (f, st) => KvFileCommit(f, partitionId, st),
+      codec = codec)
     new org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] {
       import org.apache.spark.sql.catalyst.InternalRow

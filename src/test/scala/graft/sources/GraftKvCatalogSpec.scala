@@ -288,6 +288,37 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     assert(out.contains(("k02", "a", "v3", 12L)), "untouched rows copied through")
   }
 
+  test("row-level rewrites preserve the table's recorded regions layout") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rlay")
+    (1 to 64).map(i => (f"k$i%03d", "f", "a", s"v$i", i.toLong))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_rlay")
+    spark.sql(
+      s"""CREATE TABLE $cat.rlay.t USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '3')
+         |AS SELECT * FROM catalog_spec_rlay""".stripMargin)
+    val dir = new Path(s"$wh/rlay/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    KvLog.liveFiles(fs, dir).size shouldBe 3
+    // an unkeyed UPDATE rewrites every group — the replacement must come
+    // back as the RECORDED 3 regions, not the operation default of 8
+    spark.sql(s"UPDATE $cat.rlay.t SET ts = ts + 100")
+    KvLog.liveFiles(fs, dir).size shouldBe 3
+    spark.sql(s"SELECT min(ts) FROM $cat.rlay.t").head().getLong(0) shouldBe 101L
+  }
+
+  test("tablePathOf validates identifier segments like the catalog proper") {
+    wh: Unit
+    GraftKvCatalog.tablePathOf(spark, s"$cat.ns1.t1") shouldBe s"$wh/ns1/t1"
+    an[IllegalArgumentException] should be thrownBy
+      GraftKvCatalog.tablePathOf(spark, s"$cat.ns1.bad/segment")
+    an[IllegalArgumentException] should be thrownBy
+      GraftKvCatalog.tablePathOf(spark, s"$cat..t1")
+  }
+
   test("row-level rewrites refuse tombstoned and salted tables with actionable errors") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rref")

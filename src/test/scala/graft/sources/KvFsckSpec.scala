@@ -100,6 +100,47 @@ class KvFsckSpec extends graft.SparkSpec {
     spark.read.format("graft-kv").load(d).count() shouldBe (total + donorRows)
   }
 
+  test("adoption re-stats orphans by scanning: a marker-carrying orphan still masks") {
+    val d = stage("kv_fsck_adopt_stats")
+    val fs = fsOf(d)
+    val table = new Path(d)
+    val total = spark.read.format("graft-kv").load(d).count()
+    val victimKey = spark.read.format("graft-kv").load(d)
+      .select("rowKey").head().getString(0)
+    val victimCells = spark.read.format("graft-kv").load(d)
+      .filter(col("rowKey") === victimKey).count()
+    // simulate a CRASHED delete-marker commit: the marker segment reached
+    // disk but its manifest entry never published — stage the markers in a
+    // scratch table, then copy the sealed file in as an unreferenced stray
+    import spark.implicits._
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_test/kv_fsck_adopt_src"
+    graft.sinks.Sinks.deleteRecursive(spark, scratch)
+    KvDelete.deleteRows(spark, scratch, Seq(victimKey).toDF("rowKey"))
+    val sfs = fsOf(scratch)
+    val markerFile = KvLog.liveFiles(sfs, new Path(scratch)).head
+    val stray = new Path(d, "part-b9999999998-00000-tomb.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(sfs, new Path(scratch, markerFile),
+      fs, stray, false, fs.getConf)
+    spark.read.format("graft-kv").load(d).count() shouldBe total // invisible
+    val r = KvFsck.repair(spark, d, adoptOrphans = true)
+    r.adopted shouldBe Seq(stray.getName)
+    // the adopted entry carries RECOMPUTED stats — tombstone count included,
+    // so the read path's masking gate sees the markers
+    val st = KvLog.liveFileStats(fs, table)(stray.getName)
+    st.rows shouldBe 1L
+    st.tombstones shouldBe 1L
+    assert(st.minKey.contains(victimKey) && st.maxKey.contains(victimKey))
+    KvFsck.check(spark, d).liveTombstones shouldBe 1
+    // plain scans MASK: the victim's cells vanish and no raw marker row
+    // (reserved \\u0000-prefix qualifier) ever surfaces
+    val visible = spark.read.format("graft-kv").load(d)
+      .select("rowKey", "qualifier").collect()
+    visible.length.toLong shouldBe (total - victimCells)
+    assert(!visible.exists(_.getString(0) == victimKey), "victim masked")
+    assert(!visible.exists(r => Option(r.getString(1)).exists(_.startsWith("\u0000"))),
+      "no raw marker rows on a masked scan")
+  }
+
   test("repair dropBrokenSnapshots releases only the unreadable pin") {
     val d = stage("kv_fsck_repair_snap")
     val fs = fsOf(d)
