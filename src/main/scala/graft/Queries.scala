@@ -972,6 +972,55 @@ object Queries {
        |  'CX', concat('ins', CAST(i AS VARCHAR)), 1000000 + i
        |FROM range(100) t(i)""".stripMargin
 
+  /** The r12 verdict's top composition gap, closed (r13): the natural
+    * mutable-table sequence — CTAS, a KEYED marker DELETE (O(deletes)
+    * tombstones, never a rewrite), then an UPDATE while those markers are
+    * STILL LIVE. The UPDATE runs as a MASKED copy-on-write
+    * ([[graft.sources.KvRowLevelOps]]): its scan is the logical view (a
+    * masked put can never be matched or copied), and any retired
+    * marker-carrying group re-enters as one compacted sidecar inside the
+    * same atomic entry. The oracle replays all three statements
+    * declaratively over the regenerated cells.
+    */
+  def kvCrudMasked(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = artifacts.computeIfAbsent(s"crud_masked|$sfDir", _ => {
+      val name = "graftcrm_" + Integer.toHexString(sfDir.hashCode)
+      val wh = artifactPath("kv_crud_masked_wh", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, wh)
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftKvCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+      KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+        .createOrReplaceTempView("graft_crm_cells_src")
+      spark.sql(
+        s"""CREATE TABLE $name.corpus.cells USING `graft-kv`
+           |TBLPROPERTIES ('regions' = '4')
+           |AS SELECT * FROM graft_crm_cells_src""".stripMargin)
+      val victims = spark.sql(
+        s"SELECT DISTINCT rowKey FROM $name.corpus.cells ORDER BY rowKey LIMIT 5")
+        .collect().map(_.getString(0))
+      spark.sql(s"DELETE FROM $name.corpus.cells WHERE rowKey IN " +
+        victims.map(k => s"'$k'").mkString("(", ", ", ")"))
+      spark.sql(
+        s"""UPDATE $name.corpus.cells
+           |SET value = CAST('PATCHED' AS BINARY) WHERE qualifier = 'C5'""".stripMargin)
+      name
+    })
+    spark.sql(
+      s"""SELECT rowKey, qualifier, CAST(value AS STRING) AS value, ts
+         |FROM $cat.corpus.cells""".stripMargin)
+  }
+
+  private val kvCrudMaskedSql: String =
+    s"""WITH g AS (${genCellsSql(GenRecords, GenTasks, "run1")})
+       |SELECT rowKey, qualifier,
+       |  CASE WHEN qualifier = 'C5' THEN 'PATCHED' ELSE value END AS value,
+       |  ts
+       |FROM g
+       |WHERE rowKey NOT IN
+       |  (SELECT DISTINCT rowKey FROM g ORDER BY rowKey LIMIT 5)""".stripMargin
+
   /** One oracle serves both delete queries: the survivor set is a pure
     * predicate over events, whatever the engine's masking mechanism.
     */
@@ -1192,6 +1241,7 @@ object Queries {
     ensureCatalogTable(spark, sfDir): Unit
     ensureSaltedPresortedKv(spark, sfDir): Unit
     kvSqlCrud(spark, sfDir): Unit // staging memoized; the query is a read
+    kvCrudMasked(spark, sfDir): Unit
     kvCloneScan(spark, sfDir): Unit
   }
 
@@ -4357,6 +4407,7 @@ object Queries {
     "kv_delete_compact" -> (kvDeleteCompact _),
     "kv_catalog_sql" -> (kvCatalogSql _),
     "kv_sql_crud" -> (kvSqlCrud _),
+    "kv_crud_masked" -> (kvCrudMasked _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_fsck" -> (kvFsck _),
@@ -4499,6 +4550,7 @@ object Queries {
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied
     "kv_catalog_sql" -> kvCatalogSqlSql,
     "kv_sql_crud" -> kvSqlCrudSql,
+    "kv_crud_masked" -> kvCrudMaskedSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
     "kv_fsck" -> kvFsckSql,

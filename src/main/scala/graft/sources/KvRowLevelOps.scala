@@ -41,11 +41,24 @@ import org.apache.spark.util.SerializableConfiguration
   * Deletes by key stay MARKERS ([[KvDelete]] — the metadata fast path
   * Spark prefers via `SupportsDelete`); this path is the fallback for
   * conditions markers cannot express (`DELETE WHERE ts % 2 = 0`) and the
-  * only path for UPDATE/MERGE. Tables carrying LIVE markers refuse
-  * row-level rewrites ("compact first"): a copy-on-write over a masked
-  * scan would silently drop the masked-but-unpurged puts and the markers
-  * themselves from the replaced files. Salted tables refuse too (SQL
-  * cannot re-salt the replacement rows).
+  * only path for UPDATE/MERGE. Tables carrying LIVE markers COMPOSE with
+  * rewrites (the `DELETE FROM ... ; UPDATE ...` sequence every
+  * mutable-table user writes):
+  *  - the operation's scan is the MASKED view, so the statement's
+  *    condition evaluates against the LOGICAL state — a masked put can
+  *    never be matched, updated, or copied, and marker cells never enter
+  *    the rewrite as rows;
+  *  - the commit re-emits the retired groups' markers COMPACTED (newest
+  *    per coordinate — [[KvDelete.Mask]]'s lossless rule) as a sidecar
+  *    file inside the SAME atomic entry: a marker may mask puts in
+  *    groups this rewrite never scanned, and future inserts, so it must
+  *    survive the swap;
+  *  - masked puts inside the retired groups are physically DROPPED —
+  *    the same effect a compaction's `applyMarkers` pass has, and safe
+  *    for the same monotonicity reason: a put masked now can never
+  *    unmask, because markers are purged only by the major compaction
+  *    that drops their masked puts in the same rewrite.
+  * Salted tables refuse (SQL cannot re-salt the replacement rows).
   *
   * At 100 TB: a keyed UPDATE rewrites the few regions holding the keys
   * (runtime group filtering), an unkeyed one is an explicit full rewrite
@@ -100,14 +113,6 @@ private[sources] class KvRowLevelOperation(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    val withTombstones = KvLog.liveFileStats(fs, dir).valuesIterator
-      .count(_.tombstones > 0)
-    if (withTombstones > 0) throw new UnsupportedOperationException(
-      s"graft-kv: $path carries live delete markers in $withTombstones " +
-        "file(s) — a group-based rewrite over a masked read would drop " +
-        "masked puts and markers from the replaced files. Run a major " +
-        "compaction (which applies and purges the markers) first, or " +
-        "express the delete by rowKey so it commits as markers.")
     if (KvSalt.bucketsOf(fs, dir).isDefined)
       throw new UnsupportedOperationException(
         s"graft-kv: $path is salted — SQL cannot re-salt the replacement " +
@@ -275,8 +280,16 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
           "planned — no group set to retire"))
     val token = stagingDir.substring(stagingDir.lastIndexOf('_') + 1)
     val seq0 = KvLog.latestSeq(fs, dir) + 1
-    val sealedOut = messages.collect {
+    // The retired groups' delete markers RE-ENTER the table as one
+    // compacted sidecar file sealed into the same entry (class doc):
+    // dropping them with the groups would resurrect masked puts in
+    // unscanned groups and re-open forever-masked coordinates.
+    val sidecar = markerSidecar(fs, dir, removes)
+    val sealedOut = (messages.collect {
       case KvFileCommit(f, partition, st) if f.nonEmpty =>
+        (f, partition, st)
+    } ++ sidecar.map { case (f, st) => (f, messages.length, st) }).map {
+      case (f, partition, st) =>
         val target = new Path(dir, f"part-b$seq0%010d-$partition%05d-$token.parquet")
         fs.rename(new Path(f), target)
         target.getName -> st
@@ -319,6 +332,70 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       }
     }
     fs.delete(new Path(stagingDir), true): Unit
+  }
+
+  /** Read every delete marker physically residing in the retired
+    * marker-carrying groups (manifest `d=` stats say which — zero reads
+    * for the marker-free common case), compact to the NEWEST marker per
+    * (rowKey, family, qualifier), and seal them as ONE sorted sidecar
+    * file in the staging dir. Driver-side and bounded: the retired
+    * files' live markers are a subset of the table's, which the
+    * operation's own masked scan already capped at
+    * [[KvDelete.MaxLiveMarkers]] when it built the broadcast mask.
+    * Returns the staged file + its (tombstone-carrying) stat, or None
+    * when no retired group holds markers.
+    */
+  private def markerSidecar(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      removes: Seq[String]): Option[(String, Option[KvLog.FileStat])] = {
+    val stats = KvLog.liveFileStats(fs, dir)
+    val tombFiles = removes.filter(n => stats.get(n).exists(_.tombstones > 0))
+    if (tombFiles.isEmpty) return None
+    val newest =
+      new java.util.HashMap[(String, String, String), java.lang.Long]()
+    val cols = Seq("rowKey", "family", "qualifier", "ts")
+    tombFiles.foreach { n =>
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new KvReadSupport(cols, cols, 0), new Path(dir, n))
+        .withConf(conf.value)
+        .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+          org.apache.parquet.filter2.predicate.FilterApi.lt(
+            org.apache.parquet.filter2.predicate.FilterApi
+              .binaryColumn("qualifier"),
+            org.apache.parquet.io.api.Binary.fromString("\u0001"))))
+        .build()
+      try {
+        var row = r.read()
+        while (row != null) {
+          val key = (row.getUTF8String(0).toString,
+            row.getUTF8String(1).toString, row.getUTF8String(2).toString)
+          val ts = row.getLong(3)
+          val prev = newest.get(key)
+          if (prev == null || prev.longValue() < ts) newest.put(key, ts)
+          row = r.read()
+        }
+      } finally r.close()
+    }
+    import scala.jdk.CollectionConverters._
+    // sink file order: (rowKey, qualifier) — family disambiguates ties
+    val sorted = newest.asScala.toSeq.sortBy { case ((rk, fam, q), _) =>
+      (rk, q, fam)
+    }
+    val writer = new KvDataWriter(stagingDir,
+      graft.kv.Cell.schema.fieldNames.toSeq,
+      partitionId = 99998, taskId = 0L, conf,
+      commitAs = (f, st) => KvFileCommit(f, 0, st),
+      codec = codec, allowTombstones = true)
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    sorted.foreach { case ((rk, fam, q), ts) =>
+      writer.write(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(rk), UTF8String.fromString(fam),
+        UTF8String.fromString(q), null, ts.longValue())))
+    }
+    writer.commit() match {
+      case KvFileCommit(f, _, st) if f.nonEmpty => Some((f, st))
+      case _ => None
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -178,10 +178,11 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     spark.sql(s"INSERT INTO $cat.del.t6 SELECT * FROM catalog_spec_back")
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.del.t6 WHERE rowKey = 'k02'").head().getLong(0) == 1)
-    // an unsupported condition refuses WHOLE — nothing deleted
-    an[Exception] should be thrownBy
-      spark.sql(s"DELETE FROM $cat.del.t6 WHERE ts > 5")
-    assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 2)
+    // a condition markers cannot express FALLS BACK to the masked
+    // copy-on-write rewrite — live markers no longer refuse it (r13):
+    // only the freshly re-inserted k02 (ts=99) matches and is dropped
+    spark.sql(s"DELETE FROM $cat.del.t6 WHERE ts > 50")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.t6").head().getLong(0) == 1)
     // TRUNCATE TABLE is DML: it empties the table in ONE manifest entry
     // and PRESERVES everything else — catalog metadata, version history
     // (time travel to the pre-truncate seq still works), registrations.
@@ -319,7 +320,7 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       GraftKvCatalog.tablePathOf(spark, s"$cat..t1")
   }
 
-  test("row-level rewrites refuse tombstoned and salted tables with actionable errors") {
+  test("rewrites COMPOSE with marker deletes: UPDATE over live tombstones re-emits them compacted") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rref")
     cellsDf.createOrReplaceTempView("catalog_spec_rref")
@@ -327,18 +328,70 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       s"""CREATE TABLE $cat.rref.t10 USING `graft-kv`
          |TBLPROPERTIES ('regions' = '1')
          |AS SELECT * FROM catalog_spec_rref""".stripMargin)
+    val dir = new Path(s"$wh/rref/t10")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // forever-mask k01 (path API) + at-now-mask k02 (SQL marker fast path)
     KvDelete.deleteRows(spark, s"$wh/rref/t10", Seq("k01").toDF("rowKey"))
-    // keyed DELETE still works: the marker fast path needs no rewrite
     spark.sql(s"DELETE FROM $cat.rref.t10 WHERE rowKey = 'k02'")
     assert(spark.sql(s"SELECT count(*) FROM $cat.rref.t10").head().getLong(0) == 1)
-    // UPDATE must refuse while markers are live
+    // the composition every mutable-table user writes: UPDATE while the
+    // markers are still unpurged — a masked copy-on-write, no refusal.
+    // A CONDITIONED update's runtime group filtering retires only the
+    // matched data group: the unrelated marker segments stay live,
+    // untouched, and still masking.
+    spark.sql(s"UPDATE $cat.rref.t10 SET ts = 50 WHERE ts = 13")
+    val out = spark.sql(
+      s"SELECT rowKey, ts FROM $cat.rref.t10 ORDER BY rowKey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    out shouldBe Seq(("k03", 50L)) // deleted keys stay masked post-rewrite
+    val stats0 = KvLog.liveFileStats(fs, dir)
+    KvLog.liveFiles(fs, dir)
+      .count(n => stats0.get(n).exists(_.tombstones > 0)) shouldBe 2
+    // an UNKEYED update is the full rewrite: the marker segments are
+    // retired too and re-enter as ONE compacted sidecar file inside the
+    // same atomic entry — 2 live markers preserved, masked puts dropped
+    spark.sql(s"UPDATE $cat.rref.t10 SET ts = 51")
+    val stats = KvLog.liveFileStats(fs, dir)
+    val live = KvLog.liveFiles(fs, dir)
+    val markerFiles = live.filter(n => stats.get(n).exists(_.tombstones > 0))
+    markerFiles.size shouldBe 1
+    stats(markerFiles.head).tombstones shouldBe 2L
+    val raw = spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(dir.toString).collect()
+    // raw = 1 surviving updated put + 2 re-emitted markers; the masked
+    // puts of k01/k02 are physically gone from the replacement files
+    raw.length shouldBe 3
+    spark.sql(s"SELECT rowKey, ts FROM $cat.rref.t10").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe Seq(("k03", 51L))
+    // a delete at-now is not forever: re-inserting k02 with a NEWER ts
+    // survives the re-emitted marker; forever-masked k01 stays dark
+    Seq(("k01", "f", "a", "back", 99L), ("k02", "f", "a", "back", 99L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_rref_back")
+    spark.sql(s"INSERT INTO $cat.rref.t10 SELECT * FROM catalog_spec_rref_back")
+    spark.sql(s"SELECT rowKey FROM $cat.rref.t10 ORDER BY rowKey").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("k02", "k03")
+  }
+
+  test("row-level rewrites refuse salted tables with an actionable error") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sref")
+    spark.sql(
+      s"""CREATE TABLE $cat.sref.tsalt (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')""".stripMargin)
+    KvSalt.saltedWrite(cellsDf, s"$wh/sref/tsalt", n = 4, regions = 2)
     val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.rref.t10 SET ts = 5 WHERE rowKey = 'k03'")
+      spark.sql(s"UPDATE $cat.sref.tsalt SET ts = 5 WHERE rowKey = 'k03'")
     }
     val msgs = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
-    msgs should include("compact")
+    msgs should include("salted")
   }
 
   test("INSERT OVERWRITE truncates then loads; recorded properties survive") {
