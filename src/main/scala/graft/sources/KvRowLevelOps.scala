@@ -58,7 +58,20 @@ import org.apache.spark.util.SerializableConfiguration
   *    for the same monotonicity reason: a put masked now can never
   *    unmask, because markers are purged only by the major compaction
   *    that drops their masked puts in the same rewrite.
-  * Salted tables refuse (SQL cannot re-salt the replacement rows).
+  *
+  * SALTED tables compose too (r13 — the last salted/unsalted feature
+  * asymmetry): the operation's scan strips the salt and rewrites pruning
+  * predicates to stored space (conditions see LOGICAL keys), and the
+  * replacement write re-applies the salt per row by DEMUXING each range
+  * partition into per-bucket writers — Spark range-sorts the logical
+  * keys, a bucket's rows inherit that order under a constant prefix, so
+  * every sealed file is stored-key-sorted and the bucket×partition grid
+  * is pairwise disjoint in stored space. A full rewrite therefore
+  * re-certifies [[KvTableInfo.keyContiguousRegions]]; a single-group
+  * rewrite stays inside its group's stored bounds and preserves the
+  * certification; only a multi-group partial rewrite can interleave
+  * bounds with untouched groups (then certification refuses until a
+  * compaction normalizes — the same LSM-overlap fallback appends have).
   *
   * At 100 TB: a keyed UPDATE rewrites the few regions holding the keys
   * (runtime group filtering), an unkeyed one is an explicit full rewrite
@@ -110,21 +123,24 @@ private[sources] class KvRowLevelOperation(path: String,
 
   override def command(): RowLevelOperation.Command = cmd
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  /** The table's recorded salt ([[KvSalt]]), read once per operation: the
+    * scan strips it (conditions evaluate on LOGICAL keys, like every
+    * other read) and the replacement write re-applies it per row — the
+    * salted/unsalted asymmetry SQL mutations used to have is gone.
+    */
+  private val saltBuckets: Option[Int] = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf.value)
-    if (KvSalt.bucketsOf(fs, dir).isDefined)
-      throw new UnsupportedOperationException(
-        s"graft-kv: $path is salted — SQL cannot re-salt the replacement " +
-          "rows (the write path has no projection hook); rewrite through " +
-          "KvSalt.saltedWrite instead")
-    new KvRowLevelScanBuilder(path, conf, scannedFiles)
+    KvSalt.bucketsOf(dir.getFileSystem(conf.value), dir)
   }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvRowLevelScanBuilder(path, conf, scannedFiles, saltBuckets)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new KvReplaceDataWrite(path, info, conf, scannedFiles, props)
+        new KvReplaceDataWrite(path, info, conf, scannedFiles, props,
+          saltBuckets)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -144,7 +160,8 @@ private[sources] class KvRowLevelOperation(path: String,
   */
 private[sources] class KvRowLevelScanBuilder(path: String,
     conf: SerializableConfiguration,
-    record: java.util.concurrent.atomic.AtomicReference[Seq[String]])
+    record: java.util.concurrent.atomic.AtomicReference[Seq[String]],
+    saltBuckets: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -157,11 +174,17 @@ private[sources] class KvRowLevelScanBuilder(path: String,
 
   override def pushedFilters(): Array[Filter] = pruneFilters
 
-  override def build(): org.apache.spark.sql.connector.read.Scan =
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // Salted tables: prune filters rewrite to STORED key space (exact —
+    // KvSalt.expand doc) and the scan strips the salt, so the rewrite
+    // plan's condition and copied-through rows all see LOGICAL keys.
+    val pushedStored =
+      saltBuckets.fold(pruneFilters)(KvSalt.expandAll(pruneFilters, _))
     new KvScanRecording(
-      new KvScan(path, graft.kv.Cell.schema, pruneFilters, sconf = conf,
-        groupPruneOnly = true),
+      new KvScan(path, graft.kv.Cell.schema, pushedStored, sconf = conf,
+        saltBuckets = saltBuckets, groupPruneOnly = true),
       record)
+  }
 }
 
 /** Decorates the operation's [[KvScan]] so the FINAL planned file set
@@ -209,7 +232,8 @@ private[sources] class KvScanRecording(inner: KvScan,
 private[sources] class KvReplaceDataWrite(path: String,
     info: LogicalWriteInfo, conf: SerializableConfiguration,
     scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]],
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    saltBuckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -234,7 +258,7 @@ private[sources] class KvReplaceDataWrite(path: String,
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new KvReplaceDataBatchWrite(path, info.schema(), conf, scannedFiles,
-      KvCodecs.parse(props.getOrElse("codec", "snappy")))
+      KvCodecs.parse(props.getOrElse("codec", "snappy")), saltBuckets)
 }
 
 private[sources] class KvReplaceDataBatchWrite(path: String,
@@ -242,7 +266,8 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     conf: SerializableConfiguration,
     scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]],
     codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
-      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+    saltBuckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -268,7 +293,7 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     KvProjectingWriterFactory(stagingDir, conf, cellIdx,
-      writeSchema.length, codec)
+      writeSchema.length, codec, saltBuckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     KvRowLevelOps.preCommitHook()
@@ -285,10 +310,12 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     // dropping them with the groups would resurrect masked puts in
     // unscanned groups and re-open forever-masked coordinates.
     val sidecar = markerSidecar(fs, dir, removes)
-    val sealedOut = (messages.collect {
+    val sealedOut = (messages.toSeq.flatMap {
       case KvFileCommit(f, partition, st) if f.nonEmpty =>
-        (f, partition, st)
-    } ++ sidecar.map { case (f, st) => (f, messages.length, st) }).map {
+        Seq((f, partition, st))
+      case KvMultiFileCommit(parts) => parts.filter(_._1.nonEmpty)
+      case _ => Nil
+    } ++ sidecar.map { case (f, st) => (f, 99999, st) }).map {
       case (f, partition, st) =>
         val target = new Path(dir, f"part-b$seq0%010d-$partition%05d-$token.parquet")
         fs.rename(new Path(f), target)
@@ -414,20 +441,40 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
     conf: SerializableConfiguration, cellIdx: Array[Int],
     declaredLen: Int,
     codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
-      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+    saltBuckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
     val cellNames = graft.kv.Cell.schema.fieldNames.toSeq
-    val inner = new KvDataWriter(stagingDir, cellNames, partitionId, taskId,
-      conf, commitAs = (f, st) => KvFileCommit(f, partitionId, st),
-      codec = codec)
-    new org.apache.spark.sql.connector.write.DataWriter[
-        org.apache.spark.sql.catalyst.InternalRow] {
-      import org.apache.spark.sql.catalyst.InternalRow
-      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    // SALTED tables: each range partition DEMUXES into one writer per
+    // salt bucket. The partition's rows arrive sorted by LOGICAL
+    // (rowKey, qualifier) — Spark's required ordering — so a bucket's
+    // rows, sharing a constant stored prefix, are sorted by STORED key:
+    // every sealed file keeps the sink's file-sort contract and the
+    // bucket×partition grid is pairwise disjoint in stored space.
+    // Unsalted tables keep the single-writer path (buckets = 1 writer,
+    // no prefix). Writer slot ids fold (partition, bucket) into one
+    // number so staged and sealed names can never collide.
+    val n = saltBuckets.getOrElse(0)
+    val prefixes: Array[UTF8String] =
+      (0 until n).map(s => UTF8String.fromString(f"$s%03d|")).toArray
+    val inners = new Array[KvDataWriter](math.max(n, 1))
+    def innerFor(bucket: Int): KvDataWriter = {
+      if (inners(bucket) == null) {
+        val slot = if (n == 0) partitionId else partitionId * n + bucket
+        inners(bucket) = new KvDataWriter(stagingDir, cellNames, slot, taskId,
+          conf, commitAs = (f, st) => KvFileCommit(f, slot, st),
+          codec = codec, saltCheck = saltBuckets)
+      }
+      inners(bucket)
+    }
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       // Leading-extras offset, resolved on the first row: Spark's
       // rewrite plans PREPEND `__row_operation` to the data columns
       // without declaring it in the write schema.
@@ -453,11 +500,34 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
             }
           i += 1
         }
-        inner.write(new GenericInternalRow(out))
+        var bucket = 0
+        if (n > 0 && out(0) != null) {
+          val key = out(0).asInstanceOf[UTF8String]
+          bucket = KvSalt.saltOfUtf8(key, n)
+          out(0) = UTF8String.concat(prefixes(bucket), key)
+        }
+        innerFor(bucket).write(new GenericInternalRow(out))
       }
-      override def commit(): WriterCommitMessage = inner.commit()
-      override def abort(): Unit = inner.abort()
-      override def close(): Unit = inner.close()
+      override def commit(): WriterCommitMessage =
+        if (n == 0) {
+          // single-writer path: preserve the one-message shape (and an
+          // empty partition still acks with an empty commit)
+          innerFor(0).commit()
+        } else KvMultiFileCommit(
+          inners.toSeq.filter(_ != null).map(_.commit()).collect {
+            case KvFileCommit(f, slot, st) if f.nonEmpty => (f, slot, st)
+          })
+      override def abort(): Unit =
+        inners.foreach(w => if (w != null) w.abort())
+      override def close(): Unit =
+        inners.foreach(w => if (w != null) w.close())
     }
   }
 }
+
+/** A salted replacement task seals one file PER SALT BUCKET it touched —
+  * all carried in one commit message as (staged file, writer slot, stat).
+  */
+private[sources] case class KvMultiFileCommit(
+    parts: Seq[(String, Int, Option[KvLog.FileStat])])
+    extends WriterCommitMessage

@@ -375,7 +375,7 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       .map(_.getString(0)).toSeq shouldBe Seq("k02", "k03")
   }
 
-  test("row-level rewrites refuse salted tables with an actionable error") {
+  test("SQL UPDATE/MERGE work on salted tables: replacements re-salt and stay certified") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sref")
     spark.sql(
@@ -384,14 +384,52 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
          |  value BINARY, ts BIGINT)
          |USING `graft-kv`
          |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')""".stripMargin)
-    KvSalt.saltedWrite(cellsDf, s"$wh/sref/tsalt", n = 4, regions = 2)
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.sref.tsalt SET ts = 5 WHERE rowKey = 'k03'")
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-      .mkString(" | ")
-    msgs should include("salted")
+    val p = s"$wh/sref/tsalt"
+    KvSalt.saltedWrite(cellsDf, p, n = 4, regions = 2)
+    KvCompactor.compact(spark, p, regions = 2) shouldBe a[KvCompactor.Compacted]
+    assert(KvTableInfo.keyContiguousRegions(spark, p), "compacted salted table certifies")
+    // unkeyed UPDATE = full rewrite: every group retired, the demux
+    // re-salts each replacement row — logical results, salt invisible
+    spark.sql(s"UPDATE $cat.sref.tsalt SET ts = ts + 100")
+    spark.sql(s"SELECT rowKey, ts FROM $cat.sref.tsalt ORDER BY rowKey, ts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("k01", 110L), ("k01", 111L), ("k02", 112L), ("k03", 113L))
+    // the layout came back stored-disjoint-sorted: the contiguity tier
+    // still certifies, the strict logical tier still refuses salted
+    assert(KvTableInfo.keyContiguousRegions(spark, p),
+      "a full salted rewrite must re-certify stored-space contiguity")
+    assert(!KvTableInfo.disjointSortedRegions(spark, p))
+    val dir = new Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stats = KvLog.liveFileStats(fs, dir)
+    assert(KvLog.liveFiles(fs, dir).forall(n => stats.get(n).exists(st =>
+      st.minKey.exists(_.matches("\\d{3}\\|.*")))),
+      "every replacement file stores salted keys")
+    // keyed UPDATE: the expanded predicate routes to the one salted group
+    spark.sql(s"UPDATE $cat.sref.tsalt SET value = CAST('patched' AS BINARY) " +
+      "WHERE rowKey = 'k02'")
+    spark.sql(s"SELECT CAST(value AS STRING) FROM $cat.sref.tsalt " +
+      "WHERE rowKey = 'k02'").head().getString(0) shouldBe "patched"
+    // two-branch MERGE (insert-only MERGE optimizes to a plain append,
+    // which keeps refusing unsalted SQL rows like INSERT does): the
+    // NOT MATCHED row is salted by the replacement demux on the way in —
+    // a raw (unsalted) store would garble the salt-stripping read
+    Seq(("k03", "g", "c", "merged", 90L), ("k09", "f", "z", "fresh", 50L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_salt_src")
+    spark.sql(
+      s"""MERGE INTO $cat.sref.tsalt t
+         |USING catalog_spec_salt_src s
+         |ON t.rowKey = s.rowKey AND t.family = s.family
+         |   AND t.qualifier = s.qualifier
+         |WHEN MATCHED THEN UPDATE SET value = s.value, ts = s.ts
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"SELECT CAST(value AS STRING) FROM $cat.sref.tsalt " +
+      "WHERE rowKey = 'k09'").head().getString(0) shouldBe "fresh"
+    spark.sql(s"SELECT CAST(value AS STRING) FROM $cat.sref.tsalt " +
+      "WHERE rowKey = 'k03'").head().getString(0) shouldBe "merged"
   }
 
   test("INSERT OVERWRITE truncates then loads; recorded properties survive") {
