@@ -672,6 +672,24 @@ object Queries {
     decodedPresortedPivot(spark.read.format("graft-kv").load(path))
   }
 
+  /** r13 (closes the r11/r12 "caller-routed fast path" gap): the pivot
+    * whose PHYSICAL STRATEGY the table chooses —
+    * [[graft.ops.KvPivot.pivotAuto]] consults the manifest certification
+    * and takes the zero-exchange per-partition pivot on this compacted
+    * table WITHOUT the caller naming it (PlanSpec asserts no Exchange and
+    * the negative routes: LSM-overlapped, legacy, and tombstoned tables
+    * fall back to the hash pivot). Same oracle as `kv_pivot_presorted`.
+    */
+  def kvPivotAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensurePresortedKv(spark, sfDir)
+    require(KvPivot.autoStrategy(spark, path) == "presorted",
+      s"kv_pivot_auto: the compacted table at $path must auto-route to " +
+        "the exchange-free pivot")
+    val piv = KvPivot.pivotAuto(spark, path, PresortedCols)
+    piv.select(col("rowKey") +:
+      PresortedCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
   /** 100k records over the 32768-key space ⇒ version depth up to 4 per
     * (rowKey, C0) coordinate — deeper than the retention k, so the oracle
     * gate genuinely exercises EVICTION (at 40k records depth maxes at
@@ -4372,6 +4390,7 @@ object Queries {
     "kv_delimited_lines" -> (kvDelimitedLines _),
     "kv_gen_cells" -> (kvGenCells _),
     "kv_pivot_presorted" -> (kvPivotPresorted _),
+    "kv_pivot_auto" -> (kvPivotAuto _),
     "kv_pivot_salted" -> (kvPivotSalted _),
     "kv_clone_scan" -> (kvCloneScan _),
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
@@ -4515,6 +4534,7 @@ object Queries {
     "kv_delimited_lines" -> kvDelimitedLinesSql,
     "kv_gen_cells" -> kvGenCellsSql,
     "kv_pivot_presorted" -> kvPivotPresortedSql,
+    "kv_pivot_auto" -> kvPivotPresortedSql, // same result, route auto-chosen
     "kv_pivot_salted" -> kvPivotPresortedSql, // salt invisible: same oracle
     "kv_clone_scan" -> kvCloneScanSql,
     "kv_pivot_bucketed" -> kvPivotPresortedSql,

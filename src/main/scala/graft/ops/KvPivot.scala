@@ -125,6 +125,56 @@ object KvPivot {
     }
   }
 
+  /** A1 with the ROUTE DECIDED BY THE TABLE, not the caller (the
+    * optimizer-shaped default): consult the manifest-certified layout of
+    * `path` and pivot with the exchange-free per-partition streaming
+    * group when the table's layout proves it sound, falling back to the
+    * ordinary hash pivot otherwise. What [[pivotPresorted]]'s unchecked
+    * precondition made operator knowledge is now a metadata consult —
+    * at 100 TB the zero-shuffle plan becomes what a user GETS on any
+    * compacted (salted or not) table, instead of what an expert asks for.
+    *
+    * Routing ([[autoStrategy]], one driver-side manifest replay):
+    *  - `presorted` — every live file carries manifest stats, the stored
+    *    key ranges are pairwise disjoint
+    *    ([[graft.sources.KvTableInfo.keyContiguousRegions]] — salted
+    *    tables certify through the contiguity tier), and NO live file
+    *    carries delete markers (a masked scan stays contiguous, but the
+    *    conservative route keeps the masked path on the one pivot shape
+    *    whose correctness is layout-derived);
+    *  - `hash` — LSM-overlapped commits awaiting compaction, legacy
+    *    (stat-less) directories, tombstoned tables: the declarative
+    *    pivot's one shuffle is the always-correct fallback.
+    */
+  def pivotAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      columns: Seq[String],
+      rowKeyCol: Option[String] = None,
+      family: Option[String] = None): DataFrame = {
+    val cells = spark.read.format("graft-kv").load(path)
+    if (autoStrategy(spark, path) == "presorted")
+      pivotPresorted(cells, columns, rowKeyCol, family)
+    else pivot(cells, columns, rowKeyCol, family)
+  }
+
+  /** The route [[pivotAuto]] would take for `path` (`"presorted"` /
+    * `"hash"`) — exposed so callers and specs observe the decision
+    * without parsing physical plans.
+    */
+  def autoStrategy(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tombstoned = graft.sources.KvLog.exists(fs, dir) &&
+      graft.sources.KvLog.liveFileStats(fs, dir)
+        .valuesIterator.exists(_.tombstones > 0)
+    if (!tombstoned &&
+        graft.sources.KvTableInfo.keyContiguousRegions(spark, path))
+      "presorted"
+    else "hash"
+  }
+
   /** P1–P3 for the delimited dialect: select schema columns in order, decode
     * bytes as UTF-8 (F1), render missing cells as empty string (P2,
     * Txt:176-182). Keeps `rowKey` first like the exporters' rowKey column.

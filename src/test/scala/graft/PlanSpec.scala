@@ -278,6 +278,51 @@ class PlanSpec extends SparkSpec {
     df.count() should be > 0L
   }
 
+  test("kv_pivot_auto picks the exchange-free plan itself; degraded layouts fall back") {
+    // the POSITIVE route: the compacted artifact certifies, the caller
+    // never names a strategy, the plan still has zero exchanges
+    val df = Queries.all("kv_pivot_auto")(spark, sfDir)
+    val plan = executedPlan(df)
+    plan should include("GraftKvScan")
+    plan should not include "Exchange"
+    df.count() should be > 0L
+    // NEGATIVE routes, each with the same correct result via the hash pivot
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/plan_spec_auto"
+    val cells = KvGenerator.cells(spark, 400, 2, "runA")
+    // (a) LSM-overlapped: two interleaved commits, no compaction
+    val overlapped = s"$base/overlapped"
+    graft.sinks.Sinks.deleteRecursive(spark, overlapped)
+    (0 until 2).foreach { i =>
+      cells.filter(pmod(col("ts"), lit(2)) === i)
+        .write.format("graft-kv").option("regions", 2)
+        .mode("append").save(overlapped)
+    }
+    KvPivot.autoStrategy(spark, overlapped) shouldBe "hash"
+    // (b) legacy: data files with no manifest
+    val legacy = s"$base/legacy"
+    graft.sinks.Sinks.deleteRecursive(spark, legacy)
+    RangeLayout.layout(cells, 2).write.mode("overwrite").parquet(legacy)
+    KvPivot.autoStrategy(spark, legacy) shouldBe "hash"
+    // (c) tombstoned: compacted then marker-deleted
+    val tombed = s"$base/tombed"
+    graft.sinks.Sinks.deleteRecursive(spark, tombed)
+    cells.write.format("graft-kv").option("regions", 2)
+      .mode("append").save(tombed)
+    graft.sources.KvCompactor.compact(spark, tombed, regions = 2)
+    KvPivot.autoStrategy(spark, tombed) shouldBe "presorted"
+    import spark.implicits._
+    val victim = spark.read.format("graft-kv").load(tombed)
+      .select("rowKey").head().getString(0)
+    graft.sources.KvDelete.deleteRows(spark, tombed,
+      Seq(victim).toDF("rowKey"))
+    KvPivot.autoStrategy(spark, tombed) shouldBe "hash"
+    // the fallback still answers correctly (masked hash pivot)
+    val piv = KvPivot.pivotAuto(spark, tombed, Seq("C0"))
+    executedPlan(piv) should include("Exchange")
+    piv.filter(col("rowKey") === victim).count() shouldBe 0L
+    piv.count() should be > 0L
+  }
+
   test("kv_runtime_prune ships the dim's key set to the scan as a runtime filter") {
     val df = Queries.all("kv_runtime_prune")(spark, sfDir)
     val plan = executedPlan(df)
