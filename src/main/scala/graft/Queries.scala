@@ -1260,6 +1260,7 @@ object Queries {
     ensureSaltedPresortedKv(spark, sfDir): Unit
     kvSqlCrud(spark, sfDir): Unit // staging memoized; the query is a read
     kvCrudMasked(spark, sfDir): Unit
+    kvTailResume(spark, sfDir): Unit
     kvCloneScan(spark, sfDir): Unit
   }
 
@@ -4014,6 +4015,53 @@ object Queries {
         decode(col("value"), "UTF-8").as("value_str"), col("ts"))
   }
 
+  /** r13 (closes the r11 "tail cannot bridge a truncated checkpoint"
+    * gap): the streaming CDC RECOVERY BRIDGE end to end. A first tail
+    * consumes the table's initial commits and is then LOST (its Spark
+    * checkpoint discarded — the disaster the bridge exists for); more
+    * commits land; a replacement tail with a FRESH checkpoint resumes
+    * from `.option("sinceSeq", <last consumed seq>)`
+    * ([[graft.sources.KvTailStream]] initialOffset doc). The landed
+    * union must be exactly the full table — no replayed cells, no gaps —
+    * which the generator oracle checks cell by cell.
+    */
+  def kvTailResume(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = artifacts.computeIfAbsent(s"tail_resume|$sfDir", _ => {
+      val src = artifactPath("tail_resume_src", sfDir)
+      val outA = artifactPath("tail_resume_a", sfDir)
+      val outB = artifactPath("tail_resume_b", sfDir)
+      Seq(src, outA, outB, outA + "_cp", outB + "_cp")
+        .foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+      val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+      def commit(i: Int): Unit =
+        cells.filter(pmod(col("ts"), lit(4)) === i)
+          .write.format("graft-kv").option("regions", 2)
+          .mode("append").save(src)
+      (0 until 2).foreach(commit)
+      val q1 = spark.readStream.format("graft-kv").load(src)
+        .writeStream.format("parquet").option("path", outA)
+        .option("checkpointLocation", outA + "_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val consumed = graft.sources.KvLog.latestSeq(
+        srcPath.getFileSystem(spark.sessionState.newHadoopConf()), srcPath)
+      // the first pipeline's checkpoint is now LOST; the table moves on
+      (2 until 4).foreach(commit)
+      val q2 = spark.readStream.format("graft-kv")
+        .option("sinceSeq", consumed).load(src)
+        .writeStream.format("parquet").option("path", outB)
+        .option("checkpointLocation", outB + "_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      s"$outA;$outB"
+    })
+    val Array(a, b) = base.split(";")
+    spark.read.parquet(a).unionByName(spark.read.parquet(b))
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
   private val streamKvPipeSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  'f' AS family, event_type AS qualifier,
@@ -4512,6 +4560,7 @@ object Queries {
     "stream_pivot" -> (streamPivot _),
     "stream_kv_tail" -> (streamKvTail _),
     "stream_kv_pipe" -> (streamKvPipe _),
+    "kv_tail_resume" -> (kvTailResume _),
     "stream_kv_index" -> (streamKvIndex _),
     "stream_enrich" -> (streamEnrich _),
     "stream_ingest_dedup" -> (streamIngestDedup _),
@@ -4654,6 +4703,8 @@ object Queries {
     "stream_pivot" -> streamPivotSql,
     "stream_kv_tail" -> kvPivotEventsSql,
     "stream_kv_pipe" -> streamKvPipeSql,
+    "kv_tail_resume" -> kvGenCellsSql, // bridged union == the full table
+
     "stream_kv_index" -> kvIndexLookupSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_ingest_dedup" -> streamIngestDedupSql,

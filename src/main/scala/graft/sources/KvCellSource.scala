@@ -122,9 +122,11 @@ private[sources] class KvCellTable(path: String,
     // the last version PUBLISHED at or before that instant
     // (KvLog.seqAtTime — the Delta timestampAsOf analog). `sinceSeq` is an
     // INCREMENTAL (CDC) batch read: only the cells committed in
-    // `(sinceSeq, asOfSeq|latest]` (KvLog.changedFiles doc). Batch-only —
-    // a stream's position IS its version, so all are rejected at stream
-    // construction.
+    // `(sinceSeq, asOfSeq|latest]` (KvLog.changedFiles doc). The version
+    // options are batch-only — a stream's position IS its version, so
+    // they are rejected at stream construction; `sinceSeq` alone is ALSO
+    // meaningful on a stream, where it sets a fresh checkpoint's RESUME
+    // position (KvTailStream.initialOffset — the CDC recovery bridge).
     val asOfSeq = Option(options.get("asOfSeq")).map(_.toLong)
     val asOfTime = Option(options.get("asOfTime")).map(_.toLong)
     require(asOfSeq.isEmpty || asOfTime.isEmpty,
@@ -949,13 +951,19 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(asOfSeq.isEmpty && sinceSeq.isEmpty && snapshot.isEmpty,
-      "graft-kv: asOfSeq/sinceSeq/snapshot are batch-read options — a " +
+    require(asOfSeq.isEmpty && snapshot.isEmpty,
+      "graft-kv: asOfSeq/asOfTime/snapshot are batch-read options — a " +
         "stream's offset already names its log position; tail from a fresh " +
         "checkpoint instead")
+    // `sinceSeq` on a STREAM is the CDC recovery bridge: a fresh
+    // checkpoint's tail starts right after that log seq instead of at the
+    // compaction horizon — the pipeline that lost its Spark checkpoint
+    // but knows its last consumed commit resumes exactly, no replays and
+    // no gaps (KvTailStream.initialOffset doc).
     new KvTailStream(path, required, pushed, maxFilesPerBatch, sconf, tailId,
       maxBytesPerBatch,
-      saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0)
+      saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0,
+      sinceSeq = sinceSeq)
   }
 
   override def description(): String = {

@@ -70,7 +70,8 @@ private[sources] class KvTailStream(
     maxFilesPerBatch: Option[Int], confBroadcast: SerializableConfiguration,
     tailId: Option[String] = None,
     maxBytesPerBatch: Option[Long] = None,
-    saltLen: Int = 0)
+    saltLen: Int = 0,
+    sinceSeq: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   def this(path: String, required: StructType, pushed: Array[Filter],
@@ -153,9 +154,11 @@ private[sources] class KvTailStream(
     val fl = KvLog.floor(fs, tableDir)
     if (pos.seq < fl) throw new IllegalStateException(
       s"graft-kv tail: offset at log entry ${pos.seq} is behind the compaction " +
-        s"floor $fl of $path — the segments were merged away. Restart the " +
-        "tail from a fresh checkpoint, or register the tail (tailId option) " +
-        "so compaction stops at its position.")
+        s"floor $fl of $path — the segments were merged away. Register the " +
+        "tail (tailId option) so compaction parks at its position; to " +
+        "recover, restart from a fresh checkpoint — at the horizon (full " +
+        "current state), or with .option(\"sinceSeq\", <last consumed " +
+        "seq>) to resume exactly when that span is still above the floor.")
     val files = Seq.newBuilder[Path]
     var taken = 0
     var bytes = 0L
@@ -353,12 +356,41 @@ private[sources] class KvTailStream(
   /** A fresh tail starts at the compaction HORIZON when one exists (the
     * compact entry's adds are the live set at that point, delivered via the
     * fresh-start sentinel), at entry 0 otherwise.
+    *
+    * `sinceSeq` overrides the start: the tail resumes RIGHT AFTER that
+    * log seq — the streaming twin of the batch CDC read, and the recovery
+    * bridge for a pipeline whose SPARK checkpoint was lost or truncated
+    * while its own sink knows the last commit it consumed (the tail
+    * registration mark, a landed `_latest`, an app-level watermark).
+    * Starting at `(sinceSeq+1, idx 0)` means: entries `<= sinceSeq`
+    * consumed, a compact entry at `sinceSeq+1` delivers nothing (its adds
+    * republish already-consumed data — `visibleAdds`), so the resumed
+    * stream ships exactly the cells committed after `sinceSeq` — no
+    * duplicates, no gaps. A span that dips below the compaction FLOOR
+    * still fails loudly in [[advance]] (those segments were merged away;
+    * the change set is not reconstructible — re-baseline instead). Only
+    * consulted for a FRESH checkpoint: a restart with an intact
+    * checkpoint keeps its own offset, and the option is then inert.
     */
   override def initialOffset(): Offset =
     if (KvLog.exists(fs, tableDir)) {
-      val hz = KvLog.horizon(fs, tableDir)
-      KvWalOffset(LogPos(math.max(hz, 0L), if (hz >= 0) InitIdx else 0).encode)
-    } else KvWalOffset("")
+      sinceSeq match {
+        case Some(s) =>
+          val latest = KvLog.latestSeq(fs, tableDir)
+          require(s >= -1 && s <= latest,
+            s"graft-kv tail: sinceSeq $s is outside $path's log (latest " +
+              s"$latest) — the resume position must name a consumed commit")
+          KvWalOffset(LogPos(s + 1, 0).encode)
+        case None =>
+          val hz = KvLog.horizon(fs, tableDir)
+          KvWalOffset(LogPos(math.max(hz, 0L), if (hz >= 0) InitIdx else 0).encode)
+      }
+    } else {
+      require(sinceSeq.isEmpty,
+        s"graft-kv tail: sinceSeq names a manifest-log position, but $path " +
+          "carries no log (legacy listing mode)")
+      KvWalOffset("")
+    }
 
   override def deserializeOffset(json: String): Offset = KvWalOffset(json)
 

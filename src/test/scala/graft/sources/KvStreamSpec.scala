@@ -520,6 +520,59 @@ class KvStreamSpec extends graft.SparkSpec {
     stream.latestOffset(through, ReadLimit.allAvailable()) shouldBe through
   }
 
+  test("sinceSeq resumes a fresh tail exactly after the named commit — the CDC recovery bridge") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_since_seq"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    // three sink commits (seq 0, 1, 2), split deterministically by ts
+    (0 until 3).foreach { i =>
+      allCells.filter(pmod(col("ts"), lit(3)) === i)
+        .write.format("graft-kv").option("regions", 2).mode("append").save(d)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(d)
+    val fs = table.getFileSystem(conf)
+    KvLog.latestSeq(fs, table) shouldBe 2L
+    // the recovery scenario: the Spark checkpoint is GONE but the
+    // pipeline knows it consumed through seq 0 — resume from there
+    val cp = s"${d}_resume_cp"
+    graft.sinks.Sinks.deleteRecursive(spark, cp)
+    val q = spark.readStream.format("graft-kv").option("sinceSeq", 0)
+      .load(d)
+      .writeStream.format("memory").queryName("since_resume")
+      .outputMode("append").option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("since_resume")
+      .select(col("rowKey"), col("qualifier"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = allCells.filter(pmod(col("ts"), lit(3)) =!= 0)
+      .select(col("rowKey"), col("qualifier"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe want // commits 1..2 exactly: no replays, no gaps
+    // a resume position beyond the log refuses loudly
+    val sconf = new SerializableConfiguration(conf)
+    an[IllegalArgumentException] should be thrownBy
+      new KvTailStream(d, Cell.schema, Array.empty, None, sconf,
+        sinceSeq = Some(99L)).initialOffset()
+    // sinceSeq names a LOG position: a legacy (log-less) dir refuses
+    val legacy = s"${sys.props("java.io.tmpdir")}/graft_test/kv_since_legacy"
+    graft.sinks.Sinks.deleteRecursive(spark, legacy)
+    stageSegments(legacy, Seq(allCells.limit(10)))
+    an[IllegalArgumentException] should be thrownBy
+      new KvTailStream(legacy, Cell.schema, Array.empty, None, sconf,
+        sinceSeq = Some(0L)).initialOffset()
+    // below the compaction floor the bridge refuses like the batch CDC
+    // read: compact fully, then ask for the merged-away span
+    KvCompactor.compact(spark, d, regions = 2) shouldBe a[KvCompactor.Compacted]
+    val floored = new KvTailStream(d, Cell.schema, Array.empty, None, sconf,
+      sinceSeq = Some(0L))
+    val ex = intercept[IllegalStateException] {
+      floored.latestOffset(floored.initialOffset(), ReadLimit.allAvailable())
+    }
+    ex.getMessage should include("behind the compaction floor")
+    ex.getMessage should include("sinceSeq")
+  }
+
   test("AvailableNow cap and offset MODE mismatch fails loudly, both directions") {
     val conf = countingConf
     val sconf = new SerializableConfiguration(conf)
