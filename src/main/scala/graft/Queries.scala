@@ -1023,6 +1023,10 @@ object Queries {
       spark.sql(
         s"""UPDATE $name.corpus.cells
            |SET value = CAST('PATCHED' AS BINARY) WHERE qualifier = 'C5'""".stripMargin)
+      // ranged erasure (r13): still markers — the range enumerates its
+      // live keys with a pruned masked scan, O(deletes) commit
+      spark.sql(s"DELETE FROM $name.corpus.cells " +
+        "WHERE rowKey >= '30000' AND rowKey < '31000'")
       name
     })
     spark.sql(
@@ -1037,7 +1041,8 @@ object Queries {
        |  ts
        |FROM g
        |WHERE rowKey NOT IN
-       |  (SELECT DISTINCT rowKey FROM g ORDER BY rowKey LIMIT 5)""".stripMargin
+       |  (SELECT DISTINCT rowKey FROM g ORDER BY rowKey LIMIT 5)
+       |  AND NOT (rowKey >= '30000' AND rowKey < '31000')""".stripMargin
 
   /** One oracle serves both delete queries: the survivor set is a pure
     * predicate over events, whatever the engine's masking mechanism.

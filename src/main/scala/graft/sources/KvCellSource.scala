@@ -208,8 +208,8 @@ private[sources] class KvCellTable(path: String,
       KvDelete.translateSqlDelete(filters).getOrElse(
         throw new UnsupportedOperationException(
           s"graft-kv: unsupported DELETE condition [${filters.mkString(", ")}] " +
-            "— delete by rowKey (=/IN), optionally AND family+qualifier " +
-            "equality and/or a ts upper bound")))
+            "— delete by rowKey (=/IN) or a rowKey range/prefix, optionally " +
+            "AND family+qualifier equality and/or a ts upper bound")))
 
   /** SQL `UPDATE` / `MERGE INTO` (and the DELETE fallback for conditions
     * markers cannot express): group-based copy-on-write rewrites through

@@ -136,16 +136,23 @@ object KvDelete extends org.apache.spark.internal.Logging {
     * at delete time — the HBase delete-at-now analog for caller-defined
     * timestamps; a later INSERT with a smaller-or-equal ts is masked
     * until the marker compacts away, the same drift HBase accepts).
+    * `rangeFilters` (mutually exclusive with `keys`) holds rowKey
+    * range/prefix conjuncts: the delete first ENUMERATES the affected
+    * live keys with a pruned masked scan, then commits one marker per
+    * key — O(deleted keys) markers and scan work confined to the range's
+    * regions, never the O(table) rewrite the row-level fallback pays.
     */
   final case class SqlDelete(keys: Seq[String], tsBound: Option[Long],
-      colTarget: Option[(String, String)], truncate: Boolean = false)
+      colTarget: Option[(String, String)], truncate: Boolean = false,
+      rangeFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
 
   /** Translate a pushed DELETE condition (a conjunction). Accepted shapes:
-    * `rowKey = v` / `rowKey IN (...)`, optionally `AND family = f AND
-    * qualifier = q` (column delete), optionally `AND ts <= t` / `ts < t`;
-    * the bare `TRUE` (TRUNCATE). Anything else returns None and Spark
-    * reports the delete as unsupported — never a partial or approximate
-    * delete.
+    * `rowKey = v` / `rowKey IN (...)` — OR a rowKey RANGE (any
+    * conjunction of `>` / `>=` / `<` / `<=` / `LIKE 'p%'` on rowKey,
+    * r13) — optionally `AND family = f AND qualifier = q` (column
+    * delete), optionally `AND ts <= t` / `ts < t`; the bare `TRUE`
+    * (TRUNCATE). Anything else returns None and Spark falls back to the
+    * row-level rewrite — never a partial or approximate delete.
     */
   def translateSqlDelete(filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[SqlDelete] = {
@@ -153,6 +160,7 @@ object KvDelete extends org.apache.spark.internal.Logging {
     if (filters.isEmpty || filters.toSeq == Seq(AlwaysTrue))
       return Some(SqlDelete(Nil, None, None, truncate = true))
     var keys: Option[Seq[String]] = None
+    var range = Vector.empty[Filter]
     var fam: Option[String] = None
     var qual: Option[String] = None
     var ts: Option[Long] = None
@@ -164,6 +172,11 @@ object KvDelete extends org.apache.spark.internal.Logging {
       case EqualTo("rowKey", v: String) if keys.isEmpty => keys = Some(Seq(v))
       case In("rowKey", vs) if keys.isEmpty && vs.forall(_.isInstanceOf[String]) =>
         keys = Some(vs.toSeq.collect { case s: String => s })
+      case f @ GreaterThan("rowKey", _: String) => range :+= f
+      case f @ GreaterThanOrEqual("rowKey", _: String) => range :+= f
+      case f @ LessThan("rowKey", _: String) => range :+= f
+      case f @ LessThanOrEqual("rowKey", _: String) => range :+= f
+      case f @ StringStartsWith("rowKey", _) => range :+= f
       case EqualTo("family", v: String) if fam.isEmpty => fam = Some(v)
       case EqualTo("qualifier", v: String) if qual.isEmpty => qual = Some(v)
       case LessThanOrEqual("ts", v: java.lang.Long) if ts.isEmpty => ts = Some(v)
@@ -174,9 +187,16 @@ object KvDelete extends org.apache.spark.internal.Logging {
           if ts.isEmpty && v.longValue() != Long.MinValue => ts = Some(v - 1)
       case _ => return None
     }
-    (keys, fam, qual) match {
-      case (Some(ks), Some(f), Some(q)) => Some(SqlDelete(ks, ts, Some((f, q))))
-      case (Some(ks), None, None) => Some(SqlDelete(ks, ts, None))
+    // keys and ranges do not combine (`rowKey = 'a' AND rowKey > 'b'` is
+    // a shape the planner normally folds; refuse rather than guess)
+    if (keys.isDefined && range.nonEmpty) return None
+    (keys, range, fam, qual) match {
+      case (Some(ks), _, Some(f), Some(q)) => Some(SqlDelete(ks, ts, Some((f, q))))
+      case (Some(ks), _, None, None) => Some(SqlDelete(ks, ts, None))
+      case (None, r, Some(f), Some(q)) if r.nonEmpty =>
+        Some(SqlDelete(Nil, ts, Some((f, q)), rangeFilters = r))
+      case (None, r, None, None) if r.nonEmpty =>
+        Some(SqlDelete(Nil, ts, None, rangeFilters = r))
       case _ => None // family/qualifier without the other (or no keys)
     }
   }
@@ -220,13 +240,39 @@ object KvDelete extends org.apache.spark.internal.Logging {
       return
     }
     val ts = d.tsBound.getOrElse(currentMaxTs(spark, path))
+    // RANGED delete (r13): enumerate the affected LIVE keys with a
+    // pruned masked scan — the range reaches the region pruner, so the
+    // scan touches only the range's regions; masking means already-
+    // deleted keys get no redundant second marker — then commit one
+    // marker per key through the ordinary frames. Fully distributed
+    // (the key frame never lands on the driver), O(deleted keys).
+    val keyFrame: DataFrame =
+      if (d.rangeFilters.nonEmpty)
+        spark.read.format("graft-kv").load(path)
+          .filter(d.rangeFilters.map(rangeColumn).reduce(_ && _))
+          .select(col("rowKey")).distinct()
+      else d.keys.toDF("rowKey")
     d.colTarget match {
       case Some((f, q)) =>
         deleteColumns(spark, path,
-          d.keys.toDF("rowKey").select(col("rowKey"),
+          keyFrame.select(col("rowKey"),
             lit(f).as("family"), lit(q).as("qualifier")), defaultTs = ts)
       case None =>
-        deleteRows(spark, path, d.keys.toDF("rowKey"), defaultTs = ts)
+        deleteRows(spark, path, keyFrame, defaultTs = ts)
+    }
+  }
+
+  private def rangeColumn(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case GreaterThan("rowKey", v: String) => col("rowKey") > v
+      case GreaterThanOrEqual("rowKey", v: String) => col("rowKey") >= v
+      case LessThan("rowKey", v: String) => col("rowKey") < v
+      case LessThanOrEqual("rowKey", v: String) => col("rowKey") <= v
+      case StringStartsWith("rowKey", p) => col("rowKey").startsWith(p)
+      case other => throw new IllegalStateException(
+        s"graft-kv delete: unexpected range conjunct $other")
     }
   }
 

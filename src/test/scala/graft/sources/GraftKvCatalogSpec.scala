@@ -202,6 +202,44 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       "post-truncate INSERT must still honor the recorded regions")
   }
 
+  test("ranged SQL DELETE stays O(deletes): markers for the in-range keys, no rewrite") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rng")
+    (1 to 20).map(i => (f"k$i%02d", "f", "a", s"v$i", i.toLong))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_rng")
+    spark.sql(
+      s"""CREATE TABLE $cat.rng.t USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2')
+         |AS SELECT * FROM catalog_spec_rng""".stripMargin)
+    val dir = new Path(s"$wh/rng/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = KvLog.liveFiles(fs, dir).toSet
+    // half-open range erasure — the GDPR range shape
+    spark.sql(s"DELETE FROM $cat.rng.t WHERE rowKey >= 'k05' AND rowKey < 'k11'")
+    spark.sql(s"SELECT count(*) FROM $cat.rng.t").head().getLong(0) shouldBe 14
+    spark.sql(s"SELECT min(rowKey), max(rowKey) FROM $cat.rng.t " +
+      "WHERE rowKey >= 'k03' AND rowKey <= 'k13'").collect().head match {
+      case r => (r.getString(0), r.getString(1)) shouldBe ("k03", "k13")
+    }
+    // MARKERS, not a rewrite: every original data file still live, plus
+    // one marker segment carrying exactly the 6 in-range row tombstones
+    val stats = KvLog.liveFileStats(fs, dir)
+    val live = KvLog.liveFiles(fs, dir)
+    assert(dataFiles.subsetOf(live.toSet), "a ranged delete must not rewrite data files")
+    val markers = live.filterNot(dataFiles)
+    markers.map(n => stats(n).tombstones).sum shouldBe 6L
+    // prefix delete (LIKE 'p%') rides the same path
+    spark.sql(s"DELETE FROM $cat.rng.t WHERE rowKey LIKE 'k2%'")
+    spark.sql(s"SELECT max(rowKey) FROM $cat.rng.t").head().getString(0) shouldBe "k19"
+    // already-masked keys get no second marker: the enumeration is masked
+    val before = KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum
+    spark.sql(s"DELETE FROM $cat.rng.t WHERE rowKey >= 'k05' AND rowKey < 'k11'")
+    KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum shouldBe before
+  }
+
   test("SQL time travel: VERSION AS OF reads the named manifest seq") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tt")
