@@ -938,9 +938,12 @@ object Queries {
     * group-based copy-on-write rewrite through
     * [[graft.sources.KvRowLevelOperation]]), `DELETE` with a condition
     * markers cannot express (`ts % 10 = 9` ⇔ the C9 cells — the rewrite
-    * fallback), and `MERGE INTO` inserting 100 fresh-key rows — each an
-    * atomic manifest group swap preserving the range-sorted layout. The
-    * oracle replays the whole mutation history declaratively.
+    * fallback), `MERGE INTO` inserting 100 fresh-key rows, and a second
+    * FULL-MATRIX merge (r13) driving all three branches in one
+    * statement — WHEN MATCHED AND cond UPDATE / WHEN MATCHED DELETE /
+    * WHEN NOT MATCHED INSERT — each an atomic manifest group swap
+    * preserving the range-sorted layout. The oracle replays the whole
+    * mutation history declaratively.
     */
   def kvSqlCrud(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = artifacts.computeIfAbsent(s"sql_crud|$sfDir", _ => {
@@ -972,6 +975,24 @@ object Queries {
            |USING graft_crud_merge_src s
            |ON t.rowKey = s.rowKey
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // the FULL three-branch MERGE matrix (r13): one statement that
+      // updates half the zz rows (matched, even ts), deletes the other
+      // half (matched fall-through), and inserts 50 fresh yy keys — all
+      // one atomic group swap, replayed declaratively by the oracle.
+      spark.range(150).selectExpr(
+          "CASE WHEN id < 100 THEN concat('zz', lpad(CAST(id AS STRING), 4, '0')) " +
+            "ELSE concat('yy', lpad(CAST(id - 100 AS STRING), 4, '0')) END AS rowKey",
+          "'c' AS family", "'CX' AS qualifier",
+          "encode(concat('m', CAST(id AS STRING)), 'UTF-8') AS value",
+          "CAST(2000000 + id AS BIGINT) AS ts")
+        .createOrReplaceTempView("graft_crud_merge2_src")
+      spark.sql(
+        s"""MERGE INTO $name.corpus.cells t
+           |USING graft_crud_merge2_src s
+           |ON t.rowKey = s.rowKey AND t.qualifier = s.qualifier
+           |WHEN MATCHED AND s.ts % 2 = 0 THEN UPDATE SET value = s.value, ts = s.ts
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       name
     })
     spark.sql(
@@ -987,8 +1008,12 @@ object Queries {
        |FROM g WHERE ts % 10 <> 9
        |UNION ALL
        |SELECT concat('zz', lpad(CAST(i AS VARCHAR), 4, '0')),
-       |  'CX', concat('ins', CAST(i AS VARCHAR)), 1000000 + i
-       |FROM range(100) t(i)""".stripMargin
+       |  'CX', concat('m', CAST(i AS VARCHAR)), 2000000 + i
+       |FROM range(100) t(i) WHERE i % 2 = 0
+       |UNION ALL
+       |SELECT concat('yy', lpad(CAST(i - 100 AS VARCHAR), 4, '0')),
+       |  'CX', concat('m', CAST(i AS VARCHAR)), 2000000 + i
+       |FROM range(100, 150) t(i)""".stripMargin
 
   /** The r12 verdict's top composition gap, closed (r13): the natural
     * mutable-table sequence — CTAS, a KEYED marker DELETE (O(deletes)
