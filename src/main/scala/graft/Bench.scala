@@ -37,34 +37,57 @@ object Bench {
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
+    // CANARY normalization (r13 — ends the per-round noise adjudication):
+    // a FIXED CPU+shuffle micro-query is timed at the start, after every
+    // 15th query, and at the end. Container contention drifts every
+    // timing roughly uniformly (the r11/r12 signature), so the canary
+    // samples measure THIS RUN's drift in-band and a reader normalizes:
+    //   normalized_sec = raw_sec * (CANARY_BASELINE_SEC / canary.median)
+    // CANARY_BASELINE_SEC is the quiet-window canary recorded in
+    // BASELINE.md next to the per-query baselines it scales.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, cpus.toInt)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .agg(org.apache.spark.sql.functions.sum("s")).collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary(): Unit // untimed warm pass (codegen + exchange setup)
+    val canarySamples = scala.collection.mutable.ArrayBuffer(canary())
+    def medianOf(xs: Seq[Double]): Double = {
+      // true median: average the two middles for even counts
+      // (upper-middle alone would bias a 2-sample set toward the max)
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0
+          }
         }
-      }
-      val med =
-        if (times.contains(-1.0)) -1.0
-        else {
-          // true median: average the two middles for even rep counts
-          // (upper-middle alone would bias a 2-rep run toward the max)
-          val s = times.sorted
-          if (s.size % 2 == 1) s(s.size / 2)
-          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-        }
-      name -> med
+        if ((i + 1) % 15 == 0) canarySamples += canary()
+        val med = if (times.contains(-1.0)) -1.0 else medianOf(times)
+        name -> med
     }.toMap
+    canarySamples += canary()
+    val canaryMed = medianOf(canarySamples.toSeq)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val canaryJson = canarySamples.map(v => f"$v%.4f").mkString(
+      s"""{"median":$canaryMed,"samples":[""", ",", "]}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir","reps":$reps,"stat":"median"}"""
     println(line)
     // Also persist the full per-query record: the driver captures only a
     // bounded stdout tail, which truncated r6's 103-query line. The file is
