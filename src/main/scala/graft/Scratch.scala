@@ -1366,6 +1366,104 @@ object Scratch {
         }
         fullScan("post-compaction, marker-free")
 
+      case "maskcap" =>
+        // The delete mask AT ITS CAP (MaxLiveMarkers = 4M): how much the
+        // driver pays to load it, what a masked full scan costs in each
+        // mask mode, and that the r13 REGION-SCOPED slices actually
+        // engage on the layout that matters (disjoint/compacted). Two
+        // stagings of the same 8M-cell / 4M-marker table:
+        //  (a) compacted (one overwrite commit, disjoint regions) →
+        //      sliced mode: each task receives only its file's markers;
+        //  (b) two overlapping epoch commits → the slice guard falls
+        //      back to the r12 broadcast.
+        import org.apache.spark.sql.functions._
+        val keys = 2L * graft.sources.KvDelete.MaxLiveMarkers // 8M keys
+        val delKeys = graft.sources.KvDelete.MaxLiveMarkers // the cap
+        val regions = 32
+        def rows(ids: org.apache.spark.sql.Dataset[java.lang.Long]) = ids.select(
+          format_string("%08d", col("id")).as("rowKey"),
+          lit("f").as("family"), lit("q").as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+        val victims = spark.range(delKeys)
+          .select(format_string("%08d", col("id") * 2L).as("rowKey"))
+        for ((label, overlapped) <- Seq(("disjoint", false), ("overlapped", true))) {
+          val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/maskcap_$label"
+          graft.sinks.Sinks.deleteRecursive(spark, dir)
+          time(s"stage $label (${keys / 1000000}M cells, $regions regions)") {
+            if (!overlapped)
+              rows(spark.range(keys)).write.format("graft-kv")
+                .option("regions", regions).mode("overwrite").save(dir)
+            else (0 until 2).foreach { i =>
+              rows(spark.range(keys).filter(pmod(col("id"), lit(2)) === i))
+                .write.format("graft-kv").option("regions", regions)
+                .mode("append").save(dir)
+            }
+          }
+          time(s"marker commit at the cap (${delKeys / 1048576}Mi row deletes)") {
+            graft.sources.KvDelete.deleteRows(spark, dir, victims, regions = 8)
+          }
+          val df = spark.read.format("graft-kv").load(dir)
+          val r = time(s"masked full scan ($label)") {
+            df.agg(count(lit(1))).collect()
+          }
+          val plan = df.queryExecution.executedPlan.toString
+          val mode = if (plan.contains("mode=sliced")) "sliced"
+            else if (plan.contains("mode=broadcast")) "broadcast" else "?"
+          println(s"  $label: rows=${r(0).getLong(0)} maskMode=$mode")
+          time(s"point Get of a deleted key ($label)") {
+            require(spark.read.format("graft-kv").load(dir)
+              .filter(col("rowKey") === "00000002").count() == 0)
+          }
+        }
+
+      case "saltget" =>
+        // Task-8 evidence: a point Get on a SALTED, COMPACTED table.
+        // Compacted regions hold far more keys than the per-segment bloom
+        // cap (blooms self-disable), and their stored ranges interleave
+        // salt prefixes — the question is whether range pruning still
+        // pins the Get to ONE region file. It does: the salt expansion
+        // maps a logical key to its ONE stored key, and compacted regions
+        // are stored-range DISJOINT, so exactly one file's [min,max] can
+        // contain it. Bloom-less compacted salted layouts therefore keep
+        // the 1-file Get; chunked blooms are not needed.
+        import org.apache.spark.sql.functions._
+        val n2 = 2000000L
+        val dir2 = s"${sys.props("java.io.tmpdir")}/graft_scratch/saltget"
+        graft.sinks.Sinks.deleteRecursive(spark, dir2)
+        val df2 = spark.range(n2).select(
+          format_string("%08d", col("id")).as("rowKey"),
+          lit("f").as("family"), lit("q").as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+        time(s"stage salted (${n2 / 1000000}M keys, 16 buckets, 8 epochs)") {
+          (0 until 4).foreach { i =>
+            graft.sources.KvSalt.saltedWrite(
+              df2.filter(pmod(col("id"), lit(4)) === i), dir2, n = 16,
+              regions = 8)
+          }
+        }
+        time("compact to 8 regions (250k keys/file — blooms self-disable)") {
+          val res = graft.sources.KvCompactor.compact(spark, dir2, regions = 8)
+          require(res.isInstanceOf[graft.sources.KvCompactor.Compacted], res.toString)
+        }
+        locally {
+          val fsys = new org.apache.hadoop.fs.Path(dir2)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val stats = graft.sources.KvLog.liveFileStats(fsys,
+            new org.apache.hadoop.fs.Path(dir2))
+          println(s"  blooms present on ${stats.values.count(_.bloom.isDefined)}" +
+            s"/${stats.size} compacted files")
+        }
+        val get = spark.read.format("graft-kv").load(dir2)
+          .filter(col("rowKey") === "01000000")
+        time("point Get on the salted compacted table") {
+          require(get.count() == 1)
+        }
+        val planned = "regions=(\\d+)/(\\d+)".r
+          .findFirstIn(get.queryExecution.executedPlan.toString)
+        println(s"  Get planned $planned")
+
       case "kvupdate" =>
         // Copy-on-write UPDATE economics: a KEYED update must rewrite the
         // few region files holding the keys (static group pruning via

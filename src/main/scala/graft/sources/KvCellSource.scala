@@ -748,23 +748,23 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   private def maskingActive: Boolean =
     !readTombstones && sinceSeq.isEmpty && tombstoneFiles.nonEmpty
 
-  /** The LIVE MASK, loaded once driver-side from the marker-carrying
+  /** The LIVE MARKERS, loaded once driver-side from the marker-carrying
     * segments (a pushed `qualifier < "\u0001"` record filter — row-group
-    * stats skip marker-free groups) and broadcast to every reader.
-    * Markers come out in LOGICAL key space (the salt strip applies), so
-    * the mask probes with the reader's own emitted values. Bounded by
-    * [[KvDelete.MaxLiveMarkers]] — past it the read refuses loudly and
-    * the fix is a compaction (which purges markers), not a bigger driver.
+    * stats skip marker-free groups): (logical rowKey, family, qualifier,
+    * ts, STORED rowKey) — logical for mask probing (readers emit stripped
+    * keys), stored for slicing against manifest bounds (which record
+    * stored keys). Bounded by [[KvDelete.MaxLiveMarkers]] — past it the
+    * read refuses loudly and the fix is a compaction (which purges
+    * markers), not a bigger driver.
     */
-  private lazy val maskBroadcast
-      : org.apache.spark.broadcast.Broadcast[KvDelete.Mask] = {
+  private lazy val liveMarkers: Array[(String, String, String, Long, String)] = {
     val conf = sconf.value
     val saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0
     val cols = Seq("rowKey", "family", "qualifier", "ts")
-    val markers = Seq.newBuilder[(String, String, String, Long)]
+    val markers = Array.newBuilder[(String, String, String, Long, String)]
     var total = 0L
     tombstoneFiles.foreach { f =>
-      val r = PqReader.builder(new KvReadSupport(cols, cols, saltLen),
+      val r = PqReader.builder(new KvReadSupport(cols, cols, 0),
         new Path(f))
         .withConf(conf)
         .withFilter(FilterCompat.get(FilterApi.lt(
@@ -776,19 +776,89 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
           total += 1
           if (total > KvDelete.MaxLiveMarkers) throw new IllegalStateException(
             s"graft-kv: $path carries more than ${KvDelete.MaxLiveMarkers} " +
-              "live delete markers — the broadcast mask would no longer be " +
+              "live delete markers — the mask would no longer be " +
               "bounded metadata. Run a major compaction to purge masked " +
               "cells and their markers, then re-read.")
-          markers += ((row.getUTF8String(0).toString,
+          val stored = row.getUTF8String(0).toString
+          markers += ((if (saltLen > 0) stored.substring(saltLen) else stored,
             row.getUTF8String(1).toString,
             row.getUTF8String(2).toString,
-            row.getLong(3)))
+            row.getLong(3),
+            stored))
           row = r.read()
         }
       } finally r.close()
     }
+    markers.result()
+  }
+
+  /** The one-broadcast FALLBACK mask over every live marker — used only
+    * when [[maskSlices]] declines (overlapping layouts).
+    */
+  private lazy val maskBroadcast
+      : org.apache.spark.broadcast.Broadcast[KvDelete.Mask] =
     org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(KvDelete.buildMask(markers.result().iterator))
+      .broadcast(KvDelete.buildMask(
+        liveMarkers.iterator.map(t => (t._1, t._2, t._3, t._4))))
+
+  /** REGION-SCOPED masks (r13): a reader only needs the markers whose
+    * rowKey could coexist with ITS file's keys, and the manifest bounds
+    * already say which — so each planned file gets a SLICE of the
+    * (stored-key-sorted) marker set covering its [minKey, maxKey], and
+    * the slice rides the file's own [[KvFilePartition]] instead of a
+    * full-mask broadcast to every executor. On the layouts that matter
+    * at scale (compacted/disjoint region files), the slices sum to about
+    * the marker count, so the driver ships each marker ~once — a
+    * 1000-region table with a 4M-marker mask ships ~4 KB-per-region
+    * slices instead of a ~400 MB broadcast to every executor. When
+    * overlapping epoch segments make every file span the keyspace,
+    * slices would multiply the mask by the file count — the guard then
+    * falls back to the single broadcast (None), the r12 behavior. Files
+    * without bounds (stat-less) take the full set as their slice.
+    */
+  private lazy val maskSlices: Option[Map[String, KvDelete.Mask]] = {
+    val sorted = liveMarkers.sortBy(_._5)
+    val storedKeys: Array[String] = sorted.map(_._5)
+    val m = storedKeys.length
+    // first index with key >= lo / first index with key > hi
+    def lowerBound(lo: String): Int = {
+      var a = 0; var b = m
+      while (a < b) {
+        val mid = (a + b) >>> 1
+        if (storedKeys(mid) < lo) a = mid + 1 else b = mid
+      }
+      a
+    }
+    def upperBound(hi: String): Int = {
+      var a = 0; var b = m
+      while (a < b) {
+        val mid = (a + b) >>> 1
+        if (storedKeys(mid) <= hi) a = mid + 1 else b = mid
+      }
+      a
+    }
+    val statsByFile = keptFiles.toMap
+    val ranges = plannedFiles.map { f =>
+      val st = statsByFile.get(f).flatten
+      // A PURE-marker segment (every row a tombstone) holds no puts to
+      // mask: its readers only need the qualifier drop, which the empty
+      // mask provides — in the fresh-delete state this halves the slice
+      // material (the marker segments would otherwise each carry their
+      // own full span as a slice).
+      if (st.exists(s => s.rows > 0 && s.tombstones == s.rows)) f -> ((0, 0))
+      else st.flatMap(s => s.minKey.zip(s.maxKey)) match {
+        case Some((lo, hi)) => f -> ((lowerBound(lo), upperBound(hi)))
+        case None => f -> ((0, m))
+      }
+    }
+    val total = ranges.iterator.map { case (_, (a, b)) => (b - a).toLong }.sum
+    // tiny masks always slice (the duplication is bytes); big masks slice
+    // only when the layout keeps the duplication bounded
+    if (m > (4 << 10) && total > 2L * m) None
+    else Some(ranges.map { case (f, (a, b)) =>
+      f -> KvDelete.buildMask(
+        sorted.view.slice(a, b).iterator.map(t => (t._1, t._2, t._3, t._4)))
+    }.toMap)
   }
 
   private lazy val plannedFiles: Seq[String] = limit match {
@@ -845,6 +915,16 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // a rowKey's cells may STRADDLE a range boundary — hence not offered
     // to per-partition whole-key algorithms (the certified pivot never
     // sets it) and skipped under limit/top-n plans (already O(n)/task).
+    // Sliced masking: each partition carries ITS file's marker slice
+    // (possibly empty — the masker still drops raw marker rows and
+    // applies the emit projection); broadcast mode carries none.
+    val sliceFor: String => Option[KvDelete.Mask] =
+      if (!maskingActive) _ => None
+      else maskSlices match {
+        case Some(slices) =>
+          f => Some(slices.getOrElse(f, KvDelete.buildMask(Iterator.empty)))
+        case None => _ => None
+      }
     val pieces = splitRegionBytes.filter(_ => limit.isEmpty) match {
       case Some(target) =>
         lazy val fsys = new Path(path).getFileSystem(sconf.value)
@@ -852,13 +932,14 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
           val bytes = statsByFile.get(f).flatten.map(_.bytes)
             .getOrElse(fsys.getFileStatus(new Path(f)).getLen)
           val n = math.max(1L, (bytes + target - 1) / target)
-          if (n == 1) Seq(KvFilePartition(f))
+          if (n == 1) Seq(KvFilePartition(f, maskSlice = sliceFor(f)))
           else (0L until n).map { i =>
             KvFilePartition(f, i * target,
-              if (i == n - 1) Long.MaxValue else (i + 1) * target)
+              if (i == n - 1) Long.MaxValue else (i + 1) * target,
+              maskSlice = sliceFor(f))
           }
         }
-      case None => files.map(KvFilePartition(_))
+      case None => files.map(f => KvFilePartition(f, maskSlice = sliceFor(f)))
     }
     pieces.toArray
   }
@@ -924,8 +1005,9 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       // hold fewer than n survivors)
       tailPlan = descending && pushed.isEmpty && !masked,
       saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0,
-      mask = if (masked) Some(maskBroadcast) else None,
-      emitCols = if (masked) required.fieldNames.length else -1)
+      mask = if (masked && maskSlices.isEmpty) Some(maskBroadcast) else None,
+      emitCols = if (masked) required.fieldNames.length else -1,
+      sliced = masked && maskSlices.isDefined)
   }
 
   override def toBatch: Batch = this
@@ -977,8 +1059,10 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val split = splitRegionBytes.filter(_ => limit.isEmpty)
       .fold("")(b => s" splitBytes=$b")
     val tomb =
-      if (maskingActive) s" masked(tombstoneFiles=${tombstoneFiles.size})"
-      else if (readTombstones) " raw(tombstones)"
+      if (maskingActive) {
+        val mode = if (maskSlices.isDefined) "sliced" else "broadcast"
+        s" masked(tombstoneFiles=${tombstoneFiles.size} mode=$mode)"
+      } else if (readTombstones) " raw(tombstones)"
       else ""
     s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt$split$tomb"
   }
@@ -1013,7 +1097,14 @@ private[sources] case class KvScanTaskMetric(metricName: String, v: Long)
 }
 
 private[sources] case class KvFilePartition(file: String,
-    rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
+    rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
+    /** This file's region-scoped marker slice under sliced masking
+      * ([[KvScan]] maskSlices doc) — rides the task's own partition
+      * serialization, so a reader receives only the markers that can
+      * coexist with its file's key range. None in broadcast-mask mode
+      * and on unmasked scans.
+      */
+    maskSlice: Option[KvDelete.Mask] = None)
     extends InputPartition {
   def wholeFile: Boolean = rangeStart == 0L && rangeEnd == Long.MaxValue
 }
@@ -1027,11 +1118,14 @@ private[sources] case class KvReaderFactory(
     tailPlan: Boolean = false,
     saltLen: Int = 0,
     mask: Option[org.apache.spark.broadcast.Broadcast[KvDelete.Mask]] = None,
-    emitCols: Int = -1) extends PartitionReaderFactory {
+    emitCols: Int = -1,
+    sliced: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvFilePartition]
-    val masker = mask.map(b => new KvRowMasker(b.value, outNames, emitCols))
+    val masker =
+      if (sliced) p.maskSlice.map(new KvRowMasker(_, outNames, emitCols))
+      else mask.map(b => new KvRowMasker(b.value, outNames, emitCols))
     if (desc && limit.exists(_ > 0))
       new KvTailPartitionReader(p.file,
         projNames, outNames, predicate, conf.value, limit.get, tailPlan, saltLen,

@@ -172,6 +172,43 @@ class KvDeleteSpec extends graft.SparkSpec {
     KvLog.dropTail(fs, dir, "t2")
   }
 
+  test("masking is REGION-SCOPED on disjoint layouts; overlapping big masks fall back to broadcast") {
+    import spark.implicits._
+    // disjoint (compacted) layout: every partition carries only ITS
+    // file's marker slice — the plan says so
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_mask_sliced"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    graft.kv.KvGenerator.cells(spark, 2000, 4, "runM")
+      .write.format("graft-kv").option("regions", 4).mode("append").save(d)
+    KvCompactor.compact(spark, d, regions = 4) shouldBe a[KvCompactor.Compacted]
+    val victims = spark.read.format("graft-kv").load(d)
+      .select("rowKey").distinct().orderBy("rowKey").limit(3)
+      .as[String].collect().toSeq
+    KvDelete.deleteRows(spark, d, victims.toDF("rowKey"))
+    val df = spark.read.format("graft-kv").load(d)
+    val rows = df.select("rowKey").collect().map(_.getString(0))
+    df.queryExecution.executedPlan.toString should include("mode=sliced")
+    victims.foreach(v => assert(!rows.contains(v), s"$v must be masked"))
+    rows.length shouldBe 2000 * 10 - victims.size * 10
+    // overlapping epochs + a >4k mask: per-file slices would replicate
+    // the whole mask per file — the guard falls back to ONE broadcast
+    val d2 = s"${sys.props("java.io.tmpdir")}/graft_test/kv_mask_bcast"
+    graft.sinks.Sinks.deleteRecursive(spark, d2)
+    // three SINGLE-REGION epochs: every data file spans the whole
+    // keyspace, so per-file slices would triple the mask — past the guard
+    val cells2 = graft.kv.KvGenerator.cells(spark, 6000, 4, "runM")
+    (0 until 3).foreach { i =>
+      cells2.filter(pmod(col("ts"), lit(3)) === i)
+        .write.format("graft-kv").option("regions", 1).mode("append").save(d2)
+    }
+    val victims2 = spark.read.format("graft-kv").load(d2)
+      .select("rowKey").distinct().orderBy("rowKey").limit(5000)
+    KvDelete.deleteRows(spark, d2, victims2)
+    val df2 = spark.read.format("graft-kv").load(d2)
+    df2.count() shouldBe (6000L - 5000L) * 10
+    df2.queryExecution.executedPlan.toString should include("mode=broadcast")
+  }
+
   test("the sink refuses reserved-prefix qualifiers in user writes") {
     val d = tmp("kv_del_guard")
     val e = intercept[Exception] {

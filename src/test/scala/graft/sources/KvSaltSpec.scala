@@ -251,4 +251,32 @@ class KvSaltSpec extends graft.SparkSpec {
     rows(spark.read.format("graft-kv").option("saltBuckets", Buckets).load(d)) shouldBe
       rows(plain)
   }
+
+  test("a point Get on a salted COMPACTED table plans ONE region file (range-pruned, bloom-free)") {
+    // Compacted regions exceed the per-segment bloom cap in production;
+    // the layout shape is what matters: the salt expansion maps a logical
+    // key to its ONE stored key, and compacted regions are stored-range
+    // DISJOINT — so range pruning alone pins the Get to a single file,
+    // bloom or not (the r13 task-8 question, answered mechanically;
+    // Scratch `saltget` carries the 2M-key timing evidence).
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_get"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val cells = graft.kv.KvGenerator.cells(spark, 3000, 4, "runG")
+    (0 until 2).foreach { i =>
+      KvSalt.saltedWrite(cells.filter(pmod(col("ts"), lit(2)) === i),
+        d, n = 16, regions = 4)
+    }
+    KvCompactor.compact(spark, d, regions = 4) shouldBe a[KvCompactor.Compacted]
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    KvLog.liveFiles(fs, new Path(d)).size shouldBe 4
+    val someKey = spark.read.format("graft-kv").load(d)
+      .select("rowKey").head().getString(0)
+    val get = spark.read.format("graft-kv").load(d)
+      .filter(col("rowKey") === someKey)
+    get.count() should be > 0L
+    val planned = "regions=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(get.queryExecution.executedPlan.toString)
+    planned.map(_.group(1)) shouldBe Some("1")
+    planned.map(_.group(2)) shouldBe Some("4")
+  }
 }
