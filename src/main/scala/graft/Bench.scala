@@ -84,7 +84,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val canaryJson = canarySamples.map(v => f"$v%.4f").mkString(
+    // Locale-pinned: the f"" interpolator uses the JVM default locale, and
+    // a comma-decimal locale (de_DE) would corrupt the JSON line.
+    val canaryJson = canarySamples
+      .map(v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
+      .mkString(
       s"""{"median":$canaryMed,"samples":[""", ",", "]}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir","reps":$reps,"stat":"median"}"""

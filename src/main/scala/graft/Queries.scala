@@ -682,10 +682,14 @@ object Queries {
     */
   def kvPivotAuto(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ensurePresortedKv(spark, sfDir)
-    require(KvPivot.autoStrategy(spark, path) == "presorted",
+    val strategy = KvPivot.autoStrategy(spark, path)
+    require(strategy == "presorted",
       s"kv_pivot_auto: the compacted table at $path must auto-route to " +
         "the exchange-free pivot")
-    val piv = KvPivot.pivotAuto(spark, path, PresortedCols)
+    // One consult serves both the guard and the route — pivotAuto would
+    // otherwise replay the manifest a second time inside a timed query.
+    val piv = KvPivot.pivotAuto(spark, path, PresortedCols,
+      strategy = Some(strategy))
     piv.select(col("rowKey") +:
       PresortedCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }

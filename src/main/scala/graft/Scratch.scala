@@ -1374,8 +1374,13 @@ object Scratch {
         // stagings of the same 8M-cell / 4M-marker table:
         //  (a) compacted (one overwrite commit, disjoint regions) →
         //      sliced mode: each task receives only its file's markers;
-        //  (b) two overlapping epoch commits → the slice guard falls
-        //      back to the r12 broadcast.
+        //  (b) three FULL-SPAN epoch commits (regions=1 each): every
+        //      data file spans the whole keyspace, so slices would
+        //      triple the mask (3m, decisively past the strict 2m
+        //      guard) → the guard falls back to the r12 broadcast.
+        //      (Two 32-region epochs — the earlier shape — only double
+        //      the slices, which the guard admits as sliced, exactly
+        //      as BASELINE.md records.)
         import org.apache.spark.sql.functions._
         val keys = 2L * graft.sources.KvDelete.MaxLiveMarkers // 8M keys
         val delKeys = graft.sources.KvDelete.MaxLiveMarkers // the cap
@@ -1390,13 +1395,14 @@ object Scratch {
         for ((label, overlapped) <- Seq(("disjoint", false), ("overlapped", true))) {
           val dir = s"${sys.props("java.io.tmpdir")}/graft_scratch/maskcap_$label"
           graft.sinks.Sinks.deleteRecursive(spark, dir)
-          time(s"stage $label (${keys / 1000000}M cells, $regions regions)") {
+          time(s"stage $label (${keys / 1000000}M cells, " +
+              s"${if (overlapped) "3 full-span epochs" else s"$regions regions"})") {
             if (!overlapped)
               rows(spark.range(keys)).write.format("graft-kv")
                 .option("regions", regions).mode("overwrite").save(dir)
-            else (0 until 2).foreach { i =>
-              rows(spark.range(keys).filter(pmod(col("id"), lit(2)) === i))
-                .write.format("graft-kv").option("regions", regions)
+            else (0 until 3).foreach { i =>
+              rows(spark.range(keys).filter(pmod(col("id"), lit(3)) === i))
+                .write.format("graft-kv").option("regions", 1)
                 .mode("append").save(dir)
             }
           }

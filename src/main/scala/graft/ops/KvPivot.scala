@@ -151,26 +151,32 @@ object KvPivot {
       path: String,
       columns: Seq[String],
       rowKeyCol: Option[String] = None,
-      family: Option[String] = None): DataFrame = {
+      family: Option[String] = None,
+      strategy: Option[String] = None): DataFrame = {
     val cells = spark.read.format("graft-kv").load(path)
-    if (autoStrategy(spark, path) == "presorted")
+    if (strategy.getOrElse(autoStrategy(spark, path)) == "presorted")
       pivotPresorted(cells, columns, rowKeyCol, family)
     else pivot(cells, columns, rowKeyCol, family)
   }
 
   /** The route [[pivotAuto]] would take for `path` (`"presorted"` /
     * `"hash"`) — exposed so callers and specs observe the decision
-    * without parsing physical plans.
+    * without parsing physical plans; a caller that already consulted it
+    * passes the answer back through [[pivotAuto]]'s `strategy` so the
+    * manifest is not replayed twice. The consult itself is ONE replay
+    * (`liveFilesWithStats`) serving both the tombstone check and the
+    * contiguity certification.
     */
   def autoStrategy(spark: org.apache.spark.sql.SparkSession,
       path: String): String = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val tombstoned = graft.sources.KvLog.exists(fs, dir) &&
-      graft.sources.KvLog.liveFileStats(fs, dir)
-        .valuesIterator.exists(_.tombstones > 0)
+    if (!fs.exists(dir) || !graft.sources.KvLog.exists(fs, dir))
+      return "hash"
+    val entries = graft.sources.KvLog.liveFilesWithStats(fs, dir)
+    val tombstoned = entries.exists(_._2.exists(_.tombstones > 0))
     if (!tombstoned &&
-        graft.sources.KvTableInfo.keyContiguousRegions(spark, path))
+        graft.sources.KvTableInfo.storedDisjointSortedFrom(entries))
       "presorted"
     else "hash"
   }

@@ -758,36 +758,19 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * markers), not a bigger driver.
     */
   private lazy val liveMarkers: Array[(String, String, String, Long, String)] = {
-    val conf = sconf.value
     val saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0
-    val cols = Seq("rowKey", "family", "qualifier", "ts")
     val markers = Array.newBuilder[(String, String, String, Long, String)]
     var total = 0L
-    tombstoneFiles.foreach { f =>
-      val r = PqReader.builder(new KvReadSupport(cols, cols, 0),
-        new Path(f))
-        .withConf(conf)
-        .withFilter(FilterCompat.get(FilterApi.lt(
-          FilterApi.binaryColumn("qualifier"), Binary.fromString("\u0001"))))
-        .build()
-      try {
-        var row = r.read()
-        while (row != null) {
-          total += 1
-          if (total > KvDelete.MaxLiveMarkers) throw new IllegalStateException(
-            s"graft-kv: $path carries more than ${KvDelete.MaxLiveMarkers} " +
-              "live delete markers — the mask would no longer be " +
-              "bounded metadata. Run a major compaction to purge masked " +
-              "cells and their markers, then re-read.")
-          val stored = row.getUTF8String(0).toString
-          markers += ((if (saltLen > 0) stored.substring(saltLen) else stored,
-            row.getUTF8String(1).toString,
-            row.getUTF8String(2).toString,
-            row.getLong(3),
-            stored))
-          row = r.read()
-        }
-      } finally r.close()
+    KvDelete.foreachMarkerRow(sconf.value, tombstoneFiles.map(new Path(_))) {
+      (stored, fam, q, ts) =>
+        total += 1
+        if (total > KvDelete.MaxLiveMarkers) throw new IllegalStateException(
+          s"graft-kv: $path carries more than ${KvDelete.MaxLiveMarkers} " +
+            "live delete markers — the mask would no longer be " +
+            "bounded metadata. Run a major compaction to purge masked " +
+            "cells and their markers, then re-read.")
+        markers += ((if (saltLen > 0) stored.substring(saltLen) else stored,
+          fam, q, ts, stored))
     }
     markers.result()
   }

@@ -246,12 +246,28 @@ object KvDelete extends org.apache.spark.internal.Logging {
     // deleted keys get no redundant second marker — then commit one
     // marker per key through the ordinary frames. Fully distributed
     // (the key frame never lands on the driver), O(deleted keys).
+    // The enumeration honors ALL the statement's conjuncts, not just the
+    // rowKey range: a `AND family/qualifier` or `AND ts <= t` delete over
+    // a wide range would otherwise commit one marker per range key —
+    // O(range keys), not O(matching keys) — spuriously masking future
+    // inserts at coordinates the statement never matched and racing
+    // toward the MaxLiveMarkers cap. (Explicit-key deletes stay as the
+    // user wrote them: O(listed keys) is the contract there.)
     val keyFrame: DataFrame =
-      if (d.rangeFilters.nonEmpty)
+      if (d.rangeFilters.nonEmpty) {
+        val colMatch = d.colTarget match {
+          case Some((f, q)) => col("family") === f && col("qualifier") === q
+          case None => lit(true)
+        }
+        val tsMatch = d.tsBound match {
+          case Some(t) => col("ts") <= t
+          case None => lit(true)
+        }
         spark.read.format("graft-kv").load(path)
           .filter(d.rangeFilters.map(rangeColumn).reduce(_ && _))
+          .filter(colMatch && tsMatch)
           .select(col("rowKey")).distinct()
-      else d.keys.toDF("rowKey")
+      } else d.keys.toDF("rowKey")
     d.colTarget match {
       case Some((f, q)) =>
         deleteColumns(spark, path,
@@ -342,6 +358,39 @@ object KvDelete extends org.apache.spark.internal.Logging {
   final case class ColKey(
       family: org.apache.spark.unsafe.types.UTF8String,
       qualifier: org.apache.spark.unsafe.types.UTF8String) extends Serializable
+
+  /** Stream the marker rows physically residing in `files` — the ONE
+    * marker-segment reader (pushed `qualifier < "\u0001"` record filter,
+    * so row-group stats skip marker-free groups). Read-time masking
+    * ([[KvCellSource]]'s liveMarkers) and the rewrite sidecar
+    * ([[KvRowLevelOps]]) both come through here, so the marker encoding
+    * and the pushdown shape cannot silently drift apart between the
+    * consumers. Emits (STORED rowKey, family, qualifier, ts) per marker.
+    */
+  private[graft] def foreachMarkerRow(
+      conf: org.apache.hadoop.conf.Configuration, files: Seq[Path])(
+      f: (String, String, String, Long) => Unit): Unit = {
+    val cols = Seq("rowKey", "family", "qualifier", "ts")
+    files.foreach { p =>
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new KvReadSupport(cols, cols, 0), p)
+        .withConf(conf)
+        .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+          org.apache.parquet.filter2.predicate.FilterApi.lt(
+            org.apache.parquet.filter2.predicate.FilterApi
+              .binaryColumn("qualifier"),
+            org.apache.parquet.io.api.Binary.fromString("\u0001"))))
+        .build()
+      try {
+        var row = r.read()
+        while (row != null) {
+          f(row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString, row.getLong(3))
+          row = r.read()
+        }
+      } finally r.close()
+    }
+  }
 
   /** Build the [[Mask]] from raw marker cells
     * (rowKey, family, qualifier, ts) in LOGICAL key space. Driver-side;

@@ -467,40 +467,52 @@ private[graft] object KvLog {
         case Some(won) =>
           if (won) bestEffortCleanup(fs, tmp)
           won
-        case None =>
-          // BEST-EFFORT no-overwrite fallback for link-hostile stores:
-          // Files.move without REPLACE_EXISTING probes the target before
-          // rename(2), which is NOT atomic (a racer between probe and
-          // rename is silently replaced) — the same residual the
-          // non-file schemes and lock-less Delta LogStores accept, and
-          // strictly better than a raw replacing rename. A POST-PUBLISH
-          // READ-BACK narrows it further: the intended bytes are captured
-          // before the move and compared against what the target actually
-          // holds afterward, so a committer whose entry was replaced by a
-          // racer (or who replaced the racer's and was then replaced back)
-          // sees foreign bytes and reports the race LOUDLY as a false —
-          // the caller re-enters with a fresh seq — instead of both sides
-          // believing they published. The residual window (racer replaces
-          // AFTER this read-back) remains, but the common probe-vs-rename
-          // interleaving now fails visibly.
-          val intended = readText(fs, tmp)
-          def publishedVerified(): Boolean =
-            try readText(fs, target) == intended
-            catch { case _: java.io.IOException => false }
-          try {
-            java.nio.file.Files.move(
-              java.nio.file.Paths.get(tmp.toUri.getPath),
-              java.nio.file.Paths.get(target.toUri.getPath))
-            bestEffortCleanup(fs, tmp) // the .crc sidecar does not move
-            publishedVerified()
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-            case _: java.io.IOException =>
-              !fs.exists(target) && fs.rename(tmp, target) &&
-                publishedVerified()
-          }
+        case None => movePublish(fs, tmp, target)
       }
     } else fs.rename(tmp, target)
+
+  /** BEST-EFFORT no-overwrite fallback for link-hostile stores:
+    * Files.move without REPLACE_EXISTING probes the target before
+    * rename(2), which is NOT atomic (a racer between probe and
+    * rename is silently replaced) — the same residual the
+    * non-file schemes and lock-less Delta LogStores accept, and
+    * strictly better than a raw replacing rename. A POST-PUBLISH
+    * READ-BACK narrows it further: the intended bytes are captured
+    * before the move and compared against what the target actually
+    * holds afterward, so a committer whose entry was replaced by a
+    * racer (or who replaced the racer's and was then replaced back)
+    * sees foreign bytes and reports the race LOUDLY as a false —
+    * the caller re-enters with a fresh seq — instead of both sides
+    * believing they published. The residual window (racer replaces
+    * AFTER this read-back) remains, but the common probe-vs-rename
+    * interleaving now fails visibly.
+    */
+  private[sources] def movePublish(fs: FileSystem, tmp: Path, target: Path)
+      : Boolean = {
+    val intended = readText(fs, tmp)
+    // Only a POSITIVE read of foreign bytes demotes a successful
+    // rename to a lost race. A transient read failure (stale NFS
+    // handle — exactly the store class this fallback serves) after
+    // a successful move MUST stay a win: the misreport direction
+    // (published entry treated as unpublished) makes the rewrite
+    // path discard replacement files the live manifest references,
+    // which is the must-never-happen named at the link branch above.
+    def publishedVerified(): Boolean =
+      try readText(fs, target) == intended
+      catch { case _: java.io.IOException => true }
+    try {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath))
+      bestEffortCleanup(fs, tmp) // the .crc sidecar does not move
+      publishedVerified()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException =>
+        !fs.exists(target) && fs.rename(tmp, target) &&
+          publishedVerified()
+    }
+  }
 
   /** Remove a published tmp file and its Hadoop checksum sidecar; failures
     * are swallowed — a leftover tmp is a benign orphan, misreporting a

@@ -379,28 +379,11 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     if (tombFiles.isEmpty) return None
     val newest =
       new java.util.HashMap[(String, String, String), java.lang.Long]()
-    val cols = Seq("rowKey", "family", "qualifier", "ts")
-    tombFiles.foreach { n =>
-      val r = org.apache.parquet.hadoop.ParquetReader
-        .builder(new KvReadSupport(cols, cols, 0), new Path(dir, n))
-        .withConf(conf.value)
-        .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
-          org.apache.parquet.filter2.predicate.FilterApi.lt(
-            org.apache.parquet.filter2.predicate.FilterApi
-              .binaryColumn("qualifier"),
-            org.apache.parquet.io.api.Binary.fromString("\u0001"))))
-        .build()
-      try {
-        var row = r.read()
-        while (row != null) {
-          val key = (row.getUTF8String(0).toString,
-            row.getUTF8String(1).toString, row.getUTF8String(2).toString)
-          val ts = row.getLong(3)
-          val prev = newest.get(key)
-          if (prev == null || prev.longValue() < ts) newest.put(key, ts)
-          row = r.read()
-        }
-      } finally r.close()
+    KvDelete.foreachMarkerRow(conf.value, tombFiles.map(n => new Path(dir, n))) {
+      (rk, fam, q, ts) =>
+        val key = (rk, fam, q)
+        val prev = newest.get(key)
+        if (prev == null || prev.longValue() < ts) newest.put(key, ts)
     }
     import scala.jdk.CollectionConverters._
     // sink file order: (rowKey, qualifier) — family disambiguates ties

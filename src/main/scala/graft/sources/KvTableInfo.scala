@@ -69,11 +69,20 @@ object KvTableInfo {
   private def storedDisjointSorted(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Boolean = {
     if (!fs.exists(dir) || !KvLog.exists(fs, dir)) return false
-    val live = KvLog.liveFiles(fs, dir)
-    val stats = KvLog.liveFileStats(fs, dir)
-    if (live.isEmpty || !live.forall(stats.contains)) return false
-    val ranges = live.flatMap(n => stats(n).minKey.zip(stats(n).maxKey))
-    if (ranges.size != live.size) return false // an all-null-key file: no bounds
+    storedDisjointSortedFrom(KvLog.liveFilesWithStats(fs, dir))
+  }
+
+  /** The certification applied to an ALREADY-REPLAYED live (name, stat)
+    * set — lets one manifest replay serve several layout consults
+    * ([[graft.ops.KvPivot.autoStrategy]] also needs the tombstone stats
+    * from the same replay).
+    */
+  private[graft] def storedDisjointSortedFrom(
+      entries: Seq[(String, Option[KvLog.FileStat])]): Boolean = {
+    if (entries.isEmpty || entries.exists(_._2.isEmpty)) return false
+    val ranges =
+      entries.flatMap { case (_, st) => st.get.minKey.zip(st.get.maxKey) }
+    if (ranges.size != entries.size) return false // an all-null-key file: no bounds
     ranges.sortBy(_._1).sliding(2).forall {
       case Seq((_, hiA), (loB, _)) => hiA < loB
       case _ => true // single file

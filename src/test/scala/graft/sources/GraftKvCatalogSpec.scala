@@ -238,6 +238,33 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     val before = KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum
     spark.sql(s"DELETE FROM $cat.rng.t WHERE rowKey >= 'k05' AND rowKey < 'k11'")
     KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum shouldBe before
+    // The enumeration honors ALL conjuncts (r13 review): a ranged delete
+    // with a column conjunct marks only the keys that CARRY a matching
+    // cell — O(matching keys), never one marker per range key (which
+    // would both race toward MaxLiveMarkers and spuriously mask future
+    // inserts at never-matched coordinates).
+    Seq("k01", "k02", "k03", "k04").zipWithIndex
+      .map { case (k, i) => (k, "f", "b", s"w$i", 31L + i) }
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_rng_b")
+    spark.sql(s"INSERT INTO $cat.rng.t SELECT * FROM catalog_spec_rng_b")
+    val beforeCol = KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum
+    spark.sql(s"DELETE FROM $cat.rng.t WHERE rowKey >= 'k01' AND " +
+      "rowKey < 'k20' AND family = 'f' AND qualifier = 'b'")
+    KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum shouldBe
+      (beforeCol + 4L) // only the 4 keys holding an (f, b) cell
+    spark.sql(s"SELECT count(*) FROM $cat.rng.t WHERE qualifier = 'b'")
+      .head().getLong(0) shouldBe 0L
+    // Same for a ts conjunct: only keys with a cell at/under the bound.
+    val beforeTs = KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum
+    spark.sql(s"DELETE FROM $cat.rng.t WHERE rowKey >= 'k12' AND " +
+      "rowKey <= 'k19' AND ts <= 13")
+    KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum shouldBe
+      (beforeTs + 2L) // k12 (ts 12) and k13 (ts 13) match; k14..k19 do not
+    spark.sql(s"SELECT count(*) FROM $cat.rng.t " +
+      "WHERE rowKey >= 'k12' AND rowKey <= 'k19'").head().getLong(0) shouldBe 6L
   }
 
   test("SQL time travel: VERSION AS OF reads the named manifest seq") {

@@ -95,4 +95,57 @@ class KvLogHardeningSpec extends graft.SparkSpec {
       .option("asOfSeq", 1).load(d).count()
     assert(n > 0)
   }
+
+  // --- movePublish (the link-hostile publish fallback) -------------------
+
+  private def writeTmp(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      text: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  test("movePublish with no racer publishes the bytes and reports the win") {
+    val d = tmp("kv_hard_movepub")
+    val fs = fsOf(d)
+    fs.mkdirs(new Path(d))
+    val t = new Path(d, "e.tmp"); val target = new Path(d, "e.json")
+    writeTmp(fs, t, "entry-bytes")
+    assert(KvLog.movePublish(fs, t, target))
+    assert(KvLog.readText(fs, target) == "entry-bytes")
+  }
+
+  test("movePublish onto a racer's published target reports the lost race and keeps the racer's bytes") {
+    val d = tmp("kv_hard_movepub_race")
+    val fs = fsOf(d)
+    fs.mkdirs(new Path(d))
+    val t = new Path(d, "e.tmp"); val target = new Path(d, "e.json")
+    writeTmp(fs, target, "racer-bytes")
+    writeTmp(fs, t, "loser-bytes")
+    assert(!KvLog.movePublish(fs, t, target))
+    assert(KvLog.readText(fs, target) == "racer-bytes")
+  }
+
+  test("a read-back failure after a successful move stays a WIN (a transient read must not demote a published entry)") {
+    // The misreport direction is the corruption one: a committer whose
+    // entry IS live but who reports "lost race" discards the replacement
+    // files its own manifest entry references. Simulate the stale-handle
+    // store: the target becomes unreadable right after the move.
+    val d = tmp("kv_hard_movepub_stale")
+    val real = fsOf(d)
+    real.mkdirs(new Path(d))
+    val t = new Path(d, "e.tmp"); val target = new Path(d, "e.json")
+    writeTmp(real, t, "entry-bytes")
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def open(f: Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName == target.getName && fs.exists(f))
+          throw new java.io.IOException("simulated stale NFS handle")
+        else super.open(f, bufferSize)
+    }
+    assert(KvLog.movePublish(failing, t, target),
+      "a successful move with an unreadable target must stay a win")
+    assert(KvLog.readText(real, target) == "entry-bytes",
+      "the entry really was published")
+  }
 }
