@@ -1073,6 +1073,58 @@ object Queries {
        |  (SELECT DISTINCT rowKey FROM g ORDER BY rowKey LIMIT 5)
        |  AND NOT (rowKey >= '30000' AND rowKey < '31000')""".stripMargin
 
+  /** r13: the SQL LIFECYCLE surface ([[graft.sources.KvProcedures]] —
+    * DSv2 stored procedures, Spark 4's `CALL`) under the oracle gate.
+    * The operator sequence a risky migration actually runs: CTAS →
+    * `CALL snapshot` (pin) → marker DELETE → `CALL compact` (purges the
+    * markers — the `CALL fsck` health row proves it) → `CALL vacuum`
+    * grace 0 (reclaims the retired segments but NOT the snapshot-pinned
+    * originals) → `CALL restore` (back to the pinned state). The final
+    * read must be byte-identical to the original CTAS content: restore
+    * fidelity across a full compact+vacuum cycle, which only holds if
+    * vacuum's snapshot pinning and restore's missing-file checks are both
+    * right. Oracle: the plain generator replay — the lifecycle must be a
+    * net no-op on content.
+    */
+  def kvLifecycleSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = artifacts.computeIfAbsent(s"lifecycle|$sfDir", _ => {
+      val name = "graftlcp_" + Integer.toHexString(sfDir.hashCode)
+      val wh = artifactPath("kv_lifecycle_wh", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, wh)
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftKvCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+      KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+        .createOrReplaceTempView("graft_lcp_cells_src")
+      spark.sql(
+        s"""CREATE TABLE $name.corpus.cells USING `graft-kv`
+           |TBLPROPERTIES ('regions' = '4')
+           |AS SELECT * FROM graft_lcp_cells_src""".stripMargin)
+      spark.sql(s"CALL $name.sys.snapshot(table => 'corpus.cells', " +
+        "name => 'pre')").collect()
+      spark.sql(s"DELETE FROM $name.corpus.cells WHERE rowKey < '20000'")
+      spark.sql(s"CALL $name.sys.compact(table => 'corpus.cells')").collect()
+      val h = spark.sql(s"CALL $name.sys.fsck(table => 'corpus.cells')")
+        .collect().head
+      require(h.getBoolean(0) && h.getAs[Long]("live_tombstones") == 0L,
+        s"kv_lifecycle_sql: post-compaction fsck must be healthy and " +
+          s"marker-free, got $h")
+      spark.sql(s"CALL $name.sys.vacuum(table => 'corpus.cells', " +
+        "grace_ms => 0)").collect()
+      spark.sql(s"CALL $name.sys.restore(table => 'corpus.cells', " +
+        "name => 'pre')").collect()
+      name
+    })
+    spark.sql(
+      s"""SELECT rowKey, qualifier, CAST(value AS STRING) AS value, ts
+         |FROM $cat.corpus.cells""".stripMargin)
+  }
+
+  private val kvLifecycleSqlSql: String =
+    s"""SELECT rowKey, qualifier, value, ts
+       |FROM (${genCellsSql(GenRecords, GenTasks, "run1")})""".stripMargin
+
   /** One oracle serves both delete queries: the survivor set is a pure
     * predicate over events, whatever the engine's masking mechanism.
     */
@@ -4475,6 +4527,7 @@ object Queries {
     "kv_pivot_auto" -> (kvPivotAuto _),
     "kv_pivot_salted" -> (kvPivotSalted _),
     "kv_clone_scan" -> (kvCloneScan _),
+    "kv_lifecycle_sql" -> (kvLifecycleSql _),
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_versions_retain" -> (kvVersionsRetain _),
     "kv_ttl_expire" -> (kvTtlExpire _),
@@ -4620,6 +4673,7 @@ object Queries {
     "kv_pivot_auto" -> kvPivotPresortedSql, // same result, route auto-chosen
     "kv_pivot_salted" -> kvPivotPresortedSql, // salt invisible: same oracle
     "kv_clone_scan" -> kvCloneScanSql,
+    "kv_lifecycle_sql" -> kvLifecycleSqlSql,
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_versions_retain" -> kvVersionsRetainSql,
     "kv_ttl_expire" -> kvTtlExpireSql,

@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,7 +81,8 @@ object GraftKvCatalog {
   private[sources] val IdentifierRe = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
 }
 
-class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
+class GraftKvCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -256,6 +258,33 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"graft-kv catalog: rename $oldIdent -> $newIdent failed")
   }
+
+  // ------------------------------------------------------------ procedures
+
+  /** Lifecycle verbs under the reserved `sys` namespace ([[KvProcedures]]):
+    * `CALL cat.sys.compact(table => 'ns.t')` etc. The namespace is
+    * virtual — it never collides with data namespaces because procedures
+    * resolve through this method only, and data namespaces named `sys`
+    * remain ordinary directories for table resolution.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace.length == 1 &&
+      ident.namespace()(0).equalsIgnoreCase(KvProcedures.Namespace)
+    val proc = if (known) KvProcedures.load(warehouse, ident.name) else None
+    proc.getOrElse(throw new RuntimeException(
+      s"graft-kv catalog: no procedure ${ident.namespace.mkString(".")}." +
+        s"${ident.name} — available: " +
+        KvProcedures.Names.map(n => s"${KvProcedures.Namespace}.$n")
+          .mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        (namespace.length == 1 &&
+          namespace(0).equalsIgnoreCase(KvProcedures.Namespace)))
+      KvProcedures.Names
+        .map(n => Identifier.of(Array(KvProcedures.Namespace), n)).toArray
+    else Array.empty
 }
 
 /** Catalog-recorded per-table write defaults (`_log/_table_props`). */

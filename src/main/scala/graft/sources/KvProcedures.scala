@@ -1,0 +1,233 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL LIFECYCLE VERBS for `graft-kv` catalogs — DSv2 stored procedures
+  * (`ProcedureCatalog`, the Spark 4 CALL surface), so the maintenance
+  * operations a mutable table NEEDS are reachable from pure SQL, exactly
+  * where the DML that creates the need lives:
+  *
+  * {{{
+  *   CALL cat.sys.compact(table => 'ns.t')            -- purge markers/versions
+  *   CALL cat.sys.vacuum(table => 'ns.t', grace_ms => 0)
+  *   CALL cat.sys.snapshot(table => 'ns.t', name => 'pre_migration')
+  *   CALL cat.sys.restore(table => 'ns.t', name => 'pre_migration')
+  *   CALL cat.sys.fsck(table => 'ns.t')               -- health report row
+  * }}}
+  *
+  * The reference's operational surface is CLI programs run beside the
+  * data (CreateTable/PopulateTable, App.java:14-30); a SQL user of the
+  * catalog should not have to leave SQL (or find the table's directory)
+  * to compact the table their marker DELETEs tombstoned — the engine's
+  * own error messages say "compact first", so the verb must be reachable
+  * from the same session. Each procedure is a thin shim over the
+  * path-level API ([[KvCompactor]], [[KvVacuum]], [[KvSnapshot]],
+  * [[KvFsck]]) and returns its result as ONE summary row (a `LocalScan`
+  * — driver-side metadata, no job), so `CALL` output is inspectable and
+  * scriptable. `table` is the catalog-relative `namespace.table` name;
+  * resolution applies the catalog's own identifier grammar, never raw
+  * path interpolation.
+  *
+  * At 100 TB: the procedures add nothing to the data path — they run
+  * the same distributed compaction/vacuum jobs the CLI verbs run; only
+  * argument resolution and the summary row are driver-side.
+  */
+private[sources] object KvProcedures {
+
+  val Namespace = "sys"
+
+  val Names: Seq[String] = Seq("compact", "vacuum", "snapshot", "restore", "fsck")
+
+  def load(warehouse: Path, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact" => Some(new CompactProc(warehouse))
+      case "vacuum" => Some(new VacuumProc(warehouse))
+      case "snapshot" => Some(new SnapshotProc(warehouse))
+      case "restore" => Some(new RestoreProc(warehouse))
+      case "fsck" => Some(new FsckProc(warehouse))
+      case _ => None
+    }
+
+  /** Shared shape: stateless, binds to itself, side-effecting (never
+    * `isDeterministic`), resolves the `table` argument (always parameter
+    * 0) under the catalog's warehouse with the catalog's identifier
+    * grammar.
+    */
+  private sealed abstract class KvProcedure(warehouse: Path)
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    protected def spark: SparkSession = SparkSession.active
+
+    protected def tableParam: ProcedureParameter =
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative name: namespace.table").build()
+
+    protected def tableDir(input: InternalRow): Path = {
+      require(!input.isNullAt(0), s"${name()}: table must not be NULL")
+      val qualified = input.getUTF8String(0).toString
+      val parts = qualified.split("\\.")
+      require(parts.length == 2,
+        s"${name()}: expected namespace.table, got '$qualified'")
+      parts.foreach { seg =>
+        require(GraftKvCatalog.IdentifierRe.pattern.matcher(seg).matches(),
+          s"${name()}: invalid identifier '$seg' in '$qualified'")
+      }
+      val dir = new Path(new Path(warehouse, parts(0)), parts(1))
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(dir), s"${name()}: no table at $qualified")
+      dir
+    }
+
+    protected def oneRow(values: Array[Any]): java.util.Iterator[Scan] = {
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(values))
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+
+    protected def resultSchema: StructType
+  }
+
+  private final class CompactProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "compact"
+    override def description(): String =
+      "major compaction: merge live segments, apply+purge delete markers, " +
+        "enforce TTL/version policy"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("regions", IntegerType).defaultValue("NULL")
+        .comment("output region count; defaults to the table's recorded " +
+          "regions property").build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result", StringType, nullable = false),
+      StructField("seq", LongType, nullable = true),
+      StructField("merged", IntegerType, nullable = true),
+      StructField("into", IntegerType, nullable = true)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val regions =
+        if (!input.isNullAt(1)) input.getInt(1)
+        else KvTableProps.read(fs, dir).get("regions").map(_.toInt).getOrElse(8)
+      KvCompactor.compact(spark, dir.toString, regions) match {
+        case KvCompactor.Compacted(seq, merged, into) =>
+          oneRow(Array[Any](UTF8String.fromString("compacted"),
+            seq, merged, into))
+        case KvCompactor.Parked(reason) =>
+          oneRow(Array[Any](UTF8String.fromString(s"parked: $reason"),
+            null, null, null))
+        case KvCompactor.Aborted(reason) =>
+          oneRow(Array[Any](UTF8String.fromString(s"aborted: $reason"),
+            null, null, null))
+      }
+    }
+  }
+
+  private final class VacuumProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "delete unreferenced data files past the grace period"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue((24L * 3600 * 1000).toString)
+        .comment("retired files younger than this are kept (default 24h)")
+        .build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result", StringType, nullable = false),
+      StructField("deleted_files", IntegerType, nullable = true),
+      StructField("deleted_bytes", LongType, nullable = true),
+      StructField("scratch_dirs", IntegerType, nullable = true)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val grace = if (input.isNullAt(1)) 24L * 3600 * 1000 else input.getLong(1)
+      KvVacuum.vacuum(spark, dir.toString, grace) match {
+        case KvVacuum.Vacuumed(files, bytes, scratch) =>
+          oneRow(Array[Any](UTF8String.fromString("vacuumed"),
+            files, bytes, scratch))
+        case KvVacuum.Skipped(reason) =>
+          oneRow(Array[Any](UTF8String.fromString(s"skipped: $reason"),
+            null, null, null))
+      }
+    }
+  }
+
+  private final class SnapshotProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "snapshot"
+    override def description(): String =
+      "pin the current live set under a name (metadata-only, any table size)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType).build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      require(!input.isNullAt(1), "snapshot: name must not be NULL")
+      val info = KvSnapshot.create(spark, dir.toString,
+        input.getUTF8String(1).toString)
+      oneRow(Array[Any](UTF8String.fromString(info.name), info.seq,
+        info.files.size))
+    }
+  }
+
+  private final class RestoreProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "restore"
+    override def description(): String =
+      "reset the live set to a named snapshot (one manifest commit; " +
+        "history preserved)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType).build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("restored_seq", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      require(!input.isNullAt(1), "restore: name must not be NULL")
+      val seq = KvSnapshot.restore(spark, dir.toString,
+        input.getUTF8String(1).toString)
+      oneRow(Array[Any](seq))
+    }
+  }
+
+  private final class FsckProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "fsck"
+    override def description(): String =
+      "manifest/file health report (driver-side metadata; opens no data file)"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    override val resultSchema: StructType = StructType(
+      StructField("healthy", BooleanType, nullable = false) +: Seq(
+        "live_files", "live_missing", "stats_coverage", "bloom_coverage",
+        "pending_removals", "snapshot_pinned", "snapshot_missing", "orphans",
+        "scratch_dirs", "log_entries", "bounds_inverted", "tail_marks",
+        "tombstone_files", "live_tombstones")
+        .map(StructField(_, LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val r = KvFsck.check(spark, dir.toString)
+      oneRow(Array[Any](r.healthy, r.liveFiles, r.liveMissing,
+        r.statsCoverage, r.bloomCoverage, r.pendingRemovals,
+        r.snapshotPinned, r.snapshotMissing, r.orphans, r.scratchDirs,
+        r.logEntries, r.boundsInverted, r.tailMarks, r.tombstoneFiles,
+        r.liveTombstones))
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** [[KvProcedures]]: the SQL CALL surface for lifecycle verbs — the
+  * maintenance loop a DML user needs (marker DELETE → compact → vacuum,
+  * snapshot → restore) driven end-to-end without leaving SQL.
+  */
+class KvProcedureSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private val cat = "graftcat_proc"
+  private lazy val wh: String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_proc_wh"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", d)
+    d
+  }
+
+  private def stage(table: String, n: Int = 40): Path = {
+    wh: Unit // force the catalog registration before any SQL names it
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.p")
+    (1 to n).map(i => (f"k$i%03d", "f", "a", s"v$i", i.toLong))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView(s"proc_cells_$table")
+    spark.sql(
+      s"""CREATE TABLE $cat.p.$table USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2')
+         |AS SELECT * FROM proc_cells_$table""".stripMargin)
+    new Path(s"$wh/p/$table")
+  }
+
+  private def fsOf(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("the DML maintenance loop in pure SQL: DELETE markers -> CALL compact -> CALL vacuum") {
+    val dir = stage("t1")
+    val fs = fsOf(dir)
+    spark.sql(s"DELETE FROM $cat.p.t1 WHERE rowKey >= 'k001' AND rowKey <= 'k010'")
+    assert(KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum == 10L)
+    // compact purges the masked cells AND the markers; the recorded
+    // regions property (2) is the default output fan-out
+    val c = spark.sql(s"CALL $cat.sys.compact(table => 'p.t1')").collect()
+    c.length shouldBe 1
+    c.head.getString(0) shouldBe "compacted"
+    assert(KvLog.liveFiles(fs, dir).size == 2,
+      "compact must default to the table's recorded regions")
+    assert(KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum == 0L,
+      "major compaction purges markers")
+    spark.sql(s"SELECT count(*) FROM $cat.p.t1").head().getLong(0) shouldBe 30L
+    // vacuum with zero grace reclaims the retired pre-compaction segments
+    val v = spark.sql(s"CALL $cat.sys.vacuum(table => 'p.t1', grace_ms => 0)")
+      .collect().head
+    v.getString(0) shouldBe "vacuumed"
+    assert(v.getInt(1) > 0, "the retired segments were reclaimable")
+    spark.sql(s"SELECT count(*) FROM $cat.p.t1").head().getLong(0) shouldBe 30L
+  }
+
+  test("snapshot -> mutate -> restore round-trips the pinned state by name") {
+    val dir = stage("t2")
+    val s = spark.sql(s"CALL $cat.sys.snapshot(table => 'p.t2', name => 'pre')")
+      .collect().head
+    s.getString(0) shouldBe "pre"
+    s.getInt(2) shouldBe 2 // the two region files are pinned
+    spark.sql(s"DELETE FROM $cat.p.t2 WHERE rowKey <= 'k020'")
+    spark.sql(s"SELECT count(*) FROM $cat.p.t2").head().getLong(0) shouldBe 20L
+    val seq = spark.sql(s"CALL $cat.sys.restore(table => 'p.t2', name => 'pre')")
+      .collect().head.getLong(0)
+    assert(seq > 0)
+    spark.sql(s"SELECT count(*) FROM $cat.p.t2").head().getLong(0) shouldBe 40L
+    // a snapshot pins its files against vacuum: post-restore state survives
+    // a zero-grace vacuum
+    spark.sql(s"CALL $cat.sys.vacuum(table => 'p.t2', grace_ms => 0)").collect()
+    spark.sql(s"SELECT count(*) FROM $cat.p.t2").head().getLong(0) shouldBe 40L
+  }
+
+  test("fsck reports the health row, including tombstone accounting") {
+    val dir = stage("t3"): Unit
+    spark.sql(s"DELETE FROM $cat.p.t3 WHERE rowKey = 'k001'")
+    val r = spark.sql(s"CALL $cat.sys.fsck(table => 'p.t3')").collect().head
+    r.getBoolean(0) shouldBe true // healthy
+    r.getAs[Long]("live_files") shouldBe 3L // 2 regions + 1 marker segment
+    r.getAs[Long]("live_missing") shouldBe 0L
+    r.getAs[Long]("tombstone_files") shouldBe 1L
+    r.getAs[Long]("live_tombstones") shouldBe 1L
+  }
+
+  test("unknown procedures and malformed table arguments fail loudly") {
+    wh: Unit
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.explode(table => 'p.t1')").collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+      include("no procedure")
+    val dir = stage("t4"): Unit
+    // path characters in the table argument must not escape the warehouse
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.compact(table => 'p.t4/x')").collect()
+    }
+    Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+      include("invalid identifier")
+  }
+}
