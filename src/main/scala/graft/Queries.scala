@@ -937,6 +937,49 @@ object Queries {
       |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
       |GROUP BY 1, 2""".stripMargin
 
+  /** r13 (closes the last salted/unsalted WRITE asymmetry): a SALTED
+    * catalog table populated by PLAIN SQL INSERT. The catalog injects
+    * sink-side salting ([[graft.sources.KvCatalogTable]] →
+    * `saltWrite`): logical-key rows ride the ordinary range exchange and
+    * each partition demuxes into per-bucket stored-sorted files — the
+    * caller never sees the salt on either side (Phoenix's contract).
+    * Staging proves the layout wholesale: the salted commit must certify
+    * stored-space contiguity ([[graft.sources.KvTableInfo]]). The timed
+    * query is the same pruned logical-key range aggregation as
+    * `kv_catalog_sql`, under the SAME oracle — salt invisible end to end.
+    */
+  def kvSaltedInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = artifacts.computeIfAbsent(s"salted_insert|$sfDir", _ => {
+      val name = "graftsins_" + Integer.toHexString(sfDir.hashCode)
+      val wh = artifactPath("kv_salted_ins_wh", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, wh)
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftKvCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+      spark.sql(
+        s"""CREATE TABLE $name.corpus.events_kv (
+           |  rowKey STRING, family STRING, qualifier STRING,
+           |  value BINARY, ts BIGINT)
+           |USING `graft-kv`
+           |TBLPROPERTIES ('regions' = '4', 'salt_buckets' = '8')""".stripMargin)
+      KvTable.eventsAsCells(spark, sfDir)
+        .createOrReplaceTempView("graft_salted_ins_src")
+      spark.sql(
+        s"INSERT INTO $name.corpus.events_kv SELECT * FROM graft_salted_ins_src")
+      require(graft.sources.KvTableInfo.keyContiguousRegions(spark,
+        s"$wh/corpus/events_kv"),
+        "kv_salted_insert: the sink-salted commit must certify " +
+          "stored-space contiguity")
+      name
+    })
+    spark.sql(
+      s"""SELECT rowKey, qualifier, count(*) AS n_cells, max(ts) AS max_ts
+         |FROM $cat.corpus.events_kv
+         |WHERE rowKey >= '00000002' AND rowKey < '00000012'
+         |GROUP BY rowKey, qualifier""".stripMargin)
+  }
+
   /** The full SQL mutation surface over ONE catalog table (r12): CTAS
     * from the generator cells, then `UPDATE` (every C5 value patched — a
     * group-based copy-on-write rewrite through
@@ -4528,6 +4571,7 @@ object Queries {
     "kv_pivot_salted" -> (kvPivotSalted _),
     "kv_clone_scan" -> (kvCloneScan _),
     "kv_lifecycle_sql" -> (kvLifecycleSql _),
+    "kv_salted_insert" -> (kvSaltedInsert _),
     "kv_pivot_bucketed" -> (kvPivotBucketed _),
     "kv_versions_retain" -> (kvVersionsRetain _),
     "kv_ttl_expire" -> (kvTtlExpire _),
@@ -4674,6 +4718,7 @@ object Queries {
     "kv_pivot_salted" -> kvPivotPresortedSql, // salt invisible: same oracle
     "kv_clone_scan" -> kvCloneScanSql,
     "kv_lifecycle_sql" -> kvLifecycleSqlSql,
+    "kv_salted_insert" -> kvCatalogSqlSql, // same logical view: salt invisible
     "kv_pivot_bucketed" -> kvPivotPresortedSql,
     "kv_versions_retain" -> kvVersionsRetainSql,
     "kv_ttl_expire" -> kvTtlExpireSql,

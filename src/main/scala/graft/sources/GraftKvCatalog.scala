@@ -323,13 +323,16 @@ private[sources] object KvTableProps {
   * CREATE must come from the table, not the statement). Explicit
   * per-write options still win.
   *
-  * A `salt_buckets` table registers its salt at CREATE, but the V2 write
-  * path cannot inject the salting PROJECTION (rows must be transformed
-  * before the sink's range exchange, which `RequiresDistributionAndOrdering`
-  * has no hook for) — so a plain SQL INSERT into a salted table is
-  * REFUSED per row by the sink's stored-key validation with a message
-  * pointing at [[KvSalt.saltedWrite]]; populate salted tables through the
-  * path API against the table's directory, then read them by name.
+  * A `salt_buckets` table gets SINK-SIDE SALTING (r13): the catalog
+  * injects `saltWrite=<n>`, so plain SQL INSERT / CTAS / INSERT OVERWRITE
+  * carry LOGICAL keys and the sink applies the salt per row while
+  * demuxing into per-bucket stored-sorted files (the row-level
+  * replacement write's machinery — [[KvProjectingWriterFactory]]). The
+  * SQL surface is therefore a logical-key surface on BOTH sides, like
+  * Phoenix: reads strip the salt, writes add it, UPDATE/MERGE re-salt
+  * their replacements. Pre-salted rows remain the PATH API's contract
+  * ([[KvSalt.saltedWrite]] / `saltedInput`) — routing them through SQL
+  * INSERT would double-salt.
   */
 private[sources] class KvCatalogTable(tableName: String, path: String,
     props: Map[String, String],
@@ -347,6 +350,18 @@ private[sources] class KvCatalogTable(tableName: String, path: String,
     val merged = new util.HashMap[String, String]()
     props.foreach { case (k, v) =>
       if (k == "regions" || k == "codec") merged.put(k, v) }
+    // Sink-side salting for catalog writes (class doc). The recorded
+    // property is authoritative; a path-registered salt on an ADOPTED
+    // table (created by the path API, read by name) is honored too.
+    if (!info.options.containsKey("saltedInput")) {
+      val declared = props.get("salt_buckets").map(_.toInt).orElse {
+        val p = new Path(path)
+        KvSalt.bucketsOf(p.getFileSystem(
+          org.apache.spark.sql.SparkSession.active.sessionState
+            .newHadoopConf()), p)
+      }
+      declared.foreach(n => merged.put("saltWrite", n.toString))
+    }
     info.options.asCaseSensitiveMap().forEach((k, v) => merged.put(k, v))
     val wrapped = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
       override def options: CaseInsensitiveStringMap =

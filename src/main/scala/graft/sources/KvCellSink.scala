@@ -96,8 +96,22 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     // declares that via `saltedInput=<n>`, which is then also validated).
     val saltedInput = Option(info.options.get("saltedInput")).map(_.toInt)
     saltedInput.foreach(KvSalt.requireBuckets)
+    // `saltWrite=<n>` (r13, injected by [[KvCatalogTable]] — never a user
+    // option): the incoming rows carry LOGICAL keys and the SINK applies
+    // the salt, demuxing each range partition into per-bucket stored-
+    // sorted files ([[KvProjectingWriterFactory]] — the same machinery
+    // the row-level replacement write uses). This is what makes plain
+    // SQL INSERT / CTAS / INSERT OVERWRITE work on `salt_buckets`
+    // tables: the SQL surface is a logical-key surface on BOTH sides
+    // (reads strip the salt, writes add it — the Phoenix contract),
+    // while the path API keeps its explicit pre-salted contract.
+    val saltWrite = Option(info.options.get("saltWrite")).map(_.toInt)
+    saltWrite.foreach(KvSalt.requireBuckets)
+    require(saltWrite.isEmpty || saltedInput.isEmpty,
+      "graft-kv: saltWrite and saltedInput are mutually exclusive")
     val saltCheck =
-      if (!doTruncate) {
+      if (saltWrite.isDefined) saltWrite // stored keys validated post-prefix
+      else if (!doTruncate) {
         val p = new Path(path)
         KvSalt.bucketsOf(p.getFileSystem(conf.value), p)
       } else {
@@ -120,7 +134,7 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
         }
       }
     new KvWrite(path, schema, regions, doTruncate, info.queryId(), conf,
-      maintainPolicy, codec, allowTombstones, saltCheck)
+      maintainPolicy, codec, allowTombstones, saltCheck, saltWrite)
   }
 }
 
@@ -146,7 +160,8 @@ private[sources] class KvWrite(
     maintainPolicy: Option[KvMaintenance.Policy] = None,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
     allowTombstones: Boolean = false,
-    saltCheck: Option[Int] = None)
+    saltCheck: Option[Int] = None,
+    saltOnWrite: Option[Int] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   // The sink's contract: range distribution on rowKey across exactly
@@ -164,12 +179,17 @@ private[sources] class KvWrite(
 
   override def toBatch: BatchWrite =
     new KvBatchWrite(path, schema, truncate, conf, codec, allowTombstones,
-      saltCheck)
+      saltCheck, saltOnWrite)
 
   override def toStreaming
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(saltOnWrite.isEmpty,
+      "graft-kv: sink-side salting is a batch surface — a streaming write " +
+        "to a salted table pre-salts its rows (KvSalt.salted) and appends " +
+        "through the path API")
     new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy, codec,
       allowTombstones, saltCheck)
+  }
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -335,14 +355,28 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     truncate: Boolean, conf: SerializableConfiguration,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
     allowTombstones: Boolean = false,
-    saltCheck: Option[Int] = None)
+    saltCheck: Option[Int] = None,
+    saltOnWrite: Option[Int] = None)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
-      allowTombstones, saltCheck)
+    saltOnWrite match {
+      case Some(n) =>
+        // Sink-side salting (KvWriteBuilder doc): logical-key rows, range-
+        // partitioned and (rowKey, qualifier)-sorted by the ordinary
+        // distribution contract, demux into one stored-sorted file per
+        // (partition, bucket) — the replacement write's factory, with the
+        // identity projection (no rewrite-plan extras on this path).
+        KvProjectingWriterFactory(stagingDir, conf,
+          cellIdx = graft.kv.Cell.schema.fieldNames
+            .map(n => schema.fieldNames.indexOf(n)).toArray,
+          declaredLen = schema.length, codec, saltBuckets = Some(n))
+      case None =>
+        KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
+          allowTombstones, saltCheck)
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -385,7 +419,11 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // race costs a retry of the one-entry append — never a rename of data.
     val seq = KvLog.latestSeq(fs, dir) + 1
     val token = stagingDir.substring(stagingDir.lastIndexOf('_') + 1)
-    val sealedOut = messages.collect { case KvFileCommit(f, partition, st) if f.nonEmpty =>
+    val sealedOut = messages.toSeq.flatMap {
+      case KvFileCommit(f, partition, st) if f.nonEmpty => Seq((f, partition, st))
+      case KvMultiFileCommit(parts) => parts.filter(_._1.nonEmpty)
+      case _ => Nil
+    }.map { case (f, partition, st) =>
       val target = new Path(dir, f"part-b$seq%010d-$partition%05d-$token.parquet")
       fs.rename(new Path(f), target)
       target.getName -> st

@@ -82,7 +82,7 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     e.getMessage should include("exactly columns")
   }
 
-  test("a salted catalog table refuses an unsalted SQL INSERT loudly") {
+  test("a salted catalog table takes plain SQL INSERT — the sink applies the salt (r13)") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.salted")
     spark.sql(
@@ -95,23 +95,28 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     KvSalt.bucketsOf(fs, dir) shouldBe Some(8)
     cellsDf.createOrReplaceTempView("catalog_spec_cells3")
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO $cat.salted.t3 SELECT * FROM catalog_spec_cells3")
-    }
-    val messages = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-      .mkString(" | ")
-    messages should include("not a stored salted key")
-    // an unsalted INSERT OVERWRITE is refused BEFORE any row lands — the
-    // truncate would re-register the declared salt over unsalted rows
-    val e2 = intercept[Exception] {
-      spark.sql(s"INSERT OVERWRITE $cat.salted.t3 SELECT * FROM catalog_spec_cells3")
-    }
-    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-      .mkString(" | ")
-    m2 should include("salt_buckets")
-    // the path API's salting write path works and reads back by NAME —
+    // SQL is a LOGICAL-key surface on both sides: the INSERT carries
+    // logical keys and the sink salts + demuxes them per bucket.
+    spark.sql(s"INSERT INTO $cat.salted.t3 SELECT * FROM catalog_spec_cells3")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3 WHERE rowKey = 'k01'")
+      .head().getLong(0) == 2)
+    // On disk every key IS stored-salted (validated byte shape, prefix
+    // consistent with the key's own hash).
+    val stored = spark.read.parquet(s"$wh/salted/t3")
+      .select("rowKey").collect().map(_.getString(0))
+    stored.length shouldBe 4
+    all(stored.map(k =>
+      KvSalt.isStored(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        8))) shouldBe true
+    // A single salted commit certifies stored-space contiguity: the
+    // bucket×partition grid is pairwise disjoint and per-file sorted.
+    KvTableInfo.keyContiguousRegions(spark, s"$wh/salted/t3") shouldBe true
+    // INSERT OVERWRITE re-salts through the same path (the truncate
+    // re-registers the declared salt, rows land salted).
+    spark.sql(s"INSERT OVERWRITE $cat.salted.t3 SELECT * FROM catalog_spec_cells3")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3").head().getLong(0) == 4)
+    KvSalt.bucketsOf(fs, dir) shouldBe Some(8)
+    // the path API's PRE-salted write path composes with the catalog —
     // tablePathOf is the name → directory bridge
     GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3") shouldBe
       s"$wh/salted/t3"
@@ -119,18 +124,23 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3"), n = 8,
       regions = 2, mode = "append")
     assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3 WHERE rowKey = 'k01'")
-      .head().getLong(0) == 2)
-    // a SALTED overwrite of the declared table works (saltedInput) and
-    // stays salt-aware afterwards
-    KvSalt.saltedWrite(cellsDf,
-      GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3"), n = 8,
-      regions = 2, mode = "overwrite")
-    assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3 WHERE rowKey = 'k01'")
-      .head().getLong(0) == 2)
+      .head().getLong(0) == 4)
     // a mismatching salted overwrite is refused by the declaration
     an[Exception] should be thrownBy KvSalt.saltedWrite(cellsDf,
       GraftKvCatalog.tablePathOf(spark, s"$cat.salted.t3"), n = 16,
       regions = 2, mode = "overwrite")
+    // CTAS with salt_buckets also lands salted end to end
+    spark.sql(
+      s"""CREATE TABLE $cat.salted.t3c USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')
+         |AS SELECT * FROM catalog_spec_cells3""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.salted.t3c WHERE rowKey = 'k01'")
+      .head().getLong(0) == 2)
+    val storedC = spark.read.parquet(s"$wh/salted/t3c")
+      .select("rowKey").collect().map(_.getString(0))
+    all(storedC.map(k =>
+      KvSalt.isStored(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        4))) shouldBe true
   }
 
   test("cloneTo carries catalog table properties to the clone") {
