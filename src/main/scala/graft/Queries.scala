@@ -908,14 +908,7 @@ object Queries {
   }
 
   private def ensureCatalogTable(spark: SparkSession, sfDir: String): String =
-    artifacts.computeIfAbsent(s"catalog_sql|$sfDir", _ => {
-      val name = "graftcat_" + Integer.toHexString(sfDir.hashCode)
-      val wh = artifactPath("kv_catalog_wh", sfDir)
-      graft.sinks.Sinks.deleteRecursive(spark, wh)
-      spark.conf.set(s"spark.sql.catalog.$name",
-        classOf[graft.sources.GraftKvCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+    ensureCatalog("catalog_sql", "graftcat_", spark, sfDir) { (name, _) =>
       spark.sql(
         s"""CREATE TABLE $name.corpus.events_kv (
            |  rowKey STRING, family STRING, qualifier STRING,
@@ -924,9 +917,8 @@ object Queries {
       KvTable.eventsAsCells(spark, sfDir)
         .createOrReplaceTempView("graft_catalog_cells_src")
       spark.sql(
-        s"INSERT INTO $name.corpus.events_kv SELECT * FROM graft_catalog_cells_src")
-      name
-    })
+        s"INSERT INTO $name.corpus.events_kv SELECT * FROM graft_catalog_cells_src"): Unit
+    }
 
   private val kvCatalogSqlSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
@@ -949,14 +941,7 @@ object Queries {
     * `kv_catalog_sql`, under the SAME oracle — salt invisible end to end.
     */
   def kvSaltedInsert(spark: SparkSession, sfDir: String): DataFrame = {
-    val cat = artifacts.computeIfAbsent(s"salted_insert|$sfDir", _ => {
-      val name = "graftsins_" + Integer.toHexString(sfDir.hashCode)
-      val wh = artifactPath("kv_salted_ins_wh", sfDir)
-      graft.sinks.Sinks.deleteRecursive(spark, wh)
-      spark.conf.set(s"spark.sql.catalog.$name",
-        classOf[graft.sources.GraftKvCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+    val cat = ensureCatalog("salted_insert", "graftsins_", spark, sfDir) { (name, wh) =>
       spark.sql(
         s"""CREATE TABLE $name.corpus.events_kv (
            |  rowKey STRING, family STRING, qualifier STRING,
@@ -971,8 +956,7 @@ object Queries {
         s"$wh/corpus/events_kv"),
         "kv_salted_insert: the sink-salted commit must certify " +
           "stored-space contiguity")
-      name
-    })
+    }
     spark.sql(
       s"""SELECT rowKey, qualifier, count(*) AS n_cells, max(ts) AS max_ts
          |FROM $cat.corpus.events_kv
@@ -993,14 +977,7 @@ object Queries {
     * mutation history declaratively.
     */
   def kvSqlCrud(spark: SparkSession, sfDir: String): DataFrame = {
-    val cat = artifacts.computeIfAbsent(s"sql_crud|$sfDir", _ => {
-      val name = "graftcrud_" + Integer.toHexString(sfDir.hashCode)
-      val wh = artifactPath("kv_crud_wh", sfDir)
-      graft.sinks.Sinks.deleteRecursive(spark, wh)
-      spark.conf.set(s"spark.sql.catalog.$name",
-        classOf[graft.sources.GraftKvCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+    val cat = ensureCatalog("sql_crud", "graftcrud_", spark, sfDir) { (name, _) =>
       KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
         .createOrReplaceTempView("graft_crud_cells_src")
       spark.sql(
@@ -1039,9 +1016,8 @@ object Queries {
            |ON t.rowKey = s.rowKey AND t.qualifier = s.qualifier
            |WHEN MATCHED AND s.ts % 2 = 0 THEN UPDATE SET value = s.value, ts = s.ts
            |WHEN MATCHED THEN DELETE
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      name
-    })
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+    }
     spark.sql(
       s"""SELECT rowKey, qualifier, CAST(value AS STRING) AS value, ts
          |FROM $cat.corpus.cells""".stripMargin)
@@ -1073,14 +1049,7 @@ object Queries {
     * declaratively over the regenerated cells.
     */
   def kvCrudMasked(spark: SparkSession, sfDir: String): DataFrame = {
-    val cat = artifacts.computeIfAbsent(s"crud_masked|$sfDir", _ => {
-      val name = "graftcrm_" + Integer.toHexString(sfDir.hashCode)
-      val wh = artifactPath("kv_crud_masked_wh", sfDir)
-      graft.sinks.Sinks.deleteRecursive(spark, wh)
-      spark.conf.set(s"spark.sql.catalog.$name",
-        classOf[graft.sources.GraftKvCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+    val cat = ensureCatalog("crud_masked", "graftcrm_", spark, sfDir) { (name, _) =>
       KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
         .createOrReplaceTempView("graft_crm_cells_src")
       spark.sql(
@@ -1098,9 +1067,8 @@ object Queries {
       // ranged erasure (r13): still markers — the range enumerates its
       // live keys with a pruned masked scan, O(deletes) commit
       spark.sql(s"DELETE FROM $name.corpus.cells " +
-        "WHERE rowKey >= '30000' AND rowKey < '31000'")
-      name
-    })
+        "WHERE rowKey >= '30000' AND rowKey < '31000'"): Unit
+    }
     spark.sql(
       s"""SELECT rowKey, qualifier, CAST(value AS STRING) AS value, ts
          |FROM $cat.corpus.cells""".stripMargin)
@@ -1130,14 +1098,7 @@ object Queries {
     * net no-op on content.
     */
   def kvLifecycleSql(spark: SparkSession, sfDir: String): DataFrame = {
-    val cat = artifacts.computeIfAbsent(s"lifecycle|$sfDir", _ => {
-      val name = "graftlcp_" + Integer.toHexString(sfDir.hashCode)
-      val wh = artifactPath("kv_lifecycle_wh", sfDir)
-      graft.sinks.Sinks.deleteRecursive(spark, wh)
-      spark.conf.set(s"spark.sql.catalog.$name",
-        classOf[graft.sources.GraftKvCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+    val cat = ensureCatalog("lifecycle", "graftlcp_", spark, sfDir) { (name, _) =>
       KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
         .createOrReplaceTempView("graft_lcp_cells_src")
       spark.sql(
@@ -1156,9 +1117,8 @@ object Queries {
       spark.sql(s"CALL $name.sys.vacuum(table => 'corpus.cells', " +
         "grace_ms => 0)").collect()
       spark.sql(s"CALL $name.sys.restore(table => 'corpus.cells', " +
-        "name => 'pre')").collect()
-      name
-    })
+        "name => 'pre')").collect(): Unit
+    }
     spark.sql(
       s"""SELECT rowKey, qualifier, CAST(value AS STRING) AS value, ts
          |FROM $cat.corpus.cells""".stripMargin)
@@ -1273,6 +1233,26 @@ object Queries {
     val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     tmpOut(s"${prefix}_${slug}_${Integer.toHexString(sfDir.hashCode)}")
   }
+
+  /** The ONE catalog bootstrap every SQL-surface staging shares (memoized
+    * per `key`+sfDir): unique catalog name, fresh warehouse, session conf
+    * registration, `corpus` namespace — then `stage(name, warehouse)` runs
+    * once inside it. Returns the catalog name.
+    */
+  private def ensureCatalog(key: String, namePrefix: String,
+      spark: SparkSession, sfDir: String)(
+      stage: (String, String) => Unit): String =
+    artifacts.computeIfAbsent(s"$key|$sfDir", _ => {
+      val name = namePrefix + Integer.toHexString(sfDir.hashCode)
+      val wh = artifactPath(s"kv_${key}_wh", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, wh)
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftKvCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.corpus")
+      stage(name, wh)
+      name
+    })
 
   /** The K5 bucketed+sorted catalog table of generated cells (built once). */
   private def ensureBucketedCells(spark: SparkSession): String =

@@ -182,14 +182,17 @@ private[sources] class KvWrite(
       saltCheck, saltOnWrite)
 
   override def toStreaming
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-    require(saltOnWrite.isEmpty,
-      "graft-kv: sink-side salting is a batch surface — a streaming write " +
-        "to a salted table pre-salts its rows (KvSalt.salted) and appends " +
-        "through the path API")
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    // Sink-side salting is a BATCH surface: the streaming commit's
+    // deterministic one-file-per-partition names and its incomplete-
+    // commit hygiene pass both assume one writer slot per partition,
+    // which the per-bucket demux breaks. A streaming write to a salted
+    // catalog table therefore KEEPS the pre-r13 contract — rows arrive
+    // PRE-salted (KvSalt.salted) and saltCheck validates every stored
+    // key — rather than refusing a previously-working pipeline or
+    // silently double-salting it.
     new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy, codec,
       allowTombstones, saltCheck)
-  }
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -351,6 +354,23 @@ private[sources] case class KvFileCommit(file: String, partition: Int,
     stat: Option[KvLog.FileStat] = None)
     extends WriterCommitMessage
 
+private[sources] object KvCommitMessages {
+  /** Normalize writer acks to sealed (staged file, writer slot, stat)
+    * triples. Single-file and multi-file (salted demux) messages are
+    * accepted by BOTH the batch append commit and the row-level
+    * replacement commit through this one helper, so the two commit
+    * protocols cannot silently drift on message handling.
+    */
+  def sealedParts(messages: Seq[WriterCommitMessage])
+      : Seq[(String, Int, Option[KvLog.FileStat])] =
+    messages.flatMap {
+      case KvFileCommit(f, partition, st) if f.nonEmpty =>
+        Seq((f, partition, st))
+      case KvMultiFileCommit(parts) => parts.filter(_._1.nonEmpty)
+      case _ => Nil
+    }
+}
+
 private[sources] class KvBatchWrite(path: String, schema: StructType,
     truncate: Boolean, conf: SerializableConfiguration,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
@@ -404,6 +424,17 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
         KvTableProps.write(fs, dir, props)
         props.get("salt_buckets").foreach(n => KvSalt.register(fs, dir, n.toInt))
       }
+      // A sink-salted overwrite (saltWrite injection) must survive the
+      // reset even when the salt was a PATH-level registration on an
+      // adopted table (no catalog property to replay above): this
+      // commit's rows land stored-salted, so a wiped registration would
+      // make every subsequent read treat the table as unsalted — silent
+      // empty point lookups, raw stored keys in scans. Idempotent when
+      // the props branch already re-registered the same n.
+      saltOnWrite.foreach { n =>
+        KvLog.ensureLogDir(fs, dir)
+        KvSalt.register(fs, dir, n)
+      }
     }
     fs.mkdirs(dir)
     // First logged commit into a legacy directory (non-truncate append to a
@@ -419,15 +450,12 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // race costs a retry of the one-entry append — never a rename of data.
     val seq = KvLog.latestSeq(fs, dir) + 1
     val token = stagingDir.substring(stagingDir.lastIndexOf('_') + 1)
-    val sealedOut = messages.toSeq.flatMap {
-      case KvFileCommit(f, partition, st) if f.nonEmpty => Seq((f, partition, st))
-      case KvMultiFileCommit(parts) => parts.filter(_._1.nonEmpty)
-      case _ => Nil
-    }.map { case (f, partition, st) =>
-      val target = new Path(dir, f"part-b$seq%010d-$partition%05d-$token.parquet")
-      fs.rename(new Path(f), target)
-      target.getName -> st
-    }
+    val sealedOut = KvCommitMessages.sealedParts(messages.toSeq)
+      .map { case (f, partition, st) =>
+        val target = new Path(dir, f"part-b$seq%010d-$partition%05d-$token.parquet")
+        fs.rename(new Path(f), target)
+        target.getName -> st
+      }
     // OPTIMISTIC CONCURRENCY on the entry append (the Delta commit-loop
     // shape): a concurrent committer winning the seq costs this one a
     // re-append under a fresh allocation — bounded attempts, data files
@@ -525,8 +553,8 @@ private[sources] class KvDataWriter(
             s"graft-kv: appending to a table registered as salted with $n " +
               s"buckets, but rowKey '${row.getUTF8String(keyIdx)}' is not " +
               "a stored salted key — route the write through " +
-              "KvSalt.salted/saltedWrite (SQL INSERT cannot salt; use the " +
-              "path API for salted tables)")
+              "KvSalt.salted/saltedWrite (batch SQL INSERT salts in the " +
+              "sink; streaming writes and path-API appends pre-salt)")
       }
       // .toString copies out of Spark's reused row buffer — required
       val k = row.getUTF8String(keyIdx).toString

@@ -212,22 +212,23 @@ private[sources] object KvProcedures {
     override def description(): String =
       "manifest/file health report (driver-side metadata; opens no data file)"
     override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+
+    // Schema and row both derive from [[KvFsck.Report.rows]] — a Report
+    // field added or reordered flows through automatically instead of
+    // silently swapping positionally-matched columns here.
+    private val metricNames: Seq[String] =
+      KvFsck.Report(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).rows
+        .map(_._1).filterNot(_ == "healthy")
+
     override val resultSchema: StructType = StructType(
-      StructField("healthy", BooleanType, nullable = false) +: Seq(
-        "live_files", "live_missing", "stats_coverage", "bloom_coverage",
-        "pending_removals", "snapshot_pinned", "snapshot_missing", "orphans",
-        "scratch_dirs", "log_entries", "bounds_inverted", "tail_marks",
-        "tombstone_files", "live_tombstones")
-        .map(StructField(_, LongType, nullable = false)))
+      StructField("healthy", BooleanType, nullable = false) +:
+        metricNames.map(StructField(_, LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = tableDir(input)
       val r = KvFsck.check(spark, dir.toString)
-      oneRow(Array[Any](r.healthy, r.liveFiles, r.liveMissing,
-        r.statsCoverage, r.bloomCoverage, r.pendingRemovals,
-        r.snapshotPinned, r.snapshotMissing, r.orphans, r.scratchDirs,
-        r.logEntries, r.boundsInverted, r.tailMarks, r.tombstoneFiles,
-        r.liveTombstones))
+      val byName = r.rows.toMap
+      oneRow(((r.healthy: Any) +: metricNames.map(n => byName(n): Any)).toArray)
     }
   }
 }

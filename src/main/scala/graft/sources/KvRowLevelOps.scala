@@ -310,12 +310,8 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     // dropping them with the groups would resurrect masked puts in
     // unscanned groups and re-open forever-masked coordinates.
     val sidecar = markerSidecar(fs, dir, removes)
-    val sealedOut = (messages.toSeq.flatMap {
-      case KvFileCommit(f, partition, st) if f.nonEmpty =>
-        Seq((f, partition, st))
-      case KvMultiFileCommit(parts) => parts.filter(_._1.nonEmpty)
-      case _ => Nil
-    } ++ sidecar.map { case (f, st) => (f, 99999, st) }).map {
+    val sealedOut = (KvCommitMessages.sealedParts(messages.toSeq)
+      ++ sidecar.map { case (f, st) => (f, 99999, st) }).map {
       case (f, partition, st) =>
         val target = new Path(dir, f"part-b$seq0%010d-$partition%05d-$token.parquet")
         fs.rename(new Path(f), target)

@@ -143,6 +143,33 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
         4))) shouldBe true
   }
 
+  test("INSERT OVERWRITE on an ADOPTED path-salted table preserves the salt registration") {
+    // The r13 review's corruption case: a table salted by the PATH API
+    // (registration in _log/_salt, no catalog property) and read by name.
+    // The catalog's sink-side salting honors the path registration, so
+    // the truncate must re-register it — otherwise the overwrite lands
+    // stored-salted rows in a table every subsequent read treats as
+    // unsalted (silent empty point lookups).
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.adopt")
+    val p = s"$wh/adopt/ts"
+    KvSalt.saltedWrite(cellsDf, p, n = 8, regions = 2, mode = "overwrite")
+    val dir = new Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.adopt.ts WHERE rowKey = 'k01'")
+      .head().getLong(0) == 2)
+    cellsDf.createOrReplaceTempView("catalog_spec_adopt")
+    spark.sql(s"INSERT OVERWRITE $cat.adopt.ts SELECT * FROM catalog_spec_adopt")
+    KvSalt.bucketsOf(fs, dir) shouldBe Some(8)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.adopt.ts WHERE rowKey = 'k01'")
+      .head().getLong(0) == 2,
+      "the overwritten rows must stay reachable by LOGICAL key")
+    // plain INSERT INTO the adopted table salts through the same path
+    spark.sql(s"INSERT INTO $cat.adopt.ts SELECT * FROM catalog_spec_adopt")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.adopt.ts WHERE rowKey = 'k01'")
+      .head().getLong(0) == 4)
+  }
+
   test("cloneTo carries catalog table properties to the clone") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cln")
