@@ -1470,6 +1470,58 @@ object Scratch {
           .findFirstIn(get.queryExecution.executedPlan.toString)
         println(s"  Get planned $planned")
 
+      case "saltsql" =>
+        // r13 sink-side salting economics: a catalog SQL INSERT into a
+        // salt_buckets table (the sink salts + demuxes per bucket) vs the
+        // path API's pre-salted write of the SAME rows (projection + its
+        // own exchange). Same logical content, same bucket count — the
+        // question is whether the demux writer costs anything material
+        // over the pre-salt path, and whether the SQL-landed layout
+        // certifies contiguity and serves a pruned point Get identically.
+        import org.apache.spark.sql.functions._
+        val nS = 4000000L
+        val bucketsS = 16
+        val whS = s"${sys.props("java.io.tmpdir")}/graft_scratch/saltsql_wh"
+        val pathDir = s"${sys.props("java.io.tmpdir")}/graft_scratch/saltsql_path"
+        graft.sinks.Sinks.deleteRecursive(spark, whS)
+        graft.sinks.Sinks.deleteRecursive(spark, pathDir)
+        val rowsS = spark.range(nS).select(
+          format_string("%08d", col("id")).as("rowKey"),
+          lit("f").as("family"), lit("q").as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+        time(s"(a) path pre-salted write (${nS / 1000000}M cells, $bucketsS buckets, 8 regions)") {
+          graft.sources.KvSalt.saltedWrite(rowsS, pathDir, n = bucketsS,
+            regions = 8, mode = "overwrite")
+        }
+        spark.conf.set("spark.sql.catalog.scrsalt",
+          classOf[graft.sources.GraftKvCatalog].getName)
+        spark.conf.set("spark.sql.catalog.scrsalt.warehouse", whS)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS scrsalt.ns")
+        rowsS.createOrReplaceTempView("scr_saltsql_src")
+        spark.sql("CREATE TABLE scrsalt.ns.t (rowKey STRING, family STRING, " +
+          "qualifier STRING, value BINARY, ts BIGINT) USING `graft-kv` " +
+          s"TBLPROPERTIES('regions'='8','salt_buckets'='$bucketsS')")
+        time(s"(b) catalog SQL INSERT, sink-salted (${nS / 1000000}M cells)") {
+          spark.sql("INSERT INTO scrsalt.ns.t SELECT * FROM scr_saltsql_src")
+        }
+        require(graft.sources.KvTableInfo.keyContiguousRegions(spark,
+          s"$whS/ns/t"), "SQL-landed salted layout must certify contiguity")
+        time("point Get via SQL (logical key, salt-expanded prune)") {
+          require(spark.sql(
+            "SELECT count(*) FROM scrsalt.ns.t WHERE rowKey = '01000000'")
+            .head().getLong(0) == 1)
+        }
+        time("point Get via path API on the pre-salted table") {
+          require(spark.read.format("graft-kv").load(pathDir)
+            .filter(col("rowKey") === "01000000").count() == 1)
+        }
+        locally {
+          val a = spark.read.format("graft-kv").load(pathDir).count()
+          val b = spark.sql("SELECT count(*) FROM scrsalt.ns.t").head().getLong(0)
+          println(s"  rows: path=$a sql=$b (must match: ${a == b})")
+        }
+
       case "kvupdate" =>
         // Copy-on-write UPDATE economics: a KEYED update must rewrite the
         // few region files holding the keys (static group pruning via
