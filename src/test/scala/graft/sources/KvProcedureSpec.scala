@@ -90,6 +90,17 @@ class KvProcedureSpec extends graft.SparkSpec {
     r.getAs[Long]("live_tombstones") shouldBe 1L
   }
 
+  test("SHOW PROCEDURES lists the sys verbs; DESCRIBE PROCEDURE surfaces the description") {
+    wh: Unit
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat")
+      .collect().map(_.getAs[String]("procedure_name")).toSet
+    listed shouldBe Set("compact", "vacuum", "snapshot", "restore", "fsck")
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.sys.compact")
+      .collect().map(_.getString(0)).mkString("\n")
+    desc should include("compact")
+    desc should include("purge delete markers")
+  }
+
   test("unknown procedures and malformed table arguments fail loudly") {
     wh: Unit
     val e = intercept[Exception] {
