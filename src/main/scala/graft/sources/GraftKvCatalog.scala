@@ -292,8 +292,25 @@ private[sources] object KvTableProps {
 
   /** Properties the catalog records; everything else (provider, location,
     * comment, Spark-internal keys) is dropped rather than persisted.
+    * The `maintain*` family declares SELF-MAINTENANCE (the HBase stance —
+    * region servers compact automatically; nobody schedules it): every
+    * catalog write into a `maintain=true` table runs one idempotent
+    * [[KvMaintenance]] pass after its commit is durable, so DML-heavy
+    * tables keep their segment count and marker backlog bounded without
+    * an operator remembering `CALL sys.compact`.
     */
-  val Recorded: Set[String] = Set("regions", "salt_buckets", "codec")
+  val Recorded: Set[String] = Set("regions", "salt_buckets", "codec",
+    "maintain", "maintain_max_segments", "maintain_target_region_bytes",
+    "maintain_grace_ms")
+
+  /** Recorded property name → write-option name for the maintenance knobs
+    * ([[KvWriteBuilder]] parses the option spellings).
+    */
+  val MaintainOptionOf: Map[String, String] = Map(
+    "maintain" -> "maintain",
+    "maintain_max_segments" -> "maintainMaxSegments",
+    "maintain_target_region_bytes" -> "maintainTargetRegionBytes",
+    "maintain_grace_ms" -> "maintainGraceMs")
 
   private def propsPath(table: Path) =
     new Path(new Path(table, KvLog.LogDirName), "_table_props")
@@ -349,7 +366,9 @@ private[sources] class KvCatalogTable(tableName: String, path: String,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val merged = new util.HashMap[String, String]()
     props.foreach { case (k, v) =>
-      if (k == "regions" || k == "codec") merged.put(k, v) }
+      if (k == "regions" || k == "codec") merged.put(k, v)
+      KvTableProps.MaintainOptionOf.get(k).foreach(opt => merged.put(opt, v))
+    }
     // Sink-side salting for catalog writes (class doc). The recorded
     // property is authoritative; a path-registered salt on an ADOPTED
     // table (created by the path API, read by name) is honored too.

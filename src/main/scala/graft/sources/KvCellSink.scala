@@ -179,7 +179,7 @@ private[sources] class KvWrite(
 
   override def toBatch: BatchWrite =
     new KvBatchWrite(path, schema, truncate, conf, codec, allowTombstones,
-      saltCheck, saltOnWrite)
+      saltCheck, saltOnWrite, maintainPolicy)
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -376,7 +376,8 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
     allowTombstones: Boolean = false,
     saltCheck: Option[Int] = None,
-    saltOnWrite: Option[Int] = None)
+    saltOnWrite: Option[Int] = None,
+    maintainPolicy: Option[KvMaintenance.Policy] = None)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -464,6 +465,17 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     KvLog.appendRetrying(fs, dir, adds = sealedOut.map(_._1).toSeq,
       stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap): Unit
     fs.delete(new Path(stagingDir), true)
+    // Post-commit policy pass (opt-in `maintain=true` — the streaming
+    // epoch commit has run this since r9; batch writes previously parsed
+    // the option and silently dropped it). Runs AFTER the entry is
+    // durable, so a crash mid-maintenance never tears the commit; the
+    // pass is idempotent and parks at metadata cost under the threshold.
+    // Catalog tables declare it once as a TABLE property
+    // ([[KvTableProps]]) and every INSERT keeps the table maintained —
+    // the HBase stance (compaction is the store's job, not a scheduler's).
+    maintainPolicy.foreach { p =>
+      KvMaintenance.maintain(org.apache.spark.sql.SparkSession.active, path, p)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

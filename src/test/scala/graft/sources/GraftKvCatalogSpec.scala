@@ -143,6 +143,49 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
         4))) shouldBe true
   }
 
+  test("a maintain-declared catalog table bounds its own segment count across INSERTs") {
+    // HBase compacts automatically — a DML-heavy catalog table should
+    // too. `maintain*` table properties make every INSERT run the
+    // idempotent policy pass after its commit: segments stay bounded and
+    // retired files get vacuumed, with no operator CALL.
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mnt")
+    spark.sql(
+      s"""CREATE TABLE $cat.mnt.t USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1', 'maintain' = 'true',
+         |  'maintain_max_segments' = '3', 'maintain_grace_ms' = '0')""".stripMargin)
+    cellsDf.createOrReplaceTempView("catalog_spec_mnt")
+    (1 to 6).foreach { _ =>
+      spark.sql(s"INSERT INTO $cat.mnt.t SELECT * FROM catalog_spec_mnt")
+    }
+    val dir = new Path(s"$wh/mnt/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = KvLog.liveFiles(fs, dir).size
+    assert(live < 6,
+      s"6 single-region INSERTs must have been compacted below 6 live " +
+        s"segments by the maintenance passes, got $live")
+    // content is untouched by the housekeeping
+    spark.sql(s"SELECT count(*) FROM $cat.mnt.t").head().getLong(0) shouldBe 24L
+    spark.sql(s"SELECT count(*) FROM $cat.mnt.t WHERE rowKey = 'k01'")
+      .head().getLong(0) shouldBe 12L
+    // DML composes: a marker DELETE masks immediately; the table's own
+    // passes then apply + purge the marker when a merge covers it. A
+    // re-insert at ts <= the marker bound may land before the purge
+    // (masked, then physically dropped by the covering merge) or after
+    // it (visible — HBase's documented post-major-compaction re-insert
+    // drift). Every state is legal EXCEPT a live marker with a visible
+    // masked row: that would mean the masked read path broke.
+    spark.sql(s"DELETE FROM $cat.mnt.t WHERE rowKey = 'k03'")
+    spark.sql(s"SELECT count(*) FROM $cat.mnt.t WHERE rowKey = 'k03'")
+      .head().getLong(0) shouldBe 0L
+    spark.sql(s"INSERT INTO $cat.mnt.t SELECT * FROM catalog_spec_mnt")
+    val tomb = KvLog.liveFileStats(fs, dir).values.map(_.tombstones).sum
+    val k03 = spark.sql(s"SELECT count(*) FROM $cat.mnt.t WHERE rowKey = 'k03'")
+      .head().getLong(0)
+    assert(!(tomb > 0 && k03 > 0L),
+      s"a live marker must mask: liveTombstones=$tomb k03=$k03")
+  }
+
   test("INSERT OVERWRITE on an ADOPTED path-salted table preserves the salt registration") {
     // The r13 review's corruption case: a table salted by the PATH API
     // (registration in _log/_salt, no catalog property) and read by name.
