@@ -19,6 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL cat.sys.vacuum(table => 'ns.t', grace_ms => 0)
   *   CALL cat.sys.snapshot(table => 'ns.t', name => 'pre_migration')
   *   CALL cat.sys.restore(table => 'ns.t', name => 'pre_migration')
+  *   CALL cat.sys.clone(table => 'ns.t', name => 'pre', target => 'ns.t2')
+  *   CALL cat.sys.drop_snapshot(table => 'ns.t', name => 'pre')
+  *   CALL cat.sys.maintain(table => 'ns.t')           -- one policy pass
   *   CALL cat.sys.fsck(table => 'ns.t')               -- health report row
   * }}}
   *
@@ -43,7 +46,8 @@ private[sources] object KvProcedures {
 
   val Namespace = "sys"
 
-  val Names: Seq[String] = Seq("compact", "vacuum", "snapshot", "restore", "fsck")
+  val Names: Seq[String] = Seq("compact", "vacuum", "snapshot", "restore",
+    "clone", "drop_snapshot", "maintain", "fsck")
 
   def load(warehouse: Path, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -51,6 +55,9 @@ private[sources] object KvProcedures {
       case "vacuum" => Some(new VacuumProc(warehouse))
       case "snapshot" => Some(new SnapshotProc(warehouse))
       case "restore" => Some(new RestoreProc(warehouse))
+      case "clone" => Some(new CloneProc(warehouse))
+      case "drop_snapshot" => Some(new DropSnapshotProc(warehouse))
+      case "maintain" => Some(new MaintainProc(warehouse))
       case "fsck" => Some(new FsckProc(warehouse))
       case _ => None
     }
@@ -204,6 +211,97 @@ private[sources] object KvProcedures {
       val seq = KvSnapshot.restore(spark, dir.toString,
         input.getUTF8String(1).toString)
       oneRow(Array[Any](seq))
+    }
+  }
+
+  private final class CloneProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "clone"
+    override def description(): String =
+      "materialize a named snapshot as a NEW catalog table (copies the " +
+        "pinned files + the snapshot-time config)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType)
+        .comment("snapshot to clone").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("catalog-relative name for the clone: namespace.table")
+        .build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("target", StringType, nullable = false),
+      StructField("cloned_seq", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      require(!input.isNullAt(1), "clone: name must not be NULL")
+      require(!input.isNullAt(2), "clone: target must not be NULL")
+      val target = input.getUTF8String(2).toString
+      val parts = target.split("\\.")
+      require(parts.length == 2,
+        s"clone: target must be namespace.table, got '$target'")
+      parts.foreach { seg =>
+        require(GraftKvCatalog.IdentifierRe.pattern.matcher(seg).matches(),
+          s"clone: invalid identifier '$seg' in '$target'")
+      }
+      val ns = new Path(warehouse, parts(0))
+      val dest = new Path(ns, parts(1))
+      val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(ns),
+        s"clone: namespace ${parts(0)} does not exist (CREATE NAMESPACE first)")
+      require(!fs.exists(dest), s"clone: table $target already exists")
+      val seq = KvSnapshot.cloneTo(spark, dir.toString,
+        input.getUTF8String(1).toString, dest.toString)
+      oneRow(Array[Any](UTF8String.fromString(target), seq))
+    }
+  }
+
+  private final class DropSnapshotProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "drop_snapshot"
+    override def description(): String =
+      "unpin a named snapshot: its files become ordinary vacuum candidates"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType).build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      require(!input.isNullAt(1), "drop_snapshot: name must not be NULL")
+      oneRow(Array[Any](KvSnapshot.drop(spark, dir.toString,
+        input.getUTF8String(1).toString)))
+    }
+  }
+
+  private final class MaintainProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "maintain"
+    override def description(): String =
+      "one idempotent policy pass: minor-compact past the segment " +
+        "threshold, vacuum past the grace — the scheduled-housekeeping verb"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("max_segments", IntegerType).defaultValue("8")
+        .comment("compact only when live segments exceed this").build(),
+      ProcedureParameter.in("target_region_bytes", LongType)
+        .defaultValue((128L * 1024 * 1024).toString).build(),
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue((24L * 3600 * 1000).toString).build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("compaction", StringType, nullable = false),
+      StructField("vacuum", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val policy = KvMaintenance.Policy(
+        maxSegments = if (input.isNullAt(1)) 8 else input.getInt(1),
+        targetRegionBytes =
+          if (input.isNullAt(2)) 128L * 1024 * 1024 else input.getLong(2),
+        vacuumGraceMs =
+          if (input.isNullAt(3)) 24L * 3600 * 1000 else input.getLong(3))
+      val r = KvMaintenance.maintain(spark, dir.toString, policy)
+      oneRow(Array[Any](UTF8String.fromString(r.compaction.toString),
+        UTF8String.fromString(r.vacuum.toString)))
     }
   }
 

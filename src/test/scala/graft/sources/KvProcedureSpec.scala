@@ -90,11 +90,56 @@ class KvProcedureSpec extends graft.SparkSpec {
     r.getAs[Long]("live_tombstones") shouldBe 1L
   }
 
+  test("clone materializes a snapshot as a new catalog table; drop_snapshot unpins") {
+    val dir = stage("t5"): Unit
+    spark.sql(s"CALL $cat.sys.snapshot(table => 'p.t5', name => 'pin')").collect()
+    spark.sql(s"DELETE FROM $cat.p.t5 WHERE rowKey <= 'k020'")
+    val r = spark.sql(s"CALL $cat.sys.clone(table => 'p.t5', " +
+      "name => 'pin', target => 'p.t5c')").collect().head
+    r.getString(0) shouldBe "p.t5c"
+    // the clone reads by NAME immediately and carries the PINNED state
+    spark.sql(s"SELECT count(*) FROM $cat.p.t5c").head().getLong(0) shouldBe 40L
+    spark.sql(s"SELECT count(*) FROM $cat.p.t5").head().getLong(0) shouldBe 20L
+    // refusals: existing target, missing namespace, bad identifier
+    an[Exception] should be thrownBy spark.sql(
+      s"CALL $cat.sys.clone(table => 'p.t5', name => 'pin', target => 'p.t5c')")
+      .collect()
+    an[Exception] should be thrownBy spark.sql(
+      s"CALL $cat.sys.clone(table => 'p.t5', name => 'pin', target => 'nons.x')")
+      .collect()
+    // drop_snapshot unpins; a second drop reports false
+    spark.sql(s"CALL $cat.sys.drop_snapshot(table => 'p.t5', name => 'pin')")
+      .collect().head.getBoolean(0) shouldBe true
+    spark.sql(s"CALL $cat.sys.drop_snapshot(table => 'p.t5', name => 'pin')")
+      .collect().head.getBoolean(0) shouldBe false
+  }
+
+  test("maintain runs one policy pass: parks under the threshold, compacts past it") {
+    val dir = stage("t6")
+    val fs = fsOf(dir)
+    // 2 region files, threshold 8 -> parks
+    val parked = spark.sql(s"CALL $cat.sys.maintain(table => 'p.t6')")
+      .collect().head
+    parked.getString(0) should include("Parked")
+    // pile up segments past a threshold of 2 -> the pass compacts
+    (1 to 3).foreach { _ =>
+      spark.sql(s"INSERT INTO $cat.p.t6 SELECT * FROM proc_cells_t6")
+    }
+    val before = KvLog.liveFiles(fs, dir).size
+    assert(before > 2)
+    val run = spark.sql(s"CALL $cat.sys.maintain(table => 'p.t6', " +
+      "max_segments => 2, grace_ms => 0)").collect().head
+    run.getString(0) should include("Compacted")
+    assert(KvLog.liveFiles(fs, dir).size < before)
+    spark.sql(s"SELECT count(*) FROM $cat.p.t6").head().getLong(0) shouldBe 160L
+  }
+
   test("SHOW PROCEDURES lists the sys verbs; DESCRIBE PROCEDURE surfaces the description") {
     wh: Unit
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat")
       .collect().map(_.getAs[String]("procedure_name")).toSet
-    listed shouldBe Set("compact", "vacuum", "snapshot", "restore", "fsck")
+    listed shouldBe Set("compact", "vacuum", "snapshot", "restore",
+      "clone", "drop_snapshot", "maintain", "fsck")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.sys.compact")
       .collect().map(_.getString(0)).mkString("\n")
     desc should include("compact")
