@@ -228,12 +228,18 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces
         s"${graft.kv.Cell.schema.fieldNames.mkString(", ")}; got " +
         s"${schema.fieldNames.mkString(", ")}")
     val p = tablePath(ident)
-    fs.mkdirs(p)
-    KvLog.ensureLogDir(fs, p)
+    // EVERY property validation runs BEFORE the directory materializes: a
+    // refused CREATE must not leave a half-created table behind (and
+    // alterTable is unsupported, so a knob that only failed at the first
+    // INSERT would leave the table permanently unwritable).
     val props = properties.asScala.toMap
       .filter { case (k, _) => KvTableProps.Recorded(k) }
     props.get("regions").foreach(r => require(r.toInt > 0,
       s"graft-kv catalog: regions must be positive, got $r"))
+    KvTableProps.maintainPolicyOf(props): Unit
+    props.get("salt_buckets").foreach(n => KvSalt.requireBuckets(n.toInt))
+    fs.mkdirs(p)
+    KvLog.ensureLogDir(fs, p)
     props.get("salt_buckets").foreach(n =>
       KvSalt.register(fs, p, n.toInt))
     KvTableProps.write(fs, p, props)
@@ -294,10 +300,14 @@ private[sources] object KvTableProps {
     * comment, Spark-internal keys) is dropped rather than persisted.
     * The `maintain*` family declares SELF-MAINTENANCE (the HBase stance —
     * region servers compact automatically; nobody schedules it): every
-    * catalog write into a `maintain=true` table runs one idempotent
-    * [[KvMaintenance]] pass after its commit is durable, so DML-heavy
-    * tables keep their segment count and marker backlog bounded without
-    * an operator remembering `CALL sys.compact`.
+    * write into a `maintain=true` table — INSERT/CTAS/OVERWRITE,
+    * streaming epochs, marker DELETEs, and UPDATE/MERGE rewrites — runs
+    * one idempotent BEST-EFFORT [[KvMaintenance]] pass after its commit
+    * is durable (a housekeeping failure never fails the committed
+    * statement), so DML-heavy tables keep their segment count and marker
+    * backlog bounded without an operator remembering `CALL sys.compact`.
+    * Values are validated at CREATE ([[maintainPolicyOf]]) because
+    * alterTable is unsupported.
     */
   val Recorded: Set[String] = Set("regions", "salt_buckets", "codec",
     "maintain", "maintain_max_segments", "maintain_target_region_bytes",
@@ -311,6 +321,40 @@ private[sources] object KvTableProps {
     "maintain_max_segments" -> "maintainMaxSegments",
     "maintain_target_region_bytes" -> "maintainTargetRegionBytes",
     "maintain_grace_ms" -> "maintainGraceMs")
+
+  /** Parse the recorded `maintain*` properties into the policy — None
+    * when maintenance is not declared. Validation is EAGER AND LOUD:
+    * [[GraftKvCatalog.createTable]] runs this at DDL time, because
+    * `alterTable` is unsupported — a typo'd knob that only failed at the
+    * first INSERT would leave an unrepairable table (drop + recreate).
+    */
+  def maintainPolicyOf(props: Map[String, String])
+      : Option[KvMaintenance.Policy] = {
+    def fail(k: String, v: String, want: String): Nothing =
+      throw new IllegalArgumentException(
+        s"graft-kv catalog: table property $k must be $want, got '$v'")
+    val on = props.get("maintain").exists { v =>
+      v.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => fail("maintain", other, "true|false")
+      }
+    }
+    def longOf(k: String, min: Long): Option[Long] = props.get(k).map { v =>
+      val n = try v.toLong
+        catch { case _: NumberFormatException => fail(k, v, s"a number >= $min") }
+      if (n < min) fail(k, v, s"a number >= $min")
+      n
+    }
+    val maxSeg = longOf("maintain_max_segments", 1)
+    val target = longOf("maintain_target_region_bytes", 1)
+    val grace = longOf("maintain_grace_ms", 0)
+    if (!on) None
+    else Some(KvMaintenance.Policy(
+      maxSegments = maxSeg.map(_.toInt).getOrElse(8),
+      targetRegionBytes = target.getOrElse(128L * 1024 * 1024),
+      vacuumGraceMs = grace.getOrElse(24L * 3600 * 1000)))
+  }
 
   private def propsPath(table: Path) =
     new Path(new Path(table, KvLog.LogDirName), "_table_props")

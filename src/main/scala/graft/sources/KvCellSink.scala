@@ -316,9 +316,13 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     // Under the threshold it parks at metadata cost; when it compacts,
     // the trigger interval absorbs the merge, exactly like an HBase
     // flush-path compaction. Skipped on the epoch-replay no-op path
-    // above: a recovery replay should re-ack, not re-maintain.
+    // above: a recovery replay should re-ack, not re-maintain. Best-effort
+    // (maintainBestEffort): the epoch entry is durable, and a maintenance
+    // failure surfacing here would fail — and re-trigger — a committed
+    // epoch.
     maintainPolicy.foreach { p =>
-      KvMaintenance.maintain(org.apache.spark.sql.SparkSession.active, path, p)
+      KvMaintenance.maintainBestEffort(
+        org.apache.spark.sql.SparkSession.active, path, p)
     }
   }
 
@@ -473,8 +477,11 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // Catalog tables declare it once as a TABLE property
     // ([[KvTableProps]]) and every INSERT keeps the table maintained —
     // the HBase stance (compaction is the store's job, not a scheduler's).
+    // Best-effort: the entry above is already durable, so a housekeeping
+    // failure must not fail the INSERT (KvMaintenance.maintainBestEffort).
     maintainPolicy.foreach { p =>
-      KvMaintenance.maintain(org.apache.spark.sql.SparkSession.active, path, p)
+      KvMaintenance.maintainBestEffort(
+        org.apache.spark.sql.SparkSession.active, path, p)
     }
   }
 

@@ -203,13 +203,24 @@ private[sources] class KvCellTable(path: String,
     KvDelete.translateSqlDelete(filters).isDefined
 
   override def deleteWhere(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    KvDelete.runSqlDelete(org.apache.spark.sql.SparkSession.active, path,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    KvDelete.runSqlDelete(spark, path,
       KvDelete.translateSqlDelete(filters).getOrElse(
         throw new UnsupportedOperationException(
           s"graft-kv: unsupported DELETE condition [${filters.mkString(", ")}] " +
             "— delete by rowKey (=/IN) or a rowKey range/prefix, optionally " +
             "AND family+qualifier equality and/or a ts upper bound")))
+    // A maintain-declared table's housekeeping triggers on the DML that
+    // CREATES the garbage, not just on INSERTs: marker-only workloads
+    // (GDPR-style erasure) would otherwise pile up tombstone segments
+    // until the read-path marker cap with no pass ever running.
+    val p = new Path(path)
+    val props = KvTableProps.read(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    KvTableProps.maintainPolicyOf(props).foreach(
+      KvMaintenance.maintainBestEffort(spark, path, _))
+  }
 
   /** SQL `UPDATE` / `MERGE INTO` (and the DELETE fallback for conditions
     * markers cannot express): group-based copy-on-write rewrites through

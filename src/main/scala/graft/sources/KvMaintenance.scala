@@ -37,7 +37,23 @@ import org.apache.spark.sql.SparkSession
   * pipeline parks compaction below its mark, and the vacuum half still
   * runs — maintenance never blocks on an idle tail.
   */
-object KvMaintenance {
+object KvMaintenance extends org.apache.spark.internal.Logging {
+
+  /** The POST-COMMIT housekeeping entry — best-effort by contract. Every
+    * caller here has already made its own write durable, so a maintenance
+    * failure must never fail the statement: an orchestrator retrying a
+    * "failed" INSERT that actually committed would double every row.
+    * Failures log loudly; the pass is idempotent, so the next write's
+    * pass (or an explicit `CALL sys.maintain`) simply redoes it.
+    */
+  def maintainBestEffort(spark: SparkSession, path: String,
+      policy: Policy): Unit =
+    try maintain(spark, path, policy): Unit
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft-kv: post-commit maintenance on $path failed — " +
+          s"the triggering write IS committed; the next pass retries: $e")
+    }
 
   /** Defaults sized for the test warehouse; production would pass the
     * 100 GB-region / 24 h-grace equivalents.

@@ -78,17 +78,25 @@ private[sources] object KvProcedures {
       ProcedureParameter.in("table", StringType)
         .comment("catalog-relative name: namespace.table").build()
 
-    protected def tableDir(input: InternalRow): Path = {
-      require(!input.isNullAt(0), s"${name()}: table must not be NULL")
-      val qualified = input.getUTF8String(0).toString
+    /** One identifier grammar for EVERY name argument (table, clone
+      * target): the same checks the catalog proper applies, so no
+      * procedure argument can path-escape the warehouse.
+      */
+    protected def resolveName(qualified: String, what: String): Path = {
       val parts = qualified.split("\\.")
       require(parts.length == 2,
-        s"${name()}: expected namespace.table, got '$qualified'")
+        s"${name()}: $what must be namespace.table, got '$qualified'")
       parts.foreach { seg =>
         require(GraftKvCatalog.IdentifierRe.pattern.matcher(seg).matches(),
           s"${name()}: invalid identifier '$seg' in '$qualified'")
       }
-      val dir = new Path(new Path(warehouse, parts(0)), parts(1))
+      new Path(new Path(warehouse, parts(0)), parts(1))
+    }
+
+    protected def tableDir(input: InternalRow): Path = {
+      require(!input.isNullAt(0), s"${name()}: table must not be NULL")
+      val qualified = input.getUTF8String(0).toString
+      val dir = resolveName(qualified, "table")
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       require(fs.exists(dir), s"${name()}: no table at $qualified")
       dir
@@ -235,19 +243,12 @@ private[sources] object KvProcedures {
       require(!input.isNullAt(1), "clone: name must not be NULL")
       require(!input.isNullAt(2), "clone: target must not be NULL")
       val target = input.getUTF8String(2).toString
-      val parts = target.split("\\.")
-      require(parts.length == 2,
-        s"clone: target must be namespace.table, got '$target'")
-      parts.foreach { seg =>
-        require(GraftKvCatalog.IdentifierRe.pattern.matcher(seg).matches(),
-          s"clone: invalid identifier '$seg' in '$target'")
-      }
-      val ns = new Path(warehouse, parts(0))
-      val dest = new Path(ns, parts(1))
+      val dest = resolveName(target, "target")
       val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
-      require(fs.exists(ns),
-        s"clone: namespace ${parts(0)} does not exist (CREATE NAMESPACE first)")
-      require(!fs.exists(dest), s"clone: table $target already exists")
+      require(fs.exists(dest.getParent),
+        s"clone: namespace ${dest.getParent.getName} does not exist " +
+          "(CREATE NAMESPACE first)")
+      // destination-emptiness is cloneTo's own guard — not duplicated here
       val seq = KvSnapshot.cloneTo(spark, dir.toString,
         input.getUTF8String(1).toString, dest.toString)
       oneRow(Array[Any](UTF8String.fromString(target), seq))
@@ -281,24 +282,34 @@ private[sources] object KvProcedures {
         "threshold, vacuum past the grace — the scheduled-housekeeping verb"
     override def parameters(): Array[ProcedureParameter] = Array(
       tableParam,
-      ProcedureParameter.in("max_segments", IntegerType).defaultValue("8")
-        .comment("compact only when live segments exceed this").build(),
+      ProcedureParameter.in("max_segments", IntegerType).defaultValue("NULL")
+        .comment("compact only when live segments exceed this; defaults " +
+          "to the table's recorded maintain_max_segments").build(),
       ProcedureParameter.in("target_region_bytes", LongType)
-        .defaultValue((128L * 1024 * 1024).toString).build(),
-      ProcedureParameter.in("grace_ms", LongType)
-        .defaultValue((24L * 3600 * 1000).toString).build())
+        .defaultValue("NULL").build(),
+      ProcedureParameter.in("grace_ms", LongType).defaultValue("NULL")
+        .build())
     override val resultSchema: StructType = StructType(Seq(
       StructField("compaction", StringType, nullable = false),
       StructField("vacuum", StringType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = tableDir(input)
-      val policy = KvMaintenance.Policy(
-        maxSegments = if (input.isNullAt(1)) 8 else input.getInt(1),
-        targetRegionBytes =
-          if (input.isNullAt(2)) 128L * 1024 * 1024 else input.getLong(2),
+      // Explicit argument > the table's RECORDED policy > the engine
+      // default — the same precedence CompactProc applies to regions: an
+      // operator's bare `CALL sys.maintain(table => ...)` runs the policy
+      // the table itself declared, not a surprise default.
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val recorded = KvTableProps.maintainPolicyOf(
+        KvTableProps.read(fs, dir) + ("maintain" -> "true"))
+        .getOrElse(KvMaintenance.Policy())
+      val policy = recorded.copy(
+        maxSegments =
+          if (input.isNullAt(1)) recorded.maxSegments else input.getInt(1),
+        targetRegionBytes = if (input.isNullAt(2)) recorded.targetRegionBytes
+          else input.getLong(2),
         vacuumGraceMs =
-          if (input.isNullAt(3)) 24L * 3600 * 1000 else input.getLong(3))
+          if (input.isNullAt(3)) recorded.vacuumGraceMs else input.getLong(3))
       val r = KvMaintenance.maintain(spark, dir.toString, policy)
       oneRow(Array[Any](UTF8String.fromString(r.compaction.toString),
         UTF8String.fromString(r.vacuum.toString)))

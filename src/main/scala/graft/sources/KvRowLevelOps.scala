@@ -258,7 +258,8 @@ private[sources] class KvReplaceDataWrite(path: String,
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new KvReplaceDataBatchWrite(path, info.schema(), conf, scannedFiles,
-      KvCodecs.parse(props.getOrElse("codec", "snappy")), saltBuckets)
+      KvCodecs.parse(props.getOrElse("codec", "snappy")), saltBuckets,
+      KvTableProps.maintainPolicyOf(props))
 }
 
 private[sources] class KvReplaceDataBatchWrite(path: String,
@@ -267,7 +268,8 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     scannedFiles: java.util.concurrent.atomic.AtomicReference[Seq[String]],
     codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
       org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
-    saltBuckets: Option[Int] = None)
+    saltBuckets: Option[Int] = None,
+    maintainPolicy: Option[KvMaintenance.Policy] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
@@ -355,6 +357,14 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       }
     }
     fs.delete(new Path(stagingDir), true): Unit
+    // Maintain-declared tables housekeep after rewrites too: a COW-heavy
+    // UPDATE/MERGE workload retires whole groups per statement, and
+    // without a pass here those files wait for an unrelated INSERT to be
+    // vacuumed. Best-effort — the replacement entry is already durable.
+    maintainPolicy.foreach { p =>
+      KvMaintenance.maintainBestEffort(
+        org.apache.spark.sql.SparkSession.active, path, p)
+    }
   }
 
   /** Read every delete marker physically residing in the retired

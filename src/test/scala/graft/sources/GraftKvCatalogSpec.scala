@@ -186,6 +186,60 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       s"a live marker must mask: liveTombstones=$tomb k03=$k03")
   }
 
+  test("maintenance triggers on the DML that creates the garbage: a DELETE-only workload stays bounded") {
+    // GDPR-shape workload: markers only, never an INSERT. Without the
+    // DELETE-side trigger the marker segments would pile up toward the
+    // read-path cap with no pass ever running.
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mntd")
+    (1 to 30).map(i => (f"k$i%03d", "f", "a", s"v$i", i.toLong))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("catalog_spec_mntd")
+    spark.sql(
+      s"""CREATE TABLE $cat.mntd.t USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1', 'maintain' = 'true',
+         |  'maintain_max_segments' = '3', 'maintain_grace_ms' = '0')
+         |AS SELECT * FROM catalog_spec_mntd""".stripMargin)
+    (1 to 6).foreach { i =>
+      spark.sql(s"DELETE FROM $cat.mntd.t WHERE rowKey = 'k00$i'")
+    }
+    val dir = new Path(s"$wh/mntd/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(KvLog.liveFiles(fs, dir).size < 7,
+      "six marker commits must have been folded by the DELETE-side passes")
+    // the logical view stayed correct through every pass
+    spark.sql(s"SELECT count(*) FROM $cat.mntd.t").head().getLong(0) shouldBe 24L
+  }
+
+  test("maintain property values are validated at CREATE, not at the first INSERT") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mntv")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.mntv.bad USING `graft-kv`
+           |TBLPROPERTIES ('maintain' = 'yes')""".stripMargin)
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+      include("true|false")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.mntv.bad2 USING `graft-kv`
+           |TBLPROPERTIES ('maintain' = 'true',
+           |  'maintain_max_segments' = '0')""".stripMargin)
+    }
+    Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+      include("maintain_max_segments")
+    // neither table half-materialized
+    assert(!fsOf(s"$wh/mntv").exists(new Path(s"$wh/mntv/bad")))
+  }
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
   test("INSERT OVERWRITE on an ADOPTED path-salted table preserves the salt registration") {
     // The r13 review's corruption case: a table salted by the PATH API
     // (registration in _log/_salt, no catalog property) and read by name.
