@@ -214,12 +214,10 @@ private[sources] class KvCellTable(path: String,
     // A maintain-declared table's housekeeping triggers on the DML that
     // CREATES the garbage, not just on INSERTs: marker-only workloads
     // (GDPR-style erasure) would otherwise pile up tombstone segments
-    // until the read-path marker cap with no pass ever running.
-    val p = new Path(path)
-    val props = KvTableProps.read(
-      p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-    KvTableProps.maintainPolicyOf(props).foreach(
-      KvMaintenance.maintainBestEffort(spark, path, _))
+    // until the read-path marker cap with no pass ever running. The
+    // props read + policy parse happen INSIDE the best-effort guard —
+    // the DELETE above is already committed.
+    KvMaintenance.maintainIfDeclared(spark, path)
   }
 
   /** SQL `UPDATE` / `MERGE INTO` (and the DELETE fallback for conditions

@@ -55,6 +55,26 @@ object KvMaintenance extends org.apache.spark.internal.Logging {
           s"the triggering write IS committed; the next pass retries: $e")
     }
 
+  /** [[maintainBestEffort]] for callers that haven't resolved the table's
+    * policy yet (the marker-DELETE path commits through `SupportsDelete`,
+    * which carries no table properties): reads the recorded props and runs
+    * the declared policy, if any. The READ AND PARSE are inside the
+    * best-effort guard too — a malformed recorded property or a props-file
+    * IO error must not fail the already-committed statement any more than
+    * a compaction failure may.
+    */
+  def maintainIfDeclared(spark: SparkSession, path: String): Unit =
+    try {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      KvTableProps.maintainPolicyOf(KvTableProps.read(fs, dir))
+        .foreach(maintainBestEffort(spark, path, _))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft-kv: post-commit maintenance policy resolution " +
+          s"on $path failed — the triggering write IS committed: $e")
+    }
+
   /** Defaults sized for the test warehouse; production would pass the
     * 100 GB-region / 24 h-grace equivalents.
     *

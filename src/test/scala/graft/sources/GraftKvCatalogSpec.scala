@@ -213,6 +213,29 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     spark.sql(s"SELECT count(*) FROM $cat.mntd.t").head().getLong(0) shouldBe 24L
   }
 
+  test("a corrupted maintain property cannot fail a committed DELETE (best-effort resolution)") {
+    // The marker-DELETE path resolves the maintenance policy AFTER its
+    // commit is durable. A recorded-props file corrupted out-of-band (or
+    // written by a future engine version with a knob this one rejects)
+    // must degrade to a loud warning — not surface as a failed statement
+    // whose delete actually happened, the exact retry trap
+    // maintainBestEffort exists to prevent.
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mntc")
+    cellsDf.createOrReplaceTempView("catalog_spec_mntc")
+    spark.sql(
+      s"""CREATE TABLE $cat.mntc.t USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1')
+         |AS SELECT * FROM catalog_spec_mntc""".stripMargin)
+    val dir = new Path(s"$wh/mntc/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // corrupt the recorded props behind the catalog's back
+    KvLog.writeText(fs, new Path(new Path(dir, KvLog.LogDirName),
+      "_table_props"), "maintain=yes\n")
+    spark.sql(s"DELETE FROM $cat.mntc.t WHERE rowKey = 'k01'")
+    spark.sql(s"SELECT count(*) FROM $cat.mntc.t").head().getLong(0) shouldBe 2L
+  }
+
   test("maintain property values are validated at CREATE, not at the first INSERT") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mntv")
