@@ -213,6 +213,32 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     spark.sql(s"SELECT count(*) FROM $cat.mntd.t").head().getLong(0) shouldBe 24L
   }
 
+  test("SHOW TBLPROPERTIES / DESCRIBE TABLE surface the recorded layout properties") {
+    // The operator-facing inspection surface: what a table RECORDED at
+    // CREATE (regions/salt/codec/maintain*) must be readable back through
+    // plain SQL — it's how an operator learns why writes fan out the way
+    // they do and whether self-maintenance is declared, without touching
+    // the warehouse directory.
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.insp")
+    spark.sql(
+      s"""CREATE TABLE $cat.insp.t (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '4', 'maintain' = 'true',
+         |  'maintain_max_segments' = '5')""".stripMargin)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.insp.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("regions") shouldBe Some("4")
+    props.get("maintain") shouldBe Some("true")
+    props.get("maintain_max_segments") shouldBe Some("5")
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.insp.t").collect()
+      .map(_.getString(0))
+    graft.kv.Cell.schema.fieldNames.foreach(c => assert(desc.contains(c),
+      s"DESCRIBE must list cell column $c"))
+  }
+
   test("a corrupted maintain property cannot fail a committed DELETE (best-effort resolution)") {
     // The marker-DELETE path resolves the maintenance policy AFTER its
     // commit is durable. A recorded-props file corrupted out-of-band (or
