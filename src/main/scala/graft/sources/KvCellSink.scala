@@ -43,7 +43,8 @@ import org.apache.spark.util.SerializableConfiguration
   */
 private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     conf: SerializableConfiguration)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.internal.Logging {
 
   private var doTruncate = false
 
@@ -70,15 +71,43 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     // (region servers trigger compaction checks from the memstore flush)
     // — so a long-lived streaming pipe keeps its segment count bounded
     // without an operator remembering to schedule MaintainTable.
+    // Parsed LENIENTLY (warn + fall back, never throw): the catalog
+    // validates these values eagerly at CREATE/ALTER, so a malformed one
+    // here is either out-of-band property corruption or a typo'd write
+    // option — and maintenance is best-effort housekeeping BY CONTRACT
+    // (KvMaintenance doc): a corrupted recorded `maintain` must not make
+    // every INSERT into the table fail at write-builder time while the
+    // DELETE path shrugs the same corruption off.
+    def lenient[T](key: String, parse: String => T): Option[T] =
+      Option(info.options.get(key)).flatMap { v =>
+        try Some(parse(v)) catch {
+          case scala.util.control.NonFatal(_) =>
+            logWarning(s"graft-kv: ignoring malformed maintenance option " +
+              s"$key='$v' on $path — maintenance policy falls back " +
+              "(fix the recorded table property via ALTER TABLE ... SET " +
+              "TBLPROPERTIES)")
+            None
+        }
+      }
+    val maintainOn = lenient("maintain", _.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(other)
+    }).getOrElse(false)
     val maintainPolicy =
-      if (!Option(info.options.get("maintain")).exists(_.toBoolean)) None
-      else Some(KvMaintenance.Policy(
-        maxSegments = Option(info.options.get("maintainMaxSegments"))
-          .map(_.toInt).getOrElse(8),
-        targetRegionBytes = Option(info.options.get("maintainTargetRegionBytes"))
-          .map(_.toLong).getOrElse(128L * 1024 * 1024),
-        vacuumGraceMs = Option(info.options.get("maintainGraceMs"))
-          .map(_.toLong).getOrElse(24L * 3600 * 1000)))
+      if (!maintainOn) None
+      else try Some(KvMaintenance.Policy(
+        maxSegments = lenient("maintainMaxSegments", _.toInt).getOrElse(8),
+        targetRegionBytes = lenient("maintainTargetRegionBytes", _.toLong)
+          .getOrElse(128L * 1024 * 1024),
+        vacuumGraceMs = lenient("maintainGraceMs", _.toLong)
+          .getOrElse(24L * 3600 * 1000)))
+      catch { // a well-formed number outside the Policy's domain (e.g. 0)
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"graft-kv: ignoring invalid maintenance policy on " +
+            s"$path — this write runs without a policy pass: $e")
+          None
+      }
     // Reserved-qualifier admission ([[KvDelete]]): user writes must not
     // smuggle delete markers; the delete API, compaction rewrites, and
     // deliberate replication pipes set `allowTombstones=true`.
@@ -109,6 +138,23 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     saltWrite.foreach(KvSalt.requireBuckets)
     require(saltWrite.isEmpty || saltedInput.isEmpty,
       "graft-kv: saltWrite and saltedInput are mutually exclusive")
+    // saltWrite must AGREE with the table's own salt declaration (the
+    // registered `_salt` property or the recorded `salt_buckets` table
+    // property). The catalog's injection satisfies this by construction;
+    // the check is for a USER-passed option, which would otherwise land
+    // salted stored keys on an unsalted table (or the wrong bucket count)
+    // with no registration — prefixed keys visible on every later read.
+    saltWrite.foreach { n =>
+      val p = new Path(path)
+      val fsx = p.getFileSystem(conf.value)
+      val declared = KvSalt.bucketsOf(fsx, p)
+        .orElse(KvTableProps.read(fsx, p).get("salt_buckets").map(_.toInt))
+      require(declared.contains(n),
+        s"graft-kv: saltWrite=$n but $path " +
+          declared.fold("is not a salted table — register the salt first " +
+            "(catalog `salt_buckets` property or KvSalt.register)")(d =>
+            s"declares $d salt buckets"))
+    }
     val saltCheck =
       if (saltWrite.isDefined) saltWrite // stored keys validated post-prefix
       else if (!doTruncate) {
@@ -294,7 +340,9 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     }
     val sealedOut = messages.collect { case KvEpochCommit(f, partition, st) if f.nonEmpty =>
       val target = new Path(dir, f"$prefix$partition%05d.parquet")
-      fs.rename(new Path(f), target)
+      require(fs.rename(new Path(f), target),
+        s"graft-kv: sealing rename $f -> $target failed (target exists " +
+          "or source missing) — aborting the epoch commit")
       target.getName -> st
     }
     // Same optimistic entry-append loop as the batch path: losing a seq
@@ -458,7 +506,9 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     val sealedOut = KvCommitMessages.sealedParts(messages.toSeq)
       .map { case (f, partition, st) =>
         val target = new Path(dir, f"part-b$seq%010d-$partition%05d-$token.parquet")
-        fs.rename(new Path(f), target)
+        require(fs.rename(new Path(f), target),
+          s"graft-kv: sealing rename $f -> $target failed (target exists " +
+            "or source missing) — aborting the commit")
         target.getName -> st
       }
     // OPTIMISTIC CONCURRENCY on the entry append (the Delta commit-loop

@@ -845,8 +845,11 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     }
     val total = ranges.iterator.map { case (_, (a, b)) => (b - a).toLong }.sum
     // tiny masks always slice (the duplication is bytes); big masks slice
-    // only when the layout keeps the duplication bounded
-    if (m > (4 << 10) && total > 2L * m) None
+    // only when the layout keeps the duplication STRICTLY under 2× the
+    // marker count — at exactly 2× (two full-span stat-carrying files),
+    // per-partition task serialization ships about twice the bytes of the
+    // single broadcast it was meant to beat, so >= falls back
+    if (m > (4 << 10) && total >= 2L * m) None
     else Some(ranges.map { case (f, (a, b)) =>
       f -> KvDelete.buildMask(
         sorted.view.slice(a, b).iterator.map(t => (t._1, t._2, t._3, t._4)))

@@ -312,13 +312,25 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     // dropping them with the groups would resurrect masked puts in
     // unscanned groups and re-open forever-masked coordinates.
     val sidecar = markerSidecar(fs, dir, removes)
-    val sealedOut = (KvCommitMessages.sealedParts(messages.toSeq)
-      ++ sidecar.map { case (f, st) => (f, 99999, st) }).map {
-      case (f, partition, st) =>
-        val target = new Path(dir, f"part-b$seq0%010d-$partition%05d-$token.parquet")
-        fs.rename(new Path(f), target)
-        target.getName -> st
+    // The sidecar seals under a NON-NUMERIC label ("m"): demux writer
+    // slots are partitionId*buckets+bucket, an unbounded numeric space, so
+    // any reserved NUMBER could collide with a real slot at some
+    // (partitions, buckets) shape (391×256 reaches 99999) and the two
+    // renames would silently collapse into one target. A label outside
+    // the numeric namespace cannot; the rename check below is the
+    // backstop for every other unexpected clash.
+    def seal(staged: String, label: String,
+        st: Option[KvLog.FileStat]): (String, Option[KvLog.FileStat]) = {
+      val target = new Path(dir, f"part-b$seq0%010d-$label-$token.parquet")
+      require(fs.rename(new Path(staged), target),
+        s"graft-kv: sealing rename $staged -> $target failed (target " +
+          "exists or source missing) — aborting the replacement commit")
+      target.getName -> st
     }
+    val sealedOut =
+      KvCommitMessages.sealedParts(messages.toSeq).map { case (f, slot, st) =>
+        seal(f, f"$slot%05d", st)
+      } ++ sidecar.map { case (f, st) => seal(f, "m", st) }
     // Optimistic publish with a GROUP LIVENESS check per attempt, made
     // ATOMIC with the append via expectSeq (the compactor's shape): an
     // interleaved pure append composes (retry re-checks and republishes),
@@ -396,9 +408,12 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     val sorted = newest.asScala.toSeq.sortBy { case ((rk, fam, q), _) =>
       (rk, q, fam)
     }
+    // partitionId -1 stages as "part-r--0001-…": the sign keeps the name
+    // outside the non-negative demux slot namespace, so a salted rewrite
+    // task staging slot 99998 can never collide with the sidecar.
     val writer = new KvDataWriter(stagingDir,
       graft.kv.Cell.schema.fieldNames.toSeq,
-      partitionId = 99998, taskId = 0L, conf,
+      partitionId = -1, taskId = 0L, conf,
       commitAs = (f, st) => KvFileCommit(f, 0, st),
       codec = codec, allowTombstones = true)
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow

@@ -604,6 +604,9 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     val markerFiles = live.filter(n => stats.get(n).exists(_.tombstones > 0))
     markerFiles.size shouldBe 1
     stats(markerFiles.head).tombstones shouldBe 2L
+    // the sidecar seals under the reserved NON-NUMERIC "m" label — a
+    // namespace no demux writer slot (partition*buckets+bucket) can reach
+    markerFiles.head should include("-m-")
     val raw = spark.read.format("graft-kv").option("readTombstones", "true")
       .load(dir.toString).collect()
     // raw = 1 surviving updated put + 2 re-emitted markers; the masked
@@ -717,6 +720,31 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       .trigger(Trigger.AvailableNow()).start(out)
     q.awaitTermination()
     spark.read.parquet(out).count() shouldBe 4
+  }
+
+  test("an out-of-band-corrupted maintain property degrades best-effort: INSERT still commits") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lenient")
+    spark.sql(
+      s"""CREATE TABLE $cat.lenient.t12 (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1', 'maintain' = 'true')""".stripMargin)
+    // corrupt the RECORDED property behind the catalog's back — the
+    // eager CREATE validation can't see this, and the write surface must
+    // degrade exactly like the DELETE path does (warn, skip the policy
+    // pass, commit the statement)
+    val dir = new Path(s"$wh/lenient/t12")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    KvTableProps.write(fs, dir,
+      Map("regions" -> "1", "maintain" -> "yes",
+        "maintain_max_segments" -> "zero"))
+    cellsDf.createOrReplaceTempView("catalog_spec_lenient")
+    spark.sql(s"INSERT INTO $cat.lenient.t12 SELECT * FROM catalog_spec_lenient")
+    spark.sql(s"SELECT count(*) FROM $cat.lenient.t12").head().getLong(0) shouldBe 4L
+    spark.sql(s"DELETE FROM $cat.lenient.t12 WHERE rowKey = 'k01'")
+    spark.sql(s"SELECT count(*) FROM $cat.lenient.t12").head().getLong(0) shouldBe 2L
   }
 
   test("ALTER refuses; RENAME moves the directory; DROP NAMESPACE honors CASCADE") {

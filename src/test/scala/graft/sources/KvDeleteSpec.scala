@@ -207,6 +207,21 @@ class KvDeleteSpec extends graft.SparkSpec {
     val df2 = spark.read.format("graft-kv").load(d2)
     df2.count() shouldBe (6000L - 5000L) * 10
     df2.queryExecution.executedPlan.toString should include("mode=broadcast")
+    // EXACTLY-2x duplication (two full-span files) also falls back: the
+    // sliced plan would ship about twice the broadcast's bytes via task
+    // serialization — the bound is strict (>= 2x declines)
+    val d3 = s"${sys.props("java.io.tmpdir")}/graft_test/kv_mask_2x"
+    graft.sinks.Sinks.deleteRecursive(spark, d3)
+    (0 until 2).foreach { i =>
+      cells2.filter(pmod(col("ts"), lit(2)) === i)
+        .write.format("graft-kv").option("regions", 1).mode("append").save(d3)
+    }
+    val victims3 = spark.read.format("graft-kv").load(d3)
+      .select("rowKey").distinct().orderBy("rowKey").limit(5000)
+    KvDelete.deleteRows(spark, d3, victims3)
+    val df3 = spark.read.format("graft-kv").load(d3)
+    df3.count() shouldBe (6000L - 5000L) * 10
+    df3.queryExecution.executedPlan.toString should include("mode=broadcast")
   }
 
   test("the sink refuses reserved-prefix qualifiers in user writes") {

@@ -279,4 +279,38 @@ class KvSaltSpec extends graft.SparkSpec {
     planned.map(_.group(1)) shouldBe Some("1")
     planned.map(_.group(2)) shouldBe Some("4")
   }
+
+  test("a user-passed saltWrite is refused unless it matches the table's declared salt") {
+    import spark.implicits._
+    val rows = Seq(("k1", "f", "a", "v".getBytes("UTF-8"), 1L))
+      .toDF("rowKey", "family", "qualifier", "value", "ts")
+    // unsalted table: saltWrite would demux salted stored keys with no
+    // registration — every later read would see raw prefixed keys
+    val d1 = s"${sys.props("java.io.tmpdir")}/graft_test/kv_saltwrite_guard1"
+    graft.sinks.Sinks.deleteRecursive(spark, d1)
+    rows.write.format("graft-kv").option("regions", 1).mode("append").save(d1)
+    def allMessages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      rows.write.format("graft-kv").option("regions", 1)
+        .option("saltWrite", 8).mode("append").save(d1)
+    }
+    allMessages(e1) should include("not a salted table")
+    // salted table, WRONG bucket count
+    val d2 = s"${sys.props("java.io.tmpdir")}/graft_test/kv_saltwrite_guard2"
+    graft.sinks.Sinks.deleteRecursive(spark, d2)
+    KvSalt.saltedWrite(rows, d2, n = 8, regions = 1)
+    val e2 = intercept[Exception] {
+      rows.write.format("graft-kv").option("regions", 1)
+        .option("saltWrite", 4).mode("append").save(d2)
+    }
+    allMessages(e2) should include("declares 8 salt buckets")
+    // matching count is accepted: sink-salts exactly like the catalog path
+    rows.write.format("graft-kv").option("regions", 1)
+      .option("saltWrite", 8).mode("append").save(d2)
+    val out = spark.read.format("graft-kv").load(d2)
+      .select("rowKey").collect().map(_.getString(0))
+    out.toSeq.sorted shouldBe Seq("k1", "k1")
+  }
 }
