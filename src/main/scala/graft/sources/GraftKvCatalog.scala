@@ -40,8 +40,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    row lands, so every later write must agree and every read
   *    auto-detects.
   *  - `codec` — default compression for catalog writes.
-  * Recorded in `_log/_table_props` (small, immutable-per-create, read
-  * once per table resolution — bounded driver metadata).
+  * Recorded in `_log/_table_props` (small, read once per table
+  * resolution — bounded driver metadata). All recorded properties except
+  * `salt_buckets` (physical layout) are mutable later via
+  * `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ([[GraftKvCatalog.alterTable]]).
   *
   * At 100 TB the catalog adds nothing to the data path: name → directory
   * resolution is one property-file read; scans/writes are the same
@@ -229,15 +231,12 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces
         s"${schema.fieldNames.mkString(", ")}")
     val p = tablePath(ident)
     // EVERY property validation runs BEFORE the directory materializes: a
-    // refused CREATE must not leave a half-created table behind (and
-    // alterTable is unsupported, so a knob that only failed at the first
-    // INSERT would leave the table permanently unwritable).
+    // refused CREATE must not leave a half-created table behind (a knob
+    // that only failed at the first INSERT would strand the table until
+    // an ALTER fixed it). The same validation guards alterTable.
     val props = properties.asScala.toMap
       .filter { case (k, _) => KvTableProps.Recorded(k) }
-    props.get("regions").foreach(r => require(r.toInt > 0,
-      s"graft-kv catalog: regions must be positive, got $r"))
-    KvTableProps.maintainPolicyOf(props): Unit
-    props.get("salt_buckets").foreach(n => KvSalt.requireBuckets(n.toInt))
+    KvTableProps.validate(props)
     fs.mkdirs(p)
     KvLog.ensureLogDir(fs, p)
     props.get("salt_buckets").foreach(n =>
@@ -247,10 +246,52 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces
       p.toString, props)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-kv catalog: the cell schema is fixed; table properties are " +
-        "set at CREATE (drop + recreate to change write defaults)")
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` over the RECORDED write
+    * defaults (regions, codec, the maintain* policy family — the same
+    * attributes HBase `alter` mutates after CreateTable.java:40-59 pins
+    * them at create): metadata-only knobs every subsequent write resolves
+    * from the table, so changing one must not require destroying the
+    * table. The one exception is `salt_buckets`, which is LAYOUT — every
+    * stored key embeds the salt — so altering it would silently mis-route
+    * every read; it keeps refusing with that explanation.
+    *
+    * Validation is the SAME eager pass CREATE runs ([[KvTableProps
+    * .validate]]), applied to the fully-merged result BEFORE anything is
+    * written: a refused ALTER leaves the recorded properties untouched.
+    * Schema/partition changes are refused — the cell schema is fixed.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = tablePath(ident)
+    def recordedKey(k: String): String = {
+      if (k.equalsIgnoreCase("salt_buckets"))
+        throw new UnsupportedOperationException(
+          "graft-kv catalog: salt_buckets is a physical LAYOUT property — " +
+            "every stored rowKey embeds the salt, so altering it would " +
+            "mis-route reads over the existing files. Create a new table " +
+            "with the desired salt and rewrite into it.")
+      require(KvTableProps.Recorded(k),
+        s"graft-kv catalog: '$k' is not a recorded graft-kv table " +
+          s"property — settable: ${KvTableProps.Recorded.toSeq.sorted.mkString(", ")}")
+      k
+    }
+    val updated = changes.foldLeft(KvTableProps.read(fs, p)) { (props, c) =>
+      c match {
+        case set: TableChange.SetProperty =>
+          props + (recordedKey(set.property) -> set.value)
+        case rm: TableChange.RemoveProperty =>
+          props - recordedKey(rm.property)
+        case other =>
+          throw new UnsupportedOperationException(
+            "graft-kv catalog: the cell schema is fixed — ALTER TABLE " +
+              s"supports SET/UNSET TBLPROPERTIES only, got $other")
+      }
+    }
+    KvTableProps.validate(updated)
+    KvTableProps.replace(fs, p, updated)
+    new KvCatalogTable(s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}",
+      p.toString, updated)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tablePath(ident), true)
@@ -306,12 +347,32 @@ private[sources] object KvTableProps {
     * is durable (a housekeeping failure never fails the committed
     * statement), so DML-heavy tables keep their segment count and marker
     * backlog bounded without an operator remembering `CALL sys.compact`.
-    * Values are validated at CREATE ([[maintainPolicyOf]]) because
-    * alterTable is unsupported.
+    * Values are validated eagerly at CREATE and ALTER ([[validate]]) so
+    * an invalid knob is never recorded.
     */
   val Recorded: Set[String] = Set("regions", "salt_buckets", "codec",
     "maintain", "maintain_max_segments", "maintain_target_region_bytes",
     "maintain_grace_ms")
+
+  /** The one eager property-validation pass — CREATE runs it before the
+    * table directory materializes, ALTER runs it on the merged result
+    * before the props file is replaced, so an invalid knob can never be
+    * RECORDED (the write path additionally parses leniently in case the
+    * file is corrupted out of band).
+    */
+  def validate(props: Map[String, String]): Unit = {
+    def intOf(k: String): Option[Int] = props.get(k).map { v =>
+      try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-kv catalog: table property $k must be an integer, got '$v'")
+      }
+    }
+    intOf("regions").foreach(r => require(r > 0,
+      s"graft-kv catalog: regions must be positive, got $r"))
+    maintainPolicyOf(props): Unit
+    intOf("salt_buckets").foreach(KvSalt.requireBuckets)
+    props.get("codec").foreach(KvCodecs.parse(_): Unit)
+  }
 
   /** Recorded property name → write-option name for the maintenance knobs
     * ([[KvWriteBuilder]] parses the option spellings).
@@ -324,9 +385,8 @@ private[sources] object KvTableProps {
 
   /** Parse the recorded `maintain*` properties into the policy — None
     * when maintenance is not declared. Validation is EAGER AND LOUD:
-    * [[GraftKvCatalog.createTable]] runs this at DDL time, because
-    * `alterTable` is unsupported — a typo'd knob that only failed at the
-    * first INSERT would leave an unrepairable table (drop + recreate).
+    * [[validate]] runs this at CREATE/ALTER DDL time, so a typo'd knob
+    * fails the statement that introduces it, not a later INSERT.
     */
   def maintainPolicyOf(props: Map[String, String])
       : Option[KvMaintenance.Policy] = {
@@ -376,6 +436,14 @@ private[sources] object KvTableProps {
       KvLog.writeText(fs, propsPath(table),
         props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
           .mkString("", "\n", "\n"))
+
+  /** [[write]] that also handles the UNSET-to-empty case: an ALTER that
+    * removes the last recorded property deletes the props file rather
+    * than leaving a stale one behind.
+    */
+  def replace(fs: FileSystem, table: Path, props: Map[String, String]): Unit =
+    if (props.isEmpty) { fs.delete(propsPath(table), false): Unit }
+    else write(fs, table, props)
 }
 
 /** A catalog-resolved kv table: the ordinary [[KvCellTable]] surface with

@@ -747,7 +747,62 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     spark.sql(s"SELECT count(*) FROM $cat.lenient.t12").head().getLong(0) shouldBe 2L
   }
 
-  test("ALTER refuses; RENAME moves the directory; DROP NAMESPACE honors CASCADE") {
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES mutates recorded write defaults with CREATE's validation") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.alt")
+    spark.sql(
+      s"""CREATE TABLE $cat.alt.t13 (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv` TBLPROPERTIES ('regions' = '1')""".stripMargin)
+    def recorded: Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $cat.alt.t13").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // SET a new write default + turn maintenance ON after the fact — the
+    // top UX gap self-maintaining tables created: the policy is a table
+    // property, so changing it must not destroy the table
+    spark.sql(s"ALTER TABLE $cat.alt.t13 SET TBLPROPERTIES " +
+      "('regions' = '2', 'maintain' = 'true', " +
+      "'maintain_max_segments' = '2', 'maintain_grace_ms' = '0')")
+    recorded("regions") shouldBe "2"
+    recorded("maintain") shouldBe "true"
+    cellsDf.createOrReplaceTempView("catalog_spec_alter")
+    // the next INSERTs resolve the ALTERed defaults: regions=2 fan-out,
+    // and the third commit crosses max_segments=2 so the policy pass
+    // compacts — maintenance demonstrably ACTIVE on a table created
+    // without it
+    val dir = new Path(s"$wh/alt/t13")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.sql(s"INSERT INTO $cat.alt.t13 SELECT * FROM catalog_spec_alter")
+    KvLog.liveFiles(fs, dir).size shouldBe 2
+    spark.sql(s"INSERT INTO $cat.alt.t13 SELECT * FROM catalog_spec_alter")
+    spark.sql(s"INSERT INTO $cat.alt.t13 SELECT * FROM catalog_spec_alter")
+    assert(KvLog.liveFiles(fs, dir).size <= 2,
+      "the ALTERed maintain policy must bound the segment count")
+    spark.sql(s"SELECT count(*) FROM $cat.alt.t13").head().getLong(0) shouldBe 12L
+    // an INVALID value is refused and the recorded properties stay intact
+    an[Exception] should be thrownBy spark.sql(
+      s"ALTER TABLE $cat.alt.t13 SET TBLPROPERTIES ('maintain' = 'maybe')")
+    an[Exception] should be thrownBy spark.sql(
+      s"ALTER TABLE $cat.alt.t13 SET TBLPROPERTIES ('regions' = '0')")
+    an[Exception] should be thrownBy spark.sql(
+      s"ALTER TABLE $cat.alt.t13 SET TBLPROPERTIES ('codec' = 'lzo')")
+    an[Exception] should be thrownBy spark.sql(
+      s"ALTER TABLE $cat.alt.t13 SET TBLPROPERTIES ('not_a_knob' = 'x')")
+    recorded("maintain") shouldBe "true"
+    recorded("regions") shouldBe "2"
+    // salt_buckets is LAYOUT: altering it keeps refusing, with the reason
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.alt.t13 SET TBLPROPERTIES ('salt_buckets' = '4')"))
+    e.getMessage should include("LAYOUT")
+    // UNSET turns maintenance back off; unknown keys refuse
+    spark.sql(s"ALTER TABLE $cat.alt.t13 UNSET TBLPROPERTIES " +
+      "('maintain', 'maintain_max_segments', 'maintain_grace_ms')")
+    recorded.contains("maintain") shouldBe false
+    recorded("regions") shouldBe "2"
+  }
+
+  test("ALTER refuses schema changes; RENAME moves the directory; DROP NAMESPACE honors CASCADE") {
     wh: Unit
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ops")
     spark.sql(
@@ -755,7 +810,7 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
          |  rowKey STRING, family STRING, qualifier STRING,
          |  value BINARY, ts BIGINT) USING `graft-kv`""".stripMargin)
     an[Exception] should be thrownBy
-      spark.sql(s"ALTER TABLE $cat.ops.t4 SET TBLPROPERTIES ('regions'='9')")
+      spark.sql(s"ALTER TABLE $cat.ops.t4 ADD COLUMN extra STRING")
     spark.sql(s"ALTER TABLE $cat.ops.t4 RENAME TO ops.t5")
     assert(spark.sql(s"SHOW TABLES IN $cat.ops").collect()
       .map(_.getString(1)).toSet == Set("t5"))
