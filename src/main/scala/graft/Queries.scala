@@ -1693,6 +1693,45 @@ object Queries {
       |  (CAST(2 AS BIGINT), 'append', CAST(4 AS BIGINT), CAST(0 AS BIGINT)))
       |  AS t(seq, kind, n_adds, n_removes)""".stripMargin
 
+  /** The versioned three-commit staging as a CATALOG table (adopted by
+    * name — the directory contract makes a path-staged table a catalog
+    * table by placement), backing the SQL-reachable history/CDC surface:
+    * `CALL sys.history` and `spark.read.option("sinceSeq", …).table(…)`.
+    */
+  private def ensureVersionedCatalog(spark: SparkSession, sfDir: String): String =
+    ensureCatalog("versioned_sql", "graftvsq_", spark, sfDir) { (name, wh) =>
+      val cells = KvTable.eventsAsCells(spark, sfDir)
+      (0 until 3).foreach { i =>
+        cells.filter(pmod(col("ts"), lit(3)) === i)
+          .write.format("graft-kv").option("regions", 4)
+          .mode("append").save(s"$wh/corpus/cells")
+      }
+    }
+
+  /** `CALL sys.history` — the manifest commit log BY TABLE NAME (r14):
+    * what [[kvHistory]] reads through the path API, now reachable from a
+    * pure SQL session ([[graft.sources.KvProcedures]] HistoryProc). The
+    * staging is deterministic, so the oracle is the same literal history.
+    */
+  def kvHistorySqlProc(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureVersionedCatalog(spark, sfDir)
+    spark.sql(s"CALL $cat.sys.history(table => 'corpus.cells')")
+      .select(col("seq"), col("kind"), col("n_adds"), col("n_removes"))
+  }
+
+  /** The CDC span BY TABLE NAME (r14): `option("sinceSeq", …).table(…)`
+    * — the same incremental read [[kvChangesScan]] takes through the path
+    * API, resolved through the catalog so a SQL session can take
+    * version-bounded increments without knowing the table's directory.
+    * Same oracle: the span's cells are the staging's last two commits.
+    */
+  def kvChangesTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureVersionedCatalog(spark, sfDir)
+    val cells = spark.read.option("sinceSeq", 0).table(s"$cat.corpus.cells")
+    val piv = KvPivot.pivot(cells, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
   /** The compaction cycle end-to-end, gated by the same oracle as
     * `kv_pivot_events`: the LWW pivot of the COMPACTED table must equal the
     * pivot of the original — compaction may merge segments but never change
@@ -4566,7 +4605,9 @@ object Queries {
     "kv_maintained_scan" -> (kvMaintainedScan _),
     "kv_timetravel_scan" -> (kvTimetravelScan _),
     "kv_changes_scan" -> (kvChangesScan _),
+    "kv_changes_table" -> (kvChangesTable _),
     "kv_history" -> (kvHistory _),
+    "kv_history_sql" -> (kvHistorySqlProc _),
     "kv_vacuumed_scan" -> (kvVacuumedScan _),
     "kv_typed_decode" -> (kvTypedDecode _),
     "kv_typed_export" -> (kvTypedExport _),
@@ -4713,7 +4754,10 @@ object Queries {
     "kv_maintained_scan" -> kvPivotEventsSql,
     "kv_timetravel_scan" -> kvTimetravelScanSql,
     "kv_changes_scan" -> kvChangesScanSql,
+    "kv_changes_table" -> kvChangesScanSql, // same span, resolved by name
     "kv_history" -> kvHistorySql,
+    "kv_history_sql" -> kvHistorySql, // same literal log, CALLed by name
+
     "kv_vacuumed_scan" -> kvPivotEventsSql,
     "kv_typed_decode" -> kvTypedDecodeSql,
     "kv_typed_export" -> kvTypedExportSql,

@@ -23,6 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL cat.sys.drop_snapshot(table => 'ns.t', name => 'pre')
   *   CALL cat.sys.maintain(table => 'ns.t')           -- one policy pass
   *   CALL cat.sys.fsck(table => 'ns.t')               -- health report row
+  *   CALL cat.sys.history(table => 'ns.t')            -- manifest commit log
+  *   CALL cat.sys.truncate_log(table => 'ns.t', retention_ms => 0)
+  *   CALL cat.sys.repair(table => 'ns.t', actions => 'adoptOrphans')
   * }}}
   *
   * The reference's operational surface is CLI programs run beside the
@@ -47,7 +50,8 @@ private[sources] object KvProcedures {
   val Namespace = "sys"
 
   val Names: Seq[String] = Seq("compact", "vacuum", "snapshot", "restore",
-    "clone", "drop_snapshot", "maintain", "fsck")
+    "clone", "drop_snapshot", "maintain", "fsck", "history", "truncate_log",
+    "repair")
 
   def load(warehouse: Path, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -59,6 +63,9 @@ private[sources] object KvProcedures {
       case "drop_snapshot" => Some(new DropSnapshotProc(warehouse))
       case "maintain" => Some(new MaintainProc(warehouse))
       case "fsck" => Some(new FsckProc(warehouse))
+      case "history" => Some(new HistoryProc(warehouse))
+      case "truncate_log" => Some(new TruncateLogProc(warehouse))
+      case "repair" => Some(new RepairProc(warehouse))
       case _ => None
     }
 
@@ -102,11 +109,18 @@ private[sources] object KvProcedures {
       dir
     }
 
-    protected def oneRow(values: Array[Any]): java.util.Iterator[Scan] = {
+    protected def oneRow(values: Array[Any]): java.util.Iterator[Scan] =
+      rowsOut(Seq(values))
+
+    /** Multi-row LocalScan — driver-side METADATA rows only (history
+      * entries, repair summaries), never data: data-bearing reads go
+      * through the ordinary distributed scan by table name.
+      */
+    protected def rowsOut(out: Seq[Array[Any]]): java.util.Iterator[Scan] = {
       val scan: Scan = new LocalScan {
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] =
-          Array(new GenericInternalRow(values))
+          out.map(vals => new GenericInternalRow(vals): InternalRow).toArray
       }
       java.util.Collections.singletonList(scan).iterator()
     }
@@ -133,10 +147,22 @@ private[sources] object KvProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = tableDir(input)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      val regions =
-        if (!input.isNullAt(1)) input.getInt(1)
-        else KvTableProps.read(fs, dir).get("regions").map(_.toInt).getOrElse(8)
-      KvCompactor.compact(spark, dir.toString, regions) match {
+      // Explicit argument > the table's recorded `regions` property >
+      // SIZE-DERIVED (ceil(merged bytes / target), [[KvCompactor
+      // .compactTo]] — the ConstantSizeRegionSplitPolicy analog
+      // KvMaintenance already applies). A fixed-count fallback would
+      // squeeze an ADOPTED multi-TB path table, compacted by name for
+      // the first time, into that many monolith regions.
+      val props = KvTableProps.read(fs, dir)
+      val result =
+        (if (!input.isNullAt(1)) Some(input.getInt(1))
+         else props.get("regions").map(_.toInt)) match {
+          case Some(regions) => KvCompactor.compact(spark, dir.toString, regions)
+          case None => KvCompactor.compactTo(spark, dir.toString,
+            props.get("maintain_target_region_bytes").map(_.toLong)
+              .getOrElse(128L * 1024 * 1024))
+        }
+      result match {
         case KvCompactor.Compacted(seq, merged, into) =>
           oneRow(Array[Any](UTF8String.fromString("compacted"),
             seq, merged, into))
@@ -313,6 +339,112 @@ private[sources] object KvProcedures {
       val r = KvMaintenance.maintain(spark, dir.toString, policy)
       oneRow(Array[Any](UTF8String.fromString(r.compaction.toString),
         UTF8String.fromString(r.vacuum.toString)))
+    }
+  }
+
+  /** `CALL sys.history(table => 'ns.t')` — the Delta `DESCRIBE HISTORY`
+    * analog by NAME: every retained manifest entry in seq order with its
+    * kind, writer tag, and add/remove counts ([[KvLog.history]]). This is
+    * the version list `VERSION AS OF <seq>` and `sinceSeq` reads address
+    * into, so a SQL session can pick its travel/CDC points without
+    * leaving SQL or finding the table's directory. Driver-side metadata
+    * replay, O(retained log length); no data file opened.
+    */
+  private final class HistoryProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "history"
+    override def description(): String =
+      "commit history from the manifest log: one row per retained entry " +
+        "(the version list VERSION AS OF / sinceSeq reads address)"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("writer", StringType, nullable = false),
+      StructField("n_adds", LongType, nullable = false),
+      StructField("n_removes", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      require(KvLog.exists(fs, dir),
+        s"history: no manifest log at ${input.getUTF8String(0)} " +
+          "(legacy/externally-staged directory)")
+      rowsOut(KvLog.history(fs, dir).map {
+        case (seq, kind, writer, nAdds, nRemoves) =>
+          Array[Any](seq, UTF8String.fromString(kind),
+            UTF8String.fromString(writer), nAdds, nRemoves)
+      })
+    }
+  }
+
+  /** `CALL sys.truncate_log(table => 'ns.t', retention_ms => n)` —
+    * [[KvLog.truncate]] by name: drop expired pre-floor entries (and idle
+    * writer-epoch hints) so a long-lived table's log stays bounded.
+    * Refused-as-zero when the horizon checkpoint cannot anchor garbage
+    * attribution, same as the path API.
+    */
+  private final class TruncateLogProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "truncate_log"
+    override def description(): String =
+      "drop manifest entries below the compaction floor older than the " +
+        "retention (history/time-travel for those versions ends)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("retention_ms", LongType)
+        .defaultValue((24L * 3600 * 1000).toString)
+        .comment("entries younger than this are kept (default 24h)").build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("truncated_entries", IntegerType, nullable = false),
+      StructField("history_starts_at", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val retention =
+        if (input.isNullAt(1)) 24L * 3600 * 1000 else input.getLong(1)
+      val dropped = KvLog.truncate(fs, dir, retention)
+      oneRow(Array[Any](dropped, KvLog.earliestSeq(fs, dir)))
+    }
+  }
+
+  /** `CALL sys.repair(table => 'ns.t', actions => 'forgetMissing,...')` —
+    * the hbck2 analog by name ([[KvFsck.repair]]): every action is opted
+    * into EXPLICITLY because each encodes an operator judgment (accept
+    * data loss / surface orphan bytes / abandon an unreadable pin) the
+    * engine must not make on its own. `CALL sys.fsck` first; the report
+    * says which actions apply.
+    */
+  private final class RepairProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "repair"
+    override def description(): String =
+      "hbck2-style explicit repair: comma-separated actions from " +
+        "forgetMissing | adoptOrphans | dropBrokenSnapshots"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("actions", StringType)
+        .comment("comma-separated: forgetMissing, adoptOrphans, " +
+          "dropBrokenSnapshots").build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("forgot", IntegerType, nullable = false),
+      StructField("adopted", IntegerType, nullable = false),
+      StructField("dropped_snapshots", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      require(!input.isNullAt(1), "repair: actions must not be NULL")
+      val actions = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val known = Set("forgetMissing", "adoptOrphans", "dropBrokenSnapshots")
+      require(actions.nonEmpty && actions.subsetOf(known),
+        s"repair: actions must be from ${known.mkString(", ")}, got " +
+          s"'${input.getUTF8String(1)}'")
+      val r = KvFsck.repair(spark, dir.toString,
+        forgetMissing = actions("forgetMissing"),
+        adoptOrphans = actions("adoptOrphans"),
+        dropBrokenSnapshots = actions("dropBrokenSnapshots"))
+      oneRow(Array[Any](r.forgotten.size, r.adopted.size,
+        r.droppedSnapshots.size))
     }
   }
 

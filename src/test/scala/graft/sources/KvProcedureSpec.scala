@@ -139,11 +139,96 @@ class KvProcedureSpec extends graft.SparkSpec {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat")
       .collect().map(_.getAs[String]("procedure_name")).toSet
     listed shouldBe Set("compact", "vacuum", "snapshot", "restore",
-      "clone", "drop_snapshot", "maintain", "fsck")
+      "clone", "drop_snapshot", "maintain", "fsck", "history",
+      "truncate_log", "repair")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.sys.compact")
       .collect().map(_.getString(0)).mkString("\n")
     desc should include("compact")
     desc should include("purge delete markers")
+  }
+
+  test("history returns the manifest commit log by name, in seq order") {
+    val dir = stage("t20")
+    val fs = fsOf(dir)
+    spark.sql(s"INSERT INTO $cat.p.t20 SELECT * FROM proc_cells_t20")
+    spark.sql(s"DELETE FROM $cat.p.t20 WHERE rowKey = 'k001'")
+    val viaSql = spark.sql(s"CALL $cat.sys.history(table => 'p.t20')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    viaSql shouldBe KvLog.history(fs, dir)
+    viaSql.map(_._1) shouldBe Seq(0L, 1L, 2L) // CTAS, INSERT, marker DELETE
+    viaSql.map(_._2).distinct shouldBe Seq("append")
+  }
+
+  test("truncate_log drops expired pre-floor entries; history restarts at the floor") {
+    val dir = stage("t21")
+    val fs = fsOf(dir)
+    spark.sql(s"INSERT INTO $cat.p.t21 SELECT * FROM proc_cells_t21")
+    // no compaction checkpoint yet: truncation refuses (0 entries), the
+    // same conservative contract as the path API
+    val r0 = spark.sql(s"CALL $cat.sys.truncate_log(table => 'p.t21', " +
+      "retention_ms => 0)").collect().head
+    r0.getInt(0) shouldBe 0
+    spark.sql(s"CALL $cat.sys.compact(table => 'p.t21')").collect()
+    val r = spark.sql(s"CALL $cat.sys.truncate_log(table => 'p.t21', " +
+      "retention_ms => 0)").collect().head
+    assert(r.getInt(0) >= 2, s"the pre-floor CTAS+INSERT entries expire, got $r")
+    r.getLong(1) shouldBe KvLog.floor(fs, dir)
+    val hist = spark.sql(s"CALL $cat.sys.history(table => 'p.t21')").collect()
+    hist.head.getLong(0) shouldBe r.getLong(1)
+    // the table stays fully readable after truncation
+    spark.sql(s"SELECT count(*) FROM $cat.p.t21").head().getLong(0) shouldBe 80L
+  }
+
+  test("repair applies explicitly-named hbck actions; fsck flips back to healthy") {
+    val dir = stage("t22")
+    val fs = fsOf(dir)
+    // break the table: delete one live referenced file out of band
+    val victim = KvLog.liveFiles(fs, dir).head
+    fs.delete(new Path(dir, victim), false) shouldBe true
+    spark.sql(s"CALL $cat.sys.fsck(table => 'p.t22')")
+      .collect().head.getBoolean(0) shouldBe false
+    // unnamed/unknown actions refuse — each action is an operator judgment
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.repair(table => 'p.t22', actions => 'fixEverything')")
+        .collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+      include("actions must be from")
+    val r = spark.sql(s"CALL $cat.sys.repair(table => 'p.t22', " +
+      "actions => 'forgetMissing')").collect().head
+    r.getInt(0) shouldBe 1 // the missing reference is forgotten
+    r.getInt(1) shouldBe 0
+    spark.sql(s"CALL $cat.sys.fsck(table => 'p.t22')")
+      .collect().head.getBoolean(0) shouldBe true
+  }
+
+  test("compact with no regions argument or property sizes output from bytes, not a fixed count") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.p")
+    spark.sql(
+      s"""CREATE TABLE $cat.p.t23 (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT) USING `graft-kv`""".stripMargin)
+    (1 to 3).foreach { i =>
+      (1 to 40).map(j => (f"k$i%02d$j%03d", "f", "a", s"v$j", j.toLong))
+        .toDF("rowKey", "family", "qualifier", "v", "ts")
+        .select(col("rowKey"), col("family"), col("qualifier"),
+          encode(col("v"), "UTF-8").as("value"), col("ts"))
+        .createOrReplaceTempView("proc_cells_sized")
+      spark.sql(s"INSERT INTO $cat.p.t23 SELECT * FROM proc_cells_sized")
+    }
+    val dir = new Path(s"$wh/p/t23")
+    val fs = fsOf(dir)
+    assert(KvLog.liveFiles(fs, dir).size > 8,
+      "staging must exceed the old hard-coded 8-region fallback")
+    val c = spark.sql(s"CALL $cat.sys.compact(table => 'p.t23')").collect().head
+    c.getString(0) shouldBe "compacted"
+    // a few KB of cells vs the 128MB default target: ceil gives ONE
+    // region — the size-derived count, not the old fixed 8
+    c.getInt(3) shouldBe 1
+    KvLog.liveFiles(fs, dir).size shouldBe 1
   }
 
   test("unknown procedures and malformed table arguments fail loudly") {
