@@ -4217,6 +4217,37 @@ object Queries {
       |  event_id AS ts
       |FROM events""".stripMargin
 
+  /** The replication pipe LANDING SALTED (r14): the same WAL tail as
+    * [[streamKvPipe]], but `writeStream.toTable` into a `salt_buckets`
+    * catalog table — the sink applies the salt per epoch
+    * ([[graft.sources.KvCellSink]] KvStreamSaltedWriterFactory), and the
+    * read-back by name strips it. Same oracle as the unsalted pipe: the
+    * salt must be invisible end to end, streaming included.
+    */
+  def kvSaltedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalog("salted_stream", "graftsst_", spark, sfDir) {
+      (name, _) =>
+        val src = ensureWalSegments(spark, sfDir)
+        val cp = artifactPath("salted_stream_cp", sfDir)
+        graft.sinks.Sinks.deleteRecursive(spark, cp)
+        spark.sql(
+          s"""CREATE TABLE $name.corpus.cells (
+             |  rowKey STRING, family STRING, qualifier STRING,
+             |  value BINARY, ts BIGINT)
+             |USING `graft-kv`
+             |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')""".stripMargin)
+        val q = spark.readStream.format("graft-kv")
+          .option("maxFilesPerBatch", 3).load(src)
+          .writeStream.option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$name.corpus.cells")
+        q.awaitTermination()
+    }
+    spark.table(s"$cat.corpus.cells")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value_str"), col("ts"))
+  }
+
   /** Phoenix-style secondary index maintained ON THE WRITE PATH: the base
     * table's WAL tailed (scoped to the indexed qualifier at the SOURCE),
     * each write transformed into an index cell — rowKey = the zero-padded
@@ -4712,6 +4743,7 @@ object Queries {
     "stream_pivot" -> (streamPivot _),
     "stream_kv_tail" -> (streamKvTail _),
     "stream_kv_pipe" -> (streamKvPipe _),
+    "kv_salted_stream" -> (kvSaltedStream _),
     "kv_tail_resume" -> (kvTailResume _),
     "stream_kv_index" -> (streamKvIndex _),
     "stream_enrich" -> (streamEnrich _),
@@ -4860,6 +4892,7 @@ object Queries {
     "stream_pivot" -> streamPivotSql,
     "stream_kv_tail" -> kvPivotEventsSql,
     "stream_kv_pipe" -> streamKvPipeSql,
+    "kv_salted_stream" -> streamKvPipeSql, // salt invisible end to end
     "kv_tail_resume" -> kvGenCellsSql, // bridged union == the full table
 
     "stream_kv_index" -> kvIndexLookupSql,

@@ -229,16 +229,17 @@ private[sources] class KvWrite(
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    // Sink-side salting is a BATCH surface: the streaming commit's
-    // deterministic one-file-per-partition names and its incomplete-
-    // commit hygiene pass both assume one writer slot per partition,
-    // which the per-bucket demux breaks. A streaming write to a salted
-    // catalog table therefore KEEPS the pre-r13 contract — rows arrive
-    // PRE-salted (KvSalt.salted) and saltCheck validates every stored
-    // key — rather than refusing a previously-working pipeline or
-    // silently double-salting it.
+    // Sink-side salting applies to streaming epochs too (r14 — the last
+    // salted asymmetry): `writeStream.toTable` into a `salt_buckets`
+    // catalog table carries LOGICAL keys and each epoch demuxes into
+    // per-bucket stored-sorted files through the same
+    // [[KvProjectingWriterFactory]] batch INSERT uses. Sealed names stay
+    // deterministic per (query, epoch, writer slot) — slots fold
+    // (partition, bucket) — so exactly-once replay recovery is
+    // unchanged. A pipeline that PRE-salts its rows (the path-API
+    // contract) declares `saltedInput=<n>`, exactly like batch.
     new KvStreamingWrite(path, schema, queryId, conf, maintainPolicy, codec,
-      allowTombstones, saltCheck)
+      allowTombstones, saltCheck, saltOnWrite)
 }
 
 /** The WAL PRODUCER side of the connector — `writeStream.format("graft-kv")`
@@ -264,15 +265,30 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     maintainPolicy: Option[KvMaintenance.Policy] = None,
     codec: CompressionCodecName = CompressionCodecName.SNAPPY,
     allowTombstones: Boolean = false,
-    saltCheck: Option[Int] = None)
+    saltCheck: Option[Int] = None,
+    saltOnWrite: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = s"$path/_tmp_${UUID.randomUUID().toString.take(8)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
-      allowTombstones, saltCheck)
+    saltOnWrite match {
+      case Some(n) =>
+        // Sink-side salting per epoch (KvWrite.toStreaming doc): the
+        // batch demux factory adapted to the streaming createWriter
+        // shape — epochId doesn't enter the STAGED names (task-unique
+        // already); the deterministic epoch-scoped name is assigned at
+        // commit like every streaming seal.
+        KvStreamSaltedWriterFactory(KvProjectingWriterFactory(
+          stagingDir, conf,
+          cellIdx = graft.kv.Cell.schema.fieldNames
+            .map(schema.fieldNames.indexOf(_)).toArray,
+          declaredLen = schema.length, codec, saltBuckets = Some(n)))
+      case None =>
+        KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
+          allowTombstones, saltCheck)
+    }
 
   /** Stable per-QUERY name token: sealed names are deterministic per
     * (query, epoch, region), so exactly-once recovery (rename-over-same-
@@ -332,19 +348,22 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     KvLog.ensureLogDir(fs, dir)
     // Incomplete-commit hygiene: a crash between renames and the log append
     // leaves this epoch's targets on disk with no manifest entry — clear
-    // every target this epoch could have written before renaming. The
-    // prefix is query-scoped, so this can never touch a concurrent
-    // query's files.
-    (0 until messages.length).foreach { p =>
-      fs.delete(new Path(dir, f"$prefix$p%05d.parquet"), false): Unit
-    }
-    val sealedOut = messages.collect { case KvEpochCommit(f, partition, st) if f.nonEmpty =>
-      val target = new Path(dir, f"$prefix$partition%05d.parquet")
-      require(fs.rename(new Path(f), target),
-        s"graft-kv: sealing rename $f -> $target failed (target exists " +
-          "or source missing) — aborting the epoch commit")
-      target.getName -> st
-    }
+    // every target this epoch could have written before renaming. One
+    // glob over the (query, epoch)-scoped prefix covers both writer
+    // shapes (one slot per partition, or the salted demux's
+    // partition×bucket grid), and can never touch a concurrent query's
+    // files. The replay guard above already proved this epoch never
+    // published, so anything under the prefix is a torn attempt.
+    fs.globStatus(new Path(dir, prefix + "*"))
+      .foreach(st => fs.delete(st.getPath, false): Unit)
+    val sealedOut = KvCommitMessages.sealedParts(messages.toSeq)
+      .map { case (f, slot, st) =>
+        val target = new Path(dir, f"$prefix$slot%05d.parquet")
+        require(fs.rename(new Path(f), target),
+          s"graft-kv: sealing rename $f -> $target failed (target exists " +
+            "or source missing) — aborting the epoch commit")
+        target.getName -> st
+      }
     // Same optimistic entry-append loop as the batch path: losing a seq
     // race to another writer (a second streaming query, a batch append, a
     // compaction rebase) costs a retry of the ONE-entry append — never an
@@ -406,6 +425,18 @@ private[sources] case class KvFileCommit(file: String, partition: Int,
     stat: Option[KvLog.FileStat] = None)
     extends WriterCommitMessage
 
+/** Adapts the batch demux factory ([[KvProjectingWriterFactory]]) to the
+  * streaming createWriter shape for sink-salted epochs — the inner
+  * writers are epoch-agnostic (staged names are task-unique; the
+  * epoch-scoped deterministic name is assigned at commit).
+  */
+private[sources] case class KvStreamSaltedWriterFactory(
+    inner: KvProjectingWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = inner.createWriter(partitionId, taskId)
+}
+
 private[sources] object KvCommitMessages {
   /** Normalize writer acks to sealed (staged file, writer slot, stat)
     * triples. Single-file and multi-file (salted demux) messages are
@@ -417,6 +448,8 @@ private[sources] object KvCommitMessages {
       : Seq[(String, Int, Option[KvLog.FileStat])] =
     messages.flatMap {
       case KvFileCommit(f, partition, st) if f.nonEmpty =>
+        Seq((f, partition, st))
+      case KvEpochCommit(f, partition, st) if f.nonEmpty =>
         Seq((f, partition, st))
       case KvMultiFileCommit(parts) => parts.filter(_._1.nonEmpty)
       case _ => Nil

@@ -179,6 +179,57 @@ class KvStreamSpec extends graft.SparkSpec {
     q2.recentProgress.filter(_.numInputRows > 0).length should be >= 1
   }
 
+  test("streaming writes into a salted catalog table sink-salt per epoch; the salt stays invisible") {
+    import spark.implicits._
+    val cat = "graftcat_saltstream"
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_test/kv_saltstream_wh"
+    graft.sinks.Sinks.deleteRecursive(spark, wh)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.s")
+    spark.sql(
+      s"""CREATE TABLE $cat.s.t (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')""".stripMargin)
+    val cp = s"${sys.props("java.io.tmpdir")}/graft_test/kv_saltstream_cp"
+    graft.sinks.Sinks.deleteRecursive(spark, cp)
+    // LOGICAL keys in, two epochs — the sink applies the salt per epoch
+    val q = tailStream(walDir, maxFiles = 2).writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).toTable(s"$cat.s.t")
+    q.awaitTermination()
+    // end to end the salt is invisible: same rows, logical keys out
+    val landed = spark.table(s"$cat.s.t")
+    landed.count() shouldBe allCells.count()
+    landed.select("rowKey").distinct().as[String].collect().toSet shouldBe
+      allCells.select("rowKey").distinct().as[String].collect().toSet
+    landed.agg(sum(col("ts"))).head().getLong(0) shouldBe
+      allCells.agg(sum(col("ts"))).head().getLong(0)
+    // the STORED layout is salted: raw parquet shows prefixed keys, and
+    // every sealed epoch file is stored-key-sorted (the demux contract)
+    val dir = s"$wh/s/t"
+    val stored = spark.read.parquet(dir).select("rowKey").as[String].collect()
+    all(stored.toSeq) should fullyMatch regex "\\d{3}\\|.*"
+    val files = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    files.take(3).foreach { f =>
+      val keys = spark.read.parquet(s"$dir/$f")
+        .select("rowKey").as[String].collect().toSeq
+      keys shouldBe keys.sorted
+    }
+    // point lookup by logical key prunes and answers by name
+    val probe = allCells.select("rowKey").head().getString(0)
+    spark.table(s"$cat.s.t").filter(col("rowKey") === probe).count() should be > 0L
+    // a compaction normalizes the epoch pile-up and the layout certifies
+    // per-partition logical-key contiguity (the zero-exchange pivot tier)
+    KvCompactor.compact(spark, dir, regions = 2) shouldBe a[KvCompactor.Compacted]
+    assert(KvTableInfo.keyContiguousRegions(spark, dir),
+      "compacted sink-salted streaming table must certify contiguity")
+    spark.table(s"$cat.s.t").count() shouldBe allCells.count()
+  }
+
   test("scan statistics are pruning-aware: a key-range scan reports only kept regions") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_stats_ranged"
     graft.sinks.Sinks.deleteRecursive(spark, d)
