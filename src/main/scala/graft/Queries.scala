@@ -858,6 +858,33 @@ object Queries {
       .select(col("rowKey"), col("qualifier"),
         decode(col("value"), "UTF-8").as("value"), col("ts"))
 
+  /** The masked ZERO-EXCHANGE pivot (r14): [[KvPivot.pivotAuto]] keeps
+    * the presorted route on a tombstoned table whose put-emitting files
+    * are disjoint — read-time masking drops rows in-stream without
+    * reordering, so per-partition key contiguity survives live markers
+    * and the pure-marker delete segments emit nothing. The staging
+    * REQUIRES the auto route to be presorted (a silent hash fallback
+    * would pass the oracle while losing the plan this query pins); the
+    * oracle is the delete-mask survivor set pushed through the pivot.
+    */
+  def kvPivotAutoMasked(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureDeletedCells(spark, sfDir)
+    require(KvPivot.autoStrategy(spark, path) == "presorted",
+      "kv_pivot_auto_masked: a tombstoned-but-disjoint table must keep " +
+        "the zero-exchange route")
+    val piv = KvPivot.pivotAuto(spark, path, EventCols, family = Some("f"))
+    piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
+  }
+
+  // def, not val: kvDeleteMaskSql is declared later in the file and a
+  // val here would read null at object init
+  private def kvPivotAutoMaskedSql: String = {
+    val aggs = EventCols.map(c =>
+      s"max_by(value, ts) FILTER (WHERE qualifier = '$c') AS $c").mkString(", ")
+    s"""WITH s AS ($kvDeleteMaskSql)
+       |SELECT rowKey, $aggs FROM s GROUP BY rowKey""".stripMargin
+  }
+
   /** The same deletes PHYSICALLY APPLIED: a major compaction rewrites the
     * merged set with masked cells dropped and markers purged
     * ([[graft.sources.KvCompactor]] + [[graft.sources.KvDelete.applyMarkers]]),
@@ -4618,6 +4645,7 @@ object Queries {
     "kv_gen_cells" -> (kvGenCells _),
     "kv_pivot_presorted" -> (kvPivotPresorted _),
     "kv_pivot_auto" -> (kvPivotAuto _),
+    "kv_pivot_auto_masked" -> (kvPivotAutoMasked _),
     "kv_pivot_salted" -> (kvPivotSalted _),
     "kv_clone_scan" -> (kvCloneScan _),
     "kv_lifecycle_sql" -> (kvLifecycleSql _),
@@ -4768,6 +4796,7 @@ object Queries {
     "kv_gen_cells" -> kvGenCellsSql,
     "kv_pivot_presorted" -> kvPivotPresortedSql,
     "kv_pivot_auto" -> kvPivotPresortedSql, // same result, route auto-chosen
+    "kv_pivot_auto_masked" -> kvPivotAutoMaskedSql,
     "kv_pivot_salted" -> kvPivotPresortedSql, // salt invisible: same oracle
     "kv_clone_scan" -> kvCloneScanSql,
     "kv_lifecycle_sql" -> kvLifecycleSqlSql,

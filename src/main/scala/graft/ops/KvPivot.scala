@@ -135,16 +135,20 @@ object KvPivot {
     * compacted (salted or not) table, instead of what an expert asks for.
     *
     * Routing ([[autoStrategy]], one driver-side manifest replay):
-    *  - `presorted` — every live file carries manifest stats, the stored
-    *    key ranges are pairwise disjoint
-    *    ([[graft.sources.KvTableInfo.keyContiguousRegions]] — salted
-    *    tables certify through the contiguity tier), and NO live file
-    *    carries delete markers (a masked scan stays contiguous, but the
-    *    conservative route keeps the masked path on the one pivot shape
-    *    whose correctness is layout-derived);
+    *  - `presorted` — every live file carries manifest stats and the
+    *    stored key ranges of the files that can EMIT rows are pairwise
+    *    disjoint ([[graft.sources.KvTableInfo.keyContiguousRegions]] —
+    *    salted tables certify through the contiguity tier). Live delete
+    *    markers do NOT forfeit the route (r14): read-time masking drops
+    *    rows IN-STREAM without reordering, so per-partition key
+    *    contiguity survives, and a PURE-marker segment emits nothing —
+    *    it is excluded from the disjointness check entirely. Only a
+    *    MIXED file (markers and puts together) keeps its full bounds in
+    *    the check; when those overlap another emitting file, the route
+    *    falls back.
     *  - `hash` — LSM-overlapped commits awaiting compaction, legacy
-    *    (stat-less) directories, tombstoned tables: the declarative
-    *    pivot's one shuffle is the always-correct fallback.
+    *    (stat-less) directories: the declarative pivot's one shuffle is
+    *    the always-correct fallback.
     */
   def pivotAuto(
       spark: org.apache.spark.sql.SparkSession,
@@ -174,9 +178,19 @@ object KvPivot {
     if (!fs.exists(dir) || !graft.sources.KvLog.exists(fs, dir))
       return "hash"
     val entries = graft.sources.KvLog.liveFilesWithStats(fs, dir)
-    val tombstoned = entries.exists(_._2.exists(_.tombstones > 0))
-    if (!tombstoned &&
-        graft.sources.KvTableInfo.storedDisjointSortedFrom(entries))
+    // Stats on EVERY live file are the certification substrate (a
+    // stat-less file proves nothing about its sort or span) — including
+    // marker segments, whose slices the masked scan derives from the
+    // same stats.
+    if (entries.isEmpty || entries.exists(_._2.isEmpty)) return "hash"
+    // The default scan is the MASKED view: markers drop in-stream without
+    // reordering, so only files that can EMIT puts (tombstones < rows)
+    // must be mutually disjoint — a pure-marker segment spanning the
+    // keyspace (the fresh-DELETE state) costs nothing. Mixed files keep
+    // their full (marker-inclusive) bounds: conservative, falls back on
+    // overlap.
+    val emitting = entries.filter(_._2.exists(s => s.tombstones < s.rows))
+    if (graft.sources.KvTableInfo.storedDisjointSortedFrom(emitting))
       "presorted"
     else "hash"
   }

@@ -303,7 +303,10 @@ class PlanSpec extends SparkSpec {
     graft.sinks.Sinks.deleteRecursive(spark, legacy)
     RangeLayout.layout(cells, 2).write.mode("overwrite").parquet(legacy)
     KvPivot.autoStrategy(spark, legacy) shouldBe "hash"
-    // (c) tombstoned: compacted then marker-deleted
+    // (c) tombstoned compacted table (r14): live markers do NOT forfeit
+    // the zero-exchange route — masking drops rows in-stream without
+    // reordering, and the pure-marker delete segment emits nothing, so
+    // it is excluded from the disjointness check
     val tombed = s"$base/tombed"
     graft.sinks.Sinks.deleteRecursive(spark, tombed)
     cells.write.format("graft-kv").option("regions", 2)
@@ -315,12 +318,38 @@ class PlanSpec extends SparkSpec {
       .select("rowKey").head().getString(0)
     graft.sources.KvDelete.deleteRows(spark, tombed,
       Seq(victim).toDF("rowKey"))
-    KvPivot.autoStrategy(spark, tombed) shouldBe "hash"
-    // the fallback still answers correctly (masked hash pivot)
+    KvPivot.autoStrategy(spark, tombed) shouldBe "presorted"
     val piv = KvPivot.pivotAuto(spark, tombed, Seq("C0"))
-    executedPlan(piv) should include("Exchange")
+    executedPlan(piv) should not include "Exchange"
     piv.filter(col("rowKey") === victim).count() shouldBe 0L
     piv.count() should be > 0L
+    // the masked presorted route equals the masked hash route cell-for-cell
+    val hashPiv = KvPivot.pivotAuto(spark, tombed, Seq("C0"),
+      strategy = Some("hash"))
+    def render(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.select(col("rowKey"), decode(col("C0"), "UTF-8").as("c0"))
+        .as[(String, String)].collect().toSet
+    render(piv) shouldBe render(hashPiv)
+    // (d) NEGATIVE: a MIXED file (puts + markers together, the
+    // replication-pipe shape) whose span overlaps the data regions — its
+    // puts make it emitting, its full bounds overlap, so auto falls back
+    val mixed = s"$base/mixed"
+    graft.sinks.Sinks.deleteRecursive(spark, mixed)
+    cells.write.format("graft-kv").option("regions", 2)
+      .mode("append").save(mixed)
+    graft.sources.KvCompactor.compact(spark, mixed, regions = 2)
+    val bounds = spark.read.format("graft-kv").load(mixed)
+      .agg(min(col("rowKey")), max(col("rowKey"))).head()
+    Seq(
+      (bounds.getString(0), "f", "C9", "late", 999999L),
+      (bounds.getString(1), "f", graft.sources.KvDelete.RowMarkerQualifier,
+        null.asInstanceOf[String], 999999L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .write.format("graft-kv").option("regions", 1)
+      .option("allowTombstones", "true").mode("append").save(mixed)
+    KvPivot.autoStrategy(spark, mixed) shouldBe "hash"
   }
 
   test("kv_runtime_prune ships the dim's key set to the scan as a runtime filter") {
