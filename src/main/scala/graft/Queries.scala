@@ -4237,6 +4237,61 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
+  /** The CDC recovery bridge RESOLVED BY NAME over a SALTED catalog
+    * table (r14 — pins that name-based streaming composes with
+    * everything the path tail has): `readStream.table` tails the
+    * catalog table (salt auto-detected and stripped — the stream emits
+    * logical keys), the checkpoint is lost, and a replacement tail with
+    * a fresh checkpoint resumes from `.option("sinceSeq", …)` by name.
+    * The INSERTs sink-salt (catalog injection), so the whole loop —
+    * salted write, named tail, salt strip, seq resume — runs without
+    * the caller ever seeing a stored key. Oracle: the landed union must
+    * be exactly the generator table, cell for cell.
+    */
+  def kvTailResumeTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val outA = artifactPath("ttr_a", sfDir)
+    val outB = artifactPath("ttr_b", sfDir)
+    val cat = ensureCatalog("tail_resume_tbl", "graftttr_", spark, sfDir) {
+      (name, wh) =>
+        Seq(outA, outB, outA + "_cp", outB + "_cp")
+          .foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+        spark.sql(
+          s"""CREATE TABLE $name.corpus.cells (
+             |  rowKey STRING, family STRING, qualifier STRING,
+             |  value BINARY, ts BIGINT)
+             |USING `graft-kv`
+             |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')""".stripMargin)
+        val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+        def commit(i: Int): Unit = {
+          cells.filter(pmod(col("ts"), lit(4)) === i)
+            .createOrReplaceTempView("graft_ttr_src")
+          spark.sql(s"INSERT INTO $name.corpus.cells " +
+            "SELECT * FROM graft_ttr_src"): Unit
+        }
+        (0 until 2).foreach(commit)
+        val q1 = spark.readStream.table(s"$name.corpus.cells")
+          .writeStream.format("parquet").option("path", outA)
+          .option("checkpointLocation", outA + "_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q1.awaitTermination()
+        val dir = new org.apache.hadoop.fs.Path(s"$wh/corpus/cells")
+        val consumed = graft.sources.KvLog.latestSeq(
+          dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+        // the first tail's checkpoint is LOST; the table moves on
+        (2 until 4).foreach(commit)
+        val q2 = spark.readStream.option("sinceSeq", consumed)
+          .table(s"$name.corpus.cells")
+          .writeStream.format("parquet").option("path", outB)
+          .option("checkpointLocation", outB + "_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q2.awaitTermination()
+    }
+    cat: Unit
+    spark.read.parquet(outA).unionByName(spark.read.parquet(outB))
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
   private val streamKvPipeSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  'f' AS family, event_type AS qualifier,
@@ -4252,9 +4307,11 @@ object Queries {
     * salt must be invisible end to end, streaming included.
     */
   def kvSaltedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // staged OUTSIDE the ensureCatalog closure: nested computeIfAbsent
+    // on the artifacts map would be a ConcurrentHashMap recursive update
+    val src = ensureWalSegments(spark, sfDir)
     val cat = ensureCatalog("salted_stream", "graftsst_", spark, sfDir) {
       (name, _) =>
-        val src = ensureWalSegments(spark, sfDir)
         val cp = artifactPath("salted_stream_cp", sfDir)
         graft.sinks.Sinks.deleteRecursive(spark, cp)
         spark.sql(
@@ -4773,6 +4830,7 @@ object Queries {
     "stream_kv_pipe" -> (streamKvPipe _),
     "kv_salted_stream" -> (kvSaltedStream _),
     "kv_tail_resume" -> (kvTailResume _),
+    "kv_tail_resume_table" -> (kvTailResumeTable _),
     "stream_kv_index" -> (streamKvIndex _),
     "stream_enrich" -> (streamEnrich _),
     "stream_ingest_dedup" -> (streamIngestDedup _),
@@ -4923,6 +4981,7 @@ object Queries {
     "stream_kv_pipe" -> streamKvPipeSql,
     "kv_salted_stream" -> streamKvPipeSql, // salt invisible end to end
     "kv_tail_resume" -> kvGenCellsSql, // bridged union == the full table
+    "kv_tail_resume_table" -> kvGenCellsSql, // same bridge, by name + salted
 
     "stream_kv_index" -> kvIndexLookupSql,
     "stream_enrich" -> streamEnrichSql,

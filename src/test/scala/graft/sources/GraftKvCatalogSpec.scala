@@ -720,6 +720,55 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       .trigger(Trigger.AvailableNow()).start(out)
     q.awaitTermination()
     spark.read.parquet(out).count() shouldBe 4
+    // source-enforced FAMILY scope composes with name resolution (the
+    // replication-peer contract — configuration, not consumer filters)
+    val outF = s"${out}_fam"
+    Seq(outF, outF + "_cp").foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    val qf = spark.readStream.option("family", "g").table(s"$cat.strm.t11")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", outF + "_cp")
+      .trigger(Trigger.AvailableNow()).start(outF)
+    qf.awaitTermination()
+    spark.read.parquet(outF).select("rowKey").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("k03")
+    // sinceSeq resume by name: a fresh-checkpoint tail starting after
+    // seq 0 sees only the post-CTAS commit
+    cellsDf.limit(1).createOrReplaceTempView("catalog_spec_strm2")
+    spark.sql(s"INSERT INTO $cat.strm.t11 SELECT * FROM catalog_spec_strm2")
+    val outS = s"${out}_since"
+    Seq(outS, outS + "_cp").foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    val qs = spark.readStream.option("sinceSeq", 0).table(s"$cat.strm.t11")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", outS + "_cp")
+      .trigger(Trigger.AvailableNow()).start(outS)
+    qs.awaitTermination()
+    spark.read.parquet(outS).count() shouldBe 1
+  }
+
+  test("streaming reads by NAME strip the salt of a salted catalog table") {
+    import org.apache.spark.sql.streaming.Trigger
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.strs")
+    spark.sql(
+      s"""CREATE TABLE $cat.strs.t14 (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '1', 'salt_buckets' = '4')""".stripMargin)
+    cellsDf.createOrReplaceTempView("catalog_spec_strs")
+    spark.sql(s"INSERT INTO $cat.strs.t14 SELECT * FROM catalog_spec_strs")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_test/kv_cat_saltstream_out"
+    val cp = s"${out}_cp"
+    Seq(out, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+    val q = spark.readStream.table(s"$cat.strs.t14")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start(out)
+    q.awaitTermination()
+    // the tail emits LOGICAL keys although the stored files are salted
+    spark.read.parquet(out).select("rowKey").collect()
+      .map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("k01", "k01", "k02", "k03")
   }
 
   test("an out-of-band-corrupted maintain property degrades best-effort: INSERT still commits") {
