@@ -470,8 +470,19 @@ private[sources] class KvCatalogTable(tableName: String, path: String,
 
   override def name(): String = tableName
 
-  /** Recorded properties surface in DESCRIBE TABLE EXTENDED. */
-  override def properties(): util.Map[String, String] = props.asJava
+  /** Recorded properties surface in DESCRIBE TABLE EXTENDED and SHOW
+    * TBLPROPERTIES; the reserved `provider` key makes SHOW CREATE TABLE
+    * emit a `USING` clause, so the rendered DDL is re-runnable verbatim
+    * (Spark hides reserved keys from SHOW TBLPROPERTIES itself, and
+    * [[GraftKvCatalog.createTable]] drops non-recorded keys on the way
+    * back in). The value is PRE-BACKQUOTED because Spark renders the
+    * provider into the DDL unquoted, and its own parser refuses the
+    * bare hyphenated `graft-kv` — without the quotes the emitted DDL
+    * would not parse.
+    */
+  override def properties(): util.Map[String, String] =
+    (props + (org.apache.spark.sql.connector.catalog.TableCatalog
+      .PROP_PROVIDER -> "`graft-kv`")).asJava
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -239,6 +239,39 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
       s"DESCRIBE must list cell column $c"))
   }
 
+  test("SHOW CREATE TABLE emits re-runnable DDL: USING graft-kv + the recorded properties") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sct")
+    spark.sql(
+      s"""CREATE TABLE $cat.sct.orig (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '3', 'salt_buckets' = '4',
+         |  'maintain' = 'true')""".stripMargin)
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.sct.orig")
+      .collect().head.getString(0)
+    ddl should include("USING `graft-kv`")
+    ddl should include("'regions' = '3'")
+    ddl should include("'salt_buckets' = '4'")
+    ddl should include("'maintain' = 'true'")
+    // the emitted DDL round-trips: running it (renamed) yields a table
+    // with the same recorded properties and schema
+    spark.sql(ddl.replace(s"$cat.sct.orig", s"$cat.sct.copy"))
+    def shown(t: String): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $cat.sct.$t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    shown("copy") shouldBe shown("orig")
+    spark.table(s"$cat.sct.copy").schema.fieldNames.toSeq shouldBe
+      spark.table(s"$cat.sct.orig").schema.fieldNames.toSeq
+    // and the copy is a working salted table (the salt registered at its
+    // own CREATE): a sink-salted INSERT + logical read compose
+    cellsDf.createOrReplaceTempView("catalog_spec_sct")
+    spark.sql(s"INSERT INTO $cat.sct.copy SELECT * FROM catalog_spec_sct")
+    spark.sql(s"SELECT count(*) FROM $cat.sct.copy WHERE rowKey = 'k01'")
+      .head().getLong(0) shouldBe 2L
+  }
+
   test("a corrupted maintain property cannot fail a committed DELETE (best-effort resolution)") {
     // The marker-DELETE path resolves the maintenance policy AFTER its
     // commit is durable. A recorded-props file corrupted out-of-band (or
