@@ -1522,6 +1522,105 @@ object Scratch {
           println(s"  rows: path=$a sql=$b (must match: ${a == b})")
         }
 
+      case "maskedauto" =>
+        // r14 masked zero-exchange pivot economics: a compacted table
+        // with LIVE delete markers — the state every mutable table sits
+        // in between a DELETE and its next compaction. pivotAuto now
+        // keeps the presorted (exchange-free) route there; the question
+        // is what that is worth vs the masked hash pivot on the same
+        // table, and that both agree with the survivor count.
+        import org.apache.spark.sql.functions._
+        val nM = 8000000L
+        val dirM = s"${sys.props("java.io.tmpdir")}/graft_scratch/maskedauto"
+        graft.sinks.Sinks.deleteRecursive(spark, dirM)
+        val rowsM = spark.range(nM).select(
+          format_string("%08d", (col("id") / 4).cast("long")).as("rowKey"),
+          lit("f").as("family"),
+          concat(lit("q"), (col("id") % 4).cast("string")).as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+        rowsM.write.format("graft-kv").option("regions", 16)
+          .mode("overwrite").save(dirM)
+        graft.sources.KvCompactor.compact(spark, dirM, regions = 16)
+        // 50k whole-row deletes (the GDPR erasure shape), markers only
+        import spark.implicits._
+        val victimsM = spark.range(50000)
+          .select(format_string("%08d", col("id") * 37 % (nM / 4)).as("rowKey"))
+          .distinct()
+        time("marker DELETE (50k keys)") {
+          graft.sources.KvDelete.deleteRows(spark, dirM, victimsM)
+        }
+        println(s"  auto route: ${graft.ops.KvPivot.autoStrategy(spark, dirM)}")
+        val colsM = (0 until 4).map(i => s"q$i")
+        def pivotCount(strategy: String): Long =
+          graft.ops.KvPivot.pivotAuto(spark, dirM, colsM,
+            strategy = Some(strategy)).count()
+        val cHash = time("(a) masked HASH pivot (one exchange)") {
+          pivotCount("hash")
+        }
+        val cPre = time("(b) masked PRESORTED pivot (zero exchange, r14 auto route)") {
+          pivotCount("presorted")
+        }
+        println(s"  rows: hash=$cHash presorted=$cPre (must match: ${cHash == cPre})")
+
+      case "saltpipe" =>
+        // r14 streaming sink-salting economics: the same WAL replayed
+        // (a) into an UNSALTED catalog table and (b) into a salt_buckets
+        // table where every epoch demuxes per bucket — the delta is the
+        // whole cost of making writeStream.toTable work on salted
+        // tables. Epoch count and rows identical.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val nP = 4000000L
+        val whP = s"${sys.props("java.io.tmpdir")}/graft_scratch/saltpipe_wh"
+        val srcP = s"${sys.props("java.io.tmpdir")}/graft_scratch/saltpipe_src"
+        graft.sinks.Sinks.deleteRecursive(spark, whP)
+        graft.sinks.Sinks.deleteRecursive(spark, srcP)
+        val rowsP = spark.range(nP).select(
+          format_string("%08d", col("id")).as("rowKey"),
+          lit("f").as("family"), lit("q").as("qualifier"),
+          encode(col("id").cast("string"), "UTF-8").as("value"),
+          col("id").as("ts"))
+        (0 until 4).foreach { i =>
+          rowsP.filter(pmod(col("ts"), lit(4)) === i)
+            .write.format("graft-kv").option("regions", 4)
+            .mode("append").save(srcP)
+        }
+        spark.conf.set("spark.sql.catalog.scrpipe",
+          classOf[graft.sources.GraftKvCatalog].getName)
+        spark.conf.set("spark.sql.catalog.scrpipe.warehouse", whP)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS scrpipe.ns")
+        def pipeTo(table: String, salted: Boolean): Unit = {
+          spark.sql("CREATE TABLE scrpipe.ns." + table +
+            " (rowKey STRING, family STRING, qualifier STRING, " +
+            "value BINARY, ts BIGINT) USING `graft-kv` " +
+            "TBLPROPERTIES('regions'='8'" +
+            (if (salted) ",'salt_buckets'='16'" else "") + ")")
+          val cp = s"${sys.props("java.io.tmpdir")}/graft_scratch/saltpipe_cp_$table"
+          graft.sinks.Sinks.deleteRecursive(spark, cp)
+          val q = spark.readStream.format("graft-kv")
+            .option("maxFilesPerBatch", 4).load(srcP)
+            .writeStream.option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).toTable(s"scrpipe.ns.$table")
+          q.awaitTermination()
+        }
+        time(s"(a) streaming pipe -> UNSALTED table (${nP / 1000000}M cells, 4 epochs)") {
+          pipeTo("plain", salted = false)
+        }
+        time(s"(b) streaming pipe -> salt_buckets=16 table (sink demux per epoch)") {
+          pipeTo("salted", salted = true)
+        }
+        locally {
+          val a = spark.sql("SELECT count(*) FROM scrpipe.ns.plain").head().getLong(0)
+          val b = spark.sql("SELECT count(*) FROM scrpipe.ns.salted").head().getLong(0)
+          println(s"  rows: plain=$a salted=$b (must match: ${a == b})")
+          val get = time("point Get on the salted landed table (logical key)") {
+            spark.sql("SELECT count(*) FROM scrpipe.ns.salted WHERE rowKey = '01000000'")
+              .head().getLong(0)
+          }
+          require(get == 1, s"expected 1 row, got $get")
+        }
+
       case "kvupdate" =>
         // Copy-on-write UPDATE economics: a KEYED update must rewrite the
         // few region files holding the keys (static group pruning via
