@@ -869,10 +869,14 @@ object Queries {
     */
   def kvPivotAutoMasked(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ensureDeletedCells(spark, sfDir)
-    require(KvPivot.autoStrategy(spark, path) == "presorted",
+    // One consult serves both the guard and the route — pivotAuto would
+    // otherwise replay the manifest a second time inside a timed query.
+    val route = KvPivot.autoStrategy(spark, path)
+    require(route == "presorted",
       "kv_pivot_auto_masked: a tombstoned-but-disjoint table must keep " +
         "the zero-exchange route")
-    val piv = KvPivot.pivotAuto(spark, path, EventCols, family = Some("f"))
+    val piv = KvPivot.pivotAuto(spark, path, EventCols, family = Some("f"),
+      strategy = Some(route))
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
 

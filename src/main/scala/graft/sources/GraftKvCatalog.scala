@@ -383,6 +383,23 @@ private[sources] object KvTableProps {
     "maintain_target_region_bytes" -> "maintainTargetRegionBytes",
     "maintain_grace_ms" -> "maintainGraceMs")
 
+  /** Whether one recorded maintain* value parses — the injection-time
+    * LENIENT screen ([[KvCatalogTable.newWriteBuilder]]): values were
+    * validated at CREATE/ALTER, so a failure here is out-of-band file
+    * corruption, warned and skipped rather than bricking every INSERT
+    * (maintenance is best-effort housekeeping by contract).
+    */
+  def wellFormedMaintain(key: String, value: String): Boolean =
+    try {
+      key match {
+        case "maintain" => Set("true", "false")(value.toLowerCase)
+        case "maintain_max_segments" => value.toInt >= 1
+        case "maintain_target_region_bytes" => value.toLong >= 1
+        case "maintain_grace_ms" => value.toLong >= 0
+        case _ => false
+      }
+    } catch { case _: NumberFormatException => false }
+
   /** Parse the recorded `maintain*` properties into the policy — None
     * when maintenance is not declared. Validation is EAGER AND LOUD:
     * [[validate]] runs this at CREATE/ALTER DDL time, so a typo'd knob
@@ -431,11 +448,37 @@ private[sources] object KvTableProps {
       }.toMap
   }
 
+  /** Written via temp + swap, never an in-place truncate: CREATE writes
+    * the file before the table is visible, but ALTER rewrites it while
+    * readers and writers resolve it concurrently — `fs.create(overwrite)`
+    * would expose an empty/partial file for the whole write window (and
+    * forever, on a crash mid-write), silently degrading every recorded
+    * default to its fallback. On a local filesystem the swap is a true
+    * atomic move; elsewhere the exposure shrinks to the delete→rename
+    * gap (file momentarily ABSENT — the read path treats that as
+    * no-properties, the same recoverable fallback).
+    */
   def write(fs: FileSystem, table: Path, props: Map[String, String]): Unit =
-    if (props.nonEmpty)
-      KvLog.writeText(fs, propsPath(table),
+    if (props.nonEmpty) {
+      val target = propsPath(table)
+      val tmp = new Path(target.getParent,
+        s"._table_props.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      KvLog.writeText(fs, tmp,
         props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
           .mkString("", "\n", "\n"))
+      if (Option(fs.getUri.getScheme).contains("file")) {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        fs.delete(target, false)
+        require(fs.rename(tmp, target),
+          s"graft-kv: publishing $tmp over $target failed — the table's " +
+            "recorded properties are temporarily absent; re-run the ALTER")
+      }
+    }
 
   /** [[write]] that also handles the UNSET-to-empty case: an ALTER that
     * removes the last recorded property deletes the props file rather
@@ -466,7 +509,8 @@ private[sources] object KvTableProps {
 private[sources] class KvCatalogTable(tableName: String, path: String,
     props: Map[String, String],
     readOptions: Map[String, String] = Map.empty)
-    extends KvCellTable(path, readOptions) {
+    extends KvCellTable(path, readOptions)
+    with org.apache.spark.internal.Logging {
 
   override def name(): String = tableName
 
@@ -490,19 +534,46 @@ private[sources] class KvCatalogTable(tableName: String, path: String,
     val merged = new util.HashMap[String, String]()
     props.foreach { case (k, v) =>
       if (k == "regions" || k == "codec") merged.put(k, v)
-      KvTableProps.MaintainOptionOf.get(k).foreach(opt => merged.put(opt, v))
+      // Recorded maintain* values were validated at CREATE/ALTER, so a
+      // malformed one here is OUT-OF-BAND property corruption — and
+      // maintenance is best-effort housekeeping BY CONTRACT
+      // (KvMaintenance doc): sanitize LENIENTLY (warn + skip) at
+      // injection so corruption cannot brick the table's INSERT surface,
+      // while the write builder stays STRICT for values the caller
+      // actually typed on a statement.
+      KvTableProps.MaintainOptionOf.get(k).foreach { opt =>
+        if (KvTableProps.wellFormedMaintain(k, v)) merged.put(opt, v)
+        else logWarning(s"graft-kv catalog: ignoring malformed recorded " +
+          s"property $k='$v' on $tableName — maintenance falls back; " +
+          "repair it via ALTER TABLE ... SET TBLPROPERTIES")
+      }
     }
     // Sink-side salting for catalog writes (class doc). The recorded
     // property is authoritative; a path-registered salt on an ADOPTED
     // table (created by the path API, read by name) is honored too.
+    // salt_buckets is LAYOUT, so unlike maintain* a malformed record is
+    // NOT shrugged off — writing without the salt would corrupt the
+    // table (the builder's saltCheck would not even know to run).
     if (!info.options.containsKey("saltedInput")) {
-      val declared = props.get("salt_buckets").map(_.toInt).orElse {
+      val declared = props.get("salt_buckets").map { v =>
+        try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft-kv catalog: $tableName records a malformed " +
+              s"salt_buckets property '$v' — a LAYOUT property; refusing " +
+              "to write until it is repaired")
+        }
+      }.orElse {
         val p = new Path(path)
         KvSalt.bucketsOf(p.getFileSystem(
           org.apache.spark.sql.SparkSession.active.sessionState
             .newHadoopConf()), p)
       }
-      declared.foreach(n => merged.put("saltWrite", n.toString))
+      declared.foreach { n =>
+        merged.put("saltWrite", n.toString)
+        // attests the value so the builder's agreement guard skips its
+        // filesystem re-reads for this (already-resolved) declaration
+        merged.put("saltWriteDeclared", n.toString)
+      }
     }
     info.options.asCaseSensitiveMap().forEach((k, v) => merged.put(k, v))
     val wrapped = new org.apache.spark.sql.connector.write.LogicalWriteInfo {

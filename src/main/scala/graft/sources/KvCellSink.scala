@@ -71,43 +71,38 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
     // (region servers trigger compaction checks from the memstore flush)
     // — so a long-lived streaming pipe keeps its segment count bounded
     // without an operator remembering to schedule MaintainTable.
-    // Parsed LENIENTLY (warn + fall back, never throw): the catalog
-    // validates these values eagerly at CREATE/ALTER, so a malformed one
-    // here is either out-of-band property corruption or a typo'd write
-    // option — and maintenance is best-effort housekeeping BY CONTRACT
-    // (KvMaintenance doc): a corrupted recorded `maintain` must not make
-    // every INSERT into the table fail at write-builder time while the
-    // DELETE path shrugs the same corruption off.
-    def lenient[T](key: String, parse: String => T): Option[T] =
-      Option(info.options.get(key)).flatMap { v =>
-        try Some(parse(v)) catch {
+    // Parsed STRICTLY: a malformed value HERE is a typo'd explicit write
+    // option, and silently running the write without the maintenance the
+    // user asked for would let a long-lived pipe's segment count grow
+    // unbounded while the operator believes self-maintenance is on. The
+    // other source of these options — catalog-RECORDED properties — is
+    // sanitized leniently at injection time ([[KvCatalogTable
+    // .newWriteBuilder]]), so out-of-band property corruption still
+    // cannot brick a table's INSERT surface; only a value the caller
+    // typed on THIS statement fails it.
+    def strict[T](key: String, expect: String, parse: String => T): Option[T] =
+      Option(info.options.get(key)).map { v =>
+        try parse(v) catch {
           case scala.util.control.NonFatal(_) =>
-            logWarning(s"graft-kv: ignoring malformed maintenance option " +
-              s"$key='$v' on $path — maintenance policy falls back " +
-              "(fix the recorded table property via ALTER TABLE ... SET " +
-              "TBLPROPERTIES)")
-            None
+            throw new IllegalArgumentException(
+              s"graft-kv: maintenance option $key must be $expect, got '$v'")
         }
       }
-    val maintainOn = lenient("maintain", _.toLowerCase match {
+    val maintainOn = strict("maintain", "true|false", _.toLowerCase match {
       case "true" => true
       case "false" => false
       case other => throw new IllegalArgumentException(other)
     }).getOrElse(false)
     val maintainPolicy =
       if (!maintainOn) None
-      else try Some(KvMaintenance.Policy(
-        maxSegments = lenient("maintainMaxSegments", _.toInt).getOrElse(8),
-        targetRegionBytes = lenient("maintainTargetRegionBytes", _.toLong)
-          .getOrElse(128L * 1024 * 1024),
-        vacuumGraceMs = lenient("maintainGraceMs", _.toLong)
+      else Some(KvMaintenance.Policy(
+        maxSegments = strict("maintainMaxSegments", "an integer", _.toInt)
+          .getOrElse(8),
+        targetRegionBytes =
+          strict("maintainTargetRegionBytes", "a byte count", _.toLong)
+            .getOrElse(128L * 1024 * 1024),
+        vacuumGraceMs = strict("maintainGraceMs", "a duration in ms", _.toLong)
           .getOrElse(24L * 3600 * 1000)))
-      catch { // a well-formed number outside the Policy's domain (e.g. 0)
-        case scala.util.control.NonFatal(e) =>
-          logWarning(s"graft-kv: ignoring invalid maintenance policy on " +
-            s"$path — this write runs without a policy pass: $e")
-          None
-      }
     // Reserved-qualifier admission ([[KvDelete]]): user writes must not
     // smuggle delete markers; the delete API, compaction rewrites, and
     // deliberate replication pipes set `allowTombstones=true`.
@@ -140,15 +135,30 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
       "graft-kv: saltWrite and saltedInput are mutually exclusive")
     // saltWrite must AGREE with the table's own salt declaration (the
     // registered `_salt` property or the recorded `salt_buckets` table
-    // property). The catalog's injection satisfies this by construction;
-    // the check is for a USER-passed option, which would otherwise land
-    // salted stored keys on an unsalted table (or the wrong bucket count)
-    // with no registration — prefixed keys visible on every later read.
+    // property) — a USER-passed option would otherwise land salted stored
+    // keys on an unsalted table (or the wrong bucket count) with no
+    // registration: prefixed keys visible on every later read. The
+    // catalog attests its own injection through the INTERNAL
+    // `saltWriteDeclared` option (the declared count it just resolved),
+    // so the per-statement filesystem re-reads only happen for a bare
+    // path-API `saltWrite` — and a user override that disagrees with the
+    // catalog's attested value still fails here.
     saltWrite.foreach { n =>
-      val p = new Path(path)
-      val fsx = p.getFileSystem(conf.value)
-      val declared = KvSalt.bucketsOf(fsx, p)
-        .orElse(KvTableProps.read(fsx, p).get("salt_buckets").map(_.toInt))
+      val declared =
+        Option(info.options.get("saltWriteDeclared")).map(_.toInt).orElse {
+          val p = new Path(path)
+          val fsx = p.getFileSystem(conf.value)
+          KvSalt.bucketsOf(fsx, p).orElse(
+            KvTableProps.read(fsx, p).get("salt_buckets").map { v =>
+              try v.toInt catch {
+                case _: NumberFormatException =>
+                  throw new IllegalStateException(
+                    s"graft-kv: $path records a malformed salt_buckets " +
+                      s"property '$v' — a LAYOUT property; refusing to " +
+                      "write until it is repaired")
+              }
+            })
+        }
       require(declared.contains(n),
         s"graft-kv: saltWrite=$n but $path " +
           declared.fold("is not a salted table — register the salt first " +
@@ -284,7 +294,8 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
           stagingDir, conf,
           cellIdx = graft.kv.Cell.schema.fieldNames
             .map(schema.fieldNames.indexOf(_)).toArray,
-          declaredLen = schema.length, codec, saltBuckets = Some(n)))
+          declaredLen = schema.length, codec, saltBuckets = Some(n),
+          allowTombstones = allowTombstones))
       case None =>
         KvStreamWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
           allowTombstones, saltCheck)
@@ -478,7 +489,8 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
         KvProjectingWriterFactory(stagingDir, conf,
           cellIdx = graft.kv.Cell.schema.fieldNames
             .map(n => schema.fieldNames.indexOf(n)).toArray,
-          declaredLen = schema.length, codec, saltBuckets = Some(n))
+          declaredLen = schema.length, codec, saltBuckets = Some(n),
+          allowTombstones = allowTombstones)
       case None =>
         KvWriterFactory(stagingDir, schema.fieldNames.toSeq, conf, codec,
           allowTombstones, saltCheck)
@@ -654,9 +666,10 @@ private[sources] class KvDataWriter(
           throw new IllegalArgumentException(
             s"graft-kv: appending to a table registered as salted with $n " +
               s"buckets, but rowKey '${row.getUTF8String(keyIdx)}' is not " +
-              "a stored salted key — route the write through " +
-              "KvSalt.salted/saltedWrite (batch SQL INSERT salts in the " +
-              "sink; streaming writes and path-API appends pre-salt)")
+              "a stored salted key — catalog writes (SQL INSERT and " +
+              "writeStream.toTable) salt in the sink automatically; a " +
+              "path-API append pre-salts through KvSalt.salted/saltedWrite " +
+              "and declares saltedInput=<n>")
       }
       // .toString copies out of Spark's reused row buffer — required
       val k = row.getUTF8String(keyIdx).toString

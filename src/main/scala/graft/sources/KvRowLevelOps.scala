@@ -446,7 +446,8 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
     declaredLen: Int,
     codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
       org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
-    saltBuckets: Option[Int] = None)
+    saltBuckets: Option[Int] = None,
+    allowTombstones: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -474,7 +475,8 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
         val slot = if (n == 0) partitionId else partitionId * n + bucket
         inners(bucket) = new KvDataWriter(stagingDir, cellNames, slot, taskId,
           conf, commitAs = (f, st) => KvFileCommit(f, slot, st),
-          codec = codec, saltCheck = saltBuckets)
+          codec = codec, allowTombstones = allowTombstones,
+          saltCheck = saltBuckets)
       }
       inners(bucket)
     }
@@ -483,6 +485,21 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
       // rewrite plans PREPEND `__row_operation` to the data columns
       // without declaring it in the write schema.
       private var offset = -1
+      // DOUBLE-SALT guard (sink-salted paths only): rows here must carry
+      // LOGICAL keys — a pipeline built against the pre-salted contract
+      // (path API / pre-r14 streaming) that routes already-stored keys
+      // through the sink would get a second prefix the reads would never
+      // strip, silently, because the re-salted key is self-consistent.
+      // Tracked until the FIRST key that is not in stored form (one
+      // 4-byte shape check per row from then on — effectively free for
+      // genuine logical keys); a non-empty task whose EVERY key already
+      // parses as a stored salted key is refused at commit, before any
+      // file seals. A table whose logical keys ALL coincidentally match
+      // `"%03d|" + suffix` with the matching hash is the (vanishing)
+      // false positive; such a pipeline pre-salts explicitly and
+      // declares `saltedInput` instead.
+      private var rowsIn = 0L
+      private var allStored = true
       override def write(row: InternalRow): Unit = {
         if (offset < 0) {
           offset = row.numFields - declaredLen
@@ -507,12 +524,22 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
         var bucket = 0
         if (n > 0 && out(0) != null) {
           val key = out(0).asInstanceOf[UTF8String]
+          rowsIn += 1
+          if (allStored) allStored = KvSalt.isStored(key, n)
           bucket = KvSalt.saltOfUtf8(key, n)
           out(0) = UTF8String.concat(prefixes(bucket), key)
         }
         innerFor(bucket).write(new GenericInternalRow(out))
       }
-      override def commit(): WriterCommitMessage =
+      override def commit(): WriterCommitMessage = {
+        require(n == 0 || rowsIn == 0 || !allStored,
+          s"graft-kv: every rowKey this task wrote ($rowsIn rows) already " +
+            s"parses as a STORED salted key for $n buckets, but the sink " +
+            "was asked to salt (saltWrite) — these rows look PRE-salted, " +
+            "and salting them again would corrupt the key layout " +
+            "irreversibly. A pre-salted pipeline declares " +
+            "saltedInput=<n> (the path-API contract) instead of routing " +
+            "through the sink-salting surface.")
         if (n == 0) {
           // single-writer path: preserve the one-message shape (and an
           // empty partition still acks with an empty commit)
@@ -521,6 +548,7 @@ private[sources] case class KvProjectingWriterFactory(stagingDir: String,
           inners.toSeq.filter(_ != null).map(_.commit()).collect {
             case KvFileCommit(f, slot, st) if f.nonEmpty => (f, slot, st)
           })
+      }
       override def abort(): Unit =
         inners.foreach(w => if (w != null) w.abort())
       override def close(): Unit =

@@ -29,6 +29,32 @@ class KvMaintenanceSpec extends graft.SparkSpec {
   private def fsOf(d: String) =
     new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
 
+  test("a typo'd explicit maintenance option fails the statement loudly, not silently") {
+    // the LENIENT degrade is reserved for out-of-band-corrupted RECORDED
+    // properties (sanitized at catalog injection) — an option the caller
+    // typed on this very statement must not be shrugged off, or the
+    // operator believes self-maintenance is on while segments pile up
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_maint_typo"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    def messages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      cells.write.format("graft-kv").option("regions", 1)
+        .option("maintain", "ture").mode("append").save(d)
+    }
+    messages(e1) should include("maintain must be true|false")
+    val e2 = intercept[Exception] {
+      cells.write.format("graft-kv").option("regions", 1)
+        .option("maintain", "true").option("maintainMaxSegments", "8x")
+        .mode("append").save(d)
+    }
+    messages(e2) should include("maintainMaxSegments must be an integer")
+    // neither statement landed anything
+    assert(!fsOf(d).exists(new Path(d)) ||
+      KvLog.liveFiles(fsOf(d), new Path(d)).isEmpty)
+  }
+
   test("a healthy table parks: under the threshold nothing compacts, nothing is deleted") {
     val d = pileUp("kv_maint_healthy", commits = 3) // 6 segments
     val before = KvLog.liveFiles(fsOf(d), new Path(d))

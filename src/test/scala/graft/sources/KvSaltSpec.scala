@@ -313,4 +313,53 @@ class KvSaltSpec extends graft.SparkSpec {
       .select("rowKey").collect().map(_.getString(0))
     out.toSeq.sorted shouldBe Seq("k1", "k1")
   }
+
+  test("rows that already carry stored salted keys are refused by the sink-salting path") {
+    import spark.implicits._
+    val logical = Seq("k1", "k2", "k3")
+      .map(k => (k, "f", "a", "v".getBytes("UTF-8"), 1L))
+      .toDF("rowKey", "family", "qualifier", "value", "ts")
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_doublesalt_guard"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    KvSalt.saltedWrite(logical, d, n = 8, regions = 1)
+    // a pre-r14 pipeline habit: pre-salt AND route through the
+    // sink-salting surface — double-salting would be silent corruption
+    // (the re-salted key is self-consistent), so the demux refuses when
+    // every key of a task already parses as stored
+    val e = intercept[Exception] {
+      KvSalt.salted(logical, 8).write.format("graft-kv")
+        .option("regions", 1).option("saltWrite", 8)
+        .mode("append").save(d)
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+      include("PRE-salted")
+    // nothing sealed: the table still holds exactly the first write
+    spark.read.format("graft-kv").load(d).count() shouldBe 3L
+  }
+
+  test("a marker-carrying append sink-salts when allowTombstones is declared") {
+    import spark.implicits._
+    val logical = Seq("k1", "k2", "k3")
+      .map(k => (k, "f", "a", "v".getBytes("UTF-8"), 1L))
+      .toDF("rowKey", "family", "qualifier", "value", "ts")
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_tomb_append"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    KvSalt.saltedWrite(logical, d, n = 8, regions = 1)
+    // a replication pipe lands a row marker through the sink-salting
+    // surface: the option must reach the demux's inner writers (it used
+    // to be dropped — the error told the user to set the very option
+    // they had set)
+    val marker = Seq((
+        "k1", KvDelete.AllFamilies, KvDelete.RowMarkerQualifier,
+        Array.empty[Byte], Long.MaxValue))
+      .toDF("rowKey", "family", "qualifier", "value", "ts")
+    marker.write.format("graft-kv").option("regions", 1)
+      .option("saltWrite", 8).option("allowTombstones", "true")
+      .mode("append").save(d)
+    // the salted marker masks the salted put: k1 gone from the plain read
+    spark.read.format("graft-kv").load(d)
+      .select("rowKey").collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("k2", "k3")
+  }
 }
