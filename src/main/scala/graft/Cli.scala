@@ -58,6 +58,7 @@ object Cli {
     "ExportHBaseTableToAvro" -> 5, "ExportHBaseTableToParquet" -> 5,
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
+    "ResaltTable" -> 2,
     "HistoryTable" -> 1, "CheckTable" -> 1, "RepairTable" -> 2,
     "DropTail" -> 2,
     "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
@@ -154,6 +155,23 @@ object Cli {
           println(s"compaction parked for $table: $reason")
         case graft.sources.KvCompactor.Aborted(reason) =>
           println(s"compaction aborted for $table: $reason")
+      }
+
+    // In-place salt-layout conversion (0 buckets = unsalt) — the rewrite
+    // HBase/Phoenix require a new table for, as one online operation.
+    case "ResaltTable" =>
+      val Array(table, buckets) = a.take(2)
+      val to = if (buckets.toInt == 0) None else Some(buckets.toInt)
+      graft.sources.KvResalt.resalt(
+          spark, s"${tableDir(table)}/cells", to) match {
+        case graft.sources.KvResalt.Resalted(seq, from, t, files) =>
+          def show(n: Option[Int]) = n.fold("unsalted")(b => s"$b buckets")
+          println(s"resalted $table: ${show(from)} -> ${show(t)}, " +
+            s"$files files at log seq $seq")
+        case graft.sources.KvResalt.Parked(reason) =>
+          println(s"resalt parked for $table: $reason")
+        case graft.sources.KvResalt.Aborted(reason) =>
+          println(s"resalt aborted for $table: $reason")
       }
 
     // GC of manifest-unreferenced files (crash leftovers) after a grace
@@ -363,6 +381,7 @@ object Cli {
       |  ParquetReader <file> <recordsToRead>
       |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
       |  CompactTable <table> <regions> [codec]      (major-compact; optional re-codec: snappy|zstd|gzip|lz4|none)
+      |  ResaltTable <table> <buckets>               (rewrite into a new salt layout; 0 = unsalt)
       |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)

@@ -111,6 +111,42 @@ object Queries {
       .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("max_ts"))
   }
 
+  /** [[kvSaltedScan]]'s scan THROUGH an in-place layout conversion
+    * ([[graft.sources.KvResalt]] — `CALL sys.resalt`): the table is
+    * written 16-bucket salted, then rewritten to 4 buckets in one
+    * manifest-atomic pass (the declaring checkpoint entry,
+    * [[graft.sources.KvLog.Entry.saltDecl]]). The scan takes NO salt
+    * option — resolution follows the manifest declaration — and the same
+    * range+qualifier oracle must hold bit-for-bit: a resalt is a physical
+    * routing change and nothing else. At scale this is how an operator
+    * fixes a mis-sized `SALT_BUCKETS` choice (the Phoenix "create new
+    * table and upsert-select" dance) as one online table operation.
+    */
+  private def ensureResaltedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"resalted_cells|$sfDir", _ => {
+      val path = artifactPath("resalted_cells", sfDir)
+      // A PREVIOUS run's artifact already holds the converted layout and
+      // its recorded properties, which rightly refuse a fresh 16-bucket
+      // overwrite — stage from scratch instead.
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      graft.sources.KvSalt.saltedWrite(
+        KvTable.eventsAsCells(spark, sfDir), path, n = 16, regions = 8,
+        mode = "overwrite")
+      val r = graft.sources.KvResalt.resalt(spark, path, Some(4))
+      require(r.isInstanceOf[graft.sources.KvResalt.Resalted],
+        s"kv_resalt_scan staging expected a conversion, got $r")
+      path
+    })
+
+  def kvResaltScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.format("graft-kv")
+      .load(ensureResaltedCells(spark, sfDir))
+    cells.filter(col("rowKey") >= "00000002" && col("rowKey") < "00000012" &&
+        col("qualifier") === "click")
+      .groupBy(col("rowKey"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("max_ts"))
+  }
+
   /** A table staged into every accounting state [[graft.sources.KvFsck]]
     * distinguishes: an overwrite that preserved a pre-overwrite snapshot's
     * pinned files (SNAPSHOT-PINNED, on disk but in no log entry), a
@@ -4749,6 +4785,7 @@ object Queries {
     "kv_crud_masked" -> (kvCrudMasked _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
+    "kv_resalt_scan" -> (kvResaltScan _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -4902,6 +4939,7 @@ object Queries {
     "kv_crud_masked" -> kvCrudMaskedSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
+    "kv_resalt_scan" -> kvV2RangeScanSql, // ...and so must a layout CONVERSION
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

@@ -267,9 +267,11 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces
       if (k.equalsIgnoreCase("salt_buckets"))
         throw new UnsupportedOperationException(
           "graft-kv catalog: salt_buckets is a physical LAYOUT property — " +
-            "every stored rowKey embeds the salt, so altering it would " +
-            "mis-route reads over the existing files. Create a new table " +
-            "with the desired salt and rewrite into it.")
+            "every stored rowKey embeds the salt, so altering the " +
+            "metadata would mis-route reads over the existing files. " +
+            "CALL sys.resalt(table => 'ns.t', buckets => n) performs the " +
+            "honest form: a one-pass rewrite into the new layout " +
+            "(buckets => 0 converts to unsalted).")
       require(KvTableProps.Recorded(k),
         s"graft-kv catalog: '$k' is not a recorded graft-kv table " +
           s"property — settable: ${KvTableProps.Recorded.toSeq.sorted.mkString(", ")}")
@@ -564,9 +566,9 @@ private[sources] class KvCatalogTable(tableName: String, path: String,
         }
       }.orElse {
         val p = new Path(path)
-        KvSalt.bucketsOf(p.getFileSystem(
+        KvSalt.resolveAt(p.getFileSystem(
           org.apache.spark.sql.SparkSession.active.sessionState
-            .newHadoopConf()), p)
+            .newHadoopConf()), p, None)
       }
       declared.foreach { n =>
         merged.put("saltWrite", n.toString)

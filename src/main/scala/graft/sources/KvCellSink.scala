@@ -148,7 +148,7 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
         Option(info.options.get("saltWriteDeclared")).map(_.toInt).orElse {
           val p = new Path(path)
           val fsx = p.getFileSystem(conf.value)
-          KvSalt.bucketsOf(fsx, p).orElse(
+          KvSalt.resolveAt(fsx, p, None).orElse(
             KvTableProps.read(fsx, p).get("salt_buckets").map { v =>
               try v.toInt catch {
                 case _: NumberFormatException =>
@@ -169,7 +169,7 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
       if (saltWrite.isDefined) saltWrite // stored keys validated post-prefix
       else if (!doTruncate) {
         val p = new Path(path)
-        KvSalt.bucketsOf(p.getFileSystem(conf.value), p)
+        KvSalt.resolveAt(p.getFileSystem(conf.value), p, None)
       } else {
         val p = new Path(path)
         val declared = KvTableProps
@@ -357,6 +357,11 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     // committer can never mistake this epoch's files for a log-less
     // migration (KvLog.ensureLogDir doc).
     KvLog.ensureLogDir(fs, dir)
+    // A resalt that landed since this query resolved its layout fails the
+    // epoch before any rename (KvSalt.requireLayoutUnchanged): the stream
+    // restarts, re-resolves, and continues in the new layout.
+    KvSalt.requireLayoutUnchanged(fs, dir,
+      saltOnWrite.orElse(saltCheck), s"streaming query $queryId")
     // Incomplete-commit hygiene: a crash between renames and the log append
     // leaves this epoch's targets on disk with no manifest entry — clear
     // every target this epoch could have written before renaming. One
@@ -540,6 +545,11 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // into the log FIRST, or this entry would become the whole visible
     // table and silently hide them (KvLog.seedFromDirIfNeeded doc).
     if (!truncate) KvLog.seedFromDirIfNeeded(fs, dir)
+    // A resalt that landed since this write resolved its layout must fail
+    // the commit, not silently mix layouts (KvSalt.requireLayoutUnchanged).
+    // Truncating writes are exempt — the overwrite DEFINES the new layout.
+    if (!truncate) KvSalt.requireLayoutUnchanged(fs, dir,
+      saltOnWrite.orElse(saltCheck), "this batch write")
     // Log dir before data renames — see the streaming commit's note.
     KvLog.ensureLogDir(fs, dir)
     // Sealed names carry the current seq as a human-orderable label plus

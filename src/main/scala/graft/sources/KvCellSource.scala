@@ -156,9 +156,35 @@ private[sources] class KvCellTable(path: String,
     // SALT_BUCKETS table attribute): reads auto-detect it, and an option
     // that contradicts the recorded value is refused — a wrong bucket
     // count doesn't error, it silently mis-routes point lookups.
+    // Resolution is VERSION-AWARE ([[KvSalt.resolveAt]]): a time-travel
+    // read resolves the layout of the version it reads — after a
+    // [[KvResalt]], `VERSION AS OF` a pre-resalt seq strips and expands
+    // under the OLD salt, which is what those files store — and a
+    // snapshot read takes the layout its config-recording manifest pinned
+    // at create time. An incremental (CDC) span must not CROSS a layout
+    // change at all: its files disagree on the salt, so no single bucket
+    // count strips them correctly — refused, split the span at the
+    // declaration.
     val recorded = {
       val dir = new org.apache.hadoop.fs.Path(path)
-      KvSalt.bucketsOf(dir.getFileSystem(sessionConf.value), dir)
+      val fsx = dir.getFileSystem(sessionConf.value)
+      sinceSeq.foreach { since =>
+        val crossed = KvSalt.declsIn(fsx, dir, since,
+          asOf.getOrElse(KvLog.latestSeq(fsx, dir)))
+        require(crossed.isEmpty,
+          s"graft-kv: incremental read since seq $since crosses a salt " +
+            s"layout change at seq ${crossed.min} of $path — files on the " +
+            "two sides store keys under different salts; read the span in " +
+            s"two parts, splitting at seq ${crossed.min}")
+      }
+      snapshot match {
+        case Some(name) =>
+          KvSnapshot.get(fsx, dir, name) match {
+            case Some(info) if info.configRecorded => info.salt
+            case _ => KvSalt.resolveAt(fsx, dir, None)
+          }
+        case None => KvSalt.resolveAt(fsx, dir, asOf)
+      }
     }
     (optionBuckets, recorded) match {
       case (Some(a), Some(b)) => require(a == b,

@@ -121,7 +121,8 @@ object KvDelete extends org.apache.spark.internal.Logging {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     // Salted tables store salted keys — the markers must too, or they
     // would land outside their targets' regions and mask nothing.
-    val salted = KvSalt.bucketsOf(fs, dir).fold(markers)(KvSalt.salted(markers, _))
+    val salted = KvSalt.resolveAt(fs, dir, None)
+      .fold(markers)(KvSalt.salted(markers, _))
     salted.write.format("graft-kv")
       .option("regions", regions)
       .option("allowTombstones", "true")

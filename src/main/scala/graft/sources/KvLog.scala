@@ -158,7 +158,20 @@ private[graft] object KvLog {
         * only sound when true — a pre-round-11 compact entry removes
         * without carrying, and must keep the full replay.
         */
-      carriesPending: Boolean = false)
+      carriesPending: Boolean = false,
+      /** SALT-LAYOUT DECLARATION (the `salt=` header token): this entry's
+        * adds — and every later entry's, until a newer declaration — store
+        * rowKeys under this salt layout (`Some(n)` = [[KvSalt]]-prefixed
+        * with `n` buckets, `Some(0)` = unsalted). Carried IN the manifest
+        * so a layout change ([[KvResalt]], snapshot restore across one) is
+        * atomic with the file swap it describes — a reader that plans this
+        * entry's live set necessarily sees this entry's layout, with no
+        * property-file ordering window — and so time travel resolves the
+        * layout of the VERSION it reads ([[KvSalt.resolveAt]]), not the
+        * current one. `None` = no declaration (the `_salt` registration
+        * file, if any, applies — every table that never changed layout).
+        */
+      saltDecl: Option[Int] = None)
 
   private def logDir(table: Path) = new Path(table, LogDirName)
   private def entryPath(table: Path, seq: Long) =
@@ -273,7 +286,15 @@ private[graft] object KvLog {
       val p = entryPath(table, seq)
       val expired = try fs.getFileStatus(p).getModificationTime < cutoff
         catch { case _: java.io.FileNotFoundException => true } // already gone
-      if (!expired) stop = true
+      // A SALT DECLARATION is never truncated: it is the layout authority
+      // for every RETAINED entry at or above it up to the next declaration
+      // ([[KvSalt.resolveAt]] walks down to the nearest one), so dropping
+      // it would make a later time-travel read fall through to an older —
+      // wrong — layout with no error. Contiguity is preserved by stopping
+      // the walk at the first one (declarations are rare: one per layout
+      // change ever).
+      if (!expired || read(fs, table, seq).exists(_.saltDecl.isDefined))
+        stop = true
       else {
         fs.delete(p, false): Unit
         dropped += 1
@@ -312,7 +333,10 @@ private[graft] object KvLog {
           val Array(n, t) = l.tail.split("\t", 2)
           n -> t.toLong
         }.toMap,
-        carriesPending = header.contains("pend"))
+        carriesPending = header.contains("pend"),
+        saltDecl = header.drop(2).collectFirst {
+          case s if s.startsWith("salt=") => s.stripPrefix("salt=").toInt
+        })
     }
   }
 
@@ -368,10 +392,11 @@ private[graft] object KvLog {
       writer: Option[String] = None, expectSeq: Option[Long] = None,
       floor: Option[Long] = None,
       stats: Map[String, FileStat] = Map.empty,
-      carriedRemovals: Option[Map[String, Long]] = None): Long =
+      carriedRemovals: Option[Map[String, Long]] = None,
+      saltDecl: Option[Int] = None): Long =
     appendLocks.computeIfAbsent(table.toString, _ => new Object).synchronized {
       appendLocked(fs, table, adds, removes, compact, writer, expectSeq,
-        floor, stats, carriedRemovals)
+        floor, stats, carriedRemovals, saltDecl)
     }
 
   private def appendLocked(fs: FileSystem, table: Path, adds: Seq[String],
@@ -379,7 +404,8 @@ private[graft] object KvLog {
       writer: Option[String], expectSeq: Option[Long],
       floor: Option[Long],
       stats: Map[String, FileStat],
-      carriedRemovals: Option[Map[String, Long]]): Long = {
+      carriedRemovals: Option[Map[String, Long]],
+      saltDecl: Option[Int]): Long = {
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
@@ -397,7 +423,8 @@ private[graft] object KvLog {
     val kind = if (compact) "compact" else "append"
     val tag = writer.fold("")(w => s" writer=$w")
     val pend = if (carriedRemovals.isDefined) " pend" else ""
-    val body = (s"v1 $kind$tag$pend" +:
+    val salt = saltDecl.fold("")(n => s" salt=$n")
+    val body = (s"v1 $kind$tag$pend$salt" +:
       (adds.map(n => "+" + n + stats.get(n).fold("")(statSuffix)) ++
         removes.map("-" + _) ++
         carriedRemovals.getOrElse(Map.empty).toSeq.sorted

@@ -26,6 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL cat.sys.history(table => 'ns.t')            -- manifest commit log
   *   CALL cat.sys.truncate_log(table => 'ns.t', retention_ms => 0)
   *   CALL cat.sys.repair(table => 'ns.t', actions => 'adoptOrphans')
+  *   CALL cat.sys.resalt(table => 'ns.t', buckets => 16)  -- 0 = unsalt
   * }}}
   *
   * The reference's operational surface is CLI programs run beside the
@@ -51,7 +52,7 @@ private[sources] object KvProcedures {
 
   val Names: Seq[String] = Seq("compact", "vacuum", "snapshot", "restore",
     "clone", "drop_snapshot", "maintain", "fsck", "history", "truncate_log",
-    "repair")
+    "repair", "resalt")
 
   def load(warehouse: Path, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -66,6 +67,7 @@ private[sources] object KvProcedures {
       case "history" => Some(new HistoryProc(warehouse))
       case "truncate_log" => Some(new TruncateLogProc(warehouse))
       case "repair" => Some(new RepairProc(warehouse))
+      case "resalt" => Some(new ResaltProc(warehouse))
       case _ => None
     }
 
@@ -172,6 +174,42 @@ private[sources] object KvProcedures {
         case KvCompactor.Aborted(reason) =>
           oneRow(Array[Any](UTF8String.fromString(s"aborted: $reason"),
             null, null, null))
+      }
+    }
+  }
+
+  private final class ResaltProc(warehouse: Path) extends KvProcedure(warehouse) {
+    override def name(): String = "resalt"
+    override def description(): String =
+      "rewrite the table into a different salt layout (buckets => 0 " +
+        "converts to unsalted) — the honest form of ALTER salt_buckets"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("buckets", IntegerType)
+        .comment("target salt bucket count; 0 = unsalted").build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result", StringType, nullable = false),
+      StructField("seq", LongType, nullable = true),
+      StructField("from_buckets", IntegerType, nullable = true),
+      StructField("to_buckets", IntegerType, nullable = true),
+      StructField("files", IntegerType, nullable = true)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      require(!input.isNullAt(1), "resalt: buckets must not be NULL")
+      val buckets = input.getInt(1)
+      require(buckets >= 0, s"resalt: buckets must be >= 0, got $buckets")
+      val to = if (buckets == 0) None else Some(buckets)
+      KvResalt.resalt(spark, dir.toString, to) match {
+        case KvResalt.Resalted(seq, from, t, files) =>
+          oneRow(Array[Any](UTF8String.fromString("resalted"), seq,
+            from.map(Int.box).orNull, t.map(Int.box).orNull, files))
+        case KvResalt.Parked(reason) =>
+          oneRow(Array[Any](UTF8String.fromString(s"parked: $reason"),
+            null, null, null, null))
+        case KvResalt.Aborted(reason) =>
+          oneRow(Array[Any](UTF8String.fromString(s"aborted: $reason"),
+            null, null, null, null))
       }
     }
   }

@@ -130,7 +130,7 @@ private[sources] class KvRowLevelOperation(path: String,
     */
   private val saltBuckets: Option[Int] = {
     val dir = new Path(path)
-    KvSalt.bucketsOf(dir.getFileSystem(conf.value), dir)
+    KvSalt.resolveAt(dir.getFileSystem(conf.value), dir, None)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

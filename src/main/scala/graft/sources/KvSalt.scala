@@ -191,6 +191,103 @@ object KvSalt {
     }
   }
 
+  /** Name of the DECLARATION-SEQ hint under the table's log dir: the
+    * manifest seqs that carry a salt-layout declaration
+    * ([[KvLog.Entry.saltDecl]]), newest first, space-separated. Written by
+    * [[declare]] BEFORE the declaring entry publishes, so there is no
+    * window in which a reader plans a declared entry's files without
+    * knowing where to find its layout; a hint naming a seq whose entry
+    * never published (aborted resalt) is skipped by [[resolveAt]] — the
+    * hint is a lookup accelerator, never an authority.
+    */
+  private val DeclSeqName = "_saltseq"
+
+  private def declPath(table: Path) =
+    new Path(new Path(table, KvLog.LogDirName), DeclSeqName)
+
+  /** Manifest seqs carrying salt declarations, newest first; empty for
+    * every table whose layout never changed (then [[resolveAt]] is a
+    * single `_salt` probe — the status-quo read cost).
+    */
+  private[sources] def declSeqs(fs: FileSystem, table: Path): Seq[Long] = {
+    val p = declPath(table)
+    val text = try Some(KvLog.readText(fs, p)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    text.toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .map(_.toLong).distinct.sorted(Ordering[Long].reverse)
+  }
+
+  /** Record `seq` as a (pending) declaration seq. Call BEFORE publishing
+    * the declaring entry — see [[DeclSeqName]] for why the order matters.
+    */
+  private[sources] def declare(fs: FileSystem, table: Path, seq: Long): Unit =
+    KvLog.writeText(fs, declPath(table),
+      (seq +: declSeqs(fs, table)).distinct.sorted(Ordering[Long].reverse)
+        .mkString(" "))
+
+  /** Drop `seq` from the declaration hint — the rollback for an ABORTED
+    * declaring publish. Best-effort: a stale pending seq left behind by a
+    * crash only costs [[resolveAt]] one wasted entry probe.
+    */
+  private[sources] def undeclare(fs: FileSystem, table: Path, seq: Long): Unit = {
+    val rest = declSeqs(fs, table).filterNot(_ == seq)
+    if (rest.isEmpty) { fs.delete(declPath(table), false): Unit }
+    else KvLog.writeText(fs, declPath(table), rest.mkString(" "))
+  }
+
+  /** THE salt-resolution entrypoint: the table's layout as of manifest seq
+    * `asOf` (None = current). The newest manifest declaration at or below
+    * the bound wins — `Some(0)` (declared unsalted) maps to None — and a
+    * table with no declarations falls through to the `_salt` registration
+    * file, so never-resalted tables (the overwhelmingly common case) pay
+    * exactly the old single-probe cost. Every consumer of "is this table
+    * salted, with how many buckets" goes through here; reading the
+    * registration file directly would miss layout changes.
+    */
+  def resolveAt(fs: FileSystem, table: Path, asOf: Option[Long]): Option[Int] = {
+    val bound = asOf.getOrElse(Long.MaxValue)
+    val declared = declSeqs(fs, table).iterator
+      .filter(_ <= bound)
+      .map(s => KvLog.read(fs, table, s))
+      .collectFirst { case Some(e) if e.saltDecl.isDefined => e.saltDecl.get }
+    declared match {
+      case Some(n) => if (n > 0) Some(n) else None
+      case None => bucketsOf(fs, table)
+    }
+  }
+
+  /** Commit-time layout agreement: the salt a finished write stored its
+    * rows under must still be the table's layout AT COMMIT — a
+    * [[KvResalt]] landing between write-builder creation (where the salt
+    * was resolved and every row validated against it) and the commit
+    * would otherwise publish rows in the superseded layout, corrupting
+    * the table with no error on any later read. One driver-side probe per
+    * commit; throws before any data file is renamed into the table.
+    */
+  private[sources] def requireLayoutUnchanged(fs: FileSystem, table: Path,
+      wrote: Option[Int], ctx: String): Unit = {
+    val now = resolveAt(fs, table, None)
+    if (now != wrote) throw new IllegalStateException(
+      s"graft-kv: $ctx resolved the salt layout of $table as " +
+        s"${wrote.fold("unsalted")(n => s"$n buckets")} but the table now " +
+        s"stores ${now.fold("unsalted")(n => s"$n buckets")} keys — a " +
+        "resalt ran mid-write; aborting the commit before it lands " +
+        "rows in the superseded layout (re-run the statement)")
+  }
+
+  /** Declaration seqs in `(fromExclusive, toInclusive]` — the guard an
+    * incremental (CDC) span consults: a span crossing a layout change
+    * mixes files whose stored keys disagree on the salt, which no single
+    * `saltBuckets` can strip-and-expand correctly, so such spans are
+    * refused and split at the declaration instead.
+    */
+  def declsIn(fs: FileSystem, table: Path, fromExclusive: Long,
+      toInclusive: Long): Seq[Long] =
+    declSeqs(fs, table)
+      .filter(s => s > fromExclusive && s <= toInclusive)
+      .filter(s => KvLog.read(fs, table, s).exists(_.saltDecl.isDefined))
+
   /** Salt + write + record in one step: after this, plain
     * `spark.read.format("graft-kv").load(path)` reads the table salt-aware
     * with no option to remember (or get wrong).
@@ -218,16 +315,26 @@ object KvSalt {
     // failed write after a valid empty-table reservation leaves only the
     // property: later plain writes fail the per-row salt validation
     // LOUDLY, never silently.)
-    if (mode != "overwrite" && bucketsOf(fs, p).isEmpty) {
+    // Resolution goes through the MANIFEST declarations ([[resolveAt]]):
+    // after a [[KvResalt]] layout change the registration file is stale
+    // by design, and appending under it would mix layouts silently.
+    val current = if (mode != "overwrite") resolveAt(fs, p, None) else None
+    if (mode != "overwrite" && current.isEmpty) {
       val nonEmpty = fs.exists(p) && fs.listStatus(p).exists(st =>
         st.isFile && st.getPath.getName.startsWith("part-") &&
           st.getPath.getName.endsWith(".parquet"))
       require(!nonEmpty,
         s"graft-kv: $path already holds unsalted data — a salted append " +
           "would mix key layouts and garble plain reads; use " +
-          "mode=overwrite to convert, or a fresh table")
+          "mode=overwrite to convert, CALL sys.resalt, or a fresh table")
     }
-    if (mode != "overwrite") register(fs, p, n)
+    if (mode != "overwrite") current match {
+      case Some(m) => require(m == n,
+        s"graft-kv: table $path stores $m-bucket salted keys; refusing a " +
+          s"$n-bucket salted append (mixed-salt keys would mis-route " +
+          "every read) — resalt the table or match its layout")
+      case None => register(fs, p, n)
+    }
     // `saltedInput` tells a TRUNCATING write the rows are pre-salted with
     // this n (the sink refuses unsalted overwrites of catalog-declared
     // salted tables, and validates declared vs n — KvWriteBuilder doc).

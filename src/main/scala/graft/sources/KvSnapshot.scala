@@ -87,7 +87,7 @@ object KvSnapshot {
     // cfg marks a config-recording manifest (Info doc); salt= carries the
     // registration the pinned files were written under; `p<TAB>k=v` lines
     // carry the catalog properties. Legacy readers ignore unknown tokens.
-    val salt = KvSalt.bucketsOf(fs, dir)
+    val salt = KvSalt.resolveAt(fs, dir, None)
     val props = KvTableProps.read(fs, dir)
     val header = s"v1 snapshot seq=$seq at=$now cfg" +
       salt.fold("")(n => s" salt=$n")
@@ -211,7 +211,8 @@ object KvSnapshot {
     // the clone would mis-route every read of the pinned data. Legacy
     // (pre-cfg) manifests fall back to the source's current config, the
     // best information available.
-    val salt = if (info.configRecorded) info.salt else KvSalt.bucketsOf(fs, src)
+    val salt = if (info.configRecorded) info.salt
+      else KvSalt.resolveAt(fs, src, None)
     val props = if (info.configRecorded) info.props else KvTableProps.read(fs, src)
     salt.foreach(n => KvSalt.register(dfs, dest, n))
     KvTableProps.write(dfs, dest, props)
@@ -277,12 +278,35 @@ object KvSnapshot {
       val removes = KvLog.liveFiles(fs, dir).filterNot(snapSet)
       val pending = KvLog.removalTimes(fs, dir)
         .filter { case (n, _) => fs.exists(new Path(dir, n)) }
+      // A config-recording snapshot pinned the salt layout its files were
+      // written under; when the table's layout has since changed (a
+      // [[KvResalt]]), the restore entry must DECLARE the pinned layout —
+      // it is re-publishing old-layout files, and a reader resolving the
+      // current declaration over them would strip and expand wrongly.
+      // Same atomicity as resalt: hint first, declaration on the entry,
+      // property after. Legacy (pre-cfg) snapshots can't know — current
+      // layout stands, which is also the pre-resalt status quo.
+      val declaring: Option[Int] =
+        if (info.configRecorded &&
+            KvSalt.resolveAt(fs, dir, None) != info.salt)
+          Some(info.salt.getOrElse(0))
+        else None
+      declaring.foreach(_ => KvSalt.declare(fs, dir, expect))
       try {
-        return KvLog.append(fs, dir, adds = snapNames, removes = removes,
+        val seq = KvLog.append(fs, dir, adds = snapNames, removes = removes,
           compact = true, expectSeq = Some(expect), floor = Some(expect),
-          stats = entryStats, carriedRemovals = Some(pending))
+          stats = entryStats, carriedRemovals = Some(pending),
+          saltDecl = declaring)
+        declaring.foreach { d =>
+          val props = KvTableProps.read(fs, dir)
+          KvTableProps.replace(fs, dir,
+            if (d == 0) props - "salt_buckets"
+            else props + ("salt_buckets" -> d.toString))
+        }
+        return seq
       } catch {
         case e: KvLog.ConcurrentCommitException =>
+          declaring.foreach(_ => KvSalt.undeclare(fs, dir, expect))
           attempt += 1
           if (attempt >= 5) throw e
       }

@@ -41,7 +41,7 @@ object KvTableInfo {
   def disjointSortedRegions(spark: SparkSession, path: String): Boolean = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (KvSalt.bucketsOf(fs, dir).isDefined) return false
+    if (KvSalt.resolveAt(fs, dir, None).isDefined) return false
     storedDisjointSorted(fs, dir)
   }
 

@@ -140,7 +140,7 @@ class KvProcedureSpec extends graft.SparkSpec {
       .collect().map(_.getAs[String]("procedure_name")).toSet
     listed shouldBe Set("compact", "vacuum", "snapshot", "restore",
       "clone", "drop_snapshot", "maintain", "fsck", "history",
-      "truncate_log", "repair")
+      "truncate_log", "repair", "resalt")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.sys.compact")
       .collect().map(_.getString(0)).mkString("\n")
     desc should include("compact")

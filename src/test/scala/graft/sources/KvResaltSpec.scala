@@ -1,0 +1,285 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.kv.KvGenerator
+
+/** [[KvResalt]]: in-place salt-layout conversion. The invariant under
+  * test everywhere: the LOGICAL table — rows, predicates, versions,
+  * history — is indistinguishable across a resalt; only the stored
+  * layout (and therefore the physical routing) changes, atomically with
+  * the manifest entry that declares it.
+  */
+class KvResaltSpec extends graft.SparkSpec {
+
+  private val cat = "graftcat_resalt"
+  private lazy val wh: String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_resalt_wh"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", d)
+    d
+  }
+
+  private lazy val cells: DataFrame =
+    KvGenerator.cells(spark, 2000, 4, "runResalt").cache()
+
+  private def freshDir(name: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_resalt_$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    d
+  }
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def scan(dir: String): DataFrame =
+    spark.read.format("graft-kv").load(dir)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case b: Array[Byte] => new String(b, "UTF-8")
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+
+  test("salted -> salted: logical view, predicates, and point pruning survive") {
+    val dir = freshDir("s2s")
+    KvSalt.saltedWrite(cells, dir, n = 16, regions = 8, mode = "overwrite")
+    val fs = fsOf(dir)
+    val before = rows(scan(dir))
+    val r = KvResalt.resalt(spark, dir, Some(4))
+    r shouldBe a[KvResalt.Resalted]
+    val res = r.asInstanceOf[KvResalt.Resalted]
+    res.from shouldBe Some(16)
+    res.to shouldBe Some(4)
+
+    // Resolution flips through the manifest; the registration FILE is
+    // stale by design (immutable first registration) and must not win.
+    KvSalt.bucketsOf(fs, new Path(dir)) shouldBe Some(16)
+    KvSalt.resolveAt(fs, new Path(dir), None) shouldBe Some(4)
+    // The recorded property followed the layout.
+    KvTableProps.read(fs, new Path(dir)).get("salt_buckets") shouldBe Some("4")
+
+    rows(scan(dir)) shouldBe before
+    // Every predicate shape re-expands under the NEW salt.
+    Seq(
+      col("rowKey") === "00123",
+      col("rowKey") >= "00100" && col("rowKey") < "00300",
+      col("rowKey").startsWith("017"))
+      .foreach { p =>
+        rows(scan(dir).filter(p)) shouldBe
+          rows(cells.filter(p))
+      }
+    // A contradicting explicit option is refused — under the RESOLVED
+    // (post-resalt) layout, not the stale registration.
+    val e = intercept[Exception] {
+      spark.read.format("graft-kv").option("saltBuckets", 16).load(dir)
+        .collect()
+    }
+    e.getMessage should include("contradicts")
+    // Point Get still prunes below a full scan's partition count.
+    val get = scan(dir).filter(col("rowKey") === "00123")
+    assert(get.rdd.getNumPartitions < KvLog.liveFiles(fs, new Path(dir)).size
+      .max(2))
+  }
+
+  test("unsalted -> salted and back: both conversion directions hold") {
+    val dir = freshDir("convert")
+    cells.write.format("graft-kv").option("regions", 6)
+      .mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    val before = rows(scan(dir))
+
+    KvResalt.resalt(spark, dir, Some(8)) shouldBe a[KvResalt.Resalted]
+    KvSalt.resolveAt(fs, new Path(dir), None) shouldBe Some(8)
+    rows(scan(dir)) shouldBe before
+    rows(scan(dir).filter(col("rowKey") === "00042")) shouldBe
+      rows(cells.filter(col("rowKey") === "00042"))
+    // Appends now follow the salted contract end to end.
+    KvSalt.saltedWrite(cells.limit(0), dir, n = 8, regions = 2)
+    // ... and a mismatching salted append refuses.
+    intercept[IllegalArgumentException] {
+      KvSalt.saltedWrite(cells.limit(5), dir, n = 16, regions = 2)
+    }.getMessage should include("stores 8-bucket")
+
+    KvResalt.resalt(spark, dir, None) shouldBe a[KvResalt.Resalted]
+    KvSalt.resolveAt(fs, new Path(dir), None) shouldBe None
+    KvTableProps.read(fs, new Path(dir)).get("salt_buckets") shouldBe None
+    rows(scan(dir)) shouldBe before
+  }
+
+  test("resalt applies and purges delete markers (the major-compaction rule)") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r")
+    cells.createOrReplaceTempView("resalt_marker_cells")
+    spark.sql(
+      s"""CREATE TABLE $cat.r.marked USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '4', 'salt_buckets' = '8')
+         |AS SELECT * FROM resalt_marker_cells""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.r.marked WHERE rowKey <= '00199'")
+    val masked = rows(spark.table(s"$cat.r.marked"))
+    val dir = s"$wh/r/marked"
+    val fs = fsOf(dir)
+    assert(KvLog.liveFileStats(fs, new Path(dir)).values
+      .map(_.tombstones).sum > 0, "markers staged")
+
+    val res = spark.sql(s"CALL $cat.sys.resalt(table => 'r.marked', buckets => 2)")
+      .collect().head
+    res.getString(0) shouldBe "resalted"
+    res.getInt(2) shouldBe 8
+    res.getInt(3) shouldBe 2
+
+    rows(spark.table(s"$cat.r.marked")) shouldBe masked
+    assert(KvLog.liveFileStats(fs, new Path(dir)).values
+      .map(_.tombstones).sum == 0L, "resalt physicalizes and purges markers")
+    // The catalog's own DDL inspection reflects the new layout.
+    val show = spark.sql(s"SHOW TBLPROPERTIES $cat.r.marked").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    show.get("salt_buckets") shouldBe Some("2")
+  }
+
+  test("time travel below the resalt resolves the OLD layout; CDC spans may not cross it") {
+    val dir = freshDir("tt")
+    KvSalt.saltedWrite(cells, dir, n = 16, regions = 4, mode = "overwrite")
+    val fs = fsOf(dir)
+    val preSeq = KvLog.latestSeq(fs, new Path(dir))
+    val before = rows(scan(dir))
+    KvResalt.resalt(spark, dir, Some(4)) shouldBe a[KvResalt.Resalted]
+
+    val asOf = spark.read.format("graft-kv")
+      .option("asOfSeq", preSeq).load(dir)
+    rows(asOf) shouldBe before
+    // The pushed predicate expands under the OLD salt over the old files.
+    rows(asOf.filter(col("rowKey") === "00123")) shouldBe
+      rows(cells.filter(col("rowKey") === "00123"))
+    KvSalt.resolveAt(fs, new Path(dir), Some(preSeq)) shouldBe Some(16)
+
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-kv")
+        .option("sinceSeq", preSeq - 1).load(dir).collect()
+    }
+    e.getMessage should include("crosses a salt layout change")
+  }
+
+  test("snapshot reads pin their layout; restore rolls the layout back with the files") {
+    val dir = freshDir("snap")
+    KvSalt.saltedWrite(cells, dir, n = 16, regions = 4, mode = "overwrite")
+    val fs = fsOf(dir)
+    val before = rows(scan(dir))
+    KvSnapshot.create(spark, dir, "pre")
+    KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Resalted]
+
+    // The snapshot's config-recording manifest carries salt=16: its read
+    // strips the OLD salt even though the table now stores 2-bucket keys.
+    rows(spark.read.format("graft-kv").option("snapshot", "pre").load(dir)) shouldBe
+      before
+    KvSnapshot.restore(spark, dir, "pre")
+    KvSalt.resolveAt(fs, new Path(dir), None) shouldBe Some(16)
+    KvTableProps.read(fs, new Path(dir)).get("salt_buckets") shouldBe Some("16")
+    rows(scan(dir)) shouldBe before
+    rows(scan(dir).filter(col("rowKey") === "00077")) shouldBe
+      rows(cells.filter(col("rowKey") === "00077"))
+  }
+
+  test("refusals: registered tails, same-layout park, missing table") {
+    val dir = freshDir("refuse")
+    KvSalt.saltedWrite(cells.limit(100), dir, n = 4, regions = 2,
+      mode = "overwrite")
+    val fs = fsOf(dir)
+    KvLog.recordTail(fs, new Path(dir), "pipe1", 0L)
+    intercept[IllegalArgumentException] {
+      KvResalt.resalt(spark, dir, Some(2))
+    }.getMessage should include("tails are registered")
+    KvLog.dropTail(fs, new Path(dir), "pipe1")
+
+    KvResalt.resalt(spark, dir, Some(4)) shouldBe
+      KvResalt.Parked("already salted with 4 buckets")
+    KvResalt.resalt(spark, freshDir("nope"), Some(4)) shouldBe a[KvResalt.Parked]
+  }
+
+  test("a concurrent commit aborts the resalt before anything publishes") {
+    val dir = freshDir("race")
+    KvSalt.saltedWrite(cells.limit(500), dir, n = 8, regions = 2,
+      mode = "overwrite")
+    val fs = fsOf(dir)
+    val before = rows(scan(dir))
+    val liveBefore = KvLog.liveFiles(fs, new Path(dir)).toSet
+    KvResalt.prePublishHook = () => {
+      // An interleaved old-layout append wins the seq.
+      KvSalt.saltedWrite(cells.limit(10), dir, n = 8, regions = 1)
+    }
+    try {
+      KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Aborted]
+    } finally KvResalt.prePublishHook = () => ()
+    // Nothing changed: layout, declarations, live set (plus the
+    // interleaved append), and no staged orphans.
+    KvSalt.resolveAt(fs, new Path(dir), None) shouldBe Some(8)
+    KvSalt.declSeqs(fs, new Path(dir)) shouldBe Seq.empty
+    assert(KvLog.liveFiles(fs, new Path(dir)).toSet.intersect(liveBefore)
+      == liveBefore)
+    rows(scan(dir)).size shouldBe (before.size + 10)
+    // And the retry completes.
+    KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Resalted]
+    rows(scan(dir)).size shouldBe (before.size + 10)
+  }
+
+  test("log truncation never drops a salt declaration") {
+    val dir = freshDir("trunc")
+    cells.limit(300).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    // A few appends build a droppable prefix.
+    (1 to 3).foreach { _ =>
+      cells.limit(50).write.format("graft-kv").option("regions", 1)
+        .mode("append").save(dir)
+    }
+    val fs = fsOf(dir)
+    KvResalt.resalt(spark, dir, Some(4)) shouldBe a[KvResalt.Resalted]
+    val declSeq = KvSalt.declSeqs(fs, new Path(dir)).head
+    // Raise the floor past the declaration with a later major compaction.
+    KvSalt.saltedWrite(cells.limit(50), dir, n = 4, regions = 1)
+    KvSalt.saltedWrite(cells.limit(50), dir, n = 4, regions = 1)
+    KvCompactor.compact(spark, dir, regions = 2) shouldBe a[KvCompactor.Compacted]
+    assert(KvLog.floor(fs, new Path(dir)) > declSeq)
+
+    KvLog.truncate(fs, new Path(dir), retentionMs = 0L)
+    assert(KvLog.read(fs, new Path(dir), declSeq).exists(_.saltDecl.isDefined),
+      "the declaring entry must survive truncation")
+    assert(KvLog.earliestSeq(fs, new Path(dir)) == declSeq,
+      "the pre-declaration prefix was truncatable and dropped")
+    KvSalt.resolveAt(fs, new Path(dir), None) shouldBe Some(4)
+  }
+
+  test("ALTER TABLE salt_buckets points at the procedure; CALL converts the catalog table") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r")
+    cells.limit(400).createOrReplaceTempView("resalt_alter_cells")
+    spark.sql(
+      s"""CREATE TABLE $cat.r.altme USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2')
+         |AS SELECT * FROM resalt_alter_cells""".stripMargin)
+    val before = rows(spark.table(s"$cat.r.altme"))
+    val e = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE $cat.r.altme SET TBLPROPERTIES ('salt_buckets' = '8')")
+    }
+    e.getMessage should include("sys.resalt")
+
+    val res = spark.sql(s"CALL $cat.sys.resalt(table => 'r.altme', buckets => 8)")
+      .collect().head
+    res.getString(0) shouldBe "resalted"
+    assert(res.isNullAt(2), "converted FROM unsalted")
+    res.getInt(3) shouldBe 8
+    rows(spark.table(s"$cat.r.altme")) shouldBe before
+    // Plain SQL INSERT keeps working — the sink salts under the new layout.
+    spark.sql(s"INSERT INTO $cat.r.altme " +
+      "SELECT 'zz001', 'f', 'a', cast('v' as binary), 1L")
+    spark.sql(s"SELECT rowKey FROM $cat.r.altme WHERE rowKey = 'zz001'")
+      .count() shouldBe 1L
+    // And back to unsalted via buckets => 0.
+    spark.sql(s"CALL $cat.sys.resalt(table => 'r.altme', buckets => 0)")
+      .collect().head.getString(0) shouldBe "resalted"
+    rows(spark.table(s"$cat.r.altme")).size shouldBe (before.size + 1)
+  }
+}
