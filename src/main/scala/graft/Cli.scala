@@ -163,7 +163,8 @@ object Cli {
       val Array(table, buckets) = a.take(2)
       val to = if (buckets.toInt == 0) None else Some(buckets.toInt)
       graft.sources.KvResalt.resalt(
-          spark, s"${tableDir(table)}/cells", to) match {
+          spark, s"${tableDir(table)}/cells", to,
+          regions = a.lift(2).map(_.toInt)) match {
         case graft.sources.KvResalt.Resalted(seq, from, t, files) =>
           def show(n: Option[Int]) = n.fold("unsalted")(b => s"$b buckets")
           println(s"resalted $table: ${show(from)} -> ${show(t)}, " +
@@ -381,7 +382,7 @@ object Cli {
       |  ParquetReader <file> <recordsToRead>
       |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
       |  CompactTable <table> <regions> [codec]      (major-compact; optional re-codec: snappy|zstd|gzip|lz4|none)
-      |  ResaltTable <table> <buckets>               (rewrite into a new salt layout; 0 = unsalt)
+      |  ResaltTable <table> <buckets> [regions]     (rewrite into a new salt layout; 0 = unsalt)
       |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)

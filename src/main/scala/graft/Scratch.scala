@@ -49,6 +49,35 @@ object Scratch {
         val laid = graft.kv.RangeLayout.layout(cells, 32)
         time("20M pivot (presorted, incl layout)")(
           graft.ops.KvPivot.pivotPresorted(laid, cols, rowKeyCol = Some("KEY")).count())
+      case "resalt" =>
+        // Cost of the in-place layout conversion vs the pure rewrite it
+        // rides on: same 8M-cell / 2M-key table, salted 16; (a) a major
+        // compaction (rewrite, no re-key) is the floor, (b) resalt 16->4
+        // adds the strip+re-salt projection and the declaration commit,
+        // (c) the point Get proves the converted layout serves pruned
+        // lookups with no reader-side option.
+        val rp = "/tmp/graft_scratch/resalt_probe"
+        graft.sinks.Sinks.deleteRecursive(spark, rp)
+        def rcells = spark.range(8000000L).selectExpr(
+          "lpad(CAST(id DIV 4 AS STRING), 9, '0') AS rowKey",
+          "'f' AS family",
+          "CASE id % 4 WHEN 0 THEN 'C0' WHEN 1 THEN 'C1' WHEN 2 THEN 'C2' " +
+            "ELSE 'C3' END AS qualifier",
+          "encode(CAST(id AS STRING), 'UTF-8') AS value", "id AS ts")
+        time("stage salted(16) write")(
+          graft.sources.KvSalt.saltedWrite(rcells, rp, n = 16, regions = 16,
+            mode = "overwrite"))
+        time("(a) major compaction (pure rewrite)")(
+          println(graft.sources.KvCompactor.compact(spark, rp, regions = 16)))
+        time("(b) resalt 16 -> 4")(
+          println(graft.sources.KvResalt.resalt(spark, rp, Some(4),
+            regions = Some(16))))
+        val rg = time("(c) point Get after resalt")(
+          spark.read.format("graft-kv").load(rp)
+            .filter(org.apache.spark.sql.functions.col("rowKey") === "000000123")
+            .count())
+        println(s"get rows: $rg")
+
       case "scalehi" =>
         // High-cardinality regime: 21M cells over 7M DISTINCT keys (no
         // map-side collapse) — the shape of the sf0.1 typed export at ~12x.

@@ -387,7 +387,8 @@ private[sources] class KvStreamingWrite(path: String, schema: StructType,
     // query-unique and already in place).
     KvLog.appendRetrying(fs, dir, adds = sealedOut.map(_._1).toSeq,
       writer = writerTag,
-      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap): Unit
+      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap,
+      layoutExpect = Some(saltOnWrite.orElse(saltCheck))): Unit
     // The O(1) replay guard for every future attempt of this epoch —
     // written AFTER the entry so a crash in between falls back to the
     // bounded tag scan, never to data loss.
@@ -572,7 +573,11 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
     // untouched. In-process writers never even conflict (KvLog's
     // per-table append lock); this loop is the cross-process path.
     KvLog.appendRetrying(fs, dir, adds = sealedOut.map(_._1).toSeq,
-      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap): Unit
+      stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap,
+      // In-lock twin of the early guard above (closes the rename-window
+      // TOCTOU in-process); truncating writes DEFINE the layout instead.
+      layoutExpect =
+        if (truncate) None else Some(saltOnWrite.orElse(saltCheck))): Unit
     fs.delete(new Path(stagingDir), true)
     // Post-commit policy pass (opt-in `maintain=true` — the streaming
     // epoch commit has run this since r9; batch writes previously parsed

@@ -169,13 +169,21 @@ private[sources] class KvCellTable(path: String,
       val dir = new org.apache.hadoop.fs.Path(path)
       val fsx = dir.getFileSystem(sessionConf.value)
       sinceSeq.foreach { since =>
+        // A declaration at EXACTLY since+1 does not mix layouts: the
+        // declaring entry is a compact checkpoint (no changed files of
+        // its own) and everything after it is uniformly the layout
+        // current resolution picks — that span is precisely what "split
+        // at the declaration" produces, so refusing it would make this
+        // very message's advice unsatisfiable.
         val crossed = KvSalt.declsIn(fsx, dir, since,
           asOf.getOrElse(KvLog.latestSeq(fsx, dir)))
+          .filterNot(_ == since + 1)
         require(crossed.isEmpty,
           s"graft-kv: incremental read since seq $since crosses a salt " +
             s"layout change at seq ${crossed.min} of $path — files on the " +
             "two sides store keys under different salts; read the span in " +
-            s"two parts, splitting at seq ${crossed.min}")
+            s"two parts, splitting at the change (sinceSeq = " +
+            s"${crossed.min - 1} resumes the remainder)")
       }
       snapshot match {
         case Some(name) =>

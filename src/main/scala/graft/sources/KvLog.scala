@@ -393,10 +393,11 @@ private[graft] object KvLog {
       floor: Option[Long] = None,
       stats: Map[String, FileStat] = Map.empty,
       carriedRemovals: Option[Map[String, Long]] = None,
-      saltDecl: Option[Int] = None): Long =
+      saltDecl: Option[Int] = None,
+      layoutExpect: Option[Option[Int]] = None): Long =
     appendLocks.computeIfAbsent(table.toString, _ => new Object).synchronized {
       appendLocked(fs, table, adds, removes, compact, writer, expectSeq,
-        floor, stats, carriedRemovals, saltDecl)
+        floor, stats, carriedRemovals, saltDecl, layoutExpect)
     }
 
   private def appendLocked(fs: FileSystem, table: Path, adds: Seq[String],
@@ -405,7 +406,24 @@ private[graft] object KvLog {
       floor: Option[Long],
       stats: Map[String, FileStat],
       carriedRemovals: Option[Map[String, Long]],
-      saltDecl: Option[Int]): Long = {
+      saltDecl: Option[Int],
+      layoutExpect: Option[Option[Int]]): Long = {
+    // SALT-LAYOUT EXPECTATION, validated inside the same critical section
+    // declaring publishes serialize through: the adds were written under
+    // this layout, and a resalt/restore that re-declared it since the
+    // caller's early check must fail the commit HERE, not land mixed-salt
+    // rows one seq after the declaration. Terminal (not a
+    // ConcurrentCommitException): a retry cannot help — the rows
+    // themselves are in the wrong layout.
+    layoutExpect.foreach { wrote =>
+      val now = KvSalt.resolveAt(fs, table, None)
+      if (now != wrote) throw new IllegalStateException(
+        s"graft-kv log: the salt layout of $table changed mid-write " +
+          s"(wrote ${wrote.fold("unsalted")(n => s"$n-bucket")} rows, " +
+          s"table now stores ${now.fold("unsalted")(n => s"$n-bucket")} " +
+          "keys) — a resalt or layout-restoring restore ran; re-run the " +
+          "statement")
+    }
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
@@ -776,10 +794,12 @@ private[graft] object KvLog {
   def appendRetrying(fs: FileSystem, table: Path, adds: Seq[String],
       writer: Option[String] = None,
       stats: Map[String, FileStat] = Map.empty,
-      maxAttempts: Int = 20): Long = {
+      maxAttempts: Int = 20,
+      layoutExpect: Option[Option[Int]] = None): Long = {
     var attempts = 0
     while (true) {
-      try return append(fs, table, adds = adds, writer = writer, stats = stats)
+      try return append(fs, table, adds = adds, writer = writer, stats = stats,
+        layoutExpect = layoutExpect)
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1

@@ -186,7 +186,10 @@ private[sources] object KvProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       tableParam,
       ProcedureParameter.in("buckets", IntegerType)
-        .comment("target salt bucket count; 0 = unsalted").build())
+        .comment("target salt bucket count; 0 = unsalted").build(),
+      ProcedureParameter.in("regions", IntegerType).defaultValue("NULL")
+        .comment("output region count; defaults to the table's recorded " +
+          "regions property, else sized from live bytes").build())
     override val resultSchema: StructType = StructType(Seq(
       StructField("result", StringType, nullable = false),
       StructField("seq", LongType, nullable = true),
@@ -200,7 +203,8 @@ private[sources] object KvProcedures {
       val buckets = input.getInt(1)
       require(buckets >= 0, s"resalt: buckets must be >= 0, got $buckets")
       val to = if (buckets == 0) None else Some(buckets)
-      KvResalt.resalt(spark, dir.toString, to) match {
+      val regions = if (input.isNullAt(2)) None else Some(input.getInt(2))
+      KvResalt.resalt(spark, dir.toString, to, regions) match {
         case KvResalt.Resalted(seq, from, t, files) =>
           oneRow(Array[Any](UTF8String.fromString("resalted"), seq,
             from.map(Int.box).orNull, t.map(Int.box).orNull, files))

@@ -64,8 +64,13 @@ object KvResalt {
     */
   private[sources] var prePublishHook: () => Unit = () => ()
 
-  /** Convert `path` to `to` buckets (None = unsalted). */
-  def resalt(spark: SparkSession, path: String, to: Option[Int]): Result = {
+  /** Convert `path` to `to` buckets (None = unsalted). `regions` sets the
+    * output region-file count explicitly; default is the compact
+    * precedence (recorded `regions` property, else sized from live bytes
+    * — a layout change is exactly when an operator re-picks the fan-out).
+    */
+  def resalt(spark: SparkSession, path: String, to: Option[Int],
+      regions: Option[Int] = None): Result = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return Parked(s"no table at $path")
@@ -78,14 +83,10 @@ object KvResalt {
       // died before recording the property leaves `salt_buckets` stale
       // (and every catalog INSERT failing the layout-agreement guard).
       // Re-running the resalt lands here and completes the property step.
-      if (KvSalt.declSeqs(fs, dir).nonEmpty) {
-        val props = KvTableProps.read(fs, dir)
-        if (props.get("salt_buckets")
+      if (KvSalt.declSeqs(fs, dir).nonEmpty &&
+          KvTableProps.read(fs, dir).get("salt_buckets")
             .flatMap(v => scala.util.Try(v.toInt).toOption) != to)
-          KvTableProps.replace(fs, dir,
-            to.fold(props - "salt_buckets")(n =>
-              props + ("salt_buckets" -> n.toString)))
-      }
+        KvSalt.recordLayoutProperty(fs, dir, to)
       return Parked("already " +
         to.fold("unsalted")(n => s"salted with $n buckets"))
     }
@@ -98,8 +99,13 @@ object KvResalt {
         s"tails are registered (${marks.keys.toSeq.sorted.mkString(", ")}) " +
         "— stop the pipes or DropTail first")
 
-    val live = KvLog.liveFilesWithSeq(fs, dir)
-    val expect = KvLog.latestSeq(fs, dir) + 1
+    // ONE log walk for (latest, live): reading them separately would let
+    // a commit land in between, and — because this pass's checkpoint
+    // claims to be the complete live set — the `expectSeq` guard would
+    // then PASS while the interleaved commit's files silently vanish
+    // behind the new horizon (and vacuum later reclaims them).
+    val (latest0, live) = KvLog.liveFilesWithLatest(fs, dir)
+    val expect = latest0 + 1
     val liveStats = KvLog.liveFileStats(fs, dir)
 
     // Stage the rewrite (skipped when there is nothing to rewrite — an
@@ -109,25 +115,23 @@ object KvResalt {
       val tmp = new Path(dir, s"_resalt_${UUID.randomUUID().toString.take(8)}")
       val cellCols = graft.kv.Cell.schema.fieldNames
         .map(org.apache.spark.sql.functions.col)
-      var df = spark.read.parquet(live.map(f => s"$path/${f._1}"): _*)
+      var df = spark.read.parquet(live.map(f => s"$path/$f"): _*)
         .select(cellCols.toIndexedSeq: _*)
       // Full-merge marker semantics: masked puts drop, markers purge.
-      if (live.exists { case (f, _) =>
-          liveStats.get(f).exists(_.tombstones > 0) })
+      if (live.exists(f => liveStats.get(f).exists(_.tombstones > 0)))
         df = KvDelete.applyMarkers(df)._1
       from.foreach(_ => df = KvSalt.unsalted(df))
       to.foreach(n => df = KvSalt.salted(df, n))
       val props = KvTableProps.read(fs, dir)
       // Output sizing: the recorded region count if the table pins one,
       // else size-derived like maintenance (ceil(live bytes / target)).
-      val bytes = live.map { case (f, _) =>
-        liveStats.get(f).map(_.bytes)
-          .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen) }.sum
+      val bytes = live.map(f => liveStats.get(f).map(_.bytes)
+        .getOrElse(fs.getFileStatus(new Path(dir, f)).getLen)).sum
       val target = props.get("maintain_target_region_bytes").map(_.toLong)
         .getOrElse(128L * 1024 * 1024)
-      val regions = props.get("regions").map(_.toInt)
+      val outRegions = regions.orElse(props.get("regions").map(_.toInt))
         .getOrElse(math.max(1L, (bytes + target - 1) / target).toInt)
-      var w = df.write.format("graft-kv").option("regions", regions)
+      var w = df.write.format("graft-kv").option("regions", outRegions)
       props.get("codec").foreach(c => w = w.option("codec", c))
       // saltedInput turns on the scratch sink's per-row stored-key
       // validation for the new layout — a transform bug fails the staging
@@ -154,7 +158,7 @@ object KvResalt {
       .filter { case (n, _) => fs.exists(new Path(dir, n)) }
     try {
       val seq = KvLog.append(fs, dir,
-        adds = staged.map(_._1), removes = live.map(_._1),
+        adds = staged.map(_._1), removes = live,
         compact = true, expectSeq = Some(expect), floor = Some(expect),
         stats = staged.collect { case (n, Some(st)) => n -> st }.toMap,
         carriedRemovals = Some(pending),
@@ -165,10 +169,7 @@ object KvResalt {
       // layout-agreement guard turns that into a loud INSERT failure
       // (re-run the resalt; the Parked path below repairs the property),
       // never a silent mixed-salt write.
-      val props = KvTableProps.read(fs, dir)
-      KvTableProps.replace(fs, dir,
-        to.fold(props - "salt_buckets")(n =>
-          props + ("salt_buckets" -> n.toString)))
+      KvSalt.recordLayoutProperty(fs, dir, to)
       Resalted(seq, from, to, staged.size)
     } catch {
       case _: KvLog.ConcurrentCommitException =>

@@ -360,7 +360,13 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       try {
         KvLog.append(fs, dir, adds = sealedOut.map(_._1).toSeq,
           removes = removes, expectSeq = Some(expect),
-          stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap)
+          stats = sealedOut.collect { case (n, Some(st)) => n -> st }.toMap,
+          // The replacement rows were salted under the layout resolved at
+          // operation creation; an insert-only MERGE (removes empty)
+          // passes the group-liveness check trivially, so this in-lock
+          // expectation is what keeps a mid-operation resalt from landing
+          // old-layout rows after the declaration.
+          layoutExpect = Some(saltBuckets))
         committed = true
       } catch {
         case e: KvLog.ConcurrentCommitException =>

@@ -229,11 +229,33 @@ object KvSalt {
   /** Drop `seq` from the declaration hint — the rollback for an ABORTED
     * declaring publish. Best-effort: a stale pending seq left behind by a
     * crash only costs [[resolveAt]] one wasted entry probe.
+    *
+    * Guarded against the two-declarers race: when TWO declaring
+    * operations (a resalt and a layout-restoring restore, say) both
+    * hinted the same seq and the OTHER one won the publish, the entry at
+    * `seq` carries a genuine declaration — dropping the hint then would
+    * make [[resolveAt]] permanently resolve the superseded layout. The
+    * loser's rollback must leave a published declaration's hint alone.
     */
   private[sources] def undeclare(fs: FileSystem, table: Path, seq: Long): Unit = {
+    if (KvLog.read(fs, table, seq).exists(_.saltDecl.isDefined)) return
     val rest = declSeqs(fs, table).filterNot(_ == seq)
     if (rest.isEmpty) { fs.delete(declPath(table), false): Unit }
     else KvLog.writeText(fs, declPath(table), rest.mkString(" "))
+  }
+
+  /** Record the layout in the table's `salt_buckets` property — the
+    * durable fallback + catalog write-injection source every declaring
+    * operation updates after its publish (resalt success, resalt crash
+    * repair, layout-restoring restore). One definition so the paths
+    * cannot drift.
+    */
+  private[sources] def recordLayoutProperty(fs: FileSystem, table: Path,
+      to: Option[Int]): Unit = {
+    val props = KvTableProps.read(fs, table)
+    KvTableProps.replace(fs, table,
+      to.fold(props - "salt_buckets")(n =>
+        props + ("salt_buckets" -> n.toString)))
   }
 
   /** THE salt-resolution entrypoint: the table's layout as of manifest seq

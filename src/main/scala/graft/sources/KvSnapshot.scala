@@ -297,12 +297,8 @@ object KvSnapshot {
           compact = true, expectSeq = Some(expect), floor = Some(expect),
           stats = entryStats, carriedRemovals = Some(pending),
           saltDecl = declaring)
-        declaring.foreach { d =>
-          val props = KvTableProps.read(fs, dir)
-          KvTableProps.replace(fs, dir,
-            if (d == 0) props - "salt_buckets"
-            else props + ("salt_buckets" -> d.toString))
-        }
+        declaring.foreach(d => KvSalt.recordLayoutProperty(fs, dir,
+          if (d == 0) None else Some(d)))
         return seq
       } catch {
         case e: KvLog.ConcurrentCommitException =>

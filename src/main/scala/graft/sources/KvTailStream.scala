@@ -82,6 +82,15 @@ private[sources] class KvTailStream(
   private val tableDir = new Path(path)
   private def fs = tableDir.getFileSystem(conf)
 
+  /** Newest salt-declaration seq at stream construction (-1 = none): the
+    * layout this stream's salt stripping and pushed-filter expansion were
+    * resolved under. [[advance]] fails loudly on any NEWER declaration —
+    * files past it are in a layout this stream cannot interpret. One
+    * probe per stream creation (absent-file for never-resalted tables).
+    */
+  private val declSeqAtStart: Long =
+    KvSalt.declSeqs(fs, tableDir).headOption.getOrElse(-1L)
+
   // ------------------------------------------------------------ log mode
 
   /** Position in the segment log: entries `< seq` fully consumed, first
@@ -166,6 +175,21 @@ private[sources] class KvTailStream(
     var entry = readEntry(cur.seq)
     var full = false
     while (entry.isDefined && cur.seq <= capSeq && !full) {
+      // A salt-layout declaration NEWER than the one this stream resolved
+      // at construction ([[KvSalt]] declarations — a resalt or a
+      // layout-restoring restore): every file from here on stores keys
+      // this stream would strip and filter under the wrong salt. The
+      // batch CDC path refuses such spans at plan time; a stream only
+      // learns mid-flight, so it fails loudly HERE — before admitting
+      // anything past the declaration — and a restart re-resolves.
+      // (Registered tails never hit this: resalt refuses while they
+      // exist. This is the unregistered tail's loud failure.)
+      if (entry.get.saltDecl.isDefined && cur.seq > declSeqAtStart)
+        throw new IllegalStateException(
+          s"graft-kv tail: the salt layout of $path changed at log seq " +
+            s"${cur.seq} (salt declaration) — this stream resolved the " +
+            "previous layout and cannot interpret newer files; restart " +
+            "the query to resume under the new layout")
       val adds = visibleAdds(entry.get, cur)
       var i = math.max(cur.idx, 0)
       while (i < adds.length && !full) {

@@ -76,9 +76,10 @@ object KvVacuum {
     var dirs = 0
     listing.foreach { st =>
       val n = st.getPath.getName
-      // Crash-leftover scratch dirs: a compaction's `_compact_*` and a
-      // batch/epoch writer's `_tmp_*` staging (its owner deletes it on
-      // commit AND abort, so an old one is orphaned). Age is judged by
+      // Crash-leftover scratch dirs: a compaction's `_compact_*`, a
+      // resalt's `_resalt_*`, and a batch/epoch writer's `_tmp_*` staging
+      // (its owner deletes it on commit AND abort, so an old one is
+      // orphaned). Age is judged by
       // the NEWEST mtime found RECURSIVELY inside (compaction's scratch
       // nests the sink's own `_tmp_*` staging a level down) — a
       // long-running write keeps its staging alive by creating files in
@@ -89,7 +90,8 @@ object KvVacuum {
       // owner may also delete its dir mid-scan (commit/abort) — that is
       // the dir cleaning itself up, not an error.
       if (st.isDirectory &&
-          (n.startsWith("_compact_") || n.startsWith("_tmp_"))) {
+          (n.startsWith("_compact_") || n.startsWith("_resalt_") ||
+            n.startsWith("_tmp_"))) {
         try {
           val it = fs.listFiles(st.getPath, true)
           var newest = st.getModificationTime

@@ -161,6 +161,37 @@ class KvResaltSpec extends graft.SparkSpec {
         .option("sinceSeq", preSeq - 1).load(dir).collect()
     }
     e.getMessage should include("crosses a salt layout change")
+
+    // The span the refusal's advice produces — starting EXACTLY at the
+    // declaration — is allowed: nothing below the change, uniform layout
+    // above it. An append after the resalt is its only content.
+    val declSeq = KvSalt.declSeqs(fsOf(dir), new Path(dir)).head
+    KvSalt.saltedWrite(cells.limit(7), dir, n = 4, regions = 1)
+    val resumed = spark.read.format("graft-kv")
+      .option("sinceSeq", declSeq - 1).load(dir)
+    resumed.count() shouldBe 7L
+  }
+
+  test("a live tail fails loudly at a salt declaration instead of stripping wrong") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = freshDir("tailguard")
+    KvSalt.saltedWrite(cells.limit(300), dir, n = 8, regions = 2,
+      mode = "overwrite")
+    val stream = new KvTailStream(dir, graft.kv.Cell.schema,
+      Array.empty, None,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    // Catch the stream up to the tip (the caught-up position is the one
+    // the compaction-floor check cannot cover: it sits AT the new floor).
+    val caughtUp = stream.latestOffset(stream.initialOffset(),
+      ReadLimit.allAvailable())
+    KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Resalted]
+    KvSalt.saltedWrite(cells.limit(5), dir, n = 2, regions = 1)
+    val e = intercept[IllegalStateException] {
+      stream.latestOffset(caughtUp, ReadLimit.allAvailable())
+    }
+    e.getMessage should include("salt layout")
+    e.getMessage should include("restart")
   }
 
   test("snapshot reads pin their layout; restore rolls the layout back with the files") {
@@ -223,6 +254,24 @@ class KvResaltSpec extends graft.SparkSpec {
     // And the retry completes.
     KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Resalted]
     rows(scan(dir)).size shouldBe (before.size + 10)
+  }
+
+  test("the in-lock layout expectation fails a commit whose rows predate a resalt") {
+    val dir = freshDir("layoutexpect")
+    KvSalt.saltedWrite(cells.limit(100), dir, n = 8, regions = 2,
+      mode = "overwrite")
+    val fs = fsOf(dir)
+    KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Resalted]
+    // A committer that resolved the layout BEFORE the resalt (wrote
+    // 8-bucket rows) must fail terminally at append time — not retry,
+    // not publish.
+    val e = intercept[IllegalStateException] {
+      KvLog.append(fs, new Path(dir), adds = Seq("part-b0000000099-zz.parquet"),
+        layoutExpect = Some(Some(8)))
+    }
+    e.getMessage should include("changed mid-write")
+    assert(!KvLog.liveFiles(fs, new Path(dir))
+      .contains("part-b0000000099-zz.parquet"))
   }
 
   test("log truncation never drops a salt declaration") {
