@@ -59,6 +59,8 @@ object Cli {
     "AvroReader" -> 3, "ParquetReader" -> 2, "RunQuery" -> 3,
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
     "ResaltTable" -> 2,
+    "CreateIndex" -> 4, "RefreshIndex" -> 2, "DropIndex" -> 2,
+    "ListIndexes" -> 1,
     "HistoryTable" -> 1, "CheckTable" -> 1, "RepairTable" -> 2,
     "DropTail" -> 2,
     "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
@@ -174,6 +176,46 @@ object Cli {
         case graft.sources.KvResalt.Aborted(reason) =>
           println(s"resalt aborted for $table: $reason")
       }
+
+    // Maintained global secondary indexes ([[graft.sources.KvIndex]]):
+    // the Phoenix global-index cycle as CLI verbs.
+    case "CreateIndex" =>
+      val Array(table, name, family, qualifier) = a.take(4)
+      val m = graft.sources.KvIndex.create(
+        spark, s"${tableDir(table)}/cells", name, family, qualifier,
+        pad = a.lift(4).map(_.toInt).getOrElse(0),
+        regions = a.lift(5).map(_.toInt).getOrElse(4))
+      println(s"created index $name on $table($family:$qualifier), " +
+        s"covers log seq ${m.asOfSeq}")
+
+    case "RefreshIndex" =>
+      val Array(table, name) = a.take(2)
+      graft.sources.KvIndex.refresh(
+          spark, s"${tableDir(table)}/cells", name) match {
+        case graft.sources.KvIndex.Refreshed(from, to) =>
+          println(s"refreshed index $name on $table: seq $from -> $to")
+        case graft.sources.KvIndex.Fresh(seq) =>
+          println(s"index $name on $table already fresh at seq $seq")
+        case graft.sources.KvIndex.Rebuilt(to) =>
+          println(s"rebuilt index $name on $table at seq $to " +
+            "(span crossed a salt-layout change)")
+      }
+
+    case "DropIndex" =>
+      val Array(table, name) = a.take(2)
+      val dropped = graft.sources.KvIndex.drop(
+        spark, s"${tableDir(table)}/cells", name)
+      println(if (dropped) s"dropped index $name on $table"
+        else s"no index $name on $table")
+
+    case "ListIndexes" =>
+      val table = a(0)
+      val dir = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/cells")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val ms = graft.sources.KvIndex.list(fs, dir)
+      if (ms.isEmpty) println(s"no indexes on $table")
+      ms.foreach(m => println(
+        s"${m.name}: ${m.family}:${m.qualifier} pad=${m.pad} asOf=${m.asOfSeq}"))
 
     // GC of manifest-unreferenced files (crash leftovers) after a grace
     // period — the Delta VACUUM / HBase HFile-cleaner analog.
@@ -383,6 +425,11 @@ object Cli {
       |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
       |  CompactTable <table> <regions> [codec]      (major-compact; optional re-codec: snappy|zstd|gzip|lz4|none)
       |  ResaltTable <table> <buckets> [regions]     (rewrite into a new salt layout; 0 = unsalt)
+      |  CreateIndex <table> <name> <family> <qualifier> [pad] [regions]
+      |                                              (maintained secondary index on one column)
+      |  RefreshIndex <table> <name>                 (absorb base changes; CDC-incremental)
+      |  DropIndex <table> <name>
+      |  ListIndexes <table>
       |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)

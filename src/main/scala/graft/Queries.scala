@@ -147,6 +147,82 @@ object Queries {
       .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("max_ts"))
   }
 
+  /** MAINTAINED SECONDARY INDEX end to end ([[graft.sources.KvIndex]] —
+    * `CALL sys.create_index/refresh_index`): the events cell table gets a
+    * global index on the `click` column, then lives through the full DML
+    * lifecycle — updates that move rows INTO the queried range, a
+    * whole-row delete slice, a refresh, and MORE updates the index has
+    * not absorbed yet. The lookup must equal the logical answer (current
+    * LWW value per key, deletes masked, value in [9000, 12000)) — stale
+    * index entries die in verification, unabsorbed changes arrive via the
+    * CDC tail. At 100 TB this is the Phoenix global-index shape: a value
+    * range becomes a pruned scan of a value-ordered side table plus
+    * bloom-pruned point gets, never a base-table scan.
+    */
+  private def ensureIndexedCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"indexed_cells|$sfDir", _ => {
+      val path = artifactPath("indexed_cells", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, path)
+      KvTable.eventsAsCells(spark, sfDir)
+        .write.format("graft-kv").option("regions", 4)
+        .mode("overwrite").save(path)
+      graft.sources.KvIndex.create(spark, path, "by_click", "f", "click",
+        pad = 12, regions = 4)
+      // Post-create DML the FIRST refresh absorbs: 50 upserts into the
+      // queried range + a 50-key whole-row delete slice.
+      spark.range(50).selectExpr(
+        "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+        "'f' AS family", "'click' AS qualifier",
+        "encode(CAST(10000 + id AS STRING), 'UTF-8') AS value",
+        "4000000000000000000L + id AS ts")
+        .write.format("graft-kv").option("regions", 1).mode("append").save(path)
+      graft.sources.KvDelete.deleteRows(spark, path,
+        spark.range(50, 100).selectExpr(
+          "lpad(CAST(id AS STRING), 8, '0') AS rowKey"))
+      val r = graft.sources.KvIndex.refresh(spark, path, "by_click")
+      require(r.isInstanceOf[graft.sources.KvIndex.Refreshed],
+        s"kv_index_maintained staging expected a refresh, got $r")
+      // Post-refresh DML the lookup's CDC tail must cover on its own.
+      spark.range(20).selectExpr(
+        "lpad(CAST(100 + id AS STRING), 8, '0') AS rowKey",
+        "'f' AS family", "'click' AS qualifier",
+        "encode(CAST(11000 + id AS STRING), 'UTF-8') AS value",
+        "4100000000000000000L + id AS ts")
+        .write.format("graft-kv").option("regions", 1).mode("append").save(path)
+      path
+    })
+
+  def kvIndexMaintained(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.KvIndex.lookup(spark,
+      ensureIndexedCells(spark, sfDir), "by_click", "9000", "12000")
+
+  private val kvIndexMaintainedSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(10000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(50) t(i)
+       |  UNION ALL
+       |  SELECT lpad(CAST(100 + i AS VARCHAR), 8, '0'),
+       |         CAST(11000 + i AS VARCHAR),
+       |         4100000000000000000 + i
+       |  FROM range(20) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lww AS (SELECT rowKey, value,
+       |          row_number() OVER (PARTITION BY rowKey
+       |            ORDER BY ts DESC, value ASC) AS rn
+       |        FROM allc),
+       |cur AS (SELECT rowKey, value FROM lww
+       |        WHERE rn = 1
+       |          AND rowKey NOT BETWEEN '00000050' AND '00000099')
+       |SELECT rowKey, value FROM cur
+       |WHERE CAST(value AS BIGINT) >= 9000 AND CAST(value AS BIGINT) < 12000""".stripMargin
+
   /** A table staged into every accounting state [[graft.sources.KvFsck]]
     * distinguishes: an overwrite that preserved a pre-overwrite snapshot's
     * pinned files (SNAPSHOT-PINNED, on disk but in no log entry), a
@@ -4786,6 +4862,7 @@ object Queries {
     "kv_runtime_prune" -> (kvRuntimePrune _),
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_resalt_scan" -> (kvResaltScan _),
+    "kv_index_maintained" -> (kvIndexMaintained _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -4940,6 +5017,7 @@ object Queries {
     "kv_runtime_prune" -> kvRuntimePruneSql,
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
     "kv_resalt_scan" -> kvV2RangeScanSql, // ...and so must a layout CONVERSION
+    "kv_index_maintained" -> kvIndexMaintainedSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

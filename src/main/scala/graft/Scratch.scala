@@ -78,6 +78,51 @@ object Scratch {
             .count())
         println(s"get rows: $rg")
 
+      case "index" =>
+        // Secondary-index economics: value-range lookup via the
+        // maintained index (pruned index scan + bloom-pruned verify
+        // gets) vs the full-scan LWW filter it replaces, on 8M cells /
+        // 2M keys. Also the refresh cost for a 50k-row delta.
+        val ip = "/tmp/graft_scratch/index_probe"
+        graft.sinks.Sinks.deleteRecursive(spark, ip)
+        def icells = spark.range(8000000L).selectExpr(
+          "lpad(CAST(id DIV 4 AS STRING), 9, '0') AS rowKey",
+          "'f' AS family",
+          "CASE id % 4 WHEN 0 THEN 'amt' WHEN 1 THEN 'C1' WHEN 2 THEN 'C2' " +
+            "ELSE 'C3' END AS qualifier",
+          "encode(CAST((id * 37) % 10000000 AS STRING), 'UTF-8') AS value",
+          "id AS ts")
+        time("stage 8M cells (16 regions)")(
+          icells.write.format("graft-kv").option("regions", 16)
+            .mode("overwrite").save(ip))
+        time("create index on amt (2M rows)")(
+          graft.sources.KvIndex.create(spark, ip, "by_amt", "f", "amt",
+            pad = 8, regions = 8))
+        def fullScan = {
+          import org.apache.spark.sql.functions._
+          spark.read.format("graft-kv").load(ip)
+            .filter(col("family") === "f" && col("qualifier") === "amt")
+            .groupBy("rowKey")
+            .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+              col("value"), col("ts")), "UTF-8").as("value"))
+            .filter(col("value").cast("long") >= 5000000L &&
+              col("value").cast("long") < 5000300L)
+        }
+        val nf = time("(a) full-scan LWW value filter")(fullScan.count())
+        val ni = time("(b) index lookup, same range")(
+          graft.sources.KvIndex.lookup(spark, ip, "by_amt",
+            "5000000", "5000300").count())
+        println(s"rows: full=$nf index=$ni")
+        time("append 50k-row delta")(
+          icells.limit(50000).write.format("graft-kv").option("regions", 1)
+            .mode("append").save(ip))
+        time("(c) incremental refresh of the delta")(
+          println(graft.sources.KvIndex.refresh(spark, ip, "by_amt")))
+        val n2 = time("(d) index lookup after refresh")(
+          graft.sources.KvIndex.lookup(spark, ip, "by_amt",
+            "5000000", "5000300").count())
+        println(s"rows after refresh: $n2")
+
       case "scalehi" =>
         // High-cardinality regime: 21M cells over 7M DISTINCT keys (no
         // map-side collapse) — the shape of the sf0.1 typed export at ~12x.

@@ -174,6 +174,22 @@ object KvMaintenance extends org.apache.spark.internal.Logging {
             dropBelowTs = policy.ttlMs.map(System.currentTimeMillis() - _),
             maxVersions = policy.maxVersions))
     }
+    // SECONDARY INDEXES ride the policy pass (the HBase stance — upkeep
+    // is the store's job): every index the table carries absorbs the
+    // base span committed since its last refresh, so a maintain-declared
+    // table's indexes track DML with no operator loop. Best-effort like
+    // the rest of the pass (lookups are verification-correct at any lag,
+    // so a failed refresh costs latency, never correctness), and
+    // incremental (O(changes)) — a fresh index is a no-op probe.
+    KvIndex.list(fs, dir).foreach { m =>
+      try KvIndex.refresh(spark, path, m.name)
+      catch {
+        case e: Exception =>
+          logWarning(s"graft-kv maintenance: index '${m.name}' refresh " +
+            s"on $path failed (lookups stay correct via verification): " +
+            s"${e.getMessage}")
+      }
+    }
     // Vacuum runs regardless of the compaction outcome: it reclaims what
     // PREVIOUS passes removed once their grace expires, and crash strays.
     // Log retention rides the same clock: entries below the floor older

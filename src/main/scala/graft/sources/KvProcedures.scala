@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL cat.sys.truncate_log(table => 'ns.t', retention_ms => 0)
   *   CALL cat.sys.repair(table => 'ns.t', actions => 'adoptOrphans')
   *   CALL cat.sys.resalt(table => 'ns.t', buckets => 16)  -- 0 = unsalt
+  *   CALL cat.sys.create_index(table => 'ns.t', name => 'by_amt',
+  *                             family => 'f', qualifier => 'amt', pad => 8)
+  *   CALL cat.sys.refresh_index(table => 'ns.t', name => 'by_amt')
+  *   CALL cat.sys.drop_index(table => 'ns.t', name => 'by_amt')
+  *   CALL cat.sys.indexes(table => 'ns.t')    -- one row per index
   * }}}
   *
   * The reference's operational surface is CLI programs run beside the
@@ -52,7 +57,8 @@ private[sources] object KvProcedures {
 
   val Names: Seq[String] = Seq("compact", "vacuum", "snapshot", "restore",
     "clone", "drop_snapshot", "maintain", "fsck", "history", "truncate_log",
-    "repair", "resalt")
+    "repair", "resalt", "create_index", "refresh_index", "drop_index",
+    "indexes")
 
   def load(warehouse: Path, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -68,6 +74,10 @@ private[sources] object KvProcedures {
       case "truncate_log" => Some(new TruncateLogProc(warehouse))
       case "repair" => Some(new RepairProc(warehouse))
       case "resalt" => Some(new ResaltProc(warehouse))
+      case "create_index" => Some(new CreateIndexProc(warehouse))
+      case "refresh_index" => Some(new RefreshIndexProc(warehouse))
+      case "drop_index" => Some(new DropIndexProc(warehouse))
+      case "indexes" => Some(new IndexesProc(warehouse))
       case _ => None
     }
 
@@ -215,6 +225,102 @@ private[sources] object KvProcedures {
           oneRow(Array[Any](UTF8String.fromString(s"aborted: $reason"),
             null, null, null, null))
       }
+    }
+  }
+
+  private final class CreateIndexProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "create_index"
+    override def description(): String =
+      "build a maintained global secondary index on one (family, " +
+        "qualifier) — value-range lookups become pruned index scans"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("family", StringType).build(),
+      ProcedureParameter.in("qualifier", StringType).build(),
+      ProcedureParameter.in("pad", IntegerType).defaultValue("0")
+        .comment("left-zero-pad width for numeric string values; 0 = raw")
+        .build(),
+      ProcedureParameter.in("regions", IntegerType).defaultValue("4").build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result", StringType, nullable = false),
+      StructField("covered_seq", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val m = KvIndex.create(spark, dir.toString,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString, input.getInt(4), input.getInt(5))
+      oneRow(Array[Any](UTF8String.fromString("created"), m.asOfSeq))
+    }
+  }
+
+  private final class RefreshIndexProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "refresh_index"
+    override def description(): String =
+      "absorb base-table changes into the index (incremental over the " +
+        "manifest CDC feed; rebuilds across a salt-layout change)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, ProcedureParameter.in("name", StringType).build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result", StringType, nullable = false),
+      StructField("from_seq", LongType, nullable = true),
+      StructField("to_seq", LongType, nullable = true)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      KvIndex.refresh(spark, dir.toString,
+          input.getUTF8String(1).toString) match {
+        case KvIndex.Refreshed(from, to) =>
+          oneRow(Array[Any](UTF8String.fromString("refreshed"), from, to))
+        case KvIndex.Fresh(seq) =>
+          oneRow(Array[Any](UTF8String.fromString("fresh"), seq, seq))
+        case KvIndex.Rebuilt(to) =>
+          oneRow(Array[Any](UTF8String.fromString(
+            "rebuilt: the span crossed a salt-layout change"), null, to))
+      }
+    }
+  }
+
+  private final class DropIndexProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "drop_index"
+    override def description(): String = "delete a secondary index"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, ProcedureParameter.in("name", StringType).build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val dropped = KvIndex.drop(spark, dir.toString,
+        input.getUTF8String(1).toString)
+      oneRow(Array[Any](UTF8String.fromString(
+        if (dropped) "dropped" else "no such index")))
+    }
+  }
+
+  private final class IndexesProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "indexes"
+    override def description(): String =
+      "list the table's secondary indexes and their covered seq"
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("family", StringType, nullable = false),
+      StructField("qualifier", StringType, nullable = false),
+      StructField("pad", IntegerType, nullable = false),
+      StructField("as_of_seq", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      rowsOut(KvIndex.list(fs, dir).map(m => Array[Any](
+        UTF8String.fromString(m.name), UTF8String.fromString(m.family),
+        UTF8String.fromString(m.qualifier), m.pad, m.asOfSeq)))
     }
   }
 

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[KvIndex]]: maintained global secondary indexes. The invariant under
+  * test: a verified lookup equals the full-scan answer — the current
+  * (LWW, delete-masked) rows whose value is in range — REGARDLESS of how
+  * stale the index is, what DML ran since, or which candidate-verification
+  * path (In pushdown vs join) the size chose.
+  */
+class KvIndexSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_index_$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    d
+  }
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** n keys, one "amt" cell each, value = a decimal string of 3*i. */
+  private def cells(n: Int, tsBase: Long = 0L): DataFrame =
+    spark.range(n.toLong).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value",
+      s"id + ${tsBase}L AS ts")
+
+  /** The ground truth: full-scan LWW view filtered by numeric range. */
+  private def oracle(dir: String, lo: Long, hi: Long): Set[(String, String)] =
+    spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier") === "amt")
+      .groupBy("rowKey")
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+        "UTF-8").as("value"))
+      .filter(col("value").cast("long") >= lo && col("value").cast("long") < hi)
+      .as[(String, String)].collect().toSet
+
+  private def looked(dir: String, lo: Long, hi: Long,
+      cap: Int = KvIndex.InPushdownCap): Set[(String, String)] =
+    KvIndex.lookup(spark, dir, "by_amt", lo.toString, hi.toString, cap)
+      .as[(String, String)].collect().toSet
+
+  test("create + lookup equals the full-scan answer; index prunes the value range") {
+    val dir = freshDir("basic")
+    cells(3000).write.format("graft-kv").option("regions", 4)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    looked(dir, 600, 660) shouldBe oracle(dir, 600, 660)
+    looked(dir, 600, 660).size shouldBe 20 // 3i in [600,660): i in [200,220)
+
+    // The index range scan PLANS fewer partitions than the index has
+    // region files — manifest bounds prune by the value-leading key.
+    val idir = KvIndex.indexDir(new Path(dir), "by_amt").toString
+    val idxScan = spark.read.format("graft-kv").load(idir)
+      .filter(col("rowKey") >= "00000600" && col("rowKey") < "00000660")
+    assert(idxScan.rdd.getNumPartitions <
+      KvLog.liveFiles(fsOf(idir), new Path(idir)).size.max(2))
+  }
+
+  test("lookups stay correct under unrefreshed DML: inserts, updates, deletes") {
+    val dir = freshDir("dml")
+    cells(1000).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+
+    // INSERT new keys with in-range values; UPDATE some existing keys
+    // into range and some out of it; DELETE a slice — all AFTER create,
+    // NO refresh.
+    spark.range(50).selectExpr(
+      "concat('new', lpad(CAST(id AS STRING), 3, '0')) AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(700 + id AS STRING), 'UTF-8') AS value",
+      "100000 + id AS ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    // key 000100 (value 300, in [600,900)? no: 300) -> updated INTO range
+    // key 000250 (value 750, in range) -> updated OUT of range
+    Seq(("000100", "650", 200000L), ("000250", "99", 200001L))
+      .toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    // delete keys 000210-000219 (values 630..657, all in range)
+    KvDelete.deleteRows(spark, dir,
+      (210 until 220).map(i => f"000$i").toDF("rowKey"))
+
+    val expect = oracle(dir, 600, 900)
+    looked(dir, 600, 900) shouldBe expect
+    // Spot the semantics: the into-range update and inserts are found,
+    // the out-of-range update and the deletes are not.
+    assert(expect.contains(("000100", "650")))
+    assert(expect.exists(_._1 == "new000"))
+    assert(!expect.exists(_._1 == "000250"))
+    assert(!expect.exists(_._1 == "000210"))
+
+    // Refresh absorbs the tail; the answer is unchanged, the meta moved.
+    val r = KvIndex.refresh(spark, dir, "by_amt")
+    r shouldBe a[KvIndex.Refreshed]
+    looked(dir, 600, 900) shouldBe expect
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Fresh]
+  }
+
+  test("the join fallback above the In cap returns the same answer") {
+    val dir = freshDir("cap")
+    cells(2000).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    val expect = oracle(dir, 0, 3000) // 1000 keys
+    looked(dir, 0, 3000, cap = 10) shouldBe expect // forced join path
+    looked(dir, 0, 3000) shouldBe expect // pushdown path
+  }
+
+  test("a base resalt rebuilds on refresh and never breaks lookups") {
+    val dir = freshDir("resalt")
+    cells(800).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    // An append between create and resalt makes the refresh span
+    // genuinely CROSS the declaration (entries on both sides) — the
+    // boundary-aligned case would legally refresh through instead.
+    cells(10, tsBase = 500000L).write.format("graft-kv").option("regions", 1)
+      .mode("append").save(dir)
+    KvResalt.resalt(spark, dir, Some(4)) shouldBe a[KvResalt.Resalted]
+    // Unrefreshed lookup: the tail span crosses the declaration, so the
+    // full-scan fallback serves it — same answer.
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Rebuilt]
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
+    // And the index keeps following ordinary DML on the salted base.
+    KvSalt.saltedWrite(
+      Seq(("zz0001", "333", 900000L)).toDF("rowKey", "v", "ts")
+        .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+          "encode(v, 'UTF-8') AS value", "ts"),
+      dir, n = 4, regions = 1)
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
+    assert(looked(dir, 300, 360).exists(_._1 == "zz0001"))
+  }
+
+  test("SQL surface + self-maintenance: CALL create_index, maintained INSERT refreshes, indexes/drop_index") {
+    val cat = "graftcat_idx"
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_test/kv_index_wh"
+    graft.sinks.Sinks.deleteRecursive(spark, wh)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.i")
+    cells(500).createOrReplaceTempView("idx_cells_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.i.t USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2', 'maintain' = 'true',
+         |               'maintain_max_segments' = '64')
+         |AS SELECT * FROM idx_cells_src""".stripMargin)
+    spark.sql(s"CALL $cat.sys.create_index(table => 'i.t', " +
+      "name => 'by_amt', family => 'f', qualifier => 'amt', pad => 8)")
+      .collect().head.getString(0) shouldBe "created"
+
+    // A plain INSERT into the maintain-declared table refreshes the
+    // index in its post-commit policy pass — no explicit CALL.
+    spark.sql(s"INSERT INTO $cat.i.t " +
+      "SELECT 'fresh1', 'f', 'amt', cast('700' as binary), 999999L")
+    val dir = s"$wh/i/t"
+    val listed = spark.sql(s"CALL $cat.sys.indexes(table => 'i.t')").collect()
+    listed.length shouldBe 1
+    listed.head.getString(0) shouldBe "by_amt"
+    listed.head.getLong(4) shouldBe
+      KvLog.latestSeq(fsOf(dir), new Path(dir))
+    // ...and the fresh row is served from the ABSORBED index (the CDC
+    // tail span is empty), verified.
+    assert(KvIndex.lookup(spark, dir, "by_amt", "700", "701")
+      .as[(String, String)].collect().toSet == Set(("fresh1", "700")))
+
+    spark.sql(s"CALL $cat.sys.refresh_index(table => 'i.t', name => 'by_amt')")
+      .collect().head.getString(0) shouldBe "fresh"
+    spark.sql(s"CALL $cat.sys.drop_index(table => 'i.t', name => 'by_amt')")
+      .collect().head.getString(0) shouldBe "dropped"
+    spark.sql(s"CALL $cat.sys.indexes(table => 'i.t')").collect() shouldBe
+      Array.empty
+  }
+
+  test("list, drop, refusals") {
+    val dir = freshDir("admin")
+    cells(100).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    val fs = fsOf(dir)
+    KvIndex.list(fs, new Path(dir)).map(_.name) shouldBe Seq("by_amt")
+    intercept[IllegalArgumentException] {
+      KvIndex.create(spark, dir, "by_amt", "f", "amt")
+    }.getMessage should include("already exists")
+    intercept[IllegalArgumentException] {
+      KvIndex.lookup(spark, dir, "nope", "0", "1").collect()
+    }.getMessage should include("no index")
+    KvIndex.drop(spark, dir, "by_amt") shouldBe true
+    KvIndex.list(fs, new Path(dir)) shouldBe Seq.empty
+    // A value containing the separator fails the build loudly.
+    val bad = freshDir("badval")
+    Seq(("k1", "a|b", 1L)).toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(bad)
+    val e = intercept[Exception] {
+      KvIndex.create(spark, bad, "by_amt", "f", "amt")
+    }
+    e.getMessage should include("separator")
+  }
+}

@@ -140,7 +140,8 @@ class KvProcedureSpec extends graft.SparkSpec {
       .collect().map(_.getAs[String]("procedure_name")).toSet
     listed shouldBe Set("compact", "vacuum", "snapshot", "restore",
       "clone", "drop_snapshot", "maintain", "fsck", "history",
-      "truncate_log", "repair", "resalt")
+      "truncate_log", "repair", "resalt", "create_index", "refresh_index",
+      "drop_index", "indexes")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.sys.compact")
       .collect().map(_.getString(0)).mkString("\n")
     desc should include("compact")
