@@ -10,24 +10,35 @@ import org.apache.spark.sql.functions._
   * own machinery:
   *
   *  - The index is a full `graft-kv` table at `<table>/_index/<name>`:
-  *    index cells are `rowKey = <padded value>|<base rowKey>`,
-  *    `qualifier = "k"`, `value = base rowKey` — so a VALUE range scan is
-  *    a plain index rowKey range scan (manifest bounds prune regions, the
-  *    parquet record filter prunes rows), a value point lookup
-  *    bloom-prunes, and every lifecycle verb (compact to fold re-inserted
-  *    duplicates, vacuum, snapshot) works on the index unchanged.
+  *    index cells are `rowKey = <padded value><NUL><base rowKey>` (the
+  *    NUL separator sorts below every other byte, so index-key order is
+  *    EXACTLY value order — the reason Phoenix separates with 0x00; a
+  *    printable separator like '|' sorts ABOVE alphanumerics and would
+  *    silently drop in-range rows at range edges), `qualifier = "k"`,
+  *    `value = base rowKey` — a VALUE range scan is a plain index rowKey
+  *    range scan (manifest bounds prune regions, the parquet record
+  *    filter prunes rows), a value point lookup bloom-prunes, and every
+  *    lifecycle verb (compact to fold re-inserted duplicates, vacuum,
+  *    snapshot) works on the index unchanged.
   *  - Maintenance is INCREMENTAL over the manifest CDC feed: `refresh`
   *    reads the base span `(indexed seq, latest]` (`sinceSeq`+`asOfSeq` —
   *    the same feed `kv_incremental_pivot` consumes), appends the delta's
-  *    index cells, and records the new covered seq. Cost is O(changes),
-  *    never O(table).
+  *    index cells (skipping the write entirely for an empty delta, so
+  *    maintenance passes over unrelated DML don't grow the index
+  *    manifest), and records the new covered seq. Cost is O(changes),
+  *    never O(table). A span the log cannot serve — it crosses a
+  *    salt-layout declaration ([[KvResalt]]) or dips below the
+  *    compaction floor — triggers a REBUILD, staged beside the live
+  *    index and swapped in, so a failed rebuild never leaves the table
+  *    index-less.
   *  - Correctness does NOT depend on freshness. A lookup is
   *    index-candidates ∪ tail-candidates, then VERIFY:
   *      1. index range scan → candidate base keys (the index may be
   *         STALE — updated rows leave old-value entries behind, deletes
   *         leave entries for masked rows; both are filtered next),
   *      2. base CDC tail `(indexed seq, latest]` → candidates the index
-  *         has not absorbed yet (bounded by maintenance lag),
+  *         has not absorbed yet (bounded by maintenance lag; served from
+  *         a full base scan when the log cannot replay the span),
   *      3. re-read the candidates from the BASE table (bounded `In`
   *         pushdown → per-key bloom-pruned gets; join fallback above the
   *         cap), compute the current last-write-wins value, and keep only
@@ -36,14 +47,13 @@ import org.apache.spark.sql.functions._
   *    the non-transactional-index contract Phoenix documents, made safe
   *    by verification instead of a synchronous write path.
   *
-  * Values are compared as strings; `pad` left-zero-pads the value in the
-  * index rowKey so decimal strings order numerically (the fixture shape).
-  * Values containing the `|` separator are refused at build time.
-  *
-  * A base-table RESALT ([[KvResalt]]) breaks the CDC spans the refresh
-  * rides (declaration-crossing refusal): `refresh` detects it and
-  * REBUILDS; `lookup` falls back to a full base scan for the tail part
-  * until the rebuild lands — slower, never wrong.
+  * Values are compared as strings; `pad > 0` declares DECIMAL mode:
+  * values are canonical non-negative decimal strings of at most `pad`
+  * digits, left-zero-padded in index keys so they order numerically. An
+  * over-width value fails the build/refresh/lookup LOUDLY (the typed
+  * overflow contract — Spark's `lpad` TRUNCATES long inputs, which
+  * would otherwise return wrong rows with no error). Values containing
+  * NUL are refused at build time.
   *
   * Scale shape: the index is a fraction of one column's bytes; refresh
   * is one bounded CDC read + one sorted append; a lookup is two pruned
@@ -52,6 +62,9 @@ import org.apache.spark.sql.functions._
 object KvIndex {
 
   val DirName = "_index"
+
+  /** Key separator between padded value and base key (class doc). */
+  private val Sep = "\u0000"
 
   /** Default bound on candidates routed through the pushed `In` filter
     * (per-key bloom-pruned gets). Above it the verification joins instead
@@ -65,7 +78,9 @@ object KvIndex {
   sealed trait RefreshResult
   case class Refreshed(fromSeq: Long, toSeq: Long) extends RefreshResult
   case class Fresh(seq: Long) extends RefreshResult
-  /** The CDC span crossed a salt-layout change: the index was rebuilt. */
+  /** The CDC span was unservable (salt-layout change or compaction
+    * floor): the index was rebuilt from the current version.
+    */
   case class Rebuilt(toSeq: Long) extends RefreshResult
 
   private val NamePattern = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
@@ -80,16 +95,36 @@ object KvIndex {
     requireValidName(name)
     new Path(indexRoot(table), name)
   }
-  private def metaPath(table: Path, name: String) =
-    new Path(indexDir(table, name), "_idxmeta")
+  private def metaPathIn(dir: Path) = new Path(dir, "_idxmeta")
 
-  private def writeMeta(fs: FileSystem, table: Path, m: Meta): Unit =
-    KvLog.writeText(fs, metaPath(table, m.name),
+  /** Meta replace is ATOMIC (the [[KvTableProps.write]] pattern: staged
+    * tmp + replacing atomic move) — a truncating in-place rewrite would
+    * let a concurrent lookup read a torn file and throw, where the
+    * contract is "always readable".
+    */
+  private def writeMeta(fs: FileSystem, dir: Path, m: Meta): Unit = {
+    val target = metaPathIn(dir)
+    val tmp = new Path(dir,
+      s"._idxmeta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    KvLog.writeText(fs, tmp,
       s"v1 family=${m.family} qualifier=${m.qualifier} pad=${m.pad} " +
         s"asOf=${m.asOfSeq}\n")
+    if (Option(fs.getUri.getScheme).contains("file")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      fs.delete(target, false)
+      require(fs.rename(tmp, target),
+        s"graft-kv index: publishing $tmp over $target failed — re-run " +
+          "the operation")
+    }
+  }
 
-  def meta(fs: FileSystem, table: Path, name: String): Option[Meta] = {
-    val text = try Some(KvLog.readText(fs, metaPath(table, name))) catch {
+  private def metaIn(fs: FileSystem, dir: Path, name: String): Option[Meta] = {
+    val text = try Some(KvLog.readText(fs, metaPathIn(dir))) catch {
       case _: java.io.FileNotFoundException => None
     }
     text.map { t =>
@@ -105,12 +140,17 @@ object KvIndex {
     }
   }
 
-  /** All indexes on the table (empty when none). */
+  def meta(fs: FileSystem, table: Path, name: String): Option[Meta] =
+    metaIn(fs, indexDir(table, name), name)
+
+  /** All indexes on the table (empty when none). Staged rebuild dirs
+    * (dot-prefixed) are invisible here.
+    */
   def list(fs: FileSystem, table: Path): Seq[Meta] = {
     val root = indexRoot(table)
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted
       .flatMap(meta(fs, table, _))
   }
 
@@ -121,22 +161,34 @@ object KvIndex {
     fs.delete(indexDir(table, name), true)
   }
 
-  /** The padded index-key prefix of one value. */
+  /** The padded index-key prefix of one value column. */
   private def paddedValue(v: org.apache.spark.sql.Column, pad: Int) =
     if (pad > 0) lpad(v, pad, "0") else v
 
-  /** Base cells → index cells. The `|` check runs per row inside the
-    * build/refresh job: a separator inside a value would corrupt range
-    * semantics silently, so it fails the statement instead.
+  /** Decimal-mode width guard as a column: over-width values RAISE (a
+    * silently truncating `lpad` would corrupt both index keys and the
+    * verification filter — wrong rows, no error).
+    */
+  private def guardedValue(v: org.apache.spark.sql.Column, pad: Int) =
+    if (pad <= 0) v
+    else when(length(v) > pad,
+      raise_error(concat(lit("graft-kv index: value '"), v,
+        lit(s"' exceeds the index's declared decimal width pad=$pad — " +
+          "recreate the index with a larger pad"))))
+      .otherwise(v)
+
+  /** Base cells → index cells. NUL-in-value and (decimal mode)
+    * over-width checks run per row inside the build/refresh job — either
+    * would corrupt range semantics silently, so they fail the statement.
     */
   private def indexCells(base: DataFrame, m: Meta): DataFrame = {
     val v = decode(col("value"), "UTF-8")
-    val checked = when(v.contains("|"),
-      raise_error(lit("graft-kv index: indexed value contains the '|' " +
-        "separator — unsupported for a string-ordered index")))
-      .otherwise(v)
+    val checked = when(v.contains(Sep),
+      raise_error(lit("graft-kv index: indexed value contains NUL (the " +
+        "key separator) — unsupported for a string-ordered index")))
+      .otherwise(guardedValue(v, m.pad))
     base.select(
-      concat(paddedValue(checked, m.pad), lit("|"), col("rowKey")).as("rowKey"),
+      concat(paddedValue(checked, m.pad), lit(Sep), col("rowKey")).as("rowKey"),
       lit("i").as("family"),
       lit("k").as("qualifier"),
       encode(col("rowKey"), "UTF-8").as("value"),
@@ -151,9 +203,21 @@ object KvIndex {
       .filter(col("family") === m.family && col("qualifier") === m.qualifier)
   }
 
-  /** Build the index over the CURRENT table version. `pad` left-zero-pads
-    * values in index keys (use the longest decimal width for numeric
-    * string values; 0 = raw string order).
+  /** Stage one full build of `m` over base version `m.asOfSeq` into
+    * `dir` (data + meta).
+    */
+  private def buildAt(spark: SparkSession, path: String, m: Meta,
+      dir: Path, regions: Int): Unit = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    indexCells(
+      baseCells(spark, path, m, Map("asOfSeq" -> m.asOfSeq.toString)), m)
+      .write.format("graft-kv").option("regions", regions)
+      .mode("overwrite").save(dir.toString)
+    writeMeta(fs, dir, m)
+  }
+
+  /** Build the index over the CURRENT table version. `pad > 0` declares
+    * decimal mode (class doc); 0 = raw string order.
     */
   def create(spark: SparkSession, path: String, name: String,
       family: String, qualifier: String, pad: Int = 0,
@@ -175,13 +239,23 @@ object KvIndex {
     val m = Meta(name, family, qualifier, pad, latest)
     val dir = indexDir(table, name)
     fs.delete(dir, true) // a torn previous create (no meta) is replaced
-    indexCells(
-      baseCells(spark, path, m, Map("asOfSeq" -> latest.toString)), m)
-      .write.format("graft-kv").option("regions", regions)
-      .mode("overwrite").save(dir.toString)
-    writeMeta(fs, table, m)
+    buildAt(spark, path, m, dir, regions)
     m
   }
+
+  /** Whether the log cannot serve the base span `(since, latest]` as a
+    * CDC read: it crosses a salt declaration the scan refuses (same
+    * boundary rule — a declaration at exactly `since + 1` has nothing
+    * below it and passes), or it dips below the compaction floor (the
+    * merged-away segments' change sets are not reconstructible —
+    * `KvLog.changedFiles` throws on the same condition). Probed EAGERLY
+    * because the scan's refusals only fire at plan time, far from the
+    * decision points here.
+    */
+  private def spanUnservable(fs: FileSystem, table: Path, since: Long,
+      latest: Long): Boolean =
+    since + 1 < KvLog.floor(fs, table) ||
+      KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1)
 
   /** Absorb the base span `(m.asOfSeq, latest]` into the index. */
   def refresh(spark: SparkSession, path: String, name: String): RefreshResult = {
@@ -192,77 +266,97 @@ object KvIndex {
     val latest = KvLog.latestSeq(fs, table)
     if (latest <= m.asOfSeq) return Fresh(m.asOfSeq)
     val dir = indexDir(table, name)
-    if (spanCrossesLayoutChange(fs, table, m.asOfSeq, latest)) {
-      // The base changed key layout under the span (KvResalt): the CDC
-      // feed refuses to mix the two sides, so rebuild from the current
-      // version instead (the index stores LOGICAL keys — only the span
-      // mechanics break, never the index semantics).
+    if (spanUnservable(fs, table, m.asOfSeq, latest)) {
+      // Rebuild, STAGED BESIDE the live index and swapped in: a rebuild
+      // that dies mid-build must leave the old index serving (lookups
+      // degrade to the full-scan tail — they must not start throwing
+      // "no index"), and the maintenance pass must still see the index
+      // to retry the rebuild next round.
       val regions = math.max(1, KvLog.liveFiles(fs, dir).size)
-      drop(spark, path, name)
-      create(spark, path, name, m.family, m.qualifier, m.pad, regions)
-      Rebuilt(KvLog.latestSeq(fs, table))
+      val m2 = m.copy(asOfSeq = latest)
+      val staged = new Path(indexRoot(table),
+        s".rebuild-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        buildAt(spark, path, m2, staged, regions)
+        fs.delete(dir, true)
+        if (!fs.rename(staged, dir)) throw new IllegalStateException(
+          s"graft-kv index: rebuild swap rename $staged -> $dir failed")
+      } finally {
+        fs.delete(staged, true): Unit // no-op after a successful swap
+      }
+      Rebuilt(latest)
     } else {
       val delta = baseCells(spark, path, m, Map(
         "sinceSeq" -> m.asOfSeq.toString, "asOfSeq" -> latest.toString))
-      indexCells(delta, m).write.format("graft-kv")
-        .mode("append").save(dir.toString)
-      writeMeta(fs, table, m.copy(asOfSeq = latest))
+      // Skip the write for an empty delta (commits touching other
+      // qualifiers, marker-only commits): the index manifest must not
+      // grow a zero-row entry per maintenance pass — only the covered
+      // seq advances. The delta is cached so the emptiness probe and the
+      // write share one read of the (bounded) span.
+      val cells = indexCells(delta, m).cache()
+      try {
+        if (!cells.isEmpty)
+          cells.write.format("graft-kv").mode("append").save(dir.toString)
+        writeMeta(fs, dir, m.copy(asOfSeq = latest))
+      } finally { cells.unpersist(): Unit }
       Refreshed(m.asOfSeq, latest)
     }
   }
 
-  /** Whether the base span `(since, latest]` crosses a salt declaration
-    * the CDC read would refuse — the same boundary rule the scan applies
-    * (a declaration at exactly `since + 1` has nothing below it and
-    * passes). Probed EAGERLY here because the scan's refusal only fires
-    * at plan time, far from this decision point.
-    */
-  private def spanCrossesLayoutChange(fs: org.apache.hadoop.fs.FileSystem,
-      table: Path, since: Long, latest: Long): Boolean =
-    KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1)
-
   /** Verified lookup: base keys and their CURRENT (last-write-wins,
     * delete-masked) value for `m.qualifier`, restricted to values in
-    * `[lo, hi)` (string order after padding — numeric order for decimal
-    * values under an adequate `pad`). Returns `(rowKey, value)` with the
-    * value decoded to a string.
+    * `[lo, hi)` (string order; numeric order in decimal mode). Returns
+    * `(rowKey, value)` with the value decoded to a string.
     */
   def lookup(spark: SparkSession, path: String, name: String,
       lo: String, hi: String, inPushdownCap: Int = InPushdownCap): DataFrame = {
+    import spark.implicits._
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
       s"graft-kv index: no index '$name' on $path"))
+    if (m.pad > 0) Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
+      require(v.length <= m.pad,
+        s"graft-kv index: $which bound '$v' exceeds the index's decimal " +
+          s"width pad=${m.pad} — no indexed value can reach it")
+    }
     def padLit(v: String) =
-      if (m.pad > 0) ("0" * math.max(0, m.pad - v.length)) + v else v
+      if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
     val (loPad, hiPad) = (padLit(lo), padLit(hi))
 
     // 1. Index candidates: a rowKey range scan on the index table —
     //    manifest bounds + record filter prune; value() carries the base
-    //    key so no string parsing on the hot path.
+    //    key so no string parsing on the hot path. The NUL separator
+    //    makes [loPad, hiPad) on index keys EXACTLY the value range.
     val idxCand = spark.read.format("graft-kv")
       .load(indexDir(table, name).toString)
       .filter(col("rowKey") >= loPad && col("rowKey") < hiPad)
       .select(decode(col("value"), "UTF-8").as("rowKey"))
 
-    // 2. Tail candidates: base changes the index has not absorbed.
-    //    Bounded by maintenance lag; falls back to a full base scan when
-    //    the span crossed a salt-layout change (rare; refresh rebuilds).
+    // 2. Tail candidates: base changes the index has not absorbed,
+    //    PINNED to the latest seq the unservable-span probe read — a
+    //    resalt landing between probe and plan time would otherwise fail
+    //    the read the fallback branch exists to serve. Unservable spans
+    //    are served from a full base scan instead: slower, never wrong;
+    //    the next refresh rebuilds.
     def inRange(df: DataFrame): DataFrame = {
-      val pv = paddedValue(decode(col("value"), "UTF-8"), m.pad)
+      val pv = paddedValue(guardedValue(decode(col("value"), "UTF-8"), m.pad),
+        m.pad)
       df.filter(pv >= loPad && pv < hiPad).select(col("rowKey"))
     }
-    // Probed eagerly (the scan's own refusal fires at plan time): a span
-    // crossing a layout change serves the tail from a full scan instead
-    // — slower, never wrong; the next refresh rebuilds the index.
+    val latest = KvLog.latestSeq(fs, table)
     val tailCand =
-      if (spanCrossesLayoutChange(fs, table, m.asOfSeq,
-          KvLog.latestSeq(fs, table)))
+      if (latest <= m.asOfSeq) Seq.empty[String].toDF("rowKey")
+      else if (spanUnservable(fs, table, m.asOfSeq, latest))
         inRange(baseCells(spark, path, m, Map.empty))
-      else inRange(
-        baseCells(spark, path, m, Map("sinceSeq" -> m.asOfSeq.toString)))
+      else inRange(baseCells(spark, path, m, Map(
+        "sinceSeq" -> m.asOfSeq.toString, "asOfSeq" -> latest.toString)))
 
-    val candidates = idxCand.unionByName(tailCand).distinct()
+    // Duplicate keys (multiple versions) are NOT deduped here: the probe
+    // below is a plain limit (no shuffle), and both verification paths
+    // dedupe anyway — driver-side distinct for the In list, the
+    // left-semi join by construction.
+    val candidates = idxCand.unionByName(tailCand)
 
     // 3. Verify against the base's CURRENT view. Bounded candidate sets
     //    go back as a pushed In — per-key bloom-pruned gets, the
@@ -270,14 +364,14 @@ object KvIndex {
     //    family scan (still correct — the index then only saved the
     //    driver the value filter, which is the honest cost of a
     //    low-selectivity query).
-    val keys = candidates.limit(inPushdownCap + 1).collect().map(_.getString(0))
+    val probe = candidates.limit(inPushdownCap + 1).collect()
     val verified =
-      if (keys.length <= inPushdownCap && keys.nonEmpty) {
+      if (probe.isEmpty)
+        return Seq.empty[(String, String)].toDF("rowKey", "value")
+      else if (probe.length <= inPushdownCap) {
+        val keys = probe.map(_.getString(0)).distinct
         baseCells(spark, path, m, Map.empty)
           .filter(col("rowKey").isin(keys.toIndexedSeq: _*))
-      } else if (keys.isEmpty) {
-        import spark.implicits._
-        return Seq.empty[(String, String)].toDF("rowKey", "value")
       } else {
         baseCells(spark, path, m, Map.empty)
           .join(candidates, Seq("rowKey"), "left_semi")
@@ -286,7 +380,7 @@ object KvIndex {
       .groupBy(col("rowKey"))
       .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
         "UTF-8").as("value"))
-      .filter(paddedValue(col("value"), m.pad) >= loPad &&
-        paddedValue(col("value"), m.pad) < hiPad)
+      .filter(paddedValue(guardedValue(col("value"), m.pad), m.pad) >= loPad &&
+        paddedValue(guardedValue(col("value"), m.pad), m.pad) < hiPad)
   }
 }

@@ -196,9 +196,12 @@ class KvIndexSpec extends graft.SparkSpec {
     }.getMessage should include("no index")
     KvIndex.drop(spark, dir, "by_amt") shouldBe true
     KvIndex.list(fs, new Path(dir)) shouldBe Seq.empty
-    // A value containing the separator fails the build loudly.
+    // A value containing NUL (the key separator) fails the build loudly;
+    // printable separators like '|' are ordinary value bytes and WORK
+    // (raw string mode) — the NUL separator keeps their ranges exact.
     val bad = freshDir("badval")
-    Seq(("k1", "a|b", 1L)).toDF("rowKey", "v", "ts")
+    Seq(("k1", "a b", 1L), ("k2", "a|b", 2L), ("k3", "ab", 3L))
+      .toDF("rowKey", "v", "ts")
       .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
         "encode(v, 'UTF-8') AS value", "ts")
       .write.format("graft-kv").option("regions", 1)
@@ -206,6 +209,67 @@ class KvIndexSpec extends graft.SparkSpec {
     val e = intercept[Exception] {
       KvIndex.create(spark, bad, "by_amt", "f", "amt")
     }
-    e.getMessage should include("separator")
+    e.getMessage should include("NUL")
+  }
+
+  test("pipe-bearing values range-scan exactly (the NUL-separator collation law)") {
+    val dir = freshDir("pipes")
+    Seq(("k1", "a", 1L), ("k2", "ab", 2L), ("k3", "a|b", 3L),
+      ("k4", "abc", 4L), ("k5", "b", 5L))
+      .toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt") // raw string mode
+    def got(lo: String, hi: String): Set[String] =
+      KvIndex.lookup(spark, dir, "by_amt", lo, hi)
+        .as[(String, String)].collect().map(_._2).toSet
+    // "ab" < "abc" < "a|b" < "b" in raw string order; a '|'-separated
+    // index key would misplace "ab" ABOVE "abc" and drop it here.
+    got("a", "abc") shouldBe Set("a", "ab")
+    got("ab", "b") shouldBe Set("ab", "abc", "a|b")
+    got("a|", "b") shouldBe Set("a|b")
+  }
+
+  test("decimal mode refuses over-width values and bounds instead of truncating") {
+    val dir = freshDir("width")
+    cells(100).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 3)
+    // An over-width bound is refused up front...
+    intercept[IllegalArgumentException] {
+      KvIndex.lookup(spark, dir, "by_amt", "100", "1005").collect()
+    }.getMessage should include("pad=3")
+    // ...and an over-width VALUE fails the refresh that would index it
+    // (Spark lpad would silently truncate "1000" to "100" — wrong rows).
+    Seq(("k9", "1000", 999L)).toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    val e = intercept[Exception] { KvIndex.refresh(spark, dir, "by_amt") }
+    e.getMessage should include("pad=3")
+  }
+
+  test("a compaction-floor rise past the covered seq rebuilds instead of bricking") {
+    val dir = freshDir("floor")
+    cells(400).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    // Appends + a major compaction raise the floor above the covered seq:
+    // the CDC span (covered, latest] is no longer reconstructible.
+    cells(50, tsBase = 700000L).write.format("graft-kv").option("regions", 1)
+      .mode("append").save(dir)
+    cells(50, tsBase = 800000L).write.format("graft-kv").option("regions", 1)
+      .mode("append").save(dir)
+    KvCompactor.compact(spark, dir, regions = 2) shouldBe a[KvCompactor.Compacted]
+    val fs = fsOf(dir)
+    assert(KvLog.floor(fs, new Path(dir)) >
+      KvIndex.meta(fs, new Path(dir), "by_amt").get.asOfSeq + 1)
+    // Unrefreshed lookup: served via the full-scan tail fallback.
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
+    // Refresh rebuilds (staged swap), and lookups keep working.
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Rebuilt]
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
   }
 }
