@@ -60,7 +60,7 @@ object Cli {
     "CompactTable" -> 2, "VacuumTable" -> 1, "MaintainTable" -> 1,
     "ResaltTable" -> 2,
     "CreateIndex" -> 4, "RefreshIndex" -> 2, "DropIndex" -> 2,
-    "ListIndexes" -> 1,
+    "ListIndexes" -> 1, "VerifyIndex" -> 2,
     "HistoryTable" -> 1, "CheckTable" -> 1, "RepairTable" -> 2,
     "DropTail" -> 2,
     "SnapshotTable" -> 2, "RestoreSnapshot" -> 2,
@@ -207,6 +207,16 @@ object Cli {
         spark, s"${tableDir(table)}/cells", name)
       println(if (dropped) s"dropped index $name on $table"
         else s"no index $name on $table")
+
+    case "VerifyIndex" =>
+      val Array(table, name) = a.take(2)
+      val s = graft.sources.KvIndex.scrutiny(
+        spark, s"${tableDir(table)}/cells", name)
+      println(s"index $name on $table at seq ${s.coveredSeq}: " +
+        s"${s.current} current rows, ${s.missing} missing, " +
+        s"${s.stale} stale" +
+        (if (s.missing == 0) " (consistent)"
+         else " — INCONSISTENT, rebuild (DropIndex + CreateIndex)"))
 
     case "ListIndexes" =>
       val table = a(0)
@@ -430,6 +440,7 @@ object Cli {
       |  RefreshIndex <table> <name>                 (absorb base changes; CDC-incremental)
       |  DropIndex <table> <name>
       |  ListIndexes <table>
+      |  VerifyIndex <table> <name>              (index scrutiny: missing = rebuild needed)
       |  VacuumTable <table> [graceHours]            (GC manifest-unreferenced files)
       |  MaintainTable <table> [maxSegments] [targetRegionMB] [graceHours]
       |                                              (policy pass: compact past threshold, vacuum expired)

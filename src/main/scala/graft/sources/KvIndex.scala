@@ -303,6 +303,47 @@ object KvIndex {
     }
   }
 
+  /** Offline index consistency audit — the Phoenix IndexScrutinyTool
+    * analog. Checks the SUPERSET INVARIANT lookup correctness rests on:
+    * every (key, value) current in the base AT THE INDEX'S COVERED SEQ
+    * must have an index entry (`missing` — an invariant VIOLATION: such
+    * a row would be a silent false negative for any lookup whose tail
+    * span starts above it; the fix is a rebuild). `stale` counts index
+    * entries for no-longer-current pairs — EXPECTED debris from updates
+    * and deletes (read-time verification absorbs it; compaction of the
+    * base never purges it, only a rebuild does), reported for sizing.
+    * Cost: one base scan of the indexed column at the covered version +
+    * one index scan + two anti-join shuffles — the offline audit shape.
+    */
+  case class Scrutiny(coveredSeq: Long, current: Long, missing: Long,
+      stale: Long)
+
+  def scrutiny(spark: SparkSession, path: String, name: String): Scrutiny = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv index: no index '$name' on $path"))
+    // The base's current view AT the covered seq: post-covered changes
+    // are legitimately absent from the index (the lookup tail serves
+    // them) and must not count as missing.
+    val currentAt = baseCells(spark, path, m,
+      Map("asOfSeq" -> m.asOfSeq.toString))
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+        "UTF-8").as("v"))
+      .select(col("rowKey"), paddedValue(col("v"), m.pad).as("pv"))
+    val idxPairs = spark.read.format("graft-kv")
+      .load(indexDir(table, name).toString)
+      .select(decode(col("value"), "UTF-8").as("rowKey"),
+        substring_index(col("rowKey"), Sep, 1).as("pv"))
+      .distinct()
+    val keyCols = Seq("rowKey", "pv")
+    val nCurrent = currentAt.count()
+    val nMissing = currentAt.join(idxPairs, keyCols, "left_anti").count()
+    val nStale = idxPairs.join(currentAt, keyCols, "left_anti").count()
+    Scrutiny(m.asOfSeq, nCurrent, nMissing, nStale)
+  }
+
   /** Verified lookup: base keys and their CURRENT (last-write-wins,
     * delete-masked) value for `m.qualifier`, restricted to values in
     * `[lo, hi)` (string order; numeric order in decimal mode). Returns

@@ -32,6 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL cat.sys.refresh_index(table => 'ns.t', name => 'by_amt')
   *   CALL cat.sys.drop_index(table => 'ns.t', name => 'by_amt')
   *   CALL cat.sys.indexes(table => 'ns.t')    -- one row per index
+  *   CALL cat.sys.verify_index(table => 'ns.t', name => 'by_amt')
   * }}}
   *
   * The reference's operational surface is CLI programs run beside the
@@ -58,7 +59,7 @@ private[sources] object KvProcedures {
   val Names: Seq[String] = Seq("compact", "vacuum", "snapshot", "restore",
     "clone", "drop_snapshot", "maintain", "fsck", "history", "truncate_log",
     "repair", "resalt", "create_index", "refresh_index", "drop_index",
-    "indexes")
+    "indexes", "verify_index")
 
   def load(warehouse: Path, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -78,6 +79,7 @@ private[sources] object KvProcedures {
       case "refresh_index" => Some(new RefreshIndexProc(warehouse))
       case "drop_index" => Some(new DropIndexProc(warehouse))
       case "indexes" => Some(new IndexesProc(warehouse))
+      case "verify_index" => Some(new VerifyIndexProc(warehouse))
       case _ => None
     }
 
@@ -321,6 +323,33 @@ private[sources] object KvProcedures {
       rowsOut(KvIndex.list(fs, dir).map(m => Array[Any](
         UTF8String.fromString(m.name), UTF8String.fromString(m.family),
         UTF8String.fromString(m.qualifier), m.pad, m.asOfSeq)))
+    }
+  }
+
+  private final class VerifyIndexProc(warehouse: Path)
+      extends KvProcedure(warehouse) {
+    override def name(): String = "verify_index"
+    override def description(): String =
+      "index scrutiny: audit the superset invariant lookups rest on " +
+        "(missing entries = rebuild needed; stale = expected debris)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, ProcedureParameter.in("name", StringType).build())
+    override val resultSchema: StructType = StructType(Seq(
+      StructField("result", StringType, nullable = false),
+      StructField("covered_seq", LongType, nullable = false),
+      StructField("current_rows", LongType, nullable = false),
+      StructField("missing", LongType, nullable = false),
+      StructField("stale", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(input)
+      val s = KvIndex.scrutiny(spark, dir.toString,
+        input.getUTF8String(1).toString)
+      oneRow(Array[Any](UTF8String.fromString(
+        if (s.missing == 0) "consistent"
+        else s"INCONSISTENT: ${s.missing} current rows unindexed — " +
+          "rebuild (drop_index + create_index)"),
+        s.coveredSeq, s.current, s.missing, s.stale))
     }
   }
 

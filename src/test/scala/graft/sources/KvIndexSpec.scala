@@ -103,6 +103,23 @@ class KvIndexSpec extends graft.SparkSpec {
     r shouldBe a[KvIndex.Refreshed]
     looked(dir, 600, 900) shouldBe expect
     KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Fresh]
+
+    // Scrutiny on the healthy refreshed index: the superset invariant
+    // holds (no current row unindexed); stale = the expected debris of
+    // the 2 value updates + 10 deleted keys' old entries.
+    val s = KvIndex.scrutiny(spark, dir, "by_amt")
+    s.missing shouldBe 0L
+    s.current shouldBe 1040L // 1000 - 10 deleted + 50 inserts
+    s.stale shouldBe 12L
+
+    // Manufacture a real violation — mask CURRENT pairs' index entries
+    // via a DELETE on the index table itself — and scrutiny flags
+    // exactly them as missing.
+    val idir = KvIndex.indexDir(new Path(dir), "by_amt").toString
+    val victims = Seq(300, 301, 302)
+      .map(i => f"${3 * i}%08d" + "\u0000" + f"$i%06d").toDF("rowKey")
+    KvDelete.deleteRows(spark, idir, victims)
+    KvIndex.scrutiny(spark, dir, "by_amt").missing shouldBe 3L
   }
 
   test("the join fallback above the In cap returns the same answer") {
@@ -200,7 +217,7 @@ class KvIndexSpec extends graft.SparkSpec {
     // printable separators like '|' are ordinary value bytes and WORK
     // (raw string mode) — the NUL separator keeps their ranges exact.
     val bad = freshDir("badval")
-    Seq(("k1", "a b", 1L), ("k2", "a|b", 2L), ("k3", "ab", 3L))
+    Seq(("k1", "a\u0000b", 1L), ("k2", "a|b", 2L), ("k3", "ab", 3L))
       .toDF("rowKey", "v", "ts")
       .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
         "encode(v, 'UTF-8') AS value", "ts")

@@ -141,7 +141,7 @@ class KvProcedureSpec extends graft.SparkSpec {
     listed shouldBe Set("compact", "vacuum", "snapshot", "restore",
       "clone", "drop_snapshot", "maintain", "fsck", "history",
       "truncate_log", "repair", "resalt", "create_index", "refresh_index",
-      "drop_index", "indexes")
+      "drop_index", "indexes", "verify_index")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.sys.compact")
       .collect().map(_.getString(0)).mkString("\n")
     desc should include("compact")
