@@ -517,12 +517,19 @@ private[sources] class KvBatchWrite(path: String, schema: StructType,
       // salt registration, by contrast, resets with the data: an
       // overwrite may legitimately change the salt layout).
       val props = KvTableProps.read(fs, dir)
+      // Index DEFINITIONS survive the truncate like the table properties
+      // do (their DATA covers rows this commit destroys, so each comes
+      // back as an empty shell the next refresh rebuilds incrementally —
+      // KvIndex.preserveShell doc). Silently dropping them would void
+      // the managed-object lifecycle with an ordinary DML statement.
+      val indexShells = KvIndex.list(fs, dir)
       val pinned = KvSnapshot.referencedFiles(fs, dir)
       fs.listStatus(dir).map(_.getPath)
         .filter(f => !f.getName.startsWith("_tmp_"))
         .filter(f => f.getName != KvSnapshot.DirName && !pinned.contains(f.getName))
         .foreach(f => fs.delete(f, true))
       KvLog.reset(fs, dir) // truncate resets the manifest with the data
+      indexShells.foreach(m => KvIndex.preserveShell(fs, dir, m))
       if (props.nonEmpty) {
         KvLog.ensureLogDir(fs, dir)
         KvTableProps.write(fs, dir, props)

@@ -165,9 +165,23 @@ private[sources] class KvCellTable(path: String,
     // change at all: its files disagree on the salt, so no single bucket
     // count strips them correctly — refused, split the span at the
     // declaration.
+    val dirX = new org.apache.hadoop.fs.Path(path)
+    val fsX = dirX.getFileSystem(sessionConf.value)
+    // An UNPINNED incremental read (sinceSeq without a version) pins its
+    // span end to the plan-time latest seq: the crossing guard, the salt
+    // resolution, and the scan itself must all see the SAME span — with
+    // separate reads, a resalt publishing between the guard and the
+    // resolution would pass the guard yet flip resolution to the new
+    // layout over the old-layout span, silently wrong rows. Pinning also
+    // makes the CDC read a stable version span (the KvIndex lookup
+    // contract) instead of "whatever latest is at execution".
+    val pinnedAsOf =
+      if (sinceSeq.isDefined && asOf.isEmpty)
+        Some(KvLog.latestSeq(fsX, dirX))
+      else asOf
     val recorded = {
-      val dir = new org.apache.hadoop.fs.Path(path)
-      val fsx = dir.getFileSystem(sessionConf.value)
+      val dir = dirX
+      val fsx = fsX
       sinceSeq.foreach { since =>
         // A declaration at EXACTLY since+1 does not mix layouts: the
         // declaring entry is a compact checkpoint (no changed files of
@@ -176,7 +190,7 @@ private[sources] class KvCellTable(path: String,
         // at the declaration" produces, so refusing it would make this
         // very message's advice unsatisfiable.
         val crossed = KvSalt.declsIn(fsx, dir, since,
-          asOf.getOrElse(KvLog.latestSeq(fsx, dir)))
+          pinnedAsOf.getOrElse(KvLog.latestSeq(fsx, dir)))
           .filterNot(_ == since + 1)
         require(crossed.isEmpty,
           s"graft-kv: incremental read since seq $since crosses a salt " +
@@ -191,7 +205,7 @@ private[sources] class KvCellTable(path: String,
             case Some(info) if info.configRecorded => info.salt
             case _ => KvSalt.resolveAt(fsx, dir, None)
           }
-        case None => KvSalt.resolveAt(fsx, dir, asOf)
+        case None => KvSalt.resolveAt(fsx, dir, pinnedAsOf)
       }
     }
     (optionBuckets, recorded) match {
@@ -214,13 +228,14 @@ private[sources] class KvCellTable(path: String,
       Option(options.get("readTombstones")).exists(_.toBoolean)
     new KvScanBuilder(path, maxFiles, scope, sessionConf,
       Option(options.get("tailId")),
-      asOf,
+      pinnedAsOf,
       sinceSeq,
       maxBytes,
       snapshot,
       saltBuckets,
       splitBytes,
-      readTombstones)
+      readTombstones,
+      asOfAutoPinned = pinnedAsOf.isDefined && asOf.isEmpty)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -276,7 +291,13 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     snapshot: Option[String] = None,
     saltBuckets: Option[Int] = None,
     splitRegionBytes: Option[Long] = None,
-    readTombstones: Boolean = false)
+    readTombstones: Boolean = false,
+    /** True when `asOfSeq` was AUTO-PINNED for an unpinned incremental
+      * read (plan-time latest, not a user-named version): a stream built
+      * from this scan ignores the pin — its offset names its position —
+      * where a user-named version is still refused.
+      */
+    asOfAutoPinned: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -464,7 +485,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       new KvScan(path, required, pushedStored,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
         descending, maxBytesPerBatch, snapshot, orderedCols, saltBuckets,
-        splitRegionBytes, readTombstones)
+        splitRegionBytes, readTombstones, asOfAutoPinned = asOfAutoPinned)
   }
 }
 
@@ -642,7 +663,11 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       * filters prune region files only; readers run filter-free so every
       * row of a kept group surfaces for the copy-on-write rewrite.
       */
-    groupPruneOnly: Boolean = false)
+    groupPruneOnly: Boolean = false,
+    /** KvScanBuilder doc: an auto-pinned asOf is not a user-named
+      * version and does not refuse streaming.
+      */
+    asOfAutoPinned: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1062,7 +1087,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(asOfSeq.isEmpty && snapshot.isEmpty,
+    require((asOfSeq.isEmpty || asOfAutoPinned) && snapshot.isEmpty,
       "graft-kv: asOfSeq/asOfTime/snapshot are batch-read options — a " +
         "stream's offset already names its log position; tail from a fresh " +
         "checkpoint instead")

@@ -154,6 +154,23 @@ object KvIndex {
       .flatMap(meta(fs, table, _))
   }
 
+  /** Re-create the index as an EMPTY SHELL covering nothing (covered seq
+    * -1) — the truncate-table contract: a truncating overwrite resets the
+    * data, but the index DEFINITION is catalog metadata and survives like
+    * the table properties do. The shell is immediately correct: a lookup's
+    * CDC tail spans `(-1, latest]` (the whole new table) and verification
+    * does the rest; the next maintenance refresh absorbs the new contents
+    * incrementally, which for a shell IS the rebuild.
+    */
+  private[sources] def preserveShell(fs: FileSystem, table: Path,
+      m: Meta): Unit = {
+    val dir = indexDir(table, m.name)
+    fs.delete(dir, true): Unit
+    fs.mkdirs(dir)
+    KvLog.ensureLogDir(fs, dir) // an empty log replays as an empty table
+    writeMeta(fs, dir, m.copy(asOfSeq = -1L))
+  }
+
   /** Delete the index. Returns false when it didn't exist. */
   def drop(spark: SparkSession, path: String, name: String): Boolean = {
     val table = new Path(path)
@@ -231,6 +248,16 @@ object KvIndex {
     require(meta(fs, table, name).isEmpty,
       s"graft-kv index: '$name' already exists on $path (drop it first)")
     require(pad >= 0 && pad <= 256, s"graft-kv index: pad must be in [0, 256]")
+    // The meta file is whitespace-separated k=v tokens: a family or
+    // qualifier containing whitespace (or '=') would round-trip CORRUPTED
+    // and every later refresh/lookup would filter on the wrong column —
+    // silently empty results. Refuse at create.
+    Seq("family" -> family, "qualifier" -> qualifier).foreach {
+      case (which, v) =>
+        require(v.nonEmpty && !v.exists(c => c.isWhitespace || c == '='),
+          s"graft-kv index: $which '$v' contains whitespace or '=' — " +
+            "unsupported in the index metadata encoding")
+    }
     // Pin the covered version BEFORE reading, so concurrent appends land
     // ABOVE the recorded seq and the first refresh (or the lookup tail)
     // picks them up — never silently skipped.
@@ -274,13 +301,27 @@ object KvIndex {
       // to retry the rebuild next round.
       val regions = math.max(1, KvLog.liveFiles(fs, dir).size)
       val m2 = m.copy(asOfSeq = latest)
-      val staged = new Path(indexRoot(table),
-        s".rebuild-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+      val tok = java.util.UUID.randomUUID().toString.take(8)
+      val staged = new Path(indexRoot(table), s".rebuild-$name-$tok")
+      // Swap order matters: the OLD index moves ASIDE (not deleted)
+      // before the staged copy moves in, and a failed second rename
+      // RESTORES it — delete-then-rename would leave the table
+      // index-less on any failure between the two, with the maintenance
+      // pass blind to the loss (list() no longer sees the index). The
+      // residual crash window is the one rename, not the build.
+      val aside = new Path(indexRoot(table), s".old-$name-$tok")
       try {
         buildAt(spark, path, m2, staged, regions)
-        fs.delete(dir, true)
-        if (!fs.rename(staged, dir)) throw new IllegalStateException(
-          s"graft-kv index: rebuild swap rename $staged -> $dir failed")
+        if (!fs.rename(dir, aside)) throw new IllegalStateException(
+          s"graft-kv index: rebuild could not move the live index aside " +
+            s"($dir -> $aside); the live index is untouched")
+        if (!fs.rename(staged, dir)) {
+          fs.rename(aside, dir) // restore the live index
+          throw new IllegalStateException(
+            s"graft-kv index: rebuild swap rename $staged -> $dir " +
+              "failed; the previous index was restored")
+        }
+        fs.delete(aside, true): Unit
       } finally {
         fs.delete(staged, true): Unit // no-op after a successful swap
       }
@@ -331,7 +372,11 @@ object KvIndex {
       .groupBy(col("rowKey"))
       .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
         "UTF-8").as("v"))
-      .select(col("rowKey"), paddedValue(col("v"), m.pad).as("pv"))
+      .select(col("rowKey"),
+        // guardedValue: an over-width current value RAISES here like it
+        // does in refresh — a silently lpad-truncated pv could collide
+        // with a stale index entry and mask a genuine missing row.
+        paddedValue(guardedValue(col("v"), m.pad), m.pad).as("pv"))
     val idxPairs = spark.read.format("graft-kv")
       .load(indexDir(table, name).toString)
       .select(decode(col("value"), "UTF-8").as("rowKey"),
@@ -360,6 +405,15 @@ object KvIndex {
       require(v.length <= m.pad,
         s"graft-kv index: $which bound '$v' exceeds the index's decimal " +
           s"width pad=${m.pad} — no indexed value can reach it")
+      // Decimal mode orders CANONICAL NON-NEGATIVE decimals; a
+      // non-digit bound (negative, signed, alpha) would compare
+      // lexically against zero-padded keys in an order that diverges
+      // from the numeric intent — refused rather than silently odd.
+      // (Non-digit VALUES in the corpus sort below every digit-padded
+      // bound and are simply never returnable by a decimal range.)
+      require(v.nonEmpty && v.forall(c => c >= '0' && c <= '9'),
+        s"graft-kv index: decimal-mode $which bound '$v' must be a " +
+          "non-negative decimal string")
     }
     def padLit(v: String) =
       if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
@@ -396,7 +450,10 @@ object KvIndex {
     // Duplicate keys (multiple versions) are NOT deduped here: the probe
     // below is a plain limit (no shuffle), and both verification paths
     // dedupe anyway — driver-side distinct for the In list, the
-    // left-semi join by construction.
+    // left-semi join by construction. On the over-cap path the join
+    // re-evaluates `candidates` — the probe itself was limit-truncated
+    // (CollectLimit stops at cap+1 matches), so the repeat costs one
+    // truncated prefix, not a second full pass.
     val candidates = idxCand.unionByName(tailCand)
 
     // 3. Verify against the base's CURRENT view. Bounded candidate sets

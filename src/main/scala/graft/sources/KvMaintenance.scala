@@ -147,6 +147,25 @@ object KvMaintenance extends org.apache.spark.internal.Logging {
         KvVacuum.Skipped(s"no table at $path"))
     KvLog.seedFromDirIfNeeded(fs, dir) // legacy table: manifest first
     val live = KvLog.liveFiles(fs, dir)
+    // SECONDARY INDEXES absorb the committed span FIRST (the HBase
+    // stance — upkeep is the store's job): a compaction below raises the
+    // log floor, and refreshing AFTER it would find every covered span
+    // unservable and fall back to a full O(table) rebuild on exactly the
+    // passes that compact — defeating the O(changes) design. Refreshed
+    // first, the span is still replayable; the floor rise lands only
+    // above the new covered seq and the next pass refreshes through it.
+    // Best-effort like the rest of the pass (lookups are
+    // verification-correct at any lag, so a failed refresh costs
+    // latency, never correctness); a fresh index is a no-op probe.
+    KvIndex.list(fs, dir).foreach { m =>
+      try KvIndex.refresh(spark, path, m.name)
+      catch {
+        case e: Exception =>
+          logWarning(s"graft-kv maintenance: index '${m.name}' refresh " +
+            s"on $path failed (lookups stay correct via verification): " +
+            s"${e.getMessage}")
+      }
+    }
     val compaction =
       if (live.size <= policy.maxSegments)
         KvCompactor.Parked(
@@ -173,22 +192,6 @@ object KvMaintenance extends org.apache.spark.internal.Logging {
           KvCompactor.CellPolicy(
             dropBelowTs = policy.ttlMs.map(System.currentTimeMillis() - _),
             maxVersions = policy.maxVersions))
-    }
-    // SECONDARY INDEXES ride the policy pass (the HBase stance — upkeep
-    // is the store's job): every index the table carries absorbs the
-    // base span committed since its last refresh, so a maintain-declared
-    // table's indexes track DML with no operator loop. Best-effort like
-    // the rest of the pass (lookups are verification-correct at any lag,
-    // so a failed refresh costs latency, never correctness), and
-    // incremental (O(changes)) — a fresh index is a no-op probe.
-    KvIndex.list(fs, dir).foreach { m =>
-      try KvIndex.refresh(spark, path, m.name)
-      catch {
-        case e: Exception =>
-          logWarning(s"graft-kv maintenance: index '${m.name}' refresh " +
-            s"on $path failed (lookups stay correct via verification): " +
-            s"${e.getMessage}")
-      }
     }
     // Vacuum runs regardless of the compaction outcome: it reclaims what
     // PREVIOUS passes removed once their grace expires, and crash strays.

@@ -218,11 +218,37 @@ object KvSalt {
       .map(_.toLong).distinct.sorted(Ordering[Long].reverse)
   }
 
+  /** ATOMIC replace of the hint file (the [[KvTableProps.write]] shape:
+    * staged tmp + replacing atomic move). A truncating in-place rewrite
+    * would open a window — crash or concurrent read between create and
+    * close — in which PUBLISHED declarations vanish from the hint and
+    * [[resolveAt]] silently falls back to the stale registration file:
+    * the superseded layout, with no error, permanently after a crash.
+    */
+  private def replaceHint(fs: FileSystem, table: Path, text: String): Unit = {
+    val target = declPath(table)
+    val tmp = new Path(target.getParent,
+      s".tmp-saltseq-${java.util.UUID.randomUUID().toString.take(8)}")
+    KvLog.writeText(fs, tmp, text)
+    if (Option(fs.getUri.getScheme).contains("file")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      fs.delete(target, false)
+      require(fs.rename(tmp, target),
+        s"graft-kv: publishing $tmp over $target failed — re-run the " +
+          "layout operation")
+    }
+  }
+
   /** Record `seq` as a (pending) declaration seq. Call BEFORE publishing
     * the declaring entry — see [[DeclSeqName]] for why the order matters.
     */
   private[sources] def declare(fs: FileSystem, table: Path, seq: Long): Unit =
-    KvLog.writeText(fs, declPath(table),
+    replaceHint(fs, table,
       (seq +: declSeqs(fs, table)).distinct.sorted(Ordering[Long].reverse)
         .mkString(" "))
 
@@ -241,8 +267,19 @@ object KvSalt {
     if (KvLog.read(fs, table, seq).exists(_.saltDecl.isDefined)) return
     val rest = declSeqs(fs, table).filterNot(_ == seq)
     if (rest.isEmpty) { fs.delete(declPath(table), false): Unit }
-    else KvLog.writeText(fs, declPath(table), rest.mkString(" "))
+    else replaceHint(fs, table, rest.mkString(" "))
   }
+
+  /** The newest PUBLISHED declaration seq (-1 = none): hinted seqs whose
+    * entry never published (a resalt's declare-to-publish window, or an
+    * aborted one awaiting rollback) are skipped — a consumer pinning its
+    * layout epoch must not adopt a declaration its own salt resolution
+    * (which also skips unpublished hints) did not see.
+    */
+  private[sources] def newestPublishedDecl(fs: FileSystem, table: Path): Long =
+    declSeqs(fs, table)
+      .find(s => KvLog.read(fs, table, s).exists(_.saltDecl.isDefined))
+      .getOrElse(-1L)
 
   /** Record the layout in the table's `salt_buckets` property — the
     * durable fallback + catalog write-injection source every declaring

@@ -82,14 +82,17 @@ private[sources] class KvTailStream(
   private val tableDir = new Path(path)
   private def fs = tableDir.getFileSystem(conf)
 
-  /** Newest salt-declaration seq at stream construction (-1 = none): the
-    * layout this stream's salt stripping and pushed-filter expansion were
-    * resolved under. [[advance]] fails loudly on any NEWER declaration —
-    * files past it are in a layout this stream cannot interpret. One
-    * probe per stream creation (absent-file for never-resalted tables).
+  /** Newest PUBLISHED salt-declaration seq at stream construction (-1 =
+    * none): the layout this stream's salt stripping and pushed-filter
+    * expansion were resolved under. [[advance]] fails loudly on any
+    * NEWER declaration — files past it are in a layout this stream
+    * cannot interpret. PUBLISHED matters: a hinted-but-unpublished seq
+    * (a resalt mid-declare) was not part of this stream's resolution, so
+    * adopting it here would let the stream sail past that declaration
+    * when it lands. Probe cost: absent-file for never-resalted tables.
     */
   private val declSeqAtStart: Long =
-    KvSalt.declSeqs(fs, tableDir).headOption.getOrElse(-1L)
+    KvSalt.newestPublishedDecl(fs, tableDir)
 
   // ------------------------------------------------------------ log mode
 

@@ -268,6 +268,73 @@ class KvIndexSpec extends graft.SparkSpec {
     e.getMessage should include("pad=3")
   }
 
+  test("a maintained pass refreshes BEFORE it compacts: no rebuild on the compacting pass") {
+    val dir = freshDir("order")
+    cells(400).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    // Pile up segments past the threshold, then run ONE maintenance pass
+    // (threshold 3 => it will compact). The pass must refresh the index
+    // FIRST — refreshing after the floor rise would force a full rebuild
+    // on every compacting pass.
+    (1 to 4).foreach { i =>
+      cells(30, tsBase = i * 100000L).write.format("graft-kv")
+        .option("regions", 1).mode("append").save(dir)
+    }
+    KvMaintenance.maintain(spark, dir,
+      KvMaintenance.Policy(maxSegments = 3, majorCompact = true,
+        vacuumGraceMs = 0L))
+    val fs = fsOf(dir)
+    val m = KvIndex.meta(fs, new Path(dir), "by_amt").get
+    // The pass's refresh covered everything up to (not incl.) its own
+    // compaction entry, so the NEXT refresh is servable — Fresh or
+    // Refreshed, never the O(table) Rebuilt.
+    assert(m.asOfSeq >= 4, s"pass refreshed to ${m.asOfSeq}")
+    val next = KvIndex.refresh(spark, dir, "by_amt")
+    assert(!next.isInstanceOf[KvIndex.Rebuilt], s"got $next")
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
+  }
+
+  test("a truncating overwrite preserves the index as an empty shell that self-heals") {
+    val dir = freshDir("truncshell")
+    cells(300).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    // Overwrite with DIFFERENT contents (shifted values).
+    cells(100, tsBase = 900000L)
+      .withColumn("value", encode(
+        (col("ts") - 900000L).cast("long").*(lit(7L)).cast("string"), "UTF-8"))
+      .write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    // The definition survived as a shell covering nothing...
+    val m = KvIndex.meta(fs, new Path(dir), "by_amt").get
+    m.asOfSeq shouldBe -1L
+    m.qualifier shouldBe "amt"
+    // ...lookups are immediately correct (the CDC tail spans the whole
+    // new table), and a refresh absorbs the new contents incrementally.
+    looked(dir, 70, 140) shouldBe oracle(dir, 70, 140)
+    assert(looked(dir, 70, 140).nonEmpty)
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Refreshed]
+    looked(dir, 70, 140) shouldBe oracle(dir, 70, 140)
+  }
+
+  test("decimal-mode bound and meta-encoding refusals") {
+    val dir = freshDir("refuse2")
+    cells(50).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 5)
+    intercept[IllegalArgumentException] {
+      KvIndex.lookup(spark, dir, "by_amt", "-10", "20").collect()
+    }.getMessage should include("non-negative decimal")
+    intercept[IllegalArgumentException] {
+      KvIndex.create(spark, dir, "idx2", "f", "my col")
+    }.getMessage should include("whitespace")
+    intercept[IllegalArgumentException] {
+      KvIndex.create(spark, dir, "idx2", "f", "a=b")
+    }.getMessage should include("whitespace or '='")
+  }
+
   test("a compaction-floor rise past the covered seq rebuilds instead of bricking") {
     val dir = freshDir("floor")
     cells(400).write.format("graft-kv").option("regions", 2)
