@@ -61,6 +61,19 @@ class KvIndexSpec extends graft.SparkSpec {
       .filter(col("rowKey") >= "00000600" && col("rowKey") < "00000660")
     assert(idxScan.rdd.getNumPartitions <
       KvLog.liveFiles(fsOf(idir), new Path(idir)).size.max(2))
+
+    // The VERIFICATION leg (In-pushdown path) also prunes: the pushed
+    // key set bloom/bounds-prunes the base scan below its region count —
+    // the point-lookup shape, not a full base scan. The scan node's
+    // description carries the planned/total counts.
+    val res = KvIndex.lookup(spark, dir, "by_amt", "600", "606")
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    val regions = "regions=(\\d+)/(\\d+)".r.findAllMatchIn(plan)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(regions.nonEmpty, s"no kv scan in plan:\n$plan")
+    assert(regions.exists { case (p, t) => t > 1 && p < t },
+      s"verification scan did not prune: $regions")
   }
 
   test("lookups stay correct under unrefreshed DML: inserts, updates, deletes") {
