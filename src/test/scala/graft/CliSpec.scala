@@ -113,6 +113,37 @@ class CliSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("index runbook: CreateIndex -> VerifyIndex -> RefreshIndex -> ResaltTable -> DropIndex") {
+    Cli.run(spark, "CreateTable", Array("idxTest", "c", "2"))
+    Cli.run(spark, "PopulateTable", Array("2", "200", "out", "idxTest", "c", "runI"))
+    Cli.run(spark, "CreateIndex", Array("idxTest", "by_c1", "c", "C1"))
+    val path = s"$wh/idxTest/cells"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.KvIndex.list(fs,
+      new org.apache.hadoop.fs.Path(path)).map(_.name) shouldBe Seq("by_c1")
+    val s0 = graft.sources.KvIndex.scrutiny(spark, path, "by_c1")
+    s0.missing shouldBe 0L
+
+    // Append, refresh, verify again.
+    Cli.run(spark, "PopulateTable", Array("1", "50", "out", "idxTest", "c", "runJ"))
+    Cli.run(spark, "RefreshIndex", Array("idxTest", "by_c1"))
+    graft.sources.KvIndex.scrutiny(spark, path, "by_c1").missing shouldBe 0L
+
+    // ResaltTable converts the layout in place; the next refresh
+    // rebuilds (declaration crossed) and lookups stay consistent.
+    val before = Cli.cells(spark, "idxTest").count()
+    Cli.run(spark, "ResaltTable", Array("idxTest", "4"))
+    Cli.cells(spark, "idxTest").count() shouldBe before
+    Cli.run(spark, "RefreshIndex", Array("idxTest", "by_c1"))
+    graft.sources.KvIndex.scrutiny(spark, path, "by_c1").missing shouldBe 0L
+    Cli.run(spark, "VerifyIndex", Array("idxTest", "by_c1"))
+    Cli.run(spark, "ListIndexes", Array("idxTest"))
+    Cli.run(spark, "DropIndex", Array("idxTest", "by_c1"))
+    graft.sources.KvIndex.list(fs,
+      new org.apache.hadoop.fs.Path(path)) shouldBe Seq.empty
+  }
+
   test("RunQuery runs any registered operator; unknown names list the registry") {
     // smoke an extension operator end-to-end through the CLI dispatch
     Cli.run(spark, "RunQuery", Array("txt_repetition", sfDir, "3"))
