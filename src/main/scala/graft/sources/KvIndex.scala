@@ -50,10 +50,11 @@ import org.apache.spark.sql.functions._
   * Values are compared as strings; `pad > 0` declares DECIMAL mode:
   * values are canonical non-negative decimal strings of at most `pad`
   * digits, left-zero-padded in index keys so they order numerically. An
-  * over-width value fails the build/refresh/lookup LOUDLY (the typed
-  * overflow contract — Spark's `lpad` TRUNCATES long inputs, which
-  * would otherwise return wrong rows with no error). Values containing
-  * NUL are refused at build time.
+  * over-width OR non-digit value fails the build/refresh/lookup LOUDLY
+  * (the typed contract — Spark's `lpad` TRUNCATES long inputs, and a
+  * padded non-digit value lands INSIDE numeric ranges; either would
+  * return wrong rows with no error). Values containing NUL are refused
+  * at build time.
   *
   * Scale shape: the index is a fraction of one column's bytes; refresh
   * is one bounded CDC read + one sorted append; a lookup is two pruned
@@ -182,9 +183,14 @@ object KvIndex {
   private def paddedValue(v: org.apache.spark.sql.Column, pad: Int) =
     if (pad > 0) lpad(v, pad, "0") else v
 
-  /** Decimal-mode width guard as a column: over-width values RAISE (a
+  /** Decimal-mode value guard as a column: over-width values RAISE (a
     * silently truncating `lpad` would corrupt both index keys and the
-    * verification filter — wrong rows, no error).
+    * verification filter — wrong rows, no error), and NON-DIGIT values
+    * RAISE too — decimal mode declares values are canonical non-negative
+    * decimal strings, and a non-digit value does NOT sort safely outside
+    * every padded range (pad=3 pads 'ab' to '0ab', INSIDE ['000','999')),
+    * so admitting one would return non-numeric rows from a numeric range
+    * in an order that diverges from a CAST-based reading of the query.
     */
   private def guardedValue(v: org.apache.spark.sql.Column, pad: Int) =
     if (pad <= 0) v
@@ -192,6 +198,11 @@ object KvIndex {
       raise_error(concat(lit("graft-kv index: value '"), v,
         lit(s"' exceeds the index's declared decimal width pad=$pad — " +
           "recreate the index with a larger pad"))))
+      .when(length(v) === 0 || length(translate(v, "0123456789", "")) > 0,
+        raise_error(concat(lit("graft-kv index: value '"), v,
+          lit("' is not a non-negative decimal string — a decimal-mode " +
+            "(pad > 0) index requires all-digit values; use a string " +
+            "index (pad = 0) for this column"))))
       .otherwise(v)
 
   /** Base cells → index cells. NUL-in-value and (decimal mode)
@@ -284,11 +295,47 @@ object KvIndex {
     since + 1 < KvLog.floor(fs, table) ||
       KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1)
 
+  /** Crash recovery for the rebuild swap: a crash between the two swap
+    * renames leaves the live index parked at dot-prefixed
+    * `.old-<name>-<tok>` — invisible to [[list]], so the index would be
+    * SILENTLY DROPPED (maintenance can't retry it, lookups throw "no
+    * index"). Restore any orphaned `.old-` dir whose live slot is absent.
+    * Run by [[refresh]] (so the next maintenance pass self-heals) and by
+    * the vacuum pass. Returns the number restored. The rebuild tok is 8
+    * hex chars, so the name parses unambiguously even though index names
+    * may themselves contain '-'.
+    */
+  private[sources] def recoverOrphans(fs: FileSystem, table: Path): Int = {
+    val root = indexRoot(table)
+    val olds = try {
+      fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith(".old-"))
+    } catch { case _: java.io.FileNotFoundException => return 0 }
+    olds.count { p =>
+      val stem = p.getName.stripPrefix(".old-")
+      // `<name>-<8 hex>`: split on the fixed-width suffix.
+      val ok = stem.length > 9 && stem.charAt(stem.length - 9) == '-' &&
+        stem.takeRight(8).forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
+      ok && {
+        val name = stem.dropRight(9)
+        val live = new Path(root, name)
+        // Only a parked dir WITH meta is a real index; and only when the
+        // live slot is genuinely gone (a live dir present means the swap
+        // completed or was restored — the .old dir is then GC debris).
+        !fs.exists(live) && metaIn(fs, p, name).isDefined &&
+          fs.rename(p, live)
+      }
+    }
+  }
+
   /** Absorb the base span `(m.asOfSeq, latest]` into the index. */
   def refresh(spark: SparkSession, path: String, name: String): RefreshResult = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
+    val m = meta(fs, table, name).orElse {
+      // Self-heal a crashed rebuild swap before concluding "no index".
+      if (recoverOrphans(fs, table) > 0) meta(fs, table, name) else None
+    }.getOrElse(throw new IllegalArgumentException(
       s"graft-kv index: no index '$name' on $path"))
     val latest = KvLog.latestSeq(fs, table)
     if (latest <= m.asOfSeq) return Fresh(m.asOfSeq)
@@ -389,10 +436,13 @@ object KvIndex {
     Scrutiny(m.asOfSeq, nCurrent, nMissing, nStale)
   }
 
-  /** Verified lookup: base keys and their CURRENT (last-write-wins,
+  /** Verified lookup: base keys and their current (last-write-wins,
     * delete-masked) value for `m.qualifier`, restricted to values in
     * `[lo, hi)` (string order; numeric order in decimal mode). Returns
-    * `(rowKey, value)` with the value decoded to a string.
+    * `(rowKey, value)` with the value decoded to a string. The whole
+    * lookup — tail span AND verification re-reads — is pinned to the one
+    * `latest` seq probed up front, so the answer is snapshot-consistent
+    * as of that version even under concurrent commits.
     */
   def lookup(spark: SparkSession, path: String, name: String,
       lo: String, hi: String, inPushdownCap: Int = InPushdownCap): DataFrame = {
@@ -409,8 +459,9 @@ object KvIndex {
       // non-digit bound (negative, signed, alpha) would compare
       // lexically against zero-padded keys in an order that diverges
       // from the numeric intent — refused rather than silently odd.
-      // (Non-digit VALUES in the corpus sort below every digit-padded
-      // bound and are simply never returnable by a decimal range.)
+      // (Non-digit VALUES are refused at build/refresh/verification
+      // time by guardedValue — they do NOT reliably sort outside padded
+      // ranges: pad=3 puts 'ab' → '0ab' inside ['000','999').)
       require(v.nonEmpty && v.forall(c => c >= '0' && c <= '9'),
         s"graft-kv index: decimal-mode $which bound '$v' must be a " +
           "non-negative decimal string")
@@ -443,7 +494,8 @@ object KvIndex {
     val tailCand =
       if (latest <= m.asOfSeq) Seq.empty[String].toDF("rowKey")
       else if (spanUnservable(fs, table, m.asOfSeq, latest))
-        inRange(baseCells(spark, path, m, Map.empty))
+        inRange(baseCells(spark, path, m,
+          Map("asOfSeq" -> latest.toString)))
       else inRange(baseCells(spark, path, m, Map(
         "sinceSeq" -> m.asOfSeq.toString, "asOfSeq" -> latest.toString)))
 
@@ -456,22 +508,28 @@ object KvIndex {
     // truncated prefix, not a second full pass.
     val candidates = idxCand.unionByName(tailCand)
 
-    // 3. Verify against the base's CURRENT view. Bounded candidate sets
-    //    go back as a pushed In — per-key bloom-pruned gets, the
-    //    point-lookup shape; larger sets verify via a join over one
-    //    family scan (still correct — the index then only saved the
-    //    driver the value filter, which is the honest cost of a
-    //    low-selectivity query).
+    // 3. Verify against the base AS OF the PINNED seq — the same `latest`
+    //    the tail span ends at, so the whole lookup is snapshot-consistent
+    //    as of one version (an unpinned current read here would let a
+    //    commit landing mid-lookup produce a mixed-version answer: a row
+    //    whose value left the range after `latest` excluded by the new
+    //    view while a row that entered after `latest` is missed by the
+    //    old one). Bounded candidate sets go back as a pushed In —
+    //    per-key bloom-pruned gets, the point-lookup shape; larger sets
+    //    verify via a join over one family scan (still correct — the
+    //    index then only saved the driver the value filter, which is the
+    //    honest cost of a low-selectivity query).
+    val pinned = Map("asOfSeq" -> latest.toString)
     val probe = candidates.limit(inPushdownCap + 1).collect()
     val verified =
       if (probe.isEmpty)
         return Seq.empty[(String, String)].toDF("rowKey", "value")
       else if (probe.length <= inPushdownCap) {
         val keys = probe.map(_.getString(0)).distinct
-        baseCells(spark, path, m, Map.empty)
+        baseCells(spark, path, m, pinned)
           .filter(col("rowKey").isin(keys.toIndexedSeq: _*))
       } else {
-        baseCells(spark, path, m, Map.empty)
+        baseCells(spark, path, m, pinned)
           .join(candidates, Seq("rowKey"), "left_semi")
       }
     verified

@@ -408,13 +408,23 @@ private[graft] object KvLog {
       carriedRemovals: Option[Map[String, Long]],
       saltDecl: Option[Int],
       layoutExpect: Option[Option[Int]]): Long = {
-    // SALT-LAYOUT EXPECTATION, validated inside the same critical section
-    // declaring publishes serialize through: the adds were written under
-    // this layout, and a resalt/restore that re-declared it since the
-    // caller's early check must fail the commit HERE, not land mixed-salt
-    // rows one seq after the declaration. Terminal (not a
-    // ConcurrentCommitException): a retry cannot help — the rows
-    // themselves are in the wrong layout.
+    val latest = latestSeq(fs, table)
+    if (writer.isDefined && latest >= 0 &&
+        read(fs, table, latest).exists(_.writer == writer)) return latest
+    val seq = latest + 1
+    // SALT-LAYOUT EXPECTATION, re-resolved AFTER the seq allocation above:
+    // the adds were written under this layout, and a resalt/restore that
+    // re-declared it since the caller's early check must fail the commit
+    // HERE, not land mixed-salt rows one seq after the declaration. The
+    // ordering makes this airtight even against a declarer in ANOTHER
+    // process (the in-process appendLocks don't cover it): any declaring
+    // entry published BEFORE this latestSeq read is visible to resolveAt
+    // (its marker is written before its entry publishes), and one
+    // published AFTER must contend for this same `seq` — atomicPublish
+    // then fails exactly one of the two, and the losing side either
+    // retries through a fresh layout check (us) or aborts its expectSeq
+    // guard (the declarer). Terminal (not a ConcurrentCommitException):
+    // a retry cannot help — the rows themselves are in the wrong layout.
     layoutExpect.foreach { wrote =>
       val now = KvSalt.resolveAt(fs, table, None)
       if (now != wrote) throw new IllegalStateException(
@@ -424,10 +434,6 @@ private[graft] object KvLog {
           "keys) — a resalt or layout-restoring restore ran; re-run the " +
           "statement")
     }
-    val latest = latestSeq(fs, table)
-    if (writer.isDefined && latest >= 0 &&
-        read(fs, table, latest).exists(_.writer == writer)) return latest
-    val seq = latest + 1
     // A caller that staged files keyed by a pre-allocated seq (compaction)
     // must not publish under a different one: an entry claiming to be the
     // complete live set while a concurrent commit slipped below it would

@@ -191,83 +191,83 @@ object KvSalt {
     }
   }
 
-  /** Name of the DECLARATION-SEQ hint under the table's log dir: the
-    * manifest seqs that carry a salt-layout declaration
-    * ([[KvLog.Entry.saltDecl]]), newest first, space-separated. Written by
-    * [[declare]] BEFORE the declaring entry publishes, so there is no
-    * window in which a reader plans a declared entry's files without
-    * knowing where to find its layout; a hint naming a seq whose entry
-    * never published (aborted resalt) is skipped by [[resolveAt]] — the
-    * hint is a lookup accelerator, never an authority.
+  /** Name of the DECLARATION-SEQ marker dir under the table's log dir:
+    * one IMMUTABLE, EMPTY file per declaration, named by the manifest seq
+    * that carries a salt-layout declaration ([[KvLog.Entry.saltDecl]]).
+    * Written by [[declare]] BEFORE the declaring entry publishes, so
+    * there is no window in which a reader plans a declared entry's files
+    * without knowing where to find its layout; a marker naming a seq
+    * whose entry never published (aborted resalt) is skipped by
+    * [[resolveAt]] — markers are a lookup accelerator, never an
+    * authority.
+    *
+    * Per-seq immutable markers (not one mutable list file) make
+    * declaration discovery CRASH-PROOF AND LOCK-FREE: a single rewritten
+    * hint needs delete-then-rename on stores without replacing atomic
+    * rename, and a crash between the two would permanently hide every
+    * published declaration — [[resolveAt]] would silently fall back to
+    * the stale `_salt` registration (the superseded layout, no error).
+    * A marker file either exists or it doesn't; concurrent declarers at
+    * different seqs touch different files and cannot drop each other.
     */
-  private val DeclSeqName = "_saltseq"
+  private val DeclDirName = "_saltdecl"
 
-  private def declPath(table: Path) =
-    new Path(new Path(table, KvLog.LogDirName), DeclSeqName)
+  /** Pre-markers hint file (one mutable space-separated seq list) — read
+    * for tables written by earlier engine versions, never written.
+    */
+  private val LegacyDeclSeqName = "_saltseq"
+
+  private def declDir(table: Path) =
+    new Path(new Path(table, KvLog.LogDirName), DeclDirName)
 
   /** Manifest seqs carrying salt declarations, newest first; empty for
     * every table whose layout never changed (then [[resolveAt]] is a
-    * single `_salt` probe — the status-quo read cost).
+    * marker-dir probe + a `_salt` probe — still O(1) metadata reads).
     */
   private[sources] def declSeqs(fs: FileSystem, table: Path): Seq[Long] = {
-    val p = declPath(table)
-    val text = try Some(KvLog.readText(fs, p)) catch {
-      case _: java.io.FileNotFoundException => None
+    val markers = try {
+      fs.listStatus(declDir(table)).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(c => c >= '0' && c <= '9'))
+        .map(_.toLong)
+    } catch { case _: java.io.FileNotFoundException => Nil }
+    val legacy = {
+      val p = new Path(new Path(table, KvLog.LogDirName), LegacyDeclSeqName)
+      val text = try Some(KvLog.readText(fs, p)) catch {
+        case _: java.io.FileNotFoundException => None
+      }
+      text.toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty).map(_.toLong)
     }
-    text.toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
-      .map(_.toLong).distinct.sorted(Ordering[Long].reverse)
+    (markers ++ legacy).distinct.sorted(Ordering[Long].reverse)
   }
 
-  /** ATOMIC replace of the hint file (the [[KvTableProps.write]] shape:
-    * staged tmp + replacing atomic move). A truncating in-place rewrite
-    * would open a window — crash or concurrent read between create and
-    * close — in which PUBLISHED declarations vanish from the hint and
-    * [[resolveAt]] silently falls back to the stale registration file:
-    * the superseded layout, with no error, permanently after a crash.
+  /** Record `seq` as a (pending) declaration seq: create the immutable
+    * per-seq marker. Call BEFORE publishing the declaring entry — see
+    * [[DeclDirName]] for why the order matters. Idempotent: a marker that
+    * already exists (a concurrent declarer hinting the same contended
+    * seq) is exactly the state this call establishes.
     */
-  private def replaceHint(fs: FileSystem, table: Path, text: String): Unit = {
-    val target = declPath(table)
-    val tmp = new Path(target.getParent,
-      s".tmp-saltseq-${java.util.UUID.randomUUID().toString.take(8)}")
-    KvLog.writeText(fs, tmp, text)
-    if (Option(fs.getUri.getScheme).contains("file")) {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(target.toUri.getPath),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      fs.delete(target, false)
-      require(fs.rename(tmp, target),
-        s"graft-kv: publishing $tmp over $target failed — re-run the " +
-          "layout operation")
-    }
+  private[sources] def declare(fs: FileSystem, table: Path, seq: Long): Unit = {
+    require(seq >= 0, s"graft-kv: declaration seq must be non-negative, got $seq")
+    val p = new Path(declDir(table), seq.toString)
+    fs.mkdirs(p.getParent)
+    try fs.create(p, false).close()
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
   }
 
-  /** Record `seq` as a (pending) declaration seq. Call BEFORE publishing
-    * the declaring entry — see [[DeclSeqName]] for why the order matters.
-    */
-  private[sources] def declare(fs: FileSystem, table: Path, seq: Long): Unit =
-    replaceHint(fs, table,
-      (seq +: declSeqs(fs, table)).distinct.sorted(Ordering[Long].reverse)
-        .mkString(" "))
-
-  /** Drop `seq` from the declaration hint — the rollback for an ABORTED
-    * declaring publish. Best-effort: a stale pending seq left behind by a
-    * crash only costs [[resolveAt]] one wasted entry probe.
+  /** Drop `seq`'s marker — the rollback for an ABORTED declaring publish.
+    * Best-effort: a stale pending marker left behind by a crash only
+    * costs [[resolveAt]] one wasted entry probe.
     *
     * Guarded against the two-declarers race: when TWO declaring
     * operations (a resalt and a layout-restoring restore, say) both
-    * hinted the same seq and the OTHER one won the publish, the entry at
-    * `seq` carries a genuine declaration — dropping the hint then would
+    * marked the same seq and the OTHER one won the publish, the entry at
+    * `seq` carries a genuine declaration — deleting the marker then would
     * make [[resolveAt]] permanently resolve the superseded layout. The
-    * loser's rollback must leave a published declaration's hint alone.
+    * loser's rollback must leave a published declaration's marker alone.
     */
   private[sources] def undeclare(fs: FileSystem, table: Path, seq: Long): Unit = {
     if (KvLog.read(fs, table, seq).exists(_.saltDecl.isDefined)) return
-    val rest = declSeqs(fs, table).filterNot(_ == seq)
-    if (rest.isEmpty) { fs.delete(declPath(table), false): Unit }
-    else replaceHint(fs, table, rest.mkString(" "))
+    fs.delete(new Path(declDir(table), seq.toString), false): Unit
   }
 
   /** The newest PUBLISHED declaration seq (-1 = none): hinted seqs whose

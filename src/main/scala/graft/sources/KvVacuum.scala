@@ -112,6 +112,33 @@ object KvVacuum {
         files += 1
       }
     }
+    // INDEX-REBUILD leftovers under `_index/`: first RECOVER any live
+    // index a crashed swap parked at `.old-<name>-<tok>` (restoring data
+    // always precedes reclaiming bytes), then GC aged `.rebuild-*` /
+    // `.old-*` staging dirs whose live slot exists — crash debris the
+    // top-level scratch scan above never sees. Same recursive-newest-mtime
+    // age rule as the scratch dirs: an in-flight rebuild keeps its staging
+    // young by writing into it.
+    val idxRoot = new Path(dir, KvIndex.DirName)
+    if (fs.exists(idxRoot)) {
+      KvIndex.recoverOrphans(fs, dir): Unit
+      fs.listStatus(idxRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory &&
+            (n.startsWith(".rebuild-") || n.startsWith(".old-"))) {
+          try {
+            val it = fs.listFiles(st.getPath, true)
+            var newest = st.getModificationTime
+            while (it.hasNext)
+              newest = math.max(newest, it.next().getModificationTime)
+            if (newest < cutoff) {
+              fs.delete(st.getPath, true): Unit
+              dirs += 1
+            }
+          } catch { case _: java.io.FileNotFoundException => () }
+        }
+      }
+    }
     Vacuumed(files, bytes, dirs)
   }
 }

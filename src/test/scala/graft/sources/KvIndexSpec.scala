@@ -281,6 +281,80 @@ class KvIndexSpec extends graft.SparkSpec {
     e.getMessage should include("pad=3")
   }
 
+  test("decimal mode refuses NON-DIGIT values at build and refresh") {
+    val dir = freshDir("nondigit")
+    cells(100).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    // A non-digit value pads INSIDE numeric ranges ('ab' → '0ab' lies in
+    // ['000','999')) — admitting it would return non-numeric rows from a
+    // decimal range, so the build refuses loudly.
+    Seq(("kx", "ab", 50L)).toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    val e = intercept[Exception] {
+      KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 3)
+    }
+    e.getMessage should include("not a non-negative decimal")
+    // A STRING index (pad = 0) over the same column is fine.
+    KvIndex.create(spark, dir, "by_amt_s", "f", "amt", pad = 0)
+    KvIndex.lookup(spark, dir, "by_amt_s", "aa", "ac")
+      .as[(String, String)].collect().toSet shouldBe Set("kx" -> "ab")
+    // And on a clean decimal index, a refresh over a later non-digit
+    // write refuses the same way instead of silently indexing it.
+    val dir2 = freshDir("nondigit2")
+    cells(100).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir2)
+    KvIndex.create(spark, dir2, "by_amt", "f", "amt", pad = 3)
+    Seq(("ky", "3x", 60L)).toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir2)
+    intercept[Exception] { KvIndex.refresh(spark, dir2, "by_amt") }
+      .getMessage should include("not a non-negative decimal")
+  }
+
+  test("a crashed rebuild swap self-heals: refresh recovers the parked index, vacuum GCs staging debris") {
+    val dir = freshDir("crashswap")
+    cells(300).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    val fs = fsOf(dir)
+    val root = new Path(dir, KvIndex.DirName)
+    val live = new Path(root, "by_amt")
+    // Simulate a crash between the swap's two renames: the live index is
+    // parked aside, nothing sits in the live slot.
+    val aside = new Path(root, ".old-by_amt-deadbeef")
+    assert(fs.rename(live, aside))
+    KvIndex.list(fs, new Path(dir)) shouldBe Nil
+    // The next maintenance refresh self-heals instead of throwing
+    // "no index", and the recovered index serves correct lookups.
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Fresh]
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
+    KvIndex.list(fs, new Path(dir)).map(_.name) shouldBe Seq("by_amt")
+
+    // Aged crash leftovers under _index/ — a .rebuild staging dir, and a
+    // parked .old whose live slot EXISTS (swap completed) — are GC'd by
+    // vacuum; young ones are left alone.
+    val staged = new Path(root, ".rebuild-by_amt-cafef00d")
+    fs.mkdirs(staged)
+    KvLog.writeText(fs, new Path(staged, "junk"), "x")
+    val debris = new Path(root, ".old-by_amt-cafef00d")
+    fs.mkdirs(debris)
+    KvVacuum.vacuum(spark, dir, graceMs = 24L * 3600 * 1000)
+    assert(fs.exists(staged), "young staging dir must survive")
+    // Age them below the cutoff and vacuum again.
+    Seq(staged, debris).foreach { p =>
+      fs.listStatus(p).foreach(st => fs.setTimes(st.getPath, 1000L, 1000L))
+      fs.setTimes(p, 1000L, 1000L)
+    }
+    KvVacuum.vacuum(spark, dir, graceMs = 1000L)
+    assert(!fs.exists(staged), "aged .rebuild staging must be reclaimed")
+    assert(!fs.exists(debris), "aged .old debris must be reclaimed")
+    assert(fs.exists(live), "the live index is never touched")
+    looked(dir, 300, 360) shouldBe oracle(dir, 300, 360)
+  }
+
   test("a maintained pass refreshes BEFORE it compacts: no rebuild on the compacting pass") {
     val dir = freshDir("order")
     cells(400).write.format("graft-kv").option("regions", 2)

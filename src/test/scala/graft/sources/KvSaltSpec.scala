@@ -362,4 +362,53 @@ class KvSaltSpec extends graft.SparkSpec {
       .select("rowKey").collect().map(_.getString(0)).sorted.toSeq shouldBe
       Seq("k2", "k3")
   }
+
+  test("salt declarations are immutable per-seq markers: declarers cannot drop each other, rollback spares published seqs") {
+    import spark.implicits._
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_salt_declmark"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    val rows = Seq(("k1", "f", "a", "v".getBytes("UTF-8"), 1L))
+      .toDF("rowKey", "family", "qualifier", "value", "ts")
+    rows.write.format("graft-kv").option("regions", 1).mode("overwrite").save(d)
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val t = new Path(d)
+
+    // Two declaring operations at DIFFERENT seqs (a resalt + a restore,
+    // say) each create their own marker file — neither read-modify-writes
+    // a shared list, so neither can lose the other's declaration (the
+    // failure mode of the old single mutable hint file).
+    KvSalt.declare(fs, t, 5L)
+    KvSalt.declare(fs, t, 7L)
+    KvSalt.declSeqs(fs, t) shouldBe Seq(7L, 5L)
+    // declare is idempotent (a re-run after a crash re-marks the seq).
+    KvSalt.declare(fs, t, 5L)
+    KvSalt.declSeqs(fs, t) shouldBe Seq(7L, 5L)
+
+    // No entry was ever published at 5 or 7: the markers are pending
+    // accelerator state, and resolution falls through to the table's
+    // registration (here: unsalted).
+    KvSalt.resolveAt(fs, t, None) shouldBe None
+
+    // Rollback of an UNPUBLISHED seq deletes exactly its own marker.
+    KvSalt.undeclare(fs, t, 5L)
+    KvSalt.declSeqs(fs, t) shouldBe Seq(7L)
+
+    // A PUBLISHED declaration's marker survives a (racing loser's)
+    // rollback: run the real declare-then-publish flow at the next seq,
+    // then try to undeclare it.
+    val seq = KvLog.latestSeq(fs, t) + 1
+    KvSalt.declare(fs, t, seq)
+    KvLog.append(fs, t, adds = Nil, saltDecl = Some(0),
+      expectSeq = Some(seq)) shouldBe seq
+    KvSalt.undeclare(fs, t, seq)
+    KvSalt.declSeqs(fs, t) should contain(seq)
+    KvSalt.undeclare(fs, t, 7L) // unpublished leftover cleans up fine
+    KvSalt.declSeqs(fs, t) shouldBe Seq(seq)
+
+    // Legacy single-file hints (pre-marker tables) are still discovered,
+    // unioned with markers.
+    KvLog.writeText(fs, new Path(new Path(t, KvLog.LogDirName), "_saltseq"),
+      "3")
+    KvSalt.declSeqs(fs, t).toSet shouldBe Set(seq, 3L)
+  }
 }
