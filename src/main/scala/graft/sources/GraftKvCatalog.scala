@@ -84,7 +84,8 @@ object GraftKvCatalog {
 }
 
 class GraftKvCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -307,6 +308,31 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalStateException(
         s"graft-kv catalog: rename $oldIdent -> $newIdent failed")
   }
+
+  // ------------------------------------------------------------- functions
+
+  /** The storage-partitioned-join support surface ([[KvRegionLayout]]):
+    * Spark converts a scan's reported `KeyGroupedPartitioning` into a
+    * catalyst one only when the relation's catalog can load the named
+    * transform function — this is that loader. The `grange_<token>`
+    * names carry layout IDENTITY only (evaluation state rides the
+    * transform's literal argument), so any well-formed name binds to the
+    * one implementation; tokens never collide in practice and a wrong
+    * token could at worst fail co-location, never correctness.
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && KvRegionLayout.isRegionFnName(ident.name()))
+      KvRegionUnbound(ident.name())
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  /** The region functions are anonymous infrastructure (one per layout,
+    * named by content hash) — not enumerable, and not meant for direct
+    * SQL use.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array.empty
 
   // ------------------------------------------------------------ procedures
 

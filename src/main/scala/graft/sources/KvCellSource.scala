@@ -671,9 +671,46 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
+
+  /** CERTIFIED KEY-RANGE partitioning for storage-partitioned joins
+    * ([[KvRegionLayout]] doc): when the version's full live file set
+    * certifies strictly-disjoint sorted stored ranges, the layout spec +
+    * per-file region ordinals let two same-layout kv scans (snapshot
+    * diff, table⋈clone, self-joins) co-locate WITHOUT exchanges. Refused
+    * under plan shapes whose partitions stop being one-whole-region-each
+    * (byte-range splits, limit/top-n file capping, row-level group scan)
+    * and on CDC feeds (epoch segments overlap anyway); pruning is fine —
+    * dropped regions just mean absent partition values, which Spark pads.
+    */
+  private lazy val spjLayout: Option[(String, Map[String, Int])] = {
+    if (limit.isDefined || ordered || splitRegionBytes.isDefined ||
+      groupPruneOnly || sinceSeq.isDefined ||
+      !required.fieldNames.contains("rowKey")) None
+    else KvRegionLayout.fromStats(saltBuckets,
+      allFilesWithStats.map { case (f, st) => (f.toString, st) })
+      .map { case (l, idx) => (KvRegionLayout.encode(l), idx) }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spjLayout match {
+      case Some((spec, _)) =>
+        // Single-argument transform over the key column — Spark's
+        // supportsExpressions gate rejects extra children — so the spec
+        // travels via the registry instead ([[KvRegionLayout]] doc).
+        val fname = KvRegionLayout.register(spec)
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.apply(fname, Expressions.column("rowKey"))),
+          plannedFiles.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
 
   /** RUNTIME region pruning (the HBase multi-get → region-server routing
     * analog, and Spark's DPP shape for V2 sources): when this scan sits
@@ -757,12 +794,24 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   // — and the MANIFEST-CARRIED stats serve the rowKey bounds, so a logged
   // table prunes with ZERO footer opens (each of which is an object-store
   // round-trip at 100 TB); only stat-less legacy files pay the footer.
-  private lazy val (keptFiles, totalFiles)
-      : (Seq[(String, Option[KvLog.FileStat])], Int) = {
+  /** The version's FULL live (file, stat) set, pre-pruning — pruning
+    * consumes it below, and the key-range layout certification
+    * ([[spjLayout]]) must see the whole layout: two scans of one table
+    * with different pushed filters still describe the SAME layout, or
+    * their partition-value spaces could never be compared.
+    */
+  private lazy val allFilesWithStats
+      : Seq[(Path, Option[KvLog.FileStat])] = {
     val conf = sconf.value
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val all = KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
+    KvLog.scanFilesWithStats(fs, p, asOfSeq, sinceSeq, snapshot)
+  }
+
+  private lazy val (keptFiles, totalFiles)
+      : (Seq[(String, Option[KvLog.FileStat])], Int) = {
+    val conf = sconf.value
+    val all = allFilesWithStats
     val bounds = KvFilters.rowKeyIntervalSets(pushed)
     // Point predicates additionally probe each file's MANIFEST BLOOM
     // (KvBloom — the HBase ROW-bloom Get path): epoch segments all span
@@ -979,6 +1028,13 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
           f => Some(slices.getOrElse(f, KvDelete.buildMask(Iterator.empty)))
         case None => _ => None
       }
+    // Region ordinals for the key-grouped partitioning report (original
+    // layout positions — pruning keeps each survivor's ordinal stable, so
+    // the partition VALUES two same-layout scans expose always agree).
+    val regionIdxOf: String => Int = spjLayout match {
+      case Some((_, idx)) => f => idx.getOrElse(f, -1)
+      case None => _ => -1
+    }
     val pieces = splitRegionBytes.filter(_ => limit.isEmpty) match {
       case Some(target) =>
         lazy val fsys = new Path(path).getFileSystem(sconf.value)
@@ -993,7 +1049,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
               maskSlice = sliceFor(f))
           }
         }
-      case None => files.map(f => KvFilePartition(f, maskSlice = sliceFor(f)))
+      case None => files.map(f =>
+        KvFilePartition(f, maskSlice = sliceFor(f), regionIdx = regionIdxOf(f)))
     }
     pieces.toArray
   }
@@ -1158,9 +1215,19 @@ private[sources] case class KvFilePartition(file: String,
       * coexist with its file's key range. None in broadcast-mask mode
       * and on unmasked scans.
       */
-    maskSlice: Option[KvDelete.Mask] = None)
-    extends InputPartition {
+    maskSlice: Option[KvDelete.Mask] = None,
+    /** Region ordinal under the scan's certified key-range layout
+      * ([[KvScan]] spjLayout) — the partition key Spark's
+      * storage-partitioned join zips on. -1 when the scan reported no
+      * key-grouped partitioning; Spark only consults [[partitionKey]]
+      * when one was reported, so the sentinel is never observed.
+      */
+    regionIdx: Int = -1)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
   def wholeFile: Boolean = rangeStart == 0L && rangeEnd == Long.MaxValue
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](regionIdx))
 }
 
 private[sources] case class KvReaderFactory(
