@@ -1072,6 +1072,40 @@ object Queries {
       |  AND lpad(CAST(user_id AS VARCHAR), 8, '0') < '00000012'
       |GROUP BY 1, 2""".stripMargin
 
+  /** r15: the STORAGE-PARTITIONED-JOIN surface as an oracle query — a
+    * same-table co-located join (each user's 'click' cells against their
+    * 'view' cells — the wide-row family-join HBase pattern). Both sides
+    * read the certified 4-region catalog table, so the scan's reported
+    * `KeyGroupedPartitioning` ([[graft.sources.KvRegionLayout]]) plans
+    * the join partition-wise AND feeds the downstream per-user
+    * aggregation — ZERO shuffle exchanges end to end (PlanSpec pins it).
+    * At 100 TB this is the difference between two table-sized hash
+    * exchanges and none: the reference's analog is region-aligned scan
+    * routing (one task per region,
+    * ExportHBaseTableToDelimiteredTxt.java:75-80).
+    */
+  def kvColocatedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalogTable(spark, sfDir)
+    spark.sql(
+      s"""SELECT a.rowKey, count(*) AS n_pairs,
+         |  max(a.ts) AS max_click_ts, max(b.ts) AS max_view_ts
+         |FROM $cat.corpus.events_kv a JOIN $cat.corpus.events_kv b
+         |  ON a.rowKey = b.rowKey
+         |WHERE a.qualifier = 'click' AND b.qualifier = 'view'
+         |GROUP BY a.rowKey""".stripMargin)
+  }
+
+  private val kvColocatedJoinSql: String =
+    """WITH cells AS (
+      |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+      |    event_type AS qualifier, event_id AS ts
+      |  FROM events)
+      |SELECT a.rowKey, count(*) AS n_pairs,
+      |  max(a.ts) AS max_click_ts, max(b.ts) AS max_view_ts
+      |FROM cells a JOIN cells b ON a.rowKey = b.rowKey
+      |WHERE a.qualifier = 'click' AND b.qualifier = 'view'
+      |GROUP BY 1""".stripMargin
+
   /** r13 (closes the last salted/unsalted WRITE asymmetry): a SALTED
     * catalog table populated by PLAIN SQL INSERT. The catalog injects
     * sink-side salting ([[graft.sources.KvCatalogTable]] →
@@ -4857,6 +4891,7 @@ object Queries {
     "kv_delete_mask" -> (kvDeleteMask _),
     "kv_delete_compact" -> (kvDeleteCompact _),
     "kv_catalog_sql" -> (kvCatalogSql _),
+    "kv_colocated_join" -> (kvColocatedJoin _),
     "kv_sql_crud" -> (kvSqlCrud _),
     "kv_crud_masked" -> (kvCrudMasked _),
     "kv_runtime_prune" -> (kvRuntimePrune _),
@@ -5012,6 +5047,7 @@ object Queries {
     "kv_delete_mask" -> kvDeleteMaskSql,
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied
     "kv_catalog_sql" -> kvCatalogSqlSql,
+    "kv_colocated_join" -> kvColocatedJoinSql,
     "kv_sql_crud" -> kvSqlCrudSql,
     "kv_crud_masked" -> kvCrudMaskedSql,
     "kv_runtime_prune" -> kvRuntimePruneSql,

@@ -105,6 +105,18 @@ class PlanSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 0
   }
 
+  test("storage-partitioned kv self-join + aligned aggregate run with ZERO shuffles") {
+    val df = Queries.all("kv_colocated_join")(spark, sfDir)
+    val plan = executedPlan(df)
+    // Both scans report the SAME certified region layout, the join zips
+    // partitions, and the per-user aggregate rides the co-location — no
+    // hash exchange anywhere (a broadcast may appear if AQE picks BHJ;
+    // the claim under test is that nothing table-sized ever shuffles).
+    plan should not include "Exchange hashpartitioning"
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 0
+    df.count() should be > 0L
+  }
+
   test("bucketed co-partitioned join + aligned aggregate run with ZERO exchanges") {
     val plan = executedPlan(Queries.all("rel_bucketed_join")(spark, sfDir))
     plan should include("SortMergeJoin")
