@@ -196,6 +196,18 @@ object Queries {
     graft.sources.KvIndex.lookup(spark,
       ensureIndexedCells(spark, sfDir), "by_click", "9000", "12000")
 
+  /** r15: AUTOMATIC index routing ([[graft.sources.KvIndex.autoLookup]])
+    * — the caller states only the PREDICATE (family, qualifier, value
+    * range); whether it runs as the verified index lookup or a plain
+    * scan+filter is the engine's manifest-stats cost call, Phoenix-style.
+    * Same staging and oracle as `kv_index_maintained`: the routed and
+    * unrouted plans must be indistinguishable in their answer, which is
+    * exactly what makes automatic routing safe to ship.
+    */
+  def kvIndexAuto(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.KvIndex.autoLookup(spark,
+      ensureIndexedCells(spark, sfDir), "f", "click", "9000", "12000")
+
   private val kvIndexMaintainedSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
@@ -4898,6 +4910,7 @@ object Queries {
     "kv_salted_scan" -> (kvSaltedScan _),
     "kv_resalt_scan" -> (kvResaltScan _),
     "kv_index_maintained" -> (kvIndexMaintained _),
+    "kv_index_auto" -> (kvIndexAuto _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -5054,6 +5067,7 @@ object Queries {
     "kv_salted_scan" -> kvV2RangeScanSql, // salt must be invisible: same oracle
     "kv_resalt_scan" -> kvV2RangeScanSql, // ...and so must a layout CONVERSION
     "kv_index_maintained" -> kvIndexMaintainedSql,
+    "kv_index_auto" -> kvIndexMaintainedSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

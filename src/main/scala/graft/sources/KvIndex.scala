@@ -436,6 +436,135 @@ object KvIndex {
     Scrutiny(m.asOfSeq, nCurrent, nMissing, nStale)
   }
 
+  /** AUTOMATIC INDEX ROUTING — the Phoenix-optimizer behavior the
+    * explicit [[lookup]] API leaves to the caller: given a VALUE range
+    * predicate on one (family, qualifier) of the table, decide from
+    * manifest stats alone whether to serve it through a matching
+    * maintained index (verified lookup: pruned index range scan +
+    * bloom-pruned candidate gets) or through the plain full family scan
+    * (LWW + filter). Both plans are always CORRECT — the decision is
+    * purely a cost call, exactly HBase/Phoenix's: an index only pays
+    * when the range is selective, because every candidate still costs a
+    * verified base re-read, so a range matching most of the table would
+    * turn one scan into a scan plus an index's worth of gets.
+    *
+    * The estimate is zero-I/O beyond two driver-side manifest replays:
+    * the INDEX's region files are VALUE-ordered with recorded key
+    * bounds, so the candidate count is the row sum of index files
+    * overlapping `[loPad, hiPad)` (conservative: a partly-overlapping
+    * file counts whole), and the base row count comes from the base
+    * manifest. Route to the index when candidates ≤ `maxSelectivity` ×
+    * base rows. The unabsorbed CDC tail rides the verified lookup as
+    * always and is not part of the estimate (bounded by maintenance
+    * lag).
+    *
+    * `pad` is only consulted when NO matching index exists (the full-scan
+    * fallback still needs the value collation); with an index, its
+    * recorded pad wins and a contradicting argument is refused.
+    */
+  def autoLookup(spark: SparkSession, path: String, family: String,
+      qualifier: String, lo: String, hi: String, pad: Int = 0,
+      maxSelectivity: Double = 0.2,
+      inPushdownCap: Int = InPushdownCap): DataFrame = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val matching = list(fs, table)
+      .find(m => m.family == family && m.qualifier == qualifier)
+    matching match {
+      case Some(m) =>
+        require(pad == 0 || pad == m.pad,
+          s"graft-kv index: autoLookup pad=$pad contradicts index " +
+            s"'${m.name}' (pad=${m.pad}) on ($family, $qualifier)")
+        if (rangeIsSelective(spark, fs, table, m, lo, hi, maxSelectivity))
+          lookup(spark, path, m.name, lo, hi, inPushdownCap)
+        else scanLookup(spark, path, m.copy(name = "<scan>"), lo, hi)
+      case None =>
+        scanLookup(spark, path,
+          Meta("<scan>", family, qualifier, pad, -1L), lo, hi)
+    }
+  }
+
+  private def rangeIsSelective(spark: SparkSession, fs: FileSystem,
+      table: Path, m: Meta, lo: String, hi: String,
+      maxSelectivity: Double): Boolean = {
+    def padded(v: String) =
+      if (m.pad > 0) ("0" * math.max(0, m.pad - v.length)) + v else v
+    val (loPad, hiPad) = (padded(lo), padded(hi))
+    val idxStats = KvLog.liveFilesWithStats(fs, indexDir(table, m.name))
+    val baseStats = KvLog.liveFilesWithStats(fs, table)
+    val baseRows = baseStats.flatMap(_._2).map(_.rows).sum
+    if (baseRows <= 0) return true // empty/stat-less base: index is free
+    val candidates = idxStats.map { case (_, st) =>
+      st match {
+        case Some(s) => (s.minKey, s.maxKey) match {
+          // value-leading index keys: the file overlaps [loPad, hiPad)
+          // unless it ends below lo or starts at/after hi; a partial
+          // overlap interpolates under the equi-depth assumption (the
+          // standard histogram estimate — region files ARE equi-depth
+          // buckets of the value order).
+          case (Some(mn), Some(mx)) =>
+            if (mx < loPad || mn >= hiPad) 0.0
+            else {
+              val (a, b) = (lexPos(mn), lexPos(mx))
+              val span = b - a
+              if (span <= 0) s.rows.toDouble // one-value file: all in
+              else {
+                val f = ((math.min(lexPos(hiPad), b) -
+                  math.max(lexPos(loPad), a)) / span).max(0.0).min(1.0)
+                (s.rows * f).max(1.0)
+              }
+            }
+          case _ => s.rows.toDouble
+        }
+        case None => Double.MaxValue / 1024 // stat-less index file: assume big
+      }
+    }.sum
+    candidates <= maxSelectivity * baseRows
+  }
+
+  /** Lexicographic position of a key in [0, 1): its first 8 bytes read
+    * base-256 — the monotone projection the fractional-overlap estimate
+    * interpolates on. Exact for fixed-width padded decimals (the decimal
+    * index mode); an approximation for arbitrary strings, which only
+    * moves a COST estimate, never correctness.
+    */
+  private def lexPos(s: String): Double = {
+    val b = s.getBytes("UTF-8")
+    var v = 0.0
+    var scale = 1.0 / 256
+    var i = 0
+    while (i < 8) {
+      v += (if (i < b.length) (b(i) & 0xff) else 0) * scale
+      scale /= 256
+      i += 1
+    }
+    v
+  }
+
+  /** The index-free plan for the same answer: one pruned family scan,
+    * LWW per key, the range filter on the current value — what a
+    * low-selectivity range SHOULD do (reading the table once beats the
+    * index's per-candidate verification there).
+    */
+  private def scanLookup(spark: SparkSession, path: String, m: Meta,
+      lo: String, hi: String): DataFrame = {
+    def padded(v: String) =
+      if (m.pad > 0) ("0" * math.max(0, m.pad - v.length)) + v else v
+    val (loPad, hiPad) = (padded(lo), padded(hi))
+    if (m.pad > 0) Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
+      require(v.length <= m.pad && v.nonEmpty &&
+        v.forall(c => c >= '0' && c <= '9'),
+        s"graft-kv index: decimal-mode $which bound '$v' must be a " +
+          s"non-negative decimal string of at most ${m.pad} digits")
+    }
+    val pv = paddedValue(guardedValue(col("value"), m.pad), m.pad)
+    baseCells(spark, path, m, Map.empty)
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+        "UTF-8").as("value"))
+      .filter(pv >= loPad && pv < hiPad)
+  }
+
   /** Verified lookup: base keys and their current (last-write-wins,
     * delete-masked) value for `m.qualifier`, restricted to values in
     * `[lo, hi)` (string order; numeric order in decimal mode). Returns

@@ -281,6 +281,47 @@ class KvIndexSpec extends graft.SparkSpec {
     e.getMessage should include("pad=3")
   }
 
+  test("autoLookup routes a selective range through the index and a wide range to the scan") {
+    val dir = freshDir("auto")
+    cells(3000).write.format("graft-kv").option("regions", 4)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+
+    def auto(lo: Long, hi: Long) =
+      KvIndex.autoLookup(spark, dir, "f", "amt", lo.toString, hi.toString)
+
+    // SELECTIVE range (20 of 3000 keys): routed through the index — the
+    // plan contains the _index table scan, and the base verification leg
+    // plans only the candidate gets (pruned regions), not a full scan.
+    val narrow = auto(600, 660)
+    narrow.as[(String, String)].collect().toSet shouldBe oracle(dir, 600, 660)
+    // The routed signature: the index probe ran driver-side and came
+    // back as a pushed In of candidate keys, whose bloom/bounds pruning
+    // plans the base verification below its region count.
+    val narrowPlan = narrow.queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("In(rowKey"), s"not routed:\n$narrowPlan")
+    val pruned = "regions=(\\d+)/(\\d+)".r.findAllMatchIn(narrowPlan)
+      .map(mm => (mm.group(1).toInt, mm.group(2).toInt)).toSeq
+    assert(pruned.exists { case (p, t) => t > 1 && p < t },
+      s"verification leg did not prune: $pruned\n$narrowPlan")
+
+    // WIDE range (most of the table): the estimate refuses the index —
+    // one full family scan, no index read, same answer.
+    val wide = auto(0, 99999999)
+    val widePlan = wide.queryExecution.executedPlan.toString
+    assert(!widePlan.contains("In(rowKey"), s"wide range routed:\n$widePlan")
+    assert(widePlan.contains("regions=4/4"), s"wide range must full-scan:\n$widePlan")
+    wide.as[(String, String)].collect().toSet shouldBe oracle(dir, 0, 99999999)
+
+    // No matching index on qualifier 'other': full scan, not an error.
+    val none = KvIndex.autoLookup(spark, dir, "f", "other", "0", "9")
+    none.collect().length shouldBe 0
+    // A contradicting pad argument against the recorded index refuses.
+    intercept[IllegalArgumentException] {
+      KvIndex.autoLookup(spark, dir, "f", "amt", "1", "2", pad = 3)
+    }.getMessage should include("contradicts")
+  }
+
   test("decimal mode refuses NON-DIGIT values at build and refresh") {
     val dir = freshDir("nondigit")
     cells(100).write.format("graft-kv").option("regions", 1)
