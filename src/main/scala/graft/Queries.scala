@@ -919,6 +919,53 @@ object Queries {
 
   private val TtlCompactCutoff = VersionRecords * 10 / 2
 
+  /** r15: DECLARATIVE retention — `versions` pinned as a TBLPROPERTY at
+    * CREATE (HBase `VERSIONS => 2`, CreateTable.java:48-52) and enforced
+    * PHYSICALLY by the table's own self-maintenance compaction
+    * ([[graft.sources.KvMaintenance]] threads the declared policy into
+    * [[graft.sources.KvCompactor.CellPolicy]]). Nothing in the query
+    * path filters: the read shows at most 2 versions per coordinate
+    * because the region files hold no more. (`ttl_ms` rides the same
+    * declaration path; it is wall-clock-anchored per the HBase contract,
+    * so the deterministic oracle pins `versions` and the catalog spec
+    * pins ttl with a controlled clock.)
+    */
+  def kvRetentionDecl(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalog("retention_decl", "graftret_", spark, sfDir) {
+      (name, _) =>
+        spark.sql(
+          s"""CREATE TABLE $name.corpus.cells (
+             |  rowKey STRING, family STRING, qualifier STRING,
+             |  value BINARY, ts BIGINT)
+             |USING `graft-kv` TBLPROPERTIES ('regions' = '4',
+             |  'maintain' = 'true', 'maintain_max_segments' = '1',
+             |  'maintain_grace_ms' = '0', 'versions' = '2')""".stripMargin)
+        val g = KvGenerator.cells(spark, VersionRecords, GenTasks, "run1")
+        g.filter(col("ts") % 2 === 0)
+          .createOrReplaceTempView("graft_ret_even")
+        g.filter(col("ts") % 2 === 1)
+          .createOrReplaceTempView("graft_ret_odd")
+        spark.sql(s"INSERT INTO $name.corpus.cells SELECT * FROM graft_ret_even")
+        // This commit crosses maintain_max_segments=1: the post-commit
+        // pass merges both segments, dropping versions past the declared
+        // retention during the rewrite.
+        spark.sql(s"INSERT INTO $name.corpus.cells SELECT * FROM graft_ret_odd")
+        // Idempotent closing pass (the admin's off-peak CALL): a no-op
+        // when the write-triggered pass already normalized the layout.
+        spark.sql(s"CALL $name.sys.maintain(table => 'corpus.cells')")
+          .collect(): Unit
+    }
+    spark.table(s"$cat.corpus.cells").select(
+      col("rowKey"), col("qualifier"),
+      decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  private val kvRetentionDeclSql: String =
+    s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
+       |m AS (SELECT *, row_number() OVER (PARTITION BY rowKey, qualifier
+       |        ORDER BY ts DESC, value) AS rn FROM g)
+       |SELECT rowKey, qualifier, value, ts FROM m WHERE rn <= 2""".stripMargin
+
   private val kvTtlCompactSql: String =
     s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
        |f AS (SELECT * FROM g WHERE ts >= $TtlCompactCutoff),
@@ -4900,6 +4947,7 @@ object Queries {
     "kv_point_lookup" -> (kvPointLookup _),
     "kv_snapshot_restore" -> (kvSnapshotRestore _),
     "kv_ttl_compact" -> (kvTtlCompact _),
+    "kv_retention_decl" -> (kvRetentionDecl _),
     "kv_delete_mask" -> (kvDeleteMask _),
     "kv_delete_compact" -> (kvDeleteCompact _),
     "kv_catalog_sql" -> (kvCatalogSql _),
@@ -5057,6 +5105,7 @@ object Queries {
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_snapshot_restore" -> kvGenCellsSql,
     "kv_ttl_compact" -> kvTtlCompactSql,
+    "kv_retention_decl" -> kvRetentionDeclSql,
     "kv_delete_mask" -> kvDeleteMaskSql,
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied
     "kv_catalog_sql" -> kvCatalogSqlSql,

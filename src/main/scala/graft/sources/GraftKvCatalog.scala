@@ -380,7 +380,7 @@ private[sources] object KvTableProps {
     */
   val Recorded: Set[String] = Set("regions", "salt_buckets", "codec",
     "maintain", "maintain_max_segments", "maintain_target_region_bytes",
-    "maintain_grace_ms")
+    "maintain_grace_ms", "ttl_ms", "versions")
 
   /** The one eager property-validation pass — CREATE runs it before the
     * table directory materializes, ALTER runs it on the merged result
@@ -409,7 +409,9 @@ private[sources] object KvTableProps {
     "maintain" -> "maintain",
     "maintain_max_segments" -> "maintainMaxSegments",
     "maintain_target_region_bytes" -> "maintainTargetRegionBytes",
-    "maintain_grace_ms" -> "maintainGraceMs")
+    "maintain_grace_ms" -> "maintainGraceMs",
+    "ttl_ms" -> "maintainTtlMs",
+    "versions" -> "maintainVersions")
 
   /** Whether one recorded maintain* value parses — the injection-time
     * LENIENT screen ([[KvCatalogTable.newWriteBuilder]]): values were
@@ -424,6 +426,8 @@ private[sources] object KvTableProps {
         case "maintain_max_segments" => value.toInt >= 1
         case "maintain_target_region_bytes" => value.toLong >= 1
         case "maintain_grace_ms" => value.toLong >= 0
+        case "ttl_ms" => value.toLong >= 1
+        case "versions" => value.toInt >= 1
         case _ => false
       }
     } catch { case _: NumberFormatException => false }
@@ -454,11 +458,23 @@ private[sources] object KvTableProps {
     val maxSeg = longOf("maintain_max_segments", 1)
     val target = longOf("maintain_target_region_bytes", 1)
     val grace = longOf("maintain_grace_ms", 0)
+    // DECLARATIVE RETENTION (HBase pins TTL / VERSIONS per column family
+    // at create, CreateTable.java:48-52): recorded once on the table,
+    // enforced physically by every compacting maintenance pass through
+    // [[KvCompactor.CellPolicy]] — a self-maintaining (`maintain=true`)
+    // table ages out dead cells on its own, and an explicit
+    // `CALL sys.maintain` applies them on any table that declares them.
+    // Parsed BEFORE the enablement check so CREATE/ALTER validates them
+    // even on tables that are not (yet) self-maintaining.
+    val ttl = longOf("ttl_ms", 1)
+    val versions = longOf("versions", 1)
     if (!on) None
     else Some(KvMaintenance.Policy(
       maxSegments = maxSeg.map(_.toInt).getOrElse(8),
       targetRegionBytes = target.getOrElse(128L * 1024 * 1024),
-      vacuumGraceMs = grace.getOrElse(24L * 3600 * 1000)))
+      vacuumGraceMs = grace.getOrElse(24L * 3600 * 1000),
+      ttlMs = ttl,
+      maxVersions = versions.map(_.toInt)))
   }
 
   private def propsPath(table: Path) =

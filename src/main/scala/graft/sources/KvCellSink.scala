@@ -102,7 +102,16 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo,
           strict("maintainTargetRegionBytes", "a byte count", _.toLong)
             .getOrElse(128L * 1024 * 1024),
         vacuumGraceMs = strict("maintainGraceMs", "a duration in ms", _.toLong)
-          .getOrElse(24L * 3600 * 1000)))
+          .getOrElse(24L * 3600 * 1000),
+        // Declarative retention (KvTableProps: `ttl_ms` / `versions`
+        // TBLPROPERTIES → these option spellings): enforced by the
+        // pass's compaction rewrite, HBase's TTL / VERSIONS contract.
+        ttlMs = strict("maintainTtlMs", "a positive duration in ms", { v =>
+          val n = v.toLong; require(n >= 1); n
+        }),
+        maxVersions = strict("maintainVersions", "a positive integer", { v =>
+          val n = v.toInt; require(n >= 1); n
+        })))
     // Reserved-qualifier admission ([[KvDelete]]): user writes must not
     // smuggle delete markers; the delete API, compaction rewrites, and
     // deliberate replication pipes set `allowTombstones=true`.

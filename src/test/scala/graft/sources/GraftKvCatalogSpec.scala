@@ -213,6 +213,79 @@ class GraftKvCatalogSpec extends graft.SparkSpec {
     spark.sql(s"SELECT count(*) FROM $cat.mntd.t").head().getLong(0) shouldBe 24L
   }
 
+  test("declared ttl_ms / versions retention is enforced physically by the maintenance pass") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ret")
+    // HBase's CREATE-time retention attributes (CreateTable.java:48-52 —
+    // VERSIONS, TTL), declared as TBLPROPERTIES and enforced by the
+    // self-maintenance pass's compaction rewrite. ts is epoch millis by
+    // the TTL contract.
+    spark.sql(
+      s"""CREATE TABLE $cat.ret.t (
+         |  rowKey STRING, family STRING, qualifier STRING,
+         |  value BINARY, ts BIGINT)
+         |USING `graft-kv` TBLPROPERTIES ('regions' = '1',
+         |  'maintain' = 'true', 'maintain_max_segments' = '2',
+         |  'maintain_grace_ms' = '0',
+         |  'ttl_ms' = '${7L * 24 * 3600 * 1000}', 'versions' = '2')""".stripMargin)
+    val now = System.currentTimeMillis()
+    // Three versions per live key (ts now-2, now-1, now) + one EXPIRED
+    // key whose only cells are 30 days old.
+    def ins(tsExpr: String, keyPrefix: String): Unit = {
+      spark.range(20).selectExpr(
+        s"concat('$keyPrefix', lpad(CAST(id AS STRING), 3, '0')) AS rowKey",
+        "'f' AS family", "'a' AS qualifier",
+        s"encode(concat('v', CAST($tsExpr AS STRING)), 'UTF-8') AS value",
+        s"CAST($tsExpr AS BIGINT) AS ts")
+        .createOrReplaceTempView("ret_src")
+      spark.sql(s"INSERT INTO $cat.ret.t SELECT * FROM ret_src")
+    }
+    ins(s"${now}L - ${30L * 24 * 3600 * 1000}L", "old")
+    ins(s"${now}L - 2", "k")
+    ins(s"${now}L - 1", "k")
+    ins(s"${now}L", "k")
+    // Self-maintenance already compacted mid-stream (threshold 2); the
+    // closing explicit pass (the admin's off-peak CALL) merges the tail
+    // so retention is enforced across EVERY segment. Then read the
+    // REGION FILES DIRECTLY — retention must be physical, not a
+    // read-time mask.
+    spark.sql(s"CALL $cat.sys.maintain(table => 'ret.t', max_segments => 1)")
+      .collect()
+    val dir = new Path(s"$wh/ret/t")
+    val files = KvLog.liveFiles(fsOf(s"$wh/ret/t"), dir).map(n => s"$wh/ret/t/$n")
+    assert(files.size == 1, s"closing pass did not fully compact: $files")
+    val raw = spark.read.parquet(files: _*)
+    import org.apache.spark.sql.functions.countDistinct
+    // Expired key gone entirely; live keys hold exactly the newest 2.
+    raw.filter(col("rowKey").startsWith("old")).count() shouldBe 0L
+    val perKey = raw.filter(col("rowKey").startsWith("k"))
+      .groupBy("rowKey").count().agg(
+        countDistinct(col("count")).as("d"), max(col("count")).as("m"))
+      .head()
+    perKey.getLong(0) shouldBe 1L
+    perKey.getLong(1) shouldBe 2L
+    raw.filter(col("rowKey") === "k000").select("ts").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(now - 1, now)
+
+    // The declared retention appears in re-runnable DDL...
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.ret.t")
+      .collect().head.getString(0)
+    ddl should include(s"'ttl_ms' = '${7L * 24 * 3600 * 1000}'")
+    ddl should include("'versions' = '2'")
+    // ...ALTER can tune it, and invalid values refuse at DDL time.
+    spark.sql(s"ALTER TABLE $cat.ret.t SET TBLPROPERTIES ('versions' = '3')")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ret.t SET TBLPROPERTIES ('versions' = '0')")
+    }.getMessage should include("versions")
+    intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.ret.bad (
+           |  rowKey STRING, family STRING, qualifier STRING,
+           |  value BINARY, ts BIGINT)
+           |USING `graft-kv` TBLPROPERTIES ('ttl_ms' = 'soon')""".stripMargin)
+    }.getMessage should include("ttl_ms")
+  }
+
   test("SHOW TBLPROPERTIES / DESCRIBE TABLE surface the recorded layout properties") {
     // The operator-facing inspection surface: what a table RECORDED at
     // CREATE (regions/salt/codec/maintain*) must be readable back through
