@@ -196,6 +196,75 @@ object Queries {
     graft.sources.KvIndex.lookup(spark,
       ensureIndexedCells(spark, sfDir), "by_click", "9000", "12000")
 
+  /** r15: COVERED (INCLUDE) secondary index
+    * ([[graft.sources.KvIndex.lookupCovered]], the Phoenix covered-index
+    * shape): `by_click INCLUDE (view)` is maintained EXACTLY (refresh
+    * tombstones superseded entries), so once the covered seq equals the
+    * base's latest seq the whole lookup — indexed range AND the included
+    * `view` column — serves INDEX-ONLY: zero base data-file opens
+    * (counting-FS spec pins it). Staging runs the DML lifecycle (upserts
+    * into range + a whole-row delete slice) and one exact refresh, so
+    * the timed query hits the fresh fast path.
+    */
+  def kvIndexCovered(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"covered_idx|$sfDir", _ => {
+      val p = artifactPath("covered_idx", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      KvTable.eventsAsCells(spark, sfDir)
+        .write.format("graft-kv").option("regions", 4)
+        .mode("overwrite").save(p)
+      graft.sources.KvIndex.create(spark, p, "by_click", "f", "click",
+        pad = 12, regions = 4, include = Seq("view"))
+      spark.range(50).selectExpr(
+        "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+        "'f' AS family", "'click' AS qualifier",
+        "encode(CAST(10000 + id AS STRING), 'UTF-8') AS value",
+        "4000000000000000000L + id AS ts")
+        .write.format("graft-kv").option("regions", 1).mode("append").save(p)
+      graft.sources.KvDelete.deleteRows(spark, p,
+        spark.range(50, 100).selectExpr(
+          "lpad(CAST(id AS STRING), 8, '0') AS rowKey"))
+      val r = graft.sources.KvIndex.refresh(spark, p, "by_click")
+      require(r.isInstanceOf[graft.sources.KvIndex.Refreshed],
+        s"kv_index_covered staging expected an exact refresh, got $r")
+      p
+    })
+    graft.sources.KvIndex.lookupCovered(spark, path, "by_click",
+      "9000", "12000")
+      .withColumnRenamed("view", "view_val")
+  }
+
+  private val kvIndexCoveredSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(10000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(50) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lwwC AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM allc),
+       |lwwV AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM (SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |                 CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |                 event_id AS ts
+       |               FROM events WHERE event_type = 'view')),
+       |cur AS (SELECT rowKey, value FROM lwwC
+       |        WHERE rn = 1
+       |          AND rowKey NOT BETWEEN '00000050' AND '00000099')
+       |SELECT c.rowKey, c.value, v.value AS view_val
+       |FROM cur c LEFT JOIN (SELECT rowKey, value FROM lwwV WHERE rn = 1) v
+       |  ON c.rowKey = v.rowKey
+       |WHERE CAST(c.value AS BIGINT) >= 9000 AND CAST(c.value AS BIGINT) < 12000""".stripMargin
+
   /** r15: AUTOMATIC index routing ([[graft.sources.KvIndex.autoLookup]])
     * — the caller states only the PREDICATE (family, qualifier, value
     * range); whether it runs as the verified index lookup or a plain
@@ -4959,6 +5028,7 @@ object Queries {
     "kv_resalt_scan" -> (kvResaltScan _),
     "kv_index_maintained" -> (kvIndexMaintained _),
     "kv_index_auto" -> (kvIndexAuto _),
+    "kv_index_covered" -> (kvIndexCovered _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -5117,6 +5187,7 @@ object Queries {
     "kv_resalt_scan" -> kvV2RangeScanSql, // ...and so must a layout CONVERSION
     "kv_index_maintained" -> kvIndexMaintainedSql,
     "kv_index_auto" -> kvIndexMaintainedSql,
+    "kv_index_covered" -> kvIndexCoveredSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

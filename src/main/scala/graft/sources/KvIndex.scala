@@ -73,8 +73,17 @@ object KvIndex {
     */
   val InPushdownCap = 5000
 
+  /** `covered = true` declares a Phoenix-style COVERED index: maintained
+    * EXACTLY (refresh tombstones superseded entries instead of leaving
+    * stale debris), carrying the indexed value in a `v` cell and each
+    * `include` qualifier's current value in a `q:<qualifier>` cell — so
+    * a lookup whose covered seq equals the base's latest seq is served
+    * INDEX-ONLY, zero base file opens. A plain (covered = false) index
+    * keeps the append-only refresh + read-time verification contract.
+    */
   case class Meta(name: String, family: String, qualifier: String,
-      pad: Int, asOfSeq: Long)
+      pad: Int, asOfSeq: Long, include: Seq[String] = Nil,
+      covered: Boolean = false)
 
   sealed trait RefreshResult
   case class Refreshed(fromSeq: Long, toSeq: Long) extends RefreshResult
@@ -107,9 +116,13 @@ object KvIndex {
     val target = metaPathIn(dir)
     val tmp = new Path(dir,
       s"._idxmeta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val cov =
+      if (!m.covered) ""
+      else " covered=1" + (if (m.include.nonEmpty)
+        s" include=${m.include.mkString(",")}" else "")
     KvLog.writeText(fs, tmp,
       s"v1 family=${m.family} qualifier=${m.qualifier} pad=${m.pad} " +
-        s"asOf=${m.asOfSeq}\n")
+        s"asOf=${m.asOfSeq}$cov\n")
     if (Option(fs.getUri.getScheme).contains("file")) {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
@@ -132,12 +145,17 @@ object KvIndex {
       val toks = t.trim.split("\\s+")
       require(toks.headOption.contains("v1"),
         s"graft-kv index: unknown meta version for '$name'")
-      def tok(k: String): String = toks.collectFirst {
+      def tokOpt(k: String): Option[String] = toks.collectFirst {
         case s if s.startsWith(s"$k=") => s.stripPrefix(s"$k=")
-      }.getOrElse(throw new IllegalStateException(
-        s"graft-kv index: meta for '$name' lacks $k"))
+      }
+      def tok(k: String): String = tokOpt(k).getOrElse(
+        throw new IllegalStateException(
+          s"graft-kv index: meta for '$name' lacks $k"))
       Meta(name, tok("family"), tok("qualifier"), tok("pad").toInt,
-        tok("asOf").toLong)
+        tok("asOf").toLong,
+        include = tokOpt("include").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty),
+        covered = tokOpt("covered").contains("1"))
     }
   }
 
@@ -237,19 +255,33 @@ object KvIndex {
   private def buildAt(spark: SparkSession, path: String, m: Meta,
       dir: Path, regions: Int): Unit = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    indexCells(
-      baseCells(spark, path, m, Map("asOfSeq" -> m.asOfSeq.toString)), m)
-      .write.format("graft-kv").option("regions", regions)
+    val cells =
+      if (m.covered)
+        // EXACT build: the current (LWW, delete-masked) view at the
+        // covered seq — a covered index must hold exactly one entry per
+        // current base row (old versions would be unverifiable debris on
+        // the index-only path). Entry ts = the covered seq (see
+        // refreshExactCovered for why seqs, not base timestamps).
+        indexCellsCovered(
+          currentWide(spark, path, m, Map("asOfSeq" -> m.asOfSeq.toString)),
+          m, tsSeq = m.asOfSeq)
+      else indexCells(
+        baseCells(spark, path, m, Map("asOfSeq" -> m.asOfSeq.toString)), m)
+    cells.write.format("graft-kv").option("regions", regions)
       .mode("overwrite").save(dir.toString)
     writeMeta(fs, dir, m)
   }
 
   /** Build the index over the CURRENT table version. `pad > 0` declares
-    * decimal mode (class doc); 0 = raw string order.
+    * decimal mode (class doc); 0 = raw string order. `covered = true`
+    * (implied by a non-empty `include`) builds a covered index
+    * ([[Meta]] doc): `include` lists the additional qualifiers whose
+    * current values ride the index entries.
     */
   def create(spark: SparkSession, path: String, name: String,
       family: String, qualifier: String, pad: Int = 0,
-      regions: Int = 4): Meta = {
+      regions: Int = 4, include: Seq[String] = Nil,
+      covered: Boolean = false): Meta = {
     requireValidName(name)
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -262,23 +294,167 @@ object KvIndex {
     // The meta file is whitespace-separated k=v tokens: a family or
     // qualifier containing whitespace (or '=') would round-trip CORRUPTED
     // and every later refresh/lookup would filter on the wrong column —
-    // silently empty results. Refuse at create.
-    Seq("family" -> family, "qualifier" -> qualifier).foreach {
+    // silently empty results. Refuse at create. Include names also ride
+    // a comma-separated token and index cells as `q:<name>` qualifiers.
+    (Seq("family" -> family, "qualifier" -> qualifier) ++
+      include.map("include qualifier" -> _)).foreach {
       case (which, v) =>
-        require(v.nonEmpty && !v.exists(c => c.isWhitespace || c == '='),
-          s"graft-kv index: $which '$v' contains whitespace or '=' — " +
+        require(v.nonEmpty && !v.exists(c => c.isWhitespace || c == '=' ||
+          c == ','),
+          s"graft-kv index: $which '$v' contains whitespace, '=' or ',' — " +
             "unsupported in the index metadata encoding")
     }
+    require(!include.contains(qualifier),
+      s"graft-kv index: '$qualifier' is the indexed qualifier — it is " +
+        "always covered; do not list it in include")
     // Pin the covered version BEFORE reading, so concurrent appends land
     // ABOVE the recorded seq and the first refresh (or the lookup tail)
     // picks them up — never silently skipped.
     val latest = KvLog.latestSeq(fs, table)
     require(latest >= 0, s"graft-kv index: $path is empty — nothing to index")
-    val m = Meta(name, family, qualifier, pad, latest)
+    val m = Meta(name, family, qualifier, pad, latest,
+      include = include, covered = covered || include.nonEmpty)
     val dir = indexDir(table, name)
     fs.delete(dir, true) // a torn previous create (no meta) is replaced
     buildAt(spark, path, m, dir, regions)
     m
+  }
+
+  // ------------------------------------------------- covered-index engine
+
+  /** The relevant qualifiers' CURRENT values per base key as one wide
+    * row: `rowKey, _v0 (indexed), _v1.. (include order)` — binary values,
+    * null where the key has no such qualifier. The same conditional-LWW
+    * shape [[graft.ops.KvPivot.pivot]] uses (hash-aggregable, one
+    * exchange); delete masking and time travel ride the scan options.
+    */
+  private def currentWide(spark: SparkSession, path: String, m: Meta,
+      options: Map[String, String]): DataFrame = {
+    val quals = m.qualifier +: m.include
+    var r = spark.read.format("graft-kv")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val aggs = quals.zipWithIndex.map { case (q, i) =>
+      graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), when(col("qualifier") === q, col("ts"))).as(s"_v$i")
+    }
+    r.load(path)
+      .filter(col("family") === m.family && col("qualifier").isin(quals: _*))
+      .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
+      .filter(col("_v0").isNotNull) // rows without the indexed qualifier
+  }
+
+  /** One wide current row → this entry's index cells: `k` (base key),
+    * `v` (indexed value), one `q:<qualifier>` per present include value —
+    * all at ts = `tsSeq`. SEQ-VALUED TIMESTAMPS are what make the exact
+    * delete-then-re-add lifecycle monotone: a refresh to seq L writes
+    * adds at ts=L and masks superseded entries with markers at ts=S (the
+    * span start), so re-added entries always out-ts every older marker
+    * regardless of how base timestamps move (a base whose ts stands
+    * still across updates would otherwise mask its own re-adds).
+    */
+  private def indexCellsCovered(wide: DataFrame, m: Meta,
+      tsSeq: Long): DataFrame = {
+    val v = decode(col("_v0"), "UTF-8")
+    val checked = when(v.contains(Sep),
+      raise_error(lit("graft-kv index: indexed value contains NUL (the " +
+        "key separator) — unsupported for a string-ordered index")))
+      .otherwise(guardedValue(v, m.pad))
+    val withKey = wide.withColumn("_ik",
+      concat(paddedValue(checked, m.pad), lit(Sep), col("rowKey")))
+    def cell(q: String, value: org.apache.spark.sql.Column) =
+      withKey.filter(value.isNotNull).select(
+        col("_ik").as("rowKey"), lit("i").as("family"),
+        lit(q).as("qualifier"), value.as("value"),
+        lit(tsSeq).as("ts"))
+    val parts =
+      cell("k", encode(col("rowKey"), "UTF-8")) +:
+        cell("v", col("_v0")) +:
+        m.include.zipWithIndex.map { case (q, i) =>
+          cell(s"q:$q", col(s"_v${i + 1}"))
+        }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The EXACT incremental refresh for covered indexes: the span's
+    * change feed names the touched keys; their pre-image (current view
+    * at the covered seq) and post-image (at `latest`) diff into
+    * tombstones for superseded entries + adds for new ones — so the
+    * index holds exactly one entry per current base row at every covered
+    * seq, the invariant the index-only read path rests on. Cost is
+    * O(changed keys): bounded pre/post re-reads (pushed In →
+    * bloom-pruned gets below the cap, semi join above), one marker
+    * commit, one add commit. Accumulated markers compact away
+    * opportunistically once they outnumber a quarter of the index.
+    */
+  private def refreshExactCovered(spark: SparkSession, path: String,
+      m: Meta, latest: Long, dir: Path, fs: FileSystem): RefreshResult = {
+    import spark.implicits._
+    val quals = m.qualifier +: m.include
+    // The raw change feed ships markers too — a row/column delete is a
+    // change the index must absorb as a tombstone.
+    val r = spark.read.format("graft-kv")
+      .option("sinceSeq", m.asOfSeq.toString).option("asOfSeq", latest.toString)
+    val feed = r.load(path).filter(
+      (col("family") === m.family && col("qualifier").isin(quals: _*)) ||
+        col("qualifier").startsWith(KvDelete.MarkerPrefix))
+    val touchedProbe = feed.select(col("rowKey")).distinct()
+      .limit(InPushdownCap + 1).collect().map(_.getString(0))
+    if (touchedProbe.isEmpty) {
+      writeMeta(fs, dir, m.copy(asOfSeq = latest))
+      return Refreshed(m.asOfSeq, latest)
+    }
+    def restrict(df: DataFrame): DataFrame =
+      if (touchedProbe.length <= InPushdownCap)
+        df.filter(col("rowKey").isin(touchedProbe.toIndexedSeq: _*))
+      else df.join(feed.select(col("rowKey")).distinct(),
+        Seq("rowKey"), "left_semi")
+    val pre = restrict(currentWide(spark, path, m,
+      Map("asOfSeq" -> m.asOfSeq.toString)))
+    val post = restrict(currentWide(spark, path, m,
+      Map("asOfSeq" -> latest.toString)))
+    val preR = pre.select(col("rowKey") +:
+      (0 to m.include.length).map(i => col(s"_v$i").as(s"_p$i")): _*)
+    val joined = preR.join(post, Seq("rowKey"), "full_outer")
+    val changed = (0 to m.include.length)
+      .map(i => !(col(s"_p$i") <=> col(s"_v$i"))).reduce(_ || _)
+    def entryKey(valueCol: org.apache.spark.sql.Column) = {
+      val v = decode(valueCol, "UTF-8")
+      val checked = when(v.contains(Sep),
+        raise_error(lit("graft-kv index: indexed value contains NUL (the " +
+          "key separator) — unsupported for a string-ordered index")))
+        .otherwise(guardedValue(v, m.pad))
+      concat(paddedValue(checked, m.pad), lit(Sep), col("rowKey"))
+    }
+    // Superseded entries: the pre-image had an entry and the row changed
+    // (or vanished). Marker ts = the span-start seq (doc above).
+    val dead = joined
+      .filter(col("_p0").isNotNull && (col("_v0").isNull || changed))
+      .select(entryKey(col("_p0")).as("rowKey"), lit(m.asOfSeq).as("ts"))
+    val deadRows = dead.cache()
+    try {
+      if (!deadRows.isEmpty)
+        KvDelete.deleteRows(spark, dir.toString, deadRows)
+      val fresh = joined
+        .filter(col("_v0").isNotNull && (col("_p0").isNull || changed))
+        .select(col("rowKey") +:
+          (0 to m.include.length).map(i => col(s"_v$i")): _*)
+      val adds = indexCellsCovered(fresh, m, tsSeq = latest).cache()
+      try {
+        if (!adds.isEmpty)
+          adds.write.format("graft-kv").mode("append").save(dir.toString)
+      } finally adds.unpersist(): Unit
+      writeMeta(fs, dir, m.copy(asOfSeq = latest))
+    } finally deadRows.unpersist(): Unit
+    // Marker hygiene: tombstones accumulate one per superseded entry;
+    // compact the INDEX once they outnumber a quarter of its rows (or
+    // the absolute floor), purging masked entries and markers together.
+    val stats = KvLog.liveFileStats(fs, dir).values
+    val tombs = stats.map(_.tombstones).sum
+    val rows = stats.map(_.rows).sum
+    if (tombs > math.max(4096L, rows / 4))
+      KvCompactor.compact(spark, dir.toString,
+        regions = math.max(1, KvLog.liveFiles(fs, dir).size)): Unit
+    Refreshed(m.asOfSeq, latest)
   }
 
   /** Whether the log cannot serve the base span `(since, latest]` as a
@@ -373,6 +549,8 @@ object KvIndex {
         fs.delete(staged, true): Unit // no-op after a successful swap
       }
       Rebuilt(latest)
+    } else if (m.covered) {
+      refreshExactCovered(spark, path, m, latest, dir, fs)
     } else {
       val delta = baseCells(spark, path, m, Map(
         "sinceSeq" -> m.asOfSeq.toString, "asOfSeq" -> latest.toString))
@@ -426,6 +604,9 @@ object KvIndex {
         paddedValue(guardedValue(col("v"), m.pad), m.pad).as("pv"))
     val idxPairs = spark.read.format("graft-kv")
       .load(indexDir(table, name).toString)
+      // `k` cells carry the base key; a covered index's `v`/`q:` payload
+      // cells are not entries of their own.
+      .filter(col("qualifier") === "k")
       .select(decode(col("value"), "UTF-8").as("rowKey"),
         substring_index(col("rowKey"), Sep, 1).as("pv"))
       .distinct()
@@ -599,13 +780,26 @@ object KvIndex {
       if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
     val (loPad, hiPad) = (padLit(lo), padLit(hi))
 
+    // COVERED fast path: a covered index whose covered seq IS the base's
+    // latest seq holds exactly one entry per current base row (the exact
+    // refresh invariant), so the range answer is served INDEX-ONLY —
+    // zero base file opens, the Phoenix covered-read shape. The
+    // staleness check is the one latestSeq manifest read below.
+    val latest = KvLog.latestSeq(fs, table)
+    if (m.covered && latest <= m.asOfSeq)
+      return coveredRead(spark, table, m, loPad, hiPad)
+        .select(col("rowKey"), col("value"))
+
     // 1. Index candidates: a rowKey range scan on the index table —
     //    manifest bounds + record filter prune; value() carries the base
     //    key so no string parsing on the hot path. The NUL separator
     //    makes [loPad, hiPad) on index keys EXACTLY the value range.
+    //    (`qualifier = 'k'` is a no-op on plain indexes and skips a
+    //    covered index's value/include payload cells.)
     val idxCand = spark.read.format("graft-kv")
       .load(indexDir(table, name).toString)
-      .filter(col("rowKey") >= loPad && col("rowKey") < hiPad)
+      .filter(col("rowKey") >= loPad && col("rowKey") < hiPad &&
+        col("qualifier") === "k")
       .select(decode(col("value"), "UTF-8").as("rowKey"))
 
     // 2. Tail candidates: base changes the index has not absorbed,
@@ -619,7 +813,6 @@ object KvIndex {
         m.pad)
       df.filter(pv >= loPad && pv < hiPad).select(col("rowKey"))
     }
-    val latest = KvLog.latestSeq(fs, table)
     val tailCand =
       if (latest <= m.asOfSeq) Seq.empty[String].toDF("rowKey")
       else if (spanUnservable(fs, table, m.asOfSeq, latest))
@@ -667,5 +860,61 @@ object KvIndex {
         "UTF-8").as("value"))
       .filter(paddedValue(guardedValue(col("value"), m.pad), m.pad) >= loPad &&
         paddedValue(guardedValue(col("value"), m.pad), m.pad) < hiPad)
+  }
+
+  /** The INDEX-ONLY range read of a covered index: one pruned index scan
+    * (delete masking hides tombstoned entries inside the scan), one LWW
+    * group per entry — base table untouched. Output: `rowKey` (base
+    * key), `value` (indexed value), one decoded string column per
+    * `include` qualifier (null where the base row lacks it).
+    */
+  private def coveredRead(spark: SparkSession, table: Path, m: Meta,
+      loPad: String, hiPad: String): DataFrame = {
+    def lww(q: String) = graft.functions.MaxByTsAgg.maxByTs(
+      col("value"), when(col("qualifier") === q, col("ts")))
+    val aggs = lww("k").as("_k") +: lww("v").as("_v") +:
+      m.include.map(q => lww(s"q:$q").as(s"_q$q"))
+    spark.read.format("graft-kv").load(indexDir(table, m.name).toString)
+      .filter(col("rowKey") >= loPad && col("rowKey") < hiPad)
+      .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
+      .filter(col("_k").isNotNull)
+      .select(decode(col("_k"), "UTF-8").as("rowKey") +:
+        decode(col("_v"), "UTF-8").as("value") +:
+        m.include.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
+  }
+
+  /** Covered lookup: [[lookup]]'s answer plus one column per `include`
+    * qualifier (current value, null where absent). FRESH (covered seq ==
+    * latest): served index-only — the counting-FS spec pins zero base
+    * data-file opens. STALE: candidates come from the index ∪ CDC tail
+    * exactly like [[lookup]], and the verification re-read widens to the
+    * covered qualifiers so the answer's extra columns are as current as
+    * its rows.
+    */
+  def lookupCovered(spark: SparkSession, path: String, name: String,
+      lo: String, hi: String, inPushdownCap: Int = InPushdownCap): DataFrame = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv index: no index '$name' on $path"))
+    require(m.covered,
+      s"graft-kv index: '$name' is not a covered index — create it with " +
+        "include/covered, or use lookup()")
+    def padLit(v: String) =
+      if (m.pad > 0) ("0" * math.max(0, m.pad - v.length)) + v else v
+    val (loPad, hiPad) = (padLit(lo), padLit(hi))
+    val latest = KvLog.latestSeq(fs, table)
+    if (latest <= m.asOfSeq) return coveredRead(spark, table, m, loPad, hiPad)
+    // Stale: verified wide read over lookup's candidate keys, pinned to
+    // the probed seq like lookup itself.
+    val keys = lookup(spark, path, name, lo, hi, inPushdownCap)
+      .select(col("rowKey"))
+    currentWide(spark, path, m, Map("asOfSeq" -> latest.toString))
+      .join(keys, Seq("rowKey"), "left_semi")
+      .select(col("rowKey") +:
+        decode(col("_v0"), "UTF-8").as("value") +:
+        m.include.zipWithIndex.map { case (q, i) =>
+          decode(col(s"_v${i + 1}"), "UTF-8").as(q)
+        }: _*)
   }
 }

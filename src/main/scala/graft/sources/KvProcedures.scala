@@ -244,17 +244,27 @@ private[sources] object KvProcedures {
       ProcedureParameter.in("pad", IntegerType).defaultValue("0")
         .comment("left-zero-pad width for numeric string values; 0 = raw")
         .build(),
-      ProcedureParameter.in("regions", IntegerType).defaultValue("4").build())
+      ProcedureParameter.in("regions", IntegerType).defaultValue("4").build(),
+      ProcedureParameter.in("include", StringType).defaultValue("NULL")
+        .comment("comma-separated qualifiers to COVER (Phoenix INCLUDE): " +
+          "the index is maintained exactly and fresh lookups serve " +
+          "index-only, base untouched").build())
     override val resultSchema: StructType = StructType(Seq(
       StructField("result", StringType, nullable = false),
       StructField("covered_seq", LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = tableDir(input)
+      val include =
+        if (input.isNullAt(6)) Nil
+        else input.getUTF8String(6).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
       val m = KvIndex.create(spark, dir.toString,
         input.getUTF8String(1).toString, input.getUTF8String(2).toString,
-        input.getUTF8String(3).toString, input.getInt(4), input.getInt(5))
-      oneRow(Array[Any](UTF8String.fromString("created"), m.asOfSeq))
+        input.getUTF8String(3).toString, input.getInt(4), input.getInt(5),
+        include = include)
+      oneRow(Array[Any](UTF8String.fromString(
+        if (m.covered) "created covered" else "created"), m.asOfSeq))
     }
   }
 

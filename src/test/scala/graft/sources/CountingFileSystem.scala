@@ -28,8 +28,10 @@ class CountingFileSystem extends RawLocalFileSystem {
   }
 
   override def open(p: Path, bufferSize: Int): FSDataInputStream = {
-    if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet")) {
       CountingFileSystem.dataOpens.incrementAndGet()
+      CountingFileSystem.openedData.add(p.toString)
+    }
     super.open(p, bufferSize)
   }
 }
@@ -43,5 +45,12 @@ object CountingFileSystem {
     * manifest-stats claims pin these at zero for metadata-served plans.
     */
   val dataOpens = new AtomicLong(0)
-  def reset(): Unit = { lists.set(0); probes.set(0); dataOpens.set(0) }
+  /** The PATHS behind [[dataOpens]] — lets a spec distinguish base-table
+    * opens from index-table opens (the covered-index zero-base-reads
+    * claim).
+    */
+  val openedData = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def reset(): Unit = {
+    lists.set(0); probes.set(0); dataOpens.set(0); openedData.clear()
+  }
 }

@@ -322,6 +322,121 @@ class KvIndexSpec extends graft.SparkSpec {
     }.getMessage should include("contradicts")
   }
 
+  /** Two-qualifier cells for covered-index tests: every key has an `amt`
+    * (value 3i), even keys also a `tag` (value "t<i>").
+    */
+  private def cells2q(n: Int, tsBase: Long = 0L): DataFrame = {
+    val amt = cells(n, tsBase)
+    val tag = spark.range(n.toLong).filter("id % 2 = 0").selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'tag' AS qualifier",
+      "encode(concat('t', CAST(id AS STRING)), 'UTF-8') AS value",
+      s"id + ${tsBase}L AS ts")
+    amt.unionByName(tag)
+  }
+
+  /** Ground truth for covered lookups: (rowKey, amt value, tag value). */
+  private def oracleCov(dir: String, lo: Long, hi: Long)
+      : Set[(String, String, Option[String])] = {
+    val amt = oracle(dir, lo, hi)
+    val tags = spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier") === "tag")
+      .groupBy("rowKey")
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+        "UTF-8").as("tag"))
+      .as[(String, String)].collect().toMap
+    amt.map { case (k, v) => (k, v, tags.get(k)) }
+  }
+
+  test("covered index: fresh lookups serve INDEX-ONLY — zero base data-file opens") {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/kv_index_covfs"
+    graft.sinks.Sinks.deleteRecursive(spark, base)
+    val dir = s"cfs:$base"
+    cells2q(1000).write.format("graft-kv").option("regions", 4)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "cov", "f", "amt", pad = 8,
+      include = Seq("tag"))
+    val expect = oracleCov(dir, 600, 660)
+
+    CountingFileSystem.reset()
+    val got = KvIndex.lookupCovered(spark, dir, "cov", "600", "660")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    val opened = CountingFileSystem.openedData.asScala.toSet
+    assert(opened.nonEmpty && opened.forall(_.contains("/_index/")),
+      s"covered read touched base data files: $opened")
+    got shouldBe expect
+
+    // The plain lookup takes the same index-only path when fresh.
+    val expectPlain = oracle(dir, 600, 660)
+    CountingFileSystem.reset()
+    KvIndex.lookup(spark, dir, "cov", "600", "660")
+      .as[(String, String)].collect().toSet shouldBe expectPlain
+    assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")))
+  }
+
+  test("covered index stays EXACT through DML: superseded entries tombstone, re-adds survive") {
+    val dir = freshDir("covdml")
+    cells2q(1000).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8,
+      include = Seq("tag"))
+
+    def upsert(key: String, v: String, ts: Long): Unit =
+      Seq((key, v, ts)).toDF("rowKey", "v", "ts")
+        .selectExpr("rowKey", "'f' AS family", "'amt' AS qualifier",
+          "encode(v, 'UTF-8') AS value", "ts")
+        .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+
+    // value moves OUT of [600, 900), another moves IN, one key deleted,
+    // one inserted, one include-only (tag) change.
+    upsert("000210", "99", 100000L) // 630 -> out
+    upsert("000050", "777", 100001L) // 150 -> in
+    KvDelete.deleteRows(spark, dir, Seq("000220").toDF("rowKey"))
+    upsert("newkey", "800", 100002L) // insert, in range
+    Seq(("000214", "tchanged", 100003L)).toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'tag' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+
+    // STALE (unrefreshed): the verified fallback serves both lookups.
+    looked(dir, 600, 900) shouldBe oracle(dir, 600, 900)
+    KvIndex.lookupCovered(spark, dir, "by_amt", "600", "900")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet shouldBe oracleCov(dir, 600, 900)
+
+    // Refresh: EXACT — the superseded entries (000210's 630, 000220's
+    // 660, 000214's old tag payload) are tombstoned, not left as debris.
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Refreshed]
+    val s = KvIndex.scrutiny(spark, dir, "by_amt")
+    s.missing shouldBe 0L
+    s.stale shouldBe 0L // exactness, visible: a plain index would show debris
+    // FRESH again: index-only answers match.
+    looked(dir, 600, 900) shouldBe oracle(dir, 600, 900)
+    val cov = KvIndex.lookupCovered(spark, dir, "by_amt", "600", "900")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    cov shouldBe oracleCov(dir, 600, 900)
+    assert(cov.exists(t => t._1 == "000214" && t._3.contains("tchanged")))
+    assert(cov.exists(_._1 == "newkey"))
+    assert(!cov.exists(_._1 == "000220"))
+
+    // Re-add cycle: a value leaves and re-enters the range across two
+    // refreshes — the re-added entry must out-ts the older tombstone
+    // (the seq-valued-ts rule), so the final fresh lookup finds it.
+    upsert("000230", "5", 200000L) // 690 -> out
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Refreshed]
+    looked(dir, 600, 900) should not contain ("000230" -> "690")
+    upsert("000230", "690", 200001L) // back in
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Refreshed]
+    looked(dir, 600, 900) shouldBe oracle(dir, 600, 900)
+    assert(looked(dir, 600, 900).contains("000230" -> "690"))
+    KvIndex.scrutiny(spark, dir, "by_amt").stale shouldBe 0L
+  }
+
   test("decimal mode refuses NON-DIGIT values at build and refresh") {
     val dir = freshDir("nondigit")
     cells(100).write.format("graft-kv").option("regions", 1)
@@ -460,7 +575,7 @@ class KvIndexSpec extends graft.SparkSpec {
     }.getMessage should include("whitespace")
     intercept[IllegalArgumentException] {
       KvIndex.create(spark, dir, "idx2", "f", "a=b")
-    }.getMessage should include("whitespace or '='")
+    }.getMessage should include("whitespace")
   }
 
   test("a compaction-floor rise past the covered seq rebuilds instead of bricking") {
