@@ -504,6 +504,27 @@ object KvIndex {
     }
   }
 
+  /** Is this aged `.old-*` dir safe for vacuum to reclaim? A parked dir
+    * that carries index meta while its live slot is ABSENT is the only
+    * copy of a live index (a recoverOrphans restore that failed, e.g. a
+    * transient rename error) — deleting it would be the exact silent
+    * drop recoverOrphans exists to prevent, so vacuum must skip it and
+    * let a later recovery pass restore it first.
+    */
+  private[sources] def oldDirSafeToReclaim(fs: FileSystem, table: Path,
+      dirName: String): Boolean = {
+    val stem = dirName.stripPrefix(".old-")
+    val parses = stem.length > 9 && stem.charAt(stem.length - 9) == '-' &&
+      stem.takeRight(8).forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
+    if (!parses) return true // not an index park — plain debris
+    val name = stem.dropRight(9)
+    val root = indexRoot(table)
+    val parked = new Path(root, dirName)
+    // No meta → not a real index (partial copy, abandoned staging).
+    // Meta present → only reclaimable once the live slot exists again.
+    metaIn(fs, parked, name).isEmpty || fs.exists(new Path(root, name))
+  }
+
   /** Absorb the base span `(m.asOfSeq, latest]` into the index. */
   def refresh(spark: SparkSession, path: String, name: String): RefreshResult = {
     val table = new Path(path)
@@ -755,12 +776,14 @@ object KvIndex {
     * as of that version even under concurrent commits.
     */
   def lookup(spark: SparkSession, path: String, name: String,
-      lo: String, hi: String, inPushdownCap: Int = InPushdownCap): DataFrame = {
-    import spark.implicits._
-    val table = new Path(path)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
-      s"graft-kv index: no index '$name' on $path"))
+      lo: String, hi: String, inPushdownCap: Int = InPushdownCap): DataFrame =
+    lookupAt(spark, path, name, lo, hi, inPushdownCap, asOf = None)
+
+  /** Decimal-mode bound validation shared by every lookup entry point —
+    * the SAME refusal regardless of index freshness, so behavior never
+    * depends on maintenance timing.
+    */
+  private def requireValidBounds(m: Meta, lo: String, hi: String): Unit =
     if (m.pad > 0) Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
       require(v.length <= m.pad,
         s"graft-kv index: $which bound '$v' exceeds the index's decimal " +
@@ -776,6 +799,23 @@ object KvIndex {
         s"graft-kv index: decimal-mode $which bound '$v' must be a " +
           "non-negative decimal string")
     }
+
+  /** [[lookup]] with an optional PINNED version: `asOf = Some(seq)`
+    * makes the whole lookup (staleness check, tail span, verification
+    * re-reads) read as of that seq instead of probing latestSeq itself —
+    * the hook [[lookupCovered]] uses so its candidate selection and wide
+    * re-read share ONE version instead of racing two latestSeq probes
+    * against concurrent commits.
+    */
+  private def lookupAt(spark: SparkSession, path: String, name: String,
+      lo: String, hi: String, inPushdownCap: Int,
+      asOf: Option[Long]): DataFrame = {
+    import spark.implicits._
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv index: no index '$name' on $path"))
+    requireValidBounds(m, lo, hi)
     def padLit(v: String) =
       if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
     val (loPad, hiPad) = (padLit(lo), padLit(hi))
@@ -785,7 +825,7 @@ object KvIndex {
     // refresh invariant), so the range answer is served INDEX-ONLY —
     // zero base file opens, the Phoenix covered-read shape. The
     // staleness check is the one latestSeq manifest read below.
-    val latest = KvLog.latestSeq(fs, table)
+    val latest = asOf.getOrElse(KvLog.latestSeq(fs, table))
     if (m.covered && latest <= m.asOfSeq)
       return coveredRead(spark, table, m, loPad, hiPad)
         .select(col("rowKey"), col("value"))
@@ -900,14 +940,22 @@ object KvIndex {
     require(m.covered,
       s"graft-kv index: '$name' is not a covered index — create it with " +
         "include/covered, or use lookup()")
+    // Same bound refusal as lookup(): an invalid decimal bound must fail
+    // identically on the fresh index-only path and the stale verified
+    // path — behavior must not depend on maintenance timing.
+    requireValidBounds(m, lo, hi)
     def padLit(v: String) =
-      if (m.pad > 0) ("0" * math.max(0, m.pad - v.length)) + v else v
+      if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
     val (loPad, hiPad) = (padLit(lo), padLit(hi))
     val latest = KvLog.latestSeq(fs, table)
     if (latest <= m.asOfSeq) return coveredRead(spark, table, m, loPad, hiPad)
-    // Stale: verified wide read over lookup's candidate keys, pinned to
-    // the probed seq like lookup itself.
-    val keys = lookup(spark, path, name, lo, hi, inPushdownCap)
+    // Stale: verified wide read over lookup's candidate keys, with the
+    // WHOLE covered lookup — candidate selection and wide re-read —
+    // pinned to the one `latest` probed above (lookupAt takes it as
+    // asOf rather than re-probing), so a commit landing between two
+    // latestSeq probes cannot yield a mixed-version answer.
+    val keys = lookupAt(spark, path, name, lo, hi, inPushdownCap,
+      asOf = Some(latest))
       .select(col("rowKey"))
     currentWide(spark, path, m, Map("asOfSeq" -> latest.toString))
       .join(keys, Seq("rowKey"), "left_semi")

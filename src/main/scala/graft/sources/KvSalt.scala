@@ -250,8 +250,17 @@ object KvSalt {
     require(seq >= 0, s"graft-kv: declaration seq must be non-negative, got $seq")
     val p = new Path(declDir(table), seq.toString)
     fs.mkdirs(p.getParent)
+    // "Already exists" is the idempotent no-op, but FileSystem impls
+    // signal it three ways: the Hadoop exception, the NIO one (raw-local
+    // delegates to java.nio), or a plain IOException whose cause is the
+    // file existing — distinguish the last from a genuine store error by
+    // re-probing existence.
     try fs.create(p, false).close()
-    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case e: java.io.IOException => if (!fs.exists(p)) throw e
+    }
   }
 
   /** Drop `seq`'s marker — the rollback for an ABORTED declaring publish.

@@ -131,7 +131,13 @@ object KvVacuum {
             var newest = st.getModificationTime
             while (it.hasNext)
               newest = math.max(newest, it.next().getModificationTime)
-            if (newest < cutoff) {
+            // An aged `.old-*` park that still carries the ONLY copy of a
+            // live index (recoverOrphans' restore failed — rename error)
+            // is NOT debris: deleting it would silently drop the index.
+            // Skip it; a later recovery pass restores, then GC reclaims.
+            if (newest < cutoff &&
+                (!n.startsWith(".old-") ||
+                  KvIndex.oldDirSafeToReclaim(fs, dir, n))) {
               fs.delete(st.getPath, true): Unit
               dirs += 1
             }

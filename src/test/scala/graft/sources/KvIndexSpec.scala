@@ -470,6 +470,68 @@ class KvIndexSpec extends graft.SparkSpec {
       .getMessage should include("not a non-negative decimal")
   }
 
+  test("covered lookup refuses invalid decimal bounds IDENTICALLY fresh and stale") {
+    val dir = freshDir("covbounds")
+    cells2q(200).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "cov", "f", "amt", pad = 3,
+      include = Seq("tag"))
+    // FRESH: the index-only fast path must refuse a non-digit and an
+    // over-width bound just like lookup() — not silently compare lexically.
+    intercept[IllegalArgumentException] {
+      KvIndex.lookupCovered(spark, dir, "cov", "ab", "200")
+    }.getMessage should include("non-negative decimal")
+    intercept[IllegalArgumentException] {
+      KvIndex.lookupCovered(spark, dir, "cov", "1", "12345")
+    }.getMessage should include("exceeds")
+    // STALE (an unabsorbed append): the same refusals, same messages —
+    // behavior must not depend on maintenance timing.
+    cells2q(10, tsBase = 100000L).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(dir)
+    intercept[IllegalArgumentException] {
+      KvIndex.lookupCovered(spark, dir, "cov", "ab", "200")
+    }.getMessage should include("non-negative decimal")
+    intercept[IllegalArgumentException] {
+      KvIndex.lookupCovered(spark, dir, "cov", "1", "12345")
+    }.getMessage should include("exceeds")
+    // And a VALID stale covered lookup still matches the oracle (the
+    // one-pinned-seq path).
+    KvIndex.lookupCovered(spark, dir, "cov", "100", "200")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet shouldBe oracleCov(dir, 100, 200)
+  }
+
+  test("vacuum guard: a meta-carrying .old park with NO live slot is never reclaimable") {
+    val dir = freshDir("vacguard")
+    cells(200).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8)
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val root = new Path(dir, KvIndex.DirName)
+    val live = new Path(root, "by_amt")
+    // Park the live index (crashed swap) — the park is the ONLY copy.
+    val aside = new Path(root, ".old-by_amt-deadbeef")
+    assert(fs.rename(live, aside))
+    assert(!KvIndex.oldDirSafeToReclaim(fs, table, ".old-by_amt-deadbeef"),
+      "the only copy of a live index must never be GC debris")
+    // Restore (what recoverOrphans does); the park is gone, but test the
+    // remaining cases explicitly:
+    assert(fs.rename(aside, live))
+    // (a) a meta-carrying park whose live slot EXISTS = completed swap
+    //     leftovers — reclaimable;
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, aside, false,
+      fs.getConf)
+    assert(KvIndex.oldDirSafeToReclaim(fs, table, ".old-by_amt-deadbeef"))
+    fs.delete(aside, true)
+    // (b) a metaless park (partial copy) — reclaimable;
+    val empty = new Path(root, ".old-by_amt-cafef00d")
+    fs.mkdirs(empty)
+    assert(KvIndex.oldDirSafeToReclaim(fs, table, ".old-by_amt-cafef00d"))
+    // (c) a name that doesn't parse as an index park — plain debris.
+    assert(KvIndex.oldDirSafeToReclaim(fs, table, ".old-junk"))
+  }
+
   test("a crashed rebuild swap self-heals: refresh recovers the parked index, vacuum GCs staging debris") {
     val dir = freshDir("crashswap")
     cells(300).write.format("graft-kv").option("regions", 2)
