@@ -3538,6 +3538,111 @@ object Queries {
       |  widx::BIGINT AS window_idx, n_chars
       |FROM walk""".stripMargin
 
+  // ------------------------------------- real BPE subword tokens (§7.6)
+
+  /** REAL merges-table BPE token counting (vs `txt_tokens`' regex proxy):
+    * greedy lowest-rank-pair merging under [[graft.functions.Bpe.Default]]
+    * — the count a training pipeline budgets on. The oracle replays the
+    * EXACT algorithm in DuckDB: a recursive CTE fusing, per step, the
+    * leftmost occurrence of the best-ranked adjacent pair, over a merges
+    * literal RENDERED FROM THE SAME Scala table (zero drift possible).
+    */
+  def txtBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+
+  /** The DuckDB merges-list literal, rendered from [[Bpe.Default]] itself:
+    * rank = 1-based list position, pair encoded `"a b"`.
+    */
+  private val bpeMergesSqlList: String =
+    graft.functions.Bpe.Default.merges
+      .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+
+  /** Per-word token counts via the recursive merge replay, then per-doc
+    * totals: word tokens + one token per non-letter non-whitespace char.
+    * Shared CTE prefix for both BPE oracles.
+    */
+  private def bpePerDocCte(extraCols: String): String =
+    s"""WITH RECURSIVE
+       |m(ml) AS (SELECT $bpeMergesSqlList),
+       |d0 AS (SELECT doc_id, lower(text) AS lo FROM documents),
+       |words AS (SELECT DISTINCT w FROM
+       |  (SELECT unnest(regexp_extract_all(lo, '[a-z]+')) AS w FROM d0)),
+       |bpe(w, toks) AS (
+       |  SELECT w, regexp_extract_all(w, '.') FROM words
+       |  UNION ALL
+       |  SELECT w, toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+       |  FROM (
+       |    SELECT w, toks,
+       |      list_position(rks, list_min(list_filter(rks, x -> x IS NOT NULL))) AS pos
+       |    FROM (
+       |      SELECT b.w, b.toks,
+       |        list_transform(range(1, len(b.toks)),
+       |          i -> nullif(list_position(m.ml, b.toks[i] || ' ' || b.toks[i+1]), 0)) AS rks
+       |      FROM bpe b, m))
+       |  WHERE pos IS NOT NULL AND pos > 0),
+       |wc AS (SELECT w, min(len(toks)) AS nt FROM bpe GROUP BY w),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lo, '[a-z]+')) AS w FROM d0),
+       |wsum AS (SELECT doc_id, sum(nt) AS t FROM dw JOIN wc USING (w) GROUP BY doc_id),
+       |per AS (SELECT d.doc_id,
+       |  (coalesce(w.t, 0) + len(regexp_extract_all(d.lo, '[^a-z\\s]')))::BIGINT AS n_bpe
+       |  $extraCols
+       |FROM d0 d LEFT JOIN wsum w USING (doc_id))""".stripMargin
+
+  private val txtBpeTokensSql: String =
+    s"""${bpePerDocCte("")}
+       |SELECT doc_id, n_bpe FROM per""".stripMargin
+
+  /** BPE training as a query: the merges table [[TextAnalysis.trainBpe]]
+    * derives from the corpus (one word-count shuffle, bounded histogram,
+    * driver merge loop — the sentencepiece shape). Deterministic; no SQL
+    * oracle (the merge loop is an iterated global argmax, which recursive
+    * SQL cannot aggregate over), so the driver records the rows-only check.
+    */
+  def txtBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.trainBpe(docs(spark, sfDir), "text", numMerges = 48)
+      .merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /** The packing twin quantifying PROXY-COUNT DRIFT: documents packed into
+    * 500-REAL-BPE-token windows (budget-quantized, like
+    * `pipe_pack_windows`), each window reporting its real cost, the regex
+    * proxy's claimed cost, and the ratio ×1000 — the budget error a
+    * pipeline absorbs if it packs on the proxy. Ratio, not difference:
+    * integer division of a nonnegative keeps Spark `div` and DuckDB `//`
+    * in exact agreement (they disagree on negatives).
+    */
+  def pipePackBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_proxy"))
+    graft.ext.Packing.packWindows(d, bucket = expr("doc_id div 100"),
+        order = col("doc_id"), cost = col("n_bpe"), budget = 500L)
+      .groupBy(col("pack_bucket"), col("window_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("bpe_cost"),
+        sum(col("n_proxy")).cast("long").as("proxy_cost"))
+      .withColumn("proxy_x1000", expr("proxy_cost * 1000 div bpe_cost"))
+  }
+
+  private val pipePackBpeSql: String =
+    s"""${bpePerDocCte(
+        """, len(regexp_extract_all(d.lo, '[a-z]{1,4}|[0-9]|[^a-z0-9\s]'))::BIGINT AS n_proxy""")},
+       |c AS (SELECT doc_id, doc_id // 100 AS pack_bucket, n_bpe, n_proxy,
+       |        coalesce(sum(n_bpe) OVER (PARTITION BY doc_id // 100
+       |          ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |      FROM per)
+       |SELECT pack_bucket::BIGINT AS pack_bucket,
+       |  (cum // 500)::BIGINT AS window_idx,
+       |  count(*)::BIGINT AS n_docs, sum(n_bpe)::BIGINT AS bpe_cost,
+       |  sum(n_proxy)::BIGINT AS proxy_cost,
+       |  (sum(n_proxy) * 1000 // sum(n_bpe))::BIGINT AS proxy_x1000
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------- deduplication (§7.6)
 
   import graft.ext.Dedup
@@ -5080,6 +5185,9 @@ object Queries {
     "dedup_incremental" -> (dedupIncremental _),
     "pipe_pack_windows" -> (pipePackWindows _),
     "pipe_pack_firstfit" -> (pipePackFirstfit _),
+    "txt_bpe_tokens" -> (txtBpeTokens _),
+    "txt_bpe_train" -> (txtBpeTrain _),
+    "pipe_pack_bpe" -> (pipePackBpe _),
     "dedup_exact" -> (dedupExact _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
@@ -5237,6 +5345,8 @@ object Queries {
     "dedup_incremental" -> dedupIncrementalSql,
     "pipe_pack_windows" -> pipePackWindowsSql,
     "pipe_pack_firstfit" -> pipePackFirstfitSql,
+    "txt_bpe_tokens" -> txtBpeTokensSql,
+    "pipe_pack_bpe" -> pipePackBpeSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "dedup_jaccard_pairs" -> dedupJaccardPairsSql,

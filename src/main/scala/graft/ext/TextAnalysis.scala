@@ -45,6 +45,47 @@ object TextAnalysis {
   /** English stop-word occurrences (word-boundary matched). */
   def stopCount(text: Column): Column = stats(text).getField("stop")
 
+  // ---- real BPE subword tokenization (merges-table greedy; see Bpe doc)
+
+  import graft.functions.{Bpe, BpeCountExpr, BpeTokensExpr}
+
+  /** REAL BPE subword token count of a document under `table` — the count
+    * training pipelines budget on (packing, corpus mixing, chunking), as
+    * opposed to [[bpeishTokenCount]]'s regex approximation. Codegen'd
+    * single static call; per-thread word memo makes zipfian corpora
+    * amortize to a hash probe per word.
+    */
+  def bpeTokenCount(text: Column, table: Bpe.Table = Bpe.Default): Column =
+    bridge.toColumn(BpeCountExpr(bridge.toExpression(text), table))
+
+  /** The ordered BPE token stream (words subword-split, one token per
+    * non-whitespace symbol) — for token-budget chunking.
+    */
+  def bpeTokens(text: Column, table: Bpe.Table = Bpe.Default): Column =
+    bridge.toColumn(BpeTokensExpr(bridge.toExpression(text), table))
+
+  /** Train a BPE merges table on a corpus — the distributed half of
+    * [[Bpe.train]]: ONE shuffle (word → count), a bounded top-`maxWords`
+    * histogram collected to the driver (deterministic order: count desc,
+    * word asc), then the in-memory merge loop. This is the
+    * sentencepiece/subword-nmt architecture: at 100 TB the corpus pass is
+    * a map + one aggregation; the merge loop's cost depends only on the
+    * (capped) vocabulary, never the corpus size. Rare words dropped by the
+    * cap only lose pair counts that could not have won a merge anyway
+    * (bounded by the cap's tail mass).
+    */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1 << 20): Bpe.Table = {
+    val wf = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.Table(Bpe.train(wf, numMerges))
+  }
+
   /** Quality facets, integer-scaled (‰ and ×100) for oracle stability:
     * punct per 1000 chars, stop words per 1000 tokens, average token length
     * ×100. `DIV` (integer division) keeps every value exact.
