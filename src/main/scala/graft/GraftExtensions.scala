@@ -17,21 +17,28 @@ import graft.functions._
   * spark.sql("SELECT poly_hash(text), bin_to_long(value) FROM cells")
   * }}}
   *
-  * This is deliberately the ONLY SparkSessionExtensions use in the engine:
-  * the reference's semantics need no custom optimizer rules or strategies
-  * (SURVEY §4 — Catalyst subsumes every physical trick it has), so injecting
-  * any would be planner noise. Scalar/aggregate *functions* are exactly what
-  * the extension point is for.
+  * Besides the function surface, ONE optimizer rule is injected:
+  * [[graft.sources.KvIndexRouting]] (pre-CBO — post-pushdown), the
+  * Phoenix-style rewrite that serves a selective SQL value-range
+  * predicate over a kv table's pivoted view through a maintained
+  * secondary index. The reference's own semantics need no other rules or
+  * strategies (SURVEY §4 — Catalyst subsumes every physical trick it
+  * has); the routing rule is an EXTENSION-side optimizer (§7.6), kept
+  * strictly answer-preserving by construction (its class doc). Sessions
+  * not built with extensions get the same rule via
+  * [[graft.sources.KvIndexRouting.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    ext.injectPreCBORule(session => graft.sources.KvIndexRouting(session))
+  }
 }
 
 object GraftExtensions {

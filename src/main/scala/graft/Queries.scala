@@ -277,6 +277,29 @@ object Queries {
     graft.sources.KvIndex.autoLookup(spark,
       ensureIndexedCells(spark, sfDir), "f", "click", "9000", "12000")
 
+  /** r16: SQL-SURFACE index routing ([[graft.sources.KvIndexRouting]] —
+    * the `autoLookup` cost call lifted into Catalyst, Phoenix's optimizer
+    * shape): the caller writes a PLAIN SQL range predicate over the
+    * LWW-pivoted view; whether it runs as the verified index lookup or
+    * the spelled full scan is the injected rule's manifest-stats
+    * decision. Same staging, same oracle as `kv_index_maintained` — the
+    * routed and unrouted plans must be indistinguishable in their answer.
+    */
+  def kvIndexSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureIndexedCells(spark, sfDir)
+    graft.sources.KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier") === "click")
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value"))
+      .createOrReplaceTempView("kv_index_sql_view")
+    spark.sql(
+      """SELECT rowKey, value FROM kv_index_sql_view
+        |WHERE CAST(value AS BIGINT) >= 9000
+        |  AND CAST(value AS BIGINT) < 12000""".stripMargin)
+  }
+
   private val kvIndexMaintainedSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
@@ -5133,6 +5156,7 @@ object Queries {
     "kv_resalt_scan" -> (kvResaltScan _),
     "kv_index_maintained" -> (kvIndexMaintained _),
     "kv_index_auto" -> (kvIndexAuto _),
+    "kv_index_sql" -> (kvIndexSql _),
     "kv_index_covered" -> (kvIndexCovered _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
@@ -5295,6 +5319,7 @@ object Queries {
     "kv_resalt_scan" -> kvV2RangeScanSql, // ...and so must a layout CONVERSION
     "kv_index_maintained" -> kvIndexMaintainedSql,
     "kv_index_auto" -> kvIndexMaintainedSql,
+    "kv_index_sql" -> kvIndexMaintainedSql,
     "kv_index_covered" -> kvIndexCoveredSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,

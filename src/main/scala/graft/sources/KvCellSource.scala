@@ -83,6 +83,15 @@ private[sources] class KvCellTable(path: String,
 
   override def name(): String = s"graft-kv `$path`"
   override def schema(): StructType = graft.kv.Cell.schema
+
+  /** [[KvIndexRouting]] hook for the PRE-pushdown plan shape (a
+    * `DataSourceV2Relation` still carrying this table): the path, but
+    * only when no catalog-injected read options (VERSION/TIMESTAMP AS OF)
+    * re-scope the read — those answer for a pinned version, not the
+    * current view an index lookup serves.
+    */
+  private[sources] def routablePath: Option[String] =
+    if (extraReadOptions.isEmpty) Some(path) else None
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -675,6 +684,18 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
+
+  /** The table path, exposed for [[KvIndexRouting]] — but ONLY when this
+    * scan is a plain CURRENT read: a time-travel / snapshot / CDC / raw /
+    * limit-capped scan answers a different question than the current view
+    * a secondary-index lookup serves, so the router must never rewrite
+    * it. Pushed filters are fine (Spark re-applies them as residuals).
+    */
+  private[sources] def routablePath: Option[String] =
+    if (asOfSeq.isEmpty && sinceSeq.isEmpty && snapshot.isEmpty &&
+      tailId.isEmpty && limit.isEmpty && !ordered && !readTombstones &&
+      !groupPruneOnly) Some(path)
+    else None
 
   /** CERTIFIED KEY-RANGE partitioning for storage-partitioned joins
     * ([[KvRegionLayout]] doc): when the version's full live file set

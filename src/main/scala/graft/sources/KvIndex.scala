@@ -686,7 +686,7 @@ object KvIndex {
     }
   }
 
-  private def rangeIsSelective(spark: SparkSession, fs: FileSystem,
+  private[sources] def rangeIsSelective(spark: SparkSession, fs: FileSystem,
       table: Path, m: Meta, lo: String, hi: String,
       maxSelectivity: Double): Boolean = {
     def padded(v: String) =
