@@ -228,7 +228,8 @@ object Cli {
       val ms = graft.sources.KvIndex.list(fs, dir)
       if (ms.isEmpty) println(s"no indexes on $table")
       ms.foreach(m => println(
-        s"${m.name}: ${m.family}:${m.qualifier} pad=${m.pad} asOf=${m.asOfSeq}"))
+        s"${m.name}: ${m.family}:${m.keyQuals.mkString(",")} " +
+          s"pad=${m.pads.mkString(",")} asOf=${m.asOfSeq}"))
 
     // GC of manifest-unreferenced files (crash leftovers) after a grace
     // period — the Delta VACUUM / HBase HFile-cleaner analog.

@@ -265,6 +265,80 @@ object Queries {
        |  ON c.rowKey = v.rowKey
        |WHERE CAST(c.value AS BIGINT) >= 9000 AND CAST(c.value AS BIGINT) < 12000""".stripMargin
 
+  /** r16: COMPOSITE (multi-column) secondary index
+    * ([[graft.sources.KvIndex.lookupComposite]], the Phoenix composite
+    * shape — index key = NUL-joined padded component values + base key):
+    * `(click, view)` both as decimal components, maintained EXACTLY
+    * (composite ⇒ covered), through the same DML lifecycle as
+    * `kv_index_covered` (upserts into range + a whole-row delete slice +
+    * one exact refresh). The two-column predicate is served by ONE index
+    * scan on the fresh path — leading bound prunes via the encoded key
+    * range, the second component filters the entry payload, zero base
+    * file opens (counting-FS spec) — and entries exist only for rows
+    * carrying BOTH components (inner-join semantics, mirrored by the
+    * oracle's inner join).
+    */
+  def kvIndexComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"composite_idx|$sfDir", _ => {
+      val p = artifactPath("composite_idx", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      KvTable.eventsAsCells(spark, sfDir)
+        .write.format("graft-kv").option("regions", 4)
+        .mode("overwrite").save(p)
+      graft.sources.KvIndex.create(spark, p, "by_click_view", "f", "click",
+        pad = 12, regions = 4, rest = Seq(("view", 12)))
+      spark.range(50).selectExpr(
+        "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+        "'f' AS family", "'click' AS qualifier",
+        "encode(CAST(10000 + id AS STRING), 'UTF-8') AS value",
+        "4000000000000000000L + id AS ts")
+        .write.format("graft-kv").option("regions", 1).mode("append").save(p)
+      graft.sources.KvDelete.deleteRows(spark, p,
+        spark.range(50, 100).selectExpr(
+          "lpad(CAST(id AS STRING), 8, '0') AS rowKey"))
+      val r = graft.sources.KvIndex.refresh(spark, p, "by_click_view")
+      require(r.isInstanceOf[graft.sources.KvIndex.Refreshed],
+        s"kv_index_composite staging expected an exact refresh, got $r")
+      p
+    })
+    graft.sources.KvIndex.lookupComposite(spark, path, "by_click_view",
+      Seq(("9000", "12000"), ("0", "5000")))
+      .withColumnRenamed("view", "view_val")
+  }
+
+  private val kvIndexCompositeSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(10000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(50) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lwwC AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM allc),
+       |lwwV AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM (SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |                 CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |                 event_id AS ts
+       |               FROM events WHERE event_type = 'view')),
+       |cur AS (SELECT rowKey, value FROM lwwC
+       |        WHERE rn = 1
+       |          AND rowKey NOT BETWEEN '00000050' AND '00000099')
+       |SELECT c.rowKey, c.value, v.value AS view_val
+       |FROM cur c JOIN (SELECT rowKey, value FROM lwwV WHERE rn = 1
+       |                 AND rowKey NOT BETWEEN '00000050' AND '00000099') v
+       |  ON c.rowKey = v.rowKey
+       |WHERE CAST(c.value AS BIGINT) >= 9000 AND CAST(c.value AS BIGINT) < 12000
+       |  AND CAST(v.value AS BIGINT) >= 0 AND CAST(v.value AS BIGINT) < 5000""".stripMargin
+
   /** r15: AUTOMATIC index routing ([[graft.sources.KvIndex.autoLookup]])
     * — the caller states only the PREDICATE (family, qualifier, value
     * range); whether it runs as the verified index lookup or a plain
@@ -5157,6 +5231,7 @@ object Queries {
     "kv_index_maintained" -> (kvIndexMaintained _),
     "kv_index_auto" -> (kvIndexAuto _),
     "kv_index_sql" -> (kvIndexSql _),
+    "kv_index_composite" -> (kvIndexComposite _),
     "kv_index_covered" -> (kvIndexCovered _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
@@ -5320,6 +5395,7 @@ object Queries {
     "kv_index_maintained" -> kvIndexMaintainedSql,
     "kv_index_auto" -> kvIndexMaintainedSql,
     "kv_index_sql" -> kvIndexMaintainedSql,
+    "kv_index_composite" -> kvIndexCompositeSql,
     "kv_index_covered" -> kvIndexCoveredSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,

@@ -80,10 +80,28 @@ object KvIndex {
     * a lookup whose covered seq equals the base's latest seq is served
     * INDEX-ONLY, zero base file opens. A plain (covered = false) index
     * keeps the append-only refresh + read-time verification contract.
+    *
+    * `rest` declares a COMPOSITE index (the Phoenix multi-column shape):
+    * additional key components after the leading `(qualifier, pad)`,
+    * each with its own pad. The index key is the NUL-joined padded
+    * component values followed by the base key — NUL termination makes
+    * the encoding prefix-free, so encoded-key order is EXACTLY
+    * component-tuple order even for variable-length string components.
+    * An entry exists only for base rows carrying ALL key components
+    * (the inner-join semantics a composite key requires); a composite
+    * index is ALWAYS covered: building a multi-component entry needs the
+    * JOINED current view of its qualifiers, which only the exact wide
+    * refresh computes — a single-qualifier append-only delta cannot
+    * re-key entries whose OTHER component changed.
     */
   case class Meta(name: String, family: String, qualifier: String,
       pad: Int, asOfSeq: Long, include: Seq[String] = Nil,
-      covered: Boolean = false)
+      covered: Boolean = false, rest: Seq[(String, Int)] = Nil) {
+    /** All key components, leading first. */
+    def keyQuals: Seq[String] = qualifier +: rest.map(_._1)
+    def pads: Seq[Int] = pad +: rest.map(_._2)
+    def composite: Boolean = rest.nonEmpty
+  }
 
   sealed trait RefreshResult
   case class Refreshed(fromSeq: Long, toSeq: Long) extends RefreshResult
@@ -120,9 +138,12 @@ object KvIndex {
       if (!m.covered) ""
       else " covered=1" + (if (m.include.nonEmpty)
         s" include=${m.include.mkString(",")}" else "")
+    // Composite metas comma-join the components into the same tokens a
+    // single-component file uses — old files parse unchanged (a lone
+    // value splits to a one-element list), new files stay one-line k=v.
     KvLog.writeText(fs, tmp,
-      s"v1 family=${m.family} qualifier=${m.qualifier} pad=${m.pad} " +
-        s"asOf=${m.asOfSeq}$cov\n")
+      s"v1 family=${m.family} qualifier=${m.keyQuals.mkString(",")} " +
+        s"pad=${m.pads.mkString(",")} asOf=${m.asOfSeq}$cov\n")
     if (Option(fs.getUri.getScheme).contains("file")) {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
@@ -151,11 +172,17 @@ object KvIndex {
       def tok(k: String): String = tokOpt(k).getOrElse(
         throw new IllegalStateException(
           s"graft-kv index: meta for '$name' lacks $k"))
-      Meta(name, tok("family"), tok("qualifier"), tok("pad").toInt,
+      val quals = tok("qualifier").split(",").toSeq.filter(_.nonEmpty)
+      val pads = tok("pad").split(",").toSeq.map(_.toInt)
+      require(quals.nonEmpty && quals.length == pads.length,
+        s"graft-kv index: meta for '$name' has ${quals.length} qualifiers " +
+          s"but ${pads.length} pads — corrupted metadata")
+      Meta(name, tok("family"), quals.head, pads.head,
         tok("asOf").toLong,
         include = tokOpt("include").toSeq
           .flatMap(_.split(",")).filter(_.nonEmpty),
-        covered = tokOpt("covered").contains("1"))
+        covered = tokOpt("covered").contains("1"),
+        rest = quals.tail.zip(pads.tail))
     }
   }
 
@@ -276,12 +303,14 @@ object KvIndex {
     * decimal mode (class doc); 0 = raw string order. `covered = true`
     * (implied by a non-empty `include`) builds a covered index
     * ([[Meta]] doc): `include` lists the additional qualifiers whose
-    * current values ride the index entries.
+    * current values ride the index entries. `rest` lists additional
+    * (qualifier, pad) KEY components after the leading one — a COMPOSITE
+    * index ([[Meta]] doc), always covered.
     */
   def create(spark: SparkSession, path: String, name: String,
       family: String, qualifier: String, pad: Int = 0,
       regions: Int = 4, include: Seq[String] = Nil,
-      covered: Boolean = false): Meta = {
+      covered: Boolean = false, rest: Seq[(String, Int)] = Nil): Meta = {
     requireValidName(name)
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -290,13 +319,16 @@ object KvIndex {
         "graft-kv sink first)")
     require(meta(fs, table, name).isEmpty,
       s"graft-kv index: '$name' already exists on $path (drop it first)")
-    require(pad >= 0 && pad <= 256, s"graft-kv index: pad must be in [0, 256]")
+    (pad +: rest.map(_._2)).foreach(p => require(p >= 0 && p <= 256,
+      s"graft-kv index: pad must be in [0, 256], got $p"))
     // The meta file is whitespace-separated k=v tokens: a family or
     // qualifier containing whitespace (or '=') would round-trip CORRUPTED
     // and every later refresh/lookup would filter on the wrong column —
-    // silently empty results. Refuse at create. Include names also ride
-    // a comma-separated token and index cells as `q:<name>` qualifiers.
+    // silently empty results. Refuse at create. Include and composite
+    // names also ride comma-separated tokens and index cells as
+    // `q:<name>` qualifiers.
     (Seq("family" -> family, "qualifier" -> qualifier) ++
+      rest.map("composite qualifier" -> _._1) ++
       include.map("include qualifier" -> _)).foreach {
       case (which, v) =>
         require(v.nonEmpty && !v.exists(c => c.isWhitespace || c == '=' ||
@@ -304,16 +336,20 @@ object KvIndex {
           s"graft-kv index: $which '$v' contains whitespace, '=' or ',' — " +
             "unsupported in the index metadata encoding")
     }
-    require(!include.contains(qualifier),
-      s"graft-kv index: '$qualifier' is the indexed qualifier — it is " +
-        "always covered; do not list it in include")
+    val keyQuals = qualifier +: rest.map(_._1)
+    require(keyQuals.distinct.length == keyQuals.length,
+      s"graft-kv index: duplicate key component in ${keyQuals.mkString(", ")}")
+    include.intersect(keyQuals).foreach(q => require(false,
+      s"graft-kv index: '$q' is a key component — it is always covered; " +
+        "do not list it in include"))
     // Pin the covered version BEFORE reading, so concurrent appends land
     // ABOVE the recorded seq and the first refresh (or the lookup tail)
     // picks them up — never silently skipped.
     val latest = KvLog.latestSeq(fs, table)
     require(latest >= 0, s"graft-kv index: $path is empty — nothing to index")
     val m = Meta(name, family, qualifier, pad, latest,
-      include = include, covered = covered || include.nonEmpty)
+      include = include,
+      covered = covered || include.nonEmpty || rest.nonEmpty, rest = rest)
     val dir = indexDir(table, name)
     fs.delete(dir, true) // a torn previous create (no meta) is replaced
     buildAt(spark, path, m, dir, regions)
@@ -323,14 +359,18 @@ object KvIndex {
   // ------------------------------------------------- covered-index engine
 
   /** The relevant qualifiers' CURRENT values per base key as one wide
-    * row: `rowKey, _v0 (indexed), _v1.. (include order)` — binary values,
-    * null where the key has no such qualifier. The same conditional-LWW
-    * shape [[graft.ops.KvPivot.pivot]] uses (hash-aggregable, one
-    * exchange); delete masking and time travel ride the scan options.
+    * row: `rowKey, _v0.. (key components in order), then includes` —
+    * binary values, null where the key has no such qualifier. The same
+    * conditional-LWW shape [[graft.ops.KvPivot.pivot]] uses
+    * (hash-aggregable, one exchange); delete masking and time travel
+    * ride the scan options. Rows lacking ANY key component are dropped —
+    * a composite entry is the inner join of its components ([[Meta]]
+    * doc); for a single-component index this is the old "rows without
+    * the indexed qualifier" filter.
     */
   private def currentWide(spark: SparkSession, path: String, m: Meta,
       options: Map[String, String]): DataFrame = {
-    val quals = m.qualifier +: m.include
+    val quals = m.keyQuals ++ m.include
     var r = spark.read.format("graft-kv")
     options.foreach { case (k, v) => r = r.option(k, v) }
     val aggs = quals.zipWithIndex.map { case (q, i) =>
@@ -340,12 +380,36 @@ object KvIndex {
     r.load(path)
       .filter(col("family") === m.family && col("qualifier").isin(quals: _*))
       .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
-      .filter(col("_v0").isNotNull) // rows without the indexed qualifier
+      .filter(m.keyQuals.indices.map(i => col(s"_v$i").isNotNull)
+        .reduce(_ && _))
+  }
+
+  /** One component column, NUL-refused and (decimal mode) guarded. */
+  private def checkedComponent(raw: org.apache.spark.sql.Column,
+      pad: Int): org.apache.spark.sql.Column = {
+    val v = decode(raw, "UTF-8")
+    when(v.contains(Sep),
+      raise_error(lit("graft-kv index: indexed value contains NUL (the " +
+        "key separator) — unsupported for a string-ordered index")))
+      .otherwise(guardedValue(v, pad))
+  }
+
+  /** The entry key from binary component columns: NUL-joined padded
+    * component values, NUL, base key ([[Meta]] doc — the prefix-free
+    * composite encoding).
+    */
+  private def entryKeyOf(m: Meta,
+      comps: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    val parts = comps.zip(m.pads).map { case (c, p) =>
+      paddedValue(checkedComponent(c, p), p)
+    }
+    concat(parts.flatMap(p => Seq(p, lit(Sep))) :+ col("rowKey"): _*)
   }
 
   /** One wide current row → this entry's index cells: `k` (base key),
-    * `v` (indexed value), one `q:<qualifier>` per present include value —
-    * all at ts = `tsSeq`. SEQ-VALUED TIMESTAMPS are what make the exact
+    * `v` (leading component value), one `q:<qualifier>` per non-leading
+    * key component and per present include value — all at ts = `tsSeq`.
+    * SEQ-VALUED TIMESTAMPS are what make the exact
     * delete-then-re-add lifecycle monotone: a refresh to seq L writes
     * adds at ts=L and masks superseded entries with markers at ts=S (the
     * span start), so re-added entries always out-ts every older marker
@@ -354,13 +418,9 @@ object KvIndex {
     */
   private def indexCellsCovered(wide: DataFrame, m: Meta,
       tsSeq: Long): DataFrame = {
-    val v = decode(col("_v0"), "UTF-8")
-    val checked = when(v.contains(Sep),
-      raise_error(lit("graft-kv index: indexed value contains NUL (the " +
-        "key separator) — unsupported for a string-ordered index")))
-      .otherwise(guardedValue(v, m.pad))
+    val k = m.keyQuals.length
     val withKey = wide.withColumn("_ik",
-      concat(paddedValue(checked, m.pad), lit(Sep), col("rowKey")))
+      entryKeyOf(m, m.keyQuals.indices.map(i => col(s"_v$i"))))
     def cell(q: String, value: org.apache.spark.sql.Column) =
       withKey.filter(value.isNotNull).select(
         col("_ik").as("rowKey"), lit("i").as("family"),
@@ -369,9 +429,12 @@ object KvIndex {
     val parts =
       cell("k", encode(col("rowKey"), "UTF-8")) +:
         cell("v", col("_v0")) +:
-        m.include.zipWithIndex.map { case (q, i) =>
+        (m.rest.map(_._1).zipWithIndex.map { case (q, i) =>
           cell(s"q:$q", col(s"_v${i + 1}"))
-        }
+        } ++
+          m.include.zipWithIndex.map { case (q, i) =>
+            cell(s"q:$q", col(s"_v${k + i}"))
+          })
     parts.reduce(_ unionByName _)
   }
 
@@ -389,7 +452,8 @@ object KvIndex {
   private def refreshExactCovered(spark: SparkSession, path: String,
       m: Meta, latest: Long, dir: Path, fs: FileSystem): RefreshResult = {
     import spark.implicits._
-    val quals = m.qualifier +: m.include
+    val quals = m.keyQuals ++ m.include
+    val n = quals.length
     // The raw change feed ships markers too — a row/column delete is a
     // change the index must absorb as a tombstone.
     val r = spark.read.format("graft-kv")
@@ -413,23 +477,20 @@ object KvIndex {
     val post = restrict(currentWide(spark, path, m,
       Map("asOfSeq" -> latest.toString)))
     val preR = pre.select(col("rowKey") +:
-      (0 to m.include.length).map(i => col(s"_v$i").as(s"_p$i")): _*)
+      (0 until n).map(i => col(s"_v$i").as(s"_p$i")): _*)
     val joined = preR.join(post, Seq("rowKey"), "full_outer")
-    val changed = (0 to m.include.length)
+    val changed = (0 until n)
       .map(i => !(col(s"_p$i") <=> col(s"_v$i"))).reduce(_ || _)
-    def entryKey(valueCol: org.apache.spark.sql.Column) = {
-      val v = decode(valueCol, "UTF-8")
-      val checked = when(v.contains(Sep),
-        raise_error(lit("graft-kv index: indexed value contains NUL (the " +
-          "key separator) — unsupported for a string-ordered index")))
-        .otherwise(guardedValue(v, m.pad))
-      concat(paddedValue(checked, m.pad), lit(Sep), col("rowKey"))
-    }
     // Superseded entries: the pre-image had an entry and the row changed
-    // (or vanished). Marker ts = the span-start seq (doc above).
+    // (or vanished — incl. a row that LOST a key component: currentWide
+    // drops it, so the post side is null). Pre-existence is `_p0`
+    // non-null: wide rows carry ALL key components by construction.
+    // Marker ts = the span-start seq (doc above).
     val dead = joined
       .filter(col("_p0").isNotNull && (col("_v0").isNull || changed))
-      .select(entryKey(col("_p0")).as("rowKey"), lit(m.asOfSeq).as("ts"))
+      .select(entryKeyOf(m,
+        m.keyQuals.indices.map(i => col(s"_p$i"))).as("rowKey"),
+        lit(m.asOfSeq).as("ts"))
     val deadRows = dead.cache()
     try {
       if (!deadRows.isEmpty)
@@ -437,7 +498,7 @@ object KvIndex {
       val fresh = joined
         .filter(col("_v0").isNotNull && (col("_p0").isNull || changed))
         .select(col("rowKey") +:
-          (0 to m.include.length).map(i => col(s"_v$i")): _*)
+          (0 until n).map(i => col(s"_v$i")): _*)
       val adds = indexCellsCovered(fresh, m, tsSeq = latest).cache()
       try {
         if (!adds.isEmpty)
@@ -612,24 +673,26 @@ object KvIndex {
       s"graft-kv index: no index '$name' on $path"))
     // The base's current view AT the covered seq: post-covered changes
     // are legitimately absent from the index (the lookup tail serves
-    // them) and must not count as missing.
-    val currentAt = baseCells(spark, path, m,
+    // them) and must not count as missing. `pv` is the NUL-joined padded
+    // component tuple — for a single-component index, the padded value.
+    // guardedValue (inside checkedComponent): an over-width current
+    // value RAISES here like it does in refresh — a silently
+    // lpad-truncated pv could collide with a stale index entry and mask
+    // a genuine missing row.
+    val parts = m.keyQuals.indices.map { i =>
+      paddedValue(checkedComponent(col(s"_v$i"), m.pads(i)), m.pads(i))
+    }
+    val currentAt = currentWide(spark, path, m,
       Map("asOfSeq" -> m.asOfSeq.toString))
-      .groupBy(col("rowKey"))
-      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
-        "UTF-8").as("v"))
       .select(col("rowKey"),
-        // guardedValue: an over-width current value RAISES here like it
-        // does in refresh — a silently lpad-truncated pv could collide
-        // with a stale index entry and mask a genuine missing row.
-        paddedValue(guardedValue(col("v"), m.pad), m.pad).as("pv"))
+        parts.reduce((a, b) => concat(a, lit(Sep), b)).as("pv"))
     val idxPairs = spark.read.format("graft-kv")
       .load(indexDir(table, name).toString)
       // `k` cells carry the base key; a covered index's `v`/`q:` payload
       // cells are not entries of their own.
       .filter(col("qualifier") === "k")
       .select(decode(col("value"), "UTF-8").as("rowKey"),
-        substring_index(col("rowKey"), Sep, 1).as("pv"))
+        substring_index(col("rowKey"), Sep, m.keyQuals.length).as("pv"))
       .distinct()
     val keyCols = Seq("rowKey", "pv")
     val nCurrent = currentAt.count()
@@ -670,8 +733,13 @@ object KvIndex {
       inPushdownCap: Int = InPushdownCap): DataFrame = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    // Composite indexes are skipped: their entries exist only for rows
+    // carrying ALL key components (inner-join semantics), so serving a
+    // single-qualifier predicate from one would silently drop rows that
+    // lack the other components.
     val matching = list(fs, table)
-      .find(m => m.family == family && m.qualifier == qualifier)
+      .find(m => m.family == family && m.qualifier == qualifier &&
+        !m.composite)
     matching match {
       case Some(m) =>
         require(pad == 0 || pad == m.pad,
@@ -784,10 +852,13 @@ object KvIndex {
     * depends on maintenance timing.
     */
   private def requireValidBounds(m: Meta, lo: String, hi: String): Unit =
-    if (m.pad > 0) Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
-      require(v.length <= m.pad,
+    requireValidBoundsAt(m.pad, lo, hi)
+
+  private def requireValidBoundsAt(pad: Int, lo: String, hi: String): Unit =
+    if (pad > 0) Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
+      require(v.length <= pad,
         s"graft-kv index: $which bound '$v' exceeds the index's decimal " +
-          s"width pad=${m.pad} — no indexed value can reach it")
+          s"width pad=$pad — no indexed value can reach it")
       // Decimal mode orders CANONICAL NON-NEGATIVE decimals; a
       // non-digit bound (negative, signed, alpha) would compare
       // lexically against zero-padded keys in an order that diverges
@@ -815,6 +886,10 @@ object KvIndex {
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
       s"graft-kv index: no index '$name' on $path"))
+    require(!m.composite,
+      s"graft-kv index: '$name' is a composite index — a single-qualifier " +
+        "lookup over it would drop rows lacking the other key components; " +
+        "use lookupComposite() with one bound per component")
     requireValidBounds(m, lo, hi)
     def padLit(v: String) =
       if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
@@ -904,23 +979,27 @@ object KvIndex {
 
   /** The INDEX-ONLY range read of a covered index: one pruned index scan
     * (delete masking hides tombstoned entries inside the scan), one LWW
-    * group per entry — base table untouched. Output: `rowKey` (base
-    * key), `value` (indexed value), one decoded string column per
-    * `include` qualifier (null where the base row lacks it).
+    * group per entry — base table untouched. `[loPad, hiPad)` bounds the
+    * LEADING component: the prefix-free NUL encoding makes the encoded
+    * range exactly the leading-component range. Output: `rowKey` (base
+    * key), `value` (leading component value), one decoded string column
+    * per non-leading key component (named by its qualifier, never null)
+    * and per `include` qualifier (null where the base row lacks it).
     */
   private def coveredRead(spark: SparkSession, table: Path, m: Meta,
       loPad: String, hiPad: String): DataFrame = {
     def lww(q: String) = graft.functions.MaxByTsAgg.maxByTs(
       col("value"), when(col("qualifier") === q, col("ts")))
+    val extra = m.rest.map(_._1) ++ m.include
     val aggs = lww("k").as("_k") +: lww("v").as("_v") +:
-      m.include.map(q => lww(s"q:$q").as(s"_q$q"))
+      extra.map(q => lww(s"q:$q").as(s"_q$q"))
     spark.read.format("graft-kv").load(indexDir(table, m.name).toString)
       .filter(col("rowKey") >= loPad && col("rowKey") < hiPad)
       .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
       .filter(col("_k").isNotNull)
       .select(decode(col("_k"), "UTF-8").as("rowKey") +:
         decode(col("_v"), "UTF-8").as("value") +:
-        m.include.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
+        extra.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
   }
 
   /** Covered lookup: [[lookup]]'s answer plus one column per `include`
@@ -940,6 +1019,9 @@ object KvIndex {
     require(m.covered,
       s"graft-kv index: '$name' is not a covered index — create it with " +
         "include/covered, or use lookup()")
+    require(!m.composite,
+      s"graft-kv index: '$name' is a composite index — use " +
+        "lookupComposite() with one bound per component")
     // Same bound refusal as lookup(): an invalid decimal bound must fail
     // identically on the fresh index-only path and the stale verified
     // path — behavior must not depend on maintenance timing.
@@ -964,5 +1046,105 @@ object KvIndex {
         m.include.zipWithIndex.map { case (q, i) =>
           decode(col(s"_v${i + 1}"), "UTF-8").as(q)
         }: _*)
+  }
+
+  /** COMPOSITE lookup: one `[lo, hi)` bound per key component (string
+    * order; numeric order for decimal-mode components). Returns `rowKey`,
+    * `value` (leading component), one column per non-leading key
+    * component and per `include` qualifier — always the CURRENT values.
+    *
+    * FRESH (covered seq == latest): served INDEX-ONLY in ONE index scan —
+    * the leading bound prunes the scan through the encoded key range
+    * (prefix-free NUL encoding), the remaining component predicates
+    * filter the entry payload; zero base file opens. STALE: candidates =
+    * index entries in the encoded range whose embedded components match
+    * (parsed from the entry key — already padded, so the comparison is
+    * direct) ∪ base keys the CDC tail touched on ANY key component (a
+    * change to component 2 can move a row INTO the range, so every
+    * touched key is a candidate), then one verified wide re-read PINNED
+    * to the probed seq — the same snapshot-consistency contract as
+    * [[lookup]]. An unservable tail span degrades to the full wide scan:
+    * slower, never wrong.
+    */
+  def lookupComposite(spark: SparkSession, path: String, name: String,
+      bounds: Seq[(String, String)],
+      inPushdownCap: Int = InPushdownCap): DataFrame = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv index: no index '$name' on $path"))
+    require(m.composite,
+      s"graft-kv index: '$name' is a single-component index — use " +
+        "lookup()/lookupCovered()")
+    require(bounds.length == m.keyQuals.length,
+      s"graft-kv index: '$name' has ${m.keyQuals.length} key components " +
+        s"(${m.keyQuals.mkString(", ")}); got ${bounds.length} bounds")
+    bounds.zip(m.pads).foreach { case ((lo, hi), p) =>
+      requireValidBoundsAt(p, lo, hi) }
+    def padLit(v: String, p: Int) =
+      if (p > 0) ("0" * (p - v.length)) + v else v
+    val pb = bounds.zip(m.pads).map { case ((lo, hi), p) =>
+      (padLit(lo, p), padLit(hi, p))
+    }
+    val (lo1, hi1) = pb.head
+    val k = m.keyQuals.length
+    // Non-leading component predicates over PADDED string columns (the
+    // caller of `colOf` supplies each component already padded).
+    def restMatch(colOf: Int => org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      (1 until k).map { i =>
+        val (lo, hi) = pb(i)
+        colOf(i) >= lo && colOf(i) < hi
+      }.reduce(_ && _) // k >= 2: a composite index has at least two components
+
+    val latest = KvLog.latestSeq(fs, table)
+    if (latest <= m.asOfSeq)
+      return coveredRead(spark, table, m, lo1, hi1)
+        .filter(restMatch(i =>
+          paddedValue(col(m.keyQuals(i)), m.pads(i))))
+
+    // STALE path (doc above). Entry keys parse positionally: component i
+    // is the i-th NUL-separated segment, stored padded.
+    val idxCand = spark.read.format("graft-kv")
+      .load(indexDir(table, name).toString)
+      .filter(col("rowKey") >= lo1 && col("rowKey") < hi1 &&
+        col("qualifier") === "k")
+      .filter(restMatch(i => element_at(split(col("rowKey"), Sep), i + 1)))
+      .select(decode(col("value"), "UTF-8").as("rowKey"))
+    val pinned = Map("asOfSeq" -> latest.toString)
+    val wideAll = currentWide(spark, path, m, pinned)
+    val verifiedWide =
+      if (spanUnservable(fs, table, m.asOfSeq, latest)) wideAll
+      else {
+        val tailCand = spark.read.format("graft-kv")
+          .option("sinceSeq", m.asOfSeq.toString)
+          .option("asOfSeq", latest.toString).load(path)
+          .filter(col("family") === m.family &&
+            col("qualifier").isin(m.keyQuals: _*))
+          .select(col("rowKey"))
+        val candidates = idxCand.unionByName(tailCand)
+        val probe = candidates.limit(inPushdownCap + 1).collect()
+        if (probe.isEmpty)
+          // optimizer folds Filter(false) to an empty relation with the
+          // exact output schema of the fresh path
+          return coveredRead(spark, table, m, lo1, hi1).filter(lit(false))
+        else if (probe.length <= inPushdownCap) {
+          val keys = probe.map(_.getString(0)).distinct
+          wideAll.filter(col("rowKey").isin(keys.toIndexedSeq: _*))
+        } else wideAll.join(candidates, Seq("rowKey"), "left_semi")
+      }
+    val compPad = m.keyQuals.indices.map(i =>
+      paddedValue(checkedComponent(col(s"_v$i"), m.pads(i)), m.pads(i)))
+    verifiedWide
+      .filter(compPad.head >= lo1 && compPad.head < hi1 &&
+        restMatch(i => compPad(i)))
+      .select(col("rowKey") +:
+        decode(col("_v0"), "UTF-8").as("value") +:
+        (m.rest.map(_._1).zipWithIndex.map { case (q, i) =>
+          decode(col(s"_v${i + 1}"), "UTF-8").as(q)
+        } ++
+          m.include.zipWithIndex.map { case (q, i) =>
+            decode(col(s"_v${k + i}"), "UTF-8").as(q)
+          }): _*)
   }
 }

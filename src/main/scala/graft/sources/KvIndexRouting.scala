@@ -240,8 +240,11 @@ case class KvIndexRouting(session: SparkSession)
     val fs = table.getFileSystem(session.sessionState.newHadoopConf())
     val maxSel = session.conf.get(MaxSelectivityKey, "0.2").toDouble
     for {
+      // composite indexes are inner joins of their components — wrong
+      // row set for a single-qualifier pivot; never route through one
       m <- KvIndex.list(fs, table)
-        .find(i => i.family == s.family && i.qualifier == s.qualifier)
+        .find(i => i.family == s.family && i.qualifier == s.qualifier &&
+          !i.composite)
       (lo, hi) <- bounds(splitConjunctivePredicates(cond), s.valOut, m.pad)
       if KvIndex.rangeIsSelective(session, fs, table, m, lo, hi, maxSel)
     } yield {

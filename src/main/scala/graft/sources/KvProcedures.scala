@@ -248,23 +248,36 @@ private[sources] object KvProcedures {
       ProcedureParameter.in("include", StringType).defaultValue("NULL")
         .comment("comma-separated qualifiers to COVER (Phoenix INCLUDE): " +
           "the index is maintained exactly and fresh lookups serve " +
-          "index-only, base untouched").build())
+          "index-only, base untouched").build(),
+      ProcedureParameter.in("composite", StringType).defaultValue("NULL")
+        .comment("additional KEY components after the leading qualifier, " +
+          "as comma-separated qual:pad pairs (Phoenix composite shape); " +
+          "a composite index is always covered").build())
     override val resultSchema: StructType = StructType(Seq(
       StructField("result", StringType, nullable = false),
       StructField("covered_seq", LongType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = tableDir(input)
-      val include =
-        if (input.isNullAt(6)) Nil
-        else input.getUTF8String(6).toString.split(",").map(_.trim)
+      def csv(i: Int): Seq[String] =
+        if (input.isNullAt(i)) Nil
+        else input.getUTF8String(i).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
+      val rest = csv(7).map { pair =>
+        pair.split(":") match {
+          case Array(q, p) => (q, p.toInt)
+          case Array(q) => (q, 0)
+          case _ => throw new IllegalArgumentException(
+            s"graft-kv: composite component '$pair' is not qual[:pad]")
+        }
+      }
       val m = KvIndex.create(spark, dir.toString,
         input.getUTF8String(1).toString, input.getUTF8String(2).toString,
         input.getUTF8String(3).toString, input.getInt(4), input.getInt(5),
-        include = include)
+        include = csv(6), rest = rest)
       oneRow(Array[Any](UTF8String.fromString(
-        if (m.covered) "created covered" else "created"), m.asOfSeq))
+        (if (m.composite) "created composite" else "created") +
+          (if (m.covered && !m.composite) " covered" else "")), m.asOfSeq))
     }
   }
 
@@ -330,9 +343,12 @@ private[sources] object KvProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = tableDir(input)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      // composite metas render the comma-joined component list in the
+      // qualifier column (the leading pad in `pad` — per-component pads
+      // live in the meta file)
       rowsOut(KvIndex.list(fs, dir).map(m => Array[Any](
         UTF8String.fromString(m.name), UTF8String.fromString(m.family),
-        UTF8String.fromString(m.qualifier), m.pad, m.asOfSeq)))
+        UTF8String.fromString(m.keyQuals.mkString(",")), m.pad, m.asOfSeq)))
     }
   }
 
