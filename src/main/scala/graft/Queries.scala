@@ -1549,16 +1549,33 @@ object Queries {
     * 200 new ids appeared (inserts), and every C0 cell was rewritten
     * (updates). [[graft.ops.SnapshotDiff]] emits exactly the changed cells —
     * what an incremental exporter ships instead of a full rescan.
+    *
+    * r16: both generations are KV TABLES read through the path catalog
+    * ([[graft.ops.SnapshotDiff.diffTables]]) — certified same-layout
+    * sides (a table and its clone, an unchanged snapshot) now diff with
+    * ZERO exchanges (KvDiffSpjSpec pins it); these two diverged
+    * generations keep the honest two-shuffle plan.
     */
   def kvSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val older = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
-    val newer = KvGenerator.cells(spark, GenRecords + 200, GenTasks, "run1")
-      .filter(col("qualifier") =!= "C3")
-      .withColumn("value",
-        when(col("qualifier") === "C0",
-          concat(col("value"), lit(":v2".getBytes("UTF-8"))))
-          .otherwise(col("value")))
-    graft.ops.SnapshotDiff.diff(older, newer)
+    val srcA = artifacts.computeIfAbsent(s"snapdiff|$sfDir", _ => {
+      val a = artifactPath("snapdiff_older", sfDir)
+      val b = artifactPath("snapdiff_newer", sfDir)
+      Seq(a, b).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
+      KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
+        .write.format("graft-kv").option("regions", 4)
+        .mode("overwrite").save(a)
+      KvGenerator.cells(spark, GenRecords + 200, GenTasks, "run1")
+        .filter(col("qualifier") =!= "C3")
+        .withColumn("value",
+          when(col("qualifier") === "C0",
+            concat(col("value"), lit(":v2".getBytes("UTF-8"))))
+            .otherwise(col("value")))
+        .write.format("graft-kv").option("regions", 4)
+        .mode("overwrite").save(b)
+      a
+    })
+    val srcB = srcA.replace("snapdiff_older", "snapdiff_newer")
+    graft.ops.SnapshotDiff.diffTables(spark, srcA, srcB)
       .select(col("rowKey"), col("qualifier"), col("change"),
         decode(col("old_value"), "UTF-8").as("old_value"),
         decode(col("new_value"), "UTF-8").as("new_value"))

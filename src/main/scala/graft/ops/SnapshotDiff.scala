@@ -34,6 +34,22 @@ object SnapshotDiff {
     cells.groupBy(col("rowKey"), col("qualifier"))
       .agg(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")).as("value"))
 
+  /** [[diff]] over CATALOG-RESOLVED kv scans ([[graft.sources.KvRead]]):
+    * when the two sides share a certified key-range layout — a table and
+    * its clone, a snapshot and the unchanged current version — the
+    * reported `KeyGroupedPartitioning` resolves and the whole diff plans
+    * with ZERO exchanges (both aggregations and the join ride the region
+    * layout); any layout disagreement falls back to the ordinary
+    * two-shuffle plan with identical results. Options are the usual scan
+    * options per side (`snapshot`, `asOfSeq`, ...).
+    */
+  def diffTables(spark: org.apache.spark.sql.SparkSession,
+      olderPath: String, newerPath: String,
+      olderOptions: Map[String, String] = Map.empty,
+      newerOptions: Map[String, String] = Map.empty): DataFrame =
+    diff(graft.sources.KvRead.cells(spark, olderPath, olderOptions),
+      graft.sources.KvRead.cells(spark, newerPath, newerOptions))
+
   /** Diff rows: (rowKey, qualifier, change, old_value, new_value). */
   def diff(older: DataFrame, newer: DataFrame): DataFrame = {
     val o = resolve(older).select(

@@ -268,13 +268,18 @@ object KvIndex {
       col("ts").as("ts"))
   }
 
+  /** Base reads go through the CATALOG-RESOLVED path ([[KvRead]]): same
+    * rows and pushdown, plus a resolvable region function — a certified
+    * table's per-key aggregates (currentWide, the verification LWW) plan
+    * WITHOUT an exchange, and the over-cap verification join can shuffle
+    * only the candidate side to the base's layout
+    * (`spark.sql.sources.v2.bucketing.shuffle.enabled`) instead of
+    * moving the table.
+    */
   private def baseCells(spark: SparkSession, path: String, m: Meta,
-      options: Map[String, String]): DataFrame = {
-    var r = spark.read.format("graft-kv")
-    options.foreach { case (k, v) => r = r.option(k, v) }
-    r.load(path)
+      options: Map[String, String]): DataFrame =
+    KvRead.cells(spark, path, options)
       .filter(col("family") === m.family && col("qualifier") === m.qualifier)
-  }
 
   /** Stage one full build of `m` over base version `m.asOfSeq` into
     * `dir` (data + meta).
@@ -371,13 +376,11 @@ object KvIndex {
   private def currentWide(spark: SparkSession, path: String, m: Meta,
       options: Map[String, String]): DataFrame = {
     val quals = m.keyQuals ++ m.include
-    var r = spark.read.format("graft-kv")
-    options.foreach { case (k, v) => r = r.option(k, v) }
     val aggs = quals.zipWithIndex.map { case (q, i) =>
       graft.functions.MaxByTsAgg.maxByTs(
         col("value"), when(col("qualifier") === q, col("ts"))).as(s"_v$i")
     }
-    r.load(path)
+    KvRead.cells(spark, path, options) // catalog-resolved: baseCells doc
       .filter(col("family") === m.family && col("qualifier").isin(quals: _*))
       .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
       .filter(m.keyQuals.indices.map(i => col(s"_v$i").isNotNull)

@@ -193,9 +193,16 @@ class PlanSpec extends SparkSpec {
     filterIdx should be >= 0
   }
 
-  test("snapshot diff runs exactly two exchanges (one LWW agg per side, join reuses them)") {
+  test("snapshot diff runs exactly ONE exchange (catalog-resolved layouts; one side rides, one moves)") {
+    // r16: both generations read through the path catalog (KvRead), so
+    // each side's certified region layout resolves to a catalyst
+    // KeyGroupedPartitioning. The layouts differ (different content), so
+    // full co-location is impossible — but shuffle-one-side SPJ keeps one
+    // side in place and moves only the other: 1 exchange, down from the
+    // 2 the path-based plan needed (and the aggregates reuse it). Zero
+    // exchanges for same-layout sides is pinned by KvDiffSpjSpec.
     val plan = executedPlan(Queries.all("kv_snapshot_diff")(spark, sfDir))
-    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 2
+    plan.linesIterator.count(_.contains("ShuffleQueryStage")) shouldBe 1
     plan should not include "CartesianProduct"
   }
 

@@ -20,6 +20,7 @@ object SparkSpec {
       // zip against empties instead of forcing a shuffle.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       // The connector clusters by REGION-OF-rowKey; joins on
       // (rowKey, qualifier) are still co-located by it (equal pairs are a
       // fortiori equal on rowKey), but the default co-partition check
