@@ -356,7 +356,13 @@ object KvCompactor {
           adds = merged.map(_._1) ++ carrySet ++ extraAdds,
           removes = mergeSet.map(_._1), compact = true,
           expectSeq = Some(expect), floor = Some(floor), stats = entryStats,
-          carriedRemovals = Some(pending))
+          carriedRemovals = Some(pending),
+          // A retention policy DROPS current cells — a change no additive
+          // CDC feed can express, so the entry carries the flag that makes
+          // spans crossing it refuse ([[KvLog.Entry.contentDrop]]). Plain
+          // merges (and marker/masked-cell purges) preserve the masked
+          // logical view and stay CDC-transparent.
+          contentDrop = !cellPolicy.isNoop)
         // Merged-away segments stay on disk for in-flight readers (see the
         // publish protocol above).
         return Compacted(seq, merged = mergeSet.size, into = merged.size)

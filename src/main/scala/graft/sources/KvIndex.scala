@@ -524,16 +524,22 @@ object KvIndex {
   /** Whether the log cannot serve the base span `(since, latest]` as a
     * CDC read: it crosses a salt declaration the scan refuses (same
     * boundary rule — a declaration at exactly `since + 1` has nothing
-    * below it and passes), or it dips below the compaction floor (the
+    * below it and passes), it dips below the compaction floor (the
     * merged-away segments' change sets are not reconstructible —
-    * `KvLog.changedFiles` throws on the same condition). Probed EAGERLY
-    * because the scan's refusals only fire at plan time, far from the
-    * decision points here.
+    * `KvLog.changedFiles` throws on the same condition), or it crosses a
+    * RETENTION compaction (`ttl_ms`/`versions` physically dropped
+    * current cells — a change no additive feed expresses, so the
+    * incremental refresh would silently keep dead index entries and the
+    * covered fast path would then serve them unverified; the rebuild
+    * re-derives the exact post-retention state). Probed EAGERLY because
+    * the scan's refusals only fire at plan time, far from the decision
+    * points here.
     */
   private def spanUnservable(fs: FileSystem, table: Path, since: Long,
       latest: Long): Boolean =
     since + 1 < KvLog.floor(fs, table) ||
-      KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1)
+      KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1) ||
+      KvLog.contentDropsIn(fs, table, since, latest).nonEmpty
 
   /** Crash recovery for the rebuild swap: a crash between the two swap
     * renames leaves the live index parked at dot-prefixed

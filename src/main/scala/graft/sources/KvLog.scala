@@ -171,7 +171,19 @@ private[graft] object KvLog {
         * current one. `None` = no declaration (the `_salt` registration
         * file, if any, applies — every table that never changed layout).
         */
-      saltDecl: Option[Int] = None)
+      saltDecl: Option[Int] = None,
+      /** CONTENT-DROPPING compaction (the `drop` header token): this
+        * compaction ran under a retention [[KvCompactor.CellPolicy]]
+        * (ttl / versions) and may have PHYSICALLY REMOVED current cells.
+        * A plain merge preserves the masked logical view, so CDC reads
+        * skip compact entries soundly — but a retention pass CHANGES the
+        * view with no additive feed that could express it, so every CDC
+        * span crossing a drop entry refuses loudly ([[changedFiles]])
+        * and incremental consumers (index refresh, incremental pivots)
+        * re-baseline from a full read instead of silently missing the
+        * drops.
+        */
+      contentDrop: Boolean = false)
 
   private def logDir(table: Path) = new Path(table, LogDirName)
   private def entryPath(table: Path, seq: Long) =
@@ -336,7 +348,8 @@ private[graft] object KvLog {
         carriesPending = header.contains("pend"),
         saltDecl = header.drop(2).collectFirst {
           case s if s.startsWith("salt=") => s.stripPrefix("salt=").toInt
-        })
+        },
+        contentDrop = header.contains("drop"))
     }
   }
 
@@ -394,10 +407,11 @@ private[graft] object KvLog {
       stats: Map[String, FileStat] = Map.empty,
       carriedRemovals: Option[Map[String, Long]] = None,
       saltDecl: Option[Int] = None,
-      layoutExpect: Option[Option[Int]] = None): Long =
+      layoutExpect: Option[Option[Int]] = None,
+      contentDrop: Boolean = false): Long =
     appendLocks.computeIfAbsent(table.toString, _ => new Object).synchronized {
       appendLocked(fs, table, adds, removes, compact, writer, expectSeq,
-        floor, stats, carriedRemovals, saltDecl, layoutExpect)
+        floor, stats, carriedRemovals, saltDecl, layoutExpect, contentDrop)
     }
 
   private def appendLocked(fs: FileSystem, table: Path, adds: Seq[String],
@@ -407,7 +421,8 @@ private[graft] object KvLog {
       stats: Map[String, FileStat],
       carriedRemovals: Option[Map[String, Long]],
       saltDecl: Option[Int],
-      layoutExpect: Option[Option[Int]]): Long = {
+      layoutExpect: Option[Option[Int]],
+      contentDrop: Boolean): Long = {
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
@@ -448,7 +463,8 @@ private[graft] object KvLog {
     val tag = writer.fold("")(w => s" writer=$w")
     val pend = if (carriedRemovals.isDefined) " pend" else ""
     val salt = saltDecl.fold("")(n => s" salt=$n")
-    val body = (s"v1 $kind$tag$pend$salt" +:
+    val drop = if (contentDrop) " drop" else ""
+    val body = (s"v1 $kind$tag$pend$salt$drop" +:
       (adds.map(n => "+" + n + stats.get(n).fold("")(statSuffix)) ++
         removes.map("-" + _) ++
         carriedRemovals.getOrElse(Map.empty).toSeq.sorted
@@ -945,9 +961,36 @@ private[graft] object KvLog {
         s"reconstructible — entries below the compaction floor $fl were " +
         "merged away. Re-baseline from a full scan (or an asOfSeq read).")
     (sinceSeq + 1 to asOf).flatMap { seq =>
-      read(fs, table, seq).toSeq.flatMap(e => if (e.compact) Nil else e.adds)
+      read(fs, table, seq).toSeq.flatMap { e =>
+        requireNoContentDrop(table, e)
+        if (e.compact) Nil else e.adds
+      }
     }.sorted
   }
+
+  /** A CDC span crossing a RETENTION compaction ([[Entry.contentDrop]])
+    * refuses: the pass physically removed current cells, a change no
+    * additive feed can express — skipping the entry (the plain-merge
+    * rule) would make every incremental consumer silently keep the
+    * dropped state.
+    */
+  private def requireNoContentDrop(table: Path, e: Entry): Unit =
+    if (e.contentDrop) throw new IllegalStateException(
+      s"graft-kv log: the change span over $table crosses a retention " +
+        s"compaction at seq ${e.seq} (ttl/versions dropped current " +
+        "cells) — not expressible as an additive change feed. " +
+        "Re-baseline from a full scan (or an asOfSeq read).")
+
+  /** Seqs in `(fromExclusive, toInclusive]` whose entry is a
+    * content-dropping compaction — the eager probe incremental consumers
+    * ([[graft.sources.KvIndex]]) use to REBUILD instead of hitting the
+    * CDC refusal at plan time. O(span) entry reads, like
+    * [[KvSalt.declsIn]]; spans are maintenance-lag-sized in practice.
+    */
+  def contentDropsIn(fs: FileSystem, table: Path, fromExclusive: Long,
+      toInclusive: Long): Seq[Long] =
+    (fromExclusive + 1 to toInclusive).flatMap(s =>
+      read(fs, table, s).filter(_.contentDrop).map(_.seq))
 
   /** The table's data files as Paths: log replay when a log exists, else a
     * directory listing (legacy/externally-staged tables). Every batch-scan
@@ -1007,9 +1050,11 @@ private[graft] object KvLog {
           s"reconstructible — entries below the compaction floor $fl were " +
           "merged away. Re-baseline from a full scan (or an asOfSeq read).")
       (s + 1 to upTo).flatMap { seq =>
-        read(fs, table, seq).toSeq.flatMap(e =>
+        read(fs, table, seq).toSeq.flatMap { e =>
+          requireNoContentDrop(table, e)
           if (e.compact) Nil
-          else e.adds.map(n => (new Path(table, n), e.stats.get(n))))
+          else e.adds.map(n => (new Path(table, n), e.stats.get(n)))
+        }
       }.sortBy(_._1.getName)
     case None =>
       if (asOf.isDefined && !exists(fs, table)) throw new IllegalArgumentException(

@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RETENTION × INDEX interplay: a `versions`/`ttl_ms` maintenance pass
+  * physically drops cells a covered index may still describe. The
+  * verified-lookup path is immune by construction (staleness = false
+  * candidates), and the covered INDEX-ONLY path is protected by the
+  * freshness check — a retention rewrite is a manifest COMMIT, so it
+  * bumps the base's latest seq past the index's covered seq and every
+  * covered lookup falls back to verification until a refresh absorbs the
+  * new state. These specs PIN that guarantee end to end, including the
+  * vacuum-grace edge (reclaiming the merged-away segments right away
+  * neither breaks the stale lookup nor the recovery refresh).
+  */
+class KvIndexRetentionSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_idxret_$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    d
+  }
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Two versions per key: v1 = 3i at ts=i, v2 = 3i+1 at ts=i+100000 —
+    * so maxVersions=1 keeps v2 and ttl (dropBelowTs=100000) kills v1,
+    * plus a `tag` include column.
+    */
+  private def twoVersions(n: Int): DataFrame = {
+    val v1 = spark.range(n.toLong).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val v2 = spark.range(n.toLong).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 + 1 AS STRING), 'UTF-8') AS value",
+      "id + 100000L AS ts")
+    val tag = spark.range(n.toLong).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'tag' AS qualifier",
+      "encode(concat('t', CAST(id AS STRING)), 'UTF-8') AS value",
+      "id + 100000L AS ts")
+    v1.unionByName(v2).unionByName(tag)
+  }
+
+  private def truth(dir: String, lo: Long, hi: Long)
+      : Set[(String, String, Option[String])] = {
+    def lww(q: String) = spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier") === q)
+      .groupBy("rowKey")
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+        "UTF-8").as("v"))
+    lww("amt").filter(col("v").cast("long") >= lo && col("v").cast("long") < hi)
+      .join(lww("tag").withColumnRenamed("v", "t"), Seq("rowKey"), "left")
+      .as[(String, String, Option[String])].collect().toSet
+  }
+
+  private def covered(dir: String, lo: Long, hi: Long)
+      : Set[(String, String, Option[String])] =
+    KvIndex.lookupCovered(spark, dir, "cov", lo.toString, hi.toString)
+      .as[(String, String, Option[String])].collect().toSet
+
+  test("a retention rewrite bumps the seq: covered lookups verify until refresh") {
+    val dir = freshDir("versions")
+    twoVersions(500).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "cov", "f", "amt", pad = 8,
+      include = Seq("tag"))
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val asOf = KvIndex.meta(fs, table, "cov").get.asOfSeq
+    // fresh: covered seq == latest
+    KvLog.latestSeq(fs, table) shouldBe asOf
+
+    // VERSIONS retention: a major pass keeps only the newest version —
+    // the physical drop the index has not seen
+    val res = KvCompactor.compact(spark, dir, regions = 2,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    res shouldBe a[KvCompactor.Compacted]
+
+    // THE GUARANTEE: the rewrite is a manifest commit, so the base moved
+    // past the covered seq — the index-only fast path is unreachable and
+    // the covered lookup verifies against the current table
+    assert(KvLog.latestSeq(fs, table) > asOf,
+      "a retention rewrite must bump the manifest seq")
+    covered(dir, 600, 660) shouldBe truth(dir, 600, 660)
+    covered(dir, 600, 660).size shouldBe 20 // 3i+1 in [600,660): 20 keys
+
+    // refresh must REBUILD — the span crosses a content-dropping
+    // compaction, which no additive CDC feed can express (an incremental
+    // refresh would advance the covered seq while keeping dead entries,
+    // and the index-only fast path would then serve them unverified)
+    val r = KvIndex.refresh(spark, dir, "cov")
+    r shouldBe a[KvIndex.Rebuilt]
+    KvIndex.meta(fs, table, "cov").get.asOfSeq shouldBe
+      KvLog.latestSeq(fs, table)
+    covered(dir, 600, 660) shouldBe truth(dir, 600, 660)
+    val s = KvIndex.scrutiny(spark, dir, "cov")
+    s.missing shouldBe 0L
+    s.stale shouldBe 0L
+  }
+
+  test("TTL drop that ERASES keys: stale entries die in verification; vacuum(0) is safe") {
+    val dir = freshDir("ttl")
+    // keys 0..499: v1-only for odd keys BELOW the cutoff (they vanish
+    // under TTL), two versions for even keys (they survive as v2)
+    val v1 = spark.range(500).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val v2 = spark.range(500).filter("id % 2 = 0").selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 + 1 AS STRING), 'UTF-8') AS value",
+      "id + 100000L AS ts")
+    v1.unionByName(v2).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "cov", "f", "amt", pad = 8,
+      covered = true)
+    // TTL: every ts < 100000 dies — odd keys lose their ONLY version
+    val cres = KvCompactor.compact(spark, dir, regions = 2,
+      cellPolicy = KvCompactor.CellPolicy(dropBelowTs = Some(100000L)))
+    cres shouldBe a[KvCompactor.Compacted]
+    // reclaim the merged-away segments IMMEDIATELY (grace 0) — the edge:
+    // the stale covered lookup must not depend on the dead files
+    KvVacuum.vacuum(spark, dir, graceMs = 0L)
+
+    // [600, 666): pre-TTL both 3i (odd i 200..221) and 3i+1 (even)
+    // qualified; post-TTL only even keys' v2 values remain. The index
+    // still holds every pre-TTL entry — verification must drop the dead.
+    val got = KvIndex.lookupCovered(spark, dir, "cov", "600", "666")
+      .as[(String, String)].collect().toSet
+    got shouldBe spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier") === "amt")
+      .groupBy("rowKey")
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+        "UTF-8").as("value"))
+      .filter(col("value").cast("long") >= 600 &&
+        col("value").cast("long") < 666)
+      .as[(String, String)].collect().toSet
+    got.map(_._1).foreach { k =>
+      assert(k.toInt % 2 == 0, s"TTL-erased key $k returned by the lookup")
+    }
+
+    // recovery refresh across the retention pass: REBUILD, then exact —
+    // the covered seq reaches latest and the INDEX-ONLY fast path must
+    // now exclude the erased keys too
+    val r = KvIndex.refresh(spark, dir, "cov")
+    r shouldBe a[KvIndex.Rebuilt]
+    val s = KvIndex.scrutiny(spark, dir, "cov")
+    s.missing shouldBe 0L
+    s.stale shouldBe 0L
+    val fs = fsOf(dir)
+    KvIndex.meta(fs, new Path(dir), "cov").get.asOfSeq shouldBe
+      KvLog.latestSeq(fs, new Path(dir))
+    val fresh = KvIndex.lookupCovered(spark, dir, "cov", "600", "666")
+      .as[(String, String)].collect().toSet
+    fresh shouldBe got
+    fresh.map(_._1).foreach { k =>
+      assert(k.toInt % 2 == 0,
+        s"index-only read served TTL-erased key $k after refresh")
+    }
+  }
+
+  test("a CDC read crossing a retention compaction refuses loudly") {
+    val dir = freshDir("cdc")
+    twoVersions(100).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    val cres = KvCompactor.compact(spark, dir, regions = 1,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    cres shouldBe a[KvCompactor.Compacted]
+    val e = intercept[Exception] {
+      spark.read.format("graft-kv").option("sinceSeq", "0").load(dir).count()
+    }
+    e.getMessage should include("retention compaction")
+    // a plain (no-policy) merge stays CDC-transparent: same span, no error
+    val dir2 = freshDir("cdc_plain")
+    twoVersions(100).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir2)
+    val c2 = KvCompactor.compact(spark, dir2, regions = 1)
+    c2 shouldBe a[KvCompactor.Compacted]
+    spark.read.format("graft-kv").option("sinceSeq", "0").load(dir2)
+      .count() shouldBe 0L // the merge re-publishes, it does not change
+  }
+}
