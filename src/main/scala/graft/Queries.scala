@@ -279,7 +279,14 @@ object Queries {
     * oracle's inner join).
     */
   def kvIndexComposite(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = artifacts.computeIfAbsent(s"composite_idx|$sfDir", _ => {
+    val path = ensureCompositeIdx(spark, sfDir)
+    graft.sources.KvIndex.lookupComposite(spark, path, "by_click_view",
+      Seq(("9000", "12000"), ("0", "5000")))
+      .withColumnRenamed("view", "view_val")
+  }
+
+  private def ensureCompositeIdx(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"composite_idx|$sfDir", _ => {
       val p = artifactPath("composite_idx", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, p)
       KvTable.eventsAsCells(spark, sfDir)
@@ -301,9 +308,36 @@ object Queries {
         s"kv_index_composite staging expected an exact refresh, got $r")
       p
     })
-    graft.sources.KvIndex.lookupComposite(spark, path, "by_click_view",
-      Seq(("9000", "12000"), ("0", "5000")))
-      .withColumnRenamed("view", "view_val")
+
+  /** r16: composite + SQL routing COMPOSED — the same two-column
+    * predicate as `kv_index_composite`, written as PLAIN SQL over the
+    * two-qualifier pivoted view; [[graft.sources.KvIndexRouting]]
+    * recognizes the conditional-LWW pivot shape, matches the composite
+    * index on exactly the predicated columns, and splices
+    * `lookupComposite` (one index scan when fresh). Same oracle — the
+    * routed and spelled plans must be indistinguishable in answers.
+    */
+  def kvIndexSqlComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureCompositeIdx(spark, sfDir)
+    graft.sources.KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" &&
+        col("qualifier").isin("click", "view"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "click", col("ts"))), "UTF-8")
+          .as("value"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "view", col("ts"))), "UTF-8")
+          .as("view_val"))
+      .createOrReplaceTempView("kv_index_sqlc_view")
+    spark.sql(
+      """SELECT rowKey, value, view_val FROM kv_index_sqlc_view
+        |WHERE CAST(value AS BIGINT) >= 9000
+        |  AND CAST(value AS BIGINT) < 12000
+        |  AND CAST(view_val AS BIGINT) >= 0
+        |  AND CAST(view_val AS BIGINT) < 5000""".stripMargin)
   }
 
   private val kvIndexCompositeSql: String =
@@ -5249,6 +5283,7 @@ object Queries {
     "kv_index_auto" -> (kvIndexAuto _),
     "kv_index_sql" -> (kvIndexSql _),
     "kv_index_composite" -> (kvIndexComposite _),
+    "kv_index_sql_composite" -> (kvIndexSqlComposite _),
     "kv_index_covered" -> (kvIndexCovered _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
@@ -5413,6 +5448,7 @@ object Queries {
     "kv_index_auto" -> kvIndexMaintainedSql,
     "kv_index_sql" -> kvIndexMaintainedSql,
     "kv_index_composite" -> kvIndexCompositeSql,
+    "kv_index_sql_composite" -> kvIndexCompositeSql,
     "kv_index_covered" -> kvIndexCoveredSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,

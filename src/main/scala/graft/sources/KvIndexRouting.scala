@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-SURFACE AUTOMATIC INDEX ROUTING — the Phoenix-optimizer behavior
   * lifted into Catalyst: a plain SQL range predicate over the PIVOTED
-  * VIEW of one qualifier's current value,
+  * VIEW of one or more qualifiers' current values,
   *
   * {{{
   *   SELECT rowKey, value FROM (
@@ -25,37 +25,57 @@ import org.apache.spark.unsafe.types.UTF8String
   *     FROM kv_cells WHERE family = 'f' AND qualifier = 'click'
   *     GROUP BY rowKey)
   *   WHERE CAST(value AS BIGINT) >= 9000 AND CAST(value AS BIGINT) < 12000
+  *
+  *   -- or the multi-qualifier pivot (conditional LWW per column):
+  *   SELECT rowKey, c, v FROM (
+  *     SELECT rowKey,
+  *       decode(max_by_ts(value, CASE WHEN qualifier = 'click' THEN ts END),
+  *              'UTF-8') AS c,
+  *       decode(max_by_ts(value, CASE WHEN qualifier = 'view' THEN ts END),
+  *              'UTF-8') AS v
+  *     FROM kv_cells WHERE family = 'f' AND qualifier IN ('click', 'view')
+  *     GROUP BY rowKey)
+  *   WHERE CAST(c AS BIGINT) >= 9000 AND CAST(c AS BIGINT) < 12000
+  *     AND CAST(v AS BIGINT) >= 0    AND CAST(v AS BIGINT) < 5000
   * }}}
   *
   * is recognized by this `Rule[LogicalPlan]` and — when a maintained
-  * [[KvIndex]] exists on `(family, qualifier)` AND the manifest-stat cost
+  * [[KvIndex]] matches the predicated columns AND the manifest-stat cost
   * estimate says the range is selective ([[KvIndex.rangeIsSelective]],
   * the [[KvIndex.autoLookup]] call lifted into the planner) — rewritten
-  * to the VERIFIED index lookup: pruned index range scan + bloom-pruned
-  * candidate gets, instead of the full family scan the plan spells.
+  * to the VERIFIED index lookup: a single-column predicate routes to
+  * [[KvIndex.lookup]] over a matching single-component index; a
+  * multi-column predicate whose columns are EXACTLY a composite index's
+  * key components routes to [[KvIndex.lookupComposite]] (covered +
+  * composite composing, one index scan on the fresh path).
   *
   * Correctness boundary — why the rewrite can never change an answer:
   *  - the original `Filter` stays ON TOP of the spliced lookup, so the
   *    lookup only has to produce a SUPERSET of the rows the predicate
-  *    selects (it produces exactly the [lo, hi) rows); bounds the
-  *    extractor cannot map (IS NOT NULL debris, extra conjuncts) simply
-  *    stay residual;
+  *    selects; bounds the extractor cannot map (IS NOT NULL debris,
+  *    extra conjuncts) simply stay residual;
   *  - bounds are extracted only from conjuncts whose comparison
-  *    semantics PROVABLY match the index's collation: integral
-  *    `CAST(value AS BIGINT/INT)` comparisons for a decimal-mode
-  *    (`pad > 0`) index — numeric order IS padded-string order for the
-  *    canonical digit strings decimal mode enforces — and raw string
-  *    comparisons (`>=` / `<` only) for a string-mode index. A
-  *    mismatched collation (string compare against a decimal index)
-  *    never routes;
+  *    semantics PROVABLY match the component's collation: integral
+  *    `CAST(col AS BIGINT/INT)` comparisons for a decimal-mode
+  *    (`pad > 0`) component — numeric order IS padded-string order for
+  *    the canonical digit strings decimal mode enforces — and exact
+  *    `[lo, hi)` string comparisons for a string-mode component;
+  *  - the composite route requires an extractable range on EVERY key
+  *    component: those comparisons force each column non-null, so the
+  *    predicate's row set lies inside the index's inner-join row set
+  *    (rows carrying ALL components) — the superset argument again;
   *  - the matched subtree must be EXACTLY the LWW pivot shape (one
-  *    grouping key = rowKey, one aggregate = utf8-decoded
-  *    [[graft.functions.MaxByTsAgg]], inner filter = exactly the
-  *    family + qualifier equalities, relation = a plain current
-  *    `graft-kv` read). Time travel, CDC feeds, snapshots, extra
-  *    predicates below the aggregate, or extra aggregates all refuse —
-  *    including the internal plans of [[KvIndex.lookup]] itself, whose
-  *    verification filter carries a rowKey `IN` (loop-proof by shape).
+  *    grouping key = rowKey, per-column utf8-decoded
+  *    [[graft.functions.MaxByTsAgg]] — unconditional, or conditioned on
+  *    `CASE WHEN qualifier = '<q>' THEN ts END` — inner filter =
+  *    family equality + a qualifier equality/IN covering the pivoted
+  *    qualifiers, relation = a plain current `graft-kv` read). Time
+  *    travel, CDC feeds, snapshots, extra predicates below the
+  *    aggregate, or unrecognized aggregates all refuse — including the
+  *    internal plans of [[KvIndex.lookup]]/[[KvIndex.lookupComposite]]
+  *    themselves, whose verification filters carry a rowKey `IN` (and
+  *    whose range filters use guarded lpad expressions no extractor
+  *    maps): loop-proof by shape.
   *
   * One decimal-mode behavior difference is the TYPED CONTRACT, not a
   * bug: a base table holding a non-digit or over-width value under a
@@ -101,48 +121,60 @@ case class KvIndexRouting(session: SparkSession)
     }
   }
 
-  /** The matched LWW-pivot subtree: table path, predicate column, and
-    * the two output attributes the splice must preserve the identity of.
+  /** The matched LWW-pivot subtree: table path, family, the rowKey
+    * passthrough, and one (qualifier, output attribute) per pivoted
+    * value column.
     */
   private case class PivotShape(path: String, family: String,
-      qualifier: String, keyOut: Attribute, valOut: Attribute)
+      keyOut: Attribute, cols: Seq[(String, Attribute)])
 
-  /** Match `Aggregate([rowKey], [rowKey, decode(max_by_ts(value, ts))],
-    * Filter(family = lit AND qualifier = lit, kv-relation))` — modulo
-    * attribute-only Projects — and nothing else.
-    */
   private def pivotShape(plan: LogicalPlan): Option[PivotShape] = plan match {
-    case Aggregate(Seq(g: AttributeReference), aggExprs, aggChild, _)
-        if aggExprs.length == 2 =>
+    case Aggregate(Seq(g: AttributeReference), aggExprs, aggChild, _) =>
       for {
+        (path, fam, quals, relOut) <- scanShape(stripProjects(aggChild))
+        if attrIn(g, "rowKey", relOut)
         keyOut <- aggExprs.collectFirst {
           case a: AttributeReference if a.exprId == g.exprId => a: Attribute
           case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
             al.toAttribute
         }
-        (valOut, vAttr, tsAttr) <- aggExprs.collectFirst {
-          case al @ Alias(w, _) =>
-            decodedMaxByTs(w).map { case (v, t) => (al.toAttribute, v, t) }
-        }.flatten
-        (path, fam, qual, relOut) <- scanShape(stripProjects(aggChild))
-        if attrIn(g, "rowKey", relOut) && attrIn(vAttr, "value", relOut) &&
-          attrIn(tsAttr, "ts", relOut)
-      } yield PivotShape(path, fam, qual, keyOut, valOut)
+        cols <- valueCols(aggExprs, g, quals, relOut)
+      } yield PivotShape(path, fam, keyOut, cols)
     case _ => None
   }
 
-  private def attrIn(a: AttributeReference, name: String,
-      out: Seq[Attribute]): Boolean =
-    out.exists(o => o.exprId == a.exprId && o.name == name)
-
-  /** Unwrap the exact "utf8 string of the LWW binary" shape — the ONLY
-    * wrapper whose output semantics equal [[KvIndex.lookup]]'s `value`
-    * column. Accepts the analyzed `StringDecode`, its RuntimeReplaceable
-    * replacement (`StaticInvoke(StringDecode.decode, ...)` — what the
-    * optimized plan holds), and a plain binary→string Cast.
+  /** Every non-rowKey aggregate expression must be a recognized pivoted
+    * value column over a distinct qualifier from the filtered set —
+    * one unrecognized output refuses the whole shape (its semantics are
+    * unknown, so no lookup can be proven a superset).
     */
-  private def decodedMaxByTs(e: Expression)
-      : Option[(AttributeReference, AttributeReference)] = {
+  private def valueCols(aggExprs: Seq[NamedExpression], g: AttributeReference,
+      quals: Seq[String], relOut: Seq[Attribute])
+      : Option[Seq[(String, Attribute)]] = {
+    val entries = aggExprs.flatMap {
+      case a: AttributeReference if a.exprId == g.exprId => Nil
+      case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId => Nil
+      case al @ Alias(w, _) =>
+        Seq(decodedMaxByTs(w, quals, relOut).map(q => q -> al.toAttribute))
+      case _ => Seq(None)
+    }
+    val cols = entries.flatten
+    if (entries.exists(_.isEmpty) || cols.isEmpty ||
+      cols.map(_._1).distinct.length != cols.length) None
+    else Some(cols)
+  }
+
+  /** Unwrap the exact "utf8 string of the (possibly qualifier-scoped)
+    * LWW binary" shape — the ONLY wrappers whose output semantics equal
+    * the lookups' value columns — and return the qualifier the column
+    * pivots. Accepts the analyzed `StringDecode`, its RuntimeReplaceable
+    * replacement (`StaticInvoke(StringDecode.decode, ...)` — what the
+    * optimized plan holds), and a plain binary→string Cast; the LWW
+    * ordinal is either the bare `ts` (single-qualifier filters only) or
+    * `CASE WHEN qualifier = '<q>' THEN ts END`.
+    */
+  private def decodedMaxByTs(e: Expression, quals: Seq[String],
+      relOut: Seq[Attribute]): Option[String] = {
     def utf8(cs: Expression): Boolean = cs match {
       case Literal(s: UTF8String, StringType) =>
         s.toString.equalsIgnoreCase("utf-8")
@@ -161,11 +193,27 @@ case class KvIndexRouting(session: SparkSession)
     }
     inner.flatMap {
       case AggregateExpression(
-          graft.functions.MaxByTsAgg(v: AttributeReference,
-            t: AttributeReference, _, _), _, false, None, _) => Some((v, t))
+          graft.functions.MaxByTsAgg(v: AttributeReference, ord, _, _),
+          _, false, None, _) if attrIn(v, "value", relOut) =>
+        ord match {
+          case t: AttributeReference
+              if attrIn(t, "ts", relOut) && quals.length == 1 =>
+            Some(quals.head)
+          case CaseWhen(Seq((EqualTo(qa: AttributeReference,
+              Literal(q: UTF8String, StringType)), t: AttributeReference)),
+              None)
+              if attrIn(qa, "qualifier", relOut) && attrIn(t, "ts", relOut) &&
+                quals.contains(q.toString) =>
+            Some(q.toString)
+          case _ => None
+        }
       case _ => None
     }
   }
+
+  private def attrIn(a: AttributeReference, name: String,
+      out: Seq[Attribute]): Boolean =
+    out.exists(o => o.exprId == a.exprId && o.name == name)
 
   private def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
@@ -174,18 +222,21 @@ case class KvIndexRouting(session: SparkSession)
   }
 
   /** Match the filtered plain-current kv relation; returns (path, family,
-    * qualifier, relation output). The filter must be EXACTLY the two
-    * equalities — any extra conjunct (a rowKey `IN` from a lookup's own
-    * verification read, a ts bound) means the subtree answers a
-    * different question and must not route.
+    * filtered qualifiers, relation output). The filter must be EXACTLY
+    * one family equality plus one qualifier equality/IN — any extra
+    * conjunct (a rowKey `IN` from a lookup's own verification read, a
+    * ts bound) means the subtree answers a different question and must
+    * not route. `IsNotNull(family/qualifier)` conjuncts are
+    * optimizer-inferred FROM those predicates (implied), so they are
+    * dropped before the exactness check.
     */
   private def scanShape(plan: LogicalPlan)
-      : Option[(String, String, String, Seq[Attribute])] = plan match {
+      : Option[(String, String, Seq[String], Seq[Attribute])] = plan match {
     case Filter(cond, rel) =>
       for {
         path <- relPath(rel)
-        fq <- famQual(splitConjunctivePredicates(cond), rel.output)
-      } yield (path, fq._1, fq._2, rel.output)
+        (fam, quals) <- famQuals(splitConjunctivePredicates(cond), rel.output)
+      } yield (path, fam, quals, rel.output)
     case _ => None
   }
 
@@ -204,31 +255,42 @@ case class KvIndexRouting(session: SparkSession)
     case _ => None
   }
 
-  private def famQual(conjuncts: Seq[Expression], out: Seq[Attribute])
-      : Option[(String, String)] = {
-    def eqLit(e: Expression): Option[(String, String)] = e match {
-      case EqualTo(a: AttributeReference, Literal(s: UTF8String, StringType))
-          if out.exists(_.exprId == a.exprId) => Some((a.name, s.toString))
-      case EqualTo(Literal(s: UTF8String, StringType), a: AttributeReference)
-          if out.exists(_.exprId == a.exprId) => Some((a.name, s.toString))
+  private def famQuals(conjuncts: Seq[Expression], out: Seq[Attribute])
+      : Option[(String, Seq[String])] = {
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
       case _ => None
     }
-    // `IsNotNull(family/qualifier)` conjuncts are optimizer-inferred FROM
-    // the equalities (InferFiltersFromConstraints) — implied, so dropping
-    // them keeps the match exact. Any other extra conjunct still refuses.
+    def named(a: AttributeReference): Option[String] =
+      if (out.exists(_.exprId == a.exprId)) Some(a.name) else None
     val material = conjuncts.filterNot {
       case IsNotNull(a: AttributeReference) =>
-        (a.name == "family" || a.name == "qualifier") &&
-          out.exists(_.exprId == a.exprId)
+        named(a).exists(n => n == "family" || n == "qualifier")
       case _ => false
     }
-    val eqs = material.map(eqLit)
-    if (material.length != 2 || eqs.exists(_.isEmpty)) None
-    else {
-      val m = eqs.flatten.toMap
-      for {f <- m.get("family"); q <- m.get("qualifier") if m.size == 2}
-        yield (f, q)
+    if (material.length != 2) return None
+    var fam = Option.empty[String]
+    var quals = Option.empty[Seq[String]]
+    material.foreach {
+      case EqualTo(a: AttributeReference, l) =>
+        (named(a), strLit(l)) match {
+          case (Some("family"), Some(v)) => fam = Some(v)
+          case (Some("qualifier"), Some(v)) => quals = Some(Seq(v))
+          case _ => return None
+        }
+      case EqualTo(l, a: AttributeReference) =>
+        (named(a), strLit(l)) match {
+          case (Some("family"), Some(v)) => fam = Some(v)
+          case (Some("qualifier"), Some(v)) => quals = Some(Seq(v))
+          case _ => return None
+        }
+      case In(a: AttributeReference, vs) if named(a).contains("qualifier") =>
+        val lits = vs.map(strLit)
+        if (lits.exists(_.isEmpty)) return None
+        quals = Some(lits.flatten)
+      case _ => return None
     }
+    for {f <- fam; qs <- quals} yield (f, qs)
   }
 
   /** The rewrite proper: find a matching index, extract collation-safe
@@ -239,29 +301,70 @@ case class KvIndexRouting(session: SparkSession)
     val table = new Path(s.path)
     val fs = table.getFileSystem(session.sessionState.newHadoopConf())
     val maxSel = session.conf.get(MaxSelectivityKey, "0.2").toDouble
-    for {
-      // composite indexes are inner joins of their components — wrong
-      // row set for a single-qualifier pivot; never route through one
-      m <- KvIndex.list(fs, table)
-        .find(i => i.family == s.family && i.qualifier == s.qualifier &&
-          !i.composite)
-      (lo, hi) <- bounds(splitConjunctivePredicates(cond), s.valOut, m.pad)
-      if KvIndex.rangeIsSelective(session, fs, table, m, lo, hi, maxSel)
-    } yield {
-      logInfo(s"graft-kv index routing: serving value range [$lo, $hi) on " +
-        s"${s.path} (${s.family}, ${s.qualifier}) through index '${m.name}'")
-      val lp = KvIndex.lookup(session, s.path, m.name, lo, hi)
-        .queryExecution.optimizedPlan
-      // Same-exprId aliases keep every upstream reference (the retained
-      // Filter above, anything else built over the view) valid.
-      Project(Seq(
-        Alias(lp.output.head, s.keyOut.name)(exprId = s.keyOut.exprId),
-        Alias(lp.output(1), s.valOut.name)(exprId = s.valOut.exprId)), lp)
+    val conjuncts = splitConjunctivePredicates(cond)
+    val indexes = KvIndex.list(fs, table).filter(_.family == s.family)
+
+    if (s.cols.length == 1) {
+      val (qual, valOut) = s.cols.head
+      for {
+        // composite indexes are inner joins of their components — wrong
+        // row set for a single-qualifier pivot; never route through one
+        m <- indexes.find(i => i.qualifier == qual && !i.composite)
+        (lo, hi) <- bounds(conjuncts, valOut, m.pad)
+        if KvIndex.rangeIsSelective(session, fs, table, m, lo, hi, maxSel)
+      } yield {
+        logInfo(s"graft-kv index routing: serving value range [$lo, $hi) " +
+          s"on ${s.path} (${s.family}, $qual) through index '${m.name}'")
+        val lp = KvIndex.lookup(session, s.path, m.name, lo, hi)
+          .queryExecution.optimizedPlan
+        // Same-exprId aliases keep every upstream reference (the retained
+        // Filter above, anything else built over the view) valid.
+        Project(Seq(
+          Alias(lp.output.head, s.keyOut.name)(exprId = s.keyOut.exprId),
+          Alias(lp.output(1), valOut.name)(exprId = valOut.exprId)), lp)
+      }
+    } else {
+      val byQual = s.cols.toMap
+      for {
+        m <- indexes.find(i => i.composite &&
+          i.keyQuals.length == s.cols.length &&
+          i.keyQuals.toSet == s.cols.map(_._1).toSet)
+        // an extractable range on EVERY key component, in key order —
+        // each range forces its column non-null, so the predicate's rows
+        // all carry every component (the index's inner-join row set)
+        perComp <- sequence(m.keyQuals.zip(m.pads).map { case (q, p) =>
+          bounds(conjuncts, byQual(q), p)
+        })
+        if KvIndex.rangeIsSelective(session, fs, table, m,
+          perComp.head._1, perComp.head._2, maxSel)
+      } yield {
+        logInfo(s"graft-kv index routing: serving composite ranges " +
+          s"${m.keyQuals.zip(perComp).map { case (q, (l, h)) => s"$q:[$l,$h)" }
+            .mkString(", ")} on ${s.path} through index '${m.name}'")
+        val lp = KvIndex.lookupComposite(session, s.path, m.name, perComp)
+          .queryExecution.optimizedPlan
+        // lookupComposite output: rowKey, value (leading component), one
+        // column per non-leading component (named by qualifier), then
+        // includes — map each pivot column to its component column
+        def compCol(q: String): Attribute =
+          if (q == m.qualifier) lp.output(1)
+          else lp.output.find(_.name == q).getOrElse(
+            throw new IllegalStateException(
+              s"graft-kv index routing: lookupComposite output lacks '$q'"))
+        Project(
+          Alias(lp.output.head, s.keyOut.name)(exprId = s.keyOut.exprId) +:
+            s.cols.map { case (q, out) =>
+              Alias(compCol(q), out.name)(exprId = out.exprId)
+            }, lp)
+      }
     }
   }
 
+  private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+
   /** Extract a [lo, hi) value range from the conjuncts that compare the
-    * view's value column in the index's OWN collation (class doc). Both
+    * given column in the component's OWN collation (class doc). Both
     * bounds must materialize (decimal mode floors a missing lo at 0 —
     * values are canonical non-negative decimals), fit the declared
     * width, and leave a non-empty range; otherwise no routing.

@@ -167,6 +167,66 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
     assert(!routed(planOf(noIdx)), "unindexed qualifier routed")
   }
 
+  test("two-column predicate over a two-qualifier pivot routes through the composite index") {
+    val path = s"$base/comp"
+    graft.sinks.Sinks.deleteRecursive(spark, path)
+    val a = spark.range(400).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'a' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val b = spark.range(400).filter("id % 2 = 0").selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'b' AS qualifier",
+      "encode(CAST(id * 5 AS STRING), 'UTF-8') AS value", "id AS ts")
+    a.unionByName(b).write.format("graft-kv").option("regions", 4)
+      .mode("overwrite").save(path)
+    KvIndex.create(spark, path, "by_ab", "f", "a", pad = 8,
+      regions = 2, rest = Seq(("b", 8)))
+    KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier").isin("a", "b"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "a", col("ts"))), "UTF-8").as("va"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "b", col("ts"))), "UTF-8").as("vb"))
+      .createOrReplaceTempView("rt_comp")
+    val sql =
+      """SELECT rowKey, va, vb FROM rt_comp
+        |WHERE CAST(va AS BIGINT) >= 600 AND CAST(va AS BIGINT) < 660
+        |  AND CAST(vb AS BIGINT) >= 0   AND CAST(vb AS BIGINT) < 1030""".stripMargin
+    val df = spark.sql(sql)
+    // fresh composite index: the route is INDEX-ONLY — its signature is
+    // the index-table scan (no base verification gets at all)
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("/_index/"), s"composite pivot did not route:\n$plan")
+    // b = 5i < 1030 keeps even i < 206; a = 3i in [600,660) → i in
+    // [200,220): keys 200, 202, 204
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).sorted
+    got.toSeq shouldBe Seq(200, 202, 204)
+      .map(i => (f"$i%06d", (i * 3).toString, (i * 5).toString))
+    // the unrouted plan agrees
+    spark.conf.set(KvIndexRouting.EnabledKey, "false")
+    try {
+      val plain = spark.sql(sql)
+      assert(!planOf(plain).contains("/_index/"))
+      plain.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).sorted
+        .toSeq shouldBe got.toSeq
+    } finally spark.conf.unset(KvIndexRouting.EnabledKey)
+    // a predicate missing one component's range keeps the scan: the
+    // composite row set (inner join) would drop rows lacking 'b'
+    val oneSided = spark.sql(
+      """SELECT rowKey, va, vb FROM rt_comp
+        |WHERE CAST(va AS BIGINT) >= 600 AND CAST(va AS BIGINT) < 660""".stripMargin)
+    assert(!planOf(oneSided).contains("/_index/"),
+      "one-sided predicate must not route through the composite index")
+    oneSided.count() shouldBe 20L // all of [200, 220), odd keys included
+  }
+
   test("extensions-built session routes through the injected pre-CBO rule") {
     val path = decimalTable
     val prev = SparkSession.getDefaultSession
