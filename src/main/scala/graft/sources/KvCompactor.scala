@@ -204,15 +204,23 @@ object KvCompactor {
     // (A split is exempt: dividing a PREVIOUS compaction's oversized
     // output is exactly its job, and its own outputs are target-sized so
     // it cannot re-trigger on them.)
-    if (!selection.isInstanceOf[SplitOversized] &&
+    // A non-noop CellPolicy under an explicit Major makes even a
+    // single-segment (or just-compacted) rewrite MEANINGFUL — the HBase
+    // force-major shape: TTL/version enforcement IS the rewrite, with or
+    // without anything to merge. Minor tiers keep the amortized contract
+    // (policy applies when a tier merges anyway), so a maintain-loop with
+    // a declared ttl never degenerates into rewriting the table per pass.
+    val policyForced = selection == Major && !cellPolicy.isNoop
+    if (!selection.isInstanceOf[SplitOversized] && !policyForced &&
         KvLog.horizon(fs, dir) == latest && gate > latest &&
         live.forall(_._1.startsWith(f"part-c$latest%010d-")))
       return Parked(s"already compacted at seq $latest")
     val (candidates, gatedCarry) = live.partition(_._2 < gate)
-    // A merge needs >= 2 inputs; a split rewrites exactly 1.
+    // A merge needs >= 2 inputs; a split (or a policy-forced major
+    // rewrite) accepts exactly 1.
     val minInputs = selection match {
       case _: SplitOversized => 1
-      case _ => 2
+      case _ => if (policyForced) 1 else 2
     }
     if (candidates.size < minInputs)
       return Parked(
@@ -245,7 +253,8 @@ object KvCompactor {
     val carrySet = candidates.collect {
       case (f, _) if !mergeNames.contains(f) => f } ++ gatedCarry.map(_._1)
     val regions = regionsFor(mergeSet.map(_._3).sum)
-    if (mergeSet.size == 1 && regions < 2)
+    if (selection.isInstanceOf[SplitOversized] &&
+        mergeSet.size == 1 && regions < 2)
       return Parked("split would produce a single region: nothing to divide")
 
     val expectSeq = latest + 1

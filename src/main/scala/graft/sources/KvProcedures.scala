@@ -168,13 +168,23 @@ private[sources] object KvProcedures {
       // squeeze an ADOPTED multi-TB path table, compacted by name for
       // the first time, into that many monolith regions.
       val props = KvTableProps.read(fs, dir)
+      // The verb's contract says "enforce TTL/version policy": the
+      // table's DECLARED retention (`ttl_ms` / `versions` TBLPROPERTIES)
+      // rides the rewrite — an explicit major with a non-noop policy
+      // rewrites even a single-segment / already-compacted table (the
+      // HBase force-major shape; KvCompactor's policyForced gate).
+      val cellPolicy = KvCompactor.CellPolicy(
+        dropBelowTs = props.get("ttl_ms").map(_.toLong)
+          .map(System.currentTimeMillis() - _),
+        maxVersions = props.get("versions").map(_.toInt))
       val result =
         (if (!input.isNullAt(1)) Some(input.getInt(1))
          else props.get("regions").map(_.toInt)) match {
-          case Some(regions) => KvCompactor.compact(spark, dir.toString, regions)
+          case Some(regions) => KvCompactor.compact(spark, dir.toString,
+            regions, cellPolicy = cellPolicy)
           case None => KvCompactor.compactTo(spark, dir.toString,
             props.get("maintain_target_region_bytes").map(_.toLong)
-              .getOrElse(128L * 1024 * 1024))
+              .getOrElse(128L * 1024 * 1024), cellPolicy = cellPolicy)
         }
       result match {
         case KvCompactor.Compacted(seq, merged, into) =>

@@ -169,6 +169,28 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
     }
   }
 
+  test("explicit major with a policy rewrites even a compacted/single-segment table") {
+    val dir = freshDir("forced")
+    twoVersions(200).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    // first major: plain merge — afterwards the table is one compaction's
+    // outputs and a plain re-run must PARK (idempotence intact)
+    val c1 = KvCompactor.compact(spark, dir, regions = 1)
+    c1 shouldBe a[KvCompactor.Compacted]
+    KvCompactor.compact(spark, dir, regions = 1) shouldBe
+      a[KvCompactor.Parked]
+    // ...but "enforce retention NOW" (the HBase force-major shape) must
+    // not silently no-op on the compacted single segment
+    val c2 = KvCompactor.compact(spark, dir, regions = 1,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    c2 shouldBe a[KvCompactor.Compacted]
+    val vals = spark.read.format("graft-kv").load(dir)
+      .filter(col("qualifier") === "amt")
+      .groupBy("rowKey").count().select("count").distinct()
+      .as[Long].collect().toSet
+    vals shouldBe Set(1L) // exactly one surviving version per key
+  }
+
   test("a CDC read crossing a retention compaction refuses loudly") {
     val dir = freshDir("cdc")
     twoVersions(100).write.format("graft-kv").option("regions", 2)
