@@ -184,12 +184,29 @@ object Cli {
     // the Phoenix global-index cycle as CLI verbs.
     case "CreateIndex" =>
       val Array(table, name, family, qualifier) = a.take(4)
+      // Optional trailing args mirror sys.create_index:
+      //   include=q1,q2       covered payload qualifiers
+      //   composite=q:pad,... additional key components
+      def listArg(key: String): Seq[String] = a.drop(4).collectFirst {
+        case s if s.startsWith(s"$key=") => s.stripPrefix(s"$key=")
+      }.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val rest = listArg("composite").map { pair =>
+        pair.split(":") match {
+          case Array(q, p) => (q, p.toInt)
+          case Array(q) => (q, 0)
+          case _ => sys.error(s"composite component '$pair' is not qual[:pad]")
+        }
+      }
+      val positional = a.drop(4).filterNot(_.contains("="))
       val m = graft.sources.KvIndex.create(
         spark, s"${tableDir(table)}/cells", name, family, qualifier,
-        pad = a.lift(4).map(_.toInt).getOrElse(0),
-        regions = a.lift(5).map(_.toInt).getOrElse(4))
-      println(s"created index $name on $table($family:$qualifier), " +
-        s"covers log seq ${m.asOfSeq}")
+        pad = positional.lift(0).map(_.toInt).getOrElse(0),
+        regions = positional.lift(1).map(_.toInt).getOrElse(4),
+        include = listArg("include"), rest = rest)
+      println(s"created index $name on " +
+        s"$table($family:${m.keyQuals.mkString(",")})" +
+        (if (m.covered) " covered" else "") +
+        s", covers log seq ${m.asOfSeq}")
 
     case "RefreshIndex" =>
       val Array(table, name) = a.take(2)
@@ -439,8 +456,9 @@ object Cli {
       |  RunQuery <queryName> <sfDir> <rowsToShow>   (any SparkEntry query)
       |  CompactTable <table> <regions> [codec]      (major-compact; optional re-codec: snappy|zstd|gzip|lz4|none)
       |  ResaltTable <table> <buckets> [regions]     (rewrite into a new salt layout; 0 = unsalt)
-      |  CreateIndex <table> <name> <family> <qualifier> [pad] [regions]
-      |                                              (maintained secondary index on one column)
+      |  CreateIndex <table> <name> <family> <qualifier> [pad] [regions] [include=q1,q2] [composite=q:pad,...]
+      |                                              (maintained secondary index; include = covered payload,
+      |                                               composite = additional key components, Phoenix shape)
       |  RefreshIndex <table> <name>                 (absorb base changes; CDC-incremental)
       |  DropIndex <table> <name>
       |  ListIndexes <table>

@@ -309,6 +309,21 @@ object Queries {
       p
     })
 
+  /** r16: automatic routing for COMPOSITE predicates
+    * ([[graft.sources.KvIndex.autoLookupComposite]] — `autoLookup`'s
+    * multi-column twin): the caller states only the per-qualifier
+    * ranges; index-vs-scan is the engine's manifest-stats cost call over
+    * the leading component. Same staging and oracle as
+    * `kv_index_composite` — routed and unrouted answers must be
+    * indistinguishable.
+    */
+  def kvIndexAutoComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureCompositeIdx(spark, sfDir)
+    graft.sources.KvIndex.autoLookupComposite(spark, path, "f",
+      Seq(("click", "9000", "12000"), ("view", "0", "5000")))
+      .withColumnRenamed("view", "view_val")
+  }
+
   /** r16: composite + SQL routing COMPOSED — the same two-column
     * predicate as `kv_index_composite`, written as PLAIN SQL over the
     * two-qualifier pivoted view; [[graft.sources.KvIndexRouting]]
@@ -5283,6 +5298,7 @@ object Queries {
     "kv_index_auto" -> (kvIndexAuto _),
     "kv_index_sql" -> (kvIndexSql _),
     "kv_index_composite" -> (kvIndexComposite _),
+    "kv_index_auto_composite" -> (kvIndexAutoComposite _),
     "kv_index_sql_composite" -> (kvIndexSqlComposite _),
     "kv_index_covered" -> (kvIndexCovered _),
     "kv_fsck" -> (kvFsck _),
@@ -5448,6 +5464,7 @@ object Queries {
     "kv_index_auto" -> kvIndexMaintainedSql,
     "kv_index_sql" -> kvIndexMaintainedSql,
     "kv_index_composite" -> kvIndexCompositeSql,
+    "kv_index_auto_composite" -> kvIndexCompositeSql,
     "kv_index_sql_composite" -> kvIndexCompositeSql,
     "kv_index_covered" -> kvIndexCoveredSql,
     "kv_fsck" -> kvFsckSql,

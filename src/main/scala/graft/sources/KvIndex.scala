@@ -1142,11 +1142,24 @@ object KvIndex {
           wideAll.filter(col("rowKey").isin(keys.toIndexedSeq: _*))
         } else wideAll.join(candidates, Seq("rowKey"), "left_semi")
       }
+    compositeAnswer(m, verifiedWide, pb)
+  }
+
+  /** One wide relation → the composite answer: all component bounds
+    * applied over the padded (and decimal-guarded) current values, then
+    * the `rowKey, value, <components...>, <includes...>` projection —
+    * the tail both the stale verified path and the index-free scan plan
+    * share.
+    */
+  private def compositeAnswer(m: Meta, wide: DataFrame,
+      pb: Seq[(String, String)]): DataFrame = {
+    val k = m.keyQuals.length
     val compPad = m.keyQuals.indices.map(i =>
       paddedValue(checkedComponent(col(s"_v$i"), m.pads(i)), m.pads(i)))
-    verifiedWide
-      .filter(compPad.head >= lo1 && compPad.head < hi1 &&
-        restMatch(i => compPad(i)))
+    wide
+      .filter(m.keyQuals.indices.map { i =>
+        compPad(i) >= pb(i)._1 && compPad(i) < pb(i)._2
+      }.reduce(_ && _))
       .select(col("rowKey") +:
         decode(col("_v0"), "UTF-8").as("value") +:
         (m.rest.map(_._1).zipWithIndex.map { case (q, i) =>
@@ -1155,5 +1168,73 @@ object KvIndex {
           m.include.zipWithIndex.map { case (q, i) =>
             decode(col(s"_v${k + i}"), "UTF-8").as(q)
           }): _*)
+  }
+
+  /** [[autoLookup]]'s COMPOSITE twin: per-qualifier `[lo, hi)` predicates
+    * on one family, served through a matching composite index
+    * ([[lookupComposite]]) when one exists AND the manifest-stat cost
+    * call says the LEADING component's range is selective — otherwise
+    * through the index-free plan (one wide scan, conditional LWW per
+    * component, all bounds filtered). Both plans compute the same
+    * inner-join row set (rows carrying ALL the named qualifiers), so the
+    * decision is purely cost, like [[autoLookup]]. `pads` declares each
+    * component's collation for the NO-INDEX fallback only (defaults to
+    * raw string order); with an index, its recorded pads win and a
+    * contradicting declaration is refused.
+    */
+  def autoLookupComposite(spark: SparkSession, path: String, family: String,
+      preds: Seq[(String, String, String)], pads: Seq[Int] = Nil,
+      maxSelectivity: Double = 0.2,
+      inPushdownCap: Int = InPushdownCap): DataFrame = {
+    require(preds.nonEmpty, "graft-kv index: autoLookupComposite needs at " +
+      "least one (qualifier, lo, hi) predicate")
+    require(pads.isEmpty || pads.length == preds.length,
+      s"graft-kv index: ${preds.length} predicates but ${pads.length} pads")
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualSet = preds.map(_._1).toSet
+    require(qualSet.size == preds.length,
+      "graft-kv index: duplicate qualifier in the composite predicates")
+    val declaredPads = preds.map(_._1)
+      .zip(if (pads.isEmpty) Seq.fill(preds.length)(0) else pads).toMap
+    val byQual = preds.map(p => p._1 -> ((p._2, p._3))).toMap
+    KvIndex.list(fs, table).find(i => i.family == family && i.composite &&
+      i.keyQuals.length == preds.length && i.keyQuals.toSet == qualSet) match {
+      case Some(m) =>
+        if (pads.nonEmpty) m.keyQuals.zip(m.pads).foreach { case (q, p) =>
+          require(declaredPads(q) == p,
+            s"graft-kv index: declared pad ${declaredPads(q)} for '$q' " +
+              s"contradicts index '${m.name}' (pad=$p)")
+        }
+        val ordered = m.keyQuals.map(byQual)
+        def padLit(v: String, p: Int) =
+          if (p > 0) ("0" * math.max(0, p - v.length)) + v else v
+        val (lo1, hi1) = (padLit(ordered.head._1, m.pad),
+          padLit(ordered.head._2, m.pad))
+        if (rangeIsSelective(spark, fs, table, m, lo1, hi1, maxSelectivity))
+          lookupComposite(spark, path, m.name, ordered, inPushdownCap)
+        else {
+          val pb = m.keyQuals.zip(m.pads).map { case (q, p) =>
+            val (lo, hi) = byQual(q)
+            requireValidBoundsAt(p, lo, hi)
+            (padLit(lo, p), padLit(hi, p))
+          }
+          compositeAnswer(m, currentWide(spark, path, m, Map.empty), pb)
+        }
+      case None =>
+        // index-free: synthesize the meta in PREDICATE order
+        val head = preds.head._1
+        val m = Meta("<scan>", family, head, declaredPads(head), -1L,
+          rest = preds.tail.map(p => (p._1, declaredPads(p._1))),
+          covered = true)
+        val pb = m.keyQuals.zip(m.pads).map { case (q, p) =>
+          val (lo, hi) = byQual(q)
+          requireValidBoundsAt(p, lo, hi)
+          val pad = (v: String) =>
+            if (p > 0) ("0" * math.max(0, p - v.length)) + v else v
+          (pad(lo), pad(hi))
+        }
+        compositeAnswer(m, currentWide(spark, path, m, Map.empty), pb)
+    }
   }
 }

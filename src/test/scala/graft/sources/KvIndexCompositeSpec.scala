@@ -182,6 +182,37 @@ class KvIndexCompositeSpec extends graft.SparkSpec {
     e5.getMessage should include("composite")
   }
 
+  test("autoLookupComposite: cost-routes selective ranges to the index, wide ones to the scan") {
+    val dir = freshDir("auto")
+    cells(1000).write.format("graft-kv").option("regions", 4)
+      .mode("overwrite").save(dir)
+    create(dir)
+    def auto(aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+      KvIndex.autoLookupComposite(spark, dir, "f",
+        Seq(("a", aLo.toString, aHi.toString), ("b", bLo.toString, bHi.toString)))
+        .as[(String, String, String)].collect().toSet
+    // selective and unselective both equal the ground truth
+    auto(600, 660, 0, 10000) shouldBe oracle(dir, 600, 660, 0, 10000)
+    auto(0, 99999, 0, 99999) shouldBe oracle(dir, 0, 99999, 0, 99999)
+    auto(0, 99999, 0, 99999).size shouldBe 500 // every even key
+    // predicate order doesn't matter: reordered quals map onto the index
+    KvIndex.autoLookupComposite(spark, dir, "f",
+      Seq(("b", "0", "10000"), ("a", "600", "660")))
+      .as[(String, String, String)].collect().toSet shouldBe
+      oracle(dir, 600, 660, 0, 10000)
+    // no matching index (different family): the scan fallback answers,
+    // with the caller's declared pads
+    KvIndex.autoLookupComposite(spark, dir, "g",
+      Seq(("a", "600", "660"), ("b", "0", "10000")),
+      pads = Seq(8, 8)).count() shouldBe 0L
+    // a declared pad contradicting the index refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      KvIndex.autoLookupComposite(spark, dir, "f",
+        Seq(("a", "600", "660"), ("b", "0", "10000")), pads = Seq(4, 8))
+    }
+    e.getMessage should include("contradicts index")
+  }
+
   test("resalt forces a REBUILD; the rebuilt composite index answers exactly") {
     val dir = freshDir("resalt")
     cells(800).write.format("graft-kv").option("regions", 2)
