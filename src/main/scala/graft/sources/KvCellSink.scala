@@ -654,6 +654,13 @@ private[sources] class KvDataWriter(
   private val keyIdx = fieldNames.indexOf("rowKey")
   private val tsIdx = fieldNames.indexOf("ts")
   private val qualIdx = fieldNames.indexOf("qualifier")
+  private val famIdx = fieldNames.indexOf("family")
+  // Distinct family/qualifier sets for file-level pruning
+  // ([[KvLog.FileStat.families]]): bounded in-stream collection; past the
+  // cap the stat degrades to unknown (null) — wide-domain tables carry no
+  // pruning metadata rather than a bloated manifest line.
+  private var famSet = new java.util.TreeSet[String]()
+  private var qualSet = new java.util.TreeSet[String]()
   private var tombstones = 0L
   private var rows = 0L
   private var minKey: String = null
@@ -686,6 +693,14 @@ private[sources] class KvDataWriter(
           "allowTombstones=true only for deliberate marker-carrying " +
           "writes (replication pipes, compaction rewrites)")
       tombstones += 1
+    }
+    if (famSet != null && famIdx >= 0 && !row.isNullAt(famIdx)) {
+      famSet.add(row.getUTF8String(famIdx).toString): Unit
+      if (famSet.size > KvLog.MaxDistinctFamilies) famSet = null
+    }
+    if (qualSet != null && qualIdx >= 0 && !row.isNullAt(qualIdx)) {
+      qualSet.add(row.getUTF8String(qualIdx).toString): Unit
+      if (qualSet.size > KvLog.MaxDistinctQualifiers) qualSet = null
     }
     writer.write(row)
     rows += 1
@@ -728,10 +743,18 @@ private[sources] class KvDataWriter(
       writer.close()
       val bytes = new Path(file).getFileSystem(conf.value)
         .getFileStatus(new Path(file)).getLen
+      def setOf(s: java.util.TreeSet[String]): Option[Seq[String]] =
+        if (s == null || s.isEmpty) None
+        else Some({
+          val b = Seq.newBuilder[String]
+          s.forEach(v => b += v)
+          b.result()
+        })
       commitAs(file, Some(KvLog.FileStat(rows, bytes,
         Option(minKey), Option(maxKey),
         if (sawTs) Some(minTs) else None, if (sawTs) Some(maxTs) else None,
-        bloom.buildToken(), tombstones)))
+        bloom.buildToken(), tombstones,
+        families = setOf(famSet), qualifiers = setOf(qualSet))))
     }
   }
 

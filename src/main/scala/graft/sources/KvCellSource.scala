@@ -840,8 +840,24 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // lookup; the bloom keeps ~1 (+fpp). Bloom-less files (compacted
     // regions, legacy entries) fall through to range-only pruning.
     val points = KvFilters.rowKeyPoints(pushed)
+    // FILE-LEVEL family/qualifier pruning (the HBase per-CF store-file
+    // analog): a pushed family/qualifier equality/IN constrains the scan
+    // to a closed value set; files whose recorded distinct sets
+    // ([[KvLog.FileStat.families]]) provably miss it are never planned.
+    // Marker-carrying files are EXEMPT — a marker masks cells in OTHER
+    // files, so read-time masking must always see it regardless of the
+    // marker row's own family/qualifier spelling.
+    val famReq = KvFilters.requiredValues(pushed, "family")
+    val qualReq = KvFilters.requiredValues(pushed, "qualifier")
+    def colSetsOk(stat: Option[KvLog.FileStat]): Boolean = stat match {
+      case Some(st) if st.tombstones == 0 =>
+        famReq.forall(req => st.families.forall(_.exists(req))) &&
+          qualReq.forall(req => st.qualifiers.forall(_.exists(req)))
+      case _ => true // stat-less or marker-carrying: cannot prune
+    }
     val kept =
-      if (bounds.isEmpty && points.isEmpty) all
+      if (bounds.isEmpty && points.isEmpty && famReq.isEmpty && qualReq.isEmpty)
+        all
       else all.filter { case (f, stat) =>
         val rangeOk = bounds.isEmpty ||
           (stat.flatMap(s => s.minKey.zip(s.maxKey))
@@ -856,7 +872,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
               case None => true // no (valid) bloom: cannot prune
             }
           case None => true
-        })
+        }) && colSetsOk(stat)
       }
     (kept.map { case (f, st) => (f.toString, st) }, all.length)
   }
@@ -1612,6 +1628,29 @@ private[sources] object KvFilters {
       case _ => true
     }
     filters.forall(exact)
+  }
+
+  /** The CLOSED value set column `c` may take under the pushed filter
+    * conjunction, None = unconstrained. Only equality shapes constrain
+    * (EqualTo / In; And intersects, Or unions when both sides close) —
+    * ranges and negations stay None, so file-set pruning keeps its
+    * superset soundness: a file is dropped only when its recorded
+    * distinct set provably misses every admissible value.
+    */
+  def requiredValues(pushed: Array[Filter], c: String): Option[Set[String]] = {
+    def one(f: Filter): Option[Set[String]] = f match {
+      case EqualTo(`c`, v: String) => Some(Set(v))
+      case In(`c`, vs) if vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.collect { case s: String => s }.toSet)
+      case And(l, r) => (one(l), one(r)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) => for {a <- one(l); b <- one(r)} yield a.union(b)
+      case _ => None
+    }
+    // the pushed array is a conjunction: intersect the constrained ones
+    pushed.flatMap(one).reduceOption(_ intersect _)
   }
 
   /** A closed rowKey interval (None bound = unbounded). All interval math

@@ -117,6 +117,16 @@ private[graft] object KvLog {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   val LogDirName = "_log"
+
+  /** Caps on the recorded distinct family/qualifier sets
+    * ([[FileStat.families]]): HBase tables have a handful of column
+    * families and the engine's qualifier domains are schema-like, so
+    * overflow means "this table's columns are data, not schema" — the
+    * stat degrades to None (no pruning) rather than bloating every
+    * manifest line.
+    */
+  val MaxDistinctFamilies = 8
+  val MaxDistinctQualifiers = 32
   private val LatestName = "_latest"
   private val HorizonName = "_horizon"
   private val FloorName = "_floor"
@@ -143,7 +153,20 @@ private[graft] object KvLog {
         * enter only through the sink, which counts them here, so a
         * stat-less legacy file is marker-free by construction.
         */
-      tombstones: Long = 0L)
+      tombstones: Long = 0L,
+      /** DISTINCT family / qualifier values in the file (the `cf=`/`cq=`
+        * tokens), recorded by the sink while they stay small
+        * ([[KvLog.MaxDistinctFamilies]]/[[KvLog.MaxDistinctQualifiers]] —
+        * wide tables overflow to None = unknown). Planning uses them for
+        * FILE-LEVEL family/qualifier pruning (the HBase per-column-family
+        * store-file analog): a `family = 'f'` scan of a table whose
+        * commits separated families never even schedules the other
+        * families' files. Marker-carrying files are exempt from that
+        * pruning — a marker can mask cells in OTHER files, so masking
+        * must always see it.
+        */
+      families: Option[Seq[String]] = None,
+      qualifiers: Option[Seq[String]] = None)
 
   case class Entry(
       seq: Long, compact: Boolean, writer: Option[String],
@@ -360,6 +383,8 @@ private[graft] object KvLog {
     var minTs: Option[Long] = None; var maxTs: Option[Long] = None
     var bloom: Option[String] = None
     var tomb = 0L
+    var families: Option[Seq[String]] = None
+    var qualifiers: Option[Seq[String]] = None
     val b64 = java.util.Base64.getDecoder
     toks.foreach {
       case t if t.startsWith("r=") => rows = t.drop(2).toLong
@@ -373,10 +398,17 @@ private[graft] object KvLog {
         minTs = Some(lo.toLong); maxTs = Some(hi.toLong)
       case t if t.startsWith("f=") => bloom = Some(t.drop(2))
       case t if t.startsWith("d=") => tomb = t.drop(2).toLong
+      case t if t.startsWith("cf=") =>
+        families = Some(t.drop(3).split(",").toSeq
+          .map(v => new String(b64.decode(v), StandardCharsets.UTF_8)))
+      case t if t.startsWith("cq=") =>
+        qualifiers = Some(t.drop(3).split(",").toSeq
+          .map(v => new String(b64.decode(v), StandardCharsets.UTF_8)))
       case _ => () // unknown stat token: ignore (forward compatibility)
     }
     if (rows < 0 || bytes < 0) None // r= and b= anchor a well-formed stat
-    else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs, bloom, tomb))
+    else Some(FileStat(rows, bytes, minKey, maxKey, minTs, maxTs, bloom, tomb,
+      families, qualifiers))
   }
 
   private[sources] def statSuffix(s: FileStat): String = {
@@ -392,7 +424,11 @@ private[graft] object KvLog {
     }
     val f = s.bloom.fold("")(tok => s"\tf=$tok")
     val d = if (s.tombstones > 0) s"\td=${s.tombstones}" else ""
-    s"\tr=${s.rows}\tb=${s.bytes}$k$t$f$d"
+    val cf = s.families.fold("")(vs =>
+      s"\tcf=${vs.sorted.map(enc).mkString(",")}")
+    val cq = s.qualifiers.fold("")(vs =>
+      s"\tcq=${vs.sorted.map(enc).mkString(",")}")
+    s"\tr=${s.rows}\tb=${s.bytes}$k$t$f$d$cf$cq"
   }
 
   /** Append an entry at `latest + 1` (temp-write + rename = atomic publish,
