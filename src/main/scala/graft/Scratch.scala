@@ -123,6 +123,45 @@ object Scratch {
             "5000000", "5000300").count())
         println(s"rows after refresh: $n2")
 
+      case "colprune" =>
+        // File-level family/qualifier pruning economics: a two-family
+        // table (family-separated commits, 8M cells each) scanned for ONE
+        // family — the pruned plan must only read half the files.
+        import org.apache.spark.sql.functions._
+        val cp = "/tmp/graft_scratch/colprune_probe"
+        graft.sinks.Sinks.deleteRecursive(spark, cp)
+        def fam(f: String, base: Long) = spark.range(8000000L).selectExpr(
+          "lpad(CAST(id AS STRING), 9, '0') AS rowKey",
+          s"'$f' AS family", "'a' AS qualifier",
+          "encode(CAST(id % 1000 AS STRING), 'UTF-8') AS value",
+          s"id + ${base}L AS ts")
+        time("stage family f (8M cells, 16 regions)")(
+          fam("f", 0L).write.format("graft-kv").option("regions", 16)
+            .mode("overwrite").save(cp))
+        time("stage family g (8M cells, 16 regions)")(
+          fam("g", 10000000L).write.format("graft-kv").option("regions", 16)
+            .mode("append").save(cp))
+        // A/B on the SAME logical predicate: the equality closes the
+        // value set (file-level pruning applies); its range spelling
+        // (family >= 'f' AND <= 'f') does not — the record filter alone
+        // cuts the rows, every file planned. Identical answers.
+        def famScan(pruned: Boolean) = spark.read.format("graft-kv").load(cp)
+          .filter(if (pruned) col("family") === "f"
+            else col("family") >= "f" && col("family") <= "f")
+          .agg(count(lit(1)), max(col("ts")))
+        famScan(pruned = true).collect() // warm FS caches
+        famScan(pruned = false).collect()
+        val nB = time("(a) family range spelling (no file pruning)")(
+          famScan(pruned = false).collect()(0).getLong(0))
+        val nF = time("(b) family equality (file-level pruned)")(
+          famScan(pruned = true).collect()(0).getLong(0))
+        println(s"rows: range=$nB pruned=$nF")
+        Seq(true, false).foreach { p =>
+          famScan(p).queryExecution.executedPlan.toString.linesIterator
+            .filter(_.contains("regions=")).take(1).foreach(l =>
+              println(s"plan(pruned=$p): " + l.trim.takeRight(50)))
+        }
+
       case "scalehi" =>
         // High-cardinality regime: 21M cells over 7M DISTINCT keys (no
         // map-side collapse) — the shape of the sf0.1 typed export at ~12x.
