@@ -658,9 +658,15 @@ private[sources] class KvDataWriter(
   // Distinct family/qualifier sets for file-level pruning
   // ([[KvLog.FileStat.families]]): bounded in-stream collection; past the
   // cap the stat degrades to unknown (null) — wide-domain tables carry no
-  // pruning metadata rather than a bloated manifest line.
+  // pruning metadata rather than a bloated manifest line. The last-seen
+  // copies keep the hot path allocation-free for the overwhelmingly
+  // common run of equal consecutive values (sorted single-family files):
+  // a bytes-equality probe against the copy short-circuits the
+  // toString + TreeSet work.
   private var famSet = new java.util.TreeSet[String]()
   private var qualSet = new java.util.TreeSet[String]()
+  private var lastFam: org.apache.spark.unsafe.types.UTF8String = null
+  private var lastQual: org.apache.spark.unsafe.types.UTF8String = null
   private var tombstones = 0L
   private var rows = 0L
   private var minKey: String = null
@@ -695,12 +701,20 @@ private[sources] class KvDataWriter(
       tombstones += 1
     }
     if (famSet != null && famIdx >= 0 && !row.isNullAt(famIdx)) {
-      famSet.add(row.getUTF8String(famIdx).toString): Unit
-      if (famSet.size > KvLog.MaxDistinctFamilies) famSet = null
+      val u = row.getUTF8String(famIdx)
+      if (lastFam == null || !u.equals(lastFam)) {
+        lastFam = u.clone() // the row buffer is reused — copy before keeping
+        famSet.add(lastFam.toString): Unit
+        if (famSet.size > KvLog.MaxDistinctFamilies) famSet = null
+      }
     }
     if (qualSet != null && qualIdx >= 0 && !row.isNullAt(qualIdx)) {
-      qualSet.add(row.getUTF8String(qualIdx).toString): Unit
-      if (qualSet.size > KvLog.MaxDistinctQualifiers) qualSet = null
+      val u = row.getUTF8String(qualIdx)
+      if (lastQual == null || !u.equals(lastQual)) {
+        lastQual = u.clone()
+        qualSet.add(lastQual.toString): Unit
+        if (qualSet.size > KvLog.MaxDistinctQualifiers) qualSet = null
+      }
     }
     writer.write(row)
     rows += 1

@@ -863,7 +863,18 @@ object KvIndex {
   private def requireValidBounds(m: Meta, lo: String, hi: String): Unit =
     requireValidBoundsAt(m.pad, lo, hi)
 
-  private def requireValidBoundsAt(pad: Int, lo: String, hi: String): Unit =
+  private def requireValidBoundsAt(pad: Int, lo: String, hi: String): Unit = {
+    // NUL is the KEY SEPARATOR: values are refused at build time
+    // (checkedComponent), and BOUNDS must be too — a NUL-carrying bound
+    // compares differently against the raw value ("b" < "b z") than
+    // against the NUL-joined encoded key ("b <suffix>" vs
+    // "b z" decides on the suffix), so the index-only fast path
+    // would silently disagree with the verified path on range edges.
+    Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
+      require(!v.contains(Sep),
+        s"graft-kv index: $which bound contains NUL (the key separator) " +
+          "— unsupported for a string-ordered index")
+    }
     if (pad > 0) Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
       require(v.length <= pad,
         s"graft-kv index: $which bound '$v' exceeds the index's decimal " +
@@ -879,6 +890,14 @@ object KvIndex {
         s"graft-kv index: decimal-mode $which bound '$v' must be a " +
           "non-negative decimal string")
     }
+  }
+
+  /** Left-zero-pad one validated bound to the component's width (0 = raw
+    * string order, identity). Callers run [[requireValidBoundsAt]] first
+    * — the width check lives THERE, so this never has to silently clamp.
+    */
+  private def padBound(v: String, pad: Int): String =
+    if (pad > 0) ("0" * (pad - v.length)) + v else v
 
   /** [[lookup]] with an optional PINNED version: `asOf = Some(seq)`
     * makes the whole lookup (staleness check, tail span, verification
@@ -900,9 +919,7 @@ object KvIndex {
         "lookup over it would drop rows lacking the other key components; " +
         "use lookupComposite() with one bound per component")
     requireValidBounds(m, lo, hi)
-    def padLit(v: String) =
-      if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
-    val (loPad, hiPad) = (padLit(lo), padLit(hi))
+    val (loPad, hiPad) = (padBound(lo, m.pad), padBound(hi, m.pad))
 
     // COVERED fast path: a covered index whose covered seq IS the base's
     // latest seq holds exactly one entry per current base row (the exact
@@ -1035,9 +1052,7 @@ object KvIndex {
     // identically on the fresh index-only path and the stale verified
     // path — behavior must not depend on maintenance timing.
     requireValidBounds(m, lo, hi)
-    def padLit(v: String) =
-      if (m.pad > 0) ("0" * (m.pad - v.length)) + v else v
-    val (loPad, hiPad) = (padLit(lo), padLit(hi))
+    val (loPad, hiPad) = (padBound(lo, m.pad), padBound(hi, m.pad))
     val latest = KvLog.latestSeq(fs, table)
     if (latest <= m.asOfSeq) return coveredRead(spark, table, m, loPad, hiPad)
     // Stale: verified wide read over lookup's candidate keys, with the
@@ -1090,10 +1105,8 @@ object KvIndex {
         s"(${m.keyQuals.mkString(", ")}); got ${bounds.length} bounds")
     bounds.zip(m.pads).foreach { case ((lo, hi), p) =>
       requireValidBoundsAt(p, lo, hi) }
-    def padLit(v: String, p: Int) =
-      if (p > 0) ("0" * (p - v.length)) + v else v
     val pb = bounds.zip(m.pads).map { case ((lo, hi), p) =>
-      (padLit(lo, p), padLit(hi, p))
+      (padBound(lo, p), padBound(hi, p))
     }
     val (lo1, hi1) = pb.head
     val k = m.keyQuals.length
@@ -1207,17 +1220,20 @@ object KvIndex {
               s"contradicts index '${m.name}' (pad=$p)")
         }
         val ordered = m.keyQuals.map(byQual)
-        def padLit(v: String, p: Int) =
-          if (p > 0) ("0" * math.max(0, p - v.length)) + v else v
-        val (lo1, hi1) = (padLit(ordered.head._1, m.pad),
-          padLit(ordered.head._2, m.pad))
+        // bounds validate before padding — the cost probe must refuse the
+        // same inputs the lookup itself would
+        m.keyQuals.zip(m.pads).foreach { case (q, pd) =>
+          val (lo, hi) = byQual(q)
+          requireValidBoundsAt(pd, lo, hi)
+        }
+        val (lo1, hi1) = (padBound(ordered.head._1, m.pad),
+          padBound(ordered.head._2, m.pad))
         if (rangeIsSelective(spark, fs, table, m, lo1, hi1, maxSelectivity))
           lookupComposite(spark, path, m.name, ordered, inPushdownCap)
         else {
           val pb = m.keyQuals.zip(m.pads).map { case (q, p) =>
             val (lo, hi) = byQual(q)
-            requireValidBoundsAt(p, lo, hi)
-            (padLit(lo, p), padLit(hi, p))
+            (padBound(lo, p), padBound(hi, p))
           }
           compositeAnswer(m, currentWide(spark, path, m, Map.empty), pb)
         }
@@ -1230,9 +1246,7 @@ object KvIndex {
         val pb = m.keyQuals.zip(m.pads).map { case (q, p) =>
           val (lo, hi) = byQual(q)
           requireValidBoundsAt(p, lo, hi)
-          val pad = (v: String) =>
-            if (p > 0) ("0" * math.max(0, p - v.length)) + v else v
-          (pad(lo), pad(hi))
+          (padBound(lo, p), padBound(hi, p))
         }
         compositeAnswer(m, currentWide(spark, path, m, Map.empty), pb)
     }

@@ -93,10 +93,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * (filesystem hiccup, unreadable index meta) logs and falls back to
   * the unrouted plan.
   *
-  * Scale shape: the cost probe is two driver-side manifest replays
-  * (zero data I/O); a routed query reads O(candidates) instead of
-  * O(table) — the Phoenix global-index trade, safe because read-time
-  * verification absorbs index staleness.
+  * Scale shape: the COST CALL is two driver-side manifest replays (zero
+  * data I/O) and only runs on a full structural match. A POSITIVE
+  * decision then builds the lookup eagerly — like calling
+  * [[KvIndex.lookup]] directly, its candidate probe (a pruned index
+  * range scan capped at `InPushdownCap + 1` keys, plus the CDC tail)
+  * executes at plan time, so routed planning latency is the lookup's
+  * own driver-side cost and the candidate set is pinned into the plan:
+  * a cached routed DataFrame re-serves its plan-time version, exactly
+  * the snapshot semantics an explicit `lookup()` DataFrame has. A
+  * routed query then reads O(candidates) instead of O(table) — the
+  * Phoenix global-index trade, safe because read-time verification
+  * absorbs index staleness.
   */
 case class KvIndexRouting(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper with Logging {
@@ -121,47 +129,51 @@ case class KvIndexRouting(session: SparkSession)
     }
   }
 
-  /** The matched LWW-pivot subtree: table path, family, the rowKey
-    * passthrough, and one (qualifier, output attribute) per pivoted
-    * value column.
+  /** The matched LWW-pivot subtree: table path, family, and the
+    * Aggregate's output attributes IN THEIR ORIGINAL ORDER — each tagged
+    * with the qualifier its column pivots (None = a rowKey passthrough,
+    * possibly several). The splice rebuilds exactly this output list, so
+    * positional consumers (union-by-position, RDD conversion) see the
+    * same columns whether or not the cost call routed.
     */
   private case class PivotShape(path: String, family: String,
-      keyOut: Attribute, cols: Seq[(String, Attribute)])
+      outs: Seq[(Attribute, Option[String])]) {
+    def cols: Seq[(String, Attribute)] =
+      outs.collect { case (a, Some(q)) => (q, a) }
+  }
 
   private def pivotShape(plan: LogicalPlan): Option[PivotShape] = plan match {
     case Aggregate(Seq(g: AttributeReference), aggExprs, aggChild, _) =>
       for {
         (path, fam, quals, relOut) <- scanShape(stripProjects(aggChild))
         if attrIn(g, "rowKey", relOut)
-        keyOut <- aggExprs.collectFirst {
-          case a: AttributeReference if a.exprId == g.exprId => a: Attribute
-          case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
-            al.toAttribute
-        }
-        cols <- valueCols(aggExprs, g, quals, relOut)
-      } yield PivotShape(path, fam, keyOut, cols)
+        outs <- outputCols(aggExprs, g, quals, relOut)
+      } yield PivotShape(path, fam, outs)
     case _ => None
   }
 
-  /** Every non-rowKey aggregate expression must be a recognized pivoted
-    * value column over a distinct qualifier from the filtered set —
-    * one unrecognized output refuses the whole shape (its semantics are
-    * unknown, so no lookup can be proven a superset).
+  /** Every aggregate output must be either the grouping rowKey (bare or
+    * aliased — duplicates fine) or a recognized pivoted value column
+    * over a distinct qualifier from the filtered set — one unrecognized
+    * output refuses the whole shape (its semantics are unknown, so no
+    * lookup can be proven a superset).
     */
-  private def valueCols(aggExprs: Seq[NamedExpression], g: AttributeReference,
+  private def outputCols(aggExprs: Seq[NamedExpression], g: AttributeReference,
       quals: Seq[String], relOut: Seq[Attribute])
-      : Option[Seq[(String, Attribute)]] = {
-    val entries = aggExprs.flatMap {
-      case a: AttributeReference if a.exprId == g.exprId => Nil
-      case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId => Nil
+      : Option[Seq[(Attribute, Option[String])]] = {
+    val entries: Seq[Option[(Attribute, Option[String])]] = aggExprs.map {
+      case a: AttributeReference if a.exprId == g.exprId =>
+        Some((a: Attribute, None))
+      case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
+        Some((al.toAttribute, None))
       case al @ Alias(w, _) =>
-        Seq(decodedMaxByTs(w, quals, relOut).map(q => q -> al.toAttribute))
-      case _ => Seq(None)
+        decodedMaxByTs(w, quals, relOut).map(q => (al.toAttribute, Some(q)))
+      case _ => None
     }
-    val cols = entries.flatten
-    if (entries.exists(_.isEmpty) || cols.isEmpty ||
-      cols.map(_._1).distinct.length != cols.length) None
-    else Some(cols)
+    sequence(entries).filter { outs =>
+      val qs = outs.flatMap(_._2)
+      qs.nonEmpty && qs.distinct.length == qs.length
+    }
   }
 
   /** Unwrap the exact "utf8 string of the (possibly qualifier-scoped)
@@ -304,6 +316,15 @@ case class KvIndexRouting(session: SparkSession)
     val conjuncts = splitConjunctivePredicates(cond)
     val indexes = KvIndex.list(fs, table).filter(_.family == s.family)
 
+    // Rebuild EXACTLY the original output list over the lookup plan —
+    // same order, same arity, same exprIds — so the routed and unrouted
+    // plans are indistinguishable to everything above the Filter.
+    def splice(lp: LogicalPlan, compCol: String => Attribute): LogicalPlan =
+      Project(s.outs.map {
+        case (a, None) => Alias(lp.output.head, a.name)(exprId = a.exprId)
+        case (a, Some(q)) => Alias(compCol(q), a.name)(exprId = a.exprId)
+      }, lp)
+
     if (s.cols.length == 1) {
       val (qual, valOut) = s.cols.head
       for {
@@ -317,11 +338,7 @@ case class KvIndexRouting(session: SparkSession)
           s"on ${s.path} (${s.family}, $qual) through index '${m.name}'")
         val lp = KvIndex.lookup(session, s.path, m.name, lo, hi)
           .queryExecution.optimizedPlan
-        // Same-exprId aliases keep every upstream reference (the retained
-        // Filter above, anything else built over the view) valid.
-        Project(Seq(
-          Alias(lp.output.head, s.keyOut.name)(exprId = s.keyOut.exprId),
-          Alias(lp.output(1), valOut.name)(exprId = valOut.exprId)), lp)
+        splice(lp, _ => lp.output(1))
       }
     } else {
       val byQual = s.cols.toMap
@@ -346,16 +363,11 @@ case class KvIndexRouting(session: SparkSession)
         // lookupComposite output: rowKey, value (leading component), one
         // column per non-leading component (named by qualifier), then
         // includes — map each pivot column to its component column
-        def compCol(q: String): Attribute =
+        splice(lp, q =>
           if (q == m.qualifier) lp.output(1)
           else lp.output.find(_.name == q).getOrElse(
             throw new IllegalStateException(
-              s"graft-kv index routing: lookupComposite output lacks '$q'"))
-        Project(
-          Alias(lp.output.head, s.keyOut.name)(exprId = s.keyOut.exprId) +:
-            s.cols.map { case (q, out) =>
-              Alias(compCol(q), out.name)(exprId = out.exprId)
-            }, lp)
+              s"graft-kv index routing: lookupComposite output lacks '$q'")))
       }
     }
   }

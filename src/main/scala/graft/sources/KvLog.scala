@@ -1021,7 +1021,10 @@ private[graft] object KvLog {
     * content-dropping compaction — the eager probe incremental consumers
     * ([[graft.sources.KvIndex]]) use to REBUILD instead of hitting the
     * CDC refusal at plan time. O(span) entry reads, like
-    * [[KvSalt.declsIn]]; spans are maintenance-lag-sized in practice.
+    * [[KvSalt.declsIn]]; spans are maintenance-lag-sized in practice
+    * (and the reads warm the same entries changedFiles replays next).
+    * No horizon shortcut: gated PARTIAL compactions keep older compact
+    * entries replayable inside the span, and any of them may be a drop.
     */
   def contentDropsIn(fs: FileSystem, table: Path, fromExclusive: Long,
       toInclusive: Long): Seq[Long] =

@@ -145,9 +145,31 @@ private[sources] class KvTailStream(
   /** The adds of `entry` visible from position `cur`: a compact entry's
     * adds are delivered only when the stream STARTED at it (sentinel, or
     * resuming mid-delivery at `idx > 0`), never when it advanced past.
+    *
+    * A RETENTION compaction ([[KvLog.Entry.contentDrop]] — ttl/versions
+    * physically removed current cells) REFUSES instead of skipping: the
+    * tail is a change feed, the drop is a change it cannot express, and
+    * skipping would leave every downstream consumer holding the dropped
+    * cells as live state forever — the same silent divergence the batch
+    * CDC paths refuse (`KvLog.requireNoContentDrop`). Registered tails
+    * gate compaction BELOW their position, so the refused entry is
+    * always AHEAD of what the consumer holds: the stream fails loudly at
+    * the exact position where its state stopped being reconstructible,
+    * and the recovery is a re-baseline from the horizon (full current
+    * state), like a floor crossing. A FRESH start at the entry (the
+    * `InitIdx` sentinel, or resuming its own mid-delivery) is fine — the
+    * entry's adds ARE the post-retention current state, exactly the
+    * baseline a new stream wants.
     */
-  private def visibleAdds(entry: KvLog.Entry, cur: LogPos): Seq[String] =
+  private def visibleAdds(entry: KvLog.Entry, cur: LogPos): Seq[String] = {
+    if (entry.contentDrop && cur.idx == 0)
+      throw new IllegalStateException(
+        s"graft-kv tail: log entry ${entry.seq} of $path is a RETENTION " +
+          "compaction (ttl/versions dropped current cells) — not " +
+          "expressible as a change feed. Restart the stream from a fresh " +
+          "checkpoint at the horizon to re-baseline on the current state.")
     if (entry.compact && cur.idx == 0) Nil else entry.adds
+  }
 
   /** One admitted file's size: the entry's manifest stat (free), or a
     * `getFileStatus` probe for stat-less legacy entries.

@@ -180,6 +180,15 @@ class KvIndexCompositeSpec extends graft.SparkSpec {
       KvIndex.lookup(spark, dir, "by_ab", "0", "100")
     }
     e5.getMessage should include("composite")
+    // a NUL inside a bound is refused: NUL is the key separator, and a
+    // NUL-carrying bound compares differently against raw values than
+    // against the encoded keys — the index-only path would silently
+    // diverge from the verified path at range edges
+    val e6 = intercept[IllegalArgumentException] {
+      KvIndex.lookupComposite(spark, dir, "by_ab",
+        Seq(("0", "100"), ("0", "1\u0000" + "9")))
+    }
+    e6.getMessage should include("NUL")
   }
 
   test("autoLookupComposite: cost-routes selective ranges to the index, wide ones to the scan") {

@@ -191,6 +191,47 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
     vals shouldBe Set(1L) // exactly one surviving version per key
   }
 
+  test("a streaming tail crossing a retention compaction refuses; a fresh tail re-baselines") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("tail")
+    twoVersions(100).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    val ckpt = freshDir("tail_ckpt")
+    val out = freshDir("tail_out")
+    // consume the initial state, checkpointed (file sink: append-mode
+    // checkpoint recovery, which the memory sink refuses)
+    def run(name: String): Unit = {
+      val q = spark.readStream.format("graft-kv").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run("ret_tail_1")
+    // retention pass lands AHEAD of the consumed position
+    val cres = KvCompactor.compact(spark, dir, regions = 1,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    cres shouldBe a[KvCompactor.Compacted]
+    // the resumed tail must FAIL LOUDLY at the drop entry — skipping it
+    // (the plain-merge rule) would leave the consumer holding dropped
+    // cells as live state forever
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run("ret_tail_2")
+    }
+    e.getMessage should include("RETENTION")
+    // a FRESH stream starts at the horizon: the drop entry's adds ARE
+    // its baseline — delivered, post-retention state only
+    val q3 = spark.readStream.format("graft-kv").load(dir)
+      .writeStream.format("memory").queryName("ret_tail_3")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val rows = spark.table("ret_tail_3")
+      .filter(col("qualifier") === "amt")
+      .groupBy("rowKey").count().select("count").distinct()
+      .as[Long].collect().toSet
+    rows shouldBe Set(1L) // only the retained newest version per key
+  }
+
   test("a CDC read crossing a retention compaction refuses loudly") {
     val dir = freshDir("cdc")
     twoVersions(100).write.format("graft-kv").option("regions", 2)

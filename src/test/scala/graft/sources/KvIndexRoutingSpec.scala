@@ -227,6 +227,36 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
     oneSided.count() shouldBe 20L // all of [200, 220), odd keys included
   }
 
+  test("the splice preserves output ORDER and arity (value first, duplicated rowKey)") {
+    val path = decimalTable
+    // value column FIRST, rowKey duplicated under an alias — the routed
+    // plan must reproduce exactly this output list, or positional
+    // consumers see swapped/missing columns depending on the cost call
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier") === "v")
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value"))
+      .select(col("value"), col("rowKey"), col("rowKey").as("rk2"))
+      .createOrReplaceTempView("rt_swapped")
+    val sql =
+      """SELECT * FROM rt_swapped
+        |WHERE CAST(value AS BIGINT) >= 1000 AND CAST(value AS BIGINT) < 1100""".stripMargin
+    val df = spark.sql(sql)
+    df.columns.toSeq shouldBe Seq("value", "rowKey", "rk2")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    got.foreach { case (_, k, k2) => k shouldBe k2 }
+    spark.conf.set(KvIndexRouting.EnabledKey, "false")
+    try {
+      val plain = spark.sql(sql)
+      assert(!routed(planOf(plain)))
+      plain.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+        .toSeq shouldBe got.toSeq
+    } finally spark.conf.unset(KvIndexRouting.EnabledKey)
+  }
+
   test("extensions-built session routes through the injected pre-CBO rule") {
     val path = decimalTable
     val prev = SparkSession.getDefaultSession
