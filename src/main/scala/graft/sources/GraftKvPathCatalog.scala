@@ -66,6 +66,29 @@ class GraftKvPathCatalog extends TableCatalog
     new KvCellTable(path)
   }
 
+  /** SQL time travel parity with [[GraftKvCatalog]]: `VERSION AS OF`
+    * takes a manifest log seq, `TIMESTAMP AS OF` resolves through the
+    * entries' publish instants — injected as the scan's read options,
+    * same replay and caveats as the path API.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = requirePathIdent(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val seq = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-kv path catalog: VERSION AS OF takes a manifest log seq " +
+          s"(a number), got '$version'")
+    }
+    new KvCellTable(path, Map("asOfSeq" -> seq.toString))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = requirePathIdent(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // Spark hands MICROSECONDS since epoch; the scan option takes millis.
+    new KvCellTable(path, Map("asOfTime" -> (timestamp / 1000L).toString))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq(GraftKvPathCatalog.Namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)

@@ -92,6 +92,19 @@ class KvDiffSpjSpec extends graft.SparkSpec {
     }
   }
 
+  test("path-catalog SQL time travel: VERSION AS OF equals the option read") {
+    val dir = freshDir("tt")
+    cells(100).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    cells(50, tsBase = 100000L).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(dir)
+    KvRead.cells(spark, dir).count() shouldBe 150L // registers the catalog
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_path.p.`$dir` VERSION AS OF 0").count()
+    viaSql shouldBe 100L
+    viaSql shouldBe KvRead.cells(spark, dir, Map("asOfSeq" -> "0")).count()
+  }
+
   test("over-cap verification join moves only the CANDIDATE side (one exchange)") {
     val dir = freshDir("lookup")
     spark.range(3000).selectExpr(
