@@ -193,26 +193,20 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val p = tablePath(ident)
-    val seq = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft-kv catalog: VERSION AS OF takes a manifest log seq " +
-          s"(a number), got '$version' (named snapshots are read with the " +
-          "path API's snapshot option)")
-    }
     new KvCatalogTable(s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}",
       p.toString, KvTableProps.read(fs, p),
-      readOptions = Map("asOfSeq" -> seq.toString))
+      readOptions = KvTimeTravel.versionOptions(version))
   }
 
-  /** `TIMESTAMP AS OF` — Spark hands MICROSECONDS since epoch; the scan's
-    * `asOfTime` resolves the last version published at or before it.
+  /** `TIMESTAMP AS OF` — the scan's `asOfTime` resolves the last version
+    * published at or before it ([[KvTimeTravel]] holds the unit contract).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val p = tablePath(ident)
     new KvCatalogTable(s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}",
       p.toString, KvTableProps.read(fs, p),
-      readOptions = Map("asOfTime" -> (timestamp / 1000L).toString))
+      readOptions = KvTimeTravel.timestampOptions(timestamp))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

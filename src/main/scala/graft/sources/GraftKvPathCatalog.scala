@@ -68,25 +68,20 @@ class GraftKvPathCatalog extends TableCatalog
 
   /** SQL time travel parity with [[GraftKvCatalog]]: `VERSION AS OF`
     * takes a manifest log seq, `TIMESTAMP AS OF` resolves through the
-    * entries' publish instants — injected as the scan's read options,
-    * same replay and caveats as the path API.
+    * entries' publish instants — injected as the scan's read options
+    * ([[KvTimeTravel]], shared with the warehouse catalog so the unit
+    * and validation contracts cannot diverge).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = requirePathIdent(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val seq = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft-kv path catalog: VERSION AS OF takes a manifest log seq " +
-          s"(a number), got '$version'")
-    }
-    new KvCellTable(path, Map("asOfSeq" -> seq.toString))
+    new KvCellTable(path, KvTimeTravel.versionOptions(version))
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val path = requirePathIdent(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    // Spark hands MICROSECONDS since epoch; the scan option takes millis.
-    new KvCellTable(path, Map("asOfTime" -> (timestamp / 1000L).toString))
+    new KvCellTable(path, KvTimeTravel.timestampOptions(timestamp))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -122,6 +117,30 @@ class GraftKvPathCatalog extends TableCatalog
 object GraftKvPathCatalog {
   val CatalogName = "graft_path"
   val Namespace = "p"
+}
+
+/** The one place SQL time-travel arguments become scan options — both
+  * catalogs resolve through it, so the seq validation and the
+  * micros→millis unit contract stay mechanically identical.
+  */
+private[sources] object KvTimeTravel {
+
+  /** `VERSION AS OF <v>`: the manifest log seq, as the `asOfSeq` option. */
+  def versionOptions(version: String): Map[String, String] = {
+    val seq = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-kv catalog: VERSION AS OF takes a manifest log seq " +
+          s"(a number), got '$version' (named snapshots are read with the " +
+          "path API's snapshot option)")
+    }
+    Map("asOfSeq" -> seq.toString)
+  }
+
+  /** `TIMESTAMP AS OF`: Spark hands MICROSECONDS since epoch; the scan's
+    * `asOfTime` option takes millis.
+    */
+  def timestampOptions(micros: Long): Map[String, String] =
+    Map("asOfTime" -> (micros / 1000L).toString)
 }
 
 /** Catalog-resolved kv reads for the engine's own operators. */

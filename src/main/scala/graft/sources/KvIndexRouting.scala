@@ -360,14 +360,19 @@ case class KvIndexRouting(session: SparkSession)
             .mkString(", ")} on ${s.path} through index '${m.name}'")
         val lp = KvIndex.lookupComposite(session, s.path, m.name, perComp)
           .queryExecution.optimizedPlan
-        // lookupComposite output: rowKey, value (leading component), one
-        // column per non-leading component (named by qualifier), then
-        // includes — map each pivot column to its component column
+        // lookupComposite output is POSITIONAL: rowKey, value (leading
+        // component), the non-leading components in index order, then
+        // includes — resolve by position, never by name (a component
+        // qualifier literally named 'rowKey' or 'value' would otherwise
+        // bind the wrong column)
         splice(lp, q =>
           if (q == m.qualifier) lp.output(1)
-          else lp.output.find(_.name == q).getOrElse(
-            throw new IllegalStateException(
-              s"graft-kv index routing: lookupComposite output lacks '$q'")))
+          else {
+            val i = m.rest.indexWhere(_._1 == q)
+            require(i >= 0, s"graft-kv index routing: '$q' is not a " +
+              s"component of index '${m.name}'")
+            lp.output(2 + i)
+          })
       }
     }
   }

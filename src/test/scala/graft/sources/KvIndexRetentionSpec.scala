@@ -203,6 +203,7 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
     def run(name: String): Unit = {
       val q = spark.readStream.format("graft-kv").load(dir)
         .writeStream.format("parquet").option("path", out)
+        .queryName(name)
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

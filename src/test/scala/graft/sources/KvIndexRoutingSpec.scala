@@ -244,6 +244,9 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
         |WHERE CAST(value AS BIGINT) >= 1000 AND CAST(value AS BIGINT) < 1100""".stripMargin
     val df = spark.sql(sql)
     df.columns.toSeq shouldBe Seq("value", "rowKey", "rk2")
+    // the enabled path must actually ROUTE — otherwise this test would
+    // compare the unrouted plan against itself and pass vacuously
+    assert(routed(planOf(df)), "the swapped-output pivot did not route")
     val got = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
     got.foreach { case (_, k, k2) => k shouldBe k2 }
