@@ -866,9 +866,9 @@ object KvIndex {
   private def requireValidBoundsAt(pad: Int, lo: String, hi: String): Unit = {
     // NUL is the KEY SEPARATOR: values are refused at build time
     // (checkedComponent), and BOUNDS must be too — a NUL-carrying bound
-    // compares differently against the raw value ("b" < "b z") than
-    // against the NUL-joined encoded key ("b <suffix>" vs
-    // "b z" decides on the suffix), so the index-only fast path
+    // compares differently against the raw value ("b" < "b<NUL>z") than
+    // against the NUL-joined encoded key ("b<NUL><suffix>" vs
+    // "b<NUL>z" decides on the suffix), so the index-only fast path
     // would silently disagree with the verified path on range edges.
     Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
       require(!v.contains(Sep),
