@@ -57,8 +57,40 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("s")).collect(): Unit
       (System.nanoTime() - t0) / 1e9
     }
+    // IO CANARY (r17 — makes IO-window flaps adjudicable in-band): the CPU
+    // canary is blind to shared-disk contention, which is exactly what
+    // moved kv_json_extract 0.41↔5.45 s across same-code r16 runs. Each
+    // sample WRITES ~64 MB of incompressible parquet to a FRESH temp path,
+    // reads it back, and deletes it — the write goes to never-cached pages
+    // and the commit/rename metadata ops hit the same FS journal the
+    // export_*/maintenance queries flap on, so a loaded IO window shows up
+    // here even when the CPU canary reads quiet. Readers normalize IO-heavy
+    // movers by canary_io (protocol in BASELINE.md) the same way CPU-bound
+    // queries normalize by the CPU canary.
+    val ioDir = java.nio.file.Files.createTempDirectory("graft_bench_io")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    var ioTick = 0
+    def canaryIo(): Double = {
+      ioTick += 1
+      val path = s"$ioDir/t$ioTick"
+      val t0 = System.nanoTime()
+      // xxhash64 values are incompressible: 4M rows × 2 high-entropy int64
+      // columns ≈ 64 MB on disk regardless of parquet encoding/compression.
+      spark.range(0L, 4000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) AS a", "xxhash64(id, 1) AS b")
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).selectExpr("bit_xor(a)").collect(): Unit
+      val sec = (System.nanoTime() - t0) / 1e9
+      rmTree(new java.io.File(path))
+      sec
+    }
     canary(): Unit // untimed warm pass (codegen + exchange setup)
+    canaryIo(): Unit
     val canarySamples = scala.collection.mutable.ArrayBuffer(canary())
+    val canaryIoSamples = scala.collection.mutable.ArrayBuffer(canaryIo())
     def medianOf(xs: Seq[Double]): Double = {
       // true median: average the two middles for even counts
       // (upper-middle alone would bias a 2-sample set toward the max)
@@ -79,23 +111,27 @@ object Bench {
               -1.0
           }
         }
-        if ((i + 1) % 15 == 0) canarySamples += canary()
+        if ((i + 1) % 15 == 0) { canarySamples += canary(); canaryIoSamples += canaryIo() }
         val med = if (times.contains(-1.0)) -1.0 else medianOf(times)
         name -> med
     }.toMap
     canarySamples += canary()
+    canaryIoSamples += canaryIo()
+    rmTree(ioDir.toFile)
     val canaryMed = medianOf(canarySamples.toSeq)
+    val canaryIoMed = medianOf(canaryIoSamples.toSeq)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Locale-pinned: the f"" interpolator uses the JVM default locale, and
     // a comma-decimal locale (de_DE) would corrupt the JSON line.
-    val canaryJson = canarySamples
+    def samplesJson(med: Double, xs: Seq[Double]): String = xs
       .map(v => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
-      .mkString(
-      s"""{"median":$canaryMed,"samples":[""", ",", "]}")
+      .mkString(s"""{"median":$med,"samples":[""", ",", "]}")
+    val canaryJson = samplesJson(canaryMed, canarySamples.toSeq)
+    val canaryIoJson = samplesJson(canaryIoMed, canaryIoSamples.toSeq)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir","reps":$reps,"stat":"median"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canaryJson,"canary_io":$canaryIoJson,"sf":"$sfDir","reps":$reps,"stat":"median"}"""
     println(line)
     // Also persist the full per-query record: the driver captures only a
     // bounded stdout tail, which truncated r6's 103-query line. The file is

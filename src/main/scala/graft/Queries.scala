@@ -3758,9 +3758,16 @@ object Queries {
 
   /** BPE training as a query: the merges table [[TextAnalysis.trainBpe]]
     * derives from the corpus (one word-count shuffle, bounded histogram,
-    * driver merge loop — the sentencepiece shape). Deterministic; no SQL
-    * oracle (the merge loop is an iterated global argmax, which recursive
-    * SQL cannot aggregate over), so the driver records the rows-only check.
+    * driver merge loop — the sentencepiece shape). The merge loop is an
+    * iterated global argmax that recursive SQL cannot aggregate over, so
+    * the oracle is the LITERAL expected table (the `kv_history` pattern):
+    * training is fully deterministic over the sf0.01 fixture corpus —
+    * ties broken lexicographically, one shuffle then a driver loop — so
+    * the expected 48 merges are a fixed VALUES list. A wrong rank order,
+    * a flipped tie-break, or a count drift all hash-mismatch. (The
+    * literal pins the DRIVER'S GATE SCALE, sf0.01; at other SFs the
+    * corpus differs and so do the merges — same scope as every
+    * fixture-derived literal oracle here.)
     */
   def txtBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -3768,6 +3775,31 @@ object Queries {
       .merges.zipWithIndex
       .map { case ((a, b), i) => (i + 1L, a, b) }
       .toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /** Expected merges at sf0.01, rank order; regenerate with
+    * `runMain graft.Verify /root/testdata/sf0.01 /tmp/v txt_bpe_train`
+    * after any fixture or trainer change.
+    */
+  private val txtBpeTrainSql: String = {
+    val rows = Seq(
+      ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+      ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+      ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+      ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+      ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+      ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+      ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+      ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+      ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+      ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+      ("e", "ctor"), ("or", "der"), ("v", "ector"))
+    val values = rows.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs
+       |FROM (VALUES
+       |  $values) AS t(merge_rank, lhs, rhs)""".stripMargin
   }
 
   /** The packing twin quantifying PROXY-COUNT DRIFT: documents packed into
@@ -5517,6 +5549,7 @@ object Queries {
     "pipe_pack_windows" -> pipePackWindowsSql,
     "pipe_pack_firstfit" -> pipePackFirstfitSql,
     "txt_bpe_tokens" -> txtBpeTokensSql,
+    "txt_bpe_train" -> txtBpeTrainSql,
     "pipe_pack_bpe" -> pipePackBpeSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_paragraph" -> dedupParagraphSql,
