@@ -206,8 +206,9 @@ object Queries {
     * into range + a whole-row delete slice) and one exact refresh, so
     * the timed query hits the fresh fast path.
     */
-  def kvIndexCovered(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = artifacts.computeIfAbsent(s"covered_idx|$sfDir", _ => {
+  private def ensureCoveredIndexedCells(spark: SparkSession,
+      sfDir: String): String =
+    artifacts.computeIfAbsent(s"covered_idx|$sfDir", _ => {
       val p = artifactPath("covered_idx", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, p)
       KvTable.eventsAsCells(spark, sfDir)
@@ -229,10 +230,59 @@ object Queries {
         s"kv_index_covered staging expected an exact refresh, got $r")
       p
     })
-    graft.sources.KvIndex.lookupCovered(spark, path, "by_click",
-      "9000", "12000")
+
+  def kvIndexCovered(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.KvIndex.lookupCovered(spark,
+      ensureCoveredIndexedCells(spark, sfDir), "by_click", "9000", "12000")
       .withColumnRenamed("view", "view_val")
+
+  /** r17: INDEX-SERVED TOP-N ([[graft.sources.KvIndex.topNCovered]] via
+    * [[graft.sources.KvIndexRouting]] — Phoenix's ORDER BY elimination):
+    * plain SQL `ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT n`
+    * over the LWW-pivoted view, rewritten to a pushed cell-level TopN on
+    * the FRESH COVERED index — O(k·files) index cells, ZERO base
+    * data-file opens (KvIndexTopNSpec pins both the counting-FS claim
+    * and routed≡unrouted row equality). The rowKey tie-break matches the
+    * encoded index-key order, so the answer is deterministic and the
+    * retained Sort on top re-sorts exactly k rows.
+    */
+  def kvIndexTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureCoveredIndexedCells(spark, sfDir)
+    graft.sources.KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier") === "click")
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value"))
+      .createOrReplaceTempView("kv_index_topn_view")
+    spark.sql(
+      """SELECT rowKey, value FROM kv_index_topn_view
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
+        |LIMIT 25""".stripMargin)
   }
+
+  private val kvIndexTopnSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(10000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(50) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lww AS (SELECT rowKey, value,
+       |          row_number() OVER (PARTITION BY rowKey
+       |            ORDER BY ts DESC, value ASC) AS rn
+       |        FROM allc),
+       |cur AS (SELECT rowKey, value FROM lww
+       |        WHERE rn = 1
+       |          AND rowKey NOT BETWEEN '00000050' AND '00000099')
+       |SELECT rowKey, value FROM cur
+       |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
+       |LIMIT 25""".stripMargin
 
   private val kvIndexCoveredSql: String =
     s"""WITH base AS (
@@ -5333,6 +5383,7 @@ object Queries {
     "kv_index_auto_composite" -> (kvIndexAutoComposite _),
     "kv_index_sql_composite" -> (kvIndexSqlComposite _),
     "kv_index_covered" -> (kvIndexCovered _),
+    "kv_index_topn" -> (kvIndexTopn _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -5499,6 +5550,7 @@ object Queries {
     "kv_index_auto_composite" -> kvIndexCompositeSql,
     "kv_index_sql_composite" -> kvIndexCompositeSql,
     "kv_index_covered" -> kvIndexCoveredSql,
+    "kv_index_topn" -> kvIndexTopnSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

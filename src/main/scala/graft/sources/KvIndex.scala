@@ -73,6 +73,12 @@ object KvIndex {
     */
   val InPushdownCap = 5000
 
+  /** Bound on the cell prefix an index-only top-n fetches
+    * ([[topNCovered]]): past it the per-task DESC ring buffers stop
+    * being inspection-sized and the pivot sort is the honest plan.
+    */
+  val MaxTopNFetch: Long = 1L << 20
+
   /** `covered = true` declares a Phoenix-style COVERED index: maintained
     * EXACTLY (refresh tombstones superseded entries instead of leaving
     * stale debris), carrying the indexed value in a `v` cell and each
@@ -247,7 +253,10 @@ object KvIndex {
         raise_error(concat(lit("graft-kv index: value '"), v,
           lit("' is not a non-negative decimal string — a decimal-mode " +
             "(pad > 0) index requires all-digit values; use a string " +
-            "index (pad = 0) for this column"))))
+            "index (pad = 0) for this column. If this error arose from " +
+            "an automatically routed SQL query (where an unrouted CAST " +
+            "would have nulled the row), bypass routing for the session " +
+            s"with SET ${KvIndexRouting.EnabledKey}=false"))))
       .otherwise(v)
 
   /** Base cells → index cells. NUL-in-value and (decimal mode)
@@ -763,14 +772,35 @@ object KvIndex {
     }
   }
 
+  /** Driver-side memo for [[rangeIsSelective]]'s manifest replays, keyed
+    * by (directory, its latest committed seq): repeated PLANNING of a
+    * routed query — every bench rep re-plans — was paying two full
+    * manifest replays per matching Filter. The key's latestSeq read is
+    * one hint file + one existence probe, so a hit costs O(1) driver
+    * I/O; a new commit bumps the seq and misses into a fresh replay
+    * (KvIndexRoutingSpec pins the invalidation). Bounded by wholesale
+    * clear — stale (dir, seq) keys are garbage after every commit, and
+    * correctness never depends on a hit.
+    */
+  private val liveStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(String, Option[KvLog.FileStat])]]()
+
+  private def cachedLiveStats(fs: FileSystem,
+      dir: Path): Seq[(String, Option[KvLog.FileStat])] = {
+    val key = (dir.toString, KvLog.latestSeq(fs, dir))
+    if (liveStatsCache.size > 512) liveStatsCache.clear()
+    liveStatsCache.computeIfAbsent(key,
+      _ => KvLog.liveFilesWithStats(fs, dir))
+  }
+
   private[sources] def rangeIsSelective(spark: SparkSession, fs: FileSystem,
       table: Path, m: Meta, lo: String, hi: String,
       maxSelectivity: Double): Boolean = {
     def padded(v: String) =
       if (m.pad > 0) ("0" * math.max(0, m.pad - v.length)) + v else v
     val (loPad, hiPad) = (padded(lo), padded(hi))
-    val idxStats = KvLog.liveFilesWithStats(fs, indexDir(table, m.name))
-    val baseStats = KvLog.liveFilesWithStats(fs, table)
+    val idxStats = cachedLiveStats(fs, indexDir(table, m.name))
+    val baseStats = cachedLiveStats(fs, table)
     val baseRows = baseStats.flatMap(_._2).map(_.rows).sum
     if (baseRows <= 0) return true // empty/stat-less base: index is free
     val candidates = idxStats.map { case (_, st) =>
@@ -1070,6 +1100,72 @@ object KvIndex {
         m.include.zipWithIndex.map { case (q, i) =>
           decode(col(s"_v${i + 1}"), "UTF-8").as(q)
         }: _*)
+  }
+
+  /** INDEX-SERVED TOP-N — the Phoenix ORDER-BY-elimination shape: the k
+    * extreme base rows by CURRENT value, read from the value-ordered
+    * index with ZERO base data-file opens. Requires a FRESH COVERED
+    * index (covered seq == base latest): exact maintenance means the
+    * index holds exactly one logical entry per current base row, so its
+    * key order IS the (value, rowKey) order and its head/tail IS the
+    * answer — no verification read. A stale or plain (append-only)
+    * index CANNOT serve top-n index-only: stale entries carry
+    * superseded high values that verification would have to re-rank,
+    * turning the read back into O(candidates) base gets — callers
+    * refresh first or run the pivot sort (refused loudly here so the
+    * failure is a missing refresh, not a silent slow plan).
+    *
+    * Scale shape: the fetch is a pushed cell-level TopN over the index
+    * scan (each region file contributes O(L) rows from its head — or
+    * tail row groups for DESC), L = (k+1)·(2+|include|) cells, so the
+    * read is O(k·files), never O(index). The boundary entry of the
+    * fetched prefix may be cell-truncated; it is dropped by the
+    * `_k AND _v present` filter and the over-fetch guarantees k
+    * complete entries remain whenever the index has them. Ties in
+    * `value` break by base rowKey (the encoded key's suffix) — in scan
+    * direction, so DESC ties take the largest keys first.
+    *
+    * Output: `(rowKey, value)`, ordered by the index key in scan
+    * direction. Decimal mode (pad > 0) orders numerically (padded keys);
+    * string mode orders lexicographically — the same collation contract
+    * as [[lookup]] bounds.
+    */
+  def topNCovered(spark: SparkSession, path: String, name: String, k: Int,
+      desc: Boolean = true): DataFrame = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv index: no index '$name' on $path"))
+    require(m.covered,
+      s"graft-kv index: '$name' is not exactly maintained (covered) — a " +
+        "plain index holds superseded entries whose stale values would " +
+        "out-rank current ones; top-n needs a covered index")
+    require(!m.composite,
+      s"graft-kv index: '$name' is a composite index — its entries exist " +
+        "only for rows carrying ALL key components, the wrong row set for " +
+        "a single-column top-n")
+    require(k >= 1, s"graft-kv index: top-n k must be >= 1, got $k")
+    val perEntry = 2 + m.include.length
+    val fetch = (k.toLong + 1) * perEntry
+    require(fetch <= MaxTopNFetch,
+      s"graft-kv index: top-n k=$k needs a $fetch-cell index prefix — " +
+        s"beyond the $MaxTopNFetch inspection bound; run the pivot sort " +
+        "for result sets this large")
+    val latest = KvLog.latestSeq(fs, table)
+    require(latest <= m.asOfSeq,
+      s"graft-kv index: '$name' covers seq ${m.asOfSeq} but the base is " +
+        s"at $latest — refresh the index before an index-only top-n " +
+        "(a stale covered index cannot re-rank superseded values)")
+    val key = if (desc) col("rowKey").desc else col("rowKey").asc
+    def lww(q: String) = graft.functions.MaxByTsAgg.maxByTs(
+      col("value"), when(col("qualifier") === q, col("ts")))
+    spark.read.format("graft-kv").load(indexDir(table, m.name).toString)
+      .orderBy(key).limit(fetch.toInt) // pushed TopN: O(k) rows per file
+      .groupBy(col("rowKey")).agg(lww("k").as("_k"), lww("v").as("_v"))
+      .filter(col("_k").isNotNull && col("_v").isNotNull)
+      .orderBy(key).limit(k)
+      .select(decode(col("_k"), "UTF-8").as("rowKey"),
+        decode(col("_v"), "UTF-8").as("value"))
   }
 
   /** COMPOSITE lookup: one `[lo, hi)` bound per key component (string

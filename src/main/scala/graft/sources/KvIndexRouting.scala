@@ -126,6 +126,27 @@ case class KvIndexRouting(session: SparkSession)
             }
           case None => f
         }
+      // ORDER BY <value> [DESC] LIMIT k over the same pivot shape — the
+      // Phoenix ORDER-BY-elimination: served index-only from a FRESH
+      // COVERED index ([[KvIndex.topNCovered]]). The original Sort+Limit
+      // stay ON TOP of the spliced k-row set, so with a bare value order
+      // ANY valid top-k set is exact, and with the (value, rowKey)
+      // tie-break the served order matches outright.
+      case lim @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, srt @ Sort(orders, true, child, _))) =>
+        pivotShape(child) match {
+          case Some(shape) =>
+            try routeTopN(k, orders, shape)
+              .map(sp => lim.copy(child = ll.copy(child = srt.copy(child = sp))))
+              .getOrElse(lim)
+            catch {
+              case NonFatal(e) =>
+                logWarning(s"graft-kv index routing: falling back to the " +
+                  s"unrouted top-n of ${shape.path} (${e.getMessage})")
+                lim
+            }
+          case None => lim
+        }
     }
   }
 
@@ -204,6 +225,28 @@ case class KvIndexRouting(session: SparkSession)
       case _ => None
     }
     inner.flatMap {
+      // NEAR-MISS, logged not routed: the same pivot spelled with
+      // Spark's BUILT-IN max_by. Its tie-break (ties in ts resolve
+      // arbitrarily) differs from max_by_ts's byte-max contract, so a
+      // lookup cannot be proven row-equal — but the refusal used to be
+      // silent, and a full scan of a table whose qualifier has a
+      // perfectly good index is a support ticket. One NOTE names the fix.
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
+            v: AttributeReference, ord), _, false, None, _)
+          if attrIn(v, "value", relOut) && (ord match {
+            case t: AttributeReference => attrIn(t, "ts", relOut)
+            case CaseWhen(Seq((EqualTo(_: AttributeReference, _), _)), None) =>
+              true
+            case _ => false
+          }) =>
+        logInfo("graft-kv index routing: pivot spelled with built-in " +
+          "max_by(value, ts) never routes — its timestamp-tie behavior " +
+          "is unspecified where graft's max_by_ts breaks ties by value " +
+          "bytes, so no index lookup can be proven row-equal. Spell the " +
+          "pivot with graft.functions.MaxByTsAgg.maxByTs (SQL: " +
+          "max_by_ts) to make it index-routable.")
+        None
       case AggregateExpression(
           graft.functions.MaxByTsAgg(v: AttributeReference, ord, _, _),
           _, false, None, _) if attrIn(v, "value", relOut) =>
@@ -316,65 +359,140 @@ case class KvIndexRouting(session: SparkSession)
     val conjuncts = splitConjunctivePredicates(cond)
     val indexes = KvIndex.list(fs, table).filter(_.family == s.family)
 
-    // Rebuild EXACTLY the original output list over the lookup plan —
-    // same order, same arity, same exprIds — so the routed and unrouted
-    // plans are indistinguishable to everything above the Filter.
-    def splice(lp: LogicalPlan, compCol: String => Attribute): LogicalPlan =
-      Project(s.outs.map {
-        case (a, None) => Alias(lp.output.head, a.name)(exprId = a.exprId)
-        case (a, Some(q)) => Alias(compCol(q), a.name)(exprId = a.exprId)
-      }, lp)
-
     if (s.cols.length == 1) {
       val (qual, valOut) = s.cols.head
-      for {
-        // composite indexes are inner joins of their components — wrong
-        // row set for a single-qualifier pivot; never route through one
-        m <- indexes.find(i => i.qualifier == qual && !i.composite)
-        (lo, hi) <- bounds(conjuncts, valOut, m.pad)
-        if KvIndex.rangeIsSelective(session, fs, table, m, lo, hi, maxSel)
-      } yield {
-        logInfo(s"graft-kv index routing: serving value range [$lo, $hi) " +
-          s"on ${s.path} (${s.family}, $qual) through index '${m.name}'")
-        val lp = KvIndex.lookup(session, s.path, m.name, lo, hi)
-          .queryExecution.optimizedPlan
-        splice(lp, _ => lp.output(1))
-      }
+      // EVERY matching index gets a shot (cost-only choice, never a
+      // correctness one): indexes on the same qualifier can differ in
+      // pad mode — one whose mode can't extract bounds from these
+      // conjuncts, or whose range prices unselective, must not veto a
+      // sibling that can serve. First serving candidate wins, in list
+      // order (name order — deterministic).
+      // Composite indexes are inner joins of their components — wrong
+      // row set for a single-qualifier pivot; never route through one.
+      indexes.view
+        .filter(i => i.qualifier == qual && !i.composite)
+        .flatMap { m =>
+          bounds(conjuncts, valOut, m.pad)
+            .filter { case (lo, hi) =>
+              KvIndex.rangeIsSelective(session, fs, table, m, lo, hi, maxSel) }
+            .map((m, _))
+        }
+        .headOption.map { case (m, (lo, hi)) =>
+          logInfo(s"graft-kv index routing: serving value range [$lo, $hi) " +
+            s"on ${s.path} (${s.family}, $qual) through index '${m.name}'")
+          val lp = KvIndex.lookup(session, s.path, m.name, lo, hi)
+            .queryExecution.optimizedPlan
+          splice(s, lp, _ => lp.output(1))
+        }
     } else {
       val byQual = s.cols.toMap
-      for {
-        m <- indexes.find(i => i.composite &&
-          i.keyQuals.length == s.cols.length &&
+      // Same first-serving-candidate iteration over the composite
+      // indexes whose key components are exactly the predicated columns:
+      // an extractable range on EVERY key component, in key order —
+      // each range forces its column non-null, so the predicate's rows
+      // all carry every component (the index's inner-join row set).
+      indexes.view
+        .filter(i => i.composite && i.keyQuals.length == s.cols.length &&
           i.keyQuals.toSet == s.cols.map(_._1).toSet)
-        // an extractable range on EVERY key component, in key order —
-        // each range forces its column non-null, so the predicate's rows
-        // all carry every component (the index's inner-join row set)
-        perComp <- sequence(m.keyQuals.zip(m.pads).map { case (q, p) =>
-          bounds(conjuncts, byQual(q), p)
-        })
-        if KvIndex.rangeIsSelective(session, fs, table, m,
-          perComp.head._1, perComp.head._2, maxSel)
-      } yield {
-        logInfo(s"graft-kv index routing: serving composite ranges " +
-          s"${m.keyQuals.zip(perComp).map { case (q, (l, h)) => s"$q:[$l,$h)" }
-            .mkString(", ")} on ${s.path} through index '${m.name}'")
-        val lp = KvIndex.lookupComposite(session, s.path, m.name, perComp)
-          .queryExecution.optimizedPlan
-        // lookupComposite output is POSITIONAL: rowKey, value (leading
-        // component), the non-leading components in index order, then
-        // includes — resolve by position, never by name (a component
-        // qualifier literally named 'rowKey' or 'value' would otherwise
-        // bind the wrong column)
-        splice(lp, q =>
-          if (q == m.qualifier) lp.output(1)
-          else {
-            val i = m.rest.indexWhere(_._1 == q)
-            require(i >= 0, s"graft-kv index routing: '$q' is not a " +
-              s"component of index '${m.name}'")
-            lp.output(2 + i)
-          })
-      }
+        .flatMap { m =>
+          sequence(m.keyQuals.zip(m.pads).map { case (q, p) =>
+            bounds(conjuncts, byQual(q), p)
+          }).filter(pc => KvIndex.rangeIsSelective(session, fs, table, m,
+            pc.head._1, pc.head._2, maxSel))
+            .map((m, _))
+        }
+        .headOption.map { case (m, perComp) =>
+          logInfo(s"graft-kv index routing: serving composite ranges " +
+            s"${m.keyQuals.zip(perComp).map { case (q, (l, h)) => s"$q:[$l,$h)" }
+              .mkString(", ")} on ${s.path} through index '${m.name}'")
+          val lp = KvIndex.lookupComposite(session, s.path, m.name, perComp)
+            .queryExecution.optimizedPlan
+          // lookupComposite output is POSITIONAL: rowKey, value (leading
+          // component), the non-leading components in index order, then
+          // includes — resolve by position, never by name (a component
+          // qualifier literally named 'rowKey' or 'value' would otherwise
+          // bind the wrong column)
+          splice(s, lp, q =>
+            if (q == m.qualifier) lp.output(1)
+            else {
+              val i = m.rest.indexWhere(_._1 == q)
+              require(i >= 0, s"graft-kv index routing: '$q' is not a " +
+                s"component of index '${m.name}'")
+              lp.output(2 + i)
+            })
+        }
     }
+  }
+
+  /** Rebuild EXACTLY the original output list over the lookup plan —
+    * same order, same arity, same exprIds — so the routed and unrouted
+    * plans are indistinguishable to everything above the matched node.
+    */
+  private def splice(s: PivotShape, lp: LogicalPlan,
+      compCol: String => Attribute): LogicalPlan =
+    Project(s.outs.map {
+      case (a, None) => Alias(lp.output.head, a.name)(exprId = a.exprId)
+      case (a, Some(q)) => Alias(compCol(q), a.name)(exprId = a.exprId)
+    }, lp)
+
+  /** The top-n rewrite decision: a single-qualifier pivot ordered by its
+    * value column — in the INDEX'S OWN COLLATION (bare string attr for a
+    * string-mode index, `CAST(value AS integral)` for decimal mode) with
+    * the direction's default null ordering (the pivot value is provably
+    * non-null, but default-only keeps the proof local) — optionally
+    * tie-broken by rowKey in the SAME direction (the order the encoded
+    * index key implies). Routes only through a FRESH covered index
+    * ([[KvIndex.topNCovered]]'s own requirement): staleness is probed at
+    * PLAN time like every routing decision here (class doc pinning
+    * semantics). No selectivity call — a k-row index head is always at
+    * most O(k·files) cells against the pivot's O(table).
+    */
+  private def routeTopN(k: Int, orders: Seq[SortOrder],
+      s: PivotShape): Option[LogicalPlan] = {
+    if (k < 1 || s.cols.length != 1) return None
+    val (qual, valOut) = s.cols.head
+    val dirs = orders.map(_.direction).distinct
+    if (orders.isEmpty || dirs.length != 1) return None
+    val desc = dirs.head == Descending
+    val defaultNulls = orders.forall(o => o.nullOrdering ==
+      (if (o.direction == Ascending) NullsFirst else NullsLast))
+    if (!defaultNulls) return None
+    val tieOk = orders.length == 1 || (orders.length == 2 &&
+      (orders(1).child match {
+        case a: AttributeReference =>
+          s.outs.exists { case (o, q) => q.isEmpty && o.exprId == a.exprId }
+        case _ => false
+      }))
+    if (!tieOk) return None
+    // The sort expression decides which index MODE may serve: numeric
+    // order equals padded-key order only for decimal mode, raw string
+    // order only for string mode.
+    def collationOk(pad: Int): Boolean = orders.head.child match {
+      case a: AttributeReference if a.exprId == valOut.exprId => pad == 0
+      case c: Cast if c.dataType == LongType || c.dataType == IntegerType ||
+          c.dataType == ShortType =>
+        c.child match {
+          case a: AttributeReference if a.exprId == valOut.exprId => pad > 0
+          case _ => false
+        }
+      case _ => false
+    }
+    val table = new Path(s.path)
+    val fs = table.getFileSystem(session.sessionState.newHadoopConf())
+    val latest = KvLog.latestSeq(fs, table)
+    KvIndex.list(fs, table).view
+      .filter(i => i.family == s.family && i.qualifier == qual &&
+        !i.composite && i.covered && collationOk(i.pad) &&
+        latest <= i.asOfSeq &&
+        (k.toLong + 1) * (2 + i.include.length) <= KvIndex.MaxTopNFetch)
+      .headOption.map { m =>
+        logInfo(s"graft-kv index routing: serving ORDER BY value " +
+          s"${if (desc) "DESC " else ""}LIMIT $k on ${s.path} " +
+          s"(${s.family}, $qual) index-only through '${m.name}'")
+        val lp = KvIndex.topNCovered(session, s.path, m.name, k, desc)
+          .queryExecution.optimizedPlan
+        splice(s, lp, _ => lp.output(1))
+      }
   }
 
   private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
@@ -456,6 +574,20 @@ case class KvIndexRouting(session: SparkSession)
 
 object KvIndexRouting {
 
+  /** Master switch (default on once the rule is installed). NOTE the
+    * freshness trade a routed query makes (class doc "Scale shape"): a
+    * positive routing decision runs the lookup's bounded candidate probe
+    * DURING OPTIMIZATION and pins that version into the plan — snapshot
+    * semantics identical to calling [[KvIndex.lookup]] directly, but
+    * DIFFERENT from the unrouted plan, which reads the table version
+    * current at EXECUTION time. Under concurrent commits the two can
+    * legitimately answer from adjacent versions, and planning latency
+    * becomes data-dependent (the probe's driver-side cost). `SET
+    * spark.graft.kv.index.routing.enabled=false` restores plain
+    * execution-time reads for the session; the decimal-mode typed
+    * contract ([[KvIndex]] class doc) is the other behavior difference
+    * the same switch escapes.
+    */
   val EnabledKey = "spark.graft.kv.index.routing.enabled"
   val MaxSelectivityKey = "spark.graft.kv.index.routing.maxSelectivity"
 

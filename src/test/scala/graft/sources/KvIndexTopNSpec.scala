@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Index-served top-n ([[KvIndex.topNCovered]] + the
+  * [[KvIndexRouting]] ORDER-BY-elimination arm): `ORDER BY value
+  * [DESC] LIMIT k` over the LWW pivot must serve INDEX-ONLY from a
+  * fresh covered index — zero base data-file opens, the cell-level TopN
+  * pushed into the index scan — and must refuse (loudly for the
+  * explicit API, silently falling back for SQL routing) everywhere the
+  * index-only answer cannot be proven: plain indexes (stale high
+  * values), stale covered indexes, collation mismatches, non-index tie
+  * orders. Also pins the [[KvIndex.rangeIsSelective]] memo's
+  * invalidation: a new base commit must re-price the routing decision.
+  */
+class KvIndexTopNSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private val base = s"${sys.props("java.io.tmpdir")}/graft_test/kv_topn"
+
+  /** Covered-index table on the counting FS: 500 keys, value = 3·id as a
+    * decimal string, then DML (updates + a delete) and one exact
+    * refresh, so "fresh covered" is earned through the maintenance
+    * lifecycle, not a pristine build.
+    */
+  private lazy val covTable: String = {
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    val local = s"$base/cov"
+    graft.sinks.Sinks.deleteRecursive(spark, local)
+    val dir = s"cfs:$local"
+    spark.range(500).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value",
+      "id AS ts")
+      .write.format("graft-kv").option("regions", 4).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_v", "f", "v", pad = 8,
+      include = Seq("tag"))
+    // DML: key 10 jumps to the top of the order, key 499 (old max 1497)
+    // drops to the bottom, key 498 is deleted outright.
+    Seq(("000010", "9000", 100000L), ("000499", "1", 100001L))
+      .toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'v' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    KvDelete.deleteRows(spark, dir, Seq("000498").toDF("rowKey"))
+    val r = KvIndex.refresh(spark, dir, "by_v")
+    assert(r.isInstanceOf[KvIndex.Refreshed], s"staging refresh: $r")
+    KvIndexRouting.install(spark)
+    dir
+  }
+
+  /** Ground truth: full-scan LWW pivot, numeric sort, k rows. */
+  private def oracleTop(dir: String, k: Int, desc: Boolean): Seq[(String, String)] = {
+    val piv = spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier") === "v")
+      .groupBy("rowKey")
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+        "UTF-8").as("value"))
+    val ord =
+      if (desc) Seq(col("value").cast("long").desc, col("rowKey").desc)
+      else Seq(col("value").cast("long").asc, col("rowKey").asc)
+    piv.orderBy(ord: _*).limit(k).as[(String, String)].collect().toSeq
+  }
+
+  private def pivotView(dir: String, name: String): Unit =
+    spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier") === "v")
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value"))
+      .createOrReplaceTempView(name)
+
+  private def planOf(df: DataFrame): String = {
+    df.collect(): Unit
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("topNCovered serves index-only: zero base data-file opens, pushed TopN, exact rows") {
+    import scala.jdk.CollectionConverters._
+    val dir = covTable
+    val wantDesc = oracleTop(dir, 7, desc = true)
+    CountingFileSystem.reset()
+    val res = KvIndex.topNCovered(spark, dir, "by_v", 7)
+    val got = res.as[(String, String)].collect().toSeq
+    val opened = CountingFileSystem.openedData.asScala.toSet
+    assert(opened.nonEmpty && opened.forall(_.contains("/_index/")),
+      s"top-n touched base data files: $opened")
+    got shouldBe wantDesc
+    got.head shouldBe (("000010", "9000")) // the DML'd max, not old 1497
+    // the cell-level TopN reached the index scan (O(k) rows per file)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("topN="), s"TopN not pushed into the index scan:\n$plan")
+    // ASC mirror: the deleted key must not resurface at the bottom
+    val gotAsc = KvIndex.topNCovered(spark, dir, "by_v", 5, desc = false)
+      .as[(String, String)].collect().toSeq
+    gotAsc shouldBe oracleTop(dir, 5, desc = false)
+    assert(!gotAsc.exists(_._1 == "000498"), "deleted key served")
+  }
+
+  test("topNCovered refuses plain, stale, and composite indexes loudly") {
+    val dir = s"${base}/refuse"
+    graft.sinks.Sinks.deleteRecursive(spark, dir)
+    spark.range(100).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id AS STRING), 'UTF-8') AS value", "id AS ts")
+      .write.format("graft-kv").option("regions", 2).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "plain", "f", "v", pad = 4)
+    (the[IllegalArgumentException] thrownBy
+      KvIndex.topNCovered(spark, dir, "plain", 5))
+      .getMessage should include("covered")
+    KvIndex.create(spark, dir, "cov", "f", "v", pad = 4, include = Nil,
+      covered = true)
+    // one more commit makes the covered index STALE
+    Seq(("000000", "77", 9999L)).toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'v' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    (the[IllegalArgumentException] thrownBy
+      KvIndex.topNCovered(spark, dir, "cov", 5))
+      .getMessage should include("refresh")
+    KvIndex.refresh(spark, dir, "cov")
+    KvIndex.topNCovered(spark, dir, "cov", 1)
+      .as[(String, String)].collect().head shouldBe (("000099", "99"))
+  }
+
+  test("SQL ORDER BY value LIMIT k routes index-only; tie-break and bare orders both serve") {
+    import scala.jdk.CollectionConverters._
+    val dir = covTable
+    pivotView(dir, "topn_v")
+    val want = oracleTop(dir, 9, desc = true)
+    // (value, rowKey) same-direction tie-break: exact order contract
+    val tied = spark.sql(
+      """SELECT rowKey, value FROM topn_v
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 9""".stripMargin)
+    CountingFileSystem.reset()
+    val gotTied = tied.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val planTied = tied.queryExecution.executedPlan.toString
+    assert(planTied.contains("/_index/"), s"tie-broken top-n did not route:\n$planTied")
+    assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")),
+      "routed top-n opened base data files")
+    gotTied shouldBe want
+    // bare value order: any valid top-k SET — compare set-wise vs unrouted
+    val bare = spark.sql(
+      "SELECT rowKey, value FROM topn_v ORDER BY CAST(value AS BIGINT) DESC LIMIT 9")
+    assert(planOf(bare).contains("/_index/"), "bare-order top-n did not route")
+    bare.collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      want.toSet // values are distinct here, so the set IS determined
+    // routed ≡ unrouted
+    spark.conf.set(KvIndexRouting.EnabledKey, "false")
+    try {
+      val plain = spark.sql(
+        """SELECT rowKey, value FROM topn_v
+          |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 9""".stripMargin)
+      assert(!planOf(plain).contains("/_index/"), "routing ran while disabled")
+      plain.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe gotTied
+    } finally spark.conf.unset(KvIndexRouting.EnabledKey)
+  }
+
+  test("top-n shapes that cannot be proven index-served keep the pivot plan") {
+    val dir = covTable
+    pivotView(dir, "topn_r")
+    def unrouted(sql: String): Unit = {
+      val df = spark.sql(sql)
+      val plan = planOf(df)
+      assert(!plan.contains("/_index/"), s"must not route:\n$sql\n$plan")
+    }
+    // string order over a DECIMAL-mode index: '999' sorts above '9000'
+    unrouted("SELECT rowKey, value FROM topn_r ORDER BY value DESC LIMIT 5")
+    // mixed tie directions: the index key implies SAME-direction ties
+    unrouted("""SELECT rowKey, value FROM topn_r
+                |ORDER BY CAST(value AS BIGINT) DESC, rowKey ASC LIMIT 5""".stripMargin)
+    // non-default null ordering: the proof is direction-default only
+    unrouted("""SELECT rowKey, value FROM topn_r
+                |ORDER BY CAST(value AS BIGINT) DESC NULLS FIRST LIMIT 5""".stripMargin)
+    // a non-rowKey second key answers a different tie question
+    unrouted("""SELECT rowKey, value FROM topn_r
+                |ORDER BY CAST(value AS BIGINT) DESC, value DESC LIMIT 5""".stripMargin)
+    // STALE covered index: one more base commit, no refresh — fall back
+    Seq(("000123", "8888", 200000L)).toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'v' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    pivotView(dir, "topn_r")
+    val stale = spark.sql(
+      """SELECT rowKey, value FROM topn_r
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 3""".stripMargin)
+    val stalePlan = planOf(stale)
+    assert(!stalePlan.contains("/_index/"), s"stale index served top-n:\n$stalePlan")
+    // and the fallback answer reflects the unabsorbed commit
+    stale.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      oracleTop(dir, 3, desc = true)
+    // refresh restores routing
+    KvIndex.refresh(spark, dir, "by_v")
+    pivotView(dir, "topn_r")
+    val again = spark.sql(
+      """SELECT rowKey, value FROM topn_r
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 3""".stripMargin)
+    assert(planOf(again).contains("/_index/"), "refreshed index did not route")
+    again.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      oracleTop(dir, 3, desc = true)
+  }
+
+  test("rangeIsSelective memo invalidates on a new base commit (decision re-prices)") {
+    val dir = s"$base/memo"
+    graft.sinks.Sinks.deleteRecursive(spark, dir)
+    // 100 rows; the probed range [0, 90) covers ~30% — unselective at
+    // the 0.2 default, so the first plan keeps the scan.
+    spark.range(100).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+      .write.format("graft-kv").option("regions", 2).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_v", "f", "v", pad = 6)
+    KvIndexRouting.install(spark)
+    def rangeDf(): DataFrame = {
+      spark.read.format("graft-kv").load(dir)
+        .filter(col("family") === "f" && col("qualifier") === "v")
+        .groupBy(col("rowKey"))
+        .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+          col("value"), col("ts")), "UTF-8").as("value"))
+        .createOrReplaceTempView("memo_v")
+      spark.sql(
+        """SELECT rowKey, value FROM memo_v
+          |WHERE CAST(value AS BIGINT) >= 0 AND CAST(value AS BIGINT) < 90""".stripMargin)
+    }
+    val before = rangeDf()
+    val planBefore = planOf(before)
+    assert(!planBefore.contains("In(rowKey"), s"30% range routed:\n$planBefore")
+    before.count() shouldBe 30L
+    // 400 new keys far OUT of range: base grows 5×, the same range is
+    // now 6% — a memoized stat replay that survived this commit would
+    // keep refusing. (The index is NOT refreshed: only the base's
+    // latestSeq moves, which is exactly the memo key under test.)
+    spark.range(1000, 1400).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(50000 + id AS STRING), 'UTF-8') AS value", "id AS ts")
+      .write.format("graft-kv").option("regions", 2).mode("append").save(dir)
+    val after = rangeDf()
+    val planAfter = planOf(after)
+    assert(planAfter.contains("In(rowKey"),
+      s"post-commit re-price did not route (stale memo?):\n$planAfter")
+    after.count() shouldBe 30L
+  }
+}
