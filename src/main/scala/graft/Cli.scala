@@ -154,8 +154,9 @@ object Cli {
       graft.sources.KvCompactor.compact(
           spark, s"${tableDir(table)}/cells", regions.toInt,
           codec = a.lift(2)) match {
-        case graft.sources.KvCompactor.Compacted(seq, merged, into) =>
-          println(s"compacted $table: $merged segments -> $into at log seq $seq")
+        case graft.sources.KvCompactor.Compacted(seq, merged, into, dropped) =>
+          println(s"compacted $table: $merged segments -> $into at log seq " +
+            s"$seq${if (dropped > 0) s" ($dropped cells dropped by retention)" else ""}")
         case graft.sources.KvCompactor.Parked(reason) =>
           println(s"compaction parked for $table: $reason")
         case graft.sources.KvCompactor.Aborted(reason) =>
@@ -276,8 +277,9 @@ object Cli {
       val r = graft.sources.KvMaintenance.maintain(
         spark, s"${tableDir(table)}/cells", policy)
       val c = r.compaction match {
-        case graft.sources.KvCompactor.Compacted(seq, merged, into) =>
-          s"compacted $merged segments -> $into at log seq $seq"
+        case graft.sources.KvCompactor.Compacted(seq, merged, into, dropped) =>
+          s"compacted $merged segments -> $into at log seq $seq" +
+            (if (dropped > 0) s" ($dropped cells dropped by retention)" else "")
         case graft.sources.KvCompactor.Parked(reason) => s"compaction parked: $reason"
         case graft.sources.KvCompactor.Aborted(reason) => s"compaction aborted: $reason"
       }

@@ -1162,8 +1162,8 @@ object Queries {
     * `kv_ttl_expire`/`kv_versions_retain`, which compute the same
     * semantics as READ-TIME operators over unmodified data.
     */
-  def kvTtlCompact(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = artifacts.computeIfAbsent(s"ttl_compact|$sfDir", _ => {
+  private def ensureTtlCompactCells(spark: SparkSession, sfDir: String): String =
+    artifacts.computeIfAbsent(s"ttl_compact|$sfDir", _ => {
       val p = artifactPath("ttl_compact", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, p)
       KvGenerator.cells(spark, VersionRecords, GenTasks, "run1")
@@ -1175,11 +1175,43 @@ object Queries {
           dropBelowTs = Some(TtlCompactCutoff), maxVersions = Some(2)))
       require(res.isInstanceOf[graft.sources.KvCompactor.Compacted],
         s"ttl_compact fixture compaction did not publish: $res")
+      require(res.asInstanceOf[graft.sources.KvCompactor.Compacted].dropped > 0,
+        s"ttl_compact fixture pass dropped no cells: $res")
       p
     })
+
+  def kvTtlCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureTtlCompactCells(spark, sfDir)
     spark.read.format("graft-kv").load(path).select(
       col("rowKey"), col("qualifier"),
       decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  /** CDC ACROSS A RETENTION PASS (r17 — the Delta CDF delete-row shape
+    * over the manifest log): the span `(0, latest]` of the ttl_compact
+    * staging crosses the TTL+versions compaction, and instead of
+    * refusing (the pre-r17 behavior) it ships the pass's DROP RECORDS —
+    * exact-version delete markers the compactor staged next to its
+    * merge outputs ([[graft.sources.KvLog.Entry.dropFiles]]). The query
+    * replays the incremental-consumer contract end to end: baseline
+    * state at the span start, plus the feed, with the markers applied
+    * ([[graft.sources.KvDelete.applyVersionMarkers]]), must equal the
+    * post-retention table EXACTLY — the same oracle as `kv_ttl_compact`.
+    * A feed that missed drops would keep dead cells (extra rows); one
+    * that over-dropped would lose live ones — both hash-mismatch.
+    * Scale shape: the feed is O(changes) (drop records + later adds,
+    * never the table), and the marker application is a broadcast anti
+    * join — the consumer never rescans the base.
+    */
+  def kvRetentionChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureTtlCompactCells(spark, sfDir)
+    val baseline = spark.read.format("graft-kv")
+      .option("asOfSeq", 0).load(path)
+    val feed = spark.read.format("graft-kv")
+      .option("sinceSeq", 0).load(path)
+    graft.sources.KvDelete.applyVersionMarkers(baseline.unionByName(feed))
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
   private val TtlCompactCutoff = VersionRecords * 10 / 2
@@ -5366,6 +5398,7 @@ object Queries {
     "kv_point_lookup" -> (kvPointLookup _),
     "kv_snapshot_restore" -> (kvSnapshotRestore _),
     "kv_ttl_compact" -> (kvTtlCompact _),
+    "kv_retention_changes" -> (kvRetentionChanges _),
     "kv_retention_decl" -> (kvRetentionDecl _),
     "kv_delete_mask" -> (kvDeleteMask _),
     "kv_delete_compact" -> (kvDeleteCompact _),
@@ -5533,6 +5566,9 @@ object Queries {
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_snapshot_restore" -> kvGenCellsSql,
     "kv_ttl_compact" -> kvTtlCompactSql,
+    // same expected state as kv_ttl_compact: the CDC reconstruction must
+    // land exactly on the post-retention table
+    "kv_retention_changes" -> kvTtlCompactSql,
     "kv_retention_decl" -> kvRetentionDeclSql,
     "kv_delete_mask" -> kvDeleteMaskSql,
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied

@@ -139,8 +139,14 @@ object KvCompactor {
   }
 
   sealed trait Result
-  /** Compaction published at log `seq`: `merged` segments → `into` files. */
-  case class Compacted(seq: Long, merged: Int, into: Int) extends Result
+  /** Compaction published at log `seq`: `merged` segments → `into` files.
+    * `dropped` counts the cells a retention [[CellPolicy]] physically
+    * removed during the rewrite (0 for plain merges AND for policy
+    * passes that expired nothing — only a positive count marks the
+    * entry content-dropping and publishes drop-record files).
+    */
+  case class Compacted(seq: Long, merged: Int, into: Int,
+      dropped: Long = 0L) extends Result
   /** Compaction did not run; `reason` says why (not an error — parking on
     * tail progress or an already-compact table is the normal idle state).
     */
@@ -287,18 +293,32 @@ object KvCompactor {
     // set is deterministic under version-stack ties. Both apply to PUTS
     // only — retained markers are appended after and exempt (dropping an
     // old marker by TTL would unmask carried cells it still covers).
-    cellPolicy.dropBelowTs.foreach { t =>
-      mergeDf = mergeDf.filter(
-        org.apache.spark.sql.functions.col("ts") >= t)
-    }
-    cellPolicy.maxVersions.foreach { k =>
+    // The KEEP flag is computed once and the frame split two ways: the
+    // keepers feed the merge rewrite, the dropped cells feed the
+    // DROP-RECORD side files (CDC visibility — doc at the staging site
+    // below). Ranking orders TTL-survivors first, so a keeper's rank
+    // among survivors matches the old filter-then-rank semantics
+    // exactly.
+    var dropRecords: Option[org.apache.spark.sql.DataFrame] = None
+    if (!cellPolicy.isNoop) {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{col, row_number}
-      mergeDf = mergeDf
-        .withColumn("_v", row_number().over(Window
-          .partitionBy("rowKey", "qualifier")
-          .orderBy(col("ts").desc, col("value").asc)))
-        .filter(col("_v") <= k).drop("_v")
+      import org.apache.spark.sql.functions.{col, concat, lit, row_number}
+      val ttlKeep = cellPolicy.dropBelowTs.fold(lit(true))(t => col("ts") >= t)
+      val flagged = cellPolicy.maxVersions match {
+        case Some(k) =>
+          mergeDf.withColumn("_tk", ttlKeep)
+            .withColumn("_vn", row_number().over(Window
+              .partitionBy("rowKey", "qualifier")
+              .orderBy(col("_tk").desc, col("ts").desc, col("value").asc)))
+            .withColumn("_keep", col("_tk") && col("_vn") <= k)
+            .drop("_tk", "_vn")
+        case None => mergeDf.withColumn("_keep", ttlKeep)
+      }
+      dropRecords = Some(flagged.filter(!col("_keep"))
+        .select(col("rowKey"), col("family"),
+          concat(lit(KvDelete.VersionMarkerPrefix), col("qualifier"))
+            .as("qualifier"), col("value"), col("ts")))
+      mergeDf = flagged.filter(col("_keep")).drop("_keep")
     }
     retainedMarkers.foreach { m => mergeDf = mergeDf.unionByName(m) }
     // Re-CODEC rides the rewrite like cell GC does: compaction is the one
@@ -310,6 +330,43 @@ object KvCompactor {
         .option("allowTombstones", mergeHasTombstones.toString))(
       (w, c) => w.option("codec", c))
     scratchWriter.mode("overwrite").save(tmp.toString)
+    // RETENTION DROP RECORDS — the CDC-visibility half of the policy
+    // (the Delta CDF delete-row shape): the dropped coordinates are
+    // staged as exact-version delete markers
+    // ([[KvDelete.VersionMarkerPrefix]]-qualified cells carrying the
+    // dropped cell's own family / value / ts) into side files the
+    // publish references (`!` manifest lines), so a change feed crossing
+    // this entry SHIPS the drops instead of refusing and incremental
+    // consumers (index refresh, CDC spans) stay O(changes). Counted by
+    // an Observation on the same write job; a policy pass that dropped
+    // NOTHING publishes a plain merge — no drop flag, no files — so
+    // declared-policy maintenance never poisons CDC spans it didn't
+    // change. This is a SECOND read of the merged bytes (negated keep
+    // flag), paid only on the rare policy-compact path; the drop side is
+    // coalesced to the output region count so a mostly-expired tier
+    // still writes bounded files.
+    var dropsPub = Seq.empty[String]
+    var droppedCount = 0L
+    dropRecords.foreach { dr =>
+      val dropTmp = new Path(tmp, "_drops")
+      val obs = org.apache.spark.sql.Observation()
+      dr.coalesce(math.max(1, regions))
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode("overwrite").parquet(dropTmp.toString)
+      droppedCount = obs.get("n").asInstanceOf[Long]
+      if (droppedCount > 0) {
+        val staged = fs.listStatus(dropTmp).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet")).sortBy(_.getName)
+        dropsPub = staged.zipWithIndex.map { case (f, i) =>
+          val target = new Path(dir, f"drops-$expectSeq%010d-$i%05d.parquet")
+          if (!fs.rename(f, target)) throw new IllegalStateException(
+            s"graft-kv compaction: drop-record rename to $target failed")
+          target.getName
+        }
+      }
+    }
     // The scratch write went through the graft-kv sink, so its own log
     // carries exact stats for the merged outputs — re-key them by the
     // published names. Carried files keep their stats too: the checkpoint
@@ -366,15 +423,19 @@ object KvCompactor {
           removes = mergeSet.map(_._1), compact = true,
           expectSeq = Some(expect), floor = Some(floor), stats = entryStats,
           carriedRemovals = Some(pending),
-          // A retention policy DROPS current cells — a change no additive
-          // CDC feed can express, so the entry carries the flag that makes
-          // spans crossing it refuse ([[KvLog.Entry.contentDrop]]). Plain
-          // merges (and marker/masked-cell purges) preserve the masked
-          // logical view and stay CDC-transparent.
-          contentDrop = !cellPolicy.isNoop)
+          // A retention policy that DROPPED current cells flags the
+          // entry ([[KvLog.Entry.contentDrop]]) and references the drop
+          // records it staged, so change feeds crossing it ship the
+          // drops as exact-version delete markers. Gated on the COUNTED
+          // drops, not the declared policy: a pass that expired nothing
+          // publishes a plain merge, and plain merges (and marker/
+          // masked-cell purges) preserve the masked logical view and
+          // stay CDC-transparent.
+          contentDrop = droppedCount > 0, dropFiles = dropsPub)
         // Merged-away segments stay on disk for in-flight readers (see the
         // publish protocol above).
-        return Compacted(seq, merged = mergeSet.size, into = merged.size)
+        return Compacted(seq, merged = mergeSet.size, into = merged.size,
+          dropped = droppedCount)
       } catch {
         case _: KvLog.ConcurrentCommitException =>
           attempt += 1
@@ -390,6 +451,7 @@ object KvCompactor {
             // never saw the staged files (manifest-planned).
             merged.foreach { case (n, _) =>
               fs.delete(new Path(dir, n), false): Unit }
+            dropsPub.foreach(n => fs.delete(new Path(dir, n), false): Unit)
             return Aborted(
               if (conflicts.nonEmpty)
                 s"concurrent commit at seq ${conflicts.head.seq} removed " +
@@ -405,6 +467,14 @@ object KvCompactor {
               throw new IllegalStateException(
                 s"graft-kv compaction: rebase rename to $target failed")
             target -> st
+          }
+          dropsPub = dropsPub.zipWithIndex.map { case (n, i) =>
+            val target = f"drops-$next%010d-$i%05d.parquet"
+            if (!fs.rename(new Path(dir, n), new Path(dir, target)))
+              throw new IllegalStateException(
+                s"graft-kv compaction: drop-record rebase rename to " +
+                  s"$target failed")
+            target
           }
           expect = next
       }

@@ -60,6 +60,20 @@ object KvDelete extends org.apache.spark.internal.Logging {
   val RowMarkerQualifier = "\u0000r"
   /** Column tombstone qualifier prefix; the target qualifier follows. */
   val ColMarkerPrefix = "\u0000c"
+  /** EXACT-VERSION delete-record qualifier prefix (HBase's
+    * `KeyValue.Type.Delete`, the single-version delete): the target
+    * qualifier follows, and the marker's own family / ts / value are the
+    * deleted cell's — it names ONE cell version, not a `ts <=` range.
+    * These are CHANGE RECORDS, not table state: retention compactions
+    * emit them into manifest-side drop files ([[KvLog.Entry.dropFiles]])
+    * so a CDC span crossing the pass can ship the drops (the Delta CDF
+    * delete-row shape), and feed consumers absorb them with
+    * [[applyVersionMarkers]]. They never enter a table's live segment
+    * set through any engine path; if a raw replication pipe copies them
+    * into one, the scan-side mask ignores them (unknown marker kind =
+    * no-op) and a compaction rewrite purges them.
+    */
+  val VersionMarkerPrefix = "\u0000v"
   /** Row markers mask every family; their own family slot is reserved. */
   val AllFamilies = "\u0000"
 
@@ -459,5 +473,30 @@ object KvDelete extends org.apache.spark.internal.Logging {
           concat(lit(ColMarkerPrefix), col("qualifier")).as("qualifier"),
           lit(null).cast(BinaryType).as("value"), col("_cts").as("ts")))
     (survivors, compactedMarkers)
+  }
+
+  /** Absorb EXACT-VERSION delete records ([[VersionMarkerPrefix]]) into a
+    * cell frame — the CDC-consumer side of retention drops: every cell
+    * matching a marker's full coordinate (rowKey, family, target
+    * qualifier, ts, value) is removed, and the markers themselves with
+    * it; row/column tombstones and every other cell pass through for the
+    * consumer's usual marker handling. Matching is VALUE EQUALITY on all
+    * five fields — byte-identical duplicate cells are indistinguishable,
+    * so one marker removes every identical copy (a multiplicity no LWW
+    * consumer can observe). Pure DataFrame composition: the marker side
+    * is drop-sized, so AQE broadcasts the anti join — no driver
+    * materialization, no O(feed²).
+    */
+  def applyVersionMarkers(cells: DataFrame): DataFrame = {
+    val isV = col("qualifier").startsWith(VersionMarkerPrefix)
+    val markers = cells.filter(isV).select(
+      col("rowKey").as("_mr"), col("family").as("_mf"),
+      expr(s"substring(qualifier, ${VersionMarkerPrefix.length + 1})").as("_mq"),
+      col("value").as("_mv"), col("ts").as("_mt"))
+    cells.filter(!isV).join(markers,
+      col("rowKey") === col("_mr") && col("family") === col("_mf") &&
+        col("qualifier") === col("_mq") && col("ts") === col("_mt") &&
+        col("value") <=> col("_mv"),
+      "left_anti")
   }
 }

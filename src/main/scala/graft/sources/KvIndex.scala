@@ -535,20 +535,49 @@ object KvIndex {
     * boundary rule — a declaration at exactly `since + 1` has nothing
     * below it and passes), it dips below the compaction floor (the
     * merged-away segments' change sets are not reconstructible —
-    * `KvLog.changedFiles` throws on the same condition), or it crosses a
-    * RETENTION compaction (`ttl_ms`/`versions` physically dropped
-    * current cells — a change no additive feed expresses, so the
-    * incremental refresh would silently keep dead index entries and the
-    * covered fast path would then serve them unverified; the rebuild
-    * re-derives the exact post-retention state). Probed EAGERLY because
-    * the scan's refusals only fire at plan time, far from the decision
-    * points here.
+    * `KvLog.changedFiles` throws on the same condition), or it crosses
+    * an OPAQUE retention compaction (a pre-r17 drop entry with no
+    * drop-record files — the incremental refresh would silently keep
+    * dead index entries and the covered fast path would then serve them
+    * unverified; the rebuild re-derives the exact post-retention
+    * state). Retention entries WITH drop files serve incrementally: the
+    * feed ships the drops as exact-version markers, the touched-key
+    * probe sees their rowKeys, and the post-image re-read at `latest`
+    * reflects the post-retention state — refresh stays O(changes)
+    * across a retention pass. Probed EAGERLY because the scan's
+    * refusals only fire at plan time, far from the decision points
+    * here.
     */
   private def spanUnservable(fs: FileSystem, table: Path, since: Long,
-      latest: Long): Boolean =
-    since + 1 < KvLog.floor(fs, table) ||
-      KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1) ||
-      KvLog.contentDropsIn(fs, table, since, latest).nonEmpty
+      latest: Long): Boolean = {
+    if (since + 1 < KvLog.floor(fs, table)) return true
+    if (KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1))
+      return true
+    val entries = (since + 1 to latest).flatMap(KvLog.read(fs, table, _))
+    if (entries.exists(e => e.contentDrop && e.dropFiles.isEmpty)) return true
+    // PRE-IMAGE SURVIVAL: when the span CARRIES CONTENT (appends, or a
+    // retention pass's drop records), the exact incremental diff
+    // time-travels to `since` for the touched keys' pre-image — and a
+    // compaction inside the span moved that version's files to
+    // pending-removal, so a vacuum past its grace may have reclaimed
+    // them and the incremental jobs would fail mid-read. Probe existence
+    // up front (O(files at `since`) driver stats, content-carrying
+    // compact-crossing spans only — the maintenance loop refreshes
+    // BEFORE compacting, so its compacting pass leaves an EMPTY span
+    // that shortcuts at the touched-key probe and never reads images)
+    // and fall back to the rebuild, which reads only the current live
+    // set.
+    val carries = entries.exists(e =>
+      if (e.compact) e.dropFiles.nonEmpty else e.adds.nonEmpty)
+    carries && entries.exists(_.compact) && !(try {
+      KvLog.liveFilesAt(fs, table, since)
+        .forall(n => fs.exists(new Path(table, n)))
+    } catch {
+      // liveFilesAt itself validates reconstructibility and throws once
+      // vacuum reclaimed the version's segments — same verdict.
+      case _: IllegalStateException => false
+    })
+  }
 
   /** Crash recovery for the rebuild swap: a crash between the two swap
     * renames leaves the live index parked at dot-prefixed

@@ -52,6 +52,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   v1 compact
   *   +<fileName>[\t<stat>...]                 // sealed (or live, for compact)
   *   -<fileName>                              // removed by compaction
+  *   !<fileName>[\t<stat>...]                 // retention drop records (CDC side feed)
   * }}}
   *
   * A compact entry additionally carries the PENDING REMOVALS it
@@ -197,16 +198,34 @@ private[graft] object KvLog {
       saltDecl: Option[Int] = None,
       /** CONTENT-DROPPING compaction (the `drop` header token): this
         * compaction ran under a retention [[KvCompactor.CellPolicy]]
-        * (ttl / versions) and may have PHYSICALLY REMOVED current cells.
-        * A plain merge preserves the masked logical view, so CDC reads
-        * skip compact entries soundly — but a retention pass CHANGES the
-        * view with no additive feed that could express it, so every CDC
-        * span crossing a drop entry refuses loudly ([[changedFiles]])
-        * and incremental consumers (index refresh, incremental pivots)
-        * re-baseline from a full read instead of silently missing the
-        * drops.
+        * (ttl / versions) and PHYSICALLY REMOVED current cells (set only
+        * when the pass counted a dropped cell — a declared policy that
+        * expired nothing publishes a plain merge). A plain merge
+        * preserves the masked logical view, so CDC reads skip compact
+        * entries soundly — but a retention pass CHANGES the view, so the
+        * entry must also carry the change: [[dropFiles]] record the
+        * dropped coordinates as exact-version delete markers (the Delta
+        * CDF delete-row shape), and change feeds ship them like any
+        * other marker. A drop entry WITHOUT drop files (pre-r17 logs)
+        * stays opaque: every CDC span crossing it refuses loudly
+        * ([[changedFiles]]) and incremental consumers (index refresh,
+        * incremental pivots) re-baseline from a full read instead of
+        * silently missing the drops.
         */
-      contentDrop: Boolean = false)
+      contentDrop: Boolean = false,
+      /** RETENTION DROP-RECORD side files (the `!` line kind): parquet
+        * files of exact-version delete markers — one cell per dropped
+        * put, in the five-column cell schema with the qualifier prefixed
+        * by [[KvDelete.VersionMarkerPrefix]] ("\u0000v") and the dropped
+        * cell's own family / value / ts — published next to the merge
+        * outputs by a retention compaction. NEVER part of the live set
+        * (no reader of current state opens them): they exist solely so a
+        * CDC span crossing the entry can express the drops as delete
+        * records instead of refusing. Reclaimed by [[truncate]] with
+        * their entry, and by vacuum when their entry was never published
+        * (crash strays).
+        */
+      dropFiles: Seq[String] = Nil)
 
   private def logDir(table: Path) = new Path(table, LogDirName)
   private def entryPath(table: Path, seq: Long) =
@@ -328,9 +347,16 @@ private[graft] object KvLog {
       // wrong — layout with no error. Contiguity is preserved by stopping
       // the walk at the first one (declarations are rare: one per layout
       // change ever).
-      if (!expired || read(fs, table, seq).exists(_.saltDecl.isDefined))
+      val entry = if (expired) read(fs, table, seq) else None
+      if (!expired || entry.exists(_.saltDecl.isDefined))
         stop = true
       else {
+        // Drop-record side files serve ONLY CDC spans over their entry;
+        // a span reaching a truncated seq refuses on the floor/earliest
+        // checks first, so the records are unreachable once the entry
+        // goes — reclaim them with it.
+        entry.foreach(_.dropFiles.foreach(n =>
+          fs.delete(new Path(table, n), false): Unit))
         fs.delete(p, false): Unit
         dropped += 1
         seq += 1
@@ -360,10 +386,15 @@ private[graft] object KvLog {
         val toks = l.tail.split("\t")
         toks.head -> parseStat(toks.tail)
       }
+      val dropLines = lines.tail.collect { case l if l.startsWith("!") =>
+        val toks = l.tail.split("\t")
+        toks.head -> parseStat(toks.tail)
+      }
       Entry(seq, compact = header(1) == "compact", writer,
         adds = addLines.map(_._1),
         removes = lines.tail.collect { case l if l.startsWith("-") => l.tail },
-        stats = addLines.collect { case (n, Some(s)) => n -> s }.toMap,
+        stats = (addLines ++ dropLines)
+          .collect { case (n, Some(s)) => n -> s }.toMap,
         carriedRemovals = lines.tail.collect { case l if l.startsWith("~") =>
           val Array(n, t) = l.tail.split("\t", 2)
           n -> t.toLong
@@ -372,7 +403,8 @@ private[graft] object KvLog {
         saltDecl = header.drop(2).collectFirst {
           case s if s.startsWith("salt=") => s.stripPrefix("salt=").toInt
         },
-        contentDrop = header.contains("drop"))
+        contentDrop = header.contains("drop"),
+        dropFiles = dropLines.map(_._1))
     }
   }
 
@@ -444,10 +476,12 @@ private[graft] object KvLog {
       carriedRemovals: Option[Map[String, Long]] = None,
       saltDecl: Option[Int] = None,
       layoutExpect: Option[Option[Int]] = None,
-      contentDrop: Boolean = false): Long =
+      contentDrop: Boolean = false,
+      dropFiles: Seq[String] = Nil): Long =
     appendLocks.computeIfAbsent(table.toString, _ => new Object).synchronized {
       appendLocked(fs, table, adds, removes, compact, writer, expectSeq,
-        floor, stats, carriedRemovals, saltDecl, layoutExpect, contentDrop)
+        floor, stats, carriedRemovals, saltDecl, layoutExpect, contentDrop,
+        dropFiles)
     }
 
   private def appendLocked(fs: FileSystem, table: Path, adds: Seq[String],
@@ -458,7 +492,8 @@ private[graft] object KvLog {
       carriedRemovals: Option[Map[String, Long]],
       saltDecl: Option[Int],
       layoutExpect: Option[Option[Int]],
-      contentDrop: Boolean): Long = {
+      contentDrop: Boolean,
+      dropFiles: Seq[String]): Long = {
     val latest = latestSeq(fs, table)
     if (writer.isDefined && latest >= 0 &&
         read(fs, table, latest).exists(_.writer == writer)) return latest
@@ -503,6 +538,7 @@ private[graft] object KvLog {
     val body = (s"v1 $kind$tag$pend$salt$drop" +:
       (adds.map(n => "+" + n + stats.get(n).fold("")(statSuffix)) ++
         removes.map("-" + _) ++
+        dropFiles.map(n => "!" + n + stats.get(n).fold("")(statSuffix)) ++
         carriedRemovals.getOrElse(Map.empty).toSeq.sorted
           .map { case (n, t) => s"~$n\t$t" })).mkString("", "\n", "\n")
     val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID().toString.take(8)}")
@@ -998,38 +1034,55 @@ private[graft] object KvLog {
         "merged away. Re-baseline from a full scan (or an asOfSeq read).")
     (sinceSeq + 1 to asOf).flatMap { seq =>
       read(fs, table, seq).toSeq.flatMap { e =>
-        requireNoContentDrop(table, e)
-        if (e.compact) Nil else e.adds
+        requireNoOpaqueDrop(table, e)
+        if (e.compact) e.dropFiles else e.adds
       }
     }.sorted
   }
 
-  /** A CDC span crossing a RETENTION compaction ([[Entry.contentDrop]])
-    * refuses: the pass physically removed current cells, a change no
-    * additive feed can express — skipping the entry (the plain-merge
-    * rule) would make every incremental consumer silently keep the
-    * dropped state.
+  /** A CDC span crossing an OPAQUE retention compaction — an
+    * [[Entry.contentDrop]] entry with no [[Entry.dropFiles]] (pre-r17
+    * logs) — refuses: the pass physically removed current cells and left
+    * no record of which, a change the feed cannot express. Entries that
+    * DO carry drop files are servable: the feed ships the drop records
+    * as exact-version delete markers and consumers absorb them like any
+    * other marker cell.
     */
-  private def requireNoContentDrop(table: Path, e: Entry): Unit =
-    if (e.contentDrop) throw new IllegalStateException(
+  private def requireNoOpaqueDrop(table: Path, e: Entry): Unit =
+    if (e.contentDrop && e.dropFiles.isEmpty) throw new IllegalStateException(
       s"graft-kv log: the change span over $table crosses a retention " +
         s"compaction at seq ${e.seq} (ttl/versions dropped current " +
-        "cells) — not expressible as an additive change feed. " +
-        "Re-baseline from a full scan (or an asOfSeq read).")
+        "cells) that recorded no drop files — not expressible as a " +
+        "change feed. Re-baseline from a full scan (or an asOfSeq read).")
 
-  /** Seqs in `(fromExclusive, toInclusive]` whose entry is a
-    * content-dropping compaction — the eager probe incremental consumers
+  /** Seqs in `(fromExclusive, toInclusive]` whose entry is an OPAQUE
+    * content-dropping compaction (drop flag, no drop-record files — the
+    * pre-r17 shape) — the eager probe incremental consumers
     * ([[graft.sources.KvIndex]]) use to REBUILD instead of hitting the
-    * CDC refusal at plan time. O(span) entry reads, like
+    * CDC refusal at plan time. Drop entries WITH drop files are not
+    * returned: their spans serve incrementally (the drop records ride
+    * the feed as version markers). O(span) entry reads, like
     * [[KvSalt.declsIn]]; spans are maintenance-lag-sized in practice
     * (and the reads warm the same entries changedFiles replays next).
     * No horizon shortcut: gated PARTIAL compactions keep older compact
     * entries replayable inside the span, and any of them may be a drop.
     */
-  def contentDropsIn(fs: FileSystem, table: Path, fromExclusive: Long,
+  def opaqueDropsIn(fs: FileSystem, table: Path, fromExclusive: Long,
       toInclusive: Long): Seq[Long] =
     (fromExclusive + 1 to toInclusive).flatMap(s =>
-      read(fs, table, s).filter(_.contentDrop).map(_.seq))
+      read(fs, table, s).filter(e => e.contentDrop && e.dropFiles.isEmpty)
+        .map(_.seq))
+
+  /** Every drop-record file some RETAINED entry references — the vacuum
+    * exclusion set ([[KvVacuum]] reclaims `drops-*` strays a crashed
+    * publish left behind, and must never touch one a live entry still
+    * serves). O(retained log) entry reads, GC path only.
+    */
+  def referencedDropFiles(fs: FileSystem, table: Path): Set[String] = {
+    val latest = latestSeq(fs, table)
+    (earliestSeq(fs, table) to latest).flatMap(s =>
+      read(fs, table, s).toSeq.flatMap(_.dropFiles)).toSet
+  }
 
   /** The table's data files as Paths: log replay when a log exists, else a
     * directory listing (legacy/externally-staged tables). Every batch-scan
@@ -1090,9 +1143,14 @@ private[graft] object KvLog {
           "merged away. Re-baseline from a full scan (or an asOfSeq read).")
       (s + 1 to upTo).flatMap { seq =>
         read(fs, table, seq).toSeq.flatMap { e =>
-          requireNoContentDrop(table, e)
-          if (e.compact) Nil
-          else e.adds.map(n => (new Path(table, n), e.stats.get(n)))
+          requireNoOpaqueDrop(table, e)
+          // A compact entry's adds re-publish already-consumed data and
+          // are skipped; its DROP FILES are the span's delete records
+          // (exact-version markers) and ship like any other file — the
+          // scan reads them under the same cell schema and the consumer
+          // sees marker-qualified cells (KvDelete.VersionMarkerPrefix).
+          val names = if (e.compact) e.dropFiles else e.adds
+          names.map(n => (new Path(table, n), e.stats.get(n)))
         }
       }.sortBy(_._1.getName)
     case None =>

@@ -151,12 +151,18 @@ private[sources] object KvProcedures {
       tableParam,
       ProcedureParameter.in("regions", IntegerType).defaultValue("NULL")
         .comment("output region count; defaults to the table's recorded " +
-          "regions property").build())
+          "regions property").build(),
+      ProcedureParameter.in("enforce_policy", BooleanType)
+        .defaultValue("true")
+        .comment("apply the table's declared ttl_ms/versions retention " +
+          "during the rewrite (the HBase compaction-scanner contract); " +
+          "false = logical-view-preserving merge only").build())
     override val resultSchema: StructType = StructType(Seq(
       StructField("result", StringType, nullable = false),
       StructField("seq", LongType, nullable = true),
       StructField("merged", IntegerType, nullable = true),
-      StructField("into", IntegerType, nullable = true)))
+      StructField("into", IntegerType, nullable = true),
+      StructField("dropped_cells", LongType, nullable = true)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = tableDir(input)
@@ -173,10 +179,17 @@ private[sources] object KvProcedures {
       // rides the rewrite — an explicit major with a non-noop policy
       // rewrites even a single-segment / already-compacted table (the
       // HBase force-major shape; KvCompactor's policyForced gate).
-      val cellPolicy = KvCompactor.CellPolicy(
-        dropBelowTs = props.get("ttl_ms").map(_.toLong)
-          .map(System.currentTimeMillis() - _),
-        maxVersions = props.get("versions").map(_.toInt))
+      // `enforce_policy => false` opts out (a pure logical-view-
+      // preserving merge), and the result surfaces the cells the policy
+      // actually removed — the rewrite is physically destructive, so
+      // the operator sees the side effect instead of inferring it.
+      val enforce = input.isNullAt(2) || input.getBoolean(2)
+      val cellPolicy =
+        if (!enforce) KvCompactor.CellPolicy()
+        else KvCompactor.CellPolicy(
+          dropBelowTs = props.get("ttl_ms").map(_.toLong)
+            .map(System.currentTimeMillis() - _),
+          maxVersions = props.get("versions").map(_.toInt))
       val result =
         (if (!input.isNullAt(1)) Some(input.getInt(1))
          else props.get("regions").map(_.toInt)) match {
@@ -187,15 +200,15 @@ private[sources] object KvProcedures {
               .getOrElse(128L * 1024 * 1024), cellPolicy = cellPolicy)
         }
       result match {
-        case KvCompactor.Compacted(seq, merged, into) =>
+        case KvCompactor.Compacted(seq, merged, into, dropped) =>
           oneRow(Array[Any](UTF8String.fromString("compacted"),
-            seq, merged, into))
+            seq, merged, into, dropped))
         case KvCompactor.Parked(reason) =>
           oneRow(Array[Any](UTF8String.fromString(s"parked: $reason"),
-            null, null, null))
+            null, null, null, null))
         case KvCompactor.Aborted(reason) =>
           oneRow(Array[Any](UTF8String.fromString(s"aborted: $reason"),
-            null, null, null))
+            null, null, null, null))
       }
     }
   }

@@ -142,33 +142,43 @@ private[sources] class KvTailStream(
     }
   }
 
-  /** The adds of `entry` visible from position `cur`: a compact entry's
+  /** The files of `entry` visible from position `cur`: a compact entry's
     * adds are delivered only when the stream STARTED at it (sentinel, or
-    * resuming mid-delivery at `idx > 0`), never when it advanced past.
+    * resuming mid-delivery at `idx > 0`), never when it advanced past —
+    * but a RETENTION compaction advanced past delivers its DROP-RECORD
+    * files ([[KvLog.Entry.dropFiles]]): the tail is a change feed, the
+    * drops are changes, and the records ship as exact-version delete
+    * markers ([[KvDelete.VersionMarkerPrefix]]) the consumer absorbs
+    * like any other replicated marker cell (the WAL/replication-peer
+    * contract — deletes must replicate). Position semantics stay
+    * unambiguous because [[advance]] admits a drop entry ATOMICALLY
+    * (never parks at `(seq, idx > 0)` inside one), so `idx > 0` on a
+    * compact entry still means "fresh-start mid-delivery of the adds".
     *
-    * A RETENTION compaction ([[KvLog.Entry.contentDrop]] — ttl/versions
-    * physically removed current cells) REFUSES instead of skipping: the
-    * tail is a change feed, the drop is a change it cannot express, and
+    * A PRE-R17 retention entry (drop flag, no drop files) REFUSES
+    * instead of skipping: the drop is a change it cannot express, and
     * skipping would leave every downstream consumer holding the dropped
     * cells as live state forever — the same silent divergence the batch
-    * CDC paths refuse (`KvLog.requireNoContentDrop`). Registered tails
+    * CDC paths refuse (`KvLog.requireNoOpaqueDrop`). Registered tails
     * gate compaction BELOW their position, so the refused entry is
     * always AHEAD of what the consumer holds: the stream fails loudly at
     * the exact position where its state stopped being reconstructible,
     * and the recovery is a re-baseline from the horizon (full current
     * state), like a floor crossing. A FRESH start at the entry (the
-    * `InitIdx` sentinel, or resuming its own mid-delivery) is fine — the
-    * entry's adds ARE the post-retention current state, exactly the
-    * baseline a new stream wants.
+    * `InitIdx` sentinel, or resuming its own mid-delivery) is fine
+    * either way — the entry's adds ARE the post-retention current
+    * state, exactly the baseline a new stream wants.
     */
   private def visibleAdds(entry: KvLog.Entry, cur: LogPos): Seq[String] = {
-    if (entry.contentDrop && cur.idx == 0)
+    if (!entry.compact || cur.idx != 0) entry.adds
+    else if (entry.contentDrop && entry.dropFiles.isEmpty)
       throw new IllegalStateException(
         s"graft-kv tail: log entry ${entry.seq} of $path is a RETENTION " +
-          "compaction (ttl/versions dropped current cells) — not " +
-          "expressible as a change feed. Restart the stream from a fresh " +
-          "checkpoint at the horizon to re-baseline on the current state.")
-    if (entry.compact && cur.idx == 0) Nil else entry.adds
+          "compaction (ttl/versions dropped current cells) that recorded " +
+          "no drop files — not expressible as a change feed. Restart the " +
+          "stream from a fresh checkpoint at the horizon to re-baseline " +
+          "on the current state.")
+    else entry.dropFiles // advanced past: the drop feed (Nil for plain merges)
   }
 
   /** One admitted file's size: the entry's manifest stat (free), or a
@@ -216,6 +226,34 @@ private[sources] class KvTailStream(
             "previous layout and cannot interpret newer files; restart " +
             "the query to resume under the new layout")
       val adds = visibleAdds(entry.get, cur)
+      if (entry.get.compact && cur.idx == 0 && adds.nonEmpty) {
+        // Advanced-past RETENTION entry: `adds` are its drop-record
+        // files, admitted ATOMICALLY — parking mid-list would leave a
+        // `(seq, idx > 0)` position indistinguishable from a
+        // fresh-start mid-delivery of the entry's (different, longer)
+        // adds list. If the batch already holds files and the records
+        // don't fit its caps, end it AT the entry boundary (`(seq, 0)`
+        // — arrived, nothing consumed) and the next batch admits them
+        // under a fresh budget; a batch that starts here always admits
+        // them all (the "at least one file" rule, extended to "never
+        // split a drop entry" — drop sets are retention-pass-sized, not
+        // table-sized).
+        val sizes =
+          if (maxBytes == Long.MaxValue) adds.map(_ => 0L)
+          else adds.map(fileSize(entry.get, _))
+        if (taken > 0 && (taken + adds.length > maxFiles ||
+            bytes + sizes.sum > maxBytes)) {
+          full = true // park at (seq, 0); resumes here next batch
+        } else {
+          adds.zip(sizes).foreach { case (n, s) =>
+            files += new Path(tableDir, n)
+            taken += 1
+            bytes += s
+          }
+          cur = LogPos(cur.seq + 1, 0)
+          entry = if (cur.seq <= capSeq) readEntry(cur.seq) else None
+        }
+      } else {
       var i = math.max(cur.idx, 0)
       while (i < adds.length && !full) {
         val size =
@@ -234,6 +272,7 @@ private[sources] class KvTailStream(
       } else {
         cur = LogPos(cur.seq + 1, 0)
         entry = if (cur.seq <= capSeq) readEntry(cur.seq) else None
+      }
       }
     }
     (files.result(), cur)

@@ -65,6 +65,13 @@ object KvVacuum {
     // offers — the same residual Delta accepts on non-locking stores).
     val listing = fs.listStatus(dir)
     val live = KvLog.liveFiles(fs, dir).toSet
+    // Drop-record side files ([[KvLog.Entry.dropFiles]]) are referenced
+    // by their RETENTION entry, not the live set: any `drops-*` file no
+    // retained entry references is a crash stray (staged rename before a
+    // publish that never happened) or truncation debris — reclaimable on
+    // the file's own mtime clock. Resolved lazily: tables that never ran
+    // a retention pass pay nothing.
+    lazy val referencedDrops = KvLog.referencedDropFiles(fs, dir)
     // Files any NAMED SNAPSHOT references are permanently off-limits (the
     // HBase archive contract, [[KvSnapshot]]): a snapshot read plans from
     // its own manifest, so reclaiming a referenced file would silently
@@ -107,6 +114,11 @@ object KvVacuum {
           // publish for merged-away segments, the file's own mtime for
           // never-referenced strays.
           && removedAt.getOrElse(n, st.getModificationTime) < cutoff) {
+        bytes += st.getLen
+        fs.delete(st.getPath, false): Unit
+        files += 1
+      } else if (st.isFile && n.startsWith("drops-") && n.endsWith(".parquet")
+          && st.getModificationTime < cutoff && !referencedDrops.contains(n)) {
         bytes += st.getLen
         fs.delete(st.getPath, false): Unit
         files += 1

@@ -1210,7 +1210,7 @@ object Scratch {
               maxLive = math.max(maxLive, sizes.size)
               graft.sources.KvMaintenance.maintain(spark, dir, policy)
                 .compaction match {
-                case graft.sources.KvCompactor.Compacted(seq, _, _) =>
+                case graft.sources.KvCompactor.Compacted(seq, _, _, _) =>
                   val passBytes = graft.sources.KvLog.read(fs, table, seq)
                     .get.removes.map(sizes).sum
                   rewritten += passBytes

@@ -70,7 +70,7 @@ class KvCompactionSpec extends graft.SparkSpec {
       KvLog.liveFiles(fs, new Path(d)).map(f => s"$d/$f"): _*)
     val res = KvCompactor.compact(spark, d, regions = 3)
     val seq = res match {
-      case KvCompactor.Compacted(s, merged, into) =>
+      case KvCompactor.Compacted(s, merged, into, _) =>
         merged shouldBe 6; into shouldBe 3; s
       case p => fail(s"expected Compacted, got $p")
     }
@@ -152,7 +152,7 @@ class KvCompactionSpec extends graft.SparkSpec {
     val res = KvCompactor.compactTo(spark, d, targetRegionBytes = Long.MaxValue,
       KvCompactor.Minor(maxMerge = 4))
     val seq = res match {
-      case KvCompactor.Compacted(s, merged, into) =>
+      case KvCompactor.Compacted(s, merged, into, _) =>
         merged shouldBe 4; into shouldBe 1; s
       case p => fail(s"expected Compacted, got $p")
     }
@@ -169,7 +169,7 @@ class KvCompactionSpec extends graft.SparkSpec {
     // a second minor pass ladders up another tier without a full rewrite
     KvCompactor.compactTo(spark, d, targetRegionBytes = Long.MaxValue,
       KvCompactor.Minor(maxMerge = 4)) match {
-      case KvCompactor.Compacted(_, merged, _) => merged shouldBe 4
+      case KvCompactor.Compacted(_, merged, _, _) => merged shouldBe 4
       case p => fail(s"expected Compacted, got $p")
     }
     spark.read.format("graft-kv").load(d)

@@ -93,12 +93,14 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
     covered(dir, 600, 660) shouldBe truth(dir, 600, 660)
     covered(dir, 600, 660).size shouldBe 20 // 3i+1 in [600,660): 20 keys
 
-    // refresh must REBUILD — the span crosses a content-dropping
-    // compaction, which no additive CDC feed can express (an incremental
-    // refresh would advance the covered seq while keeping dead entries,
-    // and the index-only fast path would then serve them unverified)
+    // refresh stays INCREMENTAL (r17) — the retention entry carries its
+    // drop records, the feed ships them as exact-version markers, and
+    // the touched keys' post-image at `latest` reflects the drops; a
+    // full rebuild across every retention pass would be O(table) on
+    // exactly the passes a declared-policy maintenance loop runs
+    // continuously
     val r = KvIndex.refresh(spark, dir, "cov")
-    r shouldBe a[KvIndex.Rebuilt]
+    r shouldBe a[KvIndex.Refreshed]
     KvIndex.meta(fs, table, "cov").get.asOfSeq shouldBe
       KvLog.latestSeq(fs, table)
     covered(dir, 600, 660) shouldBe truth(dir, 600, 660)
@@ -149,9 +151,11 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
       assert(k.toInt % 2 == 0, s"TTL-erased key $k returned by the lookup")
     }
 
-    // recovery refresh across the retention pass: REBUILD, then exact —
-    // the covered seq reaches latest and the INDEX-ONLY fast path must
-    // now exclude the erased keys too
+    // recovery refresh: the span crosses the retention pass AND
+    // vacuum(0) already reclaimed the pre-image files the incremental
+    // diff would time-travel to — the pre-image survival probe detects
+    // it and falls back to a REBUILD from the current live set, then
+    // the INDEX-ONLY fast path must exclude the erased keys too
     val r = KvIndex.refresh(spark, dir, "cov")
     r shouldBe a[KvIndex.Rebuilt]
     val s = KvIndex.scrutiny(spark, dir, "cov")
@@ -191,7 +195,7 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
     vals shouldBe Set(1L) // exactly one surviving version per key
   }
 
-  test("a streaming tail crossing a retention compaction refuses; a fresh tail re-baselines") {
+  test("a streaming tail crossing a retention compaction ships the drop records") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = freshDir("tail")
     twoVersions(100).write.format("graft-kv").option("regions", 2)
@@ -213,19 +217,33 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
     val cres = KvCompactor.compact(spark, dir, regions = 1,
       cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
     cres shouldBe a[KvCompactor.Compacted]
-    // the resumed tail must FAIL LOUDLY at the drop entry — skipping it
-    // (the plain-merge rule) would leave the consumer holding dropped
-    // cells as live state forever
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      run("ret_tail_2")
-    }
-    e.getMessage should include("RETENTION")
+    // the resumed tail CROSSES the drop entry (r17): it delivers the
+    // entry's drop-record files — exact-version delete markers the
+    // consumer absorbs like any replicated marker (the WAL/replication
+    // contract: deletes must replicate) — instead of refusing
+    run("ret_tail_2")
+    val consumed = spark.read.parquet(out)
+    consumed.filter(col("qualifier")
+      .startsWith(KvDelete.VersionMarkerPrefix)).count() shouldBe 100L
+    // applying the shipped markers to everything consumed reconstructs
+    // the post-retention state exactly
+    val reconstructed = KvDelete.applyVersionMarkers(consumed)
+      .select("rowKey", "family", "qualifier", "value", "ts")
+      .as[(String, String, String, Array[Byte], Long)].collect()
+      .map(r => (r._1, r._2, r._3, new String(r._4, "UTF-8"), r._5)).toSet
+    val current = spark.read.format("graft-kv").load(dir)
+      .select("rowKey", "family", "qualifier", "value", "ts")
+      .as[(String, String, String, Array[Byte], Long)].collect()
+      .map(r => (r._1, r._2, r._3, new String(r._4, "UTF-8"), r._5)).toSet
+    reconstructed shouldBe current
     // a FRESH stream starts at the horizon: the drop entry's adds ARE
-    // its baseline — delivered, post-retention state only
+    // its baseline — delivered, post-retention state only, NO markers
     val q3 = spark.readStream.format("graft-kv").load(dir)
       .writeStream.format("memory").queryName("ret_tail_3")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q3.awaitTermination()
+    spark.table("ret_tail_3").filter(col("qualifier")
+      .startsWith(KvDelete.MarkerPrefix)).count() shouldBe 0L
     val rows = spark.table("ret_tail_3")
       .filter(col("qualifier") === "amt")
       .groupBy("rowKey").count().select("count").distinct()
@@ -233,24 +251,46 @@ class KvIndexRetentionSpec extends graft.SparkSpec {
     rows shouldBe Set(1L) // only the retained newest version per key
   }
 
-  test("a CDC read crossing a retention compaction refuses loudly") {
+  test("a CDC read crossing a retention compaction ships the drops; opaque legacy entries still refuse") {
     val dir = freshDir("cdc")
     twoVersions(100).write.format("graft-kv").option("regions", 2)
       .mode("overwrite").save(dir)
     val cres = KvCompactor.compact(spark, dir, regions = 1,
       cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
     cres shouldBe a[KvCompactor.Compacted]
-    val e = intercept[Exception] {
-      spark.read.format("graft-kv").option("sinceSeq", "0").load(dir).count()
-    }
-    e.getMessage should include("retention compaction")
+    cres.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 100L
+    // the span over the pass serves: its content is the 100 dropped v1
+    // cells, shipped as exact-version delete markers
+    val feed = spark.read.format("graft-kv").option("sinceSeq", "0").load(dir)
+    feed.count() shouldBe 100L
+    feed.filter(col("qualifier")
+      .startsWith(KvDelete.VersionMarkerPrefix)).count() shouldBe 100L
+    // baseline at the span start + the feed reconstructs the current
+    // state exactly — the CDC contract across a retention pass
+    val baseline = spark.read.format("graft-kv")
+      .option("asOfSeq", "0").load(dir)
+    KvDelete.applyVersionMarkers(baseline.unionByName(feed))
+      .count() shouldBe spark.read.format("graft-kv").load(dir).count()
     // a plain (no-policy) merge stays CDC-transparent: same span, no error
     val dir2 = freshDir("cdc_plain")
     twoVersions(100).write.format("graft-kv").option("regions", 2)
       .mode("overwrite").save(dir2)
     val c2 = KvCompactor.compact(spark, dir2, regions = 1)
     c2 shouldBe a[KvCompactor.Compacted]
+    c2.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 0L
     spark.read.format("graft-kv").option("sinceSeq", "0").load(dir2)
       .count() shouldBe 0L // the merge re-publishes, it does not change
+    // a LEGACY drop entry (flag, no drop files — the pre-r17 shape)
+    // still refuses: the change is real and unrecorded
+    val dir3 = freshDir("cdc_opaque")
+    twoVersions(50).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir3)
+    val fs3 = fsOf(dir3)
+    KvLog.append(fs3, new Path(dir3), adds = Nil, removes = Nil,
+      compact = true, contentDrop = true)
+    val e = intercept[Exception] {
+      spark.read.format("graft-kv").option("sinceSeq", "0").load(dir3).count()
+    }
+    e.getMessage should include("retention compaction")
   }
 }

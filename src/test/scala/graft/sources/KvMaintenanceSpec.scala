@@ -81,7 +81,7 @@ class KvMaintenanceSpec extends graft.SparkSpec {
       maxSegments = 8, targetRegionBytes = target, vacuumGraceMs = 3600 * 1000)
     val r = KvMaintenance.maintain(spark, d, policy)
     val seq = r.compaction match {
-      case KvCompactor.Compacted(s, merged, into) =>
+      case KvCompactor.Compacted(s, merged, into, _) =>
         merged shouldBe 10; into shouldBe 3; s
       case c => fail(s"expected Compacted, got $c")
     }
@@ -127,7 +127,7 @@ class KvMaintenanceSpec extends graft.SparkSpec {
     val r = KvMaintenance.maintain(spark, d, policy)
     r.compaction shouldBe KvCompactor.Parked("under threshold: 3 live segments <= 8")
     r.split match {
-      case KvCompactor.Compacted(_, merged, into) =>
+      case KvCompactor.Compacted(_, merged, into, _) =>
         merged shouldBe 1; into shouldBe 3
       case other => fail(s"expected a split, got $other")
     }
@@ -166,7 +166,7 @@ class KvMaintenanceSpec extends graft.SparkSpec {
       vacuumGraceMs = 3600 * 1000)
     val r = KvMaintenance.maintain(spark, d, policy)
     r.split match {
-      case KvCompactor.Compacted(_, merged, into) =>
+      case KvCompactor.Compacted(_, merged, into, _) =>
         merged shouldBe 1; into should be >= 2
       case other => fail(s"expected the monolith to split, got $other")
     }

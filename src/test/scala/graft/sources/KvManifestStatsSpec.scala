@@ -161,7 +161,7 @@ class KvManifestStatsSpec extends graft.SparkSpec {
   test("compaction carries stats through the checkpoint: post-compact plans stay metadata-served") {
     val d = pileUp("kv_stats_compact", commits = 4, regions = 2)
     withCfs(KvCompactor.compact(spark, d, regions = 2)) match {
-      case KvCompactor.Compacted(_, merged, into) =>
+      case KvCompactor.Compacted(_, merged, into, _) =>
         merged shouldBe 8; into shouldBe 2
       case p => fail(s"expected Compacted, got $p")
     }

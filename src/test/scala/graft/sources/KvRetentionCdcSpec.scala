@@ -1,0 +1,217 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC-VISIBLE RETENTION (r17): a ttl/versions compaction stages its
+  * dropped coordinates as exact-version delete markers in side files the
+  * manifest entry references (`!` lines, [[KvLog.Entry.dropFiles]] — the
+  * Delta CDF delete-row shape), so change feeds CROSS the pass by
+  * shipping the drops instead of refusing. These specs pin the
+  * lifecycle around the happy paths [[KvIndexRetentionSpec]] covers:
+  * the zero-drop pass publishing a PLAIN merge (a declared policy that
+  * expired nothing must not poison CDC spans), the entry round-trip,
+  * vacuum protection vs stray reclamation, truncation cleanup, and the
+  * exact-version marker application semantics.
+  */
+class KvRetentionCdcSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_test/kv_retcdc_$name"
+    graft.sinks.Sinks.deleteRecursive(spark, d)
+    d
+  }
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Two versions per key at ts = i and ts = i + 100000. */
+  private def twoVersions(n: Int): DataFrame = {
+    val v1 = spark.range(n.toLong).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val v2 = spark.range(n.toLong).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 + 1 AS STRING), 'UTF-8') AS value",
+      "id + 100000L AS ts")
+    v1.unionByName(v2)
+  }
+
+  test("a policy pass that drops NOTHING publishes a plain merge — no flag, no files") {
+    val dir = freshDir("noop_drop")
+    // two commits so the merge has real work; every ts >= 0, so a TTL at
+    // 0 and a versions bound of 8 both expire nothing
+    val cells = twoVersions(200)
+    cells.filter(col("ts") < 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir)
+    cells.filter(col("ts") >= 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir)
+    val res = KvCompactor.compact(spark, dir, regions = 2,
+      cellPolicy = KvCompactor.CellPolicy(
+        dropBelowTs = Some(0L), maxVersions = Some(8)))
+    res shouldBe a[KvCompactor.Compacted]
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 0L
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val entry = KvLog.read(fs, table, KvLog.latestSeq(fs, table)).get
+    entry.contentDrop shouldBe false // ADVICE r16: gate on counted drops
+    entry.dropFiles shouldBe empty
+    // the span over the pass is CDC-transparent, like any plain merge
+    spark.read.format("graft-kv").option("sinceSeq", "1").load(dir)
+      .count() shouldBe 0L
+    // and no drop side files were left behind
+    fs.listStatus(table).map(_.getPath.getName)
+      .count(_.startsWith("drops-")) shouldBe 0
+  }
+
+  test("a dropping pass round-trips its drop files through the entry") {
+    val dir = freshDir("roundtrip")
+    twoVersions(300).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(dir)
+    val res = KvCompactor.compact(spark, dir, regions = 2,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 300L
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val entry = KvLog.read(fs, table, KvLog.latestSeq(fs, table)).get
+    entry.contentDrop shouldBe true
+    entry.dropFiles should not be empty
+    entry.dropFiles.foreach { n =>
+      n should startWith("drops-")
+      assert(fs.exists(new Path(table, n)), s"drop file $n missing on disk")
+    }
+    // drop files are NOT live data: a full scan never reads them
+    spark.read.format("graft-kv").load(dir).count() shouldBe 300L
+    spark.read.format("graft-kv").load(dir)
+      .filter(col("qualifier").startsWith(KvDelete.MarkerPrefix))
+      .count() shouldBe 0L
+    // the records carry the dropped cells' own coordinates
+    val recs = spark.read.parquet(
+      entry.dropFiles.map(n => s"$dir/$n"): _*)
+    recs.count() shouldBe 300L
+    recs.schema.fieldNames.toSeq shouldBe
+      Seq("rowKey", "family", "qualifier", "value", "ts")
+    recs.filter(col("qualifier")
+      .startsWith(KvDelete.VersionMarkerPrefix)).count() shouldBe 300L
+    recs.agg(max("ts")).head().getLong(0) should be < 100000L // only v1 dropped
+  }
+
+  test("vacuum spares referenced drop files and reclaims strays; truncate reclaims with the entry") {
+    val dir = freshDir("lifecycle")
+    twoVersions(100).write.format("graft-kv").option("regions", 1)
+      .mode("overwrite").save(dir)
+    val res = KvCompactor.compact(spark, dir, regions = 1,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 100L
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val referenced = KvLog.read(fs, table, KvLog.latestSeq(fs, table)).get.dropFiles
+    referenced should not be empty
+    // plant a stray: a drop file no entry references (crashed publish),
+    // aged past any grace
+    val stray = new Path(table, "drops-0000000099-00000.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(table, referenced.head), fs, stray, false, fs.getConf)
+    fs.setTimes(stray, 1000L, -1)
+    KvVacuum.vacuum(spark, dir, graceMs = 0L) match {
+      case KvVacuum.Vacuumed(files, _, _) => assert(files >= 1)
+      case other => fail(s"vacuum did not run: $other")
+    }
+    assert(!fs.exists(stray), "unreferenced drop stray must be reclaimed")
+    referenced.foreach { n =>
+      assert(fs.exists(new Path(table, n)),
+        s"vacuum reclaimed referenced drop file $n")
+    }
+    // the feed still serves after the vacuum pass
+    spark.read.format("graft-kv").option("sinceSeq", "0").load(dir)
+      .count() shouldBe 100L
+    // truncation: once the entry itself expires below the floor, its
+    // drop files go with it. Age the pre-floor entries and truncate.
+    val latest = KvLog.latestSeq(fs, table)
+    val dropSeq = latest // the retention pass is the tip + floor setter
+    // a later plain compact raises the floor past the drop entry
+    twoVersions(10).filter(col("ts") >= 100000)
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    KvCompactor.compact(spark, dir, regions = 1) shouldBe
+      a[KvCompactor.Compacted]
+    (0L to dropSeq).foreach { s =>
+      val p = new Path(new Path(table, "_log"), f"$s%020d")
+      if (fs.exists(p)) fs.setTimes(p, 1000L, -1)
+    }
+    KvLog.truncate(fs, table, retentionMs = 0L)
+    assert(KvLog.earliestSeq(fs, table) > dropSeq,
+      "truncation must pass the drop entry for this leg to bite")
+    referenced.foreach { n =>
+      assert(!fs.exists(new Path(table, n)),
+        s"truncate left drop file $n of a truncated entry behind")
+    }
+  }
+
+  test("applyVersionMarkers removes exactly the named versions") {
+    val cells = Seq(
+      ("k1", "f", "a", "v1", 1L), // dropped: exact match below
+      ("k1", "f", "a", "v2", 2L), // survives: different ts
+      ("k1", "f", "a", "v1", 3L), // survives: same value, different ts
+      ("k2", "f", "a", "v1", 1L), // survives: different rowKey
+      ("k1", "g", "a", "v1", 1L), // survives: different family
+      ("k1", "f", "b", "v1", 1L)) // survives: different qualifier
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+    val marker = Seq(("k1", "f", KvDelete.VersionMarkerPrefix + "a", "v1", 1L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+    val out = KvDelete.applyVersionMarkers(cells.unionByName(marker))
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("v"), col("ts"))
+      .as[(String, String, String, String, Long)].collect().toSet
+    out shouldBe Set(
+      ("k1", "f", "a", "v2", 2L),
+      ("k1", "f", "a", "v1", 3L),
+      ("k2", "f", "a", "v1", 1L),
+      ("k1", "g", "a", "v1", 1L),
+      ("k1", "f", "b", "v1", 1L))
+    // byte-identical duplicates: one marker removes every copy (doc'd)
+    val dup = cells.filter(col("ts") === 1L && col("rowKey") === "k1" &&
+      col("family") === "f" && col("qualifier") === "a")
+    KvDelete.applyVersionMarkers(
+      cells.unionByName(dup).unionByName(marker))
+      .filter(col("rowKey") === "k1" && col("family") === "f" &&
+        col("qualifier") === "a" && col("ts") === 1L)
+      .count() shouldBe 0L
+  }
+
+  test("TTL drops reconstruct through the feed: baseline + changes == current") {
+    val dir = freshDir("ttl_feed")
+    val cells = twoVersions(250)
+    cells.filter(col("ts") < 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir) // seq 0
+    cells.filter(col("ts") >= 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir) // seq 1
+    // consumer checkpointed at seq 1; TTL pass at seq 2 erases every v1
+    val res = KvCompactor.compact(spark, dir, regions = 2,
+      cellPolicy = KvCompactor.CellPolicy(dropBelowTs = Some(100000L)))
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 250L
+    // fresh data after the pass: the span mixes adds and drops
+    twoVersions(250).filter(col("ts") >= 100000)
+      .withColumn("qualifier", lit("post"))
+      .write.format("graft-kv").option("regions", 2)
+      .mode("append").save(dir) // seq 3
+    val baseline = spark.read.format("graft-kv")
+      .option("asOfSeq", "1").load(dir)
+    val feed = spark.read.format("graft-kv")
+      .option("sinceSeq", "1").load(dir)
+    def keyed(df: DataFrame) = df
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("v"), col("ts"))
+      .as[(String, String, String, String, Long)].collect().toSet
+    keyed(KvDelete.applyVersionMarkers(baseline.unionByName(feed))) shouldBe
+      keyed(spark.read.format("graft-kv").load(dir))
+  }
+}

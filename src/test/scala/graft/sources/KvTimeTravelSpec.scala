@@ -94,7 +94,7 @@ class KvTimeTravelSpec extends graft.SparkSpec {
     // partial compaction gated at seq 2: entries 0,1 merged, entry 2 carried
     KvLog.recordTail(fs, table, "peer-tt", 2)
     val seq = KvCompactor.compact(spark, d, regions = 2) match {
-      case KvCompactor.Compacted(s, _, _) => s
+      case KvCompactor.Compacted(s, _, _, _) => s
       case p => fail(s"expected Compacted, got $p")
     }
     KvLog.floor(fs, table) shouldBe 2
@@ -124,7 +124,7 @@ class KvTimeTravelSpec extends graft.SparkSpec {
     // partial compaction gated at seq 2: entries 0,1 merge; 2,3 carry
     KvLog.recordTail(fs, table, "peer-lc", 2)
     val seq = KvCompactor.compact(spark, d, regions = 2) match {
-      case KvCompactor.Compacted(s, merged, _) => merged shouldBe 4; s
+      case KvCompactor.Compacted(s, merged, _, _) => merged shouldBe 4; s
       case p => fail(s"expected Compacted, got $p")
     }
     KvLog.floor(fs, table) shouldBe 2

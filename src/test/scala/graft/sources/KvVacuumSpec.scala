@@ -110,7 +110,7 @@ class KvVacuumSpec extends graft.SparkSpec {
     // racing in-flight scans planned pre-publish
     before.foreach(age(d, _))
     val seq = KvCompactor.compact(spark, d, regions = 2) match {
-      case KvCompactor.Compacted(s, merged, _) => merged shouldBe 4; s
+      case KvCompactor.Compacted(s, merged, _, _) => merged shouldBe 4; s
       case r => fail(s"expected Compacted, got $r")
     }
     val n = spark.read.format("graft-kv").load(d).count()
