@@ -1209,7 +1209,8 @@ object Queries {
       .option("asOfSeq", 0).load(path)
     val feed = spark.read.format("graft-kv")
       .option("sinceSeq", 0).load(path)
-    graft.sources.KvDelete.applyVersionMarkers(baseline.unionByName(feed))
+    graft.sources.KvDelete
+      .applyVersionMarkers(baseline.unionByName(feed), markerSource = feed)
       .select(col("rowKey"), col("qualifier"),
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }

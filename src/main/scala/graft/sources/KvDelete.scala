@@ -487,9 +487,20 @@ object KvDelete extends org.apache.spark.internal.Logging {
     * is drop-sized, so AQE broadcasts the anti join — no driver
     * materialization, no O(feed²).
     */
-  def applyVersionMarkers(cells: DataFrame): DataFrame = {
+  def applyVersionMarkers(cells: DataFrame): DataFrame =
+    applyVersionMarkers(cells, cells)
+
+  /** [[applyVersionMarkers]] with an explicit marker source: when the
+    * consumer KNOWS which leg of its composition can carry version
+    * markers (they ship only through change feeds — a baseline scan
+    * never holds one), passing just that leg keeps the marker
+    * derivation from rescanning the whole union (the baseline side at
+    * scale is the table; the feed side is O(changes)).
+    */
+  def applyVersionMarkers(cells: DataFrame, markerSource: DataFrame)
+      : DataFrame = {
     val isV = col("qualifier").startsWith(VersionMarkerPrefix)
-    val markers = cells.filter(isV).select(
+    val markers = markerSource.filter(isV).select(
       col("rowKey").as("_mr"), col("family").as("_mf"),
       expr(s"substring(qualifier, ${VersionMarkerPrefix.length + 1})").as("_mq"),
       col("value").as("_mv"), col("ts").as("_mt"))

@@ -490,6 +490,47 @@ object Scratch {
           Seq("user_id"), "lts", "rts", window = 10000000000L)
         time("range join 10M x 10M (100k keys)")(
           println("  matches = " + rj.count()))
+      case "scalebpe" =>
+        import org.apache.spark.sql.functions._
+        // BPE tokenization at production vocab scale: ~32k merges over
+        // 1M docs (40 words each, 50k-word vocabulary). The claim under
+        // test is the per-thread LRU memo's amortization
+        // (functions/Bpe.scala Table.countWordMemo): the 64k-entry memo
+        // holds the whole 50k-word working set, so steady-state cost is
+        // one hash probe per word INSTANCE and the real greedy merge
+        // runs only once per DISTINCT word per thread. The table is
+        // constructed directly (letters -> pairs -> pair+letter units,
+        // all pairs distinct) — training cost is a separate, already-
+        // benched path; tokenization is what scales with corpus size.
+        val letters = ('a' to 'z').map(_.toString)
+        val l2 = for (a <- letters; b <- letters) yield (a, b)
+        val l3 = for (ab <- l2.map { case (a, b) => a + b }; c <- letters)
+          yield (ab, c)
+        val l4 = for (a <- letters; bc <- l2.map { case (x, y) => x + y })
+          yield (a, bc)
+        val merges = (l2 ++ l3 ++ l4).take(32768)
+        val table = graft.functions.Bpe.Table(merges.toIndexedSeq)
+        println(s"[probe] merge table: ${merges.size} merges")
+        def word(wid: String) = "array_join(transform(sequence(0, 7), k -> " +
+          s"char(97 + CAST(abs(xxhash64($wid, k)) % 26 AS INT))), '')"
+        val docs = spark.range(1000000L).selectExpr(
+          "id AS doc_id",
+          "array_join(transform(sequence(1, 40), i -> " +
+            word("CAST(abs(xxhash64(id * 40 + i)) % 50000 AS BIGINT)") +
+            "), ' ') AS text")
+        val matDocs = docs.localCheckpoint()
+        val distinctWords = spark.range(50000L)
+          .selectExpr(s"${word("id")} AS text").localCheckpoint()
+        // cold: every word tokenized for real, once
+        time("50k distinct words (cold merges)")(
+          distinctWords.select(graft.ext.TextAnalysis
+            .bpeTokenCount(col("text"), table).as("n"))
+            .agg(sum(col("n"))).collect())
+        val total = time("1M docs x 40 words, 32k merges")(
+          matDocs.select(graft.ext.TextAnalysis
+            .bpeTokenCount(col("text"), table).as("n"))
+            .agg(sum(col("n"))).collect().head.getLong(0))
+        println(s"[probe] total tokens: $total")
       case "scaletxt" =>
         import org.apache.spark.sql.functions._
         // 500k synthetic docs through the single-pass text stack.

@@ -249,4 +249,32 @@ class KvProcedureSpec extends graft.SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
       include("invalid identifier")
   }
+
+  test("compact surfaces dropped_cells and enforce_policy opts out of retention") {
+    wh: Unit
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.p")
+    // two versions per key under a declared versions=1 retention
+    (1 to 40).flatMap(i => Seq(
+      (f"k$i%03d", "f", "a", s"old$i", i.toLong),
+      (f"k$i%03d", "f", "a", s"new$i", i + 1000L)))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .createOrReplaceTempView("proc_cells_t30")
+    spark.sql(
+      s"""CREATE TABLE $cat.p.t30 USING `graft-kv`
+         |TBLPROPERTIES ('regions' = '2', 'versions' = '1')
+         |AS SELECT * FROM proc_cells_t30""".stripMargin)
+    // opt OUT first: a logical-view-preserving merge, zero cells dropped
+    val off = spark.sql(s"CALL $cat.sys.compact(table => 'p.t30', " +
+      "enforce_policy => false)").collect().head
+    off.getString(0) shouldBe "compacted"
+    off.getLong(4) shouldBe 0L
+    spark.sql(s"SELECT count(*) FROM $cat.p.t30").head().getLong(0) shouldBe 80L
+    // default enforces the declared retention and REPORTS the side effect
+    val on = spark.sql(s"CALL $cat.sys.compact(table => 'p.t30')").collect().head
+    on.getString(0) shouldBe "compacted"
+    on.getLong(4) shouldBe 40L // the 40 superseded old versions
+    spark.sql(s"SELECT count(*) FROM $cat.p.t30").head().getLong(0) shouldBe 40L
+  }
 }
