@@ -187,6 +187,50 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("a dropping pass rebases drop files over an interleaved append") {
+    val dir = freshDir("rebase")
+    val cells = twoVersions(120)
+    cells.filter(col("ts") < 100000).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(dir) // seq 0
+    cells.filter(col("ts") >= 100000).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(dir) // seq 1
+    val tail = twoVersions(10).filter(col("ts") >= 100000)
+      .withColumn("qualifier", lit("late"))
+    // interleave a pure append between staging (drop files already
+    // renamed in, keyed by the pre-allocated seq) and the publish
+    KvCompactor.prePublishHook = () => {
+      KvCompactor.prePublishHook = () => ()
+      tail.write.format("graft-kv").option("regions", 1)
+        .mode("append").save(dir) // steals seq 2
+    }
+    val res =
+      try KvCompactor.compact(spark, dir, regions = 1,
+        cellPolicy = KvCompactor.CellPolicy(dropBelowTs = Some(100000L)))
+      finally KvCompactor.prePublishHook = () => ()
+    res shouldBe KvCompactor.Compacted(3L, merged = 2, into = 1,
+      dropped = 120L)
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    val entry = KvLog.read(fs, table, 3L).get
+    entry.contentDrop shouldBe true
+    // drop files re-keyed to the PUBLISHED seq; no pre-rebase strays
+    entry.dropFiles should not be empty
+    entry.dropFiles.foreach { n =>
+      n should startWith("drops-0000000003-")
+      assert(fs.exists(new Path(table, n)))
+    }
+    fs.listStatus(table).map(_.getPath.getName)
+      .count(n => n.startsWith("drops-") &&
+        !n.startsWith("drops-0000000003-")) shouldBe 0
+    // the feed over the rebased span still reconstructs exactly
+    val baseline = spark.read.format("graft-kv")
+      .option("asOfSeq", "1").load(dir)
+    val feed = spark.read.format("graft-kv")
+      .option("sinceSeq", "1").load(dir)
+    KvDelete.applyVersionMarkers(baseline.unionByName(feed), feed)
+      .count() shouldBe spark.read.format("graft-kv").load(dir).count()
+  }
+
   test("TTL drops reconstruct through the feed: baseline + changes == current") {
     val dir = freshDir("ttl_feed")
     val cells = twoVersions(250)
