@@ -677,6 +677,8 @@ object Queries {
       |  ('tail_marks', CAST(0 AS BIGINT)),
       |  ('tombstone_files', CAST(0 AS BIGINT)),
       |  ('live_tombstones', CAST(0 AS BIGINT)),
+      |  ('drop_files', CAST(0 AS BIGINT)),
+      |  ('drop_missing', CAST(0 AS BIGINT)),
       |  ('healthy', CAST(1 AS BIGINT)))
       |  AS t(check_name, n)""".stripMargin
 

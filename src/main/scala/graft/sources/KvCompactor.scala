@@ -298,7 +298,14 @@ object KvCompactor {
     // DROP-RECORD side files (CDC visibility — doc at the staging site
     // below). Ranking orders TTL-survivors first, so a keeper's rank
     // among survivors matches the old filter-then-rank semantics
-    // exactly.
+    // exactly. The sort is made TOTAL over distinct cells (family as
+    // the final tie-break — it is not a window key, per the documented
+    // (rowKey, qualifier) version-stack semantics): the keep side and
+    // the drop side are TWO independent jobs recomputing this window,
+    // so a non-total order could rank (ts, value)-tied cells of
+    // different families differently across the two runs and publish a
+    // drop record naming a cell the table kept. Fully identical cells
+    // remain interchangeable — either copy is the same bytes.
     var dropRecords: Option[org.apache.spark.sql.DataFrame] = None
     if (!cellPolicy.isNoop) {
       import org.apache.spark.sql.expressions.Window
@@ -309,7 +316,8 @@ object KvCompactor {
           mergeDf.withColumn("_tk", ttlKeep)
             .withColumn("_vn", row_number().over(Window
               .partitionBy("rowKey", "qualifier")
-              .orderBy(col("_tk").desc, col("ts").desc, col("value").asc)))
+              .orderBy(col("_tk").desc, col("ts").desc, col("value").asc,
+                col("family").asc)))
             .withColumn("_keep", col("_tk") && col("_vn") <= k)
             .drop("_tk", "_vn")
         case None => mergeDf.withColumn("_keep", ttlKeep)
@@ -345,7 +353,7 @@ object KvCompactor {
     // flag), paid only on the rare policy-compact path; the drop side is
     // coalesced to the output region count so a mostly-expired tier
     // still writes bounded files.
-    var dropsPub = Seq.empty[String]
+    var dropsPub = Seq.empty[(String, KvLog.FileStat)]
     var droppedCount = 0L
     dropRecords.foreach { dr =>
       val dropTmp = new Path(tmp, "_drops")
@@ -356,14 +364,25 @@ object KvCompactor {
         .write.mode("overwrite").parquet(dropTmp.toString)
       droppedCount = obs.get("n").asInstanceOf[Long]
       if (droppedCount > 0) {
-        val staged = fs.listStatus(dropTmp).toSeq.map(_.getPath)
-          .filter(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet")).sortBy(_.getName)
-        dropsPub = staged.zipWithIndex.map { case (f, i) =>
+        val staged = fs.listStatus(dropTmp).toSeq
+          .filter(st => st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val conf = spark.sessionState.newHadoopConf()
+        dropsPub = staged.zipWithIndex.map { case (st, i) =>
           val target = new Path(dir, f"drops-$expectSeq%010d-$i%05d.parquet")
-          if (!fs.rename(f, target)) throw new IllegalStateException(
+          // rows from the footer (one driver-side open per drop file on
+          // the rare policy-compact path): with r=/b= on the `!` line,
+          // the tail's size-capped admission reads the manifest instead
+          // of paying a getFileStatus per drop file per batch plan.
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          val rows = try fr.getRecordCount finally fr.close()
+          if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
             s"graft-kv compaction: drop-record rename to $target failed")
-          target.getName
+          target.getName -> KvLog.FileStat(rows, st.getLen,
+            None, None, None, None)
         }
       }
     }
@@ -416,7 +435,8 @@ object KvCompactor {
       val pending = KvLog.removalTimes(fs, dir)
         .filter { case (n, _) => fs.exists(new Path(dir, n)) }
       val entryStats = (merged.collect { case (n, Some(st)) => n -> st } ++
-        carrySet.flatMap(n => liveStats.get(n).map(n -> _))).toMap ++ extraStats
+        carrySet.flatMap(n => liveStats.get(n).map(n -> _)) ++
+        dropsPub).toMap ++ extraStats
       try {
         val seq = KvLog.append(fs, dir,
           adds = merged.map(_._1) ++ carrySet ++ extraAdds,
@@ -431,7 +451,7 @@ object KvCompactor {
           // publishes a plain merge, and plain merges (and marker/
           // masked-cell purges) preserve the masked logical view and
           // stay CDC-transparent.
-          contentDrop = droppedCount > 0, dropFiles = dropsPub)
+          contentDrop = droppedCount > 0, dropFiles = dropsPub.map(_._1))
         // Merged-away segments stay on disk for in-flight readers (see the
         // publish protocol above).
         return Compacted(seq, merged = mergeSet.size, into = merged.size,
@@ -451,7 +471,8 @@ object KvCompactor {
             // never saw the staged files (manifest-planned).
             merged.foreach { case (n, _) =>
               fs.delete(new Path(dir, n), false): Unit }
-            dropsPub.foreach(n => fs.delete(new Path(dir, n), false): Unit)
+            dropsPub.foreach { case (n, _) =>
+              fs.delete(new Path(dir, n), false): Unit }
             return Aborted(
               if (conflicts.nonEmpty)
                 s"concurrent commit at seq ${conflicts.head.seq} removed " +
@@ -468,13 +489,13 @@ object KvCompactor {
                 s"graft-kv compaction: rebase rename to $target failed")
             target -> st
           }
-          dropsPub = dropsPub.zipWithIndex.map { case (n, i) =>
+          dropsPub = dropsPub.zipWithIndex.map { case ((n, st), i) =>
             val target = f"drops-$next%010d-$i%05d.parquet"
             if (!fs.rename(new Path(dir, n), new Path(dir, target)))
               throw new IllegalStateException(
                 s"graft-kv compaction: drop-record rebase rename to " +
                   s"$target failed")
-            target
+            target -> st
           }
           expect = next
       }

@@ -55,10 +55,21 @@ object KvFsck {
         * like tailMarks, not a health failure.
         */
       tombstoneFiles: Long = 0L,
-      liveTombstones: Long = 0L) {
+      liveTombstones: Long = 0L,
+      /** RETENTION DROP-RECORD side files ([[KvLog.Entry.dropFiles]],
+        * r17): how many a retained entry references, and how many of
+        * those are MISSING from disk. A missing drop file is a health
+        * failure: every CDC span / tail crossing its entry dies mid-read
+        * with FileNotFound instead of a planned refusal, and nothing can
+        * regenerate the records (the dropped bytes are gone) — the
+        * operator's recovery is re-baselining the affected consumers.
+        */
+      dropFiles: Long = 0L,
+      dropMissing: Long = 0L) {
     /** No referenced file is missing and no manifest stat is corrupt. */
     def healthy: Boolean =
-      liveMissing == 0 && snapshotMissing == 0 && boundsInverted == 0
+      liveMissing == 0 && snapshotMissing == 0 && boundsInverted == 0 &&
+        dropMissing == 0
     /** The (check, value) rows a report prints / the fsck query emits. */
     def rows: Seq[(String, Long)] = Seq(
       "live_files" -> liveFiles,
@@ -75,6 +86,8 @@ object KvFsck {
       "tail_marks" -> tailMarks,
       "tombstone_files" -> tombstoneFiles,
       "live_tombstones" -> liveTombstones,
+      "drop_files" -> dropFiles,
+      "drop_missing" -> dropMissing,
       "healthy" -> (if (healthy) 1L else 0L))
   }
 
@@ -258,6 +271,7 @@ object KvFsck {
       s"graft-kv fsck: $path has no manifest log — consistency is undefined " +
         "for legacy/externally-staged directories (every file is 'live')")
     val TableSets(live, removals, snapRefs, onDisk) = tableSets(fs, dir)
+    val dropRefs = KvLog.referencedDropFiles(fs, dir)
     val stats = KvLog.liveFileStats(fs, dir)
     val scratch = fs.listStatus(dir).filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -277,7 +291,9 @@ object KvFsck {
         s.minKey.zip(s.maxKey).exists { case (lo, hi) => lo > hi }),
       tailMarks = KvLog.tailPositions(fs, dir).size,
       tombstoneFiles = stats.valuesIterator.count(_.tombstones > 0),
-      liveTombstones = stats.valuesIterator.map(_.tombstones).sum)
+      liveTombstones = stats.valuesIterator.map(_.tombstones).sum,
+      dropFiles = dropRefs.size,
+      dropMissing = dropRefs.count(n => !fs.exists(new Path(dir, n))))
     // The accounting model as an executable identity: the four buckets
     // PARTITION the on-disk set, so their sizes must tile it exactly. A
     // failure here is a bug in fsck itself, never in the table.

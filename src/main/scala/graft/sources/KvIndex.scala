@@ -812,11 +812,24 @@ object KvIndex {
     * correctness never depends on a hit.
     */
   private val liveStatsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Seq[(String, Option[KvLog.FileStat])]]()
+    (String, Long, Long), Seq[(String, Option[KvLog.FileStat])]]()
 
   private def cachedLiveStats(fs: FileSystem,
       dir: Path): Seq[(String, Option[KvLog.FileStat])] = {
-    val key = (dir.toString, KvLog.latestSeq(fs, dir))
+    val latest = KvLog.latestSeq(fs, dir)
+    // The latest ENTRY's mtime joins the key: (path, seq) alone collides
+    // when a table is deleted and recreated at the same path through the
+    // same deterministic commit sequence (the standard staging pattern),
+    // and the memo would then price ranges against the dead table's
+    // stats for the rest of the JVM. The mtime probe is one getFileStatus
+    // — the same cost class as the latestSeq hint read beside it.
+    val mtime =
+      if (latest < 0) -1L
+      else try fs.getFileStatus(
+        new Path(new Path(dir, KvLog.LogDirName), f"$latest%020d"))
+        .getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val key = (dir.toString, latest, mtime)
     if (liveStatsCache.size > 512) liveStatsCache.clear()
     liveStatsCache.computeIfAbsent(key,
       _ => KvLog.liveFilesWithStats(fs, dir))

@@ -236,8 +236,13 @@ case class KvIndexRouting(session: SparkSession)
             v: AttributeReference, ord), _, false, None, _)
           if attrIn(v, "value", relOut) && (ord match {
             case t: AttributeReference => attrIn(t, "ts", relOut)
-            case CaseWhen(Seq((EqualTo(_: AttributeReference, _), _)), None) =>
-              true
+            // mirror the routable shape exactly (qualifier = 'q' THEN ts):
+            // an unrelated conditional ordinal is not "the same pivot one
+            // spelling away", and advising a max_by_ts rewrite there
+            // would be false guidance
+            case CaseWhen(Seq((EqualTo(qa: AttributeReference, Literal(_, StringType)),
+                t: AttributeReference)), None) =>
+              attrIn(qa, "qualifier", relOut) && attrIn(t, "ts", relOut)
             case _ => false
           }) =>
         logInfo("graft-kv index routing: pivot spelled with built-in " +

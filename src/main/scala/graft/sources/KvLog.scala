@@ -1055,24 +1055,6 @@ private[graft] object KvLog {
         "cells) that recorded no drop files — not expressible as a " +
         "change feed. Re-baseline from a full scan (or an asOfSeq read).")
 
-  /** Seqs in `(fromExclusive, toInclusive]` whose entry is an OPAQUE
-    * content-dropping compaction (drop flag, no drop-record files — the
-    * pre-r17 shape) — the eager probe incremental consumers
-    * ([[graft.sources.KvIndex]]) use to REBUILD instead of hitting the
-    * CDC refusal at plan time. Drop entries WITH drop files are not
-    * returned: their spans serve incrementally (the drop records ride
-    * the feed as version markers). O(span) entry reads, like
-    * [[KvSalt.declsIn]]; spans are maintenance-lag-sized in practice
-    * (and the reads warm the same entries changedFiles replays next).
-    * No horizon shortcut: gated PARTIAL compactions keep older compact
-    * entries replayable inside the span, and any of them may be a drop.
-    */
-  def opaqueDropsIn(fs: FileSystem, table: Path, fromExclusive: Long,
-      toInclusive: Long): Seq[Long] =
-    (fromExclusive + 1 to toInclusive).flatMap(s =>
-      read(fs, table, s).filter(e => e.contentDrop && e.dropFiles.isEmpty)
-        .map(_.seq))
-
   /** Every drop-record file some RETAINED entry references — the vacuum
     * exclusion set ([[KvVacuum]] reclaims `drops-*` strays a crashed
     * publish left behind, and must never touch one a live entry still

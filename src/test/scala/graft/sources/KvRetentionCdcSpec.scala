@@ -99,6 +99,16 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     recs.filter(col("qualifier")
       .startsWith(KvDelete.VersionMarkerPrefix)).count() shouldBe 300L
     recs.agg(max("ts")).head().getLong(0) should be < 100000L // only v1 dropped
+    // fsck accounts the referenced drop files; losing one is a health
+    // failure (CDC spans would die mid-read with no planned refusal)
+    val rep = KvFsck.check(spark, dir)
+    rep.dropFiles shouldBe entry.dropFiles.size.toLong
+    rep.dropMissing shouldBe 0L
+    rep.healthy shouldBe true
+    fs.delete(new Path(table, entry.dropFiles.head), false) shouldBe true
+    val broken = KvFsck.check(spark, dir)
+    broken.dropMissing shouldBe 1L
+    broken.healthy shouldBe false
   }
 
   test("vacuum spares referenced drop files and reclaims strays; truncate reclaims with the entry") {
