@@ -1217,6 +1217,38 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
+  /** RAW REPLICATION across a retention pass (r17 — the HBase
+    * replication-peer contract, deletes replicate as cells): the
+    * ttl_compact staging's baseline and its change feed (exact-version
+    * drop markers included) land on a REPLICA table through the
+    * ordinary sink, and the replica's scan must equal the retention-
+    * compacted source — the replicated markers MASK the dropped
+    * versions at read time ([[graft.sources.KvDelete.Mask]] version
+    * entries, HBase `KeyValue.Type.Delete` semantics), and the
+    * replica's own compaction later applies and purges them
+    * (spec-pinned; this query gates the read-time half under the
+    * DuckDB oracle — same expected state as `kv_ttl_compact`). A feed
+    * that lost drops would leave the replica serving dead versions;
+    * over-masking would lose live ones — both hash-mismatch.
+    */
+  def kvReplicatedRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureTtlCompactCells(spark, sfDir)
+    val path = artifacts.computeIfAbsent(s"replicated_retention|$sfDir", _ => {
+      val p = artifactPath("replicated_retention", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      spark.read.format("graft-kv").option("asOfSeq", 0).load(src)
+        .write.format("graft-kv").option("regions", 4)
+        .mode("append").save(p)
+      spark.read.format("graft-kv").option("sinceSeq", 0).load(src)
+        .write.format("graft-kv").option("regions", 1)
+        .option("allowTombstones", "true").mode("append").save(p)
+      p
+    })
+    spark.read.format("graft-kv").load(path).select(
+      col("rowKey"), col("qualifier"),
+      decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
   private val TtlCompactCutoff = VersionRecords * 10 / 2
 
   /** r15: DECLARATIVE retention — `versions` pinned as a TBLPROPERTY at
@@ -5402,6 +5434,7 @@ object Queries {
     "kv_snapshot_restore" -> (kvSnapshotRestore _),
     "kv_ttl_compact" -> (kvTtlCompact _),
     "kv_retention_changes" -> (kvRetentionChanges _),
+    "kv_replicated_retention" -> (kvReplicatedRetention _),
     "kv_retention_decl" -> (kvRetentionDecl _),
     "kv_delete_mask" -> (kvDeleteMask _),
     "kv_delete_compact" -> (kvDeleteCompact _),
@@ -5572,6 +5605,8 @@ object Queries {
     // same expected state as kv_ttl_compact: the CDC reconstruction must
     // land exactly on the post-retention table
     "kv_retention_changes" -> kvTtlCompactSql,
+    // and the replica fed baseline + raw feed must converge on it too
+    "kv_replicated_retention" -> kvTtlCompactSql,
     "kv_retention_decl" -> kvRetentionDeclSql,
     "kv_delete_mask" -> kvDeleteMaskSql,
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied

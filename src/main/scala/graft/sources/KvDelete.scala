@@ -69,9 +69,13 @@ object KvDelete extends org.apache.spark.internal.Logging {
     * so a CDC span crossing the pass can ship the drops (the Delta CDF
     * delete-row shape), and feed consumers absorb them with
     * [[applyVersionMarkers]]. They never enter a table's live segment
-    * set through any engine path; if a raw replication pipe copies them
-    * into one, the scan-side mask ignores them (unknown marker kind =
-    * no-op) and a compaction rewrite purges them.
+    * set through any engine path — but a raw replication pipe MAY copy
+    * them into one (the HBase replication shape: Deletes ship as cells
+    * and the TARGET masks and later compacts them), and then the
+    * scan-side mask hides the named version ([[Mask.masked]], value-
+    * blind like HBase) and a compaction rewrite applies and purges them
+    * — a replica fed baseline + change feed CONVERGES with its
+    * retention-compacted source.
     */
   val VersionMarkerPrefix = "\u0000v"
   /** Row markers mask every family; their own family slot is reserved. */
@@ -353,9 +357,20 @@ object KvDelete extends org.apache.spark.internal.Logging {
   final class Mask(
       val rowTs: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long],
       val colTs: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
-        java.util.HashMap[ColKey, java.lang.Long]]) extends Serializable {
+        java.util.HashMap[ColKey, java.lang.Long]],
+      /** EXACT-VERSION masks ([[VersionMarkerPrefix]], r17): a replicated
+        * retention drop record masks the single version at its
+        * coordinate + ts — the HBase `KeyValue.Type.Delete` semantics.
+        * Value-BLIND like HBase (the marker reader ships no values): if
+        * a table holds two same-ts different-value cells at one
+        * coordinate and the source dropped only one, both mask — a
+        * degenerate corner the LWW view cannot observe anyway.
+        */
+      val versionKs: java.util.HashSet[VersionKey] =
+        new java.util.HashSet[VersionKey]()) extends Serializable {
 
-    def isEmpty: Boolean = rowTs.isEmpty && colTs.isEmpty
+    def isEmpty: Boolean =
+      rowTs.isEmpty && colTs.isEmpty && versionKs.isEmpty
 
     /** Whether a put at this coordinate is masked. */
     def masked(rowKey: org.apache.spark.unsafe.types.UTF8String,
@@ -364,15 +379,27 @@ object KvDelete extends org.apache.spark.internal.Logging {
       val r = rowTs.get(rowKey)
       if (r != null && ts <= r.longValue()) return true
       val byCol = colTs.get(rowKey)
-      if (byCol == null) return false
-      val c = byCol.get(ColKey(family, qualifier))
-      c != null && ts <= c.longValue()
+      if (byCol != null) {
+        val c = byCol.get(ColKey(family, qualifier))
+        if (c != null && ts <= c.longValue()) return true
+      }
+      !versionKs.isEmpty &&
+        versionKs.contains(VersionKey(rowKey, family, qualifier, ts))
     }
   }
 
   final case class ColKey(
       family: org.apache.spark.unsafe.types.UTF8String,
       qualifier: org.apache.spark.unsafe.types.UTF8String) extends Serializable
+
+  /** One exact-version mask entry: the TARGET coordinate (qualifier
+    * already stripped of [[VersionMarkerPrefix]]) plus the version ts.
+    */
+  final case class VersionKey(
+      rowKey: org.apache.spark.unsafe.types.UTF8String,
+      family: org.apache.spark.unsafe.types.UTF8String,
+      qualifier: org.apache.spark.unsafe.types.UTF8String,
+      ts: Long) extends Serializable
 
   /** Stream the marker rows physically residing in `files` — the ONE
     * marker-segment reader (pushed `qualifier < "\u0001"` record filter,
@@ -415,6 +442,7 @@ object KvDelete extends org.apache.spark.internal.Logging {
     import org.apache.spark.unsafe.types.UTF8String
     val rowTs = new java.util.HashMap[UTF8String, java.lang.Long]()
     val colTs = new java.util.HashMap[UTF8String, java.util.HashMap[ColKey, java.lang.Long]]()
+    val versions = new java.util.HashSet[VersionKey]()
     markers.foreach { case (rk, f, q, ts) =>
       val key = UTF8String.fromString(rk)
       if (q == RowMarkerQualifier) {
@@ -431,11 +459,14 @@ object KvDelete extends org.apache.spark.internal.Logging {
         val prev = byCol.get(ck)
         if (prev == null || prev.longValue() < ts) byCol.put(ck, ts)
       }
+      else if (q.startsWith(VersionMarkerPrefix)) {
+        versions.add(VersionKey(key, UTF8String.fromString(f),
+          UTF8String.fromString(q.substring(VersionMarkerPrefix.length)), ts))
+      }
       // any other reserved qualifier: unknown marker kind from a newer
-      // writer — unreachable today (the sink only admits what this API
-      // writes), tolerated as no-op for forward compatibility
+      // writer — tolerated as no-op for forward compatibility
     }
-    new Mask(rowTs, colTs)
+    new Mask(rowTs, colTs, versions)
   }
 
   /** Split a cell frame into (masked puts, compacted markers) — the
@@ -458,6 +489,16 @@ object KvDelete extends org.apache.spark.internal.Logging {
         col("ts"))
       .groupBy(col("rowKey"), col("family"), col("qualifier"))
       .agg(max(col("ts")).as("_cts"))
+    // EXACT-VERSION markers (replicated retention drops): applied to the
+    // merged puts by coordinate + ts (value-blind, matching the
+    // scan-side mask), and DISTINCT-carried rather than newest-per-
+    // coordinate — each names one version, so compressing to the newest
+    // would un-delete the older dropped versions.
+    val verM = markers.filter(col("qualifier").startsWith(VersionMarkerPrefix))
+      .select(col("rowKey").as("_vr"), col("family").as("_vf"),
+        expr(s"substring(qualifier, ${VersionMarkerPrefix.length + 1})").as("_vq"),
+        col("ts").as("_vt"))
+      .distinct()
     val survivors = puts
       .join(rowM, Seq("rowKey"), "left")
       .filter(col("_rts").isNull || col("ts") > col("_rts"))
@@ -465,6 +506,10 @@ object KvDelete extends org.apache.spark.internal.Logging {
       .join(colM, Seq("rowKey", "family", "qualifier"), "left")
       .filter(col("_cts").isNull || col("ts") > col("_cts"))
       .drop("_cts")
+      .join(verM,
+        col("rowKey") === col("_vr") && col("family") === col("_vf") &&
+          col("qualifier") === col("_vq") && col("ts") === col("_vt"),
+        "left_anti")
     val compactedMarkers =
       rowM.select(col("rowKey"), lit(AllFamilies).as("family"),
         lit(RowMarkerQualifier).as("qualifier"),
@@ -472,6 +517,10 @@ object KvDelete extends org.apache.spark.internal.Logging {
         .unionByName(colM.select(col("rowKey"), col("family"),
           concat(lit(ColMarkerPrefix), col("qualifier")).as("qualifier"),
           lit(null).cast(BinaryType).as("value"), col("_cts").as("ts")))
+        .unionByName(verM.select(col("_vr").as("rowKey"),
+          col("_vf").as("family"),
+          concat(lit(VersionMarkerPrefix), col("_vq")).as("qualifier"),
+          lit(null).cast(BinaryType).as("value"), col("_vt").as("ts")))
     (survivors, compactedMarkers)
   }
 

@@ -403,16 +403,27 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     if (tombFiles.isEmpty) return None
     val newest =
       new java.util.HashMap[(String, String, String), java.lang.Long]()
+    // Exact-version markers (replicated retention drops) are kept
+    // DISTINCT, not newest-per-coordinate: each names one version, so
+    // the ts<= compression that is lossless for row/column markers
+    // would un-delete the older dropped versions.
+    val versions = new java.util.HashSet[(String, String, String, Long)]()
     KvDelete.foreachMarkerRow(conf.value, tombFiles.map(n => new Path(dir, n))) {
       (rk, fam, q, ts) =>
-        val key = (rk, fam, q)
-        val prev = newest.get(key)
-        if (prev == null || prev.longValue() < ts) newest.put(key, ts)
+        if (q.startsWith(KvDelete.VersionMarkerPrefix)) {
+          versions.add((rk, fam, q, ts)): Unit
+        } else {
+          val key = (rk, fam, q)
+          val prev = newest.get(key)
+          if (prev == null || prev.longValue() < ts) newest.put(key, ts)
+        }
     }
     import scala.jdk.CollectionConverters._
     // sink file order: (rowKey, qualifier) — family disambiguates ties
-    val sorted = newest.asScala.toSeq.sortBy { case ((rk, fam, q), _) =>
-      (rk, q, fam)
+    val sorted = (newest.asScala.toSeq.map { case ((rk, fam, q), ts) =>
+      (rk, fam, q, ts.longValue())
+    } ++ versions.asScala.toSeq).sortBy { case (rk, fam, q, ts) =>
+      (rk, q, fam, ts)
     }
     // partitionId -1 stages as "part-r--0001-…": the sign keeps the name
     // outside the non-negative demux slot namespace, so a salted rewrite
@@ -424,10 +435,10 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       codec = codec, allowTombstones = true)
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String
-    sorted.foreach { case ((rk, fam, q), ts) =>
+    sorted.foreach { case (rk, fam, q, ts) =>
       writer.write(new GenericInternalRow(Array[Any](
         UTF8String.fromString(rk), UTF8String.fromString(fam),
-        UTF8String.fromString(q), null, ts.longValue())))
+        UTF8String.fromString(q), null, ts)))
     }
     writer.commit() match {
       case KvFileCommit(f, _, st) if f.nonEmpty => Some((f, st))

@@ -162,6 +162,43 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     }
   }
 
+  test("a raw replication pipe converges: feed markers mask on the target and compact away") {
+    val src = freshDir("repl_src")
+    twoVersions(150).write.format("graft-kv").option("regions", 2)
+      .mode("overwrite").save(src) // seq 0
+    val res = KvCompactor.compact(spark, src, regions = 2,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 150L
+    // the HBase replication shape: baseline + raw change feed (markers
+    // included) land on the target through the ordinary sink
+    val dst = freshDir("repl_dst")
+    spark.read.format("graft-kv").option("asOfSeq", "0").load(src)
+      .write.format("graft-kv").option("regions", 2)
+      .mode("append").save(dst)
+    spark.read.format("graft-kv").option("sinceSeq", "0").load(src)
+      .write.format("graft-kv").option("regions", 1)
+      .option("allowTombstones", "true").mode("append").save(dst)
+    def scanned(dir: String) = spark.read.format("graft-kv").load(dir)
+      .select("rowKey", "family", "qualifier", "value", "ts")
+      .as[(String, String, String, Array[Byte], Long)].collect()
+      .map(r => (r._1, r._2, r._3, new String(r._4, "UTF-8"), r._5)).toSet
+    // read-time convergence: the replicated exact-version markers MASK
+    // the dropped versions (the HBase Delete semantics)
+    scanned(dst) shouldBe scanned(src)
+    val fs = fsOf(dst)
+    KvLog.liveFileStats(fs, new Path(dst)).values
+      .map(_.tombstones).sum should be > 0L
+    // physical convergence: the target's own major compaction APPLIES
+    // the version markers (dropping the masked puts) and purges them
+    KvCompactor.compact(spark, dst, regions = 1) shouldBe
+      a[KvCompactor.Compacted]
+    KvLog.liveFileStats(fs, new Path(dst)).values
+      .map(_.tombstones).sum shouldBe 0L
+    spark.read.format("graft-kv").option("readTombstones", "true").load(dst)
+      .count() shouldBe 150L // 150 retained puts, zero marker cells
+    scanned(dst) shouldBe scanned(src)
+  }
+
   test("applyVersionMarkers removes exactly the named versions") {
     val cells = Seq(
       ("k1", "f", "a", "v1", 1L), // dropped: exact match below
