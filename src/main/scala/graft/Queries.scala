@@ -3888,29 +3888,50 @@ object Queries {
     */
   def txtBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    TextAnalysis.trainBpe(docs(spark, sfDir), "text", numMerges = 48)
+    // SF-INDEPENDENT training corpus (r17): the merge loop is an
+    // iterated global argmax no SQL oracle can replay, so the oracle is
+    // the literal expected merge table — and a literal must hold at
+    // EVERY scale factor, so the trainer's input is this fixed
+    // deterministic corpus rather than the SF-sized documents table
+    // (whose text differs per SF; `txt_bpe_tokens` / `pipe_pack_bpe`
+    // keep exercising the tokenizer over the real corpus, under oracles
+    // that recompute). Zipf-ish weights make the merge order
+    // discriminating: a trainer that mis-ranked pair counts or broke
+    // ties wrong reorders the table and hash-mismatches.
+    val vocab = Seq("customer" -> 9, "order" -> 8, "vector" -> 7,
+      "merge" -> 6, "filter" -> 6, "column" -> 5, "batch" -> 5,
+      "scan" -> 4, "hash" -> 4, "join" -> 3, "row" -> 3,
+      "small" -> 2, "slow" -> 2)
+    val words = vocab.flatMap { case (w, n) => Seq.fill(n)(w) }
+    val corpus = (0 until 200).map { i =>
+      (i.toLong,
+        (0 until 12).map(k => words((i * 7 + k * 13) % words.length))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    TextAnalysis.trainBpe(corpus, "text", numMerges = 48)
       .merges.zipWithIndex
       .map { case ((a, b), i) => (i + 1L, a, b) }
       .toDF("merge_rank", "lhs", "rhs")
   }
 
-  /** Expected merges at sf0.01, rank order; regenerate with
-    * `runMain graft.Verify /root/testdata/sf0.01 /tmp/v txt_bpe_train`
-    * after any fixture or trainer change.
+  /** Expected merges over the fixed training corpus above — identical
+    * at every SF; regenerate with
+    * `runMain graft.Verify <any sfDir> /tmp/v txt_bpe_train`
+    * after any trainer change.
     */
   private val txtBpeTrainSql: String = {
     val rows = Seq(
-      ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
-      ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
-      ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
-      ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
-      ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
-      ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
-      ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
-      ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
-      ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
-      ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
-      ("e", "ctor"), ("or", "der"), ("v", "ector"))
+      ("e", "r"), ("t", "o"), ("m", "er"), ("c", "u"), ("cu",
+      "s"), ("cus", "to"), ("custo", "mer"), ("d", "er"), ("o",
+      "r"), ("or", "der"), ("c", "to"), ("cto", "r"), ("e",
+      "ctor"), ("v", "ector"), ("g", "e"), ("mer", "ge"), ("f",
+      "i"), ("fi", "l"), ("fil", "t"), ("filt", "er"), ("c", "o"),
+      ("co", "l"), ("col", "u"), ("colu", "m"), ("colum", "n"),
+      ("a", "t"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("o",
+      "w"), ("a", "n"), ("c", "an"), ("s", "can"), ("a", "s"),
+      ("as", "h"), ("h", "ash"), ("i", "n"), ("j", "o"), ("jo",
+      "in"), ("r", "ow"), ("a", "l"), ("al", "l"), ("m", "all"),
+      ("s", "mall"), ("l", "ow"), ("s", "low"))
     val values = rows.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }
       .mkString(",\n  ")

@@ -490,6 +490,38 @@ object Scratch {
           Seq("user_id"), "lts", "rts", window = 10000000000L)
         time("range join 10M x 10M (100k keys)")(
           println("  matches = " + rj.count()))
+      case "scaleretention" =>
+        import org.apache.spark.sql.functions._
+        // Retention CDC at scale: a 20M-cell table (2M keys x 10
+        // versions), TTL pass dropping half. Prices the three legs the
+        // r17 design adds on top of the plain rewrite: the second
+        // (negated-keep) read staging the drop records, the CDC span
+        // read shipping them, and the consumer-side reconstruction
+        // (baseline ∪ feed + broadcast anti join).
+        val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/retention20m"
+        graft.sinks.Sinks.deleteRecursive(spark, d)
+        val cells = spark.range(20000000L).selectExpr(
+          "lpad(CAST(id % 2000000 AS STRING), 8, '0') AS rowKey",
+          "'f' AS family", "'amt' AS qualifier",
+          "encode(CAST(id AS STRING), 'UTF-8') AS value",
+          "CAST(id DIV 2000000 AS BIGINT) AS ts")
+        time("stage 20M cells (16 regions)")(
+          cells.write.format("graft-kv").option("regions", 16)
+            .mode("append").save(d))
+        val res = time("TTL pass dropping 10M of 20M")(
+          graft.sources.KvCompactor.compact(spark, d, regions = 16,
+            cellPolicy = graft.sources.KvCompactor.CellPolicy(
+              dropBelowTs = Some(5L))))
+        println(s"[probe] $res")
+        val feed = spark.read.format("graft-kv").option("sinceSeq", "0").load(d)
+        time("CDC span read (10M drop records)")(
+          println(s"[probe] feed rows: ${feed.count()}"))
+        val baseline = spark.read.format("graft-kv")
+          .option("asOfSeq", "0").load(d)
+        time("consumer reconstruction (baseline ∪ feed, anti join)")(
+          println(s"[probe] reconstructed rows: " +
+            graft.sources.KvDelete.applyVersionMarkers(
+              baseline.unionByName(feed), feed).count()))
       case "scalebpe" =>
         import org.apache.spark.sql.functions._
         // BPE tokenization at production vocab scale: ~32k merges over
