@@ -278,6 +278,52 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
       .count() shouldBe spark.read.format("graft-kv").load(dir).count()
   }
 
+  test("drop entries are admitted atomically under tail batch caps") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("atomic")
+    val cells = twoVersions(80)
+    cells.filter(col("ts") < 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir) // seq 0
+    cells.filter(col("ts") >= 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir) // seq 1
+    // maxFilesPerBatch=1 forces the smallest batches the tail allows —
+    // the drop entry must still be admitted WHOLE (never parked
+    // mid-entry, where the resume index would misread as a fresh-start
+    // mid-delivery of the entry's different adds list)
+    val out = freshDir("atomic_out")
+    val ckpt = freshDir("atomic_ckpt")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-kv")
+        .option("maxFilesPerBatch", 1).load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // consume the two appends, checkpointed
+    // versions pass with 2 output regions: the rank window shuffles, so
+    // the coalesce(regions) drop write lands 2 non-empty files. AQE is
+    // disabled for the staging only — at test scale it coalesces the
+    // tiny shuffle to one partition and the test NEEDS a multi-file
+    // drop entry (at real scale multiple files are the norm).
+    val res = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      KvCompactor.compact(spark, dir, regions = 2,
+        cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 80L
+    val fs = fsOf(dir)
+    val entry = KvLog.read(fs, new Path(dir),
+      KvLog.latestSeq(fs, new Path(dir))).get
+    assert(entry.dropFiles.size > 1,
+      s"staging must produce multiple drop files, got ${entry.dropFiles}")
+    run() // resume: crosses the drop entry under the 1-file cap
+    val consumed = spark.read.parquet(out)
+    consumed.count() shouldBe 240L // 160 puts + 80 drop markers, no dupes
+    consumed.filter(col("qualifier")
+      .startsWith(KvDelete.VersionMarkerPrefix)).count() shouldBe 80L
+  }
+
   test("TTL drops reconstruct through the feed: baseline + changes == current") {
     val dir = freshDir("ttl_feed")
     val cells = twoVersions(250)
