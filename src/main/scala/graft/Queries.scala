@@ -562,10 +562,56 @@ object Queries {
     val state = spark.read.parquet(statePath)
     val delta = spark.read.format("graft-kv").option("sinceSeq", 1).load(path)
       .select("rowKey", "family", "qualifier", "value", "ts")
-    val merged = lww(state.unionByName(delta))
+    // The MARKER-SAFE merge recipe (r17): the feed ships raw markers —
+    // row/column tombstones from deletes, exact-version records from a
+    // retention pass — and a consumer that merged them as cells would
+    // either emit reserved-qualifier rows or silently keep deleted
+    // state. applyMarkers masks the union and drops the markers
+    // themselves; this staging carries none (the no-op path costs one
+    // broadcast of an empty mask), and `kv_state_merge_retention` gates
+    // the marker-carrying case.
+    val merged = lww(graft.sources.KvDelete
+      .applyMarkers(state.unionByName(delta))._1)
     val piv = KvPivot.pivot(merged, EventCols, family = Some("f"))
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
+
+  /** The state+delta merge recipe CROSSING A RETENTION PASS (r17): the
+    * materialized LWW cell state of version 0 merged with the
+    * `(0, latest]` feed — whose content is the pass's exact-version drop
+    * records — must equal the LWW view of the post-retention table. The
+    * marker-safe recipe ([[graft.sources.KvDelete.applyMarkers]] over
+    * state ∪ delta) drops state entries the pass erased and discards the
+    * marker cells; a consumer that skipped application would emit the
+    * reserved-qualifier marker rows (extra rows → hash mismatch), and
+    * one that over-applied would lose live winners. Oracle: the
+    * TTL+versions retained set reduced to its per-coordinate LWW row,
+    * with the byte-max value tie-break spelled out.
+    */
+  def kvStateMergeRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureTtlCompactCells(spark, sfDir)
+    def lww(cells: DataFrame): DataFrame =
+      cells.groupBy("rowKey", "family", "qualifier")
+        .agg(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")).as("value"),
+          max("ts").as("ts"))
+    val state = lww(spark.read.format("graft-kv")
+      .option("asOfSeq", 0).load(path))
+    val delta = spark.read.format("graft-kv").option("sinceSeq", 0).load(path)
+      .select("rowKey", "family", "qualifier", "value", "ts")
+    lww(graft.sources.KvDelete.applyMarkers(state.unionByName(delta))._1)
+      .select(col("rowKey"), col("qualifier"),
+        decode(col("value"), "UTF-8").as("value"), col("ts"))
+  }
+
+  private lazy val kvStateMergeRetentionSql: String =
+    s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
+       |f AS (SELECT * FROM g WHERE ts >= $TtlCompactCutoff),
+       |m AS (SELECT *, row_number() OVER (PARTITION BY rowKey, qualifier
+       |        ORDER BY ts DESC, value) AS rn FROM f),
+       |ret AS (SELECT rowKey, qualifier, value, ts FROM m WHERE rn <= 2),
+       |w AS (SELECT *, row_number() OVER (PARTITION BY rowKey, qualifier
+       |        ORDER BY ts DESC, value DESC) AS rn2 FROM ret)
+       |SELECT rowKey, qualifier, value, ts FROM w WHERE rn2 = 1""".stripMargin
 
   /** The SemDeDup verdicts applied to the ACTUAL corpus — the end of the
     * semantic-dedup pipeline: survivors of [[Dedup.semanticDedup]] at a
@@ -5456,6 +5502,7 @@ object Queries {
     "kv_ttl_compact" -> (kvTtlCompact _),
     "kv_retention_changes" -> (kvRetentionChanges _),
     "kv_replicated_retention" -> (kvReplicatedRetention _),
+    "kv_state_merge_retention" -> (kvStateMergeRetention _),
     "kv_retention_decl" -> (kvRetentionDecl _),
     "kv_delete_mask" -> (kvDeleteMask _),
     "kv_delete_compact" -> (kvDeleteCompact _),
@@ -5628,6 +5675,7 @@ object Queries {
     "kv_retention_changes" -> kvTtlCompactSql,
     // and the replica fed baseline + raw feed must converge on it too
     "kv_replicated_retention" -> kvTtlCompactSql,
+    "kv_state_merge_retention" -> kvStateMergeRetentionSql,
     "kv_retention_decl" -> kvRetentionDeclSql,
     "kv_delete_mask" -> kvDeleteMaskSql,
     "kv_delete_compact" -> kvDeleteMaskSql, // same survivor set, physically applied
