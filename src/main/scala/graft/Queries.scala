@@ -571,7 +571,7 @@ object Queries {
     // broadcast of an empty mask), and `kv_state_merge_retention` gates
     // the marker-carrying case.
     val merged = lww(graft.sources.KvDelete
-      .applyMarkers(state.unionByName(delta))._1)
+      .applyMarkers(state.unionByName(delta), markerSource = delta)._1)
     val piv = KvPivot.pivot(merged, EventCols, family = Some("f"))
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
@@ -598,7 +598,8 @@ object Queries {
       .option("asOfSeq", 0).load(path))
     val delta = spark.read.format("graft-kv").option("sinceSeq", 0).load(path)
       .select("rowKey", "family", "qualifier", "value", "ts")
-    lww(graft.sources.KvDelete.applyMarkers(state.unionByName(delta))._1)
+    lww(graft.sources.KvDelete
+      .applyMarkers(state.unionByName(delta), markerSource = delta)._1)
       .select(col("rowKey"), col("qualifier"),
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }

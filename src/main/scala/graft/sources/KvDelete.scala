@@ -477,10 +477,21 @@ object KvDelete extends org.apache.spark.internal.Logging {
     * Pure DataFrame composition: the marker side is tiny relative to the
     * merge, so AQE broadcasts the mask joins — no driver materialization.
     */
-  def applyMarkers(cells: DataFrame): (DataFrame, DataFrame) = {
+  def applyMarkers(cells: DataFrame): (DataFrame, DataFrame) =
+    applyMarkers(cells, cells)
+
+  /** [[applyMarkers]] with an explicit marker source — the state+delta
+    * merge shape ([[graft.Queries.kvIncrementalPivot]]'s recipe): the
+    * materialized state side can never hold markers (it is the output
+    * of a previous application), so deriving the mask from the DELTA
+    * alone keeps the three marker aggregates O(changes) instead of
+    * rescanning state ∪ delta — at scale the state side IS the table.
+    */
+  def applyMarkers(cells: DataFrame, markerSource: DataFrame)
+      : (DataFrame, DataFrame) = {
     val isMarker = substring(col("qualifier"), 1, 1) === lit(MarkerPrefix)
     val puts = cells.filter(!isMarker)
-    val markers = cells.filter(isMarker)
+    val markers = markerSource.filter(isMarker)
     val rowM = markers.filter(col("qualifier") === RowMarkerQualifier)
       .groupBy(col("rowKey")).agg(max(col("ts")).as("_rts"))
     val colM = markers.filter(col("qualifier").startsWith(ColMarkerPrefix))
