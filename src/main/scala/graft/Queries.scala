@@ -546,16 +546,22 @@ object Queries {
     * oracle as `kv_pivot_events` (the merged view must be
     * indistinguishable from the rebuild).
     */
+  /** The LWW cell-state reduce both incremental-consumer recipes share —
+    * per-(rowKey, family, qualifier) max-ts cell with the byte-max value
+    * tie-break (`max_by_ts`). Correctness-sensitive kernel the oracles
+    * pin; one definition so the two queries cannot drift.
+    */
+  private def lwwCells(cells: DataFrame): DataFrame =
+    cells.groupBy("rowKey", "family", "qualifier")
+      .agg(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")).as("value"),
+        max("ts").as("ts"))
+
   def kvIncrementalPivot(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ensureVersionedCells(spark, sfDir)
-    def lww(cells: DataFrame): DataFrame =
-      cells.groupBy("rowKey", "family", "qualifier")
-        .agg(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")).as("value"),
-          max("ts").as("ts"))
     // state of version 1 (commits 0-1), materialized once like a real view
     val statePath = artifacts.computeIfAbsent(s"incr_pivot_state|$sfDir", _ => {
       val p = artifactPath("incr_pivot_state", sfDir)
-      lww(spark.read.format("graft-kv").option("asOfSeq", 1).load(path))
+      lwwCells(spark.read.format("graft-kv").option("asOfSeq", 1).load(path))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -570,7 +576,7 @@ object Queries {
     // themselves; this staging carries none (the no-op path costs one
     // broadcast of an empty mask), and `kv_state_merge_retention` gates
     // the marker-carrying case.
-    val merged = lww(graft.sources.KvDelete
+    val merged = lwwCells(graft.sources.KvDelete
       .applyMarkers(state.unionByName(delta), markerSource = delta)._1)
     val piv = KvPivot.pivot(merged, EventCols, family = Some("f"))
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
@@ -590,15 +596,11 @@ object Queries {
     */
   def kvStateMergeRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ensureTtlCompactCells(spark, sfDir)
-    def lww(cells: DataFrame): DataFrame =
-      cells.groupBy("rowKey", "family", "qualifier")
-        .agg(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")).as("value"),
-          max("ts").as("ts"))
-    val state = lww(spark.read.format("graft-kv")
+    val state = lwwCells(spark.read.format("graft-kv")
       .option("asOfSeq", 0).load(path))
     val delta = spark.read.format("graft-kv").option("sinceSeq", 0).load(path)
       .select("rowKey", "family", "qualifier", "value", "ts")
-    lww(graft.sources.KvDelete
+    lwwCells(graft.sources.KvDelete
       .applyMarkers(state.unionByName(delta), markerSource = delta)._1)
       .select(col("rowKey"), col("qualifier"),
         decode(col("value"), "UTF-8").as("value"), col("ts"))

@@ -911,12 +911,14 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * read refuses loudly and the fix is a compaction (which purges
     * markers), not a bigger driver.
     */
-  private lazy val liveMarkers: Array[(String, String, String, Long, String)] = {
+  private lazy val liveMarkers
+      : Array[(String, String, String, Long, Array[Byte], String)] = {
     val saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0
-    val markers = Array.newBuilder[(String, String, String, Long, String)]
+    val markers =
+      Array.newBuilder[(String, String, String, Long, Array[Byte], String)]
     var total = 0L
     KvDelete.foreachMarkerRow(sconf.value, tombstoneFiles.map(new Path(_))) {
-      (stored, fam, q, ts) =>
+      (stored, fam, q, ts, v) =>
         total += 1
         if (total > KvDelete.MaxLiveMarkers) throw new IllegalStateException(
           s"graft-kv: $path carries more than ${KvDelete.MaxLiveMarkers} " +
@@ -924,7 +926,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
             "bounded metadata. Run a major compaction to purge masked " +
             "cells and their markers, then re-read.")
         markers += ((if (saltLen > 0) stored.substring(saltLen) else stored,
-          fam, q, ts, stored))
+          fam, q, ts, v, stored))
     }
     markers.result()
   }
@@ -936,7 +938,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       : org.apache.spark.broadcast.Broadcast[KvDelete.Mask] =
     org.apache.spark.sql.SparkSession.active.sparkContext
       .broadcast(KvDelete.buildMask(
-        liveMarkers.iterator.map(t => (t._1, t._2, t._3, t._4))))
+        liveMarkers.iterator.map(t => (t._1, t._2, t._3, t._4, t._5))))
 
   /** REGION-SCOPED masks (r13): a reader only needs the markers whose
     * rowKey could coexist with ITS file's keys, and the manifest bounds
@@ -954,8 +956,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * without bounds (stat-less) take the full set as their slice.
     */
   private lazy val maskSlices: Option[Map[String, KvDelete.Mask]] = {
-    val sorted = liveMarkers.sortBy(_._5)
-    val storedKeys: Array[String] = sorted.map(_._5)
+    val sorted = liveMarkers.sortBy(_._6)
+    val storedKeys: Array[String] = sorted.map(_._6)
     val m = storedKeys.length
     // first index with key >= lo / first index with key > hi
     def lowerBound(lo: String): Int = {
@@ -997,7 +999,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     if (m > (4 << 10) && total >= 2L * m) None
     else Some(ranges.map { case (f, (a, b)) =>
       f -> KvDelete.buildMask(
-        sorted.view.slice(a, b).iterator.map(t => (t._1, t._2, t._3, t._4)))
+        sorted.view.slice(a, b).iterator
+          .map(t => (t._1, t._2, t._3, t._4, t._5)))
     }.toMap)
   }
 
@@ -1126,7 +1129,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val masked = maskingActive
     val innerNames =
       if (masked)
-        (required.fieldNames ++ Seq("rowKey", "family", "qualifier", "ts"))
+        (required.fieldNames ++
+          Seq("rowKey", "family", "qualifier", "ts", "value"))
           .distinct.toSeq
       else required.fieldNames.toSeq
     // The reader must also materialize filter-only columns (parquet
@@ -1307,7 +1311,9 @@ private[sources] final class KvRowMasker(mask: KvDelete.Mask,
   private val famIdx = innerNames.indexOf("family")
   private val qualIdx = innerNames.indexOf("qualifier")
   private val tsIdx = innerNames.indexOf("ts")
-  require(rkIdx >= 0 && famIdx >= 0 && qualIdx >= 0 && tsIdx >= 0,
+  private val valIdx = innerNames.indexOf("value")
+  require(rkIdx >= 0 && famIdx >= 0 && qualIdx >= 0 && tsIdx >= 0 &&
+      valIdx >= 0,
     "graft-kv: masked reads materialize the full cell coordinate")
 
   /** Whether the inner row survives masking. */
@@ -1318,8 +1324,18 @@ private[sources] final class KvRowMasker(mask: KvDelete.Mask,
     if (mask.isEmpty) return true
     val rk = row.getUTF8String(rkIdx)
     if (rk == null) return true
-    !mask.masked(rk, row.getUTF8String(famIdx), q,
-      if (row.isNullAt(tsIdx)) Long.MinValue else row.getLong(tsIdx))
+    val ts = if (row.isNullAt(tsIdx)) Long.MinValue else row.getLong(tsIdx)
+    if (mask.masked(rk, row.getUTF8String(famIdx), q, ts)) return false
+    // exact-version masks (replicated retention drops): probed by
+    // rowKey FIRST — value bytes and the probe key are materialized
+    // only for rows whose key actually carries one, so the common row
+    // pays one map probe and zero allocation
+    val vs = mask.versionsFor(rk)
+    vs == null || !vs.contains(KvDelete.VersionCell(
+      row.getUTF8String(famIdx), q, ts,
+      if (row.isNullAt(valIdx)) null
+      else org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(row.getBinary(valIdx))))
   }
 
   /** Project a surviving inner row to the emitted prefix. */

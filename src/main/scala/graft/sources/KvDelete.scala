@@ -360,31 +360,45 @@ object KvDelete extends org.apache.spark.internal.Logging {
         java.util.HashMap[ColKey, java.lang.Long]],
       /** EXACT-VERSION masks ([[VersionMarkerPrefix]], r17): a replicated
         * retention drop record masks the single version at its
-        * coordinate + ts — the HBase `KeyValue.Type.Delete` semantics.
-        * Value-BLIND like HBase (the marker reader ships no values): if
-        * a table holds two same-ts different-value cells at one
-        * coordinate and the source dropped only one, both mask — a
-        * degenerate corner the LWW view cannot observe anyway.
+        * coordinate + ts + VALUE — drop records carry the dropped
+        * cell's own value and matching uses it, so the degenerate
+        * same-coordinate same-ts different-value pair masks EXACTLY the
+        * copy the source dropped (the feed-side
+        * [[applyVersionMarkers]] matches identically — the two
+        * consumers of one feed can never diverge). Keyed by rowKey
+        * first so the overwhelming majority of rows (no version marker
+        * on their key) pay one map probe and ZERO allocation.
         */
-      val versionKs: java.util.HashSet[VersionKey] =
-        new java.util.HashSet[VersionKey]()) extends Serializable {
+      val versionsByRow: java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String,
+          java.util.HashSet[VersionCell]] =
+        new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.util.HashSet[VersionCell]]()) extends Serializable {
 
     def isEmpty: Boolean =
-      rowTs.isEmpty && colTs.isEmpty && versionKs.isEmpty
+      rowTs.isEmpty && colTs.isEmpty && versionsByRow.isEmpty
 
-    /** Whether a put at this coordinate is masked. */
+    /** The exact-version masks of `rowKey`, or null — callers probe this
+      * FIRST and only materialize the row's value bytes on a hit.
+      */
+    def versionsFor(rowKey: org.apache.spark.unsafe.types.UTF8String)
+        : java.util.HashSet[VersionCell] =
+      if (versionsByRow.isEmpty) null else versionsByRow.get(rowKey)
+
+    /** Whether a put at this coordinate is masked by a row/column
+      * tombstone. Exact-version masks are probed separately
+      * ([[versionsFor]]) because they need the row's VALUE, which the
+      * reader fetches only on a rowKey hit.
+      */
     def masked(rowKey: org.apache.spark.unsafe.types.UTF8String,
         family: org.apache.spark.unsafe.types.UTF8String,
         qualifier: org.apache.spark.unsafe.types.UTF8String, ts: Long): Boolean = {
       val r = rowTs.get(rowKey)
       if (r != null && ts <= r.longValue()) return true
       val byCol = colTs.get(rowKey)
-      if (byCol != null) {
-        val c = byCol.get(ColKey(family, qualifier))
-        if (c != null && ts <= c.longValue()) return true
-      }
-      !versionKs.isEmpty &&
-        versionKs.contains(VersionKey(rowKey, family, qualifier, ts))
+      if (byCol == null) return false
+      val c = byCol.get(ColKey(family, qualifier))
+      c != null && ts <= c.longValue()
     }
   }
 
@@ -392,14 +406,16 @@ object KvDelete extends org.apache.spark.internal.Logging {
       family: org.apache.spark.unsafe.types.UTF8String,
       qualifier: org.apache.spark.unsafe.types.UTF8String) extends Serializable
 
-  /** One exact-version mask entry: the TARGET coordinate (qualifier
-    * already stripped of [[VersionMarkerPrefix]]) plus the version ts.
+  /** One exact-version mask entry under its rowKey: the TARGET
+    * coordinate (qualifier already stripped of [[VersionMarkerPrefix]]),
+    * the version ts, and the dropped cell's value (UTF8String as a raw
+    * byte wrapper with content equality; null for a null-valued cell).
     */
-  final case class VersionKey(
-      rowKey: org.apache.spark.unsafe.types.UTF8String,
+  final case class VersionCell(
       family: org.apache.spark.unsafe.types.UTF8String,
       qualifier: org.apache.spark.unsafe.types.UTF8String,
-      ts: Long) extends Serializable
+      ts: Long,
+      value: org.apache.spark.unsafe.types.UTF8String) extends Serializable
 
   /** Stream the marker rows physically residing in `files` — the ONE
     * marker-segment reader (pushed `qualifier < "\u0001"` record filter,
@@ -411,8 +427,8 @@ object KvDelete extends org.apache.spark.internal.Logging {
     */
   private[graft] def foreachMarkerRow(
       conf: org.apache.hadoop.conf.Configuration, files: Seq[Path])(
-      f: (String, String, String, Long) => Unit): Unit = {
-    val cols = Seq("rowKey", "family", "qualifier", "ts")
+      f: (String, String, String, Long, Array[Byte]) => Unit): Unit = {
+    val cols = Seq("rowKey", "family", "qualifier", "ts", "value")
     files.foreach { p =>
       val r = org.apache.parquet.hadoop.ParquetReader
         .builder(new KvReadSupport(cols, cols, 0), p)
@@ -427,7 +443,8 @@ object KvDelete extends org.apache.spark.internal.Logging {
         var row = r.read()
         while (row != null) {
           f(row.getUTF8String(0).toString, row.getUTF8String(1).toString,
-            row.getUTF8String(2).toString, row.getLong(3))
+            row.getUTF8String(2).toString, row.getLong(3),
+            if (row.isNullAt(4)) null else row.getBinary(4))
           row = r.read()
         }
       } finally r.close()
@@ -438,12 +455,13 @@ object KvDelete extends org.apache.spark.internal.Logging {
     * (rowKey, family, qualifier, ts) in LOGICAL key space. Driver-side;
     * caller bounds the input ([[MaxLiveMarkers]]).
     */
-  def buildMask(markers: Iterator[(String, String, String, Long)]): Mask = {
+  def buildMask(markers: Iterator[(String, String, String, Long, Array[Byte])])
+      : Mask = {
     import org.apache.spark.unsafe.types.UTF8String
     val rowTs = new java.util.HashMap[UTF8String, java.lang.Long]()
     val colTs = new java.util.HashMap[UTF8String, java.util.HashMap[ColKey, java.lang.Long]]()
-    val versions = new java.util.HashSet[VersionKey]()
-    markers.foreach { case (rk, f, q, ts) =>
+    val versions = new java.util.HashMap[UTF8String, java.util.HashSet[VersionCell]]()
+    markers.foreach { case (rk, f, q, ts, v) =>
       val key = UTF8String.fromString(rk)
       if (q == RowMarkerQualifier) {
         val prev = rowTs.get(key)
@@ -460,8 +478,14 @@ object KvDelete extends org.apache.spark.internal.Logging {
         if (prev == null || prev.longValue() < ts) byCol.put(ck, ts)
       }
       else if (q.startsWith(VersionMarkerPrefix)) {
-        versions.add(VersionKey(key, UTF8String.fromString(f),
-          UTF8String.fromString(q.substring(VersionMarkerPrefix.length)), ts))
+        var set = versions.get(key)
+        if (set == null) {
+          set = new java.util.HashSet[VersionCell]()
+          versions.put(key, set)
+        }
+        set.add(VersionCell(UTF8String.fromString(f),
+          UTF8String.fromString(q.substring(VersionMarkerPrefix.length)), ts,
+          if (v == null) null else UTF8String.fromBytes(v))): Unit
       }
       // any other reserved qualifier: unknown marker kind from a newer
       // writer — tolerated as no-op for forward compatibility
@@ -508,7 +532,7 @@ object KvDelete extends org.apache.spark.internal.Logging {
     val verM = markers.filter(col("qualifier").startsWith(VersionMarkerPrefix))
       .select(col("rowKey").as("_vr"), col("family").as("_vf"),
         expr(s"substring(qualifier, ${VersionMarkerPrefix.length + 1})").as("_vq"),
-        col("ts").as("_vt"))
+        col("ts").as("_vt"), col("value").as("_vv"))
       .distinct()
     val survivors = puts
       .join(rowM, Seq("rowKey"), "left")
@@ -519,7 +543,8 @@ object KvDelete extends org.apache.spark.internal.Logging {
       .drop("_cts")
       .join(verM,
         col("rowKey") === col("_vr") && col("family") === col("_vf") &&
-          col("qualifier") === col("_vq") && col("ts") === col("_vt"),
+          col("qualifier") === col("_vq") && col("ts") === col("_vt") &&
+          col("value") <=> col("_vv"),
         "left_anti")
     val compactedMarkers =
       rowM.select(col("rowKey"), lit(AllFamilies).as("family"),
@@ -531,7 +556,10 @@ object KvDelete extends org.apache.spark.internal.Logging {
         .unionByName(verM.select(col("_vr").as("rowKey"),
           col("_vf").as("family"),
           concat(lit(VersionMarkerPrefix), col("_vq")).as("qualifier"),
-          lit(null).cast(BinaryType).as("value"), col("_vt").as("ts")))
+          // the carry PRESERVES the dropped cell's value — the marker's
+          // identity for value-aware matching; nulling it here would
+          // make a marker that survived one minor pass stop matching
+          col("_vv").as("value"), col("_vt").as("ts")))
     (survivors, compactedMarkers)
   }
 

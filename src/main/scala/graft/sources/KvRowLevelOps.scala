@@ -406,12 +406,15 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     // Exact-version markers (replicated retention drops) are kept
     // DISTINCT, not newest-per-coordinate: each names one version, so
     // the ts<= compression that is lossless for row/column markers
-    // would un-delete the older dropped versions.
-    val versions = new java.util.HashSet[(String, String, String, Long)]()
+    // would un-delete the older dropped versions. Their VALUE is part
+    // of the marker's identity (value-aware matching) and rides along.
+    val versions = new java.util.LinkedHashMap[
+      (String, String, String, Long, java.nio.ByteBuffer), Array[Byte]]()
     KvDelete.foreachMarkerRow(conf.value, tombFiles.map(n => new Path(dir, n))) {
-      (rk, fam, q, ts) =>
+      (rk, fam, q, ts, v) =>
         if (q.startsWith(KvDelete.VersionMarkerPrefix)) {
-          versions.add((rk, fam, q, ts)): Unit
+          versions.put((rk, fam, q, ts,
+            if (v == null) null else java.nio.ByteBuffer.wrap(v)), v): Unit
         } else {
           val key = (rk, fam, q)
           val prev = newest.get(key)
@@ -421,8 +424,10 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
     import scala.jdk.CollectionConverters._
     // sink file order: (rowKey, qualifier) — family disambiguates ties
     val sorted = (newest.asScala.toSeq.map { case ((rk, fam, q), ts) =>
-      (rk, fam, q, ts.longValue())
-    } ++ versions.asScala.toSeq).sortBy { case (rk, fam, q, ts) =>
+      (rk, fam, q, ts.longValue(), null: Array[Byte])
+    } ++ versions.asScala.toSeq.map { case ((rk, fam, q, ts, _), v) =>
+      (rk, fam, q, ts, v)
+    }).sortBy { case (rk, fam, q, ts, _) =>
       (rk, q, fam, ts)
     }
     // partitionId -1 stages as "part-r--0001-…": the sign keeps the name
@@ -435,10 +440,10 @@ private[sources] class KvReplaceDataBatchWrite(path: String,
       codec = codec, allowTombstones = true)
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String
-    sorted.foreach { case (rk, fam, q, ts) =>
+    sorted.foreach { case (rk, fam, q, ts, v) =>
       writer.write(new GenericInternalRow(Array[Any](
         UTF8String.fromString(rk), UTF8String.fromString(fam),
-        UTF8String.fromString(q), null, ts)))
+        UTF8String.fromString(q), v, ts)))
     }
     writer.commit() match {
       case KvFileCommit(f, _, st) if f.nonEmpty => Some((f, st))

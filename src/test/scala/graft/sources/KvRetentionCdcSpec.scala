@@ -199,6 +199,47 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     scanned(dst) shouldBe scanned(src)
   }
 
+  test("value-aware masking: a same-ts value tie drops exactly the copy the source dropped") {
+    val src = freshDir("tie_src")
+    // two cells per key at the SAME (rowKey, family, qualifier, ts),
+    // different values — the degenerate corner where coordinate+ts
+    // matching alone cannot tell the dropped copy from the kept one
+    def tied(prefix: String) = spark.range(40L).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      s"encode(concat('$prefix', CAST(id AS STRING)), 'UTF-8') AS value",
+      "CAST(7 AS BIGINT) AS ts")
+    tied("A").unionByName(tied("B")).write.format("graft-kv")
+      .option("regions", 1).mode("overwrite").save(src)
+    // versions=1 keeps the (ts desc, value asc) rank-1 copy — the
+    // A-values — and stages drop records naming the B-values
+    val res = KvCompactor.compact(spark, src, regions = 1,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 40L
+    def vals(dir: String) = spark.read.format("graft-kv").load(dir)
+      .select(decode(col("value"), "UTF-8").as("v"))
+      .as[String].collect().toSet
+    vals(src).forall(_.startsWith("A")) shouldBe true
+    // replica: baseline (both copies) + the raw feed (B-markers)
+    val dst = freshDir("tie_dst")
+    spark.read.format("graft-kv").option("asOfSeq", "0").load(src)
+      .write.format("graft-kv").option("regions", 1)
+      .mode("append").save(dst)
+    spark.read.format("graft-kv").option("sinceSeq", "0").load(src)
+      .write.format("graft-kv").option("regions", 1)
+      .option("allowTombstones", "true").mode("append").save(dst)
+    // value-aware read-time mask: ONLY the B copies vanish (value-blind
+    // coordinate+ts matching would erase the kept A copies too and the
+    // coordinates would vanish from the replica while alive at the source)
+    vals(dst) shouldBe vals(src)
+    // and the replica's own compaction applies the same value-aware rule
+    KvCompactor.compact(spark, dst, regions = 1) shouldBe
+      a[KvCompactor.Compacted]
+    vals(dst) shouldBe vals(src)
+    spark.read.format("graft-kv").option("readTombstones", "true")
+      .load(dst).count() shouldBe 40L // 40 kept puts, markers purged
+  }
+
   test("applyVersionMarkers removes exactly the named versions") {
     val cells = Seq(
       ("k1", "f", "a", "v1", 1L), // dropped: exact match below
@@ -306,11 +347,12 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     // disabled for the staging only — at test scale it coalesces the
     // tiny shuffle to one partition and the test NEEDS a multi-file
     // drop entry (at real scale multiple files are the norm).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     val res = try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       KvCompactor.compact(spark, dir, regions = 2,
         cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 80L
     val fs = fsOf(dir)
     val entry = KvLog.read(fs, new Path(dir),
