@@ -199,6 +199,44 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     scanned(dst) shouldBe scanned(src)
   }
 
+  test("a minor tier pass with a policy drops only from the merged cohort; the span still reconstructs") {
+    val dir = freshDir("minor_drops")
+    // two SIMILAR-SIZED small segments (the minor tier) + one far larger
+    // segment the tier selection leaves carried
+    val cells = twoVersions(60)
+    cells.filter(col("ts") < 100000 && col("ts") % 2 === 0)
+      .write.format("graft-kv").option("regions", 1)
+      .mode("append").save(dir) // seq 0: small (30 v1 cells)
+    cells.filter(col("ts") < 100000 && col("ts") % 2 === 1)
+      .write.format("graft-kv").option("regions", 1)
+      .mode("append").save(dir) // seq 1: small (30 v1 cells)
+    twoVersions(900).filter(col("ts") >= 100000)
+      .write.format("graft-kv").option("regions", 1)
+      .mode("append").save(dir) // seq 2: large (900 v2 cells) — carried
+    // TTL watermark inside the tier's ts range: half the merged cells
+    // drop, half survive the rewrite; the carried large segment (all v2,
+    // far above the watermark) is untouched
+    val res = KvCompactor.compact(spark, dir, regions = 1,
+      selection = KvCompactor.Minor(),
+      cellPolicy = KvCompactor.CellPolicy(dropBelowTs = Some(30L)))
+    res shouldBe KvCompactor.Compacted(3L, merged = 2, into = 1,
+      dropped = 30L)
+    val fs = fsOf(dir)
+    val entry = KvLog.read(fs, new Path(dir), 3L).get
+    entry.contentDrop shouldBe true
+    entry.dropFiles should not be empty
+    // carried file rides the checkpoint's adds untouched
+    spark.read.format("graft-kv").load(dir).count() shouldBe 930L
+    // the span over the PARTIAL pass reconstructs exactly, like a major
+    val baseline = spark.read.format("graft-kv")
+      .option("asOfSeq", "2").load(dir)
+    val feed = spark.read.format("graft-kv")
+      .option("sinceSeq", "2").load(dir)
+    feed.count() shouldBe 30L
+    KvDelete.applyVersionMarkers(baseline.unionByName(feed), feed)
+      .count() shouldBe 930L
+  }
+
   test("value-aware masking: a same-ts value tie drops exactly the copy the source dropped") {
     val src = freshDir("tie_src")
     // two cells per key at the SAME (rowKey, family, qualifier, ts),
