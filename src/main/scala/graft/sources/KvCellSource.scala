@@ -902,6 +902,18 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   private def maskingActive: Boolean =
     !readTombstones && sinceSeq.isEmpty && tombstoneFiles.nonEmpty
 
+  /** Whether the mask needs each row's VALUE bytes: only when the live
+    * marker set actually holds an exact-version marker
+    * ([[KvDelete.VersionMarkerPrefix]] — value-aware matching). Tables
+    * with ordinary row/column tombstones keep the four-column inner
+    * coordinate and never pay reading the fat `value` column a
+    * projection dropped. `liveMarkers` is already loaded driver-side for
+    * the mask itself, so the probe is a free in-memory scan.
+    */
+  private lazy val maskNeedsValue: Boolean =
+    maskingActive &&
+      liveMarkers.exists(_._3.startsWith(KvDelete.VersionMarkerPrefix))
+
   /** The LIVE MARKERS, loaded once driver-side from the marker-carrying
     * segments (a pushed `qualifier < "\u0001"` record filter — row-group
     * stats skip marker-free groups): (logical rowKey, family, qualifier,
@@ -1127,10 +1139,13 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // missing mask columns, readers mask on it and emit the required
     // PREFIX (cheap array slice, only on tombstoned tables).
     val masked = maskingActive
+    // `value` joins the inner coordinate only when the mask is
+    // value-aware ([[maskNeedsValue]] — exact-version markers live).
     val innerNames =
       if (masked)
         (required.fieldNames ++
-          Seq("rowKey", "family", "qualifier", "ts", "value"))
+          Seq("rowKey", "family", "qualifier", "ts") ++
+          (if (maskNeedsValue) Seq("value") else Nil))
           .distinct.toSeq
       else required.fieldNames.toSeq
     // The reader must also materialize filter-only columns (parquet
@@ -1213,7 +1228,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val tomb =
       if (maskingActive) {
         val mode = if (maskSlices.isDefined) "sliced" else "broadcast"
-        s" masked(tombstoneFiles=${tombstoneFiles.size} mode=$mode)"
+        val va = if (maskNeedsValue) " valueAware" else ""
+        s" masked(tombstoneFiles=${tombstoneFiles.size} mode=$mode$va)"
       } else if (readTombstones) " raw(tombstones)"
       else ""
     s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt$split$tomb"
@@ -1312,8 +1328,11 @@ private[sources] final class KvRowMasker(mask: KvDelete.Mask,
   private val qualIdx = innerNames.indexOf("qualifier")
   private val tsIdx = innerNames.indexOf("ts")
   private val valIdx = innerNames.indexOf("value")
+  // `value` rides the inner row only when exact-version markers exist
+  // (the scan gates it on the live marker set): a mask carrying version
+  // cells must find it, a tombstone-only mask never dereferences it.
   require(rkIdx >= 0 && famIdx >= 0 && qualIdx >= 0 && tsIdx >= 0 &&
-      valIdx >= 0,
+      (valIdx >= 0 || mask.versionsByRow.isEmpty),
     "graft-kv: masked reads materialize the full cell coordinate")
 
   /** Whether the inner row survives masking. */

@@ -313,7 +313,23 @@ object KvCompactor {
       val ttlKeep = cellPolicy.dropBelowTs.fold(lit(true))(t => col("ts") >= t)
       val flagged = cellPolicy.maxVersions match {
         case Some(k) =>
-          mergeDf.withColumn("_tk", ttlKeep)
+          // BYTE-IDENTICAL duplicates are collapsed BEFORE the versions
+          // ranking: drop records match value-aware on all five fields
+          // ([[KvDelete.applyVersionMarkers]] removes EVERY identical
+          // copy), so two identical cells straddling the keep boundary
+          // (ranks k and k+1) would otherwise publish a drop record that
+          // also names the retained copy — a CDC consumer or replica
+          // would then lose a version the source still serves (with
+          // maxVersions=1 the coordinate's newest version disappears
+          // entirely). Collapsing first is sound because multiplicity
+          // of identical cells is unobservable (LWW, version-history and
+          // feed consumers all see the same bytes), and it guarantees a
+          // version is either wholly kept or wholly dropped. TTL-only
+          // policies skip this: identical cells share a ts, so the TTL
+          // boundary cannot split them. One extra exchange on the rare
+          // policy-compact path only.
+          mergeDf.dropDuplicates("rowKey", "family", "qualifier", "ts", "value")
+            .withColumn("_tk", ttlKeep)
             .withColumn("_vn", row_number().over(Window
               .partitionBy("rowKey", "qualifier")
               .orderBy(col("_tk").desc, col("ts").desc, col("value").asc,

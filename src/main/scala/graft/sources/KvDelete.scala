@@ -525,10 +525,13 @@ object KvDelete extends org.apache.spark.internal.Logging {
       .groupBy(col("rowKey"), col("family"), col("qualifier"))
       .agg(max(col("ts")).as("_cts"))
     // EXACT-VERSION markers (replicated retention drops): applied to the
-    // merged puts by coordinate + ts (value-blind, matching the
-    // scan-side mask), and DISTINCT-carried rather than newest-per-
-    // coordinate — each names one version, so compressing to the newest
-    // would un-delete the older dropped versions.
+    // merged puts VALUE-AWARE on all five fields (coordinate + ts +
+    // value, `<=>` for null-valued cells) — identical to the scan-side
+    // [[Mask]]/[[VersionCell]] matching and [[applyVersionMarkers]], so
+    // the degenerate same-coordinate same-ts different-value pair masks
+    // exactly the copy the source dropped. DISTINCT-carried rather than
+    // newest-per-coordinate — each names one version, so compressing to
+    // the newest would un-delete the older dropped versions.
     val verM = markers.filter(col("qualifier").startsWith(VersionMarkerPrefix))
       .select(col("rowKey").as("_vr"), col("family").as("_vf"),
         expr(s"substring(qualifier, ${VersionMarkerPrefix.length + 1})").as("_vq"),

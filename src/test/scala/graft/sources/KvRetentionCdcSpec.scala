@@ -431,4 +431,76 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     keyed(KvDelete.applyVersionMarkers(baseline.unionByName(feed))) shouldBe
       keyed(spark.read.format("graft-kv").load(dir))
   }
+
+  private def keyedCells(df: DataFrame) = df
+    .select(col("rowKey"), col("family"), col("qualifier"),
+      decode(col("value"), "UTF-8").as("v"), col("ts"))
+    .as[(String, String, String, String, Long)].collect().toSet
+
+  test("byte-identical duplicates straddling the keep boundary never drop the retained version") {
+    val dir = freshDir("straddle")
+    def cell(v: String, ts: Long): DataFrame =
+      Seq(("k1", "f", "amt", v, ts)).toDF("rowKey", "family", "qualifier", "v", "ts")
+        .select(col("rowKey"), col("family"), col("qualifier"),
+          encode(col("v"), "UTF-8").as("value"), col("ts"))
+    cell("old", 1L).unionByName(cell("new", 2L))
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir) // seq 0
+    // byte-identical RE-PUT of the newest version: under maxVersions=1
+    // the two copies would rank 1 and 2 in the keep window, and a drop
+    // record for the rank-2 copy matches the retained rank-1 copy on all
+    // five fields — the CDC consumer would erase the version the source
+    // still serves (ADVICE r17 medium). The compactor now collapses
+    // identical cells before ranking, so a version is wholly kept or
+    // wholly dropped.
+    cell("new", 2L)
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir) // seq 1
+    val baseline = spark.read.format("graft-kv").option("asOfSeq", "1").load(dir)
+    val res = KvCompactor.compact(spark, dir, regions = 1,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1))) // seq 2
+    // only the OLD version drops; the identical copies collapse silently
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 1L
+    val now = spark.read.format("graft-kv").load(dir)
+    keyedCells(now) shouldBe Set(("k1", "f", "amt", "new", 2L))
+    // replica convergence across the pass: the replica's baseline holds
+    // BOTH identical copies (it consumed both commits); the drop feed
+    // must leave the version standing
+    val feed = spark.read.format("graft-kv").option("sinceSeq", "1").load(dir)
+    keyedCells(KvDelete.applyVersionMarkers(baseline.unionByName(feed), feed)) shouldBe
+      keyedCells(now)
+  }
+
+  test("masked scans read VALUE only when exact-version markers are live") {
+    val dir = freshDir("value_gate")
+    def planOf(df: DataFrame): String = {
+      df.collect(): Unit // force AQE to finalize
+      df.queryExecution.executedPlan.toString
+    }
+    Seq(("k1", "f", "a", "v1", 1L), ("k2", "f", "a", "v2", 1L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    // an ORDINARY row tombstone: the mask is coordinate-only, so the
+    // masked scan must not widen the inner row with the fat value column
+    KvDelete.deleteRows(spark, dir, Seq("k2").toDF("rowKey"))
+    val tombstoned = planOf(spark.read.format("graft-kv").load(dir)
+      .select(col("rowKey")))
+    tombstoned should include("masked(")
+    tombstoned should not include "valueAware"
+    keyedCells(spark.read.format("graft-kv").load(dir)) shouldBe
+      Set(("k1", "f", "a", "v1", 1L))
+    // an EXACT-VERSION marker (replicated retention drop): value-aware
+    // matching needs the bytes, so the scan flips to the five-column
+    // inner coordinate — and still masks correctly
+    Seq(("k1", "f", KvDelete.VersionMarkerPrefix + "a", "v1", 1L))
+      .toDF("rowKey", "family", "qualifier", "v", "ts")
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        encode(col("v"), "UTF-8").as("value"), col("ts"))
+      .write.format("graft-kv").option("regions", 1)
+      .option("allowTombstones", "true").mode("append").save(dir)
+    val versioned = planOf(spark.read.format("graft-kv").load(dir)
+      .select(col("rowKey")))
+    versioned should include("valueAware")
+    spark.read.format("graft-kv").load(dir).count() shouldBe 0L
+  }
 }
