@@ -284,6 +284,122 @@ object Queries {
        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
        |LIMIT 25""".stripMargin
 
+  /** r18: RANGE-RESTRICTED index-served top-n —
+    * `Limit(Sort(Filter(range, pivot)))` recognized as ONE routable
+    * shape ([[graft.sources.KvIndexRouting]] top-down arm): the range
+    * prunes the covered-index scan through the encoded key prefix and
+    * the cell-level TopN caps it, so the answer is O(k) index cells
+    * where the r17 rule served either the O(range) lookup or nothing.
+    */
+  def kvIndexTopnRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureCoveredIndexedCells(spark, sfDir)
+    graft.sources.KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier") === "click")
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value"))
+      .createOrReplaceTempView("kv_index_topn_range_view")
+    spark.sql(
+      """SELECT rowKey, value FROM kv_index_topn_range_view
+        |WHERE CAST(value AS BIGINT) >= 10010 AND CAST(value AS BIGINT) < 10040
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
+        |LIMIT 20""".stripMargin)
+  }
+
+  private val kvIndexTopnRangeSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(10000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(50) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lww AS (SELECT rowKey, value,
+       |          row_number() OVER (PARTITION BY rowKey
+       |            ORDER BY ts DESC, value ASC) AS rn
+       |        FROM allc),
+       |cur AS (SELECT rowKey, value FROM lww
+       |        WHERE rn = 1
+       |          AND rowKey NOT BETWEEN '00000050' AND '00000099')
+       |SELECT rowKey, value FROM cur
+       |WHERE CAST(value AS BIGINT) >= 10010 AND CAST(value AS BIGINT) < 10040
+       |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
+       |LIMIT 20""".stripMargin
+
+  /** r18: STALE-TOLERANT index-served top-n — the covered index is NOT
+    * refreshed after two further commits (10 value updates + 20 row
+    * deletes), and `ORDER BY value DESC LIMIT k` still routes:
+    * [[graft.sources.KvIndex.topNCovered]] over-fetches k + T stale
+    * index entries (T = keys the CDC span touched), unions the touched
+    * keys, and verifies against the base pinned at the probed seq — so
+    * a LIVE table's inspection query stays O(k + changes) instead of
+    * silently falling back to the full pivot sort the moment one commit
+    * lands (r17 served only just-refreshed indexes). Reference tie:
+    * AvroReader.java:27-30's limit semantics.
+    */
+  def kvIndexTopnStale(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"stale_topn_idx|$sfDir", _ => {
+      val p = artifactPath("stale_topn_idx", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      KvTable.eventsAsCells(spark, sfDir)
+        .write.format("graft-kv").option("regions", 4)
+        .mode("overwrite").save(p)
+      // covered at the CURRENT seq...
+      graft.sources.KvIndex.create(spark, p, "by_click", "f", "click",
+        pad = 12, regions = 4, include = Seq("view"))
+      // ...then two commits it never absorbs (no refresh)
+      spark.range(10).selectExpr(
+        "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+        "'f' AS family", "'click' AS qualifier",
+        "encode(CAST(30000 + id AS STRING), 'UTF-8') AS value",
+        "4000000000000000000L + id AS ts")
+        .write.format("graft-kv").option("regions", 1).mode("append").save(p)
+      graft.sources.KvDelete.deleteRows(spark, p,
+        spark.range(10, 30).selectExpr(
+          "lpad(CAST(id AS STRING), 8, '0') AS rowKey"))
+      p
+    })
+    graft.sources.KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier") === "click")
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value"))
+      .createOrReplaceTempView("kv_index_topn_stale_view")
+    spark.sql(
+      """SELECT rowKey, value FROM kv_index_topn_stale_view
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
+        |LIMIT 25""".stripMargin)
+  }
+
+  private val kvIndexTopnStaleSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(30000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(10) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lww AS (SELECT rowKey, value,
+       |          row_number() OVER (PARTITION BY rowKey
+       |            ORDER BY ts DESC, value ASC) AS rn
+       |        FROM allc),
+       |cur AS (SELECT rowKey, value FROM lww
+       |        WHERE rn = 1
+       |          AND rowKey NOT BETWEEN '00000010' AND '00000029')
+       |SELECT rowKey, value FROM cur
+       |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
+       |LIMIT 25""".stripMargin
+
   private val kvIndexCoveredSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
@@ -5524,6 +5640,8 @@ object Queries {
     "kv_index_sql_composite" -> (kvIndexSqlComposite _),
     "kv_index_covered" -> (kvIndexCovered _),
     "kv_index_topn" -> (kvIndexTopn _),
+    "kv_index_topn_range" -> (kvIndexTopnRange _),
+    "kv_index_topn_stale" -> (kvIndexTopnStale _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -5697,6 +5815,8 @@ object Queries {
     "kv_index_sql_composite" -> kvIndexCompositeSql,
     "kv_index_covered" -> kvIndexCoveredSql,
     "kv_index_topn" -> kvIndexTopnSql,
+    "kv_index_topn_range" -> kvIndexTopnRangeSql,
+    "kv_index_topn_stale" -> kvIndexTopnStaleSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

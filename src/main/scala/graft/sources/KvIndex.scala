@@ -936,18 +936,21 @@ object KvIndex {
     requireValidBoundsAt(m.pad, lo, hi)
 
   private def requireValidBoundsAt(pad: Int, lo: String, hi: String): Unit = {
+    requireValidBound(pad, "lo", lo)
+    requireValidBound(pad, "hi", hi)
+  }
+
+  private def requireValidBound(pad: Int, which: String, v: String): Unit = {
     // NUL is the KEY SEPARATOR: values are refused at build time
     // (checkedComponent), and BOUNDS must be too — a NUL-carrying bound
     // compares differently against the raw value ("b" < "b<NUL>z") than
     // against the NUL-joined encoded key ("b<NUL><suffix>" vs
     // "b<NUL>z" decides on the suffix), so the index-only fast path
     // would silently disagree with the verified path on range edges.
-    Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
-      require(!v.contains(Sep),
-        s"graft-kv index: $which bound contains NUL (the key separator) " +
-          "— unsupported for a string-ordered index")
-    }
-    if (pad > 0) Seq("lo" -> lo, "hi" -> hi).foreach { case (which, v) =>
+    require(!v.contains(Sep),
+      s"graft-kv index: $which bound contains NUL (the key separator) " +
+        "— unsupported for a string-ordered index")
+    if (pad > 0) {
       require(v.length <= pad,
         s"graft-kv index: $which bound '$v' exceeds the index's decimal " +
           s"width pad=$pad — no indexed value can reach it")
@@ -1145,24 +1148,39 @@ object KvIndex {
   }
 
   /** INDEX-SERVED TOP-N — the Phoenix ORDER-BY-elimination shape: the k
-    * extreme base rows by CURRENT value, read from the value-ordered
-    * index with ZERO base data-file opens. Requires a FRESH COVERED
-    * index (covered seq == base latest): exact maintenance means the
-    * index holds exactly one logical entry per current base row, so its
-    * key order IS the (value, rowKey) order and its head/tail IS the
-    * answer — no verification read. A stale or plain (append-only)
-    * index CANNOT serve top-n index-only: stale entries carry
-    * superseded high values that verification would have to re-rank,
-    * turning the read back into O(candidates) base gets — callers
-    * refresh first or run the pivot sort (refused loudly here so the
-    * failure is a missing refresh, not a silent slow plan).
+    * extreme base rows by CURRENT value (optionally restricted to a
+    * `[lo, hi)` value `range`), served from the value-ordered COVERED
+    * index. FRESH (covered seq == base latest): exact maintenance means
+    * the index holds exactly one logical entry per current base row, so
+    * its key order IS the (value, rowKey) order and its head/tail IS
+    * the answer — ZERO base data-file opens, no verification read.
     *
-    * Scale shape: the fetch is a pushed cell-level TopN over the index
-    * scan (each region file contributes O(L) rows from its head — or
-    * tail row groups for DESC), L = (k+1)·(2+|include|) cells, so the
-    * read is O(k·files), never O(index). The boundary entry of the
-    * fetched prefix may be cell-truncated; it is dropped by the
-    * `_k AND _v present` filter and the over-fetch guarantees k
+    * STALE (r18): the answer no longer requires a refresh. Every base
+    * change since the covered seq lives in the CDC span
+    * `(asOfSeq, latest]`, so the true top-k is covered by
+    *  - the top `k + T` STALE index entries (T = distinct base keys the
+    *    span touched): an unchanged row in the true top-k can be
+    *    out-ranked in the index only by at-most-(k-1) other unchanged
+    *    top rows plus at most T since-invalidated entries, and
+    *  - the T touched keys themselves (rows that moved INTO the top).
+    * The union is verified against the base PINNED at the probed seq
+    * (re-pivot, re-rank, take k) — the same verified-candidate contract
+    * as [[lookup]], so the index serves O(k + changes) base gets on a
+    * LIVE table instead of silently demanding a refresh
+    * (AvroReader.java:27-30's limit semantics: inspection stays O(k)).
+    * Degraded paths are never wrong, only slower: an unservable CDC
+    * span, a touched set past [[InPushdownCap]], or an over-fetch past
+    * [[MaxTopNFetch]] all fall back to the pinned base pivot sort.
+    * A PLAIN (append-only) index never serves: its superseded entries
+    * accumulate without bound, so no CDC span bounds the invalidated
+    * count (refused loudly — the fix is a covered index).
+    *
+    * Scale shape (fresh path): the fetch is a pushed cell-level TopN
+    * over the index scan (each region file contributes O(L) rows from
+    * its head — or tail row groups for DESC), L = (k+1)·(2+|include|)
+    * cells, so the read is O(k·files), never O(index). The boundary
+    * entry of the fetched prefix may be cell-truncated; it is dropped
+    * by the `_k AND _v present` filter and the over-fetch guarantees k
     * complete entries remain whenever the index has them. Ties in
     * `value` break by base rowKey (the encoded key's suffix) — in scan
     * direction, so DESC ties take the largest keys first.
@@ -1170,10 +1188,12 @@ object KvIndex {
     * Output: `(rowKey, value)`, ordered by the index key in scan
     * direction. Decimal mode (pad > 0) orders numerically (padded keys);
     * string mode orders lexicographically — the same collation contract
-    * as [[lookup]] bounds.
+    * as [[lookup]] bounds, which `range` shares.
     */
   def topNCovered(spark: SparkSession, path: String, name: String, k: Int,
-      desc: Boolean = true): DataFrame = {
+      desc: Boolean = true,
+      lo: Option[String] = None, hi: Option[String] = None): DataFrame = {
+    import spark.implicits._
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
@@ -1187,6 +1207,12 @@ object KvIndex {
         "only for rows carrying ALL key components, the wrong row set for " +
         "a single-column top-n")
     require(k >= 1, s"graft-kv index: top-n k must be >= 1, got $k")
+    // Either bound may be open (None): `value >= x ORDER BY value LIMIT
+    // k` has no upper bound. Validation and padding are per-bound.
+    lo.foreach(requireValidBound(m.pad, "lo", _))
+    hi.foreach(requireValidBound(m.pad, "hi", _))
+    val loPad = lo.map(padBound(_, m.pad))
+    val hiPad = hi.map(padBound(_, m.pad))
     val perEntry = 2 + m.include.length
     val fetch = (k.toLong + 1) * perEntry
     require(fetch <= MaxTopNFetch,
@@ -1194,20 +1220,75 @@ object KvIndex {
         s"beyond the $MaxTopNFetch inspection bound; run the pivot sort " +
         "for result sets this large")
     val latest = KvLog.latestSeq(fs, table)
-    require(latest <= m.asOfSeq,
-      s"graft-kv index: '$name' covers seq ${m.asOfSeq} but the base is " +
-        s"at $latest — refresh the index before an index-only top-n " +
-        "(a stale covered index cannot re-rank superseded values)")
     val key = if (desc) col("rowKey").desc else col("rowKey").asc
     def lww(q: String) = graft.functions.MaxByTsAgg.maxByTs(
       col("value"), when(col("qualifier") === q, col("ts")))
-    spark.read.format("graft-kv").load(indexDir(table, m.name).toString)
-      .orderBy(key).limit(fetch.toInt) // pushed TopN: O(k) rows per file
+    // The prefix-free NUL encoding makes the encoded-key range exactly
+    // the leading-value range ([[coveredRead]]), so the bounds are a
+    // pruned rowKey predicate on the index scan.
+    def indexScan = {
+      val base = spark.read.format("graft-kv")
+        .load(indexDir(table, m.name).toString)
+      val lod = loPad.foldLeft(base)((df, l) => df.filter(col("rowKey") >= l))
+      hiPad.foldLeft(lod)((df, h) => df.filter(col("rowKey") < h))
+    }
+    // Top `n` complete index entries' BASE keys plus (fresh path) values.
+    def indexTop(n: Long, cells: Long) = indexScan
+      .orderBy(key).limit(cells.toInt) // pushed TopN: O(k) rows per file
       .groupBy(col("rowKey")).agg(lww("k").as("_k"), lww("v").as("_v"))
       .filter(col("_k").isNotNull && col("_v").isNotNull)
-      .orderBy(key).limit(k)
-      .select(decode(col("_k"), "UTF-8").as("rowKey"),
-        decode(col("_v"), "UTF-8").as("value"))
+      .orderBy(key).limit(n.toInt)
+
+    if (latest <= m.asOfSeq)
+      return indexTop(k, fetch)
+        .select(decode(col("_k"), "UTF-8").as("rowKey"),
+          decode(col("_v"), "UTF-8").as("value"))
+
+    // ---- STALE paths: pinned to `latest`, never wrong, k-exact. ----
+    val pinned = Map("asOfSeq" -> latest.toString)
+    val pv = paddedValue(guardedValue(col("value"), m.pad), m.pad)
+    val ord = if (desc) Seq(pv.desc, col("rowKey").desc)
+      else Seq(pv.asc, col("rowKey").asc)
+    def rankK(piv: DataFrame): DataFrame = {
+      val lod = loPad.foldLeft(piv)((df, l) => df.filter(pv >= l))
+      hiPad.foldLeft(lod)((df, h) => df.filter(pv < h))
+        .orderBy(ord: _*).limit(k).select(col("rowKey"), col("value"))
+    }
+    def basePivot(): DataFrame = rankK(
+      baseCells(spark, path, m, pinned)
+        .groupBy(col("rowKey"))
+        .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+          col("value"), col("ts")), "UTF-8").as("value")))
+    if (spanUnservable(fs, table, m.asOfSeq, latest)) return basePivot()
+    // T = the span's distinct touched base keys — RAW feed, so deletes
+    // (marker rows) count as touches too; capped driver probe like
+    // every candidate set here.
+    val touched = spark.read.format("graft-kv")
+      .option("sinceSeq", m.asOfSeq.toString)
+      .option("asOfSeq", latest.toString).load(path)
+      .select(col("rowKey")).distinct()
+      .limit(InPushdownCap + 1).collect().map(_.getString(0))
+    if (touched.length > InPushdownCap) return basePivot()
+    val overFetch = (k.toLong + touched.length + 1) * perEntry
+    if (overFetch > MaxTopNFetch) return basePivot()
+    val idxCand = indexTop(k.toLong + touched.length, overFetch)
+      .select(decode(col("_k"), "UTF-8").as("rowKey"))
+    // Candidate count is BOUNDED a priori (≤ k + 2T), so the In-vs-join
+    // decision needs no truncating probe (a truncated candidate list
+    // routed through `isin` would silently drop real candidates): small
+    // sets collect fully and push per-key gets, larger ones verify via
+    // one left-semi join over the pinned family scan.
+    val candidates = idxCand.unionByName(touched.toSeq.toDF("rowKey"))
+    val verified =
+      if (k.toLong + 2L * touched.length <= InPushdownCap) {
+        val keys = candidates.collect().map(_.getString(0)).distinct
+        baseCells(spark, path, m, pinned)
+          .filter(col("rowKey").isin(keys.toIndexedSeq: _*))
+      } else baseCells(spark, path, m, pinned)
+        .join(candidates, Seq("rowKey"), "left_semi")
+    rankK(verified.groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value")))
   }
 
   /** COMPOSITE lookup: one `[lo, hi)` bound per key component (string

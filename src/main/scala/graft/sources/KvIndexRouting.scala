@@ -113,7 +113,41 @@ case class KvIndexRouting(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.get(EnabledKey, "true").toBoolean) return plan
-    plan.transformUp {
+    // ORDER BY <value> [DESC] LIMIT k over the pivot shape — the Phoenix
+    // ORDER-BY-elimination, served by [[KvIndex.topNCovered]] (index
+    // head when fresh, verified over-fetch when stale). The original
+    // Sort+Limit (and Filter, on the range-restricted variant) stay ON
+    // TOP of the spliced k-row set, so with a bare value order ANY
+    // valid top-k set is exact, and with the (value, rowKey) tie-break
+    // the served order matches outright. This pass runs TOP-DOWN and
+    // FIRST: bottom-up, the plain range route would consume the Filter
+    // of `Limit(Sort(Filter(range, pivot)))` before the combined shape
+    // is ever seen, serving O(range) where one index scan serves O(k).
+    val topRouted = plan.transformDown {
+      case lim @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, srt @ Sort(orders, true, child, _))) =>
+        val (filt, pivotChild) = child match {
+          case f @ Filter(cond, fc) => (Some((f, cond)), fc)
+          case other => (None, other)
+        }
+        pivotShape(pivotChild) match {
+          case Some(shape) =>
+            try routeTopN(k, orders, filt.map(_._2), shape)
+              .map { sp =>
+                val inner = filt.fold(sp) { case (f, _) => f.copy(child = sp) }
+                lim.copy(child = ll.copy(child = srt.copy(child = inner)))
+              }
+              .getOrElse(lim)
+            catch {
+              case NonFatal(e) =>
+                logWarning(s"graft-kv index routing: falling back to the " +
+                  s"unrouted top-n of ${shape.path} (${e.getMessage})")
+                lim
+            }
+          case None => lim
+        }
+    }
+    topRouted.transformUp {
       case f @ Filter(cond, child) =>
         pivotShape(child) match {
           case Some(shape) =>
@@ -125,27 +159,6 @@ case class KvIndexRouting(session: SparkSession)
                 f
             }
           case None => f
-        }
-      // ORDER BY <value> [DESC] LIMIT k over the same pivot shape — the
-      // Phoenix ORDER-BY-elimination: served index-only from a FRESH
-      // COVERED index ([[KvIndex.topNCovered]]). The original Sort+Limit
-      // stay ON TOP of the spliced k-row set, so with a bare value order
-      // ANY valid top-k set is exact, and with the (value, rowKey)
-      // tie-break the served order matches outright.
-      case lim @ GlobalLimit(IntegerLiteral(k),
-          ll @ LocalLimit(_, srt @ Sort(orders, true, child, _))) =>
-        pivotShape(child) match {
-          case Some(shape) =>
-            try routeTopN(k, orders, shape)
-              .map(sp => lim.copy(child = ll.copy(child = srt.copy(child = sp))))
-              .getOrElse(lim)
-            catch {
-              case NonFatal(e) =>
-                logWarning(s"graft-kv index routing: falling back to the " +
-                  s"unrouted top-n of ${shape.path} (${e.getMessage})")
-                lim
-            }
-          case None => lim
         }
     }
   }
@@ -446,14 +459,24 @@ case class KvIndexRouting(session: SparkSession)
     * the direction's default null ordering (the pivot value is provably
     * non-null, but default-only keeps the proof local) — optionally
     * tie-broken by rowKey in the SAME direction (the order the encoded
-    * index key implies). Routes only through a FRESH covered index
-    * ([[KvIndex.topNCovered]]'s own requirement): staleness is probed at
-    * PLAN time like every routing decision here (class doc pinning
-    * semantics). No selectivity call — a k-row index head is always at
-    * most O(k·files) cells against the pivot's O(table).
+    * index key implies). Routes through any COVERED index regardless of
+    * freshness ([[KvIndex.topNCovered]] serves a stale index by
+    * verified over-fetch against the CDC tail — r18; degraded cases
+    * fall back to the pinned base pivot INSIDE the call, still k-exact).
+    * No selectivity call — a k-row index head is at most O(k + changes)
+    * base work against the pivot's O(table).
+    *
+    * `cond` carries the RANGE-RESTRICTED variant
+    * (`Limit(Sort(Filter(range, pivot)))`): it routes only when EVERY
+    * material conjunct is an extractable value-range comparison — the
+    * spliced k-row set must be exactly the top-k of the cond-satisfying
+    * rows, so one residual conjunct (which the re-applied Filter would
+    * use to CUT spliced rows) could under-produce the limit. Either
+    * bound may be open; IsNotNull(value) debris is tautological on the
+    * spliced rows (lookup values are non-null) and is ignored.
     */
   private def routeTopN(k: Int, orders: Seq[SortOrder],
-      s: PivotShape): Option[LogicalPlan] = {
+      cond: Option[Expression], s: PivotShape): Option[LogicalPlan] = {
     if (k < 1 || s.cols.length != 1) return None
     val (qual, valOut) = s.cols.head
     val dirs = orders.map(_.direction).distinct
@@ -484,17 +507,26 @@ case class KvIndexRouting(session: SparkSession)
     }
     val table = new Path(s.path)
     val fs = table.getFileSystem(session.sessionState.newHadoopConf())
-    val latest = KvLog.latestSeq(fs, table)
     KvIndex.list(fs, table).view
       .filter(i => i.family == s.family && i.qualifier == qual &&
         !i.composite && i.covered && collationOk(i.pad) &&
-        latest <= i.asOfSeq &&
         (k.toLong + 1) * (2 + i.include.length) <= KvIndex.MaxTopNFetch)
-      .headOption.map { m =>
+      .flatMap { m =>
+        cond match {
+          case None =>
+            Some((m, Option.empty[String], Option.empty[String]))
+          case Some(c) =>
+            boundsTopN(splitConjunctivePredicates(c), valOut, m.pad)
+              .map { case (lo, hi) => (m, lo, hi) }
+        }
+      }
+      .headOption.map { case (m, lo, hi) =>
+        val rng = if (lo.isEmpty && hi.isEmpty) ""
+          else s" in [${lo.getOrElse("")}, ${hi.getOrElse("∞")})"
         logInfo(s"graft-kv index routing: serving ORDER BY value " +
-          s"${if (desc) "DESC " else ""}LIMIT $k on ${s.path} " +
-          s"(${s.family}, $qual) index-only through '${m.name}'")
-        val lp = KvIndex.topNCovered(session, s.path, m.name, k, desc)
+          s"${if (desc) "DESC " else ""}LIMIT $k$rng on ${s.path} " +
+          s"(${s.family}, $qual) through index '${m.name}'")
+        val lp = KvIndex.topNCovered(session, s.path, m.name, k, desc, lo, hi)
           .queryExecution.optimizedPlan
         splice(s, lp, _ => lp.output(1))
       }
@@ -573,6 +605,99 @@ case class KvIndexRouting(session: SparkSession)
         case _ => ()
       }
       for {l <- lo; h <- hi if h > l} yield (l, h)
+    }
+  }
+
+  /** STRICT, open-ended variant of [[bounds]] for the range-restricted
+    * top-n ([[routeTopN]] doc): EVERY material conjunct must be
+    * consumed into the range — a leftover conjunct would let the
+    * re-applied Filter cut spliced rows and under-produce the limit —
+    * and either bound may stay open (`value >= x ... LIMIT k`).
+    * `IsNotNull(value)` debris is dropped (tautological on lookup
+    * rows); tautological bounds (decimal lo <= 0, hi wider than the
+    * declared width) are dropped as open; a provably-empty or
+    * overflow-adjacent range declines (the unrouted plan computes the
+    * same empty/rare answer). Returns `Some((lo, hi))` to route, None
+    * to leave the plan alone.
+    */
+  private def boundsTopN(conjuncts: Seq[Expression], v: Attribute,
+      pad: Int): Option[(Option[String], Option[String])] = {
+    def isV(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == v.exprId
+      case _ => false
+    }
+    val material = conjuncts.filterNot {
+      case IsNotNull(a: AttributeReference) => a.exprId == v.exprId
+      case _ => false
+    }
+    var ok = true
+    if (pad > 0) {
+      def castOfV(e: Expression): Boolean = e match {
+        case c: Cast if isV(c.child) && (c.dataType == LongType ||
+          c.dataType == IntegerType || c.dataType == ShortType) => true
+        case _ => false
+      }
+      def litLong(e: Expression): Option[Long] = e match {
+        case Literal(x: Long, LongType) => Some(x)
+        case Literal(x: Int, IntegerType) => Some(x.toLong)
+        case Literal(x: Short, ShortType) => Some(x.toLong)
+        case _ => None
+      }
+      var lo = Option.empty[Long]
+      var hi = Option.empty[Long]
+      def addLo(x: Long): Unit = lo = Some(lo.fold(x)(math.max(_, x)))
+      def addHi(x: Long): Unit = hi = Some(hi.fold(x)(math.min(_, x)))
+      def excl(x: Long): Unit = if (x < Long.MaxValue) addLo(x + 1) else ok = false
+      def incl(x: Long): Unit = if (x < Long.MaxValue) addHi(x + 1) else ok = false
+      material.foreach { e =>
+        val consumed: Option[Unit] = e match {
+          case GreaterThanOrEqual(l, r) if castOfV(l) => litLong(r).map(addLo)
+          case GreaterThan(l, r) if castOfV(l) => litLong(r).map(excl)
+          case LessThan(l, r) if castOfV(l) => litLong(r).map(addHi)
+          case LessThanOrEqual(l, r) if castOfV(l) => litLong(r).map(incl)
+          case EqualTo(l, r) if castOfV(l) =>
+            litLong(r).map { x => addLo(x); incl(x) }
+          case EqualTo(l, r) if castOfV(r) =>
+            litLong(l).map { x => addLo(x); incl(x) }
+          // literal-first spellings mirror
+          case GreaterThanOrEqual(l, r) if castOfV(r) => litLong(l).map(incl)
+          case GreaterThan(l, r) if castOfV(r) => litLong(l).map(addHi)
+          case LessThan(l, r) if castOfV(r) => litLong(l).map(excl)
+          case LessThanOrEqual(l, r) if castOfV(r) => litLong(l).map(addLo)
+          case _ => None
+        }
+        if (consumed.isEmpty) ok = false
+      }
+      if (!ok) return None
+      val loC = lo.filter(_ > 0) // lo <= 0 is a tautology: values >= 0
+      if (hi.exists(h => h <= loC.getOrElse(0L))) return None // provably empty
+      if (loC.exists(_.toString.length > pad)) return None // above every value
+      val hiC = hi.filter(_.toString.length <= pad) // wider hi = tautology
+      Some((loC.map(_.toString), hiC.map(_.toString)))
+    } else {
+      def litStr(e: Expression): Option[String] = e match {
+        case Literal(s: UTF8String, StringType) => Some(s.toString)
+        case _ => None
+      }
+      var lo = Option.empty[String]
+      var hi = Option.empty[String]
+      def addLo(x: String): Unit = lo = Some(lo.fold(x)(l => if (x > l) x else l))
+      def addHi(x: String): Unit = hi = Some(hi.fold(x)(h => if (x < h) x else h))
+      material.foreach { e =>
+        val consumed: Option[Unit] = e match {
+          case GreaterThanOrEqual(l, r) if isV(l) => litStr(r).map(addLo)
+          case LessThan(l, r) if isV(l) => litStr(r).map(addHi)
+          case LessThanOrEqual(l, r) if isV(r) => litStr(l).map(addLo)
+          case GreaterThan(l, r) if isV(r) => litStr(l).map(addHi)
+          case _ => None
+        }
+        if (consumed.isEmpty) ok = false
+      }
+      if (!ok) return None
+      if (lo.zip(hi).exists { case (l, h) => h <= l }) return None
+      // a NUL-carrying bound would throw inside topNCovered; decline
+      if ((lo ++ hi).exists(_.contains("\u0000"))) return None
+      Some((lo, hi))
     }
   }
 }

@@ -101,7 +101,7 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     assert(!gotAsc.exists(_._1 == "000498"), "deleted key served")
   }
 
-  test("topNCovered refuses plain, stale, and composite indexes loudly") {
+  test("topNCovered refuses plain indexes; a stale covered index serves verified") {
     val dir = s"${base}/refuse"
     graft.sinks.Sinks.deleteRecursive(spark, dir)
     spark.range(100).selectExpr(
@@ -115,17 +115,60 @@ class KvIndexTopNSpec extends graft.SparkSpec {
       .getMessage should include("covered")
     KvIndex.create(spark, dir, "cov", "f", "v", pad = 4, include = Nil,
       covered = true)
-    // one more commit makes the covered index STALE
+    // one more commit makes the covered index STALE: r18, the top-n is
+    // still served — over-fetched stale candidates ∪ the CDC tail,
+    // verified against the pinned base — and sees the unabsorbed update
+    // (000000 jumps from 0 to 77, into the top 5)
     Seq(("000000", "77", 9999L)).toDF("rowKey", "v", "ts")
       .selectExpr("rowKey", "'f' AS family", "'v' AS qualifier",
         "encode(v, 'UTF-8') AS value", "ts")
       .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
-    (the[IllegalArgumentException] thrownBy
-      KvIndex.topNCovered(spark, dir, "cov", 5))
-      .getMessage should include("refresh")
+    KvIndex.topNCovered(spark, dir, "cov", 5)
+      .as[(String, String)].collect().toSeq shouldBe Seq(
+        ("000099", "99"), ("000098", "98"), ("000097", "97"),
+        ("000096", "96"), ("000095", "95"))
+    KvIndex.topNCovered(spark, dir, "cov", 3, desc = false)
+      .as[(String, String)].collect().toSeq shouldBe Seq(
+        ("000001", "1"), ("000002", "2"), ("000003", "3"))
+    // and a stale delete: drop the current max without a refresh
+    KvDelete.deleteRows(spark, dir, Seq("000099").toDF("rowKey"))
+    KvIndex.topNCovered(spark, dir, "cov", 2)
+      .as[(String, String)].collect().toSeq shouldBe Seq(
+        ("000098", "98"), ("000097", "97"))
     KvIndex.refresh(spark, dir, "cov")
     KvIndex.topNCovered(spark, dir, "cov", 1)
-      .as[(String, String)].collect().head shouldBe (("000099", "99"))
+      .as[(String, String)].collect().head shouldBe (("000098", "98"))
+  }
+
+  test("stale top-n stays O(k + changes): per-key gets on the base, index head fetch") {
+    import scala.jdk.CollectionConverters._
+    val dir = s"${base}/stale_cost"
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    graft.sinks.Sinks.deleteRecursive(spark, dir.stripPrefix("cfs:"))
+    val cdir = s"cfs:$dir"
+    spark.range(400).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id * 7 AS STRING), 'UTF-8') AS value", "id AS ts")
+      .write.format("graft-kv").option("regions", 4).mode("overwrite").save(cdir)
+    KvIndex.create(spark, cdir, "by_v", "f", "v", pad = 8, covered = true)
+    // two touched keys since the refresh
+    Seq(("000003", "99999", 50000L), ("000399", "2", 50001L))
+      .toDF("rowKey", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "'v' AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(cdir)
+    val df = KvIndex.topNCovered(spark, cdir, "by_v", 5)
+    CountingFileSystem.reset()
+    val got = df.as[(String, String)].collect().toSeq
+    got shouldBe Seq(("000003", "99999"), ("000398", "2786"),
+      ("000397", "2779"), ("000396", "2772"), ("000395", "2765"))
+    // the verification read is a bounded per-key In — its plan must not
+    // be a full base scan (the In pushes per-key bloom-pruned gets)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(rowKey"),
+      s"stale top-n verification is not a pushed per-key get:\n$plan")
   }
 
   test("SQL ORDER BY value LIMIT k routes index-only; tie-break and bare orders both serve") {
@@ -180,7 +223,9 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     // a non-rowKey second key answers a different tie question
     unrouted("""SELECT rowKey, value FROM topn_r
                 |ORDER BY CAST(value AS BIGINT) DESC, value DESC LIMIT 5""".stripMargin)
-    // STALE covered index: one more base commit, no refresh — fall back
+    // STALE covered index: one more base commit, no refresh — r18, the
+    // route STILL serves (verified over-fetch ∪ CDC tail) and the
+    // answer reflects the unabsorbed commit
     Seq(("000123", "8888", 200000L)).toDF("rowKey", "v", "ts")
       .selectExpr("rowKey", "'f' AS family", "'v' AS qualifier",
         "encode(v, 'UTF-8') AS value", "ts")
@@ -189,20 +234,83 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     val stale = spark.sql(
       """SELECT rowKey, value FROM topn_r
         |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 3""".stripMargin)
+    // the routed stale plan's index-candidate probe runs driver-side at
+    // plan time (bounded), so the executed plan shows the VERIFICATION
+    // shape: a pushed per-key In on the base, never a full pivot scan
     val stalePlan = planOf(stale)
-    assert(!stalePlan.contains("/_index/"), s"stale index served top-n:\n$stalePlan")
-    // and the fallback answer reflects the unabsorbed commit
+    assert(stalePlan.contains("In(rowKey"),
+      s"stale covered index no longer served top-n:\n$stalePlan")
     stale.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
       oracleTop(dir, 3, desc = true)
-    // refresh restores routing
+    // refresh restores the index-only head (no verification read)
     KvIndex.refresh(spark, dir, "by_v")
     pivotView(dir, "topn_r")
     val again = spark.sql(
       """SELECT rowKey, value FROM topn_r
         |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 3""".stripMargin)
-    assert(planOf(again).contains("/_index/"), "refreshed index did not route")
+    val againPlan = planOf(again)
+    assert(againPlan.contains("/_index/"), "refreshed index did not route")
+    assert(!againPlan.contains("In(rowKey"),
+      s"fresh top-n still paid a verification read:\n$againPlan")
     again.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
       oracleTop(dir, 3, desc = true)
+  }
+
+  test("range-restricted top-n routes: Limit(Sort(Filter(range, pivot))) in one index scan") {
+    import scala.jdk.CollectionConverters._
+    val dir = covTable
+    KvIndex.refresh(spark, dir, "by_v") // covTable tests may interleave
+    pivotView(dir, "topn_f")
+    def oracleRange(k: Int, lo: Long, hi: Option[Long], desc: Boolean) = {
+      val piv = spark.read.format("graft-kv").load(dir)
+        .filter(col("family") === "f" && col("qualifier") === "v")
+        .groupBy("rowKey")
+        .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+          "UTF-8").as("value"))
+        .filter(hi.foldLeft(col("value").cast("long") >= lo)(
+          (c, h) => c && col("value").cast("long") < h))
+      val ord = if (desc) Seq(col("value").cast("long").desc, col("rowKey").desc)
+        else Seq(col("value").cast("long").asc, col("rowKey").asc)
+      piv.orderBy(ord: _*).limit(k).as[(String, String)].collect().toSeq
+    }
+    // closed range, DESC
+    val closed = spark.sql(
+      """SELECT rowKey, value FROM topn_f
+        |WHERE CAST(value AS BIGINT) >= 600 AND CAST(value AS BIGINT) < 1200
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 5""".stripMargin)
+    CountingFileSystem.reset()
+    val gotClosed = closed.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val planClosed = closed.queryExecution.executedPlan.toString
+    assert(planClosed.contains("/_index/"),
+      s"range top-n did not route:\n$planClosed")
+    assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")),
+      "fresh range top-n opened base data files")
+    gotClosed shouldBe oracleRange(5, 600, Some(1200), desc = true)
+    // OPEN upper bound (the `value >= x ORDER BY ... LIMIT k` shape)
+    val open = spark.sql(
+      """SELECT rowKey, value FROM topn_f
+        |WHERE CAST(value AS BIGINT) >= 900
+        |ORDER BY CAST(value AS BIGINT) ASC, rowKey ASC LIMIT 4""".stripMargin)
+    assert(planOf(open).contains("/_index/"),
+      s"open-bound range top-n did not route:\n${planOf(open)}")
+    open.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      oracleRange(4, 900, None, desc = false)
+    // a RESIDUAL conjunct the index cannot consume must NOT route the
+    // top-n arm (it would cut spliced rows and under-produce the limit)
+    val residual = spark.sql(
+      """SELECT rowKey, value FROM topn_f
+        |WHERE CAST(value AS BIGINT) >= 600 AND rowKey > '000100'
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 5""".stripMargin)
+    residual.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe {
+      val piv = spark.read.format("graft-kv").load(dir)
+        .filter(col("family") === "f" && col("qualifier") === "v")
+        .groupBy("rowKey")
+        .agg(decode(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")),
+          "UTF-8").as("value"))
+        .filter(col("value").cast("long") >= 600 && col("rowKey") > "000100")
+      piv.orderBy(col("value").cast("long").desc, col("rowKey").desc)
+        .limit(5).as[(String, String)].collect().toSeq
+    }
   }
 
   test("rangeIsSelective memo invalidates on a new base commit (decision re-prices)") {
