@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPreCBORule(session => graft.sources.KvIndexRouting(session))
+    // The routing rule splices lazy [[graft.sources.KvRoutedLookup]]
+    // nodes (execution-time index probes, r18); this strategy plans them.
+    ext.injectPlannerStrategy(_ => graft.sources.KvRoutedLookupStrategy)
   }
 }
 

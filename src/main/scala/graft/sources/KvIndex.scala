@@ -838,13 +838,25 @@ object KvIndex {
   private[sources] def rangeIsSelective(spark: SparkSession, fs: FileSystem,
       table: Path, m: Meta, lo: String, hi: String,
       maxSelectivity: Double): Boolean = {
+    val (candidates, baseRows, _) = rangeEstimate(fs, table, m, lo, hi)
+    if (baseRows <= 0) return true // empty/stat-less base: index is free
+    candidates <= maxSelectivity * baseRows
+  }
+
+  /** Manifest-stat cost estimate shared by [[rangeIsSelective]] and the
+    * routed-plan statistics ([[KvRoutedLookup]]): (estimated candidate
+    * rows in `[lo, hi)`, base rows, base bytes) — two driver-side
+    * manifest replays (memoized per latest seq), zero data I/O.
+    */
+  private[sources] def rangeEstimate(fs: FileSystem, table: Path, m: Meta,
+      lo: String, hi: String): (Double, Long, Long) = {
     def padded(v: String) =
       if (m.pad > 0) ("0" * math.max(0, m.pad - v.length)) + v else v
     val (loPad, hiPad) = (padded(lo), padded(hi))
     val idxStats = cachedLiveStats(fs, indexDir(table, m.name))
     val baseStats = cachedLiveStats(fs, table)
     val baseRows = baseStats.flatMap(_._2).map(_.rows).sum
-    if (baseRows <= 0) return true // empty/stat-less base: index is free
+    val baseBytes = baseStats.flatMap(_._2).map(_.bytes).sum
     val candidates = idxStats.map { case (_, st) =>
       st match {
         case Some(s) => (s.minKey, s.maxKey) match {
@@ -870,7 +882,7 @@ object KvIndex {
         case None => Double.MaxValue / 1024 // stat-less index file: assume big
       }
     }.sum
-    candidates <= maxSelectivity * baseRows
+    (candidates, baseRows, baseBytes)
   }
 
   /** Lexicographic position of a key in [0, 1): its first 8 bytes read

@@ -93,18 +93,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * (filesystem hiccup, unreadable index meta) logs and falls back to
   * the unrouted plan.
   *
-  * Scale shape: the COST CALL is two driver-side manifest replays (zero
-  * data I/O) and only runs on a full structural match. A POSITIVE
-  * decision then builds the lookup eagerly — like calling
-  * [[KvIndex.lookup]] directly, its candidate probe (a pruned index
-  * range scan capped at `InPushdownCap + 1` keys, plus the CDC tail)
-  * executes at plan time, so routed planning latency is the lookup's
-  * own driver-side cost and the candidate set is pinned into the plan:
-  * a cached routed DataFrame re-serves its plan-time version, exactly
-  * the snapshot semantics an explicit `lookup()` DataFrame has. A
-  * routed query then reads O(candidates) instead of O(table) — the
-  * Phoenix global-index trade, safe because read-time verification
-  * absorbs index staleness.
+  * Scale shape (r18): the COST CALL is two driver-side manifest replays
+  * (zero data I/O, memoized per latest seq) and only runs on a full
+  * structural match. A POSITIVE decision splices a LAZY
+  * [[KvRoutedLookup]] leaf — pure metadata; planning runs NO
+  * distributed work. The lookup itself (version probe, bounded
+  * candidate probe, verification plan) executes at the routed query's
+  * FIRST execution ([[KvRoutedLookupExec]]), so routed SQL reads the
+  * same table version an unrouted plan would, planning latency is
+  * data-independent, and re-executions of one physical plan reuse the
+  * first execution's resolved version (the DSv2 scan-pinning shape). A
+  * routed query reads O(candidates) instead of O(table) — the Phoenix
+  * global-index trade, safe because read-time verification absorbs
+  * index staleness.
   */
 case class KvIndexRouting(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper with Logging {
@@ -398,9 +399,9 @@ case class KvIndexRouting(session: SparkSession)
         .headOption.map { case (m, (lo, hi)) =>
           logInfo(s"graft-kv index routing: serving value range [$lo, $hi) " +
             s"on ${s.path} (${s.family}, $qual) through index '${m.name}'")
-          val lp = KvIndex.lookup(session, s.path, m.name, lo, hi)
-            .queryExecution.optimizedPlan
-          splice(s, lp, _ => lp.output(1))
+          val node = lookupNode(s, m, KvRoutedLookup.Range,
+            Seq((Some(lo), Some(hi))))
+          splice(s, node, _ => node.output(1))
         }
     } else {
       val byQual = s.cols.toMap
@@ -423,20 +424,20 @@ case class KvIndexRouting(session: SparkSession)
           logInfo(s"graft-kv index routing: serving composite ranges " +
             s"${m.keyQuals.zip(perComp).map { case (q, (l, h)) => s"$q:[$l,$h)" }
               .mkString(", ")} on ${s.path} through index '${m.name}'")
-          val lp = KvIndex.lookupComposite(session, s.path, m.name, perComp)
-            .queryExecution.optimizedPlan
+          val node = lookupNode(s, m, KvRoutedLookup.Composite,
+            perComp.map { case (l, h) => (Some(l), Some(h)) })
           // lookupComposite output is POSITIONAL: rowKey, value (leading
           // component), the non-leading components in index order, then
           // includes — resolve by position, never by name (a component
           // qualifier literally named 'rowKey' or 'value' would otherwise
           // bind the wrong column)
-          splice(s, lp, q =>
-            if (q == m.qualifier) lp.output(1)
+          splice(s, node, q =>
+            if (q == m.qualifier) node.output(1)
             else {
               val i = m.rest.indexWhere(_._1 == q)
               require(i >= 0, s"graft-kv index routing: '$q' is not a " +
                 s"component of index '${m.name}'")
-              lp.output(2 + i)
+              node.output(2 + i)
             })
         }
     }
@@ -522,14 +523,48 @@ case class KvIndexRouting(session: SparkSession)
       }
       .headOption.map { case (m, lo, hi) =>
         val rng = if (lo.isEmpty && hi.isEmpty) ""
-          else s" in [${lo.getOrElse("")}, ${hi.getOrElse("∞")})"
+          else s" in [${lo.getOrElse("")}, ${hi.getOrElse("inf")})"
         logInfo(s"graft-kv index routing: serving ORDER BY value " +
           s"${if (desc) "DESC " else ""}LIMIT $k$rng on ${s.path} " +
           s"(${s.family}, $qual) through index '${m.name}'")
-        val lp = KvIndex.topNCovered(session, s.path, m.name, k, desc, lo, hi)
-          .queryExecution.optimizedPlan
-        splice(s, lp, _ => lp.output(1))
+        val node = lookupNode(s, m, KvRoutedLookup.TopN, Seq((lo, hi)),
+          topK = k, desc = desc)
+        splice(s, node, _ => node.output(1))
       }
+  }
+
+  /** Manufacture the LAZY routed-lookup node ([[KvRoutedLookup]]) — the
+    * plan-time half of a routing decision is now pure metadata: output
+    * attributes mirroring the lookup's positional schema, plus
+    * manifest-stat size estimates (the same memoized replay the cost
+    * gate used), so planning runs NO distributed work and the routed
+    * plan reads at execution time like the unrouted plan it replaced.
+    */
+  private def lookupNode(s: PivotShape, m: KvIndex.Meta,
+      kind: KvRoutedLookup.Kind,
+      bounds: Seq[(Option[String], Option[String])],
+      topK: Int = 0, desc: Boolean = false): KvRoutedLookup = {
+    val table = new Path(s.path)
+    val fs = table.getFileSystem(session.sessionState.newHadoopConf())
+    val (rows, bytes) = (kind, bounds.headOption) match {
+      case (KvRoutedLookup.TopN, _) =>
+        (topK.toLong, topK.toLong * 64)
+      case (_, Some((Some(lo), Some(hi)))) =>
+        val (cand, baseRows, baseBytes) =
+          KvIndex.rangeEstimate(fs, table, m, lo, hi)
+        val avg = if (baseRows > 0) baseBytes.toDouble / baseRows else 64.0
+        val r = math.min(cand, Long.MaxValue / 2.0).toLong
+        (r, math.min(cand * avg, Long.MaxValue / 2.0).toLong)
+      case _ => (0L, 64L)
+    }
+    val names = kind match {
+      case KvRoutedLookup.Composite =>
+        Seq("rowKey", "value") ++ m.rest.map(_._1) ++ m.include
+      case _ => Seq("rowKey", "value")
+    }
+    KvRoutedLookup(s.path, m.name, kind, bounds, topK, desc,
+      estimatedRows = rows, estimatedBytes = bytes,
+      output = names.map(n => AttributeReference(n, StringType)()))
   }
 
   private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
@@ -704,19 +739,13 @@ case class KvIndexRouting(session: SparkSession)
 
 object KvIndexRouting {
 
-  /** Master switch (default on once the rule is installed). NOTE the
-    * freshness trade a routed query makes (class doc "Scale shape"): a
-    * positive routing decision runs the lookup's bounded candidate probe
-    * DURING OPTIMIZATION and pins that version into the plan — snapshot
-    * semantics identical to calling [[KvIndex.lookup]] directly, but
-    * DIFFERENT from the unrouted plan, which reads the table version
-    * current at EXECUTION time. Under concurrent commits the two can
-    * legitimately answer from adjacent versions, and planning latency
-    * becomes data-dependent (the probe's driver-side cost). `SET
-    * spark.graft.kv.index.routing.enabled=false` restores plain
-    * execution-time reads for the session; the decimal-mode typed
-    * contract ([[KvIndex]] class doc) is the other behavior difference
-    * the same switch escapes.
+  /** Master switch (default on once the rule is installed). Since r18
+    * a routed plan reads at EXECUTION time like the unrouted plan it
+    * replaced (class doc "Scale shape" — the r17 plan-time probe and
+    * its freshness divergence are gone), so the remaining behavior
+    * difference the switch escapes is the decimal-mode typed contract
+    * ([[KvIndex]] class doc): a routed lookup fails LOUDLY on a
+    * non-digit value where the unrouted CAST would null it out.
     */
   val EnabledKey = "spark.graft.kv.index.routing.enabled"
   val MaxSelectivityKey = "spark.graft.kv.index.routing.maxSelectivity"
@@ -730,5 +759,11 @@ object KvIndexRouting {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[KvIndexRouting]))
       spark.experimental.extraOptimizations = cur :+ KvIndexRouting(spark)
+    // The rewrite emits [[KvRoutedLookup]] nodes; the strategy that
+    // plans them must ride along or the session could build a logical
+    // plan it cannot execute.
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(KvRoutedLookupStrategy))
+      spark.experimental.extraStrategies = strats :+ KvRoutedLookupStrategy
   }
 }

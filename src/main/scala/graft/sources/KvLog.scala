@@ -333,10 +333,16 @@ private[graft] object KvLog {
     val h = horizon(fs, table)
     if (h < 0 || !read(fs, table, h).exists(_.carriesPending)) return 0
     val fl = floor(fs, table)
+    // NAMED SNAPSHOTS are durable CDC anchors (r18, [[changedFiles]]):
+    // entries ABOVE the oldest snapshot seq are never truncated — their
+    // adds and drop files serve snapshot-anchored change spans, however
+    // old — so the walk is capped at that seq. Entries at or below it
+    // remain ordinary candidates (a span starts AFTER its anchor).
+    val snapCap = KvSnapshot.minSeq(fs, table)
     var seq = earliestSeq(fs, table)
     var dropped = 0
     var stop = false
-    while (!stop && seq < fl) {
+    while (!stop && seq < fl && snapCap.forall(seq <= _)) {
       val p = entryPath(table, seq)
       val expired = try fs.getFileStatus(p).getModificationTime < cutoff
         catch { case _: java.io.FileNotFoundException => true } // already gone
@@ -1019,7 +1025,13 @@ private[graft] object KvLog {
     * nothing — they re-publish existing data, not changes (the same rule the
     * tail's delivery uses). Fails loudly when the span dips below the
     * compaction floor: those increments' files were merged away and the
-    * change set is no longer reconstructible.
+    * change set is no longer reconstructible — UNLESS a named snapshot
+    * anchors the span (r18): a snapshot at seq ≤ sinceSeq makes the span
+    * a DURABLE CDC LEASE — [[truncate]] stops above the oldest snapshot
+    * seq and [[KvVacuum]] spares the span's adds, so the below-floor
+    * span is served after VERIFYING every file still exists (the pin
+    * guarantees it outside the create-vs-GC race window every
+    * non-locking store shares).
     */
   def changedFiles(fs: FileSystem, table: Path, sinceSeq: Long, asOf: Long)
       : Seq[String] = {
@@ -1028,16 +1040,17 @@ private[graft] object KvLog {
       s"graft-kv log: change span ($sinceSeq, $asOf] is outside $table's " +
         s"log (latest $latest)")
     val fl = floor(fs, table)
-    if (sinceSeq + 1 < fl) throw new IllegalStateException(
-      s"graft-kv log: changes since seq $sinceSeq of $table are no longer " +
-        s"reconstructible — entries below the compaction floor $fl were " +
-        "merged away. Re-baseline from a full scan (or an asOfSeq read).")
-    (sinceSeq + 1 to asOf).flatMap { seq =>
-      read(fs, table, seq).toSeq.flatMap { e =>
+    val belowFloor = spanAnchoredBelowFloor(fs, table, sinceSeq, fl)
+    val files = (sinceSeq + 1 to asOf).flatMap { seq =>
+      val entry = read(fs, table, seq)
+      if (belowFloor) requireNoSpanGap(table, sinceSeq, asOf, seq, fl, entry)
+      entry.toSeq.flatMap { e =>
         requireNoOpaqueDrop(table, e)
         if (e.compact) e.dropFiles else e.adds
       }
     }.sorted
+    if (belowFloor) requireSpanFiles(fs, table, sinceSeq, asOf, files)
+    files
   }
 
   /** A CDC span crossing an OPAQUE retention compaction — an
@@ -1052,8 +1065,55 @@ private[graft] object KvLog {
     if (e.contentDrop && e.dropFiles.isEmpty) throw new IllegalStateException(
       s"graft-kv log: the change span over $table crosses a retention " +
         s"compaction at seq ${e.seq} (ttl/versions dropped current " +
-        "cells) that recorded no drop files — not expressible as a " +
-        "change feed. Re-baseline from a full scan (or an asOfSeq read).")
+        "cells) that recorded no drop files — a pre-r17 (legacy) pass " +
+        "whose drops are not expressible as a change feed. To recover: " +
+        "re-baseline this consumer from a full scan or an asOfSeq read " +
+        s"at or after seq ${e.seq} (secondary indexes recover themselves " +
+        "— CALL sys.refresh_index detects the opaque span and rebuilds). " +
+        "Passes staged from this release always record drop files, so " +
+        "the refusal cannot recur on new entries.")
+
+  /** Floor admission for a change span (r18): a below-floor span refuses
+    * UNLESS a named snapshot at seq ≤ `since` anchors it — snapshots are
+    * durable CDC anchors ([[truncate]] stops above the oldest snapshot
+    * seq, [[KvVacuum]] spares the span's adds). Returns true exactly for
+    * the anchored-below-floor case, where the caller must also verify
+    * entry continuity ([[requireNoSpanGap]]) and file existence
+    * ([[requireSpanFiles]]): the pin only protects from its create time
+    * forward.
+    */
+  private def spanAnchoredBelowFloor(fs: FileSystem, table: Path,
+      since: Long, fl: Long): Boolean = {
+    if (since + 1 >= fl) return false
+    if (!KvSnapshot.list(fs, table).exists(_.seq <= since))
+      throw new IllegalStateException(
+        s"graft-kv log: changes since seq $since of $table are no longer " +
+          s"reconstructible — entries below the compaction floor $fl were " +
+          "merged away. Re-baseline from a full scan (or an asOfSeq read). " +
+          "To keep a change anchor durable across maintenance, pin it " +
+          "with a named snapshot at the anchor seq (snapshots stop log " +
+          "truncation and file GC above their seq).")
+    true
+  }
+
+  private def requireNoSpanGap(table: Path, since: Long, upTo: Long,
+      seq: Long, fl: Long, entry: Option[Entry]): Unit =
+    if (entry.isEmpty && seq < fl) throw new IllegalStateException(
+      s"graft-kv log: the snapshot-anchored change span ($since, $upTo] " +
+        s"of $table is missing entry $seq — it was truncated before the " +
+        "anchoring snapshot existed. Re-baseline from a full scan (or an " +
+        "asOfSeq read).")
+
+  private def requireSpanFiles(fs: FileSystem, table: Path, since: Long,
+      upTo: Long, files: Seq[String]): Unit = {
+    val missing = files.filterNot(n => fs.exists(new Path(table, n)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"graft-kv log: the snapshot-anchored change span ($since, $upTo] " +
+        s"of $table lost files ${missing.take(3).mkString(", ")}" +
+        s"${if (missing.size > 3) s" (+${missing.size - 3} more)" else ""}" +
+        " — they were reclaimed before the anchoring snapshot existed. " +
+        "Re-baseline from a full scan (or an asOfSeq read).")
+  }
 
   /** Every drop-record file some RETAINED entry references — the vacuum
     * exclusion set ([[KvVacuum]] reclaims `drops-*` strays a crashed
@@ -1119,12 +1179,11 @@ private[graft] object KvLog {
         s"graft-kv log: change span ($s, $upTo] is outside $table's log " +
           s"(latest seq is $latest)")
       val fl = floor(fs, table)
-      if (s + 1 < fl) throw new IllegalStateException(
-        s"graft-kv log: changes since seq $s of $table are no longer " +
-          s"reconstructible — entries below the compaction floor $fl were " +
-          "merged away. Re-baseline from a full scan (or an asOfSeq read).")
-      (s + 1 to upTo).flatMap { seq =>
-        read(fs, table, seq).toSeq.flatMap { e =>
+      val belowFloor = spanAnchoredBelowFloor(fs, table, s, fl)
+      val planned = (s + 1 to upTo).flatMap { seq =>
+        val entry = read(fs, table, seq)
+        if (belowFloor) requireNoSpanGap(table, s, upTo, seq, fl, entry)
+        entry.toSeq.flatMap { e =>
           requireNoOpaqueDrop(table, e)
           // A compact entry's adds re-publish already-consumed data and
           // are skipped; its DROP FILES are the span's delete records
@@ -1135,6 +1194,9 @@ private[graft] object KvLog {
           names.map(n => (new Path(table, n), e.stats.get(n)))
         }
       }.sortBy(_._1.getName)
+      if (belowFloor)
+        requireSpanFiles(fs, table, s, upTo, planned.map(_._1.getName))
+      planned
     case None =>
       if (asOf.isDefined && !exists(fs, table)) throw new IllegalArgumentException(
         s"graft-kv: asOfSeq time travel requires a manifest log, and $table " +

@@ -160,6 +160,15 @@ object KvSnapshot {
   def referencedFiles(fs: FileSystem, table: Path): Set[String] =
     list(fs, table).flatMap(_.files.map(_._1)).toSet
 
+  /** The OLDEST pinned seq across all snapshots (None without any) —
+    * the durable-CDC-anchor horizon (r18): [[KvLog.truncate]] never
+    * drops entries above it and [[KvVacuum]] spares the span's adds, so
+    * a change span anchored at any snapshot stays servable across
+    * maintenance ([[KvLog.changedFiles]]).
+    */
+  def minSeq(fs: FileSystem, table: Path): Option[Long] =
+    list(fs, table).map(_.seq).minOption
+
   /** Delete the snapshot manifest. Returns false when it didn't exist.
     * The files it pinned become ordinary vacuum candidates again.
     */

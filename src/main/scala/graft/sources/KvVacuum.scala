@@ -78,6 +78,20 @@ object KvVacuum {
     // break it long after any grace period. One `_snapshots` listing +
     // one small read per snapshot, GC path only.
     val pinned = KvSnapshot.referencedFiles(fs, dir)
+    // Snapshots are also durable CDC ANCHORS (r18, [[KvLog.changedFiles]]):
+    // the change span (oldest snapshot seq, latest] must stay servable
+    // across maintenance, so the NON-COMPACT adds of every retained entry
+    // above that seq are spared even after a later compaction merged them
+    // away and their grace expired (compact rewrites are CDC-transparent
+    // and stay ordinary candidates; the span's drop files are already
+    // protected through their retained entries). O(retained log) replay,
+    // only when snapshots exist.
+    val spanPinned: Set[String] = KvSnapshot.minSeq(fs, dir)
+      .fold(Set.empty[String]) { a =>
+        (math.max(a + 1, KvLog.earliestSeq(fs, dir)) to KvLog.latestSeq(fs, dir))
+          .flatMap(s => KvLog.read(fs, dir, s).toSeq)
+          .filterNot(_.compact).flatMap(_.adds).toSet
+      }
     var files = 0
     var bytes = 0L
     var dirs = 0
@@ -109,7 +123,7 @@ object KvVacuum {
           }
         } catch { case _: java.io.FileNotFoundException => () }
       } else if (st.isFile && n.startsWith("part-") && n.endsWith(".parquet")
-          && !live.contains(n) && !pinned.contains(n)
+          && !live.contains(n) && !pinned.contains(n) && !spanPinned.contains(n)
           // Grace from the un-reference instant: the removing entry's
           // publish for merged-away segments, the file's own mtime for
           // never-referenced strays.

@@ -60,12 +60,12 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  /** Routed-plan signature: [[KvIndex.lookup]]'s plan-time probe already
-    * ran the index range scan, so the SPLICED plan's leaf is the base
-    * verification read — bounded candidate GETS (a pushed rowKey `In`),
-    * never a full family scan. The unrouted plan has no rowKey `In`.
+  /** Routed-plan signature (r18): the splice is the LAZY
+    * [[KvRoutedLookup]] leaf — the lookup itself (version probe,
+    * candidate probe, verification) runs at execution time, so the
+    * outer plan carries the node, not the inlined lookup plan.
     */
-  private def routed(plan: String): Boolean = plan.contains("In(rowKey")
+  private def routed(plan: String): Boolean = plan.contains("KvRoutedLookup")
 
   test("selective SQL range routes through the index: index scan + candidate gets") {
     pivotView(decimalTable).createOrReplaceTempView("rt_dec")
@@ -201,7 +201,8 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
     // the index-table scan (no base verification gets at all)
     df.collect(): Unit
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("/_index/"), s"composite pivot did not route:\n$plan")
+    assert(plan.contains("KvRoutedLookup"),
+      s"composite pivot did not route:\n$plan")
     // b = 5i < 1030 keeps even i < 206; a = 3i in [600,660) → i in
     // [200,220): keys 200, 202, 204
     val got = df.collect().map(r =>
@@ -212,7 +213,7 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
     spark.conf.set(KvIndexRouting.EnabledKey, "false")
     try {
       val plain = spark.sql(sql)
-      assert(!planOf(plain).contains("/_index/"))
+      assert(!planOf(plain).contains("KvRoutedLookup"))
       plain.collect().map(r =>
         (r.getString(0), r.getString(1), r.getString(2))).sorted
         .toSeq shouldBe got.toSeq
@@ -222,7 +223,7 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
     val oneSided = spark.sql(
       """SELECT rowKey, va, vb FROM rt_comp
         |WHERE CAST(va AS BIGINT) >= 600 AND CAST(va AS BIGINT) < 660""".stripMargin)
-    assert(!planOf(oneSided).contains("/_index/"),
+    assert(!planOf(oneSided).contains("KvRoutedLookup"),
       "one-sided predicate must not route through the composite index")
     oneSided.count() shouldBe 20L // all of [200, 220), odd keys included
   }
@@ -257,6 +258,52 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
       plain.collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
         .toSeq shouldBe got.toSeq
+    } finally spark.conf.unset(KvIndexRouting.EnabledKey)
+  }
+
+  test("routed SQL reads at EXECUTION time: planning is pure, an interleaved commit is visible") {
+    import scala.jdk.CollectionConverters._
+    val path = s"$base/exec_time"
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    graft.sinks.Sinks.deleteRecursive(spark, path)
+    val dir = s"cfs:$path"
+    spark.range(400).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id * 7 AS STRING), 'UTF-8') AS value", "id AS ts")
+      .write.format("graft-kv").option("regions", 4).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_v", "f", "v", pad = 6, regions = 2)
+    KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier") === "v")
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), col("ts")), "UTF-8").as("value"))
+      .createOrReplaceTempView("rt_exec")
+    val df = spark.sql(rangeSql("rt_exec"))
+    // 1. PLANNING IS PURE: forcing the physical plan runs no lookup —
+    //    zero data-file opens (r17 ran the candidate probe here)
+    CountingFileSystem.reset()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(routed(plan), s"expected a routed plan:\n$plan")
+    assert(CountingFileSystem.dataOpens.get() == 0L,
+      s"planning opened data files: ${CountingFileSystem.openedData.asScala}")
+    // 2. an INTERLEAVED commit lands between plan and execute: key
+    //    000900 moves into [1000, 1100)
+    spark.range(1).selectExpr(
+      "'000900' AS rowKey", "'f' AS family", "'v' AS qualifier",
+      "encode('1050', 'UTF-8') AS value", "999999L AS ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    // 3. the routed EXECUTION sees it — same rows as an unrouted run NOW
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.exists(_._1 == "000900"),
+      s"routed execution pinned the plan-time version: $got")
+    spark.conf.set(KvIndexRouting.EnabledKey, "false")
+    try {
+      spark.sql(rangeSql("rt_exec")).collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq shouldBe
+        got.toSeq
     } finally spark.conf.unset(KvIndexRouting.EnabledKey)
   }
 

@@ -183,14 +183,15 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     CountingFileSystem.reset()
     val gotTied = tied.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     val planTied = tied.queryExecution.executedPlan.toString
-    assert(planTied.contains("/_index/"), s"tie-broken top-n did not route:\n$planTied")
+    assert(planTied.contains("KvRoutedLookup"),
+      s"tie-broken top-n did not route:\n$planTied")
     assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")),
       "routed top-n opened base data files")
     gotTied shouldBe want
     // bare value order: any valid top-k SET — compare set-wise vs unrouted
     val bare = spark.sql(
       "SELECT rowKey, value FROM topn_v ORDER BY CAST(value AS BIGINT) DESC LIMIT 9")
-    assert(planOf(bare).contains("/_index/"), "bare-order top-n did not route")
+    assert(planOf(bare).contains("KvRoutedLookup"), "bare-order top-n did not route")
     bare.collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
       want.toSet // values are distinct here, so the set IS determined
     // routed ≡ unrouted
@@ -199,7 +200,7 @@ class KvIndexTopNSpec extends graft.SparkSpec {
       val plain = spark.sql(
         """SELECT rowKey, value FROM topn_v
           |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 9""".stripMargin)
-      assert(!planOf(plain).contains("/_index/"), "routing ran while disabled")
+      assert(!planOf(plain).contains("KvRoutedLookup"), "routing ran while disabled")
       plain.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe gotTied
     } finally spark.conf.unset(KvIndexRouting.EnabledKey)
   }
@@ -210,7 +211,7 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     def unrouted(sql: String): Unit = {
       val df = spark.sql(sql)
       val plan = planOf(df)
-      assert(!plan.contains("/_index/"), s"must not route:\n$sql\n$plan")
+      assert(!plan.contains("KvRoutedLookup"), s"must not route:\n$sql\n$plan")
     }
     // string order over a DECIMAL-mode index: '999' sorts above '9000'
     unrouted("SELECT rowKey, value FROM topn_r ORDER BY value DESC LIMIT 5")
@@ -234,11 +235,8 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     val stale = spark.sql(
       """SELECT rowKey, value FROM topn_r
         |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 3""".stripMargin)
-    // the routed stale plan's index-candidate probe runs driver-side at
-    // plan time (bounded), so the executed plan shows the VERIFICATION
-    // shape: a pushed per-key In on the base, never a full pivot scan
     val stalePlan = planOf(stale)
-    assert(stalePlan.contains("In(rowKey"),
+    assert(stalePlan.contains("KvRoutedLookup"),
       s"stale covered index no longer served top-n:\n$stalePlan")
     stale.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
       oracleTop(dir, 3, desc = true)
@@ -248,12 +246,15 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     val again = spark.sql(
       """SELECT rowKey, value FROM topn_r
         |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 3""".stripMargin)
-    val againPlan = planOf(again)
-    assert(againPlan.contains("/_index/"), "refreshed index did not route")
-    assert(!againPlan.contains("In(rowKey"),
-      s"fresh top-n still paid a verification read:\n$againPlan")
+    import scala.jdk.CollectionConverters._
+    CountingFileSystem.reset()
     again.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
       oracleTop(dir, 3, desc = true)
+    assert(planOf(again).contains("KvRoutedLookup"),
+      "refreshed index did not route")
+    // fresh again: the execution-time lookup reads the index only
+    assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")),
+      "fresh top-n still paid a base verification read")
   }
 
   test("range-restricted top-n routes: Limit(Sort(Filter(range, pivot))) in one index scan") {
@@ -281,7 +282,7 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     CountingFileSystem.reset()
     val gotClosed = closed.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     val planClosed = closed.queryExecution.executedPlan.toString
-    assert(planClosed.contains("/_index/"),
+    assert(planClosed.contains("KvRoutedLookup"),
       s"range top-n did not route:\n$planClosed")
     assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")),
       "fresh range top-n opened base data files")
@@ -291,7 +292,7 @@ class KvIndexTopNSpec extends graft.SparkSpec {
       """SELECT rowKey, value FROM topn_f
         |WHERE CAST(value AS BIGINT) >= 900
         |ORDER BY CAST(value AS BIGINT) ASC, rowKey ASC LIMIT 4""".stripMargin)
-    assert(planOf(open).contains("/_index/"),
+    assert(planOf(open).contains("KvRoutedLookup"),
       s"open-bound range top-n did not route:\n${planOf(open)}")
     open.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
       oracleRange(4, 900, None, desc = false)
@@ -338,7 +339,7 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     }
     val before = rangeDf()
     val planBefore = planOf(before)
-    assert(!planBefore.contains("In(rowKey"), s"30% range routed:\n$planBefore")
+    assert(!planBefore.contains("KvRoutedLookup"), s"30% range routed:\n$planBefore")
     before.count() shouldBe 30L
     // 400 new keys far OUT of range: base grows 5×, the same range is
     // now 6% — a memoized stat replay that survived this commit would
@@ -351,7 +352,7 @@ class KvIndexTopNSpec extends graft.SparkSpec {
       .write.format("graft-kv").option("regions", 2).mode("append").save(dir)
     val after = rangeDf()
     val planAfter = planOf(after)
-    assert(planAfter.contains("In(rowKey"),
+    assert(planAfter.contains("KvRoutedLookup"),
       s"post-commit re-price did not route (stale memo?):\n$planAfter")
     after.count() shouldBe 30L
   }

@@ -469,6 +469,50 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
       keyedCells(now)
   }
 
+  test("a snapshot anchor makes the CDC span durable across retention + vacuum(0) + truncate") {
+    val dir = freshDir("anchor")
+    val cells = twoVersions(150)
+    cells.filter(col("ts") < 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir) // seq 0
+    // the consumer checkpoints at seq 0 and PINS its anchor
+    KvSnapshot.create(spark, dir, "anchor")
+    cells.filter(col("ts") >= 100000).write.format("graft-kv")
+      .option("regions", 2).mode("append").save(dir) // seq 1 — span content
+    // retention pass merges seq 0+1 away and stages drop records (seq 2);
+    // the floor rises past the anchor
+    val res = KvCompactor.compact(spark, dir, regions = 2,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+    res.asInstanceOf[KvCompactor.Compacted].dropped shouldBe 150L
+    val fs = fsOf(dir)
+    val table = new Path(dir)
+    // AGGRESSIVE maintenance: zero-grace truncate + vacuum. Without the
+    // anchor, seq 1's merged-away adds (the span's content) and — after
+    // entry truncation — seq 2's drop files would be reclaimed here.
+    Thread.sleep(20) // let the removal clocks fall behind the cutoff
+    KvLog.truncate(fs, table, 0L)
+    KvVacuum.vacuum(spark, dir, graceMs = 0L)
+    // the anchored entries survived truncation (entry 1 and the dropping
+    // entry 2), and the span's files survived vacuum
+    KvLog.read(fs, table, 1L).isDefined shouldBe true
+    KvLog.read(fs, table, 2L).exists(_.dropFiles.nonEmpty) shouldBe true
+    // snapshot baseline + anchored feed == current, across it all
+    val baseline = spark.read.format("graft-kv")
+      .option("snapshot", "anchor").load(dir)
+    val feed = spark.read.format("graft-kv").option("sinceSeq", "0").load(dir)
+    keyedCells(KvDelete.applyVersionMarkers(baseline.unionByName(feed), feed)) shouldBe
+      keyedCells(spark.read.format("graft-kv").load(dir))
+    // dropping the snapshot releases the lease: the next truncate+vacuum
+    // reclaims the span and the feed refuses with the re-baseline hint
+    KvSnapshot.drop(spark, dir, "anchor")
+    Thread.sleep(20)
+    KvLog.truncate(fs, table, 0L)
+    KvVacuum.vacuum(spark, dir, graceMs = 0L)
+    val ex = intercept[IllegalStateException] {
+      spark.read.format("graft-kv").option("sinceSeq", "0").load(dir).count()
+    }
+    ex.getMessage should include("named snapshot")
+  }
+
   test("masked scans read VALUE only when exact-version markers are live") {
     val dir = freshDir("value_gate")
     def planOf(df: DataFrame): String = {
