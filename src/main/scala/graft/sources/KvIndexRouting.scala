@@ -384,19 +384,24 @@ case class KvIndexRouting(session: SparkSession)
       // correctness one): indexes on the same qualifier can differ in
       // pad mode — one whose mode can't extract bounds from these
       // conjuncts, or whose range prices unselective, must not veto a
-      // sibling that can serve. First serving candidate wins, in list
-      // order (name order — deterministic).
+      // sibling that can serve. Among the serving candidates the
+      // CHEAPEST wins — smallest manifest-stat candidate estimate
+      // (r18; the memoized replay already priced each one), name as
+      // the deterministic tie-break.
       // Composite indexes are inner joins of their components — wrong
       // row set for a single-qualifier pivot; never route through one.
-      indexes.view
+      indexes
         .filter(i => i.qualifier == qual && !i.composite)
         .flatMap { m =>
-          bounds(conjuncts, valOut, m.pad)
-            .filter { case (lo, hi) =>
-              KvIndex.rangeIsSelective(session, fs, table, m, lo, hi, maxSel) }
-            .map((m, _))
+          bounds(conjuncts, valOut, m.pad).flatMap { case (lo, hi) =>
+            val (cand, baseRows, _) = KvIndex.rangeEstimate(fs, table, m, lo, hi)
+            if (baseRows <= 0 || cand <= maxSel * baseRows)
+              Some((m, (lo, hi), cand))
+            else None
+          }
         }
-        .headOption.map { case (m, (lo, hi)) =>
+        .sortBy { case (m, _, cand) => (cand, m.name) }
+        .headOption.map { case (m, (lo, hi), _) =>
           logInfo(s"graft-kv index routing: serving value range [$lo, $hi) " +
             s"on ${s.path} (${s.family}, $qual) through index '${m.name}'")
           val node = lookupNode(s, m, KvRoutedLookup.Range,
@@ -405,22 +410,28 @@ case class KvIndexRouting(session: SparkSession)
         }
     } else {
       val byQual = s.cols.toMap
-      // Same first-serving-candidate iteration over the composite
-      // indexes whose key components are exactly the predicated columns:
-      // an extractable range on EVERY key component, in key order —
-      // each range forces its column non-null, so the predicate's rows
-      // all carry every component (the index's inner-join row set).
-      indexes.view
+      // Same serving-candidate iteration over the composite indexes
+      // whose key components are exactly the predicated columns: an
+      // extractable range on EVERY key component, in key order — each
+      // range forces its column non-null, so the predicate's rows all
+      // carry every component (the index's inner-join row set). The
+      // cheapest leading-bound estimate wins (r18), name tie-break.
+      indexes
         .filter(i => i.composite && i.keyQuals.length == s.cols.length &&
           i.keyQuals.toSet == s.cols.map(_._1).toSet)
         .flatMap { m =>
           sequence(m.keyQuals.zip(m.pads).map { case (q, p) =>
             bounds(conjuncts, byQual(q), p)
-          }).filter(pc => KvIndex.rangeIsSelective(session, fs, table, m,
-            pc.head._1, pc.head._2, maxSel))
-            .map((m, _))
+          }).flatMap { pc =>
+            val (cand, baseRows, _) = KvIndex.rangeEstimate(
+              fs, table, m, pc.head._1, pc.head._2)
+            if (baseRows <= 0 || cand <= maxSel * baseRows)
+              Some((m, pc, cand))
+            else None
+          }
         }
-        .headOption.map { case (m, perComp) =>
+        .sortBy { case (m, _, cand) => (cand, m.name) }
+        .headOption.map { case (m, perComp, _) =>
           logInfo(s"graft-kv index routing: serving composite ranges " +
             s"${m.keyQuals.zip(perComp).map { case (q, (l, h)) => s"$q:[$l,$h)" }
               .mkString(", ")} on ${s.path} through index '${m.name}'")
@@ -508,7 +519,10 @@ case class KvIndexRouting(session: SparkSession)
     }
     val table = new Path(s.path)
     val fs = table.getFileSystem(session.sessionState.newHadoopConf())
-    KvIndex.list(fs, table).view
+    // Cost tie-break (r18): a top-n fetch reads (2 + |include|) cells
+    // per entry, so among serving covered indexes the narrowest payload
+    // wins; name as the deterministic tie-break.
+    KvIndex.list(fs, table)
       .filter(i => i.family == s.family && i.qualifier == qual &&
         !i.composite && i.covered && collationOk(i.pad) &&
         (k.toLong + 1) * (2 + i.include.length) <= KvIndex.MaxTopNFetch)
@@ -521,6 +535,7 @@ case class KvIndexRouting(session: SparkSession)
               .map { case (lo, hi) => (m, lo, hi) }
         }
       }
+      .sortBy { case (m, _, _) => (m.include.length, m.name) }
       .headOption.map { case (m, lo, hi) =>
         val rng = if (lo.isEmpty && hi.isEmpty) ""
           else s" in [${lo.getOrElse("")}, ${hi.getOrElse("inf")})"

@@ -314,6 +314,31 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     }
   }
 
+  test("top-n cost tie-break: the narrowest covered payload serves, not name order") {
+    val dir = s"$base/tiebreak"
+    graft.sinks.Sinks.deleteRecursive(spark, dir)
+    spark.range(200).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id * 11 AS STRING), 'UTF-8') AS value", "id AS ts")
+      .write.format("graft-kv").option("regions", 2).mode("overwrite").save(dir)
+    // name order would pick aaa_wide; the fetch cost (cells per entry)
+    // says zzz_slim — 2 cells vs 4
+    KvIndex.create(spark, dir, "aaa_wide", "f", "v", pad = 6,
+      include = Seq("x", "y"))
+    KvIndex.create(spark, dir, "zzz_slim", "f", "v", pad = 6, covered = true)
+    KvIndexRouting.install(spark)
+    pivotView(dir, "topn_tb")
+    val df = spark.sql(
+      """SELECT rowKey, value FROM topn_tb
+        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 5""".stripMargin)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    got shouldBe (199 to 195 by -1).map(i => (f"$i%06d", (i * 11).toString))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("index=zzz_slim"),
+      s"cost tie-break did not pick the slim index:\n$plan")
+  }
+
   test("rangeIsSelective memo invalidates on a new base commit (decision re-prices)") {
     val dir = s"$base/memo"
     graft.sinks.Sinks.deleteRecursive(spark, dir)
