@@ -19,7 +19,9 @@ import graft.streaming.StreamingPivot
   *    are compared as `floor(x*100)` longs or rounded decimals;
   *  - `floor()` not `CAST` for double→int (DuckDB CAST rounds, Spark truncates).
   */
-object Queries {
+object Queries
+    extends QueriesRelational with QueriesText with QueriesDedup
+    with QueriesSimilarity with QueriesMultimodal with QueriesStreaming {
 
   /** The five event_type values in the `events` table = the pivot schema. */
   val EventCols = Seq("click", "error", "purchase", "signup", "view")
@@ -32,7 +34,7 @@ object Queries {
     * This is the S1 scan as an engine-owned pluggable source rather than an
     * inherited parquet read.
     */
-  private def ensureRegionCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureRegionCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"region_cells|$sfDir", _ => {
       val path = artifactPath("region_cells", sfDir)
       KvTable.eventsAsCells(spark, sfDir)
@@ -41,7 +43,7 @@ object Queries {
       path
     })
 
-  private def kvSourceCells(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def kvSourceCells(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.format("graft-kv").load(ensureRegionCells(spark, sfDir))
 
   /** A1 pivot + A2 last-write-wins over the events-as-KV table (S1 scan →
@@ -71,7 +73,7 @@ object Queries {
       .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("max_ts"))
   }
 
-  private val kvV2RangeScanSql: String =
+  private[graft] val kvV2RangeScanSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  count(*) AS n_clicks, max(event_id) AS max_ts
       |FROM events
@@ -85,7 +87,7 @@ object Queries {
     * range-sorted sink write — stored layout spreads every logical key
     * range over 16 bucket subranges.
     */
-  private def ensureSaltedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureSaltedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"salted_cells|$sfDir", _ => {
       val path = artifactPath("salted_cells", sfDir)
       graft.sources.KvSalt.salted(KvTable.eventsAsCells(spark, sfDir), 16)
@@ -122,7 +124,7 @@ object Queries {
     * fixes a mis-sized `SALT_BUCKETS` choice (the Phoenix "create new
     * table and upsert-select" dance) as one online table operation.
     */
-  private def ensureResaltedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureResaltedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"resalted_cells|$sfDir", _ => {
       val path = artifactPath("resalted_cells", sfDir)
       // A PREVIOUS run's artifact already holds the converted layout and
@@ -159,7 +161,7 @@ object Queries {
     * range becomes a pruned scan of a value-ordered side table plus
     * bloom-pruned point gets, never a base-table scan.
     */
-  private def ensureIndexedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureIndexedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"indexed_cells|$sfDir", _ => {
       val path = artifactPath("indexed_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -206,7 +208,7 @@ object Queries {
     * into range + a whole-row delete slice) and one exact refresh, so
     * the timed query hits the fresh fast path.
     */
-  private def ensureCoveredIndexedCells(spark: SparkSession,
+  private[graft] def ensureCoveredIndexedCells(spark: SparkSession,
       sfDir: String): String =
     artifacts.computeIfAbsent(s"covered_idx|$sfDir", _ => {
       val p = artifactPath("covered_idx", sfDir)
@@ -261,7 +263,7 @@ object Queries {
         |LIMIT 25""".stripMargin)
   }
 
-  private val kvIndexTopnSql: String =
+  private[graft] val kvIndexTopnSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
        |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
@@ -307,7 +309,7 @@ object Queries {
         |LIMIT 20""".stripMargin)
   }
 
-  private val kvIndexTopnRangeSql: String =
+  private[graft] val kvIndexTopnRangeSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
        |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
@@ -377,7 +379,7 @@ object Queries {
         |LIMIT 25""".stripMargin)
   }
 
-  private val kvIndexTopnStaleSql: String =
+  private[graft] val kvIndexTopnStaleSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
        |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
@@ -400,7 +402,7 @@ object Queries {
        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
        |LIMIT 25""".stripMargin
 
-  private val kvIndexCoveredSql: String =
+  private[graft] val kvIndexCoveredSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
        |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
@@ -451,7 +453,7 @@ object Queries {
       .withColumnRenamed("view", "view_val")
   }
 
-  private def ensureCompositeIdx(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureCompositeIdx(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"composite_idx|$sfDir", _ => {
       val p = artifactPath("composite_idx", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, p)
@@ -521,7 +523,7 @@ object Queries {
         |  AND CAST(view_val AS BIGINT) < 5000""".stripMargin)
   }
 
-  private val kvIndexCompositeSql: String =
+  private[graft] val kvIndexCompositeSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
        |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
@@ -589,7 +591,7 @@ object Queries {
         |  AND CAST(value AS BIGINT) < 12000""".stripMargin)
   }
 
-  private val kvIndexMaintainedSql: String =
+  private[graft] val kvIndexMaintainedSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
        |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
@@ -624,7 +626,7 @@ object Queries {
     * Every count is exact by construction, so the fsck query's oracle is
     * the literal expected report.
     */
-  private def ensureFsckTable(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureFsckTable(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"fsck_table|$sfDir", _ => {
       val path = artifactPath("fsck_table", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -667,7 +669,7 @@ object Queries {
     * tie-break (`max_by_ts`). Correctness-sensitive kernel the oracles
     * pin; one definition so the two queries cannot drift.
     */
-  private def lwwCells(cells: DataFrame): DataFrame =
+  private[graft] def lwwCells(cells: DataFrame): DataFrame =
     cells.groupBy("rowKey", "family", "qualifier")
       .agg(graft.functions.MaxByTsAgg.maxByTs(col("value"), col("ts")).as("value"),
         max("ts").as("ts"))
@@ -722,7 +724,7 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
-  private lazy val kvStateMergeRetentionSql: String =
+  private[graft] lazy val kvStateMergeRetentionSql: String =
     s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
        |f AS (SELECT * FROM g WHERE ts >= $TtlCompactCutoff),
        |m AS (SELECT *, row_number() OVER (PARTITION BY rowKey, qualifier
@@ -754,7 +756,7 @@ object Queries {
       .select(col("doc_id"), col("cell"), col("pruned"), col("n_chars"))
   }
 
-  private lazy val pipeSemanticCorpusSql: String =
+  private[graft] lazy val pipeSemanticCorpusSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
        |c AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn
@@ -787,7 +789,7 @@ object Queries {
     * with small row groups (the shape of a region a giant batch sealed
     * before any maintenance split normalized it).
     */
-  private def ensureMonolithCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureMonolithCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"monolith_cells|$sfDir", _ => {
       val path = artifactPath("monolith_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -826,7 +828,7 @@ object Queries {
     graft.sources.KvFsck.check(spark, path).rows.toDF("check_name", "n")
   }
 
-  private val kvFsckSql: String =
+  private[graft] val kvFsckSql: String =
     """SELECT * FROM (VALUES
       |  ('live_files', CAST(2 AS BIGINT)),
       |  ('live_missing', CAST(0 AS BIGINT)),
@@ -861,7 +863,7 @@ object Queries {
       min(col("rowKey")).as("min_key"), max(col("rowKey")).as("max_key"),
       min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
 
-  private val kvStatsBoundsSql: String =
+  private[graft] val kvStatsBoundsSql: String =
     """SELECT count(*) AS n_cells,
       |  min(lpad(CAST(user_id AS VARCHAR), 8, '0')) AS min_key,
       |  max(lpad(CAST(user_id AS VARCHAR), 8, '0')) AS max_key,
@@ -873,7 +875,7 @@ object Queries {
     * bounds cannot prune between them). The shape a streaming sink leaves
     * behind, and the one the manifest rowKey blooms exist for.
     */
-  private def ensureEpochCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureEpochCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"epoch_cells|$sfDir", _ => {
       val path = artifactPath("epoch_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -902,7 +904,7 @@ object Queries {
       .agg(count(lit(1)).as("n_cells"), max(col("ts")).as("max_ts"))
   }
 
-  private val kvPointLookupSql: String =
+  private[graft] val kvPointLookupSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  event_type AS qualifier,
       |  count(*) AS n_cells, max(event_id) AS max_ts
@@ -914,7 +916,7 @@ object Queries {
     * — parquet with a selective filter is the shape Spark's dynamic
     * pruning triggers on.
     */
-  private def ensureUserDim(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureUserDim(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"user_dim|$sfDir", _ => {
       val path = artifactPath("user_dim", sfDir)
       KvTable.table(spark, sfDir, "events")
@@ -942,7 +944,7 @@ object Queries {
       .agg(count(lit(1)).as("n_cells"), max(col("ts")).as("max_ts"))
   }
 
-  private val kvRuntimePruneSql: String =
+  private[graft] val kvRuntimePruneSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  count(*) AS n_cells, max(event_id) AS max_ts
       |FROM events WHERE user_id % 97 = 0 GROUP BY 1""".stripMargin
@@ -952,7 +954,7 @@ object Queries {
     * can be pruned and every file may hold globally-extreme keys). Unique
     * keys make a rowKey top-n deterministic for the oracle.
     */
-  private def ensureTailKeyCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureTailKeyCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"tailkey_cells|$sfDir", _ => {
       val path = artifactPath("tailkey_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -985,14 +987,14 @@ object Queries {
       .select(col("rowKey"), col("qualifier"),
         decode(col("value"), "UTF-8").as("value"), col("ts"))
 
-  private val readerTopnDescSql: String =
+  private[graft] val readerTopnDescSql: String =
     """SELECT lpad(CAST(event_id AS VARCHAR), 10, '0') AS rowKey,
       |  event_type AS qualifier,
       |  CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
       |  event_id AS ts
       |FROM events ORDER BY rowKey DESC LIMIT 20""".stripMargin
 
-  private val kvPivotEventsSql: String = {
+  private[graft] val kvPivotEventsSql: String = {
     val aggs = EventCols.map { c =>
       s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
     }.mkString(", ")
@@ -1012,7 +1014,7 @@ object Queries {
     KvPivot.projectDelimited(piv, schemaCols)
   }
 
-  private val kvPivotInjectSql: String =
+  private[graft] val kvPivotInjectSql: String =
     """SELECT rowKey,
       |  coalesce(click, '') AS click, coalesce(view, '') AS view, rowKey AS KEY
       |FROM (
@@ -1034,7 +1036,7 @@ object Queries {
     decoded.select(KvPivot.lineOf("rowKey" +: EventCols, "|").as("line"))
   }
 
-  private val kvDelimitedLinesSql: String = {
+  private[graft] val kvDelimitedLinesSql: String = {
     val aggs = EventCols.map { c =>
       s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
     }.mkString(", ")
@@ -1046,8 +1048,8 @@ object Queries {
 
   // ---------------------------------------------------------------- G1 / G2
 
-  private val GenRecords = 1000L
-  private val GenTasks = 4
+  private[graft] val GenRecords = 1000L
+  private[graft] val GenTasks = 4
 
   /** G1/G2: the deterministic KV generator (PopulateTable semantics), values
     * decoded to strings for the oracle.
@@ -1058,7 +1060,7 @@ object Queries {
       decode(col("value"), "UTF-8").as("value"), col("ts"))
 
   /** Oracle regeneration of KvGenerator.cells (values decoded). */
-  private def genCellsSql(records: Long, tasks: Int, runId: String): String =
+  private[graft] def genCellsSql(records: Long, tasks: Int, runId: String): String =
     s"""SELECT
        |  concat(lpad(CAST(((t.id + 1) * ${KvGenerator.KeyMixer}) % ${KvGenerator.KeySpace} AS VARCHAR), 5, '0'),
        |         '|$runId|', CAST(t.id % $tasks AS VARCHAR)) AS rowKey,
@@ -1068,7 +1070,7 @@ object Queries {
        |  t.id * 10 + c.i AS ts
        |FROM range(0, $records) t(id), range(0, 10) c(i)""".stripMargin
 
-  private val kvGenCellsSql: String = genCellsSql(GenRecords, GenTasks, "run1")
+  private[graft] val kvGenCellsSql: String = genCellsSql(GenRecords, GenTasks, "run1")
 
   /** The HBase snapshot/restore cycle end-to-end ([[graft.sources.KvSnapshot]]):
     * write the generator cells, SNAPSHOT (zero data copied — a
@@ -1106,13 +1108,13 @@ object Queries {
     * genuinely oracle-exercised (the key mixer is a bijection mod 2^15 —
     * runs under 32768 records have NO collisions).
     */
-  private val PresortedRecords = 40000L
-  private val PresortedCols = Seq("C0", "C5", "C9")
+  private[graft] val PresortedRecords = 40000L
+  private[graft] val PresortedCols = Seq("C0", "C5", "C9")
 
   /** Shared tail of the two presorted-pivot queries (one oracle serves
     * both, keyed to these columns — keep the projection in ONE place).
     */
-  private def decodedPresortedPivot(laid: DataFrame): DataFrame = {
+  private[graft] def decodedPresortedPivot(laid: DataFrame): DataFrame = {
     val piv = KvPivot.pivotPresorted(laid, PresortedCols)
     piv.select(col("rowKey") +:
       PresortedCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
@@ -1124,7 +1126,7 @@ object Queries {
     * the shuffle-free pivot from MANIFEST STATS alone
     * ([[graft.sources.KvTableInfo.disjointSortedRegions]]).
     */
-  private def ensurePresortedKv(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensurePresortedKv(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"presorted_kv|$sfDir", _ => {
       val path = artifactPath("presorted_kv", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -1159,7 +1161,7 @@ object Queries {
     * hot-key-ingest layout (16 salt buckets) merged into 8 disjoint
     * STORED-key-sorted region files.
     */
-  private def ensureSaltedPresortedKv(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureSaltedPresortedKv(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"salted_presorted_kv|$sfDir", _ => {
       val path = artifactPath("salted_presorted_kv", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -1203,7 +1205,7 @@ object Queries {
       decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
-  private val kvCloneScanSql: String =
+  private[graft] val kvCloneScanSql: String =
     s"""SELECT rowKey, family, qualifier, value, ts
        |FROM (${genCellsSql(GenRecords, GenTasks, "run1")})""".stripMargin
 
@@ -1256,7 +1258,7 @@ object Queries {
     * exactly k=2 and the filter would keep everything, hiding a broken
     * retention bound).
     */
-  private val VersionRecords = 100000L
+  private[graft] val VersionRecords = 100000L
 
   /** HBase version retention (DEFAULT_VERSIONS) over the colliding-key
     * generator run: keep the 2 newest versions per (rowKey, C0) cell —
@@ -1304,7 +1306,7 @@ object Queries {
         decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
-  private val kvCompactTombstonesSql: String =
+  private[graft] val kvCompactTombstonesSql: String =
     s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
        |u AS (
        |  SELECT rowKey, qualifier, value, ts, FALSE AS tomb FROM g
@@ -1329,7 +1331,7 @@ object Queries {
     * `kv_ttl_expire`/`kv_versions_retain`, which compute the same
     * semantics as READ-TIME operators over unmodified data.
     */
-  private def ensureTtlCompactCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureTtlCompactCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"ttl_compact|$sfDir", _ => {
       val p = artifactPath("ttl_compact", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, p)
@@ -1414,7 +1416,7 @@ object Queries {
       decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
-  private val TtlCompactCutoff = VersionRecords * 10 / 2
+  private[graft] val TtlCompactCutoff = VersionRecords * 10 / 2
 
   /** r15: DECLARATIVE retention — `versions` pinned as a TBLPROPERTY at
     * CREATE (HBase `VERSIONS => 2`, CreateTable.java:48-52) and enforced
@@ -1457,13 +1459,13 @@ object Queries {
       decode(col("value"), "UTF-8").as("value"), col("ts"))
   }
 
-  private val kvRetentionDeclSql: String =
+  private[graft] val kvRetentionDeclSql: String =
     s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
        |m AS (SELECT *, row_number() OVER (PARTITION BY rowKey, qualifier
        |        ORDER BY ts DESC, value) AS rn FROM g)
        |SELECT rowKey, qualifier, value, ts FROM m WHERE rn <= 2""".stripMargin
 
-  private val kvTtlCompactSql: String =
+  private[graft] val kvTtlCompactSql: String =
     s"""WITH g AS (${genCellsSql(VersionRecords, GenTasks, "run1")}),
        |f AS (SELECT * FROM g WHERE ts >= $TtlCompactCutoff),
        |m AS (SELECT *, row_number() OVER (PARTITION BY rowKey, qualifier
@@ -1476,7 +1478,7 @@ object Queries {
     * the fixture so the same literal lands in the staged marker AND the
     * oracle predicate.
     */
-  private def deleteCutoff(spark: SparkSession, sfDir: String): Long =
+  private[graft] def deleteCutoff(spark: SparkSession, sfDir: String): Long =
     KvTable.table(spark, sfDir, "events")
       .agg(max(col("event_id"))).head().getLong(0) / 2
 
@@ -1487,7 +1489,7 @@ object Queries {
     * of the 'view' qualifier (%10==4). Three small sorted marker commits;
     * no data file is rewritten.
     */
-  private def stageEventDeletes(spark: SparkSession, sfDir: String,
+  private[graft] def stageEventDeletes(spark: SparkSession, sfDir: String,
       path: String): Unit = {
     val users = KvTable.table(spark, sfDir, "events")
       .select(col("user_id"),
@@ -1504,7 +1506,7 @@ object Queries {
         .select(col("rowKey"), lit("f").as("family"), lit("view").as("qualifier")))
   }
 
-  private def ensureDeletedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureDeletedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"deleted_cells|$sfDir", _ => {
       val path = artifactPath("deleted_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -1550,7 +1552,7 @@ object Queries {
 
   // def, not val: kvDeleteMaskSql is declared later in the file and a
   // val here would read null at object init
-  private def kvPivotAutoMaskedSql: String = {
+  private[graft] def kvPivotAutoMaskedSql: String = {
     val aggs = EventCols.map(c =>
       s"max_by(value, ts) FILTER (WHERE qualifier = '$c') AS $c").mkString(", ")
     s"""WITH s AS ($kvDeleteMaskSql)
@@ -1606,7 +1608,7 @@ object Queries {
          |GROUP BY rowKey, qualifier""".stripMargin)
   }
 
-  private def ensureCatalogTable(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureCatalogTable(spark: SparkSession, sfDir: String): String =
     ensureCatalog("catalog_sql", "graftcat_", spark, sfDir) { (name, _) =>
       spark.sql(
         s"""CREATE TABLE $name.corpus.events_kv (
@@ -1619,7 +1621,7 @@ object Queries {
         s"INSERT INTO $name.corpus.events_kv SELECT * FROM graft_catalog_cells_src"): Unit
     }
 
-  private val kvCatalogSqlSql: String =
+  private[graft] val kvCatalogSqlSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  event_type AS qualifier,
       |  count(*) AS n_cells, max(event_id) AS max_ts
@@ -1651,7 +1653,7 @@ object Queries {
          |GROUP BY a.rowKey""".stripMargin)
   }
 
-  private val kvColocatedJoinSql: String =
+  private[graft] val kvColocatedJoinSql: String =
     """WITH cells AS (
       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |    event_type AS qualifier, event_id AS ts
@@ -1756,7 +1758,7 @@ object Queries {
          |FROM $cat.corpus.cells""".stripMargin)
   }
 
-  private val kvSqlCrudSql: String =
+  private[graft] val kvSqlCrudSql: String =
     s"""WITH g AS (${genCellsSql(GenRecords, GenTasks, "run1")})
        |SELECT rowKey, qualifier,
        |  CASE WHEN qualifier = 'C5' THEN 'PATCHED' ELSE value END AS value,
@@ -1807,7 +1809,7 @@ object Queries {
          |FROM $cat.corpus.cells""".stripMargin)
   }
 
-  private val kvCrudMaskedSql: String =
+  private[graft] val kvCrudMaskedSql: String =
     s"""WITH g AS (${genCellsSql(GenRecords, GenTasks, "run1")})
        |SELECT rowKey, qualifier,
        |  CASE WHEN qualifier = 'C5' THEN 'PATCHED' ELSE value END AS value,
@@ -1857,14 +1859,14 @@ object Queries {
          |FROM $cat.corpus.cells""".stripMargin)
   }
 
-  private val kvLifecycleSqlSql: String =
+  private[graft] val kvLifecycleSqlSql: String =
     s"""SELECT rowKey, qualifier, value, ts
        |FROM (${genCellsSql(GenRecords, GenTasks, "run1")})""".stripMargin
 
   /** One oracle serves both delete queries: the survivor set is a pure
     * predicate over events, whatever the engine's masking mechanism.
     */
-  private val kvDeleteMaskSql: String =
+  private[graft] val kvDeleteMaskSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  event_type AS qualifier,
       |  CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS value,
@@ -1912,7 +1914,7 @@ object Queries {
         decode(col("new_value"), "UTF-8").as("new_value"))
   }
 
-  private val kvSnapshotDiffSql: String =
+  private[graft] val kvSnapshotDiffSql: String =
     s"""WITH older AS (${genCellsSql(GenRecords, GenTasks, "run1")}),
        |newer AS (
        |  SELECT rowKey, qualifier,
@@ -1929,14 +1931,14 @@ object Queries {
        |  ON o.rowKey = n.rowKey AND o.qualifier = n.qualifier
        |WHERE o.value IS NULL OR n.value IS NULL OR o.value <> n.value""".stripMargin
 
-  private val kvTtlExpireSql: String = {
+  private[graft] val kvTtlExpireSql: String = {
     val now = GenRecords * 10 - 1
     s"""SELECT rowKey, qualifier, value, ts
        |FROM (${genCellsSql(GenRecords, GenTasks, "run1")}) g
        |WHERE ts > $now - ${now / 2}""".stripMargin
   }
 
-  private val kvVersionsRetainSql: String =
+  private[graft] val kvVersionsRetainSql: String =
     s"""SELECT rowKey, qualifier,
        |  row_number() OVER (PARTITION BY rowKey, qualifier
        |    ORDER BY ts DESC, value)::BIGINT AS version,
@@ -1945,7 +1947,7 @@ object Queries {
        |WHERE qualifier = 'C0'
        |QUALIFY version <= 2""".stripMargin
 
-  private def kvPivotPresortedSql: String = {
+  private[graft] def kvPivotPresortedSql: String = {
     val aggs = PresortedCols.map { c =>
       s"max_by(value, ts) FILTER (WHERE qualifier = '$c') AS $c"
     }.mkString(", ")
@@ -1972,14 +1974,14 @@ object Queries {
   // per JVM (ConcurrentHashMap.computeIfAbsent) so the owning query stays
   // self-contained for a one-shot Verify run, while Bench pre-builds them
   // via [[prepare]] and times only the read path.
-  private val artifacts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val artifacts = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Injective per-sfDir artifact path: readable slug + raw-hash suffix, so
     * two dirs that sanitize to the same slug still get distinct paths and
     * one never overwrites the other's artifact. (Catalog TABLE names need
     * the stricter no-dots slug — see ensureBucketedTrade.)
     */
-  private def artifactPath(prefix: String, sfDir: String): String = {
+  private[graft] def artifactPath(prefix: String, sfDir: String): String = {
     val slug = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     tmpOut(s"${prefix}_${slug}_${Integer.toHexString(sfDir.hashCode)}")
   }
@@ -1989,7 +1991,7 @@ object Queries {
     * registration, `corpus` namespace — then `stage(name, warehouse)` runs
     * once inside it. Returns the catalog name.
     */
-  private def ensureCatalog(key: String, namePrefix: String,
+  private[graft] def ensureCatalog(key: String, namePrefix: String,
       spark: SparkSession, sfDir: String)(
       stage: (String, String) => Unit): String =
     artifacts.computeIfAbsent(s"$key|$sfDir", _ => {
@@ -2005,7 +2007,7 @@ object Queries {
     })
 
   /** The K5 bucketed+sorted catalog table of generated cells (built once). */
-  private def ensureBucketedCells(spark: SparkSession): String =
+  private[graft] def ensureBucketedCells(spark: SparkSession): String =
     artifacts.computeIfAbsent("bucketed_cells", _ => {
       val cells = KvGenerator.cells(spark, PresortedRecords, GenTasks, "run1")
       RangeLayout.persistBucketed(cells, "graft_cells_bucketed", buckets = 8,
@@ -2017,7 +2019,7 @@ object Queries {
     * the path carries the sfDir so two scale factors in one JVM never read
     * each other's index).
     */
-  private def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"ivf_index|$sfDir", _ => {
       val path = artifactPath("ivf_index", sfDir)
       Similarity.persistIvfIndex(embeds(spark, sfDir), path)
@@ -2031,7 +2033,7 @@ object Queries {
     * must be indistinguishable from a full rebuild — ann_topk_ivf_incremental
     * pins that against the full-corpus IVF oracle.
     */
-  private def ensureIvfIncrIndex(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureIvfIncrIndex(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"ivf_incr|$sfDir", _ => {
       val path = artifactPath("ivf_incr", sfDir)
       val e = embeds(spark, sfDir)
@@ -2041,7 +2043,7 @@ object Queries {
     })
 
   /** Session gap shared by the sessionization queries and their staging. */
-  private val SessionGapNanos = 3600L * 1000000000L
+  private[graft] val SessionGapNanos = 3600L * 1000000000L
 
   /** The windowed pivot's window duration — MUST match windowedPivot's
     * "1 hour" default: the late-pivot staging horizon derives from it (the
@@ -2049,9 +2051,9 @@ object Queries {
     * Deliberately its own constant: retuning the session gap must not move
     * the pivot staging.
     */
-  private val PivotWindowNanos = 3600L * 1000000000L
+  private[graft] val PivotWindowNanos = 3600L * 1000000000L
 
-  private def sessionEventsOf(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def sessionEventsOf(spark: SparkSession, sfDir: String): DataFrame =
     KvTable.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("tsNanos"))
 
@@ -2060,7 +2062,7 @@ object Queries {
     * replaying them through the stateful operators is the query. Memoized
     * per sfDir like the other artifacts.
     */
-  private def ensureSessionDir(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureSessionDir(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"sess_dir|$sfDir", _ =>
       StreamingPivot.stageSessionFiles(
         sessionEventsOf(spark, sfDir), nChunks = 4, gapNanos = SessionGapNanos))
@@ -2068,7 +2070,7 @@ object Queries {
   /** Memoize a (path, long) artifact through the String-valued map: NUL
     * joins the pair (it cannot occur in a filesystem path).
     */
-  private def pairArtifact(key: String)(build: => (String, Long)): (String, Long) = {
+  private[graft] def pairArtifact(key: String)(build: => (String, Long)): (String, Long) = {
     val v = artifacts.computeIfAbsent(key, _ => {
       val (d, l) = build
       d + "\u0000" + l
@@ -2077,13 +2079,13 @@ object Queries {
     (v.substring(0, i), v.substring(i + 1).toLong)
   }
 
-  private def ensureSessionLateDir(spark: SparkSession, sfDir: String): (String, Long) =
+  private[graft] def ensureSessionLateDir(spark: SparkSession, sfDir: String): (String, Long) =
     pairArtifact(s"sess_late_dir|$sfDir") {
       StreamingPivot.stageSessionFilesShuffled(
         sessionEventsOf(spark, sfDir), nChunks = 4, gapNanos = SessionGapNanos)
     }
 
-  private def ensurePivotLateDir(spark: SparkSession, sfDir: String): (String, Long) =
+  private[graft] def ensurePivotLateDir(spark: SparkSession, sfDir: String): (String, Long) =
     pairArtifact(s"pivot_late_dir|$sfDir") {
       val raw = KvTable.eventsRaw(spark, s"$sfDir/events.parquet")
       StreamingPivot.stageEventsShuffled(
@@ -2125,7 +2127,7 @@ object Queries {
 
   // ---------------------------------------------------------------- D1 / O1
 
-  private val RegionCount = 8
+  private[graft] val RegionCount = 8
 
   /** D1: the reference's pre-split region scheme as a deterministic region-id
     * assignment over generated keys — count of cells per region.
@@ -2137,7 +2139,7 @@ object Queries {
       .groupBy(col("region")).agg(count(lit(1)).as("n_cells"))
   }
 
-  private val kvRegionHistogramSql: String = {
+  private[graft] val kvRegionHistogramSql: String = {
     val regionRange = Short.MaxValue / RegionCount
     s"""SELECT CAST(LEAST(floor(CAST(keyRoot AS BIGINT) / $regionRange), ${RegionCount - 1}) AS INTEGER) AS region,
        |       count(*) AS n_cells
@@ -2161,7 +2163,7 @@ object Queries {
       binaryToInt(intToBinary(col("l_linenumber"))).as("ln"))
   }
 
-  private val kvTypedDecodeSql: String =
+  private[graft] val kvTypedDecodeSql: String =
     "SELECT l_orderkey, l_linenumber, l_partkey AS pk, l_linenumber AS ln FROM lineitem"
 
   /** The Avro/Parquet export end-to-end (§3.1 restatement): typed cell scan →
@@ -2183,7 +2185,7 @@ object Queries {
     * to one KV row; cell ts is monotonic in cell value (KvTable), so LWW ==
     * per-column max — hence the GROUP BY.
     */
-  private val kvTypedExportSql: String =
+  private[graft] val kvTypedExportSql: String =
     """SELECT CAST(max(floor(l_quantity)) AS BIGINT) AS qty,
       |  max(l_linenumber) AS ln, max(l_returnflag) AS flag, KEY
       |FROM (
@@ -2211,7 +2213,7 @@ object Queries {
         "qualifier", "value")
   }
 
-  private val kvUnpivotSql: String =
+  private[graft] val kvUnpivotSql: String =
     """WITH r AS (
       |  SELECT concat(lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '|',
       |           lpad(CAST(l_linenumber AS VARCHAR), 2, '0'), '|',
@@ -2240,7 +2242,7 @@ object Queries {
             x => decode(x.getField("value"), "UTF-8")), ",").as("appended"),
         count(lit(1)).as("n_writes"))
 
-  private val kvAppendCellsSql: String =
+  private[graft] val kvAppendCellsSql: String =
     """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
       |  event_type AS qualifier,
       |  string_agg(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
@@ -2258,7 +2260,7 @@ object Queries {
     * publishes a single manifest `compact` entry (adds = the merged set,
     * removes = every pile-up segment, horizon advanced).
     */
-  private def ensureCompactedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureCompactedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"compacted_cells|$sfDir", _ => {
       val path = artifactPath("compacted_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -2277,7 +2279,7 @@ object Queries {
   /** A 3-commit pile-up left UNCOMPACTED: each manifest entry is a durable
     * table version for [[kvTimetravelScan]] to read back.
     */
-  private def ensureVersionedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureVersionedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"versioned_cells|$sfDir", _ => {
       val path = artifactPath("versioned_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -2296,7 +2298,7 @@ object Queries {
     * bytes) and vacuums in one sweep. The staged table must behave exactly
     * like a manually compacted one — the policy only decides WHEN.
     */
-  private def ensureMaintainedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureMaintainedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"maintained_cells|$sfDir", _ => {
       val path = artifactPath("maintained_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -2330,7 +2332,7 @@ object Queries {
     * grace period), and [[graft.sources.KvVacuum]] must reclaim BOTH while
     * leaving every manifest-referenced file in place.
     */
-  private def ensureVacuumedCells(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureVacuumedCells(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"vacuumed_cells|$sfDir", _ => {
       val path = artifactPath("vacuumed_cells", sfDir)
       graft.sinks.Sinks.deleteRecursive(spark, path)
@@ -2383,7 +2385,7 @@ object Queries {
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
 
-  private val kvTimetravelScanSql: String = {
+  private[graft] val kvTimetravelScanSql: String = {
     val aggs = EventCols.map { c =>
       s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) " +
         s"FILTER (WHERE event_type = '$c') AS $c"
@@ -2409,7 +2411,7 @@ object Queries {
     piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*)
   }
 
-  private val kvChangesScanSql: String = {
+  private[graft] val kvChangesScanSql: String = {
     val aggs = EventCols.map { c =>
       s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) " +
         s"FILTER (WHERE event_type = '$c') AS $c"
@@ -2436,7 +2438,7 @@ object Queries {
       .toDF("seq", "kind", "n_adds", "n_removes")
   }
 
-  private val kvHistorySql: String =
+  private[graft] val kvHistorySql: String =
     """SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT), 'append', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
       |  (CAST(1 AS BIGINT), 'append', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
@@ -2448,7 +2450,7 @@ object Queries {
     * table by placement), backing the SQL-reachable history/CDC surface:
     * `CALL sys.history` and `spark.read.option("sinceSeq", …).table(…)`.
     */
-  private def ensureVersionedCatalog(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureVersionedCatalog(spark: SparkSession, sfDir: String): String =
     ensureCatalog("versioned_sql", "graftvsq_", spark, sfDir) { (name, wh) =>
       val cells = KvTable.eventsAsCells(spark, sfDir)
       (0 until 3).foreach { i =>
@@ -2507,7 +2509,7 @@ object Queries {
     * parquet min/max stats skip every file/row-group outside a lookup
     * range. Both are build-once artifacts.
     */
-  private def ensureClickIndex(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureClickIndex(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"click_idx|$sfDir", _ => {
       val path = artifactPath("click_idx", sfDir)
       val piv = kvPivotEvents(spark, sfDir)
@@ -2537,7 +2539,7 @@ object Queries {
       .join(broadcast(keys), Seq("rowKey"), "left_semi")
   }
 
-  private val kvIndexLookupSql: String =
+  private[graft] val kvIndexLookupSql: String =
     s"""SELECT * FROM ($kvPivotEventsSql)
        |WHERE CAST(click AS BIGINT) >= 9000 AND CAST(click AS BIGINT) < 12000""".stripMargin
 
@@ -2549,7 +2551,7 @@ object Queries {
     * most row groups, where a single-column sort only serves its own
     * column. 32 output files make the file-level stats the pruning unit.
     */
-  private def ensureZorderedEvents(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureZorderedEvents(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"zorder_events|$sfDir", _ => {
       val path = artifactPath("zorder_events", sfDir)
       import graft.functions.ZOrderInterleave
@@ -2574,7 +2576,7 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value_x100")).as("sum_x100"))
 
-  private val kvZorderScanSql: String =
+  private[graft] val kvZorderScanSql: String =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_x100
       |FROM events
@@ -2591,7 +2593,7 @@ object Queries {
     * tasks for the pruned values — where a row predicate still lists and
     * opens every file. Built once per sfDir as a persisted artifact.
     */
-  private def ensurePartitionedEvents(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensurePartitionedEvents(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"part_events|$sfDir", _ => {
       val path = artifactPath("part_events", sfDir)
       KvTable.events(spark, sfDir)
@@ -2612,24 +2614,24 @@ object Queries {
         sum(floor(col("value") * 100)).cast("long").as("sum_x100"))
   }
 
-  private val kvPartitionedScanSql: String =
+  private[graft] val kvPartitionedScanSql: String =
     """SELECT user_id, count(*) AS n_clicks,
       |  CAST(sum(floor(value * 100)) AS BIGINT) AS sum_x100
       |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- K1–K4 sinks
 
-  private def tmpOut(name: String): String =
+  private[graft] def tmpOut(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_export/$name"
 
   /** The CSV-dialect delimited schema used by the text/seq round-trips. */
-  private val DelimSchema = "click,view,KEY"
+  private[graft] val DelimSchema = "click,view,KEY"
 
-  private def delimitedExportCfg(format: Export.Format, name: String, codec: Option[String]) =
+  private[graft] def delimitedExportCfg(format: Export.Format, name: String, codec: Option[String]) =
     Export.Config(format, DelimSchema, tmpOut(name), columnFamily = Some("f"),
       delimiter = "|", rowKeyColumn = Some("KEY"), compression = codec)
 
-  private val delimitedRoundtripSql: String =
+  private[graft] val delimitedRoundtripSql: String =
     """SELECT concat_ws('|', coalesce(click, ''), coalesce(view, ''), rowKey) AS line
       |FROM (
       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
@@ -2656,7 +2658,7 @@ object Queries {
     graft.sinks.Sinks.readSequenceFile(spark, cfg.outputPath)
   }
 
-  private val TypedAvroSchema =
+  private[graft] val TypedAvroSchema =
     """{"type":"record","name":"Line","fields":[
       |  {"name":"qty","type":["long","null"]},{"name":"ln","type":["int","null"]},
       |  {"name":"flag","type":["string","null"]},{"name":"KEY","type":["string","null"]}]}""".stripMargin
@@ -2713,13 +2715,13 @@ object Queries {
   /** Union-typed Avro schema for the reader-gate queries (events pivot,
     * string cells — the delimited dialect's column set as a record).
     */
-  private val ReaderAvroSchema =
+  private[graft] val ReaderAvroSchema =
     """{"type":"record","name":"Ev","fields":[
       |  {"name":"click","type":["string","null"]},
       |  {"name":"view","type":["string","null"]},
       |  {"name":"KEY","type":["string","null"]}]}""".stripMargin
 
-  private val readerLimitSql: String =
+  private[graft] val readerLimitSql: String =
     """SELECT click, view, KEY FROM (
       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS KEY,
       |    max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id)
@@ -2764,7 +2766,7 @@ object Queries {
     * orders (o_orderkey % 10 != 9), persisted once — the base a delta batch
     * maintains incrementally.
     */
-  private def ensureMaterializedAgg(spark: SparkSession, sfDir: String): String =
+  private[graft] def ensureMaterializedAgg(spark: SparkSession, sfDir: String): String =
     artifacts.computeIfAbsent(s"mat_agg|$sfDir", _ => {
       val path = artifactPath("mat_agg", sfDir)
       KvTable.table(spark, sfDir, "orders")
@@ -2799,7 +2801,7 @@ object Queries {
         (coalesce(col("b_s"), lit(0L)) + coalesce(col("d_s"), lit(0L))).as("sum_price"))
   }
 
-  private val relIncrementalAggSql: String =
+  private[graft] val relIncrementalAggSql: String =
     """SELECT o_custkey, count(*) AS n_orders,
       |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin
@@ -2826,2752 +2828,12 @@ object Queries {
     spark.read.option("mergeSchema", "true").parquet(out)
   }
 
-  private val exportEvolveRoundtripSql: String =
+  private[graft] val exportEvolveRoundtripSql: String =
     """SELECT event_id, user_id, CAST(NULL AS BIGINT) AS value_x100
       |FROM events WHERE event_id % 2 = 0
       |UNION ALL
       |SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT)
       |FROM events WHERE event_id % 2 = 1""".stripMargin
-
-  // --------------------------------------------- relational (SURVEY §2.4-2.6)
-
-  /** Enrich-by-key equi-join (the only reference-shaped join use case,
-    * SURVEY §2.4): orders enriched with the small customer dim — broadcast
-    * by hint, aggregates integer-exact.
-    */
-  def relEnrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = KvTable.table(spark, sfDir, "orders")
-    val customer = KvTable.table(spark, sfDir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
-  }
-
-  private val relEnrichJoinSql: String =
-    """SELECT c_nationkey, count(*) AS n_orders,
-      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY 1""".stripMargin
-
-  /** Window top-k (SURVEY §2.5-2.6 absent in the reference): top-3 orders
-    * per customer by price, deterministic tie-break on orderkey.
-    */
-  def relTopkOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    KvTable.table(spark, sfDir, "orders")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"),
-        col("rank").cast("long").as("rank"),
-        floor(col("o_totalprice") * 100).cast("long").as("price_x100"))
-  }
-
-  private val relTopkOrdersSql: String =
-    """SELECT o_custkey, o_orderkey, rk::BIGINT AS rank,
-      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_x100
-      |FROM (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
-      |  FROM orders)
-      |WHERE rk <= 3""".stripMargin
-
-  /** Salted two-phase aggregation over an extreme-skew key (5 event types):
-    * the reduce side runs on `buckets` tasks per key instead of one.
-    */
-  def relSkewAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.SkewTools
-    val events = KvTable.table(spark, sfDir, "events")
-    SkewTools.saltedSumCount(events,
-        key = col("event_type"),
-        value = floor(col("value") * 100).cast("long"),
-        salt = col("event_id"), buckets = 32)
-      .select(col("k").as("event_type"), col("n"), col("sum").as("sum_x100"))
-  }
-
-  private val relSkewAggSql: String =
-    """SELECT event_type, count(*) AS n,
-      |  CAST(sum(floor(value * 100)) AS BIGINT) AS sum_x100
-      |FROM events GROUP BY 1""".stripMargin
-
-  /** Backward as-of join (time-series enrichment; SURVEY §2.4 — the
-    * reference has no joins at all): each click picks up the same user's
-    * most recent purchase at-or-before it. Sort-based single-shuffle
-    * implementation, [[graft.ops.AsofJoin]].
-    */
-  def relAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.AsofJoin
-    val ev = KvTable.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("tsNanos"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("tsNanos"), col("value"))
-    AsofJoin.asofBackward(clicks, purchases,
-        key = Seq("user_id"), timeCol = "tsNanos", tieCol = "event_id",
-        rightPayload = Seq("event_id", "tsNanos", "value"))
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("_asof.event_id").as("purchase_id"),
-        expr("(tsNanos - _asof.tsNanos) DIV 1000000000").as("gap_s"),
-        floor(col("_asof.value") * 100).cast("long").as("p_value_x100"))
-  }
-
-  /** Equivalent to DuckDB's `c ASOF LEFT JOIN p ON user AND c.ts >= p.ts`,
-    * written as an explicit left join + rank-1 pick because ASOF JOIN leaves
-    * equal-timestamp ties arbitrary while the engine's tie-break (largest
-    * event id) must be replayable.
-    */
-  private val relAsofJoinSql: String =
-    """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
-      |  (epoch_ns(c.ts) - epoch_ns(p.ts)) // 1000000000 AS gap_s,
-      |  CAST(floor(p.value * 100) AS BIGINT) AS p_value_x100
-      |FROM (SELECT * FROM events WHERE event_type = 'click') c
-      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      |  ON c.user_id = p.user_id AND c.ts >= p.ts
-      |QUALIFY row_number() OVER (
-      |  PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC) = 1""".stripMargin
-
-  /** Banded interval join ([[graft.ops.RangeJoin]]): clicks within the day
-    * before each error, aggregated per error.
-    */
-  def relRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.RangeJoin
-    val ev = KvTable.events(spark, sfDir)
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("err_id"), col("user_id"), col("tsNanos").as("ets"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("tsNanos").as("cts"), col("value").as("cval"))
-    RangeJoin.backwardWindowJoin(errors, clicks, Seq("user_id"), "ets", "cts",
-        window = 24L * 3600 * 1000000000L)
-      .groupBy(col("err_id"), col("user_id"))
-      .agg(count(lit(1)).as("n_clicks"),
-        sum(floor(col("cval") * 100).cast("long")).as("sum_click_x100"))
-  }
-
-  private val relRangeJoinSql: String =
-    """SELECT e.event_id AS err_id, e.user_id, count(*) AS n_clicks,
-      |  CAST(sum(CAST(floor(c.value * 100) AS BIGINT)) AS BIGINT) AS sum_click_x100
-      |FROM events e JOIN events c
-      |  ON e.user_id = c.user_id AND c.event_type = 'click'
-      | AND epoch_ns(c.ts) <= epoch_ns(e.ts)
-      | AND epoch_ns(c.ts) >= epoch_ns(e.ts) - 86400000000000
-      |WHERE e.event_type = 'error'
-      |GROUP BY 1, 2""".stripMargin
-
-  /** Hierarchical aggregation (SURVEY §2.3 — grouping sets are free Spark
-    * built-ins the reference never had): rollup over (status, priority)
-    * with a grouping id disambiguating subtotal levels.
-    */
-  def relRollup(spark: SparkSession, sfDir: String): DataFrame =
-    KvTable.table(spark, sfDir, "orders")
-      .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(grouping_id().as("gid"),
-        count(lit(1)).as("n_orders"),
-        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
-
-  private val relRollupSql: String =
-    """SELECT o_orderstatus, o_orderpriority,
-      |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
-      |  count(*) AS n_orders,
-      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
-      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
-
-  /** CUBE over (status, priority, year): all 2³ grouping-set combinations
-    * in ONE pass — Spark expands the sets into a single partial-aggregable
-    * plan (each input row contributes to every set map-side), so the
-    * 8-way report costs one exchange, not eight scans. The rollup's lattice
-    * completion; `grouping_id` disambiguates the NULL-as-total rows exactly
-    * as DuckDB numbers them.
-    */
-  def relCube(spark: SparkSession, sfDir: String): DataFrame =
-    KvTable.table(spark, sfDir, "orders")
-      .withColumn("o_year", year(col("o_orderdate")))
-      .cube(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
-      .agg(grouping_id().as("gid"),
-        count(lit(1)).as("n_orders"),
-        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
-
-  private val relCubeSql: String =
-    """SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
-      |  GROUPING_ID(o_orderstatus, o_orderpriority, year(o_orderdate)) AS gid,
-      |  count(*) AS n_orders,
-      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
-      |FROM orders
-      |GROUP BY CUBE(o_orderstatus, o_orderpriority, year(o_orderdate))""".stripMargin
-
-  /** Iterative graph compute ([[graft.ops.PageRank]]): 3 supersteps of
-    * integer-exact PageRank over the symmetric customer↔supplier trade
-    * graph (an edge per distinct lineitem trade relationship, both
-    * directions, nodes namespaced even/odd). Every superstep is one hash
-    * join + one aggregation exchange; fixed-count iteration built into the
-    * plan, nothing driver-side.
-    */
-  def relPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = KvTable.table(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = KvTable.table(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
-      .union(raw.select(col("b").as("src"), col("a").as("dst")))
-    graft.ops.PageRank.run(edges)
-  }
-
-  private val relPagerankSql: String =
-    """WITH raw AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-      |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      |e AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
-      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-      |nodes AS (SELECT DISTINCT src AS node FROM e),
-      |nn AS (SELECT count(*) AS N FROM nodes),
-      |r0 AS (SELECT node, 1000000000000 // N AS r FROM nodes CROSS JOIN nn),
-      |c1 AS (SELECT dst, sum(r // deg) AS cin
-      |       FROM r0 JOIN e ON node = src JOIN deg USING (src) GROUP BY 1),
-      |r1 AS (SELECT node, (1000000000000 * 15) // (100 * N)
-      |         + (85 * coalesce(cin, 0)) // 100 AS r
-      |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = dst),
-      |c2 AS (SELECT dst, sum(r // deg) AS cin
-      |       FROM r1 JOIN e ON node = src JOIN deg USING (src) GROUP BY 1),
-      |r2 AS (SELECT node, (1000000000000 * 15) // (100 * N)
-      |         + (85 * coalesce(cin, 0)) // 100 AS r
-      |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = dst),
-      |c3 AS (SELECT dst, sum(r // deg) AS cin
-      |       FROM r2 JOIN e ON node = src JOIN deg USING (src) GROUP BY 1),
-      |r3 AS (SELECT node, (1000000000000 * 15) // (100 * N)
-      |         + (85 * coalesce(cin, 0)) // 100 AS r
-      |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
-      |SELECT node::BIGINT AS node, r::BIGINT AS rank_s FROM r3""".stripMargin
-
-  /** Per-supplier triangle counts over the DOULION-sampled supplier
-    * co-occurrence graph. The graph: suppliers are adjacent when they serve
-    * ≥1 common order; since co-occurrence graphs densify toward complete
-    * (every pair of the 100 sf0.01 suppliers shares an order), the edge set
-    * is p=1/5 Bernoulli-sampled by a deterministic integer hash — DOULION
-    * (Tsourakakis et al., KDD'09): count triangles on the sampled graph,
-    * estimate the original as count/p³ with provably small variance. The
-    * sample is the same arithmetic in both engines, so counts hash-match;
-    * [[graft.ops.Triangles]] does the degree-oriented enumeration that
-    * bounds wedge fan-out at scale.
-    */
-  def relTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.Triangles
-    val pe = KvTable.table(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val pairs = pe.as("a").join(pe.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .distinct()
-    val e = pairs.filter(
-      ((col("u") * 2654435761L + col("v") * 40503L) % 1000003L) % 5 === 0)
-    Triangles.perNodeCounts(e)
-  }
-
-  private val relTrianglesSql: String =
-    """WITH pe AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-      |e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
-      |       FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
-      |                          AND a.l_suppkey < b.l_suppkey
-      |       GROUP BY 1, 2),
-      |e AS (SELECT u, v FROM e0
-      |      WHERE ((u * 2654435761 + v * 40503) % 1000003) % 5 = 0),
-      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      |        FROM e e1 JOIN e e2 ON e1.v = e2.u
-      |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-      |x AS (SELECT unnest([a, b, c]) AS node FROM tri)
-      |SELECT node::BIGINT AS node, count(*)::BIGINT AS n_tri
-      |FROM x GROUP BY 1""".stripMargin
-
-  /** Hourly gap-fill over the events series ([[graft.ops.GapFill]]): per
-    * event_type, the dense hour grid with observation counts and the last
-    * written value (LWW by event_id, like the pivot) carried forward into
-    * empty hours. Integer hour buckets (`tsNanos DIV 3600e9`) keep the
-    * bucketing exact in both engines — nanos exceed 2^53, so double division
-    * would mis-bucket.
-    */
-  def relGapfill(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.GapFill
-    val observed = KvTable.events(spark, sfDir)
-      .groupBy(col("event_type"), expr("tsNanos DIV 3600000000000").as("h"))
-      .agg(count(lit(1)).as("n_obs"),
-        max_by(floor(col("value") * 100).cast("long"), col("event_id")).as("v"))
-    GapFill.locf(observed, "event_type", "h", Seq("v"), materialize = true)
-      .select(col("event_type"), col("h"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v").as("filled_x100"))
-  }
-
-  private val relGapfillSql: String =
-    """WITH b AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
-      |             count(*) AS n_obs,
-      |             max_by(CAST(floor(value * 100) AS BIGINT), event_id) AS v
-      |           FROM events GROUP BY 1, 2),
-      |g AS (SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
-      |      FROM b GROUP BY event_type),
-      |j AS (SELECT g.event_type, g.h, coalesce(b.n_obs, 0) AS n_obs, b.v
-      |      FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.h = b.h)
-      |SELECT event_type, h::BIGINT AS h, n_obs::BIGINT AS n_obs,
-      |  (last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS filled_x100
-      |FROM j""".stripMargin
-
-  /** Both sides of the trade join persisted as bucketed catalog tables,
-    * hash-bucketed on their join keys with equal bucket counts — the
-    * co-location contract under which a big-big join needs NO exchange at
-    * all (and the downstream per-key aggregate reuses the same
-    * partitioning). At 100 TB this is THE pattern for a fact table joined
-    * repeatedly on one key: pay the bucketing once at load, never shuffle
-    * the fact again.
-    */
-  private def ensureBucketedTrade(spark: SparkSession, sfDir: String): String =
-    artifacts.computeIfAbsent(s"bucketed_trade|$sfDir", _ => {
-      // no dots: the slug names CATALOG TABLES, where '.' splits schema.table
-      val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_") +
-        "_" + Integer.toHexString(sfDir.hashCode)
-      val base = tmpOut(s"bucketed_trade_$slug")
-      def persist(df: DataFrame, name: String, key: String): Unit = {
-        val table = s"graft_${name}_$slug"
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        graft.sinks.Sinks.deleteRecursive(spark, s"$base/$name")
-        df.repartition(8, col(key))
-          .write.format("parquet").bucketBy(8, key).sortBy(key)
-          .option("path", s"$base/$name").saveAsTable(table)
-      }
-      persist(KvTable.table(spark, sfDir, "orders"), "orders", "o_custkey")
-      persist(KvTable.table(spark, sfDir, "customer"), "customer", "c_custkey")
-      slug
-    })
-
-  /** Zero-exchange big-big join over the bucketed tables: the merge-hinted
-    * sort-merge join consumes both bucketed scans' hash partitioning
-    * directly, and the per-custkey aggregate rides the same partitioning —
-    * PlanSpec asserts NO shuffle anywhere in the executed plan (the
-    * broadcast alternative would also avoid a shuffle here, but only
-    * because customer is small; the bucketed plan is the one that survives
-    * when both sides are fact-sized).
-    */
-  def relBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val slug = ensureBucketedTrade(spark, sfDir)
-    val o = spark.table(s"graft_orders_$slug")
-    val c = spark.table(s"graft_customer_$slug")
-    o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        max(col("c_nationkey")).as("nationkey"),
-        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
-  }
-
-  private val relBucketedJoinSql: String =
-    """SELECT o_custkey, count(*) AS n_orders, max(c_nationkey) AS nationkey,
-      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY 1""".stripMargin
-
-  /** Semi-structured extraction: the events `props` JSON column parsed and
-    * aggregated. `get_json_object` evaluates per row in the scan projection
-    * (no UDF, no intermediate struct materialization); the only exchange is
-    * the ≤50-key final aggregate — the standard shape for prop-bag columns
-    * at scale, where parsing pushes to the scan and raw JSON never shuffles.
-    */
-  def kvJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
-    KvTable.events(spark, sfDir)
-      .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
-      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-
-  private val kvJsonExtractSql: String =
-    """SELECT event_type,
-      |  json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
-      |  count(*) AS n,
-      |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
-      |FROM events GROUP BY 1, 2""".stripMargin
-
-  /** Trailing 7-bucket moving average OVER the gap-filled series — the
-    * reason gap fill precedes windowed analytics: on the raw sparse series
-    * a ROWS frame would span wildly different time extents per row; on the
-    * dense grid ROWS 6 PRECEDING IS seven hours. Integer avg (sum DIV n)
-    * keeps the oracle hash-exact.
-    */
-  def relMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      .rowsBetween(-6, Window.currentRow)
-    relGapfill(spark, sfDir)
-      .select(col("event_type"), col("h"), col("filled_x100"),
-        sum(col("filled_x100")).over(w).as("s"),
-        count(lit(1)).over(w).as("nw"))
-      .select(col("event_type"), col("h"), col("filled_x100"),
-        expr("s DIV nw").as("avg7_x100"))
-  }
-
-  private val relMovingAvgSql: String =
-    s"""WITH filled AS ($relGapfillSql)
-       |SELECT event_type, h, filled_x100,
-       |  (sum(filled_x100) OVER w // count(*) OVER w)::BIGINT AS avg7_x100
-       |FROM filled
-       |WINDOW w AS (PARTITION BY event_type ORDER BY h
-       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
-
-  /** Semi/anti joins (SURVEY §2.4 — absent in the reference, free in Spark):
-    * active users = customers with at least one event; for each, order count
-    * plus an anti-join flag against high-priority orders. Both sides plan as
-    * broadcast/hash joins with no row duplication — the point of semi/anti
-    * over `IN`-style inner joins at scale.
-    */
-  def relSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = KvTable.table(spark, sfDir, "orders")
-    val activeUsers = KvTable.events(spark, sfDir)
-      .select(col("user_id")).distinct()
-    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey").as("u_custkey"))
-    orders
-      .join(activeUsers, col("o_custkey") === col("user_id"), "left_semi")
-      .join(urgent, col("o_custkey") === col("u_custkey"), "left_anti")
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(floor(col("o_totalprice"))).cast("long").as("sum_price"))
-  }
-
-  private val relSemiAntiSql: String =
-    """SELECT o_custkey, count(*) AS n_orders,
-      |  CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price
-      |FROM orders o
-      |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
-      |  AND NOT EXISTS (SELECT 1 FROM orders u
-      |                  WHERE u.o_orderpriority = '1-URGENT'
-      |                    AND u.o_custkey = o.o_custkey)
-      |GROUP BY 1""".stripMargin
-
-  /** Set operations (SURVEY §2.7 — absent in the reference): customer keys
-    * that ordered but never appeared in events (EXCEPT), appeared in both
-    * (INTERSECT), tagged and unioned. Distinct set semantics on both sides.
-    */
-  def relSetOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val orderKeys = KvTable.table(spark, sfDir, "orders")
-      .select(col("o_custkey").as("k"))
-    val eventKeys = KvTable.events(spark, sfDir)
-      .select(col("user_id").as("k"))
-    orderKeys.intersect(eventKeys).withColumn("src", lit("both"))
-      .unionByName(orderKeys.except(eventKeys).withColumn("src", lit("orders_only")))
-  }
-
-  private val relSetOpsSql: String =
-    """SELECT k, 'both' AS src FROM (
-      |  SELECT o_custkey AS k FROM orders INTERSECT SELECT user_id FROM events)
-      |UNION ALL
-      |SELECT k, 'orders_only' AS src FROM (
-      |  SELECT o_custkey AS k FROM orders EXCEPT SELECT user_id FROM events)""".stripMargin
-
-  /** Distinct users per event type through the KMV sketch
-    * ([[graft.functions.KmvDistinctAgg]]): constant 512 KiB state per group
-    * at ANY input size, mergeable at any partitioning. At the verify scales
-    * every group is far below k = 65536, where KMV is provably exact — so
-    * the `count(DISTINCT)` oracle matches hash-exactly; past k (the 100-TB
-    * path) the same plan degrades to a ~0.4%-error estimate instead of an
-    * unbounded exact-distinct shuffle.
-    */
-  def aggDistinctKmv(spark: SparkSession, sfDir: String): DataFrame =
-    KvTable.table(spark, sfDir, "events")
-      .groupBy(col("event_type"))
-      .agg(graft.functions.KmvDistinctAgg.kmvDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
-
-  private val aggDistinctKmvSql: String =
-    """SELECT event_type, count(DISTINCT user_id) AS n_users,
-      |  count(*) AS n_events
-      |FROM events GROUP BY 1""".stripMargin
-
-  /** Bloom-reduced shuffle join ([[graft.ops.BloomJoin]]): lineitem joined
-    * to the urgent-orders subset — a build side that at 100 TB is far past
-    * broadcast range (~20% of orders) while its key SET still fits a bloom
-    * sketch. The codegen'd pre-filter drops non-joining lineitem rows
-    * before the join shuffle; the exact join absorbs false positives, so
-    * the result is hash-identical to the plain join the oracle runs.
-    */
-  def relBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val urgent = KvTable.table(spark, sfDir, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"))
-    val li = KvTable.table(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_extendedprice"))
-    graft.ops.BloomJoin.reduceJoin(li, urgent, "l_orderkey", "o_orderkey",
-        expectedItems = 100000L, fpp = 0.01)
-      .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_items"),
-        sum(floor(col("l_extendedprice") * 100)).cast("long").as("rev_x100"))
-  }
-
-  private val relBloomJoinSql: String =
-    """SELECT o_orderkey, count(*) AS n_items,
-      |  CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_x100
-      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-      |WHERE o_orderpriority = '1-URGENT'
-      |GROUP BY 1""".stripMargin
-
-  /** Exact distributed quantiles per group WITHOUT a per-group sort of the
-    * raw rows (Spark's `percentile` buffers and sorts every value per
-    * group — a scale killer on a hot group). The inputs are integer-floored,
-    * so the value domain is bounded: groupBy(group, value) + count
-    * compresses the data to one row per DISTINCT value (one hash shuffle),
-    * a cumulative count over that compact relation locates each
-    * percentile's bracketing values, and the final interpolation replays
-    * `percentile`'s exact formula `(hi−pos)·loVal + (pos−lo)·hiVal` —
-    * bit-identical output (DuckDB `quantile_cont` oracle unchanged). Every
-    * exchange and sort after the first touches only distinct values, never
-    * raw rows; no sort-based `percentile` aggregate appears in the plan
-    * (PlanSpec pins this). The approximate path at true scale remains
-    * `approx_percentile` (t-digest), which no cross-engine oracle replays.
-    */
-  def relQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vc = KvTable.table(spark, sfDir, "orders")
-      .groupBy(col("o_orderstatus"), floor(col("o_totalprice")).as("v"))
-      .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
-    // n rides the SAME exchange+sort as the running sum (partition-only
-    // frame over an already-sorted child): one window pass produces both,
-    // where a separate `groupBy(max(cum))` + join would recompute the whole
-    // window subtree (Spark does not share it) and shuffle twice more.
-    val wAll = Window.partitionBy(col("o_orderstatus"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = vc.select(col("o_orderstatus"), col("v"), col("c"),
-      sum(col("c")).over(w).as("cum"), sum(col("c")).over(wAll).as("n"))
-    // Exactly one distinct-value row covers sorted index i (cum−c ≤ i < cum),
-    // so a conditional max picks the value at that rank.
-    def valAt(i: Column): Column =
-      max(when(col("cum") - col("c") <= i && i < col("cum"), col("v")))
-    def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
-    val brackets = Seq("p50" -> 0.5, "p90" -> 0.9).flatMap { case (nm, p) =>
-      Seq(valAt(floor(pos(p))).as(s"_lo_$nm"), valAt(ceil(pos(p))).as(s"_hi_$nm"))
-    }
-    // percentile's interpolation, replayed exactly: position = p·(n−1),
-    // result = (ceil(pos)−pos)·v[floor(pos)] + (pos−floor(pos))·v[ceil(pos)]
-    def interp(nm: String, p: Double): Column = {
-      val (lo, hi) = (floor(pos(p)), ceil(pos(p)))
-      val loV = col(s"_lo_$nm").cast("double")
-      val hiV = col(s"_hi_$nm").cast("double")
-      val r = when(lo === hi, loV)
-        .otherwise((hi - pos(p)) * loV + (pos(p) - lo) * hiV)
-      floor(r * 100).cast("long")
-    }
-    cum
-      .groupBy(col("o_orderstatus"), col("n"))
-      .agg(brackets.head, brackets.tail: _*)
-      .select(col("o_orderstatus"),
-        interp("p50", 0.5).as("p50_x100"),
-        interp("p90", 0.9).as("p90_x100"),
-        col("n"))
-  }
-
-  private val relQuantilesSql: String =
-    """SELECT o_orderstatus,
-      |  CAST(floor(quantile_cont(floor(o_totalprice), 0.5) * 100) AS BIGINT) AS p50_x100,
-      |  CAST(floor(quantile_cont(floor(o_totalprice), 0.9) * 100) AS BIGINT) AS p90_x100,
-      |  count(*) AS n
-      |FROM orders GROUP BY 1""".stripMargin
-
-  /** The same per-status percentiles through the MERGEABLE quantile sketch
-    * ([[graft.functions.QuantileSketchAgg]]) instead of the bounded-domain
-    * exact plan: one partial-aggregated pass, O(k·log n) state per group,
-    * no per-group value histogram on the exchange. Shares rel_quantiles'
-    * oracle — below k the sketch replays quantile_cont bit-for-bit, which
-    * is the same exact-below-capacity contract the KMV and SpaceSaving
-    * sketches pin.
-    */
-  def aggQuantilesSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.QuantileSketchAgg
-    KvTable.table(spark, sfDir, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        // k EXPLICIT with headroom over the gate scales: per-status groups
-        // hold ~5k values at sf0.01 and ~50k at sf0.1 — 2^18 keeps the
-        // exactness precondition satisfied through ~5x the bench scale
-        // rather than silently riding the default's edge.
-        QuantileSketchAgg.quantileSketch(
-          floor(col("o_totalprice")).cast("long"), Seq(0.5, 0.9), k = 262144).as("q"),
-        count(lit(1)).as("n"))
-      .select(col("o_orderstatus"),
-        floor(element_at(col("q"), 1) * 100).cast("long").as("p50_x100"),
-        floor(element_at(col("q"), 2) * 100).cast("long").as("p90_x100"),
-        col("n"))
-  }
-
-  // ------------------------------------------------- text analysis (§7.6)
-
-  import graft.ext.TextAnalysis
-
-  private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    KvTable.table(spark, sfDir, "documents")
-
-  /** Token counting: whitespace tokens + BPE-ish subword pieces + punct. */
-  def txtTokens(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.tokens(docs(spark, sfDir))
-
-  private val txtTokensSql: String =
-    """SELECT doc_id,
-      |  (CASE WHEN length(trim(text)) = 0 THEN 0
-      |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS ws_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\s]'))::BIGINT AS bpe_tokens,
-      |  len(regexp_extract_all(lower(text), '[^a-z0-9\s]'))::BIGINT AS punct_chars
-      |FROM documents""".stripMargin
-
-  /** Quality facets + scalar score, integer-scaled (see TextAnalysis). */
-  def txtQuality(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.quality(docs(spark, sfDir))
-
-  private val txtQualitySql: String =
-    """WITH raw AS (
-      |  SELECT doc_id, length(text) AS n_chars,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-      |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
-      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop,
-      |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace
-      |  FROM documents),
-      |f AS (
-      |  SELECT doc_id, n_chars, n_tokens,
-      |    CASE WHEN n_chars = 0 THEN 0 ELSE (punct * 1000) // n_chars END AS punct_per_1000,
-      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (stop * 1000) // n_tokens END AS stop_per_1000,
-      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (nonspace * 100) // n_tokens END AS avg_tok_x100
-      |  FROM raw)
-      |SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
-      |  punct_per_1000::BIGINT AS punct_per_1000,
-      |  stop_per_1000::BIGINT AS stop_per_1000,
-      |  avg_tok_x100::BIGINT AS avg_tok_x100,
-      |  (LEAST(n_tokens, 250) + LEAST(stop_per_1000, 250)
-      |   + GREATEST(0, 250 - punct_per_1000)
-      |   + GREATEST(0, 250 - abs(avg_tok_x100 - 450) // 2))::BIGINT AS quality
-      |FROM f""".stripMargin
-
-  /** Language-ID: marker-word heuristic, arg-max with fixed tie order. */
-  def txtLangId(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.langId(docs(spark, sfDir))
-
-  private val txtLangIdSql: String =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b'))::BIGINT AS score_en,
-      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|ist)\b'))::BIGINT AS score_de,
-      |    len(regexp_extract_all(lower(text), '\b(el|la|los|y|un|es)\b'))::BIGINT AS score_es,
-      |    len(regexp_extract_all(lower(text), '\b(le|les|et|une|est)\b'))::BIGINT AS score_fr
-      |  FROM documents)
-      |SELECT doc_id, score_en, score_de, score_es, score_fr,
-      |  CASE
-      |    WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'unknown'
-      |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
-      |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
-      |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
-      |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
-      |    ELSE 'unknown' END AS lang_pred
-      |FROM s""".stripMargin
-
-  /** Rolling-hash document fingerprint (codegen'd PolyHashExpr). */
-  def txtFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.fingerprints(docs(spark, sfDir))
-
-  private val txtFingerprintSql: String =
-    """SELECT doc_id,
-      |  (CASE WHEN length(text) = 0 THEN 0
-      |        ELSE list_reduce(
-      |               list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),
-      |               (a, b) -> (a * 31 + b) % 2147483647) END)::BIGINT AS fp
-      |FROM documents""".stripMargin
-
-  /** PII redaction over synthetic support-log lines: the documents corpus
-    * carries no digits, so the log line (email, phone, IP, free remainder)
-    * is CONSTRUCTED deterministically from each event — the identical
-    * construction is mirrored in the oracle, so every redaction rule
-    * genuinely fires and the unredacted remainder proves selectivity. The
-    * op itself ([[TextAnalysis.redactPii]]) is a map-only codegen'd
-    * regexp_replace chain: no shuffle at any scale.
-    */
-  def txtRedactPii(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = KvTable.table(spark, sfDir, "events")
-    val line = concat(
-      lit("user "), col("user_id").cast("string"),
-      lit(" <u"), col("user_id").cast("string"),
-      lit("@ex-"), col("event_type"), lit(".com> tel +1-555-"),
-      lpad((col("event_id") % 10000).cast("string"), 4, "0"),
-      lit(" ip 10."), (col("user_id") % 256).cast("string"),
-      lit(".0."), (col("event_id") % 256).cast("string"),
-      lit(" ref "), col("props"))
-    ev.select(col("event_id"), TextAnalysis.redactPii(line).as("clean"))
-  }
-
-  /** The oracle replays the same construction (`||` not `concat`: DuckDB's
-    * concat skips NULLs, `||` propagates them like Spark's concat) and the
-    * same rule chain, innermost-first.
-    */
-  private val txtRedactPiiSql: String = {
-    val line = "'user ' || CAST(user_id AS VARCHAR) || ' <u' || " +
-      "CAST(user_id AS VARCHAR) || '@ex-' || event_type || '.com> tel +1-555-' || " +
-      "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || " +
-      "' ip 10.' || CAST(user_id % 256 AS VARCHAR) || '.0.' || " +
-      "CAST(event_id % 256 AS VARCHAR) || ' ref ' || props"
-    val redacted = TextAnalysis.PiiRules.foldLeft(line) { case (inner, (pat, rep)) =>
-      s"regexp_replace($inner, '$pat', '$rep', 'g')"
-    }
-    s"SELECT event_id, $redacted AS clean FROM events"
-  }
-
-  /** Gopher/C4-style hard-rule gate with per-doc reject reason. */
-  def pipeQualityFilter(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.qualityFilter(docs(spark, sfDir))
-
-  private val pipeQualityFilterSql: String =
-    """WITH raw AS (
-      |  SELECT doc_id,
-      |    length(text) AS n_chars,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-      |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
-      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop,
-      |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace
-      |  FROM documents),
-      |f AS (
-      |  SELECT doc_id, n_tokens,
-      |    CASE WHEN n_chars = 0 THEN 0 ELSE (punct * 1000) // n_chars END AS punct_per_1000,
-      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (stop * 1000) // n_tokens END AS stop_per_1000,
-      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (nonspace * 100) // n_tokens END AS avg_tok_x100
-      |  FROM raw),
-      |g AS (
-      |  SELECT doc_id, n_tokens, avg_tok_x100, punct_per_1000, stop_per_1000,
-      |    CASE WHEN n_tokens < 5 THEN 'too_short'
-      |         WHEN n_tokens > 10000 THEN 'too_long'
-      |         WHEN avg_tok_x100 < 150 OR avg_tok_x100 > 1000 THEN 'bad_word_len'
-      |         WHEN punct_per_1000 > 300 THEN 'too_much_punct'
-      |         WHEN stop_per_1000 < 10 THEN 'no_stopwords'
-      |         ELSE 'ok' END AS reason
-      |  FROM f)
-      |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
-      |  avg_tok_x100::BIGINT AS avg_tok_x100,
-      |  punct_per_1000::BIGINT AS punct_per_1000,
-      |  stop_per_1000::BIGINT AS stop_per_1000,
-      |  reason, (reason = 'ok') AS keep
-      |FROM g""".stripMargin
-
-  /** The end-to-end training-corpus cleaning pass, composed from the
-    * individual operators: exact dedup (keep the canonical doc), predicted
-    * language filter, quality threshold, token accounting.
-    *
-    * One declarative chain over a single documents scan, with the scan-side
-    * projection computing the text features AND the 128-bit dedup key
-    * ([[Dedup.textKey128]]) so the only exchange ships (doc_id, hashes,
-    * features) — never the document text. The language/quality gate runs
-    * BEFORE the dedup window: identical texts have identical features, so
-    * twins pass or fail together and the canonical-min is unchanged, while
-    * the shuffle input shrinks by the rejection rate.
-    */
-  /** Document chunking with overlap — the preprocessing step FEEDING the
-    * window packers: each doc's token sequence split into `ChunkSize`-token
-    * chunks every `ChunkStride` tokens (16-token overlap so boundary
-    * context survives). Emits the chunk's token count and content
-    * fingerprint rather than its text: MAP-ONLY and narrow (explode, no
-    * shuffle), the chunk text itself never needs to move — at 100 TB the
-    * chunker is a projection over the corpus scan, and downstream stages
-    * join back to the doc store by (doc_id, chunk_idx) when they need
-    * bytes.
-    */
-  def pipeChunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.TextHash
-    val (size0, stride) = (ChunkSize, ChunkStride)
-    docs(spark, sfDir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), ceil(col("n") / lit(stride.toDouble)).cast("int") - 1),
-        i => {
-          val piece = slice(col("t"), i * stride + 1, lit(size0))
-          struct(size(piece).cast("long").as("n_toks"),
-            TextHash.polyHash(array_join(piece, " ")).as("chunk_hash"))
-        })))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-        col("col.n_toks").as("n_toks"), col("col.chunk_hash").as("chunk_hash"))
-  }
-
-  private val ChunkSize = 64
-  private val ChunkStride = 48
-
-  private val pipeChunkDocsSql: String = {
-    val slice = s"list_slice(t, chunk_idx * $ChunkStride + 1, " +
-      s"LEAST(chunk_idx * $ChunkStride + $ChunkSize, n))"
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-       |           FROM documents),
-       |n AS (SELECT doc_id, t, len(t) AS n FROM t),
-       |c AS (SELECT doc_id, t, n,
-       |        unnest(range(0, CAST(ceil(n / $ChunkStride.0) AS BIGINT))) AS chunk_idx
-       |      FROM n)
-       |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
-       |  len($slice)::BIGINT AS n_toks,
-       |  COALESCE(${polyHashSql(s"array_to_string($slice, ' ')")}, 0)::BIGINT AS chunk_hash
-       |FROM c""".stripMargin
-  }
-
-  def pipeCleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.ext.Dedup
-    val d = docs(spark, sfDir)
-    val w = Window.partitionBy(col("_h1"), col("_h2"))
-    d.select(col("doc_id") +: Dedup.textKey128(col("text")) :+
-        TextAnalysis.stats(col("text")).as("_st"): _*)
-      .select(col("doc_id"), col("_h1"), col("_h2"),
-        TextAnalysis.langPredict(TextAnalysis.langScoresFrom(col("_st"))).as("lang_pred"),
-        TextAnalysis.qualityScoreFrom(col("_st")).as("quality"),
-        col("_st.ws_tokens").as("ws_tokens"))
-      .filter(col("lang_pred") === "en" && col("quality") >= 500)
-      .withColumn("_canonical", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("_canonical")) // exact dedup, canonical kept
-      .select(col("doc_id"), col("lang_pred"), col("quality"), col("ws_tokens"))
-  }
-
-  private val pipeCleanCorpusSql: String =
-    s"""WITH keep AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
-       |    FROM documents) WHERE NOT is_dup),
-       |q AS ($txtQualitySql),
-       |l AS ($txtLangIdSql)
-       |SELECT doc_id, l.lang_pred, q.quality, q.n_tokens AS ws_tokens
-       |FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id)
-       |WHERE l.lang_pred = 'en' AND q.quality >= 500""".stripMargin
-
-  /** Corpus composition report: docs and whitespace tokens per (predicted
-    * language × quality decile) — the "how much training data do I have,
-    * and of what quality" accounting every pipeline runs before sampling
-    * a mix. One scan (fused TextStats projection), one partial-aggregated
-    * shuffle on a tiny key domain (≤ 5 langs × 11 buckets).
-    */
-  def pipeCorpusStats(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.IntMath.idiv
-    docs(spark, sfDir)
-      .select(TextAnalysis.stats(col("text")).as("_st"))
-      .select(
-        TextAnalysis.langPredict(TextAnalysis.langScoresFrom(col("_st"))).as("lang_pred"),
-        idiv(TextAnalysis.qualityScoreFrom(col("_st")), lit(100L)).as("q_bucket"),
-        col("_st.ws_tokens").as("ws_tokens"))
-      .groupBy(col("lang_pred"), col("q_bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_tokens"))
-  }
-
-  private val pipeCorpusStatsSql: String =
-    s"""WITH q AS ($txtQualitySql),
-       |l AS ($txtLangIdSql)
-       |SELECT l.lang_pred, q.quality // 100 AS q_bucket,
-       |  count(*) AS n_docs, CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens
-       |FROM q JOIN l USING (doc_id)
-       |GROUP BY 1, 2""".stripMargin
-
-  /** Per-language top-5 terms by document frequency (corpus statistics). */
-  def txtTopterms(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.topTerms(docs(spark, sfDir))
-
-  private val txtToptermsSql: String =
-    """WITH t AS (SELECT lang, doc_id,
-      |             unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
-      |           FROM documents WHERE length(trim(text)) > 0),
-      |d AS (SELECT lang, term, count(*) AS df FROM t GROUP BY 1, 2),
-      |r AS (SELECT lang, term, df,
-      |        row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rk
-      |      FROM d)
-      |SELECT lang, term, df::BIGINT AS df, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin
-
-  /** Gopher-style within-document repetition signals
-    * ([[graft.functions.RepetitionStats]]): token duplication, top-token
-    * share, and bigram duplication per document, as x1000 integer ratios —
-    * the repetition gates a pretraining cleaner thresholds on. One fused
-    * map-only pass (no explode, no shuffle); ratio math is integer DIV so
-    * the oracle hashes exactly.
-    */
-  def txtRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.RepetitionStatsExpr
-    docs(spark, sfDir)
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), RepetitionStatsExpr(col("text")).as("r"))
-      .select(col("doc_id"),
-        col("r.n_tokens").as("n_tokens"),
-        expr("(1000 * (r.n_tokens - r.n_distinct)) DIV r.n_tokens").as("dup_token_x1000"),
-        expr("(1000 * r.top_cnt) DIV r.n_tokens").as("top_token_x1000"),
-        expr("CASE WHEN r.n_bigrams = 0 THEN 0L ELSE " +
-          "(1000 * (r.n_bigrams - r.n_distinct_bigrams)) DIV r.n_bigrams END")
-          .as("dup_bigram_x1000"))
-  }
-
-  private val txtRepetitionSql: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-      |           FROM documents WHERE length(trim(text)) > 0),
-      |c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-      |        len(list_distinct(toks))::BIGINT AS n_distinct,
-      |        list_max(list_transform(list_distinct(toks),
-      |          d -> len(list_filter(toks, x -> x = d))))::BIGINT AS top_cnt,
-      |        greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
-      |        len(list_distinct(list_transform(range(1, len(toks)),
-      |          i -> toks[i] || ' ' || toks[i + 1])))::BIGINT AS n_distinct_bigrams
-      |      FROM t)
-      |SELECT doc_id, n_tokens,
-      |  (1000 * (n_tokens - n_distinct)) // n_tokens AS dup_token_x1000,
-      |  (1000 * top_cnt) // n_tokens AS top_token_x1000,
-      |  (CASE WHEN n_bigrams = 0 THEN 0
-      |        ELSE (1000 * (n_bigrams - n_distinct_bigrams)) // n_bigrams
-      |   END)::BIGINT AS dup_bigram_x1000
-      |FROM c""".stripMargin
-
-  /** The SAME per-language top-5-terms answer as [[txtTopterms]], computed
-    * by the SpaceSaving sketch ([[graft.functions.SpaceSavingAgg]]) instead
-    * of the exact explode→groupBy(lang, term) plan: the exchange carries at
-    * most `capacity` counters per (partition, lang) rather than every
-    * distinct (lang, term) row — the bounded-state path for vocabularies
-    * that don't fit a shuffle. Sharing txt_topterms' oracle pins the
-    * exactness contract (distinct ≤ capacity ⇒ identical answer).
-    */
-  def txtToptermsSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.SpaceSavingAgg
-    val terms = docs(spark, sfDir)
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("lang"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
-    terms.groupBy(col("lang"))
-      .agg(SpaceSavingAgg.heavyHitters(col("term"), capacity = 8192, k = 5).as("top"))
-      .select(col("lang"), posexplode(col("top")))
-      .select(col("lang"), col("col.term").as("term"), col("col.cnt").as("df"),
-        (col("pos") + 1).cast("long").as("rk"))
-  }
-
-  // ------------------------------------------------- sampling / mixing (§7.6)
-
-  import graft.ext.Sampling
-
-  /** Deterministic 20% Bernoulli sample of the documents table — hash-draw
-    * per doc_id, map-only (no shuffle), reproducible under retries.
-    */
-  def sampleBernoulli(spark: SparkSession, sfDir: String): DataFrame =
-    Sampling.bernoulli(docs(spark, sfDir), "doc_id", rateX1000 = 200)
-      .select(col("doc_id"), col("source"), col("lang"))
-
-  /** Sampling.drawOf's quadratic scrambler over a hash column `ph`. */
-  private def scrambleSql(ph: String): String =
-    s"($ph) * ($ph) % 2147483647 * 48271 + ($ph)"
-
-  private val sampleBernoulliSql: String =
-    s"""WITH p AS (SELECT doc_id, source, lang,
-       |             (${polyHashSql("'bern|' || CAST(doc_id AS VARCHAR)")}) AS ph
-       |           FROM documents)
-       |SELECT doc_id, source, lang FROM p
-       |WHERE (${scrambleSql("ph")}) % 2147483647 * 1000 < 200::BIGINT * 2147483647""".stripMargin
-
-  /** Stratified cap: at most 10 docs per source, hash-ranked — the
-    * per-stratum uniform-without-replacement cut a corpus builder applies
-    * to bound any one source's contribution.
-    */
-  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
-    Sampling.stratifiedCap(docs(spark, sfDir), "source", "doc_id", cap = 10)
-      .select(col("source"), col("doc_id"), col("rk"))
-
-  private val sampleStratifiedSql: String =
-    s"""WITH p AS (SELECT source, doc_id,
-       |             (${polyHashSql("'strat|' || CAST(doc_id AS VARCHAR)")}) AS ph
-       |           FROM documents)
-       |SELECT source, doc_id,
-       |  row_number() OVER (PARTITION BY source
-       |    ORDER BY (${scrambleSql("ph")}) % 2147483647, doc_id)::BIGINT AS rk
-       |FROM p
-       |QUALIFY rk <= 10""".stripMargin
-
-  /** Deterministic epoch shuffle ([[Sampling.epochShuffle]]): the per-epoch
-    * corpus reorder of a training run — seeded draw, shard = output-file
-    * unit, within-shard rank. Epoch 3 over 16 shards; the oracle replays
-    * the draw arithmetic and the shard-partitioned rank exactly.
-    */
-  def pipeEpochShuffle(spark: SparkSession, sfDir: String): DataFrame =
-    Sampling.epochShuffle(docs(spark, sfDir), "doc_id", epoch = 3, nShards = 16)
-      .select(col("shard"), col("shard_pos"), col("doc_id"), col("draw"))
-
-  private val pipeEpochShuffleSql: String =
-    s"""WITH p AS (SELECT doc_id,
-       |             (${polyHashSql("'epoch3|' || CAST(doc_id AS VARCHAR)")}) AS ph
-       |           FROM documents),
-       |d AS (SELECT doc_id, (${scrambleSql("ph")}) % 2147483647 AS draw FROM p)
-       |SELECT (draw % 16)::BIGINT AS shard,
-       |  row_number() OVER (PARTITION BY draw % 16 ORDER BY draw, doc_id)::BIGINT
-       |    AS shard_pos,
-       |  doc_id, draw::BIGINT AS draw
-       |FROM d""".stripMargin
-
-  /** Deterministic 80/10/10 train/val/test assignment per doc_id
-    * ([[Sampling.datasetSplit]]): leakage-safe, retry-stable, map-only.
-    */
-  def pipeDatasetSplit(spark: SparkSession, sfDir: String): DataFrame =
-    Sampling.datasetSplit(docs(spark, sfDir), "doc_id",
-        trainX1000 = 800, valX1000 = 100)
-      .select(col("doc_id"), col("split"))
-
-  private val pipeDatasetSplitSql: String =
-    s"""WITH p AS (SELECT doc_id,
-       |             (${polyHashSql("'split|' || CAST(doc_id AS VARCHAR)")}) AS ph
-       |           FROM documents),
-       |d AS (SELECT doc_id, (${scrambleSql("ph")}) % 2147483647 AS draw FROM p)
-       |SELECT doc_id,
-       |  CASE WHEN draw * 1000 < 800::BIGINT * 2147483647 THEN 'train'
-       |       WHEN draw * 1000 < 900::BIGINT * 2147483647 THEN 'val'
-       |       ELSE 'test' END AS split
-       |FROM d""".stripMargin
-
-  /** Per-doc top-3 tf-idf keywords ([[TextAnalysis.tfIdfTopTerms]]). */
-  def pipeTfidf(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.tfIdfTopTerms(docs(spark, sfDir))
-
-  private val pipeTfidfSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-      |  FROM documents WHERE length(trim(text)) > 0),
-      |t AS (SELECT doc_id, unnest(ws) AS term FROM d),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
-      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT count(*) AS nn FROM d),
-      |s AS (
-      |  SELECT tf.doc_id, tf.term, tf.tf,
-      |    tf.tf * ((n.nn * 1000) // dfr.df) AS score,
-      |    row_number() OVER (PARTITION BY tf.doc_id
-      |      ORDER BY tf.tf * ((n.nn * 1000) // dfr.df) DESC, tf.term) AS rk
-      |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
-      |SELECT doc_id, term, tf::BIGINT AS tf, score::BIGINT AS score,
-      |  rk::BIGINT AS rk
-      |FROM s WHERE rk <= 3""".stripMargin
-
-  /** Benchmark decontamination ([[Dedup.decontaminate]]): docs with
-    * `doc_id % 50 == 0` stand in for a held-out eval set; every other doc
-    * sharing at least one word 4-gram with it is reported with its distinct
-    * shared-gram count (k=4 on this small-vocabulary synthetic corpus plays
-    * the role 13-grams do on web text). The benchmark gram set is broadcast
-    * — the corpus is scanned once and never shuffled; only matched gram rows
-    * reach the one aggregation exchange.
-    */
-  def pipeDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ext.Dedup
-    val d = docs(spark, sfDir)
-    Dedup.decontaminate(
-      d.filter(col("doc_id") % 50 =!= 0),
-      d.filter(col("doc_id") % 50 === 0),
-      k = 4)
-  }
-
-  private val pipeDecontaminateSql: String =
-    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |              FROM documents),
-      |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 2),
-      |        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS s
-      |      FROM toks WHERE len(t) >= 4),
-      |bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0)
-      |SELECT g.doc_id, count(*)::BIGINT AS hits
-      |FROM g JOIN bg USING (s)
-      |WHERE g.doc_id % 50 <> 0
-      |GROUP BY 1""".stripMargin
-
-  /** Deterministic weighted interleave for training order: doc i of a
-    * weight-w source lands at position key `r·12 DIV w` (12 = lcm of the
-    * weight domain {1..4}, so the division is EXACT — the key IS the
-    * rational r/w scaled, no truncation collapse), making a weight-4
-    * source appear 4× as often as a weight-1 source at any prefix. The
-    * key is emitted, not a global row_number: consumers range-partition
-    * by (pos_key, source, doc_id) — a parallel total order — where a
-    * contiguous global rank would force everything through one window
-    * partition. Per-source ranks order by doc_id, so the whole layout is
-    * reproducible run-over-run and shuffle-independent.
-    */
-  def pipeInterleave(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    docs(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
-      .withColumn("r", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("source"), col("r"),
-        expr("r * 12 DIV w").as("pos_key"))
-  }
-
-  private val pipeInterleaveSql: String =
-    """WITH b AS (SELECT doc_id, source,
-      |             substr(source, 4)::BIGINT % 4 + 1 AS w,
-      |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
-      |           FROM documents)
-      |SELECT doc_id, source, r::BIGINT AS r, (r * 12 // w)::BIGINT AS pos_key
-      |FROM b""".stripMargin
-
-  /** Weighted corpus mix to a 50k-char budget: source weights assigned by
-    * name rank (sorted source list is tiny and collected once — bounded by
-    * the source catalog, not the corpus), per-source keep-thresholds are
-    * exact integer arithmetic over the source cost totals.
-    */
-  def pipeCorpusMix(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val sources = d.select(col("source")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val weights = sources.zipWithIndex
-      .map { case (s, i) => s -> (50L + 25L * i) }.toMap
-    Sampling.weightedMix(d, "source", "n_chars", "doc_id", weights,
-        budget = 50000L)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-  }
-
-  private val pipeCorpusMixSql: String =
-    s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
-       |             FROM documents GROUP BY 1),
-       |w AS (SELECT source, tok,
-       |        50 + 25 * (dense_rank() OVER (ORDER BY source) - 1) AS w
-       |      FROM tot),
-       |t AS (SELECT source,
-       |        least(2147483647, (2147483647::HUGEINT * 50000 * w)
-       |          // ((SELECT sum(w) FROM w) * tok)) AS t
-       |      FROM w),
-       |p AS (SELECT doc_id, source, n_chars,
-       |        (${polyHashSql("'mix|' || CAST(doc_id AS VARCHAR)")}) AS ph
-       |      FROM documents)
-       |SELECT p.doc_id, p.source, p.n_chars
-       |FROM p JOIN t USING (source)
-       |WHERE (${scrambleSql("ph")}) % 2147483647 < t.t""".stripMargin
-
-  /** Sequence packing: documents to 2000-char context windows, bucketed in
-    * contiguous 100-id ranges (the parallelism unit), packed in doc_id
-    * order. Returns the per-doc assignment — the training-example layout.
-    */
-  def pipePackWindows(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ext.Packing.packWindows(docs(spark, sfDir),
-        bucket = expr("doc_id div 100"), order = col("doc_id"),
-        cost = col("n_chars"), budget = 2000L)
-      .select(col("doc_id"), col("pack_bucket"), col("window_idx"),
-        col("n_chars"))
-
-  private val pipePackWindowsSql: String =
-    """WITH c AS (SELECT doc_id, doc_id // 100 AS pack_bucket, n_chars,
-      |             coalesce(sum(n_chars) OVER (PARTITION BY doc_id // 100
-      |               ORDER BY doc_id
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-      |           FROM documents)
-      |SELECT doc_id, pack_bucket::BIGINT AS pack_bucket,
-      |  (cum // 2000)::BIGINT AS window_idx, n_chars
-      |FROM c""".stripMargin
-
-  /** EXACT first-fit packing (no window over budget): the sequential
-    * greedy recurrence per bucket, replayed oracle-side as a linear
-    * recursive CTE walking each bucket's docs in order.
-    */
-  def pipePackFirstfit(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ext.Packing.packFirstFit(docs(spark, sfDir),
-        bucket = expr("doc_id div 100"), order = col("doc_id"),
-        cost = col("n_chars"), budget = 2000L)
-      .select(col("order").as("doc_id"), col("pack_bucket"),
-        col("window_idx"), col("cost").as("n_chars"))
-
-  private val pipePackFirstfitSql: String =
-    """WITH RECURSIVE d AS (
-      |  SELECT doc_id, doc_id // 100 AS pack_bucket, n_chars,
-      |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
-      |  FROM documents),
-      |walk(pack_bucket, rn, doc_id, n_chars, widx, wcost) AS (
-      |  SELECT pack_bucket, rn, doc_id, n_chars, 0::BIGINT, n_chars
-      |  FROM d WHERE rn = 1
-      |  UNION ALL
-      |  SELECT d.pack_bucket, d.rn, d.doc_id, d.n_chars,
-      |    CASE WHEN w.wcost + d.n_chars > 2000 THEN w.widx + 1 ELSE w.widx END,
-      |    CASE WHEN w.wcost + d.n_chars > 2000 THEN d.n_chars
-      |         ELSE w.wcost + d.n_chars END
-      |  FROM walk w JOIN d ON d.pack_bucket = w.pack_bucket AND d.rn = w.rn + 1)
-      |SELECT doc_id, pack_bucket::BIGINT AS pack_bucket,
-      |  widx::BIGINT AS window_idx, n_chars
-      |FROM walk""".stripMargin
-
-  // ------------------------------------- real BPE subword tokens (§7.6)
-
-  /** REAL merges-table BPE token counting (vs `txt_tokens`' regex proxy):
-    * greedy lowest-rank-pair merging under [[graft.functions.Bpe.Default]]
-    * — the count a training pipeline budgets on. The oracle replays the
-    * EXACT algorithm in DuckDB: a recursive CTE fusing, per step, the
-    * leftmost occurrence of the best-ranked adjacent pair, over a merges
-    * literal RENDERED FROM THE SAME Scala table (zero drift possible).
-    */
-  def txtBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(col("doc_id"),
-      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
-
-  /** The DuckDB merges-list literal, rendered from [[Bpe.Default]] itself:
-    * rank = 1-based list position, pair encoded `"a b"`.
-    */
-  private val bpeMergesSqlList: String =
-    graft.functions.Bpe.Default.merges
-      .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
-
-  /** Per-word token counts via the recursive merge replay, then per-doc
-    * totals: word tokens + one token per non-letter non-whitespace char.
-    * Shared CTE prefix for both BPE oracles.
-    */
-  private def bpePerDocCte(extraCols: String): String =
-    s"""WITH RECURSIVE
-       |m(ml) AS (SELECT $bpeMergesSqlList),
-       |d0 AS (SELECT doc_id, lower(text) AS lo FROM documents),
-       |words AS (SELECT DISTINCT w FROM
-       |  (SELECT unnest(regexp_extract_all(lo, '[a-z]+')) AS w FROM d0)),
-       |bpe(w, toks) AS (
-       |  SELECT w, regexp_extract_all(w, '.') FROM words
-       |  UNION ALL
-       |  SELECT w, toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
-       |  FROM (
-       |    SELECT w, toks,
-       |      list_position(rks, list_min(list_filter(rks, x -> x IS NOT NULL))) AS pos
-       |    FROM (
-       |      SELECT b.w, b.toks,
-       |        list_transform(range(1, len(b.toks)),
-       |          i -> nullif(list_position(m.ml, b.toks[i] || ' ' || b.toks[i+1]), 0)) AS rks
-       |      FROM bpe b, m))
-       |  WHERE pos IS NOT NULL AND pos > 0),
-       |wc AS (SELECT w, min(len(toks)) AS nt FROM bpe GROUP BY w),
-       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lo, '[a-z]+')) AS w FROM d0),
-       |wsum AS (SELECT doc_id, sum(nt) AS t FROM dw JOIN wc USING (w) GROUP BY doc_id),
-       |per AS (SELECT d.doc_id,
-       |  (coalesce(w.t, 0) + len(regexp_extract_all(d.lo, '[^a-z\\s]')))::BIGINT AS n_bpe
-       |  $extraCols
-       |FROM d0 d LEFT JOIN wsum w USING (doc_id))""".stripMargin
-
-  private val txtBpeTokensSql: String =
-    s"""${bpePerDocCte("")}
-       |SELECT doc_id, n_bpe FROM per""".stripMargin
-
-  /** BPE training as a query: the merges table [[TextAnalysis.trainBpe]]
-    * derives from the corpus (one word-count shuffle, bounded histogram,
-    * driver merge loop — the sentencepiece shape). The merge loop is an
-    * iterated global argmax that recursive SQL cannot aggregate over, so
-    * the oracle is the LITERAL expected table (the `kv_history` pattern):
-    * training is fully deterministic over the sf0.01 fixture corpus —
-    * ties broken lexicographically, one shuffle then a driver loop — so
-    * the expected 48 merges are a fixed VALUES list. A wrong rank order,
-    * a flipped tie-break, or a count drift all hash-mismatch. (The
-    * literal pins the DRIVER'S GATE SCALE, sf0.01; at other SFs the
-    * corpus differs and so do the merges — same scope as every
-    * fixture-derived literal oracle here.)
-    */
-  def txtBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // SF-INDEPENDENT training corpus (r17): the merge loop is an
-    // iterated global argmax no SQL oracle can replay, so the oracle is
-    // the literal expected merge table — and a literal must hold at
-    // EVERY scale factor, so the trainer's input is this fixed
-    // deterministic corpus rather than the SF-sized documents table
-    // (whose text differs per SF; `txt_bpe_tokens` / `pipe_pack_bpe`
-    // keep exercising the tokenizer over the real corpus, under oracles
-    // that recompute). Zipf-ish weights make the merge order
-    // discriminating: a trainer that mis-ranked pair counts or broke
-    // ties wrong reorders the table and hash-mismatches.
-    val vocab = Seq("customer" -> 9, "order" -> 8, "vector" -> 7,
-      "merge" -> 6, "filter" -> 6, "column" -> 5, "batch" -> 5,
-      "scan" -> 4, "hash" -> 4, "join" -> 3, "row" -> 3,
-      "small" -> 2, "slow" -> 2)
-    val words = vocab.flatMap { case (w, n) => Seq.fill(n)(w) }
-    val corpus = (0 until 200).map { i =>
-      (i.toLong,
-        (0 until 12).map(k => words((i * 7 + k * 13) % words.length))
-          .mkString(" "))
-    }.toDF("doc_id", "text")
-    TextAnalysis.trainBpe(corpus, "text", numMerges = 48)
-      .merges.zipWithIndex
-      .map { case ((a, b), i) => (i + 1L, a, b) }
-      .toDF("merge_rank", "lhs", "rhs")
-  }
-
-  /** Expected merges over the fixed training corpus above — identical
-    * at every SF; regenerate with
-    * `runMain graft.Verify <any sfDir> /tmp/v txt_bpe_train`
-    * after any trainer change.
-    */
-  private val txtBpeTrainSql: String = {
-    val rows = Seq(
-      ("e", "r"), ("t", "o"), ("m", "er"), ("c", "u"), ("cu",
-      "s"), ("cus", "to"), ("custo", "mer"), ("d", "er"), ("o",
-      "r"), ("or", "der"), ("c", "to"), ("cto", "r"), ("e",
-      "ctor"), ("v", "ector"), ("g", "e"), ("mer", "ge"), ("f",
-      "i"), ("fi", "l"), ("fil", "t"), ("filt", "er"), ("c", "o"),
-      ("co", "l"), ("col", "u"), ("colu", "m"), ("colum", "n"),
-      ("a", "t"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("o",
-      "w"), ("a", "n"), ("c", "an"), ("s", "can"), ("a", "s"),
-      ("as", "h"), ("h", "ash"), ("i", "n"), ("j", "o"), ("jo",
-      "in"), ("r", "ow"), ("a", "l"), ("al", "l"), ("m", "all"),
-      ("s", "mall"), ("l", "ow"), ("s", "low"))
-    val values = rows.zipWithIndex
-      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }
-      .mkString(",\n  ")
-    s"""SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs
-       |FROM (VALUES
-       |  $values) AS t(merge_rank, lhs, rhs)""".stripMargin
-  }
-
-  /** The packing twin quantifying PROXY-COUNT DRIFT: documents packed into
-    * 500-REAL-BPE-token windows (budget-quantized, like
-    * `pipe_pack_windows`), each window reporting its real cost, the regex
-    * proxy's claimed cost, and the ratio ×1000 — the budget error a
-    * pipeline absorbs if it packs on the proxy. Ratio, not difference:
-    * integer division of a nonnegative keeps Spark `div` and DuckDB `//`
-    * in exact agreement (they disagree on negatives).
-    */
-  def pipePackBpe(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir).select(col("doc_id"),
-      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
-      TextAnalysis.bpeishTokenCount(col("text")).as("n_proxy"))
-    graft.ext.Packing.packWindows(d, bucket = expr("doc_id div 100"),
-        order = col("doc_id"), cost = col("n_bpe"), budget = 500L)
-      .groupBy(col("pack_bucket"), col("window_idx"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_bpe")).cast("long").as("bpe_cost"),
-        sum(col("n_proxy")).cast("long").as("proxy_cost"))
-      .withColumn("proxy_x1000", expr("proxy_cost * 1000 div bpe_cost"))
-  }
-
-  private val pipePackBpeSql: String =
-    s"""${bpePerDocCte(
-        """, len(regexp_extract_all(d.lo, '[a-z]{1,4}|[0-9]|[^a-z0-9\s]'))::BIGINT AS n_proxy""")},
-       |c AS (SELECT doc_id, doc_id // 100 AS pack_bucket, n_bpe, n_proxy,
-       |        coalesce(sum(n_bpe) OVER (PARTITION BY doc_id // 100
-       |          ORDER BY doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-       |      FROM per)
-       |SELECT pack_bucket::BIGINT AS pack_bucket,
-       |  (cum // 500)::BIGINT AS window_idx,
-       |  count(*)::BIGINT AS n_docs, sum(n_bpe)::BIGINT AS bpe_cost,
-       |  sum(n_proxy)::BIGINT AS proxy_cost,
-       |  (sum(n_proxy) * 1000 // sum(n_bpe))::BIGINT AS proxy_x1000
-       |FROM c GROUP BY 1, 2""".stripMargin
-
-  // ------------------------------------------------- deduplication (§7.6)
-
-  import graft.ext.Dedup
-
-  private def embeds(spark: SparkSession, sfDir: String): DataFrame =
-    KvTable.table(spark, sfDir, "embeddings")
-
-  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.exact(docs(spark, sfDir))
-
-  private val dedupExactSql: String =
-    """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
-      |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
-      |FROM documents""".stripMargin
-
-  /** Chunk-level exact dedup + reconstruction ([[Dedup.paragraphDedup]]). */
-  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.paragraphDedup(docs(spark, sfDir))
-
-  private val dedupParagraphSql: String =
-    """WITH w AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-      |  FROM documents WHERE length(trim(text)) > 0),
-      |c AS (
-      |  SELECT doc_id, i AS idx,
-      |    array_to_string(list_slice(ws, i*10+1, i*10+10), ' ') AS chunk
-      |  FROM w, UNNEST(generate_series(0, (len(ws)-1)//10)) AS t(i)),
-      |win AS (
-      |  SELECT chunk, doc_id, idx FROM (
-      |    SELECT chunk, doc_id, idx,
-      |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
-      |    FROM c) WHERE rn = 1)
-      |SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text
-      |FROM win GROUP BY doc_id""".stripMargin
-
-  def dedupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairs(docs(spark, sfDir))
-
-  /** Shared oracle CTEs: tokens → distinct 3-shingles (1-based list ops). */
-  private val shingleCtes: String =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-      |shd AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-      |          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-      |        FROM toks WHERE len(t) >= 3)""".stripMargin
-
-  /** PolyHash fold, oracle dialect (must mirror PolyHashExpr exactly);
-    * `mult = 131` replays the second independent hash inside SimHash64.
-    */
-  private def polyHashSql(arg: String, mult: Int = 31): String =
-    s"list_reduce(list_transform(string_split($arg, ''), c -> unicode(c)::BIGINT), " +
-      s"(x, y) -> (x * $mult + y) % 2147483647)"
-
-  private val dedupJaccardPairsSql: String =
-    s"""WITH $shingleCtes,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
-       |ok AS (SELECT s FROM shd GROUP BY s
-       |       HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPosting}),
-       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-       |          FROM shd x JOIN shd y USING (s) JOIN ok USING (s)
-       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
-       |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
-       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-       |WHERE (i * 1000) // (sa.n + sb.n - i) >= 800""".stripMargin
-
-  /** Jaccard pairs behind the document-frequency stopword filter — the
-    * designed hot-shingle control at scale: shingles shared by more than
-    * `JaccardMaxDf` docs (boilerplate) are removed from the similarity
-    * space BEFORE pair generation, so a viral shingle never reaches the
-    * posting fan-out at all ([[Dedup.MaxPosting]] stays as the backstop).
-    * Scores are true Jaccard over the filtered shingle universe — at sf0.01
-    * this shifts 10 of the 25 near-dup pair scores vs the unfiltered query.
-    */
-  val JaccardMaxDf = 5
-
-  def dedupJaccardDf(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairs(docs(spark, sfDir), maxDf = JaccardMaxDf)
-
-  private val dedupJaccardDfSql: String =
-    s"""WITH $shingleCtes,
-       |kept AS (SELECT shd.* FROM shd JOIN (
-       |           SELECT s FROM shd GROUP BY s HAVING count(*) <= $JaccardMaxDf) USING (s)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
-       |ok AS (SELECT s FROM kept GROUP BY s
-       |       HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPosting}),
-       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-       |          FROM kept x JOIN kept y USING (s) JOIN ok USING (s)
-       |          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
-       |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
-       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-       |WHERE (i * 1000) // (sa.n + sb.n - i) >= 800""".stripMargin
-
-  /** Duplicated 8-token spans ([[Dedup.substringDupSpans]]): window-level
-    * substring dedup — strings are hashed to 128 bits before any exchange.
-    */
-  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.substringDupSpans(docs(spark, sfDir))
-
-  private val dedupSubstringSql: String =
-    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |              FROM documents),
-      |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
-      |      FROM toks WHERE len(t) >= 8),
-      |w AS (SELECT doc_id, pos, concat_ws(' ', t[pos], t[pos+1], t[pos+2],
-      |        t[pos+3], t[pos+4], t[pos+5], t[pos+6], t[pos+7]) AS s
-      |      FROM p),
-      |d AS (SELECT s FROM w GROUP BY s HAVING count(*) > 1)
-      |SELECT doc_id, count(*)::BIGINT AS dup_windows,
-      |  min(pos)::BIGINT AS first_pos
-      |FROM w JOIN d USING (s)
-      |GROUP BY 1""".stripMargin
-
-  def dedupMinhashSig(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashSignatures(docs(spark, sfDir))
-
-  /** hs CTE: per-doc list of shingle polyhashes. */
-  private val minhashHsCte: String =
-    s"""hs AS (SELECT doc_id, list(${polyHashSql("s")}) AS hs FROM shd GROUP BY doc_id)"""
-
-  private def minhashTerm(j: Int): String =
-    s"list_min(list_transform(hs, h -> (h * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % ${Dedup.P}))"
-
-  private val dedupMinhashSigSql: String = {
-    val cols = (0 until Dedup.NumHashes).map(j => s"${minhashTerm(j)} AS s$j").mkString(",\n  ")
-    s"""WITH $shingleCtes,
-       |$minhashHsCte
-       |SELECT doc_id,
-       |  $cols
-       |FROM hs""".stripMargin
-  }
-
-  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashLshPairs(docs(spark, sfDir))
-
-  /** CTE chain ending in `mp(a, b, match16)`: the verified MinHash-LSH
-    * near-dup pairs (shared by the pairs query and the clustering oracle).
-    */
-  private val minhashPairCtes: String = {
-    val sigList = (0 until Dedup.NumHashes).map(minhashTerm).mkString("[", ", ", "]")
-    s"""$shingleCtes,
-       |$minhashHsCte,
-       |sig AS (SELECT doc_id, $sigList AS sig FROM hs),
-       |bands AS (SELECT doc_id, sig, b AS band,
-       |            concat_ws(',', sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]) AS key
-       |          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
-       |         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |mp AS (SELECT * FROM (
-       |  SELECT a, b, len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::BIGINT AS match16
-       |  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
-       |  WHERE match16 >= 12)""".stripMargin
-  }
-
-  private val dedupMinhashPairsSql: String =
-    s"""WITH $minhashPairCtes
-       |SELECT a, b, match16 FROM mp""".stripMargin
-
-  /** INCREMENTAL ingest admission — the dedup gate of a continuously-fed
-    * corpus: 4/5 of the documents table plays the EXISTING store, every
-    * `doc_id % 5 == 0` doc the incoming batch, and a batch doc is rejected
-    * when MinHash-LSH confirms a near-dup relationship with any existing
-    * doc. Reuses the sub-quadratic pair machinery of dedup_minhash_pairs
-    * unchanged; admission itself is one tiny distinct + left join over the
-    * pair relation, so the incremental gate costs what the pair scan costs.
-    */
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val isBatch = (c: Column) => c % 5 === 0
-    val cross = Dedup.minhashLshPairs(d)
-      .filter(isBatch(col("a")) =!= isBatch(col("b")))
-      .select(when(isBatch(col("a")), col("a")).otherwise(col("b")).as("doc_id"))
-      .distinct()
-      .withColumn("_hit", lit(true))
-    d.filter(isBatch(col("doc_id"))).select(col("doc_id"))
-      .join(cross, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("_hit").isNotNull, lit("near_dup_of_corpus"))
-          .otherwise(lit("admitted")).as("status"))
-  }
-
-  private val dedupIncrementalSql: String =
-    s"""WITH $minhashPairCtes,
-       |hits AS (SELECT DISTINCT CASE WHEN a % 5 = 0 THEN a ELSE b END AS doc_id
-       |         FROM mp WHERE (a % 5 = 0) <> (b % 5 = 0))
-       |SELECT d.doc_id,
-       |  CASE WHEN h.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
-       |       ELSE 'admitted' END AS status
-       |FROM documents d LEFT JOIN hits h USING (doc_id)
-       |WHERE d.doc_id % 5 = 0""".stripMargin
-
-  /** Near-dup cluster assignment: connected components over the MinHash-LSH
-    * pair graph ([[Dedup.clusters]] label propagation); the oracle walks the
-    * same graph with a recursive CTE.
-    */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    Dedup.clusters(d, Dedup.minhashLshPairs(d))
-  }
-
-  private val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashPairCtes,
-       |e AS (SELECT a AS src, b AS dst FROM mp
-       |      UNION ALL SELECT b AS src, a AS dst FROM mp),
-       |walk(node, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)
-       |SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
-       |FROM walk GROUP BY node""".stripMargin
-
-  /** Canonical-corpus selection: the standard post-dedup pass — group docs
-    * by near-dup cluster and keep the HIGHEST-QUALITY member (tie-break:
-    * smallest doc_id), reporting cluster size for audit. One extra shuffle
-    * over (doc_id, cluster_id, quality) triples on top of the cluster
-    * assignment; text never moves. The max_by over a (quality, -doc_id)
-    * struct keeps the pick deterministic AND partial-aggregable (no
-    * per-cluster sort).
-    */
-  def pipeCanonicalCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val cl = Dedup.clusters(d, Dedup.minhashLshPairs(d))
-    val q = TextAnalysis.quality(d).select(col("doc_id"), col("quality"))
-    cl.join(q, "doc_id")
-      .groupBy(col("cluster_id"))
-      .agg(
-        max_by(struct(col("doc_id"), col("quality")),
-          struct(col("quality"), -col("doc_id"))).as("best"),
-        count(lit(1)).as("n_members"))
-      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
-        col("best.quality").as("quality"), col("n_members"))
-  }
-
-  private val pipeCanonicalCorpusSql: String =
-    s"""WITH RECURSIVE $minhashPairCtes,
-       |e AS (SELECT a AS src, b AS dst FROM mp
-       |      UNION ALL SELECT b AS src, a AS dst FROM mp),
-       |walk(node, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
-       |cl AS (SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
-       |       FROM walk GROUP BY node),
-       |q AS (SELECT doc_id, quality FROM ($txtQualitySql) tq),
-       |r AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
-       |        row_number() OVER (PARTITION BY cl.cluster_id
-       |          ORDER BY q.quality DESC, cl.doc_id) AS rk,
-       |        count(*) OVER (PARTITION BY cl.cluster_id) AS n
-       |      FROM cl JOIN q USING (doc_id))
-       |SELECT cluster_id, doc_id AS keep_id, quality,
-       |  n::BIGINT AS n_members
-       |FROM r WHERE rk = 1""".stripMargin
-
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhash(docs(spark, sfDir))
-
-  /** 64-bit SimHash oracle: bits 0..30 from the mult-31 poly hash, bits
-    * 31..61 from the mult-131 hash (mirrors graft.functions.SimHash64).
-    */
-  private val simhashCtes: String =
-    s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS s FROM documents),
-       |th AS (SELECT doc_id, ${polyHashSql("s")} AS h1, ${polyHashSql("s", 131)} AS h2 FROM tok),
-       |bits AS (SELECT doc_id, b,
-       |           CASE WHEN 2 * sum(CASE WHEN b < 31 THEN (h1 >> b) & 1
-       |                                  ELSE (h2 >> (b - 31)) & 1 END) > count(*)
-       |                THEN 1::BIGINT ELSE 0 END AS bit
-       |         FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS b) GROUP BY doc_id, b),
-       |sh AS (SELECT doc_id, sum(bit * (1::BIGINT << b))::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin
-
-  private val dedupSimhashSql: String =
-    s"""WITH $simhashCtes
-       |SELECT doc_id, simhash FROM sh""".stripMargin
-
-  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, sfDir))
-
-  /** Oracle runs the quadratic scan; the engine runs 4×16-bit LSH banding —
-    * identical results for hamming ≤ 3 by pigeonhole.
-    */
-  private val dedupSimhashPairsSql: String =
-    s"""WITH $simhashCtes
-       |SELECT x.doc_id AS a, y.doc_id AS b,
-       |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
-       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
-
-  def dedupEmbedPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.embeddingPairs(embeds(spark, sfDir))
-
-  private val dedupEmbedPairsSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v,
-      |        sqrt(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]),
-      |             (x, y) -> x + y)) AS nrm FROM e)
-      |SELECT * FROM (
-      |  SELECT x.vec_id AS a, y.vec_id AS b,
-      |    floor(list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]),
-      |          (x2, y2) -> x2 + y2) * 1000 / (x.nrm * y.nrm))::BIGINT AS cos_x1000
-      |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
-      |WHERE cos_x1000 >= 400""".stripMargin
-
-  // ------------------------------------------- similarity search (§7.6)
-
-  /** Query set: every 50th vector (10 queries at sf0.01). */
-  private val isQuery: Column => Column = v => v % 50 === 0
-
-  def annTopkBrute(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.bruteTopK(embeds(spark, sfDir), isQuery)
-
-  /** Oracle dialect for the sequential-fold dot product of two vec columns. */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
-
-  private val annNormCte: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
-
-  private val annTopkBruteSql: String =
-    s"""WITH $annNormCte,
-       |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
-       |p AS (SELECT q.vec_id AS q, c.vec_id AS nb,
-       |        floor(${dotSql("q.v", "c.v")} * 1000 / (q.nrm * c.nrm))::BIGINT AS cos_x1000
-       |      FROM q JOIN n c ON c.vec_id <> q.vec_id),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk FROM p)
-       |SELECT q, nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
-
-  /** SemDeDup over the embeddings corpus SEEDED with planted near-dups
-    * (every 10th vector copied under id+1000000 with one component nudged
-    * +0.01 — cosine ≈ 0.9999, done in DOUBLE on both engines so the
-    * corpora are bit-identical): [[Dedup.semanticDedup]] must drop exactly
-    * the planted copies (no natural pair in the synthetic corpus reaches
-    * cosine 0.995; max observed ≈ 0.48) with the original as keeper. The
-    * oracle replays the full decision — cell assignment against the same
-    * fixed centroids, within-cell pairs only, smallest-id keeper — so a
-    * cross-cell comparison, wrong keeper, or missed/phantom drop all
-    * hash-mismatch.
-    */
-  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = embeds(spark, sfDir).select(col("vec_id"),
-      graft.functions.VectorOps.toDoubleArray(col("embedding")).as("embedding"))
-    val copies = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(i === 0, x + lit(0.01d)).otherwise(x)).as("embedding"))
-    Dedup.semanticDedup(base.unionAll(copies))
-  }
-
-  private val dedupSemanticSql: String =
-    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cp AS (SELECT vec_id + 1000000 AS vec_id,
-       |         list_concat([v[1] + 0.01], v[2:]) AS v
-       |       FROM e0 WHERE vec_id % 10 = 0),
-       |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM cp),
-       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-       |c AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn
-       |      FROM (VALUES $ivfCentroidValues) t(c_id, cv)),
-       |sc AS (SELECT n.vec_id, c.c_id,
-       |         floor(${dotSql("n.v", "c.cv")} * 1000000 / (n.nrm * c.cn))::BIGINT AS s
-       |       FROM n CROSS JOIN c),
-       |rk AS (SELECT vec_id, c_id,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS r
-       |       FROM sc),
-       |asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE r = 1),
-       |drops AS (SELECT d.vec_id AS vec_id, min(k.vec_id) AS kept_by
-       |  FROM asg d
-       |  JOIN asg k ON k.cell = d.cell AND k.vec_id < d.vec_id
-       |  JOIN n a ON a.vec_id = d.vec_id
-       |  JOIN n b ON b.vec_id = k.vec_id
-       |  WHERE floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm)) >= 995
-       |  GROUP BY 1)
-       |SELECT a.vec_id, a.cell::BIGINT AS cell, d.kept_by,
-       |  d.kept_by IS NOT NULL AS is_dup
-       |FROM asg a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
-
-  /** Int8-quantized ANN scan ([[Similarity.quantTopK]]): ranking by the
-    * integer dot of packed 64-byte vectors. The oracle replays the exact
-    * quantization (`round(127·v/‖v‖)` — round-half-away ties agree between
-    * engines on identical doubles) and integer dot, so this hash-matches
-    * rather than being recall-judged.
-    */
-  def annTopkQuant(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.quantTopK(embeds(spark, sfDir), isQuery)
-
-  /** Shared stage-1 CTE text: int8 quantization + the all-pairs integer dot
-    * for the query set (mirrors [[Similarity.quantIndex]]/`quantTopK`). ONE
-    * definition so the plain-quant and rerank oracles can never encode two
-    * different quantization formulas.
-    */
-  private val annQuantScoreCte: String =
-    """qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127 / nrm)::BIGINT) AS qv
-      |       FROM n),
-      |pq AS (SELECT a.vec_id AS q, c.vec_id AS nb,
-      |         list_reduce(list_transform(list_zip(a.qv, c.qv), z -> z[1] * z[2]),
-      |                     (x, y) -> x + y)::BIGINT AS dot_q
-      |       FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
-      |       WHERE a.vec_id % 50 = 0)""".stripMargin
-
-  private val annTopkQuantSql: String =
-    s"""WITH $annNormCte,
-       |$annQuantScoreCte,
-       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY dot_q DESC, nb) AS rk
-       |      FROM pq)
-       |SELECT q, nb, rk::BIGINT AS rank, dot_q FROM r WHERE rk <= 5""".stripMargin
-
-  /** Two-stage ANN ([[Similarity.quantRerankTopK]]): int8 scan for a wide
-    * candidate set, exact float cosine re-rank of just those — the
-    * production memory-bandwidth shape. Both stages deterministic → the
-    * oracle replays stage 1's integer ranking then stage 2's exact cosine.
-    */
-  def annTopkQuantRerank(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.quantRerankTopK(embeds(spark, sfDir), isQuery)
-
-  private val annTopkQuantRerankSql: String =
-    s"""WITH $annNormCte,
-       |$annQuantScoreCte,
-       |cand AS (SELECT q, nb FROM (
-       |           SELECT *, row_number() OVER (PARTITION BY q ORDER BY dot_q DESC, nb) AS rk
-       |           FROM pq) WHERE rk <= 50),
-       |px AS (SELECT cand.q, cand.nb,
-       |         floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm))::BIGINT AS cos_x1000
-       |       FROM cand JOIN n a ON a.vec_id = cand.q JOIN n b ON b.vec_id = cand.nb),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk
-       |      FROM px)
-       |SELECT q, nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
-
-  def annTopkLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.lshTopK(embeds(spark, sfDir), isQuery)
-
-  /** The per-table sign-bit bucket, oracle dialect (mirrors
-    * Similarity.bucketOf — planes are exact rationals k/97 - 1/2 computed by
-    * each engine; `t` is the hash-table index column in scope).
-    */
-  private val annBucketExpr: String =
-    s"""list_reduce(list_transform(range(0, ${Similarity.NumBits}), i ->
-       |  CASE WHEN list_reduce(list_transform(range(0, ${Similarity.Dim}),
-       |         d -> v[d+1] * ((((t*577 + i)*131 + d*31 + 7) % 97) / 97.0 - 0.5)),
-       |         (x, y) -> x + y) > 0
-       |  THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x, y) -> x + y)""".stripMargin
-
-  private val annTopkLshSql: String =
-    s"""WITH $annNormCte,
-       |tb AS (SELECT vec_id, v, nrm, t, $annBucketExpr AS bucket
-       |       FROM n CROSS JOIN (SELECT unnest(range(0, ${Similarity.NumTables})) AS t)),
-       |qp AS (SELECT vec_id, t, xor(bucket, f::BIGINT) AS probe
-       |       FROM tb CROSS JOIN (SELECT unnest([${(0L +: (0 until Similarity.NumBits).map(1L << _)).mkString(", ")}]) AS f)
-       |       WHERE vec_id % 50 = 0),
-       |cand AS (SELECT DISTINCT qp.vec_id AS q, c.vec_id AS nb2
-       |         FROM qp JOIN tb c ON c.t = qp.t AND c.bucket = qp.probe
-       |                          AND c.vec_id <> qp.vec_id),
-       |p AS (SELECT q, nb2,
-       |        floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm))::BIGINT AS cos_x1000
-       |      FROM cand JOIN n a ON a.vec_id = q JOIN n b ON b.vec_id = nb2),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb2) AS rk FROM p)
-       |SELECT q, nb2 AS nb, rk::BIGINT AS rank, cos_x1000 FROM r WHERE rk <= 5""".stripMargin
-
-  def annTopkIvf(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.ivfTopK(embeds(spark, sfDir), isQuery)
-
-  /** The IVF path against its PERSISTED layout: corpus partitioned by cell
-    * on disk, probe cells pushed as a static partition filter (PlanSpec
-    * asserts the pruning). Same oracle as the in-memory IVF — identical
-    * result by construction.
-    */
-  def annTopkIvfPruned(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.ivfTopKIndexed(spark, ensureIvfIndex(spark, sfDir), isQuery)
-
-  /** The IVF path against the INCREMENTALLY-maintained layout (base persist
-    * + drift-gated batch append, [[ensureIvfIncrIndex]]) — the oracle is
-    * the FULL-corpus IVF: an append under a frozen quantizer must be
-    * indistinguishable from a rebuild, and this query proves it.
-    */
-  def annTopkIvfIncremental(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.ivfTopKIndexed(spark, ensureIvfIncrIndex(spark, sfDir), isQuery)
-
-  /** IVF oracle: centroid scores via the same floor-scaled cosine; cell
-    * assignment = rank-1 centroid, probes = rank ≤ NProbe (score DESC,
-    * centroid id ASC — mirroring the (score, -id) struct max in Scala).
-    * Centroids are the SAME [[graft.ext.IvfCentroids]] literals the engine
-    * inlines (Double.toString round-trips, DuckDB parses correctly-rounded
-    * → bit-identical doubles), so no training is replayed oracle-side.
-    */
-  // lazy: referenced by oracle SQL vals declared BOTH before and after
-  // this point in the file (val init order is declaration order)
-  private lazy val ivfCentroidValues: String =
-    graft.ext.IvfCentroids.Cents.zipWithIndex.map { case (cv, i) =>
-      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
-    }.mkString(",\n        ")
-
-  private val annTopkIvfSql: String =
-    s"""WITH $annNormCte,
-       |c AS (SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn
-       |      FROM (VALUES $ivfCentroidValues) t(c_id, cv)),
-       |sc AS (SELECT n.vec_id, c.c_id,
-       |         floor(${dotSql("n.v", "c.cv")} * 1000000 / (n.nrm * c.cn))::BIGINT AS s
-       |       FROM n CROSS JOIN c),
-       |rk AS (SELECT vec_id, c_id,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS r
-       |       FROM sc),
-       |asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE r = 1),
-       |probes AS (SELECT vec_id, c_id AS cell FROM rk
-       |           WHERE r <= ${Similarity.NProbe} AND vec_id % 50 = 0),
-       |cand AS (SELECT p.vec_id AS q, a.vec_id AS nb FROM probes p
-       |         JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
-       |p AS (SELECT q, nb,
-       |        floor(${dotSql("a.v", "b.v")} * 1000 / (a.nrm * b.nrm))::BIGINT AS cos_x1000
-       |      FROM cand JOIN n a ON a.vec_id = q JOIN n b ON b.vec_id = nb),
-       |r2 AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos_x1000 DESC, nb) AS rk2
-       |       FROM p)
-       |SELECT q, nb, rk2::BIGINT AS rank, cos_x1000 FROM r2 WHERE rk2 <= 5""".stripMargin
-
-  /** Sub-quadratic embedding near-dup pairs: LSH bucket-collision candidates
-    * + exact rescoring ([[Dedup.embeddingLshPairs]]); the oracle runs the
-    * quadratic scan restricted to "collides in ≥1 table" — same set.
-    */
-  def dedupEmbedLshPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.embeddingLshPairs(embeds(spark, sfDir))
-
-  private val dedupEmbedLshPairsSql: String =
-    s"""WITH $annNormCte,
-       |bk AS (SELECT vec_id, v, nrm,
-       |         list_transform(range(0, ${Similarity.NumTables}), t -> $annBucketExpr) AS bks
-       |       FROM n),
-       |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-       |        floor(${dotSql("x.v", "y.v")} * 1000 / (x.nrm * y.nrm))::BIGINT AS cos_x1000
-       |      FROM bk x JOIN bk y ON x.vec_id < y.vec_id
-       |      WHERE len(list_filter(range(0, ${Similarity.NumTables}),
-       |                            t -> x.bks[t+1] = y.bks[t+1])) > 0)
-       |SELECT a, b, cos_x1000 FROM p WHERE cos_x1000 >= 400""".stripMargin
-
-  // ------------------------------------------------- multimodal (§7.6)
-
-  import graft.ext.Multimodal
-
-  /** Feature extraction through the REAL codec paths: every row carries a
-    * genuine container (BMP / WAV / AVI via the withReal*Payloads bridges)
-    * and the 8-dim vector is mean-energy block pooling over the GENUINELY
-    * decoded content — image bands pool Σ(R+G+B) per pixel row-band, audio
-    * octiles pool unsigned amplitude, video blocks pool demuxed frame
-    * bytes. The oracle replays the pooling arithmetically because the
-    * payloads are ENCODED from the metadata it sees: pixel, sample and
-    * frame-byte values are closed-form in (seed, position), so
-    * measured == computed by construction.
-    */
-  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.withRealVideoPayloads(
-      Multimodal.withRealAudioPayloads(
-        Multimodal.withRealImagePayloads(
-          Multimodal.syntheticMedia(docs(spark, sfDir)))))
-    Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id") +: col("kind") +:
-        (0 until Multimodal.FeatureDim).map(i =>
-          element_at(col("features"), i + 1).as(s"f$i")): _*)
-  }
-
-  private val mmKindSql =
-    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
-
-  private val mmFeaturesSql: String = {
-    val frameLen = 3 * Multimodal.VideoFrameSide * Multimodal.VideoFrameSide
-    val fs = (0 until Multimodal.FeatureDim).map(i =>
-      s"max(CASE WHEN blk = $i THEN f END) AS f$i").mkString(",\n  ")
-    s"""WITH m AS (SELECT doc_id AS media_id, $mmKindSql AS kind,
-       |             ${polyHashSql("text")} AS h,
-       |             32 + (doc_id % 8) * 16 AS w, 32 + (doc_id % 4) * 16 AS ht,
-       |             ((1000 + doc_id * 40) % 4096) + 512 AS nsamp,
-       |             1 + doc_id % 5 AS nf,
-       |             regexp_split_to_array(trim(text), '\\s+') AS t
-       |           FROM documents),
-       |ipx AS (SELECT media_id, h, w, ht, unnest(range(0, w * ht)) AS p
-       |        FROM m WHERE kind = 'image'),
-       |ifeat AS (SELECT media_id, blk,
-       |            CAST(sum((v // 65536) + ((v // 256) % 256) + (v % 256)) AS BIGINT)
-       |              / (count(*) * 765.0) AS f
-       |          FROM (SELECT media_id, ((p // w) * 8) // ht AS blk,
-       |                  (h * 31 + (p % w) * 131 + (p // w) * 52501) % 16777216 AS v
-       |                FROM ipx)
-       |          GROUP BY 1, 2),
-       |asm AS (SELECT media_id, h, nsamp, unnest(range(0, nsamp)) AS j
-       |        FROM m WHERE kind = 'audio'),
-       |afeat AS (SELECT media_id, (j * 8) // nsamp AS blk,
-       |            CAST(sum((h * (j + 1)) % 65536) AS BIGINT)
-       |              / (count(*) * 65536.0) AS f
-       |          FROM asm GROUP BY 1, 2),
-       |vfr AS (SELECT media_id, nf, fi, (${frameHashSql("t", "fi")}) AS fseed
-       |        FROM (SELECT media_id, nf, t, unnest(range(0, nf)) AS fi
-       |              FROM m WHERE kind = 'video')),
-       |vby AS (SELECT media_id, nf, fi, fseed, unnest(range(0, $frameLen)) AS j
-       |        FROM vfr),
-       |vfeat AS (SELECT media_id, blk,
-       |            CAST(sum(b) AS BIGINT) / (count(*) * 255.0) AS f
-       |          FROM (SELECT media_id,
-       |                  ((fi * $frameLen + j) * 8) // (nf * $frameLen) AS blk,
-       |                  (fseed * (j + 1)) % 256 AS b
-       |                FROM vby)
-       |          GROUP BY 1, 2),
-       |feats AS (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat
-       |          UNION ALL SELECT * FROM vfeat)
-       |SELECT m.media_id, m.kind,
-       |  $fs
-       |FROM feats JOIN m USING (media_id)
-       |GROUP BY 1, 2""".stripMargin
-  }
-
-  /** The learned-embedding hook ([[Multimodal.featuresWithProvided]]): half
-    * the corpus (even ids) arrives with a MODEL embedding from the
-    * embeddings table, the rest falls back to arithmetic pooling — decode
-    * runs only on the fallback rows. Emits the first 4 feature components
-    * integer-scaled, so the one query pins both legs against the oracle.
-    */
-  def mmFeaturesPretrained(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
-    val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("media_id"),
-        col("embedding").cast("array<double>").as("features"))
-    // real-container payloads materialize on the FALLBACK slice only —
-    // the model-served half never pays the encode (see featuresWithProvided)
-    Multimodal.featuresWithProvided(media, provided,
-      m => Multimodal.withRealVideoPayloads(
-        Multimodal.withRealAudioPayloads(
-          Multimodal.withRealImagePayloads(m))))
-      .select(col("media_id") +: col("kind") +: col("pretrained") +:
-        (0 until 4).map(i =>
-          floor(element_at(col("features"), i + 1) * 100).cast("long").as(s"g$i")): _*)
-  }
-
-  private val mmFeaturesPretrainedSql: String =
-    s"""WITH pooled AS ($mmFeaturesSql),
-       |emb AS (SELECT vec_id AS media_id, embedding FROM embeddings
-       |        WHERE vec_id % 2 = 0)
-       |SELECT p.media_id, p.kind,
-       |  CAST(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS pretrained,
-       |  CAST(floor(COALESCE(e.embedding[1]::DOUBLE, p.f0) * 100) AS BIGINT) AS g0,
-       |  CAST(floor(COALESCE(e.embedding[2]::DOUBLE, p.f1) * 100) AS BIGINT) AS g1,
-       |  CAST(floor(COALESCE(e.embedding[3]::DOUBLE, p.f2) * 100) AS BIGINT) AS g2,
-       |  CAST(floor(COALESCE(e.embedding[4]::DOUBLE, p.f3) * 100) AS BIGINT) AS g3
-       |FROM pooled p LEFT JOIN emb e USING (media_id)""".stripMargin
-
-  /** Coverage report for the provided-embedding hook
-    * ([[Multimodal.providedCoverage]]): per kind, the fraction of media
-    * [[mmFeaturesPretrained]] serves from the model table vs the
-    * arithmetic fallback — metadata-only (ids join, no decode), so the
-    * report is cheap enough to emit on every run.
-    */
-  def mmCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
-    val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("media_id"),
-        col("embedding").cast("array<double>").as("features"))
-    Multimodal.providedCoverage(media, provided)
-  }
-
-  private val mmCoverageSql: String =
-    """WITH m AS (SELECT doc_id AS media_id,
-      |             ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind
-      |           FROM documents),
-      |emb AS (SELECT vec_id AS media_id FROM embeddings WHERE vec_id % 2 = 0)
-      |SELECT m.kind, count(*) AS n_media,
-      |  CAST(sum(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-      |    AS n_pretrained,
-      |  CAST(floor(sum(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END)
-      |             * 10000 / count(*)) AS BIGINT) AS coverage_bp
-      |FROM m LEFT JOIN emb e USING (media_id)
-      |GROUP BY 1""".stripMargin
-
-  /** Frame sampling fan-out (videos only, every 2nd frame). */
-  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
-    Multimodal.sampleFrames(media).toDF()
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("frame_hash"))
-  }
-
-  /** Shared CTE chain ending in `fr(media_id, t, i)`: sampled frame rows of
-    * the video-kind media (tokens carried for the chunk hash).
-    */
-  private val mmFrameCtes: String =
-    """v AS (SELECT doc_id AS media_id, regexp_split_to_array(trim(text), '\s+') AS t,
-      |             1 + doc_id % 5 AS n_frames
-      |           FROM documents WHERE doc_id % 3 = 2),
-      |fr AS (SELECT media_id, t, unnest(range(0, n_frames, 2)) AS i FROM v)""".stripMargin
-
-  /** Frame hash = position-salted hash of the frame's 8-token chunk
-    * (mirrors StubCodec.frameHash). Empty chunk → hash 0 (list_reduce over
-    * an empty split is NULL in DuckDB; PolyHash.of("") is 0).
-    */
-  private def frameHashSql(tArr: String, i: String): String = {
-    // coalesce: DuckDB's array_to_string of an EMPTY slice is NULL, not ''
-    val chunk = s"coalesce(array_to_string($tArr[4*$i+1:4*$i+8], ' '), '')"
-    s"((CASE WHEN $chunk = '' THEN 0 ELSE ${polyHashSql(chunk)} END) * 131 + $i) % 2147483647"
-  }
-
-  private val mmFramesSql: String =
-    s"""WITH $mmFrameCtes
-       |SELECT media_id, i::BIGINT AS frame_idx,
-       |  (${frameHashSql("t", "i")})::BIGINT AS frame_hash
-       |FROM fr""".stripMargin
-
-  /** Image decode + resize (images only, longest side ≤ 64) through the
-    * REAL codec path: image rows carry genuine BMP bytes
-    * ([[Multimodal.withRealImagePayloads]]) which `javax.imageio` decodes
-    * and `Graphics2D` resizes — width/height/n_bytes are measured off the
-    * resized raster. The oracle stays arithmetic because the BMPs are
-    * encoded at the metadata dimensions, so measured == computed.
-    */
-  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.withRealImagePayloads(
-      Multimodal.syntheticMedia(docs(spark, sfDir)))
-    Multimodal.decodeAndResize(media, maxSide = 64).toDF()
-      .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
-  }
-
-  /** Audio resample to 8 kHz (audio only) through the REAL codec path:
-    * audio rows carry genuine 16-bit PCM WAV bytes
-    * ([[Multimodal.withRealAudioPayloads]]) which `javax.sound` decodes and
-    * nearest-neighbor-resamples — sample count and checksum are measured
-    * off the decoded frames. The oracle stays arithmetic because the
-    * encoded samples are `((seed·(i+1)) mod 2^16)` and resampling 16→8 kHz
-    * picks every 2nd frame, so measured == computed.
-    */
-  def mmResample(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.withRealAudioPayloads(
-      Multimodal.syntheticMedia(docs(spark, sfDir)))
-    Multimodal.resampleAudio(media, outRate = 8000).toDF()
-  }
-
-  /** Video near-dup pairs: Jaccard over each video's sampled FRAME-HASH set
-    * — the multimodal analog of shingle Jaccard (near-identical videos
-    * share most frame signatures), via the same generic inverted-index pair
-    * generator ([[graft.ext.Dedup.jaccardOverKeys]]). Threshold 300‰: the
-    * smallest sampled-frame set is 1 of up to 3, so a short video whose
-    * frames are a subset of a longer near-copy (jac 1/3 = 333) still pairs.
-    */
-  def mmNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
-    val frames = Multimodal.sampleFrames(media).toDF()
-    graft.ext.Dedup.jaccardOverKeys(frames, "media_id", "frame_hash",
-      threshold = 300L)
-  }
-
-  private val mmNearDupSql: String =
-    s"""WITH $mmFrameCtes,
-       |fh AS (SELECT DISTINCT media_id, (${frameHashSql("t", "i")}) AS k FROM fr),
-       |sizes AS (SELECT media_id, count(*) AS n FROM fh GROUP BY 1),
-       |ok AS (SELECT k FROM fh GROUP BY k
-       |       HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPosting}),
-       |inter AS (SELECT x.media_id AS a, y.media_id AS b, count(*) AS i
-       |          FROM fh x JOIN fh y USING (k) JOIN ok USING (k)
-       |          WHERE x.media_id < y.media_id GROUP BY 1, 2)
-       |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
-       |FROM inter JOIN sizes sa ON sa.media_id = a JOIN sizes sb ON sb.media_id = b
-       |WHERE (i * 1000) // (sa.n + sb.n - i) >= 300""".stripMargin
-
-  /** Real-WAV resample oracle: sample i of the encoded track is
-    * `(seed·(i+1)) mod 2^16` unsigned (AudioCodec.encodeWav), the encoded
-    * window is `(duration_ms mod 4096) + 512` samples
-    * (Multimodal.encSamplesOf), and 16→8 kHz nearest-neighbor keeps every
-    * 2nd frame — so n_samples and the unsigned-sum checksum replay as pure
-    * arithmetic, no WAV decode oracle-side.
-    */
-  /** Video decode through the REAL container path: video rows carry
-    * genuine RIFF/AVI bytes with uncompressed DIB frames
-    * ([[Multimodal.withRealVideoPayloads]]); the operator walks the chunk
-    * tree to 'movi' and hashes the DECODED frame bytes. Oracle stays
-    * arithmetic: frame pixels are `(seed·(j+1)) mod 256` with seed = the
-    * local-content chunk hash, so the byte fold replays in SQL.
-    */
-  def mmVideoDecode(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.withRealVideoPayloads(
-      Multimodal.syntheticMedia(docs(spark, sfDir)))
-    Multimodal.decodeVideoFrames(media).toDF()
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("n_bytes"), col("frame_hash"))
-  }
-
-  private val mmVideoDecodeSql: String = {
-    val frameSize = Multimodal.VideoFrameSide * Multimodal.VideoFrameSide * 3
-    s"""WITH v AS (SELECT doc_id AS media_id,
-       |             regexp_split_to_array(trim(text), '\\s+') AS t,
-       |             1 + doc_id % 5 AS n_frames
-       |           FROM documents WHERE doc_id % 3 = 2),
-       |fr AS (SELECT media_id, t, unnest(range(0, n_frames)) AS i FROM v),
-       |sd AS (SELECT media_id, i, (${frameHashSql("t", "i")}) AS seed FROM fr)
-       |SELECT media_id, i::BIGINT AS frame_idx, $frameSize::BIGINT AS n_bytes,
-       |  list_reduce(list_transform(range(1, ${frameSize + 1}), j -> (seed * j) % 256),
-       |              (a, b) -> (a * 31 + b) % 2147483647)::BIGINT AS frame_hash
-       |FROM sd""".stripMargin
-  }
-
-  private val mmResampleSql: String =
-    s"""WITH m AS (SELECT doc_id AS media_id, (${polyHashSql("text")}) AS seed,
-       |             ((1000 + doc_id * 40) % 4096 + 512) // 2 AS n_out
-       |           FROM documents WHERE doc_id % 3 = 1),
-       |e AS (SELECT media_id, seed, n_out, unnest(range(0, n_out)) AS j FROM m)
-       |SELECT media_id, 8000 AS rate, n_out::BIGINT AS n_samples,
-       |  (sum((seed * (2 * j + 1)) % 65536) % 2147483647)::BIGINT AS checksum
-       |FROM e GROUP BY media_id, n_out""".stripMargin
-
-  private val mmResizeSql: String =
-    """WITH m AS (SELECT doc_id AS media_id,
-      |             32 + (doc_id % 8) * 16 AS w0, 32 + (doc_id % 4) * 16 AS h0
-      |           FROM documents WHERE doc_id % 3 = 0),
-      |s AS (SELECT media_id, w0, h0,
-      |        least(1.0, 64.0 / greatest(w0, h0)) AS scale FROM m),
-      |r AS (SELECT media_id,
-      |        CAST(floor(w0 * scale) AS INTEGER) AS width,
-      |        CAST(floor(h0 * scale) AS INTEGER) AS height
-      |      FROM s)
-      |SELECT media_id, width, height,
-      |  (width::BIGINT * height::BIGINT * 3)::BIGINT AS n_bytes
-      |FROM r""".stripMargin
-
-  // ------------------------------------------------- streaming (§7.6)
-
-
-  /** The A1/A2 pivot as a Structured-Streaming job run to completion over
-    * the available files (Trigger.AvailableNow, complete mode) — the result
-    * must equal the batch GROUP BY the oracle runs.
-    */
-  def streamPivot(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
-    val piv = StreamingPivot.windowedPivot(cells, EventCols)
-    StreamingPivot.runAvailableNow(piv, "stream_pivot_out")
-  }
-
-  private val streamPivotSql: String = {
-    val aggs = EventCols.map { c =>
-      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
-    }.mkString(", ")
-    s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
-       |  lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs
-       |FROM events GROUP BY 1, 2""".stripMargin
-  }
-
-  /** Stream-static enrichment join + windowed rollup
-    * ([[StreamingPivot.enrichedNationCounts]]): batch-parity oracle is the
-    * plain join + hourly group — AvailableNow replay covers all input, so
-    * the complete-mode result equals the batch answer.
-    */
-  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = StreamingPivot.eventsStream(spark, sfDir)
-    val dim = KvTable.table(spark, sfDir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-    StreamingPivot.runAvailableNow(
-      StreamingPivot.enrichedNationCounts(ev, dim), "stream_enrich_out")
-  }
-
-  private val streamEnrichSql: String =
-    """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
-      |  c_nationkey, count(*) AS n_events,
-      |  CAST(sum(floor(value * 100)) AS BIGINT) AS val_x100
-      |FROM events JOIN customer ON user_id = c_custkey
-      |GROUP BY 1, 2""".stripMargin
-
-  /** The events cell table staged as a WAL: monotonically-named segment
-    * files in write order (cell ts ranges), consumed by the `graft-kv`
-    * micro-batch tail ([[graft.sources.KvTailStream]]). Segment names seal
-    * in lexicographic order — the WAL sequence-id convention the tail's
-    * O(1) offset relies on.
-    */
-  private def ensureWalSegments(spark: SparkSession, sfDir: String): String =
-    artifacts.computeIfAbsent(s"wal_cells|$sfDir", _ => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val path = artifactPath("wal_cells", sfDir)
-      val tmp = path + "_chunks"
-      graft.sinks.Sinks.deleteRecursive(spark, path)
-      KvTable.eventsAsCells(spark, sfDir)
-        .repartitionByRange(6, col("ts"))
-        .write.mode("overwrite").parquet(tmp)
-      Files.createDirectories(Paths.get(path))
-      val parts = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        Files.move(f.toPath, Paths.get(path, f"part-$i%05d.parquet"),
-          StandardCopyOption.REPLACE_EXISTING): Unit
-      }
-      graft.sinks.Sinks.deleteRecursive(spark, tmp)
-      path
-    })
-
-  /** The table's CHANGE stream through the connector — HBase replication
-    * tailing the WAL: `readStream.format("graft-kv")` over the sealed
-    * segments, family-scoped at the SOURCE (the replication-peer-config
-    * analog; V2 filter pushdown does not reach streaming scans, so scoping
-    * is an option the source enforces), replayed 2 segments per micro-batch
-    * under Trigger.AvailableNow. The LWW pivot in complete mode converges
-    * to the batch table state — same oracle as `kv_pivot_events`, which is
-    * the point: a consumer that tailed the log owns the same row state as
-    * one that scanned the table.
-    *
-    * Complete-mode state is O(#rowKeys) — the memstore analog, same bound
-    * as `stream_memstore`; at production rates the scale knob is state
-    * partition count (see BASELINE.md round-7 note), not state size.
-    */
-  def streamKvTail(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = ensureWalSegments(spark, sfDir)
-    val cells = spark.readStream.format("graft-kv")
-      .option("family", "f").option("maxFilesPerBatch", 2).load(dir)
-    val piv = KvPivot.pivot(cells, EventCols)
-    StreamingPivot.runAvailableNow(
-      piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*),
-      "stream_kv_tail_out")
-  }
-
-  /** The full replication pipe: a `graft-kv` TAIL of the WAL segments
-    * streamed INTO a `graft-kv` STREAMING SINK — source and sink of the
-    * same connector composed as an HBase replication peer (WAL consumer →
-    * bulk-load writer). Each micro-batch epoch seals deterministic
-    * range-sorted region files (`part-e<epoch>-<region>.parquet`, the
-    * memstore-flush analog; re-committed epochs rename over the same
-    * targets, so recovery is exactly-once). The landed table, batch-read
-    * back through the connector, must equal the source cell table — which
-    * the oracle pins against the raw events.
-    */
-  def streamKvPipe(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = ensureWalSegments(spark, sfDir)
-    val dst = artifactPath("kv_pipe_landed", sfDir)
-    val cp = dst + "_cp"
-    Seq(dst, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
-    val q = spark.readStream.format("graft-kv")
-      .option("maxFilesPerBatch", 2).load(src)
-      .writeStream.format("graft-kv").option("regions", 4)
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(dst)
-    q.awaitTermination()
-    spark.read.format("graft-kv").load(dst)
-      .select(col("rowKey"), col("family"), col("qualifier"),
-        decode(col("value"), "UTF-8").as("value_str"), col("ts"))
-  }
-
-  /** r13 (closes the r11 "tail cannot bridge a truncated checkpoint"
-    * gap): the streaming CDC RECOVERY BRIDGE end to end. A first tail
-    * consumes the table's initial commits and is then LOST (its Spark
-    * checkpoint discarded — the disaster the bridge exists for); more
-    * commits land; a replacement tail with a FRESH checkpoint resumes
-    * from `.option("sinceSeq", <last consumed seq>)`
-    * ([[graft.sources.KvTailStream]] initialOffset doc). The landed
-    * union must be exactly the full table — no replayed cells, no gaps —
-    * which the generator oracle checks cell by cell.
-    */
-  def kvTailResume(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = artifacts.computeIfAbsent(s"tail_resume|$sfDir", _ => {
-      val src = artifactPath("tail_resume_src", sfDir)
-      val outA = artifactPath("tail_resume_a", sfDir)
-      val outB = artifactPath("tail_resume_b", sfDir)
-      Seq(src, outA, outB, outA + "_cp", outB + "_cp")
-        .foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
-      val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
-      def commit(i: Int): Unit =
-        cells.filter(pmod(col("ts"), lit(4)) === i)
-          .write.format("graft-kv").option("regions", 2)
-          .mode("append").save(src)
-      (0 until 2).foreach(commit)
-      val q1 = spark.readStream.format("graft-kv").load(src)
-        .writeStream.format("parquet").option("path", outA)
-        .option("checkpointLocation", outA + "_cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q1.awaitTermination()
-      val srcPath = new org.apache.hadoop.fs.Path(src)
-      val consumed = graft.sources.KvLog.latestSeq(
-        srcPath.getFileSystem(spark.sessionState.newHadoopConf()), srcPath)
-      // the first pipeline's checkpoint is now LOST; the table moves on
-      (2 until 4).foreach(commit)
-      val q2 = spark.readStream.format("graft-kv")
-        .option("sinceSeq", consumed).load(src)
-        .writeStream.format("parquet").option("path", outB)
-        .option("checkpointLocation", outB + "_cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q2.awaitTermination()
-      s"$outA;$outB"
-    })
-    val Array(a, b) = base.split(";")
-    spark.read.parquet(a).unionByName(spark.read.parquet(b))
-      .select(col("rowKey"), col("family"), col("qualifier"),
-        decode(col("value"), "UTF-8").as("value"), col("ts"))
-  }
-
-  /** The CDC recovery bridge RESOLVED BY NAME over a SALTED catalog
-    * table (r14 — pins that name-based streaming composes with
-    * everything the path tail has): `readStream.table` tails the
-    * catalog table (salt auto-detected and stripped — the stream emits
-    * logical keys), the checkpoint is lost, and a replacement tail with
-    * a fresh checkpoint resumes from `.option("sinceSeq", …)` by name.
-    * The INSERTs sink-salt (catalog injection), so the whole loop —
-    * salted write, named tail, salt strip, seq resume — runs without
-    * the caller ever seeing a stored key. Oracle: the landed union must
-    * be exactly the generator table, cell for cell.
-    */
-  def kvTailResumeTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val outA = artifactPath("ttr_a", sfDir)
-    val outB = artifactPath("ttr_b", sfDir)
-    val cat = ensureCatalog("tail_resume_tbl", "graftttr_", spark, sfDir) {
-      (name, wh) =>
-        Seq(outA, outB, outA + "_cp", outB + "_cp")
-          .foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
-        spark.sql(
-          s"""CREATE TABLE $name.corpus.cells (
-             |  rowKey STRING, family STRING, qualifier STRING,
-             |  value BINARY, ts BIGINT)
-             |USING `graft-kv`
-             |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')""".stripMargin)
-        val cells = KvGenerator.cells(spark, GenRecords, GenTasks, "run1")
-        def commit(i: Int): Unit = {
-          cells.filter(pmod(col("ts"), lit(4)) === i)
-            .createOrReplaceTempView("graft_ttr_src")
-          spark.sql(s"INSERT INTO $name.corpus.cells " +
-            "SELECT * FROM graft_ttr_src"): Unit
-        }
-        (0 until 2).foreach(commit)
-        val q1 = spark.readStream.table(s"$name.corpus.cells")
-          .writeStream.format("parquet").option("path", outA)
-          .option("checkpointLocation", outA + "_cp")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q1.awaitTermination()
-        val dir = new org.apache.hadoop.fs.Path(s"$wh/corpus/cells")
-        val consumed = graft.sources.KvLog.latestSeq(
-          dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
-        // the first tail's checkpoint is LOST; the table moves on
-        (2 until 4).foreach(commit)
-        val q2 = spark.readStream.option("sinceSeq", consumed)
-          .table(s"$name.corpus.cells")
-          .writeStream.format("parquet").option("path", outB)
-          .option("checkpointLocation", outB + "_cp")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q2.awaitTermination()
-    }
-    cat: Unit
-    spark.read.parquet(outA).unionByName(spark.read.parquet(outB))
-      .select(col("rowKey"), col("family"), col("qualifier"),
-        decode(col("value"), "UTF-8").as("value"), col("ts"))
-  }
-
-  private val streamKvPipeSql: String =
-    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
-      |  'f' AS family, event_type AS qualifier,
-      |  CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS value_str,
-      |  event_id AS ts
-      |FROM events""".stripMargin
-
-  /** The replication pipe LANDING SALTED (r14): the same WAL tail as
-    * [[streamKvPipe]], but `writeStream.toTable` into a `salt_buckets`
-    * catalog table — the sink applies the salt per epoch
-    * ([[graft.sources.KvCellSink]] KvStreamSaltedWriterFactory), and the
-    * read-back by name strips it. Same oracle as the unsalted pipe: the
-    * salt must be invisible end to end, streaming included.
-    */
-  def kvSaltedStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // staged OUTSIDE the ensureCatalog closure: nested computeIfAbsent
-    // on the artifacts map would be a ConcurrentHashMap recursive update
-    val src = ensureWalSegments(spark, sfDir)
-    val cat = ensureCatalog("salted_stream", "graftsst_", spark, sfDir) {
-      (name, _) =>
-        val cp = artifactPath("salted_stream_cp", sfDir)
-        graft.sinks.Sinks.deleteRecursive(spark, cp)
-        spark.sql(
-          s"""CREATE TABLE $name.corpus.cells (
-             |  rowKey STRING, family STRING, qualifier STRING,
-             |  value BINARY, ts BIGINT)
-             |USING `graft-kv`
-             |TBLPROPERTIES ('regions' = '2', 'salt_buckets' = '4')""".stripMargin)
-        val q = spark.readStream.format("graft-kv")
-          .option("maxFilesPerBatch", 3).load(src)
-          .writeStream.option("checkpointLocation", cp)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .toTable(s"$name.corpus.cells")
-        q.awaitTermination()
-    }
-    spark.table(s"$cat.corpus.cells")
-      .select(col("rowKey"), col("family"), col("qualifier"),
-        decode(col("value"), "UTF-8").as("value_str"), col("ts"))
-  }
-
-  /** Phoenix-style secondary index maintained ON THE WRITE PATH: the base
-    * table's WAL tailed (scoped to the indexed qualifier at the SOURCE),
-    * each write transformed into an index cell — rowKey = the zero-padded
-    * indexed VALUE (byte order == numeric order, the Phoenix value-encoding
-    * rule), qualifier/value = the base rowKey pointer — and streamed into a
-    * second `graft-kv` table through the epoch-sealing sink. The index is
-    * therefore itself a sorted-region KV table: a value-range lookup scans
-    * it with rowKey-range REGION PRUNING, broadcasts the candidate base
-    * keys into a semi join, and RE-CHECKS the current value on the base
-    * pivot (a write index holds every version; the recheck drops candidates
-    * whose current value moved out of range — completeness holds because
-    * the current value was itself a write). Same oracle as
-    * `kv_index_lookup`: the stream-maintained index must answer exactly
-    * what the batch-built one does.
-    */
-  def streamKvIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = ensureWalSegments(spark, sfDir)
-    val idxDir = artifacts.computeIfAbsent(s"stream_idx|$sfDir", _ => {
-      val path = artifactPath("kv_stream_idx", sfDir)
-      val cp = path + "_cp"
-      Seq(path, cp).foreach(graft.sinks.Sinks.deleteRecursive(spark, _))
-      val q = spark.readStream.format("graft-kv")
-        .option("qualifier", "click").option("maxFilesPerBatch", 2).load(src)
-        .select(
-          lpad(decode(col("value"), "UTF-8").cast("long").cast("string"), 12, "0")
-            .as("idxKey"),
-          lit("i").as("family"),
-          col("rowKey").as("qualifier"),
-          encode(col("rowKey"), "UTF-8").as("value"),
-          col("ts"))
-        .withColumnRenamed("idxKey", "rowKey")
-        .writeStream.format("graft-kv").option("regions", 4)
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(path)
-      q.awaitTermination()
-      path
-    })
-    val (lo, hi) = (9000L, 12000L)
-    val keys = spark.read.format("graft-kv").load(idxDir)
-      .filter(col("rowKey") >= lpad(lit(lo).cast("string"), 12, "0") &&
-        col("rowKey") < lpad(lit(hi).cast("string"), 12, "0"))
-      .select(decode(col("value"), "UTF-8").as("rowKey")).distinct()
-    kvPivotEvents(spark, sfDir)
-      .join(broadcast(keys), Seq("rowKey"), "left_semi")
-      .filter(col("click").cast("long") >= lo && col("click").cast("long") < hi)
-  }
-
-  /** HBase `Increment` as streaming state (`Table.incrementColumnValue` —
-    * the reference's HBase exposes atomic counters as a first-class op):
-    * per (rowKey, qualifier), the running sum of written values as a
-    * stateful streaming aggregation. Counter state is one long per cell
-    * coordinate — the cheapest possible stateful query, and the AvailableNow
-    * replay's final counters must equal the batch SUM, which the oracle
-    * pins.
-    */
-  def streamIncrement(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
-      .select(col("rowKey"), col("qualifier"),
-        decode(col("value"), "UTF-8").cast("long").as("delta"))
-    StreamingPivot.runAvailableNow(
-      cells.groupBy(col("rowKey"), col("qualifier"))
-        .agg(sum(col("delta")).as("counter"), count(lit(1)).as("n_incr")),
-      "stream_increment_out")
-  }
-
-  private val streamIncrementSql: String =
-    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
-      |  event_type AS qualifier,
-      |  CAST(sum(floor(value * 100)) AS BIGINT) AS counter,
-      |  count(*) AS n_incr
-      |FROM events GROUP BY 1, 2""".stripMargin
-
-  /** SKETCHES AS STREAMING STATE: per hour window, the SpaceSaving top-3
-    * users and the KMV distinct-user count, both living inside the stateful
-    * windowed aggregation (TypedImperativeAggregate buffers serialize into
-    * the state store like any agg state). At production rates this is the
-    * point of the sketch family — per-window state is O(capacity), not
-    * O(distinct users), while below capacity the answers stay EXACT, which
-    * is what lets the batch oracle pin them here.
-    */
-  def streamWindowSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.{KmvDistinctAgg, SpaceSavingAgg}
-    val ev = StreamingPivot.eventsStream(spark, sfDir)
-      .select(lpad(col("user_id").cast("string"), 8, "0").as("u"),
-        expr("timestamp_micros(ts DIV 1000)").as("eventTime"))
-      .withWatermark("eventTime", "1 hour")
-    val agg = ev.groupBy(window(col("eventTime"), "1 hour"))
-      .agg(SpaceSavingAgg.heavyHitters(col("u"), capacity = 4096, k = 3).as("top"),
-        KmvDistinctAgg.kmvDistinct(col("u")).as("n_users"))
-      .select(unix_micros(col("window.start")).as("win_start_us"),
-        col("n_users"), col("top"))
-    StreamingPivot.runAvailableNow(agg, "stream_window_sketch_out")
-      .select(col("win_start_us"), col("n_users"), posexplode(col("top")))
-      .select(col("win_start_us"), col("n_users"),
-        (col("pos") + 1).cast("long").as("rk"),
-        col("col.term").as("u"), col("col.cnt").as("n_events"))
-  }
-
-  private val streamWindowSketchSql: String =
-    """WITH b AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
-      |             lpad(CAST(user_id AS VARCHAR), 8, '0') AS u, count(*) AS c
-      |           FROM events GROUP BY 1, 2),
-      |r AS (SELECT win_start_us, u, c,
-      |        row_number() OVER (PARTITION BY win_start_us ORDER BY c DESC, u) AS rk,
-      |        count(*) OVER (PARTITION BY win_start_us) AS nu
-      |      FROM b)
-      |SELECT win_start_us, nu::BIGINT AS n_users, rk::BIGINT AS rk, u,
-      |  c::BIGINT AS n_events
-      |FROM r WHERE rk <= 3""".stripMargin
-
-  /** The windowed pivot under ALLOWED LATENESS in APPEND mode: the same
-    * events replayed with adjacent time-range chunks swapped (micro-batches
-    * out of event-time order), watermark delay = the staged disorder bound.
-    * Append emission is the strict test — a window row emits exactly once,
-    * when the watermark proves it complete, so late rows must land in
-    * not-yet-emitted window state. Punctuation waves finalize every real
-    * window at end of replay; they carry a real qualifier (a sentinel type
-    * would be filter-pushed below the watermark node and never counted)
-    * but never emit — their own window lies beyond the final watermark.
-    * Same batch oracle as `stream_pivot`.
-    */
-  def streamPivotLate(spark: SparkSession, sfDir: String): DataFrame = {
-    val (dir, lateNs) = ensurePivotLateDir(spark, sfDir)
-    val cells = spark.readStream
-      .schema(KvTable.EventsParquetSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .select(KvTable.eventCellColumns :+
-        expr("timestamp_micros(ts DIV 1000)").as("eventTime"): _*)
-    val piv = StreamingPivot.windowedPivot(cells, EventCols,
-      watermark = s"${lateNs / 1000000L + 2} milliseconds")
-    // 8 state partitions, not the session's 32: a 7-batch replay pays
-    // (state stores × batches) commits regardless of rows, and the state
-    // here is ~10^4 window×rowKey rows — size to state VOLUME (the
-    // stream_join rule). Measured 13-15 s → 5-6 s on the same replay.
-    StreamingPivot.runAvailableNow(piv, "stream_pivot_late_out",
-      org.apache.spark.sql.streaming.OutputMode.Append(),
-      shufflePartitions = Some(8))
-  }
-
-  /** Exactly-once ingest over at-least-once delivery
-    * ([[StreamingPivot.dedupedHourlyCounts]]): the staged multi-chunk
-    * replay with every 10th event REDELIVERED (a second streaming leg
-    * unioned in — the retry/replay duplication every ingest pipeline
-    * sees), deduped within the watermark, then counted hourly per type.
-    * The oracle aggregates the clean batch table: any surviving duplicate
-    * inflates a count and hash-mismatches, so the gate proves the dedup
-    * delivered exactly-once semantics — not just "ran".
-    */
-  def streamIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val (dir, lateNs) = ensurePivotLateDir(spark, sfDir)
-    def leg = spark.readStream
-      .schema(KvTable.EventsParquetSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    val atLeastOnce = leg.union(leg.filter(col("event_id") % 10 === 0))
-    val counts = StreamingPivot.dedupedHourlyCounts(atLeastOnce,
-      watermark = s"${lateNs / 1000000L + 2} milliseconds")
-    StreamingPivot.runAvailableNow(counts, "stream_ingest_dedup_out",
-      org.apache.spark.sql.streaming.OutputMode.Append(),
-      shufflePartitions = Some(8))
-  }
-
-  private val streamIngestDedupSql: String =
-    """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS win_start_us,
-      |  event_type, count(*) AS n_events,
-      |  CAST(sum(floor(value * 100)) AS BIGINT) AS val_x100
-      |FROM events GROUP BY 1, 2""".stripMargin
-
-  private def ensureJoinDir(spark: SparkSession, sfDir: String): String =
-    artifacts.computeIfAbsent(s"join_dir|$sfDir", _ =>
-      StreamingPivot.stageEventsOrdered(
-        KvTable.eventsRaw(spark, s"$sfDir/events.parquet"), nChunks = 4))
-
-  /** Stream-stream interval join ([[StreamingPivot.intervalJoin]]) over a
-    * genuine multi-batch replay: clicks and purchases read as two file
-    * streams off the same time-ordered 4-chunk staging
-    * (`maxFilesPerTrigger=1`), so pairs straddling chunk boundaries must
-    * survive in join state across micro-batches. Batch-parity oracle is the
-    * plain interval join in micros arithmetic.
-    */
-  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = ensureJoinDir(spark, sfDir)
-    def side(tpe: String) = spark.readStream
-      .schema(KvTable.EventsParquetSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .filter(col("event_type") === tpe)
-    // 8 state partitions: a stream-stream join keeps 4 state stores per
-    // partition, each paying per-batch commit I/O regardless of rows — size
-    // to the rate × gap state volume (tiny here), not the session default.
-    StreamingPivot.runAvailableNow(
-      StreamingPivot.intervalJoin(side("click"), side("purchase")),
-      "stream_join_out",
-      org.apache.spark.sql.streaming.OutputMode.Append(),
-      shufflePartitions = Some(8))
-  }
-
-  private val streamJoinSql: String =
-    """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
-      |  epoch_ns(a.ts) // 1000 AS click_us,
-      |  epoch_ns(b.ts) // 1000 AS purchase_us,
-      |  CAST(floor(b.value * 100) AS BIGINT) AS val_x100
-      |FROM events a JOIN events b
-      |  ON a.event_type = 'click' AND b.event_type = 'purchase'
-      |  AND a.user_id = b.user_id
-      |  AND epoch_ns(b.ts) // 1000 >= epoch_ns(a.ts) // 1000
-      |  AND epoch_ns(b.ts) // 1000 <= epoch_ns(a.ts) // 1000 + 14400000000""".stripMargin
-
-  /** Streaming exact dedup: distinct (rowKey, qualifier) pairs maintained as
-    * streaming state, run to batch parity (append mode).
-    */
-  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
-    StreamingPivot.runAvailableNow(
-      StreamingPivot.distinctKeys(cells, Seq("rowKey", "qualifier")),
-      "stream_dedup_out",
-      org.apache.spark.sql.streaming.OutputMode.Append())
-  }
-
-  private val streamDedupSql: String =
-    """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
-      |  event_type AS qualifier
-      |FROM events""".stripMargin
-
-  /** Gap-based sessionization (1-hour gap) via flatMapGroupsWithState in
-    * LIVE-STREAM mode: the events replay as multiple micro-batches
-    * (`maxFilesPerTrigger=1` over time-ordered chunk files), so session
-    * state genuinely carries across batches and event-time timeouts flush
-    * idle tails mid-stream; oracle = the batch window-function formulation.
-    */
-  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val gap = SessionGapNanos
-    val dir = ensureSessionDir(spark, sfDir)
-    val raw = spark.readStream
-      .schema("user_id BIGINT, event_id BIGINT, tsNanos BIGINT")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
-      .withWatermark("eventTime", "0 seconds")
-      .as[StreamingPivot.SessionEvent]
-    // State volume is one open-tail per user (~10^3-10^4): 8 state
-    // partitions, not 32 — a 5-batch replay pays per-store per-batch
-    // commit I/O (the stream_join sizing rule).
-    StreamingPivot.runAvailableNow(
-      StreamingPivot.Sessionize(raw, gapNanos = gap).toDF(),
-      "stream_sessions_out",
-      org.apache.spark.sql.streaming.OutputMode.Append(),
-      shufflePartitions = Some(8))
-  }
-
-  /** Sessionization under ALLOWED LATENESS: the same events replayed with
-    * adjacent time-range chunks swapped (every batch after the first is
-    * out of event-time order), watermark delay = the staged disorder bound,
-    * through [[StreamingPivot.SessionizeLate]]'s buffering state machine.
-    * Same batch oracle as `stream_sessions` — lateness handling must not
-    * change the sessions, only survive the disorder.
-    */
-  def streamSessionsLate(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val gap = SessionGapNanos
-    val (dir, lateNs) = ensureSessionLateDir(spark, sfDir)
-    val raw = spark.readStream
-      .schema("user_id BIGINT, event_id BIGINT, tsNanos BIGINT")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("eventTime", expr("timestamp_micros(tsNanos DIV 1000)"))
-      .withWatermark("eventTime", s"${lateNs / 1000000L + 2} milliseconds")
-      .as[StreamingPivot.SessionEvent]
-    StreamingPivot.runAvailableNow(
-      StreamingPivot.SessionizeLate(raw, gapNanos = gap).toDF(),
-      "stream_sessions_late_out",
-      org.apache.spark.sql.streaming.OutputMode.Append(),
-      shufflePartitions = Some(8))
-  }
-
-  private val streamSessionsSql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
-      |x AS (SELECT user_id, t, event_id,
-      |        lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
-      |      FROM e),
-      |s AS (SELECT user_id, t, event_id,
-      |        CASE WHEN prev IS NULL OR t - prev > 3600000000000 THEN 1 ELSE 0 END AS brk
-      |      FROM x),
-      |g AS (SELECT user_id, t,
-      |        (sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
-      |                        ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS sid
-      |      FROM s)
-      |SELECT user_id, sid AS session_idx, count(*) AS n_events,
-      |  min(t) // 1000 AS start_us, max(t) // 1000 AS end_us
-      |FROM g GROUP BY 1, 2""".stripMargin
-
-  /** The mapGroupsWithState memstore (latest cell per qualifier per rowKey)
-    * run to batch parity — equals the batch pivot plus the max cell ts.
-    */
-  def streamMemstore(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
-      .select(col("rowKey"), col("qualifier"),
-        decode(col("value"), "UTF-8").as("value"), col("ts").as("cellTs"))
-      .as[StreamingPivot.CellEvent]
-    val snap = StreamingPivot.LatestCells(cells).toDF()
-    // Update-mode memory sink appends one snapshot per key per batch; the
-    // per-key version counter picks the newest deterministically whatever
-    // the batching (single-batch here, but not assumed).
-    StreamingPivot.runAvailableNow(snap, "stream_memstore_out",
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      .groupBy(col("rowKey"))
-      .agg(max_by(struct(col("qualifiers"), col("lastTs")), col("version")).as("s"))
-      .select(col("rowKey") +:
-        EventCols.map(c => col("s.qualifiers").getItem(c).as(c)) :+
-        col("s.lastTs").as("last_ts"): _*)
-  }
-
-  /** The VERSIONED memstore run to batch parity: newest 2 versions per
-    * (rowKey, qualifier) retained in streaming state — the streaming twin
-    * of `kv_versions_retain` and the general form of `stream_memstore`
-    * (which is k=1). The newest snapshot per key explodes to one row per
-    * retained version.
-    */
-  def streamMemstoreVersions(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val cells = StreamingPivot.eventCellsStream(spark, sfDir)
-      .select(col("rowKey"), col("qualifier"),
-        decode(col("value"), "UTF-8").as("value"), col("ts").as("cellTs"))
-      .as[StreamingPivot.CellEvent]
-    val snap = StreamingPivot.VersionedCells(cells, k = 2).toDF()
-    StreamingPivot.runAvailableNow(snap, "stream_memstore_versions_out",
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      .groupBy(col("rowKey"))
-      .agg(max_by(col("cells"), col("version")).as("cells"))
-      .select(col("rowKey"), explode(col("cells")).as(Seq("qualifier", "vs")))
-      .select(col("rowKey"), col("qualifier"),
-        posexplode(col("vs")).as(Seq("pos", "v")))
-      .select(col("rowKey"), col("qualifier"),
-        (col("pos") + 1).cast("long").as("version"),
-        col("v.value").as("value"), col("v.ts").as("ts"))
-  }
-
-  private val streamMemstoreVersionsSql: String =
-    """SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
-      |  event_type AS qualifier,
-      |  row_number() OVER (PARTITION BY user_id, event_type
-      |    ORDER BY event_id DESC,
-      |             CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR))::BIGINT AS version,
-      |  CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
-      |  event_id AS ts
-      |FROM events
-      |QUALIFY version <= 2""".stripMargin
-
-  private val streamMemstoreSql: String = {
-    val aggs = EventCols.map { c =>
-      s"max_by(CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR), event_id) FILTER (WHERE event_type = '$c') AS $c"
-    }.mkString(", ")
-    s"""SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey, $aggs,
-       |  max(event_id) AS last_ts
-       |FROM events GROUP BY 1""".stripMargin
-  }
 
   // ------------------------------------------------------------- catalog
 

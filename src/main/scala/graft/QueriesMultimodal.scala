@@ -1,0 +1,305 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.ext.Dedup
+import graft.kv.{KvGenerator, KvTable, RangeLayout}
+import graft.ops.{KvPivot, TypedProject}
+import graft.schema.SchemaFile
+import graft.streaming.StreamingPivot
+
+/** Multimodal queries (SURVEY §7.6).
+  *
+  * One of the domain slices of the [[Queries]] catalog (r18 split —
+  * the registry and the DuckDB oracle maps stay in Queries.scala; the
+  * self-type gives every slice the shared fixtures without widening
+  * their visibility beyond the package).
+  */
+private[graft] trait QueriesMultimodal { self: Queries.type =>
+  // ------------------------------------------------- multimodal (§7.6)
+
+  import graft.ext.Multimodal
+
+  /** Feature extraction through the REAL codec paths: every row carries a
+    * genuine container (BMP / WAV / AVI via the withReal*Payloads bridges)
+    * and the 8-dim vector is mean-energy block pooling over the GENUINELY
+    * decoded content — image bands pool Σ(R+G+B) per pixel row-band, audio
+    * octiles pool unsigned amplitude, video blocks pool demuxed frame
+    * bytes. The oracle replays the pooling arithmetically because the
+    * payloads are ENCODED from the metadata it sees: pixel, sample and
+    * frame-byte values are closed-form in (seed, position), so
+    * measured == computed by construction.
+    */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.withRealVideoPayloads(
+      Multimodal.withRealAudioPayloads(
+        Multimodal.withRealImagePayloads(
+          Multimodal.syntheticMedia(docs(spark, sfDir)))))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id") +: col("kind") +:
+        (0 until Multimodal.FeatureDim).map(i =>
+          element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
+  private[graft] lazy val mmKindSql =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  private[graft] lazy val mmFeaturesSql: String = {
+    val frameLen = 3 * Multimodal.VideoFrameSide * Multimodal.VideoFrameSide
+    val fs = (0 until Multimodal.FeatureDim).map(i =>
+      s"max(CASE WHEN blk = $i THEN f END) AS f$i").mkString(",\n  ")
+    s"""WITH m AS (SELECT doc_id AS media_id, $mmKindSql AS kind,
+       |             ${polyHashSql("text")} AS h,
+       |             32 + (doc_id % 8) * 16 AS w, 32 + (doc_id % 4) * 16 AS ht,
+       |             ((1000 + doc_id * 40) % 4096) + 512 AS nsamp,
+       |             1 + doc_id % 5 AS nf,
+       |             regexp_split_to_array(trim(text), '\\s+') AS t
+       |           FROM documents),
+       |ipx AS (SELECT media_id, h, w, ht, unnest(range(0, w * ht)) AS p
+       |        FROM m WHERE kind = 'image'),
+       |ifeat AS (SELECT media_id, blk,
+       |            CAST(sum((v // 65536) + ((v // 256) % 256) + (v % 256)) AS BIGINT)
+       |              / (count(*) * 765.0) AS f
+       |          FROM (SELECT media_id, ((p // w) * 8) // ht AS blk,
+       |                  (h * 31 + (p % w) * 131 + (p // w) * 52501) % 16777216 AS v
+       |                FROM ipx)
+       |          GROUP BY 1, 2),
+       |asm AS (SELECT media_id, h, nsamp, unnest(range(0, nsamp)) AS j
+       |        FROM m WHERE kind = 'audio'),
+       |afeat AS (SELECT media_id, (j * 8) // nsamp AS blk,
+       |            CAST(sum((h * (j + 1)) % 65536) AS BIGINT)
+       |              / (count(*) * 65536.0) AS f
+       |          FROM asm GROUP BY 1, 2),
+       |vfr AS (SELECT media_id, nf, fi, (${frameHashSql("t", "fi")}) AS fseed
+       |        FROM (SELECT media_id, nf, t, unnest(range(0, nf)) AS fi
+       |              FROM m WHERE kind = 'video')),
+       |vby AS (SELECT media_id, nf, fi, fseed, unnest(range(0, $frameLen)) AS j
+       |        FROM vfr),
+       |vfeat AS (SELECT media_id, blk,
+       |            CAST(sum(b) AS BIGINT) / (count(*) * 255.0) AS f
+       |          FROM (SELECT media_id,
+       |                  ((fi * $frameLen + j) * 8) // (nf * $frameLen) AS blk,
+       |                  (fseed * (j + 1)) % 256 AS b
+       |                FROM vby)
+       |          GROUP BY 1, 2),
+       |feats AS (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat
+       |          UNION ALL SELECT * FROM vfeat)
+       |SELECT m.media_id, m.kind,
+       |  $fs
+       |FROM feats JOIN m USING (media_id)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** The learned-embedding hook ([[Multimodal.featuresWithProvided]]): half
+    * the corpus (even ids) arrives with a MODEL embedding from the
+    * embeddings table, the rest falls back to arithmetic pooling — decode
+    * runs only on the fallback rows. Emits the first 4 feature components
+    * integer-scaled, so the one query pins both legs against the oracle.
+    */
+  def mmFeaturesPretrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("media_id"),
+        col("embedding").cast("array<double>").as("features"))
+    // real-container payloads materialize on the FALLBACK slice only —
+    // the model-served half never pays the encode (see featuresWithProvided)
+    Multimodal.featuresWithProvided(media, provided,
+      m => Multimodal.withRealVideoPayloads(
+        Multimodal.withRealAudioPayloads(
+          Multimodal.withRealImagePayloads(m))))
+      .select(col("media_id") +: col("kind") +: col("pretrained") +:
+        (0 until 4).map(i =>
+          floor(element_at(col("features"), i + 1) * 100).cast("long").as(s"g$i")): _*)
+  }
+
+  private[graft] lazy val mmFeaturesPretrainedSql: String =
+    s"""WITH pooled AS ($mmFeaturesSql),
+       |emb AS (SELECT vec_id AS media_id, embedding FROM embeddings
+       |        WHERE vec_id % 2 = 0)
+       |SELECT p.media_id, p.kind,
+       |  CAST(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS pretrained,
+       |  CAST(floor(COALESCE(e.embedding[1]::DOUBLE, p.f0) * 100) AS BIGINT) AS g0,
+       |  CAST(floor(COALESCE(e.embedding[2]::DOUBLE, p.f1) * 100) AS BIGINT) AS g1,
+       |  CAST(floor(COALESCE(e.embedding[3]::DOUBLE, p.f2) * 100) AS BIGINT) AS g2,
+       |  CAST(floor(COALESCE(e.embedding[4]::DOUBLE, p.f3) * 100) AS BIGINT) AS g3
+       |FROM pooled p LEFT JOIN emb e USING (media_id)""".stripMargin
+
+  /** Coverage report for the provided-embedding hook
+    * ([[Multimodal.providedCoverage]]): per kind, the fraction of media
+    * [[mmFeaturesPretrained]] serves from the model table vs the
+    * arithmetic fallback — metadata-only (ids join, no decode), so the
+    * report is cheap enough to emit on every run.
+    */
+  def mmCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("media_id"),
+        col("embedding").cast("array<double>").as("features"))
+    Multimodal.providedCoverage(media, provided)
+  }
+
+  private[graft] lazy val mmCoverageSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |             ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind
+      |           FROM documents),
+      |emb AS (SELECT vec_id AS media_id FROM embeddings WHERE vec_id % 2 = 0)
+      |SELECT m.kind, count(*) AS n_media,
+      |  CAST(sum(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_pretrained,
+      |  CAST(floor(sum(CASE WHEN e.media_id IS NULL THEN 0 ELSE 1 END)
+      |             * 10000 / count(*)) AS BIGINT) AS coverage_bp
+      |FROM m LEFT JOIN emb e USING (media_id)
+      |GROUP BY 1""".stripMargin
+
+  /** Frame sampling fan-out (videos only, every 2nd frame). */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    Multimodal.sampleFrames(media).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_hash"))
+  }
+
+  /** Shared CTE chain ending in `fr(media_id, t, i)`: sampled frame rows of
+    * the video-kind media (tokens carried for the chunk hash).
+    */
+  private[graft] lazy val mmFrameCtes: String =
+    """v AS (SELECT doc_id AS media_id, regexp_split_to_array(trim(text), '\s+') AS t,
+      |             1 + doc_id % 5 AS n_frames
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT media_id, t, unnest(range(0, n_frames, 2)) AS i FROM v)""".stripMargin
+
+  /** Frame hash = position-salted hash of the frame's 8-token chunk
+    * (mirrors StubCodec.frameHash). Empty chunk → hash 0 (list_reduce over
+    * an empty split is NULL in DuckDB; PolyHash.of("") is 0).
+    */
+  private[graft] def frameHashSql(tArr: String, i: String): String = {
+    // coalesce: DuckDB's array_to_string of an EMPTY slice is NULL, not ''
+    val chunk = s"coalesce(array_to_string($tArr[4*$i+1:4*$i+8], ' '), '')"
+    s"((CASE WHEN $chunk = '' THEN 0 ELSE ${polyHashSql(chunk)} END) * 131 + $i) % 2147483647"
+  }
+
+  private[graft] lazy val mmFramesSql: String =
+    s"""WITH $mmFrameCtes
+       |SELECT media_id, i::BIGINT AS frame_idx,
+       |  (${frameHashSql("t", "i")})::BIGINT AS frame_hash
+       |FROM fr""".stripMargin
+
+  /** Image decode + resize (images only, longest side ≤ 64) through the
+    * REAL codec path: image rows carry genuine BMP bytes
+    * ([[Multimodal.withRealImagePayloads]]) which `javax.imageio` decodes
+    * and `Graphics2D` resizes — width/height/n_bytes are measured off the
+    * resized raster. The oracle stays arithmetic because the BMPs are
+    * encoded at the metadata dimensions, so measured == computed.
+    */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.withRealImagePayloads(
+      Multimodal.syntheticMedia(docs(spark, sfDir)))
+    Multimodal.decodeAndResize(media, maxSide = 64).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
+  }
+
+  /** Audio resample to 8 kHz (audio only) through the REAL codec path:
+    * audio rows carry genuine 16-bit PCM WAV bytes
+    * ([[Multimodal.withRealAudioPayloads]]) which `javax.sound` decodes and
+    * nearest-neighbor-resamples — sample count and checksum are measured
+    * off the decoded frames. The oracle stays arithmetic because the
+    * encoded samples are `((seed·(i+1)) mod 2^16)` and resampling 16→8 kHz
+    * picks every 2nd frame, so measured == computed.
+    */
+  def mmResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.withRealAudioPayloads(
+      Multimodal.syntheticMedia(docs(spark, sfDir)))
+    Multimodal.resampleAudio(media, outRate = 8000).toDF()
+  }
+
+  /** Video near-dup pairs: Jaccard over each video's sampled FRAME-HASH set
+    * — the multimodal analog of shingle Jaccard (near-identical videos
+    * share most frame signatures), via the same generic inverted-index pair
+    * generator ([[graft.ext.Dedup.jaccardOverKeys]]). Threshold 300‰: the
+    * smallest sampled-frame set is 1 of up to 3, so a short video whose
+    * frames are a subset of a longer near-copy (jac 1/3 = 333) still pairs.
+    */
+  def mmNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    val frames = Multimodal.sampleFrames(media).toDF()
+    graft.ext.Dedup.jaccardOverKeys(frames, "media_id", "frame_hash",
+      threshold = 300L)
+  }
+
+  private[graft] lazy val mmNearDupSql: String =
+    s"""WITH $mmFrameCtes,
+       |fh AS (SELECT DISTINCT media_id, (${frameHashSql("t", "i")}) AS k FROM fr),
+       |sizes AS (SELECT media_id, count(*) AS n FROM fh GROUP BY 1),
+       |ok AS (SELECT k FROM fh GROUP BY k
+       |       HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxPosting}),
+       |inter AS (SELECT x.media_id AS a, y.media_id AS b, count(*) AS i
+       |          FROM fh x JOIN fh y USING (k) JOIN ok USING (k)
+       |          WHERE x.media_id < y.media_id GROUP BY 1, 2)
+       |SELECT a, b, ((i * 1000) // (sa.n + sb.n - i))::BIGINT AS jac_x1000
+       |FROM inter JOIN sizes sa ON sa.media_id = a JOIN sizes sb ON sb.media_id = b
+       |WHERE (i * 1000) // (sa.n + sb.n - i) >= 300""".stripMargin
+
+  /** Real-WAV resample oracle: sample i of the encoded track is
+    * `(seed·(i+1)) mod 2^16` unsigned (AudioCodec.encodeWav), the encoded
+    * window is `(duration_ms mod 4096) + 512` samples
+    * (Multimodal.encSamplesOf), and 16→8 kHz nearest-neighbor keeps every
+    * 2nd frame — so n_samples and the unsigned-sum checksum replay as pure
+    * arithmetic, no WAV decode oracle-side.
+    */
+  /** Video decode through the REAL container path: video rows carry
+    * genuine RIFF/AVI bytes with uncompressed DIB frames
+    * ([[Multimodal.withRealVideoPayloads]]); the operator walks the chunk
+    * tree to 'movi' and hashes the DECODED frame bytes. Oracle stays
+    * arithmetic: frame pixels are `(seed·(j+1)) mod 256` with seed = the
+    * local-content chunk hash, so the byte fold replays in SQL.
+    */
+  def mmVideoDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.withRealVideoPayloads(
+      Multimodal.syntheticMedia(docs(spark, sfDir)))
+    Multimodal.decodeVideoFrames(media).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_bytes"), col("frame_hash"))
+  }
+
+  private[graft] lazy val mmVideoDecodeSql: String = {
+    val frameSize = Multimodal.VideoFrameSide * Multimodal.VideoFrameSide * 3
+    s"""WITH v AS (SELECT doc_id AS media_id,
+       |             regexp_split_to_array(trim(text), '\\s+') AS t,
+       |             1 + doc_id % 5 AS n_frames
+       |           FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (SELECT media_id, t, unnest(range(0, n_frames)) AS i FROM v),
+       |sd AS (SELECT media_id, i, (${frameHashSql("t", "i")}) AS seed FROM fr)
+       |SELECT media_id, i::BIGINT AS frame_idx, $frameSize::BIGINT AS n_bytes,
+       |  list_reduce(list_transform(range(1, ${frameSize + 1}), j -> (seed * j) % 256),
+       |              (a, b) -> (a * 31 + b) % 2147483647)::BIGINT AS frame_hash
+       |FROM sd""".stripMargin
+  }
+
+  private[graft] lazy val mmResampleSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, (${polyHashSql("text")}) AS seed,
+       |             ((1000 + doc_id * 40) % 4096 + 512) // 2 AS n_out
+       |           FROM documents WHERE doc_id % 3 = 1),
+       |e AS (SELECT media_id, seed, n_out, unnest(range(0, n_out)) AS j FROM m)
+       |SELECT media_id, 8000 AS rate, n_out::BIGINT AS n_samples,
+       |  (sum((seed * (2 * j + 1)) % 65536) % 2147483647)::BIGINT AS checksum
+       |FROM e GROUP BY media_id, n_out""".stripMargin
+
+  private[graft] lazy val mmResizeSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |             32 + (doc_id % 8) * 16 AS w0, 32 + (doc_id % 4) * 16 AS h0
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |s AS (SELECT media_id, w0, h0,
+      |        least(1.0, 64.0 / greatest(w0, h0)) AS scale FROM m),
+      |r AS (SELECT media_id,
+      |        CAST(floor(w0 * scale) AS INTEGER) AS width,
+      |        CAST(floor(h0 * scale) AS INTEGER) AS height
+      |      FROM s)
+      |SELECT media_id, width, height,
+      |  (width::BIGINT * height::BIGINT * 3)::BIGINT AS n_bytes
+      |FROM r""".stripMargin
+
+}

@@ -1,0 +1,761 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.kv.{KvGenerator, KvTable, RangeLayout}
+import graft.ops.{KvPivot, TypedProject}
+import graft.schema.SchemaFile
+import graft.streaming.StreamingPivot
+
+/** Text analysis, sampling/mixing, and BPE queries (SURVEY §7.6).
+  *
+  * One of the domain slices of the [[Queries]] catalog (r18 split —
+  * the registry and the DuckDB oracle maps stay in Queries.scala; the
+  * self-type gives every slice the shared fixtures without widening
+  * their visibility beyond the package).
+  */
+private[graft] trait QueriesText { self: Queries.type =>
+  // ------------------------------------------------- text analysis (§7.6)
+
+  import graft.ext.TextAnalysis
+
+  private[graft] def docs(spark: SparkSession, sfDir: String): DataFrame =
+    KvTable.table(spark, sfDir, "documents")
+
+  /** Token counting: whitespace tokens + BPE-ish subword pieces + punct. */
+  def txtTokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokens(docs(spark, sfDir))
+
+  private[graft] lazy val txtTokensSql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN length(trim(text)) = 0 THEN 0
+      |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\s]'))::BIGINT AS bpe_tokens,
+      |  len(regexp_extract_all(lower(text), '[^a-z0-9\s]'))::BIGINT AS punct_chars
+      |FROM documents""".stripMargin
+
+  /** Quality facets + scalar score, integer-scaled (see TextAnalysis). */
+  def txtQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.quality(docs(spark, sfDir))
+
+  private[graft] lazy val txtQualitySql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_chars, n_tokens,
+      |    CASE WHEN n_chars = 0 THEN 0 ELSE (punct * 1000) // n_chars END AS punct_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (stop * 1000) // n_tokens END AS stop_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (nonspace * 100) // n_tokens END AS avg_tok_x100
+      |  FROM raw)
+      |SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+      |  punct_per_1000::BIGINT AS punct_per_1000,
+      |  stop_per_1000::BIGINT AS stop_per_1000,
+      |  avg_tok_x100::BIGINT AS avg_tok_x100,
+      |  (LEAST(n_tokens, 250) + LEAST(stop_per_1000, 250)
+      |   + GREATEST(0, 250 - punct_per_1000)
+      |   + GREATEST(0, 250 - abs(avg_tok_x100 - 450) // 2))::BIGINT AS quality
+      |FROM f""".stripMargin
+
+  /** Language-ID: marker-word heuristic, arg-max with fixed tie order. */
+  def txtLangId(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langId(docs(spark, sfDir))
+
+  private[graft] lazy val txtLangIdSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b'))::BIGINT AS score_en,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|ist)\b'))::BIGINT AS score_de,
+      |    len(regexp_extract_all(lower(text), '\b(el|la|los|y|un|es)\b'))::BIGINT AS score_es,
+      |    len(regexp_extract_all(lower(text), '\b(le|les|et|une|est)\b'))::BIGINT AS score_fr
+      |  FROM documents)
+      |SELECT doc_id, score_en, score_de, score_es, score_fr,
+      |  CASE
+      |    WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'unknown'
+      |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+      |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+      |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+      |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
+      |    ELSE 'unknown' END AS lang_pred
+      |FROM s""".stripMargin
+
+  /** Rolling-hash document fingerprint (codegen'd PolyHashExpr). */
+  def txtFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(spark, sfDir))
+
+  private[graft] lazy val txtFingerprintSql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN length(text) = 0 THEN 0
+      |        ELSE list_reduce(
+      |               list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),
+      |               (a, b) -> (a * 31 + b) % 2147483647) END)::BIGINT AS fp
+      |FROM documents""".stripMargin
+
+  /** PII redaction over synthetic support-log lines: the documents corpus
+    * carries no digits, so the log line (email, phone, IP, free remainder)
+    * is CONSTRUCTED deterministically from each event — the identical
+    * construction is mirrored in the oracle, so every redaction rule
+    * genuinely fires and the unredacted remainder proves selectivity. The
+    * op itself ([[TextAnalysis.redactPii]]) is a map-only codegen'd
+    * regexp_replace chain: no shuffle at any scale.
+    */
+  def txtRedactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = KvTable.table(spark, sfDir, "events")
+    val line = concat(
+      lit("user "), col("user_id").cast("string"),
+      lit(" <u"), col("user_id").cast("string"),
+      lit("@ex-"), col("event_type"), lit(".com> tel +1-555-"),
+      lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("user_id") % 256).cast("string"),
+      lit(".0."), (col("event_id") % 256).cast("string"),
+      lit(" ref "), col("props"))
+    ev.select(col("event_id"), TextAnalysis.redactPii(line).as("clean"))
+  }
+
+  /** The oracle replays the same construction (`||` not `concat`: DuckDB's
+    * concat skips NULLs, `||` propagates them like Spark's concat) and the
+    * same rule chain, innermost-first.
+    */
+  private[graft] lazy val txtRedactPiiSql: String = {
+    val line = "'user ' || CAST(user_id AS VARCHAR) || ' <u' || " +
+      "CAST(user_id AS VARCHAR) || '@ex-' || event_type || '.com> tel +1-555-' || " +
+      "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip 10.' || CAST(user_id % 256 AS VARCHAR) || '.0.' || " +
+      "CAST(event_id % 256 AS VARCHAR) || ' ref ' || props"
+    val redacted = TextAnalysis.PiiRules.foldLeft(line) { case (inner, (pat, rep)) =>
+      s"regexp_replace($inner, '$pat', '$rep', 'g')"
+    }
+    s"SELECT event_id, $redacted AS clean FROM events"
+  }
+
+  /** Gopher/C4-style hard-rule gate with per-doc reject reason. */
+  def pipeQualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityFilter(docs(spark, sfDir))
+
+  private[graft] lazy val pipeQualityFilterSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_chars = 0 THEN 0 ELSE (punct * 1000) // n_chars END AS punct_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (stop * 1000) // n_tokens END AS stop_per_1000,
+      |    CASE WHEN n_tokens = 0 THEN 0 ELSE (nonspace * 100) // n_tokens END AS avg_tok_x100
+      |  FROM raw),
+      |g AS (
+      |  SELECT doc_id, n_tokens, avg_tok_x100, punct_per_1000, stop_per_1000,
+      |    CASE WHEN n_tokens < 5 THEN 'too_short'
+      |         WHEN n_tokens > 10000 THEN 'too_long'
+      |         WHEN avg_tok_x100 < 150 OR avg_tok_x100 > 1000 THEN 'bad_word_len'
+      |         WHEN punct_per_1000 > 300 THEN 'too_much_punct'
+      |         WHEN stop_per_1000 < 10 THEN 'no_stopwords'
+      |         ELSE 'ok' END AS reason
+      |  FROM f)
+      |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+      |  avg_tok_x100::BIGINT AS avg_tok_x100,
+      |  punct_per_1000::BIGINT AS punct_per_1000,
+      |  stop_per_1000::BIGINT AS stop_per_1000,
+      |  reason, (reason = 'ok') AS keep
+      |FROM g""".stripMargin
+
+  /** The end-to-end training-corpus cleaning pass, composed from the
+    * individual operators: exact dedup (keep the canonical doc), predicted
+    * language filter, quality threshold, token accounting.
+    *
+    * One declarative chain over a single documents scan, with the scan-side
+    * projection computing the text features AND the 128-bit dedup key
+    * ([[Dedup.textKey128]]) so the only exchange ships (doc_id, hashes,
+    * features) — never the document text. The language/quality gate runs
+    * BEFORE the dedup window: identical texts have identical features, so
+    * twins pass or fail together and the canonical-min is unchanged, while
+    * the shuffle input shrinks by the rejection rate.
+    */
+  /** Document chunking with overlap — the preprocessing step FEEDING the
+    * window packers: each doc's token sequence split into `ChunkSize`-token
+    * chunks every `ChunkStride` tokens (16-token overlap so boundary
+    * context survives). Emits the chunk's token count and content
+    * fingerprint rather than its text: MAP-ONLY and narrow (explode, no
+    * shuffle), the chunk text itself never needs to move — at 100 TB the
+    * chunker is a projection over the corpus scan, and downstream stages
+    * join back to the doc store by (doc_id, chunk_idx) when they need
+    * bytes.
+    */
+  def pipeChunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHash
+    val (size0, stride) = (ChunkSize, ChunkStride)
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(col("n") / lit(stride.toDouble)).cast("int") - 1),
+        i => {
+          val piece = slice(col("t"), i * stride + 1, lit(size0))
+          struct(size(piece).cast("long").as("n_toks"),
+            TextHash.polyHash(array_join(piece, " ")).as("chunk_hash"))
+        })))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.n_toks").as("n_toks"), col("col.chunk_hash").as("chunk_hash"))
+  }
+
+  private[graft] lazy val ChunkSize = 64
+  private[graft] lazy val ChunkStride = 48
+
+  private[graft] lazy val pipeChunkDocsSql: String = {
+    val slice = s"list_slice(t, chunk_idx * $ChunkStride + 1, " +
+      s"LEAST(chunk_idx * $ChunkStride + $ChunkSize, n))"
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |           FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS n FROM t),
+       |c AS (SELECT doc_id, t, n,
+       |        unnest(range(0, CAST(ceil(n / $ChunkStride.0) AS BIGINT))) AS chunk_idx
+       |      FROM n)
+       |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       |  len($slice)::BIGINT AS n_toks,
+       |  COALESCE(${polyHashSql(s"array_to_string($slice, ' ')")}, 0)::BIGINT AS chunk_hash
+       |FROM c""".stripMargin
+  }
+
+  def pipeCleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.Dedup
+    val d = docs(spark, sfDir)
+    val w = Window.partitionBy(col("_h1"), col("_h2"))
+    d.select(col("doc_id") +: Dedup.textKey128(col("text")) :+
+        TextAnalysis.stats(col("text")).as("_st"): _*)
+      .select(col("doc_id"), col("_h1"), col("_h2"),
+        TextAnalysis.langPredict(TextAnalysis.langScoresFrom(col("_st"))).as("lang_pred"),
+        TextAnalysis.qualityScoreFrom(col("_st")).as("quality"),
+        col("_st.ws_tokens").as("ws_tokens"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 500)
+      .withColumn("_canonical", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_canonical")) // exact dedup, canonical kept
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("ws_tokens"))
+  }
+
+  private[graft] lazy val pipeCleanCorpusSql: String =
+    s"""WITH keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+       |    FROM documents) WHERE NOT is_dup),
+       |q AS ($txtQualitySql),
+       |l AS ($txtLangIdSql)
+       |SELECT doc_id, l.lang_pred, q.quality, q.n_tokens AS ws_tokens
+       |FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |WHERE l.lang_pred = 'en' AND q.quality >= 500""".stripMargin
+
+  /** Corpus composition report: docs and whitespace tokens per (predicted
+    * language × quality decile) — the "how much training data do I have,
+    * and of what quality" accounting every pipeline runs before sampling
+    * a mix. One scan (fused TextStats projection), one partial-aggregated
+    * shuffle on a tiny key domain (≤ 5 langs × 11 buckets).
+    */
+  def pipeCorpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    docs(spark, sfDir)
+      .select(TextAnalysis.stats(col("text")).as("_st"))
+      .select(
+        TextAnalysis.langPredict(TextAnalysis.langScoresFrom(col("_st"))).as("lang_pred"),
+        idiv(TextAnalysis.qualityScoreFrom(col("_st")), lit(100L)).as("q_bucket"),
+        col("_st.ws_tokens").as("ws_tokens"))
+      .groupBy(col("lang_pred"), col("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_tokens"))
+  }
+
+  private[graft] lazy val pipeCorpusStatsSql: String =
+    s"""WITH q AS ($txtQualitySql),
+       |l AS ($txtLangIdSql)
+       |SELECT l.lang_pred, q.quality // 100 AS q_bucket,
+       |  count(*) AS n_docs, CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM q JOIN l USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Per-language top-5 terms by document frequency (corpus statistics). */
+  def txtTopterms(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.topTerms(docs(spark, sfDir))
+
+  private[graft] lazy val txtToptermsSql: String =
+    """WITH t AS (SELECT lang, doc_id,
+      |             unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |d AS (SELECT lang, term, count(*) AS df FROM t GROUP BY 1, 2),
+      |r AS (SELECT lang, term, df,
+      |        row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rk
+      |      FROM d)
+      |SELECT lang, term, df::BIGINT AS df, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin
+
+  /** Gopher-style within-document repetition signals
+    * ([[graft.functions.RepetitionStats]]): token duplication, top-token
+    * share, and bigram duplication per document, as x1000 integer ratios —
+    * the repetition gates a pretraining cleaner thresholds on. One fused
+    * map-only pass (no explode, no shuffle); ratio math is integer DIV so
+    * the oracle hashes exactly.
+    */
+  def txtRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.RepetitionStatsExpr
+    docs(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), RepetitionStatsExpr(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        expr("(1000 * (r.n_tokens - r.n_distinct)) DIV r.n_tokens").as("dup_token_x1000"),
+        expr("(1000 * r.top_cnt) DIV r.n_tokens").as("top_token_x1000"),
+        expr("CASE WHEN r.n_bigrams = 0 THEN 0L ELSE " +
+          "(1000 * (r.n_bigrams - r.n_distinct_bigrams)) DIV r.n_bigrams END")
+          .as("dup_bigram_x1000"))
+  }
+
+  private[graft] lazy val txtRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |        len(list_distinct(toks))::BIGINT AS n_distinct,
+      |        list_max(list_transform(list_distinct(toks),
+      |          d -> len(list_filter(toks, x -> x = d))))::BIGINT AS top_cnt,
+      |        greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
+      |        len(list_distinct(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i + 1])))::BIGINT AS n_distinct_bigrams
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |  (1000 * (n_tokens - n_distinct)) // n_tokens AS dup_token_x1000,
+      |  (1000 * top_cnt) // n_tokens AS top_token_x1000,
+      |  (CASE WHEN n_bigrams = 0 THEN 0
+      |        ELSE (1000 * (n_bigrams - n_distinct_bigrams)) // n_bigrams
+      |   END)::BIGINT AS dup_bigram_x1000
+      |FROM c""".stripMargin
+
+  /** The SAME per-language top-5-terms answer as [[txtTopterms]], computed
+    * by the SpaceSaving sketch ([[graft.functions.SpaceSavingAgg]]) instead
+    * of the exact explode→groupBy(lang, term) plan: the exchange carries at
+    * most `capacity` counters per (partition, lang) rather than every
+    * distinct (lang, term) row — the bounded-state path for vocabularies
+    * that don't fit a shuffle. Sharing txt_topterms' oracle pins the
+    * exactness contract (distinct ≤ capacity ⇒ identical answer).
+    */
+  def txtToptermsSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SpaceSavingAgg
+    val terms = docs(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+    terms.groupBy(col("lang"))
+      .agg(SpaceSavingAgg.heavyHitters(col("term"), capacity = 8192, k = 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.term").as("term"), col("col.cnt").as("df"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  // ------------------------------------------------- sampling / mixing (§7.6)
+
+  import graft.ext.Sampling
+
+  /** Deterministic 20% Bernoulli sample of the documents table — hash-draw
+    * per doc_id, map-only (no shuffle), reproducible under retries.
+    */
+  def sampleBernoulli(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.bernoulli(docs(spark, sfDir), "doc_id", rateX1000 = 200)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Sampling.drawOf's quadratic scrambler over a hash column `ph`. */
+  private[graft] def scrambleSql(ph: String): String =
+    s"($ph) * ($ph) % 2147483647 * 48271 + ($ph)"
+
+  private[graft] lazy val sampleBernoulliSql: String =
+    s"""WITH p AS (SELECT doc_id, source, lang,
+       |             (${polyHashSql("'bern|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents)
+       |SELECT doc_id, source, lang FROM p
+       |WHERE (${scrambleSql("ph")}) % 2147483647 * 1000 < 200::BIGINT * 2147483647""".stripMargin
+
+  /** Stratified cap: at most 10 docs per source, hash-ranked — the
+    * per-stratum uniform-without-replacement cut a corpus builder applies
+    * to bound any one source's contribution.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.stratifiedCap(docs(spark, sfDir), "source", "doc_id", cap = 10)
+      .select(col("source"), col("doc_id"), col("rk"))
+
+  private[graft] lazy val sampleStratifiedSql: String =
+    s"""WITH p AS (SELECT source, doc_id,
+       |             (${polyHashSql("'strat|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents)
+       |SELECT source, doc_id,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY (${scrambleSql("ph")}) % 2147483647, doc_id)::BIGINT AS rk
+       |FROM p
+       |QUALIFY rk <= 10""".stripMargin
+
+  /** Deterministic epoch shuffle ([[Sampling.epochShuffle]]): the per-epoch
+    * corpus reorder of a training run — seeded draw, shard = output-file
+    * unit, within-shard rank. Epoch 3 over 16 shards; the oracle replays
+    * the draw arithmetic and the shard-partitioned rank exactly.
+    */
+  def pipeEpochShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.epochShuffle(docs(spark, sfDir), "doc_id", epoch = 3, nShards = 16)
+      .select(col("shard"), col("shard_pos"), col("doc_id"), col("draw"))
+
+  private[graft] lazy val pipeEpochShuffleSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |             (${polyHashSql("'epoch3|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents),
+       |d AS (SELECT doc_id, (${scrambleSql("ph")}) % 2147483647 AS draw FROM p)
+       |SELECT (draw % 16)::BIGINT AS shard,
+       |  row_number() OVER (PARTITION BY draw % 16 ORDER BY draw, doc_id)::BIGINT
+       |    AS shard_pos,
+       |  doc_id, draw::BIGINT AS draw
+       |FROM d""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test assignment per doc_id
+    * ([[Sampling.datasetSplit]]): leakage-safe, retry-stable, map-only.
+    */
+  def pipeDatasetSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.datasetSplit(docs(spark, sfDir), "doc_id",
+        trainX1000 = 800, valX1000 = 100)
+      .select(col("doc_id"), col("split"))
+
+  private[graft] lazy val pipeDatasetSplitSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |             (${polyHashSql("'split|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |           FROM documents),
+       |d AS (SELECT doc_id, (${scrambleSql("ph")}) % 2147483647 AS draw FROM p)
+       |SELECT doc_id,
+       |  CASE WHEN draw * 1000 < 800::BIGINT * 2147483647 THEN 'train'
+       |       WHEN draw * 1000 < 900::BIGINT * 2147483647 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM d""".stripMargin
+
+  /** Per-doc top-3 tf-idf keywords ([[TextAnalysis.tfIdfTopTerms]]). */
+  def pipeTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(docs(spark, sfDir))
+
+  private[graft] lazy val pipeTfidfSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |t AS (SELECT doc_id, unnest(ws) AS term FROM d),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM d),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    tf.tf * ((n.nn * 1000) // dfr.df) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((n.nn * 1000) // dfr.df) DESC, tf.term) AS rk
+      |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+      |SELECT doc_id, term, tf::BIGINT AS tf, score::BIGINT AS score,
+      |  rk::BIGINT AS rk
+      |FROM s WHERE rk <= 3""".stripMargin
+
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): docs with
+    * `doc_id % 50 == 0` stand in for a held-out eval set; every other doc
+    * sharing at least one word 4-gram with it is reported with its distinct
+    * shared-gram count (k=4 on this small-vocabulary synthetic corpus plays
+    * the role 13-grams do on web text). The benchmark gram set is broadcast
+    * — the corpus is scanned once and never shuffled; only matched gram rows
+    * reach the one aggregation exchange.
+    */
+  def pipeDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.Dedup
+    val d = docs(spark, sfDir)
+    Dedup.decontaminate(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0),
+      k = 4)
+  }
+
+  private[graft] lazy val pipeDecontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 2),
+      |        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS s
+      |      FROM toks WHERE len(t) >= 4),
+      |bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id, count(*)::BIGINT AS hits
+      |FROM g JOIN bg USING (s)
+      |WHERE g.doc_id % 50 <> 0
+      |GROUP BY 1""".stripMargin
+
+  /** Deterministic weighted interleave for training order: doc i of a
+    * weight-w source lands at position key `r·12 DIV w` (12 = lcm of the
+    * weight domain {1..4}, so the division is EXACT — the key IS the
+    * rational r/w scaled, no truncation collapse), making a weight-4
+    * source appear 4× as often as a weight-1 source at any prefix. The
+    * key is emitted, not a global row_number: consumers range-partition
+    * by (pos_key, source, doc_id) — a parallel total order — where a
+    * contiguous global rank would force everything through one window
+    * partition. Per-source ranks order by doc_id, so the whole layout is
+    * reproducible run-over-run and shuffle-independent.
+    */
+  def pipeInterleave(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("r"),
+        expr("r * 12 DIV w").as("pos_key"))
+  }
+
+  private[graft] lazy val pipeInterleaveSql: String =
+    """WITH b AS (SELECT doc_id, source,
+      |             substr(source, 4)::BIGINT % 4 + 1 AS w,
+      |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      |           FROM documents)
+      |SELECT doc_id, source, r::BIGINT AS r, (r * 12 // w)::BIGINT AS pos_key
+      |FROM b""".stripMargin
+
+  /** Weighted corpus mix to a 50k-char budget: source weights assigned by
+    * name rank (sorted source list is tiny and collected once — bounded by
+    * the source catalog, not the corpus), per-source keep-thresholds are
+    * exact integer arithmetic over the source cost totals.
+    */
+  def pipeCorpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val sources = d.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val weights = sources.zipWithIndex
+      .map { case (s, i) => s -> (50L + 25L * i) }.toMap
+    Sampling.weightedMix(d, "source", "n_chars", "doc_id", weights,
+        budget = 50000L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private[graft] lazy val pipeCorpusMixSql: String =
+    s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+       |             FROM documents GROUP BY 1),
+       |w AS (SELECT source, tok,
+       |        50 + 25 * (dense_rank() OVER (ORDER BY source) - 1) AS w
+       |      FROM tot),
+       |t AS (SELECT source,
+       |        least(2147483647, (2147483647::HUGEINT * 50000 * w)
+       |          // ((SELECT sum(w) FROM w) * tok)) AS t
+       |      FROM w),
+       |p AS (SELECT doc_id, source, n_chars,
+       |        (${polyHashSql("'mix|' || CAST(doc_id AS VARCHAR)")}) AS ph
+       |      FROM documents)
+       |SELECT p.doc_id, p.source, p.n_chars
+       |FROM p JOIN t USING (source)
+       |WHERE (${scrambleSql("ph")}) % 2147483647 < t.t""".stripMargin
+
+  /** Sequence packing: documents to 2000-char context windows, bucketed in
+    * contiguous 100-id ranges (the parallelism unit), packed in doc_id
+    * order. Returns the per-doc assignment — the training-example layout.
+    */
+  def pipePackWindows(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packWindows(docs(spark, sfDir),
+        bucket = expr("doc_id div 100"), order = col("doc_id"),
+        cost = col("n_chars"), budget = 2000L)
+      .select(col("doc_id"), col("pack_bucket"), col("window_idx"),
+        col("n_chars"))
+
+  private[graft] lazy val pipePackWindowsSql: String =
+    """WITH c AS (SELECT doc_id, doc_id // 100 AS pack_bucket, n_chars,
+      |             coalesce(sum(n_chars) OVER (PARTITION BY doc_id // 100
+      |               ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |           FROM documents)
+      |SELECT doc_id, pack_bucket::BIGINT AS pack_bucket,
+      |  (cum // 2000)::BIGINT AS window_idx, n_chars
+      |FROM c""".stripMargin
+
+  /** EXACT first-fit packing (no window over budget): the sequential
+    * greedy recurrence per bucket, replayed oracle-side as a linear
+    * recursive CTE walking each bucket's docs in order.
+    */
+  def pipePackFirstfit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packFirstFit(docs(spark, sfDir),
+        bucket = expr("doc_id div 100"), order = col("doc_id"),
+        cost = col("n_chars"), budget = 2000L)
+      .select(col("order").as("doc_id"), col("pack_bucket"),
+        col("window_idx"), col("cost").as("n_chars"))
+
+  private[graft] lazy val pipePackFirstfitSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, doc_id // 100 AS pack_bucket, n_chars,
+      |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |walk(pack_bucket, rn, doc_id, n_chars, widx, wcost) AS (
+      |  SELECT pack_bucket, rn, doc_id, n_chars, 0::BIGINT, n_chars
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.pack_bucket, d.rn, d.doc_id, d.n_chars,
+      |    CASE WHEN w.wcost + d.n_chars > 2000 THEN w.widx + 1 ELSE w.widx END,
+      |    CASE WHEN w.wcost + d.n_chars > 2000 THEN d.n_chars
+      |         ELSE w.wcost + d.n_chars END
+      |  FROM walk w JOIN d ON d.pack_bucket = w.pack_bucket AND d.rn = w.rn + 1)
+      |SELECT doc_id, pack_bucket::BIGINT AS pack_bucket,
+      |  widx::BIGINT AS window_idx, n_chars
+      |FROM walk""".stripMargin
+
+  // ------------------------------------- real BPE subword tokens (§7.6)
+
+  /** REAL merges-table BPE token counting (vs `txt_tokens`' regex proxy):
+    * greedy lowest-rank-pair merging under [[graft.functions.Bpe.Default]]
+    * — the count a training pipeline budgets on. The oracle replays the
+    * EXACT algorithm in DuckDB: a recursive CTE fusing, per step, the
+    * leftmost occurrence of the best-ranked adjacent pair, over a merges
+    * literal RENDERED FROM THE SAME Scala table (zero drift possible).
+    */
+  def txtBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+
+  /** The DuckDB merges-list literal, rendered from [[Bpe.Default]] itself:
+    * rank = 1-based list position, pair encoded `"a b"`.
+    */
+  private[graft] lazy val bpeMergesSqlList: String =
+    graft.functions.Bpe.Default.merges
+      .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+
+  /** Per-word token counts via the recursive merge replay, then per-doc
+    * totals: word tokens + one token per non-letter non-whitespace char.
+    * Shared CTE prefix for both BPE oracles.
+    */
+  private[graft] def bpePerDocCte(extraCols: String): String =
+    s"""WITH RECURSIVE
+       |m(ml) AS (SELECT $bpeMergesSqlList),
+       |d0 AS (SELECT doc_id, lower(text) AS lo FROM documents),
+       |words AS (SELECT DISTINCT w FROM
+       |  (SELECT unnest(regexp_extract_all(lo, '[a-z]+')) AS w FROM d0)),
+       |bpe(w, toks) AS (
+       |  SELECT w, regexp_extract_all(w, '.') FROM words
+       |  UNION ALL
+       |  SELECT w, toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+       |  FROM (
+       |    SELECT w, toks,
+       |      list_position(rks, list_min(list_filter(rks, x -> x IS NOT NULL))) AS pos
+       |    FROM (
+       |      SELECT b.w, b.toks,
+       |        list_transform(range(1, len(b.toks)),
+       |          i -> nullif(list_position(m.ml, b.toks[i] || ' ' || b.toks[i+1]), 0)) AS rks
+       |      FROM bpe b, m))
+       |  WHERE pos IS NOT NULL AND pos > 0),
+       |wc AS (SELECT w, min(len(toks)) AS nt FROM bpe GROUP BY w),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lo, '[a-z]+')) AS w FROM d0),
+       |wsum AS (SELECT doc_id, sum(nt) AS t FROM dw JOIN wc USING (w) GROUP BY doc_id),
+       |per AS (SELECT d.doc_id,
+       |  (coalesce(w.t, 0) + len(regexp_extract_all(d.lo, '[^a-z\\s]')))::BIGINT AS n_bpe
+       |  $extraCols
+       |FROM d0 d LEFT JOIN wsum w USING (doc_id))""".stripMargin
+
+  private[graft] lazy val txtBpeTokensSql: String =
+    s"""${bpePerDocCte("")}
+       |SELECT doc_id, n_bpe FROM per""".stripMargin
+
+  /** BPE training as a query: the merges table [[TextAnalysis.trainBpe]]
+    * derives from the corpus (one word-count shuffle, bounded histogram,
+    * driver merge loop — the sentencepiece shape). The merge loop is an
+    * iterated global argmax that recursive SQL cannot aggregate over, so
+    * the oracle is the LITERAL expected table (the `kv_history` pattern):
+    * training is fully deterministic over the sf0.01 fixture corpus —
+    * ties broken lexicographically, one shuffle then a driver loop — so
+    * the expected 48 merges are a fixed VALUES list. A wrong rank order,
+    * a flipped tie-break, or a count drift all hash-mismatch. (The
+    * literal pins the DRIVER'S GATE SCALE, sf0.01; at other SFs the
+    * corpus differs and so do the merges — same scope as every
+    * fixture-derived literal oracle here.)
+    */
+  def txtBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // SF-INDEPENDENT training corpus (r17): the merge loop is an
+    // iterated global argmax no SQL oracle can replay, so the oracle is
+    // the literal expected merge table — and a literal must hold at
+    // EVERY scale factor, so the trainer's input is this fixed
+    // deterministic corpus rather than the SF-sized documents table
+    // (whose text differs per SF; `txt_bpe_tokens` / `pipe_pack_bpe`
+    // keep exercising the tokenizer over the real corpus, under oracles
+    // that recompute). Zipf-ish weights make the merge order
+    // discriminating: a trainer that mis-ranked pair counts or broke
+    // ties wrong reorders the table and hash-mismatches.
+    val vocab = Seq("customer" -> 9, "order" -> 8, "vector" -> 7,
+      "merge" -> 6, "filter" -> 6, "column" -> 5, "batch" -> 5,
+      "scan" -> 4, "hash" -> 4, "join" -> 3, "row" -> 3,
+      "small" -> 2, "slow" -> 2)
+    val words = vocab.flatMap { case (w, n) => Seq.fill(n)(w) }
+    val corpus = (0 until 200).map { i =>
+      (i.toLong,
+        (0 until 12).map(k => words((i * 7 + k * 13) % words.length))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    TextAnalysis.trainBpe(corpus, "text", numMerges = 48)
+      .merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /** Expected merges over the fixed training corpus above — identical
+    * at every SF; regenerate with
+    * `runMain graft.Verify <any sfDir> /tmp/v txt_bpe_train`
+    * after any trainer change.
+    */
+  private[graft] lazy val txtBpeTrainSql: String = {
+    val rows = Seq(
+      ("e", "r"), ("t", "o"), ("m", "er"), ("c", "u"), ("cu",
+      "s"), ("cus", "to"), ("custo", "mer"), ("d", "er"), ("o",
+      "r"), ("or", "der"), ("c", "to"), ("cto", "r"), ("e",
+      "ctor"), ("v", "ector"), ("g", "e"), ("mer", "ge"), ("f",
+      "i"), ("fi", "l"), ("fil", "t"), ("filt", "er"), ("c", "o"),
+      ("co", "l"), ("col", "u"), ("colu", "m"), ("colum", "n"),
+      ("a", "t"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("o",
+      "w"), ("a", "n"), ("c", "an"), ("s", "can"), ("a", "s"),
+      ("as", "h"), ("h", "ash"), ("i", "n"), ("j", "o"), ("jo",
+      "in"), ("r", "ow"), ("a", "l"), ("al", "l"), ("m", "all"),
+      ("s", "mall"), ("l", "ow"), ("s", "low"))
+    val values = rows.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs
+       |FROM (VALUES
+       |  $values) AS t(merge_rank, lhs, rhs)""".stripMargin
+  }
+
+  /** The packing twin quantifying PROXY-COUNT DRIFT: documents packed into
+    * 500-REAL-BPE-token windows (budget-quantized, like
+    * `pipe_pack_windows`), each window reporting its real cost, the regex
+    * proxy's claimed cost, and the ratio ×1000 — the budget error a
+    * pipeline absorbs if it packs on the proxy. Ratio, not difference:
+    * integer division of a nonnegative keeps Spark `div` and DuckDB `//`
+    * in exact agreement (they disagree on negatives).
+    */
+  def pipePackBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_proxy"))
+    graft.ext.Packing.packWindows(d, bucket = expr("doc_id div 100"),
+        order = col("doc_id"), cost = col("n_bpe"), budget = 500L)
+      .groupBy(col("pack_bucket"), col("window_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("bpe_cost"),
+        sum(col("n_proxy")).cast("long").as("proxy_cost"))
+      .withColumn("proxy_x1000", expr("proxy_cost * 1000 div bpe_cost"))
+  }
+
+  private[graft] lazy val pipePackBpeSql: String =
+    s"""${bpePerDocCte(
+        """, len(regexp_extract_all(d.lo, '[a-z]{1,4}|[0-9]|[^a-z0-9\s]'))::BIGINT AS n_proxy""")},
+       |c AS (SELECT doc_id, doc_id // 100 AS pack_bucket, n_bpe, n_proxy,
+       |        coalesce(sum(n_bpe) OVER (PARTITION BY doc_id // 100
+       |          ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |      FROM per)
+       |SELECT pack_bucket::BIGINT AS pack_bucket,
+       |  (cum // 500)::BIGINT AS window_idx,
+       |  count(*)::BIGINT AS n_docs, sum(n_bpe)::BIGINT AS bpe_cost,
+       |  sum(n_proxy)::BIGINT AS proxy_cost,
+       |  (sum(n_proxy) * 1000 // sum(n_bpe))::BIGINT AS proxy_x1000
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+}
