@@ -1582,6 +1582,13 @@ private[sources] object KvFilters {
 
   private val stringCols = Set("rowKey", "family", "qualifier")
 
+  /** Largest pushed `In` translated to a parquet record-level
+    * set-membership predicate; bigger sets relax to their [min, max]
+    * range (toParquet doc — per-record probes of huge sets cost more
+    * than the rows they cut).
+    */
+  private[sources] val InRecordFilterMax = 256
+
   def supported(f: Filter): Boolean = f match {
     case EqualTo(c, _: String) if stringCols(c) => true
     case In(c, vs) if stringCols(c) && vs.forall(_.isInstanceOf[String]) => true
@@ -1614,8 +1621,29 @@ private[sources] object KvFilters {
       case EqualTo(c, v: String) if stringCols(c) =>
         Some(FilterApi.eq(bin(c), Binary.fromString(v)))
       case In(c, vs) if stringCols(c) =>
-        vs.collect { case s: String => FilterApi.eq(bin(c), Binary.fromString(s)): FilterPredicate }
-          .reduceOption(FilterApi.or)
+        // Small sets: the native set-membership predicate, NOT an eq-OR
+        // chain — the chain is O(n) compares PER RECORD and O(n) tree
+        // depth (stack overflow at task serialization ~2,000 terms).
+        // Big sets: the [min, max] RANGE relaxation — per-record hash
+        // probes of a multi-thousand-key set cost more than the rows
+        // they cut (a 2,500-key verification multi-get priced 3× the
+        // full family scan it was meant to beat), while the range keeps
+        // row-group pruning at two compares per record; the relaxation
+        // is a SUPERSET and Spark re-applies the exact In (as InSet)
+        // above the scan. Driver-side file pruning (region bounds +
+        // blooms) works from the pushed VALUES either way, so clustered
+        // key sets still plan only their files. [[allExact]] mirrors
+        // the threshold: a relaxed record filter must not feed the
+        // per-reader limit cap.
+        val strs = vs.toSeq.collect { case s: String => s }
+        if (strs.isEmpty) None
+        else if (strs.length <= InRecordFilterMax) {
+          val set = new java.util.HashSet[Binary]()
+          strs.foreach(s => set.add(Binary.fromString(s)): Unit)
+          Some(FilterApi.in(bin(c), set))
+        } else Some(FilterApi.and(
+          FilterApi.gtEq(bin(c), Binary.fromString(strs.min)),
+          FilterApi.ltEq(bin(c), Binary.fromString(strs.max))))
       case GreaterThan(c, v: String) if stringCols(c) =>
         Some(FilterApi.gt(bin(c), Binary.fromString(v)))
       case GreaterThanOrEqual(c, v: String) if stringCols(c) =>
@@ -1658,6 +1686,7 @@ private[sources] object KvFilters {
   def allExact(filters: Array[Filter]): Boolean = {
     def exact(f: Filter): Boolean = f match {
       case _: StringStartsWith => false
+      case In(_, vs) if vs.length > InRecordFilterMax => false // range-relaxed
       case And(l, r) => exact(l) && exact(r)
       case Or(l, r) => exact(l) && exact(r)
       case _ => true

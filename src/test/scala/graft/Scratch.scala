@@ -522,6 +522,91 @@ object Scratch {
           println(s"[probe] reconstructed rows: " +
             graft.sources.KvDelete.applyVersionMarkers(
               baseline.unionByName(feed), feed).count()))
+      case "topnstale" =>
+        import org.apache.spark.sql.functions._
+        // Stale-tolerant index-served top-n at scale (r18): 8M-cell
+        // table (8M distinct keys), covered decimal index, then 1,000
+        // post-refresh updates + 200 deletes. Prices the three plans a
+        // live-table inspection can take: the stale verified route
+        // (over-fetch k+T, touched-key probe, pinned per-key
+        // verification), the fresh index-only head after a refresh, and
+        // the honest full pivot sort the r17 freshness wall always fell
+        // back to.
+        val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/topnstale"
+        graft.sinks.Sinks.deleteRecursive(spark, d)
+        time("stage 8M cells (16 regions)")(
+          spark.range(8000000L).selectExpr(
+            "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+            "'f' AS family", "'v' AS qualifier",
+            "encode(CAST(id * 7 AS STRING), 'UTF-8') AS value",
+            "id AS ts")
+            .write.format("graft-kv").option("regions", 16)
+            .mode("append").save(d))
+        time("covered index build (pad 10)")(
+          graft.sources.KvIndex.create(spark, d, "by_v", "f", "v",
+            pad = 10, regions = 8, covered = true))
+        time("post-refresh DML (1,000 updates + 200 deletes)") {
+          spark.range(1000).selectExpr(
+            "lpad(CAST(id * 7919 AS STRING), 8, '0') AS rowKey",
+            "'f' AS family", "'v' AS qualifier",
+            "encode(CAST(90000000 + id AS STRING), 'UTF-8') AS value",
+            "9000000000L + id AS ts")
+            .write.format("graft-kv").option("regions", 1)
+            .mode("append").save(d)
+          graft.sources.KvDelete.deleteRows(spark, d,
+            spark.range(7999800L, 8000000L).selectExpr(
+              "lpad(CAST(id AS STRING), 8, '0') AS rowKey"))
+        }
+        val staleTop = time("STALE top-100 (verified over-fetch)")(
+          graft.sources.KvIndex.topNCovered(spark, d, "by_v", 100)
+            .collect())
+        println(s"[probe] stale top head: ${staleTop.head}")
+        val pivotTop = time("full pivot sort top-100 (the r17 fallback)")(
+          spark.read.format("graft-kv").load(d)
+            .filter(col("family") === "f" && col("qualifier") === "v")
+            .groupBy("rowKey")
+            .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+              col("value"), col("ts")), "UTF-8").as("value"))
+            .orderBy(col("value").cast("long").desc, col("rowKey").desc)
+            .limit(100).collect())
+        require(staleTop.map(_.getString(0)).toSeq ==
+          pivotTop.map(_.getString(0)).toSeq, "stale route != pivot sort")
+        time("index refresh (absorb the DML)")(
+          graft.sources.KvIndex.refresh(spark, d, "by_v"))
+        time("FRESH top-100 (index-only head)")(
+          graft.sources.KvIndex.topNCovered(spark, d, "by_v", 100)
+            .collect())
+      case "topnparts" =>
+        import org.apache.spark.sql.functions._
+        val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/topnstale"
+        val idx = s"$d/_index/by_v"
+        def lww(q: String) = graft.functions.MaxByTsAgg.maxByTs(
+          col("value"), when(col("qualifier") === q, col("ts")))
+        val keys = time("A: index head 1300 entries (pushed TopN desc)")(
+          spark.read.format("graft-kv").load(idx)
+            .orderBy(col("rowKey").desc).limit(2602)
+            .groupBy(col("rowKey")).agg(lww("k").as("_k"), lww("v").as("_v"))
+            .filter(col("_k").isNotNull && col("_v").isNotNull)
+            .orderBy(col("rowKey").desc).limit(1300)
+            .select(decode(col("_k"), "UTF-8").as("rowKey")).collect()
+            .map(_.getString(0)))
+        println(s"[probe] idx candidates: ${keys.length}")
+        val touched = time("B: touched-key probe (raw feed distinct)")(
+          spark.read.format("graft-kv").option("sinceSeq", "0")
+            .option("asOfSeq", "2").load(d)
+            .select(col("rowKey")).distinct().limit(5001).collect()
+            .map(_.getString(0)))
+        println(s"[probe] touched: ${touched.length}")
+        val cand = (keys ++ touched).distinct
+        val verified = time("C: pinned verification (In " + cand.length + ")")(
+          spark.read.format("graft-kv").option("asOfSeq", "2").load(d)
+            .filter(col("family") === "f" && col("qualifier") === "v")
+            .filter(col("rowKey").isin(cand.toIndexedSeq: _*))
+            .groupBy(col("rowKey"))
+            .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+              col("value"), col("ts")), "UTF-8").as("value"))
+            .orderBy(col("value").cast("long").desc).limit(100).collect())
+        println(s"[probe] verified head: ${verified.head}")
       case "scalebpe" =>
         import org.apache.spark.sql.functions._
         // BPE tokenization at production vocab scale: ~32k merges over
