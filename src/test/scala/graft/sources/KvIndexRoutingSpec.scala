@@ -307,6 +307,29 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
     } finally spark.conf.unset(KvIndexRouting.EnabledKey)
   }
 
+  test("routed-lookup statistics keep the spliced side broadcast-able in a join") {
+    pivotView(decimalTable).createOrReplaceTempView("rt_dec")
+    spark.range(100000).selectExpr(
+      "lpad(CAST(id % 400 AS STRING), 6, '0') AS rowKey", "id AS w")
+      .createOrReplaceTempView("rt_fact")
+    // the routed subquery carries the manifest-stat row/byte estimate
+    // (KvRoutedLookup.computeStats) — without it a leaf defaults to
+    // "unknown/huge" and NO join against a routed lookup could ever
+    // auto-broadcast; with it the selective side broadcasts
+    val df = spark.sql(
+      """SELECT f.rowKey, f.w, v.value FROM rt_fact f
+        |JOIN (SELECT rowKey, value FROM rt_dec
+        |      WHERE CAST(value AS BIGINT) >= 1000
+        |        AND CAST(value AS BIGINT) < 1100) v
+        |ON f.rowKey = v.rowKey""".stripMargin)
+    val plan = planOf(df)
+    assert(routed(plan), s"join subquery did not route:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"routed side did not broadcast:\n$plan")
+    // 17 in-range keys (0..9 updated in + 143..149) × 250 fact rows each
+    df.count() shouldBe 17L * 250
+  }
+
   test("extensions-built session routes through the injected pre-CBO rule") {
     val path = decimalTable
     val prev = SparkSession.getDefaultSession
