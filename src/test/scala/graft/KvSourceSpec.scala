@@ -57,6 +57,30 @@ class KvSourceSpec extends SparkSpec {
     plan should include regex "regions=[1-7]/8"
   }
 
+  test("a multi-thousand-key In stays correct and limit-safe (range-relaxed record filter)") {
+    // past KvFilters.InRecordFilterMax (256) the parquet record filter
+    // relaxes to the key set's [min, max] range — a SUPERSET; Spark's
+    // retained InSet must cut it back exactly, and the per-reader limit
+    // cap must stay OFF (allExact treats the relaxed In as inexact) so
+    // a limit over the big In can never under-produce
+    // real keys (every 2nd distinct key + misses), so the In actually hits
+    val live = pq.select("rowKey").distinct().orderBy("rowKey")
+      .collect().map(_.getString(0))
+    val keys = live.zipWithIndex.collect { case (k, i) if i % 2 == 0 => k } ++
+      (0 until 2000).map(i => s"miss_$i")
+    require(keys.length > 500, s"fixture too small: ${keys.length}")
+    val inDf = v2.filter(col("rowKey").isin(keys: _*))
+    sortedRows(inDf) shouldBe sortedRows(pq.filter(col("rowKey").isin(keys: _*)))
+    val expected = pq.filter(col("rowKey").isin(keys: _*))
+      .filter(col("qualifier") === "C0")
+      .orderBy("rowKey", "ts").limit(7).collect()
+      .map(_.getString(0)).toSeq
+    v2.filter(col("rowKey").isin(keys: _*))
+      .filter(col("qualifier") === "C0")
+      .orderBy("rowKey", "ts").limit(7).collect()
+      .map(_.getString(0)).toSeq shouldBe expected
+  }
+
   test("an Or of rowKey ranges prunes per disjunct (MultiRowRangeFilter shape)") {
     // two narrow ranges at opposite ends of the keyspace: conjunctive-only
     // pruning would see no single bound and keep all 8 regions; disjunctive
