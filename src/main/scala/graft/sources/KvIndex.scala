@@ -1272,6 +1272,24 @@ object KvIndex {
         .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
           col("value"), col("ts")), "UTF-8").as("value")))
     if (spanUnservable(fs, table, m.asOfSeq, latest)) return basePivot()
+    // Manifest-stat PRE-GATE on the span size (zero I/O — the entries
+    // were just read by the unservable probe): the touched-key probe
+    // below is a DISTINCT over the whole CDC feed, and distinct cannot
+    // stop early — on a span holding millions of changes it would pay a
+    // feed-sized shuffle only to learn "too many, fall back". When the
+    // span's RAW row count already exceeds a duplication allowance over
+    // the cap, skip straight to the pivot (which a too-big touched set
+    // forces anyway; a heavily-duplicated small key set slips to the
+    // fallback — slower, never wrong).
+    val spanRows = (m.asOfSeq + 1 to latest)
+      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
+        val names = if (e.compact) e.dropFiles else e.adds
+        // stat-less (legacy) files price as huge — the gate then routes
+        // them to the fallback rather than risking the blind shuffle
+        names.iterator.map(n =>
+          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
+      }.sum
+    if (spanRows > 16.0 * InPushdownCap) return basePivot()
     // T = the span's distinct touched base keys — RAW feed, so deletes
     // (marker rows) count as touches too; capped driver probe like
     // every candidate set here.

@@ -196,18 +196,42 @@ private[sources] class KvTailStream(
   private def advance(pos: LogPos, maxFiles: Int, maxBytes: Long,
       capSeq: Long): (Seq[Path], LogPos) = {
     val fl = KvLog.floor(fs, tableDir)
-    if (pos.seq < fl) throw new IllegalStateException(
-      s"graft-kv tail: offset at log entry ${pos.seq} is behind the compaction " +
-        s"floor $fl of $path — the segments were merged away. Register the " +
-        "tail (tailId option) so compaction parks at its position; to " +
-        "recover, restart from a fresh checkpoint — at the horizon (full " +
-        "current state), or with .option(\"sinceSeq\", <last consumed " +
-        "seq>) to resume exactly when that span is still above the floor.")
+    // Below-floor offsets refuse UNLESS a named snapshot anchors the
+    // span (r18, [[KvLog.changedFiles]] doc): the anchor stops
+    // truncation and vacuum above its seq, so a stream whose checkpoint
+    // fell behind the floor during an outage resumes exactly when its
+    // operator pinned an anchor — admission probes each entry's files
+    // like any other batch, and a file vacuumed BEFORE the anchor
+    // existed fails that batch's read loudly, never silently skips.
+    if (pos.seq < fl &&
+        !KvSnapshot.list(fs, tableDir).exists(_.seq < pos.seq))
+      throw new IllegalStateException(
+        s"graft-kv tail: offset at log entry ${pos.seq} is behind the compaction " +
+          s"floor $fl of $path — the segments were merged away. Register the " +
+          "tail (tailId option) so compaction parks at its position; to " +
+          "recover, restart from a fresh checkpoint — at the horizon (full " +
+          "current state), or with .option(\"sinceSeq\", <last consumed " +
+          "seq>) to resume exactly when that span is still above the floor. " +
+          "A named snapshot at or before the consumed seq keeps such a " +
+          "span durable (snapshots stop log truncation and file GC above " +
+          "their seq).")
     val files = Seq.newBuilder[Path]
     var taken = 0
     var bytes = 0L
     var cur = pos
-    var entry = readEntry(cur.seq)
+    // An anchored below-floor resume tolerates no silent entry gaps: a
+    // seq truncated BEFORE the anchor existed would otherwise park the
+    // stream forever at the hole (a missing entry normally just means
+    // "caught up"). Loud here, like [[KvLog.changedFiles]]' gap check.
+    def readChecked(seq: Long): Option[KvLog.Entry] = {
+      val e = readEntry(seq)
+      if (e.isEmpty && seq < fl) throw new IllegalStateException(
+        s"graft-kv tail: log entry $seq of $path was truncated before the " +
+          "anchoring snapshot existed — the span is not reconstructible; " +
+          "restart from a fresh checkpoint (horizon or sinceSeq).")
+      e
+    }
+    var entry = readChecked(cur.seq)
     var full = false
     while (entry.isDefined && cur.seq <= capSeq && !full) {
       // A salt-layout declaration NEWER than the one this stream resolved
@@ -251,7 +275,7 @@ private[sources] class KvTailStream(
             bytes += s
           }
           cur = LogPos(cur.seq + 1, 0)
-          entry = if (cur.seq <= capSeq) readEntry(cur.seq) else None
+          entry = if (cur.seq <= capSeq) readChecked(cur.seq) else None
         }
       } else {
       var i = math.max(cur.idx, 0)
@@ -271,7 +295,7 @@ private[sources] class KvTailStream(
         cur = LogPos(cur.seq, i) // capped mid-entry (i == length resumes clean)
       } else {
         cur = LogPos(cur.seq + 1, 0)
-        entry = if (cur.seq <= capSeq) readEntry(cur.seq) else None
+        entry = if (cur.seq <= capSeq) readChecked(cur.seq) else None
       }
       }
     }

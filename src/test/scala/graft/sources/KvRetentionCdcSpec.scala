@@ -513,6 +513,52 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     ex.getMessage should include("named snapshot")
   }
 
+  test("a snapshot anchor lets a below-floor STREAM resume exactly (truncate + vacuum(0) crossed)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("anchor_tail")
+    val cells = twoVersions(100)
+    cells.filter(col("ts") < 100000).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(dir) // seq 0
+    // operator pins the consumer's position (consumed through seq 0)
+    KvSnapshot.create(spark, dir, "tail_anchor")
+    cells.filter(col("ts") >= 100000).write.format("graft-kv")
+      .option("regions", 1).mode("append").save(dir) // seq 1 — unconsumed
+    // retention pass merges 0+1 and stages drops (seq 2); floor rises
+    KvCompactor.compact(spark, dir, regions = 1,
+      cellPolicy = KvCompactor.CellPolicy(maxVersions = Some(1)))
+      .asInstanceOf[KvCompactor.Compacted].dropped shouldBe 100L
+    val fs = fsOf(dir)
+    Thread.sleep(20)
+    KvLog.truncate(fs, new Path(dir), 0L)
+    KvVacuum.vacuum(spark, dir, graceMs = 0L)
+    // the stream resumes from the anchor seq: offset (1, 0) is below the
+    // floor, but the anchor protected entry 1's adds and entry 2's drop
+    // files — the tail ships both (100 v2 puts + 100 drop markers)
+    val out = freshDir("anchor_tail_out")
+    val ckpt = freshDir("anchor_tail_ckpt")
+    val q = spark.readStream.format("graft-kv")
+      .option("sinceSeq", "0").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val consumed = spark.read.parquet(out)
+    consumed.count() shouldBe 200L
+    consumed.filter(col("qualifier")
+      .startsWith(KvDelete.VersionMarkerPrefix)).count() shouldBe 100L
+    // without an anchor the same resume refuses with the recovery hint
+    KvSnapshot.drop(spark, dir, "tail_anchor")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft-kv")
+        .option("sinceSeq", "0").load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshDir("anchor_tail_ckpt2"))
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    ex.getMessage should include("behind the compaction")
+  }
+
   test("masked scans read VALUE only when exact-version markers are live") {
     val dir = freshDir("value_gate")
     def planOf(df: DataFrame): String = {
