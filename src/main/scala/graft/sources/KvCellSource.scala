@@ -926,21 +926,34 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   private lazy val liveMarkers
       : Array[(String, String, String, Long, Array[Byte], String)] = {
     val saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0
-    val markers =
-      Array.newBuilder[(String, String, String, Long, Array[Byte], String)]
-    var total = 0L
-    KvDelete.foreachMarkerRow(sconf.value, tombstoneFiles.map(new Path(_))) {
-      (stored, fam, q, ts, v) =>
-        total += 1
-        if (total > KvDelete.MaxLiveMarkers) throw new IllegalStateException(
-          s"graft-kv: $path carries more than ${KvDelete.MaxLiveMarkers} " +
-            "live delete markers — the mask would no longer be " +
-            "bounded metadata. Run a major compaction to purge masked " +
-            "cells and their markers, then re-read.")
-        markers += ((if (saltLen > 0) stored.substring(saltLen) else stored,
-          fam, q, ts, v, stored))
-    }
-    markers.result()
+    // MEMOIZED per (path, salt, marker-file set) — r18: the load is a
+    // DRIVER-SIDE serial read of every marker-carrying segment, paid by
+    // every masked scan; on a freshly-replicated table with ~10^5 drop
+    // markers it dominated the whole query. Marker segments are
+    // immutable once published (unique names, rewrite = new names), so
+    // the same file set always yields the same markers and the memo can
+    // never serve stale data — a commit that adds/removes marker files
+    // changes the key. Bounded LRU (a few entries, each ≤
+    // MaxLiveMarkers rows), so repeated masked reads between commits
+    // pay the load once per JVM, not once per scan.
+    val key = (path, saltLen, tombstoneFiles.sorted)
+    KvMarkerCache.get(key, () => {
+      val markers =
+        Array.newBuilder[(String, String, String, Long, Array[Byte], String)]
+      var total = 0L
+      KvDelete.foreachMarkerRow(sconf.value, tombstoneFiles.map(new Path(_))) {
+        (stored, fam, q, ts, v) =>
+          total += 1
+          if (total > KvDelete.MaxLiveMarkers) throw new IllegalStateException(
+            s"graft-kv: $path carries more than ${KvDelete.MaxLiveMarkers} " +
+              "live delete markers — the mask would no longer be " +
+              "bounded metadata. Run a major compaction to purge masked " +
+              "cells and their markers, then re-read.")
+          markers += ((if (saltLen > 0) stored.substring(saltLen) else stored,
+            fam, q, ts, v, stored))
+      }
+      markers.result()
+    })
   }
 
   /** The one-broadcast FALLBACK mask over every live marker — used only
@@ -1578,6 +1591,40 @@ private[sources] class KvMaterializer(schema: MessageType, outNames: Seq[String]
 /** Filter triage + translation shared by the scan builder, the region
   * pruner, and the reader factory.
   */
+/** Driver-side memo for [[KvScan.liveMarkers]] — keyed by
+  * (path, salt width, sorted marker-file set), which uniquely determines
+  * the marker contents (segments are immutable once published). Small
+  * LRU: entries are ≤ [[KvDelete.MaxLiveMarkers]] rows each, and masked
+  * reads between commits reuse instead of re-reading every marker
+  * segment serially on the driver.
+  */
+private[sources] object KvMarkerCache {
+  private val MaxEntries = 4
+  private val cache = new java.util.LinkedHashMap[
+      (String, Int, Seq[String]),
+      Array[(String, String, String, Long, Array[Byte], String)]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, Int, Seq[String]),
+        Array[(String, String, String, Long, Array[Byte], String)]]): Boolean =
+      size() > MaxEntries
+  }
+
+  def get(key: (String, Int, Seq[String]),
+      load: () => Array[(String, String, String, Long, Array[Byte], String)])
+      : Array[(String, String, String, Long, Array[Byte], String)] = {
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    // load OUTSIDE the lock (driver IO); a racing duplicate load is
+    // harmless — last writer wins, both arrays are identical
+    val v = load()
+    cache.synchronized { cache.put(key, v): Unit }
+    v
+  }
+}
+
 private[sources] object KvFilters {
 
   private val stringCols = Set("rowKey", "family", "qualifier")
