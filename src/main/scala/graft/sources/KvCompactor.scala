@@ -309,7 +309,7 @@ object KvCompactor {
     var dropRecords: Option[org.apache.spark.sql.DataFrame] = None
     if (!cellPolicy.isNoop) {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{col, concat, lit, row_number}
+      import org.apache.spark.sql.functions.{col, concat, lag, lit, row_number, struct}
       val ttlKeep = cellPolicy.dropBelowTs.fold(lit(true))(t => col("ts") >= t)
       val flagged = cellPolicy.maxVersions match {
         case Some(k) =>
@@ -326,16 +326,25 @@ object KvCompactor {
           // feed consumers all see the same bytes), and it guarantees a
           // version is either wholly kept or wholly dropped. TTL-only
           // policies skip this: identical cells share a ts, so the TTL
-          // boundary cannot split them. One extra exchange on the rare
-          // policy-compact path only.
-          mergeDf.dropDuplicates("rowKey", "family", "qualifier", "ts", "value")
-            .withColumn("_tk", ttlKeep)
-            .withColumn("_vn", row_number().over(Window
-              .partitionBy("rowKey", "qualifier")
-              .orderBy(col("_tk").desc, col("ts").desc, col("value").asc,
-                col("family").asc)))
+          // boundary cannot split them. The collapse rides the SAME
+          // window as the ranking (equal sort keys within a partition
+          // ARE identical cells, so copies sit adjacent and a lag
+          // compare marks every copy after the first) — a
+          // dropDuplicates here would add a second exchange; lag +
+          // filter + row_number reuse the one (rowKey, qualifier)
+          // exchange, the filter preserving both its partitioning and
+          // its order.
+          val w = Window.partitionBy("rowKey", "qualifier")
+            .orderBy(col("_tk").desc, col("ts").desc, col("value").asc,
+              col("family").asc)
+          mergeDf.withColumn("_tk", ttlKeep)
+            .withColumn("_dup",
+              lag(struct(col("family"), col("ts"), col("value")), 1).over(w)
+                <=> struct(col("family"), col("ts"), col("value")))
+            .filter(!col("_dup"))
+            .withColumn("_vn", row_number().over(w))
             .withColumn("_keep", col("_tk") && col("_vn") <= k)
-            .drop("_tk", "_vn")
+            .drop("_tk", "_dup", "_vn")
         case None => mergeDf.withColumn("_keep", ttlKeep)
       }
       dropRecords = Some(flagged.filter(!col("_keep"))
