@@ -576,6 +576,29 @@ object Scratch {
         time("FRESH top-100 (index-only head)")(
           graft.sources.KvIndex.topNCovered(spark, d, "by_v", 100)
             .collect())
+      case "scaleversions" =>
+        import org.apache.spark.sql.functions._
+        // Versions-policy pass at 20M cells (2M keys x 10 versions,
+        // keep 2): prices the r18 fused collapse+rank window (one
+        // exchange) on the same table shape as `scaleretention`.
+        val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/versions20m"
+        graft.sinks.Sinks.deleteRecursive(spark, d)
+        val cells = spark.range(20000000L).selectExpr(
+          "lpad(CAST(id % 2000000 AS STRING), 8, '0') AS rowKey",
+          "'f' AS family", "'amt' AS qualifier",
+          "encode(CAST(id AS STRING), 'UTF-8') AS value",
+          "CAST(id DIV 2000000 AS BIGINT) AS ts")
+        time("stage 20M cells (16 regions)")(
+          cells.write.format("graft-kv").option("regions", 16)
+            .mode("append").save(d))
+        val res = time("versions pass keeping 2 of 10 (16M drops)")(
+          graft.sources.KvCompactor.compact(spark, d, regions = 16,
+            cellPolicy = graft.sources.KvCompactor.CellPolicy(
+              maxVersions = Some(2))))
+        println(s"[probe] $res")
+        time("retained view count")(
+          println(s"[probe] rows: " +
+            spark.read.format("graft-kv").load(d).count()))
       case "topnparts" =>
         import org.apache.spark.sql.functions._
         val d = s"${sys.props("java.io.tmpdir")}/graft_scratch/topnstale"
