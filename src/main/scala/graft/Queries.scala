@@ -402,6 +402,69 @@ object Queries
        |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC
        |LIMIT 25""".stripMargin
 
+  /** r18: WIDE (multi-qualifier) index-served top-n — the pivot carries
+    * click AND view, ordered by click: the covered index on click with
+    * `include = view` serves the whole k-row answer index-only
+    * ([[graft.sources.KvIndex.topNCoveredWide]] via the routing rule's
+    * TopN arm), include payload riding the entries. The null-ordering
+    * boundary (view-only rows pivot with NULL click) is guarded inside
+    * the lookup: bare DESC proves k full rows or answers from the exact
+    * wide pivot; bare ASC never routes (KvIndexTopNSpec pins the grid).
+    */
+  def kvIndexTopnWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureCoveredIndexedCells(spark, sfDir)
+    graft.sources.KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier").isin("click", "view"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "click", col("ts"))), "UTF-8")
+          .as("click_val"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "view", col("ts"))), "UTF-8")
+          .as("view_val"))
+      .createOrReplaceTempView("kv_index_topn_wide_view")
+    spark.sql(
+      """SELECT rowKey, click_val, view_val FROM kv_index_topn_wide_view
+        |ORDER BY CAST(click_val AS BIGINT) DESC, rowKey DESC
+        |LIMIT 25""".stripMargin)
+  }
+
+  private val kvIndexTopnWideSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(10000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(50) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lwwC AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM allc),
+       |lwwV AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM (SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |                 CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |                 event_id AS ts
+       |               FROM events WHERE event_type = 'view')),
+       |curC AS (SELECT rowKey, value FROM lwwC WHERE rn = 1
+       |         AND rowKey NOT BETWEEN '00000050' AND '00000099'),
+       |curV AS (SELECT rowKey, value FROM lwwV WHERE rn = 1
+       |         AND rowKey NOT BETWEEN '00000050' AND '00000099'),
+       |piv AS (SELECT COALESCE(c.rowKey, v.rowKey) AS rowKey,
+       |          c.value AS click_val, v.value AS view_val
+       |        FROM curC c FULL OUTER JOIN curV v ON c.rowKey = v.rowKey)
+       |SELECT rowKey, click_val, view_val FROM piv
+       |ORDER BY CAST(click_val AS BIGINT) DESC, rowKey DESC
+       |LIMIT 25""".stripMargin
+
   private[graft] val kvIndexCoveredSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
@@ -2904,6 +2967,7 @@ object Queries
     "kv_index_topn" -> (kvIndexTopn _),
     "kv_index_topn_range" -> (kvIndexTopnRange _),
     "kv_index_topn_stale" -> (kvIndexTopnStale _),
+    "kv_index_topn_wide" -> (kvIndexTopnWide _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -3079,6 +3143,7 @@ object Queries
     "kv_index_topn" -> kvIndexTopnSql,
     "kv_index_topn_range" -> kvIndexTopnRangeSql,
     "kv_index_topn_stale" -> kvIndexTopnStaleSql,
+    "kv_index_topn_wide" -> kvIndexTopnWideSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

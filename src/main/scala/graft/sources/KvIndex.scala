@@ -1202,9 +1202,36 @@ object KvIndex {
     * string mode orders lexicographically — the same collation contract
     * as [[lookup]] bounds, which `range` shares.
     */
+  /** [[topNCovered]] over the MULTI-qualifier pivot (r18): rows are the
+    * base rows carrying ANY of (leading qualifier ∪ `include`), output is
+    * `(rowKey, value, <include columns>)`, ordered by the LEADING value.
+    * The null-ordering boundary is where this differs from the
+    * single-qualifier shape: a row with only include qualifiers pivots
+    * with a NULL leading value, which the index (entries exist only for
+    * leading-carrying rows) cannot see. Served index-first exactly where
+    * nulls provably cannot reach the k-set:
+    *  - any `[lo, hi)` bound excludes null-leading rows on BOTH sides
+    *    (the pivot's CAST comparison nulls them out too) — both
+    *    directions serve;
+    *  - BARE + DESC (nulls last): the head serves IFF it yields k full
+    *    rows — fewer means the true answer pads with null-leading rows,
+    *    probed by one O(k·files) count and answered by the exact wide
+    *    pivot instead;
+    *  - BARE + ASC (nulls FIRST): the true head IS the null-leading
+    *    rows — always the exact wide pivot ([[KvIndexRouting]] declines
+    *    this shape, so routed plans never pay it blindly).
+    * Unlike the single-qualifier fresh path, wide mode may run bounded
+    * probe jobs at call time (the lookup-shape contract).
+    */
+  def topNCoveredWide(spark: SparkSession, path: String, name: String,
+      k: Int, desc: Boolean = true,
+      lo: Option[String] = None, hi: Option[String] = None): DataFrame =
+    topNCovered(spark, path, name, k, desc, lo, hi, wide = true)
+
   def topNCovered(spark: SparkSession, path: String, name: String, k: Int,
       desc: Boolean = true,
-      lo: Option[String] = None, hi: Option[String] = None): DataFrame = {
+      lo: Option[String] = None, hi: Option[String] = None,
+      wide: Boolean = false): DataFrame = {
     import spark.implicits._
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1251,10 +1278,61 @@ object KvIndex {
       .filter(col("_k").isNotNull && col("_v").isNotNull)
       .orderBy(key).limit(n.toInt)
 
-    if (latest <= m.asOfSeq)
-      return indexTop(k, fetch)
-        .select(decode(col("_k"), "UTF-8").as("rowKey"),
-          decode(col("_v"), "UTF-8").as("value"))
+    // ---- WIDE machinery ([[topNCoveredWide]] doc): the multi-qualifier
+    // pivot's output, ranking, and exact fallback. ----
+    val pvW = paddedValue(guardedValue(col("value"), m.pad), m.pad)
+    /** Bounds + order + limit over a wide (rowKey, value, includes)
+      * frame; null leading values sort with the direction default
+      * (DESC → last), matching the pivot's Sort.
+      */
+    def rankWide(df: DataFrame): DataFrame = {
+      val lod = loPad.foldLeft(df)((d, l) => d.filter(pvW >= l))
+      val both = hiPad.foldLeft(lod)((d, h) => d.filter(pvW < h))
+      val ordW = if (desc) Seq(pvW.desc, col("rowKey").desc)
+        else Seq(pvW.asc, col("rowKey").asc)
+      both.orderBy(ordW: _*).limit(k)
+    }
+    /** The EXACT wide pivot over (leading ∪ include) — rows carrying any
+      * of the qualifiers, null where absent — restricted by `narrow`
+      * (identity = the whole table: the exact fallback).
+      */
+    def wideFrame(opts: Map[String, String],
+        narrow: DataFrame => DataFrame): DataFrame = {
+      val quals = m.qualifier +: m.include
+      val aggs = quals.zipWithIndex.map { case (q, i) => lww(q).as(s"_w$i") }
+      narrow(KvRead.cells(spark, path, opts)
+        .filter(col("family") === m.family && col("qualifier").isin(quals: _*)))
+        .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
+        .select(col("rowKey") +: quals.zipWithIndex.map { case (q, i) =>
+          decode(col(s"_w$i"), "UTF-8").as(if (i == 0) "value" else q) }: _*)
+    }
+    def wideExact(opts: Map[String, String]): DataFrame =
+      rankWide(wideFrame(opts, identity))
+    /** Whether an index-served wide k-set is PROVABLY null-free (doc):
+      * any bound excludes null-leading rows on both sides; bare DESC
+      * needs the candidate set to yield k full rows (`full`); bare ASC
+      * never serves (nulls rank first).
+      */
+    def wideServes(full: => Boolean): Boolean =
+      lo.isDefined || hi.isDefined || (desc && full)
+
+    if (latest <= m.asOfSeq) {
+      if (!wide)
+        return indexTop(k, fetch)
+          .select(decode(col("_k"), "UTF-8").as("rowKey"),
+            decode(col("_v"), "UTF-8").as("value"))
+      val aggsW = lww("k").as("_k") +: lww("v").as("_v") +:
+        m.include.map(q => lww(s"q:$q").as(s"_q$q"))
+      val head = indexScan.orderBy(key).limit(fetch.toInt)
+        .groupBy(col("rowKey")).agg(aggsW.head, aggsW.tail: _*)
+        .filter(col("_k").isNotNull && col("_v").isNotNull)
+        .orderBy(key).limit(k)
+        .select(decode(col("_k"), "UTF-8").as("rowKey") +:
+          decode(col("_v"), "UTF-8").as("value") +:
+          m.include.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
+      return if (wideServes(head.count() == k)) head
+        else wideExact(Map("asOfSeq" -> latest.toString))
+    }
 
     // ---- STALE paths: pinned to `latest`, never wrong, k-exact. ----
     val pinned = Map("asOfSeq" -> latest.toString)
@@ -1266,11 +1344,13 @@ object KvIndex {
       hiPad.foldLeft(lod)((df, h) => df.filter(pv < h))
         .orderBy(ord: _*).limit(k).select(col("rowKey"), col("value"))
     }
-    def basePivot(): DataFrame = rankK(
-      baseCells(spark, path, m, pinned)
-        .groupBy(col("rowKey"))
-        .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
-          col("value"), col("ts")), "UTF-8").as("value")))
+    def basePivot(): DataFrame =
+      if (wide) wideExact(pinned)
+      else rankK(
+        baseCells(spark, path, m, pinned)
+          .groupBy(col("rowKey"))
+          .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+            col("value"), col("ts")), "UTF-8").as("value")))
     if (spanUnservable(fs, table, m.asOfSeq, latest)) return basePivot()
     // Manifest-stat PRE-GATE on the span size (zero I/O — the entries
     // were just read by the unservable probe): the touched-key probe
@@ -1309,12 +1389,26 @@ object KvIndex {
     // sets collect fully and push per-key gets, larger ones verify via
     // one left-semi join over the pinned family scan.
     val candidates = idxCand.unionByName(touched.toSeq.toDF("rowKey"))
+    val small = k.toLong + 2L * touched.length <= InPushdownCap
+    lazy val candKeys = candidates.collect().map(_.getString(0)).distinct
+    if (wide) {
+      // candidate-restricted wide pivot, pinned; superset of the true
+      // non-null-leading top-k by the same over-fetch argument, so the
+      // k-set is exact exactly where [[wideServes]] proves nulls out
+      def narrow(cells: DataFrame): DataFrame =
+        if (small) cells.filter(col("rowKey").isin(candKeys.toIndexedSeq: _*))
+        else cells.join(candidates, Seq("rowKey"), "left_semi")
+      val vWide = wideFrame(pinned, narrow)
+      return if (wideServes(
+          rankWide(vWide).filter(col("value").isNotNull).count() == k))
+        rankWide(vWide)
+      else wideExact(pinned)
+    }
     val verified =
-      if (k.toLong + 2L * touched.length <= InPushdownCap) {
-        val keys = candidates.collect().map(_.getString(0)).distinct
+      if (small)
         baseCells(spark, path, m, pinned)
-          .filter(col("rowKey").isin(keys.toIndexedSeq: _*))
-      } else baseCells(spark, path, m, pinned)
+          .filter(col("rowKey").isin(candKeys.toIndexedSeq: _*))
+      else baseCells(spark, path, m, pinned)
         .join(candidates, Seq("rowKey"), "left_semi")
     rankK(verified.groupBy(col("rowKey"))
       .agg(decode(graft.functions.MaxByTsAgg.maxByTs(

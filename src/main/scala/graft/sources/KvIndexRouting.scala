@@ -489,8 +489,31 @@ case class KvIndexRouting(session: SparkSession)
     */
   private def routeTopN(k: Int, orders: Seq[SortOrder],
       cond: Option[Expression], s: PivotShape): Option[LogicalPlan] = {
-    if (k < 1 || s.cols.length != 1) return None
-    val (qual, valOut) = s.cols.head
+    if (k < 1 || s.cols.isEmpty) return None
+    // the ordered expression names which pivot column the index must key
+    // on — bare attr (string collation) or integral cast (decimal)
+    val orderedAttr: Option[AttributeReference] = orders.headOption
+      .map(_.child).flatMap {
+        case a: AttributeReference => Some(a)
+        case c: Cast if c.dataType == LongType || c.dataType == IntegerType ||
+            c.dataType == ShortType =>
+          c.child match {
+            case a: AttributeReference => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+    val ordered = orderedAttr.flatMap(a =>
+      s.cols.find(_._2.exprId == a.exprId))
+    if (ordered.isEmpty) return None
+    val (qual, valOut) = ordered.get
+    // the OTHER pivoted columns (multi-qualifier shape, r18): served
+    // from a covered index whose include set is EXACTLY these — a
+    // superset index would add include-only rows the pivot lacks on the
+    // wide fallback path
+    val others = s.cols.collect {
+      case (q, a) if a.exprId != valOut.exprId => q }
+    val wide = others.nonEmpty
     val dirs = orders.map(_.direction).distinct
     if (orders.isEmpty || dirs.length != 1) return None
     val desc = dirs.head == Descending
@@ -509,8 +532,7 @@ case class KvIndexRouting(session: SparkSession)
     // order only for string mode.
     def collationOk(pad: Int): Boolean = orders.head.child match {
       case a: AttributeReference if a.exprId == valOut.exprId => pad == 0
-      case c: Cast if c.dataType == LongType || c.dataType == IntegerType ||
-          c.dataType == ShortType =>
+      case c: Cast =>
         c.child match {
           case a: AttributeReference if a.exprId == valOut.exprId => pad > 0
           case _ => false
@@ -525,6 +547,7 @@ case class KvIndexRouting(session: SparkSession)
     KvIndex.list(fs, table)
       .filter(i => i.family == s.family && i.qualifier == qual &&
         !i.composite && i.covered && collationOk(i.pad) &&
+        (!wide || i.include.toSet == others.toSet) &&
         (k.toLong + 1) * (2 + i.include.length) <= KvIndex.MaxTopNFetch)
       .flatMap { m =>
         cond match {
@@ -535,16 +558,29 @@ case class KvIndexRouting(session: SparkSession)
               .map { case (lo, hi) => (m, lo, hi) }
         }
       }
+      // multi-qualifier + bare + ASC never routes: nulls rank FIRST and
+      // the index only sees leading-carrying rows ([[KvIndex
+      // .topNCoveredWide]] doc) — the unrouted pivot IS the right plan
+      .filterNot { case (_, lo, hi) =>
+        wide && !desc && lo.isEmpty && hi.isEmpty }
       .sortBy { case (m, _, _) => (m.include.length, m.name) }
       .headOption.map { case (m, lo, hi) =>
         val rng = if (lo.isEmpty && hi.isEmpty) ""
           else s" in [${lo.getOrElse("")}, ${hi.getOrElse("inf")})"
         logInfo(s"graft-kv index routing: serving ORDER BY value " +
           s"${if (desc) "DESC " else ""}LIMIT $k$rng on ${s.path} " +
-          s"(${s.family}, $qual) through index '${m.name}'")
+          s"(${s.family}, $qual${if (wide) s" + ${others.mkString(",")}"
+            else ""}) through index '${m.name}'")
         val node = lookupNode(s, m, KvRoutedLookup.TopN, Seq((lo, hi)),
-          topK = k, desc = desc)
-        splice(s, node, _ => node.output(1))
+          topK = k, desc = desc, wide = wide)
+        splice(s, node, q =>
+          if (q == qual) node.output(1)
+          else {
+            val i = m.include.indexOf(q)
+            require(i >= 0, s"graft-kv index routing: '$q' is not " +
+              s"covered by index '${m.name}'")
+            node.output(2 + i)
+          })
       }
   }
 
@@ -558,7 +594,8 @@ case class KvIndexRouting(session: SparkSession)
   private def lookupNode(s: PivotShape, m: KvIndex.Meta,
       kind: KvRoutedLookup.Kind,
       bounds: Seq[(Option[String], Option[String])],
-      topK: Int = 0, desc: Boolean = false): KvRoutedLookup = {
+      topK: Int = 0, desc: Boolean = false,
+      wide: Boolean = false): KvRoutedLookup = {
     val table = new Path(s.path)
     val fs = table.getFileSystem(session.sessionState.newHadoopConf())
     val (rows, bytes) = (kind, bounds.headOption) match {
@@ -575,11 +612,15 @@ case class KvIndexRouting(session: SparkSession)
     val names = kind match {
       case KvRoutedLookup.Composite =>
         Seq("rowKey", "value") ++ m.rest.map(_._1) ++ m.include
+      case KvRoutedLookup.TopN if wide =>
+        // the wide lookup's positional schema: leading value + includes
+        Seq("rowKey", "value") ++ m.include
       case _ => Seq("rowKey", "value")
     }
     KvRoutedLookup(s.path, m.name, kind, bounds, topK, desc,
       estimatedRows = rows, estimatedBytes = bytes,
-      output = names.map(n => AttributeReference(n, StringType)()))
+      output = names.map(n => AttributeReference(n, StringType)()),
+      wide = wide)
   }
 
   private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =

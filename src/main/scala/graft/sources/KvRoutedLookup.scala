@@ -45,7 +45,13 @@ case class KvRoutedLookup(
     desc: Boolean,
     estimatedRows: Long,
     estimatedBytes: Long,
-    output: Seq[Attribute]) extends LeafNode {
+    output: Seq[Attribute],
+    /** TopN only: the MULTI-qualifier pivot shape — output carries the
+      * covered include columns and the lookup runs
+      * [[KvIndex.topNCoveredWide]] (null-ordering guards documented
+      * there).
+      */
+    wide: Boolean = false) extends LeafNode {
   override def computeStats(): Statistics = Statistics(
     sizeInBytes = BigInt(estimatedBytes).max(1),
     rowCount = Some(BigInt(estimatedRows).max(0)))
@@ -87,7 +93,8 @@ object KvRoutedLookup {
         n.bounds.map { case (l, h) => (l.get, h.get) })
     case TopN =>
       val (lo, hi) = n.bounds.headOption.getOrElse((None, None))
-      KvIndex.topNCovered(spark, n.path, n.index, n.topK, n.desc, lo, hi)
+      KvIndex.topNCovered(spark, n.path, n.index, n.topK, n.desc, lo, hi,
+        wide = n.wide)
   }
 }
 

@@ -339,6 +339,82 @@ class KvIndexTopNSpec extends graft.SparkSpec {
       s"cost tie-break did not pick the slim index:\n$plan")
   }
 
+  test("multi-qualifier top-n: the covered-include wide route, null-ordering guards intact") {
+    val dir = s"$base/wide"
+    graft.sinks.Sinks.deleteRecursive(spark, dir)
+    // 300 keys carry 'c' (value 3·id); keys 0..149 ALSO carry 'v'
+    // (5·id); keys 300..349 carry ONLY 'v' — the null-leading pivot
+    // rows the wide guards exist for
+    val cCells = spark.range(300).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'c' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val vCells = spark.range(150).unionAll(spark.range(300, 350)).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id * 5 AS STRING), 'UTF-8') AS value", "id AS ts")
+    cCells.unionAll(vCells).write.format("graft-kv")
+      .option("regions", 3).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "cov_cv", "f", "c", pad = 8,
+      include = Seq("v"))
+    KvIndexRouting.install(spark)
+    def view(): Unit = spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier").isin("c", "v"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "c", col("ts"))), "UTF-8").as("c"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "v", col("ts"))), "UTF-8").as("v"))
+      .createOrReplaceTempView("wide_v")
+    view()
+    def rows(sql: String): Seq[(String, String, String)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    def check(sql: String, expectRouted: Boolean): Unit = {
+      val df = spark.sql(sql)
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("KvRoutedLookup") == expectRouted,
+        s"routed=${!expectRouted} unexpectedly for:\n$sql\n$plan")
+      spark.conf.set(KvIndexRouting.EnabledKey, "false")
+      try got shouldBe rows(sql)
+      finally spark.conf.unset(KvIndexRouting.EnabledKey)
+    }
+    // bare DESC within the c-row count: index-served, include riding
+    check("""SELECT rowKey, c, v FROM wide_v
+            |ORDER BY CAST(c AS BIGINT) DESC, rowKey DESC LIMIT 5""".stripMargin,
+      expectRouted = true)
+    // bare ASC: the true head IS the null-c (v-only) rows — never routes
+    check("""SELECT rowKey, c, v FROM wide_v
+            |ORDER BY CAST(c AS BIGINT) ASC, rowKey ASC LIMIT 5""".stripMargin,
+      expectRouted = false)
+    // range + ASC: bounds exclude nulls on both sides — routes
+    check("""SELECT rowKey, c, v FROM wide_v
+            |WHERE CAST(c AS BIGINT) >= 300 AND CAST(c AS BIGINT) < 600
+            |ORDER BY CAST(c AS BIGINT) ASC, rowKey ASC LIMIT 7""".stripMargin,
+      expectRouted = true)
+    // bare DESC with k PAST the c-row count: routes, and the in-node
+    // guard falls back to the exact wide pivot so the null-c tail pads
+    // identically to the unrouted plan
+    check("""SELECT rowKey, c, v FROM wide_v
+            |ORDER BY CAST(c AS BIGINT) DESC, rowKey DESC LIMIT 320""".stripMargin,
+      expectRouted = true)
+    // STALE: an unabsorbed update jumps a key into the top, a fresh
+    // v-only key lands, a key is deleted — the wide route still answers
+    spark.range(1).selectExpr(
+      "'000007' AS rowKey", "'f' AS family", "'c' AS qualifier",
+      "encode('99999', 'UTF-8') AS value", "500000L AS ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    KvDelete.deleteRows(spark, dir,
+      spark.range(1).selectExpr("'000299' AS rowKey"))
+    view()
+    check("""SELECT rowKey, c, v FROM wide_v
+            |ORDER BY CAST(c AS BIGINT) DESC, rowKey DESC LIMIT 6""".stripMargin,
+      expectRouted = true)
+  }
+
   test("rangeIsSelective memo invalidates on a new base commit (decision re-prices)") {
     val dir = s"$base/memo"
     graft.sinks.Sinks.deleteRecursive(spark, dir)
