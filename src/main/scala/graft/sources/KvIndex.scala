@@ -1308,13 +1308,18 @@ object KvIndex {
     }
     def wideExact(opts: Map[String, String]): DataFrame =
       rankWide(wideFrame(opts, identity))
-    /** Whether an index-served wide k-set is PROVABLY null-free (doc):
-      * any bound excludes null-leading rows on both sides; bare DESC
-      * needs the candidate set to yield k full rows (`full`); bare ASC
-      * never serves (nulls rank first).
-      */
-    def wideServes(full: => Boolean): Boolean =
-      lo.isDefined || hi.isDefined || (desc && full)
+    // Wide null guards ([[topNCoveredWide]] doc), applied at each serve
+    // site: any bound excludes null-leading rows on both sides; bare
+    // DESC serves only a k-full probed set; bare ASC never serves.
+
+    // Serve the PROBE's own rows when a k-full check had to run (the
+    // bare-DESC wide guard): re-executing the probed frame would pay
+    // the whole ranked job twice — its ≤ k collected rows ARE the
+    // answer when the guard passes.
+    def served(rows: Array[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
 
     if (latest <= m.asOfSeq) {
       if (!wide)
@@ -1330,7 +1335,10 @@ object KvIndex {
         .select(decode(col("_k"), "UTF-8").as("rowKey") +:
           decode(col("_v"), "UTF-8").as("value") +:
           m.include.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
-      return if (wideServes(head.count() == k)) head
+      if (lo.isDefined || hi.isDefined) return head // bounds exclude nulls
+      if (!desc) return wideExact(Map("asOfSeq" -> latest.toString))
+      val rows = head.collect()
+      return if (rows.length == k) served(rows, head.schema)
         else wideExact(Map("asOfSeq" -> latest.toString))
     }
 
@@ -1394,14 +1402,21 @@ object KvIndex {
     if (wide) {
       // candidate-restricted wide pivot, pinned; superset of the true
       // non-null-leading top-k by the same over-fetch argument, so the
-      // k-set is exact exactly where [[wideServes]] proves nulls out
+      // k-set is exact exactly where the null guards prove nulls out
+      // ([[topNCoveredWide]] doc); the bare-DESC guard serves its own
+      // probed rows (`served`) instead of re-running the ranked job
       def narrow(cells: DataFrame): DataFrame =
         if (small) cells.filter(col("rowKey").isin(candKeys.toIndexedSeq: _*))
         else cells.join(candidates, Seq("rowKey"), "left_semi")
-      val vWide = wideFrame(pinned, narrow)
-      return if (wideServes(
-          rankWide(vWide).filter(col("value").isNotNull).count() == k))
-        rankWide(vWide)
+      val ranked = rankWide(wideFrame(pinned, narrow))
+      if (lo.isDefined || hi.isDefined) return ranked
+      if (!desc) return wideExact(pinned)
+      val rows = ranked.collect()
+      // any null leading value inside the k-set means fewer than k
+      // non-null rows exist globally (candidates ⊇ the non-null top-k),
+      // so the true answer pads with null rows only the exact pivot sees
+      return if (rows.length == k && rows.forall(!_.isNullAt(1)))
+        served(rows, ranked.schema)
       else wideExact(pinned)
     }
     val verified =

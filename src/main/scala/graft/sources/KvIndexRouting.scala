@@ -172,7 +172,15 @@ case class KvIndexRouting(session: SparkSession)
     * same columns whether or not the cost call routed.
     */
   private case class PivotShape(path: String, family: String,
-      outs: Seq[(Attribute, Option[String])]) {
+      outs: Seq[(Attribute, Option[String])],
+      /** The inner filter's qualifier set — may be a SUPERSET of the
+        * pivoted columns' qualifiers: rows carrying only an extra
+        * qualifier pivot with every value column NULL. The range route
+        * tolerates them (its retained Filter nulls them out on both
+        * sides); the top-n route must refuse unless the sets are EQUAL
+        * ([[routeTopN]] — an all-null row can reach a bare top-k).
+        */
+      filterQuals: Seq[String]) {
     def cols: Seq[(String, Attribute)] =
       outs.collect { case (a, Some(q)) => (q, a) }
   }
@@ -183,7 +191,7 @@ case class KvIndexRouting(session: SparkSession)
         (path, fam, quals, relOut) <- scanShape(stripProjects(aggChild))
         if attrIn(g, "rowKey", relOut)
         outs <- outputCols(aggExprs, g, quals, relOut)
-      } yield PivotShape(path, fam, outs)
+      } yield PivotShape(path, fam, outs, quals)
     case _ => None
   }
 
@@ -490,6 +498,14 @@ case class KvIndexRouting(session: SparkSession)
   private def routeTopN(k: Int, orders: Seq[SortOrder],
       cond: Option[Expression], s: PivotShape): Option[LogicalPlan] = {
     if (k < 1 || s.cols.isEmpty) return None
+    // The filter's qualifier set must EQUAL the pivoted columns': an
+    // extra filtered qualifier (IN ('a','c') pivoting only 'a')
+    // contributes rows whose every value column is NULL — invisible to
+    // any index, rank-relevant to a bare top-k in both directions, and
+    // absent even from the wide fallback's (leading ∪ include) scan.
+    // The RANGE route tolerates the superset (its retained Filter drops
+    // all-null rows on both sides); the top-n route refuses.
+    if (s.filterQuals.toSet != s.cols.map(_._1).toSet) return None
     // the ordered expression names which pivot column the index must key
     // on — bare attr (string collation) or integral cast (decimal)
     val orderedAttr: Option[AttributeReference] = orders.headOption
@@ -680,10 +696,17 @@ case class KvIndexRouting(session: SparkSession)
       // String collation: only the two exact-[lo, hi) spellings are
       // provably range-equivalent; >/<= on strings have no closed-form
       // exclusive twin, so they stay residual and block routing.
+      // NUL-carrying literals never extract (r18): the lazy routed node
+      // defers the lookup's NUL-bound refusal to EXECUTION time, where
+      // no unrouted fallback exists — the rewrite decision must stay
+      // non-load-bearing, so an inexpressible bound declines HERE.
+      // Dropping the literal widens or voids the range — a superset
+      // either way, and the retained Filter keeps the answer exact.
       var lo = Option.empty[String]
       var hi = Option.empty[String]
       def litStr(e: Expression): Option[String] = e match {
-        case Literal(s: UTF8String, StringType) => Some(s.toString)
+        case Literal(s: UTF8String, StringType) =>
+          Some(s.toString).filterNot(_.contains("\u0000"))
         case _ => None
       }
       def addLo(x: String): Unit = lo = Some(lo.fold(x)(l => if (x > l) x else l))

@@ -136,6 +136,15 @@ class KvIndexRoutingSpec extends graft.SparkSpec {
       "SELECT rowKey, value FROM rt_str WHERE value > 'u00010' AND value <= 'u00020'")
     assert(!routed(planOf(loose)), "string >/<= must not route")
     loose.count() shouldBe 10L
+    // a NUL-carrying bound is inexpressible to the index (the key
+    // separator): it must DECLINE at plan time — since r18 the lookup
+    // runs at execution, where its refusal would have no unrouted
+    // fallback and the rewrite decision must never be load-bearing
+    val nulBound = spark.sql(
+      """SELECT rowKey, value FROM rt_str
+        |WHERE value >= 'u00010' AND value < concat('u00020', chr(0))""".stripMargin)
+    assert(!routed(planOf(nulBound)), "NUL-carrying bound routed")
+    nulBound.count() shouldBe 11L // 'u00020' itself is below the NUL tail
   }
 
   test("shapes that answer a different question never route") {

@@ -224,6 +224,18 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     // a non-rowKey second key answers a different tie question
     unrouted("""SELECT rowKey, value FROM topn_r
                 |ORDER BY CAST(value AS BIGINT) DESC, value DESC LIMIT 5""".stripMargin)
+    // the inner filter's qualifier set must EQUAL the pivoted columns:
+    // an IN superset contributes rows whose every value column is NULL
+    // — rank-relevant to a bare top-k and invisible to any index
+    spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier").isin("v", "tag"))
+      .groupBy(col("rowKey"))
+      .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
+        col("value"), when(col("qualifier") === "v", col("ts"))),
+        "UTF-8").as("value"))
+      .createOrReplaceTempView("topn_super")
+    unrouted("""SELECT rowKey, value FROM topn_super
+                |ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT 5""".stripMargin)
     // STALE covered index: one more base commit, no refresh — r18, the
     // route STILL serves (verified over-fetch ∪ CDC tail) and the
     // answer reflects the unabsorbed commit
