@@ -60,8 +60,12 @@ object Export {
   }
 
   /** Run the full export: plan + sink. */
-  def run(cells: DataFrame, cfg: Config): Unit = {
-    val df = plan(cells, cfg)
+  def run(cells: DataFrame, cfg: Config): Unit = write(plan(cells, cfg), cfg)
+
+  /** Sink an ALREADY-BUILT export plan — exposed so a leg-timed bench can
+    * cache the pivot and time the write alone ([[Legs]]).
+    */
+  def write(df: DataFrame, cfg: Config): Unit = {
     cfg.format match {
       case DelimitedTxt => Sinks.delimitedText(df, cfg.outputPath, cfg.compression.contains("gzip"))
       case DelimitedSeq => Sinks.sequenceFile(df, cfg.outputPath, cfg.compression)

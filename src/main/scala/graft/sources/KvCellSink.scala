@@ -669,8 +669,13 @@ private[sources] class KvDataWriter(
   private var lastQual: org.apache.spark.unsafe.types.UTF8String = null
   private var tombstones = 0L
   private var rows = 0L
-  private var minKey: String = null
-  private var maxKey: String = null
+  // key bounds tracked as UTF8String: compareTo is unsigned UTF-8 BYTE
+  // order — the ordering parquet footer stats, Spark string comparisons,
+  // and every manifest-stat consumer (prune, min/max pushdown, mask
+  // slicing) use. JVM String order (UTF-16 code units) diverges for
+  // supplementary-plane keys and would write non-superset bounds.
+  private var minKey: org.apache.spark.unsafe.types.UTF8String = null
+  private var maxKey: org.apache.spark.unsafe.types.UTF8String = null
   private var minTs = Long.MaxValue
   private var maxTs = Long.MinValue
   private var sawTs = false
@@ -731,11 +736,11 @@ private[sources] class KvDataWriter(
               "path-API append pre-salts through KvSalt.salted/saltedWrite " +
               "and declares saltedInput=<n>")
       }
-      // .toString copies out of Spark's reused row buffer — required
-      val k = row.getUTF8String(keyIdx).toString
-      if (minKey == null || k < minKey) minKey = k
-      if (maxKey == null || k > maxKey) maxKey = k
-      bloom.add(k)
+      val u = row.getUTF8String(keyIdx)
+      // .clone() copies out of Spark's reused row buffer — required
+      if (minKey == null || u.compareTo(minKey) < 0) minKey = u.clone()
+      if (maxKey == null || u.compareTo(maxKey) > 0) maxKey = u.clone()
+      bloom.add(u.toString)
     }
     // ts bounds cover PUT rows only: a delete marker's ts is a masking
     // bound, not data — folding it in would poison every consumer of
@@ -765,7 +770,7 @@ private[sources] class KvDataWriter(
           b.result()
         })
       commitAs(file, Some(KvLog.FileStat(rows, bytes,
-        Option(minKey), Option(maxKey),
+        Option(minKey).map(_.toString), Option(maxKey).map(_.toString),
         if (sawTs) Some(minTs) else None, if (sawTs) Some(maxTs) else None,
         bloom.buildToken(), tombstones,
         families = setOf(famSet), qualifiers = setOf(qualSet))))

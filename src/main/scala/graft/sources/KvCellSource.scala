@@ -549,8 +549,10 @@ private[sources] class KvStatsScan(path: String, specs: Seq[KvStatsScan.Spec],
         count += st.rows
         st.minTs.foreach(lo => tsMin = Some(tsMin.fold(lo)(math.min(_, lo))))
         st.maxTs.foreach(hi => tsMax = Some(tsMax.fold(hi)(math.max(_, hi))))
-        st.minKey.foreach(lo => keyMin = Some(keyMin.fold(lo)(m => if (lo < m) lo else m)))
-        st.maxKey.foreach(hi => keyMax = Some(keyMax.fold(hi)(m => if (hi > m) hi else m)))
+        // byte-order union: Spark's min/max over strings is UTF8String
+        // (byte) order — a UTF-16 union could serve a wrong aggregate
+        st.minKey.foreach(lo => keyMin = Some(keyMin.fold(lo)(graft.kv.Utf8Order.min(_, lo))))
+        st.maxKey.foreach(hi => keyMax = Some(keyMax.fold(hi)(graft.kv.Utf8Order.max(_, hi))))
       case (f, None) =>
         // Stat-less legacy file: footer fallback serves count and ts (int64
         // footer stats are exact); key bounds never get here — the builder
@@ -981,7 +983,10 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     * without bounds (stat-less) take the full set as their slice.
     */
   private lazy val maskSlices: Option[Map[String, KvDelete.Mask]] = {
-    val sorted = liveMarkers.sortBy(_._6)
+    // sort + search under UTF-8 byte order — the manifest [minKey, maxKey]
+    // these slices are cut against is byte-ordered (sink stat), and a
+    // UTF-16 slice could MISS a marker whose file the bounds do cover
+    val sorted = liveMarkers.sortBy(_._6)(graft.kv.Utf8Order)
     val storedKeys: Array[String] = sorted.map(_._6)
     val m = storedKeys.length
     // first index with key >= lo / first index with key > hi
@@ -989,7 +994,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       var a = 0; var b = m
       while (a < b) {
         val mid = (a + b) >>> 1
-        if (storedKeys(mid) < lo) a = mid + 1 else b = mid
+        if (graft.kv.Utf8Order.compare(storedKeys(mid), lo) < 0) a = mid + 1 else b = mid
       }
       a
     }
@@ -997,7 +1002,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       var a = 0; var b = m
       while (a < b) {
         val mid = (a + b) >>> 1
-        if (storedKeys(mid) <= hi) a = mid + 1 else b = mid
+        if (graft.kv.Utf8Order.compare(storedKeys(mid), hi) <= 0) a = mid + 1 else b = mid
       }
       a
     }
@@ -1061,7 +1066,9 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       case Some(keys) => plannedFiles.filter { f =>
         val st = statsByFile.get(f).flatten
         val rangeOk = st.flatMap(s => s.minKey.zip(s.maxKey)) match {
-          case Some((lo, hi)) => keys.exists(k => k >= lo && k <= hi)
+          case Some((lo, hi)) => keys.exists(k =>
+            graft.kv.Utf8Order.compare(k, lo) >= 0 &&
+              graft.kv.Utf8Order.compare(k, hi) <= 0)
           case None => true // no bounds: cannot prune, must scan
         }
         // Runtime (DPP) keys are exact values — the bloom prunes the
@@ -1689,8 +1696,11 @@ private[sources] object KvFilters {
           strs.foreach(s => set.add(Binary.fromString(s)): Unit)
           Some(FilterApi.in(bin(c), set))
         } else Some(FilterApi.and(
-          FilterApi.gtEq(bin(c), Binary.fromString(strs.min)),
-          FilterApi.ltEq(bin(c), Binary.fromString(strs.max))))
+          // min/max under UTF-8 BYTE order (graft.kv.Utf8Order), not JVM
+          // String order — parquet compares Binary bytes unsigned, and a
+          // UTF-16 min/max can exclude set members (ADVICE r18).
+          FilterApi.gtEq(bin(c), Binary.fromString(strs.min(graft.kv.Utf8Order))),
+          FilterApi.ltEq(bin(c), Binary.fromString(strs.max(graft.kv.Utf8Order)))))
       case GreaterThan(c, v: String) if stringCols(c) =>
         Some(FilterApi.gt(bin(c), Binary.fromString(v)))
       case GreaterThanOrEqual(c, v: String) if stringCols(c) =>
@@ -1780,10 +1790,18 @@ private[sources] object KvFilters {
     * prunes per disjunct instead of not at all.
     */
   def rowKeyIntervalSets(filters: Array[Filter]): Seq[Seq[KeyInterval]] = {
+    // All interval math under UTF-8 BYTE order (graft.kv.Utf8Order): the
+    // file [min, max] these intervals prune against comes from parquet's
+    // unsigned-byte Binary stats, and Spark's own string comparisons are
+    // UTF8String (byte) order too. JVM String (UTF-16) min/max diverges
+    // for supplementary-plane vs [U+E000, U+FFFF] mixes and can NARROW
+    // the interval → wrongly-pruned files (ADVICE r18 hazard class).
     def inter(a: KeyInterval, b: KeyInterval): Option[KeyInterval] = {
-      val lo = (a._1 ++ b._1).reduceOption((x, y) => if (x > y) x else y)
-      val hi = (a._2 ++ b._2).reduceOption((x, y) => if (x < y) x else y)
-      if (lo.zip(hi).exists { case (l, h) => l > h }) None else Some((lo, hi))
+      val lo = (a._1 ++ b._1).reduceOption(graft.kv.Utf8Order.max)
+      val hi = (a._2 ++ b._2).reduceOption(graft.kv.Utf8Order.min)
+      if (lo.zip(hi).exists { case (l, h) => graft.kv.Utf8Order.compare(l, h) > 0 })
+        None
+      else Some((lo, hi))
     }
     // And of two disjunction-sets is the pairwise-intersection product;
     // past a sanity cap the filter just stops constraining (sound: pruning
@@ -1816,7 +1834,9 @@ private[sources] object KvFilters {
     */
   def keepsFile(sets: Seq[Seq[KeyInterval]], lo: String, hi: String): Boolean =
     sets.forall(_.exists { case (bLo, bHi) =>
-      bLo.forall(_ <= hi) && bHi.forall(_ >= lo)
+      // byte-order compare — [lo, hi] is parquet's unsigned-byte stat range
+      bLo.forall(graft.kv.Utf8Order.compare(_, hi) <= 0) &&
+        bHi.forall(graft.kv.Utf8Order.compare(_, lo) >= 0)
     })
 
   /** The FINITE rowKey point set implied by the pushed conjunction, when
@@ -1862,7 +1882,8 @@ private[sources] object KvFilters {
           }
       }
       if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      else Some((ranges.map(_._1).min(graft.kv.Utf8Order),
+        ranges.map(_._2).max(graft.kv.Utf8Order)))
     } finally r.close()
   }
 

@@ -208,8 +208,9 @@ object KvFsck {
         if (marker) tombstones += 1
         if (!row.isNullAt(0)) {
           val k = row.getUTF8String(0).toString // copy out of the reused buffer
-          if (minKey == null || k < minKey) minKey = k
-          if (maxKey == null || k > maxKey) maxKey = k
+          // byte order, matching the sink's stat computation
+          if (minKey == null || graft.kv.Utf8Order.compare(k, minKey) < 0) minKey = k
+          if (maxKey == null || graft.kv.Utf8Order.compare(k, maxKey) > 0) maxKey = k
           bloom.add(k)
         }
         if (!marker && !row.isNullAt(2)) {
@@ -288,7 +289,8 @@ object KvFsck {
       scratchDirs = scratch,
       logEntries = KvLog.history(fs, dir).size,
       boundsInverted = stats.valuesIterator.count(s =>
-        s.minKey.zip(s.maxKey).exists { case (lo, hi) => lo > hi }),
+        s.minKey.zip(s.maxKey).exists { case (lo, hi) =>
+          graft.kv.Utf8Order.compare(lo, hi) > 0 }),
       tailMarks = KvLog.tailPositions(fs, dir).size,
       tombstoneFiles = stats.valuesIterator.count(_.tombstones > 0),
       liveTombstones = stats.valuesIterator.map(_.tombstones).sum,

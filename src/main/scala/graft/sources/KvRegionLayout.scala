@@ -77,7 +77,11 @@ object KvRegionLayout {
     var b = bounds.length
     while (a < b) {
       val mid = (a + b) >>> 1
-      if (bounds(mid) <= stored) a = mid + 1 else b = mid
+      // UTF-8 byte order: bounds are file minKeys (byte-ordered sink
+      // stats) and the files were range-partitioned by Spark's byte-order
+      // sort — a UTF-16 search could assign a key to a region other than
+      // the file that physically holds it, silently breaking co-location
+      if (graft.kv.Utf8Order.compare(bounds(mid), stored) <= 0) a = mid + 1 else b = mid
     }
     a
   }
@@ -149,9 +153,10 @@ object KvRegionLayout {
       st.flatMap(s => s.minKey.zip(s.maxKey)).map { case (lo, hi) => (f, lo, hi) }
     }
     if (withBounds.size != entries.size) return None
-    val sorted = withBounds.sortBy(_._2)
+    val sorted = withBounds.sortBy(_._2)(graft.kv.Utf8Order)
     val disjoint = sorted.sliding(2).forall {
-      case Seq((_, _, hiA), (_, loB, _)) => hiA < loB
+      case Seq((_, _, hiA), (_, loB, _)) =>
+        graft.kv.Utf8Order.compare(hiA, loB) < 0
       case _ => true
     }
     if (!disjoint) return None

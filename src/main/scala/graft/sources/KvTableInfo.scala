@@ -83,8 +83,10 @@ object KvTableInfo {
     val ranges =
       entries.flatMap { case (_, st) => st.get.minKey.zip(st.get.maxKey) }
     if (ranges.size != entries.size) return false // an all-null-key file: no bounds
-    ranges.sortBy(_._1).sliding(2).forall {
-      case Seq((_, hiA), (loB, _)) => hiA < loB
+    // UTF-8 byte order — matches the sink's byte-ordered stats and the
+    // byte-order key sort that produced the files (graft.kv.Utf8Order doc)
+    ranges.sortBy(_._1)(graft.kv.Utf8Order).sliding(2).forall {
+      case Seq((_, hiA), (loB, _)) => graft.kv.Utf8Order.compare(hiA, loB) < 0
       case _ => true // single file
     }
   }
