@@ -465,6 +465,76 @@ object Queries
        |ORDER BY CAST(click_val AS BIGINT) DESC, rowKey DESC
        |LIMIT 25""".stripMargin
 
+  /** r19: COMPOSITE index-served top-n — `ORDER BY click DESC, view DESC
+    * LIMIT k` with a range bound on BOTH components routes through the
+    * composite index `(click, view)` ([[graft.sources.KvIndex
+    * .topNComposite]] via the routing rule's TopN arm): the NUL-joined
+    * prefix-free encoding makes encoded-key order exactly the
+    * (click, view) tuple order, so the k-head of the bounded encoded
+    * range serves the whole answer in ONE index scan on the fresh path.
+    * The per-component bounds are the null wall (a row missing a
+    * component pivots with NULL there and ranks mid-stream, invisible
+    * to the inner-join index) — a bare composite sort stays on the
+    * pivot. Reference tie: AvroReader.java:27-30's inspection-limit
+    * semantics over a composite collation.
+    */
+  def kvIndexTopnComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureCompositeIdx(spark, sfDir)
+    graft.sources.KvIndexRouting.install(spark)
+    spark.read.format("graft-kv").load(path)
+      .filter(col("family") === "f" && col("qualifier").isin("click", "view"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "click", col("ts"))), "UTF-8")
+          .as("click_val"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "view", col("ts"))), "UTF-8")
+          .as("view_val"))
+      .createOrReplaceTempView("kv_index_topn_composite_view")
+    spark.sql(
+      """SELECT rowKey, click_val, view_val FROM kv_index_topn_composite_view
+        |WHERE CAST(click_val AS BIGINT) >= 9000 AND CAST(click_val AS BIGINT) < 12000
+        |  AND CAST(view_val AS BIGINT) >= 0 AND CAST(view_val AS BIGINT) < 5000
+        |ORDER BY CAST(click_val AS BIGINT) DESC, CAST(view_val AS BIGINT) DESC, rowKey DESC
+        |LIMIT 15""".stripMargin)
+  }
+
+  private[graft] val kvIndexTopnCompositeSql: String =
+    s"""WITH base AS (
+       |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |         event_id AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |upd AS (
+       |  SELECT lpad(CAST(i AS VARCHAR), 8, '0') AS rowKey,
+       |         CAST(10000 + i AS VARCHAR) AS value,
+       |         4000000000000000000 + i AS ts
+       |  FROM range(50) t(i)),
+       |allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+       |lwwC AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM allc),
+       |lwwV AS (SELECT rowKey, value,
+       |           row_number() OVER (PARTITION BY rowKey
+       |             ORDER BY ts DESC, value ASC) AS rn
+       |         FROM (SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
+       |                 CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS value,
+       |                 event_id AS ts
+       |               FROM events WHERE event_type = 'view')),
+       |cur AS (SELECT rowKey, value FROM lwwC
+       |        WHERE rn = 1
+       |          AND rowKey NOT BETWEEN '00000050' AND '00000099')
+       |SELECT c.rowKey, c.value AS click_val, v.value AS view_val
+       |FROM cur c JOIN (SELECT rowKey, value FROM lwwV WHERE rn = 1
+       |                 AND rowKey NOT BETWEEN '00000050' AND '00000099') v
+       |  ON c.rowKey = v.rowKey
+       |WHERE CAST(c.value AS BIGINT) >= 9000 AND CAST(c.value AS BIGINT) < 12000
+       |  AND CAST(v.value AS BIGINT) >= 0 AND CAST(v.value AS BIGINT) < 5000
+       |ORDER BY CAST(c.value AS BIGINT) DESC, CAST(v.value AS BIGINT) DESC, c.rowKey DESC
+       |LIMIT 15""".stripMargin
+
   private[graft] val kvIndexCoveredSql: String =
     s"""WITH base AS (
        |  SELECT lpad(CAST(user_id AS VARCHAR), 8, '0') AS rowKey,
@@ -2687,6 +2757,23 @@ object Queries
   private[graft] def tmpOut(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_export/$name"
 
+  /** Export write with optional LEG staging ([[Legs]], bench-only): when
+    * leg timing is on, the pivot materializes through a cache (the
+    * "pivot" leg, CPU) so the sink write (the "write" leg) times IO
+    * alone; Bench adds the read-back leg from its own phase timer. Off
+    * (Verify, tests, library callers), the plan stays fused exactly as
+    * before — pivot and write in one pass.
+    */
+  private def exportStaged(name: String, cells: DataFrame, cfg: Export.Config): Unit =
+    if (!Legs.enabled) Export.run(cells, cfg)
+    else {
+      val planned = Export.plan(cells, cfg).cache()
+      try {
+        Legs.timed(name, "pivot")(planned.count(): Unit)
+        Legs.timed(name, "write")(Export.write(planned, cfg))
+      } finally planned.unpersist(false): Unit
+    }
+
   /** The CSV-dialect delimited schema used by the text/seq round-trips. */
   private[graft] val DelimSchema = "click,view,KEY"
 
@@ -2708,7 +2795,7 @@ object Queries
   def exportTxtRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = KvTable.eventsAsCells(spark, sfDir)
     val cfg = delimitedExportCfg(Export.DelimitedTxt, "txt", Some("gzip"))
-    Export.run(cells, cfg)
+    exportStaged("export_txt_roundtrip", cells, cfg)
     spark.read.text(cfg.outputPath).withColumnRenamed("value", "line")
   }
 
@@ -2717,7 +2804,7 @@ object Queries
     val cells = KvTable.eventsAsCells(spark, sfDir)
     val cfg = delimitedExportCfg(Export.DelimitedSeq, "seq", Some("gzip"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    Export.run(cells, cfg)
+    exportStaged("export_seq_roundtrip", cells, cfg)
     graft.sinks.Sinks.readSequenceFile(spark, cfg.outputPath)
   }
 
@@ -2732,7 +2819,7 @@ object Queries
     val cfg = Export.Config(Export.Avro, TypedAvroSchema, tmpOut("avro"),
       columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    Export.run(cells, cfg)
+    exportStaged("export_avro_roundtrip", cells, cfg)
     graft.sinks.AvroIO.read(spark, cfg.outputPath, SchemaFile.parseAvroJson(TypedAvroSchema))
   }
 
@@ -2745,7 +2832,7 @@ object Queries
     val cfg = Export.Config(Export.Parquet, TypedAvroSchema, tmpOut("parquet"),
       columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    Export.run(cells, cfg)
+    exportStaged("export_parquet_roundtrip", cells, cfg)
     Export.readParquet(spark, cfg.outputPath)
   }
 
@@ -2759,7 +2846,7 @@ object Queries
     val cfg = Export.Config(Export.Orc, TypedAvroSchema, tmpOut("orc"),
       columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("zlib"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    Export.run(cells, cfg)
+    exportStaged("export_orc_roundtrip", cells, cfg)
     Export.readOrc(spark, cfg.outputPath)
   }
 
@@ -2771,7 +2858,7 @@ object Queries
     val cfg = Export.Config(Export.JsonLines, TypedAvroSchema, tmpOut("jsonl"),
       columnFamily = Some("c"), rowKeyColumn = Some("KEY"), compression = Some("gzip"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    Export.run(cells, cfg)
+    exportStaged("export_json_roundtrip", cells, cfg)
     Export.readJsonLines(spark, cfg.outputPath, TypedAvroSchema)
   }
 
@@ -2807,7 +2894,7 @@ object Queries
     val cfg = Export.Config(Export.Avro, ReaderAvroSchema, tmpOut("reader_avro"),
       columnFamily = Some("f"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    Export.run(cells, cfg)
+    exportStaged("reader_avro_limit", cells, cfg)
     graft.sinks.AvroIO.read(spark, cfg.outputPath, SchemaFile.parseAvroJson(ReaderAvroSchema))
       .orderBy(col("KEY")).limit(20)
   }
@@ -2821,7 +2908,7 @@ object Queries
     val cfg = Export.Config(Export.Parquet, ReaderAvroSchema, tmpOut("reader_parquet"),
       columnFamily = Some("f"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    Export.run(cells, cfg)
+    exportStaged("reader_parquet_limit", cells, cfg)
     Export.readParquet(spark, cfg.outputPath).orderBy(col("KEY")).limit(20)
   }
 
@@ -2968,6 +3055,7 @@ object Queries
     "kv_index_topn_range" -> (kvIndexTopnRange _),
     "kv_index_topn_stale" -> (kvIndexTopnStale _),
     "kv_index_topn_wide" -> (kvIndexTopnWide _),
+    "kv_index_topn_composite" -> (kvIndexTopnComposite _),
     "kv_fsck" -> (kvFsck _),
     "kv_split_scan" -> (kvSplitScan _),
     "kv_incremental_pivot" -> (kvIncrementalPivot _),
@@ -3144,6 +3232,7 @@ object Queries
     "kv_index_topn_range" -> kvIndexTopnRangeSql,
     "kv_index_topn_stale" -> kvIndexTopnStaleSql,
     "kv_index_topn_wide" -> kvIndexTopnWideSql,
+    "kv_index_topn_composite" -> kvIndexTopnCompositeSql,
     "kv_fsck" -> kvFsckSql,
     "export_orc_roundtrip" -> kvTypedExportSql,
     "export_json_roundtrip" -> kvTypedExportSql,

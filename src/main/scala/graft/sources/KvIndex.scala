@@ -866,7 +866,8 @@ object KvIndex {
           // standard histogram estimate — region files ARE equi-depth
           // buckets of the value order).
           case (Some(mn), Some(mx)) =>
-            if (mx < loPad || mn >= hiPad) 0.0
+            if (graft.kv.Utf8Order.compare(mx, loPad) < 0 ||
+              graft.kv.Utf8Order.compare(mn, hiPad) >= 0) 0.0
             else {
               val (a, b) = (lexPos(mn), lexPos(mx))
               val span = b - a
@@ -1428,6 +1429,176 @@ object KvIndex {
     rankK(verified.groupBy(col("rowKey"))
       .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
         col("value"), col("ts")), "UTF-8").as("value")))
+  }
+
+  /** INDEX-SERVED COMPOSITE TOP-N (r19 — the Phoenix ORDER-BY-elimination
+    * shape over a multi-column collation): `ORDER BY c1, c2... [DESC]
+    * LIMIT k` with a range bound on EVERY key component, served from a
+    * composite index. The NUL-joined prefix-free encoding makes encoded
+    * key order EXACTLY component-tuple order ([[Meta]] doc) — in both
+    * directions (the reverse of a total order reverses every component
+    * simultaneously) — so the ordered k-head of the bounded index range
+    * IS the pivot's top-k, ties broken by base rowKey in scan direction.
+    *
+    * NULL soundness — why >= 1 bound side per component is REQUIRED, not
+    * a cost choice: a pivot row missing SOME component pivots with NULL
+    * there and ranks mid-stream under a multi-column sort — e.g.
+    * `(9, NULL)` out-ranks `(5, 3)` under `DESC` nulls-last — while the
+    * index cannot see it (entries exist only for rows carrying ALL
+    * components), and no k-full probe can bound it the way the
+    * single-column wide guard does. Any one-sided bound on a component
+    * nulls such rows out of the pivot's own comparison too, so with a
+    * bound per component the pivot's qualifying rows are EXACTLY the
+    * index's in-bounds entries — both directions serve, no null left to
+    * order.
+    *
+    * FRESH (covered seq == latest): ONE index scan — the leading bound
+    * prunes through the encoded key range, non-leading bounds filter the
+    * entry key's NUL segments (whole entries, all cells share the key),
+    * and a pushed TopN fetches a `(k+1) * perEntry`-cell prefix (the
+    * same truncation-guard over-fetch as [[topNCovered]]: the limit can
+    * cut only the LAST entry of the prefix, so the first k are whole).
+    * STALE: the [[topNCovered]] over-fetch argument, component-agnostic —
+    * candidates = the bounded index head of `k + T` entries (an
+    * untouched true-top-k row sits above at most `k-1` untouched and `T`
+    * touched entries, so inside the head) ∪ the span's touched keys (any
+    * component change can move a row INTO the bounds), one verified wide
+    * re-read PINNED to the probed seq, exact re-rank. Degraded spans
+    * fall back to the pinned wide pivot: slower, never wrong.
+    *
+    * Output: `(rowKey, value, <non-leading components...>,
+    * <includes...>)` — [[lookupComposite]]'s positional schema — the
+    * top-k rows in scan direction. Reference tie: the same
+    * AvroReader.java:27-30 inspection-limit semantics the single-column
+    * route serves, over a composite collation.
+    */
+  def topNComposite(spark: SparkSession, path: String, name: String,
+      k: Int, desc: Boolean,
+      bounds: Seq[(Option[String], Option[String])]): DataFrame = {
+    import spark.implicits._
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = meta(fs, table, name).getOrElse(throw new IllegalArgumentException(
+      s"graft-kv index: no index '$name' on $path"))
+    require(m.composite,
+      s"graft-kv index: '$name' is a single-component index — use " +
+        "topNCovered()")
+    require(k >= 1, s"graft-kv index: top-n k must be >= 1, got $k")
+    require(bounds.length == m.keyQuals.length,
+      s"graft-kv index: '$name' has ${m.keyQuals.length} key components " +
+        s"(${m.keyQuals.mkString(", ")}); got ${bounds.length} bounds")
+    bounds.zip(m.pads).zip(m.keyQuals).foreach { case (((lo, hi), p), q) =>
+      lo.foreach(requireValidBound(p, "lo", _))
+      hi.foreach(requireValidBound(p, "hi", _))
+      require(lo.isDefined || hi.isDefined,
+        s"graft-kv index: composite top-n needs at least one bound side " +
+          s"per key component, but '$q' is unbounded — an unbounded " +
+          "component admits NULL-component rows the index cannot rank; " +
+          "run the pivot sort")
+    }
+    val pb = bounds.zip(m.pads).map { case ((lo, hi), p) =>
+      (lo.map(padBound(_, p)), hi.map(padBound(_, p)))
+    }
+    val nComp = m.keyQuals.length
+    val perEntry = 2 + (nComp - 1) + m.include.length
+    val fetch = (k.toLong + 1) * perEntry
+    require(fetch <= MaxTopNFetch,
+      s"graft-kv index: top-n k=$k needs a $fetch-cell index prefix — " +
+        s"beyond the $MaxTopNFetch inspection bound; run the pivot sort " +
+        "for result sets this large")
+    val latest = KvLog.latestSeq(fs, table)
+    val key = if (desc) col("rowKey").desc else col("rowKey").asc
+    def lww(q: String) = graft.functions.MaxByTsAgg.maxByTs(
+      col("value"), when(col("qualifier") === q, col("ts")))
+    val payloadQuals = m.rest.map(_._1) ++ m.include
+
+    // Bounded index scan: the leading bound IS an encoded-key range (a
+    // no-NUL bound b satisfies `encoded >= b <=> v1 >= b` and
+    // `encoded < b <=> v1 < b` — the NUL terminator sorts below every
+    // bound byte), non-leading bounds filter the key's NUL segments.
+    def indexScan = {
+      val base = spark.read.format("graft-kv")
+        .load(indexDir(table, m.name).toString)
+      val leadLo = pb.head._1.foldLeft(base)((df, l) =>
+        df.filter(col("rowKey") >= l))
+      val lead = pb.head._2.foldLeft(leadLo)((df, h) =>
+        df.filter(col("rowKey") < h))
+      (1 until nComp).foldLeft(lead) { (df, i) =>
+        val seg = element_at(split(col("rowKey"), Sep), i + 1)
+        val lod = pb(i)._1.foldLeft(df)((d, l) => d.filter(seg >= l))
+        pb(i)._2.foldLeft(lod)((d, h) => d.filter(seg < h))
+      }
+    }
+    // Top `n` complete in-bounds entries (grouped cells; `_k`/`_v`
+    // non-null drops the one possibly-truncated boundary entry).
+    def indexTopEntries(n: Long, cells: Long) = {
+      val aggs = lww("k").as("_k") +: lww("v").as("_v") +:
+        payloadQuals.map(q => lww(s"q:$q").as(s"_q$q"))
+      indexScan.orderBy(key).limit(cells.toInt)
+        .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
+        .filter(col("_k").isNotNull && col("_v").isNotNull)
+        .orderBy(key).limit(n.toInt)
+    }
+    def project(df: DataFrame): DataFrame =
+      df.select(decode(col("_k"), "UTF-8").as("rowKey") +:
+        decode(col("_v"), "UTF-8").as("value") +:
+        payloadQuals.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
+
+    if (latest <= m.asOfSeq) return project(indexTopEntries(k, fetch))
+
+    // ---- STALE paths: pinned to `latest`, never wrong, k-exact. ----
+    val pinned = Map("asOfSeq" -> latest.toString)
+    // bounds + tuple order + limit over a currentWide frame, then the
+    // composite projection ([[compositeAnswer]]'s shape with rank)
+    def rankComposite(wide: DataFrame): DataFrame = {
+      val compPad = m.keyQuals.indices.map(i =>
+        paddedValue(checkedComponent(col(s"_v$i"), m.pads(i)), m.pads(i)))
+      val bounded = m.keyQuals.indices.foldLeft(wide) { (df, i) =>
+        val lod = pb(i)._1.foldLeft(df)((d, l) => d.filter(compPad(i) >= l))
+        pb(i)._2.foldLeft(lod)((d, h) => d.filter(compPad(i) < h))
+      }
+      val ord = compPad.map(c => if (desc) c.desc else c.asc) :+ key
+      bounded.orderBy(ord: _*).limit(k)
+        .select(col("rowKey") +:
+          decode(col("_v0"), "UTF-8").as("value") +:
+          (m.rest.map(_._1).zipWithIndex.map { case (q, i) =>
+            decode(col(s"_v${i + 1}"), "UTF-8").as(q)
+          } ++ m.include.zipWithIndex.map { case (q, i) =>
+            decode(col(s"_v${nComp + i}"), "UTF-8").as(q)
+          }): _*)
+    }
+    def basePivot(): DataFrame =
+      rankComposite(currentWide(spark, path, m, pinned))
+    if (spanUnservable(fs, table, m.asOfSeq, latest)) return basePivot()
+    // Manifest-stat PRE-GATE on the span size ([[topNCovered]] doc): a
+    // span whose raw rows already exceed the allowance skips the
+    // touched-key distinct and goes straight to the pivot.
+    val spanRows = (m.asOfSeq + 1 to latest)
+      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
+        val names = if (e.compact) e.dropFiles else e.adds
+        names.iterator.map(n =>
+          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
+      }.sum
+    if (spanRows > 16.0 * InPushdownCap) return basePivot()
+    val touched = spark.read.format("graft-kv")
+      .option("sinceSeq", m.asOfSeq.toString)
+      .option("asOfSeq", latest.toString).load(path)
+      .select(col("rowKey")).distinct()
+      .limit(InPushdownCap + 1).collect().map(_.getString(0))
+    if (touched.length > InPushdownCap) return basePivot()
+    val overFetch = (k.toLong + touched.length + 1) * perEntry
+    if (overFetch > MaxTopNFetch) return basePivot()
+    val idxCand = indexTopEntries(k.toLong + touched.length, overFetch)
+      .select(decode(col("_k"), "UTF-8").as("rowKey"))
+    val candidates = idxCand.unionByName(touched.toSeq.toDF("rowKey"))
+    val small = k.toLong + 2L * touched.length <= InPushdownCap
+    val wideAll = currentWide(spark, path, m, pinned)
+    val verified =
+      if (small) {
+        val candKeys = candidates.collect().map(_.getString(0)).distinct
+        wideAll.filter(col("rowKey").isin(candKeys.toIndexedSeq: _*))
+      } else wideAll.join(candidates, Seq("rowKey"), "left_semi")
+    rankComposite(verified)
   }
 
   /** COMPOSITE lookup: one `[lo, hi)` bound per key component (string

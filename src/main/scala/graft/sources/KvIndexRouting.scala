@@ -506,9 +506,28 @@ case class KvIndexRouting(session: SparkSession)
     // The RANGE route tolerates the superset (its retained Filter drops
     // all-null rows on both sides); the top-n route refuses.
     if (s.filterQuals.toSet != s.cols.map(_._1).toSet) return None
+    val dirs = orders.map(_.direction).distinct
+    if (orders.isEmpty || dirs.length != 1) return None
+    val desc = dirs.head == Descending
+    val defaultNulls = orders.forall(o => o.nullOrdering ==
+      (if (o.direction == Ascending) NullsFirst else NullsLast))
+    if (!defaultNulls) return None
+    // an optional TRAILING rowKey tie-break in the same direction — the
+    // order the encoded index key implies after its value components
+    val rowKeyTie = orders.length >= 2 && (orders.last.child match {
+      case a: AttributeReference =>
+        s.outs.exists { case (o, q) => q.isEmpty && o.exprId == a.exprId }
+      case _ => false
+    })
+    val valOrders = if (rowKeyTie) orders.dropRight(1) else orders
+    if (valOrders.isEmpty) return None // ORDER BY rowKey alone: not ours
+    // A MULTI-column value sort routes through a composite index whose
+    // key components equal the sort columns in order (r19).
+    if (valOrders.length >= 2)
+      return routeTopNComposite(k, valOrders, desc, cond, s)
     // the ordered expression names which pivot column the index must key
     // on — bare attr (string collation) or integral cast (decimal)
-    val orderedAttr: Option[AttributeReference] = orders.headOption
+    val orderedAttr: Option[AttributeReference] = valOrders.headOption
       .map(_.child).flatMap {
         case a: AttributeReference => Some(a)
         case c: Cast if c.dataType == LongType || c.dataType == IntegerType ||
@@ -530,19 +549,6 @@ case class KvIndexRouting(session: SparkSession)
     val others = s.cols.collect {
       case (q, a) if a.exprId != valOut.exprId => q }
     val wide = others.nonEmpty
-    val dirs = orders.map(_.direction).distinct
-    if (orders.isEmpty || dirs.length != 1) return None
-    val desc = dirs.head == Descending
-    val defaultNulls = orders.forall(o => o.nullOrdering ==
-      (if (o.direction == Ascending) NullsFirst else NullsLast))
-    if (!defaultNulls) return None
-    val tieOk = orders.length == 1 || (orders.length == 2 &&
-      (orders(1).child match {
-        case a: AttributeReference =>
-          s.outs.exists { case (o, q) => q.isEmpty && o.exprId == a.exprId }
-        case _ => false
-      }))
-    if (!tieOk) return None
     // The sort expression decides which index MODE may serve: numeric
     // order equals padded-key order only for decimal mode, raw string
     // order only for string mode.
@@ -600,6 +606,85 @@ case class KvIndexRouting(session: SparkSession)
       }
   }
 
+  /** [[routeTopN]]'s COMPOSITE branch (r19): `ORDER BY c1, c2... [DESC]
+    * LIMIT k` routes through a composite index whose key components
+    * equal the sort columns IN ORDER (exact list, not a prefix — a
+    * shorter sort would leave ties the encoded key breaks by components
+    * the query never named), each sort expression in its component's own
+    * collation (bare attr = string mode, integral cast = decimal mode),
+    * and — the null wall ([[KvIndex.topNComposite]] doc) — an
+    * extractable bound with at least one side on EVERY component, every
+    * material conjunct consumed. Served via the NUL-joined encoded key
+    * order with the same stale tolerance as the single-column route.
+    */
+  private def routeTopNComposite(k: Int, valOrders: Seq[SortOrder],
+      desc: Boolean, cond: Option[Expression], s: PivotShape)
+      : Option[LogicalPlan] = {
+    // each sort expression → (qualifier, pivot attr, decimal collation?)
+    def sortComp(e: Expression): Option[(Attribute, Boolean)] = e match {
+      case a: AttributeReference => Some((a, false))
+      case c: Cast if c.dataType == LongType || c.dataType == IntegerType ||
+          c.dataType == ShortType =>
+        c.child match {
+          case a: AttributeReference => Some((a, true))
+          case _ => None
+        }
+      case _ => None
+    }
+    val comps: Seq[(String, Attribute, Boolean)] = valOrders.flatMap(o =>
+      sortComp(o.child).flatMap { case (a, cast) =>
+        s.cols.find(_._2.exprId == a.exprId).map { case (q, v) => (q, v, cast) }
+      })
+    if (comps.length != valOrders.length) return None // unrecognized expr
+    if (comps.map(_._1).distinct.length != comps.length) return None
+    val keyQualList = comps.map(_._1)
+    // pivot columns beyond the key components must come from the include
+    // payload (rows are the same either way: the per-component bounds
+    // already pin the row set to the index's inner-join entries)
+    val extras = s.cols.collect {
+      case (q, _) if !keyQualList.contains(q) => q }
+    val conjuncts = cond.map(splitConjunctivePredicates).getOrElse(Nil)
+    if (conjuncts.isEmpty) return None // bare multi-column sort: null wall
+    val table = new Path(s.path)
+    val fs = table.getFileSystem(session.sessionState.newHadoopConf())
+    KvIndex.list(fs, table)
+      .filter { i =>
+        i.family == s.family && i.composite && i.covered &&
+          i.keyQuals == keyQualList &&
+          i.pads.zip(comps).forall { case (p, (_, _, cast)) =>
+            (p > 0) == cast } &&
+          extras.forall(i.include.contains) &&
+          (k.toLong + 1) * (1 + i.keyQuals.length + i.include.length) <=
+            KvIndex.MaxTopNFetch
+      }
+      .flatMap { m =>
+        boundsTopNMulti(conjuncts, comps.map(_._2), m.pads)
+          .map(pb => (m, pb))
+      }
+      .sortBy { case (m, _) => (m.include.length, m.name) }
+      .headOption.map { case (m, pb) =>
+        logInfo(s"graft-kv index routing: serving ORDER BY " +
+          s"${m.keyQuals.mkString(", ")} ${if (desc) "DESC " else ""}" +
+          s"LIMIT $k in ${m.keyQuals.zip(pb).map { case (q, (l, h)) =>
+            s"$q:[${l.getOrElse("")},${h.getOrElse("inf")})" }
+            .mkString(", ")} on ${s.path} through index '${m.name}'")
+        val node = lookupNode(s, m, KvRoutedLookup.TopNComposite, pb,
+          topK = k, desc = desc)
+        splice(s, node, q =>
+          if (q == m.qualifier) node.output(1)
+          else {
+            val r = m.rest.indexWhere(_._1 == q)
+            if (r >= 0) node.output(2 + r)
+            else {
+              val j = m.include.indexOf(q)
+              require(j >= 0, s"graft-kv index routing: '$q' is not a " +
+                s"component of or covered by index '${m.name}'")
+              node.output(2 + m.rest.length + j)
+            }
+          })
+      }
+  }
+
   /** Manufacture the LAZY routed-lookup node ([[KvRoutedLookup]]) — the
     * plan-time half of a routing decision is now pure metadata: output
     * attributes mirroring the lookup's positional schema, plus
@@ -615,7 +700,7 @@ case class KvIndexRouting(session: SparkSession)
     val table = new Path(s.path)
     val fs = table.getFileSystem(session.sessionState.newHadoopConf())
     val (rows, bytes) = (kind, bounds.headOption) match {
-      case (KvRoutedLookup.TopN, _) =>
+      case (KvRoutedLookup.TopN | KvRoutedLookup.TopNComposite, _) =>
         (topK.toLong, topK.toLong * 64)
       case (_, Some((Some(lo), Some(hi)))) =>
         val (cand, baseRows, baseBytes) =
@@ -626,7 +711,7 @@ case class KvIndexRouting(session: SparkSession)
       case _ => (0L, 64L)
     }
     val names = kind match {
-      case KvRoutedLookup.Composite =>
+      case KvRoutedLookup.Composite | KvRoutedLookup.TopNComposite =>
         Seq("rowKey", "value") ++ m.rest.map(_._1) ++ m.include
       case KvRoutedLookup.TopN if wide =>
         // the wide lookup's positional schema: leading value + includes
@@ -709,8 +794,11 @@ case class KvIndexRouting(session: SparkSession)
           Some(s.toString).filterNot(_.contains("\u0000"))
         case _ => None
       }
-      def addLo(x: String): Unit = lo = Some(lo.fold(x)(l => if (x > l) x else l))
-      def addHi(x: String): Unit = hi = Some(hi.fold(x)(h => if (x < h) x else h))
+      // Bound tightening under UTF-8 BYTE order (graft.kv.Utf8Order) —
+      // the ordering the index's encoded keys and Spark's UTF8String
+      // filters use; JVM String order can pick a non-superset bound.
+      def addLo(x: String): Unit = lo = Some(lo.fold(x)(graft.kv.Utf8Order.max(x, _)))
+      def addHi(x: String): Unit = hi = Some(hi.fold(x)(graft.kv.Utf8Order.min(x, _)))
       conjuncts.foreach {
         case GreaterThanOrEqual(l, r) if isV(l) => litStr(r).foreach(addLo)
         case LessThan(l, r) if isV(l) => litStr(r).foreach(addHi)
@@ -718,8 +806,41 @@ case class KvIndexRouting(session: SparkSession)
         case GreaterThan(l, r) if isV(r) => litStr(l).foreach(addHi)
         case _ => ()
       }
-      for {l <- lo; h <- hi if h > l} yield (l, h)
+      for {l <- lo; h <- hi if graft.kv.Utf8Order.compare(h, l) > 0} yield (l, h)
     }
+  }
+
+  /** [[boundsTopN]] per key COMPONENT for the composite top-n route
+    * ([[routeTopNComposite]]): every material conjunct must be a bound
+    * on exactly ONE of the sort components (a leftover conjunct would
+    * let the re-applied Filter cut spliced rows and under-produce the
+    * limit; a conjunct touching several columns has no per-component
+    * reading), and every component must end with at least one bound
+    * side — a fully-open component admits NULL-component rows the index
+    * cannot rank ([[KvIndex.topNComposite]] doc). A decimal `>= 0` is
+    * dropped as tautological by [[boundsTopN]] and so reads as open
+    * here: sound (we decline), just conservative.
+    */
+  private def boundsTopNMulti(conjuncts: Seq[Expression],
+      vs: Seq[Attribute], pads: Seq[Int])
+      : Option[Seq[(Option[String], Option[String])]] = {
+    val ids = vs.map(_.exprId)
+    val material = conjuncts.filterNot {
+      case IsNotNull(a: AttributeReference) => ids.contains(a.exprId)
+      case _ => false
+    }
+    val buckets = Array.fill(vs.length)(List.empty[Expression])
+    material.foreach { e =>
+      val refs = e.references.toSeq.map(_.exprId).distinct
+      val hit = if (refs.length == 1) ids.indexOf(refs.head) else -1
+      if (hit < 0) return None // references none, several, or a non-sort col
+      buckets(hit) ::= e
+    }
+    val per = vs.indices.map(i => boundsTopN(buckets(i), vs(i), pads(i)))
+    if (per.exists(_.isEmpty)) return None
+    val out = per.map(_.get)
+    if (out.exists { case (lo, hi) => lo.isEmpty && hi.isEmpty }) None
+    else Some(out)
   }
 
   /** STRICT, open-ended variant of [[bounds]] for the range-restricted
@@ -795,8 +916,10 @@ case class KvIndexRouting(session: SparkSession)
       }
       var lo = Option.empty[String]
       var hi = Option.empty[String]
-      def addLo(x: String): Unit = lo = Some(lo.fold(x)(l => if (x > l) x else l))
-      def addHi(x: String): Unit = hi = Some(hi.fold(x)(h => if (x < h) x else h))
+      // UTF-8 byte order, matching the index's key encoding (see the
+      // sibling bounds() comment / graft.kv.Utf8Order doc).
+      def addLo(x: String): Unit = lo = Some(lo.fold(x)(graft.kv.Utf8Order.max(x, _)))
+      def addHi(x: String): Unit = hi = Some(hi.fold(x)(graft.kv.Utf8Order.min(x, _)))
       material.foreach { e =>
         val consumed: Option[Unit] = e match {
           case GreaterThanOrEqual(l, r) if isV(l) => litStr(r).map(addLo)
@@ -808,7 +931,8 @@ case class KvIndexRouting(session: SparkSession)
         if (consumed.isEmpty) ok = false
       }
       if (!ok) return None
-      if (lo.zip(hi).exists { case (l, h) => h <= l }) return None
+      if (lo.zip(hi).exists { case (l, h) => graft.kv.Utf8Order.compare(h, l) <= 0 })
+        return None
       // a NUL-carrying bound would throw inside topNCovered; decline
       if ((lo ++ hi).exists(_.contains("\u0000"))) return None
       Some((lo, hi))

@@ -69,11 +69,15 @@ object KvRoutedLookup {
     * range-restricted).
     */
   case object TopN extends Kind
+  /** ORDER BY c1, c2... LIMIT k with a bound per key component via
+    * [[KvIndex.topNComposite]] (r19).
+    */
+  case object TopNComposite extends Kind
 
   def describe(n: KvRoutedLookup): String = {
     val bs = n.bounds.map { case (lo, hi) =>
       s"[${lo.getOrElse("")}, ${hi.getOrElse("inf")})" }.mkString(",")
-    val top = if (n.kind == TopN)
+    val top = if (n.kind == TopN || n.kind == TopNComposite)
       s" top${n.topK}(${if (n.desc) "DESC" else "ASC"})" else ""
     s"path=${n.path} index=${n.index} bounds=$bs$top " +
       s"est=${n.estimatedRows}r/${n.estimatedBytes}b"
@@ -95,6 +99,8 @@ object KvRoutedLookup {
       val (lo, hi) = n.bounds.headOption.getOrElse((None, None))
       KvIndex.topNCovered(spark, n.path, n.index, n.topK, n.desc, lo, hi,
         wide = n.wide)
+    case TopNComposite =>
+      KvIndex.topNComposite(spark, n.path, n.index, n.topK, n.desc, n.bounds)
   }
 }
 

@@ -427,6 +427,108 @@ class KvIndexTopNSpec extends graft.SparkSpec {
       expectRouted = true)
   }
 
+  test("composite top-n: ORDER BY c1, c2 LIMIT k with per-component bounds routes index-only") {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    val local = s"$base/composite"
+    graft.sinks.Sinks.deleteRecursive(spark, local)
+    val dir = s"cfs:$local"
+    // 300 keys carry 'a' (3·id); only the first 250 ALSO carry 'b'
+    // ((7·id) mod 1000) — keys 250..299 are the PARTIAL rows (null b)
+    // the per-component null wall exists for
+    val aCells = spark.range(300).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'a' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val bCells = spark.range(250).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'b' AS qualifier",
+      "encode(CAST((id * 7) % 1000 AS STRING), 'UTF-8') AS value", "id AS ts")
+    aCells.unionAll(bCells).write.format("graft-kv")
+      .option("regions", 3).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "idx_ab", "f", "a", pad = 8,
+      rest = Seq(("b", 8)))
+    KvIndexRouting.install(spark)
+    def view(): Unit = spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier").isin("a", "b"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "a", col("ts"))), "UTF-8").as("av"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "b", col("ts"))), "UTF-8").as("bv"))
+      .createOrReplaceTempView("comp_v")
+    view()
+    def rows(sql: String): Seq[(String, String, String)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    def check(sql: String, expectRouted: Boolean): Unit = {
+      val df = spark.sql(sql)
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("KvRoutedLookup") == expectRouted,
+        s"routed=${!expectRouted} unexpectedly for:\n$sql\n$plan")
+      spark.conf.set(KvIndexRouting.EnabledKey, "false")
+      try got shouldBe rows(sql)
+      finally spark.conf.unset(KvIndexRouting.EnabledKey)
+    }
+    val bounded =
+      """SELECT rowKey, av, bv FROM comp_v
+        |WHERE CAST(av AS BIGINT) >= 150 AND CAST(av AS BIGINT) < 600
+        |  AND CAST(bv AS BIGINT) >= 1 AND CAST(bv AS BIGINT) < 900
+        |ORDER BY CAST(av AS BIGINT) DESC, CAST(bv AS BIGINT) DESC, rowKey DESC
+        |LIMIT 6""".stripMargin
+    // fresh: ONE bounded index scan, zero base data-file opens
+    val df = spark.sql(bounded)
+    CountingFileSystem.reset()
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KvRoutedLookup"),
+      s"bounded composite top-n did not route:\n$plan")
+    assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")),
+      "fresh composite top-n opened base data files")
+    spark.conf.set(KvIndexRouting.EnabledKey, "false")
+    try got shouldBe rows(bounded)
+    finally spark.conf.unset(KvIndexRouting.EnabledKey)
+    // ASC with the same bounds: both directions serve (no nulls left)
+    check("""SELECT rowKey, av, bv FROM comp_v
+            |WHERE CAST(av AS BIGINT) >= 150 AND CAST(av AS BIGINT) < 600
+            |  AND CAST(bv AS BIGINT) >= 1 AND CAST(bv AS BIGINT) < 900
+            |ORDER BY CAST(av AS BIGINT) ASC, CAST(bv AS BIGINT) ASC, rowKey ASC
+            |LIMIT 6""".stripMargin, expectRouted = true)
+    // the NULL WALL: a bare composite sort must NOT route — a partial
+    // row (a present, b null) ranks mid-stream (e.g. (897, NULL) above
+    // (300, 700) DESC) and is invisible to the inner-join index
+    check("""SELECT rowKey, av, bv FROM comp_v
+            |ORDER BY CAST(av AS BIGINT) DESC, CAST(bv AS BIGINT) DESC, rowKey DESC
+            |LIMIT 5""".stripMargin, expectRouted = false)
+    // one UNBOUNDED component: same wall, must not route
+    check("""SELECT rowKey, av, bv FROM comp_v
+            |WHERE CAST(av AS BIGINT) >= 150 AND CAST(av AS BIGINT) < 600
+            |ORDER BY CAST(av AS BIGINT) DESC, CAST(bv AS BIGINT) DESC, rowKey DESC
+            |LIMIT 5""".stripMargin, expectRouted = false)
+    // sort order ≠ component order: the encoded key answers (a, b) only
+    check("""SELECT rowKey, av, bv FROM comp_v
+            |WHERE CAST(av AS BIGINT) >= 150 AND CAST(av AS BIGINT) < 600
+            |  AND CAST(bv AS BIGINT) >= 1 AND CAST(bv AS BIGINT) < 900
+            |ORDER BY CAST(bv AS BIGINT) DESC, CAST(av AS BIGINT) DESC, rowKey DESC
+            |LIMIT 5""".stripMargin, expectRouted = false)
+    // STALE: an unabsorbed update moves a key to the top of the bounded
+    // range, another key is deleted — no refresh; the route still serves
+    // (over-fetched candidates ∪ CDC tail, verified pinned)
+    Seq(("000060", "a", "599", 500000L), ("000100", "b", "2", 500001L))
+      .toDF("rowKey", "q", "v", "ts")
+      .selectExpr("rowKey", "'f' AS family", "q AS qualifier",
+        "encode(v, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    KvDelete.deleteRows(spark, dir, Seq("000199").toDF("rowKey"))
+    view()
+    check(bounded, expectRouted = true)
+  }
+
   test("rangeIsSelective memo invalidates on a new base commit (decision re-prices)") {
     val dir = s"$base/memo"
     graft.sinks.Sinks.deleteRecursive(spark, dir)
