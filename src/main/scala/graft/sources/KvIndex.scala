@@ -100,9 +100,21 @@ object KvIndex {
     * refresh computes — a single-qualifier append-only delta cannot
     * re-key entries whose OTHER component changed.
     */
+  /** `includeOnly` (r19) — the count, AT `asOfSeq`, of base keys that
+    * carry some `include` qualifier but NOT the leading one: exactly the
+    * pivot rows a wide top-n's index cannot see (they pivot with a NULL
+    * leading value). Computed exactly by the full build and maintained
+    * incrementally by the exact refresh (the touched-key joined frame
+    * already holds both sides); `Some(0)` is the O(1) proof that lets
+    * bare wide top-n serve index-first in BOTH directions
+    * ([[topNCoveredWide]] doc). None = unknown (pre-r19 metas, shells):
+    * the serve guards simply fall back as before. Single-component
+    * covered indexes only — composite metas leave it None.
+    */
   case class Meta(name: String, family: String, qualifier: String,
       pad: Int, asOfSeq: Long, include: Seq[String] = Nil,
-      covered: Boolean = false, rest: Seq[(String, Int)] = Nil) {
+      covered: Boolean = false, rest: Seq[(String, Int)] = Nil,
+      includeOnly: Option[Long] = None) {
     /** All key components, leading first. */
     def keyQuals: Seq[String] = qualifier +: rest.map(_._1)
     def pads: Seq[Int] = pad +: rest.map(_._2)
@@ -143,7 +155,8 @@ object KvIndex {
     val cov =
       if (!m.covered) ""
       else " covered=1" + (if (m.include.nonEmpty)
-        s" include=${m.include.mkString(",")}" else "")
+        s" include=${m.include.mkString(",")}" else "") +
+        m.includeOnly.fold("")(n => s" includeOnly=$n")
     // Composite metas comma-join the components into the same tokens a
     // single-component file uses — old files parse unchanged (a lone
     // value splits to a one-element list), new files stay one-line k=v.
@@ -188,7 +201,8 @@ object KvIndex {
         include = tokOpt("include").toSeq
           .flatMap(_.split(",")).filter(_.nonEmpty),
         covered = tokOpt("covered").contains("1"),
-        rest = quals.tail.zip(pads.tail))
+        rest = quals.tail.zip(pads.tail),
+        includeOnly = tokOpt("includeOnly").map(_.toLong))
     }
   }
 
@@ -220,7 +234,7 @@ object KvIndex {
     fs.delete(dir, true): Unit
     fs.mkdirs(dir)
     KvLog.ensureLogDir(fs, dir) // an empty log replays as an empty table
-    writeMeta(fs, dir, m.copy(asOfSeq = -1L))
+    writeMeta(fs, dir, m.copy(asOfSeq = -1L, includeOnly = None))
   }
 
   /** Delete the index. Returns false when it didn't exist. */
@@ -310,7 +324,16 @@ object KvIndex {
         baseCells(spark, path, m, Map("asOfSeq" -> m.asOfSeq.toString)), m)
     cells.write.format("graft-kv").option("regions", regions)
       .mode("overwrite").save(dir.toString)
-    writeMeta(fs, dir, m)
+    // includeOnly stat ([[Meta]] doc): the full build already scanned the
+    // relevant cells — one more count over the unfiltered wide frame
+    // makes bare wide top-n provable at serve time.
+    val withStat =
+      if (m.covered && m.rest.isEmpty && m.include.nonEmpty)
+        m.copy(includeOnly = Some(
+          currentWideAny(spark, path, m, Map("asOfSeq" -> m.asOfSeq.toString))
+            .filter(col("_v0").isNull).count()))
+      else m
+    writeMeta(fs, dir, withStat)
   }
 
   /** Build the index over the CURRENT table version. `pad > 0` declares
@@ -383,6 +406,17 @@ object KvIndex {
     * the indexed qualifier" filter.
     */
   private def currentWide(spark: SparkSession, path: String, m: Meta,
+      options: Map[String, String]): DataFrame =
+    currentWideAny(spark, path, m, options)
+      .filter(m.keyQuals.indices.map(i => col(s"_v$i").isNotNull)
+        .reduce(_ && _))
+
+  /** [[currentWide]] WITHOUT the key-component filter: every base key
+    * carrying ANY of the index's qualifiers, null components included —
+    * the frame the `includeOnly` stat counts on ([[Meta]] doc) and the
+    * exact refresh joins on when it maintains that stat.
+    */
+  private def currentWideAny(spark: SparkSession, path: String, m: Meta,
       options: Map[String, String]): DataFrame = {
     val quals = m.keyQuals ++ m.include
     val aggs = quals.zipWithIndex.map { case (q, i) =>
@@ -392,8 +426,6 @@ object KvIndex {
     KvRead.cells(spark, path, options) // catalog-resolved: baseCells doc
       .filter(col("family") === m.family && col("qualifier").isin(quals: _*))
       .groupBy(col("rowKey")).agg(aggs.head, aggs.tail: _*)
-      .filter(m.keyQuals.indices.map(i => col(s"_v$i").isNotNull)
-        .reduce(_ && _))
   }
 
   /** One component column, NUL-refused and (decimal mode) guarded. */
@@ -484,10 +516,16 @@ object KvIndex {
         df.filter(col("rowKey").isin(touchedProbe.toIndexedSeq: _*))
       else df.join(feed.select(col("rowKey")).distinct(),
         Seq("rowKey"), "left_semi")
-    val pre = restrict(currentWide(spark, path, m,
-      Map("asOfSeq" -> m.asOfSeq.toString)))
-    val post = restrict(currentWide(spark, path, m,
-      Map("asOfSeq" -> latest.toString)))
+    // Single-component covered indexes maintain the includeOnly stat
+    // ([[Meta]] doc), so their pre/post frames keep include-only keys
+    // (null leading) — harmless to dead/fresh, which gate on `_p0`/`_v0`
+    // non-null exactly as the filtered frame guaranteed by construction.
+    val trackPartial = m.rest.isEmpty && m.include.nonEmpty
+    def wideOf(opts: Map[String, String]): DataFrame =
+      if (trackPartial) currentWideAny(spark, path, m, opts)
+      else currentWide(spark, path, m, opts)
+    val pre = restrict(wideOf(Map("asOfSeq" -> m.asOfSeq.toString)))
+    val post = restrict(wideOf(Map("asOfSeq" -> latest.toString)))
     val preR = pre.select(col("rowKey") +:
       (0 until n).map(i => col(s"_v$i").as(s"_p$i")): _*)
     val joined = preR.join(post, Seq("rowKey"), "full_outer")
@@ -516,7 +554,22 @@ object KvIndex {
         if (!adds.isEmpty)
           adds.write.format("graft-kv").mode("append").save(dir.toString)
       } finally adds.unpersist(): Unit
-      writeMeta(fs, dir, m.copy(asOfSeq = latest))
+      // includeOnly delta over the SAME touched-key joined frame: the
+      // untouched population cannot have changed, so
+      // new = old - (include-only among touched, pre) + (…, post).
+      // None (pre-r19 meta) propagates — the serve guards keep falling
+      // back until a full build re-bases the stat.
+      val newStat =
+        if (!trackPartial) m.includeOnly
+        else m.includeOnly.map { old =>
+          val incAnyP = (1 until n).map(i => col(s"_p$i").isNotNull)
+            .reduce(_ || _)
+          val incAnyV = (1 until n).map(i => col(s"_v$i").isNotNull)
+            .reduce(_ || _)
+          old - joined.filter(col("_p0").isNull && incAnyP).count() +
+            joined.filter(col("_v0").isNull && incAnyV).count()
+        }
+      writeMeta(fs, dir, m.copy(asOfSeq = latest, includeOnly = newStat))
     } finally deadRows.unpersist(): Unit
     // Marker hygiene: tombstones accumulate one per superseded entry;
     // compact the INDEX once they outnumber a quarter of its rows (or
@@ -1337,6 +1390,10 @@ object KvIndex {
           decode(col("_v"), "UTF-8").as("value") +:
           m.include.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
       if (lo.isDefined || hi.isDefined) return head // bounds exclude nulls
+      // includeOnly == 0 ([[Meta]] doc): no pivot row lacks the leading
+      // qualifier, so the index sees EVERY row — the bare head is exact
+      // in both directions, no probe, no fallback (r19: the ASC serve).
+      if (m.includeOnly.contains(0L)) return head
       if (!desc) return wideExact(Map("asOfSeq" -> latest.toString))
       val rows = head.collect()
       return if (rows.length == k) served(rows, head.schema)
@@ -1411,6 +1468,13 @@ object KvIndex {
         else cells.join(candidates, Seq("rowKey"), "left_semi")
       val ranked = rankWide(wideFrame(pinned, narrow))
       if (lo.isDefined || hi.isDefined) return ranked
+      // includeOnly == 0 AT asOfSeq: any null-leading pivot row at the
+      // probed version must have CHANGED in the span — it is a touched
+      // key, so it is in the candidate frame, which wideFrame keeps
+      // (no leading filter) and rankWide orders with the direction
+      // default. The ranked candidate set therefore contains the true
+      // top-k for BOTH directions — serve it without the probe.
+      if (m.includeOnly.contains(0L)) return ranked
       if (!desc) return wideExact(pinned)
       val rows = ranked.collect()
       // any null leading value inside the k-set means fewer than k

@@ -580,11 +580,15 @@ case class KvIndexRouting(session: SparkSession)
               .map { case (lo, hi) => (m, lo, hi) }
         }
       }
-      // multi-qualifier + bare + ASC never routes: nulls rank FIRST and
-      // the index only sees leading-carrying rows ([[KvIndex
-      // .topNCoveredWide]] doc) — the unrouted pivot IS the right plan
-      .filterNot { case (_, lo, hi) =>
-        wide && !desc && lo.isEmpty && hi.isEmpty }
+      // multi-qualifier + bare + ASC: nulls rank FIRST and the index
+      // only sees leading-carrying rows ([[KvIndex.topNCoveredWide]]
+      // doc) — routes ONLY when the maintained includeOnly stat proves
+      // no such row exists (r19; the stat is re-proven inside the
+      // lookup at execution, so a stale plan-time read stays exact —
+      // the node falls back to the wide pivot, never wrong)
+      .filterNot { case (m, lo, hi) =>
+        wide && !desc && lo.isEmpty && hi.isEmpty &&
+          !m.includeOnly.contains(0L) }
       .sortBy { case (m, _, _) => (m.include.length, m.name) }
       .headOption.map { case (m, lo, hi) =>
         val rng = if (lo.isEmpty && hi.isEmpty) ""

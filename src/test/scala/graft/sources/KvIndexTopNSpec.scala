@@ -427,6 +427,89 @@ class KvIndexTopNSpec extends graft.SparkSpec {
       expectRouted = true)
   }
 
+  test("bare wide ASC serves when the includeOnly stat proves no null-leading rows") {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    val local = s"$base/asc_stat"
+    graft.sinks.Sinks.deleteRecursive(spark, local)
+    val dir = s"cfs:$local"
+    // every key carries BOTH qualifiers — includeOnly must compute to 0
+    val cCells = spark.range(200).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'c' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val vCells = spark.range(200).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'v' AS qualifier",
+      "encode(CAST(id * 5 AS STRING), 'UTF-8') AS value", "id AS ts")
+    cCells.unionAll(vCells).write.format("graft-kv")
+      .option("regions", 2).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "cov_cv", "f", "c", pad = 8,
+      include = Seq("v"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    KvIndex.meta(fs, new org.apache.hadoop.fs.Path(dir), "cov_cv")
+      .get.includeOnly shouldBe Some(0L)
+    KvIndexRouting.install(spark)
+    def view(): Unit = spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier").isin("c", "v"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "c", col("ts"))), "UTF-8").as("c"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "v", col("ts"))), "UTF-8").as("v"))
+      .createOrReplaceTempView("asc_v")
+    view()
+    val ascSql =
+      """SELECT rowKey, c, v FROM asc_v
+        |ORDER BY CAST(c AS BIGINT) ASC, rowKey ASC LIMIT 5""".stripMargin
+    def run(sql: String): (Seq[(String, String, String)], String) = {
+      val df = spark.sql(sql)
+      (df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSeq,
+        df.queryExecution.executedPlan.toString)
+    }
+    def unroutedRows(sql: String): Seq[(String, String, String)] = {
+      spark.conf.set(KvIndexRouting.EnabledKey, "false")
+      try run(sql)._1 finally spark.conf.unset(KvIndexRouting.EnabledKey)
+    }
+    // FRESH + stat 0: bare ASC routes and serves index-only
+    CountingFileSystem.reset()
+    val (gotAsc, planAsc) = run(ascSql)
+    assert(planAsc.contains("KvRoutedLookup"),
+      s"stat-proven bare wide ASC did not route:\n$planAsc")
+    assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")),
+      "stat-proven bare ASC opened base data files")
+    gotAsc shouldBe unroutedRows(ascSql)
+    // STALE + stat 0 at asOf: a v-only key lands (becomes the TRUE ASC
+    // head with null c) and a c update moves a key — no refresh; the
+    // route must still answer exactly (touched keys are candidates and
+    // the candidate frame keeps null-leading rows)
+    Seq(("zz0001", "v", "7", 900000L), ("000150", "c", "1", 900001L))
+      .toDF("rowKey", "q", "vv", "ts")
+      .selectExpr("rowKey", "'f' AS family", "q AS qualifier",
+        "encode(vv, 'UTF-8') AS value", "ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    view()
+    val (gotStale, planStale) = run(ascSql)
+    assert(planStale.contains("KvRoutedLookup"),
+      s"stale stat-proven bare ASC did not route:\n$planStale")
+    gotStale shouldBe unroutedRows(ascSql)
+    gotStale.head._1 shouldBe "zz0001" // the null-c row ranks FIRST (ASC)
+    // REFRESH recomputes the stat incrementally → 1 → bare ASC declines
+    val r = KvIndex.refresh(spark, dir, "cov_cv")
+    assert(r.isInstanceOf[KvIndex.Refreshed], s"refresh: $r")
+    KvIndex.meta(fs, new org.apache.hadoop.fs.Path(dir), "cov_cv")
+      .get.includeOnly shouldBe Some(1L)
+    view()
+    val (gotAfter, planAfter) = run(ascSql)
+    assert(!planAfter.contains("KvRoutedLookup"),
+      s"bare ASC routed with includeOnly=1:\n$planAfter")
+    gotAfter shouldBe unroutedRows(ascSql)
+  }
+
   test("composite top-n: ORDER BY c1, c2 LIMIT k with per-component bounds routes index-only") {
     import scala.jdk.CollectionConverters._
     spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
