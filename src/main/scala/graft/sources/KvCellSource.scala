@@ -188,26 +188,26 @@ private[sources] class KvCellTable(path: String,
       if (sinceSeq.isDefined && asOf.isEmpty)
         Some(KvLog.latestSeq(fsX, dirX))
       else asOf
-    val recorded = {
+    // r19: an incremental span that CROSSES a salt declaration no longer
+    // refuses — it reads MIXED: the scan resolves each file's layout at
+    // its own entry seq ([[KvSalt.resolveAt]]) and strips per file, so
+    // every emitted rowKey is logical regardless of which side of the
+    // declaration its segment landed on. The price is key-space
+    // pushdown: no single bucket count can rewrite a rowKey predicate
+    // for both sides, so a mixed scan accepts NO pushed filters (Spark
+    // re-applies everything on the logical keys), serves no key
+    // aggregates, no ordered/top-n pushdown, and reports no ordering —
+    // correct first, fast where it can be. A declaration at EXACTLY
+    // since+1 does not mix layouts (the declaring entry is a compact
+    // checkpoint; everything after it is uniformly the new layout).
+    val mixedSaltSpan = sinceSeq.exists { since =>
+      KvSalt.declsIn(fsX, dirX, since,
+        pinnedAsOf.getOrElse(KvLog.latestSeq(fsX, dirX)))
+        .exists(_ != since + 1)
+    }
+    val recorded = if (mixedSaltSpan) None else {
       val dir = dirX
       val fsx = fsX
-      sinceSeq.foreach { since =>
-        // A declaration at EXACTLY since+1 does not mix layouts: the
-        // declaring entry is a compact checkpoint (no changed files of
-        // its own) and everything after it is uniformly the layout
-        // current resolution picks — that span is precisely what "split
-        // at the declaration" produces, so refusing it would make this
-        // very message's advice unsatisfiable.
-        val crossed = KvSalt.declsIn(fsx, dir, since,
-          pinnedAsOf.getOrElse(KvLog.latestSeq(fsx, dir)))
-          .filterNot(_ == since + 1)
-        require(crossed.isEmpty,
-          s"graft-kv: incremental read since seq $since crosses a salt " +
-            s"layout change at seq ${crossed.min} of $path — files on the " +
-            "two sides store keys under different salts; read the span in " +
-            s"two parts, splitting at the change (sinceSeq = " +
-            s"${crossed.min - 1} resumes the remainder)")
-      }
       snapshot match {
         case Some(name) =>
           KvSnapshot.get(fsx, dir, name) match {
@@ -223,7 +223,11 @@ private[sources] class KvCellTable(path: String,
           s"salt property $b at $path")
       case _ => ()
     }
-    val saltBuckets = optionBuckets.orElse(recorded)
+    require(!mixedSaltSpan || optionBuckets.isEmpty,
+      s"graft-kv: the span crosses a salt layout change at $path — no " +
+        "single saltBuckets value describes it; drop the option (the scan " +
+        "resolves each segment's layout itself)")
+    val saltBuckets = if (mixedSaltSpan) None else optionBuckets.orElse(recorded)
     // `splitRegionBytes` plans MULTIPLE byte-range partitions over any
     // region file larger than it — intra-region scan parallelism for a
     // monolith the layout hasn't normalized yet (KvScan doc; NOT for
@@ -244,7 +248,8 @@ private[sources] class KvCellTable(path: String,
       saltBuckets,
       splitBytes,
       readTombstones,
-      asOfAutoPinned = pinnedAsOf.isDefined && asOf.isEmpty)
+      asOfAutoPinned = pinnedAsOf.isDefined && asOf.isEmpty,
+      mixedSaltSpan = mixedSaltSpan)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -306,7 +311,11 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       * from this scan ignores the pin — its offset names its position —
       * where a user-named version is still refused.
       */
-    asOfAutoPinned: Boolean = false)
+    asOfAutoPinned: Boolean = false,
+    /** The span crosses a salt declaration (newScanBuilder doc, r19):
+      * per-file layout resolution, NO key-space pushdown of any kind.
+      */
+    mixedSaltSpan: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -387,6 +396,7 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     // top-n: file order is stored (salt-interleaved) order, so a file's
     // first/last n rows bound nothing about the logical-key top-n.
     if (onPrefix && uniform && defaultNulls && saltBuckets.isEmpty &&
+        !mixedSaltSpan && // per-file stripped order is not file order
         !(desc && l > KvScanBuilder.MaxDescTopN)) {
       limit = Some(l); ordered = true
       descending = desc
@@ -406,7 +416,12 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
     * for Spark to re-evaluate (see class doc).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(KvFilters.supported)
+    // A mixed-salt span accepts NOTHING: pushed predicates (and the
+    // pruning/blooms/record filters derived from them) live in STORED
+    // key space, which differs across the span's layout epochs — Spark
+    // re-evaluates every filter on the logical keys the readers emit.
+    accepted = if (mixedSaltSpan) Array.empty
+      else filters.filter(KvFilters.supported)
     filters
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -459,7 +474,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       // the logical extremes. Exact key bounds additionally need EVERY
       // planned file to carry manifest stats (footer string statistics
       // may be truncated).
-      (saltBuckets.isEmpty && plannedStats.exists(_.forall(_._2.isDefined))))
+      (saltBuckets.isEmpty && !mixedSaltSpan &&
+        plannedStats.exists(_.forall(_._2.isDefined))))
 
   /** ONE manifest replay shared by every pushdown-feasibility check in
     * this builder (the tombstone gate + the key-bounds gate would
@@ -494,7 +510,8 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       new KvScan(path, required, pushedStored,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
         descending, maxBytesPerBatch, snapshot, orderedCols, saltBuckets,
-        splitRegionBytes, readTombstones, asOfAutoPinned = asOfAutoPinned)
+        splitRegionBytes, readTombstones, asOfAutoPinned = asOfAutoPinned,
+        mixedSaltSpan = mixedSaltSpan)
   }
 }
 
@@ -678,7 +695,12 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     /** KvScanBuilder doc: an auto-pinned asOf is not a user-named
       * version and does not refuse streaming.
       */
-    asOfAutoPinned: Boolean = false)
+    asOfAutoPinned: Boolean = false,
+    /** The CDC span crosses a salt declaration (r19): readers strip each
+      * file under ITS entry's resolved layout; no key-space pushdown,
+      * pruning, ordering claim, or DPP rides this scan (builder doc).
+      */
+    mixedSaltSpan: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -799,7 +821,7 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val names = required.fieldNames.toSet
     // Salted scans emit STRIPPED keys out of salt-interleaved file order —
     // never sorted by the logical key, so no ordering is reported.
-    val certified = saltBuckets.isEmpty &&
+    val certified = saltBuckets.isEmpty && !mixedSaltSpan &&
       !(ordered && descending) && names.contains("rowKey") &&
       keptFiles.nonEmpty && keptFiles.forall(_._2.isDefined)
     if (!certified) Array.empty
@@ -1060,8 +1082,10 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // Runtime (DPP) keys arrive in LOGICAL key space — the join side saw
     // the scan's stripped output — so a salted scan maps each to its one
     // stored form before probing bounds and blooms.
-    val storedRuntimeKeys = runtimeKeys.map(ks =>
-      saltBuckets.fold(ks)(n => ks.map(KvSalt.stored(_, n))))
+    val storedRuntimeKeys =
+      if (mixedSaltSpan) None // stored form differs per epoch: keep all
+      else runtimeKeys.map(ks =>
+        saltBuckets.fold(ks)(n => ks.map(KvSalt.stored(_, n))))
     val files = storedRuntimeKeys match {
       case Some(keys) => plannedFiles.filter { f =>
         val st = statsByFile.get(f).flatten
@@ -1107,6 +1131,26 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       case Some((_, idx)) => f => idx.getOrElse(f, -1)
       case None => _ => -1
     }
+    // MIXED-salt span (r19): each file strips under the layout current AT
+    // ITS OWN entry seq — one span replay builds the name -> saltLen map
+    // (bounded driver metadata, same entries the planning replay read).
+    val saltLenOf: String => Option[Int] =
+      if (!mixedSaltSpan) _ => None
+      else {
+        val fs = new Path(path).getFileSystem(sconf.value)
+        val table = new Path(path)
+        val upTo = asOfSeq.getOrElse(KvLog.latestSeq(fs, table))
+        val byName: Map[String, Int] =
+          (sinceSeq.getOrElse(-1L) + 1 to upTo).flatMap { q =>
+            KvLog.read(fs, table, q).toSeq.flatMap { e =>
+              val names = if (e.compact) e.dropFiles else e.adds
+              val len = if (KvSalt.resolveAt(fs, table, Some(q)).isDefined)
+                KvSalt.Width else 0
+              names.map(_ -> len)
+            }
+          }.toMap
+        f => Some(byName.getOrElse(new Path(f).getName, 0))
+      }
     val pieces = splitRegionBytes.filter(_ => limit.isEmpty) match {
       case Some(target) =>
         lazy val fsys = new Path(path).getFileSystem(sconf.value)
@@ -1114,15 +1158,17 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
           val bytes = statsByFile.get(f).flatten.map(_.bytes)
             .getOrElse(fsys.getFileStatus(new Path(f)).getLen)
           val n = math.max(1L, (bytes + target - 1) / target)
-          if (n == 1) Seq(KvFilePartition(f, maskSlice = sliceFor(f)))
+          if (n == 1) Seq(KvFilePartition(f, maskSlice = sliceFor(f),
+            saltLenOverride = saltLenOf(f)))
           else (0L until n).map { i =>
             KvFilePartition(f, i * target,
               if (i == n - 1) Long.MaxValue else (i + 1) * target,
-              maskSlice = sliceFor(f))
+              maskSlice = sliceFor(f), saltLenOverride = saltLenOf(f))
           }
         }
       case None => files.map(f =>
-        KvFilePartition(f, maskSlice = sliceFor(f), regionIdx = regionIdxOf(f)))
+        KvFilePartition(f, maskSlice = sliceFor(f), regionIdx = regionIdxOf(f),
+          saltLenOverride = saltLenOf(f)))
     }
     pieces.toArray
   }
@@ -1299,7 +1345,12 @@ private[sources] case class KvFilePartition(file: String,
       * key-grouped partitioning; Spark only consults [[partitionKey]]
       * when one was reported, so the sentinel is never observed.
       */
-    regionIdx: Int = -1)
+    regionIdx: Int = -1,
+    /** Mixed-salt CDC spans (r19): THIS file's salt-prefix width under
+      * its own entry's resolved layout, overriding the scan-level
+      * saltLen. None everywhere else.
+      */
+    saltLenOverride: Option[Int] = None)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   def wholeFile: Boolean = rangeStart == 0L && rangeEnd == Long.MaxValue
@@ -1321,15 +1372,16 @@ private[sources] case class KvReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvFilePartition]
+    val effSaltLen = p.saltLenOverride.getOrElse(saltLen)
     val masker =
       if (sliced) p.maskSlice.map(new KvRowMasker(_, outNames, emitCols))
       else mask.map(b => new KvRowMasker(b.value, outNames, emitCols))
     if (desc && limit.exists(_ > 0))
       new KvTailPartitionReader(p.file,
-        projNames, outNames, predicate, conf.value, limit.get, tailPlan, saltLen,
-        masker)
+        projNames, outNames, predicate, conf.value, limit.get, tailPlan,
+        effSaltLen, masker)
     else new KvPartitionReader(p.file,
-      projNames, outNames, predicate, conf.value, limit, saltLen,
+      projNames, outNames, predicate, conf.value, limit, effSaltLen,
       range = if (p.wholeFile) None else Some((p.rangeStart, p.rangeEnd)),
       masker = masker)
   }

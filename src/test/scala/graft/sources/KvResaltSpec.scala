@@ -140,7 +140,7 @@ class KvResaltSpec extends graft.SparkSpec {
     show.get("salt_buckets") shouldBe Some("2")
   }
 
-  test("time travel below the resalt resolves the OLD layout; CDC spans may not cross it") {
+  test("time travel below the resalt resolves the OLD layout; CDC spans cross it mixed") {
     val dir = freshDir("tt")
     KvSalt.saltedWrite(cells, dir, n = 16, regions = 4, mode = "overwrite")
     val fs = fsOf(dir)
@@ -156,20 +156,45 @@ class KvResaltSpec extends graft.SparkSpec {
       rows(cells.filter(col("rowKey") === "00123"))
     KvSalt.resolveAt(fs, new Path(dir), Some(preSeq)) shouldBe Some(16)
 
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-kv")
-        .option("sinceSeq", preSeq - 1).load(dir).collect()
-    }
-    e.getMessage should include("crosses a salt layout change")
-
-    // The span the refusal's advice produces — starting EXACTLY at the
-    // declaration — is allowed: nothing below the change, uniform layout
-    // above it. An append after the resalt is its only content.
+    // A span starting EXACTLY at the declaration is uniformly the new
+    // layout: an append after the resalt is its only content.
     val declSeq = KvSalt.declSeqs(fsOf(dir), new Path(dir)).head
     KvSalt.saltedWrite(cells.limit(7), dir, n = 4, regions = 1)
+    val upTo = KvLog.latestSeq(fs, new Path(dir))
     val resumed = spark.read.format("graft-kv")
       .option("sinceSeq", declSeq - 1).load(dir)
     resumed.count() shouldBe 7L
+
+    // r19: a span CROSSING the declaration reads MIXED — each file strips
+    // under its own entry's resolved layout — and ships exactly the union
+    // of the two non-crossing sub-spans, logical keys on both sides. The
+    // fixture: anchor snapshot (durable CDC anchor across the resalt's
+    // compaction floor, the r18 rule) → old-salt append → resalt → new-
+    // salt append; the span starts at the anchor and crosses everything.
+    val dir2 = freshDir("mixed")
+    KvSalt.saltedWrite(cells, dir2, n = 16, regions = 4, mode = "overwrite")
+    val fs2 = fsOf(dir2)
+    val anchorSeq = KvLog.latestSeq(fs2, new Path(dir2))
+    KvSnapshot.create(spark, dir2, "anchor")
+    val oldSide = KvGenerator.cells(spark, 500, 2, "runResaltOld")
+    KvSalt.saltedWrite(oldSide, dir2, n = 16, regions = 2)
+    KvResalt.resalt(spark, dir2, Some(4)) shouldBe a[KvResalt.Resalted]
+    val decl2 = KvSalt.declSeqs(fs2, new Path(dir2)).head
+    KvSalt.saltedWrite(cells.limit(7), dir2, n = 4, regions = 1)
+    val upTo2 = KvLog.latestSeq(fs2, new Path(dir2))
+    val crossing = spark.read.format("graft-kv")
+      .option("sinceSeq", anchorSeq).option("asOfSeq", upTo2).load(dir2)
+    val below = spark.read.format("graft-kv")
+      .option("sinceSeq", anchorSeq).option("asOfSeq", decl2 - 1).load(dir2)
+    val above = spark.read.format("graft-kv")
+      .option("sinceSeq", decl2 - 1).option("asOfSeq", upTo2).load(dir2)
+    rows(crossing) shouldBe rows(below.unionAll(above))
+    // filters stay exact as residuals (nothing pushes on a mixed span)
+    rows(crossing.filter(col("rowKey") === "00123")) shouldBe
+      rows(below.unionAll(above).filter(col("rowKey") === "00123"))
+    // the resalt entry itself contributes no phantom changes: the
+    // crossing span's content is the old-salt append plus the new one
+    crossing.count() shouldBe (oldSide.count() + 7)
   }
 
   test("a live tail fails loudly at a salt declaration instead of stripping wrong") {
