@@ -238,6 +238,46 @@ object Queries
       ensureCoveredIndexedCells(spark, sfDir), "by_click", "9000", "12000")
       .withColumnRenamed("view", "view_val")
 
+  /** r19: secondary index over a SALTED base table — creation, the DML
+    * lifecycle, exact refresh, and the covered range lookup all COMPOSE
+    * with `salt_buckets`: the index table itself is unsalted (its keys
+    * are value-ordered), entries record LOGICAL base keys (the base scan
+    * strips the salt before the index ever sees a row), and the
+    * verification read's key predicates expand to per-salt stored ranges
+    * like any other read ([[graft.sources.KvSalt]]). Exactly
+    * [[kvIndexCovered]]'s staging and bounds over an 8-bucket base, so
+    * the same oracle must hold bit-for-bit — the salted and unsalted
+    * twins are indistinguishable through the index surface
+    * (KvIndexTopNSpec pins the top-n equality too).
+    */
+  def kvIndexSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifacts.computeIfAbsent(s"salted_idx|$sfDir", _ => {
+      val p = artifactPath("salted_idx", sfDir)
+      graft.sinks.Sinks.deleteRecursive(spark, p)
+      graft.sources.KvSalt.saltedWrite(
+        KvTable.eventsAsCells(spark, sfDir), p, n = 8, regions = 4,
+        mode = "overwrite")
+      graft.sources.KvIndex.create(spark, p, "by_click", "f", "click",
+        pad = 12, regions = 4, include = Seq("view"))
+      graft.sources.KvSalt.saltedWrite(
+        spark.range(50).selectExpr(
+          "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+          "'f' AS family", "'click' AS qualifier",
+          "encode(CAST(10000 + id AS STRING), 'UTF-8') AS value",
+          "4000000000000000000L + id AS ts"),
+        p, n = 8, regions = 1)
+      graft.sources.KvDelete.deleteRows(spark, p,
+        spark.range(50, 100).selectExpr(
+          "lpad(CAST(id AS STRING), 8, '0') AS rowKey"))
+      val r = graft.sources.KvIndex.refresh(spark, p, "by_click")
+      require(r.isInstanceOf[graft.sources.KvIndex.Refreshed],
+        s"kv_index_salted staging expected an exact refresh, got $r")
+      p
+    })
+    graft.sources.KvIndex.lookupCovered(spark, path, "by_click",
+      "9000", "12000").withColumnRenamed("view", "view_val")
+  }
+
   /** r17: INDEX-SERVED TOP-N ([[graft.sources.KvIndex.topNCovered]] via
     * [[graft.sources.KvIndexRouting]] — Phoenix's ORDER BY elimination):
     * plain SQL `ORDER BY CAST(value AS BIGINT) DESC, rowKey DESC LIMIT n`
@@ -3051,6 +3091,7 @@ object Queries
     "kv_index_auto_composite" -> (kvIndexAutoComposite _),
     "kv_index_sql_composite" -> (kvIndexSqlComposite _),
     "kv_index_covered" -> (kvIndexCovered _),
+    "kv_index_salted" -> (kvIndexSalted _),
     "kv_index_topn" -> (kvIndexTopn _),
     "kv_index_topn_range" -> (kvIndexTopnRange _),
     "kv_index_topn_stale" -> (kvIndexTopnStale _),
@@ -3228,6 +3269,7 @@ object Queries
     "kv_index_auto_composite" -> kvIndexCompositeSql,
     "kv_index_sql_composite" -> kvIndexCompositeSql,
     "kv_index_covered" -> kvIndexCoveredSql,
+    "kv_index_salted" -> kvIndexCoveredSql,
     "kv_index_topn" -> kvIndexTopnSql,
     "kv_index_topn_range" -> kvIndexTopnRangeSql,
     "kv_index_topn_stale" -> kvIndexTopnStaleSql,

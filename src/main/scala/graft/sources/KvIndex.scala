@@ -291,6 +291,30 @@ object KvIndex {
       col("ts").as("ts"))
   }
 
+  /** The stale span's distinct touched base keys, capped at
+    * [[InPushdownCap]] — None when the cap is exceeded (callers fall
+    * back to the exact pivot). When the manifest-stat row bound already
+    * proves T <= cap (`spanRows` upper-bounds the distinct key count),
+    * the distinct SHUFFLE is skipped entirely: the raw feed keys collect
+    * and dedupe driver-side — the common small-span case pays one feed
+    * scan and ZERO exchanges (r19). Bigger spans keep the capped
+    * distinct probe.
+    */
+  private def staleTouchedKeys(spark: SparkSession, path: String,
+      sinceSeq: Long, latest: Long,
+      spanRows: Double): Option[Array[String]] = {
+    val feed = spark.read.format("graft-kv")
+      .option("sinceSeq", sinceSeq.toString)
+      .option("asOfSeq", latest.toString).load(path)
+      .select(col("rowKey"))
+    val touched =
+      if (spanRows <= InPushdownCap)
+        feed.collect().map(_.getString(0)).distinct
+      else feed.distinct()
+        .limit(InPushdownCap + 1).collect().map(_.getString(0))
+    if (touched.length > InPushdownCap) None else Some(touched)
+  }
+
   /** Base reads go through the CATALOG-RESOLVED path ([[KvRead]]): same
     * rows and pushdown, plus a resolvable region function — a certified
     * table's per-key aggregates (currentWide, the verification LWW) plan
@@ -1438,13 +1462,13 @@ object KvIndex {
     if (spanRows > 16.0 * InPushdownCap) return basePivot()
     // T = the span's distinct touched base keys — RAW feed, so deletes
     // (marker rows) count as touches too; capped driver probe like
-    // every candidate set here.
-    val touched = spark.read.format("graft-kv")
-      .option("sinceSeq", m.asOfSeq.toString)
-      .option("asOfSeq", latest.toString).load(path)
-      .select(col("rowKey")).distinct()
-      .limit(InPushdownCap + 1).collect().map(_.getString(0))
-    if (touched.length > InPushdownCap) return basePivot()
+    // every candidate set here ([[staleTouchedKeys]]: the common small
+    // span skips the distinct shuffle outright).
+    val touched = staleTouchedKeys(spark, path, m.asOfSeq, latest,
+      spanRows) match {
+      case Some(t) => t
+      case None => return basePivot()
+    }
     val overFetch = (k.toLong + touched.length + 1) * perEntry
     if (overFetch > MaxTopNFetch) return basePivot()
     val idxCand = indexTop(k.toLong + touched.length, overFetch)
@@ -1644,12 +1668,11 @@ object KvIndex {
           e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
       }.sum
     if (spanRows > 16.0 * InPushdownCap) return basePivot()
-    val touched = spark.read.format("graft-kv")
-      .option("sinceSeq", m.asOfSeq.toString)
-      .option("asOfSeq", latest.toString).load(path)
-      .select(col("rowKey")).distinct()
-      .limit(InPushdownCap + 1).collect().map(_.getString(0))
-    if (touched.length > InPushdownCap) return basePivot()
+    val touched = staleTouchedKeys(spark, path, m.asOfSeq, latest,
+      spanRows) match {
+      case Some(t) => t
+      case None => return basePivot()
+    }
     val overFetch = (k.toLong + touched.length + 1) * perEntry
     if (overFetch > MaxTopNFetch) return basePivot()
     val idxCand = indexTopEntries(k.toLong + touched.length, overFetch)

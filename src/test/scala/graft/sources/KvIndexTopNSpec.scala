@@ -612,6 +612,66 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     check(bounded, expectRouted = true)
   }
 
+  test("salted base: covered lookup and top-n equal the unsalted twin, fresh and stale") {
+    def build(name: String, salt: Option[Int]): String = {
+      val dir = s"$base/$name"
+      graft.sinks.Sinks.deleteRecursive(spark, dir)
+      val data = spark.range(300).selectExpr(
+        "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+        "'f' AS family", "'v' AS qualifier",
+        "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+      salt match {
+        case Some(n) =>
+          KvSalt.saltedWrite(data, dir, n, regions = 3, mode = "overwrite")
+        case None => data.write.format("graft-kv").option("regions", 3)
+          .mode("overwrite").save(dir)
+      }
+      KvIndex.create(spark, dir, "by_v", "f", "v", pad = 8, covered = true)
+      // DML after the create: an update + a delete, then the refresh
+      val upd = spark.range(1).selectExpr(
+        "'000005' AS rowKey", "'f' AS family", "'v' AS qualifier",
+        "encode('70000', 'UTF-8') AS value", "700000L AS ts")
+      salt match {
+        case Some(n) => KvSalt.saltedWrite(upd, dir, n, regions = 1)
+        case None => upd.write.format("graft-kv").option("regions", 1)
+          .mode("append").save(dir)
+      }
+      import spark.implicits._
+      KvDelete.deleteRows(spark, dir, Seq("000299").toDF("rowKey"))
+      val r = KvIndex.refresh(spark, dir, "by_v")
+      assert(r.isInstanceOf[KvIndex.Refreshed], s"$name refresh: $r")
+      dir
+    }
+    val plain = build("twin_plain", None)
+    val salted = build("twin_salted", Some(8))
+    def top(dir: String, k: Int, desc: Boolean) =
+      KvIndex.topNCovered(spark, dir, "by_v", k, desc)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def look(dir: String) =
+      KvIndex.lookupCovered(spark, dir, "by_v", "600", "900")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // FRESH: the index surface must be layout-blind
+    top(salted, 6, desc = true) shouldBe top(plain, 6, desc = true)
+    top(salted, 6, desc = false) shouldBe top(plain, 6, desc = false)
+    top(plain, 1, desc = true).head shouldBe (("000005", "70000"))
+    look(salted) shouldBe look(plain)
+    // STALE: one unabsorbed commit on each (same logical content), no
+    // refresh — the verified stale path maps through the salt too
+    Seq(plain -> None, salted -> Some(8)).foreach { case (dir, s) =>
+      val upd2 = spark.range(1).selectExpr(
+        "'000007' AS rowKey", "'f' AS family", "'v' AS qualifier",
+        "encode('80000', 'UTF-8') AS value", "800000L AS ts")
+      s match {
+        case Some(n) => KvSalt.saltedWrite(upd2, dir, n, regions = 1)
+        case None => upd2.write.format("graft-kv").option("regions", 1)
+          .mode("append").save(dir)
+      }
+    }
+    top(salted, 4, desc = true) shouldBe top(plain, 4, desc = true)
+    top(plain, 1, desc = true).head shouldBe (("000007", "80000"))
+    look(salted) shouldBe look(plain)
+  }
+
   test("rangeIsSelective memo invalidates on a new base commit (decision re-prices)") {
     val dir = s"$base/memo"
     graft.sinks.Sinks.deleteRecursive(spark, dir)
