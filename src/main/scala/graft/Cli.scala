@@ -256,8 +256,12 @@ object Cli {
       val graceHours = a.lift(1).map(_.toLong).getOrElse(24L)
       graft.sources.KvVacuum.vacuum(
           spark, s"${tableDir(table)}/cells", graceHours * 3600 * 1000) match {
-        case graft.sources.KvVacuum.Vacuumed(n, bytes, dirs) =>
-          println(s"vacuumed $table: $n stray files ($bytes bytes), $dirs scratch dirs")
+        case v: graft.sources.KvVacuum.Vacuumed =>
+          val held = if (v.anchorHeldFiles == 0) ""
+            else s"; snapshot anchor holding ${v.anchorHeldFiles} files " +
+              s"(${v.anchorHeldBytes} bytes) — delete the snapshot to release"
+          println(s"vacuumed $table: ${v.deletedFiles} stray files " +
+            s"(${v.deletedBytes} bytes), ${v.scratchDirs} scratch dirs$held")
         case graft.sources.KvVacuum.Skipped(reason) =>
           println(s"vacuum skipped for $table: $reason")
       }
@@ -284,8 +288,11 @@ object Cli {
         case graft.sources.KvCompactor.Aborted(reason) => s"compaction aborted: $reason"
       }
       val v = r.vacuum match {
-        case graft.sources.KvVacuum.Vacuumed(n, bytes, dirs) =>
-          s"vacuumed $n stray files ($bytes bytes), $dirs scratch dirs"
+        case v: graft.sources.KvVacuum.Vacuumed =>
+          s"vacuumed ${v.deletedFiles} stray files (${v.deletedBytes} " +
+            s"bytes), ${v.scratchDirs} scratch dirs" +
+            (if (v.anchorHeldFiles == 0) ""
+             else s"; anchor-held ${v.anchorHeldFiles} files")
         case graft.sources.KvVacuum.Skipped(reason) => s"vacuum skipped: $reason"
       }
       println(s"maintained $table: $c; $v")

@@ -2524,7 +2524,7 @@ object Queries
       fs.setTimes(stray, 1000L, -1)
       val res = graft.sources.KvVacuum.vacuum(spark, path, graceMs = 0)
       require(res match {
-        case graft.sources.KvVacuum.Vacuumed(files, _, _) => files == 1
+        case v: graft.sources.KvVacuum.Vacuumed => v.deletedFiles == 1
         case _ => false
       }, s"kv_vacuumed_scan staging expected 1 reclaimed stray, got $res")
       path

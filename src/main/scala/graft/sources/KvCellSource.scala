@@ -960,7 +960,11 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // changes the key. Bounded LRU (a few entries, each ≤
     // MaxLiveMarkers rows), so repeated masked reads between commits
     // pay the load once per JVM, not once per scan.
-    val key = (path, saltLen, tombstoneFiles.sorted)
+    // The FILESYSTEM URI joins the key (ADVICE r18): a scheme-less path
+    // resolved against two different defaultFS configs is two tables.
+    val fsUri = String.valueOf(
+      new Path(path).getFileSystem(sconf.value).getUri)
+    val key = (fsUri, path, saltLen, tombstoneFiles.sorted)
     KvMarkerCache.get(key, () => {
       val markers =
         Array.newBuilder[(String, String, String, Long, Array[Byte], String)]
@@ -1658,28 +1662,50 @@ private[sources] class KvMaterializer(schema: MessageType, outNames: Seq[String]
   * segment serially on the driver.
   */
 private[sources] object KvMarkerCache {
-  private val MaxEntries = 4
-  private val cache = new java.util.LinkedHashMap[
-      (String, Int, Seq[String]),
-      Array[(String, String, String, Long, Array[Byte], String)]](
-      16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (String, Int, Seq[String]),
-        Array[(String, String, String, Long, Array[Byte], String)]]): Boolean =
-      size() > MaxEntries
-  }
+  private type Markers = Array[(String, String, String, Long, Array[Byte], String)]
 
-  def get(key: (String, Int, Seq[String]),
-      load: () => Array[(String, String, String, Long, Array[Byte], String)])
-      : Array[(String, String, String, Long, Array[Byte], String)] = {
+  /** Budget is TOTAL cached marker tuples, not entry count (ADVICE r18:
+    * an entry-count cap let four heavily-tombstoned tables pin
+    * ~4 × MaxLiveMarkers of driver heap permanently). Each single load
+    * is ≤ [[KvDelete.MaxLiveMarkers]] (the read refuses past it), so
+    * the freshly-inserted entry always fits the budget alone. Values
+    * ride SoftReferences besides: under real memory pressure the GC can
+    * reclaim an entry the LRU hasn't — a re-load is a slower scan, an
+    * OOM is an outage.
+    */
+  private val MaxTotalMarkers: Long = KvDelete.MaxLiveMarkers
+  private val cache = new java.util.LinkedHashMap[
+    (String, String, Int, Seq[String]),
+    java.lang.ref.SoftReference[Markers]](16, 0.75f, true)
+
+  def get(key: (String, String, Int, Seq[String]),
+      load: () => Markers): Markers = {
     cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) return hit
+      val ref = cache.get(key)
+      if (ref != null) {
+        val hit = ref.get()
+        if (hit != null) return hit
+        cache.remove(key): Unit // GC-cleared: drop the shell
+      }
     }
     // load OUTSIDE the lock (driver IO); a racing duplicate load is
     // harmless — last writer wins, both arrays are identical
     val v = load()
-    cache.synchronized { cache.put(key, v): Unit }
+    cache.synchronized {
+      cache.put(key, new java.lang.ref.SoftReference(v)): Unit
+      // Evict from the LRU-eldest end until the LIVE total fits the
+      // marker budget; GC-cleared shells drop on the way. The iterator
+      // reaches the just-inserted (newest) entry last, and it fits the
+      // budget alone, so the loop always terminates keeping it.
+      var total = cache.values.asScala
+        .foldLeft(0L)((a, r) => a + Option(r.get()).fold(0L)(_.length.toLong))
+      val it = cache.entrySet().iterator()
+      while (total > MaxTotalMarkers && it.hasNext) {
+        val e = it.next()
+        val live = Option(e.getValue.get()).fold(0L)(_.length.toLong)
+        if (!(e.getKey == key)) { it.remove(); total -= live }
+      }
+    }
     v
   }
 }

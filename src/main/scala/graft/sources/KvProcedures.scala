@@ -422,9 +422,9 @@ private[sources] object KvProcedures {
       val dir = tableDir(input)
       val grace = if (input.isNullAt(1)) 24L * 3600 * 1000 else input.getLong(1)
       KvVacuum.vacuum(spark, dir.toString, grace) match {
-        case KvVacuum.Vacuumed(files, bytes, scratch) =>
+        case v: KvVacuum.Vacuumed =>
           oneRow(Array[Any](UTF8String.fromString("vacuumed"),
-            files, bytes, scratch))
+            v.deletedFiles, v.deletedBytes, v.scratchDirs))
         case KvVacuum.Skipped(reason) =>
           oneRow(Array[Any](UTF8String.fromString(s"skipped: $reason"),
             null, null, null))

@@ -40,7 +40,14 @@ import org.apache.spark.sql.SparkSession
 object KvVacuum {
 
   sealed trait Result
-  case class Vacuumed(deletedFiles: Int, deletedBytes: Long, scratchDirs: Int)
+  /** `anchorHeldFiles`/`anchorHeldBytes` (r19, ADVICE): candidates past
+    * their grace that ONLY the snapshot CDC anchor is retaining — the
+    * observability for "an old snapshot silently disables reclamation":
+    * a growing number here means an anchor outlived its consumer;
+    * deleting the anchoring snapshot releases the whole span next pass.
+    */
+  case class Vacuumed(deletedFiles: Int, deletedBytes: Long, scratchDirs: Int,
+      anchorHeldFiles: Int = 0, anchorHeldBytes: Long = 0L)
       extends Result
   case class Skipped(reason: String) extends Result
 
@@ -95,6 +102,8 @@ object KvVacuum {
     var files = 0
     var bytes = 0L
     var dirs = 0
+    var anchorHeld = 0
+    var anchorHeldBytes = 0L
     listing.foreach { st =>
       val n = st.getPath.getName
       // Crash-leftover scratch dirs: a compaction's `_compact_*`, a
@@ -131,6 +140,14 @@ object KvVacuum {
         bytes += st.getLen
         fs.delete(st.getPath, false): Unit
         files += 1
+      } else if (st.isFile && n.startsWith("part-") && n.endsWith(".parquet")
+          && !live.contains(n) && !pinned.contains(n) && spanPinned.contains(n)
+          && removedAt.getOrElse(n, st.getModificationTime) < cutoff) {
+        // past grace and unreferenced except by the CDC anchor span —
+        // surfaced in the summary (Vacuumed doc) so a forgotten snapshot
+        // shows up as held bytes instead of silent storage growth
+        anchorHeld += 1
+        anchorHeldBytes += st.getLen
       } else if (st.isFile && n.startsWith("drops-") && n.endsWith(".parquet")
           && st.getModificationTime < cutoff && !referencedDrops.contains(n)) {
         bytes += st.getLen
@@ -171,6 +188,6 @@ object KvVacuum {
         }
       }
     }
-    Vacuumed(files, bytes, dirs)
+    Vacuumed(files, bytes, dirs, anchorHeld, anchorHeldBytes)
   }
 }

@@ -2,8 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// Throwaway experiments; not part of the library surface.
+/** SCALE-PROBE HARNESS — the evidence generator behind BASELINE.md's
+  * scale sections (TTL/versions at 20M cells, the 8M-cell top-n
+  * pricing, big-In costs, streaming state floors, …). Not a test suite
+  * and not library surface: each named case is a deliberate, repeatable
+  * measurement, run explicitly as
+  * `sbt "Test/runMain graft.Scratch <case>"`. It lives in the TEST
+  * source set on purpose — probes link against the library and the test
+  * fixtures, and a `main` never executes under `sbt test` — and writes
+  * only under `java.io.tmpdir`.
+  */
 object Scratch {
+  private val Tmp = sys.props("java.io.tmpdir").stripSuffix("/")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -56,7 +67,7 @@ object Scratch {
         // adds the strip+re-salt projection and the declaration commit,
         // (c) the point Get proves the converted layout serves pruned
         // lookups with no reader-side option.
-        val rp = "/tmp/graft_scratch/resalt_probe"
+        val rp = s"${Tmp}/graft_scratch/resalt_probe"
         graft.sinks.Sinks.deleteRecursive(spark, rp)
         def rcells = spark.range(8000000L).selectExpr(
           "lpad(CAST(id DIV 4 AS STRING), 9, '0') AS rowKey",
@@ -83,7 +94,7 @@ object Scratch {
         // maintained index (pruned index scan + bloom-pruned verify
         // gets) vs the full-scan LWW filter it replaces, on 8M cells /
         // 2M keys. Also the refresh cost for a 50k-row delta.
-        val ip = "/tmp/graft_scratch/index_probe"
+        val ip = s"${Tmp}/graft_scratch/index_probe"
         graft.sinks.Sinks.deleteRecursive(spark, ip)
         def icells = spark.range(8000000L).selectExpr(
           "lpad(CAST(id DIV 4 AS STRING), 9, '0') AS rowKey",
@@ -128,7 +139,7 @@ object Scratch {
         // table (family-separated commits, 8M cells each) scanned for ONE
         // family — the pruned plan must only read half the files.
         import org.apache.spark.sql.functions._
-        val cp = "/tmp/graft_scratch/colprune_probe"
+        val cp = s"${Tmp}/graft_scratch/colprune_probe"
         graft.sinks.Sinks.deleteRecursive(spark, cp)
         def fam(f: String, base: Long) = spark.range(8000000L).selectExpr(
           "lpad(CAST(id AS STRING), 9, '0') AS rowKey",
@@ -260,7 +271,7 @@ object Scratch {
         import org.apache.spark.sql.functions._
         // 1M synthetic events written to /tmp, run through the streaming
         // pivot (watermark + window + LWW state) at 10x the bench volume.
-        val dir = "/tmp/graft_scale_events"
+        val dir = s"${Tmp}/graft_scale_events"
         graft.sinks.Sinks.deleteRecursive(spark, dir)
         spark.range(1000000L).selectExpr(
             "id AS event_id",
@@ -286,7 +297,7 @@ object Scratch {
         // Results must be IDENTICAL across providers; the rows printed
         // prove it. 1M-event windowed pivot (~1M state rows) and 500k-user
         // sessionization (500k state entries).
-        val dir = "/tmp/graft_rocksdb_events"
+        val dir = s"${Tmp}/graft_rocksdb_events"
         graft.sinks.Sinks.deleteRecursive(spark, dir)
         spark.range(1000000L).selectExpr(
             "id AS event_id",
@@ -308,7 +319,7 @@ object Scratch {
           graft.streaming.StreamingPivot.runAvailableNow(pivotDf, "rdb_piv_rocks",
             stateStoreProvider = Some(graft.streaming.StreamingPivot.RocksDbProvider)).count())
         println(s"  pivot rows: mem=$pivMem rocksdb=$pivRdb equal=${pivMem == pivRdb}")
-        val sdir = "/tmp/graft_rocksdb_sessions"
+        val sdir = s"${Tmp}/graft_rocksdb_sessions"
         graft.sinks.Sinks.deleteRecursive(spark, sdir)
         spark.range(1000000L).selectExpr(
             "id % 500000 AS user_id", "id AS event_id",
@@ -700,12 +711,12 @@ object Scratch {
         val df = Queries.kvTypedExport(spark, sfDir)
         time("pivot count")(df.count())
         time("pivot write parquet")(df.write.mode("overwrite").option("compression", "snappy")
-          .parquet("/tmp/graft_export/pq_decomp"))
-        time("read back count")(spark.read.parquet("/tmp/graft_export/pq_decomp").count())
+          .parquet(s"${Tmp}/graft_export/pq_decomp"))
+        time("read back count")(spark.read.parquet(s"${Tmp}/graft_export/pq_decomp").count())
         time("write coalesce(8)")(df.coalesce(8).write.mode("overwrite")
-          .option("compression", "snappy").parquet("/tmp/graft_export/pq_decomp8"))
+          .option("compression", "snappy").parquet(s"${Tmp}/graft_export/pq_decomp8"))
         time("write repartition(32)")(df.repartition(32).write.mode("overwrite")
-          .option("compression", "snappy").parquet("/tmp/graft_export/pq_decomp32"))
+          .option("compression", "snappy").parquet(s"${Tmp}/graft_export/pq_decomp32"))
       case "jacplan" =>
         val df = Queries.dedupJaccardPairs(spark, sfDir)
         time("jaccard")(df.count())

@@ -97,8 +97,8 @@ class KvCompactionSpec extends graft.SparkSpec {
     // merged-away originals go; the live set and the data are untouched
     KvLog.backdateEntry(fs, new Path(d), seq, 1000L)
     KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
-      case KvVacuum.Vacuumed(files, bytes, _) =>
-        files shouldBe 6; bytes should be > 0L
+      case v: KvVacuum.Vacuumed =>
+        v.deletedFiles shouldBe 6; v.deletedBytes should be > 0L
       case r => fail(s"expected Vacuumed, got $r")
     }
     fs.listStatus(new Path(d)).map(_.getPath.getName)

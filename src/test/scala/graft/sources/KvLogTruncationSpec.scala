@@ -80,7 +80,7 @@ class KvLogTruncationSpec extends graft.SparkSpec {
     // originals, like the untruncated log would have
     KvLog.backdateEntry(fs, table, seq, 1000L)
     KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
-      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 6
+      case v: KvVacuum.Vacuumed => v.deletedFiles shouldBe 6
       case r => fail(s"expected Vacuumed, got $r")
     }
     spark.read.format("graft-kv").load(d).count() shouldBe n

@@ -98,8 +98,8 @@ class KvMaintenanceSpec extends graft.SparkSpec {
     KvLog.backdateEntry(fs, table, seq, 1000L)
     val r3 = KvMaintenance.maintain(spark, d, policy)
     r3.vacuum match {
-      case KvVacuum.Vacuumed(files, bytes, _) =>
-        files shouldBe 10; bytes should be > 0L
+      case v: KvVacuum.Vacuumed =>
+        v.deletedFiles shouldBe 10; v.deletedBytes should be > 0L
       case v => fail(s"expected Vacuumed, got $v")
     }
     spark.read.format("graft-kv").load(d).count() shouldBe n

@@ -129,7 +129,7 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
       new Path(table, referenced.head), fs, stray, false, fs.getConf)
     fs.setTimes(stray, 1000L, -1)
     KvVacuum.vacuum(spark, dir, graceMs = 0L) match {
-      case KvVacuum.Vacuumed(files, _, _) => assert(files >= 1)
+      case v: KvVacuum.Vacuumed => assert(v.deletedFiles >= 1)
       case other => fail(s"vacuum did not run: $other")
     }
     assert(!fs.exists(stray), "unreferenced drop stray must be reclaimed")
@@ -490,7 +490,14 @@ class KvRetentionCdcSpec extends graft.SparkSpec {
     // entry truncation — seq 2's drop files would be reclaimed here.
     Thread.sleep(20) // let the removal clocks fall behind the cutoff
     KvLog.truncate(fs, table, 0L)
-    KvVacuum.vacuum(spark, dir, graceMs = 0L)
+    KvVacuum.vacuum(spark, dir, graceMs = 0L) match {
+      // r19 observability: the summary SAYS what the anchor is holding —
+      // past-grace candidates spared only by the span pin
+      case v: KvVacuum.Vacuumed =>
+        assert(v.anchorHeldFiles > 0 && v.anchorHeldBytes > 0L,
+          s"anchor-held files not surfaced in the vacuum summary: $v")
+      case other => fail(s"vacuum did not run: $other")
+    }
     // the anchored entries survived truncation (entry 1 and the dropping
     // entry 2), and the span's files survived vacuum
     KvLog.read(fs, table, 1L).isDefined shouldBe true

@@ -106,7 +106,7 @@ class KvTimeTravelSpec extends graft.SparkSpec {
     // vacuum reclaims after the removal grace: now the version is gone
     KvLog.backdateEntry(fs, table, seq, 1000L)
     KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
-      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 4
+      case v: KvVacuum.Vacuumed => v.deletedFiles shouldBe 4
       case r => fail(s"expected Vacuumed, got $r")
     }
     val err = the[Exception] thrownBy asOf(d, 1).count()
@@ -140,7 +140,7 @@ class KvTimeTravelSpec extends graft.SparkSpec {
     // stage 2 (vacuumed past grace): exactly the merged-away originals go
     KvLog.backdateEntry(fs, table, seq, 1000L)
     KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
-      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 4
+      case v: KvVacuum.Vacuumed => v.deletedFiles shouldBe 4
       case r => fail(s"expected Vacuumed, got $r")
     }
     // pre-checkpoint cumulative versions are gone, with the documented error

@@ -45,7 +45,7 @@ class KvVacuumSpec extends graft.SparkSpec {
     age(d, stray); age(d, "_compact_dead01")
     val res = KvVacuum.vacuum(spark, d, graceMs = 0)
     res match {
-      case KvVacuum.Vacuumed(files, bytes, dirs) =>
+      case KvVacuum.Vacuumed(files, bytes, dirs, _, _) =>
         files shouldBe 1; dirs shouldBe 1; bytes should be > 0L
       case r => fail(s"expected Vacuumed, got $r")
     }
@@ -71,7 +71,7 @@ class KvVacuumSpec extends graft.SparkSpec {
     val g = fs.create(new Path(d, "_tmp_alive001/part-r-00000-2.parquet"))
     g.write(Array[Byte](1)); g.close()
     KvVacuum.vacuum(spark, d, graceMs = 60 * 1000) match {
-      case KvVacuum.Vacuumed(_, _, dirs) => dirs shouldBe 1
+      case v: KvVacuum.Vacuumed => v.scratchDirs shouldBe 1
       case r => fail(s"expected Vacuumed, got $r")
     }
     fs.exists(new Path(d, "_tmp_deadbeef")) shouldBe false
@@ -122,7 +122,7 @@ class KvVacuumSpec extends graft.SparkSpec {
     // removal grace expired (entry backdated): exactly the originals go
     KvLog.backdateEntry(fs, table, seq, 1000L)
     KvVacuum.vacuum(spark, d, graceMs = 3600 * 1000) match {
-      case KvVacuum.Vacuumed(files, _, _) => files shouldBe 4
+      case v: KvVacuum.Vacuumed => v.deletedFiles shouldBe 4
       case r => fail(s"expected Vacuumed, got $r")
     }
     before.foreach(f => fs.exists(new Path(d, f)) shouldBe false)
