@@ -587,6 +587,83 @@ object Scratch {
         time("FRESH top-100 (index-only head)")(
           graft.sources.KvIndex.topNCovered(spark, d, "by_v", 100)
             .collect())
+      case "topncomposite" =>
+        import org.apache.spark.sql.functions._
+        // Composite index-served top-n at scale (r19): 8M keys each
+        // carrying two decimal qualifiers; a bounded two-column
+        // ORDER BY a, b LIMIT k prices the composite index head (fresh),
+        // the stale verified route after DML, and the honest wide pivot
+        // fallback — the encoded NUL-joined key makes the bounded range
+        // one contiguous index prefix, so the fresh serve is O(k) while
+        // the pivot pays the full 16M-cell groupBy + sort.
+        val d = s"${Tmp}/graft_scratch/topncomposite"
+        graft.sinks.Sinks.deleteRecursive(spark, d)
+        time("stage 16M cells / 8M keys (16 regions)") {
+          val a = spark.range(8000000L).selectExpr(
+            "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+            "'f' AS family", "'a' AS qualifier",
+            "encode(CAST(id % 100000 AS STRING), 'UTF-8') AS value",
+            "id AS ts")
+          // b must be INDEPENDENT of a = id % 100000: any multiplicative
+          // (id * m) % 100000 collapses to a function of a (m * 100000j
+          // vanishes mod 100000) and the two-column range would select a
+          // provably empty set — hash-mix instead
+          val b = spark.range(8000000L).selectExpr(
+            "lpad(CAST(id AS STRING), 8, '0') AS rowKey",
+            "'f' AS family", "'b' AS qualifier",
+            "encode(CAST(pmod(xxhash64(id), 100000) AS STRING), 'UTF-8') AS value",
+            "id AS ts")
+          a.unionAll(b).write.format("graft-kv").option("regions", 16)
+            .mode("append").save(d)
+        }
+        time("composite index build (a:8, b:8)")(
+          graft.sources.KvIndex.create(spark, d, "by_ab", "f", "a",
+            pad = 8, regions = 8, rest = Seq(("b", 8))))
+        val bounds = Seq((Some("99000"), Some("99500")),
+          (Some("0"), Some("50000")))
+        val freshTop = time("FRESH composite top-50 (index head)")(
+          graft.sources.KvIndex.topNComposite(spark, d, "by_ab", 50,
+            desc = true, bounds).collect())
+        println(s"[probe] fresh rows: ${freshTop.length}, " +
+          s"head: ${freshTop.headOption}")
+        time("post-refresh DML (800 updates + 200 deletes)") {
+          spark.range(800).selectExpr(
+            "lpad(CAST(id * 9973 AS STRING), 8, '0') AS rowKey",
+            "'f' AS family", "'a' AS qualifier",
+            "encode(CAST(99400 + (id % 100) AS STRING), 'UTF-8') AS value",
+            "9000000000L + id AS ts")
+            .write.format("graft-kv").option("regions", 1)
+            .mode("append").save(d)
+          graft.sources.KvDelete.deleteRows(spark, d,
+            spark.range(7999800L, 8000000L).selectExpr(
+              "lpad(CAST(id AS STRING), 8, '0') AS rowKey"))
+        }
+        val staleTop = time("STALE composite top-50 (verified over-fetch)")(
+          graft.sources.KvIndex.topNComposite(spark, d, "by_ab", 50,
+            desc = true, bounds).collect())
+        val pivotTop = time("full wide pivot sort top-50 (the fallback)")(
+          spark.read.format("graft-kv").load(d)
+            .filter(col("family") === "f" && col("qualifier").isin("a", "b"))
+            .groupBy("rowKey")
+            .agg(
+              decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+                when(col("qualifier") === "a", col("ts"))), "UTF-8").as("a"),
+              decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+                when(col("qualifier") === "b", col("ts"))), "UTF-8").as("b"))
+            .filter(lpad(col("a"), 8, "0") >= "00099000" &&
+              lpad(col("a"), 8, "0") < "00099500" &&
+              lpad(col("b"), 8, "0") >= "00000000" &&
+              lpad(col("b"), 8, "0") < "00050000")
+            .orderBy(lpad(col("a"), 8, "0").desc, lpad(col("b"), 8, "0").desc,
+              col("rowKey").desc)
+            .limit(50).collect())
+        require(staleTop.map(_.getString(0)).toSeq ==
+          pivotTop.map(_.getString(0)).toSeq, "stale composite != pivot")
+        time("index refresh (absorb the DML)")(
+          graft.sources.KvIndex.refresh(spark, d, "by_ab"))
+        time("FRESH again after refresh")(
+          graft.sources.KvIndex.topNComposite(spark, d, "by_ab", 50,
+            desc = true, bounds).collect())
       case "scaleversions" =>
         import org.apache.spark.sql.functions._
         // Versions-policy pass at 20M cells (2M keys x 10 versions,
