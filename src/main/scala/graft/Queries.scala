@@ -2802,7 +2802,11 @@ object Queries
     * "pivot" leg, CPU) so the sink write (the "write" leg) times IO
     * alone; Bench adds the read-back leg from its own phase timer. Off
     * (Verify, tests, library callers), the plan stays fused exactly as
-    * before — pivot and write in one pass.
+    * before — pivot and write in one pass. Only the FOUR record-format
+    * round-trips stage (the ~5 s queries the flap arguments were about):
+    * the staging cache costs one extra pass, which DOUBLED the
+    * sub-second txt/seq/reader exports for no adjudication value — those
+    * stay fused (r19 mid-round bench).
     */
   private def exportStaged(name: String, cells: DataFrame, cfg: Export.Config): Unit =
     if (!Legs.enabled) Export.run(cells, cfg)
@@ -2835,7 +2839,7 @@ object Queries
   def exportTxtRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = KvTable.eventsAsCells(spark, sfDir)
     val cfg = delimitedExportCfg(Export.DelimitedTxt, "txt", Some("gzip"))
-    exportStaged("export_txt_roundtrip", cells, cfg)
+    Export.run(cells, cfg)
     spark.read.text(cfg.outputPath).withColumnRenamed("value", "line")
   }
 
@@ -2844,7 +2848,7 @@ object Queries
     val cells = KvTable.eventsAsCells(spark, sfDir)
     val cfg = delimitedExportCfg(Export.DelimitedSeq, "seq", Some("gzip"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    exportStaged("export_seq_roundtrip", cells, cfg)
+    Export.run(cells, cfg)
     graft.sinks.Sinks.readSequenceFile(spark, cfg.outputPath)
   }
 
@@ -2934,7 +2938,7 @@ object Queries
     val cfg = Export.Config(Export.Avro, ReaderAvroSchema, tmpOut("reader_avro"),
       columnFamily = Some("f"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    exportStaged("reader_avro_limit", cells, cfg)
+    Export.run(cells, cfg)
     graft.sinks.AvroIO.read(spark, cfg.outputPath, SchemaFile.parseAvroJson(ReaderAvroSchema))
       .orderBy(col("KEY")).limit(20)
   }
@@ -2948,7 +2952,7 @@ object Queries
     val cfg = Export.Config(Export.Parquet, ReaderAvroSchema, tmpOut("reader_parquet"),
       columnFamily = Some("f"), rowKeyColumn = Some("KEY"), compression = Some("snappy"))
     graft.sinks.Sinks.deleteRecursive(spark, cfg.outputPath)
-    exportStaged("reader_parquet_limit", cells, cfg)
+    Export.run(cells, cfg)
     Export.readParquet(spark, cfg.outputPath).orderBy(col("KEY")).limit(20)
   }
 
