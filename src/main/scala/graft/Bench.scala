@@ -132,7 +132,6 @@ object Bench {
       rmTree(new java.io.File(base))
       sec
     }
-    Legs.enabled = true // per-leg export timings ride the result JSON
     canary(): Unit // untimed warm pass (codegen + exchange setup)
     canaryIo(): Unit
     canaryStream(): Unit
@@ -148,7 +147,8 @@ object Bench {
     }
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
-        val times = (1 to reps).map { _ =>
+        def onePass(instrumented: Boolean): Double = {
+          Legs.enabled = instrumented
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
@@ -157,15 +157,25 @@ object Bench {
             val tDone = System.nanoTime()
             // the count IS the read-back leg for queries whose build
             // phase recorded pivot/write legs (the export round-trips)
-            if (Legs.has(name))
+            if (instrumented && Legs.has(name))
               Legs.record(name, "read", (tDone - tBuilt) / 1e9)
             (tDone - t0) / 1e9
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               -1.0
-          }
+          } finally Legs.enabled = false
         }
+        // FIRST pass runs instrumented. If it recorded legs, its plan was
+        // STAGED (the pivot cache adds a pass) — discard its timing and
+        // run the full `reps` fused, so totals stay comparable with every
+        // pre-instrumentation baseline; legs are the instrumented pass's
+        // one sample per leg. Queries that record nothing ran the normal
+        // plan, so the first timing counts like any rep.
+        val first = onePass(instrumented = true)
+        val times =
+          if (Legs.has(name)) (1 to reps).map(_ => onePass(instrumented = false))
+          else first +: (2 to reps).map(_ => onePass(instrumented = false))
         if ((i + 1) % 15 == 0) {
           canarySamples += canary(); canaryIoSamples += canaryIo()
           canaryStreamSamples += canaryStream()
