@@ -100,16 +100,17 @@ object KvIndex {
     * refresh computes — a single-qualifier append-only delta cannot
     * re-key entries whose OTHER component changed.
     */
-  /** `includeOnly` (r19) — the count, AT `asOfSeq`, of base keys that
-    * carry some `include` qualifier but NOT the leading one: exactly the
-    * pivot rows a wide top-n's index cannot see (they pivot with a NULL
-    * leading value). Computed exactly by the full build and maintained
-    * incrementally by the exact refresh (the touched-key joined frame
-    * already holds both sides); `Some(0)` is the O(1) proof that lets
-    * bare wide top-n serve index-first in BOTH directions
-    * ([[topNCoveredWide]] doc). None = unknown (pre-r19 metas, shells):
-    * the serve guards simply fall back as before. Single-component
-    * covered indexes only — composite metas leave it None.
+  /** `includeOnly` (r19) — the count, AT `asOfSeq`, of PARTIAL base
+    * keys: keys carrying some indexed/include qualifier but NOT every
+    * key component — exactly the pivot rows the index cannot see (they
+    * pivot with a NULL in a sort column). For a single-component covered
+    * index this is the include-only-key count; for a composite index,
+    * keys missing any key component. Computed exactly by the full build
+    * and maintained incrementally by the exact refresh (the touched-key
+    * joined frame already holds both sides); `Some(0)` is the O(1)
+    * proof that lets BARE top-n serve index-first in both directions
+    * ([[topNCoveredWide]]/[[topNComposite]] docs). None = unknown
+    * (pre-r19 metas, shells): the serve guards simply fall back.
     */
   case class Meta(name: String, family: String, qualifier: String,
       pad: Int, asOfSeq: Long, include: Seq[String] = Nil,
@@ -350,12 +351,13 @@ object KvIndex {
       .mode("overwrite").save(dir.toString)
     // includeOnly stat ([[Meta]] doc): the full build already scanned the
     // relevant cells — one more count over the unfiltered wide frame
-    // makes bare wide top-n provable at serve time.
+    // makes bare top-n provable at serve time.
     val withStat =
-      if (m.covered && m.rest.isEmpty && m.include.nonEmpty)
+      if (m.covered && (m.include.nonEmpty || m.composite))
         m.copy(includeOnly = Some(
           currentWideAny(spark, path, m, Map("asOfSeq" -> m.asOfSeq.toString))
-            .filter(col("_v0").isNull).count()))
+            .filter(!m.keyQuals.indices.map(i => col(s"_v$i").isNotNull)
+              .reduce(_ && _)).count()))
       else m
     writeMeta(fs, dir, withStat)
   }
@@ -540,11 +542,12 @@ object KvIndex {
         df.filter(col("rowKey").isin(touchedProbe.toIndexedSeq: _*))
       else df.join(feed.select(col("rowKey")).distinct(),
         Seq("rowKey"), "left_semi")
-    // Single-component covered indexes maintain the includeOnly stat
-    // ([[Meta]] doc), so their pre/post frames keep include-only keys
-    // (null leading) — harmless to dead/fresh, which gate on `_p0`/`_v0`
-    // non-null exactly as the filtered frame guaranteed by construction.
-    val trackPartial = m.rest.isEmpty && m.include.nonEmpty
+    // Stat-tracking indexes ([[Meta.includeOnly]]) maintain the partial-
+    // key count, so their pre/post frames keep PARTIAL keys (some key
+    // component null) — dead/fresh below gate on full-row conjunctions,
+    // which reduce to exactly what the filtered frame guaranteed by
+    // construction for non-tracking shapes.
+    val trackPartial = m.include.nonEmpty || m.composite
     def wideOf(opts: Map[String, String]): DataFrame =
       if (trackPartial) currentWideAny(spark, path, m, opts)
       else currentWide(spark, path, m, opts)
@@ -552,16 +555,27 @@ object KvIndex {
     val post = restrict(wideOf(Map("asOfSeq" -> latest.toString)))
     val preR = pre.select(col("rowKey") +:
       (0 until n).map(i => col(s"_v$i").as(s"_p$i")): _*)
-    val joined = preR.join(post, Seq("rowKey"), "full_outer")
+    // cached under stat tracking: dead, fresh, and the two stat counts
+    // all consume it (bounded — restricted to the touched keys)
+    val joined0 = preR.join(post, Seq("rowKey"), "full_outer")
+    val joined = if (trackPartial) joined0.cache() else joined0
     val changed = (0 until n)
       .map(i => !(col(s"_p$i") <=> col(s"_v$i"))).reduce(_ || _)
+    // Entry existence = ALL key components present on that side: for a
+    // non-tracking frame (currentWide) the filter already guaranteed it
+    // (so this reduces to the old `_p0`/`_v0` probe); for a tracking
+    // frame (currentWideAny, partial rows present) the conjunction is
+    // load-bearing — a partial row must produce neither a tombstone nor
+    // an entry.
+    val preFull = m.keyQuals.indices
+      .map(i => col(s"_p$i").isNotNull).reduce(_ && _)
+    val postFull = m.keyQuals.indices
+      .map(i => col(s"_v$i").isNotNull).reduce(_ && _)
     // Superseded entries: the pre-image had an entry and the row changed
-    // (or vanished — incl. a row that LOST a key component: currentWide
-    // drops it, so the post side is null). Pre-existence is `_p0`
-    // non-null: wide rows carry ALL key components by construction.
+    // (or vanished — incl. a row that LOST a key component).
     // Marker ts = the span-start seq (doc above).
     val dead = joined
-      .filter(col("_p0").isNotNull && (col("_v0").isNull || changed))
+      .filter(preFull && (!postFull || changed))
       .select(entryKeyOf(m,
         m.keyQuals.indices.map(i => col(s"_p$i"))).as("rowKey"),
         lit(m.asOfSeq).as("ts"))
@@ -570,7 +584,7 @@ object KvIndex {
       if (!deadRows.isEmpty)
         KvDelete.deleteRows(spark, dir.toString, deadRows)
       val fresh = joined
-        .filter(col("_v0").isNotNull && (col("_p0").isNull || changed))
+        .filter(postFull && (!preFull || changed))
         .select(col("rowKey") +:
           (0 until n).map(i => col(s"_v$i")): _*)
       val adds = indexCellsCovered(fresh, m, tsSeq = latest).cache()
@@ -586,15 +600,19 @@ object KvIndex {
       val newStat =
         if (!trackPartial) m.includeOnly
         else m.includeOnly.map { old =>
-          val incAnyP = (1 until n).map(i => col(s"_p$i").isNotNull)
+          // partial on a side = present (any column) but not full there
+          val anyP = (0 until n).map(i => col(s"_p$i").isNotNull)
             .reduce(_ || _)
-          val incAnyV = (1 until n).map(i => col(s"_v$i").isNotNull)
+          val anyV = (0 until n).map(i => col(s"_v$i").isNotNull)
             .reduce(_ || _)
-          old - joined.filter(col("_p0").isNull && incAnyP).count() +
-            joined.filter(col("_v0").isNull && incAnyV).count()
+          old - joined.filter(!preFull && anyP).count() +
+            joined.filter(!postFull && anyV).count()
         }
       writeMeta(fs, dir, m.copy(asOfSeq = latest, includeOnly = newStat))
-    } finally deadRows.unpersist(): Unit
+    } finally {
+      deadRows.unpersist(): Unit
+      if (trackPartial) joined.unpersist(): Unit
+    }
     // Marker hygiene: tombstones accumulate one per superseded entry;
     // compact the INDEX once they outnumber a quarter of its rows (or
     // the absolute floor), purging masked entries and markers together.
@@ -1575,15 +1593,18 @@ object KvIndex {
     require(bounds.length == m.keyQuals.length,
       s"graft-kv index: '$name' has ${m.keyQuals.length} key components " +
         s"(${m.keyQuals.mkString(", ")}); got ${bounds.length} bounds")
-    bounds.zip(m.pads).zip(m.keyQuals).foreach { case (((lo, hi), p), q) =>
+    bounds.zip(m.pads).foreach { case ((lo, hi), p) =>
       lo.foreach(requireValidBound(p, "lo", _))
       hi.foreach(requireValidBound(p, "hi", _))
-      require(lo.isDefined || hi.isDefined,
-        s"graft-kv index: composite top-n needs at least one bound side " +
-          s"per key component, but '$q' is unbounded — an unbounded " +
-          "component admits NULL-component rows the index cannot rank; " +
-          "run the pivot sort")
     }
+    // A fully-open component admits PARTIAL rows (that component NULL)
+    // into the pivot — invisible to the inner-join index, mid-stream
+    // under a multi-column sort. With every component bounded the wall
+    // is the bounds themselves; open components serve only where the
+    // maintained partial-key stat ([[Meta.includeOnly]]) proves, or the
+    // candidate frame covers, those rows — tracked via `anyOpen` at each
+    // serve site below, with the exact any-frame pivot as the fallback.
+    val anyOpen = bounds.exists { case (lo, hi) => lo.isEmpty && hi.isEmpty }
     val pb = bounds.zip(m.pads).map { case ((lo, hi), p) =>
       (lo.map(padBound(_, p)), hi.map(padBound(_, p)))
     }
@@ -1632,12 +1653,17 @@ object KvIndex {
         decode(col("_v"), "UTF-8").as("value") +:
         payloadQuals.map(q => decode(col(s"_q$q"), "UTF-8").as(q)): _*)
 
-    if (latest <= m.asOfSeq) return project(indexTopEntries(k, fetch))
-
-    // ---- STALE paths: pinned to `latest`, never wrong, k-exact. ----
-    val pinned = Map("asOfSeq" -> latest.toString)
-    // bounds + tuple order + limit over a currentWide frame, then the
-    // composite projection ([[compositeAnswer]]'s shape with rank)
+    // Serve frames under open components must KEEP partial rows (the
+    // pivot ranks them; bounded components exclude them anyway).
+    def frame(opts: Map[String, String]): DataFrame =
+      if (anyOpen) currentWideAny(spark, path, m, opts)
+      else currentWide(spark, path, m, opts)
+    // no-partials proof for the open shapes: the stat at the covered seq
+    val provenFull = m.includeOnly.contains(0L)
+    // bounds + tuple order + limit over a wide frame, then the composite
+    // projection ([[compositeAnswer]]'s shape with rank); open components
+    // contribute no filter and their NULLs order with the direction
+    // default — exactly the pivot's Sort
     def rankComposite(wide: DataFrame): DataFrame = {
       val compPad = m.keyQuals.indices.map(i =>
         paddedValue(checkedComponent(col(s"_v$i"), m.pads(i)), m.pads(i)))
@@ -1655,8 +1681,23 @@ object KvIndex {
             decode(col(s"_v${nComp + i}"), "UTF-8").as(q)
           }): _*)
     }
-    def basePivot(): DataFrame =
-      rankComposite(currentWide(spark, path, m, pinned))
+
+    if (latest <= m.asOfSeq) {
+      if (!anyOpen || provenFull)
+        return project(indexTopEntries(k, fetch))
+      // open component, partials exist: the exact any-frame pivot IS the
+      // answer (the index cannot rank the partial rows)
+      return rankComposite(frame(Map("asOfSeq" -> latest.toString)))
+    }
+
+    // ---- STALE paths: pinned to `latest`, never wrong, k-exact. ----
+    val pinned = Map("asOfSeq" -> latest.toString)
+    def basePivot(): DataFrame = rankComposite(frame(pinned))
+    // open components without the no-partials proof: the candidate
+    // over-fetch argument needs "every partial row at `latest` is a
+    // touched key", which only holds from a partial-free covered seq —
+    // the exact pivot is the honest plan
+    if (anyOpen && !provenFull) return basePivot()
     if (spanUnservable(fs, table, m.asOfSeq, latest)) return basePivot()
     // Manifest-stat PRE-GATE on the span size ([[topNCovered]] doc): a
     // span whose raw rows already exceed the allowance skips the
@@ -1679,7 +1720,7 @@ object KvIndex {
       .select(decode(col("_k"), "UTF-8").as("rowKey"))
     val candidates = idxCand.unionByName(touched.toSeq.toDF("rowKey"))
     val small = k.toLong + 2L * touched.length <= InPushdownCap
-    val wideAll = currentWide(spark, path, m, pinned)
+    val wideAll = frame(pinned)
     val verified =
       if (small) {
         val candKeys = candidates.collect().map(_.getString(0)).distinct

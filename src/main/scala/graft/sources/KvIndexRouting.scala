@@ -648,7 +648,6 @@ case class KvIndexRouting(session: SparkSession)
     val extras = s.cols.collect {
       case (q, _) if !keyQualList.contains(q) => q }
     val conjuncts = cond.map(splitConjunctivePredicates).getOrElse(Nil)
-    if (conjuncts.isEmpty) return None // bare multi-column sort: null wall
     val table = new Path(s.path)
     val fs = table.getFileSystem(session.sessionState.newHadoopConf())
     KvIndex.list(fs, table)
@@ -662,7 +661,18 @@ case class KvIndexRouting(session: SparkSession)
             KvIndex.MaxTopNFetch
       }
       .flatMap { m =>
-        boundsTopNMulti(conjuncts, comps.map(_._2), m.pads)
+        if (conjuncts.isEmpty) {
+          // BARE multi-column sort (r19): only a PARTIAL-FREE index can
+          // serve — a row missing a component ranks mid-stream and is
+          // invisible to the inner-join index. The maintained stat
+          // ([[KvIndex.Meta.includeOnly]]) is the plan-time gate; the
+          // lookup re-proves it at execution and falls back to the
+          // exact any-frame pivot if the world moved — never wrong.
+          if (m.includeOnly.contains(0L))
+            Some((m, m.keyQuals.map(_ =>
+              (Option.empty[String], Option.empty[String]))))
+          else None
+        } else boundsTopNMulti(conjuncts, comps.map(_._2), m.pads)
           .map(pb => (m, pb))
       }
       .sortBy { case (m, _) => (m.include.length, m.name) }

@@ -612,6 +612,89 @@ class KvIndexTopNSpec extends graft.SparkSpec {
     check(bounded, expectRouted = true)
   }
 
+  test("bare composite sort serves when the partial-key stat proves the index complete") {
+    val dir = s"$base/composite_bare"
+    graft.sinks.Sinks.deleteRecursive(spark, dir)
+    // every key carries BOTH components — partial-key stat must be 0
+    val aCells = spark.range(250).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'a' AS qualifier",
+      "encode(CAST(id * 3 AS STRING), 'UTF-8') AS value", "id AS ts")
+    val bCells = spark.range(250).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'b' AS qualifier",
+      "encode(CAST(pmod(id * 37, 1000) AS STRING), 'UTF-8') AS value",
+      "id AS ts")
+    aCells.unionAll(bCells).write.format("graft-kv")
+      .option("regions", 2).mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "idx_ab", "f", "a", pad = 8,
+      rest = Seq(("b", 8)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    KvIndex.meta(fs, new org.apache.hadoop.fs.Path(dir), "idx_ab")
+      .get.includeOnly shouldBe Some(0L)
+    KvIndexRouting.install(spark)
+    def view(): Unit = spark.read.format("graft-kv").load(dir)
+      .filter(col("family") === "f" && col("qualifier").isin("a", "b"))
+      .groupBy(col("rowKey"))
+      .agg(
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "a", col("ts"))), "UTF-8").as("av"),
+        decode(graft.functions.MaxByTsAgg.maxByTs(col("value"),
+          when(col("qualifier") === "b", col("ts"))), "UTF-8").as("bv"))
+      .createOrReplaceTempView("bare_v")
+    view()
+    val bareDesc =
+      """SELECT rowKey, av, bv FROM bare_v
+        |ORDER BY CAST(av AS BIGINT) DESC, CAST(bv AS BIGINT) DESC, rowKey DESC
+        |LIMIT 5""".stripMargin
+    val bareAsc =
+      """SELECT rowKey, av, bv FROM bare_v
+        |ORDER BY CAST(av AS BIGINT) ASC, CAST(bv AS BIGINT) ASC, rowKey ASC
+        |LIMIT 5""".stripMargin
+    def run(sql: String): (Seq[(String, String, String)], String) = {
+      val df = spark.sql(sql)
+      (df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSeq,
+        df.queryExecution.executedPlan.toString)
+    }
+    def unrouted(sql: String): Seq[(String, String, String)] = {
+      spark.conf.set(KvIndexRouting.EnabledKey, "false")
+      try run(sql)._1 finally spark.conf.unset(KvIndexRouting.EnabledKey)
+    }
+    val (gotD, planD) = run(bareDesc)
+    assert(planD.contains("KvRoutedLookup"),
+      s"stat-proven bare composite DESC did not route:\n$planD")
+    gotD shouldBe unrouted(bareDesc)
+    val (gotA, planA) = run(bareAsc)
+    assert(planA.contains("KvRoutedLookup"),
+      s"stat-proven bare composite ASC did not route:\n$planA")
+    gotA shouldBe unrouted(bareAsc)
+    // a PARTIAL row lands (only 'a', the new global max) — no refresh:
+    // plan-time stat still says 0, the stale path must rank it exactly
+    // (touched key, any-frame candidates; DESC nulls-last on b)
+    spark.range(1).selectExpr(
+      "'zz0009' AS rowKey", "'f' AS family", "'a' AS qualifier",
+      "encode('99999', 'UTF-8') AS value", "900000L AS ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    view()
+    val (gotStale, planStale) = run(bareDesc)
+    assert(planStale.contains("KvRoutedLookup"),
+      s"stale stat-proven bare composite did not route:\n$planStale")
+    gotStale shouldBe unrouted(bareDesc)
+    gotStale.head._1 shouldBe "zz0009" // partial row ranks FIRST (max a)
+    // refresh re-counts: one partial key → bare declines, still exact
+    val r = KvIndex.refresh(spark, dir, "idx_ab")
+    assert(r.isInstanceOf[KvIndex.Refreshed], s"refresh: $r")
+    KvIndex.meta(fs, new org.apache.hadoop.fs.Path(dir), "idx_ab")
+      .get.includeOnly shouldBe Some(1L)
+    view()
+    val (gotAfter, planAfter) = run(bareDesc)
+    assert(!planAfter.contains("KvRoutedLookup"),
+      s"bare composite routed with a partial key on record:\n$planAfter")
+    gotAfter shouldBe unrouted(bareDesc)
+  }
+
   test("salted base: covered lookup and top-n equal the unsalted twin, fresh and stale") {
     def build(name: String, salt: Option[Int]): String = {
       val dir = s"$base/$name"
