@@ -174,7 +174,9 @@ object Bench {
         // plan, so the first timing counts like any rep.
         val first = onePass(instrumented = true)
         val times =
-          if (Legs.has(name)) (1 to reps).map(_ => onePass(instrumented = false))
+          if (first < 0) Seq(first) // a failed pass marks the query, always
+          else if (Legs.has(name))
+            (1 to reps).map(_ => onePass(instrumented = false))
           else first +: (2 to reps).map(_ => onePass(instrumented = false))
         if ((i + 1) % 15 == 0) {
           canarySamples += canary(); canaryIoSamples += canaryIo()

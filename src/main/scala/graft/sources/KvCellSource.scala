@@ -227,6 +227,17 @@ private[sources] class KvCellTable(path: String,
       s"graft-kv: the span crosses a salt layout change at $path — no " +
         "single saltBuckets value describes it; drop the option (the scan " +
         "resolves each segment's layout itself)")
+    // rowKey SCOPE options are SOURCE-ENFORCED (never re-applied by Spark
+    // as residuals — the record filter is their correctness boundary), and
+    // on a mixed span they would evaluate logical bounds against stored
+    // keys of two different layouts: refuse loudly rather than silently
+    // dropping rows. family/qualifier scopes are salt-agnostic and fine.
+    require(!mixedSaltSpan ||
+        (options.get("minRowKey") == null && options.get("maxRowKey") == null),
+      s"graft-kv: minRowKey/maxRowKey cannot scope an incremental span " +
+        s"that crosses a salt layout change at $path — the bound has no " +
+        "single stored form across the layouts; read unscoped and filter " +
+        "above the scan, or split the span at the declaration")
     val saltBuckets = if (mixedSaltSpan) None else optionBuckets.orElse(recorded)
     // `splitRegionBytes` plans MULTIPLE byte-range partitions over any
     // region file larger than it — intra-region scan parallelism for a
@@ -1011,24 +1022,36 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
   private lazy val maskSlices: Option[Map[String, KvDelete.Mask]] = {
     // sort + search under UTF-8 byte order — the manifest [minKey, maxKey]
     // these slices are cut against is byte-ordered (sink stat), and a
-    // UTF-16 slice could MISS a marker whose file the bounds do cover
-    val sorted = liveMarkers.sortBy(_._6)(graft.kv.Utf8Order)
-    val storedKeys: Array[String] = sorted.map(_._6)
+    // UTF-16 slice could MISS a marker whose file the bounds do cover.
+    // Sort keys precompute to UTF8String ONCE per marker (compareTo is
+    // the byte order): Utf8Order-per-compare would re-encode both sides
+    // on every of the O(n log n) compares of a multi-million-marker set.
+    type Keyed = (org.apache.spark.unsafe.types.UTF8String,
+      (String, String, String, Long, Array[Byte], String))
+    val keyed: Array[Keyed] = liveMarkers.map(t =>
+      (org.apache.spark.unsafe.types.UTF8String.fromString(t._6), t))
+    java.util.Arrays.sort(keyed, new java.util.Comparator[Keyed] {
+      override def compare(x: Keyed, y: Keyed): Int = x._1.compareTo(y._1)
+    })
+    val sorted = keyed.map(_._2)
+    val storedKeys = keyed.map(_._1)
     val m = storedKeys.length
     // first index with key >= lo / first index with key > hi
     def lowerBound(lo: String): Int = {
+      val loU = org.apache.spark.unsafe.types.UTF8String.fromString(lo)
       var a = 0; var b = m
       while (a < b) {
         val mid = (a + b) >>> 1
-        if (graft.kv.Utf8Order.compare(storedKeys(mid), lo) < 0) a = mid + 1 else b = mid
+        if (storedKeys(mid).compareTo(loU) < 0) a = mid + 1 else b = mid
       }
       a
     }
     def upperBound(hi: String): Int = {
+      val hiU = org.apache.spark.unsafe.types.UTF8String.fromString(hi)
       var a = 0; var b = m
       while (a < b) {
         val mid = (a + b) >>> 1
-        if (graft.kv.Utf8Order.compare(storedKeys(mid), hi) <= 0) a = mid + 1 else b = mid
+        if (storedKeys(mid).compareTo(hiU) <= 0) a = mid + 1 else b = mid
       }
       a
     }
@@ -1143,14 +1166,25 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       else {
         val fs = new Path(path).getFileSystem(sconf.value)
         val table = new Path(path)
+        val start = sinceSeq.getOrElse(-1L) + 1
         val upTo = asOfSeq.getOrElse(KvLog.latestSeq(fs, table))
+        // Declarations partition the span into a handful of EPOCHS —
+        // resolve once per epoch (O(decls) declaration reads), not once
+        // per entry (O(span) — a 1000-entry span would pay ~1000
+        // declaration-dir round-trips for the same few answers).
+        val epochs: Seq[(Long, Int)] =
+          ((start, KvSalt.resolveAt(fs, table, Some(start))) +:
+            KvSalt.declsIn(fs, table, start - 1, upTo).sorted
+              .map(d => (d, KvSalt.resolveAt(fs, table, Some(d)))))
+            .map { case (s, salt) =>
+              (s, if (salt.isDefined) KvSalt.Width else 0) }
+        def saltLenAt(q: Long): Int =
+          epochs.takeWhile(_._1 <= q).lastOption.fold(0)(_._2)
         val byName: Map[String, Int] =
-          (sinceSeq.getOrElse(-1L) + 1 to upTo).flatMap { q =>
+          (start to upTo).flatMap { q =>
             KvLog.read(fs, table, q).toSeq.flatMap { e =>
               val names = if (e.compact) e.dropFiles else e.adds
-              val len = if (KvSalt.resolveAt(fs, table, Some(q)).isDefined)
-                KvSalt.Width else 0
-              names.map(_ -> len)
+              names.map(_ -> saltLenAt(q))
             }
           }.toMap
         f => Some(byName.getOrElse(new Path(f).getName, 0))
@@ -1674,6 +1708,12 @@ private[sources] object KvMarkerCache {
     * OOM is an outage.
     */
   private val MaxTotalMarkers: Long = KvDelete.MaxLiveMarkers
+  /** Entry-count cap besides the tuple budget: every commit changes the
+    * marker-file-set key, so without it a long-lived driver scanning many
+    * small-marker tables would grow the MAP (keys carry the sorted file
+    * list) without ever tripping the tuple budget.
+    */
+  private val MaxEntries = 64
   private val cache = new java.util.LinkedHashMap[
     (String, String, Int, Seq[String]),
     java.lang.ref.SoftReference[Markers]](16, 0.75f, true)
@@ -1700,7 +1740,8 @@ private[sources] object KvMarkerCache {
       var total = cache.values.asScala
         .foldLeft(0L)((a, r) => a + Option(r.get()).fold(0L)(_.length.toLong))
       val it = cache.entrySet().iterator()
-      while (total > MaxTotalMarkers && it.hasNext) {
+      while ((total > MaxTotalMarkers || cache.size > MaxEntries) &&
+          it.hasNext) {
         val e = it.next()
         val live = Option(e.getValue.get()).fold(0L)(_.length.toLong)
         if (!(e.getKey == key)) { it.remove(); total -= live }

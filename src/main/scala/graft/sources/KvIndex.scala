@@ -316,6 +316,39 @@ object KvIndex {
     if (touched.length > InPushdownCap) None else Some(touched)
   }
 
+  /** The stale top-n candidate inputs — (touched keys, index over-fetch
+    * cells) — or None when any gate says the exact pivot is the honest
+    * plan: unservable span, manifest-priced span too big for the
+    * touched probe (the pre-gate: a distinct cannot stop early, so a
+    * million-change span must not pay a feed-sized shuffle to learn
+    * "too many"; stat-less legacy files price as huge), touched set
+    * past [[InPushdownCap]], or over-fetch past [[MaxTopNFetch]].
+    * SHARED by the single-column and composite top-n routes so the
+    * gates can never silently diverge.
+    */
+  private def staleTopNInputs(spark: SparkSession, path: String,
+      fs: FileSystem, table: Path, m: Meta, latest: Long, k: Int,
+      perEntry: Int): Option[(Array[String], Long)] = {
+    if (spanUnservable(fs, table, m.asOfSeq, latest)) return None
+    val spanRows = (m.asOfSeq + 1 to latest)
+      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
+        val names = if (e.compact) e.dropFiles else e.adds
+        names.iterator.map(n =>
+          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
+      }.sum
+    if (spanRows > 16.0 * InPushdownCap) return None
+    // T = the span's distinct touched base keys — RAW feed, so deletes
+    // (marker rows) count as touches too ([[staleTouchedKeys]]: the
+    // common small span skips the distinct shuffle outright)
+    val touched = staleTouchedKeys(spark, path, m.asOfSeq, latest,
+      spanRows) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val overFetch = (k.toLong + touched.length + 1) * perEntry
+    if (overFetch > MaxTopNFetch) None else Some((touched, overFetch))
+  }
+
   /** Base reads go through the CATALOG-RESOLVED path ([[KvRead]]): same
     * rows and pushdown, plus a resolvable region function — a certified
     * table's per-key aggregates (currentWide, the verification LWW) plan
@@ -1459,36 +1492,11 @@ object KvIndex {
           .groupBy(col("rowKey"))
           .agg(decode(graft.functions.MaxByTsAgg.maxByTs(
             col("value"), col("ts")), "UTF-8").as("value")))
-    if (spanUnservable(fs, table, m.asOfSeq, latest)) return basePivot()
-    // Manifest-stat PRE-GATE on the span size (zero I/O — the entries
-    // were just read by the unservable probe): the touched-key probe
-    // below is a DISTINCT over the whole CDC feed, and distinct cannot
-    // stop early — on a span holding millions of changes it would pay a
-    // feed-sized shuffle only to learn "too many, fall back". When the
-    // span's RAW row count already exceeds a duplication allowance over
-    // the cap, skip straight to the pivot (which a too-big touched set
-    // forces anyway; a heavily-duplicated small key set slips to the
-    // fallback — slower, never wrong).
-    val spanRows = (m.asOfSeq + 1 to latest)
-      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
-        val names = if (e.compact) e.dropFiles else e.adds
-        // stat-less (legacy) files price as huge — the gate then routes
-        // them to the fallback rather than risking the blind shuffle
-        names.iterator.map(n =>
-          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
-      }.sum
-    if (spanRows > 16.0 * InPushdownCap) return basePivot()
-    // T = the span's distinct touched base keys — RAW feed, so deletes
-    // (marker rows) count as touches too; capped driver probe like
-    // every candidate set here ([[staleTouchedKeys]]: the common small
-    // span skips the distinct shuffle outright).
-    val touched = staleTouchedKeys(spark, path, m.asOfSeq, latest,
-      spanRows) match {
-      case Some(t) => t
+    val (touched, overFetch) = staleTopNInputs(spark, path, fs, table, m,
+      latest, k, perEntry) match {
+      case Some(x) => x
       case None => return basePivot()
     }
-    val overFetch = (k.toLong + touched.length + 1) * perEntry
-    if (overFetch > MaxTopNFetch) return basePivot()
     val idxCand = indexTop(k.toLong + touched.length, overFetch)
       .select(decode(col("_k"), "UTF-8").as("rowKey"))
     // Candidate count is BOUNDED a priori (≤ k + 2T), so the In-vs-join
@@ -1698,24 +1706,11 @@ object KvIndex {
     // touched key", which only holds from a partial-free covered seq —
     // the exact pivot is the honest plan
     if (anyOpen && !provenFull) return basePivot()
-    if (spanUnservable(fs, table, m.asOfSeq, latest)) return basePivot()
-    // Manifest-stat PRE-GATE on the span size ([[topNCovered]] doc): a
-    // span whose raw rows already exceed the allowance skips the
-    // touched-key distinct and goes straight to the pivot.
-    val spanRows = (m.asOfSeq + 1 to latest)
-      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
-        val names = if (e.compact) e.dropFiles else e.adds
-        names.iterator.map(n =>
-          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
-      }.sum
-    if (spanRows > 16.0 * InPushdownCap) return basePivot()
-    val touched = staleTouchedKeys(spark, path, m.asOfSeq, latest,
-      spanRows) match {
-      case Some(t) => t
+    val (touched, overFetch) = staleTopNInputs(spark, path, fs, table, m,
+      latest, k, perEntry) match {
+      case Some(x) => x
       case None => return basePivot()
     }
-    val overFetch = (k.toLong + touched.length + 1) * perEntry
-    if (overFetch > MaxTopNFetch) return basePivot()
     val idxCand = indexTopEntries(k.toLong + touched.length, overFetch)
       .select(decode(col("_k"), "UTF-8").as("rowKey"))
     val candidates = idxCand.unionByName(touched.toSeq.toDF("rowKey"))
