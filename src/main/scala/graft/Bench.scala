@@ -145,45 +145,78 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((name, fn), i) =>
-        def onePass(instrumented: Boolean): Double = {
-          Legs.enabled = instrumented
-          val t0 = System.nanoTime()
-          try {
-            val df = fn(spark, sfDir)
-            val tBuilt = System.nanoTime()
-            df.count()
-            val tDone = System.nanoTime()
-            // the count IS the read-back leg for queries whose build
-            // phase recorded pivot/write legs (the export round-trips)
-            if (instrumented && Legs.has(name))
-              Legs.record(name, "read", (tDone - tBuilt) / 1e9)
-            (tDone - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              -1.0
-          } finally Legs.enabled = false
+    Legs.reset() // process-global buffer: a prior run in this JVM must
+                 // not leak samples or stale has() hits (ADVICE r19)
+    def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        instrumented: Boolean): Double = {
+      Legs.enabled = instrumented
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        val tBuilt = System.nanoTime()
+        df.count()
+        val tDone = System.nanoTime()
+        // the count IS the read-back leg for queries whose build
+        // phase recorded pivot/write legs (the export round-trips)
+        if (instrumented && Legs.has(name))
+          Legs.record(name, "read", (tDone - tBuilt) / 1e9)
+        (tDone - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+      } finally Legs.enabled = false
+    }
+    // REPS ARE SPREAD ACROSS THE SUITE (r20, verdict #1): rep 1 of every
+    // query, then rep 2, … — adjacent samples of ONE query no longer
+    // share a noise window, so a 30-s container flap poisons at most one
+    // sample per query instead of a whole median (both r19 closing runs
+    // carried 30-45 s of exactly that). Canary cadence rides a GLOBAL
+    // execution counter, so drift stays priced in-band at the same rate.
+    val ordered = selected.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      ordered.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val failed = scala.collection.mutable.Set.empty[String]
+    var execs = 0
+    def tick(): Unit = {
+      execs += 1
+      if (execs % 15 == 0) {
+        canarySamples += canary(); canaryIoSamples += canaryIo()
+        canaryStreamSamples += canaryStream()
+      }
+    }
+    // Sweep 1 runs instrumented. If a query recorded legs, its plan was
+    // STAGED (the pivot cache adds a pass) — discard that timing so
+    // totals stay comparable with every pre-instrumentation baseline;
+    // legs are the instrumented pass's one sample per leg. Queries that
+    // record nothing ran the normal plan, so the timing counts as rep 1.
+    ordered.foreach { case (name, fn) =>
+      val t = onePass(name, fn, instrumented = true)
+      if (t < 0) failed += name
+      else if (!Legs.has(name)) samples(name) += t
+      tick()
+    }
+    // Fused sweeps until every live query holds `reps` samples (leg
+    // queries need all `reps` here; the rest need `reps - 1`).
+    (1 to reps).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
+        if (!failed(name) && samples(name).size < reps) {
+          val t = onePass(name, fn, instrumented = false)
+          if (t < 0) failed += name else samples(name) += t
+          tick()
         }
-        // FIRST pass runs instrumented. If it recorded legs, its plan was
-        // STAGED (the pivot cache adds a pass) — discard its timing and
-        // run the full `reps` fused, so totals stay comparable with every
-        // pre-instrumentation baseline; legs are the instrumented pass's
-        // one sample per leg. Queries that record nothing ran the normal
-        // plan, so the first timing counts like any rep.
-        val first = onePass(instrumented = true)
-        val times =
-          if (first < 0) Seq(first) // a failed pass marks the query, always
-          else if (Legs.has(name))
-            (1 to reps).map(_ => onePass(instrumented = false))
-          else first +: (2 to reps).map(_ => onePass(instrumented = false))
-        if ((i + 1) % 15 == 0) {
-          canarySamples += canary(); canaryIoSamples += canaryIo()
-          canaryStreamSamples += canaryStream()
-        }
-        val med = if (times.contains(-1.0)) -1.0 else medianOf(times)
-        name -> med
+      }
+    }
+    // A failed pass marks the query with -1, never a fake timing.
+    val results = samples.map { case (name, xs) =>
+      name -> (if (failed(name) || xs.isEmpty) -1.0 else medianOf(xs.toSeq))
+    }.toMap
+    // Per-query MIN (r20): the flap-resistant statistic — a noise window
+    // inflates medians whose samples all sat in it, but the min of
+    // spread reps survives any flap shorter than the whole run. Readers
+    // adjudicate regressions from min, gate totals from median.
+    val resultsMin = samples.map { case (name, xs) =>
+      name -> (if (failed(name) || xs.isEmpty) -1.0 else xs.min)
     }.toMap
     canarySamples += canary()
     canaryIoSamples += canaryIo()
@@ -193,6 +226,8 @@ object Bench {
     val canaryIoMed = medianOf(canaryIoSamples.toSeq)
     val canaryStreamMed = medianOf(canaryStreamSamples.toSeq)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = resultsMin.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Locale-pinned: the f"" interpolator uses the JVM default locale, and
@@ -215,7 +250,7 @@ object Bench {
       s"\"" + q + "\":" + inner
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canaryJson,"canary_io":$canaryIoJson,"canary_stream":$canaryStreamJson,"legs":$legsJson,"sf":"$sfDir","reps":$reps,"stat":"median"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canaryJson,"canary_io":$canaryIoJson,"canary_stream":$canaryStreamJson,"legs":$legsJson,"sf":"$sfDir","reps":$reps,"stat":"median","reps_spread":true}"""
     println(line)
     // Also persist the full per-query record: the driver captures only a
     // bounded stdout tail, which truncated r6's 103-query line. The file is

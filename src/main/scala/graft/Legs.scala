@@ -42,6 +42,14 @@ object Legs {
     */
   def has(query: String): Boolean = buf.containsKey(query)
 
+  /** Clear all recorded legs. Bench calls this at the top of a run:
+    * `buf` is process-global, so without the reset a second run in the
+    * same JVM would merge the previous run's samples into its leg
+    * medians and see stale `has()` hits that flip its first-pass
+    * timing rule (ADVICE r19).
+    */
+  def reset(): Unit = buf.clear()
+
   /** All samples per (query, leg), in recording order. */
   def snapshot(): Map[String, Map[String, Seq[Double]]] = {
     import scala.jdk.CollectionConverters._

@@ -1308,6 +1308,20 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       "graft-kv: asOfSeq/asOfTime/snapshot are batch-read options — a " +
         "stream's offset already names its log position; tail from a fresh " +
         "checkpoint instead")
+    // Mixed-salt CDC is BATCH-ONLY: the batch readers resolve each file's
+    // layout via per-partition saltLenOverride, but the tail strips ONE
+    // salt width for its whole lifetime, and the mid-flight salt guard
+    // only fires on declarations NEWER than construction — a bridged span
+    // already containing the declaration would silently emit stored
+    // (salt-prefixed) rowKeys for every file in it. Refuse loudly; the
+    // recovery is to split the bridge at the declaration.
+    require(!mixedSaltSpan,
+      s"graft-kv: a streaming sinceSeq bridge over $path crosses a salt " +
+        "layout declaration — the tail interprets one layout for its " +
+        "whole lifetime and cannot strip per-epoch stored keys. Split " +
+        "the bridge at the declaration: consume the span up to the " +
+        "declaring seq as a batch CDC read (sinceSeq + asOfSeq), then " +
+        "start the stream with sinceSeq at the declaring seq.")
     // `sinceSeq` on a STREAM is the CDC recovery bridge: a fresh
     // checkpoint's tail starts right after that log seq instead of at the
     // compaction horizon — the pipeline that lost its Spark checkpoint

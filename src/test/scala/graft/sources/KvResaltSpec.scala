@@ -197,6 +197,51 @@ class KvResaltSpec extends graft.SparkSpec {
     crossing.count() shouldBe (oldSide.count() + 7)
   }
 
+  test("a streaming sinceSeq bridge refuses to cross a salt declaration") {
+    // The batch CDC path reads a crossing span MIXED (per-file
+    // saltLenOverride); the TAIL strips one salt width for its whole
+    // lifetime, and a bridged span already containing the declaration is
+    // invisible to the mid-flight guard (declSeqAtStart includes it) —
+    // so toMicroBatchStream must refuse at construction, not emit stored
+    // salt-prefixed keys silently.
+    val dir = freshDir("streammixed")
+    KvSalt.saltedWrite(cells.limit(200), dir, n = 8, regions = 2,
+      mode = "overwrite")
+    val fs = fsOf(dir)
+    val anchorSeq = KvLog.latestSeq(fs, new Path(dir))
+    KvSnapshot.create(spark, dir, "anchor_stream")
+    KvSalt.saltedWrite(cells.limit(50), dir, n = 8, regions = 1)
+    KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Resalted]
+    KvSalt.saltedWrite(cells.limit(5), dir, n = 2, regions = 1)
+    val cp = freshDir("streammixed_cp")
+    val q = spark.readStream.format("graft-kv")
+      .option("sinceSeq", anchorSeq).load(dir)
+      .writeStream.format("memory").queryName("mixed_bridge")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    msgs should include("crosses a salt")
+    msgs should include("Split the bridge")
+
+    // A bridge starting EXACTLY at the declaring seq is uniformly the
+    // new layout and must still stream (the refusal is span-shaped, not
+    // a blanket sinceSeq+resalt ban).
+    val declSeq = KvSalt.declSeqs(fs, new Path(dir)).head
+    val cp2 = freshDir("streammixed_cp2")
+    val q2 = spark.readStream.format("graft-kv")
+      .option("sinceSeq", declSeq).load(dir)
+      .writeStream.format("memory").queryName("mixed_bridge_above")
+      .option("checkpointLocation", cp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    spark.table("mixed_bridge_above").count() shouldBe
+      cells.limit(5).count()
+  }
+
   test("a live tail fails loudly at a salt declaration instead of stripping wrong") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val dir = freshDir("tailguard")
