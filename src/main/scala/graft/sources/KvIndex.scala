@@ -292,6 +292,22 @@ object KvIndex {
       col("ts").as("ts"))
   }
 
+  /** Manifest-stat upper bound on a span's raw feed rows: per-entry
+    * recorded row counts of the adds (drop files for compact entries) —
+    * an a-priori bound on the touched-key count that lets both the
+    * stale top-n probe and the exact refresh skip the distinct SHUFFLE
+    * for small spans. Stat-less legacy files price as huge, so the
+    * bound only ever errs toward the safe (shuffling) path.
+    */
+  private def spanRowBound(fs: FileSystem, table: Path, since: Long,
+      latest: Long): Double =
+    (since + 1 to latest)
+      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
+        val names = if (e.compact) e.dropFiles else e.adds
+        names.iterator.map(n =>
+          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
+      }.sum
+
   /** The stale span's distinct touched base keys, capped at
     * [[InPushdownCap]] — None when the cap is exceeded (callers fall
     * back to the exact pivot). When the manifest-stat row bound already
@@ -330,12 +346,7 @@ object KvIndex {
       fs: FileSystem, table: Path, m: Meta, latest: Long, k: Int,
       perEntry: Int): Option[(Array[String], Long)] = {
     if (spanUnservable(fs, table, m.asOfSeq, latest)) return None
-    val spanRows = (m.asOfSeq + 1 to latest)
-      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
-        val names = if (e.compact) e.dropFiles else e.adds
-        names.iterator.map(n =>
-          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
-      }.sum
+    val spanRows = spanRowBound(fs, table, m.asOfSeq, latest)
     if (spanRows > 16.0 * InPushdownCap) return None
     // T = the span's distinct touched base keys — RAW feed, so deletes
     // (marker rows) count as touches too ([[staleTouchedKeys]]: the
@@ -564,14 +575,22 @@ object KvIndex {
     val feed = r.load(path).filter(
       (col("family") === m.family && col("qualifier").isin(quals: _*)) ||
         col("qualifier").startsWith(KvDelete.MarkerPrefix))
-    val touchedProbe = feed.select(col("rowKey")).distinct()
-      .limit(InPushdownCap + 1).collect().map(_.getString(0))
+    // Touched-key probe: when the manifest row bound already proves the
+    // span fits the cap, the raw feed keys collect and dedupe
+    // driver-side with ZERO exchanges (the r19 staleTouchedKeys rule —
+    // the bound is a priori, so the collect can never surprise).
+    val touchedProbe =
+      if (spanRowBound(fs, new Path(path), m.asOfSeq, latest) <= InPushdownCap)
+        feed.select(col("rowKey")).collect().map(_.getString(0)).distinct
+      else feed.select(col("rowKey")).distinct()
+        .limit(InPushdownCap + 1).collect().map(_.getString(0))
     if (touchedProbe.isEmpty) {
       writeMeta(fs, dir, m.copy(asOfSeq = latest))
       return Refreshed(m.asOfSeq, latest)
     }
+    val small = touchedProbe.length <= InPushdownCap
     def restrict(df: DataFrame): DataFrame =
-      if (touchedProbe.length <= InPushdownCap)
+      if (small)
         df.filter(col("rowKey").isin(touchedProbe.toIndexedSeq: _*))
       else df.join(feed.select(col("rowKey")).distinct(),
         Seq("rowKey"), "left_semi")
@@ -588,9 +607,88 @@ object KvIndex {
     val post = restrict(wideOf(Map("asOfSeq" -> latest.toString)))
     val preR = pre.select(col("rowKey") +:
       (0 until n).map(i => col(s"_v$i").as(s"_p$i")): _*)
-    // cached under stat tracking: dead, fresh, and the two stat counts
-    // all consume it (bounded — restricted to the touched keys)
     val joined0 = preR.join(post, Seq("rowKey"), "full_outer")
+    if (small) {
+      // SMALL-SPAN FAST PATH (r20, verdict #2): the joined diff frame is
+      // bounded A PRIORI by the touched-key count (its join keys are a
+      // subset of `touchedProbe`, itself ≤ InPushdownCap) — so it
+      // collects driver-side in ONE job: the pre and post table passes
+      // run exactly once, and classification (dead / fresh / the
+      // includeOnly delta) happens on local rows instead of as four more
+      // Spark jobs over a cached join. The dead markers and fresh adds
+      // then commit as ONE atomic append — no masked-without-re-add
+      // window between two commits, one write job instead of two. Entry
+      // encoding still flows through entryKeyOf / indexCellsCovered over
+      // local frames: single source of truth, NUL guards included.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+      val rows = joined0.collect()
+      val sch = joined0.schema
+      val iKey = sch.fieldIndex("rowKey")
+      val iP = (0 until n).map(i => sch.fieldIndex(s"_p$i")).toArray
+      val iV = (0 until n).map(i => sch.fieldIndex(s"_v$i")).toArray
+      def ba(r: Row, i: Int): Array[Byte] =
+        if (r.isNullAt(i)) null else r.getAs[Array[Byte]](i)
+      val kN = m.keyQuals.length
+      // Entry existence = ALL key components present on that side (the
+      // distributed path's preFull/postFull conjunctions): for a
+      // non-tracking frame the restrict already guaranteed it; for a
+      // tracking frame (currentWideAny, partial rows present) it is
+      // load-bearing — a partial row produces neither tombstone nor
+      // entry. Value equality is byte equality, like Spark's binary <=>.
+      def fullAt(r: Row, idx: Array[Int]): Boolean =
+        (0 until kN).forall(j => !r.isNullAt(idx(j)))
+      def anyAt(r: Row, idx: Array[Int]): Boolean =
+        (0 until n).exists(j => !r.isNullAt(idx(j)))
+      def changedAt(r: Row): Boolean = (0 until n).exists(j =>
+        !java.util.Arrays.equals(ba(r, iP(j)), ba(r, iV(j))))
+      val dead = rows.filter(r =>
+        fullAt(r, iP) && (!fullAt(r, iV) || changedAt(r)))
+      val fresh = rows.filter(r =>
+        fullAt(r, iV) && (!fullAt(r, iP) || changedAt(r)))
+      import scala.jdk.CollectionConverters._
+      // Superseded entries → row markers at ts = the span-start seq
+      // (doc above); same shape KvDelete.deleteRows commits, built
+      // directly so markers and adds fuse into one append.
+      val markers = if (dead.isEmpty) None else {
+        val preSchema = StructType(StructField("rowKey", StringType) +:
+          (0 until n).map(i => StructField(s"_p$i", BinaryType)))
+        Some(spark.createDataFrame(
+          dead.map(r => Row.fromSeq(
+            r.getString(iKey) +: iP.toSeq.map(ba(r, _)))).toSeq.asJava,
+          preSchema)
+          .select(entryKeyOf(m,
+            m.keyQuals.indices.map(i => col(s"_p$i"))).as("rowKey"),
+            lit(KvDelete.AllFamilies).as("family"),
+            lit(KvDelete.RowMarkerQualifier).as("qualifier"),
+            lit(null).cast(BinaryType).as("value"),
+            lit(m.asOfSeq).as("ts")))
+      }
+      val adds = if (fresh.isEmpty) None else {
+        val freshSchema = StructType(StructField("rowKey", StringType) +:
+          (0 until n).map(i => StructField(s"_v$i", BinaryType)))
+        Some(indexCellsCovered(spark.createDataFrame(
+          fresh.map(r => Row.fromSeq(
+            r.getString(iKey) +: iV.toSeq.map(ba(r, _)))).toSeq.asJava,
+          freshSchema), m, tsSeq = latest))
+      }
+      (markers ++ adds).reduceOption(_ unionByName _).foreach(
+        _.write.format("graft-kv").option("allowTombstones", "true")
+          .mode("append").save(dir.toString))
+      // includeOnly delta over the same collected rows (doc on the
+      // distributed branch below): new = old - partial(pre) +
+      // partial(post) among the touched keys; None propagates.
+      val newStat =
+        if (!trackPartial) m.includeOnly
+        else m.includeOnly.map { old =>
+          old - rows.count(r => !fullAt(r, iP) && anyAt(r, iP)) +
+            rows.count(r => !fullAt(r, iV) && anyAt(r, iV))
+        }
+      writeMeta(fs, dir, m.copy(asOfSeq = latest, includeOnly = newStat))
+    } else {
+    // DISTRIBUTED PATH (touched set past the cap): cached under stat
+    // tracking — dead, fresh, and the two stat counts all consume the
+    // join.
     val joined = if (trackPartial) joined0.cache() else joined0
     val changed = (0 until n)
       .map(i => !(col(s"_p$i") <=> col(s"_v$i"))).reduce(_ || _)
@@ -645,6 +743,7 @@ object KvIndex {
     } finally {
       deadRows.unpersist(): Unit
       if (trackPartial) joined.unpersist(): Unit
+    }
     }
     // Marker hygiene: tombstones accumulate one per superseded entry;
     // compact the INDEX once they outnumber a quarter of its rows (or

@@ -587,6 +587,60 @@ object Scratch {
         time("FRESH top-100 (index-only head)")(
           graft.sources.KvIndex.topNCovered(spark, d, "by_v", 100)
             .collect())
+      case "refreshprof" =>
+        import org.apache.spark.sql.functions._
+        // Stage-by-stage refresh profile over the topncomposite fixture
+        // (run that case first): where do the seconds go when
+        // refreshExactCovered absorbs a 1k-key DML at 16M cells?
+        val d = s"${Tmp}/graft_scratch/topncomposite"
+        time("DML (1000 new updates)") {
+          spark.range(1000).selectExpr(
+            "lpad(CAST(id * 7919 AS STRING), 8, '0') AS rowKey",
+            "'f' AS family", "'a' AS qualifier",
+            "encode(CAST(88800 + (id % 100) AS STRING), 'UTF-8') AS value",
+            "9100000000L + id AS ts")
+            .write.format("graft-kv").option("regions", 1)
+            .mode("append").save(d)
+        }
+        val touched = spark.range(1000).selectExpr(
+          "lpad(CAST(id * 7919 AS STRING), 8, '0') AS rowKey")
+          .collect().map(_.getString(0)).toIndexedSeq
+        def lww(q: String) = graft.functions.MaxByTsAgg.maxByTs(
+          col("value"), when(col("qualifier") === q, col("ts")))
+        def wideRestricted(): org.apache.spark.sql.DataFrame =
+          spark.read.format("graft-kv").load(d)
+            .filter(col("family") === "f" && col("qualifier").isin("a", "b"))
+            .filter(col("rowKey").isin(touched: _*))
+            .groupBy(col("rowKey")).agg(lww("a").as("_v0"), lww("b").as("_v1"))
+        time("ONE wide scan restricted to 1k keys (In pushed)")(
+          wideRestricted().count())
+        time("same again (warm FS cache)")(wideRestricted().count())
+        // the ACTUAL refresh frames: time-travel reads + feed probe + join
+        val table = new org.apache.hadoop.fs.Path(d)
+        val fsP = table.getFileSystem(spark.sessionState.newHadoopConf())
+        val m = graft.sources.KvIndex.meta(fsP, table, "by_ab").get
+        val latest = graft.sources.KvLog.latestSeq(fsP, table)
+        println(s"[probe] span: (${m.asOfSeq}, $latest]")
+        val feed = spark.read.format("graft-kv")
+          .option("sinceSeq", m.asOfSeq.toString)
+          .option("asOfSeq", latest.toString).load(d)
+          .filter((col("family") === "f" && col("qualifier").isin("a", "b")) ||
+            col("qualifier").startsWith(graft.sources.KvDelete.MarkerPrefix))
+        time("feed touched probe (distinct+collect)")(
+          feed.select(col("rowKey")).distinct().limit(5001).collect().length)
+        def wideAt(seq: Long) =
+          spark.read.format("graft-kv").option("asOfSeq", seq.toString).load(d)
+            .filter(col("family") === "f" && col("qualifier").isin("a", "b"))
+            .filter(col("rowKey").isin(touched: _*))
+            .groupBy(col("rowKey")).agg(lww("a").as("_v0"), lww("b").as("_v1"))
+        time("PRE frame (asOfSeq=span start)")(wideAt(m.asOfSeq).count())
+        time("POST frame (asOfSeq=latest)")(wideAt(latest).count())
+        val preR = wideAt(m.asOfSeq).select(col("rowKey"),
+          col("_v0").as("_p0"), col("_v1").as("_p1"))
+        time("full_outer join + collect")(
+          preR.join(wideAt(latest), Seq("rowKey"), "full_outer").count())
+        time("full KvIndex.refresh")(
+          graft.sources.KvIndex.refresh(spark, d, "by_ab"))
       case "topncomposite" =>
         import org.apache.spark.sql.functions._
         // Composite index-served top-n at scale (r19): 8M keys each

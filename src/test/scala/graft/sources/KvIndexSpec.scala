@@ -378,6 +378,45 @@ class KvIndexSpec extends graft.SparkSpec {
     assert(CountingFileSystem.openedData.asScala.forall(_.contains("/_index/")))
   }
 
+  test("exact refresh after clustered DML opens only the touched region's base files") {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.set("fs.cfs.impl",
+      classOf[CountingFileSystem].getName)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/kv_index_reffs"
+    graft.sinks.Sinks.deleteRecursive(spark, base)
+    val dir = s"cfs:$base"
+    cells2q(1000).write.format("graft-kv").option("regions", 4)
+      .mode("overwrite").save(dir)
+    KvIndex.create(spark, dir, "by_amt", "f", "amt", pad = 8,
+      include = Seq("tag"))
+    // Clustered DML: 20 updated keys, all inside ONE region's key range.
+    spark.range(100, 120).selectExpr(
+      "lpad(CAST(id AS STRING), 6, '0') AS rowKey",
+      "'f' AS family", "'amt' AS qualifier",
+      "encode(CAST(id * 3 + 1 AS STRING), 'UTF-8') AS value",
+      "5000 + id AS ts")
+      .write.format("graft-kv").option("regions", 1).mode("append").save(dir)
+    val baseFiles = KvLog.liveFiles(fsOf(dir), new Path(dir)).size
+    assert(baseFiles >= 5) // 4 regions + the DML span file
+
+    CountingFileSystem.reset()
+    KvIndex.refresh(spark, dir, "by_amt") shouldBe a[KvIndex.Refreshed]
+    // O(touched) planning (r20): the pre/post re-reads push the touched
+    // keys as In, which region-prunes to the one base file whose range
+    // holds them; the feed reads the span's DML file. The other three
+    // regions' base files must never open during the refresh.
+    val openedBase = CountingFileSystem.openedData.asScala.toSet
+      .filterNot(_.contains("/_index/"))
+    assert(openedBase.size <= 2,
+      s"refresh opened ${openedBase.size} base files (want <= 2): $openedBase")
+
+    // ...and the refreshed index answers exactly over the moved values.
+    looked(dir, 600, 660) shouldBe oracle(dir, 600, 660)
+    KvIndex.lookupCovered(spark, dir, "by_amt", "300", "340")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet shouldBe oracleCov(dir, 300, 340)
+  }
+
   test("covered index stays EXACT through DML: superseded entries tombstone, re-adds survive") {
     val dir = freshDir("covdml")
     cells2q(1000).write.format("graft-kv").option("regions", 2)
