@@ -228,16 +228,13 @@ private[sources] class KvCellTable(path: String,
         "single saltBuckets value describes it; drop the option (the scan " +
         "resolves each segment's layout itself)")
     // rowKey SCOPE options are SOURCE-ENFORCED (never re-applied by Spark
-    // as residuals — the record filter is their correctness boundary), and
-    // on a mixed span they would evaluate logical bounds against stored
-    // keys of two different layouts: refuse loudly rather than silently
-    // dropping rows. family/qualifier scopes are salt-agnostic and fine.
-    require(!mixedSaltSpan ||
-        (options.get("minRowKey") == null && options.get("maxRowKey") == null),
-      s"graft-kv: minRowKey/maxRowKey cannot scope an incremental span " +
-        s"that crosses a salt layout change at $path — the bound has no " +
-        "single stored form across the layouts; read unscoped and filter " +
-        "above the scan, or split the span at the declaration")
+    // as residuals), and on a mixed span the bound has no single STORED
+    // form — so instead of the stored-form record-filter rewrite, the
+    // readers enforce the scope on the EMITTED logical key, after each
+    // file's own epoch strip (r20, [[KvRowScope]]): exact under every
+    // layout in the span, at the price of no key-space pruning — the
+    // mixed-span deal everywhere. family/qualifier scopes are
+    // salt-agnostic and keep riding the record filter.
     val saltBuckets = if (mixedSaltSpan) None else optionBuckets.orElse(recorded)
     // `splitRegionBytes` plans MULTIPLE byte-range partitions over any
     // region file larger than it — intra-region scan parallelism for a
@@ -515,14 +512,27 @@ private[sources] class KvScanBuilder(path: String, maxFilesPerBatch: Option[Int]
       // scope-option — rewrites to stored key space before it reaches the
       // parquet filter, the region pruner, or the bloom prober. Exact by
       // construction (KvSalt.expand doc), so the residual contract and the
-      // reader limit cap are unchanged.
-      val effective = (accepted ++ scopeFilters).distinct
+      // reader limit cap are unchanged. EXCEPT on a mixed-salt span: the
+      // rowKey scope has no single stored form there, so it leaves the
+      // pushed set and the readers enforce it on the emitted logical key
+      // instead ([[KvRowScope]], r20).
+      val (rowScope, otherScope) =
+        if (mixedSaltSpan)
+          scopeFilters.partition(_.references.contains("rowKey"))
+        else (Array.empty[Filter], scopeFilters)
+      val logicalScope =
+        if (rowScope.isEmpty) None
+        else Some((
+          rowScope.collectFirst {
+            case GreaterThanOrEqual("rowKey", v: String) => v },
+          rowScope.collectFirst { case LessThan("rowKey", v: String) => v }))
+      val effective = (accepted ++ otherScope).distinct
       val pushedStored = saltBuckets.fold(effective)(KvSalt.expandAll(effective, _))
       new KvScan(path, required, pushedStored,
         maxFilesPerBatch, conf, tailId, asOfSeq, sinceSeq, limit, ordered,
         descending, maxBytesPerBatch, snapshot, orderedCols, saltBuckets,
         splitRegionBytes, readTombstones, asOfAutoPinned = asOfAutoPinned,
-        mixedSaltSpan = mixedSaltSpan)
+        mixedSaltSpan = mixedSaltSpan, logicalKeyScope = logicalScope)
   }
 }
 
@@ -711,7 +721,13 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
       * file under ITS entry's resolved layout; no key-space pushdown,
       * pruning, ordering claim, or DPP rides this scan (builder doc).
       */
-    mixedSaltSpan: Boolean = false)
+    mixedSaltSpan: Boolean = false,
+    /** minRowKey/maxRowKey scope of a mixed-salt span (r20): enforced by
+      * the readers on the emitted LOGICAL key — the bound has no single
+      * stored form across the span's layouts, so it cannot ride the
+      * record filter or prune files. (inclusive min, exclusive max)
+      */
+    logicalKeyScope: Option[(Option[String], Option[String])] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1089,7 +1105,8 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // the readers only. A MASKED scan also keeps every file: raw row
     // counts include markers and masked puts, so stopping at `limit` raw
     // rows could under-produce the survivors.
-    case Some(n) if pushed.isEmpty && !ordered && !maskingActive =>
+    case Some(n) if pushed.isEmpty && !ordered && !maskingActive &&
+        logicalKeyScope.isEmpty =>
       val conf = sconf.value
       var acc = 0L
       val out = Seq.newBuilder[String]
@@ -1245,12 +1262,16 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     val masked = maskingActive
     // `value` joins the inner coordinate only when the mask is
     // value-aware ([[maskNeedsValue]] — exact-version markers live).
+    // A logically-scoped read (mixed-salt span, [[KvRowScope]]) likewise
+    // needs the stripped rowKey materialized even when projected away.
+    val scoped = logicalKeyScope.isDefined
     val innerNames =
       if (masked)
         (required.fieldNames ++
           Seq("rowKey", "family", "qualifier", "ts") ++
           (if (maskNeedsValue) Seq("value") else Nil))
           .distinct.toSeq
+      else if (scoped) (required.fieldNames ++ Seq("rowKey")).distinct.toSeq
       else required.fieldNames.toSeq
     // The reader must also materialize filter-only columns (parquet
     // record-level filters evaluate over the requested schema).
@@ -1265,20 +1286,24 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
     // never spend the cap either: readers count EMITTED survivors.)
     val readerLimit =
       if (groupPruneOnly) None
-      else if (KvFilters.allExact(pushed)) limit else None
+      // a logical scope drops rows AFTER the parquet filter, so a
+      // post-filter cap could spend its budget on rows the scope then
+      // cuts and under-produce the global Limit — cap off when scoped
+      else if (KvFilters.allExact(pushed) && !scoped) limit else None
     KvReaderFactory(projNames, innerNames,
       if (groupPruneOnly) None else KvFilters.toParquet(pushed),
       sconf, readerLimit,
       desc = descending,
       // tail row-group planning needs RAW row counts to be the bound —
       // only sound with no record filter at all, and never under masking
-      // (raw counts include markers/masked puts, so the tail range could
-      // hold fewer than n survivors)
-      tailPlan = descending && pushed.isEmpty && !masked,
+      // or a logical scope (raw counts include rows those would cut, so
+      // the tail range could hold fewer than n survivors)
+      tailPlan = descending && pushed.isEmpty && !masked && !scoped,
       saltLen = if (saltBuckets.isDefined) KvSalt.Width else 0,
       mask = if (masked && maskSlices.isEmpty) Some(maskBroadcast) else None,
-      emitCols = if (masked) required.fieldNames.length else -1,
-      sliced = masked && maskSlices.isDefined)
+      emitCols = if (masked || scoped) required.fieldNames.length else -1,
+      sliced = masked && maskSlices.isDefined,
+      scope = logicalKeyScope)
   }
 
   override def toBatch: Batch = this
@@ -1350,7 +1375,9 @@ private[sources] class KvScan(path: String, required: StructType, pushed: Array[
         s" masked(tombstoneFiles=${tombstoneFiles.size} mode=$mode$va)"
       } else if (readTombstones) " raw(tombstones)"
       else ""
-    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt$split$tomb"
+    val lscope = logicalKeyScope.fold("") { case (lo, hi) =>
+      s" logicalScope=[${lo.getOrElse("")},${hi.getOrElse("")})" }
+    s"GraftKvScan path=$path pushed=[${pushed.mkString(", ")}] $pruned$lim$salt$split$tomb$lscope"
   }
 }
 
@@ -1420,7 +1447,9 @@ private[sources] case class KvReaderFactory(
     saltLen: Int = 0,
     mask: Option[org.apache.spark.broadcast.Broadcast[KvDelete.Mask]] = None,
     emitCols: Int = -1,
-    sliced: Boolean = false) extends PartitionReaderFactory {
+    sliced: Boolean = false,
+    scope: Option[(Option[String], Option[String])] = None)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvFilePartition]
@@ -1428,15 +1457,48 @@ private[sources] case class KvReaderFactory(
     val masker =
       if (sliced) p.maskSlice.map(new KvRowMasker(_, outNames, emitCols))
       else mask.map(b => new KvRowMasker(b.value, outNames, emitCols))
+    val scoper = scope.map { case (lo, hi) =>
+      new KvRowScope(lo, hi, outNames, emitCols) }
     if (desc && limit.exists(_ > 0))
       new KvTailPartitionReader(p.file,
         projNames, outNames, predicate, conf.value, limit.get, tailPlan,
-        effSaltLen, masker)
+        effSaltLen, masker, scoper)
     else new KvPartitionReader(p.file,
       projNames, outNames, predicate, conf.value, limit, effSaltLen,
       range = if (p.wholeFile) None else Some((p.rangeStart, p.rangeEnd)),
-      masker = masker)
+      masker = masker, scoper = scoper)
   }
+}
+
+/** Source-enforced rowKey scope evaluated on the EMITTED (salt-stripped,
+  * LOGICAL) key — the mixed-salt-span path ([[KvScanBuilder]] doc): the
+  * bound has no single stored form across the span's layouts, so it
+  * cannot ride the record filter; each file strips under its own epoch
+  * first and this check runs on the result. Inclusive min, exclusive max
+  * (the minRowKey/maxRowKey option contract); comparison is UTF8String
+  * byte order — identical to the stored-form path's Utf8Order.
+  */
+private[sources] final class KvRowScope(min: Option[String],
+    max: Option[String], innerNames: Seq[String], emitCols: Int) {
+  private val rkIdx = innerNames.indexOf("rowKey")
+  require(rkIdx >= 0, "graft-kv: scoped reads materialize rowKey")
+  private val lo = min.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private val hi = max.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  /** Whether the inner row's logical key is inside the scope. */
+  def survives(row: InternalRow): Boolean = {
+    val rk = row.getUTF8String(rkIdx)
+    if (rk == null) return true
+    lo.forall(rk.compareTo(_) >= 0) && hi.forall(rk.compareTo(_) < 0)
+  }
+
+  /** Project a surviving inner row to the emitted prefix (same contract
+    * as [[KvRowMasker.emit]] — used when no masker already projects).
+    */
+  def emit(row: InternalRow): InternalRow =
+    if (emitCols < 0 || emitCols >= innerNames.length) row
+    else new GenericInternalRow(
+      row.asInstanceOf[GenericInternalRow].values.take(emitCols))
 }
 
 /** Task-side delete-marker masking ([[KvDelete]]): decides per inner row
@@ -1501,7 +1563,8 @@ private[sources] class KvPartitionReader(
     limit: Option[Int] = None,
     saltLen: Int = 0,
     range: Option[(Long, Long)] = None,
-    masker: Option[KvRowMasker] = None)
+    masker: Option[KvRowMasker] = None,
+    scoper: Option[KvRowScope] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
@@ -1521,16 +1584,21 @@ private[sources] class KvPartitionReader(
 
   override def next(): Boolean = {
     if (remaining <= 0) return false
-    masker match {
-      case None =>
-        current = reader.read()
-        if (current != null) remaining -= 1
-        current != null
-      case Some(m) =>
-        var row = reader.read()
-        while (row != null && !m.survives(row)) row = reader.read()
-        if (row == null) { current = null; false }
-        else { current = m.emit(row); remaining -= 1; true }
+    if (masker.isEmpty && scoper.isEmpty) {
+      current = reader.read()
+      if (current != null) remaining -= 1
+      current != null
+    } else {
+      var row = reader.read()
+      while (row != null && !(scoper.forall(_.survives(row)) &&
+          masker.forall(_.survives(row)))) row = reader.read()
+      if (row == null) { current = null; false }
+      else {
+        // one projector suffices — both emit the same required prefix
+        current = masker.map(_.emit(row))
+          .orElse(scoper.map(_.emit(row))).getOrElse(row)
+        remaining -= 1; true
+      }
     }
   }
 
@@ -1557,7 +1625,8 @@ private[graft] class KvTailPartitionReader(
     file: String, projNames: Seq[String], outNames: Seq[String],
     predicate: Option[FilterPredicate], conf: Configuration,
     n: Int, tailPlan: Boolean, saltLen: Int = 0,
-    masker: Option[KvRowMasker] = None)
+    masker: Option[KvRowMasker] = None,
+    scoper: Option[KvRowScope] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader: PqReader[InternalRow] = {
@@ -1592,10 +1661,11 @@ private[graft] class KvTailPartitionReader(
     if (!filled) {
       var row = reader.read()
       while (row != null) {
-        // Masking runs BEFORE the ring (a masked row must not evict a
-        // surviving one) and the ring stores the emitted projection.
-        if (masker.forall(_.survives(row))) {
-          ring((seen % n).toInt) = masker.fold(row)(_.emit(row))
+        // Masking/scoping run BEFORE the ring (a dropped row must not
+        // evict a surviving one); the ring stores the emitted projection.
+        if (scoper.forall(_.survives(row)) && masker.forall(_.survives(row))) {
+          ring((seen % n).toInt) = masker.map(_.emit(row))
+            .orElse(scoper.map(_.emit(row))).getOrElse(row)
           seen += 1
         }
         row = reader.read()

@@ -195,6 +195,28 @@ class KvResaltSpec extends graft.SparkSpec {
     // the resalt entry itself contributes no phantom changes: the
     // crossing span's content is the old-salt append plus the new one
     crossing.count() shouldBe (oldSide.count() + 7)
+
+    // r20 (verdict #4): minRowKey/maxRowKey SCOPE a crossing span — the
+    // readers enforce the bound on the emitted logical key after each
+    // file's own epoch strip, so a scoped crossing read equals the union
+    // of the two scoped non-crossing sub-spans (each of which reads
+    // under a single layout and takes the stored-form rewrite).
+    def scoped(df: org.apache.spark.sql.DataFrameReader) = df
+      .option("minRowKey", "00200").option("maxRowKey", "00400")
+    val crossingScoped = scoped(spark.read.format("graft-kv")
+      .option("sinceSeq", anchorSeq).option("asOfSeq", upTo2)).load(dir2)
+    val belowScoped = scoped(spark.read.format("graft-kv")
+      .option("sinceSeq", anchorSeq).option("asOfSeq", decl2 - 1)).load(dir2)
+    val aboveScoped = scoped(spark.read.format("graft-kv")
+      .option("sinceSeq", decl2 - 1).option("asOfSeq", upTo2)).load(dir2)
+    rows(crossingScoped) shouldBe rows(belowScoped.unionAll(aboveScoped))
+    // ...and equals the unscoped crossing read filtered above the scan
+    rows(crossingScoped) shouldBe rows(crossing.filter(
+      col("rowKey") >= "00200" && col("rowKey") < "00400"))
+    crossingScoped.count() should be > 0L
+    // the scope surfaces in the plan for observability
+    assert(crossingScoped.queryExecution.executedPlan.toString
+      .contains("logicalScope=[00200,00400)"))
   }
 
   test("a streaming sinceSeq bridge refuses to cross a salt declaration") {
