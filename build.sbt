@@ -28,3 +28,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// SCALE-PROBE harness (graft.Scratch) lives in its own subproject so the
+// `test` tree stays specs-only (r19 ADVICE): `sbt test` never compiles
+// it, and probes run explicitly as
+//   sbt "probe/runMain graft.Scratch <case>"
+// NOT aggregated: root `compile`/`test` leave it untouched.
+// Explicit root: defined so sbt does NOT auto-aggregate `probe` into the
+// default project — root `compile`/`test`/`runMain` never touch it.
+lazy val root = (project in file("."))
+
+lazy val probe = (project in file("probe"))
+  .dependsOn(root)
+  .settings(
+    unmanagedBase := file("/opt/spark/jars"),
+    run / fork := true,
+    javaOptions ++= jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+    ),
+  )
