@@ -7,9 +7,9 @@ import org.apache.spark.sql.SparkSession
   * pricing, big-In costs, streaming state floors, …). Not a test suite
   * and not library surface: each named case is a deliberate, repeatable
   * measurement, run explicitly as
-  * `sbt "Test/runMain graft.Scratch <case>"`. It lives in the TEST
-  * source set on purpose — probes link against the library and the test
-  * fixtures, and a `main` never executes under `sbt test` — and writes
+  * `sbt "probe/runMain graft.Scratch <case>"`. It lives in the
+  * non-aggregated `probe` subproject (r20) so root `compile`/`test`
+  * never build it — probes link against the library only — and writes
   * only under `java.io.tmpdir`.
   */
 object Scratch {

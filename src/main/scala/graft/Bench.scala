@@ -177,10 +177,16 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       ordered.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     val failed = scala.collection.mutable.Set.empty[String]
+    // Canary cadence: one CPU+IO+stream trio per ~15 QUERIES-worth of
+    // executions (15 × reps), preserving the old per-run sample budget —
+    // each trio costs ~4 s (64 MB parquet write + a 3-batch stream
+    // replay), so sampling per 15 raw executions would triple the
+    // canary overhead for no adjudication value.
+    val canaryEvery = 15 * reps
     var execs = 0
     def tick(): Unit = {
       execs += 1
-      if (execs % 15 == 0) {
+      if (execs % canaryEvery == 0) {
         canarySamples += canary(); canaryIoSamples += canaryIo()
         canaryStreamSamples += canaryStream()
       }

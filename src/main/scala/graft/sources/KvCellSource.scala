@@ -1582,6 +1582,14 @@ private[sources] class KvPartitionReader(
   // survivors only — masked rows never spend it.
   private var remaining: Long = limit.fold(Long.MaxValue)(_.toLong)
 
+  // One projector, resolved ONCE (never both: masking requires a plain
+  // current read, a scope exists only on a mixed CDC span) — both emit
+  // the same required prefix; the hot loop stays allocation-free.
+  private val project: InternalRow => InternalRow =
+    masker.map(m => (r: InternalRow) => m.emit(r))
+      .orElse(scoper.map(s => (r: InternalRow) => s.emit(r)))
+      .getOrElse(identity)
+
   override def next(): Boolean = {
     if (remaining <= 0) return false
     if (masker.isEmpty && scoper.isEmpty) {
@@ -1593,12 +1601,7 @@ private[sources] class KvPartitionReader(
       while (row != null && !(scoper.forall(_.survives(row)) &&
           masker.forall(_.survives(row)))) row = reader.read()
       if (row == null) { current = null; false }
-      else {
-        // one projector suffices — both emit the same required prefix
-        current = masker.map(_.emit(row))
-          .orElse(scoper.map(_.emit(row))).getOrElse(row)
-        remaining -= 1; true
-      }
+      else { current = project(row); remaining -= 1; true }
     }
   }
 
@@ -1649,6 +1652,12 @@ private[graft] class KvTailPartitionReader(
     predicate.fold(b)(pr => b.withFilter(FilterCompat.get(pr))).build()
   }
 
+  // One projector, resolved once (KvPartitionReader doc).
+  private val project: InternalRow => InternalRow =
+    masker.map(m => (r: InternalRow) => m.emit(r))
+      .orElse(scoper.map(s => (r: InternalRow) => s.emit(r)))
+      .getOrElse(identity)
+
   // Ring buffer of the last n rows read (KvMaterializer allocates a fresh
   // row per record, so buffering references is safe).
   private val ring = new Array[InternalRow](n)
@@ -1664,8 +1673,7 @@ private[graft] class KvTailPartitionReader(
         // Masking/scoping run BEFORE the ring (a dropped row must not
         // evict a surviving one); the ring stores the emitted projection.
         if (scoper.forall(_.survives(row)) && masker.forall(_.survives(row))) {
-          ring((seen % n).toInt) = masker.map(_.emit(row))
-            .orElse(scoper.map(_.emit(row))).getOrElse(row)
+          ring((seen % n).toInt) = project(row)
           seen += 1
         }
         row = reader.read()

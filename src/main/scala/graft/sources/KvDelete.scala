@@ -100,18 +100,29 @@ object KvDelete extends org.apache.spark.internal.Logging {
     * entry, stats, blooms — O(deletes), never O(table).
     */
   def deleteRows(spark: SparkSession, path: String, keys: DataFrame,
-      defaultTs: Long = Long.MaxValue, regions: Int = 1): Unit = {
+      defaultTs: Long = Long.MaxValue, regions: Int = 1): Unit =
+    writeMarkers(spark, path, regions,
+      rowMarkerFrame(spark, path, keys, defaultTs))
+
+  /** The row-marker cell frame [[deleteRows]] commits — the ONE marker
+    * definition, salting included (markers on a salted table must store
+    * salted keys or they land outside their targets' regions) — exposed
+    * frame-in/frame-out for callers that FUSE markers with other cells
+    * into a single append (the exact index refresh): the fused commit
+    * then cannot drift from a direct deleteRows commit.
+    */
+  def rowMarkerFrame(spark: SparkSession, path: String, keys: DataFrame,
+      defaultTs: Long = Long.MaxValue): DataFrame = {
     require(keys.columns.contains("rowKey"),
       "graft-kv delete: keys need a rowKey column")
     val ts = if (keys.columns.contains("ts")) coalesce(col("ts").cast(LongType), lit(defaultTs))
       else lit(defaultTs)
-    writeMarkers(spark, path, regions,
-      keys.select(
-        col("rowKey").cast(StringType).as("rowKey"),
-        lit(AllFamilies).as("family"),
-        lit(RowMarkerQualifier).as("qualifier"),
-        lit(null).cast(BinaryType).as("value"),
-        ts.as("ts")))
+    saltedFor(spark, path, keys.select(
+      col("rowKey").cast(StringType).as("rowKey"),
+      lit(AllFamilies).as("family"),
+      lit(RowMarkerQualifier).as("qualifier"),
+      lit(null).cast(BinaryType).as("value"),
+      ts.as("ts")))
   }
 
   /** Commit column tombstones: `cols` is a DataFrame with `rowKey`,
@@ -125,26 +136,32 @@ object KvDelete extends org.apache.spark.internal.Logging {
     val ts = if (cols.columns.contains("ts")) coalesce(col("ts").cast(LongType), lit(defaultTs))
       else lit(defaultTs)
     writeMarkers(spark, path, regions,
-      cols.select(
+      saltedFor(spark, path, cols.select(
         col("rowKey").cast(StringType).as("rowKey"),
         col("family").cast(StringType).as("family"),
         concat(lit(ColMarkerPrefix), col("qualifier").cast(StringType)).as("qualifier"),
         lit(null).cast(BinaryType).as("value"),
-        ts.as("ts")))
+        ts.as("ts"))))
   }
 
+  /** Commit an already-SALTED marker frame ([[rowMarkerFrame]] /
+    * [[deleteColumns]]' own salting) — the write itself never re-salts.
+    */
   private def writeMarkers(spark: SparkSession, path: String, regions: Int,
-      markers: DataFrame): Unit = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    // Salted tables store salted keys — the markers must too, or they
-    // would land outside their targets' regions and mask nothing.
-    val salted = KvSalt.resolveAt(fs, dir, None)
-      .fold(markers)(KvSalt.salted(markers, _))
-    salted.write.format("graft-kv")
+      markers: DataFrame): Unit =
+    markers.write.format("graft-kv")
       .option("regions", regions)
       .option("allowTombstones", "true")
       .mode("append").save(path)
+
+  /** Salted tables store salted keys — markers must too, or they land
+    * outside their targets' regions and mask nothing.
+    */
+  private def saltedFor(spark: SparkSession, path: String,
+      markers: DataFrame): DataFrame = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    KvSalt.resolveAt(fs, dir, None).fold(markers)(KvSalt.salted(markers, _))
   }
 
   /** A SQL `DELETE FROM` translated to marker commits

@@ -648,21 +648,21 @@ object KvIndex {
         fullAt(r, iV) && (!fullAt(r, iP) || changedAt(r)))
       import scala.jdk.CollectionConverters._
       // Superseded entries → row markers at ts = the span-start seq
-      // (doc above); same shape KvDelete.deleteRows commits, built
-      // directly so markers and adds fuse into one append.
+      // (doc above): the frame comes from KvDelete.rowMarkerFrame — the
+      // ONE marker definition deleteRows commits, salting included — so
+      // fusing it with the adds into a single append cannot drift from
+      // a direct deleteRows commit.
       val markers = if (dead.isEmpty) None else {
         val preSchema = StructType(StructField("rowKey", StringType) +:
           (0 until n).map(i => StructField(s"_p$i", BinaryType)))
-        Some(spark.createDataFrame(
-          dead.map(r => Row.fromSeq(
-            r.getString(iKey) +: iP.toSeq.map(ba(r, _)))).toSeq.asJava,
-          preSchema)
-          .select(entryKeyOf(m,
-            m.keyQuals.indices.map(i => col(s"_p$i"))).as("rowKey"),
-            lit(KvDelete.AllFamilies).as("family"),
-            lit(KvDelete.RowMarkerQualifier).as("qualifier"),
-            lit(null).cast(BinaryType).as("value"),
-            lit(m.asOfSeq).as("ts")))
+        Some(KvDelete.rowMarkerFrame(spark, dir.toString,
+          spark.createDataFrame(
+            dead.map(r => Row.fromSeq(
+              r.getString(iKey) +: iP.toSeq.map(ba(r, _)))).toSeq.asJava,
+            preSchema)
+            .select(entryKeyOf(m,
+              m.keyQuals.indices.map(i => col(s"_p$i"))).as("rowKey"),
+              lit(m.asOfSeq).as("ts"))))
       }
       val adds = if (fresh.isEmpty) None else {
         val freshSchema = StructType(StructField("rowKey", StringType) +:
