@@ -297,16 +297,16 @@ object KvIndex {
     * an a-priori bound on the touched-key count that lets both the
     * stale top-n probe and the exact refresh skip the distinct SHUFFLE
     * for small spans. Stat-less legacy files price as huge, so the
-    * bound only ever errs toward the safe (shuffling) path.
+    * bound only ever errs toward the safe (shuffling) path. Takes the
+    * span's ENTRIES (from [[servableSpan]]) so callers never replay the
+    * log reads the servability probe already paid.
     */
-  private def spanRowBound(fs: FileSystem, table: Path, since: Long,
-      latest: Long): Double =
-    (since + 1 to latest)
-      .flatMap(s => KvLog.read(fs, table, s)).iterator.flatMap { e =>
-        val names = if (e.compact) e.dropFiles else e.adds
-        names.iterator.map(n =>
-          e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
-      }.sum
+  private def spanRowBound(entries: Seq[KvLog.Entry]): Double =
+    entries.iterator.flatMap { e =>
+      val names = if (e.compact) e.dropFiles else e.adds
+      names.iterator.map(n =>
+        e.stats.get(n).fold(Double.MaxValue / 1024)(_.rows.toDouble))
+    }.sum
 
   /** The stale span's distinct touched base keys, capped at
     * [[InPushdownCap]] — None when the cap is exceeded (callers fall
@@ -345,8 +345,11 @@ object KvIndex {
   private def staleTopNInputs(spark: SparkSession, path: String,
       fs: FileSystem, table: Path, m: Meta, latest: Long, k: Int,
       perEntry: Int): Option[(Array[String], Long)] = {
-    if (spanUnservable(fs, table, m.asOfSeq, latest)) return None
-    val spanRows = spanRowBound(fs, table, m.asOfSeq, latest)
+    val entries = servableSpan(fs, table, m.asOfSeq, latest) match {
+      case Some(es) => es
+      case None => return None
+    }
+    val spanRows = spanRowBound(entries)
     if (spanRows > 16.0 * InPushdownCap) return None
     // T = the span's distinct touched base keys — RAW feed, so deletes
     // (marker rows) count as touches too ([[staleTouchedKeys]]: the
@@ -564,7 +567,8 @@ object KvIndex {
     * opportunistically once they outnumber a quarter of the index.
     */
   private def refreshExactCovered(spark: SparkSession, path: String,
-      m: Meta, latest: Long, dir: Path, fs: FileSystem): RefreshResult = {
+      m: Meta, latest: Long, dir: Path, fs: FileSystem,
+      spanBound: Double): RefreshResult = {
     import spark.implicits._
     val quals = m.keyQuals ++ m.include
     val n = quals.length
@@ -575,12 +579,13 @@ object KvIndex {
     val feed = r.load(path).filter(
       (col("family") === m.family && col("qualifier").isin(quals: _*)) ||
         col("qualifier").startsWith(KvDelete.MarkerPrefix))
-    // Touched-key probe: when the manifest row bound already proves the
-    // span fits the cap, the raw feed keys collect and dedupe
-    // driver-side with ZERO exchanges (the r19 staleTouchedKeys rule —
-    // the bound is a priori, so the collect can never surprise).
+    // Touched-key probe: when the manifest row bound (`spanBound`, priced
+    // once by the caller's servability probe) already proves the span
+    // fits the cap, the raw feed keys collect and dedupe driver-side
+    // with ZERO exchanges (the r19 staleTouchedKeys rule — the bound is
+    // a priori, so the collect can never surprise).
     val touchedProbe =
-      if (spanRowBound(fs, new Path(path), m.asOfSeq, latest) <= InPushdownCap)
+      if (spanBound <= InPushdownCap)
         feed.select(col("rowKey")).collect().map(_.getString(0)).distinct
       else feed.select(col("rowKey")).distinct()
         .limit(InPushdownCap + 1).collect().map(_.getString(0))
@@ -776,12 +781,21 @@ object KvIndex {
     * here.
     */
   private def spanUnservable(fs: FileSystem, table: Path, since: Long,
-      latest: Long): Boolean = {
-    if (since + 1 < KvLog.floor(fs, table)) return true
+      latest: Long): Boolean =
+    servableSpan(fs, table, since, latest).isEmpty
+
+  /** [[spanUnservable]] with the evidence kept: the span's log ENTRIES
+    * when it is servable (so callers can price it via [[spanRowBound]]
+    * without a second log replay — ADVICE-class finding, r20), None
+    * when it is not.
+    */
+  private def servableSpan(fs: FileSystem, table: Path, since: Long,
+      latest: Long): Option[Seq[KvLog.Entry]] = {
+    if (since + 1 < KvLog.floor(fs, table)) return None
     if (KvSalt.declsIn(fs, table, since, latest).exists(_ != since + 1))
-      return true
+      return None
     val entries = (since + 1 to latest).flatMap(KvLog.read(fs, table, _))
-    if (entries.exists(e => e.contentDrop && e.dropFiles.isEmpty)) return true
+    if (entries.exists(e => e.contentDrop && e.dropFiles.isEmpty)) return None
     // PRE-IMAGE SURVIVAL: when the span CARRIES CONTENT (appends, or a
     // retention pass's drop records), the exact incremental diff
     // time-travels to `since` for the touched keys' pre-image — and a
@@ -796,7 +810,7 @@ object KvIndex {
     // set.
     val carries = entries.exists(e =>
       if (e.compact) e.dropFiles.nonEmpty else e.adds.nonEmpty)
-    carries && entries.exists(_.compact) && !(try {
+    val preImageLost = carries && entries.exists(_.compact) && !(try {
       KvLog.liveFilesAt(fs, table, since)
         .forall(n => fs.exists(new Path(table, n)))
     } catch {
@@ -804,6 +818,7 @@ object KvIndex {
       // vacuum reclaimed the version's segments — same verdict.
       case _: IllegalStateException => false
     })
+    if (preImageLost) None else Some(entries)
   }
 
   /** Crash recovery for the rebuild swap: a crash between the two swap
@@ -872,7 +887,8 @@ object KvIndex {
     val latest = KvLog.latestSeq(fs, table)
     if (latest <= m.asOfSeq) return Fresh(m.asOfSeq)
     val dir = indexDir(table, name)
-    if (spanUnservable(fs, table, m.asOfSeq, latest)) {
+    val span = servableSpan(fs, table, m.asOfSeq, latest)
+    if (span.isEmpty) {
       // Rebuild, STAGED BESIDE the live index and swapped in: a rebuild
       // that dies mid-build must leave the old index serving (lookups
       // degrade to the full-scan tail — they must not start throwing
@@ -906,7 +922,8 @@ object KvIndex {
       }
       Rebuilt(latest)
     } else if (m.covered) {
-      refreshExactCovered(spark, path, m, latest, dir, fs)
+      refreshExactCovered(spark, path, m, latest, dir, fs,
+        spanRowBound(span.get))
     } else {
       val delta = baseCells(spark, path, m, Map(
         "sinceSeq" -> m.asOfSeq.toString, "asOfSeq" -> latest.toString))
