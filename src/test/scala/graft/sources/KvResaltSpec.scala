@@ -219,6 +219,54 @@ class KvResaltSpec extends graft.SparkSpec {
       .contains("logicalScope=[00200,00400)"))
   }
 
+  test("mixed-span rowKey scope law: random bounds equal filter-above-the-scan") {
+    // The [[KvRowScope]] exactness claim, randomized: for a CDC span
+    // crossing a resalt, a scoped read equals the unscoped read filtered
+    // above the scan, for arbitrary bound shapes — min-only, max-only,
+    // both, empty range, bounds hitting no stored prefix width.
+    val dir = freshDir("scopelaw")
+    KvSalt.saltedWrite(cells.limit(400), dir, n = 8, regions = 2,
+      mode = "overwrite")
+    val fs = fsOf(dir)
+    val anchorSeq = KvLog.latestSeq(fs, new Path(dir))
+    KvSnapshot.create(spark, dir, "anchor_law")
+    KvSalt.saltedWrite(KvGenerator.cells(spark, 300, 2, "runScopeLaw"),
+      dir, n = 8, regions = 1)
+    KvResalt.resalt(spark, dir, Some(2)) shouldBe a[KvResalt.Resalted]
+    KvSalt.saltedWrite(cells.limit(60), dir, n = 2, regions = 1)
+    val upTo = KvLog.latestSeq(fs, new Path(dir))
+    def crossing(opts: (String, String)*) = {
+      val r0 = spark.read.format("graft-kv")
+        .option("sinceSeq", anchorSeq).option("asOfSeq", upTo)
+      opts.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+    }
+    val unscoped = crossing()
+    val rnd = new scala.util.Random(42)
+    val keyPool = unscoped.select(col("rowKey")).distinct()
+      .collect().map(_.getString(0)).sorted
+    def randBound(): String = rnd.nextInt(4) match {
+      case 0 => keyPool(rnd.nextInt(keyPool.length)) // an existing key
+      case 1 => f"${rnd.nextInt(100000)}%05d"        // arbitrary in-space
+      case 2 => "0"                                  // below everything
+      case _ => "99999~"                             // above everything
+    }
+    (1 to 25).foreach { i =>
+      val (lo, hi) = (rnd.nextInt(3), randBound(), randBound()) match {
+        case (0, a, _) => (Some(a), None)            // min-only
+        case (1, _, b) => (None, Some(b))            // max-only
+        case (_, a, b) => (Some(a), Some(b))         // both (maybe empty)
+      }
+      val opts = lo.map("minRowKey" -> _).toSeq ++ hi.map("maxRowKey" -> _)
+      val scoped = crossing(opts: _*)
+      val expect = Seq(
+        lo.map(col("rowKey") >= _), hi.map(col("rowKey") < _))
+        .flatten.foldLeft(unscoped)(_ filter _)
+      withClue(s"case $i bounds [$lo, $hi): ") {
+        rows(scoped) shouldBe rows(expect)
+      }
+    }
+  }
+
   test("a streaming sinceSeq bridge refuses to cross a salt declaration") {
     // The batch CDC path reads a crossing span MIXED (per-file
     // saltLenOverride); the TAIL strips one salt width for its whole
