@@ -2207,6 +2207,96 @@ object Scratch {
               s"commit=${d.get("commitOffsets")} wal=${d.get("walCommit")}")
           }
         }
+      case "pivotdecomp" =>
+        // r21: where do the export-pivot seconds go? The sf fixtures are
+        // single-row-group parquet, so everything upstream of the pivot's
+        // exchange (scan + cell explode + partial ObjectHashAggregate) runs
+        // in ONE task regardless of split planning. Decompose:
+        //   cells-only  — scan + rowKey build + explode, noop sink
+        //   pivot       — current plan (partial agg before the exchange)
+        //   pivot+shuf  — repartition(rowKey) first: partial agg moves to
+        //                 the parallel side of the one exchange
+        import org.apache.spark.sql.functions._
+        val schemaCols = Seq("qty", "ln", "flag", "KEY")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        for (rep <- 1 to 3) {
+          val cells = graft.kv.KvTable.lineitemAsCells(spark, sfDir)
+          println(s"[pivotdecomp] rep $rep scan partitions = ${cells.rdd.getNumPartitions}")
+          time("cells only (noop)")(noop(cells))
+          time("pivot current (noop)") {
+            noop(graft.ops.KvPivot.pivot(cells, schemaCols,
+              rowKeyCol = Some("KEY"), family = Some("c")))
+          }
+          time("pivot shuffle-first (noop)") {
+            val pre = cells.repartition(col("rowKey"))
+            noop(graft.ops.KvPivot.pivot(pre, schemaCols,
+              rowKeyCol = Some("KEY"), family = Some("c")))
+          }
+          time("typed_export full (count)")(
+            Queries.kvTypedExport(spark, sfDir).count(): Unit)
+          // C: repartition the UNEXPLODED rows on rowKey — the narrowest
+          // possible exchange (600k rows, no duplicated key strings), with
+          // rowKey build serial but explode + binary encodes + agg parallel;
+          // groupBy(rowKey) reuses the partitioning (one Exchange total).
+          time("pivot preshuffle-unexploded (noop)") {
+            import graft.functions.ByteCodecs._
+            val li = graft.kv.KvTable.table(spark, sfDir, "lineitem")
+            val pre = li.select(graft.kv.KvTable.lineitemKey.as("rowKey"),
+                col("l_quantity"), col("l_linenumber"), col("l_returnflag"))
+              .repartition(col("rowKey"))
+            val cellsC = pre.select(
+                col("rowKey"),
+                explode(array(
+                  struct(lit("qty").as("qualifier"),
+                    longToBinary(floor(col("l_quantity"))).as("value"),
+                    floor(col("l_quantity")).cast("long").as("ts")),
+                  struct(lit("ln").as("qualifier"),
+                    intToBinary(col("l_linenumber")).as("value"),
+                    col("l_linenumber").cast("long").as("ts")),
+                  struct(lit("flag").as("qualifier"),
+                    encode(col("l_returnflag"), "UTF-8").as("value"),
+                    ascii(col("l_returnflag")).cast("long").as("ts")))).as("cell"))
+              .select(col("rowKey"), lit("c").as("family"),
+                col("cell.qualifier").as("qualifier"), col("cell.value").as("value"),
+                col("cell.ts").as("ts"))
+            noop(graft.ops.KvPivot.pivot(cellsC, schemaCols,
+              rowKeyCol = Some("KEY"), family = Some("c")))
+          }
+          time("rowkey-project only (noop)") {
+            val li = graft.kv.KvTable.table(spark, sfDir, "lineitem")
+            noop(li.select(graft.kv.KvTable.lineitemKey.as("rowKey"),
+              col("l_quantity"), col("l_linenumber"), col("l_returnflag")))
+          }
+          val ev = graft.kv.KvTable.eventsAsCells(spark, sfDir)
+          time("events pivot current (noop)")(
+            noop(graft.ops.KvPivot.pivot(ev, Queries.EventCols, family = Some("f"))))
+          time("events pivot shuffle-first (noop)")(
+            noop(graft.ops.KvPivot.pivot(ev.repartition(col("rowKey")),
+              Queries.EventCols, family = Some("f"))))
+        }
+        println(graft.ops.KvPivot.pivot(
+          graft.kv.KvTable.lineitemAsCells(spark, sfDir), schemaCols,
+          rowKeyCol = Some("KEY"), family = Some("c")).queryExecution.executedPlan)
+
+      case "explain21" =>
+        // r21 deliverable: dump explain("formatted") for the queries named
+        // in GRAFT_EXPLAIN_QUERIES to plans/r21/<q>_<GRAFT_EXPLAIN_SUFFIX>.txt
+        val names = sys.env.getOrElse("GRAFT_EXPLAIN_QUERIES", "")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        val suffix = sys.env.getOrElse("GRAFT_EXPLAIN_SUFFIX", "after")
+        val dir = new java.io.File("plans/r21"); dir.mkdirs(): Unit
+        for (n <- names) {
+          val fn = SparkEntry.queries(n)
+          val df = fn(spark, sfDir)
+          val out = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"plans/r21/${n}_$suffix.txt"),
+            out.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          println(s"[explain21] wrote plans/r21/${n}_$suffix.txt")
+        }
+
       case other => println(s"?? $other")
     }
     spark.stop()
