@@ -2297,6 +2297,38 @@ object Scratch {
           println(s"[explain21] wrote plans/r21/${n}_$suffix.txt")
         }
 
+      case "balprobe" =>
+        // r21: why do small map-only queries regress under ScanBalance?
+        // A/B the raw vs balanced docs scan through three downstream shapes.
+        import org.apache.spark.sql.functions._
+        val raw = graft.kv.KvTable.table(spark, sfDir, "documents")
+        val bal = raw.repartition(32, col("doc_id"))
+        def ab(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+          for ((lbl, d) <- Seq("raw" -> raw, "bal" -> bal); rep <- 1 to 3) {
+            val t0 = System.nanoTime(); f(d).count()
+            println(f"[balprobe] $name%-12s $lbl rep$rep ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+        }
+        ab("resample", d => graft.ext.Multimodal.resampleAudio(
+          graft.ext.Multimodal.withRealAudioPayloads(
+            graft.ext.Multimodal.syntheticMedia(d)), outRate = 8000).toDF())
+        ab("fingerprint", d => graft.ext.TextAnalysis.fingerprints(d))
+        ab("clean", d => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("_h1"), col("_h2"))
+          d.select(col("doc_id") +: graft.ext.Dedup.textKey128(col("text")) :+
+              graft.ext.TextAnalysis.stats(col("text")).as("_st"): _*)
+            .select(col("doc_id"), col("_h1"), col("_h2"),
+              graft.ext.TextAnalysis.langPredict(
+                graft.ext.TextAnalysis.langScoresFrom(col("_st"))).as("lang_pred"),
+              graft.ext.TextAnalysis.qualityScoreFrom(col("_st")).as("quality"),
+              col("_st.ws_tokens").as("ws_tokens"))
+            .filter(col("lang_pred") === "en" && col("quality") >= 500)
+            .withColumn("_canonical", min(col("doc_id")).over(w))
+            .filter(col("doc_id") === col("_canonical"))
+            .select(col("doc_id"), col("lang_pred"), col("quality"), col("ws_tokens"))
+        })
+
       case other => println(s"?? $other")
     }
     spark.stop()

@@ -25,6 +25,19 @@ private[graft] trait QueriesDedup { self: Queries.type =>
   private[graft] def embeds(spark: SparkSession, sfDir: String): DataFrame =
     KvTable.table(spark, sfDir, "embeddings")
 
+  /** The embeddings corpus, scan-balanced (r21, opt guide §2.5 — see
+    * [[docsBalanced]] for the decision rule). Used ONLY by the embedding
+    * LSH pair generator, whose 16-band signature fan-out is the one
+    * embeds consumer heavy enough to amortize the exchange; the ann_topk_*
+    * family measured 2-3× SLOWER under a blanket balance (their per-query
+    * work after the tiny query-side filter is already exchange-bound —
+    * full-run A/B, BENCH_FULL_r21_mid vs _before).
+    */
+  private[graft] def embedsBalanced(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.ScanBalance.ensureMinParallelismFor(
+      KvTable.table(spark, sfDir, "embeddings"), col("vec_id"),
+      s"$sfDir/embeddings.parquet")
+
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(docs(spark, sfDir))
 
@@ -54,7 +67,9 @@ private[graft] trait QueriesDedup { self: Queries.type =>
       |FROM win GROUP BY doc_id""".stripMargin
 
   def dedupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairs(docs(spark, sfDir))
+    // balanced: the shingle pipeline feeds two consumers, so the serialized
+    // tokenize+shingle ran twice on one core (measured -0.8 s, r21)
+    Dedup.jaccardPairs(docsBalanced(spark, sfDir))
 
   /** Shared oracle CTEs: tokens → distinct 3-shingles (1-based list ops). */
   private[graft] lazy val shingleCtes: String =
@@ -93,7 +108,7 @@ private[graft] trait QueriesDedup { self: Queries.type =>
   lazy val JaccardMaxDf = 5
 
   def dedupJaccardDf(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairs(docs(spark, sfDir), maxDf = JaccardMaxDf)
+    Dedup.jaccardPairs(docsBalanced(spark, sfDir), maxDf = JaccardMaxDf)
 
   private[graft] lazy val dedupJaccardDfSql: String =
     s"""WITH $shingleCtes,
@@ -149,7 +164,9 @@ private[graft] trait QueriesDedup { self: Queries.type =>
   }
 
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashLshPairs(docs(spark, sfDir))
+    // balanced: 32 MinHash folds over every shingle set before the first
+    // exchange (measured -0.3 s, r21)
+    Dedup.minhashLshPairs(docsBalanced(spark, sfDir))
 
   /** CTE chain ending in `mp(a, b, match16)`: the verified MinHash-LSH
     * near-dup pairs (shared by the pairs query and the clustering oracle).
@@ -236,7 +253,9 @@ private[graft] trait QueriesDedup { self: Queries.type =>
     * per-cluster sort).
     */
   def pipeCanonicalCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+    // balanced: THREE consumers (cluster pairs, quality, join) replay the
+    // scan + shingle/stats narrow work (r21 — see docsBalanced)
+    val d = docsBalanced(spark, sfDir)
     val cl = Dedup.clusters(d, Dedup.minhashLshPairs(d))
     val q = TextAnalysis.quality(d).select(col("doc_id"), col("quality"))
     cl.join(q, "doc_id")

@@ -33,10 +33,13 @@ private[graft] trait QueriesMultimodal { self: Queries.type =>
     * measured == computed by construction.
     */
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    // balanced: the BMP/WAV/AVI encode + genuine decode chain is the
+    // heaviest narrow work in the suite and ran on ONE task over the
+    // single-row-group fixture (measured -0.6 s, r21 — see docsBalanced)
     val media = Multimodal.withRealVideoPayloads(
       Multimodal.withRealAudioPayloads(
         Multimodal.withRealImagePayloads(
-          Multimodal.syntheticMedia(docs(spark, sfDir)))))
+          Multimodal.syntheticMedia(docsBalanced(spark, sfDir)))))
     Multimodal.extractFeatures(media).toDF()
       .select(col("media_id") +: col("kind") +:
         (0 until Multimodal.FeatureDim).map(i =>
@@ -99,7 +102,9 @@ private[graft] trait QueriesMultimodal { self: Queries.type =>
     * integer-scaled, so the one query pins both legs against the oracle.
     */
   def mmFeaturesPretrained(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(docs(spark, sfDir))
+    // balanced for the same reason as mmFeatures (the fallback slice pays
+    // the full encode+decode chain)
+    val media = Multimodal.syntheticMedia(docsBalanced(spark, sfDir))
     val provided = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("media_id"),

@@ -232,7 +232,9 @@ private[graft] trait QueriesSimilarity { self: Queries.type =>
     * quadratic scan restricted to "collides in ≥1 table" — same set.
     */
   def dedupEmbedLshPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.embeddingLshPairs(embeds(spark, sfDir))
+    // balanced: 16 banded-signature hashes per vector over the whole corpus
+    // before the first exchange (measured -0.3 s, r21 — see embedsBalanced)
+    Dedup.embeddingLshPairs(embedsBalanced(spark, sfDir))
 
   private[graft] lazy val dedupEmbedLshPairsSql: String =
     s"""WITH $annNormCte,

@@ -27,7 +27,11 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
   def streamPivot(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = StreamingPivot.eventCellsStream(spark, sfDir)
     val piv = StreamingPivot.windowedPivot(cells, EventCols)
-    StreamingPivot.runAvailableNow(piv, "stream_pivot_out")
+    // 8 state partitions (the stream_pivot_late rule, r21): state here is
+    // ~10^4 window*rowKey rows, and every state store pays per-batch commit
+    // I/O regardless of row count — size the store count to state VOLUME.
+    StreamingPivot.runAvailableNow(piv, "stream_pivot_out",
+      shufflePartitions = Some(8))
   }
 
   private[graft] lazy val streamPivotSql: String = {
@@ -48,8 +52,11 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
     val ev = StreamingPivot.eventsStream(spark, sfDir)
     val dim = KvTable.table(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
+    // 8 state partitions: ~10^3 (window, nation) state rows (r21, the
+    // state-VOLUME sizing rule — see stream_pivot).
     StreamingPivot.runAvailableNow(
-      StreamingPivot.enrichedNationCounts(ev, dim), "stream_enrich_out")
+      StreamingPivot.enrichedNationCounts(ev, dim), "stream_enrich_out",
+      shufflePartitions = Some(8))
   }
 
   private[graft] lazy val streamEnrichSql: String =
@@ -105,9 +112,13 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
     val cells = spark.readStream.format("graft-kv")
       .option("family", "f").option("maxFilesPerBatch", 2).load(dir)
     val piv = KvPivot.pivot(cells, EventCols)
+    // 8 state partitions: complete-mode state is O(#rowKeys) ~ 10^4, and
+    // the 3-batch replay pays (stores x batches) commits (r21, the
+    // state-VOLUME sizing rule — see stream_pivot).
     StreamingPivot.runAvailableNow(
       piv.select(col("rowKey") +: EventCols.map(c => decode(col(c), "UTF-8").as(c)): _*),
-      "stream_kv_tail_out")
+      "stream_kv_tail_out",
+      shufflePartitions = Some(8))
   }
 
   /** The full replication pipe: a `graft-kv` TAIL of the WAL segments
@@ -337,10 +348,13 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
     val cells = StreamingPivot.eventCellsStream(spark, sfDir)
       .select(col("rowKey"), col("qualifier"),
         decode(col("value"), "UTF-8").cast("long").as("delta"))
+    // 8 state partitions: one long per cell coordinate, ~10^4 state rows
+    // (r21, the state-VOLUME sizing rule — see stream_pivot).
     StreamingPivot.runAvailableNow(
       cells.groupBy(col("rowKey"), col("qualifier"))
         .agg(sum(col("delta")).as("counter"), count(lit(1)).as("n_incr")),
-      "stream_increment_out")
+      "stream_increment_out",
+      shufflePartitions = Some(8))
   }
 
   private[graft] lazy val streamIncrementSql: String =
@@ -369,7 +383,12 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
         KmvDistinctAgg.kmvDistinct(col("u")).as("n_users"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("n_users"), col("top"))
-    StreamingPivot.runAvailableNow(agg, "stream_window_sketch_out")
+    // 8 state partitions: per-window sketch state is O(capacity) per store
+    // (r21, the state-VOLUME sizing rule — see stream_pivot). Below-capacity
+    // exactness is partition-count-independent: SpaceSaving partials stay
+    // exact while distinct terms <= capacity, KMV is a set function.
+    StreamingPivot.runAvailableNow(agg, "stream_window_sketch_out",
+      shufflePartitions = Some(8))
       .select(col("win_start_us"), col("n_users"), posexplode(col("top")))
       .select(col("win_start_us"), col("n_users"),
         (col("pos") + 1).cast("long").as("rk"),
@@ -492,10 +511,13 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
     */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = StreamingPivot.eventCellsStream(spark, sfDir)
+    // 8 state partitions: one entry per distinct pair, ~10^4 state rows
+    // (r21, the state-VOLUME sizing rule — see stream_pivot).
     StreamingPivot.runAvailableNow(
       StreamingPivot.distinctKeys(cells, Seq("rowKey", "qualifier")),
       "stream_dedup_out",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      shufflePartitions = Some(8))
   }
 
   private[graft] lazy val streamDedupSql: String =
@@ -585,7 +607,10 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
     // per-key version counter picks the newest deterministically whatever
     // the batching (single-batch here, but not assumed).
     StreamingPivot.runAvailableNow(snap, "stream_memstore_out",
-        org.apache.spark.sql.streaming.OutputMode.Update())
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        // 8 state partitions: O(#rowKeys) ~ 10^4 state rows (r21, the
+        // state-VOLUME sizing rule — see stream_pivot)
+        shufflePartitions = Some(8))
       .groupBy(col("rowKey"))
       .agg(max_by(struct(col("qualifiers"), col("lastTs")), col("version")).as("s"))
       .select(col("rowKey") +:
@@ -607,7 +632,10 @@ private[graft] trait QueriesStreaming { self: Queries.type =>
       .as[StreamingPivot.CellEvent]
     val snap = StreamingPivot.VersionedCells(cells, k = 2).toDF()
     StreamingPivot.runAvailableNow(snap, "stream_memstore_versions_out",
-        org.apache.spark.sql.streaming.OutputMode.Update())
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        // 8 state partitions: k=2 versions per coordinate, ~10^4 state
+        // rows (r21, the state-VOLUME sizing rule — see stream_pivot)
+        shufflePartitions = Some(8))
       .groupBy(col("rowKey"))
       .agg(max_by(col("cells"), col("version")).as("cells"))
       .select(col("rowKey"), explode(col("cells")).as(Seq("qualifier", "vs")))

@@ -24,6 +24,23 @@ private[graft] trait QueriesText { self: Queries.type =>
   private[graft] def docs(spark: SparkSession, sfDir: String): DataFrame =
     KvTable.table(spark, sfDir, "documents")
 
+  /** The documents corpus, scan-balanced (r21, opt guide §2.5): the fixture
+    * is a single parquet row group — a ONE-task scan however many splits
+    * are planned — so narrow work above the scan serializes on one core.
+    * [[graft.ops.ScanBalance]] floors the parallelism; a wider-than-cores
+    * production corpus passes through with no exchange. Used ONLY by the
+    * queries whose pre-exchange narrow work is heavy enough to amortize the
+    * extra exchange + AQE stage barrier (measured ≥ ~0.5 s serialized:
+    * double-consumed shingle pipelines, MinHash folds over shingle sets,
+    * the decontamination gram explode). The light map/agg queries measured
+    * SLOWER with a blanket balance (full-run A/B, BENCH_FULL_r21_mid vs
+    * _before: +0.1-0.5 s each) and keep the raw loader.
+    */
+  private[graft] def docsBalanced(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.ScanBalance.ensureMinParallelismFor(
+      KvTable.table(spark, sfDir, "documents"), col("doc_id"),
+      s"$sfDir/documents.parquet")
+
   /** Token counting: whitespace tokens + BPE-ish subword pieces + punct. */
   def txtTokens(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokens(docs(spark, sfDir))
@@ -438,7 +455,9 @@ private[graft] trait QueriesText { self: Queries.type =>
 
   /** Per-doc top-3 tf-idf keywords ([[TextAnalysis.tfIdfTopTerms]]). */
   def pipeTfidf(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.tfIdfTopTerms(docs(spark, sfDir))
+    // balanced: tokenize + per-doc term explode feeds tf, df AND the join
+    // back (r21 — see docsBalanced)
+    TextAnalysis.tfIdfTopTerms(docsBalanced(spark, sfDir))
 
   private[graft] lazy val pipeTfidfSql: String =
     """WITH d AS (
@@ -468,7 +487,9 @@ private[graft] trait QueriesText { self: Queries.type =>
     */
   def pipeDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ext.Dedup
-    val d = docs(spark, sfDir)
+    // balanced: the 4-gram explode runs over both corpus slices before any
+    // exchange (r21 — see docsBalanced)
+    val d = docsBalanced(spark, sfDir)
     Dedup.decontaminate(
       d.filter(col("doc_id") % 50 =!= 0),
       d.filter(col("doc_id") % 50 === 0),

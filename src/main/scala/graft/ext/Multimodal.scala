@@ -128,11 +128,20 @@ object Multimodal {
     def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // Fill the backing int raster directly (r21): per-pixel setRGB routes
+      // every store through the ColorModel; TYPE_INT_RGB's raster is one
+      // int per pixel, scanline stride = width, and the computed values are
+      // < 2^24 so the stored ints — and the encoded BMP bytes — are
+      // identical to what setRGB produced (spec-pinned byte-for-byte).
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
+      var i = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          img.setRGB(x, y, java.lang.Math.floorMod(seed * 31 + x * 131 + y * 52501, 0x1000000L).toInt)
+          px(i) = java.lang.Math.floorMod(seed * 31 + x * 131 + y * 52501, 0x1000000L).toInt
+          i += 1
           x += 1
         }
         y += 1
@@ -181,12 +190,17 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       val sums = new Array[Long](FeatureDim)
       val cnts = new Array[Long](FeatureDim)
+      // Bulk getRGB (r21): one ColorModel conversion pass into an int[]
+      // instead of one call per pixel — same default-sRGB values, so the
+      // pooled features are bit-identical (spec-pinned).
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var y = 0
       while (y < h) {
         val b = y * FeatureDim / h
+        val row = y * w
         var x = 0
         while (x < w) {
-          val v = img.getRGB(x, y)
+          val v = px(row + x)
           sums(b) += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
           cnts(b) += 1
           x += 1

@@ -237,6 +237,38 @@ class MultimodalSpec extends SparkSpec {
     codec.decodeResize(bmp, maxSide = 100) shouldBe ((48, 32, 48L * 32 * 3))
   }
 
+  test("r21 raster-fill encodeBmp is byte-identical to the per-pixel setRGB reference") {
+    // The optimization round swapped per-pixel setRGB/getRGB for direct
+    // raster access; the corpus contract is byte-identical BMPs per
+    // (dims, seed), so pin the new path against an inline setRGB replica
+    // and pin the pooled features against the decoded reference image.
+    val codec = new Multimodal.ImageCodec
+    for ((w, h, seed) <- Seq((48, 32, 12345L), (144, 80, 7L), (1, 1, 0L), (33, 17, -9L))) {
+      val ref = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        ref.setRGB(x, y,
+          java.lang.Math.floorMod(seed * 31 + x * 131 + y * 52501, 0x1000000L).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(ref, "bmp", bos)
+      codec.encodeBmp(w, h, seed) shouldBe bos.toByteArray
+      // bulk-getRGB band pooling == per-pixel getRGB pooling
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(codec.encodeBmp(w, h, seed)))
+      val sums = new Array[Long](Multimodal.FeatureDim)
+      val cnts = new Array[Long](Multimodal.FeatureDim)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = img.getRGB(x, y)
+        val b = y * Multimodal.FeatureDim / h
+        sums(b) += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+        cnts(b) += 1
+      }
+      val expected = Array.tabulate(Multimodal.FeatureDim)(i =>
+        if (cnts(i) == 0) 0.0 else sums(i).toDouble / (cnts(i) * 765.0))
+      codec.bandFeatures(codec.encodeBmp(w, h, seed)) shouldBe expected
+    }
+  }
+
   test("decode+resize takes the REAL decode path on real image payloads") {
     val real = Multimodal.withRealImagePayloads(media)
     // image rows now carry genuine BMPs; others untouched
